@@ -1,0 +1,53 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Data-cleansing operators — the reference's ingest+coerce stage
+  * (includes/setup.py:206-221), generalized. Each op is a pure column
+  * expression (E1-E12 in SURVEY.md §2.3): Catalyst folds them into the
+  * scan's projection, so they cost nothing extra at 100 TB.
+  */
+object Cleanse {
+
+  /** S1 — CSV ingest with header + schema inference (setup.py:206). */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** E3-as-boolean — `col == value` recode (setup.py:209: SeniorCitizen
+    * == 1; setup.py:211-212: "Yes" flags). Three-valued: NULL stays NULL.
+    */
+  def flagToBoolean(c: Column, trueValue: Any): Column = c === lit(trueValue)
+
+  /** E2 — multi-arm CASE WHEN recode with NULL fallthrough (no
+    * `otherwise`), exactly the Contract→months recode at setup.py:214-217.
+    */
+  def recode(c: Column, mapping: Seq[(Any, Any)]): Column = {
+    require(mapping.nonEmpty, "recode needs at least one mapping")
+    val first = when(c === lit(mapping.head._1), lit(mapping.head._2))
+    mapping.tail.foldLeft(first) { case (w, (from, to)) =>
+      w.when(c === lit(from), lit(to))
+    } // no .otherwise → NULL fallthrough, matching the reference
+  }
+
+  /** E8+E9+E10+E11 — empty-string-to-NULL then cast to double
+    * (setup.py:219-221: TotalCharges arrives as string with blanks).
+    */
+  def blankToNullDouble(c: Column): Column =
+    when(length(trim(c)) === 0, lit(null)).otherwise(trim(c)).cast(DoubleType)
+
+  /** Full replay of the telco cleanse (setup.py:206-221) for a raw
+    * telco-schema DataFrame — used by unit tests on literal fixtures
+    * (the CSV itself doesn't ship; FIXTURES.md §A).
+    */
+  def telco(raw: DataFrame): DataFrame = {
+    val yesNoCols = Seq("Partner", "Dependents", "PhoneService", "PaperlessBilling", "Churn")
+    val step1 = raw.withColumn("SeniorCitizen", flagToBoolean(col("SeniorCitizen"), 1))
+    val step2 = yesNoCols.foldLeft(step1)((d, c) => d.withColumn(c, flagToBoolean(col(c), "Yes")))
+    step2
+      .withColumn("Contract", recode(col("Contract"),
+        Seq("Month-to-month" -> 1, "One year" -> 12, "Two year" -> 24)))
+      .withColumn("TotalCharges", blankToNullDouble(col("TotalCharges")))
+  }
+}

@@ -1,0 +1,220 @@
+package graft.fs
+
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Write disposition for [[FeatureStore.writeTable]] — the reference's
+  * `compute_and_write(..., mode=...)` accepts "overwrite" and "merge"
+  * (Feature_Store_Telco_Churn_Flight_School.py:104-108, :230-231, :435).
+  */
+sealed trait WriteMode
+object WriteMode {
+  case object Overwrite extends WriteMode
+  case object Merge extends WriteMode
+  def parse(s: String): WriteMode = s.toLowerCase match {
+    case "overwrite" => Overwrite
+    case "merge"     => Merge
+    case other       => throw new IllegalArgumentException(s"unknown write mode: $other")
+  }
+}
+
+/** Offline feature store over versioned parquet directories.
+  *
+  * Re-implements the capability surface of the closed-source
+  * `databricks.feature_store.FeatureStoreClient` that the reference
+  * drives (SURVEY.md §2.1 K4-K7, S5): create/read/write/delete feature
+  * tables keyed for lookups, key-based upsert ("merge") with add-column
+  * schema evolution, and online publish. No Delta jars ship on this
+  * image, so the transactional layer is a minimal versioned-directory
+  * scheme: `root/<table>/v<N>/` holds parquet data, `root/<table>/
+  * spec.properties` holds metadata + the current version pointer, and
+  * every write lands in a fresh `v<N+1>` directory followed by an atomic
+  * pointer move — readers never observe partial data, and concurrent
+  * readers of v<N> are unaffected by a writer producing v<N+1>. At
+  * 100 TB this maps 1:1 onto a real table format (Delta/Iceberg): the
+  * pointer file is the transaction log, versioned dirs are snapshots.
+  *
+  * Scale notes (SURVEY.md §7.7):
+  *   - merge is a single shuffle (the anti-join on the key); AQE handles
+  *     skewed keys at runtime;
+  *   - feature tables may be written partitioned (`spec.partitionBy`)
+  *     so training-set joins at scale can prune partitions;
+  *   - nothing here ever collects to the driver.
+  */
+final class FeatureStore(spark: SparkSession, val root: String) {
+
+  new File(root).mkdirs()
+
+  private def tableDir(name: String) = Paths.get(root, name)
+  private def specFile(name: String) = tableDir(name).resolve("spec.properties")
+  private def dataDir(name: String, version: Int) = tableDir(name).resolve(s"v$version")
+
+  // ---------------------------------------------------------------- catalog
+
+  def tableExists(name: String): Boolean = Files.exists(specFile(name))
+
+  def listTables(): Seq[String] = {
+    val f = new File(root)
+    Option(f.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && Files.exists(specFile(d.getName)))
+      .map(_.getName).toSeq.sorted
+  }
+
+  /** K4 — register a feature table: validate keys against the schema,
+    * persist metadata. The table starts empty at version 0 (the
+    * reference registers schema first, writes data separately,
+    * FS:207-231).
+    */
+  def createTable(spec: FeatureTableSpec): Unit = {
+    spec.validate()
+    require(!tableExists(spec.name), s"feature table ${spec.name} already exists")
+    Files.createDirectories(tableDir(spec.name))
+    saveSpec(spec, version = 0)
+  }
+
+  def getSpec(name: String): FeatureTableSpec = loadSpec(name)._1
+
+  def currentVersion(name: String): Int = loadSpec(name)._2
+
+  /** K6 — drop metadata + all data versions. */
+  def deleteTable(name: String): Unit = {
+    require(tableExists(name), s"feature table $name does not exist")
+    deleteRecursively(tableDir(name).toFile)
+  }
+
+  // ---------------------------------------------------------------- data
+
+  /** S5 — read the current snapshot. Version 0 (registered, never
+    * written) is an empty DataFrame with the registered schema.
+    */
+  def readTable(name: String): DataFrame = {
+    val (spec, version) = loadSpec(name)
+    if (version == 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], spec.schema)
+    else
+      spark.read.schema(spec.schema).parquet(dataDir(name, version).toString)
+  }
+
+  /** K5/K3 — write a snapshot.
+    *
+    * Overwrite: replace data, adopt the new DataFrame's schema.
+    *
+    * Merge: key-based upsert with add-column schema evolution, replaying
+    * the reference's `mode="merge"` semantics (first write FS:230-231,
+    * then FS:411-435 merges a DataFrame carrying two NEW columns into
+    * the existing table — existing keys are updated, new keys inserted,
+    * and the table schema gains the new columns with NULL for rows only
+    * present in the old snapshot). Without Delta's MERGE INTO the plan
+    * is: `old ANTI-JOIN new ON keys` (rows to carry forward) UNION-BY-
+    * NAME `new` (rows that win), allowMissingColumns covering evolution
+    * in both directions. One shuffle on the keys; broadcast if `new` is
+    * small (Catalyst/AQE decides).
+    */
+  def writeTable(name: String, df: DataFrame, mode: WriteMode): Unit = {
+    val (spec, version) = loadSpec(name)
+    val missingKeys = spec.keys.filterNot(df.columns.contains)
+    require(missingKeys.isEmpty,
+      s"write to $name: key column(s) ${missingKeys.mkString(", ")} missing from DataFrame")
+
+    val result: DataFrame = mode match {
+      case WriteMode.Overwrite => df
+      case WriteMode.Merge if version == 0 => df
+      case WriteMode.Merge =>
+        val old = readTable(name)
+        val carried = old.join(df.select(spec.keys.map(col): _*), spec.keys, "left_anti")
+        carried.unionByName(df, allowMissingColumns = true)
+    }
+
+    val newVersion = version + 1
+    val target = dataDir(name, newVersion)
+    val writer = result.write.mode("overwrite")
+    val partitioned =
+      if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
+    partitioned.parquet(target.toString)
+    saveSpec(spec.copy(schema = structTypeOf(result)), newVersion)
+    // Old versions are kept for time travel; prune all but the last two.
+    (1 until newVersion - 1).foreach { v =>
+      val d = dataDir(name, v).toFile
+      if (d.exists()) deleteRecursively(d)
+    }
+  }
+
+  def writeTable(name: String, df: DataFrame, mode: String): Unit =
+    writeTable(name, df, WriteMode.parse(mode))
+
+  /** K7 — publish the offline table to an "online" store for point
+    * lookups (SO:374-387 publishes to MySQL over JDBC). With zero egress
+    * the stand-in is a single sorted-by-key parquet snapshot under
+    * `<root>/_online/<name>` — the shape a KV bulk-load would consume.
+    * A real deployment would swap `writeOnline` for
+    * `df.write.format("jdbc")` — the plan up to the sink is identical.
+    */
+  def publishTable(name: String): String = {
+    val (spec, _) = loadSpec(name)
+    val online = Paths.get(root, "_online", name)
+    readTable(name)
+      .repartition(1, spec.keys.map(col): _*)
+      .sortWithinPartitions(spec.keys.map(col): _*)
+      .write.mode("overwrite").parquet(online.toString)
+    online.toString
+  }
+
+  def readOnlineTable(name: String): DataFrame =
+    spark.read.parquet(Paths.get(root, "_online", name).toString)
+
+  // ---------------------------------------------------------------- impl
+
+  private def structTypeOf(df: DataFrame): StructType = df.schema
+
+  private def saveSpec(spec: FeatureTableSpec, version: Int): Unit = {
+    val p = new Properties()
+    p.setProperty("name", spec.name)
+    p.setProperty("keys", spec.keys.mkString(","))
+    p.setProperty("description", spec.description)
+    p.setProperty("schemaDdl", spec.schema.toDDL)
+    p.setProperty("partitionBy", spec.partitionBy.mkString(","))
+    p.setProperty("version", version.toString)
+    val tmp = tableDir(spec.name).resolve(s"spec.properties.tmp${System.nanoTime()}")
+    val out = new FileOutputStream(tmp.toFile)
+    try p.store(out, "graft feature table spec") finally out.close()
+    Files.move(tmp, specFile(spec.name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def loadSpec(name: String): (FeatureTableSpec, Int) = {
+    require(tableExists(name), s"feature table $name does not exist")
+    val p = new Properties()
+    val in = new FileInputStream(specFile(name).toFile)
+    try p.load(in) finally in.close()
+    def list(k: String) =
+      p.getProperty(k, "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val spec = FeatureTableSpec(
+      name = p.getProperty("name"),
+      keys = list("keys"),
+      schema = StructType.fromDDL(p.getProperty("schemaDdl")),
+      description = p.getProperty("description", ""),
+      partitionBy = list("partitionBy"))
+    (spec, p.getProperty("version", "0").toInt)
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
+}
+
+object FeatureStore {
+  /** A store rooted in a fresh temp directory — used by tests and by
+    * self-contained `SparkEntry.queries` entries that exercise the
+    * write path end-to-end.
+    */
+  def temp(spark: SparkSession): FeatureStore = {
+    val dir = Files.createTempDirectory("graft-fs-").toString
+    new FeatureStore(spark, dir)
+  }
+}

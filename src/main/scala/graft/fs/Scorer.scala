@@ -1,0 +1,72 @@
+package graft.fs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Batch scoring — the reference's `fs.score_batch("models:/name/v",
+  * batch_df, result_type)` (FS:363, FS:388; SO:275, SO:300): the model
+  * artifact carries its `FeatureLookup`s, scoring replays the SAME
+  * lookup joins as training (J4 = J3) against the *current* feature
+  * tables, then appends a `prediction` column.
+  *
+  * MLflow itself is out of engine scope (SURVEY.md §2.7); what we keep
+  * is the data semantics: a registry addressed by `models:/name/version`
+  * holding scorers that are pure column expressions over the joined
+  * feature row — executed inside whole-stage codegen, eliminating the
+  * reference's per-batch JVM→Python pyfunc boundary (SURVEY.md §3.3).
+  */
+trait Scorer {
+  def name: String
+  def version: Int
+  def lookups: Seq[FeatureLookup]
+  /** Column expression over the feature-joined DataFrame. */
+  def scoreColumn(joined: DataFrame): Column
+}
+
+/** Deterministic stand-in for the reference's GBT classifier (FS:333):
+  * a logistic model over numeric feature columns. NULL features (spine
+  * rows missing from a feature table after the left-outer join)
+  * contribute 0 — matching sklearn-pipeline behavior after the
+  * reference's fillna. `result_type='string'` (FS:363) ⇒ prediction is
+  * the string "True"/"False", which callers recast (FS:364).
+  */
+final case class LogisticScorer(
+    name: String,
+    version: Int,
+    lookups: Seq[FeatureLookup],
+    weights: Map[String, Double],
+    bias: Double = 0.0) extends Scorer {
+
+  def scoreColumn(joined: DataFrame): Column = {
+    val z = weights.toSeq.sortBy(_._1).map { case (c, w) =>
+      coalesce(col(c).cast("double"), lit(0.0)) * lit(w)
+    }.foldLeft(lit(bias))(_ + _)
+    // sigmoid(z) > 0.5  ⟺  z > 0 — threshold on z avoids exp() in the
+    // hot path and keeps the oracle SQL exactly portable.
+    when(z > 0, "True").otherwise("False")
+  }
+}
+
+final class ScorerRegistry {
+  private var scorers = Map.empty[(String, Int), Scorer]
+
+  def register(s: Scorer): Unit = synchronized { scorers += ((s.name, s.version) -> s) }
+
+  /** Resolve `models:/name/version` (FS:363's URI scheme). */
+  def resolve(uri: String): Scorer = {
+    val parsed = uri.stripPrefix("models:/").split("/")
+    require(parsed.length == 2, s"bad model URI: $uri (want models:/name/version)")
+    scorers.getOrElse((parsed(0), parsed(1).toInt),
+      throw new NoSuchElementException(s"no scorer registered for $uri"))
+  }
+
+  /** J4 — replay the training joins against current feature tables and
+    * append `prediction` (FS:363). Uses the same LookupJoins builder as
+    * TrainingSet.loadDf, so train/serve parity holds by construction.
+    */
+  def scoreBatch(store: FeatureStore, uri: String, batch: DataFrame): DataFrame = {
+    val scorer = resolve(uri)
+    val joined = LookupJoins.attach(store, batch, scorer.lookups)
+    joined.withColumn("prediction", scorer.scoreColumn(joined))
+  }
+}

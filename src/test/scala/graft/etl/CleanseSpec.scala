@@ -1,0 +1,77 @@
+package graft.etl
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Unit tests for cleansing recodes (E1-E12) on the reconstructed telco
+  * fixture (FIXTURES.md §A), covering the NULL edges called out in
+  * SURVEY.md §7.5: E2 NULL fallthrough, blank→NULL cast, three-valued
+  * boolean recode.
+  */
+class CleanseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("flagToBoolean: ==1 / =='Yes' recodes with NULL passthrough") {
+    val df = Seq[(java.lang.Integer, String)]((1, "Yes"), (0, "No"), (null, null))
+      .toDF("senior", "partner")
+      .select(
+        Cleanse.flagToBoolean(col("senior"), 1).as("senior"),
+        Cleanse.flagToBoolean(col("partner"), "Yes").as("partner"))
+    assert(df.collect().toSeq == Seq(
+      Row(true, true), Row(false, false), Row(null, null)))
+  }
+
+  test("recode: multi-arm CASE WHEN with NULL fallthrough (setup.py:214-217)") {
+    val df = Seq("Month-to-month", "One year", "Two year", "Surprise", null)
+      .toDF("contract")
+      .select(Cleanse.recode(col("contract"),
+        Seq("Month-to-month" -> 1, "One year" -> 12, "Two year" -> 24)).as("months"))
+    assert(df.collect().map(_.get(0)).toSeq == Seq(1, 12, 24, null, null))
+  }
+
+  test("blankToNullDouble: trim/length/cast chain (setup.py:219-221)") {
+    val df = Seq("123.45", "  ", "", " 7.5 ", "1e2").toDF("tc")
+      .select(Cleanse.blankToNullDouble(col("tc")).as("tc"))
+    assert(df.collect().map(_.get(0)).toSeq == Seq(123.45, null, null, 7.5, 100.0))
+  }
+
+  test("full telco cleanse on a literal fixture") {
+    val raw = Seq(
+      // customerID, SeniorCitizen, Partner, Dependents, PhoneService,
+      // PaperlessBilling, Churn, Contract, TotalCharges
+      ("c1", 1, "Yes", "No", "Yes", "No", "Yes", "Month-to-month", "108.15"),
+      ("c2", 0, "No", "No", "No", "Yes", "No", "Two year", " "),
+      ("c3", 0, "Yes", "Yes", "Yes", "Yes", "No", "UNKNOWN", "151.65"))
+      .toDF("customerID", "SeniorCitizen", "Partner", "Dependents",
+        "PhoneService", "PaperlessBilling", "Churn", "Contract", "TotalCharges")
+    val got = Cleanse.telco(raw).orderBy("customerID").collect().toSeq
+    assert(got == Seq(
+      Row("c1", true, true, false, true, false, true, 1, 108.15),
+      Row("c2", false, false, false, false, true, false, 24, null),
+      Row("c3", false, true, true, true, true, false, null, 151.65)))
+  }
+
+  test("numOptionalServices: U1 as expression, NULL counts 0, range [0,6]") {
+    val cols = Features.optionalServiceCols
+    val mk = (vals: Seq[String]) => Row.fromSeq("k" +: vals)
+    import org.apache.spark.sql.types._
+    val schema = StructType(StructField("customerID", StringType) +:
+      cols.map(c => StructField(c, StringType)))
+    val rows = java.util.Arrays.asList(
+      mk(Seq("Yes", "Yes", "Yes", "Yes", "Yes", "Yes")),
+      mk(Seq("No", "No internet service", "No", "No", "No", "No")),
+      mk(Seq("Yes", null, "No", "Yes", null, "No")))
+    val df = spark.createDataFrame(rows, schema)
+      .select(Features.numOptionalServices(cols).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(6, 0, 2))
+  }
+
+  test("service features: dynamic projection excludes label + demographics") {
+    val raw = Seq(("c1", "F", "x", 1.0, "Yes"))
+      .toDF("customerID", "gender", "InternetService", "TotalCharges", "Churn")
+    val got = Features.computeServiceFeatures(raw)
+    assert(got.columns.toSeq == Seq("customerID", "InternetService", "TotalCharges"))
+  }
+}

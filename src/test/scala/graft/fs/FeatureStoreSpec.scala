@@ -1,0 +1,177 @@
+package graft.fs
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Feature-store semantic tests (SURVEY.md §5.2 item 3): K4 key
+  * validation, K5 merge = upsert (update-by-key, insert-new-key,
+  * add-column schema evolution replaying FS:411-435), J3 left-outer NULL
+  * semantics, P6 exclusion, J4 train/serve parity.
+  */
+class FeatureStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore = FeatureStore.temp(spark)
+
+  test("createTable validates keys against schema") {
+    val store = freshStore
+    val df = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      store.createTable(FeatureTableSpec("bad", Seq("nope"), df.schema))
+    }
+    store.createTable(FeatureTableSpec("good", Seq("id"), df.schema, "desc"))
+    assert(store.tableExists("good"))
+    assert(store.getSpec("good").keys == Seq("id"))
+    assert(store.readTable("good").count() == 0) // registered, never written
+  }
+
+  test("createTable rejects duplicates; deleteTable removes") {
+    val store = freshStore
+    val df = Seq((1L, "a")).toDF("id", "v")
+    store.createTable(FeatureTableSpec("t", Seq("id"), df.schema))
+    intercept[IllegalArgumentException] {
+      store.createTable(FeatureTableSpec("t", Seq("id"), df.schema))
+    }
+    store.deleteTable("t")
+    assert(!store.tableExists("t"))
+    intercept[IllegalArgumentException](store.readTable("t"))
+  }
+
+  test("merge updates existing keys, inserts new keys") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    val v2 = Seq((2L, 99.0), (3L, 30.0)).toDF("id", "x")
+    store.writeTable("t", v2, WriteMode.Merge)
+    val got = store.readTable("t").orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("merge with add-column schema evolution (FS:411-435 replay)") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    // evolved write: new column `y`, updated key 2, new key 3
+    val v2 = Seq((2L, 21.0, 5), (3L, 30.0, 6)).toDF("id", "x", "y")
+    store.writeTable("t", v2, WriteMode.Merge)
+    val got = store.readTable("t").orderBy("id").collect().toSeq
+    assert(store.getSpec("t").schema.fieldNames.toSeq == Seq("id", "x", "y"))
+    assert(got == Seq(
+      Row(1L, 10.0, null),      // old-only row: NULL for the new column
+      Row(2L, 21.0, 5),         // updated
+      Row(3L, 30.0, 6)))        // inserted
+  }
+
+  test("merge is idempotent") {
+    val store = freshStore
+    val v = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v.schema))
+    store.writeTable("t", v, WriteMode.Merge)
+    val once = store.readTable("t").orderBy("id").collect().toSeq
+    store.writeTable("t", v, WriteMode.Merge)
+    val twice = store.readTable("t").orderBy("id").collect().toSeq
+    assert(once == twice)
+  }
+
+  test("overwrite replaces data and schema") {
+    val store = freshStore
+    val v1 = Seq((1L, 1.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Overwrite)
+    val v2 = Seq((7L, "s")).toDF("id", "label")
+    store.writeTable("t", v2, WriteMode.Overwrite)
+    val got = store.readTable("t")
+    assert(got.columns.toSeq == Seq("id", "label"))
+    assert(got.count() == 1)
+  }
+
+  test("write rejects DataFrame missing the key column") {
+    val store = freshStore
+    val v = Seq((1L, 1.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v.schema))
+    intercept[IllegalArgumentException] {
+      store.writeTable("t", v.drop("id"), WriteMode.Merge)
+    }
+  }
+
+  test("training set: left-outer NULL semantics + label kept + exclusion") {
+    val store = freshStore
+    val feat = Seq((1L, 100.0), (2L, 200.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    // spine has key 3 with no feature row — must survive with NULL f
+    val spine = Seq((1L, "x", true), (3L, "y", false)).toDF("id", "junk", "label")
+    val ts = FeatureStoreClient.createTrainingSet(store, spine,
+      Seq(FeatureLookup("feat", "f", "id")), label = "label",
+      excludeColumns = Seq("junk"))
+    val got = ts.loadDf.orderBy("id").collect().toSeq
+    assert(ts.loadDf.columns.toSeq == Seq("id", "label", "f"))
+    assert(got == Seq(Row(1L, true, 100.0), Row(3L, false, null)))
+  }
+
+  test("lookup key name differing from table key name") {
+    val store = freshStore
+    val feat = Seq((1L, 5.0)).toDF("cust_id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("cust_id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val spine = Seq((1L, "a"), (2L, "b")).toDF("spine_key", "v")
+    val out = LookupJoins.attach(store, spine,
+      Seq(FeatureLookup("feat", "f", "spine_key"))).orderBy("spine_key")
+    assert(out.columns.toSeq == Seq("spine_key", "v", "f"))
+    assert(out.collect().toSeq == Seq(Row(1L, "a", 5.0), Row(2L, "b", null)))
+  }
+
+  test("lookup validation: unknown feature / key arity") {
+    val store = freshStore
+    val feat = Seq((1L, 5.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val spine = Seq((1L, "a")).toDF("id", "v")
+    intercept[IllegalArgumentException] {
+      LookupJoins.attach(store, spine, Seq(FeatureLookup("feat", "nope", "id"))).collect()
+    }
+    intercept[IllegalArgumentException] {
+      LookupJoins.attach(store, spine,
+        Seq(FeatureLookup("feat", "f", Seq("id", "v")))).collect()
+    }
+  }
+
+  test("train/serve join parity: scoreBatch replays the training joins") {
+    val store = freshStore
+    val feat = Seq((1L, 2.0), (2L, -3.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val registry = new ScorerRegistry
+    registry.register(LogisticScorer("m", 1,
+      Seq(FeatureLookup("feat", "f", "id")), Map("f" -> 1.0), bias = 0.0))
+    val batch = Seq(Tuple1(1L), Tuple1(2L), Tuple1(9L)).toDF("id")
+    val got = registry.scoreBatch(store, "models:/m/1", batch)
+      .orderBy("id").select("id", "prediction").as[(Long, String)].collect().toSeq
+    // key 9 missing from features → f treated as 0 → z=0 → not > 0 → False
+    assert(got == Seq((1L, "True"), (2L, "False"), (9L, "False")))
+    intercept[NoSuchElementException](registry.resolve("models:/other/1"))
+  }
+
+  test("publishTable produces a readable keyed snapshot") {
+    val store = freshStore
+    val feat = Seq((2L, 2.0), (1L, 1.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    store.publishTable("feat")
+    val online = store.readOnlineTable("feat").collect().toSeq
+    assert(online.toSet == Set(Row(1L, 1.0), Row(2L, 2.0)))
+  }
+
+  test("versioning: merge keeps only recent versions, pointer advances") {
+    val store = freshStore
+    val v = Seq((1L, 1.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v.schema))
+    (1 to 4).foreach(i => store.writeTable("t", Seq((i.toLong, i.toDouble)).toDF("id", "x"), WriteMode.Merge))
+    assert(store.currentVersion("t") == 4)
+    assert(store.readTable("t").count() == 4)
+  }
+}
