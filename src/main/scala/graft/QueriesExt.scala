@@ -1,0 +1,322 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Features
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Batch 2 (reference surface completion: U1 per-row counts, summary
+  * stats, events window/json ops, online publish) and batch 3
+  * ([extension] dedup / text analysis / similarity) queries.
+  *
+  * Events timestamps are emitted as epoch MICROS (BIGINT) everywhere:
+  * Spark reads the ns-precision parquet truncated to micros while
+  * DuckDB reads full ns, so comparing raw timestamps would be a dtype
+  * coin-flip; integer micros are unambiguous.
+  */
+object PipelinesExt {
+
+  private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
+
+  // U1 pattern — per-row count of "Yes"-valued string columns across a
+  // row (pandas_udf FS:413-416 rewritten as a codegen'd expression).
+  def numOptionalServices(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("svc_open", when(col("o_orderstatus") === "O", "Yes").otherwise("No"))
+      .withColumn("svc_urgent", when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Yes").otherwise("No"))
+      .withColumn("svc_big", when(col("o_totalprice") > 200000, "Yes").otherwise("No"))
+      .select(col("o_orderkey"),
+        Features.numOptionalServices(Seq("svc_open", "svc_urgent", "svc_big"))
+          .as("num_optional_services"))
+      .orderBy("o_orderkey")
+
+  // A1 — summary() parity with exact aggregates (SURVEY.md §5.3: the
+  // built-in summary() uses approx percentiles, so the checked variant
+  // recomputes count/mean/min/max/stddev from exact decimal sums).
+  def summaryStats(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    def statsFor(c: String): DataFrame = {
+      val dec = col(c).cast(DecimalType(18, 2))
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec).cast("double").as("sum_val"),
+        min(col(c)).as("min_val"),
+        max(col(c)).as("max_val"),
+        sum((dec * dec).cast(DecimalType(38, 4))).cast("double").as("_sumsq"))
+        .select(
+          lit(c).as("column_name"), col("n_rows"), col("sum_val"),
+          (col("sum_val") / col("n_rows")).as("mean_val"),
+          col("min_val"), col("max_val"),
+          sqrt((col("_sumsq") - col("sum_val") * col("sum_val") / col("n_rows"))
+            / (col("n_rows") - 1)).as("stddev_val"))
+    }
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(statsFor)
+      .reduce(_.union(_)).orderBy("column_name")
+  }
+
+  // window dedup — latest event per (user, event_type) via row_number.
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // JSON extraction from the events.props payload column.
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  // tumbling-window aggregation (batch analog of the streaming feature
+  // refresh in graft.streaming — same groupBy plan).
+  def eventWindowAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(unix_micros(col("hour_ts").cast("timestamp")).as("hour_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  // K7 — publish to the online store and read the snapshot back.
+  def publishOnline(s: SparkSession, d: String): DataFrame = {
+    val store = Pipelines.buildStore(s, d)
+    store.publishTable("order_features")
+    store.readOnlineTable("order_features").orderBy("c_custkey")
+  }
+
+  // ---------------------------------------------------------- dedup
+
+  def dedupExactGroups(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(t(s, d, "documents")).orderBy("keep_id")
+
+  def dedupExactRows(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(t(s, d, "documents")).orderBy("doc_id")
+
+  /** The synthetic corpus has no true near-dups, so the near-dup
+    * queries run over `documents` UNION a deterministically perturbed
+    * copy (doc_id + 1,000,000; first word dropped): every original doc
+    * gains one planted near-duplicate, which selective LSH banding must
+    * recover — candidate volume stays ~n, not n².
+    */
+  def docsWithPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "^\\S+\\s*", "")))
+  }
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docsWithPlantedDups(s, d), "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docsWithPlantedDups(s, d), "text", "doc_id", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithPlantedDups(s, d), "text", "doc_id",
+      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------- text analysis
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    t(s, d, "documents").select(
+      (col("doc_id") +:
+        TextAnalysis.langOrder.map(l => TextAnalysis.langScore(txt, l).as(s"score_$l")) :+
+        TextAnalysis.predictedLang(txt).as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+      .map { case (n, c) => c.as(n) }
+    t(s, d, "documents")
+      .select((col("doc_id") +: feats :+ TextAnalysis.qualityScore(col("text")).as("quality")): _*)
+      .orderBy("doc_id")
+  }
+
+  def fingerprintDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------ similarity
+
+  def embeddingKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+}
+
+object OraclesExt {
+
+  /** DuckDB-side normalized-text fingerprint (note the 'g' flag —
+    * DuckDB regexp_replace is first-match-only without it; Spark's
+    * replaces all).
+    */
+  private val fpSql = """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+
+  private val tokenCountSql =
+    """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+      |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER)""".stripMargin
+
+  private def stopHitsSql(words: Seq[String]): String =
+    s"""len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"""
+
+  private val langs = TextAnalysis.langOrder
+  private def langCaseSql: String = {
+    val conds = langs.zipWithIndex.map { case (l, i) =>
+      val cond = langs.zipWithIndex.collect {
+        case (l2, j) if j < i => s"score_$l > score_$l2"
+        case (l2, j) if j > i => s"score_$l >= score_$l2"
+      }.mkString(" AND ")
+      s"WHEN $cond THEN '$l'"
+    }
+    s"CASE ${conds.mkString(" ")} END"
+  }
+
+  private def statsForSql(c: String): String =
+    s"""SELECT '$c' AS column_name,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
+       |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_val,
+       |  min($c) AS min_val, max($c) AS max_val,
+       |  sqrt((CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+       |    - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+       |    / (count(*) - 1)) AS stddev_val
+       |FROM lineitem""".stripMargin
+
+  val sql: Map[String, String] = Map(
+    "q06_num_optional_services" ->
+      """SELECT o_orderkey,
+        |  CAST((CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS num_optional_services
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q10_summary_stats" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount").map(statsForSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+
+    "q13_window_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    "q16_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q17_event_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+    "q14_publish_online" ->
+      """SELECT o_custkey AS c_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+        |  max(o_orderdate) AS last_order_date,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
+        |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q20_dedup_exact_groups" ->
+      s"""SELECT $fpSql AS fingerprint,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    "q21_dedup_exact_rows" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q22_token_count" ->
+      s"SELECT doc_id, $tokenCountSql AS n_tokens FROM documents ORDER BY doc_id",
+
+    "q23_lang_id" ->
+      s"""SELECT doc_id,
+         |  ${langs.map(l => s"CAST(${stopHitsSql(TextAnalysis.stopwords(l))} AS INTEGER) AS score_$l").mkString(",\n  ")},
+         |  $langCaseSql AS pred_lang
+         |FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id""".stripMargin,
+
+    "q24_quality_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(nt AS INTEGER) AS n_tokens,
+         |  CASE WHEN nt > 0 THEN nc / nt ELSE 0.0 END AS avg_word_len,
+         |  CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS stopword_ratio,
+         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
+         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
+         |    AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+    "q25_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fingerprint FROM documents ORDER BY doc_id",
+
+    "q29_embedding_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe, ce) AS cosine
+        |  FROM q, c WHERE query_id != neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q30_cosine_near_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    // q26/q27/q28 (minhash/simhash/ngram-jaccard candidates) and q31
+    // (LSH ANN) intentionally omit oracles: Spark xxhash64 is not
+    // reproducible in DuckDB SQL (SURVEY.md §5.3) — driver records the
+    // rows-only check; exact semantics are covered by ScalaTest.
+  )
+}

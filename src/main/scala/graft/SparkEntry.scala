@@ -37,9 +37,29 @@ object SparkEntry {
     "q09_merge_upsert" -> ((s, d) => Pipelines.mergeUpsert(s, d)),
     "q11_pricing_summary" -> ((s, d) => Pipelines.pricingSummary(s, d)),
     "q12_topk_orders" -> ((s, d) => Pipelines.topkOrders(s, d)),
+    // batch 2 — reference-surface completion
+    "q06_num_optional_services" -> ((s, d) => PipelinesExt.numOptionalServices(s, d)),
+    "q10_summary_stats" -> ((s, d) => PipelinesExt.summaryStats(s, d)),
+    "q13_window_dedup" -> ((s, d) => PipelinesExt.windowDedup(s, d)),
+    "q14_publish_online" -> ((s, d) => PipelinesExt.publishOnline(s, d)),
+    "q16_json_extract" -> ((s, d) => PipelinesExt.jsonExtract(s, d)),
+    "q17_event_window_agg" -> ((s, d) => PipelinesExt.eventWindowAgg(s, d)),
+    // batch 3 — [extension] LLM-data-pipeline operators
+    "q20_dedup_exact_groups" -> ((s, d) => PipelinesExt.dedupExactGroups(s, d)),
+    "q21_dedup_exact_rows" -> ((s, d) => PipelinesExt.dedupExactRows(s, d)),
+    "q22_token_count" -> ((s, d) => PipelinesExt.tokenCount(s, d)),
+    "q23_lang_id" -> ((s, d) => PipelinesExt.langId(s, d)),
+    "q24_quality_score" -> ((s, d) => PipelinesExt.qualityScore(s, d)),
+    "q25_fingerprint" -> ((s, d) => PipelinesExt.fingerprintDocs(s, d)),
+    "q26_minhash_pairs" -> ((s, d) => PipelinesExt.minhashPairs(s, d)),
+    "q27_simhash_pairs" -> ((s, d) => PipelinesExt.simhashPairs(s, d)),
+    "q28_ngram_jaccard" -> ((s, d) => PipelinesExt.ngramJaccardPairs(s, d)),
+    "q29_embedding_knn" -> ((s, d) => PipelinesExt.embeddingKnn(s, d)),
+    "q30_cosine_near_dup" -> ((s, d) => PipelinesExt.cosineNearDup(s, d)),
+    "q31_lsh_ann" -> ((s, d) => PipelinesExt.lshAnn(s, d)),
   )
 
-  def oracleSql: Map[String, String] = Oracles.sql
+  def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
 }
 
 /** One builder per query; shared sub-plans factored for reuse. */

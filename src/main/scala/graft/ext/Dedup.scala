@@ -1,0 +1,201 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [extension] Deduplication operators for LLM-data pipelines
+  * (SURVEY.md §7.6). Exact dedup is a hash groupBy; near-dup families
+  * (MinHash+LSH, SimHash, n-gram Jaccard) generate candidate pairs with
+  * a band-bucket join — never an O(n²) cross product — so they scale to
+  * 100 TB: cost is (docs × signature) map work plus one shuffle per
+  * band join, with AQE handling bucket skew.
+  */
+object Dedup {
+
+  /** Single-file parquet inputs arrive as one partition; CPU-bound
+    * per-row signature work then runs on one core. Fan small inputs out
+    * to the session's parallelism (no-op when the source is already
+    * split, as a 100 TB table would be).
+    */
+  private[ext] def balanced(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  // ------------------------------------------------------------- exact
+
+  /** Exact duplicate groups by normalized-text fingerprint: for every
+    * text, the surviving doc (min id) and the group size. Deterministic
+    * (unlike dropDuplicates, which keeps an arbitrary row).
+    */
+  def exactGroups(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(TextAnalysis.fingerprint(col(textCol)).as("fingerprint"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Deterministic exact dedup: keep the min-id row per fingerprint.
+    * Window over the fingerprint — single shuffle, no join.
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(TextAnalysis.fingerprint(col(textCol))).orderBy(col(idCol))
+    docs.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ----------------------------------------------------------- minhash
+
+  /** Character k-shingles (distinct) of normalized text: substrings of
+    * length k at every start position. No shuffle — one array column.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(length(norm) - (k - 1), lit(1))),
+        i => norm.substr(i, lit(k))))
+  }
+
+  /** MinHash signature: for permutation j, min over shingles of
+    * ((a_j · (xxhash64(shingle) mod p) + b_j) mod p) with p = 2³¹−1 and
+    * a_j, b_j ∈ [1, p) — the standard universal hash family. The outer
+    * mod is what makes each h_j a (near-)permutation rather than a
+    * monotonic rescaling of the same base hash: without it every h_j
+    * would select the same argmin shingle and all signatures of docs
+    * sharing one globally-minimal shingle would collide. Products stay
+    * < 2⁶², safe under Spark's default ANSI overflow checking. One
+    * array column, no shuffle.
+    */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column =
+    graft.functions.VectorExpressions.minhashSig(shingles(text, k), numHashes)
+
+  /** LSH band keys: split the signature into `bands` bands of
+    * `rows = numHashes/bands` hashes; each band hashes to one bucket
+    * key. Docs sharing ANY band bucket are candidates.
+    */
+  def bandKeys(sig: Column, bands: Int, rows: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"), xxhash64(slice(sig, b * rows + 1, rows)).as("bucket"))
+    }: _*)
+
+  /** MinHash signature over word n-gram shingles — the standard unit
+    * for document-level near-dup (char shingles are non-selective on
+    * low-vocabulary corpora: most docs share most char k-grams). The
+    * gram construction is fused into the hash expression; only the
+    * (codegen'd) tokenization happens in SQL space.
+    */
+  def minhashSignatureWords(text: Column, n: Int, numHashes: Int): Column =
+    graft.functions.VectorExpressions.minhashNgramSig(
+      TextAnalysis.tokens(lower(text)), n, numHashes)
+
+  /** Candidate near-duplicate pairs via MinHash+LSH with estimated
+    * Jaccard attached. Plan, tuned for scale:
+    *   1. signature per doc (narrow map, custom expression);
+    *   2. explode band keys and self-join on (band,bucket) carrying ONLY
+    *      ids — signatures never ride the candidate shuffle;
+    *   3. distinct() on the narrow (id_a,id_b) pairs;
+    *   4. re-attach the two signatures by broadcast join and estimate
+    *      Jaccard as the fraction of agreeing minhashes.
+    * The signature table is ~(numHashes·8 bytes)/doc; at true 100 TB
+    * corpus scale the re-attach join falls back to a shuffle join on id
+    * — still narrow rows, still no O(n²) anywhere.
+    */
+  def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minJaccard: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    // cache: the signature subtree is read 4× (self-join left/right +
+    // two re-attach joins); without the cache each subtree recomputes
+    // the full tokenize+hash pipeline. At 100 TB the equivalent is
+    // materializing the signature table once.
+    val withSig = balanced(docs).select(col(idCol).as("id"),
+      minhashSignatureWords(col(textCol), k, numHashes).as("sig")).cache()
+    withSig.count() // eager: lazy cache would race among the 4 readers,
+                    // each recomputing the signature pipeline
+    val exploded = withSig.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+    val cands = exploded.select(col("id").as("id_a"), col("bk"))
+      .join(exploded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    cands
+      .join(broadcast(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          bo => bo)).cast("double") / numHashes).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minJaccard)
+  }
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
+    * token-hash bits. Computed with an explode + one groupBy (64
+    * conditional sums) — distributed, single shuffle on the doc id.
+    */
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = balanced(docs).select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .select(col("id"), xxhash64(col("tok")).as("h"))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"_b$i")
+    }
+    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 64).map(i =>
+      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
+    sums.select(col("id"), sh.as("simhash"))
+  }
+
+  /** SimHash near-dup candidates: block on 16-bit sub-keys (any of the
+    * 4 blocks equal → candidate; guarantees recall for hamming ≤ 3 by
+    * pigeonhole on 4 blocks), then filter on exact hamming distance.
+    */
+  def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs, textCol, idCol).cache() // read by both join sides
+    sh.count()
+    val blocked = sh.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map { blk =>
+        struct(lit(blk).as("blk"),
+          shiftrightunsigned(col("simhash"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+      }: _*)).as("bk"))
+    val a = blocked.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("bk"))
+    val b = blocked.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("bk"))
+    a.join(b, Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------- n-gram Jaccard
+
+  /** Word n-grams (distinct) of case-normalized text — near-dup units
+    * are case-insensitive, like `TextAnalysis.fingerprint`.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+
+  /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:
+    * re-load each side's n-gram set and compute |∩|/|∪|. The LSH stage
+    * bounds the pair count, so this never goes quadratic.
+    */
+  def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, k: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      minEstJaccard: Double = 0.2): DataFrame = {
+    val cands = minhashPairs(docs, textCol, idCol, k, numHashes, bands, minEstJaccard)
+    val grams = balanced(docs)
+      .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams")).cache()
+    cands
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), Seq("id_a"))
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b")))).as("jaccard"))
+  }
+}

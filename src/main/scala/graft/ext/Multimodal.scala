@@ -1,0 +1,112 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [extension] Multimodal column plumbing (SURVEY.md §7.6; builder
+  * prompt): images/audio/video ride as opaque `binary` columns next to a
+  * typed metadata struct. The Spark-side machinery — schema, batch
+  * shape, partition-parallel decode, feature extraction — is real and
+  * tested; the actual codec call is STUBBED with a deterministic fake
+  * (this container has no image/audio libraries), clearly marked below.
+  * Swapping `stubDecode` for a real JNI/library call changes nothing
+  * about the plan: decode stays a per-partition narrow map, so a 100 TB
+  * corpus decodes with zero shuffles.
+  */
+object Multimodal {
+
+  /** Canonical multimodal schema: opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_frames", IntegerType))))))
+
+  /** Build a media table from any source rows (here: synthesize payloads
+    * from a text column, standing in for real image bytes).
+    */
+  def fromText(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol).as("media_id"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      struct(
+        lit("fake/rgb8").as("format"),
+        (pmod(xxhash64(col(idCol)), lit(64)) + 16).cast("int").as("width"),
+        (pmod(xxhash64(col(idCol), lit(1)), lit(64)) + 16).cast("int").as("height"),
+        lit(1).as("n_frames")).as("meta"))
+
+  /** Decoded-feature row produced per media item. */
+  case class MediaFeatures(
+      media_id: Long,
+      n_bytes: Int,
+      mean_intensity: Double,
+      histogram: Array[Long])
+
+  /** ======== STUB ========
+    * Deterministic fake "decode": treats the payload bytes as pixels.
+    * A real implementation would decode JPEG/PNG/WAV here; the
+    * container ships no codecs, so the fake derives intensity stats
+    * directly from the bytes. Signature and batch shape are what a real
+    * codec integration would use.
+    */
+  private[ext] def stubDecode(payload: Array[Byte]): (Double, Array[Long]) = {
+    if (payload == null || payload.isEmpty) (0.0, new Array[Long](8))
+    else {
+      var sum = 0L
+      val hist = new Array[Long](8)
+      var i = 0
+      while (i < payload.length) {
+        val v = payload(i) & 0xFF
+        sum += v
+        hist(v >> 5) += 1
+        i += 1
+      }
+      (sum.toDouble / payload.length, hist)
+    }
+  }
+
+  /** Partition-parallel decode + feature extraction: one narrow
+    * `mapPartitions` pass (the Scala analog of the reference stack's
+    * `mapInPandas` batch UDF), no shuffle, constant memory per row.
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (mean, hist) = stubDecode(payload)
+          MediaFeatures(id, if (payload == null) 0 else payload.length, mean, hist)
+        }
+      }
+  }
+
+  /** "Resize" stub: crops/pads payloads to a fixed byte budget — the
+    * plumbing equivalent of image resize (bounded row size for
+    * downstream batching). Pure column expression, no UDF.
+    */
+  def resizePayload(media: DataFrame, maxBytes: Int): DataFrame =
+    media.withColumn("payload",
+      expr(s"substring(payload, 1, $maxBytes)"))
+      .withColumn("meta", col("meta").withField("format", lit("fake/rgb8-resized")))
+
+  /** Frame sampling stub for video-shaped media: every k-th byte of the
+    * payload stands in for every k-th frame. Byte-level striding has no
+    * built-in expression, so this is one of the rare justified Scala
+    * UDFs (binary in → binary out, no codegen-friendly alternative).
+    */
+  private val sampleEveryK =
+    udf((p: Array[Byte], k: Int) =>
+      if (p == null) null else p.grouped(k).map(_.head).toArray)
+
+  def sampleFrames(media: DataFrame, everyK: Int): DataFrame =
+    media.withColumn("payload", sampleEveryK(col("payload"), lit(everyK)))
+      .withColumn("meta",
+        col("meta").withField("n_frames", length(col("payload")).cast("int")))
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [extension] Text-analysis operators for LLM-data pipelines
+  * (SURVEY.md §7.6; no reference citation — the reference has no text
+  * ops). All pure column expressions: they fold into the parquet scan's
+  * projection and stay inside whole-stage codegen, so a 100 TB
+  * `documents` table costs one pass, no shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of trimmed text; empty text → empty array.
+    * (split("") yields [""] in both Spark and DuckDB — the explicit
+    * empty-case keeps token counts honest.)
+    */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: words plus intra-word splits on
+    * letter/digit and case boundaries — a cheap, deterministic proxy
+    * for tokenizer-token counts when no vocabulary is available.
+    */
+  def subwordCount(text: Column): Column =
+    size(when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])|(?<=[0-9])(?=[A-Za-z])")))
+
+  /** Document fingerprint: md5 of case/whitespace-normalized text.
+    * md5 is identical across engines, making this the portable exact-
+    * dedup key (Spark's hash/xxhash64 are not reproducible in DuckDB,
+    * SURVEY.md §5.3).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  private def countMatches(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Stopword-hit count for a word list (case-insensitive, word-bounded). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    countMatches(lower(text), "\\b(" + words.mkString("|") + ")\\b")
+
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+    "zh" -> Seq("的", "是", "了", "在", "我"))
+
+  /** Language-ID heuristic: stopword-hit argmax with deterministic
+    * tie-break by fixed language order. Scores are exposed so callers
+    * can threshold confidence.
+    */
+  val langOrder = Seq("en", "de", "es", "fr", "zh")
+
+  def langScore(text: Column, lang: String): Column =
+    stopwordHits(text, stopwords(lang))
+
+  def predictedLang(text: Column): Column = {
+    val scores = langOrder.map(l => l -> langScore(text, l))
+    // lang L wins if its score >= every later lang's score and > every
+    // earlier (strictly-greater for earlier keeps the order-tiebreak
+    // stable under any evaluation order)
+    scores.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((l, s), i)) =>
+        val beatsAll = scores.zipWithIndex.collect {
+          case ((_, s2), j) if j < i  => s > s2
+          case ((_, s2), j) if j > i  => s >= s2
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        when(acc.isNull && beatsAll, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Quality score in [0,1]: blend of normalized length, word length
+    * sanity, punctuation and stopword ratios — the standard cheap
+    * pretraining-quality signals. Deterministic double arithmetic on
+    * exact integer counts (portable to the oracle bit-for-bit).
+    */
+  def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val punct = countMatches(text, "[.,!?;:]").cast("double")
+    val stops = stopwordHits(text, stopwords("en")).cast("double")
+    Seq(
+      "n_tokens" -> nTokens.cast("int"),
+      "avg_word_len" -> when(nTokens > 0, nChars / nTokens).otherwise(lit(0.0)),
+      "punct_ratio" -> when(nChars > 0, punct / nChars).otherwise(lit(0.0)),
+      "stopword_ratio" -> when(nTokens > 0, stops / nTokens).otherwise(lit(0.0)))
+  }
+
+  def qualityScore(text: Column): Column = {
+    val nChars = length(text).cast("double")
+    val nTokens = tokenCount(text).cast("double")
+    val stops = stopwordHits(text, stopwords("en")).cast("double")
+    val lengthOk = when(nChars >= 100 && nChars <= 10000, lit(1.0))
+      .otherwise(when(nChars > 0, lit(0.5)).otherwise(lit(0.0)))
+    val stopRatio = when(nTokens > 0, stops / nTokens).otherwise(lit(0.0))
+    val stopOk = when(stopRatio > 0.05, lit(1.0)).otherwise(stopRatio / lit(0.05))
+    lengthOk * lit(0.5) + stopOk * lit(0.5)
+  }
+}

@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the hot loops the built-in
+  * higher-order functions can't run fast: `aggregate`/`zip_with`/
+  * `transform` are CodegenFallback AND interpret their lambda once per
+  * element with boxing — a 64-dim dot product costs ~200 interpreted
+  * Expression.eval calls per row-pair. These replace that with a tight
+  * primitive loop (and whole-stage codegen for the dot product), which
+  * is what makes brute-force cosine viable at bench scale and the LSH
+  * signatures cheap at 100 TB.
+  */
+object VectorExpressions {
+
+  /** dot(a, b) over array<double> — whole-stage-codegen'd tight loop. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_dot"
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var s = 0.0
+      var i = 0
+      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      s
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i")
+        val n = ctx.freshName("n")
+        val s = ctx.freshName("s")
+        s"""
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |}
+           |${ev.value} = $s;
+         """.stripMargin
+      })
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** MinHash signature over an array<string> of shingles: one pass per
+    * row computing all `numHashes` minima — O(shingles × hashes) tight
+    * loop instead of `numHashes` interpreted array traversals. Hash
+    * family: h_j(s) = (a_j · (xxh64(s) mod p) + b_j) mod p, p = 2³¹−1
+    * (identical to graft.ext.Dedup.minhashSignature's definition).
+    */
+  case class MinHashSig(child: Expression, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash"
+
+    private val P = 2147483647L
+    private val as = Array.tabulate(numHashes)(j =>
+      Math.floorMod(0x9E3779B97F4A7C15L * (j + 1), P - 1) + 1)
+    private val bs = Array.tabulate(numHashes)(j =>
+      Math.floorMod(0xC2B2AE3D27D4EB4FL * (j + 7), P))
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      val n = arr.numElements()
+      var i = 0
+      while (i < n) {
+        val s = arr.getUTF8String(i)
+        val h = Math.floorMod(xxh64(s), P)
+        var j = 0
+        while (j < numHashes) {
+          val hv = Math.floorMod(as(j) * h + bs(j), P)
+          if (hv < mins(j)) mins(j) = hv
+          j += 1
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(mins)
+    }
+
+    private def xxh64(s: UTF8String): Long =
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        s, StringType, 42L)
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** MinHash signature over word n-grams, built from a token array in
+    * one pass: for each window of n tokens, hash the space-joined gram
+    * and update all `numHashes` minima. Duplicated grams can't change a
+    * minimum, so no distinct step is needed — this fuses what would be
+    * tokens→transform(slice+concat_ws)→array_distinct→minhash (four
+    * interpreted array traversals) into a single tight loop.
+    */
+  case class MinHashNgramSig(child: Expression, n: Int, numHashes: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_minhash_ngram"
+
+    private val P = 2147483647L
+    private val as = Array.tabulate(numHashes)(j =>
+      Math.floorMod(0x9E3779B97F4A7C15L * (j + 1), P - 1) + 1)
+    private val bs = Array.tabulate(numHashes)(j =>
+      Math.floorMod(0xC2B2AE3D27D4EB4FL * (j + 7), P))
+    private val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val nToks = toks.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i <= nToks - n) {
+        val parts = new Array[UTF8String](n)
+        var w = 0
+        while (w < n) { parts(w) = toks.getUTF8String(i + w); w += 1 }
+        val gram = UTF8String.concatWs(space, parts: _*)
+        val h = Math.floorMod(
+          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            gram, StringType, 42L), P)
+        var j = 0
+        while (j < numHashes) {
+          val hv = Math.floorMod(as(j) * h + bs(j), P)
+          if (hv < mins(j)) mins(j) = hv
+          j += 1
+        }
+        i += 1
+      }
+      ArrayData.toArrayData(mins)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Random-hyperplane LSH signature over array<double>: bit i of the
+    * result = sign(v · plane_i), planes derived deterministically from
+    * (bit, dim) via a splitmix64 mix. One O(dim × bits) loop per row.
+    */
+  case class HyperplaneSig(child: Expression, dim: Int, bits: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hyperplane_sig"
+
+    private val planes: Array[Array[Double]] = Array.tabulate(bits) { i =>
+      Array.tabulate(dim) { d =>
+        var z = (i.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        z.toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      var sig = 0L
+      var i = 0
+      while (i < bits) {
+        val plane = planes(i)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += arr.getDouble(j) * plane(j); j += 1 }
+        if (d > 0) sig |= (1L << i)
+        i += 1
+      }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // ------------------------------------------------- Column wrappers
+
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(
+      Bridge.expression(a), Bridge.expression(b)))
+
+  def minhashSig(shingles: Column, numHashes: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
+
+  def minhashNgramSig(tokens: Column, n: Int, numHashes: Int): Column =
+    Bridge.column(MinHashNgramSig(Bridge.expression(tokens), n, numHashes))
+
+  def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits))
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.fs.{FeatureStore, WriteMode}
+
+/** [extension] Streaming feature refresh (SURVEY.md §2.9, §7.6).
+  *
+  * The reference is batch-only — its "real-time" story is publishing
+  * precomputed features (FS:452-456). This module adds the natural
+  * Structured-Streaming leg: `readStream` over an event source →
+  * watermark + tumbling-window aggregation → `foreachBatch` upsert into
+  * a feature table via the SAME `FeatureStore.writeTable(Merge)` used by
+  * batch (K5 reused verbatim — the point of building merge first).
+  *
+  * Scale: the windowed agg is the standard partial-agg + state-store
+  * plan; the merge in foreachBatch shuffles only the micro-batch delta
+  * against the feature table.
+  */
+object StreamingFeatures {
+
+  /** Per-user rolling feature aggregation over an event stream.
+    * Watermark bounds state; append mode emits each window once final.
+    */
+  def userEventFeatures(events: DataFrame, windowLength: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupBy(window(col("ts"), windowLength), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchases"))
+      .select(col("user_id"), col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"), col("n_purchases"))
+
+  /** Wire a streaming source into a feature table: each micro-batch is
+    * key-merged into `tableName`. Returns the started query; callers
+    * own its lifecycle (`processAllAvailable`/`stop`).
+    */
+  def refreshFeatureTable(
+      stream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** File-based streaming read of an events directory with an explicit
+    * schema (streaming sources cannot infer).
+    */
+  def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+}

@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge to Spark's private[sql] Column↔Expression converters
+  * (org.apache.spark.sql.classic.ExpressionUtils). Lives under
+  * org.apache.spark.sql so the private[sql] members resolve — the
+  * standard pattern for third-party Catalyst expression libraries.
+  * Nothing else in this repo lives outside the graft namespace.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

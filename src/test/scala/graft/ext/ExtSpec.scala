@@ -1,0 +1,216 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens, empty/blank → 0") {
+    val df = Seq("a b  c", "  x ", "", "   ", "one").toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n"))
+    assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 0, 0, 1))
+  }
+
+  test("fingerprint: case/whitespace-insensitive, content-sensitive") {
+    val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
+      .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+    val fps = df.collect().map(_.getString(0)).toSeq
+    assert(fps(0) == fps(1))
+    assert(fps(0) != fps(2))
+  }
+
+  test("predictedLang: stopword argmax with fixed tie-break") {
+    val df = Seq(
+      "the cat and the dog is in a house",   // en
+      "der hund und die katze ist nicht da", // de
+      "xyzzy qwerty")                        // no hits → tie → en (first)
+      .toDF("text").select(TextAnalysis.predictedLang(col("text")).as("lang"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "en"))
+  }
+
+  test("qualityScore in [0,1], higher for stopword-rich mid-length text") {
+    val good = "the quick brown fox and the lazy dog is a classic of the genre " * 3
+    val bad = "zz"
+    val df = Seq(good, bad).toDF("text")
+      .select(TextAnalysis.qualityScore(col("text")).as("q"))
+    val Seq(qg, qb) = df.collect().map(_.getDouble(0)).toSeq
+    assert(qg > qb && qg <= 1.0 && qb >= 0.0)
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),  // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog again and again tonight"),// near dup of 1
+    (4L, "completely different content about spark catalyst optimizer rules"),
+    (5L, "THE QUICK  BROWN fox jumps over the lazy dog again and again today")) // dup modulo case/ws
+    .toDF("doc_id", "text")
+
+  test("exactGroups: normalized dups collapse, keep min id") {
+    val g = Dedup.exactGroups(docs).orderBy("keep_id").collect()
+    assert(g.length == 3)
+    assert(g.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("exactDedup keeps first doc per fingerprint") {
+    val kept = Dedup.exactDedup(docs).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("minhash estimate tracks true shingle jaccard") {
+    def shingleSet(s: String, k: Int): Set[String] = {
+      val norm = s.toLowerCase.replaceAll("\\s+", " ").trim
+      (0 to math.max(norm.length - k, 0)).map(i => norm.substring(i, math.min(i + k, norm.length))).toSet
+    }
+    val rows = docs.select(col("doc_id"),
+      Dedup.minhashSignature(col("text"), 5, 64).as("sig")).collect()
+    val sigs = rows.map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def est(a: Long, b: Long) =
+      sigs(a).zip(sigs(b)).count { case (x, y) => x == y }.toDouble / 64
+    def truth(a: Long, b: Long) = {
+      val (sa, sb) = (shingleSet(texts(a), 5), shingleSet(texts(b), 5))
+      sa.intersect(sb).size.toDouble / sa.union(sb).size
+    }
+    // exact dup pair → signature identical
+    assert(est(1L, 2L) == 1.0 && truth(1L, 2L) == 1.0)
+    // near dup: high on both; unrelated: low on both
+    assert(math.abs(est(1L, 3L) - truth(1L, 3L)) < 0.25)
+    assert(truth(1L, 3L) > 0.7 && est(1L, 3L) > 0.6)
+    assert(truth(1L, 4L) < 0.2 && est(1L, 4L) < 0.35)
+  }
+
+  test("minhashPairs surfaces dup/near-dup pairs, not unrelated ones") {
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 5L)))  // dup modulo normalization
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical docs same hash; near dups within hamming 16") {
+    val sh = Dedup.simhash(docs, "text", "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(3L)) <= 16)
+    assert(java.lang.Long.bitCount(sh(1L) ^ sh(4L)) > 16)
+  }
+
+  test("ngramJaccardPairs: exact jaccard on LSH candidates") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id",
+      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    pairs.get((1L, 3L)).foreach(j => assert(j > 0.5 && j < 1.0))
+  }
+
+  test("wordNgrams: fewer tokens than n → empty") {
+    val df = Seq("one two", "a b c d").toDF("text")
+      .select(Dedup.wordNgrams(col("text"), 3).as("g"))
+    val gs = df.collect().map(_.getSeq[String](0).toSeq)
+    assert(gs(0) == Seq.empty)
+    assert(gs(1) == Seq("a b c", "b c d"))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)))  // opposite of 0
+    .toDF("vec_id", "embedding")
+
+  test("cosine: identity 1, orthogonal 0, opposite -1") {
+    val c = vecs.crossJoin(vecs.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .filter(col("vec_id") === 0)
+      .select(col("id2"),
+        Similarity.cosine(Similarity.asDouble(col("embedding")),
+          Similarity.asDouble(col("e2"))).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(c(0L) - 1.0) < 1e-12)
+    assert(math.abs(c(2L)) < 1e-12)
+    assert(math.abs(c(3L) + 1.0) < 1e-12)
+    assert(c(1L) > 0.95 && c(1L) < 1.0)
+  }
+
+  test("bruteForceTopK: correct ranking, excludes self") {
+    val got = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 3)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L))
+  }
+
+  test("lshTopK: subset of brute-force results, correctly ranked") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 20)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, queries, k = 5, dim = 64)
+      .collect()
+    // every LSH hit is a real vector pair with correctly computed cosine,
+    // ranks are 1..k contiguous per query
+    val byQuery = lsh.groupBy(_.getLong(0))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // sanity: candidates overlap meaningfully with true top-20
+    val lshPairs = lsh.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lshPairs.intersect(bf).nonEmpty)
+  }
+
+  test("cosineNearDupPairs: only pairs above threshold, a<b") {
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall { case (a, b, c) => a < b && c >= 0.9 })
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.fromText(
+    Seq((1L, "hello world"), (2L, ""), (3L, "abc")).toDF("doc_id", "text"))
+
+  test("media schema: binary payload + typed metadata struct") {
+    val m = media
+    assert(m.schema("payload").dataType.typeName == "binary")
+    assert(m.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    assert(m.count() == 3)
+  }
+
+  test("extractFeatures: partition-parallel decode with deterministic stats") {
+    val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).n_bytes == 11)
+    assert(f(2L).n_bytes == 0 && f(2L).mean_intensity == 0.0)
+    assert(f(1L).histogram.sum == 11)
+    // 'hello world' ASCII bytes average
+    val expected = "hello world".getBytes("UTF-8").map(_ & 0xFF).sum / 11.0
+    assert(math.abs(f(1L).mean_intensity - expected) < 1e-12)
+  }
+
+  test("resizePayload bounds payload size") {
+    val r = Multimodal.resizePayload(media, 5)
+      .select(length(col("payload")).as("len")).as[Int].collect()
+    assert(r.forall(_ <= 5))
+  }
+
+  test("sampleFrames strides the payload") {
+    val s = Multimodal.sampleFrames(media, 2)
+      .filter(col("media_id") === 1)
+      .select(col("payload"), col("meta.n_frames")).collect()(0)
+    val sampled = s.getAs[Array[Byte]](0)
+    assert(new String(sampled, "UTF-8") == "hlowrd")
+    assert(s.getInt(1) == 6)
+  }
+}

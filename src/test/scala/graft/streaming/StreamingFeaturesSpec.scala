@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.fs.{FeatureStore, FeatureTableSpec, WriteMode}
+
+/** Streaming feature refresh: readStream → windowed agg → foreachBatch
+  * merge into a feature table (SURVEY.md §7.6). Driven synchronously:
+  * AvailableNow trigger + awaitTermination over the sf0.001 events
+  * parquet as a file stream.
+  */
+class StreamingFeaturesSpec extends SparkSpec {
+
+  test("streaming windowed agg merges into a feature table (K5 reuse)") {
+    val batchEvents = graft.Tables.load(spark, sfDir, "events")
+    // stage events as a stream-readable dir with micros timestamps
+    // (streaming parquet source rejects TIMESTAMP(NANOS) the same way
+    // batch does, so the staged copy uses the converted column)
+    val streamDir = Files.createTempDirectory("graft-stream-in-").toString
+    batchEvents.withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val agg = StreamingFeatures.userEventFeatures(stream,
+      windowLength = "6 hours", watermarkDelay = "1 hour")
+
+    val store = FeatureStore.temp(spark)
+    store.createTable(FeatureTableSpec("user_stream_features",
+      Seq("user_id", "window_start"),
+      agg.schema, "streaming per-user window features"))
+
+    val ckpt = Files.createTempDirectory("graft-stream-ck-").toString
+    val q = StreamingFeatures.refreshFeatureTable(agg, store, "user_stream_features", ckpt)
+    q.awaitTermination(120000)
+
+    val result = store.readTable("user_stream_features")
+    val n = result.count()
+    assert(n > 0, "streaming merge produced no rows")
+
+    // parity with the equivalent batch aggregation
+    val expected = batchEvents
+      .groupBy(window(col("ts").cast("timestamp"), "6 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .count()
+    assert(n == expected)
+
+    // re-running the same stream from a fresh checkpoint is idempotent
+    // thanks to key-based merge
+    val q2 = StreamingFeatures.refreshFeatureTable(agg, store, "user_stream_features",
+      Files.createTempDirectory("graft-stream-ck2-").toString)
+    q2.awaitTermination(120000)
+    assert(store.readTable("user_stream_features").count() == n)
+  }
+}
