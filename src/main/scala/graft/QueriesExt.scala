@@ -86,6 +86,49 @@ object PipelinesExt {
         col("event_type"), col("n_events"), col("sum_value"))
       .orderBy("hour_us", "event_type")
 
+  // S3 — SQL-text entry point over registered temp views (K1): the
+  // reference drives everything through spark.sql names
+  // (FS:73 `SELECT * FROM {db}.{table}`); here a TPC-H Q5-shaped
+  // multi-join aggregate so Catalyst's join reorder + broadcast
+  // selection are exercised through the SQL path too.
+  def sqlRevenuePerNation(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  // J2 — keyed inner-join export (FS:499 AutoML-table export shape).
+  def exportJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(Features.orderFeatures(t(s, d, "orders")), Seq("c_custkey"), "inner")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_orders"), col("total_spent"))
+      .orderBy("c_custkey")
+
+  // K2/K3/K8/K9/S4/A2 — catalog DDL surface: database + CTAS-as-parquet
+  // saveAsTable + spark.table read-back + cache (the reference's
+  // setup.py:190-247 lifecycle, Delta swapped for parquet per §7.4).
+  def catalogOps(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    s.sql("DROP TABLE IF EXISTS graft_db.customer_snapshot")
+    s.sql(
+      """CREATE TABLE graft_db.customer_snapshot USING PARQUET AS
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer""".stripMargin)
+    s.table("graft_db.customer_snapshot").cache().orderBy("c_custkey")
+  }
+
   // K7 — publish to the online store and read the snapshot back.
   def publishOnline(s: SparkSession, d: String): DataFrame = {
     val store = Pipelines.buildStore(s, d)
@@ -234,9 +277,36 @@ object OraclesExt {
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
 
+    "q15_sql_revenue_per_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
     "q16_json_extract" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q18_export_join" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, o.n_orders, o.total_spent
+        |FROM customer c
+        |JOIN (SELECT o_custkey AS c_custkey,
+        |        CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q19_catalog_ops" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
 
     "q17_event_window_agg" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,

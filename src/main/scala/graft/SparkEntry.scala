@@ -42,8 +42,11 @@ object SparkEntry {
     "q10_summary_stats" -> ((s, d) => PipelinesExt.summaryStats(s, d)),
     "q13_window_dedup" -> ((s, d) => PipelinesExt.windowDedup(s, d)),
     "q14_publish_online" -> ((s, d) => PipelinesExt.publishOnline(s, d)),
+    "q15_sql_revenue_per_nation" -> ((s, d) => PipelinesExt.sqlRevenuePerNation(s, d)),
     "q16_json_extract" -> ((s, d) => PipelinesExt.jsonExtract(s, d)),
     "q17_event_window_agg" -> ((s, d) => PipelinesExt.eventWindowAgg(s, d)),
+    "q18_export_join" -> ((s, d) => PipelinesExt.exportJoin(s, d)),
+    "q19_catalog_ops" -> ((s, d) => PipelinesExt.catalogOps(s, d)),
     // batch 3 — [extension] LLM-data-pipeline operators
     "q20_dedup_exact_groups" -> ((s, d) => PipelinesExt.dedupExactGroups(s, d)),
     "q21_dedup_exact_rows" -> ((s, d) => PipelinesExt.dedupExactRows(s, d)),

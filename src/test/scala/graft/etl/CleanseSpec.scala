@@ -68,6 +68,18 @@ class CleanseSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(6, 0, 2))
   }
 
+  test("readCsv: header + schema inference (S1, setup.py:206)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csv-").toFile
+    val f = new java.io.File(dir, "telco.csv")
+    java.nio.file.Files.writeString(f.toPath,
+      "customerID,SeniorCitizen,MonthlyCharges,TotalCharges\nc1,1,29.85,29.85\nc2,0,56.95,\n")
+    val df = Cleanse.readCsv(spark, f.getPath)
+    assert(df.columns.toSeq == Seq("customerID", "SeniorCitizen", "MonthlyCharges", "TotalCharges"))
+    assert(df.schema("SeniorCitizen").dataType.typeName == "integer")
+    assert(df.schema("MonthlyCharges").dataType.typeName == "double")
+    assert(df.count() == 2)
+  }
+
   test("service features: dynamic projection excludes label + demographics") {
     val raw = Seq(("c1", "F", "x", 1.0, "Yes"))
       .toDF("customerID", "gender", "InternetService", "TotalCharges", "Churn")
