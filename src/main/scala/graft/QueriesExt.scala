@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Features
 import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
 
 /** Batch 2 (reference surface completion: U1 per-row counts, summary
   * stats, events window/json ops, online publish) and batch 3
@@ -121,11 +122,16 @@ object PipelinesExt {
   // setup.py:190-247 lifecycle, Delta swapped for parquet per §7.4).
   def catalogOps(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
-    s.sql("CREATE DATABASE IF NOT EXISTS graft_db")
+    // Explicit throwaway locations: the default spark-warehouse dir
+    // outlives the (in-memory) metastore across sessions, so a managed
+    // CTAS would hit LOCATION_ALREADY_EXISTS on the second run.
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_db LOCATION '$wh/graft_db'")
     s.sql("DROP TABLE IF EXISTS graft_db.customer_snapshot")
     s.sql(
-      """CREATE TABLE graft_db.customer_snapshot USING PARQUET AS
-        |SELECT c_custkey, c_name, c_mktsegment FROM customer""".stripMargin)
+      s"""CREATE TABLE graft_db.customer_snapshot USING PARQUET
+         |LOCATION '$wh/customer_snapshot' AS
+         |SELECT c_custkey, c_name, c_mktsegment FROM customer""".stripMargin)
     s.table("graft_db.customer_snapshot").cache().orderBy("c_custkey")
   }
 
@@ -135,6 +141,73 @@ object PipelinesExt {
     store.publishTable("order_features")
     store.readOnlineTable("order_features").orderBy("c_custkey")
   }
+
+  // J3-PIT — point-in-time training set: spine = purchase events, time-
+  // versioned feature table = per-(user, day) event counts written
+  // through the store with (user_id, day_ts) keys; each spine row gets
+  // the latest daily feature at-or-before its timestamp (Databricks
+  // timestamp_lookup_key semantics; DuckDB checks it with ASOF JOIN).
+  def pitTrainingSet(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val store = fsTempStoreFor(s, d)
+    if (!store.tableExists("user_daily_features")) {
+      store.createTable(FeatureTableSpec("user_daily_features",
+        Seq("user_id", "day_ts"), daily.schema, "time-versioned daily user features"))
+      store.writeTable("user_daily_features", daily, WriteMode.Overwrite)
+    }
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.createTrainingSet(store, spine, "user_daily_features",
+      featureCols = Seq("day_events"), spineTs = "ts", featTs = "day_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"))
+      .orderBy("event_id")
+  }
+
+  // multimodal plumbing — binary payload synthesized from text, decoded
+  // by the stubbed mapPartitions pass; only the portable byte count is
+  // oracle-checked (intensity stats are spec-tested).
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    Multimodal.extractFeatures(Multimodal.fromText(t(s, d, "documents")))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  // gap-based batch sessionization (4h gap) — ANSI-portable windows.
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.batch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
+      .orderBy("user_id", "session_id")
+
+  // IVF ANN (rows-only: KMeans centroids aren't SQL-expressible).
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // salted skew join: events (probe) ⋈ customer (build, replicated ×8)
+  // on the user key; the salt never leaks into results, so the oracle
+  // is the plain join.
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val probe = t(s, d, "events").withColumnRenamed("user_id", "c_custkey")
+    val build = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(probe, build, "c_custkey", salts = 8)
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("c_custkey")
+  }
+
+  private val pitStores =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
+  private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
+    pitStores.computeIfAbsent((s, d), _ => graft.fs.FeatureStore.temp(s))
 
   // ---------------------------------------------------------- dedup
 
@@ -376,6 +449,46 @@ object OraclesExt {
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q33_pit_training_set" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  d.day_events
+        |FROM spine s ASOF LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.ts >= d.day_ts
+        |ORDER BY s.event_id""".stripMargin,
+
+    "q32_media_features" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+        |                     ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q36_salted_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin,
 
     "q30_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

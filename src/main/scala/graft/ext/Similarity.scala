@@ -107,6 +107,57 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** IVF (inverted-file) approximate NN — the classic ANN scale path:
+    * partition the corpus into `nlist` Voronoi cells (KMeans centroids,
+    * fixed seed), then scan only the `nprobe` cells nearest each query.
+    * Candidates ≈ corpus × nprobe/nlist instead of the full scan; the
+    * cell assignment is one narrow pass, the probe join shuffles on the
+    * (small-cardinality) cell id.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+
+    val c = Dedup.balanced(corpus)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("features", array_to_vector(col("c_emb")))
+      .cache()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .fit(c.select(col("features")))
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
+
+    // nprobe nearest cells per query: centroids are tiny (nlist rows) —
+    // cross with the query side as a literal array, rank in-plan.
+    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.toSeq)
+    }.toSeq
+    val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
+    // squared-Euclidean rank: ||q-c||² = ||q||² - 2q·c + ||c||²; the
+    // ||q||² term is constant per query, so rank by ||c||² - 2q·c
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("_c", col("centroid").cast("array<double>"))
+      .withColumn("dist", dot(col("_c"), col("_c")) - lit(2.0) * dot(col("q_emb"), col("_c")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))))
+      .filter(col("rk") <= nprobe)
+      .select(col("query_id"), col("q_emb"), col("cell"))
+
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
     * threshold). Exact variant joins on a trivial key split to avoid a
     * driver-side cross join explosion at test scale; the scale path is

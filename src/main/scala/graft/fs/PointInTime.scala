@@ -1,0 +1,93 @@
+package graft.fs
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) feature lookup — the Feature Store capability
+  * the public Databricks API exposes as `timestamp_lookup_key` on
+  * time-series feature tables: for each spine row (key, t), attach the
+  * LATEST feature row with the same key and feature-ts ≤ t. The
+  * reference notebook stays batch/latest-only, so this is the natural
+  * completion of its training-set surface (SURVEY.md §1.1 TrainingSet;
+  * J3) for time-versioned features.
+  *
+  * Spark has no ASOF JOIN operator, so per the preference order
+  * (SURVEY.md build brief) it is COMPOSED from built-ins: union the
+  * spine probes and the feature rows tagged by origin, then one window
+  * pass per key ordered by (ts, origin) taking last-non-null feature
+  * values — a single shuffle on the key, no range join, no O(spine ×
+  * feature-versions) blowup. Ties (feature ts == spine ts) resolve to
+  * the feature row (feature sorts before probe at equal ts), matching
+  * "value as of and including t".
+  *
+  * Scale: one shuffle + one sort per lookup table — the same cost
+  * profile as the equi lookup join; state never exceeds a partition.
+  */
+object PointInTime {
+
+  /** As-of join `spine ⟕ features` on `keys` with `spineTs`/`featTs`
+    * timestamps. `featureCols` are attached (last value ≤ spine ts,
+    * NULL if none).
+    */
+  def asOfJoin(
+      spine: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      spineTs: String,
+      featTs: String,
+      featureCols: Seq[String]): DataFrame = {
+
+    val spineCols = spine.columns.toSeq
+    // tag: 0 = feature row (sorts first at equal ts), 1 = spine probe
+    val probes = spine
+      .withColumn("_ts", col(spineTs))
+      .withColumn("_origin", lit(1))
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c => col(c).as(s"_s_$c")) ++
+        featureCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"_f_$c")): _*)
+    val feats = features
+      .withColumn("_ts", col(featTs))
+      .withColumn("_origin", lit(0))
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(spine.schema(c).dataType).as(s"_s_$c")) ++
+        featureCols.map(c => col(c).as(s"_f_$c")): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_origin").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    probes.unionByName(feats)
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c => col(s"_s_$c")) ++
+        featureCols.map(c =>
+          last(col(s"_f_$c"), ignoreNulls = true).over(w).as(s"_ff_$c")): _*)
+      .filter(col("_origin") === 1) // keep spine probes only
+      .select(keys.map(col) ++
+        Seq(col("_ts").as(spineTs)) ++
+        spineCols.filterNot(c => keys.contains(c) || c == spineTs)
+          .map(c => col(s"_s_$c").as(c)) ++
+        featureCols.map(c => col(s"_ff_$c").as(c)): _*)
+  }
+
+  /** Training-set assembly with a timestamp lookup key: the J3 lookup
+    * join, but point-in-time-correct against a time-versioned feature
+    * table (no feature leakage from the future).
+    */
+  def createTrainingSet(
+      store: FeatureStore,
+      spine: DataFrame,
+      table: String,
+      featureCols: Seq[String],
+      spineTs: String,
+      featTs: String,
+      label: Option[String] = None,
+      excludeColumns: Seq[String] = Nil): DataFrame = {
+    val spec = store.getSpec(table)
+    val features = store.readTable(table)
+    val joined = asOfJoin(spine, features, spec.keys.filterNot(_ == featTs),
+      spineTs, featTs, featureCols)
+    joined.drop(excludeColumns.filterNot(label.contains): _*)
+  }
+}

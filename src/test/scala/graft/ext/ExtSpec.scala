@@ -168,6 +168,25 @@ class SimilaritySpec extends SparkSpec {
     assert(lshPairs.intersect(bf).nonEmpty)
   }
 
+  test("ivfTopK: recall vs brute force on real embeddings") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 5)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, k = 5, nlist = 8, nprobe = 4)
+      .collect()
+    val byQuery = ivf.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // probing half the cells should recover a meaningful share of the
+    // true top-5 (recall isn't 1.0 by design)
+    val ivfPairs = ivf.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivfPairs.intersect(bf).size >= bf.size / 3,
+      s"IVF recall too low: ${ivfPairs.intersect(bf).size}/${bf.size}")
+  }
+
   test("cosineNearDupPairs: only pairs above threshold, a<b") {
     val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))

@@ -1,0 +1,60 @@
+package graft.fs
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.Row
+
+import graft.SparkSpec
+
+class PointInTimeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asOfJoin: latest feature at-or-before spine ts, NULL before first") {
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 30.0),
+      (2L, ts("2024-01-02 00:00:00"), 99.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq(
+      (100L, 1L, ts("2024-01-02 12:00:00")),  // between v1 and v2 → 10.0
+      (101L, 1L, ts("2024-01-03 00:00:00")),  // exactly at v2 → inclusive → 30.0
+      (102L, 1L, ts("2024-01-04 00:00:00")),  // after all → 30.0
+      (103L, 2L, ts("2024-01-01 00:00:00")),  // before first → NULL
+      (104L, 3L, ts("2024-01-05 00:00:00")))  // unknown key → NULL
+      .toDF("event_id", "user_id", "sts")
+
+    val got = PointInTime.asOfJoin(spine, features,
+      keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+      featureCols = Seq("score"))
+      .orderBy("event_id")
+      .select("event_id", "user_id", "score")
+      .collect().toSeq
+
+    assert(got == Seq(
+      Row(100L, 1L, 10.0),
+      Row(101L, 1L, 30.0),
+      Row(102L, 1L, 30.0),
+      Row(103L, 2L, null),
+      Row(104L, 3L, null)))
+  }
+
+  test("createTrainingSet with timestamp key: store-registered time-series table") {
+    val store = FeatureStore.temp(spark)
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1.0),
+      (1L, ts("2024-01-02 00:00:00"), 2.0))
+      .toDF("user_id", "fts", "v")
+    store.createTable(FeatureTableSpec("ts_feat", Seq("user_id", "fts"), features.schema,
+      "time-versioned"))
+    store.writeTable("ts_feat", features, WriteMode.Overwrite)
+    val spine = Seq((7L, 1L, ts("2024-01-01 12:00:00"), true))
+      .toDF("event_id", "user_id", "sts", "label")
+    val got = PointInTime.createTrainingSet(store, spine, "ts_feat",
+      featureCols = Seq("v"), spineTs = "sts", featTs = "fts",
+      label = Some("label"), excludeColumns = Seq("event_id"))
+    assert(got.columns.toSeq == Seq("user_id", "sts", "label", "v"))
+    assert(got.collect().toSeq == Seq(Row(1L, ts("2024-01-01 12:00:00"), true, 1.0)))
+  }
+}

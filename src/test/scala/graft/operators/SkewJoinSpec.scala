@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin ≡ plain join for inner and left_outer") {
+    val probe = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "d"), (9L, "e"))
+      .toDF("k", "pv")
+    val build = Seq((1L, 10), (2L, 20), (3L, 30)).toDF("k", "bv")
+    for (jt <- Seq("inner", "left_outer")) {
+      val plain = probe.join(build, Seq("k"), jt)
+        .select("k", "pv", "bv").collect().toSeq
+        .map(r => (r.get(0), r.get(1), r.get(2))).sortBy(_.toString)
+      val salted = SkewJoin.saltedJoin(probe, build, "k", salts = 4, joinType = jt)
+        .select("k", "pv", "bv").collect().toSeq
+        .map(r => (r.get(0), r.get(1), r.get(2))).sortBy(_.toString)
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("saltedJoin on testdata matches plain join aggregate") {
+    val probe = graft.Tables.load(spark, sfDir, "events")
+      .withColumnRenamed("user_id", "c_custkey")
+    val build = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val salted = SkewJoin.saltedJoin(probe, build, "c_custkey", salts = 8)
+      .groupBy("c_custkey").count().orderBy("c_custkey")
+      .as[(Long, Long)].collect().toSeq
+    val plain = probe.join(build, Seq("c_custkey"))
+      .groupBy("c_custkey").count().orderBy("c_custkey")
+      .as[(Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+}

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val GAP = 4L * 3600 * 1000000 // 4h in micros
+
+  test("batch sessionize: gap splits, aggregates per session") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, t("2024-01-01 11:00:00"), 2.0),  // same session (1h gap)
+      (3L, 1L, t("2024-01-01 16:00:00"), 4.0),  // 5h gap → new session
+      (4L, 2L, t("2024-01-01 10:30:00"), 8.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val got = Sessionize.batch(events, GAP)
+      .orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events", "sum_value")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 2L, 3.0), (1L, 2L, 1L, 4.0), (2L, 1L, 1L, 8.0)))
+  }
+
+  test("streaming sessionize matches batch on closed sessions") {
+    val batchEvents = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val streamDir = Files.createTempDirectory("graft-sess-in-").toString
+    batchEvents.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+      .select(col("user_id"), col("ts"), col("value")).as[Sessionize.SessEvent]
+    val sessions = Sessionize.streaming(stream, GAP, watermarkDelay = "1 minute")
+
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-sess-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions_out")
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val batch = Sessionize.batch(batchEvents, GAP)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+
+    // The stream emits sessions closed by a subsequent event or the
+    // final watermark; each emitted session must match a batch session
+    // on bounds and count, with sums equal modulo float-accumulation
+    // order (streaming state adds doubles; batch sums exact decimals).
+    assert(streamed.nonEmpty, "no sessions emitted")
+    val batchByKey = batch.map(s => (s._1, s._2, s._3, s._4) -> s._5).toMap
+    val unmatched = streamed.filterNot { s =>
+      batchByKey.get((s._1, s._2, s._3, s._4)).exists(v => math.abs(v - s._5) < 1e-6)
+    }
+    assert(unmatched.isEmpty, s"streamed sessions disagree with batch: ${unmatched.take(3)}")
+    assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} sessions closed")
+  }
+}
