@@ -204,6 +204,36 @@ object PipelinesExt {
       .orderBy("c_custkey")
   }
 
+  // exact distinct aggregation (expand + two-phase agg under the hood).
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // ROLLUP grouping sets — subtotals + grand total with NULL markers.
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // set operations: union / intersect / except between order-key slices.
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = urgent.intersect(open).withColumn("set_op", lit("intersect"))
+    val onlyUrgent = urgent.except(open).withColumn("set_op", lit("except"))
+    both.unionByName(onlyUrgent)
+      .groupBy(col("set_op")).agg(count(lit(1)).as("n_custs"))
+      .orderBy("set_op")
+  }
+
   private val pitStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
   private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
@@ -489,6 +519,29 @@ object OraclesExt {
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY c.c_custkey, c.c_mktsegment
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q37_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "q39_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |u AS (SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM open_o)
+        |      UNION ALL
+        |      SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM open_o))
+        |SELECT set_op, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM u GROUP BY set_op ORDER BY set_op""".stripMargin,
 
     "q30_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -65,6 +65,9 @@ object SparkEntry {
     "q34_sessionize" -> ((s, d) => PipelinesExt.sessionize(s, d)),
     "q35_ivf_ann" -> ((s, d) => PipelinesExt.ivfAnn(s, d)),
     "q36_salted_join" -> ((s, d) => PipelinesExt.saltedJoin(s, d)),
+    "q37_distinct_counts" -> ((s, d) => PipelinesExt.distinctCounts(s, d)),
+    "q38_rollup" -> ((s, d) => PipelinesExt.rollupSummary(s, d)),
+    "q39_set_ops" -> ((s, d) => PipelinesExt.setOps(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

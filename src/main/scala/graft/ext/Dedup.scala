@@ -128,22 +128,14 @@ object Dedup {
 
   // ----------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: per bit, majority vote of
-    * token-hash bits. Computed with an explode + one groupBy (64
-    * conditional sums) — distributed, single shuffle on the doc id.
+  /** 64-bit SimHash over whitespace tokens of case-normalized text:
+    * per bit, majority vote of token-hash bits. One narrow pass via the
+    * fused SimHash64 expression — no explode, no shuffle.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val tok = balanced(docs).select(col(idCol).as("id"),
-      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .select(col("id"), xxhash64(col("tok")).as("h"))
-    val bitSums = (0 until 64).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"_b$i")
-    }
-    val sums = tok.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 64).map(i =>
-      when(col(s"_b$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_.bitwiseOR(_))
-    sums.select(col("id"), sh.as("simhash"))
-  }
+  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    balanced(docs).select(col(idCol).as("id"),
+      graft.functions.VectorExpressions.simhash64(
+        TextAnalysis.tokens(lower(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup candidates: block on 16-bit sub-keys (any of the
     * 4 blocks equal → candidate; guarantees recall for hamming ≤ 3 by

@@ -144,6 +144,40 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** 64-bit SimHash over a token array: per bit, majority vote of the
+    * tokens' xxh64 bits (multiset semantics — each occurrence votes).
+    * One pass per row; replaces an explode + 64-conditional-sum groupBy
+    * (a full shuffle of every token) with a narrow map.
+    */
+  case class SimHash64(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_simhash"
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          toks.getUTF8String(i), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) != 0) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   /** Random-hyperplane LSH signature over array<double>: bit i of the
     * result = sign(v · plane_i), planes derived deterministically from
     * (bit, dim) via a splitmix64 mix. One O(dim × bits) loop per row.
@@ -193,6 +227,9 @@ object VectorExpressions {
 
   def minhashNgramSig(tokens: Column, n: Int, numHashes: Int): Column =
     Bridge.column(MinHashNgramSig(Bridge.expression(tokens), n, numHashes))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
 
   def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits))

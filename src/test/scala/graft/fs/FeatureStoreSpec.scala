@@ -166,6 +166,25 @@ class FeatureStoreSpec extends SparkSpec {
     assert(online.toSet == Set(Row(1L, 1.0), Row(2L, 2.0)))
   }
 
+  test("partitioned feature table: partitionBy honored, reads intact") {
+    val store = freshStore
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "part", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), df.schema,
+      partitionBy = Seq("part")))
+    store.writeTable("t", df, WriteMode.Overwrite)
+    // physical layout: one dir per partition value (pruning-capable)
+    val dataDir = new java.io.File(store.root, "t/v1")
+    val partDirs = dataDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+    assert(partDirs.toSeq == Seq("part=a", "part=b"))
+    val back = store.readTable("t").orderBy("id")
+      .select("id", "part", "x").as[(Long, String, Double)].collect().toSeq
+    assert(back == Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)))
+    // merge preserves partitioning
+    store.writeTable("t", Seq((4L, "c", 4.0)).toDF("id", "part", "x"), WriteMode.Merge)
+    assert(store.readTable("t").count() == 4)
+  }
+
   test("versioning: merge keeps only recent versions, pointer advances") {
     val store = freshStore
     val v = Seq((1L, 1.0)).toDF("id", "x")
