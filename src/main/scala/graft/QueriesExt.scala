@@ -422,7 +422,7 @@ object OraclesExt {
         |  CAST(count(*) AS BIGINT) AS n_orders,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
-        |  max(o_orderdate) AS last_order_date,
+        |  epoch_us(max(o_orderdate)) AS last_order_us,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
         |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
 

@@ -235,7 +235,7 @@ object Oracles {
       |  CAST(count(*) AS BIGINT) AS n_orders,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
       |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
-      |  max(o_orderdate) AS last_order_date,
+      |  epoch_us(max(o_orderdate)) AS last_order_us,
       |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
       |FROM orders""".stripMargin
 
@@ -273,7 +273,7 @@ object Oracles {
       s"""WITH ord AS ($orderFeaturesSql GROUP BY o_custkey),
          |demo AS ($demographicsSql)
          |SELECT c.c_custkey, c.c_acctbal > 1000 AS high_value,
-         |  o.n_orders, o.total_spent, o.avg_order_price, o.last_order_date, o.n_open_orders,
+         |  o.n_orders, o.total_spent, o.avg_order_price, o.last_order_us, o.n_open_orders,
          |  d.c_mktsegment, d.nation_name, d.c_acctbal
          |FROM customer c
          |LEFT JOIN ord o ON c.c_custkey = o.c_custkey
@@ -299,7 +299,7 @@ object Oracles {
          |    CAST(count(*) AS BIGINT) AS n_orders,
          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
          |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
-         |    max(o_orderdate) AS last_order_date,
+         |    epoch_us(max(o_orderdate)) AS last_order_us,
          |    CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders,
          |    1 AS recent_flag
          |  FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01' GROUP BY o_custkey)

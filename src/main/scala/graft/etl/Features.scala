@@ -91,7 +91,9 @@ object Features {
       // division is bit-identical across engines, while round() near a
       // half-cent boundary is implementation-defined.
       (sum(priceDec).cast("double") / count(lit(1))).as("avg_order_price"),
-      max(col("o_orderdate")).as("last_order_date"),
+      // epoch micros, not a raw timestamp: timestamp dtype resolution
+      // (ms vs µs) differs between the engines' parquet/pandas paths.
+      unix_micros(max(col("o_orderdate")).cast("timestamp")).as("last_order_us"),
       sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open_orders"))
   }
 

@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import VectorExpressions._
+
+/** SQL registration for the custom expressions, so `spark.sql` users
+  * get the same operators the Column API exposes:
+  *
+  *   graft_dot(a, b)                 dot product of two double arrays
+  *   graft_simhash(tokens)           64-bit SimHash of a token array
+  *   graft_minhash(shingles, n)      n-hash MinHash signature
+  *   graft_minhash_ngram(toks, g, n) fused word-g-gram MinHash
+  *   graft_hyperplane_sig(v, d, b)   random-hyperplane LSH signature
+  *
+  * Two registration paths: `GraftFunctions.register(spark)` for an
+  * existing session, or `spark.sql.extensions=graft.functions.
+  * GraftExtensions` at session build (the standard extensions hook).
+  */
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_dot", "dot product of two array<double>",
+      es => DotProduct(es(0), es(1))),
+    ("graft_simhash", "64-bit SimHash of array<string> tokens",
+      es => SimHash64(es(0))),
+    ("graft_minhash", "MinHash signature of array<string> shingles",
+      es => MinHashSig(es(0), intArg(es(1), "graft_minhash", 1))),
+    ("graft_minhash_ngram", "fused word-ngram MinHash signature",
+      es => MinHashNgramSig(es(0), intArg(es(1), "graft_minhash_ngram", 1),
+        intArg(es(2), "graft_minhash_ngram", 2))),
+    ("graft_hyperplane_sig", "random-hyperplane LSH bit signature",
+      es => HyperplaneSig(es(0), intArg(es(1), "graft_hyperplane_sig", 1),
+        intArg(es(2), "graft_hyperplane_sig", 2))))
+
+  /** Register on a live session's function registry. */
+  def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "built-in")
+  }
+}
+
+/** `spark.sql.extensions` entry point. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, usage, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
+        builder))
+    }
+}

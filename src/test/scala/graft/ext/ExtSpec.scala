@@ -40,6 +40,28 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class GraftFunctionsSpec extends SparkSpec {
+
+  test("custom expressions callable from SQL after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d,
+        |  graft_simhash(array('a','b')) AS sh,
+        |  size(graft_minhash(array('a','b'), 16)) AS mh,
+        |  size(graft_minhash_ngram(array('a','b','c'), 2, 8)) AS mg,
+        |  graft_hyperplane_sig(array(0.5D, -0.5D), 2, 8) AS hp
+        |""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getInt(2) == 16 && r.getInt(3) == 8)
+    // non-literal count arg is rejected with a named error
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array('a'), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("graft_minhash") ||
+      err.getCause != null && err.getCause.getMessage.contains("graft_minhash"))
+  }
+}
+
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
