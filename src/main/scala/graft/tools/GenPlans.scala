@@ -1,0 +1,35 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkEntry
+
+/** Regenerates PLANS.md: `sbt "runMain graft.tools.GenPlans"`. */
+object GenPlans {
+  val picks: Seq[(String, String)] = Seq(
+    ("q11_pricing_summary", "TPC-H-Q1-shaped aggregation: filter pushed to the parquet scan (PushedFilters), 6-col pruned ReadSchema, map-side partial aggregation, one hash exchange on the 2-key group."),
+    ("q07_training_set", "Training-set assembly (J3): feature tables pruned to key+features BEFORE the joins, both lookup joins BroadcastHashJoin LeftOuter (feature side broadcast); at 100 TB AQE swaps these to sort-merge on the shared c_custkey key."),
+    ("q15_sql_revenue_per_nation", "SQL entry: 5-table join — Catalyst broadcast-joins the dims (nation/region/customer) and reorders so lineitem↔orders is the only big join."),
+    ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression; top-k per query via window."),
+    ("q33_pit_training_set", "Point-in-time lookup: union of probes+features, ONE exchange on user_id, window last-ignoreNulls — no range join, no per-version explosion."))
+
+  def main(args: Array[String]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical plans of flagship queries (generated)\n\n")
+    sb.append("Regenerate with `sbt \"runMain graft.tools.GenPlans\"`.\n")
+    for ((q, note) <- picks) {
+      val df = SparkEntry.queries(q)(spark, d)
+      val plan = df.queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+      sb.append(s"\n## $q\n\n$note\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get("PLANS.md"), sb.toString)
+    println("wrote PLANS.md")
+    spark.stop()
+  }
+}
