@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * a band-bucket join — never an O(n²) cross product — so they scale to
   * 100 TB: cost is (docs × signature) map work plus one shuffle per
   * band join, with AQE handling bucket skew.
+  *
+  * Algorithms are the standard public constructions: MinHash resemblance
+  * (Broder, "On the resemblance and containment of documents", 1997),
+  * banded LSH (Indyk & Motwani 1998; banding exposition as in Mining of
+  * Massive Datasets ch.3), SimHash (Charikar, "Similarity estimation
+  * techniques from rounding algorithms", STOC 2002) with the pigeonhole
+  * block-probe of Manku/Jain/Sarma (WWW 2007).
   */
 object Dedup {
 

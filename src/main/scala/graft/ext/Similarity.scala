@@ -13,6 +13,11 @@ import org.apache.spark.sql.functions._
   * All math runs in double (embeddings are float32 on disk; cast once
   * at load) with sequential left-fold accumulation — deterministic and
   * portable to the DuckDB oracle.
+  *
+  * The LSH variant is random-hyperplane signing (Charikar, STOC 2002);
+  * IVF is the inverted-file coarse quantizer of Jégou/Douze/Schmid,
+  * "Product quantization for nearest neighbor search" (TPAMI 2011),
+  * minus the PQ residual codes (exact re-rank instead).
   */
 object Similarity {
 

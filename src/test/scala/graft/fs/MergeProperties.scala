@@ -47,3 +47,49 @@ class MergeProperties extends SparkSpec {
     }
   }
 }
+
+/** Remaining SURVEY §5.2-item-4 properties: U1 range, fillna
+  * non-null preservation, hash determinism.
+  */
+class ExprProperties extends graft.SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val words = org.scalacheck.Gen.oneOf("Yes", "No", "No internet service", "", "yes")
+  private def sample[T](g: org.scalacheck.Gen[T], seed: Long): T =
+    g(org.scalacheck.Gen.Parameters.default, org.scalacheck.rng.Seed(seed)).get
+
+  test("U1 numOptionalServices ∈ [0, 6] for arbitrary service values") {
+    val cols = graft.etl.Features.optionalServiceCols
+    val rows = (0 until 40).map { i =>
+      (sample(words, i * 31L), sample(words, i * 31L + 1), sample(words, i * 31L + 2),
+        sample(words, i * 31L + 3), sample(words, i * 31L + 4), sample(words, i * 31L + 5))
+    }
+    val df = rows.toDF(cols: _*)
+      .select(graft.etl.Features.numOptionalServices(cols).as("n"))
+    val ns = df.collect().map(_.getInt(0))
+    assert(ns.forall(n => n >= 0 && n <= 6))
+    // count equals the Scala-side reimplementation
+    val expected = rows.map(r =>
+      r.productIterator.count(_ == "Yes"))
+    assert(ns.toSeq == expected)
+  }
+
+  test("fillna leaves non-null values untouched") {
+    val df = Seq[(java.lang.Long, java.lang.Double)]((1L, 1.5), (2L, null), (3L, -2.0))
+      .toDF("id", "x")
+    val filled = df.na.fill(Map("x" -> 0.0)).orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+    assert(filled == Seq((1L, 1.5), (2L, 0.0), (3L, -2.0)))
+  }
+
+  test("hash/xxhash64 determinism across invocations") {
+    val df = Seq("a", "b", "c").toDF("s")
+      .select(hash(col("s")).as("h32"), xxhash64(col("s")).as("h64"))
+    val r1 = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    val r2 = df.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(r1 == r2)
+    // stable well-known value: Spark's Murmur3 of "a" with seed 42
+    assert(r1.map(_._1).distinct.size == 3)
+  }
+}
