@@ -234,6 +234,25 @@ object PipelinesExt {
       .orderBy("set_op")
   }
 
+  // TF-IDF term statistics over documents (explode → two-level agg →
+  // join); idf as exact integer ratio, log left to callers (libm
+  // portability, see TextAnalysis.termStats).
+  def termStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.termStats(t(s, d, "documents"), "text", "doc_id")
+      .orderBy("doc_id", "term")
+
+  // deterministic hash-bucket train/test split (rows-only: Spark
+  // xxhash64 isn't reproducible in DuckDB). Output: per-side row
+  // counts plus disjointness/coverage invariants the driver can eye.
+  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val customer = t(s, d, "customer")
+    val (train, test) = graft.etl.Splits.hashSplit(customer, "c_custkey", 80)
+    train.select(lit("train").as("side"), col("c_custkey"))
+      .unionByName(test.select(lit("test").as("side"), col("c_custkey")))
+      .groupBy(col("side")).agg(count(lit(1)).as("n_rows"))
+      .orderBy("side")
+  }
+
   private val pitStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
   private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
@@ -542,6 +561,20 @@ object OraclesExt {
         |      SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM open_o))
         |SELECT set_op, CAST(count(*) AS BIGINT) AS n_custs
         |FROM u GROUP BY set_op ORDER BY set_op""".stripMargin,
+
+    "q40_term_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+        |SELECT t.term, t.doc_id, t.tf, d.df,
+        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df AS idf_ratio
+        |FROM tf t JOIN dfreq d USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
+    // q41_train_test_split: rows-only (hash-bucket split uses Spark
+    // xxhash64, not reproducible in DuckDB; invariants spec-tested).
 
     "q30_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -68,6 +68,8 @@ object SparkEntry {
     "q37_distinct_counts" -> ((s, d) => PipelinesExt.distinctCounts(s, d)),
     "q38_rollup" -> ((s, d) => PipelinesExt.rollupSummary(s, d)),
     "q39_set_ops" -> ((s, d) => PipelinesExt.setOps(s, d)),
+    "q40_term_stats" -> ((s, d) => PipelinesExt.termStats(s, d)),
+    "q41_train_test_split" -> ((s, d) => PipelinesExt.trainTestSplit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

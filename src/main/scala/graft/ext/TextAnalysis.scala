@@ -75,6 +75,25 @@ object TextAnalysis {
     }
   }
 
+  /** Term statistics for TF-IDF-style weighting: explode tokens →
+    * per-(doc, term) term frequency ⋈ per-term document frequency.
+    * `idf_ratio` = N/df is emitted instead of ln(N/df): the ratio of
+    * exact integers is bit-identical across engines, while libm log
+    * implementations are not (callers apply log locally if needed).
+    * Two shuffles (doc-term agg, term agg) + one broadcast-able join —
+    * the standard scalable TF-IDF plan.
+    */
+  def termStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    val nDocs = docs.count()
+    val terms = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(lower(col(textCol)))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(df, Seq("term"))
+      .withColumn("idf_ratio", lit(nDocs).cast("double") / col("df"))
+  }
+
   /** Quality score in [0,1]: blend of normalized length, word length
     * sanity, punctuation and stopword ratios — the standard cheap
     * pretraining-quality signals. Deterministic double arithmetic on

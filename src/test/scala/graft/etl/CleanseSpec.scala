@@ -80,6 +80,42 @@ class CleanseSpec extends SparkSpec {
     assert(df.count() == 2)
   }
 
+  test("hashSplit: deterministic, disjoint, covering, ~proportional") {
+    val df = graft.Tables.load(spark, sfDir, "customer")
+    val (train, test) = Splits.hashSplit(df, "c_custkey", 80)
+    val (tr, te) = (train.select("c_custkey").as[Long].collect().toSet,
+      test.select("c_custkey").as[Long].collect().toSet)
+    val all = df.select("c_custkey").as[Long].collect().toSet
+    assert(tr.intersect(te).isEmpty)
+    assert(tr.union(te) == all)
+    assert(tr.size > all.size / 2 && tr.size < all.size) // ~80%, both non-empty
+    // deterministic across invocations
+    val (train2, _) = Splits.hashSplit(df, "c_custkey", 80)
+    assert(train2.select("c_custkey").as[Long].collect().toSet == tr)
+    // stratified: every stratum split in both directions when large
+    val (st, se) = Splits.stratifiedHashSplit(df, "c_custkey", "c_mktsegment", 80)
+    val perSeg = st.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val perSegTest = se.groupBy("c_mktsegment").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perSeg.keySet == perSegTest.keySet)
+  }
+
+  test("summary() parity: built-in summary matches exact aggregates") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val s = li.select("l_quantity").summary("count", "mean", "min", "max")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val exact = li.agg(
+      count(col("l_quantity")).cast("string").as("count"),
+      avg(col("l_quantity")).as("mean"),
+      min(col("l_quantity")).as("min"),
+      max(col("l_quantity")).as("max")).collect()(0)
+    assert(s("count") == exact.getString(0))
+    assert(math.abs(s("mean").toDouble - exact.getDouble(1)) < 1e-6)
+    assert(s("min").toDouble == exact.getDouble(2))
+    assert(s("max").toDouble == exact.getDouble(3))
+  }
+
   test("service features: dynamic projection excludes label + demographics") {
     val raw = Seq(("c1", "F", "x", 1.0, "Yes"))
       .toDF("customerID", "gender", "InternetService", "TotalCharges", "Churn")
