@@ -234,6 +234,19 @@ object PipelinesExt {
       .orderBy("set_op")
   }
 
+  // exact percentiles (extends A1 beyond the §5.3 approx-percentile
+  // caveat: Spark `percentile` and DuckDB `quantile_cont` both do
+  // linear interpolation over the same exact doubles).
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+      .orderBy("l_returnflag")
+
   // TF-IDF term statistics over documents (explode → two-level agg →
   // join); idf as exact integer ratio, log left to callers (libm
   // portability, see TextAnalysis.termStats).
@@ -575,6 +588,14 @@ object OraclesExt {
         |ORDER BY doc_id, term""".stripMargin,
     // q41_train_test_split: rows-only (hash-bucket split uses Spark
     // xxhash64, not reproducible in DuckDB; invariants spec-tested).
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q30_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

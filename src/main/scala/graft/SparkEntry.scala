@@ -70,6 +70,7 @@ object SparkEntry {
     "q39_set_ops" -> ((s, d) => PipelinesExt.setOps(s, d)),
     "q40_term_stats" -> ((s, d) => PipelinesExt.termStats(s, d)),
     "q41_train_test_split" -> ((s, d) => PipelinesExt.trainTestSplit(s, d)),
+    "q42_percentiles" -> ((s, d) => PipelinesExt.percentiles(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -167,6 +167,19 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   def readOnlineTable(name: String): DataFrame =
     spark.read.parquet(Paths.get(root, "_online", name).toString)
 
+  /** Compact the current snapshot into `targetPartitions` files (repeated
+    * merges leave one file per shuffle partition per write — at 100 TB
+    * the equivalent is OPTIMIZE/bin-packing; here: read → repartition on
+    * the keys → rewrite as a new version through the same commit path).
+    */
+  def compact(name: String, targetPartitions: Int = 1): Unit = {
+    val (spec, version) = loadSpec(name)
+    require(version > 0, s"compact($name): table has no data yet")
+    val compacted = readTable(name)
+      .repartition(targetPartitions, spec.keys.map(col): _*)
+    writeTable(name, compacted, WriteMode.Overwrite)
+  }
+
   // ---------------------------------------------------------------- impl
 
   private def structTypeOf(df: DataFrame): StructType = df.schema

@@ -60,4 +60,14 @@ object StreamingFeatures {
     */
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
+
+  /** Exactly-once event dedup for at-least-once sources: state-backed
+    * `dropDuplicates` on the event id, bounded by the watermark (state
+    * for ids older than the delay is evicted — the standard streaming
+    * dedup contract; without the watermark state grows forever).
+    */
+  def dedupEvents(events: DataFrame, idCol: String = "event_id",
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .dropDuplicates(idCol, tsCol)
 }

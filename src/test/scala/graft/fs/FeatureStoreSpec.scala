@@ -185,6 +185,20 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.readTable("t").count() == 4)
   }
 
+  test("compact: collapses files, preserves content") {
+    val store = freshStore
+    val v = spark.range(100).selectExpr("id", "cast(id as double) as x")
+      .repartition(8)
+    store.createTable(FeatureTableSpec("t", Seq("id"), v.schema))
+    store.writeTable("t", v, WriteMode.Overwrite)
+    val before = store.readTable("t").orderBy("id").collect().toSeq
+    store.compact("t", targetPartitions = 1)
+    val dataDir = new java.io.File(store.root, s"t/v${store.currentVersion("t")}")
+    val files = dataDir.listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(store.readTable("t").orderBy("id").collect().toSeq == before)
+  }
+
   test("versioning: merge keeps only recent versions, pointer advances") {
     val store = freshStore
     val v = Seq((1L, 1.0)).toDF("id", "x")

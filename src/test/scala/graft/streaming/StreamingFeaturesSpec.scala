@@ -14,6 +14,28 @@ import graft.fs.{FeatureStore, FeatureTableSpec, WriteMode}
   */
 class StreamingFeaturesSpec extends SparkSpec {
 
+  test("streaming dedup drops re-delivered events within the watermark") {
+    import org.apache.spark.sql.functions._
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")).limit(200)
+    // simulate at-least-once: write the same batch twice into the source
+    val streamDir = Files.createTempDirectory("graft-dedup-in-").toString
+    events.write.mode("overwrite").parquet(streamDir)
+    events.write.mode("append").parquet(streamDir)
+    assert(spark.read.parquet(streamDir).count() == 400)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val deduped = StreamingFeatures.dedupEvents(stream)
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-dedup-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    assert(spark.table("dedup_out").count() == 200)
+  }
+
   test("streaming windowed agg merges into a feature table (K5 reuse)") {
     val batchEvents = graft.Tables.load(spark, sfDir, "events")
     // stage events as a stream-readable dir with micros timestamps
