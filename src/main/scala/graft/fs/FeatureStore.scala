@@ -126,6 +126,16 @@ final class FeatureStore(spark: SparkSession, val root: String) {
       case WriteMode.Merge if version == 0 => df
       case WriteMode.Merge =>
         val old = readTable(name)
+        // schema evolution adds columns; it never retypes them — catch
+        // type conflicts here with a named error instead of letting
+        // unionByName fail with a positional cast message
+        val conflicts = df.schema.flatMap { f =>
+          old.schema.find(_.name == f.name)
+            .filter(_.dataType != f.dataType)
+            .map(o => s"${f.name}: table has ${o.dataType.simpleString}, write has ${f.dataType.simpleString}")
+        }
+        require(conflicts.isEmpty,
+          s"merge into $name: column type conflict(s) — ${conflicts.mkString("; ")}")
         val carried = old.join(df.select(spec.keys.map(col): _*), spec.keys, "left_anti")
         carried.unionByName(df, allowMissingColumns = true)
     }

@@ -10,7 +10,7 @@ object GenPlans {
     ("q11_pricing_summary", "TPC-H-Q1-shaped aggregation: filter pushed to the parquet scan (PushedFilters), 6-col pruned ReadSchema, map-side partial aggregation, one hash exchange on the 2-key group."),
     ("q07_training_set", "Training-set assembly (J3): feature tables pruned to key+features BEFORE the joins, both lookup joins BroadcastHashJoin LeftOuter (feature side broadcast); at 100 TB AQE swaps these to sort-merge on the shared c_custkey key."),
     ("q15_sql_revenue_per_nation", "SQL entry: 5-table join — Catalyst broadcast-joins the dims (nation/region/customer) and reorders so lineitem↔orders is the only big join."),
-    ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression; top-k per query via window."),
+    ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression. The row_number<=k filter is rewritten by Catalyst's InferWindowGroupLimit into Partial+Final WindowGroupLimit — a per-partition top-k heap BEFORE the shuffle — which is why no custom top-k operator is needed (SURVEY §4: don't hand-schedule what the optimizer already does)."),
     ("q33_pit_training_set", "Point-in-time lookup: union of probes+features, ONE exchange on user_id, window last-ignoreNulls — no range join, no per-version explosion."))
 
   def main(args: Array[String]): Unit = {

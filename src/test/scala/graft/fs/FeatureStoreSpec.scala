@@ -185,6 +185,40 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.readTable("t").count() == 4)
   }
 
+  test("merge rejects column type conflicts with a named error") {
+    val store = freshStore
+    val v1 = Seq((1L, 1.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    val bad = Seq((2L, "nope")).toDF("id", "x")
+    val e = intercept[IllegalArgumentException] {
+      store.writeTable("t", bad, WriteMode.Merge)
+    }
+    assert(e.getMessage.contains("type conflict") && e.getMessage.contains("x"))
+  }
+
+  test("composite-key feature table: lookup joins on both key columns") {
+    val store = freshStore
+    val feat = Seq((1L, "2024-01", 10.0), (1L, "2024-02", 20.0), (2L, "2024-01", 5.0))
+      .toDF("cust_id", "month", "spend")
+    store.createTable(FeatureTableSpec("monthly", Seq("cust_id", "month"), feat.schema))
+    store.writeTable("monthly", feat, WriteMode.Overwrite)
+    val spine = Seq((1L, "2024-02", true), (2L, "2024-02", false))
+      .toDF("cust_id", "month", "label")
+    val out = LookupJoins.attach(store, spine,
+      Seq(FeatureLookup("monthly", "spend", Seq("cust_id", "month"))))
+      .orderBy("cust_id").collect().toSeq
+    assert(out == Seq(
+      Row(1L, "2024-02", true, 20.0),
+      Row(2L, "2024-02", false, null)))  // (2, 2024-02) missing → NULL
+    // composite-key merge: update one (key,key) cell only
+    store.writeTable("monthly",
+      Seq((1L, "2024-02", 99.0)).toDF("cust_id", "month", "spend"), WriteMode.Merge)
+    val after = store.readTable("monthly").orderBy("cust_id", "month")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(after == Seq((1L, "2024-01", 10.0), (1L, "2024-02", 99.0), (2L, "2024-01", 5.0)))
+  }
+
   test("compact: collapses files, preserves content") {
     val store = freshStore
     val v = spark.range(100).selectExpr("id", "cast(id as double) as x")
