@@ -233,6 +233,32 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.readTable("t").orderBy("id").collect().toSeq == before)
   }
 
+  test("partitioned table: filters on partition column prune at scan") {
+    val store = freshStore
+    val df = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "part", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), df.schema,
+      partitionBy = Seq("part")))
+    store.writeTable("t", df, WriteMode.Overwrite)
+    val q = store.readTable("t").filter(col("part") === "a")
+    val scan = q.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (dir pruning), not as
+    // a post-scan data filter
+    assert(scan.contains("PartitionFilters: [isnotnull(part"),
+      s"partition filter not pushed:\n$scan")
+    assert(q.count() == 2)
+  }
+
+  test("approx_count_distinct within rsd of exact (HLL++ sketch, A1-adjacent)") {
+    val li = graft.Tables.load(spark, sfDir, "lineitem")
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(approx - exact) / exact < 0.1,
+      s"approx $approx too far from exact $exact")
+  }
+
   test("versioning: merge keeps only recent versions, pointer advances") {
     val store = freshStore
     val v = Seq((1L, 1.0)).toDF("id", "x")
