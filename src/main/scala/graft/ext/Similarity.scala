@@ -130,7 +130,7 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
       .withColumn("features", array_to_vector(col("c_emb")))
       .cache()
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
       .fit(c.select(col("features")))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))

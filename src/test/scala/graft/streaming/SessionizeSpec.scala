@@ -6,6 +6,26 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
+class SlidingWindowSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("sliding window agg: each event in exactly length/slide windows") {
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val n = events.count()
+    val windowed = events
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    // 2h windows sliding 1h → every event counted exactly twice
+    val total = windowed.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(total == 2 * n)
+    // window bounds are aligned, half-open, length 2h
+    val w = windowed.select(col("window.start").cast("long"), col("window.end").cast("long"))
+      .collect()
+    assert(w.forall(r => r.getLong(1) - r.getLong(0) == 7200))
+  }
+}
+
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
