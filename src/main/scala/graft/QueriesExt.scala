@@ -381,13 +381,17 @@ object OraclesExt {
     s"CASE ${conds.mkString(" ")} END"
   }
 
+  // NOTE the VARCHAR hop on the sum-of-squares cast: DuckDB's direct
+  // DECIMAL(38,4)→DOUBLE is lossy for values past 2^53 (drops the
+  // fraction), while VARCHAR→DOUBLE is correctly rounded and matches
+  // Spark's Decimal.toDouble bit-for-bit.
   private def statsForSql(c: String): String =
     s"""SELECT '$c' AS column_name,
        |  CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
        |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS mean_val,
        |  min($c) AS min_val, max($c) AS max_val,
-       |  sqrt((CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS DOUBLE)
+       |  sqrt((CAST(CAST(sum(CAST(CAST($c AS DECIMAL(18,2)) * CAST($c AS DECIMAL(18,2)) AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
        |    - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*))
        |    / (count(*) - 1)) AS stddev_val
        |FROM lineitem""".stripMargin
