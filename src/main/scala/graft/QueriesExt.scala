@@ -418,8 +418,8 @@ object OraclesExt {
 
     "q15_sql_revenue_per_nation" ->
       """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  CAST(count(*) AS BIGINT) AS n_lineitems
         |FROM customer
         |JOIN orders   ON c_custkey = o_custkey
