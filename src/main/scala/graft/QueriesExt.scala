@@ -222,6 +222,14 @@ object PipelinesExt {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
       .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
 
+  // CUBE grouping sets — all 4 grouping combinations in one pass.
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   // set operations: union / intersect / except between order-key slices.
   def setOps(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders")
@@ -600,6 +608,13 @@ object OraclesExt {
         |  quantile_cont(l_quantity, 0.75) AS qty_p75,
         |  quantile_cont(l_extendedprice, 0.5) AS price_p50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
 
     "q30_cosine_near_dup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

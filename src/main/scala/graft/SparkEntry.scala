@@ -71,6 +71,7 @@ object SparkEntry {
     "q40_term_stats" -> ((s, d) => PipelinesExt.termStats(s, d)),
     "q41_train_test_split" -> ((s, d) => PipelinesExt.trainTestSplit(s, d)),
     "q42_percentiles" -> ((s, d) => PipelinesExt.percentiles(s, d)),
+    "q43_cube" -> ((s, d) => PipelinesExt.cubeSummary(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
