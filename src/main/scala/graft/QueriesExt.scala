@@ -374,8 +374,12 @@ object OraclesExt {
     """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER)""".stripMargin
 
-  private def stopHitsSql(words: Seq[String]): String =
-    s"""len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b'))"""
+  private def stopHitsSql(words: Seq[String]): String = {
+    // same pattern builder as the Spark side (TextAnalysis) — ASCII \b
+    // boundaries, none for CJK lists
+    val pat = TextAnalysis.stopwordPattern(words)
+    s"""len(regexp_extract_all(lower(text), '$pat'))"""
+  }
 
   private val langs = TextAnalysis.langOrder
   private def langCaseSql: String = {

@@ -33,9 +33,13 @@ object Cleanse {
 
   /** E8+E9+E10+E11 — empty-string-to-NULL then cast to double
     * (setup.py:219-221: TotalCharges arrives as string with blanks).
+    * try_cast, not cast: under Spark 4's default ANSI mode a plain cast
+    * of a dirty value ("N/A", "1,234") throws CAST_INVALID_INPUT and
+    * kills the job; the reference ran Spark-3 semantics where invalid
+    * casts produce NULL — which is what a cleansing op must do.
     */
   def blankToNullDouble(c: Column): Column =
-    when(length(trim(c)) === 0, lit(null)).otherwise(trim(c)).cast(DoubleType)
+    when(length(trim(c)) === 0, lit(null)).otherwise(trim(c)).try_cast(DoubleType)
 
   /** Full replay of the telco cleanse (setup.py:206-221) for a raw
     * telco-schema DataFrame — used by unit tests on literal fixtures

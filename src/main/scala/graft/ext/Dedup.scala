@@ -112,7 +112,10 @@ object Dedup {
     // cache: the signature subtree is read 4× (self-join left/right +
     // two re-attach joins); without the cache each subtree recomputes
     // the full tokenize+hash pipeline. At 100 TB the equivalent is
-    // materializing the signature table once.
+    // materializing the signature table once. Deliberately never
+    // unpersisted: the returned DataFrame stays lazy over this plan, so
+    // eager unpersist would just force recomputation; the frames are
+    // numHashes·8 bytes/doc and Spark's storage LRU evicts them.
     val withSig = balanced(docs).select(col(idCol).as("id"),
       minhashSignatureWords(col(textCol), k, numHashes).as("sig")).cache()
     withSig.count() // eager: lazy cache would race among the 4 readers,

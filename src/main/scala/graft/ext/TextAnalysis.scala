@@ -40,9 +40,24 @@ object TextAnalysis {
   private def countMatches(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** Stopword-hit count for a word list (case-insensitive, word-bounded). */
+  /** Regex for counting stopword hits. ASCII words get \b boundaries;
+    * if ANY word contains non-ASCII (CJK) characters the boundaries are
+    * dropped — \b is ASCII-defined in both Java regex and RE2, so
+    * \b的\b can never match inside Chinese text (CJK chars are non-word
+    * chars on both sides of the boundary). Shared by the Spark
+    * expression AND the DuckDB oracle so both count identically.
+    */
+  def stopwordPattern(words: Seq[String]): String = {
+    val alternation = words.mkString("|")
+    if (words.forall(_.forall(_ < 128))) s"\\b($alternation)\\b"
+    else s"($alternation)"
+  }
+
+  /** Stopword-hit count for a word list (case-insensitive, word-bounded
+    * for ASCII word lists; substring-counted for CJK lists).
+    */
   def stopwordHits(text: Column, words: Seq[String]): Column =
-    countMatches(lower(text), "\\b(" + words.mkString("|") + ")\\b")
+    countMatches(lower(text), stopwordPattern(words))
 
   val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),

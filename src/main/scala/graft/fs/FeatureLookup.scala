@@ -59,13 +59,16 @@ object LookupJoins {
       val unknown = features.filterNot(spec.schema.fieldNames.contains)
       require(unknown.isEmpty,
         s"lookup into $table: unknown feature column(s) ${unknown.mkString(", ")}")
+      val clash = features.filter(lookupKey.contains)
+      require(clash.isEmpty,
+        s"lookup into $table: feature column(s) ${clash.mkString(", ")} collide with lookup key names")
 
-      // Prune, then rename table keys to the spine's lookup-key names so
-      // the equi-join uses USING semantics (single key column in output).
-      val pruned0 = store.readTable(table).select((spec.keys ++ features).map(col): _*)
-      val pruned = spec.keys.zip(lookupKey).foldLeft(pruned0) {
-        case (d, (tk, sk)) => if (tk == sk) d else d.withColumnRenamed(tk, sk)
-      }
+      // Prune and rename table keys to the spine's lookup-key names in a
+      // SINGLE aliased select (sequential withColumnRenamed corrupts the
+      // frame when key names swap — a→b then b→a renames both columns).
+      val pruned = store.readTable(table).select(
+        spec.keys.zip(lookupKey).map { case (tk, sk) => col(tk).as(sk) } ++
+          features.map(col): _*)
       acc.join(pruned, lookupKey, "left_outer")
     }
   }

@@ -34,10 +34,14 @@ object WriteMode {
   * scheme: `root/<table>/v<N>/` holds parquet data, `root/<table>/
   * spec.properties` holds metadata + the current version pointer, and
   * every write lands in a fresh `v<N+1>` directory followed by an atomic
-  * pointer move — readers never observe partial data, and concurrent
-  * readers of v<N> are unaffected by a writer producing v<N+1>. At
-  * 100 TB this maps 1:1 onto a real table format (Delta/Iceberg): the
-  * pointer file is the transaction log, versioned dirs are snapshots.
+  * pointer move — readers never observe partial data, and readers of
+  * the current or previous version survive one subsequent write (older
+  * versions are pruned; a long-lived lazy DataFrame pinned to v<N-2>
+  * will fail at action time). Writers are single-process: a concurrent
+  * write racing the same base version is detected and rejected rather
+  * than silently lost. At 100 TB this maps 1:1 onto a real table format
+  * (Delta/Iceberg): the pointer file is the transaction log, versioned
+  * dirs are snapshots, and the version check is the commit-time CAS.
   *
   * Scale notes (SURVEY.md §7.7):
   *   - merge is a single shuffle (the anti-join on the key); AQE handles
@@ -146,6 +150,13 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     val partitioned =
       if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
     partitioned.parquet(target.toString)
+    // optimistic commit check: if another writer advanced the pointer
+    // while this write ran, fail loudly instead of silently dropping
+    // that writer's rows (a merge computed against the stale base)
+    val nowVersion = loadSpec(name)._2
+    if (nowVersion != version)
+      throw new java.util.ConcurrentModificationException(
+        s"feature table $name: version moved $version -> $nowVersion during write; retry")
     saveSpec(spec.copy(schema = structTypeOf(result)), newVersion)
     // Old versions are kept for time travel; prune all but the last two.
     (1 until newVersion - 1).foreach { v =>

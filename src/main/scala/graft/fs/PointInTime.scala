@@ -58,17 +58,24 @@ object PointInTime {
       .orderBy(col("_ts").asc, col("_origin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Carry the latest feature ROW as one struct, then extract fields:
+    // last(value, ignoreNulls) per column would skip over a feature row
+    // whose value is legitimately NULL (a cleared feature) and return a
+    // STALE older value — the struct is non-null whenever a feature row
+    // exists, so as-of semantics match the SQL ASOF JOIN exactly.
+    val featRow = when(col("_origin") === 0,
+      struct(featureCols.map(c => col(s"_f_$c").as(c)): _*))
+
     probes.unionByName(feats)
       .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
-        spineCols.filterNot(keys.contains).map(c => col(s"_s_$c")) ++
-        featureCols.map(c =>
-          last(col(s"_f_$c"), ignoreNulls = true).over(w).as(s"_ff_$c")): _*)
+        spineCols.filterNot(keys.contains).map(c => col(s"_s_$c")) :+
+        last(featRow, ignoreNulls = true).over(w).as("_frow"): _*)
       .filter(col("_origin") === 1) // keep spine probes only
       .select(keys.map(col) ++
         Seq(col("_ts").as(spineTs)) ++
         spineCols.filterNot(c => keys.contains(c) || c == spineTs)
           .map(c => col(s"_s_$c").as(c)) ++
-        featureCols.map(c => col(s"_ff_$c").as(c)): _*)
+        featureCols.map(c => col("_frow").getField(c).as(c)): _*)
   }
 
   /** Training-set assembly with a timestamp lookup key: the J3 lookup

@@ -19,9 +19,19 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  private val supportedJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0, "salts must be positive")
+    // Right/full-outer are NOT salting-compatible: the build side is
+    // replicated per salt, so its non-matching replicas would surface
+    // as salts-1 spurious (null-probe, build) rows.
+    require(supportedJoinTypes.contains(joinType.toLowerCase),
+      s"saltedJoin does not support joinType=$joinType (build-side replication " +
+        "breaks right/full outer semantics)")
     // Deterministic scatter: salt from the row's key plus a cheap
     // disambiguator (partition-local row position via input ordering is
     // unnecessary — any per-row value balances; xxhash64 of all probe

@@ -37,6 +37,12 @@ class CleanseSpec extends SparkSpec {
     assert(df.collect().map(_.get(0)).toSeq == Seq(123.45, null, null, 7.5, 100.0))
   }
 
+  test("blankToNullDouble: dirty non-numeric values → NULL, not ANSI crash") {
+    val df = Seq("N/A", "1,234", "abc", "12.5").toDF("tc")
+      .select(Cleanse.blankToNullDouble(col("tc")).as("tc"))
+    assert(df.collect().map(_.get(0)).toSeq == Seq(null, null, null, 12.5))
+  }
+
   test("full telco cleanse on a literal fixture") {
     val raw = Seq(
       // customerID, SeniorCitizen, Partner, Dependents, PhoneService,

@@ -30,6 +30,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq == Seq("en", "de", "en"))
   }
 
+  test("predictedLang: CJK text is classified zh (no \\b around CJK)") {
+    val df = Seq("我是一个学生，这是我的书，他在这里")
+      .toDF("text").select(TextAnalysis.predictedLang(col("text")).as("lang"),
+        TextAnalysis.langScore(col("text"), "zh").as("score_zh"))
+    val r = df.collect()(0)
+    assert(r.getString(0) == "zh", s"got ${r.getString(0)}")
+    assert(r.getInt(1) > 0)
+  }
+
   test("qualityScore in [0,1], higher for stopword-rich mid-length text") {
     val good = "the quick brown fox and the lazy dog is a classic of the genre " * 3
     val bad = "zz"

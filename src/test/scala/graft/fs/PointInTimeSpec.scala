@@ -40,6 +40,35 @@ class PointInTimeSpec extends SparkSpec {
       Row(104L, 3L, null)))
   }
 
+  test("asOfJoin: a NULL latest feature value is returned, not skipped") {
+    // (1, t2) legitimately clears the feature to NULL; a probe after t2
+    // must see NULL (the latest row), NOT the stale 5.0 from t1 —
+    // matching SQL ASOF JOIN semantics
+    val features = Seq[(Long, java.sql.Timestamp, java.lang.Double)](
+      (1L, ts("2024-01-01 00:00:00"), 5.0),
+      (1L, ts("2024-01-02 00:00:00"), null))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq((9L, 1L, ts("2024-01-03 00:00:00")))
+      .toDF("event_id", "user_id", "sts")
+    val got = PointInTime.asOfJoin(spine, features, Seq("user_id"), "sts", "fts",
+      Seq("score")).select("score").collect()(0)
+    assert(got.isNullAt(0), s"expected NULL latest value, got $got")
+  }
+
+  test("asOfJoin: swapped composite names via single-select rename (LookupJoins analog)") {
+    val store = FeatureStore.temp(spark)
+    val feat = Seq((1L, 2L, 7.0)).toDF("a", "b", "f")
+    store.createTable(FeatureTableSpec("t", Seq("a", "b"), feat.schema))
+    store.writeTable("t", feat, WriteMode.Overwrite)
+    // spine columns named (b, a) map POSITIONALLY to table keys (a, b):
+    // spine.b carries table.a values, spine.a carries table.b values
+    val spine = Seq((1L, 2L, "x")).toDF("b", "a", "v")
+    val out = LookupJoins.attach(store, spine,
+      Seq(FeatureLookup("t", "f", Seq("b", "a"))))
+    assert(out.columns.toSeq == Seq("b", "a", "v", "f"))
+    assert(out.collect().toSeq == Seq(Row(1L, 2L, "x", 7.0)))
+  }
+
   test("createTrainingSet with timestamp key: store-registered time-series table") {
     val store = FeatureStore.temp(spark)
     val features = Seq(

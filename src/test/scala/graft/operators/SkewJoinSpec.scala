@@ -22,6 +22,17 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("saltedJoin rejects right/full outer (salting-incompatible)") {
+    val probe = Seq((1L, "a")).toDF("k", "pv")
+    val build = Seq((1L, 10)).toDF("k", "bv")
+    for (jt <- Seq("right_outer", "full", "full_outer")) {
+      val e = intercept[IllegalArgumentException] {
+        SkewJoin.saltedJoin(probe, build, "k", salts = 4, joinType = jt)
+      }
+      assert(e.getMessage.contains(jt))
+    }
+  }
+
   test("saltedJoin on testdata matches plain join aggregate") {
     val probe = graft.Tables.load(spark, sfDir, "events")
       .withColumnRenamed("user_id", "c_custkey")
