@@ -23,6 +23,13 @@ object Tables {
     * precision at ~1.7e18 ns) and convert to timestamp_ntz to match how
     * Spark reads the other tables' micro timestamps (and how DuckDB sees
     * them, truncated to micros).
+    *
+    * Known side effect: `nanosAsLong` is a SESSION conf (there is no
+    * per-read option), and it must stay set for the lifetime of the
+    * returned lazy DataFrame, so it is set and left on. For this engine
+    * that's benign — `events` is the only NANOS table — but other NANOS
+    * parquet read after this call would surface as LongType instead of
+    * erroring.
     */
   private def loadEvents(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._

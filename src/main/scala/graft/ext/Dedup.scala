@@ -116,8 +116,11 @@ object Dedup {
     // unpersisted: the returned DataFrame stays lazy over this plan, so
     // eager unpersist would just force recomputation; the frames are
     // numHashes·8 bytes/doc and Spark's storage LRU evicts them.
+    // docs too short to produce any gram have NULL signatures — they
+    // carry no similarity evidence and must not pair with each other
     val withSig = balanced(docs).select(col(idCol).as("id"),
-      minhashSignatureWords(col(textCol), k, numHashes).as("sig")).cache()
+      minhashSignatureWords(col(textCol), k, numHashes).as("sig"))
+      .filter(col("sig").isNotNull).cache()
     withSig.count() // eager: lazy cache would race among the 4 readers,
                     // each recomputing the signature pipeline
     val exploded = withSig.select(col("id"),
@@ -127,9 +130,11 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // no broadcast hint: the signature table scales with the corpus —
+    // AQE broadcasts while it fits and falls back to a shuffle join
     cands
-      .join(broadcast(withSig.select(col("id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(withSig.select(col("id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .join(withSig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(withSig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           bo => bo)).cast("double") / numHashes).as("est_jaccard"))

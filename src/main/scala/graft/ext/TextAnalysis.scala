@@ -48,7 +48,12 @@ object TextAnalysis {
     * expression AND the DuckDB oracle so both count identically.
     */
   def stopwordPattern(words: Seq[String]): String = {
-    val alternation = words.mkString("|")
+    // escape regex metachars per word — portable escaping (\Q..\E is
+    // Java-only, not RE2/DuckDB)
+    val metas = "\\^$.|?*+()[]{}".toSet
+    val escaped = words.map(_.flatMap(c =>
+      if (metas(c)) s"\\$c" else c.toString))
+    val alternation = escaped.mkString("|")
     if (words.forall(_.forall(_ < 128))) s"\\b($alternation)\\b"
     else s"($alternation)"
   }

@@ -59,9 +59,16 @@ object LookupJoins {
       val unknown = features.filterNot(spec.schema.fieldNames.contains)
       require(unknown.isEmpty,
         s"lookup into $table: unknown feature column(s) ${unknown.mkString(", ")}")
-      val clash = features.filter(lookupKey.contains)
-      require(clash.isEmpty,
-        s"lookup into $table: feature column(s) ${clash.mkString(", ")} collide with lookup key names")
+      val keyClash = features.filter(lookupKey.contains)
+      require(keyClash.isEmpty,
+        s"lookup into $table: feature column(s) ${keyClash.mkString(", ")} collide with lookup key names")
+      // also fail fast on collisions with the spine / features already
+      // attached from earlier tables — the join would otherwise succeed
+      // with duplicate column names and blow up downstream with
+      // AMBIGUOUS_REFERENCE (or drop() removing both copies)
+      val accClash = features.filter(acc.columns.contains)
+      require(accClash.isEmpty,
+        s"lookup into $table: feature column(s) ${accClash.mkString(", ")} already exist on the spine/earlier lookups")
 
       // Prune and rename table keys to the spine's lookup-key names in a
       // SINGLE aliased select (sequential withColumnRenamed corrupts the

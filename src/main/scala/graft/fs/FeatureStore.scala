@@ -131,8 +131,8 @@ final class FeatureStore(spark: SparkSession, val root: String) {
       case WriteMode.Merge =>
         val old = readTable(name)
         // schema evolution adds columns; it never retypes them — catch
-        // type conflicts here with a named error instead of letting
-        // unionByName fail with a positional cast message
+        // type conflicts here with a named error instead of a positional
+        // cast failure deep in the plan
         val conflicts = df.schema.flatMap { f =>
           old.schema.find(_.name == f.name)
             .filter(_.dataType != f.dataType)
@@ -140,23 +140,50 @@ final class FeatureStore(spark: SparkSession, val root: String) {
         }
         require(conflicts.isEmpty,
           s"merge into $name: column type conflict(s) — ${conflicts.mkString("; ")}")
-        val carried = old.join(df.select(spec.keys.map(col): _*), spec.keys, "left_anti")
-        carried.unionByName(df, allowMissingColumns = true)
+        // Full-outer coalesce, not anti-join ∪ new: for columns the
+        // incoming DataFrame CARRIES, the new row wins on matched keys
+        // (including explicit NULLs); columns it OMITS keep their
+        // existing values — a partial-column refresh must not NULL out
+        // untouched features. Still one shuffle on the keys.
+        val marker = "_graft_merge_new"
+        val newDf = df.withColumn(marker, lit(1))
+        val joined = old.join(newDf, spec.keys, "full_outer")
+        val matched = col(marker).isNotNull
+        val oldVals = old.columns.filterNot(spec.keys.contains)
+        val newVals = df.columns.filterNot(spec.keys.contains)
+        val valueCols = (oldVals ++ newVals.filterNot(oldVals.contains)).map { c =>
+          if (oldVals.contains(c) && newVals.contains(c))
+            when(matched, newDf(c)).otherwise(old(c)).as(c)
+          else if (oldVals.contains(c)) old(c).as(c) // omitted → preserved
+          else newDf(c).as(c)                        // new column → NULL for old rows
+        }
+        joined.select(spec.keys.map(col) ++ valueCols: _*)
     }
 
     val newVersion = version + 1
     val target = dataDir(name, newVersion)
+    // write into a writer-private temp dir, then claim v<N+1> by atomic
+    // directory rename — racing writers can't clobber each other's
+    // files; the loser's rename fails and it aborts before touching the
+    // pointer (a merge computed against a stale base must not commit)
+    val tmp = tableDir(name).resolve(s"v$newVersion.tmp-${java.util.UUID.randomUUID()}")
     val writer = result.write.mode("overwrite")
     val partitioned =
       if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
-    partitioned.parquet(target.toString)
-    // optimistic commit check: if another writer advanced the pointer
-    // while this write ran, fail loudly instead of silently dropping
-    // that writer's rows (a merge computed against the stale base)
+    partitioned.parquet(tmp.toString)
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case e: java.nio.file.FileSystemException =>
+        deleteRecursively(tmp.toFile)
+        throw new java.util.ConcurrentModificationException(
+          s"feature table $name: another writer committed v$newVersion first; retry", e)
+    }
     val nowVersion = loadSpec(name)._2
-    if (nowVersion != version)
+    if (nowVersion != version) {
+      deleteRecursively(target.toFile)
       throw new java.util.ConcurrentModificationException(
         s"feature table $name: version moved $version -> $nowVersion during write; retry")
+    }
     saveSpec(spec.copy(schema = structTypeOf(result)), newVersion)
     // Old versions are kept for time travel; prune all but the last two.
     (1 until newVersion - 1).foreach { v =>

@@ -64,6 +64,10 @@ object VectorExpressions {
   case class MinHashSig(child: Expression, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    // returns NULL for empty shingle arrays even when the child is
+    // non-nullable — without this override the planner would fold an
+    // isNotNull filter on the result to true
+    override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash"
 
     private val P = 2147483647L
@@ -74,8 +78,9 @@ object VectorExpressions {
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
-      val mins = Array.fill(numHashes)(Long.MaxValue)
       val n = arr.numElements()
+      if (n == 0) return null // see MinHashNgramSig: no sentinel collisions
+      val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i < n) {
         val s = arr.getUTF8String(i)
@@ -108,6 +113,7 @@ object VectorExpressions {
   case class MinHashNgramSig(child: Expression, n: Int, numHashes: Int)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // NULL when fewer than n tokens
     override def prettyName: String = "graft_minhash_ngram"
 
     private val P = 2147483647L
@@ -120,6 +126,10 @@ object VectorExpressions {
     override def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[ArrayData]
       val nToks = toks.numElements()
+      // No grams → NULL, not a sentinel signature: [Long.MaxValue × k]
+      // would be IDENTICAL for every short/empty doc, making all of
+      // them collide in every LSH band as certain "duplicates".
+      if (nToks < n) return null
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
       while (i <= nToks - n) {

@@ -127,6 +127,19 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("short docs (no grams) never pair as duplicates") {
+    val shorties = Seq(
+      (1L, "hello"), (2L, "goodbye"), (3L, ""),   // < 2 tokens → no bigram
+      (4L, "the quick brown fox again today"),
+      (5L, "the quick brown fox again today"))    // real dup pair
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(shorties, "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((4L, 5L)),
+      s"short docs paired spuriously: $pairs")
+  }
+
   test("simhash: identical docs same hash; near dups within hamming 16") {
     val sh = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap

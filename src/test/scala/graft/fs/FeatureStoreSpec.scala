@@ -125,6 +125,18 @@ class FeatureStoreSpec extends SparkSpec {
     assert(out.collect().toSeq == Seq(Row(1L, "a", 5.0), Row(2L, "b", null)))
   }
 
+  test("lookup rejects feature colliding with spine column") {
+    val store = freshStore
+    val feat = Seq((1L, 5.0)).toDF("id", "n_orders")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val spine = Seq((1L, 7L)).toDF("id", "n_orders") // stale copy on spine
+    val e = intercept[IllegalArgumentException] {
+      LookupJoins.attach(store, spine, Seq(FeatureLookup("feat", "n_orders", "id")))
+    }
+    assert(e.getMessage.contains("already exist"))
+  }
+
   test("lookup validation: unknown feature / key arity") {
     val store = freshStore
     val feat = Seq((1L, 5.0)).toDF("id", "f")
@@ -183,6 +195,27 @@ class FeatureStoreSpec extends SparkSpec {
     // merge preserves partitioning
     store.writeTable("t", Seq((4L, "c", 4.0)).toDF("id", "part", "x"), WriteMode.Merge)
     assert(store.readTable("t").count() == 4)
+  }
+
+  test("merge with omitted column preserves existing values (partial refresh)") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("id", "x", "tag")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    // refresh ONLY x for key 2 (+ insert key 3): tag must survive for
+    // key 2, not be NULLed out
+    store.writeTable("t", Seq((2L, 99.0), (3L, 30.0)).toDF("id", "x"), WriteMode.Merge)
+    val got = store.readTable("t").orderBy("id").collect().toSeq
+    assert(got == Seq(
+      Row(1L, 10.0, "a"),
+      Row(2L, 99.0, "b"),   // x refreshed, tag preserved
+      Row(3L, 30.0, null))) // inserted; tag unknown
+    // but a column the write CARRIES with NULL does win
+    val withNull = Seq((1L, null.asInstanceOf[java.lang.Double], "z"))
+      .toDF("id", "x", "tag")
+    store.writeTable("t", withNull, WriteMode.Merge)
+    val r1 = store.readTable("t").filter(col("id") === 1).collect()(0)
+    assert(r1.isNullAt(1) && r1.getString(2) == "z")
   }
 
   test("merge rejects column type conflicts with a named error") {
