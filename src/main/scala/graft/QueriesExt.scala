@@ -244,7 +244,11 @@ object PipelinesExt {
 
   // exact percentiles (extends A1 beyond the §5.3 approx-percentile
   // caveat: Spark `percentile` and DuckDB `quantile_cont` both do
-  // linear interpolation over the same exact doubles).
+  // linear interpolation over the same exact doubles). Scale note:
+  // exact percentile buffers each group's values — fine for the 6-group
+  // key here at any row count, but for high-cardinality groups at
+  // 100 TB use approx_percentile (t-digest, bounded memory) and accept
+  // the §5.3 non-portability.
   def percentiles(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
