@@ -189,15 +189,19 @@ object VectorExpressions {
   }
 
   /** Random-hyperplane LSH signature over array<double>: bit i of the
-    * result = sign(v · plane_i), planes derived deterministically from
-    * (bit, dim) via a splitmix64 mix. One O(dim × bits) loop per row.
+    * result = sign(v · plane_{i+planeOffset}), planes derived
+    * deterministically from (bit index, dim) via a splitmix64 mix. One
+    * O(dim × bits) loop per row. `planeOffset` selects an independent
+    * plane family, so callers can stack k signatures into a k×64-bit
+    * sketch (offset = k*64) when banding needs more than 64 bits.
     */
-  case class HyperplaneSig(child: Expression, dim: Int, bits: Int)
+  case class HyperplaneSig(child: Expression, dim: Int, bits: Int, planeOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_sig"
 
-    private val planes: Array[Array[Double]] = Array.tabulate(bits) { i =>
+    private val planes: Array[Array[Double]] = Array.tabulate(bits) { i0 =>
+      val i = i0 + planeOffset
       Array.tabulate(dim) { d =>
         var z = (i.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
         z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -243,4 +247,7 @@ object VectorExpressions {
 
   def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits))
+
+  def hyperplaneSig(emb: Column, dim: Int, bits: Int, planeOffset: Int): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits, planeOffset))
 }
