@@ -355,8 +355,11 @@ object PipelinesExt {
       .orderBy("query_id", "rank")
   }
 
+  // banded-LSH near-dup (recall budget 1e-5/pair at the threshold);
+  // the DuckDB oracle stays the exhaustive all-pairs join — equality
+  // is the point.
   def cosineNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairs(t(s, d, "embeddings"), threshold = 0.4)
+    Similarity.cosineNearDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4, dim = 64)
       .orderBy("id_a", "id_b")
 
   def lshAnn(s: SparkSession, d: String): DataFrame = {

@@ -163,10 +163,11 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
-    * threshold). Exact variant joins on a trivial key split to avoid a
-    * driver-side cross join explosion at test scale; the scale path is
-    * `lshTopK`-style banding.
+  /** Exact all-pairs embedding-cosine near-duplicate pairs (id_a <
+    * id_b, cosine ≥ threshold) — the SPEC ORACLE for the banded
+    * variant below. The theta join is a BroadcastNestedLoopJoin:
+    * exhaustive, O(n²), test-scale only. Production entry point is
+    * [[cosineNearDupPairsLsh]].
     */
   def cosineNearDupPairs(vectors: DataFrame, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
@@ -176,6 +177,102 @@ object Similarity {
     val a = v.select(col(idCol).as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a"))
     val b = v.select(col(idCol).as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b"))
     a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** LSH banding parameters (rowsPerBand, bands) for a cosine
+    * threshold. A pair AT the threshold agrees on each hyperplane bit
+    * with probability p₁ = 1 − acos(t)/π (Charikar 2002); it becomes a
+    * candidate if it matches all `rowsPerBand` bits of ANY band, so its
+    * miss probability is (1 − p₁^r)^b — driven below `missProb` by
+    * choosing b. Larger r is more selective against dissimilar pairs
+    * (collision prob p^r) but needs more bands for the same recall;
+    * this picks the largest r whose total bit budget r·b fits
+    * `maxBits`.
+    *
+    * Honesty note on selectivity: the r/b trade is governed by
+    * ρ = ln p₁ / ln p₂. At true near-dup thresholds (t ≥ 0.9,
+    * p₁ ≈ 0.86 vs p₂ ≈ 0.5 for isotropic pairs) banding prunes ~10³×.
+    * At low thresholds (t = 0.4 ⇒ p₁ ≈ 0.63) the families are barely
+    * separable and a recall-guaranteeing configuration admits most
+    * pairs as candidates — the join is still a distributed hash join
+    * on narrow rows (no nested-loop broadcast, no driver collect), but
+    * the exact re-rank work approaches all-pairs; an exhaustive
+    * low-threshold join is inherently Θ(n²) compute.
+    */
+  def lshBandParams(threshold: Double, maxBits: Int = 512,
+      missProb: Double = 1e-5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"lshBandParams: threshold must be in (0,1), got $threshold")
+    require(maxBits >= 1 && missProb > 0.0 && missProb < 1.0)
+    val p1 = 1.0 - math.acos(threshold) / math.Pi
+    val lnMiss = math.log(missProb)
+    var best = (0, 0)
+    var r = 1
+    while (r <= 64) {
+      val pr = math.pow(p1, r)
+      // bands needed so (1-p^r)^b <= missProb
+      val b = math.max(1L, math.ceil(lnMiss / math.log1p(-pr)).toLong)
+      if (r * b <= maxBits) best = (r, b.toInt)
+      r += 1
+    }
+    require(best._1 > 0,
+      s"lshBandParams: no (rows,bands) with r*b <= $maxBits reaches miss <= $missProb for t=$threshold")
+    best
+  }
+
+  /** Banded-LSH candidate pairs: each vector gets `bands` independent
+    * `rowsPerBand`-bit hyperplane signatures (plane family selected via
+    * planeOffset = band·rowsPerBand, so no plane is reused across
+    * bands); vectors sharing any (band, signature) bucket are
+    * candidates. The self-join carries bare ids only — embeddings
+    * never ride the band shuffle — and the distinct() collapses
+    * multi-band hits before the (expensive) exact re-rank.
+    */
+  private[ext] def lshCandidatePairs(vectors: DataFrame, dim: Int,
+      rowsPerBand: Int, bands: Int,
+      idCol: String, embCol: String): DataFrame = {
+    val sigs = (0 until bands).map { band =>
+      struct(lit(band).as("band"),
+        graft.functions.VectorExpressions.hyperplaneSig(
+          col("emb"), dim, rowsPerBand, band * rowsPerBand).as("key"))
+    }
+    val exploded = Dedup.balanced(vectors)
+      .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .select(col("id"), explode(array(sigs: _*)).as("bk"))
+    exploded.select(col("id").as("id_a"), col("bk"))
+      .join(exploded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** Embedding-cosine near-duplicate pairs via banded hyperplane LSH +
+    * exact re-rank — the scale path for [[cosineNearDupPairs]]: the
+    * all-pairs theta join (BroadcastNestedLoopJoin, Θ(n²) through one
+    * broadcast) is replaced by (1) banded signature buckets sized by
+    * [[lshBandParams]] for per-pair miss probability ≤ `missProb` at
+    * the threshold, (2) a distributed hash self-join on narrow
+    * (band, key, id) rows, (3) exact cosine on the surviving candidates
+    * only. Same output contract as the exact variant; equality on the
+    * gate data is asserted by SimilaritySpec against the all-pairs
+    * oracle.
+    */
+  def cosineNearDupPairsLsh(vectors: DataFrame, threshold: Double, dim: Int,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxSignatureBits: Int = 512, missProb: Double = 1e-5): DataFrame = {
+    val (rowsPerBand, bands) = lshBandParams(threshold, maxSignatureBits, missProb)
+    val cands = lshCandidatePairs(vectors, dim, rowsPerBand, bands, idCol, embCol)
+    val v = Dedup.balanced(vectors)
+      .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+    // re-attach embeddings by id: no broadcast hint — the vector table
+    // scales with the corpus; AQE broadcasts while it fits
+    cands
+      .join(v.select(col("id").as("id_a"), col("emb").as("emb_a"), col("nrm").as("nrm_a")), Seq("id_a"))
+      .join(v.select(col("id").as("id_b"), col("emb").as("emb_b"), col("nrm").as("nrm_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (dot(col("emb_a"), col("emb_b")) / (col("nrm_a") * col("nrm_b"))).as("cosine"))
       .filter(col("cosine") >= threshold)

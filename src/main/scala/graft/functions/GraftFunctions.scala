@@ -39,8 +39,14 @@ object GraftFunctions {
       es => MinHashNgramSig(es(0), intArg(es(1), "graft_minhash_ngram", 1),
         intArg(es(2), "graft_minhash_ngram", 2))),
     ("graft_hyperplane_sig", "random-hyperplane LSH bit signature",
-      es => HyperplaneSig(es(0), intArg(es(1), "graft_hyperplane_sig", 1),
-        intArg(es(2), "graft_hyperplane_sig", 2))))
+      es => {
+        // 3-arg (vec, dim, bits) or 4-arg (vec, dim, bits, planeOffset)
+        require(es.length == 3 || es.length == 4, s"graft_hyperplane_sig: " +
+          s"expected 3 or 4 arguments (vec, dim, bits[, planeOffset]), got ${es.length}")
+        HyperplaneSig(es(0), intArg(es(1), "graft_hyperplane_sig", 1),
+          intArg(es(2), "graft_hyperplane_sig", 2),
+          if (es.length == 4) intArg(es(3), "graft_hyperplane_sig", 3) else 0)
+      }))
 
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>

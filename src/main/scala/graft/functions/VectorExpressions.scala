@@ -197,6 +197,13 @@ object VectorExpressions {
     */
   case class HyperplaneSig(child: Expression, dim: Int, bits: Int, planeOffset: Int = 0)
       extends UnaryExpression with CodegenFallback {
+    require(dim > 0 && bits > 0 && bits <= 64,
+      s"graft_hyperplane_sig: need dim > 0 and 0 < bits <= 64, got dim=$dim bits=$bits")
+    // offset must start a fresh plane family: a partial overlap (e.g.
+    // offset=32 with bits=64) would silently reuse planes and produce
+    // correlated signatures across "independent" families
+    require(planeOffset >= 0 && planeOffset % bits == 0,
+      s"graft_hyperplane_sig: planeOffset must be a non-negative multiple of bits, got offset=$planeOffset bits=$bits")
     override def dataType: DataType = LongType
     override def prettyName: String = "graft_hyperplane_sig"
 

@@ -237,6 +237,67 @@ class SimilaritySpec extends SparkSpec {
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.9 })
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L)))
   }
+
+  test("lshBandParams: recall budget honored, selectivity grows with threshold") {
+    // t=0.4: p1 ≈ 0.631 ⇒ r=4, b=67 under the 512-bit default budget
+    val (r4, b4) = Similarity.lshBandParams(0.4)
+    assert((r4, b4) == (4, 67), s"got ($r4, $b4)")
+    // per-pair miss at the threshold stays within budget
+    val p1 = 1.0 - math.acos(0.4) / math.Pi
+    assert(math.pow(1.0 - math.pow(p1, r4), b4) <= 1e-5)
+    // higher threshold ⇒ more selective bands (larger r)
+    val (r9, _) = Similarity.lshBandParams(0.9)
+    assert(r9 > r4)
+    intercept[IllegalArgumentException](Similarity.lshBandParams(0.0))
+    intercept[IllegalArgumentException](Similarity.lshBandParams(1.0))
+  }
+
+  test("cosineNearDupPairsLsh: equals the exact all-pairs oracle on gate data") {
+    // the q30 contract: banded LSH + exact re-rank must reproduce the
+    // exhaustive join bit-for-bit on the driver's embeddings tables
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val emb = graft.Tables.load(spark, dir, "embeddings")
+      val exact = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val lsh = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4, dim = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(lsh == exact, s"$dir: LSH=${lsh.size} exact=${exact.size} " +
+        s"missed=${(exact -- lsh).take(5)} extra=${(lsh -- exact).take(5)}")
+    }
+  }
+
+  test("cosineNearDupPairsLsh: plan has no BroadcastNestedLoopJoin") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val plan = Similarity.cosineNearDupPairsLsh(emb, threshold = 0.4, dim = 64)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"O(n²) join in plan:\n$plan")
+    // ...while the exact oracle variant is (by design) the nested loop
+    val exactPlan = Similarity.cosineNearDupPairs(emb, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(exactPlan.contains("BroadcastNestedLoop"))
+  }
+
+  test("lshCandidatePairs: selective at near-dup thresholds on planted dups") {
+    import spark.implicits._
+    // 200 isotropic-ish vectors + 20 planted near-identical copies
+    val rnd = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = (0L until 200L).map(i => (i, vec()))
+    val dups = base.take(20).map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val (r, b) = Similarity.lshBandParams(0.9)
+    val cands = Similarity.lshCandidatePairs(df, 64, r, b, "vec_id", "embedding")
+    val nCands = cands.count()
+    val nAll = 220L * 219 / 2
+    // candidates ≪ all pairs, and every planted dup pair survives
+    assert(nCands < nAll / 5, s"no pruning: $nCands of $nAll")
+    val candSet = cands.collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    base.take(20).foreach { case (i, _) =>
+      assert(candSet.contains((i, i + 1000L)), s"planted dup $i missed")
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {

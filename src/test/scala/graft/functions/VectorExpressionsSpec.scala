@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Plane-family semantics of the hyperplane LSH signature — the
+  * contract `Similarity.lshCandidatePairs` banding relies on.
+  */
+class VectorExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Seq((1L, Array.tabulate(64)(i => math.sin(i + 1).toFloat)))
+    .toDF("vec_id", "embedding")
+    .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+
+  test("hyperplaneSig: offset 0 reproduces the 3-arg form") {
+    val r = emb.select(
+      VectorExpressions.hyperplaneSig(col("emb"), 64, 32).as("s3"),
+      VectorExpressions.hyperplaneSig(col("emb"), 64, 32, 0).as("s4"))
+      .head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
+  test("hyperplaneSig: distinct offsets give uncorrelated plane families") {
+    // 16-bit signatures at offsets 0,16,32,...: families must not
+    // repeat (reused planes would collapse banding recall)
+    val sigs = emb.select((0 until 8).map(k =>
+      VectorExpressions.hyperplaneSig(col("emb"), 64, 16, k * 16).as(s"s$k")): _*)
+      .head()
+    val values = (0 until 8).map(sigs.getLong)
+    assert(values.distinct.size == values.size, s"families repeat: $values")
+  }
+
+  test("hyperplaneSig: stacked 16-bit families at aligned offsets equal the 64-bit bits") {
+    // bit i of the 64-bit signature uses plane i; a 16-bit signature at
+    // offset 16k uses planes 16k..16k+15 — so the stacked families must
+    // reassemble the full signature exactly
+    val cols = VectorExpressions.hyperplaneSig(col("emb"), 64, 64).as("full") +:
+      (0 until 4).map(k =>
+        VectorExpressions.hyperplaneSig(col("emb"), 64, 16, k * 16).as(s"p$k"))
+    val r = emb.select(cols: _*).head()
+    val full = r.getLong(0)
+    (0 until 4).foreach { k =>
+      assert(((full >>> (16 * k)) & 0xFFFFL) == r.getLong(1 + k), s"band $k mismatch")
+    }
+  }
+
+  test("hyperplaneSig: misaligned or negative offset rejected") {
+    intercept[IllegalArgumentException](
+      VectorExpressions.HyperplaneSig(null, 64, 64, 32))
+    intercept[IllegalArgumentException](
+      VectorExpressions.HyperplaneSig(null, 64, 16, -16))
+  }
+
+  test("graft_hyperplane_sig SQL: 4th offset arg accepted, bad arity rejected") {
+    GraftFunctions.register(spark)
+    emb.createOrReplaceTempView("vx_emb")
+    val r = spark.sql(
+      """SELECT graft_hyperplane_sig(emb, 64, 16) AS s3,
+        |       graft_hyperplane_sig(emb, 64, 16, 0) AS s4,
+        |       graft_hyperplane_sig(emb, 64, 16, 16) AS shift
+        |FROM vx_emb""".stripMargin).head()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+    val err = intercept[Exception](
+      spark.sql("SELECT graft_hyperplane_sig(emb, 64) FROM vx_emb").head())
+    assert(err.getMessage.contains("graft_hyperplane_sig"))
+  }
+}
