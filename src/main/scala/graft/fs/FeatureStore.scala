@@ -1,9 +1,8 @@
 package graft.fs
 
-import java.io.{File, FileInputStream, FileOutputStream}
-import java.nio.file.{Files, Paths, StandardCopyOption}
 import java.util.Properties
 
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -43,6 +42,16 @@ object WriteMode {
   * (Delta/Iceberg): the pointer file is the transaction log, versioned
   * dirs are snapshots, and the version check is the commit-time CAS.
   *
+  * All I/O goes through Hadoop `FileSystem`/`FileContext`, so `root`
+  * may be any Hadoop URI — `/local/dir`, `file:///...`, `hdfs://...`,
+  * `s3a://...`. The version-claim rename uses `FileContext.rename`
+  * with `Options.Rename.NONE`: atomic on HDFS, and it FAILS when the
+  * destination exists instead of moving the source inside it (the
+  * plain `FileSystem.rename` dir-into-dir semantics would silently
+  * defeat the racing-writer check). On object stores without atomic
+  * rename (raw S3) the claim degrades to copy+check — same place a
+  * real table format plugs in a log-store/DynamoDB commit.
+  *
   * Scale notes (SURVEY.md §7.7):
   *   - merge is a single shuffle (the anti-join on the key); AQE handles
   *     skewed keys at runtime;
@@ -52,22 +61,25 @@ object WriteMode {
   */
 final class FeatureStore(spark: SparkSession, val root: String) {
 
-  new File(root).mkdirs()
+  private val hconf = spark.sessionState.newHadoopConf()
+  private val rootPath = new Path(root)
+  private val fs: FileSystem = rootPath.getFileSystem(hconf)
+  private val fc: FileContext = FileContext.getFileContext(fs.getUri, hconf)
 
-  private def tableDir(name: String) = Paths.get(root, name)
-  private def specFile(name: String) = tableDir(name).resolve("spec.properties")
-  private def dataDir(name: String, version: Int) = tableDir(name).resolve(s"v$version")
+  fs.mkdirs(rootPath)
+
+  private def tableDir(name: String) = new Path(rootPath, name)
+  private def specFile(name: String) = new Path(tableDir(name), "spec.properties")
+  private def dataDir(name: String, version: Int) = new Path(tableDir(name), s"v$version")
 
   // ---------------------------------------------------------------- catalog
 
-  def tableExists(name: String): Boolean = Files.exists(specFile(name))
+  def tableExists(name: String): Boolean = fs.exists(specFile(name))
 
-  def listTables(): Seq[String] = {
-    val f = new File(root)
-    Option(f.listFiles()).getOrElse(Array.empty)
-      .filter(d => d.isDirectory && Files.exists(specFile(d.getName)))
-      .map(_.getName).toSeq.sorted
-  }
+  def listTables(): Seq[String] =
+    fs.listStatus(rootPath).toSeq
+      .filter(st => st.isDirectory && fs.exists(new Path(st.getPath, "spec.properties")))
+      .map(_.getPath.getName).sorted
 
   /** K4 — register a feature table: validate keys against the schema,
     * persist metadata. The table starts empty at version 0 (the
@@ -77,7 +89,7 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   def createTable(spec: FeatureTableSpec): Unit = {
     spec.validate()
     require(!tableExists(spec.name), s"feature table ${spec.name} already exists")
-    Files.createDirectories(tableDir(spec.name))
+    fs.mkdirs(tableDir(spec.name))
     saveSpec(spec, version = 0)
   }
 
@@ -88,7 +100,8 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   /** K6 — drop metadata + all data versions. */
   def deleteTable(name: String): Unit = {
     require(tableExists(name), s"feature table $name does not exist")
-    deleteRecursively(tableDir(name).toFile)
+    fs.delete(tableDir(name), true)
+    ()
   }
 
   // ---------------------------------------------------------------- data
@@ -163,32 +176,33 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     val newVersion = version + 1
     val target = dataDir(name, newVersion)
     // write into a writer-private temp dir, then claim v<N+1> by atomic
-    // directory rename — racing writers can't clobber each other's
+    // no-overwrite rename — racing writers can't clobber each other's
     // files; the loser's rename fails and it aborts before touching the
     // pointer (a merge computed against a stale base must not commit)
-    val tmp = tableDir(name).resolve(s"v$newVersion.tmp-${java.util.UUID.randomUUID()}")
+    val tmp = new Path(tableDir(name), s"v$newVersion.tmp-${java.util.UUID.randomUUID()}")
     val writer = result.write.mode("overwrite")
     val partitioned =
       if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
     partitioned.parquet(tmp.toString)
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    try fc.rename(tmp, target, Options.Rename.NONE)
     catch {
-      case e: java.nio.file.FileSystemException =>
-        deleteRecursively(tmp.toFile)
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.FileNotFoundException | _: java.io.IOException) =>
+        fs.delete(tmp, true)
         throw new java.util.ConcurrentModificationException(
           s"feature table $name: another writer committed v$newVersion first; retry", e)
     }
     val nowVersion = loadSpec(name)._2
     if (nowVersion != version) {
-      deleteRecursively(target.toFile)
+      fs.delete(target, true)
       throw new java.util.ConcurrentModificationException(
         s"feature table $name: version moved $version -> $nowVersion during write; retry")
     }
     saveSpec(spec.copy(schema = structTypeOf(result)), newVersion)
     // Old versions are kept for time travel; prune all but the last two.
     (1 until newVersion - 1).foreach { v =>
-      val d = dataDir(name, v).toFile
-      if (d.exists()) deleteRecursively(d)
+      val d = dataDir(name, v)
+      if (fs.exists(d)) fs.delete(d, true)
     }
   }
 
@@ -197,23 +211,57 @@ final class FeatureStore(spark: SparkSession, val root: String) {
 
   /** K7 — publish the offline table to an "online" store for point
     * lookups (SO:374-387 publishes to MySQL over JDBC). With zero egress
-    * the stand-in is a single sorted-by-key parquet snapshot under
-    * `<root>/_online/<name>` — the shape a KV bulk-load would consume.
-    * A real deployment would swap `writeOnline` for
-    * `df.write.format("jdbc")` — the plan up to the sink is identical.
+    * the stand-in is a key-range-partitioned, per-file key-sorted
+    * parquet snapshot under `<root>/_online/<name>` — the shape a KV
+    * bulk-load consumes (each range file is one ingest unit; sorted
+    * runs build the KV index without re-sorting). `numPartitions`
+    * controls write parallelism and file count; the default follows the
+    * session's parallelism so a 1000-executor cluster writes 1000-way,
+    * never through one task. A real deployment swaps the parquet sink
+    * for JDBC — [[publishTableJdbc]] builds exactly that plan.
     */
-  def publishTable(name: String): String = {
-    val (spec, _) = loadSpec(name)
-    val online = Paths.get(root, "_online", name)
-    readTable(name)
-      .repartition(1, spec.keys.map(col): _*)
-      .sortWithinPartitions(spec.keys.map(col): _*)
+  def publishTable(name: String,
+      numPartitions: Int = spark.sparkContext.defaultParallelism): String = {
+    val online = onlinePath(name)
+    publishFrame(name, numPartitions)
       .write.mode("overwrite").parquet(online.toString)
     online.toString
   }
 
+  /** K7 over JDBC — the reference's actual online sink
+    * (Feature_Store_Telco_Churn_Sean_Original.py:374-387 publishes to
+    * MySQL over JDBC): the same range-partitioned key-sorted publish
+    * plan written through Spark's JDBC relation (`numPartitions`
+    * concurrent INSERT streams, truncate-not-drop overwrite so the
+    * serving store keeps its indexes). No RDBMS ships in this
+    * container, so the gate never executes it; FeatureStoreSpec
+    * asserts the sink options and that save() reaches the JDBC driver
+    * layer.
+    */
+  def publishTableJdbc(name: String, url: String, table: String,
+      props: Properties = new Properties(),
+      numPartitions: Int = spark.sparkContext.defaultParallelism): Unit =
+    publishFrame(name, numPartitions)
+      .write.format("jdbc").mode("overwrite")
+      .options(FeatureStore.jdbcPublishOptions(url, table, props))
+      .save()
+
+  /** The publish plan shared by every online sink: range-partition by
+    * key (contiguous key ranges → point-lookup locality + bounded
+    * per-task memory) and sort within each partition.
+    */
+  private[fs] def publishFrame(name: String, numPartitions: Int): DataFrame = {
+    require(numPartitions > 0, s"publishTable($name): numPartitions must be > 0")
+    val (spec, _) = loadSpec(name)
+    readTable(name)
+      .repartitionByRange(numPartitions, spec.keys.map(col): _*)
+      .sortWithinPartitions(spec.keys.map(col): _*)
+  }
+
+  private def onlinePath(name: String) = new Path(new Path(rootPath, "_online"), name)
+
   def readOnlineTable(name: String): DataFrame =
-    spark.read.parquet(Paths.get(root, "_online", name).toString)
+    spark.read.parquet(onlinePath(name).toString)
 
   /** Compact the current snapshot into `targetPartitions` files (repeated
     * merges leave one file per shuffle partition per write — at 100 TB
@@ -240,17 +288,18 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     p.setProperty("schemaDdl", spec.schema.toDDL)
     p.setProperty("partitionBy", spec.partitionBy.mkString(","))
     p.setProperty("version", version.toString)
-    val tmp = tableDir(spec.name).resolve(s"spec.properties.tmp${System.nanoTime()}")
-    val out = new FileOutputStream(tmp.toFile)
+    val tmp = new Path(tableDir(spec.name), s"spec.properties.tmp${System.nanoTime()}")
+    val out = fs.create(tmp, true)
     try p.store(out, "graft feature table spec") finally out.close()
-    Files.move(tmp, specFile(spec.name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    // pointer swap: atomic overwrite rename (HDFS); readers see either
+    // the old or the new spec, never a partial file
+    fc.rename(tmp, specFile(spec.name), Options.Rename.OVERWRITE)
   }
 
   private def loadSpec(name: String): (FeatureTableSpec, Int) = {
     require(tableExists(name), s"feature table $name does not exist")
     val p = new Properties()
-    val in = new FileInputStream(specFile(name).toFile)
+    val in = fs.open(specFile(name))
     try p.load(in) finally in.close()
     def list(k: String) =
       p.getProperty(k, "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
@@ -262,11 +311,6 @@ final class FeatureStore(spark: SparkSession, val root: String) {
       partitionBy = list("partitionBy"))
     (spec, p.getProperty("version", "0").toInt)
   }
-
-  private def deleteRecursively(f: File): Unit = {
-    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
-    f.delete(); ()
-  }
 }
 
 object FeatureStore {
@@ -275,7 +319,23 @@ object FeatureStore {
     * write path end-to-end.
     */
   def temp(spark: SparkSession): FeatureStore = {
-    val dir = Files.createTempDirectory("graft-fs-").toString
+    val dir = java.nio.file.Files.createTempDirectory("graft-fs-").toString
     new FeatureStore(spark, dir)
+  }
+
+  /** Options for the JDBC publish sink, exposed so tests can assert
+    * the exact sink configuration without a live database. Caller
+    * `props` (user/password/driver/...) are merged last and win.
+    */
+  def jdbcPublishOptions(url: String, table: String,
+      props: Properties = new Properties()): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Map(
+      "url" -> url,
+      "dbtable" -> table,
+      "batchsize" -> "10000",
+      "isolationLevel" -> "READ_COMMITTED",
+      "truncate" -> "true") ++
+      props.asScala.map { case (k, v) => k.toString -> v.toString }
   }
 }
