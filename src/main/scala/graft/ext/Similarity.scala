@@ -121,17 +121,25 @@ object Similarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      fitFraction: Double = 0.5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
+    require(fitFraction > 0.0 && fitFraction <= 1.0,
+      s"ivfTopK: fitFraction must be in (0,1], got $fitFraction")
     val spark = corpus.sparkSession
 
     val c = Dedup.balanced(corpus)
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
       .withColumn("features", array_to_vector(col("c_emb")))
       .cache()
+    // quantizer fit on a seeded sample: the coarse centroids need
+    // O(nlist·10³) training points, not the corpus — at 10⁹ vectors set
+    // fitFraction ≪ 1 and the KMeans cost stays flat while assignment
+    // (the transform below) remains one full narrow pass
     val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .fit(c.select(col("features")))
+      .fit(c.select(col("features"))
+        .sample(withReplacement = false, fitFraction, seed = 42L))
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
 

@@ -104,14 +104,19 @@ object TextAnalysis {
     * the standard scalable TF-IDF plan.
     */
   def termStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    val nDocs = docs.count()
+    // N (corpus size) is folded into the plan as a 1-row aggregate
+    // broadcast-crossed onto the join output — building this operator
+    // stays lazy (no driver-side count() job at plan-construction time)
+    // and the whole computation remains a single pass over the corpus.
+    val nDocs = docs.agg(count(lit(1)).as("_n_docs"))
     val terms = docs.select(col(idCol).as("doc_id"),
       explode(tokens(lower(col(textCol)))).as("term"))
     val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     tf.join(df, Seq("term"))
-      .withColumn("idf_ratio", lit(nDocs).cast("double") / col("df"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf_ratio", col("_n_docs").cast("double") / col("df"))
+      .drop("_n_docs")
   }
 
   /** Quality score in [0,1]: blend of normalized length, word length

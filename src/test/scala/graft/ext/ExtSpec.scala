@@ -47,6 +47,42 @@ class TextAnalysisSpec extends SparkSpec {
     val Seq(qg, qb) = df.collect().map(_.getDouble(0)).toSeq
     assert(qg > qb && qg <= 1.0 && qb >= 0.0)
   }
+
+  test("termStats: correct tf/df/idf, and plan construction fires no Spark job") {
+    // listener events are async, so count by JobStart submission time:
+    // an eager job during operator construction would be submitted (and,
+    // being blocking, completed) before t0
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobTimes.add(js.time); ()
+      }
+    }
+    val tReg = System.currentTimeMillis()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+      val stats = TextAnalysis.termStats(docs, "text", "doc_id")
+      Thread.sleep(5)
+      val t0 = System.currentTimeMillis()
+      spark.range(1).count() // sentinel: proves listener sees jobs ≥ t0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!jobTimes.iterator().hasNext && System.nanoTime() < deadline) Thread.sleep(10)
+      import scala.jdk.CollectionConverters._
+      val times = jobTimes.iterator().asScala.map(_.toLong).toSeq
+      assert(times.exists(_ >= t0), "sentinel job not observed")
+      val eager = times.filter(t => t >= tReg && t < t0)
+      assert(eager.isEmpty, s"operator construction ran ${eager.size} eager job(s)")
+      val got = stats.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      assert(got == Set(
+        ("a", 1L, 2L, 2L, 1.0),  // term a: doc 1 tf=2, df=2, idf_ratio=2/2
+        ("a", 2L, 1L, 2L, 1.0),
+        ("b", 1L, 1L, 1L, 2.0),
+        ("c", 2L, 1L, 1L, 2.0)))
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
 
 class GraftFunctionsSpec extends SparkSpec {
