@@ -278,6 +278,41 @@ object PipelinesExt {
       .orderBy("side")
   }
 
+  // S1 — CSV ingest through the real reader path: materialize the
+  // customer slice as CSV (the fixture the reference ships as
+  // Telco-Customer-Churn.csv, setup.py:206-221), then
+  // Cleanse.readCsv (header + schema inference) + recode/cast. The
+  // oracle reads the SAME files via DuckDB read_csv_auto, so the
+  // CSV parse itself is under cross-engine test. Fixed dump path:
+  // the oracle SQL is static while the sf dir varies; each run
+  // rewrites the fixture from its own dir before reading.
+  val csvFixturePath = "/tmp/graft_q44_csv"
+
+  def csvIngest(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").option("header", "true").csv(csvFixturePath)
+    graft.etl.Cleanse.readCsv(s, csvFixturePath)
+      .select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        length(trim(col("c_name"))).as("name_len"),
+        graft.etl.Cleanse.recode(col("c_mktsegment"),
+          Seq("BUILDING" -> 1, "AUTOMOBILE" -> 2, "MACHINERY" -> 3)).as("segment_code"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  // A1 — the actual df.summary() API (Sean_Original.py:32). Percentile
+  // rows are approximate (SURVEY.md §5.3) and every cell is a formatted
+  // string, so this is a rows-only gate entry; exact parity of the
+  // count/mean/min/max rows against exact aggregates is spec-tested
+  // (SummaryParitySpec).
+  def summaryParity(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .summary()
+      .orderBy("summary")
+
   private val pitStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
   private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
@@ -634,6 +669,17 @@ object OraclesExt {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q44_csv_ingest" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         |  CAST(length(trim(c_name)) AS INTEGER) AS name_len,
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+         |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 2
+         |       WHEN c_mktsegment = 'MACHINERY' THEN 3 END AS segment_code,
+         |  CAST(c_acctbal AS DOUBLE) AS acctbal
+         |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
+         |ORDER BY c_custkey""".stripMargin,
+    // q45_summary: rows-only — df.summary() emits formatted strings and
+    // approx percentiles (SURVEY.md §5.3); exact-row parity spec-tested.
     // q26/q27/q28 (minhash/simhash/ngram-jaccard candidates) and q31
     // (LSH ANN) intentionally omit oracles: Spark xxhash64 is not
     // reproducible in DuckDB SQL (SURVEY.md §5.3) — driver records the

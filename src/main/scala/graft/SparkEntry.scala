@@ -72,6 +72,8 @@ object SparkEntry {
     "q41_train_test_split" -> ((s, d) => PipelinesExt.trainTestSplit(s, d)),
     "q42_percentiles" -> ((s, d) => PipelinesExt.percentiles(s, d)),
     "q43_cube" -> ((s, d) => PipelinesExt.cubeSummary(s, d)),
+    "q44_csv_ingest" -> ((s, d) => PipelinesExt.csvIngest(s, d)),
+    "q45_summary" -> ((s, d) => PipelinesExt.summaryParity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
