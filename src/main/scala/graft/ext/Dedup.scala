@@ -23,11 +23,18 @@ object Dedup {
   /** Single-file parquet inputs arrive as one partition; CPU-bound
     * per-row signature work then runs on one core. Fan small inputs out
     * to the session's parallelism (no-op when the source is already
-    * split, as a 100 TB table would be).
+    * split, as a 100 TB table would be). The split estimate comes from
+    * optimizer statistics (bytes / maxPartitionBytes — the same ratio
+    * FileSourceScan uses to split files), NOT from df.rdd: probing the
+    * RDD would instantiate the physical plan and its lineage on every
+    * operator build.
     */
   private[ext] def balanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val estParts = (bytes / maxPartitionBytes).min(BigInt(Int.MaxValue)).toInt + 1
+    if (estParts < p) df.repartition(p) else df
   }
 
   // ------------------------------------------------------------- exact

@@ -47,41 +47,58 @@ object Multimodal {
       mean_intensity: Double,
       histogram: Array[Long])
 
-  /** ======== STUB ========
-    * Deterministic fake "decode": treats the payload bytes as pixels.
-    * A real implementation would decode JPEG/PNG/WAV here; the
-    * container ships no codecs, so the fake derives intensity stats
-    * directly from the bytes. Signature and batch shape are what a real
-    * codec integration would use.
+  /** Pluggable codec boundary: one instance is serialized into each
+    * decode task, so implementations must be `Serializable` and
+    * thread-safe-per-partition (the standard Spark UDF contract). A
+    * real deployment drops in a JNI/library-backed decoder
+    * (JPEG/PNG/WAV → intensity stats) without touching the plan: the
+    * decode stays a per-partition narrow map either way.
     */
-  private[ext] def stubDecode(payload: Array[Byte]): (Double, Array[Long]) = {
-    if (payload == null || payload.isEmpty) (0.0, new Array[Long](8))
-    else {
-      var sum = 0L
-      val hist = new Array[Long](8)
-      var i = 0
-      while (i < payload.length) {
-        val v = payload(i) & 0xFF
-        sum += v
-        hist(v >> 5) += 1
-        i += 1
+  trait MediaDecoder extends Serializable {
+    /** (mean intensity, 8-bin intensity histogram) for one payload. */
+    def decode(payload: Array[Byte]): (Double, Array[Long])
+  }
+
+  /** ======== STUB ========
+    * Deterministic fake decoder: treats the payload bytes as pixels.
+    * The container ships no image/audio codecs, so this derives
+    * intensity stats directly from the bytes; signature and batch
+    * shape are what a real codec integration would use.
+    */
+  object ByteStatsDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      if (payload == null || payload.isEmpty) (0.0, new Array[Long](8))
+      else {
+        var sum = 0L
+        val hist = new Array[Long](8)
+        var i = 0
+        while (i < payload.length) {
+          val v = payload(i) & 0xFF
+          sum += v
+          hist(v >> 5) += 1
+          i += 1
+        }
+        (sum.toDouble / payload.length, hist)
       }
-      (sum.toDouble / payload.length, hist)
     }
   }
+
+  private[ext] def stubDecode(payload: Array[Byte]): (Double, Array[Long]) =
+    ByteStatsDecoder.decode(payload)
 
   /** Partition-parallel decode + feature extraction: one narrow
     * `mapPartitions` pass (the Scala analog of the reference stack's
     * `mapInPandas` batch UDF), no shuffle, constant memory per row.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame,
+      decoder: MediaDecoder = ByteStatsDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val (mean, hist) = stubDecode(payload)
+          val (mean, hist) = decoder.decode(payload)
           MediaFeatures(id, if (payload == null) 0 else payload.length, mean, hist)
         }
       }

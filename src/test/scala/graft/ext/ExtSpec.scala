@@ -349,6 +349,15 @@ class MultimodalSpec extends SparkSpec {
     assert(m.count() == 3)
   }
 
+  test("extractFeatures: pluggable decoder is used for every row") {
+    val constDecoder = new Multimodal.MediaDecoder {
+      override def decode(p: Array[Byte]): (Double, Array[Long]) =
+        (42.0, Array.fill(8)(1L))
+    }
+    val f = Multimodal.extractFeatures(media, constDecoder).collect()
+    assert(f.nonEmpty && f.forall(_.mean_intensity == 42.0))
+  }
+
   test("extractFeatures: partition-parallel decode with deterministic stats") {
     val f = Multimodal.extractFeatures(media).collect().map(x => x.media_id -> x).toMap
     assert(f(1L).n_bytes == 11)
