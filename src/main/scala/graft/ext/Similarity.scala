@@ -250,10 +250,14 @@ object Similarity {
     val exploded = Dedup.balanced(vectors)
       .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
       .select(col("id"), explode(array(sigs: _*)).as("bk"))
-    exploded.select(col("id").as("id_a"), col("bk"))
-      .join(exploded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+    // self-join via aliases, renaming only ABOVE the join: both sides
+    // are then canonically identical up to the bucket-key shuffle, so
+    // ReuseExchange computes the (bands × dim)-cost signature pipeline
+    // once and replays the shuffle output for the other side
+    exploded.alias("a")
+      .join(exploded.alias("b"), col("a.bk") === col("b.bk"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
 

@@ -10,8 +10,10 @@ object GenPlans {
     ("q11_pricing_summary", "TPC-H-Q1-shaped aggregation: filter pushed to the parquet scan (PushedFilters), 6-col pruned ReadSchema, map-side partial aggregation, one hash exchange on the 2-key group."),
     ("q07_training_set", "Training-set assembly (J3): feature tables pruned to key+features BEFORE the joins, both lookup joins BroadcastHashJoin LeftOuter (feature side broadcast); at 100 TB AQE swaps these to sort-merge on the shared c_custkey key."),
     ("q15_sql_revenue_per_nation", "SQL entry: 5-table join — Catalyst broadcast-joins the dims (nation/region/customer) and reorders so lineitem↔orders is the only big join."),
-    ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression. The row_number<=k filter is rewritten by Catalyst's InferWindowGroupLimit into Partial+Final WindowGroupLimit — a per-partition top-k heap BEFORE the shuffle — which is why no custom top-k operator is needed (SURVEY §4: don't hand-schedule what the optimizer already does)."),
-    ("q33_pit_training_set", "Point-in-time lookup: union of probes+features, ONE exchange on user_id, window last-ignoreNulls — no range join, no per-version explosion."))
+    ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression. The BroadcastNestedLoopJoin here is deliberate and safe: the build side is the (small-by-contract) query batch, so the 'loop' is exactly one corpus scan scoring all k queries — the optimal exact plan; corpus-× -corpus nested loops are what's banned (see q30). The row_number<=k filter is rewritten by Catalyst's InferWindowGroupLimit into Partial+Final WindowGroupLimit — a per-partition top-k heap BEFORE the shuffle — which is why no custom top-k operator is needed (SURVEY §4: don't hand-schedule what the optimizer already does)."),
+    ("q33_pit_training_set", "Point-in-time lookup: union of probes+features, ONE exchange on user_id, window last-ignoreNulls — no range join, no per-version explosion."),
+    ("q30_cosine_near_dup", "Banded hyperplane-LSH near-dup (round 3): candidate generation is an equi-join on (band, signature) buckets — NO BroadcastNestedLoopJoin anywhere — followed by exact-cosine re-rank of candidates only. At gate scale AQE broadcasts the narrow id/bucket side; at 100 TB both sides shuffle on the bucket key."),
+    ("q14_publish_online", "Online publish (round 3): repartitionByRange on the key + sortWithinPartitions — n-way parallel, per-file key-sorted, disjoint key ranges (the KV bulk-load shape); the old single-partition write is gone."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
