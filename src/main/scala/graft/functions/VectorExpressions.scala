@@ -194,9 +194,12 @@ object VectorExpressions {
     * O(dim × bits) loop per row. `planeOffset` selects an independent
     * plane family, so callers can stack k signatures into a k×64-bit
     * sketch (offset = k*64) when banding needs more than 64 bits.
+    * Whole-stage-codegen'd: banded callers evaluate dozens of these per
+    * row (one per band), so interpreted dispatch would dominate the
+    * tight dot-product loops.
     */
   case class HyperplaneSig(child: Expression, dim: Int, bits: Int, planeOffset: Int = 0)
-      extends UnaryExpression with CodegenFallback {
+      extends UnaryExpression {
     require(dim > 0 && bits > 0 && bits <= 64,
       s"graft_hyperplane_sig: need dim > 0 and 0 < bits <= 64, got dim=$dim bits=$bits")
     // offset must start a fresh plane family: a partial overlap (e.g.
@@ -233,6 +236,30 @@ object VectorExpressions {
       }
       sig
     }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, arr => {
+        val planesRef = ctx.addReferenceObj("planes", planes, "double[][]")
+        val n = ctx.freshName("n")
+        val sig = ctx.freshName("sig")
+        val i = ctx.freshName("i")
+        val j = ctx.freshName("j")
+        val d = ctx.freshName("d")
+        val plane = ctx.freshName("plane")
+        s"""
+           |int $n = java.lang.Math.min($arr.numElements(), $dim);
+           |long $sig = 0L;
+           |for (int $i = 0; $i < $bits; $i++) {
+           |  double[] $plane = $planesRef[$i];
+           |  double $d = 0.0;
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    $d += $arr.getDouble($j) * $plane[$j];
+           |  }
+           |  if ($d > 0) $sig |= (1L << $i);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
