@@ -232,30 +232,30 @@ object Similarity {
   }
 
   /** Banded-LSH candidate pairs: each vector gets `bands` independent
-    * `rowsPerBand`-bit hyperplane signatures (plane family selected via
-    * planeOffset = band·rowsPerBand, so no plane is reused across
-    * bands); vectors sharing any (band, signature) bucket are
-    * candidates. The self-join carries bare ids only — embeddings
-    * never ride the band shuffle — and the distinct() collapses
-    * multi-band hits before the (expensive) exact re-rank.
+    * `rowsPerBand`-bit hyperplane signatures (band b uses the plane
+    * family [b·r, (b+1)·r), so no plane is reused across bands);
+    * vectors sharing any (band, key) bucket are candidates. All band
+    * keys come from ONE fused expression (`HyperplaneBandKeys`) —
+    * one signature pass per row, not one interpreted expression per
+    * band. The self-join carries bare ids only — embeddings never ride
+    * the band shuffle — and the distinct() collapses multi-band hits
+    * before the (expensive) exact re-rank.
     */
   private[ext] def lshCandidatePairs(vectors: DataFrame, dim: Int,
       rowsPerBand: Int, bands: Int,
       idCol: String, embCol: String): DataFrame = {
-    val sigs = (0 until bands).map { band =>
-      struct(lit(band).as("band"),
-        graft.functions.VectorExpressions.hyperplaneSig(
-          col("emb"), dim, rowsPerBand, band * rowsPerBand).as("key"))
-    }
     val exploded = Dedup.balanced(vectors)
       .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
-      .select(col("id"), explode(array(sigs: _*)).as("bk"))
+      .select(col("id"),
+        posexplode(graft.functions.VectorExpressions.hyperplaneBandKeys(
+          col("emb"), dim, rowsPerBand, bands)).as(Seq("band", "key")))
     // self-join via aliases, renaming only ABOVE the join: both sides
-    // are then canonically identical up to the bucket-key shuffle, so
-    // ReuseExchange computes the (bands × dim)-cost signature pipeline
-    // once and replays the shuffle output for the other side
+    // are canonically identical up to the bucket-key shuffle, so the
+    // signature pipeline is shareable (ReuseExchange) when both sides
+    // shuffle at scale
     exploded.alias("a")
-      .join(exploded.alias("b"), col("a.bk") === col("b.bk"))
+      .join(exploded.alias("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key"))
       .filter(col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()

@@ -14,7 +14,8 @@ import VectorExpressions._
   *   graft_simhash(tokens)           64-bit SimHash of a token array
   *   graft_minhash(shingles, n)      n-hash MinHash signature
   *   graft_minhash_ngram(toks, g, n) fused word-g-gram MinHash
-  *   graft_hyperplane_sig(v, d, b)   random-hyperplane LSH signature
+  *   graft_hyperplane_sig(v, d, b[, off])   random-hyperplane LSH signature
+  *   graft_hyperplane_band_keys(v, d, r, b) all LSH band keys, one pass
   *
   * Two registration paths: `GraftFunctions.register(spark)` for an
   * existing session, or `spark.sql.extensions=graft.functions.
@@ -46,7 +47,11 @@ object GraftFunctions {
         HyperplaneSig(es(0), intArg(es(1), "graft_hyperplane_sig", 1),
           intArg(es(2), "graft_hyperplane_sig", 2),
           if (es.length == 4) intArg(es(3), "graft_hyperplane_sig", 3) else 0)
-      }))
+      }),
+    ("graft_hyperplane_band_keys", "all LSH band keys (array<bigint>) in one pass",
+      es => HyperplaneBandKeys(es(0), intArg(es(1), "graft_hyperplane_band_keys", 1),
+        intArg(es(2), "graft_hyperplane_band_keys", 2),
+        intArg(es(3), "graft_hyperplane_band_keys", 3))))
 
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>

@@ -264,6 +264,56 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** All `bands` LSH band keys in ONE pass: band b's key is the
+    * `rowsPerBand`-bit signature over planes [b·r, (b+1)·r) — bit-
+    * identical to `bands` separate `HyperplaneSig(_, dim, r, b*r)`
+    * calls (the unit spec asserts this), but evaluated as a single
+    * expression. Banded callers previously built an array of dozens of
+    * independent signature expressions; under whole-stage codegen that
+    * inlined dozens of dot-product loops into one oversized generated
+    * method (past the JIT's huge-method limit → interpreted bytecode).
+    * One expression, one tight loop, one dispatch per row.
+    */
+  case class HyperplaneBandKeys(child: Expression, dim: Int, rowsPerBand: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(dim > 0 && rowsPerBand > 0 && rowsPerBand <= 64 && bands > 0,
+      s"graft_hyperplane_band_keys: need dim > 0, 0 < rowsPerBand <= 64, bands > 0; " +
+        s"got dim=$dim rowsPerBand=$rowsPerBand bands=$bands")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_hyperplane_band_keys"
+
+    private val totalBits = rowsPerBand * bands
+    // plane i here == plane (i) of HyperplaneSig(bits=r, offset=b*r)
+    // for b = i/r — same splitmix64 derivation, same global indices
+    private val planes: Array[Array[Double]] = Array.tabulate(totalBits) { i =>
+      Array.tabulate(dim) { d =>
+        var z = (i.toLong * 0x9E3779B97F4A7C15L) + (d.toLong * 0xBF58476D1CE4E5B9L) + 0x94D049BB133111EBL
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z = z ^ (z >>> 31)
+        z.toDouble / Long.MaxValue.toDouble
+      }
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = math.min(arr.numElements(), dim)
+      val keys = new Array[Long](bands)
+      var i = 0
+      while (i < totalBits) {
+        val plane = planes(i)
+        var d = 0.0
+        var j = 0
+        while (j < n) { d += arr.getDouble(j) * plane(j); j += 1 }
+        if (d > 0) keys(i / rowsPerBand) |= (1L << (i % rowsPerBand))
+        i += 1
+      }
+      ArrayData.toArrayData(keys)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -284,4 +334,7 @@ object VectorExpressions {
 
   def hyperplaneSig(emb: Column, dim: Int, bits: Int, planeOffset: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits, planeOffset))
+
+  def hyperplaneBandKeys(emb: Column, dim: Int, rowsPerBand: Int, bands: Int): Column =
+    Bridge.column(HyperplaneBandKeys(Bridge.expression(emb), dim, rowsPerBand, bands))
 }

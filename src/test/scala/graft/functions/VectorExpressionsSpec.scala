@@ -46,6 +46,20 @@ class VectorExpressionsSpec extends SparkSpec {
     }
   }
 
+  test("hyperplaneBandKeys: fused keys equal per-band hyperplaneSig") {
+    val (r, b) = (4, 12)
+    val cols = VectorExpressions.hyperplaneBandKeys(col("emb"), 64, r, b).as("fused") +:
+      (0 until b).map(band =>
+        VectorExpressions.hyperplaneSig(col("emb"), 64, r, band * r).as(s"s$band"))
+    val row = emb.select(cols: _*).head()
+    val fused = row.getSeq[Long](0)
+    (0 until b).foreach { band =>
+      assert(fused(band) == row.getLong(1 + band), s"band $band key mismatch")
+    }
+    intercept[IllegalArgumentException](
+      VectorExpressions.HyperplaneBandKeys(null, 64, 65, 2))
+  }
+
   test("hyperplaneSig: misaligned or negative offset rejected") {
     intercept[IllegalArgumentException](
       VectorExpressions.HyperplaneSig(null, 64, 64, 32))
