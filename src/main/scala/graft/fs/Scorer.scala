@@ -21,6 +21,41 @@ trait Scorer {
   def lookups: Seq[FeatureLookup]
   /** Column expression over the feature-joined DataFrame. */
   def scoreColumn(joined: DataFrame): Column
+  /** Whole-DataFrame hook for scorers that aren't a single expression
+    * (spark.ml PipelineModels append columns via transform). Default:
+    * append `prediction` = scoreColumn. Output contract either way:
+    * the joined columns plus a `prediction` column.
+    */
+  def scoreDf(joined: DataFrame): DataFrame =
+    joined.withColumn("prediction", scoreColumn(joined))
+}
+
+/** U3 — a trained spark.ml PipelineModel as a registry scorer (the
+  * reference registers its sklearn pipeline through
+  * `fs.log_model(..., flavor=mlflow.sklearn)` and scores it with
+  * `fs.score_batch`, FS:343-363). transform() runs distributed inside
+  * the JVM — no pandas collect, no per-batch Python boundary.
+  * `numericFill` replays the training-side na.fill so train/serve
+  * preprocessing stays identical.
+  */
+final case class MlModelScorer(
+    name: String,
+    version: Int,
+    lookups: Seq[FeatureLookup],
+    model: org.apache.spark.ml.PipelineModel,
+    numericFill: Double = 0.0) extends Scorer {
+
+  override def scoreColumn(joined: DataFrame): Column =
+    throw new UnsupportedOperationException(
+      s"MlModelScorer $name scores whole DataFrames via scoreDf")
+
+  override def scoreDf(joined: DataFrame): DataFrame = {
+    val scored = model.transform(joined.na.fill(numericFill))
+    // result_type='string' semantics (FS:363): binary prediction as
+    // "True"/"False"; pipeline work columns are dropped
+    scored.select(joined.columns.map(col) :+
+      when(col("prediction") > 0.5, "True").otherwise("False").as("prediction"): _*)
+  }
 }
 
 /** Deterministic stand-in for the reference's GBT classifier (FS:333):
@@ -67,6 +102,6 @@ final class ScorerRegistry {
   def scoreBatch(store: FeatureStore, uri: String, batch: DataFrame): DataFrame = {
     val scorer = resolve(uri)
     val joined = LookupJoins.attach(store, batch, scorer.lookups)
-    joined.withColumn("prediction", scorer.scoreColumn(joined))
+    scorer.scoreDf(joined)
   }
 }

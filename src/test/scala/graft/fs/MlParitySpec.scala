@@ -37,4 +37,39 @@ class MlParitySpec extends SparkSpec {
     val preds = scored.select("prediction").distinct().count()
     assert(preds >= 1 && scored.columns.contains("probability"))
   }
+
+  test("U3 replay: weighted GBT + hash split + registry scoring round-trip") {
+    val numerics = Seq("n_orders", "total_spent", "avg_order_price")
+    val base = Pipelines.trainingSet(spark, sfDir)
+      .withColumn("n_orders", coalesce(col("n_orders"), lit(0L)))
+    // learnable label (threshold at the median of a feature) so test
+    // accuracy is a real signal that training worked, not a coin flip
+    val med = base.stat.approxQuantile("n_orders", Array(0.5), 0.0).head
+    val labeled = base.withColumn("reorders", col("n_orders") > med)
+
+    val trained = MlTraining.trainWeightedGbt(labeled, "reorders", "c_custkey",
+      categoricalCols = Seq("c_mktsegment"), numericCols = numerics)
+    assert(trained.trainRows > 0 && trained.testRows > 0)
+    assert(trained.testAccuracy >= 0.8,
+      s"GBT failed to learn a threshold on its own feature: ${trained.testAccuracy}")
+
+    // register the fitted pipeline and score through the SAME lookup
+    // joins as training (fs.log_model -> fs.score_batch round trip)
+    val registry = new ScorerRegistry
+    registry.register(MlModelScorer("gbt_reorders", 1,
+      numerics.map(c => FeatureLookup("order_features", c, "c_custkey")) :+
+        FeatureLookup("customer_demographics", "c_mktsegment", "c_custkey"),
+      trained.model))
+    val store = Pipelines.buildStore(spark, sfDir)
+    val batch = graft.Tables.load(spark, sfDir, "customer").select(col("c_custkey"))
+    val scored = registry.scoreBatch(store, "models:/gbt_reorders/1", batch)
+    assert(scored.count() == batch.count())
+    assert(scored.columns.contains("prediction"))
+    // serve-side predictions reproduce the learned rule on the same data
+    val agree = scored
+      .withColumn("truth", coalesce(col("n_orders"), lit(0L)) > med)
+      .agg(avg(when((col("prediction") === "True") === col("truth"), 1.0)
+        .otherwise(0.0))).head().getDouble(0)
+    assert(agree >= 0.8, s"train/serve agreement too low: $agree")
+  }
 }
