@@ -70,4 +70,21 @@ object StreamingFeatures {
       tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermarkDelay)
       .dropDuplicates(idCol, tsCol)
+
+  /** Content-level streaming dedup for document streams — the
+    * streaming analog of batch `Dedup.exactDedup`, keyed by the SAME
+    * normalized-text md5 fingerprint. Duplicate content arrives at
+    * DIFFERENT event times, so this uses
+    * `dropDuplicatesWithinWatermark`: two docs with equal fingerprints
+    * whose event times fall within the watermark delay collapse to the
+    * first seen; fingerprint state evicts once the watermark passes.
+    * Per-key state is one (16-byte key, timestamp) entry — at 100 TB/
+    * day the state store holds only the delay window, not the corpus.
+    */
+  def dedupDocsByContent(docs: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermarkDelay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("fingerprint")
 }

@@ -36,6 +36,36 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(spark.table("dedup_out").count() == 200)
   }
 
+  test("streaming content dedup collapses same-fingerprint docs across time") {
+    import org.apache.spark.sql.functions._
+    // documents re-posted later with different ids/case/whitespace:
+    // content fingerprint must collapse them; distinct content survives
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(100)
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00"))) + col("doc_id")))
+    val reposted = docs
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", upper(col("text"))) // case-insensitive key
+      .withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES"))
+    val streamDir = Files.createTempDirectory("graft-cdedup-in-").toString
+    docs.unionByName(reposted).write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val deduped = StreamingFeatures.dedupDocsByContent(stream, watermarkDelay = "1 hour")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("cdedup_out")
+      .option("checkpointLocation", Files.createTempDirectory("graft-cdedup-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // parity with batch exactDedup on the same 200-row input
+    val batchDistinct = graft.ext.Dedup.exactDedup(
+      spark.read.parquet(streamDir)).count()
+    assert(spark.table("cdedup_out").count() == batchDistinct,
+      s"stream dedup != batch dedup ($batchDistinct)")
+  }
+
   test("streaming windowed agg merges into a feature table (K5 reuse)") {
     val batchEvents = graft.Tables.load(spark, sfDir, "events")
     // stage events as a stream-readable dir with micros timestamps
