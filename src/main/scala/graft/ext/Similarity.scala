@@ -190,6 +190,46 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** Exhaustive cosine pairs with a DISTRIBUTED execution shape: the
+    * production form of [[cosineNearDupPairs]] for thresholds too low
+    * for LSH to prune (see the ρ note on [[lshBandParams]]). Θ(n²)
+    * compute is inherent to an exact low-threshold join; what tiling
+    * fixes is the shape: each vector hashes to one of `tiles` blocks,
+    * the tiny unordered block-pair list (t_a ≤ t_b) is broadcast, and
+    * each of the tiles·(tiles+1)/2 cells produces its pairs through
+    * plain equi-joins — ~(tiles+1)/2× row replication through the
+    * shuffle, bounded per-task memory, no corpus broadcast, no
+    * BroadcastNestedLoopJoin, no driver involvement. Size `tiles` ≈
+    * √(2·cluster cores) so every core gets a cell.
+    */
+  def cosineAllPairsTiled(vectors: DataFrame, threshold: Double,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      tiles: Int = 16): DataFrame = {
+    require(tiles > 0, s"cosineAllPairsTiled: tiles must be > 0, got $tiles")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v = Dedup.balanced(vectors)
+      .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .withColumn("nrm", norm(col("emb")))
+      .withColumn("tile", pmod(xxhash64(col("id")), lit(tiles)).cast("int"))
+    val tilePairs = (for { a <- 0 until tiles; b <- a until tiles } yield (a, b))
+      .toDF("t_a", "t_b")
+    val left = v.select(col("id").as("id_l"), col("emb").as("emb_l"),
+      col("nrm").as("nrm_l"), col("tile").as("t_a"))
+    val right = v.select(col("id").as("id_r"), col("emb").as("emb_r"),
+      col("nrm").as("nrm_r"), col("tile").as("t_b"))
+    left.join(broadcast(tilePairs), Seq("t_a"))
+      .join(right, Seq("t_b"))
+      // same-tile cells order within the cell; cross-tile cells carry
+      // each unordered pair exactly once and normalize ids below
+      .filter(col("t_a") =!= col("t_b") || col("id_l") < col("id_r"))
+      .select(
+        least(col("id_l"), col("id_r")).as("id_a"),
+        greatest(col("id_l"), col("id_r")).as("id_b"),
+        (dot(col("emb_l"), col("emb_r")) / (col("nrm_l") * col("nrm_r"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** LSH banding parameters (rowsPerBand, bands) for a cosine
     * threshold. A pair AT the threshold agrees on each hyperplane bit
     * with probability p₁ = 1 − acos(t)/π (Charikar 2002); it becomes a

@@ -313,6 +313,19 @@ class SimilaritySpec extends SparkSpec {
     assert(exactPlan.contains("BroadcastNestedLoop"))
   }
 
+  test("cosineAllPairsTiled: equals the nested-loop oracle, no BNLJ, no dup pairs") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val oracle = Similarity.cosineNearDupPairs(emb, threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val tiled = Similarity.cosineAllPairsTiled(emb, threshold = 0.3, tiles = 4)
+    val got = tiled.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == got.toSet.size, "tiling produced duplicate pairs")
+    assert(got.toSet == oracle,
+      s"tiled=${got.length} oracle=${oracle.size} missed=${(oracle -- got.toSet).take(3)}")
+    val plan = tiled.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"), s"O(n²) shape in plan:\n$plan")
+  }
+
   test("lshCandidatePairs: selective at near-dup thresholds on planted dups") {
     import spark.implicits._
     // 200 isotropic-ish vectors + 20 planted near-identical copies
