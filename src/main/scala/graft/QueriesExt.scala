@@ -402,6 +402,27 @@ object PipelinesExt {
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
       .orderBy("query_id", "rank")
   }
+
+  // tiled exhaustive cosine pairs — the distributed exact path for
+  // thresholds LSH can't prune; same all-pairs DuckDB oracle shape as
+  // q30 at a different threshold.
+  def cosineTiled(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
+      .orderBy("id_a", "id_b")
+
+  // TPC-H-Q9-shaped 3-table fact join over the two otherwise-unread
+  // sources (part, supplier): broadcast dims, decimal-exact revenue.
+  def partSupplierRevenue(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2)))))
+          .cast("double").as("revenue"))
+      .orderBy("p_brand", "s_nationkey")
 }
 
 object OraclesExt {
@@ -669,6 +690,25 @@ object OraclesExt {
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q46_cosine_tiled" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q47_part_supplier_revenue" ->
+      """SELECT p_brand, s_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY p_brand, s_nationkey
+        |ORDER BY p_brand, s_nationkey""".stripMargin,
+
     "q44_csv_ingest" ->
       s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
          |  CAST(length(trim(c_name)) AS INTEGER) AS name_len,

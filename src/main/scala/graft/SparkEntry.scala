@@ -74,6 +74,8 @@ object SparkEntry {
     "q43_cube" -> ((s, d) => PipelinesExt.cubeSummary(s, d)),
     "q44_csv_ingest" -> ((s, d) => PipelinesExt.csvIngest(s, d)),
     "q45_summary" -> ((s, d) => PipelinesExt.summaryParity(s, d)),
+    "q46_cosine_tiled" -> ((s, d) => PipelinesExt.cosineTiled(s, d)),
+    "q47_part_supplier_revenue" -> ((s, d) => PipelinesExt.partSupplierRevenue(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
