@@ -33,8 +33,11 @@ object Dedup {
     val p = df.sparkSession.sparkContext.defaultParallelism
     val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val estParts = (bytes / maxPartitionBytes).min(BigInt(Int.MaxValue)).toInt + 1
-    if (estParts < p) df.repartition(p) else df
+    // compare in BigInt: stats can be Long.MaxValue (unknown-size
+    // sources) or products of child sizes — any narrowing cast here
+    // would wrap and repartition exactly the huge inputs this must
+    // leave alone
+    if (bytes < BigInt(p) * maxPartitionBytes) df.repartition(p) else df
   }
 
   // ------------------------------------------------------------- exact

@@ -136,10 +136,15 @@ object Similarity {
     // quantizer fit on a seeded sample: the coarse centroids need
     // O(nlist·10³) training points, not the corpus — at 10⁹ vectors set
     // fitFraction ≪ 1 and the KMeans cost stays flat while assignment
-    // (the transform below) remains one full narrow pass
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
-      .fit(c.select(col("features"))
-        .sample(withReplacement = false, fitFraction, seed = 42L))
+    // (the transform below) remains one full narrow pass. Tiny corpora
+    // fall back to the full fit: a Bernoulli sample can under-supply
+    // (or empty) the nlist clusters.
+    val fitSample = c.select(col("features"))
+      .sample(withReplacement = false, fitFraction, seed = 42L)
+    val fitDf =
+      if (fitFraction >= 1.0 || fitSample.count() >= nlist.toLong * 4) fitSample
+      else c.select(col("features"))
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(fitDf)
     val assigned = model.transform(c)
       .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
 
@@ -261,9 +266,11 @@ object Similarity {
     var r = 1
     while (r <= 64) {
       val pr = math.pow(p1, r)
-      // bands needed so (1-p^r)^b <= missProb
-      val b = math.max(1L, math.ceil(lnMiss / math.log1p(-pr)).toLong)
-      if (r * b <= maxBits) best = (r, b.toInt)
+      // bands needed so (1-p^r)^b <= missProb; compare in Double BEFORE
+      // any narrowing — for low thresholds b explodes past Long range
+      // and a saturated-cast product would wrap negative and "fit"
+      val b = math.max(1.0, math.ceil(lnMiss / math.log1p(-pr)))
+      if (b <= maxBits.toDouble / r) best = (r, b.toInt)
       r += 1
     }
     require(best._1 > 0,

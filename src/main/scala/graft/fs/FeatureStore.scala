@@ -44,13 +44,17 @@ object WriteMode {
   *
   * All I/O goes through Hadoop `FileSystem`/`FileContext`, so `root`
   * may be any Hadoop URI — `/local/dir`, `file:///...`, `hdfs://...`,
-  * `s3a://...`. The version-claim rename uses `FileContext.rename`
+  * `s3a://...`. The version-claim rename prefers `FileContext.rename`
   * with `Options.Rename.NONE`: atomic on HDFS, and it FAILS when the
   * destination exists instead of moving the source inside it (the
   * plain `FileSystem.rename` dir-into-dir semantics would silently
-  * defeat the racing-writer check). On object stores without atomic
-  * rename (raw S3) the claim degrades to copy+check — same place a
-  * real table format plugs in a log-store/DynamoDB commit.
+  * defeat the racing-writer check). Schemes that ship only a
+  * `FileSystem` binding (s3a/gs by default) fall back to
+  * exists-check + rename — not atomic across writers, which is the
+  * same place a real table format plugs in a log-store/DynamoDB
+  * commit. Local roots keep a java.nio ATOMIC_MOVE for the spec
+  * pointer swap (no delete-then-rename visibility window, no checksum
+  * sidecar litter).
   *
   * Scale notes (SURVEY.md §7.7):
   *   - merge is a single shuffle (the anti-join on the key); AQE handles
@@ -64,7 +68,17 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   private val hconf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
   private val fs: FileSystem = rootPath.getFileSystem(hconf)
-  private val fc: FileContext = FileContext.getFileContext(fs.getUri, hconf)
+  // FileContext gives the no-overwrite/overwrite rename semantics the
+  // commit needs, but some schemes ship only a FileSystem binding
+  // (fs.AbstractFileSystem.<scheme>.impl unset for s3a/gs by default)
+  private val fcOpt: Option[FileContext] =
+    try Some(FileContext.getFileContext(fs.getUri, hconf))
+    catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+
+  private def isLocalFs: Boolean = fs.getUri.getScheme == "file"
+
+  private def localNio(p: Path): java.nio.file.Path =
+    java.nio.file.Paths.get(p.toUri.getPath)
 
   fs.mkdirs(rootPath)
 
@@ -184,14 +198,7 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     val partitioned =
       if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
     partitioned.parquet(tmp.toString)
-    try fc.rename(tmp, target, Options.Rename.NONE)
-    catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.io.FileNotFoundException | _: java.io.IOException) =>
-        fs.delete(tmp, true)
-        throw new java.util.ConcurrentModificationException(
-          s"feature table $name: another writer committed v$newVersion first; retry", e)
-    }
+    claimVersionDir(name, tmp, target)
     val nowVersion = loadSpec(name)._2
     if (nowVersion != version) {
       fs.delete(target, true)
@@ -278,6 +285,35 @@ final class FeatureStore(spark: SparkSession, val root: String) {
 
   // ---------------------------------------------------------------- impl
 
+  /** Claim `target` with `tmp`'s content, exactly once across racing
+    * writers: an existing target (or a rename that reports it) is the
+    * losing side of the race and aborts with
+    * ConcurrentModificationException; any OTHER I/O failure (safe
+    * mode, lease, disk full, ...) propagates as itself so retry loops
+    * keyed on the race exception don't spin on a persistent fault.
+    */
+  private def claimVersionDir(name: String, tmp: Path, target: Path): Unit = {
+    def lostRace(cause: Throwable): Nothing = {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"feature table $name: another writer committed ${target.getName} first; retry", cause)
+    }
+    if (fs.exists(target)) lostRace(null)
+    fcOpt match {
+      case Some(fc) =>
+        try fc.rename(tmp, target, Options.Rename.NONE)
+        catch { case e: org.apache.hadoop.fs.FileAlreadyExistsException => lostRace(e) }
+      case None =>
+        // FileSystem-only scheme: exists-check above + rename result;
+        // rename returning false with target present = lost race
+        if (!fs.rename(tmp, target)) {
+          if (fs.exists(target)) lostRace(null)
+          throw new java.io.IOException(
+            s"feature table $name: rename $tmp -> $target failed")
+        }
+    }
+  }
+
   private def structTypeOf(df: DataFrame): StructType = df.schema
 
   private def saveSpec(spec: FeatureTableSpec, version: Int): Unit = {
@@ -288,12 +324,32 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     p.setProperty("schemaDdl", spec.schema.toDDL)
     p.setProperty("partitionBy", spec.partitionBy.mkString(","))
     p.setProperty("version", version.toString)
-    val tmp = new Path(tableDir(spec.name), s"spec.properties.tmp${System.nanoTime()}")
-    val out = fs.create(tmp, true)
-    try p.store(out, "graft feature table spec") finally out.close()
-    // pointer swap: atomic overwrite rename (HDFS); readers see either
-    // the old or the new spec, never a partial file
-    fc.rename(tmp, specFile(spec.name), Options.Rename.OVERWRITE)
+    val specPath = specFile(spec.name)
+    if (isLocalFs) {
+      // local roots: pure NIO write + ATOMIC_MOVE — no delete-then-
+      // rename visibility window, no ChecksumFileSystem .crc sidecars
+      val tmp = localNio(tableDir(spec.name))
+        .resolve(s"spec.properties.tmp${System.nanoTime()}")
+      val out = java.nio.file.Files.newOutputStream(tmp)
+      try p.store(out, "graft feature table spec") finally out.close()
+      java.nio.file.Files.move(tmp, localNio(specPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val tmp = new Path(tableDir(spec.name), s"spec.properties.tmp${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try p.store(out, "graft feature table spec") finally out.close()
+      fcOpt match {
+        // atomic overwrite rename on HDFS: readers see old or new spec,
+        // never a partial file
+        case Some(fc) => fc.rename(tmp, specPath, Options.Rename.OVERWRITE)
+        case None =>
+          fs.delete(specPath, false)
+          if (!fs.rename(tmp, specPath))
+            throw new java.io.IOException(
+              s"feature table ${spec.name}: spec pointer swap failed")
+      }
+    }
   }
 
   private def loadSpec(name: String): (FeatureTableSpec, Int) = {

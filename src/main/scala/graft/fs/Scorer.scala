@@ -35,14 +35,19 @@ trait Scorer {
   * `fs.log_model(..., flavor=mlflow.sklearn)` and scores it with
   * `fs.score_batch`, FS:343-363). transform() runs distributed inside
   * the JVM — no pandas collect, no per-batch Python boundary.
-  * `numericFill` replays the training-side na.fill so train/serve
-  * preprocessing stays identical.
+  * `numericCols`/`numericFill` replay the training-side na.fill so
+  * train/serve preprocessing stays identical; ONLY those declared
+  * feature columns are filled (they come back filled in the output —
+  * exactly the values the model consumed), every other joined column
+  * passes through untouched so callers can still see which lookups
+  * missed.
   */
 final case class MlModelScorer(
     name: String,
     version: Int,
     lookups: Seq[FeatureLookup],
     model: org.apache.spark.ml.PipelineModel,
+    numericCols: Seq[String] = Seq.empty,
     numericFill: Double = 0.0) extends Scorer {
 
   override def scoreColumn(joined: DataFrame): Column =
@@ -50,9 +55,14 @@ final case class MlModelScorer(
       s"MlModelScorer $name scores whole DataFrames via scoreDf")
 
   override def scoreDf(joined: DataFrame): DataFrame = {
-    val scored = model.transform(joined.na.fill(numericFill))
+    require(!joined.columns.contains("prediction"),
+      s"scoreBatch($name): batch already carries a 'prediction' column")
+    val filled =
+      if (numericCols.isEmpty) joined else joined.na.fill(numericFill, numericCols)
+    val scored = model.transform(filled)
     // result_type='string' semantics (FS:363): binary prediction as
-    // "True"/"False"; pipeline work columns are dropped
+    // "True"/"False"; pipeline work columns are dropped, non-feature
+    // columns pass through with their original (unfilled) values
     scored.select(joined.columns.map(col) :+
       when(col("prediction") > 0.5, "True").otherwise("False").as("prediction"): _*)
   }

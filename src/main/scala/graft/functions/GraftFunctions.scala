@@ -49,9 +49,13 @@ object GraftFunctions {
           if (es.length == 4) intArg(es(3), "graft_hyperplane_sig", 3) else 0)
       }),
     ("graft_hyperplane_band_keys", "all LSH band keys (array<bigint>) in one pass",
-      es => HyperplaneBandKeys(es(0), intArg(es(1), "graft_hyperplane_band_keys", 1),
-        intArg(es(2), "graft_hyperplane_band_keys", 2),
-        intArg(es(3), "graft_hyperplane_band_keys", 3))))
+      es => {
+        require(es.length == 4, s"graft_hyperplane_band_keys: " +
+          s"expected 4 arguments (vec, dim, rowsPerBand, bands), got ${es.length}")
+        HyperplaneBandKeys(es(0), intArg(es(1), "graft_hyperplane_band_keys", 1),
+          intArg(es(2), "graft_hyperplane_band_keys", 2),
+          intArg(es(3), "graft_hyperplane_band_keys", 3))
+      }))
 
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>

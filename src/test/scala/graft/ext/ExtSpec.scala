@@ -110,6 +110,23 @@ class GraftFunctionsSpec extends SparkSpec {
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("balanced: unknown-size (huge-stat) inputs are NOT repartitioned") {
+    // LogicalRDD without stats reports spark.sql.defaultSizeInBytes
+    // (Long.MaxValue) — regression: a narrowing cast wrapped negative
+    // and forced a full shuffle of exactly the inputs that must not
+    // shuffle
+    val rdd = spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(1L, "x")), 2)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val df = spark.createDataFrame(rdd, schema)
+    assert(df.queryExecution.optimizedPlan.stats.sizeInBytes > BigInt(Int.MaxValue))
+    assert(Dedup.balanced(df) eq df, "huge-stat input was repartitioned")
+    // ...while a small parquet-backed input IS fanned out
+    val small = graft.Tables.load(spark, sfDir, "documents")
+    assert(!(Dedup.balanced(small) eq small), "small input not fanned out")
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),
     (2L, "the quick brown fox jumps over the lazy dog again and again today"),  // exact dup of 1
@@ -284,6 +301,13 @@ class SimilaritySpec extends SparkSpec {
     // higher threshold ⇒ more selective bands (larger r)
     val (r9, _) = Similarity.lshBandParams(0.9)
     assert(r9 > r4)
+    // low thresholds: band counts explode past Long range for large r —
+    // the result must stay a valid positive configuration within the
+    // bit budget (regression: saturated-cast products wrapped negative)
+    for (t <- Seq(0.05, 0.1, 0.15, 0.3)) {
+      val (r, b) = Similarity.lshBandParams(t)
+      assert(r > 0 && b > 0 && r.toLong * b <= 512, s"t=$t gave ($r, $b)")
+    }
     intercept[IllegalArgumentException](Similarity.lshBandParams(0.0))
     intercept[IllegalArgumentException](Similarity.lshBandParams(1.0))
   }

@@ -59,7 +59,7 @@ class MlParitySpec extends SparkSpec {
     registry.register(MlModelScorer("gbt_reorders", 1,
       numerics.map(c => FeatureLookup("order_features", c, "c_custkey")) :+
         FeatureLookup("customer_demographics", "c_mktsegment", "c_custkey"),
-      trained.model))
+      trained.model, numericCols = numerics))
     val store = Pipelines.buildStore(spark, sfDir)
     val batch = graft.Tables.load(spark, sfDir, "customer").select(col("c_custkey"))
     val scored = registry.scoreBatch(store, "models:/gbt_reorders/1", batch)
