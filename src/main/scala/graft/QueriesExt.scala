@@ -410,6 +410,33 @@ object PipelinesExt {
     Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
+  // lineitem, counted by priority — the EXISTS subquery expressed as a
+  // semi join so the probe side never duplicates (no distinct needed,
+  // build side carries only the join key).
+  def semiJoinPriority(s: SparkSession, d: String): DataFrame = {
+    val big = t(s, d, "lineitem").filter(col("l_quantity") >= 45).select(col("l_orderkey"))
+    t(s, d, "orders")
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+  }
+
+  // LEFT ANTI join (NOT EXISTS): customers who never placed an URGENT
+  // order, per market segment (every customer has SOME order in the
+  // synthetic data, so the anti side must be predicated to be
+  // non-trivial).
+  def antiJoinCustomers(s: SparkSession, d: String): DataFrame = {
+    val urgent = t(s, d, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    t(s, d, "customer")
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"))
+      .orderBy("c_mktsegment")
+  }
+
   // TPC-H-Q9-shaped 3-table fact join over the two otherwise-unread
   // sources (part, supplier): broadcast dims, decimal-exact revenue.
   def partSupplierRevenue(s: SparkSession, d: String): DataFrame =
@@ -708,6 +735,23 @@ object OraclesExt {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_nationkey
         |ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q48_semi_join" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q49_anti_join" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
 
     "q44_csv_ingest" ->
       s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

@@ -76,6 +76,8 @@ object SparkEntry {
     "q45_summary" -> ((s, d) => PipelinesExt.summaryParity(s, d)),
     "q46_cosine_tiled" -> ((s, d) => PipelinesExt.cosineTiled(s, d)),
     "q47_part_supplier_revenue" -> ((s, d) => PipelinesExt.partSupplierRevenue(s, d)),
+    "q48_semi_join" -> ((s, d) => PipelinesExt.semiJoinPriority(s, d)),
+    "q49_anti_join" -> ((s, d) => PipelinesExt.antiJoinCustomers(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
