@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Features
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Pq, Similarity, TextAnalysis}
 import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
 
 /** Batch 2 (reference surface completion: U1 per-row counts, summary
@@ -409,6 +409,15 @@ object PipelinesExt {
   def cosineTiled(s: SparkSession, d: String): DataFrame =
     Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy("id_a", "id_b")
+
+  // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
+  // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
+  def pqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
+    Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
+      .orderBy("query_id", "rank")
+  }
 
   // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
   // lineitem, counted by priority — the EXISTS subquery expressed as a

@@ -78,6 +78,7 @@ object SparkEntry {
     "q47_part_supplier_revenue" -> ((s, d) => PipelinesExt.partSupplierRevenue(s, d)),
     "q48_semi_join" -> ((s, d) => PipelinesExt.semiJoinPriority(s, d)),
     "q49_anti_join" -> ((s, d) => PipelinesExt.antiJoinCustomers(s, d)),
+    "q50_pq_ann" -> ((s, d) => PipelinesExt.pqAnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -314,6 +314,117 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Product-quantization encode (Jégou/Douze/Schmid, TPAMI 2011):
+    * split the vector into m subvectors of dsub dims; per subspace,
+    * emit the index of the nearest codebook centroid (squared
+    * Euclidean). Output is m bytes — a 16-32× compression of a
+    * float32 embedding, which is what makes billion-vector ANN fit in
+    * memory. One fused pass per row.
+    */
+  case class PqEncode(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    private val m = codebooks.length
+    private val ksub = codebooks(0).length
+    private val dsub = codebooks(0)(0).length
+    require(m > 0 && ksub > 1 && ksub <= 256,
+      s"graft_pq_encode: need 1 < ksub <= 256 (byte codes), got m=$m ksub=$ksub")
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_pq_encode"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val codes = new Array[Byte](m)
+      var sub = 0
+      while (sub < m) {
+        val base = sub * dsub
+        val cb = codebooks(sub)
+        var bestK = 0
+        var bestD = Double.MaxValue
+        var k = 0
+        while (k < ksub) {
+          val c = cb(k)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) {
+            val diff = arr.getDouble(base + j) - c(j)
+            d += diff * diff
+            j += 1
+          }
+          if (d < bestD) { bestD = d; bestK = k }
+          k += 1
+        }
+        codes(sub) = bestK.toByte
+        sub += 1
+      }
+      codes
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ADC (asymmetric distance computation) table for one query:
+    * flattened m×ksub array where entry (sub, k) = dot(q_sub,
+    * centroid_k of subspace sub). Computed ONCE per query row; scoring
+    * a candidate then costs m table lookups instead of dim multiplies.
+    */
+  case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Double]]])
+      extends UnaryExpression with CodegenFallback {
+    private val m = codebooks.length
+    private val ksub = codebooks(0).length
+    private val dsub = codebooks(0)(0).length
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+    override def prettyName: String = "graft_pq_adc_table"
+
+    override def nullSafeEval(v: Any): Any = {
+      val arr = v.asInstanceOf[ArrayData]
+      val table = new Array[Double](m * ksub)
+      var sub = 0
+      while (sub < m) {
+        val base = sub * dsub
+        val cb = codebooks(sub)
+        var k = 0
+        while (k < ksub) {
+          val c = cb(k)
+          var d = 0.0
+          var j = 0
+          while (j < dsub) { d += arr.getDouble(base + j) * c(j); j += 1 }
+          table(sub * ksub + k) = d
+          k += 1
+        }
+        sub += 1
+      }
+      ArrayData.toArrayData(table)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** ADC approximate dot product: sum over subspaces of
+    * table[sub·ksub + code[sub]] ≈ dot(query, vector). The candidate
+    * side never touches its original floats — m byte lookups per pair.
+    */
+  case class PqAdcDot(left: Expression, right: Expression, ksub: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "graft_pq_adc_dot"
+
+    // left = codes (binary), right = adc table (array<double>)
+    override def nullSafeEval(codesAny: Any, tableAny: Any): Any = {
+      val codes = codesAny.asInstanceOf[Array[Byte]]
+      val table = tableAny.asInstanceOf[ArrayData]
+      var s = 0.0
+      var sub = 0
+      while (sub < codes.length) {
+        s += table.getDouble(sub * ksub + (codes(sub) & 0xFF))
+        sub += 1
+      }
+      s
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -337,4 +448,13 @@ object VectorExpressions {
 
   def hyperplaneBandKeys(emb: Column, dim: Int, rowsPerBand: Int, bands: Int): Column =
     Bridge.column(HyperplaneBandKeys(Bridge.expression(emb), dim, rowsPerBand, bands))
+
+  def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqEncode(Bridge.expression(emb), codebooks))
+
+  def pqAdcTable(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
+    Bridge.column(PqAdcTable(Bridge.expression(emb), codebooks))
+
+  def pqAdcDot(codes: Column, table: Column, ksub: Int): Column =
+    Bridge.column(PqAdcDot(Bridge.expression(codes), Bridge.expression(table), ksub))
 }
