@@ -33,34 +33,91 @@ object Pq {
     val dsub: Int = dim / m
   }
 
-  /** Fit per-subspace codebooks. `fitFraction` samples the corpus for
-    * training (seeded); tiny corpora fall back to the full fit the
-    * same way [[Similarity.ivfTopK]] does.
+  /** Fit per-subspace codebooks on a BOUNDED seeded sample collected
+    * to the driver. This is a deliberate, size-capped collect: PQ
+    * codebooks need O(ksub·10³) training points regardless of corpus
+    * size (faiss trains exactly this way), so the driver holds ≤
+    * `maxFitPoints`·dim doubles — a fixed few MB at any corpus scale —
+    * and m tiny Lloyd's loops run in microseconds instead of m
+    * distributed KMeans jobs whose fixed scheduling overhead dwarfs
+    * the arithmetic. Deterministic: seeded sample, evenly-spaced
+    * initial centroids, fixed iteration count.
     */
   def train(corpus: DataFrame, dim: Int, m: Int = 8, ksub: Int = 16,
-      embCol: String = "embedding", fitFraction: Double = 1.0): Codebooks = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
+      embCol: String = "embedding", maxFitPoints: Int = 2048,
+      iters: Int = 8): Codebooks = {
     require(dim % m == 0, s"PQ: dim $dim must divide into m=$m subspaces")
+    require(maxFitPoints >= ksub, s"PQ: need at least ksub=$ksub fit points")
     val dsub = dim / m
-    val base = Dedup.balanced(corpus)
+    val sample: Array[Array[Double]] = corpus
       .select(Similarity.asDouble(col(embCol)).as("emb"))
-    val sampled =
-      if (fitFraction >= 1.0) base
-      else {
-        val s = base.sample(withReplacement = false, fitFraction, seed = 42L)
-        if (s.count() >= ksub.toLong * 4) s else base
+      .orderBy(xxhash64(col(embCol))) // seeded, corpus-size-independent pick
+      .limit(maxFitPoints)
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ: empty corpus")
+    val centroids = Array.tabulate(m) { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * dsub, (sub + 1) * dsub))
+      lloyd(pts, ksub, iters)
+    }
+    Codebooks(dim, m, ksub, centroids)
+  }
+
+  /** Plain Lloyd's k-means over an in-memory point set: evenly-spaced
+    * init over the (hash-ordered) sample, empty clusters re-seeded to
+    * the point farthest from its centroid.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val d = pts(0).length
+    val n = pts.length
+    val cents = Array.tabulate(k)(i => pts(((i.toLong * n) / k).toInt % n).clone())
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) { // assignment
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val t = pts(i)(j) - cents(c)(j); dist += t * t; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
       }
-    val cached = sampled.cache()
-    try {
-      val centroids = (0 until m).map { sub =>
-        val subDf = cached.select(
-          array_to_vector(slice(col("emb"), sub * dsub + 1, dsub)).as("features"))
-        new KMeans().setK(ksub).setSeed(42L + sub).setMaxIter(5)
-          .fit(subDf).clusterCenters.map(_.toArray)
+      val sums = Array.ofDim[Double](k, d)
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) { // update
+        val c = assign(i); counts(c) += 1
+        var j = 0
+        while (j < d) { sums(c)(j) += pts(i)(j); j += 1 }
+        i += 1
       }
-      Codebooks(dim, m, ksub, centroids.toArray)
-    } finally { cached.unpersist(); () }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < d) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        } else {
+          // re-seed an empty cluster with the worst-fit point
+          var worst = 0; var worstD = -1.0
+          var i2 = 0
+          while (i2 < n) {
+            val a = assign(i2)
+            var dist = 0.0; var j = 0
+            while (j < d) { val t = pts(i2)(j) - cents(a)(j); dist += t * t; j += 1 }
+            if (dist > worstD) { worstD = dist; worst = i2 }
+            i2 += 1
+          }
+          cents(c) = pts(worst).clone()
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
   }
 
   /** Encode the corpus: (id, m-byte codes, exact norm). The norm rides
