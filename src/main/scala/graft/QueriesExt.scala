@@ -410,6 +410,22 @@ object PipelinesExt {
     Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  // Correlated scalar subquery (TPC-H Q2/Q17 shape): each customer's
+  // most expensive order(s). Catalyst decorrelates
+  // (RewriteCorrelatedScalarSubquery) into an aggregate + join — the
+  // subquery never executes per-row. max() keeps the predicate exact
+  // in both engines (no avg division portability trap, §5.3).
+  def correlatedMaxOrder(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
   // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
   def pqAnn(s: SparkSession, d: String): DataFrame = {
@@ -744,6 +760,14 @@ object OraclesExt {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_nationkey
         |ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q51_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+        |                      FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q48_semi_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

@@ -79,6 +79,7 @@ object SparkEntry {
     "q48_semi_join" -> ((s, d) => PipelinesExt.semiJoinPriority(s, d)),
     "q49_anti_join" -> ((s, d) => PipelinesExt.antiJoinCustomers(s, d)),
     "q50_pq_ann" -> ((s, d) => PipelinesExt.pqAnn(s, d)),
+    "q51_correlated_subquery" -> ((s, d) => PipelinesExt.correlatedMaxOrder(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -148,12 +148,74 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"),
         (VectorExpressions.pqAdcDot(col("codes"), col("adc"), cb.ksub) / col("nrm"))
           .as("adc_score"))
-    val wApprox = Window.partitionBy(col("query_id"))
+    exactReRank(adcShortList(approx, k, refine), corpus, queries, k, idCol, embCol)
+  }
+
+  /** Train a coarse (cell) quantizer: nlist centroids over the FULL
+    * dim — expressed as a 1-subspace codebook so cell assignment
+    * reuses the fused PqEncode argmin expression.
+    */
+  def trainCoarse(corpus: DataFrame, dim: Int, nlist: Int = 16,
+      embCol: String = "embedding", maxFitPoints: Int = 2048): Codebooks =
+    train(corpus, dim, m = 1, ksub = nlist, embCol, maxFitPoints)
+
+  /** IVF + ADC — the full billion-scale ANN composition: the coarse
+    * quantizer assigns every vector a cell (one byte); each query
+    * probes only its `nprobe` nearest cells, so candidate volume is
+    * ≈ corpus·nprobe/nlist; survivors are scored by m byte lookups
+    * (ADC) and the `refine·k` short list re-ranks exactly. Memory:
+    * m+1 bytes + one norm per vector. The cell join shuffles narrow
+    * (cell, codes, nrm) rows only; raw embeddings are touched once at
+    * encode time and once for the short list.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      coarse: Codebooks, cb: Codebooks, nprobe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      refine: Int = 4): DataFrame = {
+    require(coarse.m == 1, s"ivfPqTopK: coarse quantizer must be 1-subspace, got m=${coarse.m}")
+    val nlist = coarse.ksub
+    // 1-byte cell id from the single-subspace PQ code
+    def cellOf(codes: Column) = conv(hex(codes), 16, 10).cast("int")
+    val codes = encode(corpus, cb, idCol, embCol)
+      .join(Dedup.balanced(corpus).select(col(idCol).as("neighbor_id"),
+        cellOf(VectorExpressions.pqEncode(
+          Similarity.asDouble(col(embCol)), coarse.centroids)).as("cell")), Seq("neighbor_id"))
+    // nprobe nearest cells per query: ||q-c||² ranks as ||c||² − 2·q·c;
+    // q·c comes from the coarse ADC table, ||c||² is a tiny literal
+    val cnorm2 = coarse.centroids(0).map(c => c.map(x => x * x).sum)
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      VectorExpressions.pqAdcTable(
+        Similarity.asDouble(col(embCol)), cb.centroids).as("adc"),
+      posexplode(VectorExpressions.pqAdcTable(
+        Similarity.asDouble(col(embCol)), coarse.centroids)).as(Seq("cell", "qdotc")))
+    val probes = q
+      .withColumn("cdist",
+        element_at(lit(cnorm2), col("cell") + 1) - lit(2.0) * col("qdotc"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("crank") <= nprobe)
+      .select(col("query_id"), col("cell"), col("adc"))
+    val approx = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (VectorExpressions.pqAdcDot(col("codes"), col("adc"), cb.ksub) / col("nrm"))
+          .as("adc_score"))
+    require(nlist >= nprobe, s"ivfPqTopK: nprobe $nprobe > nlist $nlist")
+    exactReRank(adcShortList(approx, k, refine), corpus, queries, k, idCol, embCol)
+  }
+
+  private def adcShortList(approx: DataFrame, k: Int, refine: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adc_score").desc, col("neighbor_id"))
-    val shortList = approx.withColumn("arank", row_number().over(wApprox))
+    approx.withColumn("arank", row_number().over(w))
       .filter(col("arank") <= k.toLong * refine)
       .select(col("query_id"), col("neighbor_id"))
-    // exact re-rank of the short list only
+  }
+
+  /** Exact cosine re-rank of a (query_id, neighbor_id) short list. */
+  private def exactReRank(shortList: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, idCol: String, embCol: String): DataFrame = {
     val cEmb = corpus.select(col(idCol).as("neighbor_id"),
       Similarity.asDouble(col(embCol)).as("c_emb"))
     val qEmb = queries.select(col(idCol).as("query_id"),

@@ -38,6 +38,28 @@ class PqSpec extends SparkSpec {
     assert(mean < 0.15, s"mean ADC |error| too high: $mean")
   }
 
+  test("ivfPqTopK: cell-pruned ADC recovers neighbors; candidates pruned") {
+    val queries = emb.filter(col("vec_id") < 5)
+    val coarse = Pq.trainCoarse(emb, dim = 64, nlist = 8)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfpq = Pq.ivfPqTopK(emb, queries, k = 5, coarse, cb, nprobe = 4).collect()
+    val byQuery = ivfpq.groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    byQuery.foreach { case (_, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length))
+    }
+    // probing half the cells: meaningful recall, like the IVF spec
+    val pairs = ivfpq.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(pairs.intersect(bf).size >= bf.size / 3,
+      s"IVF+PQ recall too low: ${pairs.intersect(bf).size}/${bf.size}")
+    // every vector is assigned exactly one cell and all cells are used
+    val cells = Pq.encode(emb, coarse).select("codes").collect()
+      .map(r => r.getAs[Array[Byte]](0)(0) & 0xFF)
+    assert(cells.distinct.sorted.toSeq.forall(_ < 8) && cells.distinct.length > 1)
+  }
+
   test("pqTopK: ADC short-list + exact re-rank recovers true neighbors") {
     val queries = emb.filter(col("vec_id") < 5)
     val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
