@@ -410,6 +410,29 @@ object PipelinesExt {
     Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
       .orderBy("id_a", "id_b")
 
+  // pivot — wide per-status counts per priority (Expand + one agg
+  // under the hood). Absent (priority, status) cells are 0, not NULL,
+  // matching the oracle's sum(CASE) encoding.
+  def pivotStatus(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  // unpivot/melt — the inverse reshape: wide numeric columns to
+  // (metric, value) rows; the standard feature-long-format step.
+  def unpivotLineitem(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"), col("l_tax"))
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_tax")),
+        "metric", "val")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
   // Correlated scalar subquery (TPC-H Q2/Q17 shape): each customer's
   // most expensive order(s). Catalyst decorrelates
   // (RewriteCorrelatedScalarSubquery) into an aggregate + join — the
@@ -760,6 +783,22 @@ object OraclesExt {
         |JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY p_brand, s_nationkey
         |ORDER BY p_brand, s_nationkey""".stripMargin,
+
+    "q52_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q53_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+        |FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS val
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q51_correlated_subquery" ->
       """SELECT o_orderkey, o_custkey, o_totalprice

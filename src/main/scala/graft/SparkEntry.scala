@@ -80,6 +80,8 @@ object SparkEntry {
     "q49_anti_join" -> ((s, d) => PipelinesExt.antiJoinCustomers(s, d)),
     "q50_pq_ann" -> ((s, d) => PipelinesExt.pqAnn(s, d)),
     "q51_correlated_subquery" -> ((s, d) => PipelinesExt.correlatedMaxOrder(s, d)),
+    "q52_pivot" -> ((s, d) => PipelinesExt.pivotStatus(s, d)),
+    "q53_unpivot" -> ((s, d) => PipelinesExt.unpivotLineitem(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
