@@ -283,16 +283,23 @@ object PipelinesExt {
   // Telco-Customer-Churn.csv, setup.py:206-221), then
   // Cleanse.readCsv (header + schema inference) + recode/cast. The
   // oracle reads the SAME files via DuckDB read_csv_auto, so the
-  // CSV parse itself is under cross-engine test. Fixed dump path:
-  // the oracle SQL is static while the sf dir varies; each run
-  // rewrites the fixture from its own dir before reading.
-  val csvFixturePath = "/tmp/graft_q44_csv"
+  // CSV parse itself is under cross-engine test. The dump path is
+  // derived from the dataset dir so concurrent runs at different SFs
+  // never overwrite each other's fixture mid-oracle-read; csvIngest
+  // records the path it used and the oracle SQL — built only after
+  // Verify has run the queries — interpolates the recorded value.
+  def csvFixturePathFor(d: String): String =
+    "/tmp/graft_q44_csv_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+  @volatile private[graft] var csvFixturePath: String =
+    csvFixturePathFor("/root/testdata/sf0.01")
 
   def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val fixture = csvFixturePathFor(d)
+    csvFixturePath = fixture
     t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-      .write.mode("overwrite").option("header", "true").csv(csvFixturePath)
-    graft.etl.Cleanse.readCsv(s, csvFixturePath)
+      .write.mode("overwrite").option("header", "true").csv(fixture)
+    graft.etl.Cleanse.readCsv(s, fixture)
       .select(
         col("c_custkey").cast("long").as("c_custkey"),
         length(trim(col("c_name"))).as("name_len"),
@@ -390,11 +397,15 @@ object PipelinesExt {
       .orderBy("query_id", "rank")
   }
 
-  // banded-LSH near-dup (recall budget 1e-5/pair at the threshold);
-  // the DuckDB oracle stays the exhaustive all-pairs join — equality
-  // is the point.
+  // banded-LSH near-dup; the DuckDB oracle stays the exhaustive
+  // all-pairs join — equality is the point. The gate's recall budget is
+  // sized against the qualifying-PAIR count, not per pair: ~10³ pairs
+  // qualify at sf0.1, so a 1e-5 per-pair miss would flake the exact-
+  // equality gate ~1% of runs. 1e-8/pair (r=4, b=107, 428 of the 512
+  // allowed bits) puts the whole-gate miss odds near 1e-5.
   def cosineNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4, dim = 64)
+    Similarity.cosineNearDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4, dim = 64,
+      missProb = 1e-8)
       .orderBy("id_a", "id_b")
 
   def lshAnn(s: SparkSession, d: String): DataFrame = {
@@ -546,7 +557,10 @@ object OraclesExt {
        |    / (count(*) - 1)) AS stddev_val
        |FROM lineitem""".stripMargin
 
-  val sql: Map[String, String] = Map(
+  // def, not val: the q44 entry interpolates the CSV fixture path that
+  // csvIngest records when it runs — Verify dumps oracle SQL only after
+  // running the queries, so building the map lazily picks it up.
+  def sql: Map[String, String] = Map(
     "q06_num_optional_services" ->
       """SELECT o_orderkey,
         |  CAST((CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)

@@ -37,7 +37,15 @@ object Dedup {
     // sources) or products of child sizes — any narrowing cast here
     // would wrap and repartition exactly the huge inputs this must
     // leave alone
-    if (bytes < BigInt(p) * maxPartitionBytes) df.repartition(p) else df
+    if (bytes >= BigInt(p) * maxPartitionBytes) df
+    // Stats imply a narrow input; confirm against the actual partition
+    // count so a frame that is already wide despite small stats (many
+    // files, an upstream shuffle) is never coalesced down. The RDD
+    // probe runs only on this branch, where the input is small and a
+    // shuffle was on the table anyway — the 100 TB fast path above
+    // never instantiates the physical plan.
+    else if (df.rdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   // ------------------------------------------------------------- exact
@@ -208,6 +216,9 @@ object Dedup {
     val cands = minhashPairs(docs, textCol, idCol, k, numHashes, bands, minEstJaccard)
     val grams = balanced(docs)
       .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams")).cache()
+    grams.count() // eager: both re-attach joins read this frame; a lazy
+                  // cache lets their scans race, each recomputing the
+                  // tokenize+ngram pipeline before blocks land
     cands
       .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), Seq("id_a"))
       .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), Seq("id_b"))

@@ -84,11 +84,16 @@ final class FeatureStore(spark: SparkSession, val root: String) {
 
   private def tableDir(name: String) = new Path(rootPath, name)
   private def specFile(name: String) = new Path(tableDir(name), "spec.properties")
+  // Where the live spec parks during the FileSystem-fallback pointer
+  // swap (saveSpec): readers that miss spec.properties in that window
+  // fall back to this instead of seeing the table vanish.
+  private def backupSpecFile(name: String) = new Path(tableDir(name), "spec.properties.bak")
   private def dataDir(name: String, version: Int) = new Path(tableDir(name), s"v$version")
 
   // ---------------------------------------------------------------- catalog
 
-  def tableExists(name: String): Boolean = fs.exists(specFile(name))
+  def tableExists(name: String): Boolean =
+    fs.exists(specFile(name)) || fs.exists(backupSpecFile(name))
 
   def listTables(): Seq[String] =
     fs.listStatus(rootPath).toSeq
@@ -344,7 +349,17 @@ final class FeatureStore(spark: SparkSession, val root: String) {
         // never a partial file
         case Some(fc) => fc.rename(tmp, specPath, Options.Rename.OVERWRITE)
         case None =>
-          fs.delete(specPath, false)
+          // No atomic-overwrite rename on this scheme, so the swap is
+          // two renames: park the live spec at a backup name, then move
+          // the new one in. A concurrent reader that misses spec.
+          // properties in the between-renames window finds the backup
+          // (tableExists/loadSpec fall back to it) instead of
+          // concluding the table vanished.
+          val bak = backupSpecFile(spec.name)
+          fs.delete(bak, false)
+          if (fs.exists(specPath) && !fs.rename(specPath, bak))
+            throw new java.io.IOException(
+              s"feature table ${spec.name}: spec backup rename failed")
           if (!fs.rename(tmp, specPath))
             throw new java.io.IOException(
               s"feature table ${spec.name}: spec pointer swap failed")
@@ -355,7 +370,13 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   private def loadSpec(name: String): (FeatureTableSpec, Int) = {
     require(tableExists(name), s"feature table $name does not exist")
     val p = new Properties()
-    val in = fs.open(specFile(name))
+    val in =
+      try fs.open(specFile(name))
+      catch { case _: java.io.FileNotFoundException =>
+        // mid-swap window on the FileSystem fallback path: the live
+        // spec is parked at the backup name (saveSpec)
+        fs.open(backupSpecFile(name))
+      }
     try p.load(in) finally in.close()
     def list(k: String) =
       p.getProperty(k, "").split(",").toSeq.map(_.trim).filter(_.nonEmpty)

@@ -49,7 +49,13 @@ object MlTraining {
     val counts = train0.agg(
       sum(col("label")).cast("double").as("pos"),
       count(lit(1)).cast("double").as("n")).head()
-    val (pos, n) = (counts.getDouble(0), counts.getDouble(1))
+    val n = counts.getDouble(1)
+    require(n > 0, "trainWeightedGbt: train split is empty")
+    // sum(label) is NULL when every train label is NULL — read it only
+    // after ruling that out, or getDouble NPEs before the message fires
+    require(!counts.isNullAt(0),
+      s"trainWeightedGbt: label $labelCol is NULL on every train row")
+    val pos = counts.getDouble(0)
     require(pos > 0 && pos < n,
       s"trainWeightedGbt: label $labelCol has a single class in the train split")
     val train = train0.withColumn("weight",

@@ -127,6 +127,17 @@ class DedupSpec extends SparkSpec {
     assert(!(Dedup.balanced(small) eq small), "small input not fanned out")
   }
 
+  test("balanced: widen-only — already-wide small inputs are never coalesced") {
+    // regression: the stats-only check coalesced any small-stat frame to
+    // defaultParallelism, shrinking inputs that were already wider (many
+    // files, an upstream shuffle) through a pointless full shuffle
+    val p = spark.sparkContext.defaultParallelism
+    val wide = graft.Tables.load(spark, sfDir, "documents").repartition(p * 4)
+    val out = Dedup.balanced(wide)
+    assert(out eq wide, "already-wide small input was reshuffled")
+    assert(out.rdd.getNumPartitions == p * 4)
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),
     (2L, "the quick brown fox jumps over the lazy dog again and again today"),  // exact dup of 1

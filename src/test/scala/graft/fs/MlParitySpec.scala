@@ -72,4 +72,33 @@ class MlParitySpec extends SparkSpec {
         .otherwise(0.0))).head().getDouble(0)
     assert(agree >= 0.8, s"train/serve agreement too low: $agree")
   }
+
+  test("trainWeightedGbt: empty/degenerate train splits fail with the intended message") {
+    import spark.implicits._
+    // empty input → empty train split; regression: sum(label) is NULL
+    // and getDouble NPE'd before the require message fired
+    val empty = Seq.empty[(Long, Boolean, Double)].toDF("id", "churn", "x")
+    val e1 = intercept[IllegalArgumentException] {
+      MlTraining.trainWeightedGbt(empty, "churn", "id",
+        categoricalCols = Nil, numericCols = Seq("x"))
+    }
+    assert(e1.getMessage.contains("train split is empty"))
+
+    // all-NULL labels → sum(label) NULL with n > 0
+    val nullLabels = Seq((1L, null.asInstanceOf[java.lang.Boolean], 1.0),
+      (2L, null.asInstanceOf[java.lang.Boolean], 2.0)).toDF("id", "churn", "x")
+    val e2 = intercept[IllegalArgumentException] {
+      MlTraining.trainWeightedGbt(nullLabels, "churn", "id",
+        categoricalCols = Nil, numericCols = Seq("x"))
+    }
+    assert(e2.getMessage.contains("NULL on every train row"))
+
+    // single-class labels keep the original diagnostic
+    val oneClass = (1L to 20L).map(i => (i, true, i.toDouble)).toDF("id", "churn", "x")
+    val e3 = intercept[IllegalArgumentException] {
+      MlTraining.trainWeightedGbt(oneClass, "churn", "id",
+        categoricalCols = Nil, numericCols = Seq("x"))
+    }
+    assert(e3.getMessage.contains("single class"))
+  }
 }
