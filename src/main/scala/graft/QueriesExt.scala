@@ -460,6 +460,25 @@ object PipelinesExt {
         |ORDER BY o_orderkey""".stripMargin)
   }
 
+  // Range (interval) join: events landing inside the 60-second window
+  // opened by each purchase event. The naive non-equi join is a
+  // BroadcastNestedLoopJoin; RangeJoin buckets both sides on time so
+  // the only shuffle is a bucket-id equi-join (the DuckDB oracle runs
+  // the naive form — equality is the point). Output is bare id pairs:
+  // fully portable, no timestamp columns to hash.
+  def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
+        (col("ts") + expr("INTERVAL 60 SECONDS")).as("p_end"))
+    val points = ev.select(col("event_id"), col("ts"))
+    graft.operators.RangeJoin
+      .intervalJoin(purchases, points, "p_start", "p_end", "ts", "1 minute")
+      .filter(col("event_id") =!= col("purchase_id"))
+      .select(col("purchase_id"), col("event_id"))
+      .orderBy("purchase_id", "event_id")
+  }
+
   // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
   // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
   def pqAnn(s: SparkSession, d: String): DataFrame = {
@@ -821,6 +840,14 @@ object OraclesExt {
         |                      FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q54_range_join" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS event_id
+        |FROM events p, events e
+        |WHERE p.event_type = 'purchase'
+        |  AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 60 SECOND
+        |  AND e.event_id <> p.event_id
+        |ORDER BY purchase_id, event_id""".stripMargin,
 
     "q48_semi_join" ->
       """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders

@@ -82,6 +82,7 @@ object SparkEntry {
     "q51_correlated_subquery" -> ((s, d) => PipelinesExt.correlatedMaxOrder(s, d)),
     "q52_pivot" -> ((s, d) => PipelinesExt.pivotStatus(s, d)),
     "q53_unpivot" -> ((s, d) => PipelinesExt.unpivotLineitem(s, d)),
+    "q54_range_join" -> ((s, d) => PipelinesExt.rangeJoinEvents(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
