@@ -118,7 +118,7 @@ object RangeJoin {
     * CalendarInterval parsing would admit month-scale units whose
     * micro length is undefined; restrict to fixed-length units.
     */
-  private[operators] def parseWidthMicros(width: String): Long = {
+  private[graft] def parseWidthMicros(width: String): Long = {
     val m = "(?i)^\\s*(\\d+)\\s*(hour|minute|second|millisecond|microsecond)s?\\s*$".r
     width match {
       case m(n, unit) =>
