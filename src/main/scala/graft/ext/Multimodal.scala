@@ -9,11 +9,15 @@ import org.apache.spark.sql.types._
   * prompt): images/audio/video ride as opaque `binary` columns next to a
   * typed metadata struct. The Spark-side machinery — schema, batch
   * shape, partition-parallel decode, feature extraction — is real and
-  * tested; the actual codec call is STUBBED with a deterministic fake
-  * (this container has no image/audio libraries), clearly marked below.
-  * Swapping `stubDecode` for a real JNI/library call changes nothing
-  * about the plan: decode stays a per-partition narrow map, so a 100 TB
-  * corpus decodes with zero shuffles.
+  * tested. Two decoders ship behind the pluggable `MediaDecoder`
+  * boundary: `ImageIoDecoder` (REAL image decode via the JDK's
+  * pure-Java PNG/BMP/GIF/JPEG readers) and `ByteStatsDecoder` (a
+  * deterministic fake for payloads that are not images — the gate
+  * query's synthetic payloads are text bytes). Audio/video codecs are
+  * not on this container, so those formats stay behind the same trait.
+  * The decoder choice changes nothing about the plan: decode is a
+  * per-partition narrow map, so a 100 TB corpus decodes with zero
+  * shuffles.
   */
 object Multimodal {
 
@@ -85,6 +89,40 @@ object Multimodal {
 
   private[ext] def stubDecode(payload: Array[Byte]): (Double, Array[Long]) =
     ByteStatsDecoder.decode(payload)
+
+  /** Real image decoder over the JDK's pure-Java ImageIO readers
+    * (PNG/BMP/GIF/JPEG ship with the JRE — no native codec needed).
+    * Per pixel: Rec.601 luma from the ARGB int; features are the mean
+    * luma and an 8-bin luma histogram — same output contract as
+    * `ByteStatsDecoder`, so the two swap freely under
+    * `extractFeatures`. Undecodable payloads throw
+    * IllegalArgumentException: silently zero-filled features would
+    * poison downstream quality filters.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      require(payload != null && payload.nonEmpty, "ImageIoDecoder: empty payload")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "ImageIoDecoder: payload is not a decodable image")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val hist = new Array[Long](8)
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val luma = 0.299 * ((rgb >> 16) & 0xFF) +
+            0.587 * ((rgb >> 8) & 0xFF) + 0.114 * (rgb & 0xFF)
+          sum += luma
+          hist(math.min(7, luma.toInt >> 5)) += 1
+          x += 1
+        }
+        y += 1
+      }
+      (sum / (w.toLong * h), hist)
+    }
+  }
 
   /** Partition-parallel decode + feature extraction: one narrow
     * `mapPartitions` pass (the Scala analog of the reference stack's

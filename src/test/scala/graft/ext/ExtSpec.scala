@@ -430,4 +430,41 @@ class MultimodalSpec extends SparkSpec {
     assert(new String(sampled, "UTF-8") == "hlowrd")
     assert(s.getInt(1) == 6)
   }
+
+  private def pngBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG decode, exact luma stats, distributed") {
+    // solid gray 64x64 (r=g=b=100 → luma 100, mid-bin — luma of 128
+    // floats to 127.999…, a bin boundary) and a black/white half split
+    // 32x32 (mean luma 127.5, histogram split between bins 0 and 7)
+    val gray = pngBytes(64, 64, (_, _) => 0x646464)
+    val split = pngBytes(32, 32, (x, _) => if (x < 16) 0x000000 else 0xFFFFFF)
+    val rows = Seq((1L, gray), (2L, split)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("n_frames")))
+
+    val f = Multimodal.extractFeatures(rows, Multimodal.ImageIoDecoder)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(math.abs(f(1L).mean_intensity - 100.0) < 1e-9)
+    assert(f(1L).histogram.toSeq == Seq(0L, 0L, 0L, 4096L, 0L, 0L, 0L, 0L))
+    assert(math.abs(f(2L).mean_intensity - 127.5) < 1e-9)
+    assert(f(2L).histogram(0) == 512L && f(2L).histogram(7) == 512L)
+    assert(f(2L).histogram.sum == 1024L)
+  }
+
+  test("ImageIoDecoder rejects non-image payloads instead of zero-filling") {
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode("not an image".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(Array.emptyByteArray)
+    }
+  }
 }
