@@ -33,6 +33,40 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition (the no-salting scale path)") {
+    // The operator scaladocs lean on "AQE handles bucket skew" for the
+    // LSH/range-join shuffles; this pins that OptimizeSkewedJoin
+    // actually fires under our session shape. One hot key (~150k rows)
+    // against uniform keys, thresholds lowered so the hot partition
+    // counts as skewed at test scale.
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = spark.range(200000)
+        .select(when(col("id") % 4 =!= 0, lit(0L)).otherwise(col("id")).as("k"),
+          col("id").as("pv"))
+      val build = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("bv"))
+      val joined = probe.join(build, Seq("k"))
+      // run THIS dataset's physical plan (count() builds a separate
+      // QueryExecution and would leave this one un-finalized under AQE)
+      joined.queryExecution.executedPlan.execute().count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        s"no skew-join split in final AQE plan:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("saltedJoin on testdata matches plain join aggregate") {
     val probe = graft.Tables.load(spark, sfDir, "events")
       .withColumnRenamed("user_id", "c_custkey")
