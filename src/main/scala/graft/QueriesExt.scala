@@ -479,6 +479,41 @@ object PipelinesExt {
       .orderBy("purchase_id", "event_id")
   }
 
+  // TPC-H Q20 shape (doubly nested): IN subquery whose HAVING holds a
+  // correlated scalar subquery over a derived table. Exercises
+  // multi-level decorrelation (RewriteCorrelatedScalarSubquery under a
+  // RewritePredicateSubquery). Quantities are integral doubles, so the
+  // threshold comparison is exact in both engines; output carries no
+  // floats.
+  def nestedCorrelated(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 2 * (
+        |    SELECT avg(q) FROM (
+        |      SELECT sum(l2.l_quantity) AS q FROM lineitem l2
+        |      WHERE l2.l_partkey = lineitem.l_partkey GROUP BY l2.l_suppkey) t))
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  // RANGE-frame window: per-customer 30-day rolling revenue — the
+  // interval frame (RANGE BETWEEN n PRECEDING) the row_number/rank
+  // queries don't touch. Frame bounds run on epoch-µs longs in both
+  // engines; the sum is exact DECIMAL cast to double at the end.
+  def rollingRevenue(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("_us"))
+      .rangeBetween(-2592000000000L, Window.currentRow) // 30 days in µs
+    t(s, d, "orders")
+      .withColumn("_us", unix_micros(col("o_orderdate").cast("timestamp")))
+      .select(col("o_orderkey"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+          .cast("double").as("rolling_30d"))
+      .orderBy("o_orderkey")
+  }
+
   // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
   // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
   def pqAnn(s: SparkSession, d: String): DataFrame = {
@@ -840,6 +875,23 @@ object OraclesExt {
         |                      FROM orders o2
         |                      WHERE o2.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q55_nested_correlated" ->
+      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM lineitem
+        |  GROUP BY l_suppkey, l_partkey
+        |  HAVING sum(l_quantity) > 2 * (
+        |    SELECT avg(q) FROM (
+        |      SELECT sum(l2.l_quantity) AS q FROM lineitem l2
+        |      WHERE l2.l_partkey = lineitem.l_partkey GROUP BY l2.l_suppkey) t))
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q56_range_frame_window" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q54_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS event_id

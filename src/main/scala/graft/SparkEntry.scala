@@ -83,6 +83,8 @@ object SparkEntry {
     "q52_pivot" -> ((s, d) => PipelinesExt.pivotStatus(s, d)),
     "q53_unpivot" -> ((s, d) => PipelinesExt.unpivotLineitem(s, d)),
     "q54_range_join" -> ((s, d) => PipelinesExt.rangeJoinEvents(s, d)),
+    "q55_nested_correlated" -> ((s, d) => PipelinesExt.nestedCorrelated(s, d)),
+    "q56_range_frame_window" -> ((s, d) => PipelinesExt.rollingRevenue(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
