@@ -67,6 +67,44 @@ class NearDupSpec extends SparkSpec {
     assert(ests.forall(e => e >= 0.5 && e <= 1.0))
   }
 
+  test("bucket state runs on the RocksDB state store (off-heap scale path)") {
+    // At 100 TB the banded-bucket state outgrows executor heap; the
+    // RocksDB provider is the production answer. Same query, same
+    // parity contract — only the state backend changes.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val inDir = Files.createTempDirectory("graft-neardup-rocks-in-").toString
+      docsWithTs.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val stream = spark.readStream.schema(docsWithTs.schema).parquet(inDir)
+
+      val q = NearDup.nearDupPairs(stream,
+        n = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("neardup_rocks_out")
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft-neardup-rocks-ck-").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000)
+
+      val streamed = spark.table("neardup_rocks_out")
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      val batch = graft.ext.Dedup.minhashPairs(
+          docsWithTs.drop("ts"), "text", "doc_id",
+          k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"RocksDB-backed pairs diverge: missing=${(batch -- streamed).take(5)} " +
+          s"extra=${(streamed -- batch).take(5)}")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("same-batch arrivals pair too, and short docs never pair") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val local = Seq(
