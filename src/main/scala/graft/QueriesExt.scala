@@ -168,6 +168,25 @@ object PipelinesExt {
       .orderBy("event_id")
   }
 
+  // Forward PIT — label attachment: each purchase gets the EARLIEST
+  // daily aggregate at-or-after its timestamp ("outcome window"), the
+  // mirror of q33's backward feature lookup. DuckDB checks it with a
+  // forward ASOF JOIN (s.ts <= d.day_ts).
+  def pitForwardLabels(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.asOfJoinForward(spine, daily, keys = Seq("user_id"),
+      spineTs = "ts", featTs = "day_ts", featureCols = Seq("day_events"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"))
+      .orderBy("event_id")
+  }
+
   // multimodal plumbing — binary payload synthesized from text, decoded
   // by the stubbed mapPartitions pass; only the portable byte count is
   // oracle-checked (intensity stats are spec-tested).
@@ -746,6 +765,20 @@ object OraclesExt {
         |  d.day_events
         |FROM spine s ASOF LEFT JOIN daily d
         |  ON s.user_id = d.user_id AND s.ts >= d.day_ts
+        |ORDER BY s.event_id""".stripMargin,
+
+    "q57_pit_forward" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  d.day_events
+        |FROM spine s ASOF LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.ts <= d.day_ts
         |ORDER BY s.event_id""".stripMargin,
 
     "q32_media_features" ->

@@ -85,6 +85,7 @@ object SparkEntry {
     "q54_range_join" -> ((s, d) => PipelinesExt.rangeJoinEvents(s, d)),
     "q55_nested_correlated" -> ((s, d) => PipelinesExt.nestedCorrelated(s, d)),
     "q56_range_frame_window" -> ((s, d) => PipelinesExt.rollingRevenue(s, d)),
+    "q57_pit_forward" -> ((s, d) => PipelinesExt.pitForwardLabels(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -36,7 +36,32 @@ object PointInTime {
       keys: Seq[String],
       spineTs: String,
       featTs: String,
-      featureCols: Seq[String]): DataFrame = {
+      featureCols: Seq[String]): DataFrame =
+    asOfImpl(spine, features, keys, spineTs, featTs, featureCols, backward = true)
+
+  /** Forward as-of join: for each spine row, the EARLIEST feature row
+    * with feature-ts ≥ spine ts (ties inclusive) — label attachment
+    * ("first outcome at-or-after t"), the mirror of the backward
+    * feature lookup. Same union+window construction with time order
+    * reversed; identical one-shuffle cost profile.
+    */
+  def asOfJoinForward(
+      spine: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      spineTs: String,
+      featTs: String,
+      featureCols: Seq[String]): DataFrame =
+    asOfImpl(spine, features, keys, spineTs, featTs, featureCols, backward = false)
+
+  private def asOfImpl(
+      spine: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      spineTs: String,
+      featTs: String,
+      featureCols: Seq[String],
+      backward: Boolean): DataFrame = {
 
     val spineCols = spine.columns.toSeq
     // tag: 0 = feature row (sorts first at equal ts), 1 = spine probe
@@ -54,8 +79,13 @@ object PointInTime {
           lit(null).cast(spine.schema(c).dataType).as(s"_s_$c")) ++
         featureCols.map(c => col(c).as(s"_f_$c")): _*)
 
+    // backward: scan time ascending, keep the last feature row seen.
+    // forward: scan time DEscending — "last seen" is then the earliest
+    // feature with ts ≥ probe ts. Either way the feature sorts before
+    // the probe at equal _ts (origin 0 < 1), making the bound inclusive.
+    val tsOrder = if (backward) col("_ts").asc else col("_ts").desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_origin").asc)
+      .orderBy(tsOrder, col("_origin").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // Carry the latest feature ROW as one struct, then extract fields:

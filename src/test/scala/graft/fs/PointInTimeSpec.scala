@@ -40,6 +40,35 @@ class PointInTimeSpec extends SparkSpec {
       Row(104L, 3L, null)))
   }
 
+  test("asOfJoinForward: earliest feature at-or-after spine ts, NULL after last") {
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 30.0),
+      (2L, ts("2024-01-02 00:00:00"), 99.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq(
+      (100L, 1L, ts("2024-01-02 12:00:00")),  // next is v2 → 30.0
+      (101L, 1L, ts("2024-01-03 00:00:00")),  // exactly at v2 → inclusive → 30.0
+      (102L, 1L, ts("2024-01-04 00:00:00")),  // after all → NULL
+      (103L, 2L, ts("2024-01-01 00:00:00")),  // before first → 99.0
+      (104L, 3L, ts("2024-01-05 00:00:00")))  // unknown key → NULL
+      .toDF("event_id", "user_id", "sts")
+
+    val got = PointInTime.asOfJoinForward(spine, features,
+      keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+      featureCols = Seq("score"))
+      .orderBy("event_id")
+      .select("event_id", "user_id", "score")
+      .collect().toSeq
+
+    assert(got == Seq(
+      Row(100L, 1L, 30.0),
+      Row(101L, 1L, 30.0),
+      Row(102L, 1L, null),
+      Row(103L, 2L, 99.0),
+      Row(104L, 3L, null)))
+  }
+
   test("asOfJoin: a NULL latest feature value is returned, not skipped") {
     // (1, t2) legitimately clears the feature to NULL; a probe after t2
     // must see NULL (the latest row), NOT the stale 5.0 from t1 —
