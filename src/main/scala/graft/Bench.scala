@@ -39,7 +39,12 @@ object Bench {
     val median = if (sorted.isEmpty) 0.0 else sorted(sorted.length / 2)
     val threshold = math.max(3 * median, 2.0)
     val results = firstPass.map { case (name, fn, t1) =>
-      name -> (if (t1 > threshold) math.min(t1, time(name, fn)) else t1)
+      if (t1 > threshold) {
+        // the retry must redo the same work: drop feature-store memos
+        // so store-building queries rebuild instead of hitting a memo
+        Pipelines.invalidateStoreCaches()
+        name -> math.min(t1, time(name, fn))
+      } else name -> t1
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -344,6 +344,8 @@ object PipelinesExt {
   private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
     pitStores.computeIfAbsent((s, d), _ => graft.fs.FeatureStore.temp(s))
 
+  private[graft] def invalidatePitStores(): Unit = pitStores.clear()
+
   // ---------------------------------------------------------- dedup
 
   def dedupExactGroups(s: SparkSession, d: String): DataFrame =

@@ -153,6 +153,15 @@ object Pipelines {
   def buildStore(s: SparkSession, d: String): FeatureStore =
     storeCache.computeIfAbsent((s, d), _ => buildStoreUncached(s, d))
 
+  /** Drop the store memos so a re-measured query rebuilds its feature
+    * tables from scratch (Bench outlier retries must time the same
+    * work, not a memo hit).
+    */
+  def invalidateStoreCaches(): Unit = {
+    storeCache.clear()
+    PipelinesExt.invalidatePitStores()
+  }
+
   def buildStoreUncached(s: SparkSession, d: String): FeatureStore = {
     val store = FeatureStore.temp(s)
     val ord = Features.orderFeatures(t(s, d, "orders"))
