@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // pin the zone Verify validated under: q54/q56/q57 derive epoch
+      // micros from ntz columns, and a host-local zone would bench
+      // different (unverified) work
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -21,12 +25,13 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    def time(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // (elapsed seconds, completed without throwing)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    val firstPass = selected.map { case (name, fn) => (name, fn, time(name, fn)) }
+    val firstPass = selected.map { case (name, fn) => (name, fn, time(fn)._1) }
     // A single stop-the-world pause (GC, JIT deopt storm, host
     // contention) can inflate one query 10x and dominate the total —
     // r04 recorded q20 at 25.6s vs a 1.6s steady state. Re-measure the
@@ -43,7 +48,10 @@ object Bench {
         // the retry must redo the same work: drop feature-store memos
         // so store-building queries rebuild instead of hitting a memo
         Pipelines.invalidateStoreCaches()
-        name -> math.min(t1, time(name, fn))
+        val (t2, ok) = time(fn)
+        // a retry that THREW measured nothing — its elapsed time must
+        // not flatter the result via min()
+        name -> (if (ok) math.min(t1, t2) else t1)
       } else name -> t1
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

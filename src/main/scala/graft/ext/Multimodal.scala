@@ -102,7 +102,19 @@ object Multimodal {
   object ImageIoDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte]): (Double, Array[Long]) = {
       require(payload != null && payload.nonEmpty, "ImageIoDecoder: empty payload")
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      // MemoryCacheImageInputStream: the default path wraps the stream
+      // in a FILE-cache (a temp-file create/write/delete per row) just
+      // to re-buffer bytes already in memory. A reader that recognizes
+      // the format but hits corrupt data throws IIOException — fold it
+      // into the documented IllegalArgumentException contract.
+      val img =
+        try javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload)))
+        catch {
+          case e: java.io.IOException =>
+            throw new IllegalArgumentException(
+              s"ImageIoDecoder: payload is not a decodable image: ${e.getMessage}", e)
+        }
       require(img != null, "ImageIoDecoder: payload is not a decodable image")
       val (w, h) = (img.getWidth, img.getHeight)
       val hist = new Array[Long](8)

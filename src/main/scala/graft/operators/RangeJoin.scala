@@ -49,24 +49,50 @@ object RangeJoin {
       tsCol: String,
       bucketWidth: String = "1 minute"): DataFrame = {
     val w = parseWidthMicros(bucketWidth)
-    // All comparisons run on epoch-micros longs: the testdata mixes
-    // timestamp and timestamp_ntz columns, and a direct ntz-vs-tz
-    // comparison fails analysis. The cast to `timestamp` is a no-op
-    // for tz columns and session-zone reinterpretation for ntz — both
-    // sides go through the same path, so bucket and filter agree.
+    // All comparisons run on epoch-micros longs (a tz-vs-ntz column
+    // comparison fails analysis otherwise). The mapping must be
+    // MONOTONIC or bucket and filter could disagree with ts order:
+    // `cast(ntz as timestamp)` is NOT monotonic in a DST session zone
+    // (spring-forward wall times invert around the gap), so ntz/date
+    // columns map via timestampdiff against the ntz epoch —
+    // timezone-free wall-clock micros. Absolute timestamps use
+    // unix_micros directly. Mixing an ntz side with a tz side is the
+    // caller's semantic call (wall vs absolute); same-family sides are
+    // exact.
     val iv = intervals
-      .withColumn("_rj_s", unix_micros(col(startCol).cast("timestamp")))
-      .withColumn("_rj_e", unix_micros(col(endCol).cast("timestamp")))
+      .withColumn("_rj_s", epochMicros(intervals, startCol))
+      .withColumn("_rj_e", epochMicros(intervals, endCol))
       .filter(col("_rj_e") > col("_rj_s"))
       .withColumn("_rj_bucket",
         explode(sequence(expr(s"_rj_s div ${w}L"), expr(s"(_rj_e - 1) div ${w}L"))))
     val pt = points
-      .withColumn("_rj_t", unix_micros(col(tsCol).cast("timestamp")))
+      .withColumn("_rj_t", epochMicros(points, tsCol))
       .withColumn("_rj_bucket", expr(s"_rj_t div ${w}L"))
     iv.join(pt, Seq("_rj_bucket"))
       .filter(col("_rj_t") >= col("_rj_s") && col("_rj_t") < col("_rj_e"))
       .drop("_rj_bucket", "_rj_s", "_rj_e", "_rj_t")
   }
+
+  /** Monotonic epoch-micros image of a time column. ntz/date →
+    * wall-clock micros since the ntz epoch via pure FIELD EXTRACTION
+    * (unix_date + hour/minute/fractional-second): every instant-based
+    * route (cast-to-timestamp, even timestampdiff on ntz) converts
+    * through the session zone and inverts order across a DST
+    * spring-forward gap. Absolute timestamp → unix_micros.
+    */
+  private def epochMicros(df: DataFrame, name: String): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType}
+    df.schema(name).dataType match {
+      case TimestampNTZType | DateType =>
+        val c = s"cast(${quote(name)} as timestamp_ntz)"
+        expr(s"unix_date(cast($c as date)) * 86400000000L" +
+          s" + hour($c) * 3600000000L + minute($c) * 60000000L" +
+          s" + cast(date_part('second', $c) * 1000000 as bigint)")
+      case _ => unix_micros(col(name).cast("timestamp"))
+    }
+  }
+
+  private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
 
   /** Band join: pairs (l, r) with |l.ts − r.ts| ≤ tolerance — the
     * symmetric special case (each left row is the interval
@@ -79,12 +105,15 @@ object RangeJoin {
       rightTsCol: String,
       tolerance: String): DataFrame = {
     val tol = parseWidthMicros(tolerance)
+    // timestampadd preserves the column's family (ntz stays ntz, tz
+    // stays tz), so the band bounds always compare same-family against
+    // the left ts and the derived epoch mapping stays monotonic
     val iv = left
       .withColumn("_rj_band_s",
-        timestamp_micros(unix_micros(col(leftTsCol).cast("timestamp")) - tol))
+        expr(s"timestampadd(MICROSECOND, ${-tol}, ${quote(leftTsCol)})"))
       // +1 µs: intervalJoin is half-open, the band is inclusive
       .withColumn("_rj_band_e",
-        timestamp_micros(unix_micros(col(leftTsCol).cast("timestamp")) + tol + 1L))
+        expr(s"timestampadd(MICROSECOND, ${tol + 1L}, ${quote(leftTsCol)})"))
     intervalJoin(iv, right, "_rj_band_s", "_rj_band_e", rightTsCol,
       bucketWidth = tolerance)
       .drop("_rj_band_s", "_rj_band_e")
@@ -102,13 +131,15 @@ object RangeJoin {
       ptCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
+    // caller-supplied names are backtick-quoted before splicing into
+    // expr(): a name like "a.b" or "start ts" must stay one identifier
     val iv = intervals
       .filter(col(endCol) > col(startCol))
       .withColumn("_rj_bucket",
-        explode(sequence(expr(s"$startCol div ${bucketWidth}L"),
-          expr(s"($endCol - 1) div ${bucketWidth}L"))))
+        explode(sequence(expr(s"${quote(startCol)} div ${bucketWidth}L"),
+          expr(s"(${quote(endCol)} - 1) div ${bucketWidth}L"))))
     val pt = points
-      .withColumn("_rj_bucket", expr(s"$ptCol div ${bucketWidth}L"))
+      .withColumn("_rj_bucket", expr(s"${quote(ptCol)} div ${bucketWidth}L"))
     iv.join(pt, Seq("_rj_bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("_rj_bucket")

@@ -85,6 +85,13 @@ object NearDup extends Serializable {
 
     def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
 
+    // full micro precision round-trip (Timestamp(ms) alone truncates)
+    def usToTs(us: Long): Timestamp = {
+      val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+      t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+      t
+    }
+
     def estJaccard(a: Seq[Long], b: Seq[Long]): Double = {
       var eq = 0
       var i = 0
@@ -111,7 +118,10 @@ object NearDup extends Serializable {
             val est = estJaccard(e.sig, d.sig)
             if (est >= minJaccard) {
               val (a, b) = if (e.id < d.id) (e.id, d.id) else (d.id, e.id)
-              out += NearDupPair(a, b, est, new Timestamp(dUs / 1000))
+              // the LATER doc's event time, as documented — a late
+              // (out-of-order) arrival pairs with a newer stored doc,
+              // so the current doc's ts is not necessarily the max
+              out += NearDupPair(a, b, est, usToTs(math.max(e.tsUs, dUs)))
             }
           }
           entries = (BucketEntry(d.id, dUs, d.sig) :: entries).take(maxPerBucket)

@@ -466,5 +466,12 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Multimodal.ImageIoDecoder.decode(Array.emptyByteArray)
     }
+    // valid PNG magic + truncated body: the PNG reader throws
+    // IIOException mid-decode; the contract folds it into
+    // IllegalArgumentException too
+    val truncated = pngBytes(16, 16, (_, _) => 0x336699).take(40)
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(truncated)
+    }
   }
 }

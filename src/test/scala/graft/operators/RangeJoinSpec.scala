@@ -81,6 +81,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(got == want && want.nonEmpty)
   }
 
+  test("ntz semantics survive a DST session timezone (wall-clock mapping)") {
+    // cast(ntz as timestamp) inverts order across a spring-forward gap;
+    // the operator maps ntz via wall-clock micros instead, so it must
+    // agree with the naive ntz comparison even in a DST zone.
+    val tzKey = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(tzKey)
+    try {
+      spark.conf.set(tzKey, "America/New_York")
+      // 2024-03-10 01:30–03:30 local: the 02:00–03:00 hour doesn't exist
+      val iv = Seq((1L, "2024-03-10 01:45:00", "2024-03-10 03:15:00"))
+        .toDF("iv_id", "s_str", "e_str")
+        .select(col("iv_id"), col("s_str").cast("timestamp_ntz").as("s"),
+          col("e_str").cast("timestamp_ntz").as("e"))
+      val pts = Seq(
+        (10L, "2024-03-10 01:50:00"), // in
+        (11L, "2024-03-10 02:30:00"), // nonexistent local time, in by ntz order
+        (12L, "2024-03-10 03:10:00"), // in
+        (13L, "2024-03-10 03:20:00")  // out
+      ).toDF("pt_id", "t_str")
+        .select(col("pt_id"), col("t_str").cast("timestamp_ntz").as("t"))
+      val got = RangeJoin.intervalJoin(iv, pts, "s", "e", "t", "30 minutes")
+        .select("pt_id").as[Long].collect().toSet
+      val want = iv.join(pts, col("t") >= col("s") && col("t") < col("e"))
+        .select("pt_id").as[Long].collect().toSet
+      assert(got == want && got == Set(10L, 11L, 12L))
+    } finally spark.conf.set(tzKey, prev)
+  }
+
   test("plan is a bucket equi-join: no nested loop, no cartesian product") {
     val ev = graft.Tables.load(spark, sfDir, "events")
     val iv = ev.filter(col("event_type") === "purchase")
