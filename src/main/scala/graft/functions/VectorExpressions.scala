@@ -425,6 +425,42 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Morton bit-interleave of k long ranks (each in [0, 2^bits)): the
+    * z-value whose sort order is the Z-order curve. Bit j of dimension
+    * d lands at output bit j·k + d. One fused pass; no per-bit SQL
+    * expression tree (64 shift/or nodes per dim would blow the codegen
+    * method limit the same way the per-band HyperplaneSigs did).
+    */
+  case class InterleaveBits(children: Seq[Expression], bits: Int)
+      extends Expression with CodegenFallback {
+    private val k = children.size
+    require(k > 0 && bits > 0 && bits * k <= 63,
+      s"graft_interleave_bits: bits·dims must fit a long, got $bits × $k")
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = false
+    override def prettyName: String = "graft_interleave_bits"
+
+    override def eval(input: InternalRow): Any = {
+      var z = 0L
+      var d = 0
+      while (d < k) {
+        val v = children(d).eval(input)
+        val rank = if (v == null) 0L else v.asInstanceOf[Long]
+        var j = 0
+        while (j < bits) {
+          if (((rank >>> j) & 1L) != 0L) z |= 1L << (j * k + d)
+          j += 1
+        }
+        d += 1
+      }
+      z
+    }
+
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): Expression =
+      copy(children = newChildren)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -448,6 +484,9 @@ object VectorExpressions {
 
   def hyperplaneBandKeys(emb: Column, dim: Int, rowsPerBand: Int, bands: Int): Column =
     Bridge.column(HyperplaneBandKeys(Bridge.expression(emb), dim, rowsPerBand, bands))
+
+  def interleaveBits(ranks: Seq[Column], bits: Int): Column =
+    Bridge.column(InterleaveBits(ranks.map(Bridge.expression), bits))
 
   def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(emb), codebooks))
