@@ -535,6 +535,23 @@ object PipelinesExt {
       .orderBy("o_orderkey")
   }
 
+  // Sketch aggregations (rows-only: HLL/quantile-sketch estimates are
+  // engine-specific by construction — the accuracy contract vs the
+  // exact values is spec-tested instead): approx_count_distinct is
+  // Spark's HyperLogLog++, approx_percentile its quantile sketch. At
+  // 100 TB these replace exact distinct/percentile shuffles with
+  // constant-size mergeable state — the standard pre-aggregation
+  // trade.
+  def approxStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
+      .orderBy("l_returnflag", "l_linestatus")
+
   // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
   // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
   def pqAnn(s: SparkSession, d: String): DataFrame = {

@@ -86,6 +86,7 @@ object SparkEntry {
     "q55_nested_correlated" -> ((s, d) => PipelinesExt.nestedCorrelated(s, d)),
     "q56_range_frame_window" -> ((s, d) => PipelinesExt.rollingRevenue(s, d)),
     "q57_pit_forward" -> ((s, d) => PipelinesExt.pitForwardLabels(s, d)),
+    "q58_approx_stats" -> ((s, d) => PipelinesExt.approxStats(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
