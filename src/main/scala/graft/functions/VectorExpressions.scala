@@ -440,12 +440,25 @@ object VectorExpressions {
     override def nullable: Boolean = false
     override def prettyName: String = "graft_interleave_bits"
 
+    // analysis-time type check: a non-long child would otherwise throw
+    // ClassCastException per row at eval
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (children.forall(_.dataType == LongType))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint ranks, got " +
+          children.map(_.dataType.simpleString).mkString(", "))
+
     override def eval(input: InternalRow): Any = {
       var z = 0L
       var d = 0
       while (d < k) {
         val v = children(d).eval(input)
         val rank = if (v == null) 0L else v.asInstanceOf[Long]
+        // a rank past 2^bits would silently alias a small z-value and
+        // corrupt the layout order — fail loudly instead
+        if ((rank >>> bits) != 0L) throw new IllegalArgumentException(
+          s"$prettyName: rank $rank does not fit $bits bits (dimension $d)")
         var j = 0
         while (j < bits) {
           if (((rank >>> j) & 1L) != 0L) z |= 1L << (j * k + d)

@@ -35,23 +35,33 @@ object ZOrder {
     require(cols.nonEmpty, "zorder: need at least one column")
     require(bits > 0 && bits * cols.size <= 63,
       s"zorder: bits·dims must fit a long, got $bits × ${cols.size}")
-    val aggs = cols.flatMap { c =>
-      Seq(min(col(c).cast("double")).as(s"_zmin_$c"),
-        max(col(c).cast("double")).as(s"_zmax_$c"))
+    // internal stat aliases use a positional index, never the caller's
+    // name (dots/backticks would corrupt the alias); zCol and the stat
+    // names must not collide with existing columns — silently
+    // overwriting caller data is worse than failing
+    require(!df.columns.contains(zCol),
+      s"zorder: output column '$zCol' already exists — pass a different zCol")
+    val statNames = cols.indices.flatMap(i => Seq(s"_zmin_$i", s"_zmax_$i"))
+    statNames.foreach(n => require(!df.columns.contains(n),
+      s"zorder: internal column '$n' collides with an input column"))
+    def q(name: String) = col("`" + name.replace("`", "``") + "`")
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(min(q(c).cast("double")).as(s"_zmin_$i"),
+        max(q(c).cast("double")).as(s"_zmax_$i"))
     }
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val maxRank = (1L << bits) - 1
-    val ranks = cols.map { c =>
-      val x = col(c).cast("double")
-      val lo = col(s"_zmin_$c")
-      val hi = col(s"_zmax_$c")
+    val ranks = cols.zipWithIndex.map { case (c, i) =>
+      val x = q(c).cast("double")
+      val lo = col(s"_zmin_$i")
+      val hi = col(s"_zmax_$i")
       val scaled = when(x.isNull || hi <= lo, lit(0L))
         .otherwise(((x - lo) / (hi - lo) * maxRank).cast("long"))
       least(greatest(scaled, lit(0L)), lit(maxRank))
     }
-    df.join(broadcast(stats))
+    df.crossJoin(broadcast(stats))
       .withColumn(zCol, VectorExpressions.interleaveBits(ranks, bits))
-      .drop(cols.flatMap(c => Seq(s"_zmin_$c", s"_zmax_$c")): _*)
+      .drop(statNames: _*)
   }
 
   /** Z-ordered layout: range-partition into `numFiles` partitions by
@@ -59,10 +69,10 @@ object ZOrder {
     * whose min/max stats are tight on every `cols` dimension.
     */
   def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int = 16): DataFrame = {
-    val z = withZValue(df, cols, bits)
-    z.repartitionByRange(numFiles, col("_z"))
-      .sortWithinPartitions("_z")
-      .drop("_z")
+      bits: Int = 16, zCol: String = "_z"): DataFrame = {
+    val z = withZValue(df, cols, bits, zCol)
+    z.repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
   }
 }

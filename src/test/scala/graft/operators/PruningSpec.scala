@@ -40,13 +40,12 @@ class PruningSpec extends SparkSpec {
       // allow DPP even when the build side isn't broadcast-reused
       spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
       val fact = spark.read.parquet(partedDir)
-      val days = fact.select(col("day")).distinct().orderBy("day").limit(2)
-        .collect().map(_.getDate(0))
       import spark.implicits._
       // DPP requires a SELECTIVE predicate on the build side (its
       // planner rule skips unfiltered dims) and a real source relation
-      val allDays = fact.select(col("day")).distinct()
+      val allDays = fact.select(col("day")).distinct().orderBy("day")
         .collect().map(_.getDate(0))
+      val days = allDays.take(2)
       val dimDir = Files.createTempDirectory("graft-dim-").toString
       allDays.map(d => (d, if (days.contains(d)) "keep" else "drop")).toSeq
         .toDF("dim_day", "tag").write.mode("overwrite").parquet(dimDir)

@@ -24,7 +24,7 @@ class ZOrderSpec extends SparkSpec {
   test("z-layout bounds BOTH dimensions per partition; lexicographic sort does not") {
     // 64×64 uniform grid; 16 partitions
     val grid = spark.range(64L * 64)
-      .select((col("id") % 64).as("x"), (col("id") / 64).as("y"))
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
 
     // per-partition (ymin, ymax) — the min/max footer stats a reader
     // would prune on for a y-only filter

@@ -49,7 +49,7 @@ class NearDupSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("graft-neardup-ck-").toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val streamed = spark.table("neardup_out")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -88,7 +88,7 @@ class NearDupSpec extends SparkSpec {
           Files.createTempDirectory("graft-neardup-rocks-ck-").toString)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination(120000)
+      assert(q.awaitTermination(120000), "streaming query timed out")
 
       val streamed = spark.table("neardup_rocks_out")
         .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -123,7 +123,7 @@ class NearDupSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("graft-neardup2-ck-").toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "streaming query timed out")
 
     val got = spark.table("neardup_out2")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

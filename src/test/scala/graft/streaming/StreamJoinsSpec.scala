@@ -36,7 +36,7 @@ class StreamJoinsSpec extends SparkSpec {
       .option("checkpointLocation", Files.createTempDirectory("graft-ssj-ck-").toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream-stream join query timed out")
 
     val streamed = spark.table("ssj_out")
       .select("p_id", "f_id").as[(Long, Long)].collect().toSet
