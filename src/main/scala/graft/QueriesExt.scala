@@ -552,6 +552,21 @@ object PipelinesExt {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // Z-order curve values over integer ranks (no float scaling — the
+  // masked ints are the ranks, so the DuckDB oracle can rebuild the
+  // Morton interleave with plain bit ops and the gate hash-checks the
+  // fused InterleaveBits expression against an independent
+  // implementation).
+  def zorderValues(s: SparkSession, d: String): DataFrame = {
+    val ranks = Seq(
+      col("c_custkey").bitwiseAND(lit(255L)).cast("long"),
+      col("c_nationkey").bitwiseAND(lit(255L)).cast("long"))
+    t(s, d, "customer")
+      .select(col("c_custkey"),
+        graft.functions.VectorExpressions.interleaveBits(ranks, bits = 8).as("z"))
+      .orderBy("c_custkey")
+  }
+
   // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
   // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
   def pqAnn(s: SparkSession, d: String): DataFrame = {
@@ -944,6 +959,18 @@ object OraclesExt {
         |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q59_zorder_values" -> {
+      // independent Morton implementation: bit j of x → z bit 2j, of
+      // y → z bit 2j+1 (must mirror InterleaveBits' j·k+d layout)
+      val terms = (0 until 8).map(j =>
+        s"(((x >> $j) & 1) << ${2 * j}) | (((y >> $j) & 1) << ${2 * j + 1})")
+        .mkString(" | ")
+      s"""WITH m AS (SELECT c_custkey, c_custkey & 255 AS x, c_nationkey & 255 AS y
+         |           FROM customer)
+         |SELECT c_custkey, CAST($terms AS BIGINT) AS z
+         |FROM m ORDER BY c_custkey""".stripMargin
+    },
 
     "q54_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS event_id

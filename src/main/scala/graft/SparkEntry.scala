@@ -87,6 +87,7 @@ object SparkEntry {
     "q56_range_frame_window" -> ((s, d) => PipelinesExt.rollingRevenue(s, d)),
     "q57_pit_forward" -> ((s, d) => PipelinesExt.pitForwardLabels(s, d)),
     "q58_approx_stats" -> ((s, d) => PipelinesExt.approxStats(s, d)),
+    "q59_zorder_values" -> ((s, d) => PipelinesExt.zorderValues(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
