@@ -552,6 +552,24 @@ object PipelinesExt {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // Per-group feature standardization (z-score) — the core feature-
+  // scaling transform, computed from EXACT decimal window sums so the
+  // derived doubles (mean, sample stddev, z) are bit-identical in both
+  // engines (same trick as q10; the formula text mirrors the oracle's).
+  def standardizeFeatures(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+    val dec = col("c_acctbal").cast(DecimalType(18, 2))
+    t(s, d, "customer")
+      .withColumn("_n", count(lit(1)).over(w))
+      .withColumn("_sum", sum(dec).over(w).cast("double"))
+      .withColumn("_sumsq", sum((dec * dec).cast(DecimalType(38, 4))).over(w).cast("double"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        ((col("c_acctbal") - col("_sum") / col("_n")) /
+          sqrt((col("_sumsq") - col("_sum") * col("_sum") / col("_n"))
+            / (col("_n") - 1))).as("acctbal_z"))
+      .orderBy("c_custkey")
+  }
+
   // Z-order curve values over integer ranks (no float scaling — the
   // masked ints are the ranks, so the DuckDB oracle can rebuild the
   // Morton interleave with plain bit ops and the gate hash-checks the
@@ -959,6 +977,17 @@ object OraclesExt {
         |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
         |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q60_standardize" ->
+      """WITH s AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal,
+        |    CAST(count(*) OVER w AS BIGINT) AS n,
+        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sm,
+        |    CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sq
+        |  FROM customer WINDOW w AS (PARTITION BY c_mktsegment))
+        |SELECT c_custkey, c_mktsegment,
+        |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z
+        |FROM s ORDER BY c_custkey""".stripMargin,
 
     "q59_zorder_values" -> {
       // independent Morton implementation: bit j of x → z bit 2j, of

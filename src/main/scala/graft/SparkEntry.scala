@@ -88,6 +88,7 @@ object SparkEntry {
     "q57_pit_forward" -> ((s, d) => PipelinesExt.pitForwardLabels(s, d)),
     "q58_approx_stats" -> ((s, d) => PipelinesExt.approxStats(s, d)),
     "q59_zorder_values" -> ((s, d) => PipelinesExt.zorderValues(s, d)),
+    "q60_standardize" -> ((s, d) => PipelinesExt.standardizeFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
