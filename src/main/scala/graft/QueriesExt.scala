@@ -552,6 +552,16 @@ object PipelinesExt {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // KMV sketch aggregate (rows-only: the estimate depends on the
+  // engine's hash; the exact/merge contracts are spec-tested) — the
+  // custom TypedImperativeAggregate tier exercised through a query.
+  def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
+        .as("approx_orders"))
+      .orderBy("l_returnflag")
+
   // Per-group feature standardization (z-score) — the core feature-
   // scaling transform, computed from EXACT decimal window sums so the
   // derived doubles (mean, sample stddev, z) are bit-identical in both

@@ -89,6 +89,7 @@ object SparkEntry {
     "q58_approx_stats" -> ((s, d) => PipelinesExt.approxStats(s, d)),
     "q59_zorder_values" -> ((s, d) => PipelinesExt.zorderValues(s, d)),
     "q60_standardize" -> ((s, d) => PipelinesExt.standardizeFeatures(s, d)),
+    "q61_kmv_distinct" -> ((s, d) => PipelinesExt.kmvDistinctCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -55,7 +55,9 @@ object GraftFunctions {
         HyperplaneBandKeys(es(0), intArg(es(1), "graft_hyperplane_band_keys", 1),
           intArg(es(2), "graft_hyperplane_band_keys", 2),
           intArg(es(3), "graft_hyperplane_band_keys", 3))
-      }))
+      }),
+    ("graft_kmv_distinct", "KMV distinct-count sketch aggregate (value, k)",
+      es => SketchAggregates.KmvDistinct(es(0), intArg(es(1), "graft_kmv_distinct", 1))))
 
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>
