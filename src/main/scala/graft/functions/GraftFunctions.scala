@@ -66,12 +66,16 @@ object GraftFunctions {
   }
 }
 
-/** `spark.sql.extensions` entry point. */
+/** `spark.sql.extensions` entry point: SQL functions + the range-join
+  * rewrite rule (naive non-equi range joins → bucketed equi joins).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, usage, builder) =>
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft.functions.VectorExpressions", null, name, usage, ""),
         builder))
     }
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite())
+  }
 }

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule (builder-brief preference (c): custom `Rule
+  * [LogicalPlan]` via `SparkSessionExtensions`): rewrite a pure
+  * range-condition inner join — which Spark plans as a
+  * BroadcastNestedLoopJoin, O(n·m) — into the bucketed equi-join of
+  * `graft.operators.RangeJoin`, directly at the logical-plan level, so
+  * NAIVE user SQL like
+  *
+  *   SELECT ... FROM intervals i JOIN points p
+  *   ON p.ts >= i.start AND p.ts < i.end
+  *
+  * scales without the user knowing the operator exists.
+  *
+  * Fires only when the join has NO equi predicate (Spark already
+  * hash-partitions equi joins; adding buckets there would only inflate
+  * the build side) and the condition contains a half-open range
+  * `t >= s AND t < e` with `t` from one side and `s`, `e` from the
+  * other. Timestamp columns run through `unix_micros`; long columns
+  * are used directly (ntz inputs are left to the explicit operator,
+  * which maps them DST-safely). The rewritten join carries the bucket
+  * equality PLUS the original condition, so semantics are unchanged —
+  * the spec asserts result equality and the disappearance of the
+  * nested loop.
+  *
+  * Bucket width: `spark.graft.rangejoin.bucket.micros` (default 1
+  * minute). The output join has an equi key, so the rule cannot
+  * re-fire on its own output.
+  */
+case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
+    extends Rule[LogicalPlan] with PredicateHelper {
+
+  private def micros(e: Expression): Option[Expression] = e.dataType match {
+    case TimestampType => Some(UnixMicros(e))
+    case LongType      => Some(e)
+    case _             => None
+  }
+
+  private def fromSide(e: Expression, side: LogicalPlan): Boolean =
+    e.references.nonEmpty && e.references.subsetOf(side.outputSet)
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case j @ Join(left, right, Inner, Some(cond), hint) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) =>
+          (fromSide(a, left) && fromSide(b, right)) ||
+            (fromSide(a, right) && fromSide(b, left))
+        case _ => false
+      }
+      // (t, s, e) with t from `pointSide`, s/e from the other side
+      val range = if (hasEqui) None else {
+        val lower = conjuncts.collectFirst[(Expression, Expression)] {
+          case GreaterThanOrEqual(t, s) if fromSide(t, right) && fromSide(s, left) => (t, s)
+          case LessThanOrEqual(s, t) if fromSide(t, right) && fromSide(s, left) => (t, s)
+        }
+        val upper = conjuncts.collectFirst[(Expression, Expression)] {
+          case LessThan(t, e) if fromSide(t, right) && fromSide(e, left) => (t, e)
+          case GreaterThan(e, t) if fromSide(t, right) && fromSide(e, left) => (t, e)
+        }
+        (lower, upper) match {
+          case (Some((t1, s)), Some((t2, e))) if t1.semanticEquals(t2) =>
+            Some((t1, s, e))
+          case _ => None
+        }
+      }
+      range.flatMap { case (t, s, e) =>
+        for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
+          val w = Literal(bucketMicros, LongType)
+          // interval side: explode covering buckets [s div w, (e-1) div w]
+          val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
+          // Sequence is TimeZoneAwareExpression: unresolved until a zone
+          // is attached, even over longs
+          val seqExpr = new Sequence(
+            IntegralDivide(sUs, w),
+            IntegralDivide(Subtract(eUs, Literal(1L, LongType)), w),
+            Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+          val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(bucketL),
+            child = left)
+          // point side: its single bucket
+          val bucketRAlias = Alias(IntegralDivide(tUs, w), "_rj_bucket_r")()
+          val proj = Project(right.output :+ bucketRAlias, right)
+          val newCond = And(EqualTo(bucketL, bucketRAlias.toAttribute), cond)
+          Project(j.output, Join(gen, proj, Inner, Some(newCond), hint))
+        }
+      }.getOrElse(j)
+  }
+}

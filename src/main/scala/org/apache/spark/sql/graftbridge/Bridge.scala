@@ -13,4 +13,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Expose the private[sql] optimizer-rule builder so specs can
+    * assert what a SparkSessionExtensions instance injects.
+    */
+  def optimizerRules(
+      e: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Seq[
+      org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(spark)
 }
