@@ -993,7 +993,7 @@ object OraclesExt {
         |  SELECT c_custkey, c_mktsegment, c_acctbal,
         |    CAST(count(*) OVER w AS BIGINT) AS n,
         |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sm,
-        |    CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS DOUBLE) AS sq
+        |    CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS VARCHAR) AS DOUBLE) AS sq
         |  FROM customer WINDOW w AS (PARTITION BY c_mktsegment))
         |SELECT c_custkey, c_mktsegment,
         |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z

@@ -81,7 +81,7 @@ object SketchAggregates {
     override def eval(buf: KmvBuffer): Any = buf.estimate
 
     override def serialize(buf: KmvBuffer): Array[Byte] = {
-      val bb = java.nio.ByteBuffer.allocate(8 + 4 + buf.heap.size * 8)
+      val bb = java.nio.ByteBuffer.allocate(4 + 4 + buf.heap.size * 8)
       bb.putInt(buf.k).putInt(buf.heap.size)
       val it = buf.heap.iterator()
       while (it.hasNext) bb.putLong(it.next())

@@ -22,9 +22,9 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * hash-partitions equi joins; adding buckets there would only inflate
   * the build side) and the condition contains a half-open range
   * `t >= s AND t < e` with `t` from one side and `s`, `e` from the
-  * other. Timestamp columns run through `unix_micros`; long columns
-  * are used directly (ntz inputs are left to the explicit operator,
-  * which maps them DST-safely). The rewritten join carries the bucket
+  * other, all three TIMESTAMP-typed (long/ntz ranges are left to the
+  * explicit operator: arbitrary long domains need a caller-chosen
+  * width, ntz a DST-safe mapping). The rewritten join carries the bucket
   * equality PLUS the original condition, so semantics are unchanged —
   * the spec asserts result equality and the disappearance of the
   * nested loop.
@@ -36,9 +36,23 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
 case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
     extends Rule[LogicalPlan] with PredicateHelper {
 
+  /** The documented tuning knob; falls back to the constructor default
+    * (1 minute). Read per-invocation so a `SET` takes effect.
+    */
+  private def bucketWidthMicros: Long = {
+    val v = conf.getConfString("spark.graft.rangejoin.bucket.micros",
+      bucketMicros.toString).toLong
+    require(v > 0, s"spark.graft.rangejoin.bucket.micros must be positive, got $v")
+    v
+  }
+
+  // temporal columns ONLY: for an arbitrary long domain the fixed
+  // micros-scale bucket width is meaningless (ids in [0, 1e6) would all
+  // land in bucket 0, collapsing the join into one task — worse than
+  // the nested loop). Long-typed ranges go through the explicit
+  // operator, whose caller picks the width.
   private def micros(e: Expression): Option[Expression] = e.dataType match {
     case TimestampType => Some(UnixMicros(e))
-    case LongType      => Some(e)
     case _             => None
   }
 
@@ -49,7 +63,7 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val hasEqui = conjuncts.exists {
-        case EqualTo(a, b) =>
+        case Equality(a, b) => // EqualTo and EqualNullSafe both hash-join
           (fromSide(a, left) && fromSide(b, right)) ||
             (fromSide(a, right) && fromSide(b, left))
         case _ => false
@@ -72,7 +86,12 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
       }
       range.flatMap { case (t, s, e) =>
         for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
-          val w = Literal(bucketMicros, LongType)
+          val w = Literal(bucketWidthMicros, LongType)
+          // empty/inverted intervals match nothing — without this
+          // filter Sequence(start > stop) THROWS at runtime where the
+          // nested loop simply produced no rows (operator parity:
+          // RangeJoin.intervalJoin filters _rj_e > _rj_s)
+          val guarded = Filter(GreaterThan(eUs, sUs), left)
           // interval side: explode covering buckets [s div w, (e-1) div w]
           val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
           // Sequence is TimeZoneAwareExpression: unresolved until a zone
@@ -83,7 +102,7 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
             Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
           val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(bucketL),
-            child = left)
+            child = guarded)
           // point side: its single bucket
           val bucketRAlias = Alias(IntegralDivide(tUs, w), "_rj_bucket_r")()
           val proj = Project(right.output :+ bucketRAlias, right)

@@ -47,6 +47,44 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("empty and inverted intervals match nothing instead of throwing") {
+    withRule {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val iv = Seq(
+        (1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:00:00")), // empty
+        (2L, t("2024-01-01 12:00:00"), t("2024-01-01 11:00:00")), // inverted
+        (3L, t("2024-01-01 10:00:00"), t("2024-01-01 10:02:00"))  // real
+      ).toDF("iv_id", "s", "e")
+      val pts = Seq((10L, t("2024-01-01 10:01:00"))).toDF("pt_id", "p")
+      val joined = iv.join(pts, col("p") >= col("s") && col("p") < col("e"))
+      assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      // Sequence(start > stop) would throw here without the guard
+      assert(joined.select("iv_id").as[Long].collect().toSeq == Seq(3L))
+    }
+  }
+
+  test("long-typed ranges are left to the explicit operator") {
+    withRule {
+      val iv = Seq((1L, 0L, 100L)).toDF("iv_id", "lo", "hi")
+      val pts = Seq((10L, 50L)).toDF("pt_id", "v")
+      val joined = iv.join(pts, col("v") >= col("lo") && col("v") < col("hi"))
+      // no rewrite: a fixed micros width is meaningless on an id domain
+      assert(!joined.queryExecution.optimizedPlan.toString.contains("_rj_bucket"))
+      assert(joined.count() == 1)
+    }
+  }
+
+  test("bucket width knob is read from the session conf") {
+    withRule {
+      val key = "spark.graft.rangejoin.bucket.micros"
+      try {
+        spark.conf.set(key, "3600000000") // 1 hour
+        val plan = fixture.queryExecution.optimizedPlan.toString
+        assert(plan.contains("3600000000"), s"conf width not used:\n$plan")
+      } finally spark.conf.unset(key)
+    }
+  }
+
   test("equi joins and non-range conditions are left alone") {
     withRule {
       val c = graft.Tables.load(spark, sfDir, "customer")
