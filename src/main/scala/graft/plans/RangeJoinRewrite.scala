@@ -68,37 +68,51 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
             (fromSide(a, right) && fromSide(b, left))
         case _ => false
       }
-      // (t, s, e) with t from `pointSide`, s/e from the other side
+      // (t, s, e, inclusiveUpper) with t from the point side, s/e from
+      // the interval side; `t BETWEEN s AND e` parses to >= plus <=,
+      // so the closed upper bound is the common user shape
       val range = if (hasEqui) None else {
         val lower = conjuncts.collectFirst[(Expression, Expression)] {
           case GreaterThanOrEqual(t, s) if fromSide(t, right) && fromSide(s, left) => (t, s)
           case LessThanOrEqual(s, t) if fromSide(t, right) && fromSide(s, left) => (t, s)
         }
-        val upper = conjuncts.collectFirst[(Expression, Expression)] {
-          case LessThan(t, e) if fromSide(t, right) && fromSide(e, left) => (t, e)
-          case GreaterThan(e, t) if fromSide(t, right) && fromSide(e, left) => (t, e)
+        val upper = conjuncts.collectFirst[(Expression, Expression, Boolean)] {
+          case LessThan(t, e) if fromSide(t, right) && fromSide(e, left) => (t, e, false)
+          case GreaterThan(e, t) if fromSide(t, right) && fromSide(e, left) => (t, e, false)
+          case LessThanOrEqual(t, e) if fromSide(t, right) && fromSide(e, left) => (t, e, true)
+          case GreaterThanOrEqual(e, t) if fromSide(t, right) && fromSide(e, left) => (t, e, true)
         }
         (lower, upper) match {
-          case (Some((t1, s)), Some((t2, e))) if t1.semanticEquals(t2) =>
-            Some((t1, s, e))
+          case (Some((t1, s)), Some((t2, e, incl))) if t1.semanticEquals(t2) &&
+              // a conjunct like `s <= t AND t >= s` must not pair the
+              // SAME bound as both lower and upper
+              !s.semanticEquals(e) =>
+            Some((t1, s, e, incl))
           case _ => None
         }
       }
-      range.flatMap { case (t, s, e) =>
+      range.flatMap { case (t, s, e, inclusiveUpper) =>
         for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
           val w = Literal(bucketWidthMicros, LongType)
           // empty/inverted intervals match nothing — without this
           // filter Sequence(start > stop) THROWS at runtime where the
           // nested loop simply produced no rows (operator parity:
-          // RangeJoin.intervalJoin filters _rj_e > _rj_s)
-          val guarded = Filter(GreaterThan(eUs, sUs), left)
-          // interval side: explode covering buckets [s div w, (e-1) div w]
+          // RangeJoin.intervalJoin filters _rj_e > _rj_s). Closed
+          // intervals are non-empty at e == s.
+          val nonEmpty =
+            if (inclusiveUpper) GreaterThanOrEqual(eUs, sUs) else GreaterThan(eUs, sUs)
+          val guarded = Filter(nonEmpty, left)
+          // interval side: explode covering buckets [s div w, X div w]
+          // where X is the last µs inside the interval (e for closed,
+          // e-1 for half-open)
           val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
+          val lastUs =
+            if (inclusiveUpper) eUs else Subtract(eUs, Literal(1L, LongType))
           // Sequence is TimeZoneAwareExpression: unresolved until a zone
           // is attached, even over longs
           val seqExpr = new Sequence(
             IntegralDivide(sUs, w),
-            IntegralDivide(Subtract(eUs, Literal(1L, LongType)), w),
+            IntegralDivide(lastUs, w),
             Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
           val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(bucketL),

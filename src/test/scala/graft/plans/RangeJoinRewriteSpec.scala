@@ -47,6 +47,25 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("BETWEEN (closed interval) rewrites too, boundary inclusive") {
+    withRule {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val iv = Seq(
+        (1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:02:00")),
+        (2L, t("2024-01-01 10:05:00"), t("2024-01-01 10:05:00")) // degenerate [x, x]
+      ).toDF("iv_id", "s", "e")
+      val pts = Seq(
+        (10L, t("2024-01-01 10:02:00")), // == e of iv 1: in (closed)
+        (11L, t("2024-01-01 10:05:00")), // == both bounds of iv 2: in
+        (12L, t("2024-01-01 10:02:01"))  // past e: out
+      ).toDF("pt_id", "p")
+      val joined = iv.join(pts, col("p").between(col("s"), col("e")))
+      assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"))
+      val got = joined.select("iv_id", "pt_id").as[(Long, Long)].collect().toSet
+      assert(got == Set((1L, 10L), (2L, 11L)))
+    }
+  }
+
   test("empty and inverted intervals match nothing instead of throwing") {
     withRule {
       def t(s: String) = java.sql.Timestamp.valueOf(s)
