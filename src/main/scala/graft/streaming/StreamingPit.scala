@@ -1,0 +1,130 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** [extension] Streaming point-in-time (as-of) feature join — the
+  * streaming counterpart of `graft.fs.PointInTime.asOfJoin`: each spine
+  * event (key, ts) is joined to the LATEST feature version with
+  * feature-ts ≤ ts, with event-time correctness under out-of-order
+  * arrival on BOTH streams.
+  *
+  * Construction: union the two streams with an origin tag (the same
+  * trick the batch operator plays), group by key, and run ONE
+  * `flatMapGroupsWithState`:
+  *
+  *   - feature rows land in per-key state (a version list);
+  *   - spine probes BUFFER in state and emit only once the watermark
+  *     passes their event time — at that point every feature version
+  *     at-or-before the probe has arrived (the watermark contract), so
+  *     the lookup is exact, not best-effort;
+  *   - an event-time timeout set to the earliest buffered probe
+  *     guarantees emission even when no further input reaches the key
+  *     (Spark's no-data final micro-batch fires it);
+  *   - feature versions strictly older than the newest version at-or-
+  *     below the emission horizon are pruned — per key the state is
+  *     O(pending probes + recent feature versions), watermark-bounded.
+  *
+  * Late data past the watermark is dropped by the watermark operator
+  * itself, identical to every other stateful streaming operator here.
+  * Emission latency equals the watermark delay — the price of
+  * exactness; set a shorter delay for fresher-but-riskier output.
+  */
+object StreamingPit extends Serializable {
+
+  case class PitInput(user_id: Long, ts: Timestamp, origin: Int,
+      probe_id: Long, value: Double)
+  case class PitState(
+      features: List[(Long, Double)],        // (tsUs, value), newest first
+      probes: List[(Long, Long)])            // (tsUs, probe_id)
+  case class PitJoined(probe_id: Long, user_id: Long, ts_us: Long,
+      feature_ts_us: Option[Long], feature_value: Option[Double])
+
+  /** `spine` needs (`keyCol`, `tsCol`, `idCol`); `features` needs
+    * (`keyCol`, `featTsCol`, `valueCol`). Both must be streaming
+    * frames. Output: one row per spine probe whose event time the
+    * watermark has passed, with the as-of feature attached (None if no
+    * version precedes it — the batch operator's NULL contract).
+    */
+  def asOfJoin(
+      spine: DataFrame,
+      features: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      featTsCol: String = "feat_ts",
+      valueCol: String = "value",
+      watermarkDelay: String = "10 minutes"): Dataset[PitJoined] = {
+    val spark = spine.sparkSession
+    import spark.implicits._
+
+    // tag and union: one stateful operator sees both streams
+    val probes = spine.select(
+      col(keyCol).cast("long").as("user_id"),
+      col(tsCol).cast("timestamp").as("ts"),
+      lit(1).as("origin"),
+      col(idCol).cast("long").as("probe_id"),
+      lit(0.0).as("value"))
+    val feats = features.select(
+      col(keyCol).cast("long").as("user_id"),
+      col(featTsCol).cast("timestamp").as("ts"),
+      lit(0).as("origin"),
+      lit(0L).as("probe_id"),
+      col(valueCol).cast("double").as("value"))
+    val unioned = probes.unionByName(feats)
+      .withWatermark("ts", watermarkDelay)
+      .as[PitInput]
+
+    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+
+    def lookup(features: List[(Long, Double)], tsUs: Long): (Option[Long], Option[Double]) =
+      features.filter(_._1 <= tsUs).sortBy(-_._1).headOption match {
+        case Some((fts, v)) => (Some(fts), Some(v))
+        case None           => (None, None)
+      }
+
+    def fn(key: Long, it: Iterator[PitInput],
+        state: GroupState[PitState]): Iterator[PitJoined] = {
+      var st = state.getOption.getOrElse(PitState(Nil, Nil))
+      for (r <- it) {
+        if (r.origin == 0) st = st.copy(features = (toUs(r.ts), r.value) :: st.features)
+        else st = st.copy(probes = (toUs(r.ts), r.probe_id) :: st.probes)
+      }
+      val wm = state.getCurrentWatermarkMs() * 1000 // ms → µs horizon
+      // exact emission: the watermark guarantees every feature version
+      // ≤ the probe's ts has been folded into state
+      val (ready, pending) = st.probes.partition(_._1 <= wm)
+      val out = ready.sortBy(p => (p._1, p._2)).map { case (tsUs, id) =>
+        val (fts, v) = lookup(st.features, tsUs)
+        PitJoined(id, key, tsUs, fts, v)
+      }
+      // prune feature versions superseded below every future lookup
+      // horizon: the earliest still-pending probe, or the watermark
+      val horizon = pending.map(_._1).foldLeft(wm)(math.min)
+      val newestBelow = st.features.filter(_._1 <= horizon)
+        .sortBy(-_._1).headOption.map(_._1)
+      val kept = newestBelow match {
+        case Some(nb) => st.features.filter(_._1 >= nb)
+        case None     => st.features
+      }
+      if (pending.isEmpty && kept.isEmpty) state.remove()
+      else {
+        state.update(PitState(kept, pending))
+        // wake when the watermark passes the earliest pending probe;
+        // idle feature-only keys wake at the watermark itself (cheap
+        // no-op prune) — µs → ms, rounding UP so the timeout is never
+        // set below the current watermark
+        val wakeUs = pending.map(_._1).sorted.headOption.getOrElse(wm + 1)
+        state.setTimeoutTimestamp((wakeUs + 999) / 1000 + 1)
+      }
+      out.iterator
+    }
+
+    unioned
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
