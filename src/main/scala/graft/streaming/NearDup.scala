@@ -83,7 +83,7 @@ object NearDup extends Serializable {
         col("id"), col("ts"), col("sig"))
       .as[BandedDoc]
 
-    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    import EventTime.toUs
 
     // full micro precision round-trip (Timestamp(ms) alone truncates)
     def usToTs(us: Long): Timestamp = {

@@ -65,7 +65,7 @@ object Sessionize {
       watermarkDelay: String = "10 minutes"): Dataset[Session] = {
     import events.sparkSession.implicits._
 
-    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    import EventTime.toUs
 
     def fn(userId: Long, evs: Iterator[SessEvent],
         state: GroupState[SessState]): Iterator[Session] = {

@@ -61,29 +61,41 @@ object StreamingPit extends Serializable {
     val spark = spine.sparkSession
     import spark.implicits._
 
-    // tag and union: one stateful operator sees both streams
+    // tag and union: one stateful operator sees both streams. Each
+    // stream is watermarked BEFORE the union, so Spark tracks the two
+    // event-time clocks separately and the operator sees their MIN
+    // (default multipleWatermarkPolicy): a fast spine cannot advance
+    // the watermark past a lagging feature stream and silently drop
+    // on-time feature versions — that would break the exactness
+    // guarantee. NULL keys/timestamps/ids are dropped up front (the
+    // deserializer would crash on them; the batch operator groups them
+    // meaninglessly).
     val probes = spine.select(
       col(keyCol).cast("long").as("user_id"),
       col(tsCol).cast("timestamp").as("ts"),
       lit(1).as("origin"),
       col(idCol).cast("long").as("probe_id"),
       lit(0.0).as("value"))
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && col("probe_id").isNotNull)
+      .withWatermark("ts", watermarkDelay)
     val feats = features.select(
       col(keyCol).cast("long").as("user_id"),
       col(featTsCol).cast("timestamp").as("ts"),
       lit(0).as("origin"),
       lit(0L).as("probe_id"),
       col(valueCol).cast("double").as("value"))
-    val unioned = probes.unionByName(feats)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", watermarkDelay)
-      .as[PitInput]
+    val unioned = probes.unionByName(feats).as[PitInput]
 
-    def toUs(t: Timestamp): Long = t.getTime * 1000 + (t.getNanos / 1000) % 1000
+    import EventTime.toUs
 
+    // single O(F) pass: newest (ts, value) with ts <= probe ts
     def lookup(features: List[(Long, Double)], tsUs: Long): (Option[Long], Option[Double]) =
-      features.filter(_._1 <= tsUs).sortBy(-_._1).headOption match {
-        case Some((fts, v)) => (Some(fts), Some(v))
-        case None           => (None, None)
+      features.foldLeft((Option.empty[Long], Option.empty[Double])) {
+        case (best @ (Some(bts), _), (fts, _)) if fts <= tsUs && fts <= bts => best
+        case (best, (fts, v)) if fts <= tsUs => (Some(fts), Some(v))
+        case (best, _) => best
       }
 
     def fn(key: Long, it: Iterator[PitInput],
@@ -101,24 +113,29 @@ object StreamingPit extends Serializable {
         val (fts, v) = lookup(st.features, tsUs)
         PitJoined(id, key, tsUs, fts, v)
       }
-      // prune feature versions superseded below every future lookup
-      // horizon: the earliest still-pending probe, or the watermark
-      val horizon = pending.map(_._1).foldLeft(wm)(math.min)
-      val newestBelow = st.features.filter(_._1 <= horizon)
-        .sortBy(-_._1).headOption.map(_._1)
-      val kept = newestBelow match {
-        case Some(nb) => st.features.filter(_._1 >= nb)
-        case None     => st.features
+      // prune feature versions strictly older than the newest at-or-
+      // below the watermark: every pending (and future, on-time) probe
+      // has ts > wm, so the newest version ≤ wm is the lookup floor no
+      // later probe can need to look past
+      val floor = st.features.foldLeft(Option.empty[Long]) {
+        case (acc, (fts, _)) if fts <= wm && acc.forall(fts > _) => Some(fts)
+        case (acc, _) => acc
+      }
+      val kept = floor match {
+        case Some(f) => st.features.filter(_._1 >= f)
+        case None    => st.features
       }
       if (pending.isEmpty && kept.isEmpty) state.remove()
       else {
         state.update(PitState(kept, pending))
-        // wake when the watermark passes the earliest pending probe;
-        // idle feature-only keys wake at the watermark itself (cheap
-        // no-op prune) — µs → ms, rounding UP so the timeout is never
-        // set below the current watermark
-        val wakeUs = pending.map(_._1).sorted.headOption.getOrElse(wm + 1)
-        state.setTimeoutTimestamp((wakeUs + 999) / 1000 + 1)
+        // wake only when something is waiting: the earliest pending
+        // probe's ts (µs → ms, rounded UP so the timeout is never at or
+        // below the current watermark). Feature-only keys set NO
+        // timeout — they'd otherwise re-fire on every watermark
+        // advance, an O(all keys) state rewrite per micro-batch; their
+        // state prunes lazily on next arrival.
+        pending.map(_._1).minOption.foreach(wakeUs =>
+          state.setTimeoutTimestamp((wakeUs + 999) / 1000 + 1))
       }
       out.iterator
     }

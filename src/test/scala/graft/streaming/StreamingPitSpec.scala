@@ -21,7 +21,11 @@ class StreamingPitSpec extends SparkSpec {
     val features = Seq(
       (1L, t("2024-01-01 00:00:00"), 10.0),
       (1L, t("2024-01-01 02:00:00"), 30.0),
-      (2L, t("2024-01-01 01:00:00"), 99.0))
+      (2L, t("2024-01-01 01:00:00"), 99.0),
+      // sentinel: the operator takes the MIN of the two stream clocks
+      // (a lagging feature stream must hold probes back), so the
+      // feature clock needs advancing past the probes too
+      (9L, t("2024-01-02 12:00:00"), 0.0))
       .toDF("user_id", "feat_ts", "value")
     val spine = Seq(
       (100L, 1L, t("2024-01-01 01:00:00")), // between v1 and v2 → 10.0
@@ -55,7 +59,7 @@ class StreamingPitSpec extends SparkSpec {
       .as[(Long, Option[Double])].collect().toMap
 
     val batch = graft.fs.PointInTime.asOfJoin(
-        spine.filter(col("event_id") < 999L), features,
+        spine.filter(col("event_id") < 999L), features.filter(col("user_id") =!= 9L),
         keys = Seq("user_id"), spineTs = "ts", featTs = "feat_ts",
         featureCols = Seq("value"))
       .select(col("event_id"), col("value"))
@@ -69,7 +73,8 @@ class StreamingPitSpec extends SparkSpec {
   test("feature versions prune but the as-of floor survives") {
     // many superseded versions; a probe AFTER them all still finds the
     // newest at-or-below — pruning must never evict the floor version
-    val features = (0 until 50).map(i => (1L, t(f"2024-01-01 00:$i%02d:00"), i.toDouble))
+    val features = ((0 until 50).map(i => (1L, t(f"2024-01-01 00:$i%02d:00"), i.toDouble))
+      :+ ((9L, t("2024-01-03 00:00:00"), 0.0))) // feature-clock sentinel
       .toDF("user_id", "feat_ts", "value")
     val spine = Seq(
       (100L, 1L, t("2024-01-01 01:30:00")),  // → newest = 49.0
