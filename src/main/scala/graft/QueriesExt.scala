@@ -552,6 +552,22 @@ object PipelinesExt {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // Data-quality expectations audit: five declarative checks compiled
+  // into one scan (plus one anti-join for referential integrity). The
+  // oracle recomputes each count with plain SQL.
+  def expectationsAudit(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations._
+    val li = t(s, d, "lineitem")
+    audit(li, Seq(
+      NotNull("l_orderkey"),
+      InRange("l_quantity", 1, 50),
+      InSet("l_returnflag", Seq("A", "N", "R")),
+      UniqueKey(Seq("l_orderkey", "l_linenumber")),
+      Satisfies(col("l_discount") >= 0 && col("l_discount") <= 0.1, "discount_bounds"),
+      RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey")))
+      .orderBy("check")
+  }
+
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
@@ -998,6 +1014,36 @@ object OraclesExt {
         |SELECT c_custkey, c_mktsegment,
         |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z
         |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "q62_expectations" ->
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
+        |checks AS (
+        |  SELECT 'not_null(l_orderkey)' AS check,
+        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_range(l_quantity,1.0,50.0)',
+        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set(l_returnflag)',
+        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies(discount_bounds)',
+        |    CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
+        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_orderkey)',
+        |    CAST((SELECT count(*) FROM lineitem l
+        |          WHERE l.l_orderkey IS NOT NULL
+        |            AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT))
+        |SELECT c.check, t.total AS total_rows, c.violations,
+        |  c.violations = 0 AS passed
+        |FROM checks c, t ORDER BY c.check""".stripMargin,
 
     "q59_zorder_values" -> {
       // independent Morton implementation: bit j of x → z bit 2j, of

@@ -90,6 +90,7 @@ object SparkEntry {
     "q59_zorder_values" -> ((s, d) => PipelinesExt.zorderValues(s, d)),
     "q60_standardize" -> ((s, d) => PipelinesExt.standardizeFeatures(s, d)),
     "q61_kmv_distinct" -> ((s, d) => PipelinesExt.kmvDistinctCounts(s, d)),
+    "q62_expectations" -> ((s, d) => PipelinesExt.expectationsAudit(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
