@@ -568,6 +568,20 @@ object PipelinesExt {
       .orderBy("check")
   }
 
+  // Quarantine split: events failing their expectations, with the
+  // violated checks joined into a portable string. The clean/dirty
+  // row sets and reasons are recomputed independently by the oracle.
+  def quarantineEvents(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Expectations._
+    val (_, bad) = enforce(t(s, d, "events"), Seq(
+      NotNull("user_id"),
+      InRange("value", 0, 400),
+      InSet("event_type", Seq("click", "view", "purchase", "signup", "error"))))
+    bad.select(col("event_id"),
+      concat_ws(",", col("violations")).as("violations"))
+      .orderBy("event_id")
+  }
+
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
@@ -1014,6 +1028,22 @@ object OraclesExt {
         |SELECT c_custkey, c_mktsegment,
         |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z
         |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "q63_quarantine" ->
+      """SELECT event_id,
+        |  concat_ws(',',
+        |    CASE WHEN user_id IS NULL THEN 'not_null(user_id)' END,
+        |    CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
+        |         THEN 'in_range(value,0.0,400.0)' END,
+        |    CASE WHEN event_type IS NOT NULL
+        |          AND event_type NOT IN ('click','view','purchase','signup','error')
+        |         THEN 'in_set(event_type)' END) AS violations
+        |FROM events
+        |WHERE user_id IS NULL
+        |   OR (value IS NOT NULL AND (value < 0 OR value > 400))
+        |   OR (event_type IS NOT NULL
+        |       AND event_type NOT IN ('click','view','purchase','signup','error'))
+        |ORDER BY event_id""".stripMargin,
 
     "q62_expectations" ->
       """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),

@@ -91,6 +91,7 @@ object SparkEntry {
     "q60_standardize" -> ((s, d) => PipelinesExt.standardizeFeatures(s, d)),
     "q61_kmv_distinct" -> ((s, d) => PipelinesExt.kmvDistinctCounts(s, d)),
     "q62_expectations" -> ((s, d) => PipelinesExt.expectationsAudit(s, d)),
+    "q63_quarantine" -> ((s, d) => PipelinesExt.quarantineEvents(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -50,6 +50,36 @@ object Expectations {
     def name = s"ref_integrity($col)"
   }
 
+  /** Per-row violation predicate for the row-local checks (the ones a
+    * single row can decide). UniqueKey/RefIntegrity need global
+    * context and are audit-only.
+    */
+  private def rowViolation(e: Expectation): Column = e match {
+    case NotNull(c)         => col(c).isNull
+    case InRange(c, lo, hi) => col(c).isNotNull && (col(c) < lo || col(c) > hi)
+    case InSet(c, vs)       => col(c).isNotNull && !col(c).isInCollection(vs)
+    case Satisfies(p, _)    => !coalesce(p, lit(false))
+    case other => throw new IllegalArgumentException(
+      s"expectations: ${other.name} is not row-local — enforce() takes " +
+        "NotNull/InRange/InSet/Satisfies; run audit() for global checks")
+  }
+
+  /** Enforcement split (the expectations-with-quarantine pattern):
+    * returns (clean rows, quarantined rows + a `violations` column
+    * naming every failed check). One narrow projection each — no
+    * shuffle, no second scan of the checks.
+    */
+  def enforce(df: DataFrame, checks: Seq[Expectation]): (DataFrame, DataFrame) = {
+    require(checks.nonEmpty, "expectations: need at least one check")
+    val reasons = array(checks.map(e =>
+      when(rowViolation(e), lit(e.name))): _*)
+    val tagged = df.withColumn("violations",
+      filter(reasons, r => r.isNotNull))
+    val good = tagged.filter(size(col("violations")) === 0).drop("violations")
+    val bad = tagged.filter(size(col("violations")) > 0)
+    (good, bad)
+  }
+
   /** Audit `df` against `checks`: one row per check with
     * (check, total_rows, violations, passed). Row-local checks and
     * unique keys share a single scan; each RefIntegrity adds one

@@ -47,6 +47,27 @@ class ExpectationsSpec extends SparkSpec {
     assert(report.select("total_rows").as[Long].collect().forall(_ == 2L))
   }
 
+  test("enforce splits rows and names every violated check") {
+    val (good, bad) = enforce(dirty, Seq(
+      NotNull("id"), InRange("qty", 0, 100), InSet("flag", Seq("A"))))
+    assert(good.count() + bad.count() == dirty.count())
+    assert(!good.columns.contains("violations"))
+    val reasons = bad.select(col("id"), col("violations"))
+      .collect().map(r => (r.get(0), r.getSeq[String](1).toSet)).toMap
+    // row (2, -5.0, "B"): both range and set violations named
+    assert(reasons(2L) == Set("in_range(qty,0.0,100.0)", "in_set(flag)"))
+    assert(reasons(null) == Set("not_null(id)"))
+    // good rows really satisfy everything
+    assert(good.filter(col("qty") < 0 || col("id").isNull).count() == 0)
+  }
+
+  test("enforce rejects non-row-local checks with a named error") {
+    val e = intercept[IllegalArgumentException] {
+      enforce(dirty, Seq(UniqueKey(Seq("id"))))._2.count()
+    }
+    assert(e.getMessage.contains("unique(id)"))
+  }
+
   test("operator construction is lazy — no Spark job fires") {
     val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
     val dim = Seq(1L).toDF("ref_id")
