@@ -87,4 +87,32 @@ object StreamingFeatures {
       .withColumn("fingerprint", graft.ext.TextAnalysis.fingerprint(col(textCol)))
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
+
+  /** Guarded streaming refresh — the expectations-with-quarantine
+    * ingest pattern: each micro-batch splits on the row-local checks,
+    * merges the CLEAN rows into `tableName`, and appends the violating
+    * rows (plus their named reasons) to `quarantineTable` for triage.
+    * Bad data never reaches the serving table, and never disappears
+    * either. Both sinks reuse the store's idempotent key-merge, so
+    * at-least-once re-delivery stays exactly-once per key.
+    */
+  def refreshFeatureTableGuarded(
+      stream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      checks: Seq[graft.operators.Expectations.Expectation],
+      quarantineTable: String,
+      checkpointDir: String): StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (good, bad) = graft.operators.Expectations.enforce(batch, checks)
+        if (!good.isEmpty) store.writeTable(tableName, good, WriteMode.Merge)
+        if (!bad.isEmpty) store.writeTable(quarantineTable,
+          bad.withColumn("violations", concat_ws(",", col("violations"))),
+          WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
 }

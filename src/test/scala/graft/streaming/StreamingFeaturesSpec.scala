@@ -107,4 +107,41 @@ class StreamingFeaturesSpec extends SparkSpec {
     q2.awaitTermination(120000)
     assert(store.readTable("user_stream_features").count() == n)
   }
+
+  test("guarded refresh merges clean rows and quarantines violations with reasons") {
+    import graft.operators.Expectations._
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")).limit(300)
+    val streamDir = Files.createTempDirectory("graft-guard-in-").toString
+    events.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+      .select("event_id", "user_id", "event_type", "value")
+
+    val cap = 100.0 // low cap so real violations exist in the fixture
+    val checks = Seq(NotNull("user_id"), InRange("value", 0, cap))
+    val store = FeatureStore.temp(spark)
+    val rowSchema = spark.read.parquet(streamDir)
+      .select("event_id", "user_id", "event_type", "value").schema
+    store.createTable(FeatureTableSpec("clean_events", Seq("event_id"),
+      rowSchema, "guarded ingest: clean rows"))
+    store.createTable(FeatureTableSpec("quarantined_events", Seq("event_id"),
+      rowSchema.add("violations", "string"), "guarded ingest: quarantine"))
+
+    val q = StreamingFeatures.refreshFeatureTableGuarded(stream, store,
+      "clean_events", checks, "quarantined_events",
+      Files.createTempDirectory("graft-guard-ck-").toString)
+    assert(q.awaitTermination(120000), "guarded refresh timed out")
+
+    val clean = store.readTable("clean_events")
+    val bad = store.readTable("quarantined_events")
+    val expectedBad = events.filter(col("value") > cap || col("user_id").isNull).count()
+    assert(bad.count() == expectedBad && expectedBad > 0,
+      s"quarantine has ${bad.count()}, expected $expectedBad")
+    assert(clean.count() + bad.count() == 300)
+    assert(clean.agg(max(col("value"))).collect()(0).getDouble(0) <= cap)
+    assert(bad.filter(col("violations").contains("in_range(value,0.0,100.0)")).count()
+      == events.filter(col("value") > cap).count())
+  }
 }
