@@ -16,7 +16,8 @@ object GenPlans {
     ("q14_publish_online", "Online publish (round 3): repartitionByRange on the key + sortWithinPartitions — n-way parallel, per-file key-sorted, disjoint key ranges (the KV bulk-load shape); the old single-partition write is gone."),
     ("q54_range_join", "Bucketed range join (round 5): the interval side explodes to covering time buckets, the point side computes its single bucket, and the join is an EQUI join on the bucket id with a residual range filter — no BroadcastNestedLoopJoin. At 100 TB both sides shuffle on the bucket key; hot buckets split under AQE skew handling."),
     ("q56_range_frame_window", "RANGE-frame rolling window: one exchange on the partition key, one sort, a running frame scan per partition — the interval frame runs on epoch-µs longs so frame bounds are integer comparisons."),
-    ("q57_pit_forward", "Forward as-of join (round 5): same union+single-exchange+window shape as q33, time order reversed — label attachment without a range join or per-version explosion."))
+    ("q57_pit_forward", "Forward as-of join (round 5): same union+single-exchange+window shape as q33, time order reversed — label attachment without a range join or per-version explosion."),
+    ("q62_expectations", "Data-quality audit (round 5): five row-local checks + a unique-key count-distinct share ONE scan of lineitem (a single HashAggregate chain with an Expand for the distinct); the referential check is the one extra anti-join. Check count does not multiply scan count."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
