@@ -474,6 +474,60 @@ object VectorExpressions {
       copy(children = newChildren)
   }
 
+  /** 2-D Hilbert curve index of two long ranks in [0, 2^bits): the
+    * classic xy2d construction (quadrant walk + rotate, as in the
+    * public-domain Wikipedia/Hacker's-Delight formulation). Hilbert
+    * ordering never jumps (adjacent curve positions are adjacent
+    * cells), so partition bounding boxes are tighter than Morton's at
+    * the same partition count — the locality refinement over
+    * `InterleaveBits` for 2-dim layouts.
+    */
+  case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
+      extends BinaryExpression with CodegenFallback {
+    require(bits > 0 && 2 * bits <= 63,
+      s"graft_hilbert_2d: need 0 < bits <= 31, got $bits")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "graft_hilbert_2d"
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (left.dataType == LongType && right.dataType == LongType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint ranks, got " +
+          s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      var x = a.asInstanceOf[Long]
+      var y = b.asInstanceOf[Long]
+      if ((x >>> bits) != 0L || (y >>> bits) != 0L)
+        throw new IllegalArgumentException(
+          s"$prettyName: rank ($x, $y) does not fit $bits bits")
+      val n = 1L << bits
+      var d = 0L
+      var s = 1L << (bits - 1)
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        // rotate quadrant; the reflection uses the FULL side n (bits
+        // above the current s are never re-read, and s-1-x would go
+        // negative for x >= s)
+        if (ry == 0L) {
+          if (rx == 1L) {
+            x = n - 1 - x
+            y = n - 1 - y
+          }
+          val t = x; x = y; y = t
+        }
+        s >>= 1
+      }
+      d
+    }
+
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -500,6 +554,9 @@ object VectorExpressions {
 
   def interleaveBits(ranks: Seq[Column], bits: Int): Column =
     Bridge.column(InterleaveBits(ranks.map(Bridge.expression), bits))
+
+  def hilbert2D(x: Column, y: Column, bits: Int): Column =
+    Bridge.column(HilbertIndex2D(Bridge.expression(x), Bridge.expression(y), bits))
 
   def pqEncode(emb: Column, codebooks: Array[Array[Array[Double]]]): Column =
     Bridge.column(PqEncode(Bridge.expression(emb), codebooks))

@@ -5,44 +5,43 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.VectorExpressions
 
-/** [extension] Z-order (Morton-curve) data layout — multi-dimensional
+/** [extension] Space-filling-curve data layouts — multi-dimensional
   * clustering so parquet min/max footer stats prune on EVERY layout
   * dimension, not just the leading sort key (the public technique
-  * behind Delta's OPTIMIZE ZORDER BY; construction from the Morton
-  * curve literature, re-expressed with public Spark operators).
+  * behind Delta's OPTIMIZE ZORDER BY; constructions from the Morton
+  * and Hilbert curve literature, re-expressed with public Spark
+  * operators).
   *
   * A lexicographic sort on (x, y) clusters x tightly but leaves every
   * file spanning the full y domain — a filter on y reads everything.
-  * Sorting by the interleaved-bit z-value bounds BOTH dimensions per
-  * file: a k-dim z-layout over 2^(k·b) cells gives each of n files a
-  * region whose per-dimension span shrinks like n^(-1/k).
+  * Sorting by a space-filling-curve value bounds BOTH dimensions per
+  * file: a k-dim layout over 2^(k·b) cells gives each of n files a
+  * region whose per-dimension span shrinks like n^(-1/k). The Hilbert
+  * variant additionally never jumps (adjacent curve positions are
+  * adjacent cells), so its partition bounding boxes are at least as
+  * tight as Morton's.
   *
   * Plan shape: per-dimension min/max from ONE 1-row aggregate
   * (broadcast back — operator stays lazy, same pattern as
   * TextAnalysis.termStats), linear scale to b-bit ranks, one fused
-  * bit-interleave expression, then repartitionByRange +
-  * sortWithinPartitions on the z-value. Exactly one extra shuffle
+  * curve-index expression, then repartitionByRange +
+  * sortWithinPartitions on the curve value. Exactly one extra shuffle
   * (the range partition), which IS the layout being produced.
   */
 object ZOrder {
 
-  /** Scale numeric columns to [0, 2^bits) ranks and attach the
-    * interleaved z-value as `zCol`. NULL in any dimension → rank 0
+  /** Lazily scale `cols` to [0, 2^bits) long ranks: returns the frame
+    * cross-joined with its broadcast 1-row min/max stats plus the rank
+    * expressions (stat columns still attached — callers drop
+    * `statNames(cols)` after consuming the ranks). NULL → rank 0
     * (nulls cluster first, the usual layout convention).
     */
-  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16,
-      zCol: String = "_z"): DataFrame = {
-    require(cols.nonEmpty, "zorder: need at least one column")
-    require(bits > 0 && bits * cols.size <= 63,
-      s"zorder: bits·dims must fit a long, got $bits × ${cols.size}")
+  private def withRanks(df: DataFrame, cols: Seq[String], bits: Int)
+      : (DataFrame, Seq[Column]) = {
     // internal stat aliases use a positional index, never the caller's
-    // name (dots/backticks would corrupt the alias); zCol and the stat
-    // names must not collide with existing columns — silently
-    // overwriting caller data is worse than failing
-    require(!df.columns.contains(zCol),
-      s"zorder: output column '$zCol' already exists — pass a different zCol")
-    val statNames = cols.indices.flatMap(i => Seq(s"_zmin_$i", s"_zmax_$i"))
-    statNames.foreach(n => require(!df.columns.contains(n),
+    // name (dots/backticks would corrupt the alias)
+    val names = statNames(cols)
+    names.foreach(n => require(!df.columns.contains(n),
       s"zorder: internal column '$n' collides with an input column"))
     def q(name: String) = col("`" + name.replace("`", "``") + "`")
     val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
@@ -59,9 +58,42 @@ object ZOrder {
         .otherwise(((x - lo) / (hi - lo) * maxRank).cast("long"))
       least(greatest(scaled, lit(0L)), lit(maxRank))
     }
-    df.crossJoin(broadcast(stats))
+    (df.crossJoin(broadcast(stats)), ranks)
+  }
+
+  private def statNames(cols: Seq[String]): Seq[String] =
+    cols.indices.flatMap(i => Seq(s"_zmin_$i", s"_zmax_$i"))
+
+  private def requireFreshColumn(df: DataFrame, zCol: String): Unit =
+    require(!df.columns.contains(zCol),
+      s"zorder: output column '$zCol' already exists — pass a different zCol")
+
+  /** Scale numeric columns to [0, 2^bits) ranks and attach the
+    * Morton-interleaved z-value as `zCol`.
+    */
+  def withZValue(df: DataFrame, cols: Seq[String], bits: Int = 16,
+      zCol: String = "_z"): DataFrame = {
+    require(cols.nonEmpty, "zorder: need at least one column")
+    require(bits > 0 && bits * cols.size <= 63,
+      s"zorder: bits·dims must fit a long, got $bits × ${cols.size}")
+    requireFreshColumn(df, zCol)
+    val (ranked, ranks) = withRanks(df, cols, bits)
+    ranked
       .withColumn(zCol, VectorExpressions.interleaveBits(ranks, bits))
-      .drop(statNames: _*)
+      .drop(statNames(cols): _*)
+  }
+
+  /** 2-D Hilbert variant of [[withZValue]]. */
+  def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, zCol: String = "_h"): DataFrame = {
+    require(bits > 0 && 2 * bits <= 63,
+      s"hilbert: need 0 < bits <= 31, got $bits")
+    requireFreshColumn(df, zCol)
+    val cols = Seq(xCol, yCol)
+    val (ranked, ranks) = withRanks(df, cols, bits)
+    ranked
+      .withColumn(zCol, VectorExpressions.hilbert2D(ranks(0), ranks(1), bits))
+      .drop(statNames(cols): _*)
   }
 
   /** Z-ordered layout: range-partition into `numFiles` partitions by
@@ -72,6 +104,18 @@ object ZOrder {
       bits: Int = 16, zCol: String = "_z"): DataFrame = {
     val z = withZValue(df, cols, bits, zCol)
     z.repartitionByRange(numFiles, col(zCol))
+      .sortWithinPartitions(zCol)
+      .drop(zCol)
+  }
+
+  /** Hilbert-curve layout for exactly two dimensions — tighter
+    * bounding boxes than Morton at the same partition count (the curve
+    * never jumps). Same lazy scaling, same single extra shuffle.
+    */
+  def hilbertLayout(df: DataFrame, xCol: String, yCol: String,
+      numFiles: Int, bits: Int = 16, zCol: String = "_h"): DataFrame = {
+    val h = withHilbertValue(df, xCol, yCol, bits, zCol)
+    h.repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(zCol)
       .drop(zCol)
   }

@@ -56,6 +56,63 @@ class ZOrderSpec extends SparkSpec {
       s"z-order y-pruning not better: z hits $zHit vs lex $lexHit of ${zRanges.size}")
   }
 
+  test("hilbert2D: unit-step curve visiting every cell exactly once") {
+    // d2xy reference (inverse walk) — independently recomputes the
+    // curve; hilbert2D must be its inverse on the full 16x16 grid
+    def d2xy(bits: Int, dIn: Long): (Long, Long) = {
+      val n = 1L << bits
+      var (x, y, d) = (0L, 0L, dIn)
+      var s = 1L
+      while (s < n) {
+        val rx = 1L & (d / 2)
+        val ry = 1L & (d ^ rx)
+        if (ry == 0L) {
+          if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+          val t = x; x = y; y = t
+        }
+        x += s * rx
+        y += s * ry
+        d /= 4
+        s *= 2
+      }
+      (x, y)
+    }
+    val bits = 4
+    val cells = (0L until 256L).map(d2xy(bits, _))
+    assert(cells.toSet.size == 256, "curve must visit every cell once")
+    // adjacency: consecutive curve positions are grid neighbors
+    cells.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps between ($x1,$y1) and ($x2,$y2)")
+    }
+    // round-trip through the expression
+    val df = cells.zipWithIndex.map { case ((x, y), d) => (x, y, d.toLong) }
+      .toDF("x", "y", "d")
+    val got = df.select(col("d"),
+      graft.functions.VectorExpressions.hilbert2D(col("x"), col("y"), bits).as("h"))
+      .filter(col("d") =!= col("h")).count()
+    assert(got == 0, "hilbert2D disagrees with the d2xy reference walk")
+  }
+
+  test("hilbert layout prunes the non-leading dimension like z-order") {
+    val grid = spark.range(64L * 64)
+      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+    def yRanges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.select(col("y").cast("long"))
+        .mapPartitions { it =>
+          val ys = it.map(_.getLong(0)).toSeq
+          if (ys.isEmpty) Iterator.empty else Iterator((ys.min, ys.max))
+        }.collect().toSeq
+    val hRanges = yRanges(ZOrder.hilbertLayout(grid, "x", "y", numFiles = 16, bits = 6))
+    def avgHit(ranges: Seq[(Long, Long)]): Double =
+      (0L until 64L).map(y0 => ranges.count { case (lo, hi) => lo <= y0 && y0 <= hi })
+        .sum.toDouble / 64
+    // same conservative bound as the Morton test: far below the
+    // 16-partitions-always of a lexicographic layout
+    assert(hRanges.nonEmpty && avgHit(hRanges) < 8,
+      s"hilbert y-pruning too weak: ${avgHit(hRanges)} of ${hRanges.size}")
+  }
+
   test("constant and NULL dimensions degrade gracefully") {
     val df = Seq((1L, Option(5L)), (2L, None), (3L, Option(7L)))
       .toDF("x", "y")
