@@ -484,10 +484,20 @@ object VectorExpressions {
     */
   case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
       extends BinaryExpression with CodegenFallback {
-    require(bits > 0 && 2 * bits <= 63,
+    require(bits > 0 && bits <= 31, // 2·bits must fit a long; 2*bits alone overflows Int for huge bits
       s"graft_hilbert_2d: need 0 < bits <= 31, got $bits")
     override def dataType: DataType = LongType
+    // NULL rank → rank 0 (cluster at the curve origin), matching
+    // InterleaveBits — not NULL-out, which would cluster rows under
+    // NULL ordering instead
+    override def nullable: Boolean = false
     override def prettyName: String = "graft_hilbert_2d"
+
+    override def eval(input: InternalRow): Any = {
+      val a = left.eval(input)
+      val b = right.eval(input)
+      nullSafeEval(if (a == null) 0L else a, if (b == null) 0L else b)
+    }
 
     override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
       if (left.dataType == LongType && right.dataType == LongType)

@@ -64,6 +64,16 @@ object Expectations {
         "NotNull/InRange/InSet/Satisfies; run audit() for global checks")
   }
 
+  /** Validate that every check is row-local (and the list non-empty)
+    * without building a plan — callers that defer execution (streaming
+    * foreachBatch) use this to fail at the call site instead of inside
+    * the first micro-batch.
+    */
+  private[graft] def requireRowLocal(checks: Seq[Expectation]): Unit = {
+    require(checks.nonEmpty, "expectations: need at least one check")
+    checks.foreach(rowViolation)
+  }
+
   /** Enforcement split (the expectations-with-quarantine pattern):
     * returns (clean rows, quarantined rows + a `violations` column
     * naming every failed check). One narrow projection each — no

@@ -86,7 +86,7 @@ object ZOrder {
   /** 2-D Hilbert variant of [[withZValue]]. */
   def withHilbertValue(df: DataFrame, xCol: String, yCol: String,
       bits: Int = 16, zCol: String = "_h"): DataFrame = {
-    require(bits > 0 && 2 * bits <= 63,
+    require(bits > 0 && bits <= 31, // 2*bits would overflow Int before a <=63 check
       s"hilbert: need 0 < bits <= 31, got $bits")
     requireFreshColumn(df, zCol)
     val cols = Seq(xCol, yCol)
@@ -101,21 +101,20 @@ object ZOrder {
     * whose min/max stats are tight on every `cols` dimension.
     */
   def layout(df: DataFrame, cols: Seq[String], numFiles: Int,
-      bits: Int = 16, zCol: String = "_z"): DataFrame = {
-    val z = withZValue(df, cols, bits, zCol)
-    z.repartitionByRange(numFiles, col(zCol))
-      .sortWithinPartitions(zCol)
-      .drop(zCol)
-  }
+      bits: Int = 16, zCol: String = "_z"): DataFrame =
+    curveLayout(withZValue(df, cols, bits, zCol), zCol, numFiles)
 
   /** Hilbert-curve layout for exactly two dimensions — tighter
     * bounding boxes than Morton at the same partition count (the curve
     * never jumps). Same lazy scaling, same single extra shuffle.
     */
   def hilbertLayout(df: DataFrame, xCol: String, yCol: String,
-      numFiles: Int, bits: Int = 16, zCol: String = "_h"): DataFrame = {
-    val h = withHilbertValue(df, xCol, yCol, bits, zCol)
-    h.repartitionByRange(numFiles, col(zCol))
+      numFiles: Int, bits: Int = 16, zCol: String = "_h"): DataFrame =
+    curveLayout(withHilbertValue(df, xCol, yCol, bits, zCol), zCol, numFiles)
+
+  private def curveLayout(indexed: DataFrame, zCol: String, numFiles: Int): DataFrame = {
+    require(numFiles > 0, s"zorder: numFiles must be positive, got $numFiles")
+    indexed.repartitionByRange(numFiles, col(zCol))
       .sortWithinPartitions(zCol)
       .drop(zCol)
   }

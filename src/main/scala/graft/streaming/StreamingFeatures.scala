@@ -102,17 +102,28 @@ object StreamingFeatures {
       tableName: String,
       checks: Seq[graft.operators.Expectations.Expectation],
       quarantineTable: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String): StreamingQuery = {
+    // fail fast at the call site: a non-row-local or empty check list
+    // would otherwise only surface as a StreamingQueryException inside
+    // the first micro-batch
+    graft.operators.Expectations.requireRowLocal(checks)
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val (good, bad) = graft.operators.Expectations.enforce(batch, checks)
-        if (!good.isEmpty) store.writeTable(tableName, good, WriteMode.Merge)
-        if (!bad.isEmpty) store.writeTable(quarantineTable,
-          bad.withColumn("violations", concat_ws(",", col("violations"))),
-          WriteMode.Merge)
+        // the split + two merges + emptiness probes read the batch up
+        // to four times; cache it so the source (and the check
+        // expressions) run once per micro-batch
+        val cached = batch.persist()
+        try {
+          val (good, bad) = graft.operators.Expectations.enforce(cached, checks)
+          if (!good.isEmpty) store.writeTable(tableName, good, WriteMode.Merge)
+          if (!bad.isEmpty) store.writeTable(quarantineTable,
+            bad.withColumn("violations", concat_ws(",", col("violations"))),
+            WriteMode.Merge)
+        } finally { cached.unpersist(); () }
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
 }

@@ -7,6 +7,24 @@ import graft.SparkSpec
 class ZOrderSpec extends SparkSpec {
   import spark.implicits._
 
+  // 64×64 uniform grid — shared fixture for the pruning-geometry tests
+  private def grid = spark.range(64L * 64)
+    .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
+
+  // per-partition (ymin, ymax) — the min/max footer stats a reader
+  // would prune on for a y-only filter
+  private def yRanges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+    df.select(col("y").cast("long"))
+      .mapPartitions { it =>
+        val ys = it.map(_.getLong(0)).toSeq
+        if (ys.isEmpty) Iterator.empty else Iterator((ys.min, ys.max))
+      }.collect().toSeq
+
+  // average number of partitions a point filter on y must read
+  private def avgPartitionsHit(ranges: Seq[(Long, Long)]): Double =
+    (0L until 64L).map(y0 => ranges.count { case (lo, hi) => lo <= y0 && y0 <= hi })
+      .sum.toDouble / 64
+
   test("interleaveBits: Morton encoding matches the reference definition") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("x", "y")
     val got = df.select(
@@ -22,19 +40,6 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("z-layout bounds BOTH dimensions per partition; lexicographic sort does not") {
-    // 64×64 uniform grid; 16 partitions
-    val grid = spark.range(64L * 64)
-      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
-
-    // per-partition (ymin, ymax) — the min/max footer stats a reader
-    // would prune on for a y-only filter
-    def yRanges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
-      df.select(col("y").cast("long"))
-        .mapPartitions { it =>
-          val ys = it.map(_.getLong(0)).toSeq
-          if (ys.isEmpty) Iterator.empty else Iterator((ys.min, ys.max))
-        }.collect().toSeq
-
     val zRanges = yRanges(ZOrder.layout(grid, Seq("x", "y"), numFiles = 16, bits = 6))
     val lexRanges = yRanges(grid.repartitionByRange(16, col("x"), col("y"))
       .sortWithinPartitions("x", "y"))
@@ -43,9 +48,6 @@ class ZOrderSpec extends SparkSpec {
     // reads only the partitions whose y-range covers it. Partition
     // area is conserved by any layout; what z-order buys is balanced
     // per-dimension spans, i.e. fewer partitions hit per filter.
-    def avgPartitionsHit(ranges: Seq[(Long, Long)]): Double =
-      (0L until 64L).map(y0 => ranges.count { case (lo, hi) => lo <= y0 && y0 <= hi })
-        .sum.toDouble / 64
     val zHit = avgPartitionsHit(zRanges)
     val lexHit = avgPartitionsHit(lexRanges)
     assert(zRanges.nonEmpty)
@@ -95,22 +97,11 @@ class ZOrderSpec extends SparkSpec {
   }
 
   test("hilbert layout prunes the non-leading dimension like z-order") {
-    val grid = spark.range(64L * 64)
-      .select((col("id") % 64).as("x"), expr("id div 64").as("y"))
-    def yRanges(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
-      df.select(col("y").cast("long"))
-        .mapPartitions { it =>
-          val ys = it.map(_.getLong(0)).toSeq
-          if (ys.isEmpty) Iterator.empty else Iterator((ys.min, ys.max))
-        }.collect().toSeq
     val hRanges = yRanges(ZOrder.hilbertLayout(grid, "x", "y", numFiles = 16, bits = 6))
-    def avgHit(ranges: Seq[(Long, Long)]): Double =
-      (0L until 64L).map(y0 => ranges.count { case (lo, hi) => lo <= y0 && y0 <= hi })
-        .sum.toDouble / 64
     // same conservative bound as the Morton test: far below the
     // 16-partitions-always of a lexicographic layout
-    assert(hRanges.nonEmpty && avgHit(hRanges) < 8,
-      s"hilbert y-pruning too weak: ${avgHit(hRanges)} of ${hRanges.size}")
+    assert(hRanges.nonEmpty && avgPartitionsHit(hRanges) < 8,
+      s"hilbert y-pruning too weak: ${avgPartitionsHit(hRanges)} of ${hRanges.size}")
   }
 
   test("constant and NULL dimensions degrade gracefully") {

@@ -136,12 +136,17 @@ class StreamingFeaturesSpec extends SparkSpec {
 
     val clean = store.readTable("clean_events")
     val bad = store.readTable("quarantined_events")
-    val expectedBad = events.filter(col("value") > cap || col("user_id").isNull).count()
+    // oracle over the WRITTEN fixture, not the unordered limit() plan
+    // (re-executing limit(300) has no determinism guarantee), with the
+    // full InRange predicate (both bounds)
+    val staged = spark.read.parquet(streamDir)
+    val rangeBad = col("value").isNotNull && (col("value") < 0 || col("value") > cap)
+    val expectedBad = staged.filter(rangeBad || col("user_id").isNull).count()
     assert(bad.count() == expectedBad && expectedBad > 0,
       s"quarantine has ${bad.count()}, expected $expectedBad")
     assert(clean.count() + bad.count() == 300)
     assert(clean.agg(max(col("value"))).collect()(0).getDouble(0) <= cap)
     assert(bad.filter(col("violations").contains("in_range(value,0.0,100.0)")).count()
-      == events.filter(col("value") > cap).count())
+      == staged.filter(rangeBad).count())
   }
 }
