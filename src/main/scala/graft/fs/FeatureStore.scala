@@ -136,6 +136,39 @@ final class FeatureStore(spark: SparkSession, val root: String) {
       spark.read.schema(spec.schema).parquet(dataDir(name, version).toString)
   }
 
+  /** Time-travel read within the retention window (the commit path
+    * keeps the current and previous snapshot; older versions are
+    * pruned). The historical snapshot keeps its OWN parquet schema —
+    * the registered spec describes only the current version.
+    */
+  def readTableVersion(name: String, version: Int): DataFrame = {
+    val current = currentVersion(name)
+    require(version > 0 && version <= current,
+      s"readTableVersion($name): version $version does not exist (current: $current)")
+    require(fs.exists(dataDir(name, version)),
+      s"readTableVersion($name): version $version was pruned by retention " +
+        s"(kept: ${math.max(1, current - 1)}..$current)")
+    spark.read.parquet(dataDir(name, version).toString)
+  }
+
+  /** Roll the table back one version: the current snapshot is
+    * DISCARDED (its directory removed — the next write reclaims the
+    * version number) and the pointer returns to the previous snapshot,
+    * whose parquet schema becomes the registered schema again. One
+    * level only, matching retention.
+    */
+  def rollbackTable(name: String): Unit = {
+    val (spec, version) = loadSpec(name)
+    require(version >= 2, s"rollbackTable($name): no previous version to roll back to")
+    val prevDir = dataDir(name, version - 1)
+    require(fs.exists(prevDir),
+      s"rollbackTable($name): previous version ${version - 1} was pruned")
+    val prevSchema = spark.read.parquet(prevDir.toString).schema
+    saveSpec(spec.copy(schema = prevSchema), version - 1)
+    fs.delete(dataDir(name, version), true)
+    ()
+  }
+
   /** K5/K3 — write a snapshot.
     *
     * Overwrite: replace data, adopt the new DataFrame's schema.

@@ -301,6 +301,35 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.readTable("t").count() == 4)
   }
 
+  test("time travel + rollback: previous version readable, rollback discards current") {
+    val store = freshStore
+    val v1 = Seq((1L, 1.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("tt", Seq("id"), v1.schema))
+    store.writeTable("tt", v1, WriteMode.Merge)
+    // v2 evolves the schema with a new column
+    store.writeTable("tt", Seq((2L, 2.0, "new")).toDF("id", "x", "tag"), WriteMode.Merge)
+    assert(store.currentVersion("tt") == 2)
+    assert(store.readTable("tt").columns.contains("tag"))
+
+    // time travel: v1 readable with its OWN (pre-evolution) schema
+    val old = store.readTableVersion("tt", 1)
+    assert(!old.columns.contains("tag") && old.count() == 1)
+    intercept[IllegalArgumentException](store.readTableVersion("tt", 3))
+
+    // rollback: pointer and schema return to v1; v2 is discarded
+    store.rollbackTable("tt")
+    assert(store.currentVersion("tt") == 1)
+    val back = store.readTable("tt")
+    assert(!back.columns.contains("tag") && back.count() == 1)
+    // the next write reclaims version 2 cleanly
+    store.writeTable("tt", Seq((3L, 3.0)).toDF("id", "x"), WriteMode.Merge)
+    assert(store.currentVersion("tt") == 2)
+    assert(store.readTable("tt").count() == 2)
+    // only one version beneath the current → second rollback then fails
+    store.rollbackTable("tt")
+    intercept[IllegalArgumentException](store.rollbackTable("tt"))
+  }
+
   test("store over a Hadoop file:// URI: full lifecycle on FileSystem paths") {
     // the commit path must run on Hadoop FileSystem semantics (the
     // 100 TB reality is hdfs:// or s3a://) — same lifecycle, URI root
