@@ -57,7 +57,14 @@ object GraftFunctions {
           intArg(es(3), "graft_hyperplane_band_keys", 3))
       }),
     ("graft_kmv_distinct", "KMV distinct-count sketch aggregate (value, k)",
-      es => SketchAggregates.KmvDistinct(es(0), intArg(es(1), "graft_kmv_distinct", 1))))
+      es => SketchAggregates.KmvDistinct(es(0), intArg(es(1), "graft_kmv_distinct", 1))),
+    ("graft_interleave_bits", "Morton z-value of bigint ranks (rank..., bits)",
+      es => {
+        require(es.length >= 2, "graft_interleave_bits: expected (rank..., bits)")
+        InterleaveBits(es.init, intArg(es.last, "graft_interleave_bits", es.length - 1))
+      }),
+    ("graft_hilbert_2d", "2-D Hilbert curve index (x, y, bits)",
+      es => HilbertIndex2D(es(0), es(1), intArg(es(2), "graft_hilbert_2d", 2))))
 
   /** Register on a live session's function registry. */
   def register(spark: SparkSession): Unit = all.foreach { case (name, _, builder) =>

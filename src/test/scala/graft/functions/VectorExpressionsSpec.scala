@@ -81,4 +81,16 @@ class VectorExpressionsSpec extends SparkSpec {
       spark.sql("SELECT graft_hyperplane_sig(emb, 64) FROM vx_emb").head())
     assert(err.getMessage.contains("graft_hyperplane_sig"))
   }
+
+  test("curve expressions usable from SQL: interleave_bits and hilbert_2d") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_interleave_bits(3L, 5L, 4) AS z,
+        |       graft_hilbert_2d(0L, 0L, 4) AS h0,
+        |       graft_hilbert_2d(1L, 0L, 4) AS h1""".stripMargin).head()
+    // morton(3,5): x bits 0,1 → z 0,2; y bits 0,2 → z 1,5
+    assert(r.getLong(0) == ((1L << 0) | (1L << 2) | (1L << 1) | (1L << 5)))
+    // hilbert (this orientation): (0,0) is curve position 0, (1,0) is 1
+    assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
+  }
 }
