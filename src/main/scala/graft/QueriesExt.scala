@@ -552,6 +552,46 @@ object PipelinesExt {
         percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
       .orderBy("l_returnflag", "l_linestatus")
 
+  // TPC-H Q3 shape: 3-table join, date band on both sides, exact
+  // decimal revenue, deterministic top-10 (revenue DESC + key).
+  def shippingPriority(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
+  }
+
+  // TPC-H Q8 shape: the widest join in the gate — 6 tables with nation
+  // in two roles (customer region filter, supplier market share). The
+  // share is a division of two exact-decimal sums cast to double, so
+  // both engines derive identical doubles.
+  def marketShare(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        |FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND s_nationkey = n2.n_nationkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
   // Data-quality expectations audit: five declarative checks compiled
   // into one scan (plus one anti-join for referential integrity). The
   // oracle recomputes each count with plain SQL.
@@ -1028,6 +1068,34 @@ object OraclesExt {
         |SELECT c_custkey, c_mktsegment,
         |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z
         |FROM s ORDER BY c_custkey""".stripMargin,
+
+    "q64_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  epoch_us(o_orderdate) AS o_orderdate_us,
+        |  o_orderpriority
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND l_orderkey = o_orderkey
+        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q65_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
+        |FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey
+        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        |  AND s_nationkey = n2.n_nationkey AND r_name = 'ASIA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q63_quarantine" ->
       """SELECT event_id,

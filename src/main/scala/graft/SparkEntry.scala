@@ -92,6 +92,8 @@ object SparkEntry {
     "q61_kmv_distinct" -> ((s, d) => PipelinesExt.kmvDistinctCounts(s, d)),
     "q62_expectations" -> ((s, d) => PipelinesExt.expectationsAudit(s, d)),
     "q63_quarantine" -> ((s, d) => PipelinesExt.quarantineEvents(s, d)),
+    "q64_shipping_priority" -> ((s, d) => PipelinesExt.shippingPriority(s, d)),
+    "q65_market_share" -> ((s, d) => PipelinesExt.marketShare(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
