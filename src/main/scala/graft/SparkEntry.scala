@@ -94,6 +94,7 @@ object SparkEntry {
     "q63_quarantine" -> ((s, d) => PipelinesExt.quarantineEvents(s, d)),
     "q64_shipping_priority" -> ((s, d) => PipelinesExt.shippingPriority(s, d)),
     "q65_market_share" -> ((s, d) => PipelinesExt.marketShare(s, d)),
+    "q66_cosine_lsh" -> ((s, d) => PipelinesExt.cosineLshPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

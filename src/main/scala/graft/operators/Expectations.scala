@@ -81,6 +81,11 @@ object Expectations {
     */
   def enforce(df: DataFrame, checks: Seq[Expectation]): (DataFrame, DataFrame) = {
     require(checks.nonEmpty, "expectations: need at least one check")
+    // the split builds (and drops from the clean side) a `violations`
+    // column — an existing column of that name would be silently
+    // replaced and lost in both outputs
+    require(!df.columns.contains("violations"),
+      "expectations: input already has a 'violations' column — rename it before enforce()")
     val reasons = array(checks.map(e =>
       when(rowViolation(e), lit(e.name))): _*)
     val tagged = df.withColumn("violations",

@@ -49,6 +49,8 @@ object RangeJoin {
       tsCol: String,
       bucketWidth: String = "1 minute"): DataFrame = {
     val w = parseWidthMicros(bucketWidth)
+    requireFresh(intervals, "intervals", "_rj_s", "_rj_e", "_rj_bucket")
+    requireFresh(points, "points", "_rj_t", "_rj_bucket")
     // All comparisons run on epoch-micros longs (a tz-vs-ntz column
     // comparison fails analysis otherwise). The mapping must be
     // MONOTONIC or bucket and filter could disagree with ts order:
@@ -88,11 +90,25 @@ object RangeJoin {
         expr(s"unix_date(cast($c as date)) * 86400000000L" +
           s" + hour($c) * 3600000000L + minute($c) * 60000000L" +
           s" + cast(date_part('second', $c) * 1000000 as bigint)")
-      case _ => unix_micros(col(name).cast("timestamp"))
+      // quoted here too: the ntz branch quotes, and a dotted/backticked
+      // caller name must resolve the same way in both branches
+      case _ => unix_micros(expr(s"cast(${quote(name)} as timestamp)"))
     }
   }
 
   private def quote(name: String): String = "`" + name.replace("`", "``") + "`"
+
+  /** The join builds (and later drops) internal `_rj_*` columns via
+    * withColumn — a caller column with one of these names would be
+    * silently overwritten and then destroyed. Fail loudly instead
+    * (mirrors ZOrder.withRanks's collision guard).
+    */
+  private def requireFresh(df: DataFrame, side: String, names: String*): Unit = {
+    val clash = names.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"rangeJoin: $side input already has internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before joining")
+  }
 
   /** Band join: pairs (l, r) with |l.ts − r.ts| ≤ tolerance — the
     * symmetric special case (each left row is the interval
@@ -105,6 +121,7 @@ object RangeJoin {
       rightTsCol: String,
       tolerance: String): DataFrame = {
     val tol = parseWidthMicros(tolerance)
+    requireFresh(left, "left", "_rj_band_s", "_rj_band_e")
     // timestampadd preserves the column's family (ntz stays ntz, tz
     // stays tz), so the band bounds always compare same-family against
     // the left ts and the derived epoch mapping stays monotonic
@@ -131,6 +148,8 @@ object RangeJoin {
       ptCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"rangeJoin: bucketWidth must be positive, got $bucketWidth")
+    requireFresh(intervals, "intervals", "_rj_bucket")
+    requireFresh(points, "points", "_rj_bucket")
     // caller-supplied names are backtick-quoted before splicing into
     // expr(): a name like "a.b" or "start ts" must stay one identifier
     val iv = intervals
@@ -150,10 +169,11 @@ object RangeJoin {
     * micro length is undefined; restrict to fixed-length units.
     */
   private[graft] def parseWidthMicros(width: String): Long = {
-    val m = "(?i)^\\s*(\\d+)\\s*(hour|minute|second|millisecond|microsecond)s?\\s*$".r
+    val m = "(?i)^\\s*(\\d+)\\s*(day|hour|minute|second|millisecond|microsecond)s?\\s*$".r
     width match {
       case m(n, unit) =>
         val per = unit.toLowerCase match {
+          case "day"         => 86400000000L
           case "hour"        => 3600000000L
           case "minute"      => 60000000L
           case "second"      => 1000000L

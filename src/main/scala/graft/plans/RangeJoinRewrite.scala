@@ -32,6 +32,19 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * Bucket width: `spark.graft.rangejoin.bucket.micros` (default 1
   * minute). The output join has an equi key, so the rule cannot
   * re-fire on its own output.
+  *
+  * Long-interval cliff guard: an interval spanning more than
+  * `spark.graft.rangejoin.max.buckets` buckets (default 10,000 — ~7
+  * days at the 1-minute default width) does NOT explode; it emits the
+  * single OVERFLOW sentinel bucket, and every point row emits its real
+  * bucket PLUS the sentinel. Long intervals thus pair with all points
+  * inside one join bucket — bounded degradation (ordinary join skew,
+  * AQE-splittable) instead of a ~500k× row amplification (or a
+  * Sequence array-length error) on month/year-scale intervals the
+  * naive BNLJ never had. Each (interval, point) pair still meets
+  * exactly once: a long interval exists ONLY in the sentinel bucket, a
+  * short one only in real buckets, and a point has exactly one row in
+  * each. The cost is one extra narrow row per point in the shuffle.
   */
 case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
     extends Rule[LogicalPlan] with PredicateHelper {
@@ -45,6 +58,19 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
     require(v > 0, s"spark.graft.rangejoin.bucket.micros must be positive, got $v")
     v
   }
+
+  /** Per-interval explode cap; beyond it the interval takes the
+    * sentinel-bucket path instead (see class doc).
+    */
+  private def maxBucketsPerInterval: Long = {
+    val v = conf.getConfString("spark.graft.rangejoin.max.buckets", "10000").toLong
+    require(v > 0, s"spark.graft.rangejoin.max.buckets must be positive, got $v")
+    v
+  }
+
+  // no real bucket can be Long.MinValue: bucket = ts div w with w >= 1,
+  // and Spark's timestamp domain (±~0.3M years) is far inside Long µs
+  private val OverflowBucket = Literal(Long.MinValue, LongType)
 
   // temporal columns ONLY: for an arbitrary long domain the fixed
   // micros-scale bucket width is meaningless (ids in [0, 1e6) would all
@@ -108,20 +134,33 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
           val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
           val lastUs =
             if (inclusiveUpper) eUs else Subtract(eUs, Literal(1L, LongType))
+          val startDiv = IntegralDivide(sUs, w)
+          val lastDiv = IntegralDivide(lastUs, w)
           // Sequence is TimeZoneAwareExpression: unresolved until a zone
           // is attached, even over longs
-          val seqExpr = new Sequence(
-            IntegralDivide(sUs, w),
-            IntegralDivide(lastUs, w),
+          val seqExpr = new Sequence(startDiv, lastDiv,
             Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
-          val gen = Generate(Explode(seqExpr), unrequiredChildIndex = Nil,
+          // cliff guard: intervals spanning more than maxBuckets buckets
+          // take the sentinel path (If only evaluates the taken branch,
+          // so the oversized Sequence is never materialized)
+          val bucketCount =
+            Add(Subtract(lastDiv, startDiv), Literal(1L, LongType))
+          val cappedBuckets = If(
+            LessThanOrEqual(bucketCount, Literal(maxBucketsPerInterval, LongType)),
+            seqExpr,
+            CreateArray(Seq(OverflowBucket)))
+          val gen = Generate(Explode(cappedBuckets), unrequiredChildIndex = Nil,
             outer = false, qualifier = None, generatorOutput = Seq(bucketL),
             child = guarded)
-          // point side: its single bucket
-          val bucketRAlias = Alias(IntegralDivide(tUs, w), "_rj_bucket_r")()
-          val proj = Project(right.output :+ bucketRAlias, right)
-          val newCond = And(EqualTo(bucketL, bucketRAlias.toAttribute), cond)
-          Project(j.output, Join(gen, proj, Inner, Some(newCond), hint))
+          // point side: its real bucket plus the sentinel (the row that
+          // can meet long intervals)
+          val bucketR = AttributeReference("_rj_bucket_r", LongType, nullable = true)()
+          val genR = Generate(
+            Explode(CreateArray(Seq(IntegralDivide(tUs, w), OverflowBucket))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bucketR), child = right)
+          val newCond = And(EqualTo(bucketL, bucketR), cond)
+          Project(j.output, Join(gen, genR, Inner, Some(newCond), hint))
         }
       }.getOrElse(j)
   }

@@ -26,7 +26,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *     (Spark's no-data final micro-batch fires it);
   *   - feature versions strictly older than the newest version at-or-
   *     below the emission horizon are pruned — per key the state is
-  *     O(pending probes + recent feature versions), watermark-bounded.
+  *     O(pending probes + recent feature versions), watermark-bounded;
+  *   - probe-quiescent keys retire entirely `featureRetention` after
+  *     their newest feature version (one-shot event-time timeout), so
+  *     TOTAL state is bounded by recently-active keys, not lifetime
+  *     key cardinality.
   *
   * Late data past the watermark is dropped by the watermark operator
   * itself, identical to every other stateful streaming operator here.
@@ -57,9 +61,20 @@ object StreamingPit extends Serializable {
       idCol: String = "event_id",
       featTsCol: String = "feat_ts",
       valueCol: String = "value",
-      watermarkDelay: String = "10 minutes"): Dataset[PitJoined] = {
+      watermarkDelay: String = "10 minutes",
+      featureRetention: String = "7 days"): Dataset[PitJoined] = {
     val spark = spine.sparkSession
     import spark.implicits._
+    // state TTL for probe-quiescent keys (Flink-state-TTL semantics):
+    // a key with no pending probes keeps its feature state only until
+    // `featureRetention` past its newest feature version, then a
+    // ONE-SHOT event-time timeout drops it. Without this, total state
+    // grows with key cardinality forever — every key that stops
+    // receiving probes parks its pruned-but-nonempty version list.
+    // The trade: a probe arriving later than retention after the key's
+    // last feature update sees feature=None. Per-arrival probe keys are
+    // unaffected (pending probes always extend the state's life).
+    val retentionUs = graft.operators.RangeJoin.parseWidthMicros(featureRetention)
 
     // tag and union: one stateful operator sees both streams. Each
     // stream is watermarked BEFORE the union, so Spark tracks the two
@@ -125,17 +140,27 @@ object StreamingPit extends Serializable {
         case Some(f) => st.features.filter(_._1 >= f)
         case None    => st.features
       }
-      if (pending.isEmpty && kept.isEmpty) state.remove()
-      else {
+      if (pending.nonEmpty) {
         state.update(PitState(kept, pending))
-        // wake only when something is waiting: the earliest pending
-        // probe's ts (µs → ms, rounded UP so the timeout is never at or
-        // below the current watermark). Feature-only keys set NO
-        // timeout — they'd otherwise re-fire on every watermark
-        // advance, an O(all keys) state rewrite per micro-batch; their
-        // state prunes lazily on next arrival.
-        pending.map(_._1).minOption.foreach(wakeUs =>
-          state.setTimeoutTimestamp((wakeUs + 999) / 1000 + 1))
+        // wake at the earliest pending probe's ts (µs → ms, rounded UP
+        // so the timeout is never at or below the current watermark)
+        state.setTimeoutTimestamp((pending.map(_._1).min + 999) / 1000 + 1)
+      } else if (kept.isEmpty) state.remove()
+      else {
+        // feature-only key: retire the state once the watermark passes
+        // newest-version + retention. A ONE-SHOT timeout at that event
+        // time (not at the watermark — that would re-fire on every
+        // advance, an O(all keys) rewrite per micro-batch) fires this
+        // function with an empty iterator; the branch below then sees
+        // wm >= retireUs and removes. Derived from kept alone, so no
+        // extra state field is needed.
+        val retireUs = kept.map(_._1).max + retentionUs
+        if (wm >= retireUs) state.remove()
+        else {
+          state.update(PitState(kept, Nil))
+          state.setTimeoutTimestamp(
+            math.max((retireUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
+        }
       }
       out.iterator
     }

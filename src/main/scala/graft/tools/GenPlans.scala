@@ -12,7 +12,8 @@ object GenPlans {
     ("q15_sql_revenue_per_nation", "SQL entry: 5-table join — Catalyst broadcast-joins the dims (nation/region/customer) and reorders so lineitem↔orders is the only big join."),
     ("q29_embedding_knn", "Brute-force kNN: query side broadcast, corpus never shuffled; scoring is the codegen'd graft_dot expression. The BroadcastNestedLoopJoin here is deliberate and safe: the build side is the (small-by-contract) query batch, so the 'loop' is exactly one corpus scan scoring all k queries — the optimal exact plan; corpus-× -corpus nested loops are what's banned (see q30). The row_number<=k filter is rewritten by Catalyst's InferWindowGroupLimit into Partial+Final WindowGroupLimit — a per-partition top-k heap BEFORE the shuffle — which is why no custom top-k operator is needed (SURVEY §4: don't hand-schedule what the optimizer already does)."),
     ("q33_pit_training_set", "Point-in-time lookup: union of probes+features, ONE exchange on user_id, window last-ignoreNulls — no range join, no per-version explosion."),
-    ("q30_cosine_near_dup", "Banded hyperplane-LSH near-dup (round 3): candidate generation is an equi-join on (band, signature) buckets — NO BroadcastNestedLoopJoin anywhere — followed by exact-cosine re-rank of candidates only. At gate scale AQE broadcasts the narrow id/bucket side; at 100 TB both sides shuffle on the bucket key."),
+    ("q30_cosine_near_dup", "Exact near-dup pairs (round 6: the gate now runs the deterministic tiled path): block-tiled equi-joins bound per-task memory, each unordered pair meets exactly once — no BroadcastNestedLoopJoin. The probabilistic banded-LSH variant is q66 (rows-only), spec-asserted equal to this exact path."),
+    ("q66_cosine_lsh", "Banded hyperplane-LSH near-dup (round 3): candidate generation is an equi-join on (band, signature) buckets — NO BroadcastNestedLoopJoin anywhere — followed by exact-cosine re-rank of candidates only. At gate scale AQE broadcasts the narrow id/bucket side; at 100 TB both sides shuffle on the bucket key."),
     ("q14_publish_online", "Online publish (round 3): repartitionByRange on the key + sortWithinPartitions — n-way parallel, per-file key-sorted, disjoint key ranges (the KV bulk-load shape); the old single-partition write is gone."),
     ("q54_range_join", "Bucketed range join (round 5): the interval side explodes to covering time buckets, the point side computes its single bucket, and the join is an EQUI join on the bucket id with a residual range filter — no BroadcastNestedLoopJoin. At 100 TB both sides shuffle on the bucket key; hot buckets split under AQE skew handling."),
     ("q56_range_frame_window", "RANGE-frame rolling window: one exchange on the partition key, one sort, a running frame scan per partition — the interval frame runs on epoch-µs longs so frame bounds are integer comparisons."),

@@ -61,6 +61,13 @@ class ExpectationsSpec extends SparkSpec {
     assert(good.filter(col("qty") < 0 || col("id").isNull).count() == 0)
   }
 
+  test("enforce rejects an input that already has a violations column") {
+    val e = intercept[IllegalArgumentException] {
+      enforce(dirty.withColumn("violations", lit("user data")), Seq(NotNull("id")))
+    }
+    assert(e.getMessage.contains("violations"))
+  }
+
   test("enforce rejects non-row-local checks with a named error") {
     val e = intercept[IllegalArgumentException] {
       enforce(dirty, Seq(UniqueKey(Seq("id"))))._2.count()

@@ -125,7 +125,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(RangeJoin.parseWidthMicros("1 minute") == 60000000L)
     assert(RangeJoin.parseWidthMicros("30 SECONDS") == 30000000L)
     assert(RangeJoin.parseWidthMicros("500 milliseconds") == 500000L)
+    assert(RangeJoin.parseWidthMicros("2 days") == 172800000000L)
     intercept[IllegalArgumentException](RangeJoin.parseWidthMicros("1 month"))
     intercept[IllegalArgumentException](RangeJoin.parseWidthMicros("minute"))
+  }
+
+  test("inputs that already carry internal _rj_* columns are rejected") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val iv = Seq((1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 10:01:00")))
+      .toDF("id", "s", "e")
+    val pt = Seq((2L, ts("2024-01-01 10:00:30"))).toDF("pid", "p")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(iv.withColumn("_rj_s", lit(0L)), pt, "s", "e", "p")
+    }
+    assert(e1.getMessage.contains("_rj_s"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoin(iv, pt.withColumn("_rj_bucket", lit(0L)), "s", "e", "p")
+    }
+    assert(e2.getMessage.contains("_rj_bucket"))
+    val e3 = intercept[IllegalArgumentException] {
+      RangeJoin.bandJoin(iv.withColumn("_rj_band_e", lit(0L)), pt, "s", "p", "1 minute")
+    }
+    assert(e3.getMessage.contains("_rj_band_e"))
+    val e4 = intercept[IllegalArgumentException] {
+      RangeJoin.intervalJoinLong(
+        Seq((1L, 0L, 10L)).toDF("id", "lo", "hi").withColumn("_rj_bucket", lit(0L)),
+        Seq((2L, 5L)).toDF("pid", "v"), "lo", "hi", "v", 10L)
+    }
+    assert(e4.getMessage.contains("_rj_bucket"))
   }
 }

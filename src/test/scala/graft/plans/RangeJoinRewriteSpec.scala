@@ -93,6 +93,34 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("long intervals take the sentinel bucket instead of exploding") {
+    withRule {
+      def t(s: String) = java.sql.Timestamp.valueOf(s)
+      val key = "spark.graft.rangejoin.max.buckets"
+      try {
+        spark.conf.set(key, "4") // 10-min interval at 1-min width = 10 buckets > 4
+        val iv = Seq(
+          (1L, t("2024-01-01 10:00:00"), t("2024-01-01 10:10:00")), // long → sentinel
+          (2L, t("2024-01-01 12:00:00"), t("2024-01-01 12:02:00"))  // short → buckets
+        ).toDF("iv_id", "s", "e")
+        val pts = Seq(
+          (10L, t("2024-01-01 10:07:30")), // inside the long interval
+          (11L, t("2024-01-01 12:01:00")), // inside the short interval
+          (12L, t("2024-01-01 11:00:00"))  // inside neither
+        ).toDF("pt_id", "p")
+        val joined = iv.join(pts, col("p") >= col("s") && col("p") < col("e"))
+        val plan = joined.queryExecution.optimizedPlan.toString
+        assert(!joined.queryExecution.executedPlan.toString
+          .contains("BroadcastNestedLoopJoin"), "rule did not fire")
+        assert(plan.contains(Long.MinValue.toString),
+          s"sentinel bucket missing from plan:\n$plan")
+        // each pair meets exactly once: collect a Seq, not a Set
+        val got = joined.select("iv_id", "pt_id").as[(Long, Long)].collect().toSeq.sorted
+        assert(got == Seq((1L, 10L), (2L, 11L)))
+      } finally spark.conf.unset(key)
+    }
+  }
+
   test("bucket width knob is read from the session conf") {
     withRule {
       val key = "spark.graft.rangejoin.bucket.micros"

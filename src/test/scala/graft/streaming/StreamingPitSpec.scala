@@ -100,4 +100,63 @@ class StreamingPitSpec extends SparkSpec {
       .select("feature_value").as[Option[Double]].collect().toSeq
     assert(got == Seq(Some(49.0)), s"got $got")
   }
+
+  test("probe-quiescent keys retire after featureRetention; active retention keeps them") {
+    // phase 1: key 1 gets a feature, then only sentinel traffic pushes
+    // the watermark ~1.5 days past it. With retention "1 hour" the
+    // key's state retires (one-shot event-time timeout); with the
+    // 7-day default it survives. phase 2 proves it behaviorally: a
+    // late probe for key 1 sees None after retirement, Some before.
+    def run(retention: String, name: String): Option[Double] = {
+      val dir = Files.createTempDirectory(s"graft-spit3-$name-").toString
+      val ck = Files.createTempDirectory(s"graft-spit3-ck-$name-").toString
+      val featSchema = Seq((1L, t("2024-01-01 00:00:00"), 10.0))
+        .toDF("user_id", "feat_ts", "value").schema
+      val spineSchema = Seq((1L, 1L, t("2024-01-01 00:00:00")))
+        .toDF("event_id", "user_id", "ts").schema
+
+      // foreachBatch, not the memory sink: only foreachBatch supports
+      // resuming from the phase-1 checkpoint
+      val out = new scala.collection.concurrent.TrieMap[Long, Option[Double]]()
+      def start() = StreamingPit.asOfJoin(
+          spark.readStream.schema(spineSchema).parquet(s"$dir/spine"),
+          spark.readStream.schema(featSchema).parquet(s"$dir/features"),
+          watermarkDelay = "1 minute", featureRetention = retention)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingPit.PitJoined], _: Long) =>
+          batch.collect().foreach(r => out.put(r.probe_id, r.feature_value)); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow())
+        .start()
+
+      Seq((1L, t("2024-01-01 00:00:00"), 10.0), (9L, t("2024-01-02 12:00:00"), 0.0))
+        .toDF("user_id", "feat_ts", "value")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/features")
+      Seq((999L, 9L, t("2024-01-02 12:00:00")))
+        .toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/spine")
+      val q1 = start()
+      assert(q1.awaitTermination(120000), "phase-1 query timed out")
+
+      // phase 2: the late probe for key 1, plus sentinels advancing
+      // both clocks far enough to emit it
+      Seq((9L, t("2024-01-03 12:00:00"), 0.0))
+        .toDF("user_id", "feat_ts", "value")
+        .coalesce(1).write.mode("append").parquet(s"$dir/features")
+      Seq((200L, 1L, t("2024-01-02 13:00:00")), (998L, 9L, t("2024-01-03 12:00:00")))
+        .toDF("event_id", "user_id", "ts")
+        .coalesce(1).write.mode("append").parquet(s"$dir/spine")
+      val q2 = start()
+      assert(q2.awaitTermination(120000), "phase-2 query timed out")
+
+      assert(out.contains(200L), s"probe 200 never emitted (got keys ${out.keySet})")
+      out(200L)
+    }
+
+    assert(run("1 hour", "short") == None,
+      "retired key should look up to None after retention passed")
+    assert(run("7 days", "long") == Some(10.0),
+      "key inside retention must keep its feature state")
+  }
 }
