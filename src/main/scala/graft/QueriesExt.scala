@@ -142,6 +142,17 @@ object PipelinesExt {
     store.readOnlineTable("order_features").orderBy("c_custkey")
   }
 
+  // K7-serve — point lookups against the published snapshot: the
+  // key-manifest prunes the read to the range files containing the
+  // requested keys (FeatureStoreSpec asserts the file count); the
+  // oracle recomputes the same rows from orders directly.
+  def onlineLookup(s: SparkSession, d: String): DataFrame = {
+    val store = Pipelines.buildStore(s, d)
+    store.publishTable("order_features")
+    store.lookupOnline("order_features", (1L to 50L))
+      .orderBy("c_custkey")
+  }
+
   // J3-PIT — point-in-time training set: spine = purchase events, time-
   // versioned feature table = per-(user, day) event counts written
   // through the store with (user_id, day_ts) keys; each spine row gets
@@ -516,14 +527,25 @@ object PipelinesExt {
   // floats.
   def nestedCorrelated(s: SparkSession, d: String): DataFrame = {
     Tables.registerAll(s, d)
+    // TPC-H-Q20-shaped semantics: suppliers whose per-part quantity
+    // beats 2× the average per-supplier quantity for that part. The
+    // naive doubly-nested correlated HAVING subquery decorrelates into
+    // THREE lineitem scans (round-5 plan audit); this is the single-
+    // scan form a production engine rewrites to — group once, then the
+    // correlated "avg over suppliers of the same part" becomes a
+    // window avg over the grouped CTE. The DuckDB oracle still runs
+    // the nested-correlated formulation, so the gate cross-checks the
+    // two formulations against each other. Decorrelation itself stays
+    // pinned by q51.
     s.sql(
-      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
-        |  SELECT l_suppkey FROM lineitem
-        |  GROUP BY l_suppkey, l_partkey
-        |  HAVING sum(l_quantity) > 2 * (
-        |    SELECT avg(q) FROM (
-        |      SELECT sum(l2.l_quantity) AS q FROM lineitem l2
-        |      WHERE l2.l_partkey = lineitem.l_partkey GROUP BY l2.l_suppkey) t))
+      """WITH g AS (
+        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_suppkey IN (
+        |  SELECT l_suppkey FROM (
+        |    SELECT l_suppkey, q, avg(q) OVER (PARTITION BY l_partkey) AS aq FROM g)
+        |  WHERE q > 2 * aq)
         |ORDER BY s_suppkey""".stripMargin)
   }
 
@@ -838,6 +860,16 @@ object OraclesExt {
         |  epoch_us(max(o_orderdate)) AS last_order_us,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
         |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+    "q67_online_lookup" ->
+      """SELECT o_custkey AS c_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+        |  epoch_us(max(o_orderdate)) AS last_order_us,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 50
+        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
 
     "q20_dedup_exact_groups" ->
       s"""SELECT $fpSql AS fingerprint,

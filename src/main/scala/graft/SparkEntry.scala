@@ -95,6 +95,7 @@ object SparkEntry {
     "q64_shipping_priority" -> ((s, d) => PipelinesExt.shippingPriority(s, d)),
     "q65_market_share" -> ((s, d) => PipelinesExt.marketShare(s, d)),
     "q66_cosine_lsh" -> ((s, d) => PipelinesExt.cosineLshPairs(s, d)),
+    "q67_online_lookup" -> ((s, d) => PipelinesExt.onlineLookup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

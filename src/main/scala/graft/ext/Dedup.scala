@@ -38,14 +38,37 @@ object Dedup {
     // would wrap and repartition exactly the huge inputs this must
     // leave alone
     if (bytes >= BigInt(p) * maxPartitionBytes) df
-    // Stats imply a narrow input; confirm against the actual partition
-    // count so a frame that is already wide despite small stats (many
-    // files, an upstream shuffle) is never coalesced down. The RDD
-    // probe runs only on this branch, where the input is small and a
-    // shuffle was on the table anyway — the 100 TB fast path above
-    // never instantiates the physical plan.
-    else if (df.rdd.getNumPartitions < p) df.repartition(p)
+    // Stats imply a narrow input; confirm against the width the plan
+    // would execute with, so a frame that is already wide despite small
+    // stats (many files, an upstream shuffle) is never coalesced down.
+    else if (plannedWidth(df, p) < p) df.repartition(p)
     else df
+  }
+
+  /** The partition count the physical plan would execute with, read
+    * from the PLAN — never from `df.rdd`, which would instantiate the
+    * physical plan's lineage (and, under AQE, run its stages) on every
+    * operator build. Pre-order: a plan that already shuffles
+    * (AdaptiveSparkPlanExec wraps every exchange-bearing plan) is wide
+    * by construction; a file scan answers with Spark's own file-split
+    * packing over its listed files (exact here — this only runs on the
+    * small-stats branch, where no file exceeds the split size); purely
+    * local data (LocalTableScan test fixtures) counts as 1.
+    */
+  private def plannedWidth(df: DataFrame, p: Int): Int = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.datasources.FilePartition
+    val session = df.sparkSession
+    df.queryExecution.executedPlan.collectFirst {
+      case _: AdaptiveSparkPlanExec => Int.MaxValue
+      case e: ShuffleExchangeLike => e.numPartitions
+      case f: FileSourceScanExec =>
+        val listing = f.selectedPartitions
+        FilePartition.getFilePartitions(session, listing.toPartitionArray.toSeq,
+          FilePartition.maxSplitBytes(session, listing)).size
+    }.getOrElse(1)
   }
 
   // ------------------------------------------------------------- exact

@@ -63,7 +63,11 @@ object WriteMode {
   *     so training-set joins at scale can prune partitions;
   *   - nothing here ever collects to the driver.
   */
-final class FeatureStore(spark: SparkSession, val root: String) {
+final class FeatureStore(spark: SparkSession, val root: String,
+    val retainVersions: Int = 2) {
+
+  require(retainVersions >= 1,
+    s"FeatureStore: retainVersions must be >= 1, got $retainVersions")
 
   private val hconf = spark.sessionState.newHadoopConf()
   private val rootPath = new Path(root)
@@ -137,9 +141,10 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   }
 
   /** Time-travel read within the retention window (the commit path
-    * keeps the current and previous snapshot; older versions are
-    * pruned). The historical snapshot keeps its OWN parquet schema —
-    * the registered spec describes only the current version.
+    * keeps the last `retainVersions` snapshots — default 2, current +
+    * previous; older versions are pruned). The historical snapshot
+    * keeps its OWN parquet schema — the registered spec describes only
+    * the current version.
     */
   def readTableVersion(name: String, version: Int): DataFrame = {
     val current = currentVersion(name)
@@ -147,8 +152,24 @@ final class FeatureStore(spark: SparkSession, val root: String) {
       s"readTableVersion($name): version $version does not exist (current: $current)")
     require(fs.exists(dataDir(name, version)),
       s"readTableVersion($name): version $version was pruned by retention " +
-        s"(kept: ${math.max(1, current - 1)}..$current)")
+        s"(kept: ${math.max(1, current - retainVersions + 1)}..$current)")
     spark.read.parquet(dataDir(name, version).toString)
+  }
+
+  /** Reclaim history on demand: drop all but the newest `keep`
+    * snapshots of `name` (default: the store's retention window). The
+    * write path already prunes to `retainVersions` on every commit, so
+    * vacuum matters for stores configured with a wide window — the
+    * OPTIMIZE/VACUUM split of a real table format. Never touches the
+    * current version; `keep >= 2` preserves rollback.
+    */
+  def vacuumTable(name: String, keep: Int = retainVersions): Unit = {
+    require(keep >= 1, s"vacuumTable($name): keep must be >= 1, got $keep")
+    val current = currentVersion(name)
+    (1 to current - keep).foreach { v =>
+      val d = dataDir(name, v)
+      if (fs.exists(d)) fs.delete(d, true)
+    }
   }
 
   /** Roll the table back one version: the current snapshot is
@@ -244,8 +265,9 @@ final class FeatureStore(spark: SparkSession, val root: String) {
         s"feature table $name: version moved $version -> $nowVersion during write; retry")
     }
     saveSpec(spec.copy(schema = structTypeOf(result)), newVersion)
-    // Old versions are kept for time travel; prune all but the last two.
-    (1 until newVersion - 1).foreach { v =>
+    // Old versions are kept for time travel; prune to the store's
+    // retention window (vacuumTable reclaims more on demand).
+    (1 to newVersion - retainVersions).foreach { v =>
       val d = dataDir(name, v)
       if (fs.exists(d)) fs.delete(d, true)
     }
@@ -270,6 +292,7 @@ final class FeatureStore(spark: SparkSession, val root: String) {
     val online = onlinePath(name)
     publishFrame(name, numPartitions)
       .write.mode("overwrite").parquet(online.toString)
+    writeKeyManifest(name, loadSpec(name)._1.keys.head)
     online.toString
   }
 
@@ -304,9 +327,105 @@ final class FeatureStore(spark: SparkSession, val root: String) {
   }
 
   private def onlinePath(name: String) = new Path(new Path(rootPath, "_online"), name)
+  // underscore prefix: parquet readers ignore it, so the snapshot stays
+  // readable as a plain parquet directory
+  private def manifestFile(name: String) = new Path(onlinePath(name), "_key_manifest")
 
   def readOnlineTable(name: String): DataFrame =
     spark.read.parquet(onlinePath(name).toString)
+
+  /** Online point lookup over the published snapshot — the serving-side
+    * read the reference delegates to its online store (the MySQL table
+    * publish_table feeds, Sean_Original.py:374-387). The publish-time
+    * key manifest (per-file min/max of the leading key over the
+    * range-partitioned, key-sorted files) prunes the read to the files
+    * whose key range intersects the requested keys, so a point lookup
+    * touches O(1) files regardless of snapshot size — the bulk-loaded-
+    * KV access pattern, without a database in the container. Tables
+    * with a composite key prune and filter on the LEADING key (the
+    * range-partitioning major order); callers needing full-tuple
+    * lookups filter the result. Falls back to a pushed-down filter of
+    * the whole snapshot when no manifest exists (non-integral,
+    * non-string leading key).
+    */
+  def lookupOnline(name: String, keys: Seq[Any]): DataFrame = {
+    require(keys.nonEmpty, s"lookupOnline($name): need at least one key")
+    require(fs.exists(onlinePath(name)),
+      s"lookupOnline($name): table is not published — call publishTable first")
+    val keyCol = loadSpec(name)._1.keys.head
+    readKeyManifest(name) match {
+      case Some((typeName, entries)) =>
+        val wanted = keys.map(_.toString)
+        // manifest stats are strings; integral families compare as Long
+        def contains(e: ManifestEntry, k: String): Boolean = (e.kmin, e.kmax) match {
+          case (Some(lo), Some(hi)) if typeName == "string" => lo <= k && k <= hi
+          case (Some(lo), Some(hi)) => lo.toLong <= k.toLong && k.toLong <= hi.toLong
+          case _ => true // a file with no stats (all-null keys) is never pruned
+        }
+        val files = entries.collect {
+          case e if wanted.exists(contains(e, _)) => e.file
+        }
+        if (files.isEmpty)
+          spark.createDataFrame(java.util.Collections.emptyList[Row](),
+            spark.read.parquet(onlinePath(name).toString).schema)
+        else spark.read.parquet(files: _*).filter(col(keyCol).isin(keys: _*))
+      case None =>
+        readOnlineTable(name).filter(col(keyCol).isin(keys: _*))
+    }
+  }
+
+  private case class ManifestEntry(file: String, kmin: Option[String], kmax: Option[String])
+
+  /** One manifest line per snapshot file: `file \t min \t max` of the
+    * leading key (header line carries the key's type name). Collected
+    * at publish time — one row per FILE, bounded by `numPartitions`,
+    * not data size. Written only for integral/string leading keys whose
+    * rendered stats can't contain the separators; anything else simply
+    * gets no manifest and lookups fall back to a full filtered scan.
+    */
+  private def writeKeyManifest(name: String, keyCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = spark.read.parquet(onlinePath(name).toString)
+    val dt = snap.schema(keyCol).dataType
+    val integral = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral && dt != StringType) return
+    val stats = snap
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col(keyCol)).cast("string").as("kmin"),
+        max(col(keyCol)).cast("string").as("kmax"))
+      .collect()
+    def ok(s: String) = s == null || !(s.contains("\t") || s.contains("\n"))
+    if (!stats.forall(r => ok(r.getString(1)) && ok(r.getString(2)))) return
+    val header = if (integral) "integral" else "string"
+    val body = stats.map { r =>
+      val lo = Option(r.getString(1)).getOrElse("")
+      val hi = Option(r.getString(2)).getOrElse("")
+      s"${r.getString(0)}\t$lo\t$hi"
+    }.mkString("\n")
+    val out = fs.create(manifestFile(name), true)
+    try out.write(s"$header\n$body".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readKeyManifest(name: String): Option[(String, Seq[ManifestEntry])] = {
+    val p = manifestFile(name)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val lines = text.split("\n", -1).toSeq
+    val entries = lines.drop(1).filter(_.nonEmpty).map { l =>
+      val parts = l.split("\t", -1)
+      ManifestEntry(parts(0),
+        Some(parts(1)).filter(_.nonEmpty), Some(parts(2)).filter(_.nonEmpty))
+    }
+    Some((lines.head, entries))
+  }
 
   /** Compact the current snapshot into `targetPartitions` files (repeated
     * merges leave one file per shuffle partition per write — at 100 TB
@@ -428,9 +547,9 @@ object FeatureStore {
     * self-contained `SparkEntry.queries` entries that exercise the
     * write path end-to-end.
     */
-  def temp(spark: SparkSession): FeatureStore = {
+  def temp(spark: SparkSession, retainVersions: Int = 2): FeatureStore = {
     val dir = java.nio.file.Files.createTempDirectory("graft-fs-").toString
-    new FeatureStore(spark, dir)
+    new FeatureStore(spark, dir, retainVersions)
   }
 
   /** Options for the JDBC publish sink, exposed so tests can assert

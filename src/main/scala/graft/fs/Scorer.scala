@@ -92,17 +92,34 @@ final case class LogisticScorer(
   }
 }
 
-final class ScorerRegistry {
+final class ScorerRegistry private[fs] (persistence: Option[ScorerPersistence]) {
+  def this() = this(None)
+
   private var scorers = Map.empty[(String, Int), Scorer]
 
-  def register(s: Scorer): Unit = synchronized { scorers += ((s.name, s.version) -> s) }
+  /** Register (and, for a durable registry, persist) a scorer. */
+  def register(s: Scorer): Unit = synchronized {
+    persistence.foreach(_.save(s))
+    scorers += ((s.name, s.version) -> s)
+  }
 
-  /** Resolve `models:/name/version` (FS:363's URI scheme). */
+  /** Resolve `models:/name/version` (FS:363's URI scheme). A durable
+    * registry falls back to its sidecar files, so models registered in
+    * an earlier session resolve here too (the registry-survives-the-
+    * notebook semantics of FS:342-349 / FS:376-377).
+    */
   def resolve(uri: String): Scorer = {
     val parsed = uri.stripPrefix("models:/").split("/")
     require(parsed.length == 2, s"bad model URI: $uri (want models:/name/version)")
-    scorers.getOrElse((parsed(0), parsed(1).toInt),
-      throw new NoSuchElementException(s"no scorer registered for $uri"))
+    val key = (parsed(0), parsed(1).toInt)
+    synchronized {
+      scorers.get(key)
+        .orElse(persistence.flatMap(_.load(key._1, key._2)).map { s =>
+          scorers += (key -> s); s
+        })
+        .getOrElse(
+          throw new NoSuchElementException(s"no scorer registered for $uri"))
+    }
   }
 
   /** J4 — replay the training joins against current feature tables and
@@ -113,5 +130,112 @@ final class ScorerRegistry {
     val scorer = resolve(uri)
     val joined = LookupJoins.attach(store, batch, scorer.lookups)
     scorer.scoreDf(joined)
+  }
+}
+
+object ScorerRegistry {
+  /** A durable registry rooted at `root` (typically the feature-store
+    * root): each registered model writes a `scorer.properties` sidecar
+    * under `<root>/_models/<name>/v<version>/` — the same
+    * metadata-next-to-data pattern as [[FeatureTableSpec]] — plus the
+    * spark.ml artifact for [[MlModelScorer]]s, so `models:/name/v`
+    * resolves in a fresh session against the same root.
+    */
+  def persistent(spark: org.apache.spark.sql.SparkSession, root: String): ScorerRegistry =
+    new ScorerRegistry(Some(new ScorerPersistence(spark, root)))
+}
+
+/** Sidecar serialization for the two scorer shapes the engine ships.
+  * Registration is single-writer per (name, version) — re-registering
+  * overwrites, racing writers are out of scope (the reference's model
+  * registry has the same contract).
+  */
+private[fs] final class ScorerPersistence(
+    spark: org.apache.spark.sql.SparkSession, root: String) {
+  import java.util.Properties
+  import org.apache.hadoop.fs.Path
+
+  private val modelsRoot = new Path(root, "_models")
+  private val fs = modelsRoot.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def dir(name: String, version: Int) = new Path(modelsRoot, s"$name/v$version")
+  private def propsFile(name: String, version: Int) =
+    new Path(dir(name, version), "scorer.properties")
+
+  private def putLookups(p: Properties, lookups: Seq[FeatureLookup]): Unit = {
+    p.setProperty("lookups.n", lookups.size.toString)
+    lookups.zipWithIndex.foreach { case (l, i) =>
+      p.setProperty(s"lookups.$i.table", l.table)
+      p.setProperty(s"lookups.$i.feature", l.feature)
+      p.setProperty(s"lookups.$i.keys.n", l.lookupKey.size.toString)
+      l.lookupKey.zipWithIndex.foreach { case (k, j) =>
+        p.setProperty(s"lookups.$i.keys.$j", k)
+      }
+    }
+  }
+
+  private def getLookups(p: Properties): Seq[FeatureLookup] =
+    (0 until p.getProperty("lookups.n").toInt).map { i =>
+      FeatureLookup(
+        p.getProperty(s"lookups.$i.table"),
+        p.getProperty(s"lookups.$i.feature"),
+        (0 until p.getProperty(s"lookups.$i.keys.n").toInt)
+          .map(j => p.getProperty(s"lookups.$i.keys.$j")))
+    }
+
+  def save(s: Scorer): Unit = {
+    val p = new Properties()
+    p.setProperty("name", s.name)
+    p.setProperty("version", s.version.toString)
+    putLookups(p, s.lookups)
+    s match {
+      case l: LogisticScorer =>
+        p.setProperty("kind", "logistic")
+        p.setProperty("bias", l.bias.toString) // Double.toString round-trips exactly
+        val ws = l.weights.toSeq.sortBy(_._1)
+        p.setProperty("weights.n", ws.size.toString)
+        ws.zipWithIndex.foreach { case ((c, w), i) =>
+          p.setProperty(s"weights.$i.col", c)
+          p.setProperty(s"weights.$i.val", w.toString)
+        }
+      case m: MlModelScorer =>
+        p.setProperty("kind", "mlmodel")
+        p.setProperty("numericFill", m.numericFill.toString)
+        p.setProperty("numericCols.n", m.numericCols.size.toString)
+        m.numericCols.zipWithIndex.foreach { case (c, i) =>
+          p.setProperty(s"numericCols.$i", c)
+        }
+        m.model.write.overwrite().save(new Path(dir(s.name, s.version), "model").toString)
+      case other => throw new IllegalArgumentException(
+        s"cannot persist scorer kind ${other.getClass.getName} — register it per-session")
+    }
+    fs.mkdirs(dir(s.name, s.version))
+    val out = fs.create(propsFile(s.name, s.version), true)
+    try p.store(out, null) finally out.close()
+  }
+
+  def load(name: String, version: Int): Option[Scorer] = {
+    val pf = propsFile(name, version)
+    if (!fs.exists(pf)) return None
+    val p = new Properties()
+    val in = fs.open(pf)
+    try p.load(in) finally in.close()
+    val lookups = getLookups(p)
+    p.getProperty("kind") match {
+      case "logistic" =>
+        val weights = (0 until p.getProperty("weights.n").toInt).map { i =>
+          p.getProperty(s"weights.$i.col") -> p.getProperty(s"weights.$i.val").toDouble
+        }.toMap
+        Some(LogisticScorer(name, version, lookups, weights,
+          p.getProperty("bias").toDouble))
+      case "mlmodel" =>
+        val numericCols = (0 until p.getProperty("numericCols.n").toInt)
+          .map(i => p.getProperty(s"numericCols.$i"))
+        Some(MlModelScorer(name, version, lookups,
+          org.apache.spark.ml.PipelineModel.load(
+            new Path(dir(name, version), "model").toString),
+          numericCols, p.getProperty("numericFill").toDouble))
+      case k => throw new IllegalStateException(s"unknown scorer kind '$k' in $pf")
+    }
   }
 }

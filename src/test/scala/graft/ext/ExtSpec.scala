@@ -138,6 +138,42 @@ class DedupSpec extends SparkSpec {
     assert(out.rdd.getNumPartitions == p * 4)
   }
 
+  test("balanced: decides from the plan, never by running it (no eager job)") {
+    // the old df.rdd probe instantiated the physical plan; under AQE on
+    // a shuffled input that materializes stages — i.e. runs jobs —
+    // during operator CONSTRUCTION. Same async-listener idiom as the
+    // termStats spec: an eager job would be submitted before t0.
+    val jobTimes = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Long]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobTimes.add(js.time); ()
+      }
+    }
+    val p = spark.sparkContext.defaultParallelism
+    // build the inputs BEFORE the measured window: spark.read.parquet
+    // schema inference may run its own (legitimate) footer-reading job
+    val narrow = graft.Tables.load(spark, sfDir, "documents")
+    val wide = graft.Tables.load(spark, sfDir, "documents").repartition(p * 4)
+    val tReg = System.currentTimeMillis()
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // both branches of the small-stats check: a raw file scan and a
+      // shuffled (AQE-wrapped) input
+      Dedup.balanced(narrow)
+      Dedup.balanced(wide)
+      Thread.sleep(5)
+      val t0 = System.currentTimeMillis()
+      spark.range(1).count() // sentinel: proves the listener sees jobs ≥ t0
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (!jobTimes.iterator().hasNext && System.nanoTime() < deadline) Thread.sleep(10)
+      import scala.jdk.CollectionConverters._
+      val times = jobTimes.iterator().asScala.map(_.toLong).toSeq
+      assert(times.exists(_ >= t0), "sentinel job not observed")
+      val eager = times.filter(t => t >= tReg && t < t0)
+      assert(eager.isEmpty, s"balanced() ran ${eager.size} eager job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog again and again today"),
     (2L, "the quick brown fox jumps over the lazy dog again and again today"),  // exact dup of 1

@@ -168,6 +168,54 @@ class FeatureStoreSpec extends SparkSpec {
     intercept[NoSuchElementException](registry.resolve("models:/other/1"))
   }
 
+  test("durable registry: logistic scorer resolves from a fresh instance") {
+    val store = freshStore
+    val feat = Seq((1L, 2.0), (2L, -3.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val reg1 = ScorerRegistry.persistent(spark, store.root)
+    reg1.register(LogisticScorer("m", 1,
+      Seq(FeatureLookup("feat", "f", "id")), Map("f" -> 1.0), bias = 0.25))
+    val batch = Seq(Tuple1(1L), Tuple1(2L), Tuple1(9L)).toDF("id")
+
+    // a brand-new registry over the same root resolves from the sidecar
+    val reg2 = ScorerRegistry.persistent(spark, store.root)
+    val resolved = reg2.resolve("models:/m/1").asInstanceOf[LogisticScorer]
+    assert(resolved.weights == Map("f" -> 1.0) && resolved.bias == 0.25)
+    assert(resolved.lookups == Seq(FeatureLookup("feat", "f", "id")))
+    val got = reg2.scoreBatch(store, "models:/m/1", batch)
+      .orderBy("id").select("id", "prediction").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "True"), (2L, "False"), (9L, "True"))) // z = f + 0.25
+    // a plain in-memory registry still knows nothing
+    intercept[NoSuchElementException](new ScorerRegistry().resolve("models:/m/1"))
+  }
+
+  test("durable registry: spark.ml scorer round-trips through the sidecar") {
+    import org.apache.spark.ml.Pipeline
+    import org.apache.spark.ml.classification.LogisticRegression
+    import org.apache.spark.ml.feature.VectorAssembler
+    val store = freshStore
+    val feat = Seq((1L, 2.0), (2L, -3.0), (3L, 1.0)).toDF("id", "f")
+    store.createTable(FeatureTableSpec("feat", Seq("id"), feat.schema))
+    store.writeTable("feat", feat, WriteMode.Overwrite)
+    val train = Seq((2.0, 1.0), (3.0, 1.0), (-2.0, 0.0), (-3.0, 0.0)).toDF("f", "label")
+    val model = new Pipeline().setStages(Array(
+      new VectorAssembler().setInputCols(Array("f")).setOutputCol("features"),
+      new LogisticRegression().setMaxIter(10))).fit(train)
+    val reg1 = ScorerRegistry.persistent(spark, store.root)
+    reg1.register(MlModelScorer("mm", 2,
+      Seq(FeatureLookup("feat", "f", "id")), model, numericCols = Seq("f")))
+
+    val batch = Seq(Tuple1(1L), Tuple1(2L), Tuple1(9L)).toDF("id")
+    val inSession = reg1.scoreBatch(store, "models:/mm/2", batch)
+      .orderBy("id").select("id", "prediction").as[(Long, String)].collect().toSeq
+    val fresh = ScorerRegistry.persistent(spark, store.root)
+      .scoreBatch(store, "models:/mm/2", batch)
+      .orderBy("id").select("id", "prediction").as[(Long, String)].collect().toSeq
+    assert(fresh == inSession, s"sidecar model scored differently: $fresh vs $inSession")
+    assert(fresh.map(_._1) == Seq(1L, 2L, 9L))
+  }
+
   test("publishTable produces a readable keyed snapshot") {
     val store = freshStore
     val feat = Seq((2L, 2.0), (1L, 1.0)).toDF("id", "f")
@@ -330,6 +378,35 @@ class FeatureStoreSpec extends SparkSpec {
     intercept[IllegalArgumentException](store.rollbackTable("tt"))
   }
 
+  test("retention knob: N=3 keeps 3 readable snapshots; vacuum reclaims; rollback works") {
+    val store = FeatureStore.temp(spark, retainVersions = 3)
+    val schema = Seq((1L, 1.0)).toDF("id", "x").schema
+    store.createTable(FeatureTableSpec("r", Seq("id"), schema))
+    (1 to 5).foreach { i =>
+      store.writeTable("r", Seq((i.toLong, i.toDouble)).toDF("id", "x"), WriteMode.Overwrite)
+    }
+    assert(store.currentVersion("r") == 5)
+    // window is v3..v5: all three readable, v2 pruned by the write path
+    (3 to 5).foreach { v =>
+      assert(store.readTableVersion("r", v).select("x").as[Double].head() == v.toDouble)
+    }
+    val pruned = intercept[IllegalArgumentException](store.readTableVersion("r", 2))
+    assert(pruned.getMessage.contains("kept: 3..5"))
+
+    // vacuum to 2: v3's directory goes, v4/v5 stay readable
+    store.vacuumTable("r", keep = 2)
+    intercept[IllegalArgumentException](store.readTableVersion("r", 3))
+    assert(store.readTableVersion("r", 4).select("x").as[Double].head() == 4.0)
+
+    // rollback still works after vacuum (v4 is present)
+    store.rollbackTable("r")
+    assert(store.currentVersion("r") == 4)
+    assert(store.readTable("r").select("x").as[Double].head() == 4.0)
+
+    intercept[IllegalArgumentException](store.vacuumTable("r", keep = 0))
+    intercept[IllegalArgumentException](FeatureStore.temp(spark, retainVersions = 0))
+  }
+
   test("store over a Hadoop file:// URI: full lifecycle on FileSystem paths") {
     // the commit path must run on Hadoop FileSystem semantics (the
     // 100 TB reality is hdfs:// or s3a://) — same lifecycle, URI root
@@ -370,6 +447,63 @@ class FeatureStoreSpec extends SparkSpec {
       case _ =>
     }
     assert(store.readOnlineTable("t").count() == 1000)
+  }
+
+  test("lookupOnline: point lookup scans only the matching range files") {
+    val store = freshStore
+    val v = spark.range(1000).selectExpr("id", "cast(id as double) as x").repartition(8)
+    store.createTable(FeatureTableSpec("t", Seq("id"), v.schema))
+    store.writeTable("t", v, WriteMode.Overwrite)
+    store.publishTable("t", numPartitions = 4)
+    val allFiles = store.readOnlineTable("t").inputFiles.toSet
+    assert(allFiles.size >= 4, s"expected a multi-file snapshot, got $allFiles")
+
+    // two adjacent keys land in one range file; the plan must not list
+    // the other files at all (file-level pruning via the key manifest)
+    val hit = store.lookupOnline("t", Seq(5L, 7L))
+    assert(hit.inputFiles.length == 1,
+      s"point lookup read ${hit.inputFiles.length} files of ${allFiles.size}")
+    assert(hit.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((5L, 5.0), (7L, 7.0)))
+
+    // keys at opposite ends: at most 2 files, exact rows
+    val span = store.lookupOnline("t", Seq(1L, 998L))
+    assert(span.inputFiles.length <= 2)
+    assert(span.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      Seq((1L, 1.0), (998L, 998.0)))
+
+    // a key outside every file range: zero files, empty result, schema kept
+    val miss = store.lookupOnline("t", Seq(99999L))
+    assert(miss.inputFiles.isEmpty)
+    assert(miss.count() == 0)
+    assert(miss.columns.toSeq == Seq("id", "x"))
+
+    // unpublished table / empty keys fail loudly
+    intercept[IllegalArgumentException](store.lookupOnline("t", Seq.empty))
+    val other = freshStore
+    other.createTable(FeatureTableSpec("u", Seq("id"), v.schema))
+    intercept[IllegalArgumentException](other.lookupOnline("u", Seq(1L)))
+  }
+
+  test("lookupOnline: string keys prune lexicographically; no-manifest fallback filters") {
+    val store = freshStore
+    val v = spark.range(100).selectExpr("format_string('k%03d', id) as k", "id as x")
+    store.createTable(FeatureTableSpec("s", Seq("k"), v.schema))
+    store.writeTable("s", v, WriteMode.Overwrite)
+    store.publishTable("s", numPartitions = 4)
+    val hit = store.lookupOnline("s", Seq("k042"))
+    assert(hit.inputFiles.length == 1)
+    assert(hit.select("x").as[Long].collect().toSeq == Seq(42L))
+
+    // timestamp leading key → no manifest → fallback still answers
+    val tsv = spark.range(10).selectExpr(
+      "timestamp_micros(cast(id * 1000000 as long)) as ts", "id as x")
+    store.createTable(FeatureTableSpec("ts_t", Seq("ts"), tsv.schema))
+    store.writeTable("ts_t", tsv, WriteMode.Overwrite)
+    store.publishTable("ts_t", numPartitions = 2)
+    val got = store.lookupOnline("ts_t",
+      Seq(java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(3))))
+    assert(got.select("x").as[Long].collect().toSeq == Seq(3L))
   }
 
   test("publishTableJdbc: sink options correct; save() reaches the JDBC layer") {
