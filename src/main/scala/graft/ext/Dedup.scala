@@ -48,27 +48,34 @@ object Dedup {
   /** The partition count the physical plan would execute with, read
     * from the PLAN — never from `df.rdd`, which would instantiate the
     * physical plan's lineage (and, under AQE, run its stages) on every
-    * operator build. Pre-order: a plan that already shuffles
-    * (AdaptiveSparkPlanExec wraps every exchange-bearing plan) is wide
-    * by construction; a file scan answers with Spark's own file-split
-    * packing over its listed files (exact here — this only runs on the
-    * small-stats branch, where no file exceeds the split size); purely
-    * local data (LocalTableScan test fixtures) counts as 1.
+    * operator build. AQE wrappers are unwrapped to the plan they would
+    * adaptively execute: a pinned `repartition(n)` shuffle
+    * (REPARTITION_BY_NUM — exempt from coalescing) answers with its
+    * declared width, but a coalescible shuffle (ENSURE_REQUIREMENTS
+    * etc.) counts as narrow, because on this small-stats branch AQE
+    * routinely coalesces it to very few (even 1) partitions at runtime
+    * — the old "wide by construction" answer skipped the widening that
+    * is balanced()'s whole purpose. A file scan answers with Spark's
+    * own file-split packing over its listed files (exact here — no
+    * file on this branch exceeds the split size); purely local data
+    * (LocalTableScan test fixtures) counts as 1.
     */
   private def plannedWidth(df: DataFrame, p: Int): Int = {
-    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeLike}
     import org.apache.spark.sql.execution.datasources.FilePartition
     val session = df.sparkSession
-    df.queryExecution.executedPlan.collectFirst {
-      case _: AdaptiveSparkPlanExec => Int.MaxValue
-      case e: ShuffleExchangeLike => e.numPartitions
+    def width(plan: SparkPlan): Option[Int] = plan.collectFirst {
+      case a: AdaptiveSparkPlanExec => width(a.inputPlan).getOrElse(1)
+      case e: ShuffleExchangeLike =>
+        if (e.shuffleOrigin == REPARTITION_BY_NUM) e.numPartitions else 1
       case f: FileSourceScanExec =>
         val listing = f.selectedPartitions
         FilePartition.getFilePartitions(session, listing.toPartitionArray.toSeq,
           FilePartition.maxSplitBytes(session, listing)).size
-    }.getOrElse(1)
+    }
+    width(df.queryExecution.executedPlan).getOrElse(1)
   }
 
   // ------------------------------------------------------------- exact

@@ -61,7 +61,10 @@ object WriteMode {
   *     skewed keys at runtime;
   *   - feature tables may be written partitioned (`spec.partitionBy`)
   *     so training-set joins at scale can prune partitions;
-  *   - nothing here ever collects to the driver.
+  *   - nothing here ever collects a data-sized result to the driver;
+  *     the one collect is the publish-time key manifest, bounded at
+  *     one row per snapshot FILE (i.e. by `numPartitions`), never by
+  *     row count.
   */
 final class FeatureStore(spark: SparkSession, val root: String,
     val retainVersions: Int = 2) {
@@ -355,16 +358,46 @@ final class FeatureStore(spark: SparkSession, val root: String,
     val keyCol = loadSpec(name)._1.keys.head
     readKeyManifest(name) match {
       case Some((typeName, entries)) =>
-        val wanted = keys.map(_.toString)
-        // manifest stats are strings; integral families compare as Long
-        def contains(e: ManifestEntry, k: String): Boolean = (e.kmin, e.kmax) match {
-          case (Some(lo), Some(hi)) if typeName == "string" => lo <= k && k <= hi
-          case (Some(lo), Some(hi)) => lo.toLong <= k.toLong && k.toLong <= hi.toLong
-          case _ => true // a file with no stats (all-null keys) is never pruned
+        // The manifest min/max were computed by Spark aggregates, which
+        // order strings as UTF8String — unsigned UTF-8 byte comparison.
+        // Java String <= is UTF-16 code-unit order; the two disagree
+        // when supplementary chars (>= U+10000) mix with [U+E000,
+        // U+FFFF], so string stats must be compared in the order they
+        // were written in or a containing file gets wrongly pruned.
+        def u8(s: String): Array[Byte] =
+          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        def u8Lte(a: Array[Byte], b: Array[Byte]): Boolean = {
+          var i = 0
+          val n = math.min(a.length, b.length)
+          while (i < n) {
+            val x = a(i) & 0xff; val y = b(i) & 0xff
+            if (x != y) return x < y
+            i += 1
+          }
+          a.length <= b.length
         }
-        val files = entries.collect {
-          case e if wanted.exists(contains(e, _)) => e.file
-        }
+        // Integral manifests are only ever written for integral key
+        // columns, so lo/hi always parse; a CALLER key that does not
+        // parse can match no file (instead of throwing an opaque
+        // NumberFormatException from inside the prune).
+        val contains: ManifestEntry => Boolean =
+          if (typeName == "string") {
+            val wanted = keys.map(k => u8(k.toString))
+            e => (e.kmin, e.kmax) match {
+              case (Some(lo), Some(hi)) =>
+                val (l, h) = (u8(lo), u8(hi))
+                wanted.exists(k => u8Lte(l, k) && u8Lte(k, h))
+              case _ => true // a file with no stats (all-null keys) is never pruned
+            }
+          } else {
+            val wanted = keys.flatMap(k => scala.util.Try(k.toString.toLong).toOption)
+            e => (e.kmin, e.kmax) match {
+              case (Some(lo), Some(hi)) =>
+                wanted.exists(k => lo.toLong <= k && k <= hi.toLong)
+              case _ => true
+            }
+          }
+        val files = entries.collect { case e if contains(e) => e.file }
         if (files.isEmpty)
           spark.createDataFrame(java.util.Collections.emptyList[Row](),
             spark.read.parquet(onlinePath(name).toString).schema)

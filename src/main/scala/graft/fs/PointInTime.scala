@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
   *
   * Scale: one shuffle + one sort per lookup table — the same cost
   * profile as the equi lookup join; state never exceeds a partition.
+  *
+  * Note one divergence from the streaming analog
+  * (`graft.streaming.StreamingPit.asOfJoin`): this batch operator
+  * always returns the stale-but-correct feature value no matter how
+  * far the probe trails the newest version, while the streaming
+  * operator retires probe-quiescent keys after `featureRetention`
+  * (default 7 days) and answers None past it — pass
+  * `featureRetention = "forever"` there for exact batch parity.
   */
 object PointInTime {
 

@@ -52,6 +52,13 @@ object StreamingPit extends Serializable {
     * frames. Output: one row per spine probe whose event time the
     * watermark has passed, with the as-of feature attached (None if no
     * version precedes it — the batch operator's NULL contract).
+    *
+    * `featureRetention = "forever"` (or null) disables the
+    * probe-quiescent retirement entirely: state for a key then lives as
+    * long as the query, and a probe arriving arbitrarily late (in event
+    * time) after the key's newest feature version still sees the
+    * stale-but-correct value — exact batch/`PointInTime` parity, at the
+    * cost of state growing with lifetime key cardinality.
     */
   def asOfJoin(
       spine: DataFrame,
@@ -74,7 +81,10 @@ object StreamingPit extends Serializable {
     // The trade: a probe arriving later than retention after the key's
     // last feature update sees feature=None. Per-arrival probe keys are
     // unaffected (pending probes always extend the state's life).
-    val retentionUs = graft.operators.RangeJoin.parseWidthMicros(featureRetention)
+    // "forever"/null opts out — batch-parity semantics, unbounded state.
+    val retentionUsOpt: Option[Long] =
+      Option(featureRetention).filterNot(_.equalsIgnoreCase("forever"))
+        .map(graft.operators.RangeJoin.parseWidthMicros)
 
     // tag and union: one stateful operator sees both streams. Each
     // stream is watermarked BEFORE the union, so Spark tracks the two
@@ -146,21 +156,27 @@ object StreamingPit extends Serializable {
         // so the timeout is never at or below the current watermark)
         state.setTimeoutTimestamp((pending.map(_._1).min + 999) / 1000 + 1)
       } else if (kept.isEmpty) state.remove()
-      else {
-        // feature-only key: retire the state once the watermark passes
-        // newest-version + retention. A ONE-SHOT timeout at that event
-        // time (not at the watermark — that would re-fire on every
-        // advance, an O(all keys) rewrite per micro-batch) fires this
-        // function with an empty iterator; the branch below then sees
-        // wm >= retireUs and removes. Derived from kept alone, so no
-        // extra state field is needed.
-        val retireUs = kept.map(_._1).max + retentionUs
-        if (wm >= retireUs) state.remove()
-        else {
+      else retentionUsOpt match {
+        case Some(retentionUs) =>
+          // feature-only key: retire the state once the watermark passes
+          // newest-version + retention. A ONE-SHOT timeout at that event
+          // time (not at the watermark — that would re-fire on every
+          // advance, an O(all keys) rewrite per micro-batch) fires this
+          // function with an empty iterator; the branch below then sees
+          // wm >= retireUs and removes. Derived from kept alone, so no
+          // extra state field is needed.
+          val retireUs = kept.map(_._1).max + retentionUs
+          if (wm >= retireUs) state.remove()
+          else {
+            state.update(PitState(kept, Nil))
+            state.setTimeoutTimestamp(
+              math.max((retireUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
+          }
+        case None =>
+          // retention opt-out: keep the pruned version list forever (no
+          // timeout set → the key never retires) so arbitrarily-late
+          // probes keep batch parity
           state.update(PitState(kept, Nil))
-          state.setTimeoutTimestamp(
-            math.max((retireUs + 999) / 1000, state.getCurrentWatermarkMs() + 1))
-        }
       }
       out.iterator
     }

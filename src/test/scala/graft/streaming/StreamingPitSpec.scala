@@ -158,5 +158,7 @@ class StreamingPitSpec extends SparkSpec {
       "retired key should look up to None after retention passed")
     assert(run("7 days", "long") == Some(10.0),
       "key inside retention must keep its feature state")
+    assert(run("forever", "forever") == Some(10.0),
+      "retention opt-out must keep batch-parity semantics for late probes")
   }
 }
