@@ -655,6 +655,21 @@ object PipelinesExt {
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
+  // Count-Min heavy hitters — oracle-gated ON PURPOSE: at event_type
+  // cardinality (5 values) the d=5/w=8192 sketch is collision-free
+  // under its fixed seeds, so the min-over-rows estimate equals the
+  // exact count deterministically and the gate cross-checks the whole
+  // sketch path (hash → counters → candidate heap → re-rank) against
+  // a plain GROUP BY. High-cardinality behavior — overestimate-only,
+  // ε·N error bound, eviction, layout invariance — is spec-tested on
+  // skewed synthetic data (SketchAggregatesSpec).
+  def cmHeavyHitters(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .agg(graft.functions.SketchAggregates.cmTopK(col("event_type"), 10).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item").as("item"), col("hh.est").as("est"))
+      .orderBy(desc("est"), asc("item"))
+
   def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -870,6 +885,13 @@ object OraclesExt {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
         |FROM orders WHERE o_custkey BETWEEN 1 AND 50
         |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+    // the CM-sketch estimate degenerates to the exact count at this
+    // cardinality (no full-row collision under the fixed seeds), so a
+    // plain GROUP BY is the oracle — see cmHeavyHitters
+    "q68_cm_heavy_hitters" ->
+      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
+        |FROM events GROUP BY 1 ORDER BY est DESC, item LIMIT 10""".stripMargin,
 
     "q20_dedup_exact_groups" ->
       s"""SELECT $fpSql AS fingerprint,

@@ -96,6 +96,7 @@ object SparkEntry {
     "q65_market_share" -> ((s, d) => PipelinesExt.marketShare(s, d)),
     "q66_cosine_lsh" -> ((s, d) => PipelinesExt.cosineLshPairs(s, d)),
     "q67_online_lookup" -> ((s, d) => PipelinesExt.onlineLookup(s, d)),
+    "q68_cm_heavy_hitters" -> ((s, d) => PipelinesExt.cmHeavyHitters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

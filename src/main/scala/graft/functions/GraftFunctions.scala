@@ -58,6 +58,16 @@ object GraftFunctions {
       }),
     ("graft_kmv_distinct", "KMV distinct-count sketch aggregate (value, k)",
       es => SketchAggregates.KmvDistinct(es(0), intArg(es(1), "graft_kmv_distinct", 1))),
+    ("graft_cm_topk", "Count-Min heavy-hitters aggregate (value, k[, depth, width])",
+      es => {
+        require(es.length == 2 || es.length == 4, s"graft_cm_topk: " +
+          s"expected 2 or 4 arguments (value, k[, depth, width]), got ${es.length}")
+        if (es.length == 2)
+          SketchAggregates.CmTopK(es(0), intArg(es(1), "graft_cm_topk", 1))
+        else
+          SketchAggregates.CmTopK(es(0), intArg(es(1), "graft_cm_topk", 1),
+            intArg(es(2), "graft_cm_topk", 2), intArg(es(3), "graft_cm_topk", 3))
+      }),
     ("graft_interleave_bits", "Morton z-value of bigint ranks (rank..., bits)",
       es => {
         require(es.length >= 2, "graft_interleave_bits: expected (rank..., bits)")

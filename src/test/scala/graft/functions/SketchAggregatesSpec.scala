@@ -58,4 +58,78 @@ class SketchAggregatesSpec extends SparkSpec {
     val (est, exact) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
     assert(math.abs(est - exact) / exact < 0.25, s"KMV $est vs exact $exact")
   }
+
+  // ------------------------------------------------------- Count-Min
+
+  /** Zipf-ish skew: value v_i appears ~ N/(i+1) times — unambiguous
+    * heavy hitters with a long tail, the CM target distribution.
+    */
+  private def skewed(n: Int, distinct: Int) =
+    spark.range(n).select(
+      concat(lit("v"), (floor(pow(lit(distinct).cast("double"),
+        rand(seed = 7))) - 1).cast("long")).as("v"))
+
+  private def cmTop(dfParts: Int, k: Int, depth: Int, width: Int) =
+    skewed(20000, 500).repartition(dfParts)
+      .agg(SketchAggregates.cmTopK(col("v"), k, depth, width).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item"), col("hh.est"))
+      .as[(String, Long)].collect().toSeq
+
+  test("CM: exact when cardinality fits the sketch and candidate heap") {
+    val df = Seq("a", "a", "a", "b", "b", "c", null).toDF("v")
+    val got = df.agg(SketchAggregates.cmTopK(col("v"), 3).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item"), col("hh.est"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a", 3L), ("b", 2L), ("c", 1L)),
+      s"low-cardinality CM must be exact and NULL-skipping, got $got")
+  }
+
+  test("CM: overestimate-only with the e/w error bound under collisions") {
+    // width 64 over 500 distinct values FORCES collisions; depth 5.
+    // CM guarantees est >= true always; est <= true + ε·N (ε = e/w)
+    // w.p. 1−e^−d per item — deterministic here (fixed data + seeds).
+    val exact = skewed(20000, 500).groupBy("v").count()
+      .as[(String, Long)].collect().toMap
+    val top = cmTop(dfParts = 8, k = 20, depth = 5, width = 64)
+    assert(top.nonEmpty)
+    val epsN = math.ceil(math.E / 64 * 20000).toLong
+    top.foreach { case (v, est) =>
+      val t = exact(v)
+      assert(est >= t, s"CM must never underestimate: $v est $est < true $t")
+      assert(est <= t + epsN, s"CM $v est $est exceeds true $t + εN $epsN")
+    }
+  }
+
+  test("CM: top-k is layout-invariant on skewed data") {
+    // counters merge additively (layout-invariant by construction);
+    // the candidate heap re-ranks against merged counters, so the
+    // final top-k agrees across partitionings for clear-cut hitters
+    val a = cmTop(dfParts = 1, k = 10, depth = 5, width = 8192)
+    val b = cmTop(dfParts = 13, k = 10, depth = 5, width = 8192)
+    assert(a == b, s"layout changed the top-k: $a vs $b")
+  }
+
+  test("CM: top-k matches the exact groupBy top-k on skewed data") {
+    val exact = skewed(20000, 500).groupBy("v").count()
+      .orderBy(desc("count"), asc("v")).limit(10)
+      .as[(String, Long)].collect().toSeq
+    val got = cmTop(dfParts = 8, k = 10, depth = 5, width = 8192)
+    assert(got == exact, s"CM top-10 $got != exact $exact")
+  }
+
+  test("CM: SQL registration + non-string input rejected") {
+    GraftFunctions.register(spark)
+    Seq("x", "x", "y").toDF("v").createOrReplaceTempView("cm_probe")
+    val got = spark.sql(
+      "SELECT inline(graft_cm_topk(v, 2)) FROM cm_probe")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x", 2L), ("y", 1L)))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_cm_topk(CAST(v AS BINARY), 2) FROM cm_probe").collect()
+    }
+    assert(err.getMessage.contains("graft_cm_topk"),
+      s"expected the type-check message, got: ${err.getMessage}")
+  }
 }
