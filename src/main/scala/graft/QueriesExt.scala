@@ -719,6 +719,24 @@ object PipelinesExt {
       .orderBy("query_id", "rank")
   }
 
+  // IVF+PQ composed ANN (the faiss IVFPQ design, Jégou et al. 2011):
+  // a coarse quantizer routes each vector to one of nlist cells; PQ
+  // codes are stored per cell; a query scans only its nprobe nearest
+  // cells by ADC, then the short list is re-ranked exactly. At 100 TB
+  // this is THE scale path: cells partition the corpus (partition
+  // pruning on the cell id), codes are 8 bytes/vector, and only
+  // nprobe/nlist of the data is touched per query. Rows-only (cell
+  // routing depends on the engine's KMeans); recall + pruning are
+  // spec-tested (PqSpec).
+  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val coarse = Pq.trainCoarse(emb, dim = 64, nlist = 16)
+    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
+    Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, coarse, cb,
+      nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
   // lineitem, counted by priority — the EXISTS subquery expressed as a
   // semi join so the probe side never duplicates (no distinct needed,
@@ -744,6 +762,70 @@ object PipelinesExt {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_custs"))
       .orderBy("c_mktsegment")
+  }
+
+  // TPC-H Q2 shape: suppliers offering a part at that part's minimum
+  // single-line price. The oracle runs the NAIVE correlated-scalar-
+  // aggregate form (`l_extendedprice = (SELECT min(...) WHERE
+  // l2.l_partkey = l_partkey)`); this side runs the production
+  // rewrite — aggregate once, join back on the part key. The min-agg
+  // and the join share the l_partkey hash partitioning, so the
+  // rewrite costs ONE extra shuffle of the 2-column agg output and
+  // never recomputes lineitem. Price equality on doubles is exact
+  // (min/=, no arithmetic); ties keep every minimum-price supplier,
+  // exactly like Q2.
+  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val minp = li.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("l_extendedprice")).as("minp"))
+    li.join(minp, col("l_partkey") === col("m_partkey") &&
+        col("l_extendedprice") === col("minp"))
+      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"))
+      .distinct()
+      .orderBy("p_partkey", "s_suppkey")
+  }
+
+  // TPC-H Q21 shape (the sole-blame pattern): suppliers whose 'R'
+  // return lines sit on multi-supplier orders where NO other supplier
+  // returned — EXISTS (semi) + NOT EXISTS (anti) self-joins on the
+  // fact table, both compiled to hash joins on l_orderkey. Output is
+  // counts of distinct orders — fully portable (no floats).
+  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  // Higher-order array functions over the embedding column — the
+  // builtin-HOF tier (transform/zip_with/aggregate) the custom
+  // expressions deliberately bypass elsewhere. All three derived
+  // values fold left-to-right in array order in BOTH engines
+  // (DuckDB list_reduce is sequential; 0.0 + x == x in IEEE, so the
+  // init-vs-first-element difference is exact), so doubles
+  // hash-match bit-for-bit.
+  def vectorNorms(s: SparkSession, d: String): DataFrame = {
+    val e = col("embedding").cast("array<double>")
+    t(s, d, "embeddings").select(
+      col("vec_id"),
+      sqrt(aggregate(zip_with(e, e, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
+        .as("l2_norm"),
+      aggregate(transform(e, x => abs(x)), lit(0.0), (acc, v) => acc + v)
+        .as("l1_norm"),
+      array_max(transform(e, x => abs(x))).as("max_abs"))
+      .orderBy("vec_id")
   }
 
   // TPC-H-Q9-shaped 3-table fact join over the two otherwise-unread
@@ -885,6 +967,43 @@ object OraclesExt {
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
         |FROM orders WHERE o_custkey BETWEEN 1 AND 50
         |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+    // naive correlated-scalar-aggregate form; the Spark side runs the
+    // agg-once + join-back rewrite (see minCostSupplier)
+    "q69_min_cost_supplier" ->
+      """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name
+        |FROM part, supplier, lineitem l
+        |WHERE p_partkey = l.l_partkey AND s_suppkey = l.l_suppkey
+        |  AND l.l_extendedprice = (
+        |    SELECT min(l2.l_extendedprice) FROM lineitem l2
+        |    WHERE l2.l_partkey = l.l_partkey)
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+
+    "q70_waiting_suppliers" ->
+      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+
+    // list_reduce is DuckDB's sequential left fold — same evaluation
+    // order as Spark's aggregate(), so the doubles are bit-identical
+    "q71_vector_norms" ->
+      """SELECT vec_id,
+        |  sqrt(list_reduce(list_transform(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
+        |  list_reduce(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b) AS l1_norm,
+        |  list_max(list_transform(embedding,
+        |    x -> abs(CAST(x AS DOUBLE)))) AS max_abs
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
 
     // the CM-sketch estimate degenerates to the exact count at this
     // cardinality (no full-row collision under the fixed seeds), so a

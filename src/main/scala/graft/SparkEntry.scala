@@ -97,6 +97,10 @@ object SparkEntry {
     "q66_cosine_lsh" -> ((s, d) => PipelinesExt.cosineLshPairs(s, d)),
     "q67_online_lookup" -> ((s, d) => PipelinesExt.onlineLookup(s, d)),
     "q68_cm_heavy_hitters" -> ((s, d) => PipelinesExt.cmHeavyHitters(s, d)),
+    "q69_min_cost_supplier" -> ((s, d) => PipelinesExt.minCostSupplier(s, d)),
+    "q70_waiting_suppliers" -> ((s, d) => PipelinesExt.waitingSuppliers(s, d)),
+    "q71_vector_norms" -> ((s, d) => PipelinesExt.vectorNorms(s, d)),
+    "q72_ivfpq_ann" -> ((s, d) => PipelinesExt.ivfPqAnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -18,7 +18,9 @@ object GenPlans {
     ("q54_range_join", "Bucketed range join (round 5): the interval side explodes to covering time buckets, the point side computes its single bucket, and the join is an EQUI join on the bucket id with a residual range filter — no BroadcastNestedLoopJoin. At 100 TB both sides shuffle on the bucket key; hot buckets split under AQE skew handling."),
     ("q56_range_frame_window", "RANGE-frame rolling window: one exchange on the partition key, one sort, a running frame scan per partition — the interval frame runs on epoch-µs longs so frame bounds are integer comparisons."),
     ("q57_pit_forward", "Forward as-of join (round 5): same union+single-exchange+window shape as q33, time order reversed — label attachment without a range join or per-version explosion."),
-    ("q62_expectations", "Data-quality audit (round 5): five row-local checks + a unique-key count-distinct share ONE scan of lineitem (a single HashAggregate chain with an Expand for the distinct); the referential check is the one extra anti-join. Check count does not multiply scan count."))
+    ("q62_expectations", "Data-quality audit (round 5): five row-local checks + a unique-key count-distinct share ONE scan of lineitem (a single HashAggregate chain with an Expand for the distinct); the referential check is the one extra anti-join. Check count does not multiply scan count."),
+    ("q69_min_cost_supplier", "TPC-H Q2 shape (round 7): the correlated scalar-min is rewritten to agg-once + join-back — lineitem is scanned twice but the min is computed ONCE (never per outer row); at this SF the 2-column agg output is broadcast back, at 100 TB AQE falls back to a sort-merge join where the agg and the join share the l_partkey partitioning. Equality on the double price is exact (min/=, no arithmetic); part/supplier dims broadcast."),
+    ("q70_waiting_suppliers", "TPC-H Q21 shape (round 7): EXISTS compiles to a LEFT SEMI and NOT EXISTS to a LEFT ANTI hash join on l_orderkey — equi joins end to end, no nested loop despite the l2.l_suppkey <> l1.l_suppkey disequality (it rides along as the join residual). At this SF the projected 2-column lineitem sides broadcast; at 100 TB all three sides shuffle on the shared l_orderkey key and AQE splits skewed orders."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")

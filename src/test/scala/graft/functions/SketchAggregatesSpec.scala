@@ -119,6 +119,31 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(got == exact, s"CM top-10 $got != exact $exact")
   }
 
+  test("CM: streaming aggregation across micro-batches equals batch") {
+    // the custom TypedImperativeAggregate must round-trip its buffer
+    // through the state store between micro-batches; 2 files +
+    // maxFilesPerTrigger=1 forces at least 2 batches with a merge
+    val dir = java.nio.file.Files.createTempDirectory("graft-cm-stream-").toString
+    skewed(20000, 500).repartition(2).write.mode("overwrite").parquet(dir)
+    def top(df: org.apache.spark.sql.DataFrame) = df
+      .agg(SketchAggregates.cmTopK(col("v"), 10).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item"), col("hh.est"))
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+    val q = top(stream).writeStream.outputMode("complete")
+      .format("memory").queryName("cm_stream")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-cm-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "streaming CM query timed out")
+    val got = spark.table("cm_stream").as[(String, Long)].collect().toSeq
+    val batch = top(spark.read.parquet(dir)).as[(String, Long)].collect().toSeq
+    assert(got == batch, s"streaming CM $got != batch $batch")
+  }
+
   test("CM: SQL registration + non-string input rejected") {
     GraftFunctions.register(spark)
     Seq("x", "x", "y").toDF("v").createOrReplaceTempView("cm_probe")
