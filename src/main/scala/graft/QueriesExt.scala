@@ -1008,9 +1008,12 @@ object OraclesExt {
     // the CM-sketch estimate degenerates to the exact count at this
     // cardinality (no full-row collision under the fixed seeds), so a
     // plain GROUP BY is the oracle — see cmHeavyHitters
+    // IS NOT NULL pins the aggregate's NULL-skipping semantics: CmTopK
+    // never emits a NULL item, so the oracle must not either
     "q68_cm_heavy_hitters" ->
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
-        |FROM events GROUP BY 1 ORDER BY est DESC, item LIMIT 10""".stripMargin,
+        |FROM events WHERE event_type IS NOT NULL
+        |GROUP BY 1 ORDER BY est DESC, item LIMIT 10""".stripMargin,
 
     "q20_dedup_exact_groups" ->
       s"""SELECT $fpSql AS fingerprint,

@@ -66,10 +66,18 @@ object Dedup {
     import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeLike}
     import org.apache.spark.sql.execution.datasources.FilePartition
     val session = df.sparkSession
+    // "coalescible shuffle counts as narrow" only holds when AQE
+    // coalescing will actually run; otherwise the exchange executes at
+    // its declared width and must be reported as such
+    val conf = session.sessionState.conf
+    val coalesces =
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.ADAPTIVE_EXECUTION_ENABLED) &&
+      conf.getConf(org.apache.spark.sql.internal.SQLConf.COALESCE_PARTITIONS_ENABLED)
     def width(plan: SparkPlan): Option[Int] = plan.collectFirst {
       case a: AdaptiveSparkPlanExec => width(a.inputPlan).getOrElse(1)
       case e: ShuffleExchangeLike =>
-        if (e.shuffleOrigin == REPARTITION_BY_NUM) e.numPartitions else 1
+        if (e.shuffleOrigin == REPARTITION_BY_NUM || !coalesces) e.numPartitions
+        else 1
       case f: FileSourceScanExec =>
         val listing = f.selectedPartitions
         FilePartition.getFilePartitions(session, listing.toPartitionArray.toSeq,

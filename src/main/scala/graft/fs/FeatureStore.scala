@@ -362,20 +362,11 @@ final class FeatureStore(spark: SparkSession, val root: String,
         // order strings as UTF8String — unsigned UTF-8 byte comparison.
         // Java String <= is UTF-16 code-unit order; the two disagree
         // when supplementary chars (>= U+10000) mix with [U+E000,
-        // U+FFFF], so string stats must be compared in the order they
-        // were written in or a containing file gets wrongly pruned.
-        def u8(s: String): Array[Byte] =
-          s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        def u8Lte(a: Array[Byte], b: Array[Byte]): Boolean = {
-          var i = 0
-          val n = math.min(a.length, b.length)
-          while (i < n) {
-            val x = a(i) & 0xff; val y = b(i) & 0xff
-            if (x != y) return x < y
-            i += 1
-          }
-          a.length <= b.length
-        }
+        // U+FFFF], so string stats must be compared with the SAME
+        // comparator they were written under — UTF8String.compareTo —
+        // or a containing file gets wrongly pruned.
+        def u8(s: String) =
+          org.apache.spark.unsafe.types.UTF8String.fromString(s)
         // Integral manifests are only ever written for integral key
         // columns, so lo/hi always parse; a CALLER key that does not
         // parse can match no file (instead of throwing an opaque
@@ -386,7 +377,7 @@ final class FeatureStore(spark: SparkSession, val root: String,
             e => (e.kmin, e.kmax) match {
               case (Some(lo), Some(hi)) =>
                 val (l, h) = (u8(lo), u8(hi))
-                wanted.exists(k => u8Lte(l, k) && u8Lte(k, h))
+                wanted.exists(k => l.compareTo(k) <= 0 && k.compareTo(h) <= 0)
               case _ => true // a file with no stats (all-null keys) is never pruned
             }
           } else {

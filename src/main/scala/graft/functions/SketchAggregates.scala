@@ -276,7 +276,11 @@ object SketchAggregates {
       val it = buf.candidates.entrySet().iterator()
       while (it.hasNext) {
         val en = it.next()
-        out.writeUTF(en.getKey); out.writeLong(en.getValue)
+        // length-prefixed UTF-8, not writeUTF — candidate values can be
+        // arbitrarily long strings (writeUTF caps at 64 KiB and throws)
+        val kb = en.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        out.writeInt(kb.length); out.write(kb)
+        out.writeLong(en.getValue)
       }
       out.flush()
       bos.toByteArray
@@ -291,7 +295,9 @@ object SketchAggregates {
       val n = in.readInt()
       i = 0
       while (i < n) {
-        val key = in.readUTF()
+        val kb = new Array[Byte](in.readInt())
+        in.readFully(kb)
+        val key = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
         buf.candidates.put(key, in.readLong())
         i += 1
       }

@@ -144,6 +144,21 @@ class SketchAggregatesSpec extends SparkSpec {
     assert(got == batch, s"streaming CM $got != batch $batch")
   }
 
+  test("CM: candidate values longer than 64 KiB survive buffer serialization") {
+    // partial buffers serialize for the shuffle; writeUTF would throw
+    // UTFDataFormatException past 64 KiB (regression)
+    val big = "x" * 70000
+    val df = spark.range(100).select(
+      when(col("id") % 2 === 0, lit(big))
+        .otherwise(concat(lit("y"), col("id"))).as("v"))
+      .repartition(4)
+    val got = df.agg(SketchAggregates.cmTopK(col("v"), 1).as("top"))
+      .select(explode(col("top")).as("hh"))
+      .select(col("hh.item"), col("hh.est"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq((big, 50L)))
+  }
+
   test("CM: SQL registration + non-string input rejected") {
     GraftFunctions.register(spark)
     Seq("x", "x", "y").toDF("v").createOrReplaceTempView("cm_probe")
