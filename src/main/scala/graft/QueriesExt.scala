@@ -655,6 +655,45 @@ object PipelinesExt {
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
+  // Gopher-style bigram repetition filter over the corpus (pure HOF
+  // scan pass; see TextAnalysis.repetitionStats).
+  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
+    val cols = TextAnalysis.repetitionStats(col("text"))
+    t(s, d, "documents")
+      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+      .orderBy("doc_id")
+  }
+
+  // PII scrub: every 50th doc gets a deterministic planted email +
+  // phone (the corpus carries none naturally), then the scrubber
+  // redacts and counts. The oracle replants identically, so the gate
+  // checks the regex semantics end to end.
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = t(s, d, "documents").withColumn("t2",
+      when(col("doc_id") % 50 === 0,
+        concat(col("text"), lit(" Contact user"),
+          col("doc_id").cast("string"), lit("@example.com or 555-867-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
+        .otherwise(col("text")))
+    planted.select(
+      col("doc_id"),
+      TextAnalysis.piiCount(col("t2")).as("n_pii"),
+      TextAnalysis.scrubPii(col("t2")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  // Benchmark decontamination: probes are verbatim extracts from a
+  // fixed handful of docs (so they certainly occur somewhere); hits
+  // per doc via a broadcast probe join — single corpus scan.
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
+      .select(substring(col("text"), 5, 48).as("probe"))
+    TextAnalysis.contaminationHits(docs, "doc_id", "text", probes, "probe")
+      .withColumn("n_hits", col("n_hits").cast("long"))
+      .orderBy("doc_id")
+  }
+
   // Count-Min heavy hitters — oracle-gated ON PURPOSE: at event_type
   // cardinality (5 values) the d=5/w=8192 sketch is collision-free
   // under its fixed seeds, so the min-over-rows estimate equals the
@@ -1008,6 +1047,45 @@ object OraclesExt {
     // the CM-sketch estimate degenerates to the exact count at this
     // cardinality (no full-row collision under the fixed seeds), so a
     // plain GROUP BY is the oracle — see cmHeavyHitters
+    "q73_repetition_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_ngrams,
+        |  CAST(CASE WHEN len(w) < 2 THEN 0
+        |    ELSE len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1]))) END AS BIGINT) AS n_distinct,
+        |  CASE WHEN len(w) < 2 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
+        |  END AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q74_pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 50 = 0
+        |      THEN text || ' Contact user' || doc_id || '@example.com or 555-867-'
+        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
+        |      ELSE text END AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t2, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(regexp_replace(t2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q75_contamination" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT substr(text, 5, 48) AS probe FROM documents
+        |  WHERE doc_id IN (3, 7, 11, 19, 23))
+        |SELECT doc_id, CAST(count(DISTINCT probe) AS BIGINT) AS n_hits
+        |FROM documents, probes WHERE contains(text, probe)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // IS NOT NULL pins the aggregate's NULL-skipping semantics: CmTopK
     // never emits a NULL item, so the oracle must not either
     "q68_cm_heavy_hitters" ->

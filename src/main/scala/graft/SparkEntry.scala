@@ -101,6 +101,9 @@ object SparkEntry {
     "q70_waiting_suppliers" -> ((s, d) => PipelinesExt.waitingSuppliers(s, d)),
     "q71_vector_norms" -> ((s, d) => PipelinesExt.vectorNorms(s, d)),
     "q72_ivfpq_ann" -> ((s, d) => PipelinesExt.ivfPqAnn(s, d)),
+    "q73_repetition_filter" -> ((s, d) => PipelinesExt.repetitionFilter(s, d)),
+    "q74_pii_scrub" -> ((s, d) => PipelinesExt.piiScrub(s, d)),
+    "q75_contamination" -> ((s, d) => PipelinesExt.contamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -146,4 +146,60 @@ object TextAnalysis {
     val stopOk = when(stopRatio > 0.05, lit(1.0)).otherwise(stopRatio / lit(0.05))
     lengthOk * lit(0.5) + stopOk * lit(0.5)
   }
+
+  /** Word-bigram repetition stats — the Gopher-style duplicate-n-gram
+    * quality filter (Rae et al. 2021, "Scaling Language Models",
+    * §A1.1 repetition heuristics): fraction of bigrams that are
+    * repeats. Pure HOF column expressions (sequence/transform/
+    * array_distinct), so the whole filter is one codegen'd scan pass —
+    * no explode, no shuffle, at any corpus size.
+    */
+  def repetitionStats(text: Column): Seq[(String, Column)] = {
+    val w = tokens(text)
+    val n = greatest(size(w) - 1, lit(0))
+    val grams = when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1),
+        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nd = size(array_distinct(grams))
+    Seq(
+      "n_ngrams" -> n.cast("long"),
+      "n_distinct" -> nd.cast("long"),
+      // exact-integer operands; single double division — portable
+      "rep_ratio" -> when(n > 0,
+        lit(1.0) - nd.cast("double") / n.cast("double")).otherwise(lit(0.0)))
+  }
+
+  /** PII patterns shared by scrub and count (kept RE2-compatible so
+    * the same pattern text runs in Java regex and DuckDB).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+  /** Redact emails and phone numbers — the minimal deterministic PII
+    * scrub every training-data pipeline carries. Column expressions:
+    * folds into the scan projection.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
+  /** How many PII spans scrubPii would redact. */
+  def piiCount(text: Column): Column =
+    (regexp_count(text, lit(emailPattern)) +
+      regexp_count(text, lit(phonePattern))).cast("long")
+
+  /** Benchmark decontamination: per document, how many probe strings
+    * (benchmark test-set extracts) occur verbatim in the text. Probe
+    * sets are tiny next to the corpus, so the probe side broadcasts
+    * and the corpus is scanned ONCE, never shuffled — the output agg
+    * groups on the doc id within the scan's partitioning.
+    */
+  def contaminationHits(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeCol: String): DataFrame =
+    docs.crossJoin(broadcast(probes.select(col(probeCol)).distinct()))
+      .filter(contains(col(textCol), col(probeCol)))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col(probeCol)).as("n_hits"))
 }

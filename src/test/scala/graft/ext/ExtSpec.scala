@@ -48,6 +48,41 @@ class TextAnalysisSpec extends SparkSpec {
     assert(qg > qb && qg <= 1.0 && qb >= 0.0)
   }
 
+  test("repetitionStats: counts duplicate bigrams; degenerate docs → 0") {
+    val df = Seq(
+      "a b a b a",   // bigrams: ab, ba, ab, ba → 4 total, 2 distinct
+      "w x y z",     // 3 distinct of 3
+      "solo",        // <2 tokens → no bigrams
+      "").toDF("text")
+    val cols = TextAnalysis.repetitionStats(col("text"))
+    val got = df.select(cols.map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq((4L, 2L, 0.5), (3L, 3L, 0.0), (0L, 0L, 0.0), (0L, 0L, 0.0)))
+  }
+
+  test("scrubPii redacts emails and phones; piiCount counts them") {
+    val s = "mail a.b+c@site.org or x@y.io, call 123-456-7890; id 12-34 stays"
+    val got = Seq(s).toDF("text").select(
+      TextAnalysis.scrubPii(col("text")).as("c"),
+      TextAnalysis.piiCount(col("text")).as("n"))
+      .as[(String, Long)].collect()(0)
+    assert(got._1 == "mail <EMAIL> or <EMAIL>, call <PHONE>; id 12-34 stays")
+    assert(got._2 == 3L)
+  }
+
+  test("contaminationHits: substring hits per doc; corpus side never shuffles") {
+    val docs = Seq((1L, "the quick brown fox jumps"), (2L, "quick brown"),
+      (3L, "nothing here")).toDF("id", "txt")
+    val probes = Seq("quick brown", "fox").toDF("p")
+    val hits = TextAnalysis.contaminationHits(docs, "id", "txt", probes, "p")
+    val got = hits.orderBy("id").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L)), s"got $got")
+    // the only exchanges allowed are the broadcast of the probe side
+    // and the final group-by agg — never a corpus-wide repartition join
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$plan")
+  }
+
   test("termStats: correct tf/df/idf, and plan construction fires no Spark job") {
     // listener events are async, so count by JobStart submission time:
     // an eager job during operator construction would be submitted (and,
