@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{LongType, TimestampType}
+import org.apache.spark.sql.types.{ByteType, DayTimeIntervalType, IntegerType, LongType, ShortType, TimestampType}
 
 /** Optimizer rule (builder-brief preference (c): custom `Rule
   * [LogicalPlan]` via `SparkSessionExtensions`): rewrite a pure
@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   * equality PLUS the original condition, so semantics are unchanged —
   * the spec asserts result equality and the disappearance of the
   * nested loop.
+  *
+  * Also fires on the symmetric BAND shape `abs(a − b) <= tol` (both
+  * `<`/`<=` orientations) for TIMESTAMP pairs with an interval
+  * tolerance AND for integral pairs with an integral tolerance — in
+  * the band case the tolerance itself is the bucket width, so integral
+  * domains have a principled width the interval path lacks. One side
+  * emits its quotient ±1, the other its single quotient; each
+  * qualifying pair meets exactly once and the original condition rides
+  * along as the residual.
   *
   * Bucket width: `spark.graft.rangejoin.bucket.micros` (default 1
   * minute). The output join has an equi key, so the rule cannot
@@ -117,6 +126,79 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
           case _ => None
         }
       }
+      // symmetric band `abs(a − b) <= tol` — the other naive shape that
+      // nests loops. Both sides are points and the TOLERANCE is the
+      // natural bucket width, so (unlike the interval path, which has
+      // no principled width for arbitrary longs) integral domains are
+      // rewritable here too: with w = max(tol, 1), |a−b| <= tol implies
+      // the truncating quotients a div w and b div w differ by at most
+      // 1, so one side emits {q−1, q, q+1} and the other its single
+      // bucket — each qualifying pair meets exactly once (the three
+      // left buckets are distinct), misses are impossible, and false
+      // bucket neighbors die on the retained original condition.
+      val band: Option[(Expression, Expression, Long)] =
+        if (hasEqui || range.isDefined) None
+        else {
+          def tolValue(x: Expression): Option[Long] = x match {
+            case l if l.foldable => l.dataType match {
+              // DayTimeIntervalType stores micros as Long — same unit
+              // as UnixMicros
+              case _: DayTimeIntervalType | ByteType | ShortType |
+                  IntegerType | LongType =>
+                Option(l.eval()).map(_.asInstanceOf[Number].longValue())
+                  .filter(_ >= 0) // abs <= negative matches nothing; skip
+              case _ => None
+            }
+            case _ => None
+          }
+          // both results long-valued: epoch µs for timestamps, raw for
+          // integrals
+          def absDiff(x: Expression): Option[(Expression, Expression)] = x match {
+            case Abs(SubtractTimestamps(a, b, _, _), _)
+                if a.dataType == TimestampType && b.dataType == TimestampType =>
+              Some((UnixMicros(a), UnixMicros(b)))
+            case Abs(Subtract(a, b, _), _)
+                if Seq(a, b).forall(e => Seq[org.apache.spark.sql.types.DataType](
+                  ByteType, ShortType, IntegerType, LongType).contains(e.dataType)) =>
+              Some((Cast(a, LongType), Cast(b, LongType)))
+            case _ => None
+          }
+          def bandOf(c: Expression): Option[(Expression, Expression, Long)] = c match {
+            case LessThanOrEqual(x, tolE) =>
+              for { ab <- absDiff(x); tol <- tolValue(tolE) } yield (ab._1, ab._2, tol)
+            case LessThan(x, tolE) =>
+              for { ab <- absDiff(x); tol <- tolValue(tolE) } yield (ab._1, ab._2, tol)
+            case GreaterThanOrEqual(tolE, x) =>
+              for { ab <- absDiff(x); tol <- tolValue(tolE) } yield (ab._1, ab._2, tol)
+            case GreaterThan(tolE, x) =>
+              for { ab <- absDiff(x); tol <- tolValue(tolE) } yield (ab._1, ab._2, tol)
+            case _ => None
+          }
+          conjuncts.view.flatMap(bandOf).headOption
+        }
+      val bandPlan: Option[LogicalPlan] = band.flatMap { case (x, y, tol) =>
+        // abs is symmetric: normalize to (left-side value, right-side value)
+        val sides =
+          if (fromSide(x, left) && fromSide(y, right)) Some((x, y))
+          else if (fromSide(y, left) && fromSide(x, right)) Some((y, x))
+          else None
+        sides.map { case (aL, bR) =>
+          val w = Literal(math.max(tol, 1L), LongType)
+          val aDiv = IntegralDivide(aL, w)
+          val bl = AttributeReference("_rj_band_l", LongType, nullable = true)()
+          val genL = Generate(Explode(CreateArray(Seq(
+              Subtract(aDiv, Literal(1L, LongType)), aDiv,
+              Add(aDiv, Literal(1L, LongType))))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bl), child = left)
+          val br = AttributeReference("_rj_band_r", LongType, nullable = true)()
+          val genR = Generate(Explode(CreateArray(Seq(IntegralDivide(bR, w)))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(br), child = right)
+          Project(j.output,
+            Join(genL, genR, Inner, Some(And(EqualTo(bl, br), cond)), hint))
+        }
+      }
       range.flatMap { case (t, s, e, inclusiveUpper) =>
         for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
           val w = Literal(bucketWidthMicros, LongType)
@@ -162,6 +244,6 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
           val newCond = And(EqualTo(bucketL, bucketR), cond)
           Project(j.output, Join(gen, genR, Inner, Some(newCond), hint))
         }
-      }.getOrElse(j)
+      }.orElse(bandPlan).getOrElse(j)
   }
 }

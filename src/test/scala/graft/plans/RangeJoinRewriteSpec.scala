@@ -147,6 +147,50 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("timestamp band abs(a-b) <= interval rewrites and keeps results") {
+    val ev = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val a = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val b = ev.select(col("event_id").as("b_id"), col("ts").as("b_ts"))
+    def banded = a.join(b,
+      abs(col("a_ts") - col("b_ts")) <= expr("INTERVAL 45 SECONDS") &&
+        col("a_id") =!= col("b_id"))
+    val baseline = banded.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(banded.queryExecution.executedPlan.toString
+      .contains("BroadcastNestedLoopJoin"), "fixture should BNLJ without the rule")
+    withRule {
+      val plan = banded.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), s"band rule did not fire:\n$plan")
+      // each pair must meet exactly once — Seq length equals Set size
+      val rows = banded.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(rows.size == rows.toSet.size, "a pair met more than once")
+      assert(rows.toSet == baseline && baseline.nonEmpty)
+    }
+  }
+
+  test("integral band rewrites (tolerance is the width); boundaries exact") {
+    withRule {
+      val a = Seq((1L, -7L), (2L, 0L), (3L, 100L)).toDF("a_id", "x")
+      val b = Seq((10L, -12L), (11L, -2L), (12L, 4L), (13L, 106L), (14L, 107L))
+        .toDF("b_id", "y")
+      val leq = a.join(b, abs(col("x") - col("y")) <= lit(5L))
+      assert(!leq.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        "integral band did not rewrite")
+      val got = leq.select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      // |-7-(-12)|=5 in, |-7-(-2)|=5 in, |0-(-2)|=2, |0-4|=4, |100-106|=6 out, 105? (none)
+      assert(got == Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)), s"got $got")
+      // strict < excludes the |diff| == 5 boundary pairs
+      val lt = a.join(b, abs(col("x") - col("y")) < lit(5L))
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+      assert(lt == Seq((2L, 11L), (2L, 12L)), s"got $lt")
+      // tol 0: exact equality only (w clamps to 1)
+      val zero = a.join(b, abs(col("x") - col("y")) <= lit(0L))
+        .select("a_id").as[Long].collect().toSeq
+      assert(zero.isEmpty)
+    }
+  }
+
   test("rule is injected by GraftExtensions") {
     val f = new graft.functions.GraftExtensions()
     val e = new org.apache.spark.sql.SparkSessionExtensions()
