@@ -655,6 +655,43 @@ object PipelinesExt {
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
+  // TPC-H Q18 shape (large-volume orders): the IN subquery with a
+  // HAVING aggregate becomes a semi join against the grouped lineitem
+  // — the group-by and BOTH joins share the l_orderkey partitioning.
+  // Quantities sum as exact decimals on both engines.
+  def bigVolumeOrders(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val bigOrders = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
+      .filter(col("q") > 300).select(col("l_orderkey").as("big_okey"))
+    t(s, d, "orders")
+      .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
+      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("c_custkey"), col("o_orderkey"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast("double").as("total_qty"))
+      .orderBy(desc("total_qty"), asc("o_orderkey"))
+      .limit(100)
+  }
+
+  // Window-function suite: the rank/offset/distribution family over
+  // one per-customer frame — lag/lead (offsets), percent_rank and
+  // cume_dist (exact integer-ratio doubles), ntile (integer). The
+  // ORDER BY carries the key so ties cannot reorder.
+  def windowSuite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+      lead(col("o_totalprice"), 1).over(w).as("next_price"),
+      percent_rank().over(w).as("pct_rank"),
+      cume_dist().over(w).as("cume"),
+      ntile(4).over(w).as("quartile"))
+      .orderBy("o_orderkey")
+  }
+
   // Gopher-style bigram repetition filter over the corpus (pure HOF
   // scan pass; see TextAnalysis.repetitionStats).
   def repetitionFilter(s: SparkSession, d: String): DataFrame = {
@@ -1047,6 +1084,29 @@ object OraclesExt {
     // the CM-sketch estimate degenerates to the exact count at this
     // cardinality (no full-row collision under the fixed seeds), so a
     // plain GROUP BY is the oracle — see cmHeavyHitters
+    "q76_big_volume_orders" ->
+      """SELECT c_custkey, o_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (
+        |    SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey
+        |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_custkey, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q77_window_suite" ->
+      """SELECT o_orderkey,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
     "q73_repetition_filter" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN length(trim(text)) = 0 THEN []

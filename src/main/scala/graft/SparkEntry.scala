@@ -104,6 +104,8 @@ object SparkEntry {
     "q73_repetition_filter" -> ((s, d) => PipelinesExt.repetitionFilter(s, d)),
     "q74_pii_scrub" -> ((s, d) => PipelinesExt.piiScrub(s, d)),
     "q75_contamination" -> ((s, d) => PipelinesExt.contamination(s, d)),
+    "q76_big_volume_orders" -> ((s, d) => PipelinesExt.bigVolumeOrders(s, d)),
+    "q77_window_suite" -> ((s, d) => PipelinesExt.windowSuite(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
