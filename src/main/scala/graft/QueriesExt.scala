@@ -655,6 +655,20 @@ object PipelinesExt {
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
+  // Materialized IVF index: build the cell-partitioned index, then
+  // probe it — the probe's corpus scan is statically partition-pruned
+  // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
+  // Rows-only: cell routing depends on the engine's KMeans. The timed
+  // work is honest index-build + pruned probe.
+  def ivfIndexedAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val dir = "/tmp/graft_ivfidx_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    Similarity.ivfIndexWrite(emb, dir, nlist = 16)
+    Similarity.ivfIndexedTopK(s, dir, emb.filter(col("vec_id") < 10),
+      k = 5, nprobe = 4)
+      .orderBy("query_id", "rank")
+  }
+
   // TPC-H Q18 shape (large-volume orders): the IN subquery with a
   // HAVING aggregate becomes a semi join against the grouped lineitem
   // — the group-by and BOTH joins share the l_orderkey partitioning.

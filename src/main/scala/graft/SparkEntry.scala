@@ -106,6 +106,7 @@ object SparkEntry {
     "q75_contamination" -> ((s, d) => PipelinesExt.contamination(s, d)),
     "q76_big_volume_orders" -> ((s, d) => PipelinesExt.bigVolumeOrders(s, d)),
     "q77_window_suite" -> ((s, d) => PipelinesExt.windowSuite(s, d)),
+    "q78_ivf_indexed_ann" -> ((s, d) => PipelinesExt.ivfIndexedAnn(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

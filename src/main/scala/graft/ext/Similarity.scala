@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -123,7 +123,6 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",
       fitFraction: Double = 0.5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(fitFraction > 0.0 && fitFraction <= 1.0,
       s"ivfTopK: fitFraction must be in (0,1], got $fitFraction")
@@ -133,31 +132,53 @@ object Similarity {
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
       .withColumn("features", array_to_vector(col("c_emb")))
       .cache()
-    // quantizer fit on a seeded sample: the coarse centroids need
-    // O(nlist·10³) training points, not the corpus — at 10⁹ vectors set
-    // fitFraction ≪ 1 and the KMeans cost stays flat while assignment
-    // (the transform below) remains one full narrow pass. Tiny corpora
-    // fall back to the full fit: a Bernoulli sample can under-supply
-    // (or empty) the nlist clusters.
+    val model = fitCellModel(c, nlist, fitFraction)
+    val assigned = model.transform(c)
+      .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
+
+    val probes = nearestCells(queries, centroidsDf(spark, model), nprobe,
+      idCol, embCol)
+    val scored = probes.join(assigned, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Quantizer fit on a seeded sample: the coarse centroids need
+    * O(nlist·10³) training points, not the corpus — at 10⁹ vectors set
+    * fitFraction ≪ 1 and the KMeans cost stays flat while assignment
+    * remains one full narrow pass. Tiny corpora fall back to the full
+    * fit: a Bernoulli sample can under-supply (or empty) the clusters.
+    * `c` must carry a vector `features` column.
+    */
+  private def fitCellModel(c: DataFrame, nlist: Int, fitFraction: Double) = {
+    import org.apache.spark.ml.clustering.KMeans
     val fitSample = c.select(col("features"))
       .sample(withReplacement = false, fitFraction, seed = 42L)
     val fitDf =
       if (fitFraction >= 1.0 || fitSample.count() >= nlist.toLong * 4) fitSample
       else c.select(col("features"))
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(fitDf)
-    val assigned = model.transform(c)
-      .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(5).fit(fitDf)
+  }
 
-    // nprobe nearest cells per query: centroids are tiny (nlist rows) —
-    // cross with the query side as a literal array, rank in-plan.
+  private def centroidsDf(spark: SparkSession,
+      model: org.apache.spark.ml.clustering.KMeansModel): DataFrame = {
     val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
       (i, v.toArray.toSeq)
     }.toSeq
-    val centDf = spark.createDataFrame(centroids).toDF("cell", "centroid")
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
-    // squared-Euclidean rank: ||q-c||² = ||q||² - 2q·c + ||c||²; the
-    // ||q||² term is constant per query, so rank by ||c||² - 2q·c
-    val probes = q.crossJoin(broadcast(centDf))
+    spark.createDataFrame(centroids).toDF("cell", "centroid")
+  }
+
+  /** nprobe nearest cells per query: centroids are tiny (nlist rows) —
+    * cross with the query side, rank in-plan. Squared-Euclidean rank:
+    * ||q−c||² = ||q||² − 2q·c + ||c||²; the ||q||² term is constant
+    * per query, so rank by ||c||² − 2q·c.
+    */
+  private def nearestCells(queries: DataFrame, centDf: DataFrame,
+      nprobe: Int, idCol: String, embCol: String): DataFrame =
+    queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
+      .crossJoin(broadcast(centDf))
       .withColumn("_c", col("centroid").cast("array<double>"))
       .withColumn("dist", dot(col("_c"), col("_c")) - lit(2.0) * dot(col("q_emb"), col("_c")))
       .withColumn("rk", row_number().over(
@@ -165,15 +186,60 @@ object Similarity {
       .filter(col("rk") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cell"))
 
-    val scored = probes.join(assigned, Seq("cell"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** Materialize an IVF index: the corpus rewritten as a parquet table
+    * PARTITIONED BY its Voronoi cell (plus a tiny `centroids` sidecar
+    * table). This is the 100 TB serving shape the in-session
+    * [[ivfTopK]] can't give you: a probe against the written index
+    * becomes a statically partition-PRUNED scan — only the nprobe
+    * cells' directories are listed and read, the other
+    * (nlist − nprobe)/nlist of the corpus is never touched.
+    */
+  def ivfIndexWrite(corpus: DataFrame, dir: String, nlist: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      fitFraction: Double = 0.5): Unit = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = Dedup.balanced(corpus)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("features", array_to_vector(col("c_emb")))
+      .cache()
+    try {
+      val model = fitCellModel(c, nlist, fitFraction)
+      model.transform(c)
+        .select(col("neighbor_id"), col("c_emb"), col("prediction").as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
+      centroidsDf(spark, model).write.mode("overwrite").parquet(s"$dir/centroids")
+    } finally { c.unpersist(); () }
+  }
+
+  /** ANN against a materialized [[ivfIndexWrite]] index. The query
+    * batch is small by contract (same as [[bruteForceTopK]]), so the
+    * batch's probe-cell ids — at most min(nlist, nprobe·|queries|)
+    * ints — are collected and spliced into the scan filter as
+    * LITERALS: that is what makes the pruning static (a join-derived
+    * filter would read every partition and prune at runtime at best).
+    */
+  def ivfIndexedTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      k: Int, nprobe: Int = 4,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    val probes = nearestCells(queries, centDf, nprobe, idCol, embCol).cache()
+    val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
+    val data = spark.read.parquet(s"$dir/data")
+      .filter(col("cell").isin(cells.map(Integer.valueOf): _*))
+    val scored = probes.join(data, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("q_emb"), col("c_emb")).as("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Exact all-pairs embedding-cosine near-duplicate pairs (id_a <

@@ -366,6 +366,35 @@ class SimilaritySpec extends SparkSpec {
       s"IVF recall too low: ${ivfPairs.intersect(bf).size}/${bf.size}")
   }
 
+  test("ivfIndexedTopK: statically pruned scan, parity with in-session ivf") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfidx-").toString
+    Similarity.ivfIndexWrite(emb, dir, nlist = 8)
+    val q = emb.filter(col("vec_id") === 0)
+    val res = Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 2)
+      .orderBy("rank")
+    // the corpus scan must read ONLY the probed cells' directories:
+    // 1 query × nprobe 2 → at most 2 of the 8 partitions listed
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scansOf(p: SparkPlan): Seq[FileSourceScanExec] = p.collect {
+      case a: AdaptiveSparkPlanExec => scansOf(a.inputPlan)
+      case f: FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("/data")) => Seq(f)
+    }.flatten
+    val scans = scansOf(res.queryExecution.executedPlan)
+    assert(scans.nonEmpty, "no parquet scan over the index data found")
+    assert(scans.exists(_.partitionFilters.nonEmpty),
+      "cell filter did not become a static PartitionFilter")
+    val parts = scans.map(_.selectedPartitions.partitionCount).max
+    assert(parts <= 2, s"expected <= 2 of 8 partitions read, got $parts")
+    // parity: same corpus, same seeds → the same quantizer, so the
+    // indexed read answers exactly like the in-session operator
+    val insession = Similarity.ivfTopK(emb, q, k = 5, nlist = 8, nprobe = 2)
+      .orderBy("rank")
+    assert(res.collect().toSeq == insession.collect().toSeq)
+  }
+
   test("cosineNearDupPairs: only pairs above threshold, a<b") {
     val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
