@@ -54,11 +54,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         (dot(col("q_emb"), col("c_emb")) / (col("q_norm") * col("c_norm"))).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** Random-hyperplane LSH signature: bit i = sign(v · h_i) where h_i
@@ -105,11 +101,7 @@ object Similarity {
       .join(cEmb, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         cosine(col("q_emb"), col("c_emb")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** IVF (inverted-file) approximate NN — the classic ANN scale path:
@@ -231,7 +223,9 @@ object Similarity {
       k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     val centDf = spark.read.parquet(s"$dir/centroids")
-    val probes = nearestCells(queries, centDf, nprobe, idCol, embCol).cache()
+    // no cache: the probe frame is a tiny batch x nlist cross — cheaper
+    // to recompute for the final plan than to pin storage memory forever
+    val probes = nearestCells(queries, centDf, nprobe, idCol, embCol)
     val cells = probes.select("cell").distinct().collect().map(_.getInt(0))
     val data = spark.read.parquet(s"$dir/data")
       .filter(col("cell").isin(cells.map(Integer.valueOf): _*))

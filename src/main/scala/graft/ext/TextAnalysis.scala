@@ -185,10 +185,15 @@ object TextAnalysis {
       regexp_replace(text, emailPattern, "<EMAIL>"),
       phonePattern, "<PHONE>")
 
-  /** How many PII spans scrubPii would redact. */
+  /** How many PII spans scrubPii would redact — exactly: the phone
+    * pass counts on the email-SCRUBBED text, mirroring scrubPii's
+    * sequential replacement (a phone-shaped substring inside an email
+    * match is redacted once, so it must be counted once).
+    */
   def piiCount(text: Column): Column =
     (regexp_count(text, lit(emailPattern)) +
-      regexp_count(text, lit(phonePattern))).cast("long")
+      regexp_count(regexp_replace(text, emailPattern, "<EMAIL>"),
+        lit(phonePattern))).cast("long")
 
   /** Benchmark decontamination: per document, how many probe strings
     * (benchmark test-set extracts) occur verbatim in the text. Probe

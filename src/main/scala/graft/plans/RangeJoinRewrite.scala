@@ -136,8 +136,58 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
       // bucket — each qualifying pair meets exactly once (the three
       // left buckets are distinct), misses are impossible, and false
       // bucket neighbors die on the retained original condition.
+      val rangePlan: Option[LogicalPlan] =
+        range.flatMap { case (t, s, e, inclusiveUpper) =>
+        for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
+          val w = Literal(bucketWidthMicros, LongType)
+          // empty/inverted intervals match nothing — without this
+          // filter Sequence(start > stop) THROWS at runtime where the
+          // nested loop simply produced no rows (operator parity:
+          // RangeJoin.intervalJoin filters _rj_e > _rj_s). Closed
+          // intervals are non-empty at e == s.
+          val nonEmpty =
+            if (inclusiveUpper) GreaterThanOrEqual(eUs, sUs) else GreaterThan(eUs, sUs)
+          val guarded = Filter(nonEmpty, left)
+          // interval side: explode covering buckets [s div w, X div w]
+          // where X is the last µs inside the interval (e for closed,
+          // e-1 for half-open)
+          val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
+          val lastUs =
+            if (inclusiveUpper) eUs else Subtract(eUs, Literal(1L, LongType))
+          val startDiv = IntegralDivide(sUs, w)
+          val lastDiv = IntegralDivide(lastUs, w)
+          // Sequence is TimeZoneAwareExpression: unresolved until a zone
+          // is attached, even over longs
+          val seqExpr = new Sequence(startDiv, lastDiv,
+            Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
+          // cliff guard: intervals spanning more than maxBuckets buckets
+          // take the sentinel path (If only evaluates the taken branch,
+          // so the oversized Sequence is never materialized)
+          val bucketCount =
+            Add(Subtract(lastDiv, startDiv), Literal(1L, LongType))
+          val cappedBuckets = If(
+            LessThanOrEqual(bucketCount, Literal(maxBucketsPerInterval, LongType)),
+            seqExpr,
+            CreateArray(Seq(OverflowBucket)))
+          val gen = Generate(Explode(cappedBuckets), unrequiredChildIndex = Nil,
+            outer = false, qualifier = None, generatorOutput = Seq(bucketL),
+            child = guarded)
+          // point side: its real bucket plus the sentinel (the row that
+          // can meet long intervals)
+          val bucketR = AttributeReference("_rj_bucket_r", LongType, nullable = true)()
+          val genR = Generate(
+            Explode(CreateArray(Seq(IntegralDivide(tUs, w), OverflowBucket))),
+            unrequiredChildIndex = Nil, outer = false, qualifier = None,
+            generatorOutput = Seq(bucketR), child = right)
+          val newCond = And(EqualTo(bucketL, bucketR), cond)
+          Project(j.output, Join(gen, genR, Inner, Some(newCond), hint))
+        }
+      }
+      // gate the band on the range PLAN, not the range PATTERN: a
+      // structural range match over non-timestamp columns yields no
+      // rewrite, and a band conjunct alongside it must still fire
       val band: Option[(Expression, Expression, Long)] =
-        if (hasEqui || range.isDefined) None
+        if (hasEqui || rangePlan.isDefined) None
         else {
           def tolValue(x: Expression): Option[Long] = x match {
             case l if l.foldable => l.dataType match {
@@ -186,9 +236,14 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
           val w = Literal(math.max(tol, 1L), LongType)
           val aDiv = IntegralDivide(aL, w)
           val bl = AttributeReference("_rj_band_l", LongType, nullable = true)()
+          // LEGACY (wrapping) arithmetic: under ANSI, aDiv ± 1 would
+          // throw at the Long extremes (a = ±Long extreme with w = 1)
+          // where the naive plan returned the pair. A wrapped neighbor
+          // bucket can only co-locate pairs the naive plan evaluated
+          // too, and the retained original condition decides them.
           val genL = Generate(Explode(CreateArray(Seq(
-              Subtract(aDiv, Literal(1L, LongType)), aDiv,
-              Add(aDiv, Literal(1L, LongType))))),
+              Subtract(aDiv, Literal(1L, LongType), EvalMode.LEGACY), aDiv,
+              Add(aDiv, Literal(1L, LongType), EvalMode.LEGACY)))),
             unrequiredChildIndex = Nil, outer = false, qualifier = None,
             generatorOutput = Seq(bl), child = left)
           val br = AttributeReference("_rj_band_r", LongType, nullable = true)()
@@ -199,51 +254,6 @@ case class RangeJoinRewrite(bucketMicros: Long = 60000000L)
             Join(genL, genR, Inner, Some(And(EqualTo(bl, br), cond)), hint))
         }
       }
-      range.flatMap { case (t, s, e, inclusiveUpper) =>
-        for (tUs <- micros(t); sUs <- micros(s); eUs <- micros(e)) yield {
-          val w = Literal(bucketWidthMicros, LongType)
-          // empty/inverted intervals match nothing — without this
-          // filter Sequence(start > stop) THROWS at runtime where the
-          // nested loop simply produced no rows (operator parity:
-          // RangeJoin.intervalJoin filters _rj_e > _rj_s). Closed
-          // intervals are non-empty at e == s.
-          val nonEmpty =
-            if (inclusiveUpper) GreaterThanOrEqual(eUs, sUs) else GreaterThan(eUs, sUs)
-          val guarded = Filter(nonEmpty, left)
-          // interval side: explode covering buckets [s div w, X div w]
-          // where X is the last µs inside the interval (e for closed,
-          // e-1 for half-open)
-          val bucketL = AttributeReference("_rj_bucket_l", LongType, nullable = true)()
-          val lastUs =
-            if (inclusiveUpper) eUs else Subtract(eUs, Literal(1L, LongType))
-          val startDiv = IntegralDivide(sUs, w)
-          val lastDiv = IntegralDivide(lastUs, w)
-          // Sequence is TimeZoneAwareExpression: unresolved until a zone
-          // is attached, even over longs
-          val seqExpr = new Sequence(startDiv, lastDiv,
-            Some(Literal(1L, LongType))).withTimeZone(conf.sessionLocalTimeZone)
-          // cliff guard: intervals spanning more than maxBuckets buckets
-          // take the sentinel path (If only evaluates the taken branch,
-          // so the oversized Sequence is never materialized)
-          val bucketCount =
-            Add(Subtract(lastDiv, startDiv), Literal(1L, LongType))
-          val cappedBuckets = If(
-            LessThanOrEqual(bucketCount, Literal(maxBucketsPerInterval, LongType)),
-            seqExpr,
-            CreateArray(Seq(OverflowBucket)))
-          val gen = Generate(Explode(cappedBuckets), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None, generatorOutput = Seq(bucketL),
-            child = guarded)
-          // point side: its real bucket plus the sentinel (the row that
-          // can meet long intervals)
-          val bucketR = AttributeReference("_rj_bucket_r", LongType, nullable = true)()
-          val genR = Generate(
-            Explode(CreateArray(Seq(IntegralDivide(tUs, w), OverflowBucket))),
-            unrequiredChildIndex = Nil, outer = false, qualifier = None,
-            generatorOutput = Seq(bucketR), child = right)
-          val newCond = And(EqualTo(bucketL, bucketR), cond)
-          Project(j.output, Join(gen, genR, Inner, Some(newCond), hint))
-        }
-      }.orElse(bandPlan).getOrElse(j)
+      rangePlan.orElse(bandPlan).getOrElse(j)
   }
 }

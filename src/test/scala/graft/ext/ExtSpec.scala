@@ -68,6 +68,13 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(String, Long)].collect()(0)
     assert(got._1 == "mail <EMAIL> or <EMAIL>, call <PHONE>; id 12-34 stays")
     assert(got._2 == 3L)
+    // a phone-shaped substring INSIDE an email is redacted once by the
+    // sequential scrub, so it must be counted once
+    val overlap = Seq("reach 555-867-5309@example.com now").toDF("text").select(
+      TextAnalysis.scrubPii(col("text")).as("c"),
+      TextAnalysis.piiCount(col("text")).as("n"))
+      .as[(String, Long)].collect()(0)
+    assert(overlap._1 == "reach <EMAIL> now" && overlap._2 == 1L, s"got $overlap")
   }
 
   test("contaminationHits: substring hits per doc; corpus side never shuffles") {

@@ -191,6 +191,22 @@ class RangeJoinRewriteSpec extends SparkSpec {
     }
   }
 
+  test("band fires even when an unrewritable long-typed range shape coexists") {
+    withRule {
+      // the range PATTERN matches (v >= lo AND v < hi) but yields no
+      // rewrite on longs; the band conjunct must still fire
+      val a = Seq((1L, 0L, 100L, 10L)).toDF("a_id", "lo", "hi", "x")
+      val b = Seq((10L, 50L, 12L), (11L, 99L, 30L)).toDF("b_id", "v", "y")
+      val joined = a.join(b,
+        col("v") >= col("lo") && col("v") < col("hi") &&
+          abs(col("x") - col("y")) <= lit(5L))
+      assert(!joined.queryExecution.executedPlan.toString
+        .contains("BroadcastNestedLoopJoin"), "band did not fire next to a dead range shape")
+      val got = joined.select("a_id", "b_id").as[(Long, Long)].collect().toSeq
+      assert(got == Seq((1L, 10L)), s"got $got")
+    }
+  }
+
   test("rule is injected by GraftExtensions") {
     val f = new graft.functions.GraftExtensions()
     val e = new org.apache.spark.sql.SparkSessionExtensions()
