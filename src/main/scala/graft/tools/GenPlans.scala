@@ -20,7 +20,8 @@ object GenPlans {
     ("q57_pit_forward", "Forward as-of join (round 5): same union+single-exchange+window shape as q33, time order reversed — label attachment without a range join or per-version explosion."),
     ("q62_expectations", "Data-quality audit (round 5): five row-local checks + a unique-key count-distinct share ONE scan of lineitem (a single HashAggregate chain with an Expand for the distinct); the referential check is the one extra anti-join. Check count does not multiply scan count."),
     ("q69_min_cost_supplier", "TPC-H Q2 shape (round 7): the correlated scalar-min is rewritten to agg-once + join-back — lineitem is scanned twice but the min is computed ONCE (never per outer row); at this SF the 2-column agg output is broadcast back, at 100 TB AQE falls back to a sort-merge join where the agg and the join share the l_partkey partitioning. Equality on the double price is exact (min/=, no arithmetic); part/supplier dims broadcast."),
-    ("q70_waiting_suppliers", "TPC-H Q21 shape (round 7): EXISTS compiles to a LEFT SEMI and NOT EXISTS to a LEFT ANTI hash join on l_orderkey — equi joins end to end, no nested loop despite the l2.l_suppkey <> l1.l_suppkey disequality (it rides along as the join residual). At this SF the projected 2-column lineitem sides broadcast; at 100 TB all three sides shuffle on the shared l_orderkey key and AQE splits skewed orders."))
+    ("q70_waiting_suppliers", "TPC-H Q21 shape (round 7): EXISTS compiles to a LEFT SEMI and NOT EXISTS to a LEFT ANTI hash join on l_orderkey — equi joins end to end, no nested loop despite the l2.l_suppkey <> l1.l_suppkey disequality (it rides along as the join residual). At this SF the projected 2-column lineitem sides broadcast; at 100 TB all three sides shuffle on the shared l_orderkey key and AQE splits skewed orders."),
+    ("q76_big_volume_orders", "TPC-H Q18 shape (round 7): the IN + HAVING subquery is a LEFT SEMI join against the grouped lineitem — at this SF the grouped build side broadcasts; at 100 TB the group-by aggregate, the semi join, and the final per-order aggregate all key on l_orderkey, so one hash partitioning serves all three. The customer dim broadcasts; top-100 runs as TakeOrderedAndProject."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
