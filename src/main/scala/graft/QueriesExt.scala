@@ -655,6 +655,19 @@ object PipelinesExt {
   // KMV sketch aggregate (rows-only: the estimate depends on the
   // engine's hash; the exact/merge contracts are spec-tested) — the
   // custom TypedImperativeAggregate tier exercised through a query.
+  // Scalable decontamination: word-8-gram fingerprint equi-join (the
+  // corpus-sized-probe-set path; q75 is the broadcast-substring path).
+  // Probe docs hit themselves on every gram; word-soup text shares no
+  // natural 8-gram runs, so the oracle cross-checks the full explode →
+  // dedupe → join → count pipeline.
+  def contaminationNgram(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
+    TextAnalysis.contaminationHitsNgram(docs, "doc_id", "text",
+      probes, "text", n = 8)
+      .orderBy("doc_id")
+  }
+
   // Materialized IVF index: build the cell-partitioned index, then
   // probe it — the probe's corpus scan is statically partition-pruned
   // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
@@ -1098,6 +1111,24 @@ object OraclesExt {
     // the CM-sketch estimate degenerates to the exact count at this
     // cardinality (no full-row collision under the fixed seeds), so a
     // plain GROUP BY is the oracle — see cmHeavyHitters
+    "q79_contamination_ngram" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(w) < 8 THEN []
+        |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
+        |    END AS grams
+        |  FROM t),
+        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id IN (3, 7, 11, 19, 23))
+        |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
+        |FROM dg JOIN pg USING (gram)
+        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+
     "q76_big_volume_orders" ->
       """SELECT c_custkey, o_orderkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty

@@ -107,6 +107,7 @@ object SparkEntry {
     "q76_big_volume_orders" -> ((s, d) => PipelinesExt.bigVolumeOrders(s, d)),
     "q77_window_suite" -> ((s, d) => PipelinesExt.windowSuite(s, d)),
     "q78_ivf_indexed_ann" -> ((s, d) => PipelinesExt.ivfIndexedAnn(s, d)),
+    "q79_contamination_ngram" -> ((s, d) => PipelinesExt.contaminationNgram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -207,4 +207,39 @@ object TextAnalysis {
       .filter(contains(col(textCol), col(probeCol)))
       .groupBy(col(idCol))
       .agg(countDistinct(col(probeCol)).as("n_hits"))
+
+  /** Distinct md5 fingerprints of a text's word n-grams — pure HOF
+    * expressions, md5 so the fingerprint is portable to the oracle.
+    */
+  def ngramFingerprints(text: Column, n: Int): Column = {
+    require(n >= 1, s"ngramFingerprints: need n >= 1, got $n")
+    val w = tokens(text)
+    when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => md5(concat_ws(" ",
+          (0 until n).map(j => element_at(w, i + lit(j))): _*)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Scalable decontamination: verbatim word-n-gram overlap. The
+    * substring variant ([[contaminationHits]]) broadcasts the probe set
+    * and scans each text per probe — right when probes are a
+    * benchmark's few thousand strings. When the probe set is itself
+    * corpus-sized (millions of held-out n-grams), containment must
+    * become an EQUI JOIN: explode each side's deduped n-gram
+    * fingerprints and join on the gram key — both sides shuffle on the
+    * key, no broadcast, no per-pair text scan, AQE handles hot grams
+    * as ordinary join skew.
+    */
+  def contaminationHitsNgram(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    val d = docs.select(col(idCol),
+      explode(ngramFingerprints(col(textCol), n)).as("gram"))
+    val p = probes
+      .select(explode(ngramFingerprints(col(probeTextCol), n)).as("gram"))
+      .distinct()
+    d.join(p, "gram")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("gram")).as("n_gram_hits"))
+  }
 }

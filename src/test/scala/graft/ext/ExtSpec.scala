@@ -90,6 +90,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the join:\n$plan")
   }
 
+  test("contaminationHitsNgram: shared word runs hit, dedup within doc") {
+    val run = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, s"prefix $run suffix"),        // contains the 8-gram run
+      (2L, s"$run $run"),                  // run twice → still distinct grams
+      (3L, "no overlap at all here truly none ever")).toDF("id", "txt")
+    val probes = Seq(run).toDF("ptxt")
+    val got = TextAnalysis
+      .contaminationHitsNgram(docs, "id", "txt", probes, "ptxt", n = 8)
+      .orderBy("id").as[(Long, Long)].collect().toSeq
+    // doc 1: exactly the probe's single 8-gram; doc 2 contains it too
+    // (and other grams the probe does not have); doc 3 clean
+    assert(got == Seq((1L, 1L), (2L, 1L)), s"got $got")
+    // short docs (< n tokens) produce no grams and cannot match
+    val short = Seq((9L, "one two three")).toDF("id", "txt")
+    assert(TextAnalysis
+      .contaminationHitsNgram(short, "id", "txt", probes, "ptxt", 8)
+      .collect().isEmpty)
+  }
+
   test("termStats: correct tf/df/idf, and plan construction fires no Spark job") {
     // listener events are async, so count by JobStart submission time:
     // an eager job during operator construction would be submitted (and,
