@@ -652,9 +652,6 @@ object PipelinesExt {
       .orderBy("event_id")
   }
 
-  // KMV sketch aggregate (rows-only: the estimate depends on the
-  // engine's hash; the exact/merge contracts are spec-tested) — the
-  // custom TypedImperativeAggregate tier exercised through a query.
   // Scalable decontamination: word-8-gram fingerprint equi-join (the
   // corpus-sized-probe-set path; q75 is the broadcast-substring path).
   // Probe docs hit themselves on every gram; word-soup text shares no
@@ -773,6 +770,9 @@ object PipelinesExt {
       .select(col("hh.item").as("item"), col("hh.est").as("est"))
       .orderBy(desc("est"), asc("item"))
 
+  // KMV sketch aggregate (rows-only: the estimate depends on the
+  // engine's hash; the exact/merge contracts are spec-tested) — the
+  // custom TypedImperativeAggregate tier exercised through a query.
   def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
@@ -1108,9 +1108,6 @@ object OraclesExt {
         |    x -> abs(CAST(x AS DOUBLE)))) AS max_abs
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    // the CM-sketch estimate degenerates to the exact count at this
-    // cardinality (no full-row collision under the fixed seeds), so a
-    // plain GROUP BY is the oracle — see cmHeavyHitters
     "q79_contamination_ngram" ->
       """WITH t AS (SELECT doc_id,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
@@ -1193,8 +1190,11 @@ object OraclesExt {
         |FROM documents, probes WHERE contains(text, probe)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    // IS NOT NULL pins the aggregate's NULL-skipping semantics: CmTopK
-    // never emits a NULL item, so the oracle must not either
+    // the CM-sketch estimate degenerates to the exact count at this
+    // cardinality (no full-row collision under the fixed seeds), so a
+    // plain GROUP BY is the oracle — see cmHeavyHitters. IS NOT NULL
+    // pins the aggregate's NULL-skipping semantics: CmTopK never emits
+    // a NULL item, so the oracle must not either.
     "q68_cm_heavy_hitters" ->
       """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
         |FROM events WHERE event_type IS NOT NULL

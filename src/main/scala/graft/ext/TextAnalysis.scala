@@ -154,13 +154,21 @@ object TextAnalysis {
     * array_distinct), so the whole filter is one codegen'd scan pass —
     * no explode, no shuffle, at any corpus size.
     */
+  /** Word n-grams of a token array column (1-based windows, space
+    * joined); fewer than n tokens → empty. Shared by the repetition
+    * filter and the n-gram decontamination fingerprints so their
+    * tokenization/guard semantics cannot drift apart.
+    */
+  private def wordNgramsOf(w: Column, n: Int): Column =
+    when(size(w) >= n,
+      transform(sequence(lit(1), size(w) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+
   def repetitionStats(text: Column): Seq[(String, Column)] = {
     val w = tokens(text)
     val n = greatest(size(w) - 1, lit(0))
-    val grams = when(size(w) >= 2,
-      transform(sequence(lit(1), size(w) - 1),
-        i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    val grams = wordNgramsOf(w, 2)
     val nd = size(array_distinct(grams))
     Seq(
       "n_ngrams" -> n.cast("long"),
@@ -210,15 +218,21 @@ object TextAnalysis {
 
   /** Distinct md5 fingerprints of a text's word n-grams — pure HOF
     * expressions, md5 so the fingerprint is portable to the oracle.
+    *
+    * `maxTokens` bounds the PER-ROW intermediate: the gram array
+    * materializes in one row before explode, so a 10M-token outlier
+    * document would otherwise build a ~GB unsafe row. The default cap
+    * (128k tokens ≈ 4 MB of grams) covers any sane document; longer
+    * texts are fingerprinted on their first maxTokens tokens —
+    * acceptable for contamination screening (chunk upstream if full
+    * coverage of book-length rows is required).
     */
-  def ngramFingerprints(text: Column, n: Int): Column = {
+  def ngramFingerprints(text: Column, n: Int,
+      maxTokens: Int = 1 << 17): Column = {
     require(n >= 1, s"ngramFingerprints: need n >= 1, got $n")
-    val w = tokens(text)
-    when(size(w) >= n,
-      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
-        i => md5(concat_ws(" ",
-          (0 until n).map(j => element_at(w, i + lit(j))): _*)))))
-      .otherwise(array().cast("array<string>"))
+    require(maxTokens >= n, s"ngramFingerprints: maxTokens $maxTokens < n $n")
+    val w = slice(tokens(text), 1, maxTokens)
+    array_distinct(transform(wordNgramsOf(w, n), g => md5(g)))
   }
 
   /** Scalable decontamination: verbatim word-n-gram overlap. The
