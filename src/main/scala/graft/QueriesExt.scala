@@ -944,6 +944,107 @@ object PipelinesExt {
           (lit(1) - col("l_discount").cast(DecimalType(18, 2)))))
           .cast("double").as("revenue"))
       .orderBy("p_brand", "s_nationkey")
+
+  // Semantic dedup, exact retained set: earliest-survivor rule over
+  // the tiled all-pairs cosine join. Same similarity expression the
+  // hash-matched q46 gate runs, so the threshold boundary is
+  // bit-identical to the DuckDB NOT EXISTS oracle.
+  def semanticDedupExact(s: SparkSession, d: String): DataFrame =
+    graft.ext.SemanticDedup.retainExact(t(s, d, "embeddings"), 0.45)
+      .orderBy("vec_id")
+
+  // SemDeDup (clustered) variant: rows-only — the k-means cell
+  // assignment is engine-specific; the contract vs the exact rule is
+  // spec-asserted (SemanticDedupSpec).
+  def semanticDedupClustered(s: SparkSession, d: String): DataFrame =
+    graft.ext.SemanticDedup.retainClustered(t(s, d, "embeddings"), 0.45,
+      nlist = 8)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+
+  // Corpus-driven top-k stop-word pruning: document-frequency rank is
+  // exact integers with a total tie-break, so the stop list — and
+  // therefore every rebuilt text — is deterministic at any SF.
+  def vocabPrune(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pruneTopWords(t(s, d, "documents"), k = 5)
+      .orderBy("doc_id")
+
+  // TPC-H Q10 shape: returned-item revenue per customer — fact join
+  // with a date band, broadcast nation dim, deterministic top-20.
+  def returnedItems(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
+  // Catalyst splits the OR across the join: the p_brand/p_size arms
+  // push into the part scan, the l_quantity bounds into lineitem, and
+  // the residual OR evaluates post-join — the pushdown pattern naive
+  // disjunctive predicates rely on.
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 25)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin)
+  }
+
+  // TPC-H Q22 shape: customers above the global positive-balance mean
+  // with no RECENT (2000+) orders. The mean comparison is cross-multiplied
+  // (c_acctbal · n > Σ) so both engines compare exact decimals — no
+  // float boundary to flake on; the no-orders leg is a hash anti join.
+  def idleCustomers(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  // Incremental aggregate maintenance: state built from the pre-1999
+  // orders, the 1999+ tail folded in as a delta — the oracle
+  // recomputes over ALL orders, so the gate hash-checks
+  // merge(build(base), delta) ≡ build(base ∪ delta) end-to-end.
+  def incrementalAggRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val orders = t(s, d, "orders")
+    val cut = lit("1999-01-01").cast("timestamp")
+    val keys = Seq("o_orderpriority")
+    val state = IncrementalAgg.build(
+      orders.filter(col("o_orderdate") < cut), keys, "o_totalprice")
+    IncrementalAgg.merge(state,
+        orders.filter(col("o_orderdate") >= cut), keys, "o_totalprice")
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sm").cast("double").as("total"), col("mn"), col("mx"))
+      .orderBy("o_orderpriority")
+  }
 }
 
 object OraclesExt {
@@ -1558,6 +1659,76 @@ object OraclesExt {
          |  CAST(c_acctbal AS DOUBLE) AS acctbal
          |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
          |ORDER BY c_custkey""".stripMargin,
+    "q80_semantic_dedup" ->
+      """SELECT a.vec_id FROM embeddings a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings b
+        |  WHERE b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
+
+    // DuckDB quirk: array_to_string of an EMPTY list is NULL, Spark's
+    // array_join is '' — coalesce harmonizes the all-words-pruned edge
+    "q82_vocab_prune" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |           FROM documents),
+        |dfreq AS (SELECT wd, count(DISTINCT doc_id) AS df FROM w GROUP BY wd),
+        |stop AS (SELECT wd FROM dfreq ORDER BY df DESC, wd LIMIT 5),
+        |sl AS (SELECT coalesce(list(wd), []) AS stop_list FROM stop)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(string_split(text, ' '),
+        |    x -> NOT list_contains(stop_list, x)), ' '), '') AS pruned
+        |FROM documents, sl ORDER BY doc_id""".stripMargin,
+
+    "q83_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q84_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 25)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin,
+
+    "q85_idle_customers" ->
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the oracle aggregates ALL orders in one pass — the Spark side
+    // must make base-state + delta-merge equal the full recompute
+    "q86_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
     // q45_summary: rows-only — df.summary() emits formatted strings and
     // approx percentiles (SURVEY.md §5.3); exact-row parity spec-tested.
     // q26/q27/q28 (minhash/simhash/ngram-jaccard candidates) and q31
@@ -1568,5 +1739,9 @@ object OraclesExt {
     // design; an exact-equality gate on it can flake as the qualifying
     // pair count grows with SF. Equality with the exact tiled path (the
     // q30 gate) is spec-asserted in ExtSpec.
+    // q81_semdedup_clustered: rows-only — the k-means cell assignment
+    // is engine-specific; the retained-set contract vs the exact rule
+    // (superset; no intra-cell survivor pair >= t) is spec-asserted in
+    // SemanticDedupSpec.
   )
 }

@@ -108,6 +108,13 @@ object SparkEntry {
     "q77_window_suite" -> ((s, d) => PipelinesExt.windowSuite(s, d)),
     "q78_ivf_indexed_ann" -> ((s, d) => PipelinesExt.ivfIndexedAnn(s, d)),
     "q79_contamination_ngram" -> ((s, d) => PipelinesExt.contaminationNgram(s, d)),
+    "q80_semantic_dedup" -> ((s, d) => PipelinesExt.semanticDedupExact(s, d)),
+    "q81_semdedup_clustered" -> ((s, d) => PipelinesExt.semanticDedupClustered(s, d)),
+    "q82_vocab_prune" -> ((s, d) => PipelinesExt.vocabPrune(s, d)),
+    "q83_returned_items" -> ((s, d) => PipelinesExt.returnedItems(s, d)),
+    "q84_disjunctive_revenue" -> ((s, d) => PipelinesExt.disjunctiveRevenue(s, d)),
+    "q85_idle_customers" -> ((s, d) => PipelinesExt.idleCustomers(s, d)),
+    "q86_incremental_agg" -> ((s, d) => PipelinesExt.incrementalAggRefresh(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -144,7 +144,7 @@ object Similarity {
     * fit: a Bernoulli sample can under-supply (or empty) the clusters.
     * `c` must carry a vector `features` column.
     */
-  private def fitCellModel(c: DataFrame, nlist: Int, fitFraction: Double) = {
+  private[ext] def fitCellModel(c: DataFrame, nlist: Int, fitFraction: Double) = {
     import org.apache.spark.ml.clustering.KMeans
     val fitSample = c.select(col("features"))
       .sample(withReplacement = false, fitFraction, seed = 42L)

@@ -256,4 +256,42 @@ object TextAnalysis {
       .groupBy(col(idCol))
       .agg(countDistinct(col("gram")).as("n_gram_hits"))
   }
+
+  /** Corpus-driven stop-word pruning: rewrite every document with its
+    * k most document-frequent words removed, preserving the order of
+    * the remaining words. The C4/RefinedWeb boilerplate idea at word
+    * granularity — the stop list comes from the corpus itself (words
+    * ranked by document frequency, ties broken by the word so the list
+    * is deterministic at any scale), not from a fixed lexicon.
+    *
+    * Plan shape: one explode→groupBy pass computes per-word document
+    * frequency; the top-k list (k rows, bounded by construction) is
+    * collapsed to a single array row and broadcast-crossed onto the
+    * corpus; the rewrite itself is a pure HOF projection
+    * (filter + array_join) inside the scan — the corpus is never
+    * shuffled and never re-scanned for the rebuild.
+    */
+  def pruneTopWords(docs: DataFrame, k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 0, s"pruneTopWords: need k >= 0, got $k")
+    val words = split(col(textCol), " ")
+    // array_distinct before explode → one row per (doc, word), so the
+    // group count IS the document frequency
+    val dfreq = docs
+      .select(col(idCol), explode(array_distinct(words)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+    // orderBy+limit plans as TakeOrderedAndProject: per-partition
+    // top-k partials merged once — no single-partition global sort of
+    // the vocabulary
+    val stopRow = dfreq
+      .orderBy(col("_df").desc, col("_w")).limit(k)
+      // sort_array on the collected set: collect order is
+      // partition-nondeterministic, the value must not be
+      .agg(coalesce(sort_array(collect_set(col("_w"))),
+        array().cast("array<string>")).as("_stop"))
+    docs.crossJoin(broadcast(stopRow))
+      .select(col(idCol),
+        array_join(filter(words, w => !array_contains(col("_stop"), w)), " ")
+          .as("pruned"))
+  }
 }

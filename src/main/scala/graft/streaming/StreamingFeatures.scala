@@ -55,6 +55,43 @@ object StreamingFeatures {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Running (unwindowed) per-key aggregate state — the streaming
+    * sibling of `operators/IncrementalAgg`: same state columns
+    * (cnt / exact-decimal sm / mn / mx), but the running totals live in
+    * the streaming engine's OWN state store (RocksDB-backed partial
+    * aggregation), so each micro-batch emits the complete new state row
+    * for every touched key (update mode) and foreachBatch row-upserts
+    * those into the feature table. Idempotent under batch re-delivery —
+    * a re-run rewrites the same full state rows, where an arithmetic
+    * `IncrementalAgg.merge` in foreachBatch would double-count (that
+    * merge belongs to the scheduled-batch path, where delta replay is
+    * the caller's contract). State size is O(|keys|) — the same as the
+    * result table itself; there is nothing to watermark away.
+    */
+  def maintainAggState(
+      stream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      keys: Seq[String],
+      valueCol: String,
+      checkpointDir: String): StreamingQuery = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = col(valueCol)
+    val agg = stream.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("cnt"),
+      sum(v.cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("sm"),
+      min(v).as("mn"),
+      max(v).as("mx"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of an events directory with an explicit
     * schema (streaming sources cannot infer).
     */

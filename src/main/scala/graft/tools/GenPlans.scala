@@ -21,7 +21,11 @@ object GenPlans {
     ("q62_expectations", "Data-quality audit (round 5): five row-local checks + a unique-key count-distinct share ONE scan of lineitem (a single HashAggregate chain with an Expand for the distinct); the referential check is the one extra anti-join. Check count does not multiply scan count."),
     ("q69_min_cost_supplier", "TPC-H Q2 shape (round 7): the correlated scalar-min is rewritten to agg-once + join-back — lineitem is scanned twice but the min is computed ONCE (never per outer row); at this SF the 2-column agg output is broadcast back, at 100 TB AQE falls back to a sort-merge join where the agg and the join share the l_partkey partitioning. Equality on the double price is exact (min/=, no arithmetic); part/supplier dims broadcast."),
     ("q70_waiting_suppliers", "TPC-H Q21 shape (round 7): EXISTS compiles to a LEFT SEMI and NOT EXISTS to a LEFT ANTI hash join on l_orderkey — equi joins end to end, no nested loop despite the l2.l_suppkey <> l1.l_suppkey disequality (it rides along as the join residual). At this SF the projected 2-column lineitem sides broadcast; at 100 TB all three sides shuffle on the shared l_orderkey key and AQE splits skewed orders."),
-    ("q76_big_volume_orders", "TPC-H Q18 shape (round 7): the IN + HAVING subquery is a LEFT SEMI join against the grouped lineitem — at this SF the grouped build side broadcasts; at 100 TB the group-by aggregate, the semi join, and the final per-order aggregate all key on l_orderkey, so one hash partitioning serves all three. The customer dim broadcasts; top-100 runs as TakeOrderedAndProject."))
+    ("q76_big_volume_orders", "TPC-H Q18 shape (round 7): the IN + HAVING subquery is a LEFT SEMI join against the grouped lineitem — at this SF the grouped build side broadcasts; at 100 TB the group-by aggregate, the semi join, and the final per-order aggregate all key on l_orderkey, so one hash partitioning serves all three. The customer dim broadcasts; top-100 runs as TakeOrderedAndProject."),
+    ("q80_semantic_dedup", "Semantic dedup, exact (round 7): the earliest-survivor retained set is ONE anti join against the tiled all-pairs near-dup output — the Θ(n²) similarity work keeps the tiled equi-join shape (bounded per-task memory, no BroadcastNestedLoopJoin) and the retention step adds only a distinct + LEFT ANTI hash join on the id. The clustered SemDeDup variant (q81) replaces the all-pairs stage with per-cell joins."),
+    ("q82_vocab_prune", "Corpus stop-word pruning (round 7): the document-frequency pass is one explode+hash-agg; the top-k stop list runs as TakeOrderedAndProject (per-partition top-k partials — the vocabulary is never globally sorted in one partition) and collapses to a 1-row array that broadcast-crosses onto the corpus; the rebuild itself is a pure HOF projection inside the scan — the corpus is read once and never shuffled for the rewrite."),
+    ("q84_disjunctive_revenue", "TPC-H Q19 shape (round 7): Catalyst splits the brand/size/quantity disjunction — the (p_brand,p_size) arms push into the part scan and the l_quantity bounds into the lineitem scan (PushedFilters on BOTH sides), the full OR evaluates as the join residual. Part side broadcasts at this SF; at 100 TB both sides shuffle on the part key with the per-side filters still cutting the scan."),
+    ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")

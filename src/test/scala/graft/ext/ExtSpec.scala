@@ -145,6 +145,85 @@ class TextAnalysisSpec extends SparkSpec {
         ("c", 2L, 1L, 1L, 2.0)))
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("pruneTopWords: top-k by df (ties by word), order-preserving rebuild") {
+    val docs = Seq(
+      (1L, "the cat the hat"),   // df: the→3, cat→2, hat→1, dog→1, a→2
+      (2L, "a cat the dog"),
+      (3L, "a the")).toDF("doc_id", "text")
+    // k=2 → stop = {the(3), a(2)}: 'a' beats 'cat' (same df) by word order
+    val got = TextAnalysis.pruneTopWords(docs, k = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "cat hat"), (2L, "cat dog"), (3L, "")))
+  }
+
+  test("pruneTopWords: k=0 is identity; k >= vocab empties every doc") {
+    val docs = Seq((1L, "x y"), (2L, "y z")).toDF("doc_id", "text")
+    val id = TextAnalysis.pruneTopWords(docs, 0).orderBy("doc_id").collect()
+    assert(id.map(_.getString(1)).toSeq == Seq("x y", "y z"))
+    val all = TextAnalysis.pruneTopWords(docs, 10).orderBy("doc_id").collect()
+    assert(all.map(_.getString(1)).toSeq == Seq("", ""))
+  }
+}
+
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // corpus + one planted exact-direction duplicate per vector (scaled
+  // copy → cosine exactly 1.0 with its original, id shifted up so the
+  // original is always the survivor under the earliest-survivor rule)
+  private lazy val planted = {
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    base.unionByName(base
+      .withColumn("vec_id", col("vec_id") + 1000000L)
+      .withColumn("embedding",
+        transform(col("embedding"), x => x * lit(1.5f))))
+  }
+
+  test("retainExact: drops exactly the ids with an earlier neighbor >= t") {
+    val t0 = 0.45
+    val pairs = Similarity.cosineNearDupPairs(planted, t0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dropped = pairs.map(_._2).toSet
+    val all = planted.select("vec_id").collect().map(_.getLong(0)).toSet
+    val got = SemanticDedup.retainExact(planted, t0)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == all -- dropped)
+    // every planted copy has its original as an earlier cos=1 neighbor
+    val plantedIds = all.filter(_ >= 1000000L)
+    assert(plantedIds.subsetOf(dropped), "planted duplicates must drop")
+    assert(got.forall(_ < 1000000L))
+  }
+
+  test("retainExact: threshold above every pair retains everything") {
+    val base = graft.Tables.load(spark, sfDir, "embeddings")
+    val n = base.count()
+    assert(SemanticDedup.retainExact(base, 0.999999).count() == n)
+  }
+
+  test("retainClustered: superset of exact; no surviving intra-cell pair >= t") {
+    val t0 = 0.45
+    val exact = SemanticDedup.retainExact(planted, t0)
+      .collect().map(_.getLong(0)).toSet
+    val kept = SemanticDedup.retainClustered(planted, t0, nlist = 4)
+    val keptRows = kept.collect().map(r => (r.getLong(0), r.getInt(1)))
+    // cross-cell near-dups are never examined → clustered keeps ⊇ exact keeps
+    assert(exact.subsetOf(keptRows.map(_._1).toSet))
+    // contract: among survivors sharing a cell, no pair at/above threshold
+    val byId = planted.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    for {
+      Seq((ida, cella), (idb, cellb)) <- keptRows.sortBy(_._1).toSeq.combinations(2)
+      if cella == cellb
+    } assert(cos(byId(ida), byId(idb)) < t0,
+      s"surviving intra-cell pair ($ida,$idb) at >= $t0")
+  }
 }
 
 class GraftFunctionsSpec extends SparkSpec {

@@ -108,6 +108,50 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(store.readTable("user_stream_features").count() == n)
   }
 
+  test("maintainAggState: running totals match IncrementalAgg.build across restarts") {
+    import graft.operators.IncrementalAgg
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val first = events.filter(col("event_id") % 2 === 0)
+    val second = events.filter(col("event_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-aggstate-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    val keys = Seq("event_type")
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    // state schema = IncrementalAgg.build's output
+    val stateSchema = IncrementalAgg.build(
+      spark.read.parquet(streamDir), keys, "value").schema
+    store.createTable(FeatureTableSpec("agg_state", keys, stateSchema,
+      "running per-event-type value state"))
+    val ckpt = Files.createTempDirectory("graft-aggstate-ck-").toString
+
+    val q1 = StreamingFeatures.maintainAggState(stream, store, "agg_state",
+      keys, "value", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("cnt"), col("sm").cast("string"),
+        col("mn"), col("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(rows(store.readTable("agg_state")) ==
+      rows(IncrementalAgg.build(first, keys, "value")))
+
+    // second chunk arrives; SAME checkpoint — the streaming state store
+    // carries the running totals across the restart, only new files read
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainAggState(stream, store, "agg_state",
+      keys, "value", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+    assert(rows(store.readTable("agg_state")) ==
+      rows(IncrementalAgg.build(events, keys, "value")),
+      "running state != batch build over all data")
+  }
+
   test("guarded refresh merges clean rows and quarantines violations with reasons") {
     import graft.operators.Expectations._
     val events = graft.Tables.load(spark, sfDir, "events")
