@@ -234,15 +234,15 @@ object Dedup {
   // ------------------------------------------------- n-gram Jaccard
 
   /** Word n-grams (distinct) of case-normalized text — near-dup units
-    * are case-insensitive, like `TextAnalysis.fingerprint`.
+    * are case-insensitive, like `TextAnalysis.fingerprint`. Built on
+    * the shared lambda-BOUND builder: the earlier inline form re-ran
+    * the tokenization regex inside the window lambda once per gram
+    * (higher-order functions evaluate interpreted — no subexpression
+    * reuse), which multiplied the per-doc cost by the gram count.
     */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(lower(text))
+  def wordNgrams(text: Column, n: Int): Column =
     array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+      TextAnalysis.wordNgramsOf(TextAnalysis.tokens(lower(text)), n))
 
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:
     * re-load each side's n-gram set and compute |∩|/|∪|. The LSH stage

@@ -158,12 +158,24 @@ object TextAnalysis {
     * joined); fewer than n tokens → empty. Shared by the repetition
     * filter and the n-gram decontamination fingerprints so their
     * tokenization/guard semantics cannot drift apart.
+    *
+    * The input expression is BOUND ONCE as a lambda variable (the
+    * 1-element transform) before the window loop touches it. Higher-
+    * order functions evaluate interpreted, so inlining `w0` at each of
+    * the n element_at sites would re-run the whole upstream expression
+    * (trim + regex split + slice for [[ngramFingerprints]]) n times per
+    * window — ~n·len re-tokenizations per row, which benched 40 s where
+    * the bound form takes 2 s on the sf0.1 corpus. A lambda variable,
+    * by contrast, is a plain slot read at every reference.
     */
-  private def wordNgramsOf(w: Column, n: Int): Column =
-    when(size(w) >= n,
-      transform(sequence(lit(1), size(w) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
+  private[ext] def wordNgramsOf(w0: Column, n: Int): Column =
+    element_at(
+      transform(array(w0), w =>
+        when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + lit(j))): _*)))
+          .otherwise(array().cast("array<string>"))),
+      1)
 
   def repetitionStats(text: Column): Seq[(String, Column)] = {
     val w = tokens(text)
