@@ -25,10 +25,18 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // (elapsed seconds, completed without throwing)
+    // (elapsed seconds, completed without throwing). The noop sink —
+    // not count() — is what makes the timing honest: under count()
+    // Catalyst prunes every unused projection, so a pure-projection
+    // query (token counts, quality scores, PII scrub, ...) would time
+    // the parquet scan alone and report near-zero regardless of the
+    // operator's real cost. noop evaluates every output column and
+    // discards the rows — the standard Spark benching sink.
     def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val ok = try {
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
+      } catch { case _: Throwable => false }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
     val firstPass = selected.map { case (name, fn) => (name, fn, time(fn)._1) }

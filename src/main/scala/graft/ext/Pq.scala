@@ -66,7 +66,7 @@ object Pq {
     * init over the (hash-ordered) sample, empty clusters re-seeded to
     * the point farthest from its centroid.
     */
-  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+  private[ext] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     val d = pts(0).length
     val n = pts.length
     val cents = Array.tabulate(k)(i => pts(((i.toLong * n) / k).toInt % n).clone())

@@ -55,18 +55,15 @@ object SemanticDedup {
     * quadratic never dominates. Output ordering: (id).
     */
   def retainClustered(vectors: DataFrame, threshold: Double,
-      nlist: Int = 16, fitFraction: Double = 0.5,
+      nlist: Int = 16, maxFitPoints: Int = 4096,
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.functions.array_to_vector
     require(threshold > 0.0 && threshold < 1.0,
       s"retainClustered: threshold must be in (0,1), got $threshold")
     val c = Dedup.balanced(vectors)
       .select(col(idCol).as("id"), Similarity.asDouble(col(embCol)).as("emb"))
-      .withColumn("features", array_to_vector(col("emb")))
-      .cache()
-    val model = Similarity.fitCellModel(c, nlist, fitFraction)
-    val assigned = model.transform(c)
-      .select(col("id"), col("emb"), col("prediction").as("cell"))
+    val cents = Similarity.fitCentroids(c, "emb", nlist, maxFitPoints)
+    val assigned = c
+      .withColumn("cell", Similarity.cellExpr(col("emb"), cents))
       .withColumn("nrm", Similarity.norm(col("emb")))
     val l = assigned.select(col("cell"), col("id").as("id_l"),
       col("emb").as("emb_l"), col("nrm").as("nrm_l"))

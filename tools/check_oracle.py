@@ -35,7 +35,14 @@ def main(out_dir: str, sf_dir: str) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     failures = 0
+    checked = 0
+    import os
     for name, sql in sorted(oracle.items()):
+        # a filtered Verify run (SPARK_GRAFT_QUERIES) dumps a subset;
+        # only compare what is present
+        if not os.path.exists(f"{out_dir}/{name}"):
+            continue
+        checked += 1
         try:
             got = norm(pd.read_parquet(f"{out_dir}/{name}"))
             want = norm(con.execute(sql).df())
@@ -80,8 +87,9 @@ def main(out_dir: str, sf_dir: str) -> int:
             failures += 1
         else:
             print(f"OK   {name} ({len(got)} rows, {len(got.columns)} cols)")
-    not_checked = [n for n in sorted(json.load(open(f'{out_dir}/oracle_sql.json')))]
-    print(f"\n{len(not_checked) - failures}/{len(not_checked)} queries match")
+    skipped = len(oracle) - checked
+    note = f" ({skipped} not dumped, skipped)" if skipped else ""
+    print(f"\n{checked - failures}/{checked} queries match{note}")
     return 1 if failures else 0
 
 
