@@ -1028,6 +1028,41 @@ object PipelinesExt {
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
   }
 
+  // Layout-aware scan: events rewritten PARTITIONED BY event_type,
+  // then read back with a partition filter — the scan lists only the
+  // matching directory (PartitionFilters; PruningSpec pins the plan
+  // mechanics, this gates the end-to-end result). Fixture dir derives
+  // from the dataset dir so concurrent runs on different SFs never
+  // collide (the q44 lesson).
+  def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_evpart_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  // Array aggregation: per-customer sorted order-total list reduced to
+  // scalar probes (ends + middle). collect_list is partition-order
+  // nondeterministic, so the gate-portable contract is collect + SORT;
+  // the element probes hash-check that contract without emitting an
+  // array column (driver compare is scalar-typed).
+  def groupedArrays(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("totals"))
+      .select(col("o_custkey"),
+        size(col("totals")).cast("long").as("n_orders"),
+        element_at(col("totals"), 1).as("min_total"),
+        element_at(col("totals"), -1).as("max_total"),
+        expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
+      .orderBy("o_custkey")
+
   // Incremental aggregate maintenance: state built from the pre-1999
   // orders, the 1999+ tail folded in as a delta — the oracle
   // recomputes over ALL orders, so the gate hash-checks
@@ -1719,6 +1754,24 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the partition-pruned scan must produce exactly what a plain
+    // filtered scan of the source produces
+    "q87_partitioned_scan" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q88_grouped_arrays" ->
+      """WITH g AS (
+        |  SELECT o_custkey, list_sort(list(o_totalprice)) AS totals,
+        |         count(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+        |  totals[1] AS min_total, totals[-1] AS max_total,
+        |  totals[CAST((n + 1) // 2 AS INT)] AS mid_total
+        |FROM g ORDER BY o_custkey""".stripMargin,
 
     // the oracle aggregates ALL orders in one pass — the Spark side
     // must make base-state + delta-merge equal the full recompute

@@ -115,6 +115,8 @@ object SparkEntry {
     "q84_disjunctive_revenue" -> ((s, d) => PipelinesExt.disjunctiveRevenue(s, d)),
     "q85_idle_customers" -> ((s, d) => PipelinesExt.idleCustomers(s, d)),
     "q86_incremental_agg" -> ((s, d) => PipelinesExt.incrementalAggRefresh(s, d)),
+    "q87_partitioned_scan" -> ((s, d) => PipelinesExt.partitionedScan(s, d)),
+    "q88_grouped_arrays" -> ((s, d) => PipelinesExt.groupedArrays(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
