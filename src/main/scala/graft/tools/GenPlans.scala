@@ -25,7 +25,9 @@ object GenPlans {
     ("q80_semantic_dedup", "Semantic dedup, exact (round 7): the earliest-survivor retained set is ONE anti join against the tiled all-pairs near-dup output — the Θ(n²) similarity work keeps the tiled equi-join shape (bounded per-task memory, no BroadcastNestedLoopJoin) and the retention step adds only a distinct + LEFT ANTI hash join on the id. The clustered SemDeDup variant (q81) replaces the all-pairs stage with per-cell joins."),
     ("q82_vocab_prune", "Corpus stop-word pruning (round 7): the document-frequency pass is one explode+hash-agg; the top-k stop list runs as TakeOrderedAndProject (per-partition top-k partials — the vocabulary is never globally sorted in one partition) and collapses to a 1-row array that broadcast-crosses onto the corpus; the rebuild itself is a pure HOF projection inside the scan — the corpus is read once and never shuffled for the rewrite."),
     ("q84_disjunctive_revenue", "TPC-H Q19 shape (round 7): Catalyst splits the brand/size/quantity disjunction — the (p_brand,p_size) arms push into the part scan and the l_quantity bounds into the lineitem scan (PushedFilters on BOTH sides), the full OR evaluates as the join residual. Part side broadcasts at this SF; at 100 TB both sides shuffle on the part key with the per-side filters still cutting the scan."),
-    ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."))
+    ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."),
+    ("q35_ivf_ann", "IVF ANN (round 7 quantizer rewrite): the coarse centroids are fit LOCALLY on a bounded hash-ordered sample (the PQ/faiss discipline — a distributed KMeans's per-job overhead dwarfed the arithmetic) and folded back as literals, so cell assignment is a codegen'd chain of nlist dot products + least/coalesce argmin INSIDE the corpus scan projection — no ML vector conversion, no UDF, no fit jobs in this plan. The probe side crosses the tiny centroid frame and the candidate join shuffles on the cell id only."),
+    ("q87_partitioned_scan", "Partition-pruned layout scan (round 7): the read-back side's FileScan shows PartitionFilters on event_type — only the matching directory of the rewritten table is listed and read; the aggregation on top is an ordinary partial+final hash agg on user_id. The write side (PARTITIONED BY event_type) ran before this plan; at 100 TB the same shape prunes by date/tenant dirs."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
