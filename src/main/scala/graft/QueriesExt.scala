@@ -1063,6 +1063,22 @@ object PipelinesExt {
         expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
       .orderBy("o_custkey")
 
+  // Quantile discretization: decile-bin o_totalprice and aggregate
+  // per bin. Exact percentile edges are bit-identical to DuckDB
+  // quantile_cont (the q42 contract), so bin boundaries — and
+  // therefore every per-bin aggregate — hash-match.
+  def decileBinning(s: SparkSession, d: String): DataFrame =
+    graft.etl.Discretize.withQuantileBins(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", nBins = 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .orderBy("bin")
+
   // Incremental aggregate maintenance: state built from the pre-1999
   // orders, the 1999+ tail folded in as a delta — the oracle
   // recomputes over ALL orders, so the gate hash-checks
@@ -1754,6 +1770,19 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // bin = #edges <= value on both sides; edges from quantile_cont
+    // match Spark's exact percentile bit-for-bit (q42 contract)
+    "q89_decile_binning" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM orders)
+        |SELECT CAST(len(list_filter(edges, x -> x <= o_totalprice)) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders, e GROUP BY bin ORDER BY bin""".stripMargin,
 
     // the partition-pruned scan must produce exactly what a plain
     // filtered scan of the source produces

@@ -117,6 +117,7 @@ object SparkEntry {
     "q86_incremental_agg" -> ((s, d) => PipelinesExt.incrementalAggRefresh(s, d)),
     "q87_partitioned_scan" -> ((s, d) => PipelinesExt.partitionedScan(s, d)),
     "q88_grouped_arrays" -> ((s, d) => PipelinesExt.groupedArrays(s, d)),
+    "q89_decile_binning" -> ((s, d) => PipelinesExt.decileBinning(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

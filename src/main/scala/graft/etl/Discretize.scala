@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Quantile discretization (feature binning): assign each row the bin
+  * of its value among n quantile buckets — the feature-store
+  * transform behind "decile of spend"-style model features (the
+  * reference's notebooks recode categoricals by hand,
+  * `/root/reference/includes/setup.py:214-217`; binning is the
+  * numeric sibling [extension]).
+  *
+  * Execution shape: the n−1 exact percentile edges are ONE
+  * distributed aggregate folded back as a broadcast 1-row frame
+  * (never collected to the driver — same lazy pattern as
+  * `ZOrder`'s stats row), and the bin id is a pure projection over
+  * the tiny edge array. Fit + transform is a single lazy plan. Exact
+  * `percentile` keeps the edges bit-identical to ANSI
+  * `quantile_cont` (the q42 contract); at extreme cardinality swap
+  * in `approx_percentile` and accept sketch-specific edges
+  * (SURVEY §5.3 trade).
+  */
+object Discretize {
+
+  /** Attach `outCol` = the number of fitted quantile edges <= value:
+    * bin 0 holds values below the first edge, bin nBins−1 those at or
+    * above the last; a value equal to an edge lands in the upper bin.
+    * NULL values get NULL bins (the comparison propagates).
+    */
+  def withQuantileBins(df: DataFrame, valueCol: String, nBins: Int,
+      outCol: String = "bin"): DataFrame = {
+    require(nBins >= 2, s"withQuantileBins: need nBins >= 2, got $nBins")
+    require(!df.columns.contains(outCol),
+      s"withQuantileBins: column '$outCol' already exists")
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val edges = df.agg(
+      expr(s"percentile($valueCol, array(${probs.mkString(", ")}))").as("_edges"))
+    df.crossJoin(broadcast(edges))
+      .withColumn(outCol,
+        size(filter(col("_edges"), e => e <= col(valueCol))).cast("int"))
+      .drop("_edges")
+  }
+}

@@ -1,0 +1,54 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class DiscretizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("quartile bins: edges from exact percentiles, ties go up") {
+    // values 1..8: quartile edges (linear interpolation) = 2.75, 4.5, 6.25
+    val df = (1 to 8).map(_.toDouble).toDF("v")
+    val bins = Discretize.withQuantileBins(df, "v", 4)
+      .orderBy("v").collect().map(r => (r.getDouble(0), r.getInt(1)))
+    assert(bins.toSeq == Seq(
+      1.0 -> 0, 2.0 -> 0, 3.0 -> 1, 4.0 -> 1,
+      5.0 -> 2, 6.0 -> 2, 7.0 -> 3, 8.0 -> 3))
+  }
+
+  test("a value equal to an edge lands in the upper bin") {
+    // constant column: every edge equals the value → bin = nBins-1
+    val df = Seq(5.0, 5.0, 5.0, 5.0).toDF("v")
+    val bins = Discretize.withQuantileBins(df, "v", 4)
+      .select("bin").collect().map(_.getInt(0)).toSet
+    assert(bins == Set(3))
+  }
+
+  test("bins partition the data roughly evenly on distinct values") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val counts = Discretize.withQuantileBins(df, "v", 10)
+      .groupBy("bin").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (0 to 9).toSet)
+    assert(counts.values.forall(c => c >= 99 && c <= 101), counts.toString)
+  }
+
+  test("guards: nBins < 2 and existing out column are named errors") {
+    val df = Seq(1.0).toDF("v")
+    assert(intercept[IllegalArgumentException] {
+      Discretize.withQuantileBins(df, "v", 1)
+    }.getMessage.contains("nBins"))
+    assert(intercept[IllegalArgumentException] {
+      Discretize.withQuantileBins(df.withColumn("bin", lit(0)), "v", 4)
+    }.getMessage.contains("already exists"))
+  }
+
+  test("construction is lazy: no job until an action") {
+    val planned = Discretize.withQuantileBins(
+      graft.Tables.load(spark, sfDir, "orders"), "o_totalprice", 10)
+    // the plan exists without having run the percentile aggregate;
+    // explain would throw on an invalid plan
+    assert(planned.queryExecution.logical != null)
+  }
+}
