@@ -1063,6 +1063,28 @@ object PipelinesExt {
         expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
       .orderBy("o_custkey")
 
+  // Robust scaling: (x − median)/IQR per customer balance — the
+  // outlier-insensitive sibling of q60's z-score; exact percentile
+  // edges make the scaled doubles bit-portable.
+  def robustScaleBalances(s: SparkSession, d: String): DataFrame =
+    graft.etl.Encoders.robustScale(
+        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+        "c_acctbal", "acctbal_r")
+      .orderBy("c_custkey")
+
+  // Leave-one-out target encoding of order priority against the
+  // "order finished" label: integer group counts and sums enter ONE
+  // IEEE double expression written identically in the oracle, so the
+  // encoded doubles hash-match.
+  def targetEncodePriority(s: SparkSession, d: String): DataFrame =
+    graft.etl.Encoders.targetEncodeLoo(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus")),
+        "o_orderpriority", col("o_orderstatus") === "F", "enc_f",
+        smoothing = 10.0)
+      .select(col("o_orderkey"), col("enc_f"))
+      .orderBy("o_orderkey")
+
   // Quantile discretization: decile-bin o_totalprice and aggregate
   // per bin. Exact percentile edges are bit-identical to DuckDB
   // quantile_cont (the q42 contract), so bin boundaries — and
@@ -1770,6 +1792,34 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q90_robust_scale" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+        |         quantile_cont(c_acctbal, 0.5)  AS med,
+        |         quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        |  (c_acctbal - med) / (q3 - q1) AS acctbal_r
+        |FROM customer, q ORDER BY c_custkey""".stripMargin,
+
+    // same operation order as the Spark side: (cast(s_g - l) + m*prior)
+    // / cast(n_g - 1 + m) — identical IEEE doubles on both engines
+    "q91_target_encoding" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n_g,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s_g
+        |  FROM orders GROUP BY o_orderpriority),
+        |p AS (
+        |  SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS prior
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  (CAST(s_g - CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE)
+        |     + 10.0 * prior)
+        |  / CAST(n_g - 1 + 10.0 AS DOUBLE) AS enc_f
+        |FROM orders JOIN g USING (o_orderpriority), p
+        |ORDER BY o_orderkey""".stripMargin,
 
     // bin = #edges <= value on both sides; edges from quantile_cont
     // match Spark's exact percentile bit-for-bit (q42 contract)

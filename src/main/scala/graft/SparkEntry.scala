@@ -118,6 +118,8 @@ object SparkEntry {
     "q87_partitioned_scan" -> ((s, d) => PipelinesExt.partitionedScan(s, d)),
     "q88_grouped_arrays" -> ((s, d) => PipelinesExt.groupedArrays(s, d)),
     "q89_decile_binning" -> ((s, d) => PipelinesExt.decileBinning(s, d)),
+    "q90_robust_scale" -> ((s, d) => PipelinesExt.robustScaleBalances(s, d)),
+    "q91_target_encoding" -> ((s, d) => PipelinesExt.targetEncodePriority(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -1,0 +1,64 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Supervised + robust feature encodings [extension] — the numeric
+  * siblings of the reference's hand recodes
+  * (`/root/reference/includes/setup.py:209-221`), built so every
+  * arithmetic step is portable to an ANSI oracle: integer counts and
+  * exact sums enter one IEEE double expression evaluated in the same
+  * order on both engines.
+  */
+object Encoders {
+
+  /** Leave-one-out mean target encoding with additive smoothing:
+    * for a row in category g with binary label ℓ,
+    *   enc = (Σ_g ℓ − ℓ + m·prior) / (n_g − 1 + m)
+    * where prior is the global label mean. Excluding the row's own
+    * label kills the single-row leakage that makes naive mean
+    * encoding overfit; `smoothing` (m) shrinks rare categories toward
+    * the prior (a singleton category encodes exactly to it).
+    *
+    * Plan shape: one per-category aggregate joined back on the
+    * category (AQE broadcasts while the category table is small, which
+    * it is by definition of a categorical), plus the global prior as a
+    * broadcast 1-row cross — two shuffles total, rows never leave
+    * their partition for the encode itself.
+    */
+  def targetEncodeLoo(df: DataFrame, catCol: String, labelCol: Column,
+      outCol: String, smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0, s"targetEncodeLoo: smoothing must be > 0, got $smoothing")
+    val l = when(labelCol, 1L).otherwise(0L)
+    val grouped = df.groupBy(col(catCol)).agg(
+      count(lit(1)).as("_n_g"), sum(l).as("_s_g"))
+    val prior = df.agg(
+      (sum(l).cast("double") / count(lit(1))).as("_prior"))
+    df.join(grouped, Seq(catCol))
+      .crossJoin(broadcast(prior))
+      .withColumn(outCol,
+        ((col("_s_g") - l).cast("double") + lit(smoothing) * col("_prior")) /
+          (col("_n_g") - 1 + lit(smoothing)).cast("double"))
+      .drop("_n_g", "_s_g", "_prior")
+  }
+
+  /** Robust scaling: (x − median) / IQR — the outlier-insensitive
+    * standardization (vs the mean/stddev z-score, q60). Exact
+    * percentiles keep the three edges bit-identical to
+    * `quantile_cont`, so scaled values are oracle-checkable. The
+    * stats are one distributed aggregate broadcast back as a 1-row
+    * frame. A zero IQR (degenerate spread) scales to NaN explicitly —
+    * under ANSI mode the raw division would throw mid-job, which is
+    * the wrong place to learn the column is constant.
+    */
+  def robustScale(df: DataFrame, valueCol: String, outCol: String): DataFrame = {
+    val stats = df.agg(
+      expr(s"percentile($valueCol, array(0.25, 0.5, 0.75))").as("_q"))
+    val iqr = element_at(col("_q"), 3) - element_at(col("_q"), 1)
+    df.crossJoin(broadcast(stats))
+      .withColumn(outCol,
+        when(iqr === 0.0, lit(Double.NaN))
+          .otherwise((col(valueCol) - element_at(col("_q"), 2)) / iqr))
+      .drop("_q")
+  }
+}

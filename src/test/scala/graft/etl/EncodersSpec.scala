@@ -1,0 +1,55 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class EncodersSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("targetEncodeLoo: hand-computed values, own label excluded") {
+    // cats: a -> labels (1, 0); b -> (1); prior = 2/3, m = 1
+    val df = Seq(("r1", "a", true), ("r2", "a", false), ("r3", "b", true))
+      .toDF("id", "cat", "churn")
+    val enc = Encoders.targetEncodeLoo(df, "cat", col("churn"), "enc",
+        smoothing = 1.0)
+      .select("id", "enc").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val prior = 2.0 / 3.0
+    // cat a: n_g=2, s_g=1. r1 (label 1): (1-1 + 1*prior) / (2-1+1);
+    // r2 (label 0): (1-0 + prior) / 2
+    assert(math.abs(enc("r1") - prior / 2.0) < 1e-15)
+    assert(math.abs(enc("r2") - (1 + prior) / 2.0) < 1e-15)
+    // r3 singleton: (1-1 + prior) / (1-1+1) = prior exactly
+    assert(enc("r3") == prior)
+  }
+
+  test("targetEncodeLoo: rows in the same category with equal labels encode equally") {
+    val df = Seq(("a", true), ("a", true), ("a", false), ("b", false))
+      .toDF("cat", "churn")
+    val enc = Encoders.targetEncodeLoo(df, "cat", col("churn"), "enc")
+      .select("cat", "churn", "enc").collect()
+      .map(r => (r.getString(0), r.getBoolean(1)) -> r.getDouble(2))
+    val byKey = enc.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byKey(("a", true)).size == 1)
+    // within a category, a positive row must encode LOWER than a
+    // negative one (its own 1 is removed from the numerator)
+    assert(byKey(("a", true)).head < byKey(("a", false)).head)
+  }
+
+  test("robustScale: median maps to 0, quartiles to ±1/1") {
+    // 1..9: q1=3, med=5, q3=7, iqr=4
+    val df = (1 to 9).map(_.toDouble).toDF("v")
+    val s = Encoders.robustScale(df, "v", "z")
+      .orderBy("v").collect().map(_.getDouble(1))
+    assert(s(4) == 0.0)          // 5 -> 0
+    assert(s(2) == -0.5 && s(6) == 0.5) // 3 -> -0.5, 7 -> +0.5
+    assert(s(0) == -1.0 && s(8) == 1.0) // ends at ±1 for uniform data
+  }
+
+  test("robustScale: zero IQR scales to NaN (no mid-job ANSI throw)") {
+    val df = Seq(5.0, 5.0, 5.0).toDF("v")
+    val s = Encoders.robustScale(df, "v", "z").select("z")
+      .collect().map(_.getDouble(0))
+    assert(s.forall(_.isNaN))
+  }
+}
