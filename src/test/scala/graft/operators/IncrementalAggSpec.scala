@@ -60,6 +60,29 @@ class IncrementalAggSpec extends SparkSpec {
     assert(rows(folded).find(_._1 == "a").get._3 == "0.60")
   }
 
+  test("property: merge(build(base), delta) == build(all) for random data and splits") {
+    import org.scalacheck.{Gen, rng}
+    // values at 2-decimal granularity: the state sum is DECIMAL(38,2),
+    // so inputs must be representable or build(all) disagrees trivially
+    val rowsGen = Gen.listOfN(40,
+      Gen.zip(Gen.oneOf("a", "b", "c", "d"),
+        Gen.choose(-10000L, 10000L).map(_ / 100.0)))
+    val params = Gen.Parameters.default
+    for (i <- 0 until 8) {
+      val data = rowsGen(params, rng.Seed(7L + i)).getOrElse(Nil)
+      if (data.nonEmpty) {
+        val all = data.toDF("k", "v")
+        val cut = data(i % data.size)._2
+        val base = all.filter(col("v") <= cut)
+        val delta = all.filter(col("v") > cut)
+        val merged = IncrementalAgg.merge(
+          IncrementalAgg.build(base, keys, "v"), delta, keys, "v")
+        assert(rows(merged) == rows(IncrementalAgg.build(all, keys, "v")),
+          s"case $i split at $cut")
+      }
+    }
+  }
+
   test("merge rejects a state frame that did not come from build") {
     val bogus = Seq(("a", 1L)).toDF("k", "cnt")
     val delta = Seq(("a", 1.0)).toDF("k", "v")
