@@ -1063,6 +1063,15 @@ object PipelinesExt {
         expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
       .orderBy("o_custkey")
 
+  // Fuzzy string matching: distinct part-name pairs within edit
+  // distance 2 — q-gram-blocked candidates, exact levenshtein filter
+  // (identical unit-cost edit distance in both engines). The DuckDB
+  // oracle runs the naive all-pairs form; equality proves the
+  // count-filter blocking loses no pair.
+  def fuzzyNamePairs(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+
   // Robust scaling: (x − median)/IQR per customer balance — the
   // outlier-insensitive sibling of q60's z-score; exact percentile
   // edges make the scaled doubles bit-portable.
@@ -1792,6 +1801,15 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q92_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
 
     "q90_robust_scale" ->
       """WITH q AS (

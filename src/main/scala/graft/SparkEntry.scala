@@ -120,6 +120,7 @@ object SparkEntry {
     "q89_decile_binning" -> ((s, d) => PipelinesExt.decileBinning(s, d)),
     "q90_robust_scale" -> ((s, d) => PipelinesExt.robustScaleBalances(s, d)),
     "q91_target_encoding" -> ((s, d) => PipelinesExt.targetEncodePriority(s, d)),
+    "q92_fuzzy_names" -> ((s, d) => PipelinesExt.fuzzyNamePairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

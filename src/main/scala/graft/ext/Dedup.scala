@@ -244,6 +244,48 @@ object Dedup {
     array_distinct(
       TextAnalysis.wordNgramsOf(TextAnalysis.tokens(lower(text)), n))
 
+  /** Exact edit-distance pairs over the DISTINCT values of a string
+    * column (dedupe first — at corpus scale the same surface repeats
+    * thousands of times and pair counts would square). Candidates come
+    * from q-gram COUNT FILTERING (ED-Join, Xiao et al. VLDB 2008): one
+    * edit destroys at most q overlapping q-grams, so two strings
+    * within maxDist share at least (Lmin−q+1) − maxDist·q grams —
+    * ≥ 1 whenever Lmin ≥ (maxDist+1)·q. Long strings therefore meet
+    * through an EQUI join on shared q-grams; strings below the
+    * guarantee length (a set bounded by the alphabet, independent of
+    * corpus size) pair via a broadcast against the length band
+    * |Δlen| ≤ maxDist (edit distance ≥ length difference). No
+    * all-pairs join at any scale; the exact `levenshtein` filter runs
+    * on candidates only.
+    */
+  def editDistancePairs(df: DataFrame, textCol: String,
+      maxDist: Int = 2, q: Int = 2): DataFrame = {
+    require(maxDist >= 0, s"editDistancePairs: maxDist must be >= 0, got $maxDist")
+    require(q >= 1, s"editDistancePairs: q must be >= 1, got $q")
+    val names = balanced(df.select(col(textCol).as("name"))
+      .filter(col("name").isNotNull).distinct())
+    val minSafe = (maxDist + 1) * q
+    val grams = names.filter(length(col("name")) >= minSafe)
+      .select(col("name"), explode(array_distinct(
+        transform(sequence(lit(1), length(col("name")) - (q - 1)),
+          i => col("name").substr(i, lit(q))))).as("gram"))
+    val candLong = grams.select(col("name").as("name_a"), col("gram"))
+      .join(grams.select(col("name").as("name_b"), col("gram")), Seq("gram"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b")
+    val short = names.filter(length(col("name")) < minSafe)
+      .select(col("name").as("s_name"))
+    val shortPairs = names
+      .join(broadcast(short),
+        col("name") =!= col("s_name") &&
+          abs(length(col("name")) - length(col("s_name"))) <= maxDist)
+      .select(least(col("name"), col("s_name")).as("name_a"),
+        greatest(col("name"), col("s_name")).as("name_b"))
+    candLong.unionByName(shortPairs).distinct()
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:
     * re-load each side's n-gram set and compute |∩|/|∪|. The LSH stage
     * bounds the pair count, so this never goes quadratic.

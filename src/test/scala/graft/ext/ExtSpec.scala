@@ -404,6 +404,44 @@ class DedupSpec extends SparkSpec {
     assert(gs(0) == Seq.empty)
     assert(gs(1) == Seq("a b c", "b c d"))
   }
+
+  test("editDistancePairs equals brute force, incl. below-guarantee-length strings") {
+    // "ab"/"b" are shorter than (maxDist+1)*q = 6: the q-gram count
+    // filter cannot guarantee a shared gram for them — the short-string
+    // broadcast band must recover those pairs
+    val names = Seq("cat", "cart", "charts", "dog", "dogs", "ab", "b",
+      "red widget", "red widgets", "blue widget")
+    val df = names.toDF("nm")
+    val got = Dedup.editDistancePairs(df, "nm", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b) -> dd).toMap
+    assert(got == want)
+    assert(got.contains(("ab", "b")) && got(("ab", "b")) == 1)
+    assert(got(("cart", "charts")) == 2)
+  }
+
+  test("editDistancePairs on part names matches brute force at sf0.001") {
+    val part = graft.Tables.load(spark, sfDir, "part")
+    val got = Dedup.editDistancePairs(part, "p_name", maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val names = part.select("p_name").distinct()
+    val brute = names.select(col("p_name").as("a"))
+      .crossJoin(names.select(col("p_name").as("b")))
+      .filter(col("a") < col("b") && levenshtein(col("a"), col("b")) <= 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture should contain near-identical names")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
