@@ -1063,6 +1063,45 @@ object PipelinesExt {
         expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
       .orderBy("o_custkey")
 
+  // Conversion funnel: per-user first view / first subsequent purchase
+  // — conditional-min aggregates over one events scan, epoch-µs output
+  // (the q17 timestamp discipline). NULL-safe conversion flag via
+  // coalesce so never-purchased users gate to 0, not NULL.
+  def conversionFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase_us"))
+      .withColumn("converted",
+        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
+          .cast("int"))
+      .orderBy("user_id")
+  }
+
+  // Cohort retention: users bucketed by the ISO week of their first
+  // event; activity weeks indexed by exact micro-second arithmetic
+  // ((w − cohort_w) div week_µs — both weeks are date_trunc'd so the
+  // division is exact, no calendar functions past the shared trunc).
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(unix_micros(date_trunc("week", min(col("ts")))).as("cohort_us"))
+    val active = ev
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("w_us"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_us"),
+        ((col("w_us") - col("cohort_us")) / lit(604800000000L)).cast("long")
+          .as("week_n"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_us", "week_n")
+  }
+
   // Fuzzy string matching: distinct part-name pairs within edit
   // distance 2 — q-gram-blocked candidates, exact levenshtein filter
   // (identical unit-cost edit distance in both engines). The DuckDB
@@ -1801,6 +1840,29 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q93_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
+        |  CAST(coalesce(
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END), false) AS INT)
+        |    AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q94_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS w_us
+        |  FROM events)
+        |SELECT cohort_us,
+        |  CAST((w_us - cohort_us) // 604800000000 AS BIGINT) AS week_n,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_us, week_n ORDER BY cohort_us, week_n""".stripMargin,
 
     "q92_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT p_name AS name FROM part

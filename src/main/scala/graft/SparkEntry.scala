@@ -121,6 +121,8 @@ object SparkEntry {
     "q90_robust_scale" -> ((s, d) => PipelinesExt.robustScaleBalances(s, d)),
     "q91_target_encoding" -> ((s, d) => PipelinesExt.targetEncodePriority(s, d)),
     "q92_fuzzy_names" -> ((s, d) => PipelinesExt.fuzzyNamePairs(s, d)),
+    "q93_funnel" -> ((s, d) => PipelinesExt.conversionFunnel(s, d)),
+    "q94_cohort_retention" -> ((s, d) => PipelinesExt.cohortRetention(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
