@@ -281,9 +281,12 @@ object Dedup {
           abs(length(col("name")) - length(col("s_name"))) <= maxDist)
       .select(least(col("name"), col("s_name")).as("name_a"),
         greatest(col("name"), col("s_name")).as("name_b"))
+    // 3-arg levenshtein: banded O(maxDist·n) with early exit (-1 past
+    // the threshold) instead of the full O(n²) table per candidate
     candLong.unionByName(shortPairs).distinct()
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("int"))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist",
+        levenshtein(col("name_a"), col("name_b"), maxDist).cast("int"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
   }
 
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:

@@ -27,7 +27,8 @@ object GenPlans {
     ("q84_disjunctive_revenue", "TPC-H Q19 shape (round 7): Catalyst splits the brand/size/quantity disjunction — the (p_brand,p_size) arms push into the part scan and the l_quantity bounds into the lineitem scan (PushedFilters on BOTH sides), the full OR evaluates as the join residual. Part side broadcasts at this SF; at 100 TB both sides shuffle on the part key with the per-side filters still cutting the scan."),
     ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."),
     ("q35_ivf_ann", "IVF ANN (round 7 quantizer rewrite): the coarse centroids are fit LOCALLY on a bounded hash-ordered sample (the PQ/faiss discipline — a distributed KMeans's per-job overhead dwarfed the arithmetic) and folded back as literals, so cell assignment is a codegen'd chain of nlist dot products + least/coalesce argmin INSIDE the corpus scan projection — no ML vector conversion, no UDF, no fit jobs in this plan. The probe side crosses the tiny centroid frame and the candidate join shuffles on the cell id only."),
-    ("q87_partitioned_scan", "Partition-pruned layout scan (round 7): the read-back side's FileScan shows PartitionFilters on event_type — only the matching directory of the rewritten table is listed and read; the aggregation on top is an ordinary partial+final hash agg on user_id. The write side (PARTITIONED BY event_type) ran before this plan; at 100 TB the same shape prunes by date/tenant dirs."))
+    ("q87_partitioned_scan", "Partition-pruned layout scan (round 7): the read-back side's FileScan shows PartitionFilters on event_type — only the matching directory of the rewritten table is listed and read; the aggregation on top is an ordinary partial+final hash agg on user_id. The write side (PARTITIONED BY event_type) ran before this plan; at 100 TB the same shape prunes by date/tenant dirs."),
+    ("q92_fuzzy_names", "Edit-distance join (round 7): candidates are an EQUI join on exploded q-grams (count filtering guarantees recall for strings >= (maxDist+1)·q long), the alphabet-bounded short-string set joins via broadcast, and the exact banded levenshtein(threshold) runs on candidates only — no all-pairs nested loop anywhere despite the non-equi predicate."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")
