@@ -1102,6 +1102,23 @@ object PipelinesExt {
       .orderBy("cohort_us", "week_n")
   }
 
+  // Session-scoped funnel: the q93 conversion shape applied WITHIN
+  // gap-based sessions — per (user, session), first view and first
+  // later purchase. Composes the per-event session assignment with
+  // conditional-min aggregates; the whole plan still has one exchange
+  // on user_id (windows and group-by share it).
+  def sessionFunnel(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize
+      .assignBatch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("_us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("_us"))).as("first_purchase_us"))
+      .withColumn("converted",
+        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
+          .cast("int"))
+      .orderBy("user_id", "session_id")
+
   // Fuzzy string matching: distinct part-name pairs within edit
   // distance 2 — q-gram-blocked candidates, exact levenshtein filter
   // (identical unit-cost edit distance in both engines). The DuckDB
@@ -1840,6 +1857,24 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q95_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+        |                     ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id,
+        |  min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase_us,
+        |  CAST(coalesce(
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) >
+        |    min(CASE WHEN event_type = 'view' THEN us END), false) AS INT) AS converted
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
 
     "q93_funnel" ->
       """SELECT user_id,

@@ -123,6 +123,7 @@ object SparkEntry {
     "q92_fuzzy_names" -> ((s, d) => PipelinesExt.fuzzyNamePairs(s, d)),
     "q93_funnel" -> ((s, d) => PipelinesExt.conversionFunnel(s, d)),
     "q94_cohort_retention" -> ((s, d) => PipelinesExt.cohortRetention(s, d)),
+    "q95_session_funnel" -> ((s, d) => PipelinesExt.sessionFunnel(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

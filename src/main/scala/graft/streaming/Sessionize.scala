@@ -30,9 +30,24 @@ object Sessionize {
     * on DECIMAL(18,4) (exact) for oracle portability.
     */
   def batch(events: DataFrame, gapMicros: Long): DataFrame = {
+    assignBatch(events, gapMicros).groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("_us")).as("start_us"),
+        max(col("_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+  }
+
+  /** Per-event session assignment: every input column plus `_us`
+    * (epoch micros) and `session_id` (1-based running break count per
+    * user). One exchange on user_id; both window passes share the
+    * (user_id | ts, event_id) sort. Factored out of [[batch]] so
+    * session-scoped analyses (funnels, paths) can group the raw events
+    * themselves.
+    */
+  def assignBatch(events: DataFrame, gapMicros: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val withTs = events.withColumn("_us", unix_micros(col("ts").cast("timestamp")))
-    val sessioned = withTs
+    events.withColumn("_us", unix_micros(col("ts").cast("timestamp")))
       .withColumn("_new_sess",
         when(col("_us") - lag(col("_us"), 1).over(byUser) > gapMicros, 1)
           .when(lag(col("_us"), 1).over(byUser).isNull, 1)
@@ -40,12 +55,7 @@ object Sessionize {
       .withColumn("session_id", sum(col("_new_sess")).over(
         Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    sessioned.groupBy(col("user_id"), col("session_id"))
-      .agg(
-        min(col("_us")).as("start_us"),
-        max(col("_us")).as("end_us"),
-        count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .drop("_new_sess")
   }
 
   // -------------------------------------------------------- streaming
