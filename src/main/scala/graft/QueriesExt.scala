@@ -1102,6 +1102,23 @@ object PipelinesExt {
       .orderBy("cohort_us", "week_n")
   }
 
+  // Behavioral transition matrix: counts of consecutive event-type
+  // pairs per user timeline (lead over the per-user time order, then
+  // one group-by) — the Markov-chain input for path analysis. Total
+  // ordering (us, event_id) makes the pairs deterministic under ties.
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("event_type", "next_type")
+  }
+
   // Session-scoped funnel: the q93 conversion shape applied WITHIN
   // gap-based sessions — per (user, session), first view and first
   // later purchase. Composes the per-event session assignment with
@@ -1857,6 +1874,18 @@ object OraclesExt {
         |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
         |                  AND o_orderdate >= DATE '2000-01-01')
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q96_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |t AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
 
     "q95_session_funnel" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us

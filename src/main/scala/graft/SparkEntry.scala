@@ -124,6 +124,7 @@ object SparkEntry {
     "q93_funnel" -> ((s, d) => PipelinesExt.conversionFunnel(s, d)),
     "q94_cohort_retention" -> ((s, d) => PipelinesExt.cohortRetention(s, d)),
     "q95_session_funnel" -> ((s, d) => PipelinesExt.sessionFunnel(s, d)),
+    "q96_event_transitions" -> ((s, d) => PipelinesExt.eventTransitions(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
