@@ -246,17 +246,31 @@ object Dedup {
 
   /** Exact edit-distance pairs over the DISTINCT values of a string
     * column (dedupe first — at corpus scale the same surface repeats
-    * thousands of times and pair counts would square). Candidates come
-    * from q-gram COUNT FILTERING (ED-Join, Xiao et al. VLDB 2008): one
-    * edit destroys at most q overlapping q-grams, so two strings
-    * within maxDist share at least (Lmin−q+1) − maxDist·q grams —
-    * ≥ 1 whenever Lmin ≥ (maxDist+1)·q. Long strings therefore meet
-    * through an EQUI join on shared q-grams; strings below the
-    * guarantee length (a set bounded by the alphabet, independent of
-    * corpus size) pair via a broadcast against the length band
-    * |Δlen| ≤ maxDist (edit distance ≥ length difference). No
-    * all-pairs join at any scale; the exact `levenshtein` filter runs
-    * on candidates only.
+    * thousands of times and pair counts would square). Every stage is
+    * an EQUI join — no nested-loop join at any scale:
+    *
+    *   - Strings with length ≥ (maxDist+1)·q meet through shared
+    *     q-grams with ED-Join COUNT FILTERING (Gravano et al. VLDB
+    *     2001; Xiao et al. VLDB 2008): one edit destroys at most q
+    *     overlapping q-grams, so ed(a,b) ≤ maxDist implies the gram
+    *     MULTISETS share ≥ (max(|a|,|b|)−q+1) − maxDist·q grams. The
+    *     count is on multisets (Σ min(cnt_a, cnt_b) per gram) —
+    *     distinct-gram counting undercounts repeated grams
+    *     ("aaaaaa" has one distinct 2-gram) and would wrongly prune.
+    *     The count filter, not mere gram existence, is what keeps a
+    *     hot gram ("er", "an") from flooding the levenshtein stage.
+    *   - Strings below that length meet through shared 1-grams with
+    *     the same bound at q=1 (shared chars ≥ max(|a|,|b|) − maxDist,
+    *     ≥ 1 whenever the longer side has length ≥ maxDist+1),
+    *     joined against the length band |Δlen| ≤ maxDist.
+    *   - Tiny strings (length ≤ maxDist) are ALL pairwise within
+    *     maxDist (ed ≤ max length); they meet in one sentinel bucket
+    *     — a 2-char "gram" no real 1-gram can equal — so the pair
+    *     set, inherently Θ(|tiny|²) because every pair is an output
+    *     row, is produced by the same hash equi join.
+    *
+    * The exact banded `levenshtein(·,·,maxDist)` runs on candidates
+    * only. Length filtering (|Δlen| ≤ maxDist) rides every join.
     */
   def editDistancePairs(df: DataFrame, textCol: String,
       maxDist: Int = 2, q: Int = 2): DataFrame = {
@@ -264,29 +278,73 @@ object Dedup {
     require(q >= 1, s"editDistancePairs: q must be >= 1, got $q")
     val names = balanced(df.select(col(textCol).as("name"))
       .filter(col("name").isNotNull).distinct())
+      .withColumn("len", length(col("name")))
     val minSafe = (maxDist + 1) * q
-    val grams = names.filter(length(col("name")) >= minSafe)
-      .select(col("name"), explode(array_distinct(
-        transform(sequence(lit(1), length(col("name")) - (q - 1)),
-          i => col("name").substr(i, lit(q))))).as("gram"))
-    val candLong = grams.select(col("name").as("name_a"), col("gram"))
-      .join(grams.select(col("name").as("name_b"), col("gram")), Seq("gram"))
-      .filter(col("name_a") < col("name_b"))
+
+    // gram multiset counts: one row per (name, gram) with its
+    // occurrence count. Map-side partial agg absorbs most of the
+    // groupBy (all grams of a name sit in one input partition).
+    def gramCounts(sub: DataFrame, g: Int): DataFrame =
+      sub.filter(col("len") >= g)
+        .select(col("name"), col("len"),
+          explode(transform(sequence(lit(1), col("len") - (g - 1)),
+            i => col("name").substr(i, lit(g)))).as("gram"))
+        .groupBy("name", "len", "gram").agg(count(lit(1)).as("cnt"))
+    def asA(g: DataFrame): DataFrame = g.select(col("name").as("name_a"),
+      col("len").as("len_a"), col("gram"), col("cnt").as("cnt_a"))
+    def asB(g: DataFrame): DataFrame = g.select(col("name").as("name_b"),
+      col("len").as("len_b"), col("gram"), col("cnt").as("cnt_b"))
+
+    // long × long: q-gram equi join + multiset count filter
+    val longG = gramCounts(names.filter(col("len") >= minSafe), q)
+    val candLong = asA(longG).join(asB(longG), Seq("gram"))
+      .filter(col("name_a") < col("name_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .groupBy("name_a", "name_b")
+      .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("shared"),
+        max(greatest(col("len_a"), col("len_b"))).as("mx"))
+      .filter(col("shared") >= col("mx") - (q - 1) - maxDist * q)
       .select("name_a", "name_b")
-    val short = names.filter(length(col("name")) < minSafe)
-      .select(col("name").as("s_name"))
-    val shortPairs = names
-      .join(broadcast(short),
-        col("name") =!= col("s_name") &&
-          abs(length(col("name")) - length(col("s_name"))) <= maxDist)
-      .select(least(col("name"), col("s_name")).as("name_a"),
-        greatest(col("name"), col("s_name")).as("name_b"))
+
+    // short side (len < minSafe) × its reachable length band: 1-gram
+    // equi join + count filter at q=1. Tiny strings additionally carry
+    // the sentinel row so char-disjoint tiny pairs ("ab"/"cd") still
+    // meet; for any pair with max len ≤ maxDist the count threshold is
+    // ≤ 0, so the sentinel never has to lie about real shared chars.
+    val sentinel = names.filter(col("len") <= maxDist)
+      .select(col("name"), col("len"), lit("  ").as("gram"),
+        lit(1L).as("cnt"))
+    val shortG = gramCounts(names.filter(col("len") < minSafe), 1)
+      .unionByName(sentinel)
+    val bandG = gramCounts(names.filter(col("len") < minSafe + maxDist), 1)
+      .unionByName(sentinel)
+    val candShort = asA(shortG).join(asB(bandG), Seq("gram"))
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist &&
+        // one orientation per unordered pair: short×short by name
+        // order; short×long only ever joins with the long on the right
+        (col("len_b") >= minSafe || col("name_a") < col("name_b")))
+      .groupBy(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+      .agg(sum(least(col("cnt_a"), col("cnt_b"))).as("shared"),
+        max(greatest(col("len_a"), col("len_b"))).as("mx"))
+      .filter(col("shared") >= col("mx") - maxDist)
+      .select("name_a", "name_b")
+
     // 3-arg levenshtein: banded O(maxDist·n) with early exit (-1 past
-    // the threshold) instead of the full O(n²) table per candidate
-    candLong.unionByName(shortPairs).distinct()
+    // the threshold) instead of the full O(n²) table per candidate.
+    // The OR with an always-false nondeterministic arm pins this
+    // filter HERE: levenshtein must run once per count-filtered pair,
+    // but Catalyst would otherwise push the predicate through the
+    // distinct and the pair aggregation into the gram joins, where it
+    // evaluates per (pair, shared-gram) row — on a hot gram's
+    // quadratic bucket, exactly the flood the count filter exists to
+    // prevent. A plain AND-ed conjunct doesn't work: pushdown splits
+    // conjunctions and pushes the deterministic parts alone.
+    candLong.unionByName(candShort).distinct()
       .withColumn("dist",
         levenshtein(col("name_a"), col("name_b"), maxDist).cast("int"))
-      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .filter((col("dist") >= 0 && col("dist") <= maxDist) ||
+        monotonically_increasing_id() < 0)
   }
 
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:

@@ -28,7 +28,7 @@ object GenPlans {
     ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."),
     ("q35_ivf_ann", "IVF ANN (round 7 quantizer rewrite): the coarse centroids are fit LOCALLY on a bounded hash-ordered sample (the PQ/faiss discipline — a distributed KMeans's per-job overhead dwarfed the arithmetic) and folded back as literals, so cell assignment is a codegen'd chain of nlist dot products + least/coalesce argmin INSIDE the corpus scan projection — no ML vector conversion, no UDF, no fit jobs in this plan. The probe side crosses the tiny centroid frame and the candidate join shuffles on the cell id only."),
     ("q87_partitioned_scan", "Partition-pruned layout scan (round 7): the read-back side's FileScan shows PartitionFilters on event_type — only the matching directory of the rewritten table is listed and read; the aggregation on top is an ordinary partial+final hash agg on user_id. The write side (PARTITIONED BY event_type) ran before this plan; at 100 TB the same shape prunes by date/tenant dirs."),
-    ("q92_fuzzy_names", "Edit-distance join (round 7): candidates are an EQUI join on exploded q-grams (count filtering guarantees recall for strings >= (maxDist+1)·q long), the alphabet-bounded short-string set joins via broadcast, and the exact banded levenshtein(threshold) runs on candidates only — no all-pairs nested loop anywhere despite the non-equi predicate."))
+    ("q92_fuzzy_names", "Edit-distance join (round 8 rewrite): every stage is an EQUI join — long strings meet on shared q-grams with ED-Join MULTISET count filtering (shared >= max(len)−q+1−maxDist·q, computed as sum(least(cnt_a,cnt_b)) per pair, so a hot gram cannot flood the levenshtein stage), short strings meet on 1-grams with the same bound at q=1 against the |Δlen|<=maxDist band, and tiny strings (len<=maxDist — all pairwise matches by definition) meet in one sentinel hash bucket. No BroadcastNestedLoopJoin and no CartesianProduct anywhere (spec-asserted, DedupSpec); the exact banded levenshtein(threshold) runs on count-filtered candidates only."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")

@@ -430,6 +430,45 @@ class DedupSpec extends SparkSpec {
     assert(got(("cart", "charts")) == 2)
   }
 
+  test("editDistancePairs hot-gram case equals brute force (count filter, not existence)") {
+    // every name shares the hot 2-gram "er": existence-only filtering
+    // would make one quadratic bucket; the ED-Join count filter must
+    // still lose no pair. Includes repeated-gram strings ("aaaaaa")
+    // where a distinct-gram count would wrongly prune, and
+    // char-disjoint tiny pairs ("ab"/"cd") that only the sentinel
+    // bucket can produce.
+    val names = Seq("tiger", "tigers", "tigerss", "singer", "winger",
+      "wingers", "finger", "fingers", "powders", "powderss", "mergers",
+      "mergerss", "aaaaaa", "aaaaab", "aaabaa", "ab", "cd", "b", "",
+      "ersers", "errser")
+    val df = names.toDF("nm")
+    val got = Dedup.editDistancePairs(df, "nm", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = (for {
+      a <- names; b <- names if a < b
+      dd = lev(a, b) if dd <= 2
+    } yield (a, b) -> dd).toMap
+    assert(got == want)
+    assert(got(("aaaaaa", "aaaaab")) == 1) // multiset counts, not distinct
+    assert(got(("ab", "cd")) == 2)         // char-disjoint tiny pair
+    assert(got(("", "b")) == 1)            // empty string pairs via sentinel
+  }
+
+  test("editDistancePairs plan contains no nested-loop or cartesian join") {
+    val df = Seq("cat", "cart", "charts", "ab", "b").toDF("nm")
+    val plan = Dedup.editDistancePairs(df, "nm", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("editDistancePairs on part names matches brute force at sf0.001") {
     val part = graft.Tables.load(spark, sfDir, "part")
     val got = Dedup.editDistancePairs(part, "p_name", maxDist = 1)
