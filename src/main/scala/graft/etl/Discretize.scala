@@ -25,7 +25,10 @@ object Discretize {
   /** Attach `outCol` = the number of fitted quantile edges <= value:
     * bin 0 holds values below the first edge, bin nBins−1 those at or
     * above the last; a value equal to an edge lands in the upper bin.
-    * NULL values get NULL bins (the comparison propagates).
+    * NULL values get NULL bins via an explicit guard — the HOF
+    * `filter` DROPS elements whose predicate is NULL rather than
+    * propagating, so without the guard a NULL value would silently
+    * land in bin 0 (spec-asserted in DiscretizeSpec).
     */
   def withQuantileBins(df: DataFrame, valueCol: String, nBins: Int,
       outCol: String = "bin"): DataFrame = {
@@ -37,7 +40,8 @@ object Discretize {
       expr(s"percentile($valueCol, array(${probs.mkString(", ")}))").as("_edges"))
     df.crossJoin(broadcast(edges))
       .withColumn(outCol,
-        size(filter(col("_edges"), e => e <= col(valueCol))).cast("int"))
+        when(col(valueCol).isNull, lit(null).cast("int"))
+          .otherwise(size(filter(col("_edges"), e => e <= col(valueCol))).cast("int")))
       .drop("_edges")
   }
 }

@@ -25,6 +25,11 @@ object Encoders {
     * it is by definition of a categorical), plus the global prior as a
     * broadcast 1-row cross — two shuffles total, rows never leave
     * their partition for the encode itself.
+    *
+    * A NULL category is a category: the join-back is null-safe (`<=>`)
+    * so NULL-category rows encode against the NULL group exactly like
+    * any other — a plain equi join would silently DROP them (inner
+    * join keys never match NULL). Spec-asserted in EncodersSpec.
     */
   def targetEncodeLoo(df: DataFrame, catCol: String, labelCol: Column,
       outCol: String, smoothing: Double = 10.0): DataFrame = {
@@ -32,9 +37,11 @@ object Encoders {
     val l = when(labelCol, 1L).otherwise(0L)
     val grouped = df.groupBy(col(catCol)).agg(
       count(lit(1)).as("_n_g"), sum(l).as("_s_g"))
+      .withColumnRenamed(catCol, "_cat")
     val prior = df.agg(
       (sum(l).cast("double") / count(lit(1))).as("_prior"))
-    df.join(grouped, Seq(catCol))
+    df.join(grouped, col(catCol) <=> col("_cat"))
+      .drop("_cat")
       .crossJoin(broadcast(prior))
       .withColumn(outCol,
         ((col("_s_g") - l).cast("double") + lit(smoothing) * col("_prior")) /

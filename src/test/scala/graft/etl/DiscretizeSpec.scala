@@ -34,6 +34,20 @@ class DiscretizeSpec extends SparkSpec {
     assert(counts.values.forall(c => c >= 99 && c <= 101), counts.toString)
   }
 
+  test("NULL values get NULL bins, not bin 0") {
+    // HOF filter drops elements on a NULL predicate, so without the
+    // explicit guard size(filter(...)) is 0 and NULL lands in the
+    // lowest decile
+    val df = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("v")
+    val got = Discretize.withQuantileBins(df, "v", 4)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getDouble(0))) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(got(None) == None)
+    assert(got(Some(1.0)) == Some(0)) // non-null rows still bin normally
+    assert(got(Some(4.0)) == Some(3))
+  }
+
   test("guards: nBins < 2 and existing out column are named errors") {
     val df = Seq(1.0).toDF("v")
     assert(intercept[IllegalArgumentException] {

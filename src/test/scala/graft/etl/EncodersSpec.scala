@@ -36,6 +36,21 @@ class EncodersSpec extends SparkSpec {
     assert(byKey(("a", true)).head < byKey(("a", false)).head)
   }
 
+  test("targetEncodeLoo: NULL category is a category — rows survive and encode against the NULL group") {
+    // a plain inner equi join would drop the two NULL-category rows
+    val df = Seq(("r1", Some("a"), true), ("r2", Some("a"), false),
+      ("r3", None, true), ("r4", None, true))
+      .toDF("id", "cat", "churn")
+    val enc = Encoders.targetEncodeLoo(df, "cat", col("churn"), "enc",
+        smoothing = 1.0)
+      .select("id", "enc").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(enc.size == 4, "no rows may vanish")
+    // NULL group: n_g=2, s_g=2, prior=3/4; both rows label 1:
+    // (2-1 + 1*0.75) / (2-1+1) = 1.75/2
+    assert(math.abs(enc("r3") - 1.75 / 2.0) < 1e-15)
+    assert(enc("r3") == enc("r4"))
+  }
+
   test("robustScale: median maps to 0, quartiles to ±1/1") {
     // 1..9: q1=3, med=5, q3=7, iqr=4
     val df = (1 to 9).map(_.toDouble).toDF("v")
