@@ -238,10 +238,26 @@ object Similarity {
     * ints — are collected and spliced into the scan filter as
     * LITERALS: that is what makes the pruning static (a join-derived
     * filter would read every partition and prune at runtime at best).
+    *
+    * The contract is ENFORCED, not advisory: a batch above `maxBatch`
+    * fails fast with a named error before any probe job runs. The
+    * check is a `limit(maxBatch+1).count()` — it short-circuits after
+    * maxBatch+1 rows, so the guard costs one bounded scan, never a
+    * full count of a corpus-sized frame. Oversized batches belong on
+    * [[ivfTopK]], whose candidate join shuffles on the cell id and
+    * needs no driver-side cell list (static pruning would be
+    * worthless anyway: a corpus-sized batch probes every cell).
     */
   def ivfIndexedTopK(spark: SparkSession, dir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxBatch: Int = 4096): DataFrame = {
+    require(maxBatch > 0, s"ivfIndexedTopK: maxBatch must be > 0, got $maxBatch")
+    val batchProbe = queries.select(col(idCol)).limit(maxBatch + 1).count()
+    require(batchProbe <= maxBatch,
+      s"ivfIndexedTopK: query batch exceeds maxBatch=$maxBatch — the " +
+        "indexed path collects probe-cell ids for static pruning and is " +
+        "for serving-sized batches; use ivfTopK for corpus-scale query sets")
     val centDf = spark.read.parquet(s"$dir/centroids")
     // no cache: the probe frame is a tiny batch x nlist cross — cheaper
     // to recompute for the final plan than to pin storage memory forever

@@ -578,6 +578,22 @@ class SimilaritySpec extends SparkSpec {
     assert(res.collect().toSeq == insession.collect().toSeq)
   }
 
+  test("ivfIndexedTopK: an over-cap query batch fails fast with a named error") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfcap-").toString
+    Similarity.ivfIndexWrite(emb.limit(64), dir, nlist = 4)
+    val err = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexedTopK(spark, dir, emb, k = 3, nprobe = 2,
+        maxBatch = 16)
+    }
+    assert(err.getMessage.contains("maxBatch"))
+    assert(err.getMessage.contains("ivfTopK"), "error should name the fallback")
+    // at or below the cap the same call succeeds
+    val ok = Similarity.ivfIndexedTopK(spark, dir, emb.limit(16), k = 3,
+      nprobe = 2, maxBatch = 16)
+    assert(ok.count() > 0)
+  }
+
   test("cosineNearDupPairs: only pairs above threshold, a<b") {
     val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.9)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
