@@ -531,4 +531,51 @@ class FeatureStoreSpec extends SparkSpec {
       t.getMessage != null && t.getMessage.toLowerCase.contains("driver")),
       s"unexpected failure: $e")
   }
+
+  test("two interleaved writers against the same base: loser throws, winner's data intact") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val store = freshStore
+    val v1 = Seq((1L, 10L)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("race", Seq("id"), v1.schema))
+    store.writeTable("race", v1, WriteMode.Overwrite) // base: version 1
+    WriterRaceGates.reset()
+    // the slow writer's plan blocks inside its parquet write — AFTER it
+    // has loaded base version 1, BEFORE it can claim v2 — so both
+    // writers provably compute against the same base
+    val gate = udf((x: Long) => WriterRaceGates.pass(x))
+    val slowDf = Seq((1L, 99L)).toDF("id", "x").withColumn("x", gate(col("x")))
+    val loser = Future(store.writeTable("race", slowDf, WriteMode.Overwrite))
+    assert(WriterRaceGates.started.await(30, java.util.concurrent.TimeUnit.SECONDS),
+      "slow writer never reached its data write")
+    store.writeTable("race", Seq((1L, 42L)).toDF("id", "x"), WriteMode.Overwrite)
+    WriterRaceGates.release.countDown()
+    val err = intercept[java.util.ConcurrentModificationException] {
+      Await.result(loser, 60.seconds)
+    }
+    assert(err.getMessage.contains("race"), err.getMessage)
+    // winner's commit survives untouched; loser left no version behind
+    assert(store.currentVersion("race") == 2)
+    assert(store.readTable("race").as[(Long, Long)].collect().toSeq == Seq((1L, 42L)))
+    intercept[IllegalArgumentException](store.readTableVersion("race", 3))
+  }
+}
+
+/** Latches for the interleaved-writer test, held in a static object so
+  * the gate UDF's closure stays serializable (executor threads in
+  * local mode still deserialize task closures).
+  */
+object WriterRaceGates {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var release: java.util.concurrent.CountDownLatch = _
+  def reset(): Unit = {
+    started = new java.util.concurrent.CountDownLatch(1)
+    release = new java.util.concurrent.CountDownLatch(1)
+  }
+  def pass(x: Long): Long = {
+    started.countDown()
+    release.await()
+    x
+  }
 }
