@@ -304,10 +304,10 @@ final class FeatureStore(spark: SparkSession, val root: String,
     * MySQL over JDBC): the same range-partitioned key-sorted publish
     * plan written through Spark's JDBC relation (`numPartitions`
     * concurrent INSERT streams, truncate-not-drop overwrite so the
-    * serving store keeps its indexes). No RDBMS ships in this
-    * container, so the gate never executes it; FeatureStoreSpec
-    * asserts the sink options and that save() reaches the JDBC driver
-    * layer.
+    * serving store keeps its indexes). FeatureStoreSpec executes the
+    * full round trip against embedded Derby (write → read-back →
+    * lookupOnline parity → truncate republish) in addition to
+    * asserting the sink options.
     */
   def publishTableJdbc(name: String, url: String, table: String,
       props: Properties = new Properties(),
