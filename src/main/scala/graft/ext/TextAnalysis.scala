@@ -150,9 +150,10 @@ object TextAnalysis {
   /** Word-bigram repetition stats — the Gopher-style duplicate-n-gram
     * quality filter (Rae et al. 2021, "Scaling Language Models",
     * §A1.1 repetition heuristics): fraction of bigrams that are
-    * repeats. Pure HOF column expressions (sequence/transform/
-    * array_distinct), so the whole filter is one codegen'd scan pass —
-    * no explode, no shuffle, at any corpus size.
+    * repeats. One fused expression per row (no explode, no shuffle, at
+    * any corpus size): the earlier HOF-chain form was linear too but
+    * paid ~3 interpreted array traversals per row — the fused loop is
+    * the MinHashNgramSig discipline applied to the counting path.
     */
   /** Word n-grams of a token array column (1-based windows, space
     * joined); fewer than n tokens → empty. Shared by the repetition
@@ -178,13 +179,16 @@ object TextAnalysis {
       1)
 
   def repetitionStats(text: Column): Seq[(String, Column)] = {
-    val w = tokens(text)
-    val n = greatest(size(w) - 1, lit(0))
-    val grams = wordNgramsOf(w, 2)
-    val nd = size(array_distinct(grams))
+    // fused single-pass expression (VectorExpressions.NgramStats) — the
+    // HOF chain evaluated interpreted per window; coalesce keeps the
+    // legacy NULL-text behavior (counts 0, ratio 0.0)
+    val stats = graft.functions.VectorExpressions.ngramStats(
+      coalesce(tokens(text), array().cast("array<string>")), 2)
+    val n = stats.getField("n_ngrams")
+    val nd = stats.getField("n_distinct")
     Seq(
-      "n_ngrams" -> n.cast("long"),
-      "n_distinct" -> nd.cast("long"),
+      "n_ngrams" -> n,
+      "n_distinct" -> nd,
       // exact-integer operands; single double division — portable
       "rep_ratio" -> when(n > 0,
         lit(1.0) - nd.cast("double") / n.cast("double")).otherwise(lit(0.0)))
@@ -243,8 +247,11 @@ object TextAnalysis {
       maxTokens: Int = 1 << 17): Column = {
     require(n >= 1, s"ngramFingerprints: need n >= 1, got $n")
     require(maxTokens >= n, s"ngramFingerprints: maxTokens $maxTokens < n $n")
-    val w = slice(tokens(text), 1, maxTokens)
-    array_distinct(transform(wordNgramsOf(w, n), g => md5(g)))
+    // fused single-pass expression; NULL text yields an EMPTY array,
+    // matching the HOF chain it replaces (whose when-guard swallowed
+    // the NULL into the no-grams branch)
+    graft.functions.VectorExpressions.ngramMd5Fingerprints(
+      coalesce(tokens(text), array().cast("array<string>")), n, maxTokens)
   }
 
   /** Scalable decontamination: verbatim word-n-gram overlap. The

@@ -538,6 +538,77 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** Word-n-gram repetition stats from a token array in ONE pass:
+    * struct(n_ngrams, n_distinct). Replaces the HOF chain
+    * sequence → transform(concat_ws) → array_distinct — three
+    * interpreted array traversals per row, each lambda step an
+    * interpreted Expression.eval — with a single windowed loop over a
+    * hash set. Distinct is EXACT (UTF8String equality, no hashing
+    * shortcut): the q73 oracle compares counts bit-for-bit.
+    */
+  case class NgramStats(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StructType(Seq(
+      StructField("n_ngrams", LongType, nullable = false),
+      StructField("n_distinct", LongType, nullable = false)))
+    override def prettyName: String = "graft_ngram_stats"
+    private val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val windows = math.max(0, toks.numElements() - n + 1)
+      if (windows == 0) return InternalRow(0L, 0L)
+      val seen = new java.util.HashSet[UTF8String](windows * 2)
+      var i = 0
+      while (i < windows) {
+        val parts = new Array[UTF8String](n)
+        var w = 0
+        while (w < n) { parts(w) = toks.getUTF8String(i + w); w += 1 }
+        seen.add(UTF8String.concatWs(space, parts: _*))
+        i += 1
+      }
+      InternalRow(windows.toLong, seen.size.toLong)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Distinct md5 fingerprints of word n-grams from a token array in
+    * one pass, first-occurrence order, over at most `maxTokens` tokens
+    * (the per-row bound that keeps an outlier document from building a
+    * GB-sized gram array). Hex digests via the same commons-codec call
+    * Spark's own `md5` uses, so fingerprints stay portable to the
+    * oracle. Fuses slice → sequence → transform(concat_ws) →
+    * transform(md5) → array_distinct into one loop.
+    */
+  case class NgramMd5Fingerprints(child: Expression, n: Int, maxTokens: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "graft_ngram_md5"
+    private val space = UTF8String.fromString(" ")
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val nToks = math.min(toks.numElements(), maxTokens)
+      val windows = math.max(0, nToks - n + 1)
+      val seen = new java.util.LinkedHashSet[UTF8String]
+      var i = 0
+      while (i < windows) {
+        val parts = new Array[UTF8String](n)
+        var w = 0
+        while (w < n) { parts(w) = toks.getUTF8String(i + w); w += 1 }
+        val gram = UTF8String.concatWs(space, parts: _*)
+        seen.add(UTF8String.fromString(
+          org.apache.commons.codec.digest.DigestUtils.md5Hex(gram.getBytes)))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        seen.toArray.asInstanceOf[Array[Any]])
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -552,6 +623,12 @@ object VectorExpressions {
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def ngramStats(tokens: Column, n: Int): Column =
+    Bridge.column(NgramStats(Bridge.expression(tokens), n))
+
+  def ngramMd5Fingerprints(tokens: Column, n: Int, maxTokens: Int): Column =
+    Bridge.column(NgramMd5Fingerprints(Bridge.expression(tokens), n, maxTokens))
 
   def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits))

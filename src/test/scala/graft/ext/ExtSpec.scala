@@ -60,6 +60,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Seq((4L, 2L, 0.5), (3L, 3L, 0.0), (0L, 0L, 0.0), (0L, 0L, 0.0)))
   }
 
+  test("fused ngram fingerprints/stats equal the HOF-chain construction") {
+    val docs = Seq(
+      "the cat sat on the mat the cat sat again",
+      "a b a b a b a b",
+      "unique words only here now",
+      "solo",
+      "", null.asInstanceOf[String],
+      "x " * 300 + "tail").toDF("text")
+    // the pre-fusion HOF chain, inlined as the oracle
+    def hofFingerprints(text: org.apache.spark.sql.Column, n: Int, maxTokens: Int) = {
+      val w = slice(TextAnalysis.tokens(text), 1, maxTokens)
+      array_distinct(transform(TextAnalysis.wordNgramsOf(w, n), g => md5(g)))
+    }
+    val both = docs.select(
+      TextAnalysis.ngramFingerprints(col("text"), 3, maxTokens = 64).as("fused"),
+      hofFingerprints(col("text"), 3, 64).as("hof"))
+    val rows = both.collect()
+    rows.foreach { r =>
+      val fused = if (r.isNullAt(0)) null else r.getSeq[String](0)
+      val hof = if (r.isNullAt(1)) null else r.getSeq[String](1)
+      assert(fused == hof, s"fused=$fused hof=$hof")
+    }
+    // stats parity against hand counts is covered by the
+    // repetitionStats spec above; here pin the struct path on a doc
+    // with repeated bigrams
+    val s = Seq("a b a b a").toDF("text")
+      .select(TextAnalysis.repetitionStats(col("text"))
+        .map { case (n, c) => c.as(n) }: _*)
+      .as[(Long, Long, Double)].head()
+    assert(s == ((4L, 2L, 0.5)))
+  }
+
   test("scrubPii redacts emails and phones; piiCount counts them") {
     val s = "mail a.b+c@site.org or x@y.io, call 123-456-7890; id 12-34 stays"
     val got = Seq(s).toDF("text").select(
