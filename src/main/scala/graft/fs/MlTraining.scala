@@ -26,7 +26,15 @@ object MlTraining {
       model: PipelineModel,
       testAccuracy: Double,
       trainRows: Long,
-      testRows: Long)
+      testRows: Long) {
+    /** The run-tracking view of this fit (FS:340's logged score) —
+      * feed to [[ScorerRegistry.logRun]] alongside `register`.
+      */
+    def metrics: Map[String, Double] = Map(
+      "test_accuracy" -> testAccuracy,
+      "train_rows" -> trainRows.toDouble,
+      "test_rows" -> testRows.toDouble)
+  }
 
   /** Fit a class-weighted GBT over `df`. `labelCol` must be boolean or
     * 0/1-numeric; categorical string columns are one-hot encoded with

@@ -92,15 +92,50 @@ final case class LogisticScorer(
   }
 }
 
+/** The observable slice of the reference's MLflow run tracking
+  * (FS:314-349 — autolog/start_run/log_metric): per (model, version),
+  * the training metrics and run params a registry should answer
+  * WITHOUT the training session. Metrics are doubles (accuracy, row
+  * counts); params are strings (feature-data version, split seed, ...).
+  * Durable registries persist this as a `run.properties` sidecar next
+  * to `scorer.properties`.
+  */
+final case class RunInfo(
+    name: String,
+    version: Int,
+    metrics: Map[String, Double],
+    params: Map[String, String] = Map.empty)
+
 final class ScorerRegistry private[fs] (persistence: Option[ScorerPersistence]) {
   def this() = this(None)
 
   private var scorers = Map.empty[(String, Int), Scorer]
+  private var runs = Map.empty[(String, Int), RunInfo]
 
   /** Register (and, for a durable registry, persist) a scorer. */
   def register(s: Scorer): Unit = synchronized {
     persistence.foreach(_.save(s))
     scorers += ((s.name, s.version) -> s)
+  }
+
+  /** Record the training run behind a registered model version — the
+    * fs.log_model + log_metric pairing (FS:340-349). Re-logging a
+    * (name, version) overwrites, same contract as [[register]].
+    */
+  def logRun(run: RunInfo): Unit = synchronized {
+    persistence.foreach(_.saveRun(run))
+    runs += ((run.name, run.version) -> run)
+  }
+
+  /** Read a model version's training metrics; durable registries fall
+    * back to the `run.properties` sidecar, so runs logged in an
+    * earlier session resolve here too.
+    */
+  def getRun(name: String, version: Int): Option[RunInfo] = synchronized {
+    runs.get((name, version))
+      .orElse(persistence.flatMap(_.loadRun(name, version)).map { r =>
+        runs += ((name, version) -> r); r
+      })
   }
 
   /** Resolve `models:/name/version` (FS:363's URI scheme). A durable
@@ -212,6 +247,45 @@ private[fs] final class ScorerPersistence(
     fs.mkdirs(dir(s.name, s.version))
     val out = fs.create(propsFile(s.name, s.version), true)
     try p.store(out, null) finally out.close()
+  }
+
+  private def runFile(name: String, version: Int) =
+    new Path(dir(name, version), "run.properties")
+
+  def saveRun(run: RunInfo): Unit = {
+    val p = new Properties()
+    p.setProperty("name", run.name)
+    p.setProperty("version", run.version.toString)
+    val ms = run.metrics.toSeq.sortBy(_._1)
+    p.setProperty("metrics.n", ms.size.toString)
+    ms.zipWithIndex.foreach { case ((k, v), i) =>
+      p.setProperty(s"metrics.$i.key", k)
+      p.setProperty(s"metrics.$i.val", v.toString) // Double round-trips exactly
+    }
+    val ps = run.params.toSeq.sortBy(_._1)
+    p.setProperty("params.n", ps.size.toString)
+    ps.zipWithIndex.foreach { case ((k, v), i) =>
+      p.setProperty(s"params.$i.key", k)
+      p.setProperty(s"params.$i.val", v)
+    }
+    fs.mkdirs(dir(run.name, run.version))
+    val out = fs.create(runFile(run.name, run.version), true)
+    try p.store(out, null) finally out.close()
+  }
+
+  def loadRun(name: String, version: Int): Option[RunInfo] = {
+    val rf = runFile(name, version)
+    if (!fs.exists(rf)) return None
+    val p = new Properties()
+    val in = fs.open(rf)
+    try p.load(in) finally in.close()
+    val metrics = (0 until p.getProperty("metrics.n", "0").toInt).map { i =>
+      p.getProperty(s"metrics.$i.key") -> p.getProperty(s"metrics.$i.val").toDouble
+    }.toMap
+    val params = (0 until p.getProperty("params.n", "0").toInt).map { i =>
+      p.getProperty(s"params.$i.key") -> p.getProperty(s"params.$i.val")
+    }.toMap
+    Some(RunInfo(name, version, metrics, params))
   }
 
   def load(name: String, version: Int): Option[Scorer] = {

@@ -54,12 +54,16 @@ class MlParitySpec extends SparkSpec {
       s"GBT failed to learn a threshold on its own feature: ${trained.testAccuracy}")
 
     // register the fitted pipeline and score through the SAME lookup
-    // joins as training (fs.log_model -> fs.score_batch round trip)
-    val registry = new ScorerRegistry
+    // joins as training (fs.log_model -> fs.score_batch round trip);
+    // durable registry so the run-metrics sidecar is exercised too
+    val regRoot = java.nio.file.Files.createTempDirectory("graft-reg-").toString
+    val registry = ScorerRegistry.persistent(spark, regRoot)
     registry.register(MlModelScorer("gbt_reorders", 1,
       numerics.map(c => FeatureLookup("order_features", c, "c_custkey")) :+
         FeatureLookup("customer_demographics", "c_mktsegment", "c_custkey"),
       trained.model, numericCols = numerics))
+    registry.logRun(RunInfo("gbt_reorders", 1, trained.metrics,
+      params = Map("data_version" -> "v1", "split_seed" -> "42")))
     val store = Pipelines.buildStore(spark, sfDir)
     val batch = graft.Tables.load(spark, sfDir, "customer").select(col("c_custkey"))
     val scored = registry.scoreBatch(store, "models:/gbt_reorders/1", batch)
@@ -71,6 +75,20 @@ class MlParitySpec extends SparkSpec {
       .agg(avg(when((col("prediction") === "True") === col("truth"), 1.0)
         .otherwise(0.0))).head().getDouble(0)
     assert(agree >= 0.8, s"train/serve agreement too low: $agree")
+
+    // run-metrics round trip: a FRESH registry over the same root must
+    // answer the training metrics from the run.properties sidecar —
+    // the registry-survives-the-notebook semantics of FS:340-349
+    val reloaded = ScorerRegistry.persistent(spark, regRoot)
+    val run = reloaded.getRun("gbt_reorders", 1)
+      .getOrElse(fail("run metrics did not survive the registry reload"))
+    assert(run.metrics("test_accuracy") == trained.testAccuracy) // exact double round trip
+    assert(run.metrics("train_rows") == trained.trainRows.toDouble)
+    assert(run.params == Map("data_version" -> "v1", "split_seed" -> "42"))
+    // and the scorer itself still resolves in the fresh session
+    assert(reloaded.resolve("models:/gbt_reorders/1").version == 1)
+    // unknown version: absent, not an error
+    assert(reloaded.getRun("gbt_reorders", 99).isEmpty)
   }
 
   test("trainWeightedGbt: empty/degenerate train splits fail with the intended message") {
