@@ -1067,10 +1067,15 @@ object PipelinesExt {
   // — conditional-min aggregates over one events scan, epoch-µs output
   // (the q17 timestamp discipline). NULL-safe conversion flag via
   // coalesce so never-purchased users gate to 0, not NULL.
-  def conversionFunnel(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
+
+  /** The funnel aggregate itself, over a frame with (user_id,
+    * event_type, us) — SHARED by the q93 batch gate and the streaming
+    * `StreamingFeatures.maintainFunnelState`, so stream/batch parity
+    * holds by construction (the q08 shared-builder discipline). Both
+    * mins are mergeable, which is what makes the same expression a
+    * valid running streaming state.
+    */
+  def funnelAgg(ev: DataFrame): DataFrame =
     ev.groupBy(col("user_id"))
       .agg(
         min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
@@ -1078,8 +1083,12 @@ object PipelinesExt {
       .withColumn("converted",
         coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
           .cast("int"))
+
+  def conversionFunnel(s: SparkSession, d: String): DataFrame =
+    funnelAgg(t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us")))
       .orderBy("user_id")
-  }
 
   // Cohort retention: users bucketed by the ISO week of their first
   // event; activity weeks indexed by exact micro-second arithmetic

@@ -92,6 +92,40 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming conversion-funnel state — the q93 funnel as a running
+    * per-user aggregate. Both funnel fields are conditional MINS
+    * (mergeable across micro-batches), so the state rides the same
+    * update-mode groupBy + merge-upsert shape as [[maintainAggState]]:
+    * each micro-batch emits the complete new state row for every
+    * touched user and foreachBatch upserts them. The aggregate
+    * expression is `PipelinesExt.funnelAgg` — the SAME builder the
+    * batch gate runs, so stream ≡ batch by construction, asserted
+    * across micro-batches in StreamingFeaturesSpec. `converted` is
+    * derived per emitted row (never stored state). State is O(|users|)
+    * — the size of the result table itself; nothing to watermark away.
+    */
+  def maintainFunnelState(
+      events: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      checkpointDir: String,
+      userCol: String = "user_id",
+      typeCol: String = "event_type",
+      tsCol: String = "ts"): StreamingQuery = {
+    val shaped = events.select(
+      col(userCol).as("user_id"),
+      col(typeCol).as("event_type"),
+      unix_micros(col(tsCol).cast("timestamp")).as("us"))
+    graft.PipelinesExt.funnelAgg(shaped).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of an events directory with an explicit
     * schema (streaming sources cannot infer).
     */

@@ -152,6 +152,44 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running state != batch build over all data")
   }
 
+  test("maintainFunnelState: streaming funnel equals batch conversionFunnel across micro-batches") {
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val first = events.filter(col("event_id") % 2 === 0)
+    val streamDir = Files.createTempDirectory("graft-funnel-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    def batchFunnel(ev: org.apache.spark.sql.DataFrame) =
+      graft.PipelinesExt.funnelAgg(ev.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us")))
+    val store = FeatureStore.temp(spark)
+    store.createTable(FeatureTableSpec("funnel", Seq("user_id"),
+      batchFunnel(events).schema, "running per-user funnel state"))
+    val ckpt = Files.createTempDirectory("graft-funnel-ck-").toString
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getInt(3))).sortBy(_._1).toSeq
+
+    val q1 = StreamingFeatures.maintainFunnelState(stream, store, "funnel", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    assert(rows(store.readTable("funnel")) == rows(batchFunnel(first)))
+
+    // second micro-batch: same checkpoint, the running mins must merge
+    // (a user whose purchase arrives in batch 2 flips to converted)
+    val second = events.filter(col("event_id") % 2 === 1)
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainFunnelState(stream, store, "funnel", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+    assert(rows(store.readTable("funnel")) == rows(batchFunnel(events)),
+      "streaming funnel state != batch funnel over all data")
+  }
+
   test("guarded refresh merges clean rows and quarantines violations with reasons") {
     import graft.operators.Expectations._
     val events = graft.Tables.load(spark, sfDir, "events")
