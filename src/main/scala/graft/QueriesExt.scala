@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.etl.Features
-import graft.ext.{Dedup, Pq, Similarity, TextAnalysis}
+import graft.ext.{Chunking, Components, Dedup, Pq, Similarity, TextAnalysis}
 import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
 
 /** Batch 2 (reference surface completion: U1 per-row counts, summary
@@ -1209,6 +1209,47 @@ object PipelinesExt {
         col("sm").cast("double").as("total"), col("mn"), col("mx"))
       .orderBy("o_orderpriority")
   }
+
+  // Duplicate CLUSTERS from near-dup pairs: exact cosine pairs (the
+  // q30 edge set) closed into connected components by the alternating
+  // star algorithm, every vector labeled with its component's min id
+  // (singletons label themselves). The DuckDB oracle recomputes the
+  // transitive closure with a recursive CTE — a hash match proves the
+  // O(log n) distributed algorithm equals the declarative fixpoint.
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = Components.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
+
+  // Deterministic stratified sampling: per-source keep fractions
+  // decided by md5(doc_id) — the same filter expression the oracle
+  // runs, so the sampled row SET matches exactly (not just its size).
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("doc_id"),
+        fracs = Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFrac = 0.1)
+      .orderBy("doc_id")
+
+  // Fixed-size overlapping token chunks (64-token windows, stride 48)
+  // — the context-window prep pass; narrow flatMap, zero shuffles.
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    Chunking.chunkTokens(t(s, d, "documents"), chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  // Sequence-packing plan at a 512-token budget: per-source running
+  // token offsets and the pack span each document occupies.
+  def packingPlan(s: SparkSession, d: String): DataFrame =
+    Chunking.packingPlan(t(s, d, "documents"), budget = 512)
+      .orderBy("doc_id")
 }
 
 object OraclesExt {
@@ -2013,6 +2054,70 @@ object OraclesExt {
         |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    // recursive transitive closure over the q30 edge set — the
+    // declarative fixpoint the alternating-star algorithm must equal
+    "q97_dup_clusters" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
+        |)
+        |SELECT node AS vec_id, min(lbl) AS component
+        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    // same md5 threshold CASE as the Spark filter — the sampled SET
+    // must match row-for-row, not merely in expectation
+    "q98_stratified_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE source WHEN 'src0' THEN 'c0000000' WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '40000000' ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q99_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         ELSE 1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT) END AS nchunks
+        |  FROM d
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nchunks)) AS chunk_id FROM k
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+        |  array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS INTEGER) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q100_packing_plan" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, source, CAST($tokenCountSql AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
+         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS first_pack,
+         |  CAST(floor(greatest(sum(n_tokens) OVER w - 1,
+         |             sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS last_pack
+         |FROM tc
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // q45_summary: rows-only — df.summary() emits formatted strings and
     // approx percentiles (SURVEY.md §5.3); exact-row parity spec-tested.

@@ -125,6 +125,11 @@ object SparkEntry {
     "q94_cohort_retention" -> ((s, d) => PipelinesExt.cohortRetention(s, d)),
     "q95_session_funnel" -> ((s, d) => PipelinesExt.sessionFunnel(s, d)),
     "q96_event_transitions" -> ((s, d) => PipelinesExt.eventTransitions(s, d)),
+    // batch 8 — graph closure, deterministic sampling, context-window prep
+    "q97_dup_clusters" -> ((s, d) => PipelinesExt.dupClusters(s, d)),
+    "q98_stratified_sample" -> ((s, d) => PipelinesExt.stratifiedSample(s, d)),
+    "q99_chunk_documents" -> ((s, d) => PipelinesExt.chunkDocuments(s, d)),
+    "q100_packing_plan" -> ((s, d) => PipelinesExt.packingPlan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

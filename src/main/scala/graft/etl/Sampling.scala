@@ -1,0 +1,79 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, key-addressed sampling. [extension] — no reference
+  * analog; the reference splits with `randomSplit`
+  * (`Feature_Store_Telco_Churn_Flight_School.py` training cell), which
+  * is partition-order dependent and unreproducible across runs.
+  *
+  * The sampling decision here is a pure function of the ROW KEY: keep a
+  * row iff `md5(key)` falls below the fraction's threshold in hex
+  * space. That buys three properties `df.sample()` cannot give:
+  *   - reproducible: same key → same verdict on every run, engine,
+  *     and cluster layout (md5 is bit-identical everywhere — the
+  *     portable-hash discipline of `TextAnalysis.fingerprint`);
+  *   - stable under growth: a row's verdict never changes when other
+  *     rows arrive, so yesterday's 1 % sample is a subset of today's
+  *     (nested samples come free: a 0.5 % threshold selects a subset
+  *     of the 1 % sample);
+  *   - scale-free: a pure filter expression — no shuffle, no RNG
+  *     state, folds into the parquet scan's codegen stage and prunes
+  *     with it.
+  * Cost: md5 per row (~100 ns); accepted for portability, same
+  * trade-off as the dedup fingerprint.
+  */
+object Sampling {
+
+  /** Lexicographic md5-space threshold for a keep-fraction: the first
+    * 8 hex digits of frac · 2³². Comparing the full 32-char digest
+    * against the 8-char boundary keeps exactly the digests whose
+    * 32-bit prefix is below it (an 8-char-prefix tie compares GREATER,
+    * matching the half-open [0, frac) bucket).
+    */
+  private[etl] def hexThreshold(frac: Double): String = {
+    require(frac >= 0.0 && frac <= 1.0,
+      s"sampling fraction must be in [0,1], got $frac")
+    // 'g' sorts above every hex digit — the keep-everything sentinel
+    if (frac == 1.0) "g" else f"${(frac * 4294967296.0).toLong}%08x"
+  }
+
+  /** Keep ~`frac` of rows, decided by `md5(key)`. */
+  def hashSample(df: DataFrame, keyCol: Column, frac: Double): DataFrame =
+    df.filter(md5(keyCol.cast("string")) < lit(hexThreshold(frac)))
+
+  /** Per-stratum fractions: rows in stratum s keep fraction
+    * `fracs(s)`, anything unlisted keeps `defaultFrac`. One CASE over
+    * the stratum column — still a single scan-stage filter; the
+    * stratum cardinality never becomes a shuffle or a driver loop.
+    */
+  def stratifiedSample(df: DataFrame, strataCol: String, keyCol: Column,
+      fracs: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
+    val threshold = fracs.toSeq.sortBy(_._1).foldLeft(
+      lit(hexThreshold(defaultFrac))) { case (acc, (stratum, frac)) =>
+      when(col(strataCol) === stratum, lit(hexThreshold(frac))).otherwise(acc)
+    }
+    df.filter(md5(keyCol.cast("string")) < threshold)
+  }
+
+  /** Deterministic n-way split: label each row with the name of the
+    * weight bucket its `md5(key)` lands in — the reproducible
+    * `randomSplit` (FS training cell) replacement. Weights are
+    * normalized; buckets are contiguous hex intervals, so the splits
+    * are disjoint and exhaustive.
+    */
+  def hashSplit(df: DataFrame, keyCol: Column,
+      splits: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 > 0),
+      "hashSplit: weights must be positive")
+    val total = splits.map(_._2).sum
+    val cuts = splits.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+    val h = md5(keyCol.cast("string"))
+    val label = splits.zip(cuts.tail).init.foldRight(
+      lit(splits.last._1)) { case (((name, _), cut), acc) =>
+      when(h < lit(hexThreshold(math.min(cut, 1.0))), lit(name)).otherwise(acc)
+    }
+    df.withColumn(labelCol, label)
+  }
+}

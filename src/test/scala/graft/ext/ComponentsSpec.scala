@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference components by driver-side union-find on collected edges. */
+  private def bruteComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain collapses to one component (diameter >> rounds)") {
+    // a 200-node path: naive min-propagation needs 200 rounds; the
+    // star algorithm must finish inside the O(log n) maxRounds guard
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val got = run(chain)
+    assert(got.size == 200)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("multiple components, duplicate and reversed edges") {
+    val edges = Seq((5L, 3L), (3L, 5L), (3L, 9L), (20L, 21L), (21L, 20L),
+      (40L, 40L), (50L, 51L), (51L, 52L), (52L, 50L))
+    val got = run(edges)
+    // self-loop-only node 40 contributes no edge, hence no row
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 50L -> 50L, 51L -> 50L, 52L -> 50L))
+  }
+
+  test("matches union-find on a deterministic pseudo-random graph") {
+    // ids 0..399, edges from id arithmetic: enough collisions for
+    // non-trivial merge chains, fully deterministic
+    val edges = (0L until 400L).flatMap { i =>
+      Seq((i, (i * 7 + 3) % 400), (i, (i * i + 11) % 400))
+    }.filter { case (a, b) => a != b }
+    assert(run(edges) == bruteComponents(edges))
+  }
+
+  test("string ids: components by lexicographic minimum") {
+    val got = Components.connectedComponents(
+      Seq(("beta", "alpha"), ("beta", "gamma"), ("zeta", "eta"))
+        .toDF("src", "dst"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("alpha" -> "alpha", "beta" -> "alpha",
+      "gamma" -> "alpha", "zeta" -> "eta", "eta" -> "eta"))
+  }
+
+  test("empty and null-endpoint edges yield an empty result") {
+    val e = Seq((Some(1L), None: Option[Long]), (None, Some(2L)))
+      .toDF("src", "dst")
+    assert(Components.connectedComponents(e).isEmpty)
+  }
+}
