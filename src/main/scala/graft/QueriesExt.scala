@@ -1250,6 +1250,34 @@ object PipelinesExt {
   def packingPlan(s: SparkSession, d: String): DataFrame =
     Chunking.packingPlan(t(s, d, "documents"), budget = 512)
       .orderBy("doc_id")
+
+  // End-to-end near-dup dedup: MinHash pairs → connected components →
+  // keep the min-id doc per cluster. Rows-only (§5.3: xxhash64 not
+  // portable); transitive-retention semantics spec-asserted against
+  // driver-side union-find in ComponentsSpec.
+  def nearDupDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupRetain(t(s, d, "documents"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  // TPC-H Q17 shape: revenue lost to small-quantity orders of one
+  // brand's parts. The oracle runs the naive correlated-avg subquery;
+  // the engine aggregates the per-part avg ONCE and joins it back
+  // (the q69 decorrelation discipline) — both under the exact-decimal
+  // sum / double-division contract so the single output double
+  // hash-matches.
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val brandParts = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+    val li = t(s, d, "lineitem")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgs = li.groupBy(col("l_partkey").as("_pk"))
+      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(avgs, col("l_partkey") === col("_pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
 }
 
 object OraclesExt {
@@ -2118,6 +2146,20 @@ object OraclesExt {
          |FROM tc
          |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // naive correlated form — cross-checks the engine's agg-once +
+    // join-back decorrelation (the q69 discipline)
+    "q102_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // q101_neardup_dedup: rows-only — the MinHash signature rides
+    // xxhash64 (§5.3, not portable); transitive retention semantics
+    // are spec-asserted against driver-side union-find.
 
     // q45_summary: rows-only — df.summary() emits formatted strings and
     // approx percentiles (SURVEY.md §5.3); exact-row parity spec-tested.

@@ -130,6 +130,8 @@ object SparkEntry {
     "q98_stratified_sample" -> ((s, d) => PipelinesExt.stratifiedSample(s, d)),
     "q99_chunk_documents" -> ((s, d) => PipelinesExt.chunkDocuments(s, d)),
     "q100_packing_plan" -> ((s, d) => PipelinesExt.packingPlan(s, d)),
+    "q101_neardup_dedup" -> ((s, d) => PipelinesExt.nearDupDedup(s, d)),
+    "q102_small_qty_revenue" -> ((s, d) => PipelinesExt.smallQtyRevenue(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

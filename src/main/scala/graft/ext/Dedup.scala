@@ -347,6 +347,29 @@ object Dedup {
         monotonically_increasing_id() < 0)
   }
 
+  /** End-to-end near-duplicate dedup — the composition a training-data
+    * pipeline actually runs: MinHash+LSH candidate pairs
+    * ([[minhashPairs]]) close into duplicate clusters
+    * ([[Components.connectedComponents]], O(log n) star rounds), and
+    * each cluster keeps only its minimum-id document. Transitive
+    * semantics by construction (A~B, B~C drops both B and C even when
+    * A~C was never estimated) — the group-level contract pairwise
+    * earliest-survivor rules (SemanticDedup) cannot give. Plan: the
+    * pair pipeline's band-bucket equi joins, the component rounds'
+    * window passes, then ONE left-anti hash join of the corpus against
+    * the non-min cluster members; the corpus itself is never shuffled.
+    */
+  def nearDupRetain(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, numHashes: Int = 32,
+      bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(docs, textCol, idCol, k, numHashes, bands, minJaccard)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val dropped = Components.connectedComponents(pairs)
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("_drop_id"))
+    docs.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:
     * re-load each side's n-gram set and compute |∩|/|∪|. The LSH stage
     * bounds the pair count, so this never goes quadratic.

@@ -28,7 +28,11 @@ object GenPlans {
     ("q86_incremental_agg", "Incremental aggregate maintenance (round 7): the delta is aggregated alone (partial+final hash agg over ONLY the post-cutoff scan) and full-outer-merged with the base state per key — the plan contains two pruned scans and two key exchanges, no re-aggregation of history; at 100 TB the base side is the stored state table (|keys| rows), so refresh cost tracks the delta, not the corpus."),
     ("q35_ivf_ann", "IVF ANN (round 7 quantizer rewrite): the coarse centroids are fit LOCALLY on a bounded hash-ordered sample (the PQ/faiss discipline — a distributed KMeans's per-job overhead dwarfed the arithmetic) and folded back as literals, so cell assignment is a codegen'd chain of nlist dot products + least/coalesce argmin INSIDE the corpus scan projection — no ML vector conversion, no UDF, no fit jobs in this plan. The probe side crosses the tiny centroid frame and the candidate join shuffles on the cell id only."),
     ("q87_partitioned_scan", "Partition-pruned layout scan (round 7): the read-back side's FileScan shows PartitionFilters on event_type — only the matching directory of the rewritten table is listed and read; the aggregation on top is an ordinary partial+final hash agg on user_id. The write side (PARTITIONED BY event_type) ran before this plan; at 100 TB the same shape prunes by date/tenant dirs."),
-    ("q92_fuzzy_names", "Edit-distance join (round 8 rewrite): every stage is an EQUI join — long strings meet on shared q-grams with ED-Join MULTISET count filtering (shared >= max(len)−q+1−maxDist·q, computed as sum(least(cnt_a,cnt_b)) per pair, so a hot gram cannot flood the levenshtein stage), short strings meet on 1-grams with the same bound at q=1 against the |Δlen|<=maxDist band, and tiny strings (len<=maxDist — all pairwise matches by definition) meet in one sentinel hash bucket. No BroadcastNestedLoopJoin and no CartesianProduct anywhere (spec-asserted, DedupSpec); the exact banded levenshtein(threshold) runs on count-filtered candidates only."))
+    ("q92_fuzzy_names", "Edit-distance join (round 8 rewrite): every stage is an EQUI join — long strings meet on shared q-grams with ED-Join MULTISET count filtering (shared >= max(len)−q+1−maxDist·q, computed as sum(least(cnt_a,cnt_b)) per pair, so a hot gram cannot flood the levenshtein stage), short strings meet on 1-grams with the same bound at q=1 against the |Δlen|<=maxDist band, and tiny strings (len<=maxDist — all pairwise matches by definition) meet in one sentinel hash bucket. No BroadcastNestedLoopJoin and no CartesianProduct anywhere (spec-asserted, DedupSpec); the exact banded levenshtein(threshold) runs on count-filtered candidates only."),
+    ("q97_dup_clusters", "Connected-components dup clustering (round 8): this is the FINAL labeling plan — the alternating large-star/small-star rounds ran before it and each ended in a localCheckpoint, so the fixpoint edge set enters as an RDD scan (no O(rounds) lineage). The plan itself is the star unwrap (union of both edge roles + distinct) left-joined onto the corpus ids with coalesce for singletons — hash equi joins only; each ITERATION'S plan is two window mins over the node id (no adjacency-list aggregation, so a high-degree hub is a sorted window group, never a task-memory array)."),
+    ("q98_stratified_sample", "Deterministic stratified sampling (round 8): the md5-threshold CASE folds into the scan-stage Filter — no Exchange, no sample operator, no RNG state; the FileScan reads only the projected columns. At 100 TB this is the only sampling shape whose verdicts survive re-partitioning, engine swap, and incremental growth (nested-sample property)."),
+    ("q99_chunk_documents", "Token-window chunking (round 8): a NARROW flatMap — tokens split once, the chunk-id sequence is generated inside the row, Generate(explode) expands to (doc, chunk) rows and every chunk column (slice + array_join) computes in the scan stage's projection. Zero exchanges before the gate's ORDER BY; output partitioning inherits the scan's, so a 100 TB corpus chunks in one pass."),
+    ("q100_packing_plan", "Sequence-packing plan (round 8): one Exchange on the stream key + one sort, then the running token sum and every pack column derive in a single Window + Project — never a global single-partition sort; per-stream offsets are the contract that keeps the window distributed at 100 TB (stream key must bound per-stream volume, e.g. source × date shard)."))
 
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder().master("local[8]")

@@ -66,4 +66,20 @@ class ComponentsSpec extends SparkSpec {
       .toDF("src", "dst")
     assert(Components.connectedComponents(e).isEmpty)
   }
+
+  test("nearDupRetain keeps exactly the min-id doc per MinHash cluster") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty, "fixture must produce near-dup pairs")
+    val comp = bruteComponents(pairs)
+    val expectDropped = comp.collect { case (n, c) if n != c => n }.toSet
+    val retained = Dedup.nearDupRetain(docs)
+      .select("doc_id").as[Long].collect().toSet
+    val all = docs.select("doc_id").as[Long].collect().toSet
+    assert(retained == all -- expectDropped)
+    // transitivity: a doc paired ONLY with an already-dropped doc is
+    // still dropped (cluster semantics, not pairwise survivor rules)
+    assert(expectDropped.forall(d => !retained.contains(d)))
+  }
 }
