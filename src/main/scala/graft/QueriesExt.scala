@@ -1260,6 +1260,28 @@ object PipelinesExt {
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
+  // Corpus mix rebalancing: down-sample three sources to a 0.5/0.3/0.2
+  // mix. Counts are equal per source, so src0's fraction computes to
+  // EXACTLY 1.0 (0.5·scale/n with scale = n/0.5) — deliberately
+  // exercising the keep-everything sentinel branch next to the two
+  // md5-threshold branches, in both engines.
+  def mixRebalance(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.sampleToMix(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("doc_id"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("doc_id")
+
+  // Quality curation: top 40% per source by quality score, doc_id
+  // tie-break — percent_rank window, exact integer-ratio doubles.
+  def qualityTopFraction(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.etl.Sampling
+      .topFractionBy(docs, "source", 0.4, col("quality").desc, col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   // TPC-H Q17 shape: revenue lost to small-quantity orders of one
   // brand's parts. The oracle runs the naive correlated-avg subquery;
   // the engine aggregates the per-part avg ONCE and joins it back
@@ -2156,6 +2178,44 @@ object OraclesExt {
         |  AND l_quantity < 0.2 * (
         |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
         |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // same fraction arithmetic as Sampling.sampleToMix, step for step
+    // (min-scale, least with 1.0, floor to the 8-hex threshold); the
+    // >= 1.0 branch mirrors the Scala keep-everything sentinel
+    "q103_mix_rebalance" ->
+      """WITH targets(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents JOIN targets USING (source) GROUP BY source),
+        |sc AS (SELECT min(n / t) AS scale FROM counts JOIN targets USING (source)),
+        |f AS (
+        |  SELECT source, least(t * scale / n, 1.0) AS frac
+        |  FROM targets JOIN counts USING (source) CROSS JOIN sc)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN f USING (source)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN frac >= 1.0 THEN 'g'
+        |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
+
+    "q104_quality_top_frac" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
+         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
+         |    AS quality
+         |  FROM f),
+         |r AS (SELECT doc_id, source, quality,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+         |  FROM q)
+         |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
+         |ORDER BY doc_id""".stripMargin,
 
     // q101_neardup_dedup: rows-only — the MinHash signature rides
     // xxhash64 (§5.3, not portable); transitive retention semantics

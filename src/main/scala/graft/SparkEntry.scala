@@ -132,6 +132,8 @@ object SparkEntry {
     "q100_packing_plan" -> ((s, d) => PipelinesExt.packingPlan(s, d)),
     "q101_neardup_dedup" -> ((s, d) => PipelinesExt.nearDupDedup(s, d)),
     "q102_small_qty_revenue" -> ((s, d) => PipelinesExt.smallQtyRevenue(s, d)),
+    "q103_mix_rebalance" -> ((s, d) => PipelinesExt.mixRebalance(s, d)),
+    "q104_quality_top_frac" -> ((s, d) => PipelinesExt.qualityTopFraction(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -57,6 +57,51 @@ object Sampling {
     df.filter(md5(keyCol.cast("string")) < threshold)
   }
 
+  /** Rebalance strata to target mix PROPORTIONS by deterministic
+    * down-sampling: per-stratum keep fractions
+    * `frac_s = min(1, target_s · scale / n_s)` with
+    * `scale = min_s(n_s / target_s)` — the maximal sample whose
+    * expected stratum mix equals `targets` with no stratum up-sampled
+    * (the binding stratum keeps everything). Strata absent from
+    * `targets` are dropped. One count aggregation collects #strata
+    * rows (metadata scale — the quantizer-fit discipline), then the
+    * same scan-stage md5 filter as [[stratifiedSample]]; every
+    * arithmetic step is plain IEEE double written identically in the
+    * q103 oracle, so the sampled SET is engine-portable.
+    */
+  def sampleToMix(df: DataFrame, strataCol: String, keyCol: Column,
+      targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "sampleToMix: targets must be non-empty with positive weights")
+    val counts = df.filter(col(strataCol).isin(targets.keys.toSeq: _*))
+      .groupBy(col(strataCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val present = targets.filter { case (s, _) => counts.getOrElse(s, 0L) > 0 }
+    require(present.nonEmpty,
+      s"sampleToMix: no rows in any target stratum of '$strataCol'")
+    val scale = present.map { case (s, t) => counts(s).toDouble / t }.min
+    val fracs = present.map { case (s, t) =>
+      s -> math.min(t * scale / counts(s).toDouble, 1.0)
+    }
+    stratifiedSample(df, strataCol, keyCol, fracs, defaultFrac = 0.0)
+  }
+
+  /** Keep the top `frac` of every stratum under `order` (curation:
+    * "top 40 % by quality per source"). percent_rank ≤ frac over one
+    * window exchange on the stratum key; with a total tie-break in
+    * `order` the kept set is deterministic and engine-portable
+    * (percent_rank is an exact integer-ratio double).
+    */
+  def topFractionBy(df: DataFrame, strataCol: String, frac: Double,
+      order: Column*): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0,
+      s"topFractionBy: frac must be in [0,1], got $frac")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(order: _*)
+    df.withColumn("_pr", percent_rank().over(w))
+      .filter(col("_pr") <= frac).drop("_pr")
+  }
+
   /** Deterministic n-way split: label each row with the name of the
     * weight bucket its `md5(key)` lands in — the reproducible
     * `randomSplit` (FS training cell) replacement. Weights are

@@ -63,6 +63,53 @@ class SamplingSpec extends SparkSpec {
     assert(trainSet == sampled)
   }
 
+  test("sampleToMix: binding stratum keeps all, others scale to the mix") {
+    // counts 1000/500/100 rebalanced to 1:1:1 → scale = 100, fracs
+    // 0.1 / 0.2 / 1.0 — the smallest stratum binds and keeps all
+    val df = spark.range(1600).select(col("id"),
+      when(col("id") < 1000, "a").when(col("id") < 1500, "b").otherwise("c")
+        .as("grp"))
+      .union(spark.range(1600, 1700).select(col("id"), lit("unlisted").as("grp")))
+    val got = Sampling.sampleToMix(df, "grp", col("id"),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(got("c") == 100, s"binding stratum must keep everything: $got")
+    assert(math.abs(got("a") - 100) < 50 && math.abs(got("b") - 100) < 50,
+      s"non-binding strata must sample toward the mix: $got")
+    assert(!got.contains("unlisted"), "strata without a target are dropped")
+    // the kept set is a deterministic function of the keys
+    val again = Sampling.sampleToMix(df, "grp", col("id"),
+      Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+    assert(again.groupBy("grp").count().as[(String, Long)].collect().toMap == got)
+  }
+
+  test("sampleToMix: guards") {
+    val df = spark.range(10).select(col("id"), lit("a").as("grp"))
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMix(df, "grp", col("id"), Map.empty))
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMix(df, "grp", col("id"), Map("a" -> -1.0)))
+    intercept[IllegalArgumentException](
+      Sampling.sampleToMix(df, "grp", col("id"), Map("absent" -> 1.0)))
+  }
+
+  test("topFractionBy: exact per-stratum counts under a total order") {
+    // 10 distinct scores per stratum: percent_rank = (rank-1)/9 <= 0.3
+    // keeps ranks 1..3 exactly
+    val df = spark.range(20).select(col("id"),
+      (col("id") % 2).cast("string").as("grp"),
+      (col("id") * 7 % 23).cast("double").as("score"))
+    val got = Sampling.topFractionBy(df, "grp", 0.3,
+      col("score").desc, col("id"))
+    val counts = got.groupBy("grp").count().as[(String, Long)].collect().toMap
+    assert(counts == Map("0" -> 3, "1" -> 3), s"got $counts")
+    // and the kept rows are the actual top scores per stratum
+    val top = df.as[(Long, String, Double)].collect().toSeq
+      .groupBy(_._2).values.flatMap(rows =>
+        rows.sortBy(r => (-r._3, r._1)).take(3)).map(_._1).toSet
+    assert(got.select("id").as[Long].collect().toSet == top)
+  }
+
   test("sampling is a scan-stage filter: no shuffle in the plan") {
     val plan = Sampling.stratifiedSample(
       ids.withColumn("grp", lit("a")), "grp", col("id"), Map("a" -> 0.5))
