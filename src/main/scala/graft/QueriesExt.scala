@@ -1282,6 +1282,21 @@ object PipelinesExt {
       .orderBy("doc_id")
   }
 
+  // TPC-H Q13 shape: distribution of customers by order count,
+  // INCLUDING zero-order customers — the left-outer + group-on-the-
+  // aggregate double grouping; both group-bys and the join share the
+  // customer key, so one partitioning serves all three at scale.
+  def custOrderHistogram(s: SparkSession, d: String): DataFrame = {
+    val perCust = t(s, d, "customer").select(col("c_custkey"))
+      .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
   // TPC-H Q17 shape: revenue lost to small-quantity orders of one
   // brand's parts. The oracle runs the naive correlated-avg subquery;
   // the engine aggregates the per-part avg ONCE and joins it back
@@ -2216,6 +2231,15 @@ object OraclesExt {
          |  FROM q)
          |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
          |ORDER BY doc_id""".stripMargin,
+
+    "q105_cust_order_histogram" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     // q101_neardup_dedup: rows-only — the MinHash signature rides
     // xxhash64 (§5.3, not portable); transitive retention semantics

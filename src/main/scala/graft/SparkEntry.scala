@@ -134,6 +134,7 @@ object SparkEntry {
     "q102_small_qty_revenue" -> ((s, d) => PipelinesExt.smallQtyRevenue(s, d)),
     "q103_mix_rebalance" -> ((s, d) => PipelinesExt.mixRebalance(s, d)),
     "q104_quality_top_frac" -> ((s, d) => PipelinesExt.qualityTopFraction(s, d)),
+    "q105_cust_order_histogram" -> ((s, d) => PipelinesExt.custOrderHistogram(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -59,6 +59,33 @@ class ChunkingSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
   }
 
+  test("chunkTokens applies to a stream unchanged (narrow op, append mode)") {
+    // narrow operators are streaming-compatible for free — pin it: the
+    // same builder over a file stream emits exactly the batch rows
+    import java.nio.file.Files
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text").limit(100)
+    val dir = Files.createTempDirectory("graft-chunk-in-").toString
+    docs.write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream.schema(docs.schema).parquet(dir)
+    val q = Chunking.chunkTokens(stream, chunkSize = 32, overlap = 8)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("chunk_stream_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-chunk-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("chunk_stream_out")
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String, Int)].collect().toSeq
+    val want = Chunking.chunkTokens(
+        spark.read.parquet(dir), chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Long, String, Int)].collect().toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("packingPlan: contiguous intervals per stream, correct pack spans") {
     val df = Seq(
       (1L, "a", (0 until 300).map(_ => "w").mkString(" ")),

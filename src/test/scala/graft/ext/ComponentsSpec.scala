@@ -67,6 +67,13 @@ class ComponentsSpec extends SparkSpec {
     assert(Components.connectedComponents(e).isEmpty)
   }
 
+  test("maxRounds guard fails loudly instead of returning a non-fixpoint") {
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException](
+      Components.connectedComponents(chain, maxRounds = 1))
+    assert(e.getMessage.contains("fixpoint"))
+  }
+
   test("nearDupRetain keeps exactly the min-id doc per MinHash cluster") {
     val docs = graft.Tables.load(spark, sfDir, "documents")
     val pairs = Dedup.minhashPairs(docs, "text", "doc_id")
