@@ -1315,6 +1315,27 @@ object PipelinesExt {
       .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
       .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
   }
+
+  // Distributed Gram matrix of the embedding corpus, quantized to
+  // BIGINT so the cross-row sums are exact and order-independent
+  // (§5.3: double sums never hash-match across engines). The
+  // production path is the one-pass graft_gram aggregate
+  // (Projections.moments); this SQL-checkable formulation pins the
+  // same reduction through explode + partial agg.
+  def embeddingGram(s: SparkSession, d: String): DataFrame =
+    ext.Projections.quantizedGram(t(s, d, "embeddings"), "embedding")
+
+  // PCA-whitened 8-dim projection of the embeddings: fit = one
+  // mergeable-aggregate job + driver-side Jacobi eigensolve; apply =
+  // k codegen'd graft_dot's against literal components, no shuffle.
+  // rows-only: eigenvectors are engine-specific (sign/ulp).
+  def pcaWhiten(s: SparkSession, d: String): DataFrame = {
+    val e = t(s, d, "embeddings")
+    val model = ext.Projections.fitPca(e, "embedding", dim = 64, k = 8)
+    ext.Projections.pcaProject(e, "embedding", model, whiten = true)
+      .select(col("vec_id"), col("pca"))
+      .orderBy("vec_id")
+  }
 }
 
 object OraclesExt {
@@ -2231,6 +2252,30 @@ object OraclesExt {
          |  FROM q)
          |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
          |ORDER BY doc_id""".stripMargin,
+
+    // q106: floor(x·1e6 + 0.5) quantization makes every product and
+    // sum exact integer arithmetic — identical in both engines for
+    // identical input doubles (floor is pure IEEE; round is not:
+    // Spark routes doubles through shortest-decimal strings).
+    "q106_embedding_gram" ->
+      """WITH q AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |p AS (
+        |  -- constant bound: generate_series rejects lateral column
+        |  -- args; the embeddings table is 64-dim (TESTDATA.md)
+        |  SELECT gi.i AS i, gj.j AS j, v[gi.i] * v[gj.j] AS prod
+        |  FROM q, generate_series(1, 64) AS gi(i),
+        |       generate_series(1, 64) AS gj(j)
+        |  WHERE gj.j >= gi.i)
+        |SELECT i, j, CAST(sum(prod) AS BIGINT) AS s
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+
+    // q107_pca_whiten: rows-only — eigenvector sign and last-ulp
+    // rotation angles are engine-specific; the projection parity,
+    // orthonormality, and unit-variance contracts are spec-asserted
+    // (ProjectionsSpec) against local brute force.
 
     "q105_cust_order_histogram" ->
       """WITH per_cust AS (

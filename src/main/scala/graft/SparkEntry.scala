@@ -135,6 +135,8 @@ object SparkEntry {
     "q103_mix_rebalance" -> ((s, d) => PipelinesExt.mixRebalance(s, d)),
     "q104_quality_top_frac" -> ((s, d) => PipelinesExt.qualityTopFraction(s, d)),
     "q105_cust_order_histogram" -> ((s, d) => PipelinesExt.custOrderHistogram(s, d)),
+    "q106_embedding_gram" -> ((s, d) => PipelinesExt.embeddingGram(s, d)),
+    "q107_pca_whiten" -> ((s, d) => PipelinesExt.pcaWhiten(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
