@@ -221,10 +221,13 @@ final class FeatureStore(spark: SparkSession, val root: String,
         val old = readTable(name)
         // schema evolution adds columns; it never retypes them — catch
         // type conflicts here with a named error instead of a positional
-        // cast failure deep in the plan
+        // cast failure deep in the plan. Nullability flags are NOT a
+        // conflict: parquet round trips and aggregate outputs disagree
+        // on nullable/containsNull for identical value types.
         val conflicts = df.schema.flatMap { f =>
           old.schema.find(_.name == f.name)
-            .filter(_.dataType != f.dataType)
+            .filterNot(o => org.apache.spark.sql.graftbridge.Bridge
+              .sameTypeIgnoringNullability(o.dataType, f.dataType))
             .map(o => s"${f.name}: table has ${o.dataType.simpleString}, write has ${f.dataType.simpleString}")
         }
         require(conflicts.isEmpty,

@@ -126,6 +126,45 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming sketch state — the [[graft.functions.SketchAggregates]]
+    * tier (KMV distinct-count, CM-heap heavy hitters) as a running
+    * per-key streaming aggregate. Both sketches are MERGEABLE
+    * summaries (that is what makes them map-side-combinable in batch),
+    * so the streaming engine's state store holds exactly one
+    * fixed-size buffer per group and each micro-batch merges its
+    * partial sketch into it — constant state per key at any stream
+    * rate, and the same update-mode merge-upsert shape as
+    * [[maintainAggState]]. KMV is order-independent by construction
+    * (k smallest hashes of a set), so stream ≡ batch EXACTLY;
+    * CM counters are additive (identical under any partitioning), and
+    * the candidate heap re-ranks against the merged counters, so the
+    * top-k agrees with batch whenever the candidate cap holds all
+    * observed keys (asserted in the spec; at adversarial cardinality
+    * the usual CM-heap approximation applies to both paths alike).
+    */
+  def maintainSketchState(
+      stream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      keys: Seq[String],
+      distinctCol: String,
+      heavyCol: String,
+      topK: Int,
+      checkpointDir: String): StreamingQuery = {
+    val agg = stream.groupBy(keys.map(col): _*).agg(
+      graft.functions.SketchAggregates.kmvDistinct(col(distinctCol)).as("distinct_est"),
+      graft.functions.SketchAggregates.cmTopK(col(heavyCol).cast("string"), topK)
+        .as("top_items"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** File-based streaming read of an events directory with an explicit
     * schema (streaming sources cannot infer).
     */

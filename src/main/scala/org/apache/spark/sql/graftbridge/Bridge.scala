@@ -14,6 +14,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Structural type equality modulo nullability flags — parquet
+    * round trips and aggregate output schemas disagree on
+    * nullable/containsNull for IDENTICAL value types, and
+    * `DataType.equalsIgnoreNullability` is private[sql].
+    */
+  def sameTypeIgnoringNullability(
+      a: org.apache.spark.sql.types.DataType,
+      b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
   /** Expose the private[sql] optimizer-rule builder so specs can
     * assert what a SparkSessionExtensions instance injects.
     */

@@ -190,6 +190,48 @@ class StreamingFeaturesSpec extends SparkSpec {
       "streaming funnel state != batch funnel over all data")
   }
 
+  test("maintainSketchState: streaming sketches equal batch sketches across micro-batches") {
+    import graft.functions.SketchAggregates
+    import spark.implicits._
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "value")
+    val first = events.filter(col("event_id") % 2 === 0)
+    val streamDir = Files.createTempDirectory("graft-sketch-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    def batchSketch(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("event_type")).agg(
+        SketchAggregates.kmvDistinct(col("user_id")).as("distinct_est"),
+        SketchAggregates.cmTopK(col("user_id").cast("string"), 5).as("top_items"))
+
+    val store = FeatureStore.temp(spark)
+    store.createTable(FeatureTableSpec("sketches", Seq("event_type"),
+      batchSketch(events).schema, "running per-type sketch state"))
+    val ckpt = Files.createTempDirectory("graft-sketch-ck-").toString
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("distinct_est"),
+        to_json(col("top_items")).as("top"))
+      .as[(String, Long, String)].collect().sortBy(_._1).toSeq
+
+    val q1 = StreamingFeatures.maintainSketchState(stream, store, "sketches",
+      Seq("event_type"), "user_id", "user_id", 5, ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    assert(rows(store.readTable("sketches")) == rows(batchSketch(first)))
+
+    // second micro-batch: the state-store sketches must MERGE, landing
+    // on the same summaries a batch pass over all data computes
+    val second = events.filter(col("event_id") % 2 === 1)
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainSketchState(stream, store, "sketches",
+      Seq("event_type"), "user_id", "user_id", 5, ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+    assert(rows(store.readTable("sketches")) == rows(batchSketch(events)),
+      "streaming sketch state != batch sketches over all data")
+  }
+
   test("guarded refresh merges clean rows and quarantines violations with reasons") {
     import graft.operators.Expectations._
     val events = graft.Tables.load(spark, sfDir, "events")
