@@ -1325,6 +1325,25 @@ object PipelinesExt {
   def embeddingGram(s: SparkSession, d: String): DataFrame =
     ext.Projections.quantizedGram(t(s, d, "embeddings"), "embedding")
 
+  // Curriculum schedule: short-first length curriculum (64-token
+  // bands), deterministic md5 shuffle INSIDE each band, then a dense
+  // global step index. The index comes from GlobalIndex's two-pass
+  // range-sort + offset numbering — NOT row_number() over an empty
+  // window spec, which funnels the corpus through one partition. The
+  // oracle runs exactly that single-partition row_number, which is
+  // fine for DuckDB at gate scale and pins the identical total order.
+  def curriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    val banded = t(s, d, "documents")
+      .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .withColumn("band",
+        least(floor(col("n_tokens") / lit(64.0)), lit(7L)).cast("int"))
+      .withColumn("rkey", md5(concat_ws(":", col("doc_id"), col("band"))))
+    operators.GlobalIndex
+      .withGlobalIndex(banded, Seq(col("band"), col("rkey"), col("doc_id")), "step")
+      .select(col("step"), col("doc_id"), col("band"))
+      .orderBy("step")
+  }
+
   // PCA-whitened 8-dim projection of the embeddings: fit = one
   // mergeable-aggregate job + driver-side Jacobi eigensolve; apply =
   // k codegen'd graft_dot's against literal components, no shuffle.
@@ -2271,6 +2290,21 @@ object OraclesExt {
         |  WHERE gj.j >= gi.i)
         |SELECT i, j, CAST(sum(prod) AS BIGINT) AS s
         |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
+
+    "q108_curriculum_schedule" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
+         |b AS (
+         |  SELECT doc_id,
+         |    CAST(least(floor(CAST(n_tokens AS DOUBLE) / 64.0), 7) AS INTEGER) AS band
+         |  FROM tok),
+         |r AS (
+         |  SELECT doc_id, band,
+         |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)) AS rkey
+         |  FROM b)
+         |SELECT CAST(row_number() OVER (ORDER BY band, rkey, doc_id) - 1 AS BIGINT) AS step,
+         |  doc_id, band
+         |FROM r ORDER BY step""".stripMargin,
 
     // q107_pca_whiten: rows-only — eigenvector sign and last-ulp
     // rotation angles are engine-specific; the projection parity,

@@ -137,6 +137,7 @@ object SparkEntry {
     "q105_cust_order_histogram" -> ((s, d) => PipelinesExt.custOrderHistogram(s, d)),
     "q106_embedding_gram" -> ((s, d) => PipelinesExt.embeddingGram(s, d)),
     "q107_pca_whiten" -> ((s, d) => PipelinesExt.pcaWhiten(s, d)),
+    "q108_curriculum_schedule" -> ((s, d) => PipelinesExt.curriculumSchedule(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
