@@ -665,6 +665,19 @@ object PipelinesExt {
       .orderBy("doc_id")
   }
 
+  // Bloom-prefiltered decontamination — same fixture and result as
+  // q79 (the oracle is the exact-overlap SQL; bloom FPs die in the
+  // confirming join), but the corpus gram stream is cut at the scan
+  // by might_contain against a one-row broadcast bloom before
+  // anything shuffles.
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
+    TextAnalysis.contaminationHitsNgramBloom(docs, "doc_id", "text",
+      probes, "text", n = 8, expectedGrams = 1L << 16)
+      .orderBy("doc_id")
+  }
+
   // Materialized IVF index: build the cell-partitioned index, then
   // probe it — the probe's corpus scan is statically partition-pruned
   // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
@@ -1365,6 +1378,26 @@ object OraclesExt {
     */
   private val fpSql = """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
 
+  // exact verbatim 8-gram overlap vs probe docs 3/7/11/19/23 — ground
+  // truth for BOTH q79 (gram equi-join) and q109 (bloom-prefiltered)
+  private val contaminationNgramOverlapSql =
+    """WITH t AS (SELECT doc_id,
+      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+      |  FROM documents),
+      |g AS (SELECT doc_id,
+      |    CASE WHEN len(w) < 8 THEN []
+      |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
+      |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+      |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
+      |    END AS grams
+      |  FROM t),
+      |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+      |pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id IN (3, 7, 11, 19, 23))
+      |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
+      |FROM dg JOIN pg USING (gram)
+      |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+
   private val tokenCountSql =
     """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER)""".stripMargin
@@ -1519,23 +1552,12 @@ object OraclesExt {
         |    x -> abs(CAST(x AS DOUBLE)))) AS max_abs
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
-    "q79_contamination_ngram" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(w) < 8 THEN []
-        |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
-        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
-        |    END AS grams
-        |  FROM t),
-        |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-        |pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id IN (3, 7, 11, 19, 23))
-        |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
-        |FROM dg JOIN pg USING (gram)
-        |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin,
+    "q79_contamination_ngram" -> contaminationNgramOverlapSql,
+
+    // q109: the bloom-prefiltered path computes the SAME exact overlap
+    // (false positives die in the confirming join), so it shares q79's
+    // oracle verbatim — two different plans, one ground truth.
+    "q109_contamination_bloom" -> contaminationNgramOverlapSql,
 
     "q76_big_volume_orders" ->
       """SELECT c_custkey, o_orderkey,

@@ -138,6 +138,7 @@ object SparkEntry {
     "q106_embedding_gram" -> ((s, d) => PipelinesExt.embeddingGram(s, d)),
     "q107_pca_whiten" -> ((s, d) => PipelinesExt.pcaWhiten(s, d)),
     "q108_curriculum_schedule" -> ((s, d) => PipelinesExt.curriculumSchedule(s, d)),
+    "q109_contamination_bloom" -> ((s, d) => PipelinesExt.contaminationBloom(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -48,13 +48,18 @@ object Components {
 
     var converged = false
     var round = 0
+    // carry the count forward: last round's next.count() IS this
+    // round's cur.count() — one job per round instead of two
+    var curCount = cur.count()
     while (!converged && round < maxRounds) {
       val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val nextCount = next.count()
       // fixpoint of two DISTINCT canonical sets: equal counts and an
       // empty one-sided difference imply set equality
-      converged = next.count() == cur.count() &&
+      converged = nextCount == curCount &&
         next.join(cur, Seq("u", "v"), "left_anti").isEmpty
       cur = next
+      curCount = nextCount
       round += 1
     }
     require(converged,

@@ -276,6 +276,67 @@ object TextAnalysis {
       .agg(countDistinct(col("gram")).as("n_gram_hits"))
   }
 
+  /** Bloom-prefiltered decontamination — the mid-scale regime between
+    * [[contaminationHits]] (probe STRINGS broadcast raw) and
+    * [[contaminationHitsNgram]] (both sides shuffle every gram): when
+    * the probe gram set is too large to broadcast as an equi-join side
+    * but its BLOOM FILTER is not (~1.2 bytes/gram at 1% FP — 10M
+    * held-out grams ≈ 12 MB), aggregate the probe grams into ONE bloom
+    * row (`bloom_filter_agg`), broadcast-cross it onto the corpus gram
+    * stream, and cut that stream AT THE SCAN with `might_contain`.
+    * Only probable hits reach the exact confirming equi-join, so the
+    * corpus-side shuffle carries the survivor set (≈ true hits + FP·n)
+    * instead of every corpus gram — at 100 TB that is the difference
+    * between shuffling terabytes and shuffling megabytes. False
+    * positives are removed by the confirming join: the result is
+    * EXACTLY [[contaminationHitsNgram]]'s (spec-asserted).
+    *
+    * The bloom is BUILT distributively (Spark's internal
+    * `BloomFilterAggregate` — a mergeable TypedImperativeAggregate,
+    * the same machinery runtime row-level filtering uses, reachable
+    * only through Catalyst since it has no SQL registration) and ONE
+    * bounded binary (expectedGrams·10 bits) comes to the driver to be
+    * re-embedded as a literal: `BloomFilterMightContain` requires a
+    * constant bloom side, and a literal folds into the scan filter.
+    * Same bounded-collect discipline as the PQ codebooks. The probe
+    * gram frame is read twice (bloom build + confirm); persist it
+    * when probes are expensive to recompute.
+    */
+  def contaminationHitsNgramBloom(docs: DataFrame, idCol: String,
+      textCol: String, probes: DataFrame, probeTextCol: String, n: Int,
+      expectedGrams: Long = 1L << 20): DataFrame = {
+    require(expectedGrams > 0,
+      s"contaminationHitsNgramBloom: need expectedGrams > 0, got $expectedGrams")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.Bridge
+    import org.apache.spark.sql.types.BinaryType
+    val p = probes
+      .select(explode(ngramFingerprints(col(probeTextCol), n)).as("gram"))
+      .distinct()
+    // ~10 bits/item ≈ 1% FP; hash to long first — the aggregate's
+    // input domain
+    val bfAgg = Bridge.column(new BloomFilterAggregate(
+      Bridge.expression(xxhash64(col("gram"))),
+      Literal(expectedGrams), Literal(expectedGrams * 10L), 0, 0)
+      .toAggregateExpression())
+    val bfBytes = p.agg(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+    if (bfBytes == null) {
+      // no probe grams at all: nothing can be contaminated
+      docs.select(col(idCol), lit(0L).as("n_gram_hits")).limit(0)
+    } else {
+      val mightContain = Bridge.column(BloomFilterMightContain(
+        Literal(bfBytes, BinaryType),
+        Bridge.expression(xxhash64(col("gram")))))
+      docs
+        .select(col(idCol), explode(ngramFingerprints(col(textCol), n)).as("gram"))
+        .filter(mightContain)
+        .join(p, "gram")
+        .groupBy(col(idCol))
+        .agg(countDistinct(col("gram")).as("n_gram_hits"))
+    }
+  }
+
   /** Corpus-driven stop-word pruning: rewrite every document with its
     * k most document-frequent words removed, preserving the order of
     * the remaining words. The C4/RefinedWeb boilerplate idea at word

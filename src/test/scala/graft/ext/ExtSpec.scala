@@ -142,6 +142,21 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("contaminationHitsNgramBloom: exact equality with the shuffle path, bloom cut in plan") {
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
+    val bloom = TextAnalysis.contaminationHitsNgramBloom(
+      docs, "doc_id", "text", probes, "text", n = 8, expectedGrams = 1L << 16)
+    val exact = TextAnalysis.contaminationHitsNgram(
+      docs, "doc_id", "text", probes, "text", n = 8)
+    val got = bloom.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val want = exact.orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(got == want, "bloom FPs must die in the confirming join")
+    // the corpus gram stream is cut by might_contain BEFORE the join
+    val plan = bloom.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"expected bloom filter cut:\n$plan")
+  }
+
   test("termStats: correct tf/df/idf, and plan construction fires no Spark job") {
     // listener events are async, so count by JobStart submission time:
     // an eager job during operator construction would be submitted (and,
