@@ -1329,6 +1329,49 @@ object PipelinesExt {
       .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
   }
 
+  // TPC-H Q14 shape: promo revenue share — a conditional-ratio
+  // aggregate over a broadcast part join; both sums exact-decimal,
+  // division in double (the §5.3 contract), so the single output
+  // double hash-matches.
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val rev = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+  // The revenue "view" subtree appears twice (group-by + its max) —
+  // both scans carry the pushed shipdate filter, and the 1-row max
+  // BROADCASTS back onto the grouped frame: the max-equality never
+  // runs as a single-partition window over the supplier set (the
+  // 100 TB cliff). At scale, materialize the revenue view once
+  // (persist / CTAS) instead of re-deriving it for the max.
+  // Equality on the DECIMAL revenue is exact in both engines; the
+  // cast to double happens after.
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
+    rev.join(broadcast(rev.agg(max(col("rev_dec")).as("mx"))),
+        col("rev_dec") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
   // Distributed Gram matrix of the embedding corpus, quantized to
   // BIGINT so the cross-row sums are exact and order-independent
   // (§5.3: double sums never hash-match across engines). The
@@ -2293,6 +2336,34 @@ object OraclesExt {
          |  FROM q)
          |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
          |ORDER BY doc_id""".stripMargin,
+
+    "q110_promo_revenue" ->
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1996-04-01'""".stripMargin,
+
+    "q111_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
 
     // q106: floor(x·1e6 + 0.5) quantization makes every product and
     // sum exact integer arithmetic — identical in both engines for

@@ -139,6 +139,8 @@ object SparkEntry {
     "q107_pca_whiten" -> ((s, d) => PipelinesExt.pcaWhiten(s, d)),
     "q108_curriculum_schedule" -> ((s, d) => PipelinesExt.curriculumSchedule(s, d)),
     "q109_contamination_bloom" -> ((s, d) => PipelinesExt.contaminationBloom(s, d)),
+    "q110_promo_revenue" -> ((s, d) => PipelinesExt.promoRevenue(s, d)),
+    "q111_top_supplier" -> ((s, d) => PipelinesExt.topSupplier(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
