@@ -1372,6 +1372,54 @@ object PipelinesExt {
       .orderBy("s_suppkey")
   }
 
+  // TPC-H Q6 shape: the pure scan-filter aggregate — no join at all.
+  // The whole predicate set (date window + discount band + quantity
+  // cap) reaches the parquet scan as PushedFilters, so at 100 TB this
+  // is one pruned pass with a partial-agg reduce; exact-decimal sum,
+  // cast to double at the end (the §5.3 contract).
+  def forecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
+        .as("revenue"))
+  }
+
+  // TPC-H Q7 shape: volume shipping between a nation pair. The nation
+  // filter is applied to the 25-row dimension FIRST and broadcast onto
+  // supplier/customer, so both fact-side joins already carry the ~2/25
+  // selectivity before any shuffle; lineitem additionally prunes on the
+  // pushed shipdate window. The remaining shuffles (orders⋈customer,
+  // lineitem⋈orders) are unavoidable fact joins on their natural keys.
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val nat = t(s, d, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+    val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("volume"),
+        year(col("l_shipdate")).as("l_year"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   // Distributed Gram matrix of the embedding corpus, quantized to
   // BIGINT so the cross-row sums are exact and order-independent
   // (§5.3: double sums never hash-match across engines). The
@@ -2364,6 +2412,35 @@ object OraclesExt {
         |WHERE s_suppkey = l_suppkey
         |  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q112_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q113_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= DATE '1995-01-01'
+        |    AND l_shipdate < DATE '1997-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     // q106: floor(x·1e6 + 0.5) quantization makes every product and
     // sum exact integer arithmetic — identical in both engines for

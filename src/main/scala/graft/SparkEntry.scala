@@ -141,6 +141,8 @@ object SparkEntry {
     "q109_contamination_bloom" -> ((s, d) => PipelinesExt.contaminationBloom(s, d)),
     "q110_promo_revenue" -> ((s, d) => PipelinesExt.promoRevenue(s, d)),
     "q111_top_supplier" -> ((s, d) => PipelinesExt.topSupplier(s, d)),
+    "q112_forecast_revenue" -> ((s, d) => PipelinesExt.forecastRevenue(s, d)),
+    "q113_volume_shipping" -> ((s, d) => PipelinesExt.volumeShipping(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
