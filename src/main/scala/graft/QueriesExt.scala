@@ -1420,6 +1420,55 @@ object PipelinesExt {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  // BM25 keyword retrieval over the corpus for a fixed query-term set
+  // — one scan + 1-row stats broadcast + TakeOrderedAndProject; the
+  // quantized-integer score contract makes the gate hashable (see
+  // Retrieval.bm25TopK).
+  def bm25Search(s: SparkSession, d: String): DataFrame =
+    ext.Retrieval.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+      Seq("spark", "vector", "stream"), k = 50)
+      .orderBy(col("bm25_q").desc, col("doc_id"))
+
+  // Scalar int8 quantization of the embedding corpus; the gate emits
+  // the codes as a space-joined string + integer checksum (array
+  // columns are not portable through the parquet/pandas compare).
+  def int8Quantize(s: SparkSession, d: String): DataFrame =
+    Pq.scalarQuantize(t(s, d, "embeddings"), "embedding", "vec_id")
+      .select(col("vec_id"),
+        array_join(transform(col("codes"), c => c.cast("string")), " ")
+          .as("codes_str"),
+        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
+      .orderBy("vec_id")
+
+  // Span-level exact-dup profile: distinct 8-token spans per doc that
+  // also appear verbatim in another doc (Lee et al. 2022 shape).
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.dupSpanCounts(t(s, d, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
+  // Corpus-fit unigram-LM familiarity score (linear-domain perplexity
+  // stand-in) per document.
+  def unigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // Hybrid retrieval: BM25 keyword candidates fused with exact
+  // quantized-dot vector candidates (query = embedding 0, sharing the
+  // doc id domain) by reciprocal-rank fusion. Both candidate lists are
+  // TakeOrderedAndProject top-100s, so the rank windows run on ≤100
+  // rows — never on the corpus.
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val text = ext.Retrieval.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+      Seq("spark", "vector", "stream"), k = 100)
+    val vec = ext.Retrieval.quantizedDotTopK(t(s, d, "embeddings"),
+      "embedding", "vec_id", queryId = 0L, k = 100)
+      .withColumnRenamed("vec_id", "doc_id")
+    ext.Retrieval.rrfFuse(Seq(
+        ("text", text, col("bm25_q").desc),
+        ("vec", vec, col("dot_q").desc)), "doc_id")
+      .orderBy(col("rrf_q").desc, col("doc_id"))
+  }
+
   // Distributed Gram matrix of the embedding corpus, quantized to
   // BIGINT so the cross-row sums are exact and order-independent
   // (§5.3: double sums never hash-match across engines). The
@@ -1488,6 +1537,42 @@ object OraclesExt {
       |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
       |FROM dg JOIN pg USING (gram)
       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+
+  // BM25 oracle arithmetic mirroring Retrieval.bm25TopK operation for
+  // operation. Every float literal is e0-suffixed: bare decimals parse
+  // as DECIMAL in DuckDB, which would silently switch the promotion
+  // rules (DECIMAL division) away from Spark's double arithmetic.
+  // (1.2e0 + 1.0e0) is deliberately NOT folded to 2.2e0 — the Scala
+  // side computes k1+1.0 at runtime and the parsed constant 2.2 is not
+  // guaranteed to be the same double as the computed sum.
+  private def bm25TermSql(i: Int): String =
+    s"""CAST(floor(((n - df$i) + 0.5e0) / (df$i + 0.5e0)
+       |      * ((CAST(tf$i AS DOUBLE) * (1.2e0 + 1.0e0))
+       |        / (CAST(tf$i AS DOUBLE) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0
+       |            * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))))
+       |      * 1000000.0e0 + 0.5e0) AS BIGINT)""".stripMargin
+
+  private def bm25CteSql(terms: Seq[String]): String =
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |pd AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    ${terms.zipWithIndex.map { case (t, i) =>
+                s"len(list_filter(toks, x -> x = '$t')) AS tf$i" }.mkString(",\n    ")}
+       |  FROM d),
+       |st AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |    ${terms.indices.map(i =>
+                s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+              .mkString(",\n    ")}
+       |  FROM pd),
+       |sc AS (
+       |  SELECT doc_id, CAST(dl AS INTEGER) AS dl,
+       |    (${terms.indices.map(bm25TermSql).mkString("\n     + ")}) AS bm25_q
+       |  FROM pd, st)""".stripMargin
 
   private val tokenCountSql =
     """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -2441,6 +2526,104 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q114_bm25_search" ->
+      s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))}
+         |SELECT doc_id, dl, bm25_q FROM sc
+         |ORDER BY bm25_q DESC, doc_id LIMIT 50""".stripMargin,
+
+    "q115_int8_quantize" ->
+      """WITH dims AS (
+        |  SELECT u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
+        |  FROM embeddings, generate_series(1, 64) AS u(i)),
+        |mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos),
+        |arrs AS (SELECT list(mn ORDER BY pos) AS mins,
+        |                list(mx ORDER BY pos) AS maxs FROM mm),
+        |codes AS (
+        |  SELECT vec_id, list_transform(range(1, 65), i ->
+        |    CASE WHEN maxs[i] = mins[i] THEN 0
+        |         ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
+        |           / (maxs[i] - mins[i]) * 255.0e0 + 0.5e0) AS INTEGER) END) AS cs
+        |  FROM embeddings, arrs)
+        |SELECT vec_id, array_to_string(cs, ' ') AS codes_str,
+        |  CAST(list_sum(cs) AS BIGINT) AS code_sum
+        |FROM codes ORDER BY vec_id""".stripMargin,
+
+    // same 8-token-window md5 grams as the q79 oracle (no lowercasing —
+    // ngramFingerprints tokenizes raw trimmed text)
+    "q116_dup_spans" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(w) < 8 THEN []
+        |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
+        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
+        |    END AS grams
+        |  FROM t),
+        |dg AS (SELECT doc_id, unnest(grams) AS span FROM g),
+        |dup AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
+        |pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+        |  FROM dg JOIN dup USING (span) GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM dg GROUP BY doc_id)
+        |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans
+        |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN pc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q117_unigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tm AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tm GROUP BY term),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
+        |qp AS (SELECT term,
+        |    CAST(floor(CAST(cnt AS DOUBLE) / total * 1000000000.0e0 + 0.5e0)
+        |      AS BIGINT) AS qp
+        |  FROM v, tot),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(qp) AS BIGINT) AS lm_q
+        |  FROM tm JOIN qp USING (term) GROUP BY doc_id)
+        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(lm_q, 0) AS BIGINT) AS lm_q
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q118_hybrid_rrf" ->
+      s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))},
+         |tr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS BIGINT)
+         |      AS text_rank
+         |  FROM (SELECT doc_id, bm25_q FROM sc
+         |        ORDER BY bm25_q DESC, doc_id LIMIT 100)),
+         |qe AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0) AS BIGINT))
+         |    AS v
+         |  FROM embeddings),
+         |q0 AS (SELECT v AS qv FROM qe WHERE vec_id = 0),
+         |dots AS (SELECT vec_id AS doc_id,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
+         |      AS BIGINT) AS dot_q
+         |  FROM qe, q0),
+         |vr AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY dot_q DESC, doc_id) AS BIGINT)
+         |      AS vec_rank
+         |  FROM (SELECT doc_id, dot_q FROM dots
+         |        ORDER BY dot_q DESC, doc_id LIMIT 100)),
+         |f AS (
+         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, text_rank, vec_rank
+         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
+         |SELECT doc_id, text_rank, vec_rank,
+         |  CAST(coalesce(CAST(floor(1000000000.0e0 / (60.0e0 + text_rank)) AS BIGINT), 0)
+         |     + coalesce(CAST(floor(1000000000.0e0 / (60.0e0 + vec_rank)) AS BIGINT), 0)
+         |    AS BIGINT) AS rrf_q
+         |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 50""".stripMargin,
 
     // q106: floor(x·1e6 + 0.5) quantization makes every product and
     // sum exact integer arithmetic — identical in both engines for

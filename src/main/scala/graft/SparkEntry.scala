@@ -143,6 +143,11 @@ object SparkEntry {
     "q111_top_supplier" -> ((s, d) => PipelinesExt.topSupplier(s, d)),
     "q112_forecast_revenue" -> ((s, d) => PipelinesExt.forecastRevenue(s, d)),
     "q113_volume_shipping" -> ((s, d) => PipelinesExt.volumeShipping(s, d)),
+    "q114_bm25_search" -> ((s, d) => PipelinesExt.bm25Search(s, d)),
+    "q115_int8_quantize" -> ((s, d) => PipelinesExt.int8Quantize(s, d)),
+    "q116_dup_spans" -> ((s, d) => PipelinesExt.dupSpans(s, d)),
+    "q117_unigram_lm" -> ((s, d) => PipelinesExt.unigramLm(s, d)),
+    "q118_hybrid_rrf" -> ((s, d) => PipelinesExt.hybridRrf(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -254,4 +254,44 @@ object Pq {
           - Similarity.cosine(col("q_emb"), col("c_emb"))).as("abs_err"))
       .agg(avg(col("abs_err")).as("mean_abs_err"), max(col("abs_err")).as("max_abs_err"))
   }
+
+  /** Per-dimension min-max scalar quantization to uint8 codes (the
+    * faiss `SQ8` discipline) — 4× smaller than float32 embeddings
+    * with ~0.4%-of-range error, the standard storage format for
+    * billion-vector corpora whose exact floats live in cold storage.
+    *
+    * Plan shape: posexplode → per-dimension min/max aggregate (dim
+    * groups — map-side partials make this one cheap shuffle of
+    * dim·partitions rows), the dim-indexed min/max ARRAYS assembled in
+    * a 1-row aggregate and broadcast-crossed back onto the corpus, and
+    * the quantization itself is a per-row transform() inside the scan
+    * projection. Nothing driver-side, nothing quadratic.
+    *
+    * floor((x−mn)/(mx−mn)·255 + 0.5) is pure IEEE arithmetic on
+    * exactly-cast floats, so codes are bit-identical in any engine
+    * (the §5.3 floor-not-round discipline); constant dimensions
+    * (mx = mn) quantize to 0.
+    */
+  def scalarQuantize(corpus: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val dims = corpus
+      .select(posexplode(col(vecCol)).as(Seq("_pos", "_xf")))
+      .select(col("_pos"), col("_xf").cast("double").as("_x"))
+    val mm = dims.groupBy(col("_pos"))
+      .agg(min(col("_x")).as("_mn"), max(col("_x")).as("_mx"))
+    val arrs = mm
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_mn"), col("_mx"))))
+        .as("_s"))
+      .select(transform(col("_s"), s => s.getField("_mn")).as("_mins"),
+        transform(col("_s"), s => s.getField("_mx")).as("_maxs"))
+    corpus.crossJoin(broadcast(arrs))
+      .select(col(idCol),
+        transform(col(vecCol), (x, i) => {
+          val mn = element_at(col("_mins"), i + 1)
+          val mx = element_at(col("_maxs"), i + 1)
+          when(mx === mn, lit(0))
+            .otherwise(floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)
+              + lit(0.5)).cast("int"))
+        }).as("codes"))
+  }
 }

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [extension] Keyword and hybrid retrieval for LLM-data curation
+  * (SURVEY.md §7.6; no reference citation — the reference has no
+  * retrieval ops). BM25 (Robertson & Walker, the Okapi formulation)
+  * and reciprocal-rank fusion (Cormack et al., SIGIR 2009).
+  *
+  * Oracle-portability discipline: `ln` is not bit-reproducible across
+  * engines, so the IDF factor is kept as the exact rational
+  * (N - df + 0.5)/(df + 0.5) instead of its log — monotone in the
+  * same direction, so rankings are unchanged. Per-term contributions
+  * are quantized to BIGINT (floor(x·1e6 + 0.5)) BEFORE summing so the
+  * doc score is exact integer arithmetic — order-independent, hence
+  * hash-stable across engines and shuffle schedules (§5.3).
+  */
+object Retrieval {
+
+  /** BM25 scores of every document against a FIXED keyword set.
+    *
+    * Plan shape: the per-term term frequencies are computed as array
+    * expressions inside the scan projection (no explode — the term set
+    * is a compile-time constant), so the whole query is ONE pass over
+    * the corpus plus a 1-row stats aggregate broadcast back onto it.
+    * No shuffle wider than the 1-row exchange at any scale; top-k is
+    * TakeOrderedAndProject.
+    *
+    * Emits (idCol, dl, bm25_q) for the `k` highest-scoring docs,
+    * ties broken by id.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = docs
+      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol) +: size(col("_toks")).as("dl") +:
+        terms.indices.map(i =>
+          size(filter(col("_toks"), x => x === lit(terms(i)))).as(s"_tf$i")): _*)
+    val stats = perDoc.agg(count(lit(1)).as("_n"),
+      sum(col("dl")).as("_sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n")
+    def contrib(i: Int): Column = {
+      val tf = col(s"_tf$i").cast("double")
+      val df = col(s"_df$i")
+      val idf = (col("_n") - df + lit(0.5)) / (df + lit(0.5))
+      val score = idf * ((tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))))
+      floor(score * lit(1e6) + lit(0.5)).cast("long")
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col(idCol), col("dl"),
+        terms.indices.map(contrib).reduce(_ + _).as("bm25_q"))
+      .orderBy(col("bm25_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Exact maximum-inner-product top-k of the corpus against ONE query
+    * vector, on 1e-6-quantized BIGINT components so every dot product
+    * is exact integer arithmetic (the q106 Gram discipline — double
+    * dot products are not order-stable). One corpus scan; the query
+    * row broadcasts. Emits (idCol, dot_q) for the k best, ties by id.
+    */
+  def quantizedDotTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    def quant(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(quant(col(vecCol)).as("_qv"))
+    corpus.crossJoin(broadcast(q))
+      .select(col(idCol),
+        aggregate(zip_with(quant(col(vecCol)), col("_qv"), (x, y) => x * y),
+          lit(0L), (acc, x) => acc + x).as("dot_q"))
+      .orderBy(col("dot_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Reciprocal-rank fusion of pre-ranked candidate lists sharing an
+    * id column. Each input must already be a SMALL top-k frame (the
+    * rank window here runs on candidate lists, never on the corpus —
+    * ranking the corpus through a single-partition window is the
+    * 100 TB cliff; produce candidates with TakeOrderedAndProject
+    * first, as bm25TopK/quantizedDotTopK do).
+    *
+    * Contribution of a list at rank r (1-based) is
+    * floor(1e9 / (kConst + r)) — integer-exact in both engines, and
+    * safe as a double division: the true quotient is a rational with
+    * denominator ≤ kConst+|list|, never within an ulp of an integer
+    * it doesn't equal.
+    *
+    * `rankings` maps a label to (frame, ordering column descending?).
+    * Emits (id, <label>_rank ... , rrf_q) ordered by fused score.
+    */
+  def rrfFuse(rankings: Seq[(String, DataFrame, Column)], idCol: String,
+      kConst: Int = 60, topK: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = rankings.map { case (label, df, ord) =>
+      df.select(col(idCol),
+        row_number().over(Window.orderBy(ord, col(idCol)))
+          .cast("long").as(s"${label}_rank"))
+    }
+    val joined = ranked.reduce((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val rrf = rankings.map { case (label, _, _) =>
+      coalesce(
+        floor(lit(1e9) / (lit(kConst).cast("double") + col(s"${label}_rank"))).cast("long"),
+        lit(0L))
+    }.reduce(_ + _)
+    joined.select(col(idCol) +:
+        rankings.map { case (label, _, _) => col(s"${label}_rank") } :+
+        rrf.as("rrf_q"): _*)
+      .orderBy(col("rrf_q").desc, col(idCol))
+      .limit(topK)
+  }
+}

@@ -254,6 +254,80 @@ object TextAnalysis {
       coalesce(tokens(text), array().cast("array<string>")), n, maxTokens)
   }
 
+  /** Span-level exact-duplication profile — the operational core of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al. 2022), with fixed-width token windows standing in for
+    * the suffix-array substrings: for each document, how many of its
+    * DISTINCT n-token spans also appear verbatim in at least one OTHER
+    * document. Doc-level near-dup (MinHash/SimHash) misses partial
+    * copies — boilerplate headers, quoted passages — which this
+    * catches at span granularity.
+    *
+    * Plan shape: distinct span fingerprints per doc
+    * ([[ngramFingerprints]] — fused expression, dedupe inside the
+    * row), explode, count docs per span (partial aggs absorb hot
+    * spans), spans on >= 2 docs equi-join back, count per doc. Two
+    * shuffles on the span key + one on the doc key — no all-pairs
+    * join anywhere, so the shape survives corpus scale; a span shared
+    * by millions of docs is ordinary aggregation skew, not a
+    * quadratic blow-up, because docs join the DISTINCT dup-span set,
+    * never each other.
+    */
+  def dupSpanCounts(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val spans = docs.select(col(idCol),
+      explode(ngramFingerprints(col(textCol), n)).as("_span"))
+    val dup = spans.groupBy(col("_span"))
+      .agg(count(lit(1)).as("_ndocs"))
+      .filter(col("_ndocs") >= 2).select(col("_span"))
+    val perDoc = spans.join(dup, Seq("_span"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
+    val totals = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    docs.select(col(idCol))
+      .join(totals, Seq(idCol), "left_outer")
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+  }
+
+  /** Linear-domain unigram-LM familiarity score — the cheap stand-in
+    * for perplexity-based quality filtering (the CCNet/KenLM
+    * discipline, Wenzek et al. 2020) when no external LM is available:
+    * fit the unigram distribution ON the corpus, then score each doc
+    * by the sum of its tokens' probabilities. Kept in the linear
+    * domain because ln is not bit-portable across engines (§5.3);
+    * per-term probabilities are quantized to BIGINT (floor(p·1e9+0.5))
+    * BEFORE the per-doc sum so the score is exact integer arithmetic —
+    * order-independent under any shuffle schedule.
+    *
+    * Plan shape: one explode pass, vocab aggregate (bounded by the
+    * distinct-token count, with map-side partial aggs), the 1-row
+    * total broadcast-crossed onto the vocab, a term equi-join
+    * (broadcast when the vocab fits, sort-merge otherwise — AQE's
+    * call), and the per-doc aggregate. Empty docs score 0 via the
+    * left join.
+    */
+  def unigramLmScores(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val terms = docs.select(col(idCol),
+      explode(tokens(lower(col(textCol)))).as("_term"))
+    val vocab = terms.groupBy(col("_term")).agg(count(lit(1)).as("_cnt"))
+    val total = vocab.agg(sum(col("_cnt")).as("_total"))
+    val qp = vocab.crossJoin(broadcast(total))
+      .select(col("_term"),
+        floor(col("_cnt").cast("double") / col("_total") * lit(1e9) + lit(0.5))
+          .as("_qp"))
+    val scored = terms.join(qp, Seq("_term"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_qp")).as("lm_q"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lm_q"), lit(0L)).as("lm_q"))
+  }
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -1,0 +1,152 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Retrieval + round-8 text/embedding curation operators against
+  * driver-side brute force: BM25, quantized-dot MIPS, RRF fusion,
+  * scalar int8 quantization, span-level dup counts, unigram-LM
+  * scores.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "spark spark vector stream fast table"),
+    (1L, "spark table row"),
+    (2L, "vector vector vector"),
+    (3L, ""),                      // empty: dl 0, every score 0
+    (4L, "slow batch merge"),      // no query-term hit
+    (5L, "stream stream spark vector spark"))
+  private val terms = Seq("spark", "vector", "stream")
+
+  private def bm25Ref(corpus: Seq[(Long, String)]): Map[Long, Long] = {
+    val k1 = 1.2; val b = 0.75
+    val toks = corpus.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array.empty[String]
+             else t.trim.toLowerCase.split("\\s+"))
+    }.toMap
+    val n = corpus.size.toLong
+    val avgdl = toks.values.map(_.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => toks.values.count(_.contains(t)).toLong)
+    corpus.map { case (id, _) =>
+      val arr = toks(id)
+      id -> terms.indices.map { i =>
+        val tf = arr.count(_ == terms(i)).toDouble
+        val idf = ((n - dfs(i)) + 0.5) / (dfs(i) + 0.5)
+        val score = idf * ((tf * (k1 + 1.0)) /
+          (tf + k1 * (1.0 - b + b * (arr.length.toDouble / avgdl))))
+        math.floor(score * 1e6 + 0.5).toLong
+      }.sum
+    }.toMap
+  }
+
+  test("bm25TopK matches brute force, ranks by score then id") {
+    val df = docs.toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(df, "text", "doc_id", terms, k = 6)
+      .select("doc_id", "bm25_q").as[(Long, Long)].collect()
+    val ref = bm25Ref(docs)
+    assert(got.toMap === ref)
+    val expectedOrder = ref.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1)
+    assert(got.map(_._1).toSeq === expectedOrder)
+    // zero-hit and empty docs score exactly 0
+    assert(ref(3L) === 0L && ref(4L) === 0L)
+  }
+
+  test("quantizedDotTopK equals brute-force quantized dot products") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f)),
+      (1L, Array(0.5f, 0.5f, 0.5f)),
+      (2L, Array(-1.0f, 2.0f, 0.125f)),
+      (3L, Array(0.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def quant(a: Array[Float]): Array[Long] =
+      a.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    val q0 = quant(vecs.head._2)
+    val ref = vecs.map { case (id, v) =>
+      id -> quant(v).zip(q0).map { case (x, y) => x * y }.sum
+    }.toMap
+    val got = Retrieval.quantizedDotTopK(df, "embedding", "vec_id", 0L, k = 4)
+      .as[(Long, Long)].collect()
+    assert(got.toMap === ref)
+    assert(got.map(_._1).toSeq ===
+      ref.toSeq.sortBy { case (id, s) => (-s, id) }.map(_._1))
+  }
+
+  test("rrfFuse fuses ranks, handles one-sided ids and score ties") {
+    val text = Seq((1L, 30L), (2L, 20L), (3L, 10L)).toDF("doc_id", "bm25_q")
+    val vec = Seq((2L, 5L), (3L, 6L), (4L, 7L)).toDF("doc_id", "dot_q")
+    val got = Retrieval.rrfFuse(Seq(
+        ("text", text, col("bm25_q").desc),
+        ("vec", vec, col("dot_q").desc)), "doc_id")
+      .select("doc_id", "text_rank", "vec_rank", "rrf_q")
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    def c(r: Long) = math.floor(1e9 / (60.0 + r)).toLong
+    // text ranks: 1→1, 2→2, 3→3; vec ranks: 4→1, 3→2, 2→3
+    val expected = Seq(
+      (2L, Some(2L), Some(3L), c(2) + c(3)),
+      (3L, Some(3L), Some(2L), c(3) + c(2)),   // tie with id 2 → id order
+      (1L, Some(1L), None, c(1)),
+      (4L, None, Some(1L), c(1)))              // tie with id 1 → id order
+    assert(got.toSeq === expected)
+  }
+
+  test("scalarQuantize: range endpoints, constant dims, bounded error") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 5.0f, 1.0f)),
+      (1L, Array(1.0f, 5.0f, 0.25f)),
+      (2L, Array(0.5f, 5.0f, -1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Pq.scalarQuantize(df, "embedding", "vec_id")
+      .as[(Long, Array[Int])].collect().toMap
+    // constant dimension (index 1) quantizes to 0 for every row
+    assert(got.values.forall(_(1) === 0))
+    // per-dim min → 0, max → 255 (dim 0: min row 0, max row 1;
+    // dim 2: max row 0, min row 2)
+    assert(got(0L)(0) === 0 && got(1L)(0) === 255)
+    assert(got(0L)(2) === 255 && got(2L)(2) === 0)
+    // all codes in [0, 255]; dequantization error ≤ half a step
+    val mins = Array(0.0, 5.0, -1.0); val maxs = Array(1.0, 5.0, 1.0)
+    for ((id, codes) <- got; i <- codes.indices) {
+      assert(codes(i) >= 0 && codes(i) <= 255)
+      if (maxs(i) > mins(i)) {
+        val step = (maxs(i) - mins(i)) / 255.0
+        val deq = mins(i) + codes(i) * step
+        val x = vecs.find(_._1 == id).get._2(i).toDouble
+        assert(math.abs(deq - x) <= step / 2 + 1e-12,
+          s"id=$id dim=$i deq=$deq x=$x")
+      }
+    }
+  }
+
+  test("dupSpanCounts: cross-doc spans count, within-doc repeats do not") {
+    val corpus = Seq(
+      (0L, "a b c d e f g h x"),    // spans: a..h, b..x
+      (1L, "z a b c d e f g h"),    // spans: z..g, a..h  (a..h shared)
+      (2L, "a b c d e f g"),        // 7 tokens → no spans
+      (3L, "p p p p p p p p p"))    // 1 distinct span, only in this doc
+      .toDF("doc_id", "text")
+    val byId = TextAnalysis.dupSpanCounts(corpus, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L) === ((2L, 1L)))
+    assert(byId(1L) === ((2L, 1L)))
+    assert(byId(2L) === ((0L, 0L)))
+    assert(byId(3L) === ((1L, 0L)))
+  }
+
+  test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
+    val corpus = Seq((0L, "a a b"), (1L, "b"), (2L, ""))
+      .toDF("doc_id", "text")
+    // counts: a=2, b=2, total=4 → p=0.5 each → qp = 500000000
+    val byId = TextAnalysis.unigramLmScores(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byId(0L) === ((3L, 1500000000L)))
+    assert(byId(1L) === ((1L, 500000000L)))
+    assert(byId(2L) === ((0L, 0L)))
+  }
+}
