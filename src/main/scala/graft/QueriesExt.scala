@@ -1469,6 +1469,29 @@ object PipelinesExt {
       .orderBy(col("rrf_q").desc, col("doc_id"))
   }
 
+  // 1-bit sign-quantized Hamming retrieval — the 32×-compression tier
+  // below int8/PQ; exact integer XOR+popcount arithmetic end to end.
+  def binaryAnn(s: SparkSession, d: String): DataFrame =
+    ext.Retrieval.binaryHammingTopK(t(s, d, "embeddings"), "embedding",
+      "vec_id", queryId = 0L, k = 50)
+      .orderBy("hamming", "vec_id")
+
+  // Leakage-safe dedup-aware split: near-dup CLUSTERS (q97 components)
+  // are the split unit, so no near-duplicate pair ever straddles
+  // train/test — the q98 deterministic-md5 discipline applied to the
+  // component id instead of the row id.
+  def clusterSplit(s: SparkSession, d: String): DataFrame =
+    dupClusters(s, d)
+      .withColumn("split",
+        when(md5(col("component").cast("string")) < "40000000", "test")
+          .otherwise("train"))
+      .orderBy("vec_id")
+
+  // Top BPE merge-pair candidates over the corpus vocabulary (the
+  // Sennrich et al. training-step statistic).
+  def bpePairs(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bpeMergePairs(t(s, d, "documents"), "text", topK = 50)
+
   // Distributed Gram matrix of the embedding corpus, quantized to
   // BIGINT so the cross-row sums are exact and order-independent
   // (§5.3: double sums never hash-match across engines). The
@@ -1555,7 +1578,7 @@ object OraclesExt {
   private def bm25CteSql(terms: Seq[String]): String =
     s"""d AS (
        |  SELECT doc_id,
-       |    CASE WHEN length(trim(text)) = 0 THEN []
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
        |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
        |  FROM documents),
        |pd AS (
@@ -2526,6 +2549,67 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // sign packing: bit i of a half-word carries dimension (off+i)
+    // with weight 2^(32-i) — the acc·2+bit fold's exact shift sum;
+    // 32 bits per BIGINT so no engine hits signed overflow (§5.3)
+    "q119_binary_ann" ->
+      """WITH p AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[i] > 0
+        |                THEN (CAST(1 AS BIGINT) << (32 - i))
+        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h1,
+        |    CAST(list_sum(list_transform(range(1, 33),
+        |      i -> CASE WHEN embedding[i + 32] > 0
+        |                THEN (CAST(1 AS BIGINT) << (32 - i))
+        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h2
+        |  FROM embeddings),
+        |q AS (SELECT h1 AS q1, h2 AS q2 FROM p WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INTEGER)
+        |    AS hamming
+        |FROM p, q ORDER BY hamming, vec_id LIMIT 50""".stripMargin,
+
+    // q97's recursive-closure oracle + the q98 md5-threshold split on
+    // the COMPONENT id
+    "q120_cluster_split" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a, embeddings b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |), edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs
+        |), reach(node, lbl) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
+        |), comp AS (
+        |  SELECT node AS vec_id, min(lbl) AS component
+        |  FROM reach GROUP BY node)
+        |SELECT vec_id, component,
+        |  CASE WHEN md5(CAST(component AS VARCHAR)) < '40000000'
+        |       THEN 'test' ELSE 'train' END AS split
+        |FROM comp ORDER BY vec_id""".stripMargin,
+
+    "q121_bpe_pairs" ->
+      """WITH d AS (SELECT
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |w AS (SELECT unnest(toks) AS word FROM d),
+        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
+        |  FROM w GROUP BY word),
+        |pr AS (SELECT wcnt,
+        |    unnest(CASE WHEN length(word) < 2 THEN []
+        |           ELSE list_transform(range(1, length(word)),
+        |             i -> substr(word, i, 2)) END) AS pair
+        |  FROM v)
+        |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
+        |FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
 
     "q114_bm25_search" ->
       s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))}

@@ -148,6 +148,9 @@ object SparkEntry {
     "q116_dup_spans" -> ((s, d) => PipelinesExt.dupSpans(s, d)),
     "q117_unigram_lm" -> ((s, d) => PipelinesExt.unigramLm(s, d)),
     "q118_hybrid_rrf" -> ((s, d) => PipelinesExt.hybridRrf(s, d)),
+    "q119_binary_ann" -> ((s, d) => PipelinesExt.binaryAnn(s, d)),
+    "q120_cluster_split" -> ((s, d) => PipelinesExt.clusterSplit(s, d)),
+    "q121_bpe_pairs" -> ((s, d) => PipelinesExt.bpePairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -33,8 +33,12 @@ object Retrieval {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // NULL text scores like empty text (0), not NULL — the coalesce
+    // matches dupSpanCounts/unigramLmScores' NULL-as-empty behavior
     val perDoc = docs
-      .select(col(idCol), TextAnalysis.tokens(lower(col(textCol))).as("_toks"))
+      .select(col(idCol),
+        coalesce(TextAnalysis.tokens(lower(col(textCol))),
+          array().cast("array<string>")).as("_toks"))
       .select(col(idCol) +: size(col("_toks")).as("dl") +:
         terms.indices.map(i =>
           size(filter(col("_toks"), x => x === lit(terms(i)))).as(s"_tf$i")): _*)
@@ -75,6 +79,47 @@ object Retrieval {
         aggregate(zip_with(quant(col(vecCol)), col("_qv"), (x, y) => x * y),
           lit(0L), (acc, x) => acc + x).as("dot_q"))
       .orderBy(col("dot_q").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Sign-bit packing of a float vector: 32 dimensions per BIGINT
+    * half-word (NOT 64 — a 64-bit fold would touch the sign bit, and
+    * BIGINT overflow is an ERROR in strict engines like DuckDB, §5.3).
+    * Bit i of a half carries dimension (from-1 + i) with weight
+    * 2^(31-i): a left-to-right acc·2+bit fold, identical to an
+    * explicit shift sum in any engine.
+    */
+  private def packSignBits(vec: Column, from: Int): Column =
+    aggregate(
+      transform(slice(vec, from, 32),
+        x => when(x.cast("double") > 0, 1L).otherwise(0L)),
+      lit(0L), (acc, bit) => acc * lit(2L) + bit)
+
+  /** Hamming-distance top-k over 1-bit sign-quantized embeddings — the
+    * 32×-compression retrieval tier below int8 ([[Pq.scalarQuantize]])
+    * and PQ: each 64-dim embedding becomes two BIGINT half-words and
+    * candidate distance is two XOR+popcounts. One corpus scan (the
+    * packing and the distance both live in the scan projection), the
+    * single query row broadcasts, top-k is TakeOrderedAndProject.
+    * Exact integer arithmetic end to end — hash-stable in any engine.
+    *
+    * At 100 TB the packed words are what you'd MATERIALIZE (32× smaller
+    * than the floats); re-ranking survivors against the full vectors is
+    * the standard second stage and composes with [[rrfFuse]].
+    */
+  def binaryHammingTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val packed = corpus.select(col(idCol),
+      packSignBits(col(vecCol), 1).as("_h1"),
+      packSignBits(col(vecCol), 33).as("_h2"))
+    val q = packed.filter(col(idCol) === queryId)
+      .select(col("_h1").as("_q1"), col("_h2").as("_q2"))
+    packed.crossJoin(broadcast(q))
+      .select(col(idCol),
+        (bit_count(col("_h1").bitwiseXOR(col("_q1"))) +
+          bit_count(col("_h2").bitwiseXOR(col("_q2")))).cast("int")
+          .as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
       .limit(k)
   }
 

@@ -328,6 +328,29 @@ object TextAnalysis {
         coalesce(col("lm_q"), lit(0L)).as("lm_q"))
   }
 
+  /** Top adjacent-character-pair counts over the corpus vocabulary —
+    * the inner statistic of a BPE training step (Sennrich et al. 2016):
+    * the argmax pair is the next merge. Counting runs on the DISTINCT
+    * word set weighted by word frequency, so the expensive per-word
+    * pair expansion is O(|vocab| · word_len), not O(corpus positions) —
+    * at 100 TB the word-frequency aggregate is the only corpus-sized
+    * stage (one explode + hash agg with map-side partials); everything
+    * after operates on the bounded vocabulary.
+    */
+  def bpeMergePairs(docs: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val words = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("_wcnt"))
+    words
+      .select(col("_wcnt"),
+        explode(when(length(col("word")) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), length(col("word")) - 1),
+            i => col("word").substr(i, lit(2))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("_wcnt")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(topK)
+  }
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -54,6 +54,15 @@ class RetrievalSpec extends SparkSpec {
     assert(ref(3L) === 0L && ref(4L) === 0L)
   }
 
+  test("bm25TopK scores NULL text as 0, like empty text") {
+    val df = Seq((0L, "spark"), (1L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = Retrieval.bm25TopK(df, "text", "doc_id", terms, k = 2)
+      .select("doc_id", "bm25_q").as[(Long, Long)].collect().toMap
+    assert(got(1L) === 0L)
+    assert(got(0L) > 0L)
+  }
+
   test("quantizedDotTopK equals brute-force quantized dot products") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.5f, -0.25f)),
@@ -137,6 +146,37 @@ class RetrievalSpec extends SparkSpec {
     assert(byId(1L) === ((2L, 1L)))
     assert(byId(2L) === ((0L, 0L)))
     assert(byId(3L) === ((1L, 0L)))
+  }
+
+  test("binaryHammingTopK matches brute-force sign Hamming distance") {
+    // 64-dim deterministic vectors with varied sign patterns, incl. a
+    // zero component (sign bit 0: strictly-positive test)
+    val vecs = (0L until 6L).map { id =>
+      id -> Array.tabulate(64) { j =>
+        if (id == 3 && j == 0) 0.0f
+        else if ((id + j) % (id + 2) == 0) -1.0f
+        else 1.0f
+      }
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val q0 = vecs.head._2
+    val ref = vecs.map { case (id, v) =>
+      id -> (0 until 64).count(j => (v(j) > 0) != (q0(j) > 0))
+    }.toMap
+    val got = Retrieval.binaryHammingTopK(df, "embedding", "vec_id", 0L, k = 6)
+      .as[(Long, Int)].collect()
+    assert(got.toMap === ref)
+    assert(got.map(_._1).toSeq ===
+      ref.toSeq.sortBy { case (id, h) => (h, id) }.map(_._1))
+  }
+
+  test("bpeMergePairs counts adjacent char pairs weighted by word freq") {
+    val corpus = Seq((0L, "aa ab x"), (1L, "ab aaa")).toDF("doc_id", "text")
+    // words: aa(1), ab(2), x(1), aaa(1); pairs: aa→{aa}, ab→{ab},
+    // aaa→{aa, aa}; x has none → counts: aa = 1 + 2·1 = 3, ab = 2
+    val got = TextAnalysis.bpeMergePairs(corpus, "text", topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("aa", 3L), ("ab", 2L)))
   }
 
   test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
