@@ -1469,6 +1469,22 @@ object PipelinesExt {
       .orderBy(col("rrf_q").desc, col("doc_id"))
   }
 
+  // Per-group top-k curation: the top-5 quality documents per source.
+  // The rank-≤-k filter is what Catalyst's InferWindowGroupLimit turns
+  // into Partial+Final WindowGroupLimit — per-partition top-k HEAPS
+  // before the shuffle — so at 100 TB no group is ever fully sorted;
+  // only ≤k rows per partition per group reach the exchange.
+  def groupTopK(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    t(s, d, "documents")
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("source", "rnk")
+  }
+
   // 1-bit sign-quantized Hamming retrieval — the 32×-compression tier
   // below int8/PQ; exact integer XOR+popcount arithmetic end to end.
   def binaryAnn(s: SparkSession, d: String): DataFrame =
@@ -2549,6 +2565,27 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // q104's quality arithmetic verbatim + a partitioned rank
+    "q122_group_topk" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
+         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
+         |    AS quality
+         |  FROM f),
+         |r AS (SELECT doc_id, source, quality,
+         |  CAST(row_number() OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rnk
+         |  FROM q)
+         |SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= 5
+         |ORDER BY source, rnk""".stripMargin,
 
     // sign packing: bit i of a half-word carries dimension (off+i)
     // with weight 2^(32-i) — the acc·2+bit fold's exact shift sum;

@@ -151,6 +151,7 @@ object SparkEntry {
     "q119_binary_ann" -> ((s, d) => PipelinesExt.binaryAnn(s, d)),
     "q120_cluster_split" -> ((s, d) => PipelinesExt.clusterSplit(s, d)),
     "q121_bpe_pairs" -> ((s, d) => PipelinesExt.bpePairs(s, d)),
+    "q122_group_topk" -> ((s, d) => PipelinesExt.groupTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -171,6 +171,37 @@ object StreamingFeatures {
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming document-frequency maintenance — the index-side state a
+    * live BM25/TF-IDF tier (Retrieval.bm25TopK, TextAnalysis.termStats)
+    * needs when the corpus grows continuously: per-term df as a RUNNING
+    * stateful aggregate. Terms are deduped INSIDE each document row
+    * (array_distinct before the explode — df counts documents, not
+    * occurrences), the running count lives in the streaming state store
+    * (update mode emits only changed terms), and changed terms
+    * key-merge into the feature table through the same writeTable(Merge)
+    * path as every other state maintainer. State is one long per term —
+    * bounded by the vocabulary, not the corpus.
+    */
+  def maintainDocFrequency(
+      docStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      textCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val terms = docStream.select(
+      explode(array_distinct(
+        graft.ext.TextAnalysis.tokens(lower(col(textCol))))).as("term"))
+    val agg = terms.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Exactly-once event dedup for at-least-once sources: state-backed
     * `dropDuplicates` on the event id, bounded by the watermark (state
     * for ids older than the delay is evicted — the standard streaming

@@ -152,6 +152,50 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running state != batch build over all data")
   }
 
+  test("maintainDocFrequency: streaming df equals batch term stats across micro-batches") {
+    import graft.ext.TextAnalysis
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-df-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    // batch reference: per-term document frequency (termStats' df,
+    // deduped to one row per term)
+    def ref(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.termStats(d, "text", "doc_id")
+        .select(col("term"), col("df")).distinct()
+        .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val stateSchema = spark.createDataFrame(
+      java.util.List.of[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("df",
+          org.apache.spark.sql.types.LongType, nullable = false)))).schema
+    store.createTable(FeatureTableSpec("df_state", Seq("term"), stateSchema,
+      "running per-term document frequency"))
+    val ckpt = Files.createTempDirectory("graft-df-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    val q1 = StreamingFeatures.maintainDocFrequency(stream, store, "df_state",
+      "text", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rows(store.readTable("df_state").select("term", "df")) === ref(first))
+
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainDocFrequency(stream, store, "df_state",
+      "text", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+    assert(rows(store.readTable("df_state").select("term", "df")) === ref(docs),
+      "running df state != batch document frequency over all docs")
+  }
+
   test("maintainFunnelState: streaming funnel equals batch conversionFunnel across micro-batches") {
     val events = graft.Tables.load(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
