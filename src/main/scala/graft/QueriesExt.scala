@@ -1485,6 +1485,23 @@ object PipelinesExt {
       .orderBy("source", "rnk")
   }
 
+  // Per-label embedding centroids — the nearest-class-mean /
+  // cluster-monitoring building block. Cross-row sums ride the q106
+  // BIGINT quantization (double sums are not order-stable); the mean
+  // is one double division at the end. posexplode + (label, dim) hash
+  // agg with map-side partials: output is |labels|·dims rows at any
+  // corpus size.
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    t(s, d, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), (col("pos") + 1).as("pos"),
+        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
+      .select(col("label"), col("pos").cast("int").as("pos"), col("n"),
+        col("sq"), (col("sq").cast("double") / col("n")).as("centroid_q"))
+      .orderBy("label", "pos")
+
   // 1-bit sign-quantized Hamming retrieval — the 32×-compression tier
   // below int8/PQ; exact integer XOR+popcount arithmetic end to end.
   def binaryAnn(s: SparkSession, d: String): DataFrame =
@@ -2565,6 +2582,17 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q123_label_centroids" ->
+      """WITH dims AS (
+        |  SELECT label, u.i AS pos,
+        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+        |      AS BIGINT) AS q
+        |  FROM embeddings, generate_series(1, 64) AS u(i))
+        |SELECT label, CAST(pos AS INTEGER) AS pos,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
+        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
+        |FROM dims GROUP BY label, pos ORDER BY label, pos""".stripMargin,
 
     // q104's quality arithmetic verbatim + a partitioned rank
     "q122_group_topk" ->

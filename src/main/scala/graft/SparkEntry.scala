@@ -152,6 +152,7 @@ object SparkEntry {
     "q120_cluster_split" -> ((s, d) => PipelinesExt.clusterSplit(s, d)),
     "q121_bpe_pairs" -> ((s, d) => PipelinesExt.bpePairs(s, d)),
     "q122_group_topk" -> ((s, d) => PipelinesExt.groupTopK(s, d)),
+    "q123_label_centroids" -> ((s, d) => PipelinesExt.labelCentroids(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -34,14 +34,19 @@ object Retrieval {
       terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     // NULL text scores like empty text (0), not NULL — the coalesce
-    // matches dupSpanCounts/unigramLmScores' NULL-as-empty behavior
+    // matches dupSpanCounts/unigramLmScores' NULL-as-empty behavior.
+    // All per-term tfs come from ONE fused pass over the token array
+    // (graft_term_counts) instead of |terms| interpreted filter() HOFs.
     val perDoc = docs
       .select(col(idCol),
         coalesce(TextAnalysis.tokens(lower(col(textCol))),
           array().cast("array<string>")).as("_toks"))
-      .select(col(idCol) +: size(col("_toks")).as("dl") +:
+      .select(col(idCol), size(col("_toks")).as("dl"),
+        graft.functions.VectorExpressions.termCounts(col("_toks"), terms)
+          .as("_tfs"))
+      .select(col(idCol) +: col("dl") +:
         terms.indices.map(i =>
-          size(filter(col("_toks"), x => x === lit(terms(i)))).as(s"_tf$i")): _*)
+          element_at(col("_tfs"), i + 1).as(s"_tf$i")): _*)
     val stats = perDoc.agg(count(lit(1)).as("_n"),
       sum(col("dl")).as("_sumdl") +:
         terms.indices.map(i =>

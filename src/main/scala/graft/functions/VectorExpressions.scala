@@ -609,6 +609,41 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Per-term occurrence counts of a CONSTANT term list over a token
+    * array in ONE pass — the q73 fused-expression discipline applied to
+    * the BM25 tf stage: k `filter(toks, x -> x = t)` HOF calls evaluate
+    * interpreted and traverse the array k times; this hashes each token
+    * once against the term index. Output slot i is the count of
+    * terms(i).
+    */
+  case class TermCounts(child: Expression, terms: Seq[String])
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "graft_term_counts"
+    @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+      val m = new java.util.HashMap[UTF8String, Integer](terms.size * 2)
+      terms.zipWithIndex.foreach { case (t, i) =>
+        m.put(UTF8String.fromString(t), Integer.valueOf(i))
+      }
+      m
+    }
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val counts = new Array[Long](terms.size)
+      val n = toks.numElements()
+      var i = 0
+      while (i < n) {
+        val idx = index.get(toks.getUTF8String(i))
+        if (idx != null) counts(idx.intValue) += 1L
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -629,6 +664,9 @@ object VectorExpressions {
 
   def ngramMd5Fingerprints(tokens: Column, n: Int, maxTokens: Int): Column =
     Bridge.column(NgramMd5Fingerprints(Bridge.expression(tokens), n, maxTokens))
+
+  def termCounts(tokens: Column, terms: Seq[String]): Column =
+    Bridge.column(TermCounts(Bridge.expression(tokens), terms))
 
   def hyperplaneSig(emb: Column, dim: Int, bits: Int): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(emb), dim, bits))

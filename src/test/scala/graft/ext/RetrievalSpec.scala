@@ -54,6 +54,19 @@ class RetrievalSpec extends SparkSpec {
     assert(ref(3L) === 0L && ref(4L) === 0L)
   }
 
+  test("graft_term_counts: one-pass tf counts with repeats and misses") {
+    import graft.functions.VectorExpressions
+    val df = Seq(
+      (0L, Seq("spark", "spark", "x", "vector")),
+      (1L, Seq.empty[String]))
+      .toDF("id", "toks")
+    val got = df.select(col("id"),
+        VectorExpressions.termCounts(col("toks"), terms).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(got(0L) === Seq(2L, 1L, 0L))
+    assert(got(1L) === Seq(0L, 0L, 0L))
+  }
+
   test("bm25TopK scores NULL text as 0, like empty text") {
     val df = Seq((0L, "spark"), (1L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
