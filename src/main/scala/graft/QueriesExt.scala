@@ -1485,6 +1485,29 @@ object PipelinesExt {
       .orderBy("source", "rnk")
   }
 
+  // End-to-end curation pipeline — the gate that pins the COMPOSITION,
+  // not just the stages: exact dedup (earliest survivor per
+  // fingerprint, q20/q21 machinery) → quality threshold (q24) →
+  // benchmark decontamination (8-gram overlap vs the q79 probe set,
+  // LEFT ANTI) → deterministic md5 half-sample (q98 discipline).
+  // Contamination hits are computed on the post-quality survivor set —
+  // per-doc hits are independent of other docs, so this is the cheap
+  // equivalent of screening the full corpus.
+  def curationPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+    val quality = deduped
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .filter(col("quality") >= 0.5)
+    val probes = docs.filter(col("doc_id").isin(3L, 7L, 11L, 19L, 23L))
+    val hits = TextAnalysis.contaminationHitsNgram(
+      quality, "doc_id", "text", probes, "text", n = 8)
+    quality.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .filter(md5(col("doc_id").cast("string")) < "80000000")
+      .select(col("doc_id"), col("source"), col("quality"))
+      .orderBy("doc_id")
+  }
+
   // Per-label embedding centroids — the nearest-class-mean /
   // cluster-monitoring building block. Cross-row sums ride the q106
   // BIGINT quantization (double sums are not order-stable); the mean
@@ -2582,6 +2605,56 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    // dedup → quality → decontaminate → sample, each stage the same
+    // SQL its standalone gate uses
+    "q124_curation_pipeline" ->
+      s"""WITH dd AS (
+         |  SELECT doc_id, source, text FROM (
+         |    SELECT doc_id, source, text,
+         |      row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |q AS (SELECT doc_id, source, text, quality FROM (
+         |  SELECT doc_id, source, text,
+         |    (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0
+         |          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |    + (CASE WHEN (CASE WHEN $tokenCountSql > 0
+         |            THEN CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE)
+         |              / CAST($tokenCountSql AS DOUBLE) ELSE 0.0 END) > 0.05 THEN 1.0
+         |        ELSE (CASE WHEN $tokenCountSql > 0
+         |            THEN CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE)
+         |              / CAST($tokenCountSql AS DOUBLE) ELSE 0.0 END) / 0.05 END) * 0.5
+         |      AS quality
+         |  FROM dd) WHERE quality >= 0.5),
+         |sw AS (SELECT doc_id,
+         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM q),
+         |sg AS (SELECT doc_id,
+         |    CASE WHEN len(w) < 8 THEN []
+         |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
+         |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
+         |    END AS grams
+         |  FROM sw),
+         |dg AS (SELECT doc_id, unnest(grams) AS gram FROM sg),
+         |pw AS (SELECT doc_id,
+         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |  FROM documents WHERE doc_id IN (3, 7, 11, 19, 23)),
+         |pgr AS (SELECT
+         |    CASE WHEN len(w) < 8 THEN []
+         |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
+         |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
+         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
+         |    END AS grams
+         |  FROM pw),
+         |pg AS (SELECT DISTINCT unnest(grams) AS gram FROM pgr),
+         |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (gram))
+         |SELECT doc_id, source, quality FROM q
+         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+         |  AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
+         |ORDER BY doc_id""".stripMargin,
 
     "q123_label_centroids" ->
       """WITH dims AS (

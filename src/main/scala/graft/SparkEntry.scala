@@ -153,6 +153,7 @@ object SparkEntry {
     "q121_bpe_pairs" -> ((s, d) => PipelinesExt.bpePairs(s, d)),
     "q122_group_topk" -> ((s, d) => PipelinesExt.groupTopK(s, d)),
     "q123_label_centroids" -> ((s, d) => PipelinesExt.labelCentroids(s, d)),
+    "q124_curation_pipeline" -> ((s, d) => PipelinesExt.curationPipeline(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -208,8 +208,73 @@ final class FeatureStore(spark: SparkSession, val root: String,
     * in both directions. One shuffle on the keys; broadcast if `new` is
     * small (Catalyst/AQE decides).
     */
-  def writeTable(name: String, df: DataFrame, mode: WriteMode): Unit = {
+  /** The merge computation shared by writeTable(Merge) and
+    * [[applyChanges]]: full-outer coalesce of `df` onto `old` by the
+    * keys, with schema-evolution add-column and a named type-conflict
+    * error.
+    */
+  private def mergeInto(old: DataFrame, df: DataFrame, keys: Seq[String],
+      name: String): DataFrame = {
+    // schema evolution adds columns; it never retypes them — catch
+    // type conflicts here with a named error instead of a positional
+    // cast failure deep in the plan. Nullability flags are NOT a
+    // conflict: parquet round trips and aggregate outputs disagree
+    // on nullable/containsNull for identical value types.
+    val conflicts = df.schema.flatMap { f =>
+      old.schema.find(_.name == f.name)
+        .filterNot(o => org.apache.spark.sql.graftbridge.Bridge
+          .sameTypeIgnoringNullability(o.dataType, f.dataType))
+        .map(o => s"${f.name}: table has ${o.dataType.simpleString}, write has ${f.dataType.simpleString}")
+    }
+    require(conflicts.isEmpty,
+      s"merge into $name: column type conflict(s) — ${conflicts.mkString("; ")}")
+    // Full-outer coalesce, not anti-join ∪ new: for columns the
+    // incoming DataFrame CARRIES, the new row wins on matched keys
+    // (including explicit NULLs); columns it OMITS keep their
+    // existing values — a partial-column refresh must not NULL out
+    // untouched features. Still one shuffle on the keys.
+    // Value columns are RENAMED per side before the join (name-based
+    // disambiguation): Dataset-column references (`old(c)`/`newDf(c)`)
+    // trip DetectAmbiguousSelfJoin when both frames share lineage —
+    // exactly what an applyChanges batch does, where deletes and
+    // upserts split from ONE changes frame.
+    val marker = "_graft_merge_new"
+    val oldVals = old.columns.filterNot(keys.contains)
+    val newVals = df.columns.filterNot(keys.contains)
+    val renamedOld = old.select(
+      keys.map(col) ++ oldVals.map(c => col(c).as(s"_graft_old_$c")): _*)
+    val renamedNew = df.select(
+      keys.map(col) ++ newVals.map(c => col(c).as(s"_graft_new_$c"))
+        :+ lit(1).as(marker): _*)
+    val joined = renamedOld.join(renamedNew, keys, "full_outer")
+    val matched = col(marker).isNotNull
+    val valueCols = (oldVals ++ newVals.filterNot(oldVals.contains)).map { c =>
+      if (oldVals.contains(c) && newVals.contains(c))
+        when(matched, col(s"_graft_new_$c")).otherwise(col(s"_graft_old_$c")).as(c)
+      else if (oldVals.contains(c)) col(s"_graft_old_$c").as(c) // omitted → preserved
+      else col(s"_graft_new_$c").as(c)   // new column → NULL for old rows
+    }
+    joined.select(keys.map(col) ++ valueCols: _*)
+  }
+
+  def writeTable(name: String, df: DataFrame, mode: WriteMode): Unit =
+    writeTableFrom(name, df, mode, expectedParent = None)
+
+  /** writeTable with an optional optimistic-concurrency pin: when
+    * `expectedParent` is set and another writer has already advanced
+    * the table past it, the write aborts BEFORE computing anything —
+    * the caller's read-modify-write (e.g. [[applyChanges]]) would
+    * otherwise silently overwrite the racer's commit. The residual
+    * window between this check and the version claim is closed by the
+    * claim + post-claim re-check below, same as every write.
+    */
+  private def writeTableFrom(name: String, df: DataFrame, mode: WriteMode,
+      expectedParent: Option[Long]): Unit = {
     val (spec, version) = loadSpec(name)
+    expectedParent.filter(_ != version).foreach { p =>
+      throw new java.util.ConcurrentModificationException(
+        s"feature table $name: version moved $p -> $version before write; retry")
+    }
     val missingKeys = spec.keys.filterNot(df.columns.contains)
     require(missingKeys.isEmpty,
       s"write to $name: key column(s) ${missingKeys.mkString(", ")} missing from DataFrame")
@@ -217,39 +282,7 @@ final class FeatureStore(spark: SparkSession, val root: String,
     val result: DataFrame = mode match {
       case WriteMode.Overwrite => df
       case WriteMode.Merge if version == 0 => df
-      case WriteMode.Merge =>
-        val old = readTable(name)
-        // schema evolution adds columns; it never retypes them — catch
-        // type conflicts here with a named error instead of a positional
-        // cast failure deep in the plan. Nullability flags are NOT a
-        // conflict: parquet round trips and aggregate outputs disagree
-        // on nullable/containsNull for identical value types.
-        val conflicts = df.schema.flatMap { f =>
-          old.schema.find(_.name == f.name)
-            .filterNot(o => org.apache.spark.sql.graftbridge.Bridge
-              .sameTypeIgnoringNullability(o.dataType, f.dataType))
-            .map(o => s"${f.name}: table has ${o.dataType.simpleString}, write has ${f.dataType.simpleString}")
-        }
-        require(conflicts.isEmpty,
-          s"merge into $name: column type conflict(s) — ${conflicts.mkString("; ")}")
-        // Full-outer coalesce, not anti-join ∪ new: for columns the
-        // incoming DataFrame CARRIES, the new row wins on matched keys
-        // (including explicit NULLs); columns it OMITS keep their
-        // existing values — a partial-column refresh must not NULL out
-        // untouched features. Still one shuffle on the keys.
-        val marker = "_graft_merge_new"
-        val newDf = df.withColumn(marker, lit(1))
-        val joined = old.join(newDf, spec.keys, "full_outer")
-        val matched = col(marker).isNotNull
-        val oldVals = old.columns.filterNot(spec.keys.contains)
-        val newVals = df.columns.filterNot(spec.keys.contains)
-        val valueCols = (oldVals ++ newVals.filterNot(oldVals.contains)).map { c =>
-          if (oldVals.contains(c) && newVals.contains(c))
-            when(matched, newDf(c)).otherwise(old(c)).as(c)
-          else if (oldVals.contains(c)) old(c).as(c) // omitted → preserved
-          else newDf(c).as(c)                        // new column → NULL for old rows
-        }
-        joined.select(spec.keys.map(col) ++ valueCols: _*)
+      case WriteMode.Merge => mergeInto(readTable(name), df, spec.keys, name)
     }
 
     val newVersion = version + 1
@@ -281,6 +314,43 @@ final class FeatureStore(spark: SparkSession, val root: String,
 
   def writeTable(name: String, df: DataFrame, mode: String): Unit =
     writeTable(name, df, WriteMode.parse(mode))
+
+  /** Current committed version of a feature table (0 = created, no
+    * data yet).
+    */
+  def tableVersion(name: String): Int = loadSpec(name)._2
+
+  /** CDC apply — the Delta MERGE `WHEN MATCHED DELETE` shape the
+    * reference's `mode='merge'` sits beside (FS:435): one changes
+    * frame carrying the key columns, an op column ('upsert' |
+    * 'delete'), and the value columns for upserts; applied as ONE
+    * atomic version bump. Deletes drop matched keys via a LEFT ANTI
+    * join on the keys (one shuffle, broadcast when the delete set is
+    * small — AQE's call); upserts then merge through the same
+    * full-outer coalesce as writeTable(Merge), so partial-column
+    * refresh semantics and schema evolution hold for CDC feeds too.
+    * The read-modify-write is pinned to the version read here: a racer
+    * committing in between makes this apply abort with
+    * ConcurrentModificationException instead of silently reverting the
+    * racer's rows (the optimistic-concurrency contract).
+    */
+  def applyChanges(name: String, changes: DataFrame,
+      opCol: String = "_op"): Unit = {
+    val (spec, version) = loadSpec(name)
+    require(version >= 1, s"applyChanges: $name has no data version to apply onto")
+    require(changes.columns.contains(opCol),
+      s"applyChanges: changes frame is missing op column '$opCol'")
+    val badOps = changes.select(col(opCol)).distinct().collect()
+      .map(_.getString(0)).filterNot(Set("upsert", "delete"))
+    require(badOps.isEmpty,
+      s"applyChanges: unknown op(s) ${badOps.mkString(", ")} (want upsert | delete)")
+    val deletes = changes.filter(col(opCol) === "delete")
+      .select(spec.keys.map(col): _*).distinct()
+    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
+    val kept = readTable(name).join(deletes, spec.keys, "left_anti")
+    writeTableFrom(name, mergeInto(kept, upserts, spec.keys, name),
+      WriteMode.Overwrite, expectedParent = Some(version))
+  }
 
   /** K7 — publish the offline table to an "online" store for point
     * lookups (SO:374-387 publishes to MySQL over JDBC). With zero egress

@@ -50,6 +50,36 @@ class FeatureStoreSpec extends SparkSpec {
     assert(got == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
   }
 
+  test("applyChanges: upserts merge, deletes drop, one version bump") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    val before = store.tableVersion("t")
+    // delete key 1, update key 2, insert key 4 — one CDC batch
+    val changes = Seq(
+      (1L, 0.0, "delete"),
+      (2L, 99.0, "upsert"),
+      (4L, 40.0, "upsert")).toDF("id", "x", "_op")
+    store.applyChanges("t", changes)
+    val got = store.readTable("t").orderBy("id").as[(Long, Double)].collect().toSeq
+    assert(got == Seq((2L, 99.0), (3L, 30.0), (4L, 40.0)))
+    assert(store.tableVersion("t") == before + 1, "CDC batch must be ONE version")
+  }
+
+  test("applyChanges rejects unknown ops and races with a pinned parent") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    val bad = Seq((1L, 0.0, "drop")).toDF("id", "x", "_op")
+    val e = intercept[IllegalArgumentException](store.applyChanges("t", bad))
+    assert(e.getMessage.contains("unknown op"))
+    // deletes-only batch also works (no upsert rows)
+    store.applyChanges("t", Seq((1L, 0.0, "delete")).toDF("id", "x", "_op"))
+    assert(store.readTable("t").count() === 0)
+  }
+
   test("merge with add-column schema evolution (FS:411-435 replay)") {
     val store = freshStore
     val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
