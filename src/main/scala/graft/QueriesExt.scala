@@ -1485,6 +1485,33 @@ object PipelinesExt {
       .orderBy("source", "rnk")
   }
 
+  // Distribution-drift monitor between two snapshots of a categorical
+  // feature (the chi-square-style alternative to PSI — PSI's ln term
+  // is not oracle-portable, §5.3): per-category
+  // (p−q)²/((p+q)/2), BIGINT-quantized. The two snapshot aggregates
+  // and the 5-row full-outer merge are the whole plan; the 1-row
+  // totals broadcast-cross back. At 100 TB this is two pruned scans
+  // with partial aggs — drift checks cost two passes, ever.
+  def distDrift(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    def snap(y: Int, n: String) =
+      o.filter(year(col("o_orderdate")) === y)
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as(n))
+    val joined = snap(1996, "n_a")
+      .join(snap(1997, "n_b"), Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+    val p = col("n_a").cast("double") / col("_ta")
+    val q = col("n_b").cast("double") / col("_tb")
+    joined.crossJoin(broadcast(totals))
+      .select(col("o_orderpriority"), col("n_a"), col("n_b"),
+        floor(((p - q) * (p - q)) / ((p + q) / lit(2.0)) * lit(1e12) + lit(0.5))
+          .as("drift_q"))
+      .orderBy("o_orderpriority")
+  }
+
   // End-to-end curation pipeline — the gate that pins the COMPOSITION,
   // not just the stages: exact dedup (earliest survivor per
   // fingerprint, q20/q21 machinery) → quality threshold (q24) →
@@ -2605,6 +2632,29 @@ object OraclesExt {
         |    AND l_shipdate < DATE '1997-01-01')
         |GROUP BY supp_nation, cust_nation, l_year
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+    "q125_dist_drift" ->
+      """WITH a AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_a
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        |  GROUP BY o_orderpriority),
+        |b AS (
+        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_b
+        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        |  GROUP BY o_orderpriority),
+        |j AS (
+        |  SELECT coalesce(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
+        |    CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.o_orderpriority = b.o_orderpriority),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT o_orderpriority, n_a, n_b,
+        |  CAST(floor(((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |      * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb))
+        |    / ((CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb) / 2.0e0)
+        |    * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS drift_q
+        |FROM j, t ORDER BY o_orderpriority""".stripMargin,
 
     // dedup → quality → decontaminate → sample, each stage the same
     // SQL its standalone gate uses

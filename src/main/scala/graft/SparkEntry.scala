@@ -154,6 +154,7 @@ object SparkEntry {
     "q122_group_topk" -> ((s, d) => PipelinesExt.groupTopK(s, d)),
     "q123_label_centroids" -> ((s, d) => PipelinesExt.labelCentroids(s, d)),
     "q124_curation_pipeline" -> ((s, d) => PipelinesExt.curationPipeline(s, d)),
+    "q125_dist_drift" -> ((s, d) => PipelinesExt.distDrift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

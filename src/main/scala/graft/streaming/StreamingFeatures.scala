@@ -171,6 +171,28 @@ object StreamingFeatures {
   def readEventStream(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Streaming CDC apply: each micro-batch of change rows (keys + op
+    * column 'upsert' | 'delete' + values) lands as ONE atomic
+    * [[FeatureStore.applyChanges]] version bump — the streaming leg of
+    * the Delta MERGE WHEN-MATCHED-DELETE shape. Batches replayed after
+    * a crash re-apply idempotently (upsert of identical rows and
+    * delete of absent keys are both no-ops on the final state).
+    */
+  def applyChangeStream(
+      changes: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      opCol: String,
+      checkpointDir: String): StreamingQuery =
+    changes.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.applyChanges(tableName, batch, opCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Streaming document-frequency maintenance — the index-side state a
     * live BM25/TF-IDF tier (Retrieval.bm25TopK, TextAnalysis.termStats)
     * needs when the corpus grows continuously: per-term df as a RUNNING

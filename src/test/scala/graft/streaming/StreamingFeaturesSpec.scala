@@ -152,6 +152,33 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running state != batch build over all data")
   }
 
+  test("applyChangeStream: CDC micro-batches apply upserts+deletes atomically") {
+    import spark.implicits._
+    val store = FeatureStore.temp(spark)
+    val base = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("cdc", Seq("id"), base.schema))
+    store.writeTable("cdc", base, WriteMode.Merge)
+    val streamDir = Files.createTempDirectory("graft-cdc-in-").toString
+    Seq((1L, 0.0, "delete"), (2L, 99.0, "upsert")).toDF("id", "x", "_op")
+      .write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val ckpt = Files.createTempDirectory("graft-cdc-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    def rows = store.readTable("cdc").orderBy("id")
+      .as[(Long, Double)].collect().toSeq
+
+    val q1 = StreamingFeatures.applyChangeStream(stream, store, "cdc", "_op", ckpt)
+    assert(q1.awaitTermination(120000), "first CDC run timed out")
+    assert(rows === Seq((2L, 99.0), (3L, 30.0)))
+
+    // later change file, same checkpoint: only the new batch applies
+    Seq((4L, 40.0, "upsert")).toDF("id", "x", "_op")
+      .write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.applyChangeStream(stream, store, "cdc", "_op", ckpt)
+    assert(q2.awaitTermination(120000), "second CDC run timed out")
+    assert(rows === Seq((2L, 99.0), (3L, 30.0), (4L, 40.0)))
+  }
+
   test("maintainDocFrequency: streaming df equals batch term stats across micro-batches") {
     import graft.ext.TextAnalysis
     val docs = graft.Tables.load(spark, sfDir, "documents")
