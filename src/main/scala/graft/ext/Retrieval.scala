@@ -145,9 +145,21 @@ object Retrieval {
     * Emits (id, <label>_rank ... , rrf_q) ordered by fused score.
     */
   def rrfFuse(rankings: Seq[(String, DataFrame, Column)], idCol: String,
-      kConst: Int = 60, topK: Int = 50): DataFrame = {
+      kConst: Int = 60, topK: Int = 50,
+      maxCandidates: Int = 4096): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(maxCandidates > 0,
+      s"rrfFuse: maxCandidates must be > 0, got $maxCandidates")
     val ranked = rankings.map { case (label, df, ord) =>
+      // the small-list contract is ENFORCED, not advisory (the
+      // ivfIndexedTopK discipline): a corpus-sized "candidate list"
+      // would drive the single-partition rank window below. The probe
+      // short-circuits after maxCandidates+1 rows — one bounded scan.
+      val probe = df.select(col(idCol)).limit(maxCandidates + 1).count()
+      require(probe <= maxCandidates,
+        s"rrfFuse: ranking '$label' exceeds maxCandidates=$maxCandidates — " +
+          "pre-limit candidate lists with TakeOrderedAndProject " +
+          "(bm25TopK/quantizedDotTopK) before fusing")
       df.select(col(idCol),
         row_number().over(Window.orderBy(ord, col(idCol)))
           .cast("long").as(s"${label}_rank"))

@@ -118,6 +118,15 @@ class RetrievalSpec extends SparkSpec {
     assert(got.toSeq === expected)
   }
 
+  test("rrfFuse rejects an oversized candidate list") {
+    val big = (0L until 20L).map(i => (i, i)).toDF("doc_id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq(("x", big, col("s").desc)), "doc_id",
+        maxCandidates = 10)
+    }
+    assert(e.getMessage.contains("maxCandidates"))
+  }
+
   test("scalarQuantize: range endpoints, constant dims, bounded error") {
     val vecs = Seq(
       (0L, Array(0.0f, 5.0f, 1.0f)),
