@@ -163,6 +163,58 @@ object Multimodal {
       expr(s"substring(payload, 1, $maxBytes)"))
       .withColumn("meta", col("meta").withField("format", lit("fake/rgb8-resized")))
 
+  /** REAL image resize over the same ImageIO path as [[ImageIoDecoder]]:
+    * decode → nearest-neighbor rescale onto a TYPE_INT_RGB canvas →
+    * PNG re-encode, `meta.width/height/format` updated. The plan shape
+    * is identical to [[extractFeatures]] — one narrow per-partition
+    * map, no shuffle at any corpus size — and BufferedImage/Graphics2D
+    * never touch a display, so it runs headless on executors.
+    * Undecodable payloads throw (the ImageIoDecoder contract).
+    */
+  def resizeImages(media: DataFrame, width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0,
+      s"resizeImages: target must be positive, got ${width}x$height")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val resized = media
+      .select(col("media_id"), col("payload"),
+        col("meta").getField("n_frames").as("n_frames"))
+      .as[(Long, Array[Byte], Int)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, nFrames) =>
+          require(payload != null && payload.nonEmpty,
+            "resizeImages: empty payload")
+          val img =
+            try javax.imageio.ImageIO.read(
+              new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(payload)))
+            catch {
+              case e: java.io.IOException =>
+                throw new IllegalArgumentException(
+                  s"resizeImages: payload is not a decodable image: ${e.getMessage}", e)
+            }
+          require(img != null, "resizeImages: payload is not a decodable image")
+          val dst = new java.awt.image.BufferedImage(
+            width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          try {
+            g.setRenderingHint(
+              java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+            g.drawImage(img, 0, 0, width, height, null)
+          } finally g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          (id, bos.toByteArray, nFrames)
+        }
+      }
+      .toDF("media_id", "payload", "n_frames")
+    resized.select(col("media_id"), col("payload"),
+      struct(lit("image/png").as("format"),
+        lit(width).as("width"), lit(height).as("height"),
+        col("n_frames").as("n_frames")).as("meta"))
+  }
+
   /** Frame sampling stub for video-shaped media: every k-th byte of the
     * payload stands in for every k-th frame. Byte-level striding has no
     * built-in expression, so this is one of the rare justified Scala

@@ -805,6 +805,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f(2L).histogram.sum == 1024L)
   }
 
+  test("resizeImages: real pixel rescale, dims/meta updated, round-trips") {
+    // 4x4 quadrant image: nearest-neighbor 2x2 picks one pixel per
+    // quadrant, so every output pixel color is exactly one input color
+    val quad = pngBytes(4, 4, (x, y) =>
+      (if (x < 2) 0 else 0xFF0000) | (if (y < 2) 0 else 0x0000FF))
+    val rows = Seq((1L, quad)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("image/png").as("format"),
+        lit(4).as("width"), lit(4).as("height"), lit(1).as("n_frames")))
+    val out = Multimodal.resizeImages(rows, 2, 2).collect().head
+    val meta = out.getStruct(2)
+    assert(meta.getString(0) == "image/png")
+    assert(meta.getInt(1) == 2 && meta.getInt(2) == 2)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](1)))
+    assert(img.getWidth == 2 && img.getHeight == 2)
+    val colors = for (y <- 0 until 2; x <- 0 until 2)
+      yield img.getRGB(x, y) & 0xFFFFFF
+    // one pixel per source quadrant, each an exact source color
+    assert(colors.toSet.subsetOf(Set(0x000000, 0xFF0000, 0x0000FF, 0xFF00FF)))
+    assert(colors.toSet.size == 4)
+    // resized output feeds straight back into the real decoder
+    val f = Multimodal.extractFeatures(Multimodal.resizeImages(rows, 2, 2),
+      Multimodal.ImageIoDecoder).collect().head
+    assert(f.histogram.sum == 4L)
+  }
+
   test("ImageIoDecoder rejects non-image payloads instead of zero-filling") {
     intercept[IllegalArgumentException] {
       Multimodal.ImageIoDecoder.decode("not an image".getBytes("UTF-8"))
