@@ -1493,15 +1493,16 @@ object PipelinesExt {
   // totals broadcast-cross back. At 100 TB this is two pruned scans
   // with partial aggs — drift checks cost two passes, ever.
   def distDrift(s: SparkSession, d: String): DataFrame = {
-    val o = t(s, d, "orders")
-    def snap(y: Int, n: String) =
-      o.filter(year(col("o_orderdate")) === y)
-        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as(n))
-    val joined = snap(1996, "n_a")
-      .join(snap(1997, "n_b"), Seq("o_orderpriority"), "full_outer")
-      .select(col("o_orderpriority"),
-        coalesce(col("n_a"), lit(0L)).as("n_a"),
-        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // ONE scan, not one per snapshot: the year window pushes to the
+    // scan and the two snapshot counts are conditional aggregates over
+    // the same pass (a category absent from both years is absent either
+    // way, so this equals the two-aggregate full outer merge).
+    val y = year(col("o_orderdate"))
+    val joined = t(s, d, "orders")
+      .filter(y.isin(1996, 1997))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(when(y === 1996, 1L).otherwise(0L)).as("n_a"),
+        sum(when(y === 1997, 1L).otherwise(0L)).as("n_b"))
     val totals = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
     val p = col("n_a").cast("double") / col("_ta")
     val q = col("n_b").cast("double") / col("_tb")

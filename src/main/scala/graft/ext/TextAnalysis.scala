@@ -277,14 +277,17 @@ object TextAnalysis {
       n: Int): DataFrame = {
     val spans = docs.select(col(idCol),
       explode(ngramFingerprints(col(textCol), n)).as("_span"))
-    val dup = spans.groupBy(col("_span"))
+    // span → #docs (spans are already distinct per doc), joined back
+    // once; BOTH per-doc counters come out of the same (doc, span,
+    // ndocs) stream, so the corpus is fingerprinted twice (the span-doc
+    // agg and the join probe), never a third time for the totals.
+    val spanDocs = spans.groupBy(col("_span"))
       .agg(count(lit(1)).as("_ndocs"))
-      .filter(col("_ndocs") >= 2).select(col("_span"))
-    val perDoc = spans.join(dup, Seq("_span"))
-      .groupBy(col(idCol)).agg(count(lit(1)).as("n_dup_spans"))
-    val totals = spans.groupBy(col(idCol)).agg(count(lit(1)).as("n_spans"))
+    val perDoc = spans.join(spanDocs, Seq("_span"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("_ndocs") >= 2, 1L).otherwise(0L)).as("n_dup_spans"))
     docs.select(col(idCol))
-      .join(totals, Seq(idCol), "left_outer")
       .join(perDoc, Seq(idCol), "left_outer")
       .select(col(idCol),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
