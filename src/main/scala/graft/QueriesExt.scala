@@ -1503,13 +1503,7 @@ object PipelinesExt {
       .groupBy(col("o_orderpriority"))
       .agg(sum(when(y === 1996, 1L).otherwise(0L)).as("n_a"),
         sum(when(y === 1997, 1L).otherwise(0L)).as("n_b"))
-    val totals = joined.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
-    val p = col("n_a").cast("double") / col("_ta")
-    val q = col("n_b").cast("double") / col("_tb")
-    joined.crossJoin(broadcast(totals))
-      .select(col("o_orderpriority"), col("n_a"), col("n_b"),
-        floor(((p - q) * (p - q)) / ((p + q) / lit(2.0)) * lit(1e12) + lit(0.5))
-          .as("drift_q"))
+    operators.Drift.driftTerms(joined, "o_orderpriority")
       .orderBy("o_orderpriority")
   }
 
