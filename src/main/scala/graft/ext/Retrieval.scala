@@ -72,6 +72,9 @@ object Retrieval {
     * is exact integer arithmetic (the q106 Gram discipline — double
     * dot products are not order-stable). One corpus scan; the query
     * row broadcasts. Emits (idCol, dot_q) for the k best, ties by id.
+    * A `queryId` absent from the corpus yields an EMPTY result (the
+    * broadcast side is empty), not an error — callers probing by id
+    * should validate the id exists if emptiness would be ambiguous.
     */
   def quantizedDotTopK(corpus: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
@@ -102,28 +105,31 @@ object Retrieval {
 
   /** Hamming-distance top-k over 1-bit sign-quantized embeddings — the
     * 32×-compression retrieval tier below int8 ([[Pq.scalarQuantize]])
-    * and PQ: each 64-dim embedding becomes two BIGINT half-words and
-    * candidate distance is two XOR+popcounts. One corpus scan (the
-    * packing and the distance both live in the scan projection), the
-    * single query row broadcasts, top-k is TakeOrderedAndProject.
-    * Exact integer arithmetic end to end — hash-stable in any engine.
+    * and PQ: a `dim`-dim embedding becomes ceil(dim/32) BIGINT
+    * half-words and candidate distance is one XOR+popcount per half.
+    * One corpus scan (the packing and the distance both live in the
+    * scan projection), the single query row broadcasts, top-k is
+    * TakeOrderedAndProject. Exact integer arithmetic end to end —
+    * hash-stable in any engine. A `queryId` absent from the corpus
+    * yields an EMPTY result (see [[quantizedDotTopK]]).
     *
     * At 100 TB the packed words are what you'd MATERIALIZE (32× smaller
     * than the floats); re-ranking survivors against the full vectors is
     * the standard second stage and composes with [[rrfFuse]].
     */
   def binaryHammingTopK(corpus: DataFrame, vecCol: String, idCol: String,
-      queryId: Long, k: Int): DataFrame = {
-    val packed = corpus.select(col(idCol),
-      packSignBits(col(vecCol), 1).as("_h1"),
-      packSignBits(col(vecCol), 33).as("_h2"))
+      queryId: Long, k: Int, dim: Int = 64): DataFrame = {
+    require(dim >= 1, s"binaryHammingTopK: dim must be >= 1, got $dim")
+    val nHalves = (dim + 31) / 32
+    val halves = (0 until nHalves)
+    val packed = corpus.select(col(idCol) +:
+      halves.map(h => packSignBits(col(vecCol), h * 32 + 1).as(s"_h$h")): _*)
     val q = packed.filter(col(idCol) === queryId)
-      .select(col("_h1").as("_q1"), col("_h2").as("_q2"))
+      .select(halves.map(h => col(s"_h$h").as(s"_q$h")): _*)
     packed.crossJoin(broadcast(q))
       .select(col(idCol),
-        (bit_count(col("_h1").bitwiseXOR(col("_q1"))) +
-          bit_count(col("_h2").bitwiseXOR(col("_q2")))).cast("int")
-          .as("hamming"))
+        halves.map(h => bit_count(col(s"_h$h").bitwiseXOR(col(s"_q$h"))))
+          .reduce(_ + _).cast("int").as("hamming"))
       .orderBy(col("hamming"), col(idCol))
       .limit(k)
   }
@@ -141,8 +147,10 @@ object Retrieval {
     * denominator ≤ kConst+|list|, never within an ulp of an integer
     * it doesn't equal.
     *
-    * `rankings` maps a label to (frame, ordering column descending?).
-    * Emits (id, <label>_rank ... , rrf_q) ordered by fused score.
+    * Each `rankings` entry is (label, candidate frame, ordering
+    * column); ids in only some lists contribute only those lists'
+    * reciprocal ranks (their other rank columns stay NULL).
+    * Emits (id, <label>_rank ..., rrf_q) ordered by fused score.
     */
   def rrfFuse(rankings: Seq[(String, DataFrame, Column)], idCol: String,
       kConst: Int = 60, topK: Int = 50,
