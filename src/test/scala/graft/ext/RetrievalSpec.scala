@@ -201,6 +201,35 @@ class RetrievalSpec extends SparkSpec {
     assert(got === Seq(("aa", 3L), ("ab", 2L)))
   }
 
+  test("recallAtK and reciprocalRank: hand-computed, no-hit query scores 0") {
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "neighbor_id")
+    val approx = Seq((1L, 10L), (1L, 99L), (2L, 98L), (2L, 97L))
+      .toDF("query_id", "neighbor_id")
+    val rec = RetrievalMetrics.recallAtK(approx, exact, "query_id", "neighbor_id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(rec(1L) === 0.5 && rec(2L) === 0.0)
+
+    val ranked = Seq((1L, 30L, 1), (1L, 10L, 2), (2L, 40L, 1))
+      .toDF("query_id", "neighbor_id", "rank")
+    val relevant = Seq((1L, 10L), (2L, 77L)).toDF("query_id", "neighbor_id")
+    val rr = RetrievalMetrics.reciprocalRank(ranked, relevant,
+      "query_id", "neighbor_id", "rank")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rr(1L) === 0.5)       // first relevant at rank 2
+    assert(rr(2L) === 0.0)       // no relevant hit
+
+    // identity: an exact ranking scored against itself is perfect
+    val self = Retrieval.quantizedDotTopK(
+      Seq((0L, Array(1.0f, 2.0f)), (1L, Array(2.0f, 1.0f)),
+        (2L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding"),
+      "embedding", "vec_id", 0L, k = 3)
+      .withColumn("query_id", lit(0L))
+    val selfRec = RetrievalMetrics.recallAtK(self, self, "query_id", "vec_id")
+      .collect().map(_.getDouble(3))
+    assert(selfRec.toSeq === Seq(1.0))
+  }
+
   test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
     val corpus = Seq((0L, "a a b"), (1L, "b"), (2L, ""))
       .toDF("doc_id", "text")
