@@ -1621,23 +1621,53 @@ object OraclesExt {
 
   // exact verbatim 8-gram overlap vs probe docs 3/7/11/19/23 — ground
   // truth for BOTH q79 (gram equi-join) and q109 (bloom-prefiltered)
+  // --- shared oracle snippets: ONE source of truth for semantics that
+  // multiple gates reuse (a threshold or window width changed in one
+  // copy but not another would let a gate verify against stale
+  // semantics). Raw whitespace tokens, the 8-token md5 gram list, and
+  // the q97/q120 recursive connected-components closure.
+  private val rawTokensCaseSql =
+    """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END""".stripMargin
+
+  // NOTE: continuation lines here must never START with "||" — this
+  // snippet is interpolated into outer strings whose stripMargin would
+  // eat the first pipe and corrupt the concat operator.
+  private def gram8Sql(w: String): String =
+    s"""CASE WHEN len($w) < 8 THEN []
+       |      ELSE list_distinct(list_transform(generate_series(1, len($w) - 7),
+       |        i -> md5($w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3] || ' ' ||
+       |          $w[i+4] || ' ' || $w[i+5] || ' ' || $w[i+6] || ' ' || $w[i+7])))
+       |    END""".stripMargin
+
+  private val ccClosureCtesSql =
+    """pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM embeddings a, embeddings b
+      |  WHERE a.vec_id < b.vec_id
+      |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+      |), edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION
+      |  SELECT id_b AS u, id_a AS v FROM pairs
+      |), reach(node, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
+      |)""".stripMargin
+
   private val contaminationNgramOverlapSql =
-    """WITH t AS (SELECT doc_id,
-      |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-      |  FROM documents),
-      |g AS (SELECT doc_id,
-      |    CASE WHEN len(w) < 8 THEN []
-      |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
-      |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-      |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
-      |    END AS grams
-      |  FROM t),
-      |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
-      |pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id IN (3, 7, 11, 19, 23))
-      |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
-      |FROM dg JOIN pg USING (gram)
-      |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
+    s"""WITH t AS (SELECT doc_id,
+       |    $rawTokensCaseSql AS w
+       |  FROM documents),
+       |g AS (SELECT doc_id,
+       |    ${gram8Sql("w")} AS grams
+       |  FROM t),
+       |dg AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+       |pg AS (SELECT DISTINCT gram FROM dg WHERE doc_id IN (3, 7, 11, 19, 23))
+       |SELECT dg.doc_id, CAST(count(DISTINCT dg.gram) AS BIGINT) AS n_gram_hits
+       |FROM dg JOIN pg USING (gram)
+       |GROUP BY dg.doc_id ORDER BY dg.doc_id""".stripMargin
 
   // BM25 oracle arithmetic mirroring Retrieval.bm25TopK operation for
   // operation. Every float literal is e0-suffixed: bare decimals parse
@@ -2462,22 +2492,9 @@ object OraclesExt {
     // recursive transitive closure over the q30 edge set — the
     // declarative fixpoint the alternating-star algorithm must equal
     "q97_dup_clusters" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |), edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION
-        |  SELECT id_b AS u, id_a AS v FROM pairs
-        |), reach(node, lbl) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
-        |)
-        |SELECT node AS vec_id, min(lbl) AS component
-        |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+      s"""WITH RECURSIVE $ccClosureCtesSql
+         |SELECT node AS vec_id, min(lbl) AS component
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
 
     // same md5 threshold CASE as the Spark filter — the sampled SET
     // must match row-for-row, not merely in expectation
@@ -2672,27 +2689,17 @@ object OraclesExt {
          |      AS quality
          |  FROM dd) WHERE quality >= 0.5),
          |sw AS (SELECT doc_id,
-         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |    $rawTokensCaseSql AS w
          |  FROM q),
          |sg AS (SELECT doc_id,
-         |    CASE WHEN len(w) < 8 THEN []
-         |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
-         |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
-         |    END AS grams
+         |    ${gram8Sql("w")} AS grams
          |  FROM sw),
          |dg AS (SELECT doc_id, unnest(grams) AS gram FROM sg),
          |pw AS (SELECT doc_id,
-         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-         |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS w
+         |    $rawTokensCaseSql AS w
          |  FROM documents WHERE doc_id IN (3, 7, 11, 19, 23)),
          |pgr AS (SELECT
-         |    CASE WHEN len(w) < 8 THEN []
-         |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
-         |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-         |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
-         |    END AS grams
+         |    ${gram8Sql("w")} AS grams
          |  FROM pw),
          |pg AS (SELECT DISTINCT unnest(grams) AS gram FROM pgr),
          |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (gram))
@@ -2754,29 +2761,16 @@ object OraclesExt {
         |    AS hamming
         |FROM p, q ORDER BY hamming, vec_id LIMIT 50""".stripMargin,
 
-    // q97's recursive-closure oracle + the q98 md5-threshold split on
-    // the COMPONENT id
+    // q97's recursive-closure oracle (shared CTE text) + the q98
+    // md5-threshold split on the COMPONENT id
     "q120_cluster_split" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM embeddings a, embeddings b
-        |  WHERE a.vec_id < b.vec_id
-        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |), edges AS (
-        |  SELECT id_a AS u, id_b AS v FROM pairs
-        |  UNION
-        |  SELECT id_b AS u, id_a AS v FROM pairs
-        |), reach(node, lbl) AS (
-        |  SELECT vec_id, vec_id FROM embeddings
-        |  UNION
-        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
-        |), comp AS (
-        |  SELECT node AS vec_id, min(lbl) AS component
-        |  FROM reach GROUP BY node)
-        |SELECT vec_id, component,
-        |  CASE WHEN md5(CAST(component AS VARCHAR)) < '40000000'
-        |       THEN 'test' ELSE 'train' END AS split
-        |FROM comp ORDER BY vec_id""".stripMargin,
+      s"""WITH RECURSIVE $ccClosureCtesSql, comp AS (
+         |  SELECT node AS vec_id, min(lbl) AS component
+         |  FROM reach GROUP BY node)
+         |SELECT vec_id, component,
+         |  CASE WHEN md5(CAST(component AS VARCHAR)) < '40000000'
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM comp ORDER BY vec_id""".stripMargin,
 
     "q121_bpe_pairs" ->
       """WITH d AS (SELECT
@@ -2816,21 +2810,16 @@ object OraclesExt {
         |  CAST(list_sum(cs) AS BIGINT) AS code_sum
         |FROM codes ORDER BY vec_id""".stripMargin,
 
-    // same 8-token-window md5 grams as the q79 oracle (no lowercasing —
-    // ngramFingerprints tokenizes raw trimmed text)
+    // same 8-token-window md5 grams as the q79 oracle (shared snippet;
+    // no lowercasing — ngramFingerprints tokenizes raw trimmed text)
     "q116_dup_spans" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents),
-        |g AS (SELECT doc_id,
-        |    CASE WHEN len(w) < 8 THEN []
-        |      ELSE list_distinct(list_transform(generate_series(1, len(w) - 7),
-        |        i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]
-        |          || ' ' || w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])))
-        |    END AS grams
-        |  FROM t),
-        |dg AS (SELECT doc_id, unnest(grams) AS span FROM g),
+      (s"""WITH t AS (SELECT doc_id,
+         |    $rawTokensCaseSql AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id,
+         |    ${gram8Sql("w")} AS grams
+         |  FROM t),""".stripMargin + "\n" +
+      """dg AS (SELECT doc_id, unnest(grams) AS span FROM g),
         |dup AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
         |pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
         |  FROM dg JOIN dup USING (span) GROUP BY doc_id),
@@ -2839,7 +2828,7 @@ object OraclesExt {
         |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans
         |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN pc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id""".stripMargin),
 
     "q117_unigram_lm" ->
       """WITH d AS (SELECT doc_id,

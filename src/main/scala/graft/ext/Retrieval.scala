@@ -161,14 +161,20 @@ object Retrieval {
     val ranked = rankings.map { case (label, df, ord) =>
       // the small-list contract is ENFORCED, not advisory (the
       // ivfIndexedTopK discipline): a corpus-sized "candidate list"
-      // would drive the single-partition rank window below. The probe
-      // short-circuits after maxCandidates+1 rows — one bounded scan.
-      val probe = df.select(col(idCol)).limit(maxCandidates + 1).count()
-      require(probe <= maxCandidates,
-        s"rrfFuse: ranking '$label' exceeds maxCandidates=$maxCandidates — " +
-          "pre-limit candidate lists with TakeOrderedAndProject " +
-          "(bm25TopK/quantizedDotTopK) before fusing")
-      df.select(col(idCol),
+      // would drive the single-partition rank window below. The list
+      // is CACHED before counting — a top-k plan (TakeOrderedAndProject
+      // over the corpus) cannot short-circuit a limit probe, so an
+      // uncached count would run the full candidate-generation scan a
+      // second time for the fusion. Caching k rows is bytes; the count
+      // both enforces the bound and materializes the list the window
+      // then reads back.
+      val cached = df.persist()
+      val n = cached.count()
+      require(n <= maxCandidates,
+        s"rrfFuse: ranking '$label' has $n rows, exceeds " +
+          s"maxCandidates=$maxCandidates — pre-limit candidate lists with " +
+          "TakeOrderedAndProject (bm25TopK/quantizedDotTopK) before fusing")
+      cached.select(col(idCol),
         row_number().over(Window.orderBy(ord, col(idCol)))
           .cast("long").as(s"${label}_rank"))
     }

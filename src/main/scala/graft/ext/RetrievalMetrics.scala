@@ -16,10 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object RetrievalMetrics {
 
-  /** Per-query recall@k = |approx ∩ exact| / |exact|, plus the mean
-    * over queries in a final 1-row frame column (`macro_recall` — each
-    * query weighs equally, the standard IR convention). Queries with
-    * empty exact sets are excluded (recall undefined).
+  /** Per-query recall = |approx ∩ exact| / |exact| (one row per query
+    * with a non-empty exact set; recall is undefined otherwise). "k"
+    * is whatever the caller limited the two result frames to — this
+    * function does not re-truncate. The macro mean is one
+    * `agg(avg("recall"))` away; each query then weighs equally, the
+    * standard IR convention.
     */
   def recallAtK(approx: DataFrame, exact: DataFrame,
       queryCol: String, idCol: String): DataFrame = {
@@ -35,18 +37,21 @@ object RetrievalMetrics {
           .as("recall"))
   }
 
-  /** Mean reciprocal rank: for each query, 1/rank of the FIRST
-    * relevant neighbor in the ranked result (`rankCol` 1-based, as the
-    * top-k operators emit); queries with no relevant hit score 0.
-    * Emits one row per query plus use `avg` downstream for the mean.
+  /** Reciprocal rank per query: 1/rank of the FIRST relevant neighbor
+    * in the ranked result (`rankCol` 1-based, as the top-k operators
+    * emit). The query universe is the RELEVANT frame's — every query
+    * with defined relevance gets a row, and one whose retrieval came
+    * back empty (e.g. a queryId absent from the corpus) scores 0
+    * rather than silently vanishing and inflating the downstream
+    * `avg(rr)` mean.
     */
   def reciprocalRank(ranked: DataFrame, relevant: DataFrame,
       queryCol: String, idCol: String, rankCol: String): DataFrame = {
+    val rel = relevant.select(col(queryCol), col(idCol)).distinct()
     val firstHit = ranked
-      .join(relevant.select(col(queryCol), col(idCol)).distinct(),
-        Seq(queryCol, idCol), "left_semi")
+      .join(rel, Seq(queryCol, idCol), "left_semi")
       .groupBy(col(queryCol)).agg(min(col(rankCol)).as("first_rank"))
-    ranked.select(col(queryCol)).distinct()
+    rel.select(col(queryCol)).distinct()
       .join(firstHit, Seq(queryCol), "left_outer")
       .select(col(queryCol),
         coalesce(lit(1.0) / col("first_rank"), lit(0.0)).as("rr"))

@@ -329,27 +329,65 @@ final class FeatureStore(spark: SparkSession, val root: String,
     * small — AQE's call); upserts then merge through the same
     * full-outer coalesce as writeTable(Merge), so partial-column
     * refresh semantics and schema evolution hold for CDC feeds too.
+    *
+    * Multiple change events per key: with no `seqCol`, duplicate keys
+    * in the batch are an ERROR (Delta's multiple-source-match
+    * semantics — silently picking one would corrupt, and the
+    * delete-then-upsert split would otherwise resurrect deleted keys).
+    * Pass `seqCol` (a monotone event-order column) to resolve each key
+    * to its LAST event instead — the standard CDC compaction.
+    *
     * The read-modify-write is pinned to the version read here: a racer
     * committing in between makes this apply abort with
     * ConcurrentModificationException instead of silently reverting the
-    * racer's rows (the optimistic-concurrency contract).
+    * racer's rows (the optimistic-concurrency contract). The batch is
+    * cached for the duration — validation, the key split, and the
+    * merge read it once, not three times.
     */
   def applyChanges(name: String, changes: DataFrame,
-      opCol: String = "_op"): Unit = {
+      opCol: String = "_op", seqCol: Option[String] = None): Unit = {
     val (spec, version) = loadSpec(name)
     require(version >= 1, s"applyChanges: $name has no data version to apply onto")
     require(changes.columns.contains(opCol),
       s"applyChanges: changes frame is missing op column '$opCol'")
-    val badOps = changes.select(col(opCol)).distinct().collect()
-      .map(_.getString(0)).filterNot(Set("upsert", "delete"))
-    require(badOps.isEmpty,
-      s"applyChanges: unknown op(s) ${badOps.mkString(", ")} (want upsert | delete)")
-    val deletes = changes.filter(col(opCol) === "delete")
-      .select(spec.keys.map(col): _*).distinct()
-    val upserts = changes.filter(col(opCol) === "upsert").drop(opCol)
-    val kept = readTable(name).join(deletes, spec.keys, "left_anti")
-    writeTableFrom(name, mergeInto(kept, upserts, spec.keys, name),
-      WriteMode.Overwrite, expectedParent = Some(version))
+    seqCol.foreach(c => require(changes.columns.contains(c),
+      s"applyChanges: changes frame is missing seq column '$c'"))
+    val cached = changes.persist()
+    try {
+      val badOps = cached.select(col(opCol)).distinct().collect()
+        .map(_.getString(0)).filterNot(Set("upsert", "delete"))
+      require(badOps.isEmpty,
+        s"applyChanges: unknown op(s) ${badOps.mkString(", ")} (want upsert | delete)")
+      val perKey: DataFrame = seqCol match {
+        case Some(sc) =>
+          // last event per key wins — rank by seq desc, ties broken
+          // arbitrarily-but-deterministically by op so replays agree
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(spec.keys.map(col): _*)
+            .orderBy(col(sc).desc, col(opCol))
+          cached.withColumn("_graft_cdc_rn", row_number().over(w))
+            .filter(col("_graft_cdc_rn") === 1)
+            .drop("_graft_cdc_rn", sc)
+        case None =>
+          val dups = cached.groupBy(spec.keys.map(col): _*)
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1)
+            .select(spec.keys.map(col): _*).limit(5).collect()
+          require(dups.isEmpty,
+            s"applyChanges: multiple change events for key(s) " +
+              s"${dups.mkString(", ")} — pass seqCol to resolve to the " +
+              "last event per key, or pre-compact the batch")
+          cached
+      }
+      val deletes = perKey.filter(col(opCol) === "delete")
+        .select(spec.keys.map(col): _*)
+      val upserts = perKey.filter(col(opCol) === "upsert").drop(opCol)
+      val kept = readTable(name).join(deletes, spec.keys, "left_anti")
+      writeTableFrom(name, mergeInto(kept, upserts, spec.keys, name),
+        WriteMode.Overwrite, expectedParent = Some(version))
+    } finally {
+      cached.unpersist()
+      ()
+    }
   }
 
   /** K7 — publish the offline table to an "online" store for point

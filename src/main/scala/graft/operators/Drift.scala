@@ -23,7 +23,19 @@ object Drift {
     * back; everything else folds into the input's projection.
     */
   def driftTerms(counts: DataFrame, catCol: String): DataFrame = {
+    // An EMPTY snapshot (total 0) is the one place drift must ERROR,
+    // not report: Spark's non-ANSI divide would turn n/0 into NULL
+    // drift for every category — silence exactly when the signal is
+    // maximal (a feed going dark). raise_error keeps the guard inside
+    // the lazy plan — no extra driver-side count job.
     val totals = counts.agg(sum(col("n_a")).as("_ta"), sum(col("n_b")).as("_tb"))
+      .select(Seq("_ta", "_tb").map { c =>
+        val err = raise_error(
+          concat(lit(s"Drift.driftTerms: snapshot total $c is "),
+            coalesce(col(c).cast("string"), lit("NULL")),
+            lit(" — empty/absent snapshot, drift undefined"))).cast("long")
+        when(col(c).isNull || col(c) === 0, err).otherwise(col(c)).as(c)
+      }: _*)
     val p = col("n_a").cast("double") / col("_ta")
     val q = col("n_b").cast("double") / col("_tb")
     counts.crossJoin(broadcast(totals))

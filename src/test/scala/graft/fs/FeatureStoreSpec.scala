@@ -67,6 +67,29 @@ class FeatureStoreSpec extends SparkSpec {
     assert(store.tableVersion("t") == before + 1, "CDC batch must be ONE version")
   }
 
+  test("applyChanges: duplicate keys error without seqCol, last-wins with it") {
+    val store = freshStore
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("t", Seq("id"), v1.schema))
+    store.writeTable("t", v1, WriteMode.Merge)
+    // two events for key 2 with no seq order → named error
+    val dup = Seq((2L, 5.0, "upsert"), (2L, 7.0, "upsert")).toDF("id", "x", "_op")
+    val e = intercept[IllegalArgumentException](store.applyChanges("t", dup))
+    assert(e.getMessage.contains("multiple change events"))
+    // with a seq column the LAST event wins: upsert@1 then delete@2 → gone
+    val seq1 = Seq((2L, 5.0, "upsert", 1L), (2L, 0.0, "delete", 2L))
+      .toDF("id", "x", "_op", "seq")
+    store.applyChanges("t", seq1, seqCol = Some("seq"))
+    assert(store.readTable("t").orderBy("id").as[(Long, Double)].collect()
+      .toSeq == Seq((1L, 10.0)))
+    // delete@1 then upsert@2 → the upsert survives
+    val seq2 = Seq((3L, 0.0, "delete", 1L), (3L, 33.0, "upsert", 2L))
+      .toDF("id", "x", "_op", "seq")
+    store.applyChanges("t", seq2, seqCol = Some("seq"))
+    assert(store.readTable("t").orderBy("id").as[(Long, Double)].collect()
+      .toSeq == Seq((1L, 10.0), (3L, 33.0)))
+  }
+
   test("applyChanges rejects unknown ops and races with a pinned parent") {
     val store = freshStore
     val v1 = Seq((1L, 10.0)).toDF("id", "x")

@@ -24,6 +24,16 @@ class DriftSpec extends SparkSpec {
     assert(got("y")._3 === math.floor(2.0 * 0.25 * 1e12 + 0.5).toLong)
   }
 
+  test("empty snapshot errors instead of emitting NULL drift") {
+    val a = Seq(("x", 5L)).toDF("cat", "n")
+    val empty = Seq.empty[(String, Long)].toDF("cat", "n")
+    val e = intercept[Exception] {
+      Drift.categoricalDrift(a, empty, "cat", "n").collect()
+    }
+    assert(e.getMessage.contains("drift undefined")
+      || Option(e.getCause).exists(_.getMessage.contains("drift undefined")))
+  }
+
   test("identical snapshots drift to exactly zero") {
     val a = Seq(("x", 5L), ("y", 7L)).toDF("cat", "n")
     val got = Drift.categoricalDrift(a, a, "cat", "n")
