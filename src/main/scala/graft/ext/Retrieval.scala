@@ -30,14 +30,13 @@ object Retrieval {
     * Emits (idCol, dl, bm25_q) for the `k` highest-scoring docs,
     * ties broken by id.
     */
-  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
-      terms: Seq[String], k: Int,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // NULL text scores like empty text (0), not NULL — the coalesce
-    // matches dupSpanCounts/unigramLmScores' NULL-as-empty behavior.
-    // All per-term tfs come from ONE fused pass over the token array
-    // (graft_term_counts) instead of |terms| interpreted filter() HOFs.
-    val perDoc = docs
+  // NULL text scores like empty text (0), not NULL — the coalesce
+  // matches dupSpanCounts/unigramLmScores' NULL-as-empty behavior.
+  // All per-term tfs come from ONE fused pass over the token array
+  // (graft_term_counts) instead of |terms| interpreted filter() HOFs.
+  private def bm25PerDoc(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String]): DataFrame =
+    docs
       .select(col(idCol),
         coalesce(TextAnalysis.tokens(lower(col(textCol))),
           array().cast("array<string>")).as("_toks"))
@@ -47,25 +46,60 @@ object Retrieval {
       .select(col(idCol) +: col("dl") +:
         terms.indices.map(i =>
           element_at(col("_tfs"), i + 1).as(s"_tf$i")): _*)
-    val stats = perDoc.agg(count(lit(1)).as("_n"),
-      sum(col("dl")).as("_sumdl") +:
-        terms.indices.map(i =>
-          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
-    val avgdl = col("_sumdl").cast("double") / col("_n")
+
+  // The Okapi arithmetic, parameterized over WHERE the corpus stats
+  // come from (same-query aggregate columns, or external literals from
+  // maintained state) — one formula, two tiers, identical results when
+  // the stats agree (spec-asserted).
+  private def bm25Scored(perDoc: DataFrame, idCol: String, nTerms: Int,
+      n: Column, sumdl: Column, dfOf: Int => Column,
+      k1: Double, b: Double): DataFrame = {
+    val avgdl = sumdl.cast("double") / n
     def contrib(i: Int): Column = {
       val tf = col(s"_tf$i").cast("double")
-      val df = col(s"_df$i")
-      val idf = (col("_n") - df + lit(0.5)) / (df + lit(0.5))
+      val df = dfOf(i)
+      val idf = (n - df + lit(0.5)) / (df + lit(0.5))
       val score = idf * ((tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (col("dl").cast("double") / avgdl))))
       floor(score * lit(1e6) + lit(0.5)).cast("long")
     }
-    perDoc.crossJoin(broadcast(stats))
-      .select(col(idCol), col("dl"),
-        terms.indices.map(contrib).reduce(_ + _).as("bm25_q"))
+    perDoc.select(col(idCol), col("dl"),
+      (0 until nTerms).map(contrib).reduce(_ + _).as("bm25_q"))
+  }
+
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val perDoc = bm25PerDoc(docs, textCol, idCol, terms)
+    val stats = perDoc.agg(count(lit(1)).as("_n"),
+      sum(col("dl")).as("_sumdl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i")): _*)
+    bm25Scored(perDoc.crossJoin(broadcast(stats)), idCol, terms.size,
+      col("_n"), col("_sumdl"), i => col(s"_df$i"), k1, b)
       .orderBy(col("bm25_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** BM25 scoring against EXTERNAL corpus statistics — the serving
+    * tier of a LIVE index: (N, Σdl) and per-term dfs come from
+    * maintained state (StreamingFeatures.maintainCorpusStats /
+    * maintainDocFrequency, or any snapshot) instead of a same-query
+    * corpus aggregate, so scoring a batch costs ONE scan of that
+    * batch, never a corpus pass. Same arithmetic and quantization as
+    * [[bm25TopK]]: with state equal to the corpus aggregates the
+    * scores are identical (spec-asserted). A term missing from `dfs`
+    * scores with df = 0 (maximal idf) — stale-state behavior is
+    * defined, not an error.
+    */
+  def bm25TopKWithStats(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k: Int,
+      nDocs: Long, sumDl: Long, dfs: Map[String, Long],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Scored(bm25PerDoc(docs, textCol, idCol, terms), idCol, terms.size,
+      lit(nDocs), lit(sumDl), i => lit(dfs.getOrElse(terms(i), 0L)), k1, b)
+      .orderBy(col("bm25_q").desc, col(idCol))
+      .limit(k)
 
   /** Exact maximum-inner-product top-k of the corpus against ONE query
     * vector, on 1e-6-quantized BIGINT components so every dot product

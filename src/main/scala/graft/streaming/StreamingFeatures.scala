@@ -193,6 +193,38 @@ object StreamingFeatures {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming corpus-stats maintenance — the 1-row side of a live
+    * BM25 index ([[maintainDocFrequency]] keeps the per-term df; this
+    * keeps N and Σdl): a running stateful aggregate over a constant
+    * key, merged into a 1-row feature table per micro-batch. Together
+    * the two state tables are exactly the inputs
+    * `Retrieval.bm25TopK` derives per query — scoring against
+    * maintained state instead of re-aggregating the corpus is what
+    * makes BM25 serviceable on a stream (StreamingFeaturesSpec asserts
+    * state-derived scores ≡ the batch operator's).
+    */
+  def maintainCorpusStats(
+      docStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      textCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val toks = coalesce(
+      graft.ext.TextAnalysis.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
+    val agg = docStream.select(size(toks).as("dl"))
+      .groupBy(lit("corpus").as("corpus_key"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming document-frequency maintenance — the index-side state a
     * live BM25/TF-IDF tier (Retrieval.bm25TopK, TextAnalysis.termStats)
     * needs when the corpus grows continuously: per-term df as a RUNNING

@@ -223,6 +223,53 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running df state != batch document frequency over all docs")
   }
 
+  test("live BM25: scores from maintained state equal the batch operator") {
+    import graft.ext.Retrieval
+    val terms = Seq("spark", "vector", "stream")
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-bm25-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("df_state", Seq("term"), StructType(Seq(
+      StructField("term", StringType), StructField("df", LongType)))))
+    store.createTable(FeatureTableSpec("corpus_stats", Seq("corpus_key"),
+      StructType(Seq(StructField("corpus_key", StringType),
+        StructField("n_docs", LongType), StructField("sum_dl", LongType)))))
+    val ck1 = Files.createTempDirectory("graft-bm25-ck1-").toString
+    val ck2 = Files.createTempDirectory("graft-bm25-ck2-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    // two micro-batches through BOTH maintainers, shared checkpoints
+    assert(StreamingFeatures.maintainDocFrequency(stream, store, "df_state",
+      "text", ck1).awaitTermination(120000))
+    assert(StreamingFeatures.maintainCorpusStats(stream, store, "corpus_stats",
+      "text", ck2).awaitTermination(120000))
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainDocFrequency(stream, store, "df_state",
+      "text", ck1).awaitTermination(120000))
+    assert(StreamingFeatures.maintainCorpusStats(stream, store, "corpus_stats",
+      "text", ck2).awaitTermination(120000))
+
+    // score the full corpus against the MAINTAINED stats
+    val stats = store.readTable("corpus_stats").collect().head
+    val dfs = store.readTable("df_state")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fromState = Retrieval.bm25TopKWithStats(docs, "text", "doc_id",
+      terms, k = 50, nDocs = stats.getAs[Long]("n_docs"),
+      sumDl = stats.getAs[Long]("sum_dl"), dfs = dfs)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val batch = Retrieval.bm25TopK(docs, "text", "doc_id", terms, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(fromState === batch,
+      "state-derived BM25 != batch BM25 on identical corpus stats")
+  }
+
   test("maintainFunnelState: streaming funnel equals batch conversionFunnel across micro-batches") {
     val events = graft.Tables.load(spark, sfDir, "events")
       .withColumn("ts", col("ts").cast("timestamp"))
