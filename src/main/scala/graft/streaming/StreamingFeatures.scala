@@ -177,18 +177,25 @@ object StreamingFeatures {
     * the Delta MERGE WHEN-MATCHED-DELETE shape. Batches replayed after
     * a crash re-apply idempotently (upsert of identical rows and
     * delete of absent keys are both no-ops on the final state).
+    *
+    * Pass `seqCol` for real CDC feeds: a micro-batch routinely carries
+    * SEVERAL events for one key, and applyChanges resolves them
+    * last-event-wins by that order; without it, a multi-event key in a
+    * batch is a named error (the Delta multiple-source-match
+    * semantics).
     */
   def applyChangeStream(
       changes: DataFrame,
       store: FeatureStore,
       tableName: String,
       opCol: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      seqCol: Option[String] = None): StreamingQuery =
     changes.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) store.applyChanges(tableName, batch, opCol)
+        if (!batch.isEmpty) store.applyChanges(tableName, batch, opCol, seqCol)
       }
       .trigger(Trigger.AvailableNow())
       .start()

@@ -179,6 +179,28 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(rows === Seq((2L, 99.0), (3L, 30.0), (4L, 40.0)))
   }
 
+  test("applyChangeStream resolves multi-event keys last-wins via seqCol") {
+    import spark.implicits._
+    val store = FeatureStore.temp(spark)
+    val base = Seq((1L, 10.0)).toDF("id", "x")
+    store.createTable(FeatureTableSpec("cdc2", Seq("id"), base.schema))
+    store.writeTable("cdc2", base, WriteMode.Merge)
+    val streamDir = Files.createTempDirectory("graft-cdc2-in-").toString
+    // one micro-batch, three events for key 1: upsert, upsert, delete
+    Seq((1L, 50.0, "upsert", 1L), (1L, 60.0, "upsert", 2L),
+      (1L, 0.0, "delete", 3L))
+      .toDF("id", "x", "_op", "seq")
+      .write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val ckpt = Files.createTempDirectory("graft-cdc2-ck-").toString
+    val q = StreamingFeatures.applyChangeStream(
+      StreamingFeatures.readEventStream(spark, streamDir, schema),
+      store, "cdc2", "_op", ckpt, seqCol = Some("seq"))
+    assert(q.awaitTermination(120000), "CDC run timed out")
+    // last event (delete@3) wins: key 1 is gone
+    assert(store.readTable("cdc2").count() === 0)
+  }
+
   test("maintainDocFrequency: streaming df equals batch term stats across micro-batches") {
     import graft.ext.TextAnalysis
     val docs = graft.Tables.load(spark, sfDir, "documents")
