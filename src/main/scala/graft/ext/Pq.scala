@@ -272,6 +272,37 @@ object Pq {
     * (the §5.3 floor-not-round discipline); constant dimensions
     * (mx = mn) quantize to 0.
     */
+  /** Quantize against EXTERNAL per-dimension bounds — the serving tier
+    * of SQ8: bounds come from maintained state
+    * (StreamingFeatures.maintainQuantBounds) or a training snapshot, so
+    * encoding a new batch costs one scan of THAT batch, and codes stay
+    * comparable across batches because the grid is FROZEN (re-deriving
+    * bounds per batch would silently re-scale the space). Values
+    * outside the frozen range CLAMP to 0/255 — the standard SQ
+    * out-of-distribution behavior; constant dimensions (mx = mn)
+    * quantize to 0. Same floor arithmetic as [[scalarQuantize]]: with
+    * bounds equal to the corpus min/max the codes are identical
+    * (spec-asserted).
+    */
+  def scalarQuantizeWithBounds(corpus: DataFrame, vecCol: String,
+      idCol: String, mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    require(mins.length == maxs.length && mins.nonEmpty,
+      s"scalarQuantizeWithBounds: bounds disagree (${mins.length} vs ${maxs.length})")
+    val minsL = typedLit(mins.toSeq)
+    val maxsL = typedLit(maxs.toSeq)
+    corpus.select(col(idCol),
+      transform(col(vecCol), (x, i) => {
+        val mn = element_at(minsL, i + 1)
+        val mx = element_at(maxsL, i + 1)
+        // clamp the LONG floor result BEFORE the int cast — an extreme
+        // out-of-range value would overflow the cast otherwise
+        when(mx === mn, lit(0))
+          .otherwise(greatest(lit(0L), least(lit(255L),
+            floor((x.cast("double") - mn) / (mx - mn) * lit(255.0)
+              + lit(0.5)))).cast("int"))
+      }).as("codes"))
+  }
+
   def scalarQuantize(corpus: DataFrame, vecCol: String,
       idCol: String): DataFrame = {
     val dims = corpus

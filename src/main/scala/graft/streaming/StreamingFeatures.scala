@@ -232,6 +232,36 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming per-dimension quantization-bounds maintenance — the
+    * state behind the frozen-grid SQ8 serving tier
+    * (Pq.scalarQuantizeWithBounds): running per-dim min/max as a
+    * stateful streaming aggregate (min and max are mergeable, so state
+    * is two doubles per dimension), changed dims key-merged into the
+    * feature table. Re-encode (or decide to) when the maintained
+    * bounds move materially; meanwhile every batch encodes against the
+    * SAME grid.
+    */
+  def maintainQuantBounds(
+      vecStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      vecCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val dims = vecStream
+      .select(posexplode(col(vecCol)).as(Seq("pos", "_xf")))
+      .select(col("pos"), col("_xf").cast("double").as("x"))
+    val agg = dims.groupBy(col("pos"))
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming document-frequency maintenance — the index-side state a
     * live BM25/TF-IDF tier (Retrieval.bm25TopK, TextAnalysis.termStats)
     * needs when the corpus grows continuously: per-term df as a RUNNING

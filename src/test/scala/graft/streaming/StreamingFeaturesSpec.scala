@@ -245,6 +245,50 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running df state != batch document frequency over all docs")
   }
 
+  test("frozen-grid SQ8: maintained bounds reproduce batch codes; OOD clamps") {
+    import spark.implicits._
+    import graft.ext.Pq
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+      .select("vec_id", "embedding")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-sq-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("q_bounds", Seq("pos"), StructType(Seq(
+      StructField("pos", IntegerType), StructField("mn", DoubleType),
+      StructField("mx", DoubleType)))))
+    val ckpt = Files.createTempDirectory("graft-sq-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    assert(StreamingFeatures.maintainQuantBounds(stream, store, "q_bounds",
+      "embedding", ckpt).awaitTermination(120000))
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainQuantBounds(stream, store, "q_bounds",
+      "embedding", ckpt).awaitTermination(120000))
+
+    val bounds = store.readTable("q_bounds").orderBy("pos")
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    val fromState = Pq.scalarQuantizeWithBounds(emb, "embedding", "vec_id",
+      bounds.map(_._1), bounds.map(_._2))
+      .as[(Long, Array[Int])].collect().toMap
+    val batch = Pq.scalarQuantize(emb, "embedding", "vec_id")
+      .as[(Long, Array[Int])].collect().toMap
+    assert(fromState.keySet === batch.keySet)
+    for (k <- batch.keySet)
+      assert(fromState(k).toSeq === batch(k).toSeq, s"vec $k codes differ")
+
+    // out-of-distribution value clamps instead of leaving [0,255]
+    val dim = bounds.length
+    val ood = Seq((0L, Array.fill(dim)(1e9f)), (1L, Array.fill(dim)(-1e9f)))
+      .toDF("vec_id", "embedding")
+    val codes = Pq.scalarQuantizeWithBounds(ood, "embedding", "vec_id",
+      bounds.map(_._1), bounds.map(_._2))
+      .as[(Long, Array[Int])].collect().toMap
+    assert(codes(0L).forall(_ == 255) && codes(1L).forall(_ == 0))
+  }
+
   test("live BM25: scores from maintained state equal the batch operator") {
     import graft.ext.Retrieval
     val terms = Seq("spark", "vector", "stream")
