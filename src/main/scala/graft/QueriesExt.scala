@@ -1609,6 +1609,57 @@ object PipelinesExt {
       .select(col("vec_id"), col("pca"))
       .orderBy("vec_id")
   }
+
+  // batch 9 — matryoshka retrieval, priority sampling, DSIR scoring,
+  // bigram LM, quantized PageRank
+
+  // Matryoshka-truncation retrieval: 3-query top-10 over the first 16
+  // of 64 dims — the no-codebook compression tier (¼ the FLOPs/bytes).
+  // Exact quantized-integer dots; per-query WindowGroupLimit top-k.
+  def matryoshkaAnn(s: SparkSession, d: String): DataFrame =
+    ext.Retrieval.truncatedCosineTopK(t(s, d, "embeddings"), "embedding",
+      "vec_id", queryIds = Seq(0L, 1L, 2L), k = 10, dims = 16)
+      .orderBy("query_id", "rnk")
+
+  // Token-budget weighted sampling: per-source top-8 documents by
+  // priority n_chars/u (Duffield et al. priority sampling) — the
+  // reproducible "sample long documents proportionally more" pass.
+  def prioritySampleDocs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.prioritySampleByStratum(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("doc_id"), col("n_chars"), k = 8)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("prio_rank"),
+        floor(graft.etl.Sampling.priorityColumn(col("doc_id"), col("n_chars"))
+          * lit(1e12) + lit(0.5)).cast("long").as("prio_q"))
+      .orderBy("source", "prio_rank")
+
+  // DSIR-style hashed-unigram importance score of every document
+  // toward the English slice of the corpus (Xie et al. 2023 shape,
+  // linear-domain quantized — §5.3: ln is not oracle-portable).
+  def dsirScores(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedImportanceScores(t(s, d, "documents"), "doc_id",
+      "text", col("lang") === "en")
+      .orderBy("doc_id")
+
+  // Interpolated bigram-LM familiarity score (λ=0.7 bigram, 1−λ
+  // unigram backoff) — the next perplexity-proxy tier above q117's
+  // unigram score.
+  def bigramLm(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // Integer-quantized PageRank over the near-dup similarity graph (the
+  // q97 edge set): 5 synchronous iterations of exact BIGINT
+  // arithmetic, so the DuckDB oracle's unrolled recurrence matches
+  // hash-for-hash — centrality ranks the canonical doc per dup
+  // cluster by "most-connected" instead of min-id.
+  def pageRankDups(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Components.pageRankQuantized(pairs, iterations = 5)
+      .orderBy("node")
+  }
 }
 
 object OraclesExt {
@@ -1640,7 +1691,9 @@ object OraclesExt {
        |          $w[i+4] || ' ' || $w[i+5] || ' ' || $w[i+6] || ' ' || $w[i+7])))
        |    END""".stripMargin
 
-  private val ccClosureCtesSql =
+  // the q97/q120/q130 near-dup edge set (cosine ≥ 0.4, symmetrized) —
+  // one source of truth for every gate built on the dup graph
+  private val dupEdgesCtesSql =
     """pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM embeddings a, embeddings b
@@ -1650,7 +1703,10 @@ object OraclesExt {
       |  SELECT id_a AS u, id_b AS v FROM pairs
       |  UNION
       |  SELECT id_b AS u, id_a AS v FROM pairs
-      |), reach(node, lbl) AS (
+      |)""".stripMargin
+
+  private val ccClosureCtesSql =
+    dupEdgesCtesSql + """, reach(node, lbl) AS (
       |  SELECT vec_id, vec_id FROM embeddings
       |  UNION
       |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
@@ -2947,5 +3003,135 @@ object OraclesExt {
     // is engine-specific; the retained-set contract vs the exact rule
     // (superset; no intra-cell survivor pair >= t) is spec-asserted in
     // SemanticDedupSpec.
+
+    // batch 9 — matryoshka retrieval, priority sampling, DSIR, bigram
+    // LM, quantized PageRank. Float arithmetic mirrors the Spark side
+    // operation for operation (the bm25TermSql discipline): every
+    // literal e0-suffixed, no Scala-computed constant folded into a
+    // parsed literal, division sequences written in the same order.
+
+    "q126_matryoshka_ann" ->
+      """WITH qe AS (SELECT vec_id, list_transform(range(1, 17),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS v
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv FROM qe WHERE vec_id IN (0, 1, 2)),
+        |sc AS (SELECT query_id, vec_id,
+        |    CAST(list_sum(list_transform(range(1, 17), i -> v[i] * qv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 17), i -> v[i] * v[i])) AS BIGINT) AS nc,
+        |    CAST(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i])) AS BIGINT) AS nq
+        |  FROM qe CROSS JOIN qs),
+        |ct AS (SELECT query_id, vec_id,
+        |    CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
+        |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
+        |    END AS cos_tq
+        |  FROM sc),
+        |rk AS (SELECT query_id, vec_id, cos_tq,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_tq DESC, vec_id) AS BIGINT) AS rnk
+        |  FROM ct)
+        |SELECT query_id, vec_id, cos_tq, rnk FROM rk WHERE rnk <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    "q127_priority_sample" ->
+      """WITH u AS (SELECT doc_id, source, n_chars,
+        |    list_reduce(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) + 1 AS uu
+        |  FROM documents),
+        |p AS (SELECT doc_id, source, n_chars,
+        |    CAST(n_chars AS DOUBLE) / CAST(uu AS DOUBLE) AS prio
+        |  FROM u),
+        |rk AS (SELECT doc_id, source, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY prio DESC, doc_id) AS BIGINT) AS prio_rank,
+        |    CAST(floor(prio * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS prio_q
+        |  FROM p)
+        |SELECT doc_id, source, n_chars, prio_rank, prio_q
+        |FROM rk WHERE prio_rank <= 8
+        |ORDER BY source, prio_rank""".stripMargin,
+
+    "q128_dsir_scores" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tm0 AS (SELECT doc_id, lang, unnest(toks) AS term FROM d),
+        |tm AS (SELECT doc_id, (lang = 'en') AS is_t,
+        |    substr(md5(term), 1, 2) AS bucket
+        |  FROM tm0),
+        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tm GROUP BY bucket),
+        |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
+        |    CAST(sum(ct) AS BIGINT) AS ttot FROM b),
+        |qb AS (SELECT bucket,
+        |    CAST(floor(CAST((ct + 1) * (tr + 256) AS DOUBLE)
+        |      / CAST((cr + 1) * (ttot + 256) AS DOUBLE)
+        |      * 1000000.0e0 + 0.5e0) AS BIGINT) AS qb
+        |  FROM b CROSS JOIN tt),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(qb) AS BIGINT) AS dsir_q
+        |  FROM tm JOIN qb USING (bucket) GROUP BY doc_id)
+        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(dsir_q, 0) AS BIGINT) AS dsir_q
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "q129_bigram_lm" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |tm AS (SELECT doc_id, unnest(toks) AS term FROM d),
+        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM tm GROUP BY term),
+        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tot FROM uni),
+        |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> [toks[i], toks[i+1]])) AS pr
+        |  FROM d WHERE len(toks) >= 2),
+        |bg AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM bg0),
+        |cbt AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
+        |  FROM bg GROUP BY prev, cur),
+        |cpt AS (SELECT prev, CAST(count(*) AS BIGINT) AS cp
+        |  FROM bg GROUP BY prev),
+        |qbig AS (SELECT doc_id,
+        |    CAST(floor((0.7e0 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
+        |      + (1.0e0 - 0.7e0) * (CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE)))
+        |      * 1000000000.0e0 + 0.5e0) AS BIGINT) AS q
+        |  FROM bg JOIN cbt USING (prev, cur) JOIN cpt USING (prev)
+        |    JOIN uni ON uni.term = bg.cur CROSS JOIN tot),
+        |qfirst AS (SELECT doc_id,
+        |    CAST(floor((1.0e0 - 0.7e0) * (CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE))
+        |      * 1000000000.0e0 + 0.5e0) AS BIGINT) AS q
+        |  FROM d JOIN uni ON uni.term = toks[1] CROSS JOIN tot
+        |  WHERE len(toks) >= 1),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(q) AS BIGINT) AS lm2_q
+        |  FROM (SELECT * FROM qbig UNION ALL SELECT * FROM qfirst)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(coalesce(lm2_q, 0) AS BIGINT) AS lm2_q
+        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // unrolled 5-iteration integer recurrence — exact BIGINT arithmetic
+    // (// is integer division), so this matches the Spark loop
+    // hash-for-hash; see Components.pageRankQuantized
+    "q130_pagerank_dups" -> {
+      def iter(k: Int): String =
+        s"""r$k AS (SELECT e.v AS node,
+           |    (CAST(15 AS BIGINT) * 1000000000) // (CAST(100 AS BIGINT) * n)
+           |      + sum((CAST(85 AS BIGINT) * r.rq) // (CAST(100 AS BIGINT) * d.deg)) AS rq
+           |  FROM r${k - 1} r JOIN edges e ON e.u = r.node
+           |    JOIN deg d ON d.u = r.node CROSS JOIN nn
+           |  GROUP BY e.v, n)""".stripMargin
+      s"""WITH $dupEdgesCtesSql,
+         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) // n AS rq
+         |  FROM deg CROSS JOIN nn),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT node, CAST(rq AS BIGINT) AS rq FROM r5 ORDER BY node""".stripMargin
+    },
   )
 }

@@ -155,6 +155,13 @@ object SparkEntry {
     "q123_label_centroids" -> ((s, d) => PipelinesExt.labelCentroids(s, d)),
     "q124_curation_pipeline" -> ((s, d) => PipelinesExt.curationPipeline(s, d)),
     "q125_dist_drift" -> ((s, d) => PipelinesExt.distDrift(s, d)),
+    // batch 9 — matryoshka retrieval, priority sampling, DSIR scoring,
+    // bigram LM, quantized PageRank
+    "q126_matryoshka_ann" -> ((s, d) => PipelinesExt.matryoshkaAnn(s, d)),
+    "q127_priority_sample" -> ((s, d) => PipelinesExt.prioritySampleDocs(s, d)),
+    "q128_dsir_scores" -> ((s, d) => PipelinesExt.dsirScores(s, d)),
+    "q129_bigram_lm" -> ((s, d) => PipelinesExt.bigramLm(s, d)),
+    "q130_pagerank_dups" -> ((s, d) => PipelinesExt.pageRankDups(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

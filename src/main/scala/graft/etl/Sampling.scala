@@ -102,6 +102,54 @@ object Sampling {
       .filter(col("_pr") <= frac).drop("_pr")
   }
 
+  /** Priority sampling (Duffield, Lund & Thorup, JACM 2007): weighted
+    * sampling without replacement where row priority is
+    * `weight / u` for a per-key uniform `u` — the top-k priorities
+    * form the sample, and it carries unbiased subset-sum estimators.
+    * The natural curation use is token-budget sampling: weight =
+    * document length ⇒ long documents are proportionally favored,
+    * reproducibly.
+    *
+    * `u` is DERIVED, not drawn: the first 13 hex digits of `md5(key)`
+    * parse to an integer in [0, 2^52), plus 1 to avoid division by
+    * zero — the same portable-hash discipline as [[hashSample]], so
+    * the sample is a pure function of the row keys. The priority is
+    * one exact-integer-to-double cast per side and one correctly-
+    * rounded IEEE division — bit-identical in any engine (§5.3), so
+    * the selected SET (not just its size) is engine-portable; ties
+    * break on the key.
+    *
+    * Per-stratum top-k is a rank-≤-k filter, which Catalyst rewrites
+    * to Partial+Final WindowGroupLimit heaps — at 100 TB only ≤k rows
+    * per map partition per stratum reach the exchange; no stratum is
+    * ever fully sorted.
+    */
+  def priorityColumn(keyCol: Column, weightCol: Column): Column = {
+    val u = conv(substring(md5(keyCol.cast("string")), 1, 13), 16, 10)
+      .cast("long") + lit(1L)
+    weightCol.cast("double") / u.cast("double")
+  }
+
+  /** Global weighted top-k by priority — TakeOrderedAndProject. */
+  def prioritySample(df: DataFrame, keyCol: Column, weightCol: Column,
+      k: Int): DataFrame =
+    df.withColumn("_prio", priorityColumn(keyCol, weightCol))
+      .orderBy(col("_prio").desc, keyCol)
+      .limit(k)
+      .drop("_prio")
+
+  /** Per-stratum weighted top-k by priority (WindowGroupLimit shape).
+    * Adds `rankCol` (1-based within the stratum). */
+  def prioritySampleByStratum(df: DataFrame, strataCol: String,
+      keyCol: Column, weightCol: Column, k: Int,
+      rankCol: String = "prio_rank"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(priorityColumn(keyCol, weightCol).desc, keyCol)
+    df.withColumn(rankCol, row_number().over(w).cast("long"))
+      .filter(col(rankCol) <= k)
+  }
+
   /** Deterministic n-way split: label each row with the name of the
     * weight bucket its `md5(key)` lands in — the reproducible
     * `randomSplit` (FS training cell) replacement. Weights are

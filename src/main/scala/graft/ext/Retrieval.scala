@@ -168,6 +168,60 @@ object Retrieval {
       .limit(k)
   }
 
+  /** Matryoshka-truncation retrieval (Kusupati et al., NeurIPS 2022):
+    * rank the corpus against each query by cosine over only the FIRST
+    * `dims` dimensions of the embedding. With matryoshka-trained
+    * embeddings the leading prefix carries most of the signal, so
+    * truncating is the cheap retrieval tier between full-dim exact
+    * and the 1-bit/int8 tiers: dims/64 of the dot-product FLOPs and
+    * bytes, no codebook to fit. Recall vs full-dim is spec-asserted
+    * (RetrievalMetricsSpec discipline), not assumed.
+    *
+    * Portability: components quantize to 1e-6 BIGINTs, so dots and
+    * norms are exact integers; the cosine then takes ONE correctly-
+    * rounded IEEE step per operation (dot / sqrt(na) / sqrt(nb) —
+    * sqrt and divide are correctly rounded everywhere, unlike ln/pow,
+    * §5.3) in the same order as the oracle, making the double — and
+    * the 1e9-quantized score — bit-identical across engines.
+    *
+    * Plan shape: queries filter to a broadcast-able frame; the corpus
+    * joins it once (broadcast nested loop over ≤|queries| rows — the
+    * 1-row-build BNLJ shape, not all-pairs); per-query top-k is a
+    * rank-≤-k filter that Catalyst rewrites to Partial+Final
+    * WindowGroupLimit heaps, so no query group is ever fully sorted.
+    * Emits (query_id, idCol, cos_tq, rnk), ties broken by id.
+    */
+  def truncatedCosineTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      queryIds: Seq[Long], k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims >= 1, s"truncatedCosineTopK: dims must be >= 1, got $dims")
+    require(queryIds.nonEmpty, "truncatedCosineTopK: queryIds is empty")
+    def quant(c: Column): Column =
+      transform(slice(c, 1, dims),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quant(col(vecCol)).as("_qv"))
+    val scored = corpus
+      .select(col(idCol), quant(col(vecCol)).as("_cv"))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col(idCol),
+        dot(col("_cv"), col("_qv")).as("_dot"),
+        dot(col("_cv"), col("_cv")).as("_nc"),
+        dot(col("_qv"), col("_qv")).as("_nq"))
+      .select(col("query_id"), col(idCol),
+        when(col("_nc") === 0 || col("_nq") === 0, lit(0L))
+          .otherwise(floor(
+            col("_dot").cast("double") / sqrt(col("_nc").cast("double"))
+              / sqrt(col("_nq").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long")).as("cos_tq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_tq").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion of pre-ranked candidate lists sharing an
     * id column. Each input must already be a SMALL top-k frame (the
     * rank window here runs on candidate lists, never on the corpus —

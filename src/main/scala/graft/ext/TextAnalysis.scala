@@ -331,6 +331,153 @@ object TextAnalysis {
         coalesce(col("lm_q"), lit(0L)).as("lm_q"))
   }
 
+  /** DSIR-style hashed-unigram importance score (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): hash tokens into `16^bucketHexLen` buckets by md5
+    * prefix, fit the bucket distribution on the TARGET slice
+    * (`targetPred` rows) and on the raw corpus, then score every
+    * document by its summed per-token target/raw probability ratio
+    * (add-one smoothed). High scores = documents whose token profile
+    * looks like the target domain — the resampling weight for
+    * domain-matched pretraining selection.
+    *
+    * Kept in the LINEAR domain (sum of quantized ratios, not of log
+    * ratios): ln is not bit-portable across engines (§5.3), the same
+    * trade as [[unigramLmScores]]. The true log-domain weight is
+    * [[importanceLogWeights]], spec-asserted against a driver-side
+    * brute force (not oracle-gated).
+    *
+    * Scale shape: one explode pass; the bucket table is CONSTANT-sized
+    * (16^bucketHexLen rows — 256 at the default), so both the stats
+    * aggregate (map-side partials onto ≤256 keys) and the score join
+    * (broadcast) are corpus-size-independent. The md5 bucket key stays
+    * a hex STRING — no integer parse, portable by construction.
+    */
+  def hashedImportanceScores(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, bucketHexLen: Int = 2): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 4,
+      s"hashedImportanceScores: bucketHexLen must be in [1,4], got $bucketHexLen")
+    val nBuckets = math.pow(16, bucketHexLen).toLong
+    val terms = docs.select(col(idCol), targetPred.as("_is_t"),
+        explode(tokens(lower(col(textCol)))).as("_term"))
+      .select(col(idCol), col("_is_t"),
+        substring(md5(col("_term")), 1, bucketHexLen).as("_bucket"))
+    val buckets = terms.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("_ct"))
+    val totals = buckets.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
+    // ratio = ((ct+1)/(tt+B)) / ((cr+1)/(tr+B)) as ONE division of two
+    // exact BIGINT products (each < 2^53, so the double casts are
+    // exact) — quantized BEFORE the per-doc sum, the §5.3 discipline.
+    val qb = buckets.crossJoin(broadcast(totals))
+      .select(col("_bucket"),
+        floor(((col("_ct") + lit(1L)) * (col("_tr") + lit(nBuckets))).cast("double")
+          / ((col("_cr") + lit(1L)) * (col("_tt") + lit(nBuckets))).cast("double")
+          * lit(1e6) + lit(0.5)).cast("long").as("_qb"))
+    val scored = terms.join(broadcast(qb), Seq("_bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_qb")).as("dsir_q"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_q"), lit(0L)).as("dsir_q"))
+  }
+
+  /** True log-domain DSIR weights (sum of per-token
+    * ln(p_target/p_raw)) — the faithful Xie et al. estimator, for use
+    * inside the engine where cross-engine bit-reproducibility is not
+    * required. Same plan shape as [[hashedImportanceScores]];
+    * spec-asserted against a driver-side brute force with an ulp
+    * tolerance.
+    */
+  def importanceLogWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, bucketHexLen: Int = 2): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 4,
+      s"importanceLogWeights: bucketHexLen must be in [1,4], got $bucketHexLen")
+    val nBuckets = math.pow(16, bucketHexLen).toLong
+    val terms = docs.select(col(idCol), targetPred.as("_is_t"),
+        explode(tokens(lower(col(textCol)))).as("_term"))
+      .select(col(idCol), col("_is_t"),
+        substring(md5(col("_term")), 1, bucketHexLen).as("_bucket"))
+    val buckets = terms.groupBy(col("_bucket"))
+      .agg(count(lit(1)).as("_cr"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("_ct"))
+    val totals = buckets.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
+    val lw = buckets.crossJoin(broadcast(totals))
+      .select(col("_bucket"),
+        log(((col("_ct") + lit(1L)) * (col("_tr") + lit(nBuckets))).cast("double")
+          / ((col("_cr") + lit(1L)) * (col("_tt") + lit(nBuckets))).cast("double"))
+          .as("_lw"))
+    val scored = terms.join(broadcast(lw), Seq("_bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_lw")).as("dsir_logw"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("dsir_logw"), lit(0.0)).as("dsir_logw"))
+  }
+
+  /** Interpolated bigram-LM familiarity score — the next
+    * perplexity-proxy tier above [[unigramLmScores]] (the CCNet/KenLM
+    * discipline with a 2-gram context): fit bigram and unigram
+    * distributions ON the corpus, then score each token position by
+    * `λ·p(w|prev) + (1−λ)·p(w)`; the first token of a document has no
+    * history, so its bigram term is zero and it scores `(1−λ)·p(w)`.
+    * Per-position values are quantized to BIGINT (floor(p·1e9+0.5))
+    * BEFORE the per-doc sum — exact integer arithmetic thereafter, the
+    * §5.3 linear-domain discipline (ln is not portable).
+    *
+    * Scale shape: one explode pass each for unigram and bigram counts
+    * (both vocabulary-bounded aggregates with map-side partials); the
+    * scoring joins are plain equi-joins on the token/pair keys — AQE
+    * picks broadcast when the vocab fits, sort-merge otherwise. Empty
+    * docs score 0 via the left join.
+    */
+  def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda >= 0.0 && lambda <= 1.0,
+      s"bigramLmScores: lambda must be in [0,1], got $lambda")
+    val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("_w"))
+    val n = size(col("_w"))
+    val allTerms = toks.select(col(idCol), explode(col("_w")).as("_term"))
+    val uni = allTerms.groupBy(col("_term")).agg(count(lit(1)).as("_cu"))
+    val tot = uni.agg(sum(col("_cu")).as("_tot"))
+    val pairs = toks.filter(n >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("_w"), lit(1), n - 1), slice(col("_w"), lit(2), n - 1),
+        (p, c) => struct(p.as("p"), c.as("c")))).as("_bg"))
+      .select(col(idCol), col("_bg.p").as("_prev"), col("_bg.c").as("_cur"))
+    val big = pairs.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_cb"))
+    val pre = pairs.groupBy(col("_prev")).agg(count(lit(1)).as("_cp"))
+    val uniAsCur = uni.withColumnRenamed("_term", "_cur")
+    val qBig = pairs
+      .join(big, Seq("_prev", "_cur"))
+      .join(pre, Seq("_prev"))
+      .join(uniAsCur, Seq("_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        floor((lit(lambda) * (col("_cb").cast("double") / col("_cp").cast("double"))
+          + lit(1.0 - lambda) * (col("_cu").cast("double") / col("_tot").cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long").as("_q"))
+    val qFirst = toks.filter(n >= 1)
+      .select(col(idCol), element_at(col("_w"), 1).as("_cur"))
+      .join(uniAsCur, Seq("_cur"))
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        floor(lit(1.0 - lambda) * (col("_cu").cast("double") / col("_tot").cast("double"))
+          * lit(1e9) + lit(0.5)).cast("long").as("_q"))
+    val scored = qBig.unionByName(qFirst)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("_q")).as("lm2_q"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lm2_q"), lit(0L)).as("lm2_q"))
+  }
+
   /** Top adjacent-character-pair counts over the corpus vocabulary —
     * the inner statistic of a BPE training step (Sennrich et al. 2016):
     * the argmax pair is the next merge. Counting runs on the DISTINCT

@@ -110,6 +110,57 @@ class SamplingSpec extends SparkSpec {
     assert(got.select("id").as[Long].collect().toSet == top)
   }
 
+  // driver-side replica of priorityColumn: md5 → first 13 hex → +1 → w/u
+  private def prioRef(key: String, w: Long): Double = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8"))
+    val hex = digest.map(b => f"$b%02x").mkString
+    val u = java.lang.Long.parseLong(hex.substring(0, 13), 16) + 1L
+    w.toDouble / u.toDouble
+  }
+
+  test("prioritySample: top-k by weight/u matches driver-side brute force") {
+    val rows = (0L until 500L).map(i => (i, (i % 7) * 100 + 1))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSeq
+    val expected = rows
+      .map { case (id, w) => (id, prioRef(id.toString, w)) }
+      .sortBy { case (id, p) => (-p, id) }.take(50).map(_._1)
+    assert(got === expected)
+    // deterministic: same call, same set, same order
+    val again = Sampling.prioritySample(df, col("id"), col("w"), k = 50)
+      .select("id").as[Long].collect().toSeq
+    assert(again === got)
+  }
+
+  test("prioritySampleByStratum: per-stratum top-k, ranks dense from 1") {
+    val rows = (0L until 300L).map(i => (i, s"s${i % 3}", i % 11 + 1))
+    val df = rows.toDF("id", "grp", "w")
+    val got = Sampling.prioritySampleByStratum(df, "grp", col("id"), col("w"), k = 5)
+      .select("grp", "prio_rank", "id").as[(String, Long, Long)].collect()
+    assert(got.length === 15)
+    got.groupBy(_._1).foreach { case (g, rs) =>
+      assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"ranks in $g")
+    }
+    // matches the per-stratum brute force
+    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+      rs.map { case (id, _, w) => (g, id, prioRef(id.toString, w)) }
+        .sortBy { case (_, id, p) => (-p, id) }.take(5).map(t => (g, t._2))
+    }.toSet
+    assert(got.map(r => (r._1, r._3)).toSet === expected)
+  }
+
+  test("prioritySample: weight monotonicity — heavier duplicate key wins") {
+    // same key hash, different weight: priority strictly scales with w
+    assert(prioRef("42", 100L) > prioRef("42", 1L))
+    // zero weight never beats a positive weight of the same key
+    val df = Seq((1L, 0L), (2L, 5L)).toDF("id", "w")
+    val got = Sampling.prioritySample(df, col("id"), col("w"), k = 1)
+      .select("id").as[Long].collect()
+    assert(got.toSeq === Seq(2L))
+  }
+
   test("sampling is a scan-stage filter: no shuffle in the plan") {
     val plan = Sampling.stratifiedSample(
       ids.withColumn("grp", lit("a")), "grp", col("id"), Map("a" -> 0.5))

@@ -230,6 +230,44 @@ class RetrievalSpec extends SparkSpec {
     assert(selfRec.toSeq === Seq(1.0))
   }
 
+  test("truncatedCosineTopK matches brute-force prefix cosine; zero norm scores 0") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.5f, -0.25f, 8.0f)),
+      (1L, Array(0.5f, 0.5f, 0.5f, -8.0f)),
+      (2L, Array(-1.0f, 2.0f, 0.125f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 4.0f, 4.0f)),   // zero in the 2-dim prefix
+      (4L, Array(2.0f, 1.0f, 0.0f, 0.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    def quant(a: Array[Float], dims: Int): Array[Long] =
+      a.take(dims).map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    def cosQ(a: Array[Float], b: Array[Float], dims: Int): Long = {
+      val (qa, qb) = (quant(a, dims), quant(b, dims))
+      val dot = qa.zip(qb).map { case (x, y) => x * y }.sum
+      val na = qa.map(x => x * x).sum
+      val nb = qb.map(x => x * x).sum
+      if (na == 0L || nb == 0L) 0L
+      else math.floor(dot.toDouble / math.sqrt(na.toDouble)
+        / math.sqrt(nb.toDouble) * 1e9 + 0.5).toLong
+    }
+    val got = Retrieval.truncatedCosineTopK(df, "embedding", "vec_id",
+      queryIds = Seq(0L, 3L), k = 5, dims = 2)
+      .select("query_id", "vec_id", "cos_tq", "rnk")
+      .as[(Long, Long, Long, Long)].collect()
+    val ref = for (q <- Seq(0L, 3L); (id, v) <- vecs)
+      yield (q, id) -> cosQ(vecs.find(_._1 == q).get._2, v, 2)
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap === ref.toMap)
+    // per-query ranks follow (cos desc, id), query 3 has zero prefix →
+    // every corpus score 0, ranked purely by id
+    val q3 = got.filter(_._1 == 3L).sortBy(_._4)
+    assert(q3.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    assert(q3.forall(_._3 === 0L))
+    // dims = full vector ≡ exact cosine ranking: self is rank 1
+    val full = Retrieval.truncatedCosineTopK(df, "embedding", "vec_id",
+      queryIds = Seq(1L), k = 1, dims = 4)
+      .select("vec_id").as[Long].collect()
+    assert(full.toSeq === Seq(1L))
+  }
+
   test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
     val corpus = Seq((0L, "a a b"), (1L, "b"), (2L, ""))
       .toDF("doc_id", "text")
