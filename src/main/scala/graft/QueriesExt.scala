@@ -1601,13 +1601,32 @@ object PipelinesExt {
   // PCA-whitened 8-dim projection of the embeddings: fit = one
   // mergeable-aggregate job + driver-side Jacobi eigensolve; apply =
   // k codegen'd graft_dot's against literal components, no shuffle.
-  // rows-only: eigenvectors are engine-specific (sign/ulp).
+  // The gate emits the ROTATION-INVARIANT contract, not the raw
+  // projection (eigenvector sign/ulp are engine-specific, and raw
+  // array columns crash the pandas compare harness): the population
+  // covariance of the whitened projections, upper triangle, quantized
+  // at 1e6. Whitening makes it the k×k identity by construction, so
+  // the oracle is the exact identity grid — a hash gate on "the
+  // whitening actually whitened THIS corpus" that is immune to
+  // partial-sum order, Jacobi rotation order, and eigenvector sign.
   def pcaWhiten(s: SparkSession, d: String): DataFrame = {
     val e = t(s, d, "embeddings")
-    val model = ext.Projections.fitPca(e, "embedding", dim = 64, k = 8)
-    ext.Projections.pcaProject(e, "embedding", model, whiten = true)
-      .select(col("vec_id"), col("pca"))
-      .orderBy("vec_id")
+    val k = 8
+    val model = ext.Projections.fitPca(e, "embedding", dim = 64, k = k)
+    val proj = ext.Projections.pcaProject(e, "embedding", model, whiten = true)
+    // cov_ij = E[y_i y_j] − E[y_i]E[y_j]; the mean term is ~1e-26
+    // (projections are centered against the same corpus) but kept so
+    // the emitted statistic IS the covariance, not an approximation.
+    val aggs = for { i <- 0 until k; j <- i until k } yield
+      (avg(col("pca")(i) * col("pca")(j)) -
+        avg(col("pca")(i)) * avg(col("pca")(j))).as(s"c_${i}_$j")
+    val wide = proj.agg(aggs.head, aggs.tail: _*)
+    val cells = for { i <- 0 until k; j <- i until k } yield
+      struct(lit(i).as("i"), lit(j).as("j"),
+        floor(col(s"c_${i}_$j") * lit(1e6) + lit(0.5)).cast("long").as("cov_q"))
+    wide.select(explode(array(cells: _*)).as("p"))
+      .select(col("p.i"), col("p.j"), col("p.cov_q"))
+      .orderBy("i", "j")
   }
 
   // batch 9 — matryoshka retrieval, priority sampling, DSIR scoring,
@@ -2971,10 +2990,21 @@ object OraclesExt {
          |  doc_id, band
          |FROM r ORDER BY step""".stripMargin,
 
-    // q107_pca_whiten: rows-only — eigenvector sign and last-ulp
-    // rotation angles are engine-specific; the projection parity,
-    // orthonormality, and unit-variance contracts are spec-asserted
+    // q107_pca_whiten: the raw projection is engine-specific
+    // (eigenvector sign / last-ulp rotation angles), but the gate
+    // emits the population covariance of the whitened projections —
+    // rotation- and sign-INVARIANT, identity by construction (fit and
+    // gate both use population moments; whitening's eps=1e-12 biases
+    // the diagonal by eps/λ ≲ 1e-10, far inside the 1e6 quantum) — so
+    // the oracle is the exact constant identity grid. Per-row
+    // projection parity / orthonormality are spec-asserted
     // (ProjectionsSpec) against local brute force.
+    "q107_pca_whiten" ->
+      """SELECT CAST(ii.i AS INTEGER) AS i, CAST(jj.j AS INTEGER) AS j,
+        |  CAST(CASE WHEN ii.i = jj.j THEN 1000000 ELSE 0 END AS BIGINT) AS cov_q
+        |FROM (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj
+        |WHERE jj.j >= ii.i
+        |ORDER BY i, j""".stripMargin,
 
     "q105_cust_order_histogram" ->
       """WITH per_cust AS (

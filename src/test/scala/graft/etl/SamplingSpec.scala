@@ -144,7 +144,7 @@ class SamplingSpec extends SparkSpec {
       assert(rs.map(_._2).sorted.toSeq === (1L to 5L), s"ranks in $g")
     }
     // matches the per-stratum brute force
-    val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+    val expected = rows.groupBy(_._2).toSeq.flatMap { case (g, rs) =>
       rs.map { case (id, _, w) => (g, id, prioRef(id.toString, w)) }
         .sortBy { case (_, id, p) => (-p, id) }.take(5).map(t => (g, t._2))
     }.toSet
