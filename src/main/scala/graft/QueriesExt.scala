@@ -296,16 +296,18 @@ object PipelinesExt {
     TextAnalysis.termStats(t(s, d, "documents"), "text", "doc_id")
       .orderBy("doc_id", "term")
 
-  // deterministic hash-bucket train/test split (rows-only: Spark
-  // xxhash64 isn't reproducible in DuckDB). Output: per-side row
-  // counts plus disjointness/coverage invariants the driver can eye.
+  // deterministic train/test split via the md5 bucket labeller
+  // (Sampling.hashSplit) — engine-portable, so the split SET, not
+  // just the per-side sizes, is hash-gated against DuckDB replaying
+  // the same md5-threshold arithmetic (the q98/q103 discipline). The
+  // xxhash64 variant (Splits.hashSplit) keeps its spec coverage; it
+  // trades portability for a cheaper hash.
   def trainTestSplit(s: SparkSession, d: String): DataFrame = {
     val customer = t(s, d, "customer")
-    val (train, test) = graft.etl.Splits.hashSplit(customer, "c_custkey", 80)
-    train.select(lit("train").as("side"), col("c_custkey"))
-      .unionByName(test.select(lit("test").as("side"), col("c_custkey")))
-      .groupBy(col("side")).agg(count(lit(1)).as("n_rows"))
-      .orderBy("side")
+    graft.etl.Sampling.hashSplit(customer, col("c_custkey"),
+      Seq("train" -> 0.8, "test" -> 0.2), labelCol = "side")
+      .select(col("c_custkey"), col("side"))
+      .orderBy("c_custkey")
   }
 
   // S1 — CSV ingest through the real reader path: materialize the
@@ -2157,8 +2159,15 @@ object OraclesExt {
         |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df AS idf_ratio
         |FROM tf t JOIN dfreq d USING (term)
         |ORDER BY doc_id, term""".stripMargin,
-    // q41_train_test_split: rows-only (hash-bucket split uses Spark
-    // xxhash64, not reproducible in DuckDB; invariants spec-tested).
+    // same md5-threshold arithmetic as Sampling.hashSplit: the
+    // 0.8 cut is the first 8 hex digits of 0.8·2³², and an
+    // 8-char-prefix tie compares greater (test side) in both engines
+    "q41_train_test_split" ->
+      """SELECT c_custkey,
+        |  CASE WHEN md5(CAST(c_custkey AS VARCHAR)) <
+        |    printf('%08x', CAST(floor(0.8e0 * 4294967296.0e0) AS BIGINT))
+        |  THEN 'train' ELSE 'test' END AS side
+        |FROM customer ORDER BY c_custkey""".stripMargin,
 
     "q42_percentiles" ->
       """SELECT l_returnflag,
