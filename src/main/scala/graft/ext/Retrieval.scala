@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   *
   * Oracle-portability discipline: `ln` is not bit-reproducible across
   * engines, so the IDF factor is kept as the exact rational
-  * (N - df + 0.5)/(df + 0.5) instead of its log — monotone in the
-  * same direction, so rankings are unchanged. Per-term contributions
-  * are quantized to BIGINT (floor(x·1e6 + 0.5)) BEFORE summing so the
-  * doc score is exact integer arithmetic — order-independent, hence
-  * hash-stable across engines and shuffle schedules (§5.3).
+  * (N - df + 0.5)/(df + 0.5) instead of its log. This is a DEFINED
+  * rank-affecting variant (exact-rational-IDF BM25), not a
+  * rank-preserving transform: dropping the log is monotone per term,
+  * so single-term rankings match Okapi BM25 exactly, but a multi-term
+  * doc score sums per-term contributions AFTER the per-term rescaling,
+  * and a non-linear rescale before a sum can reorder docs relative to
+  * the log-IDF sum. The variant is deterministic and self-consistent;
+  * per-term contributions are quantized to BIGINT (floor(x·1e6 + 0.5))
+  * BEFORE summing so the doc score is exact integer arithmetic —
+  * order-independent, hence hash-stable across engines and shuffle
+  * schedules (§5.3).
   */
 object Retrieval {
 
@@ -246,7 +252,7 @@ object Retrieval {
     import org.apache.spark.sql.expressions.Window
     require(maxCandidates > 0,
       s"rrfFuse: maxCandidates must be > 0, got $maxCandidates")
-    val ranked = rankings.map { case (label, df, ord) =>
+    val cachedLists = rankings.map { case (label, df, ord) =>
       // the small-list contract is ENFORCED, not advisory (the
       // ivfIndexedTopK discipline): a corpus-sized "candidate list"
       // would drive the single-partition rank window below. The list
@@ -262,6 +268,9 @@ object Retrieval {
         s"rrfFuse: ranking '$label' has $n rows, exceeds " +
           s"maxCandidates=$maxCandidates — pre-limit candidate lists with " +
           "TakeOrderedAndProject (bm25TopK/quantizedDotTopK) before fusing")
+      (label, cached, ord)
+    }
+    val ranked = cachedLists.map { case (label, cached, ord) =>
       cached.select(col(idCol),
         row_number().over(Window.orderBy(ord, col(idCol)))
           .cast("long").as(s"${label}_rank"))
@@ -272,10 +281,18 @@ object Retrieval {
         floor(lit(1e9) / (lit(kConst).cast("double") + col(s"${label}_rank"))).cast("long"),
         lit(0L))
     }.reduce(_ + _)
-    joined.select(col(idCol) +:
+    // The fused frame is ≤ topK rows: eagerly pin it (lineage cut +
+    // materialize) so the candidate-list caches can be released NOW
+    // instead of leaking for the life of the returned plan — repeated
+    // fusions in a long-lived session would otherwise accumulate
+    // cached lists until the block store evicts under pressure.
+    val fused = joined.select(col(idCol) +:
         rankings.map { case (label, _, _) => col(s"${label}_rank") } :+
         rrf.as("rrf_q"): _*)
       .orderBy(col("rrf_q").desc, col(idCol))
       .limit(topK)
+      .localCheckpoint()
+    cachedLists.foreach { case (_, cached, _) => cached.unpersist() }
+    fused
   }
 }

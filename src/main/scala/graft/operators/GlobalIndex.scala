@@ -44,9 +44,27 @@ object GlobalIndex {
     * `sortCols`. One range shuffle of the data + one O(#partitions)
     * count job; output preserves the sorted order within and across
     * partitions.
+    *
+    * Caching contract: the sorted intermediate stays persisted for the
+    * life of the returned plan (see object doc — the offsets must
+    * describe the partitioning the final pass walks). One-shot
+    * pipelines can ignore this; a long-lived session issuing many
+    * indexed frames should use [[withGlobalIndexManaged]] and release
+    * each intermediate once the result is consumed, or the cached
+    * sorts accumulate until the block store evicts under pressure.
     */
   def withGlobalIndex(df: DataFrame, sortCols: Seq[Column],
-      outCol: String = "idx"): DataFrame = {
+      outCol: String = "idx"): DataFrame =
+    withGlobalIndexManaged(df, sortCols, outCol)._1
+
+  /** As [[withGlobalIndex]], plus the cached intermediate's release
+    * handle. Call it AFTER the returned frame has been materialized
+    * (written, collected, or checkpointed) — the plan reads the cache
+    * lazily, and an early release would recompute the range sort with
+    * legally different partition boundaries than the offsets describe.
+    */
+  def withGlobalIndexManaged(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "idx"): (DataFrame, () => Unit) = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
@@ -69,7 +87,7 @@ object GlobalIndex {
     val outSchema = StructType(sorted.schema.fields :+
       StructField(outCol, LongType, nullable = false))
     val enc = ExpressionEncoder(RowEncoder.encoderFor(outSchema))
-    sorted.mapPartitions { it =>
+    val indexed = sorted.mapPartitions { it =>
       var i = bc.value(TaskContext.getPartitionId())
       it.map { row =>
         val r = Row.fromSeq(row.toSeq :+ i)
@@ -77,5 +95,6 @@ object GlobalIndex {
         r
       }
     }(enc)
+    (indexed, () => { sorted.unpersist(); () })
   }
 }
