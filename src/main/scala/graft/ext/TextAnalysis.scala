@@ -354,17 +354,47 @@ object TextAnalysis {
     * a hex STRING — no integer parse, portable by construction.
     */
   def hashedImportanceScores(docs: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, bucketHexLen: Int = 2): DataFrame = {
+      targetPred: Column, bucketHexLen: Int = 2): DataFrame =
+    hashedImportanceScoresWithStats(docs, idCol, textCol,
+      dsirBucketCounts(docs, textCol, targetPred, bucketHexLen), bucketHexLen)
+
+  /** Per-bucket hashed-unigram counts — the corpus-model STATE behind
+    * [[hashedImportanceScores]]: raw and target token counts per md5
+    * hex bucket. Both are plain mergeable longs over ≤ 16^bucketHexLen
+    * keys (256 at the default — constant-sized at any corpus scale), so
+    * a streaming maintainer can keep them as a running stateful
+    * aggregate (`StreamingFeatures.maintainDsirBuckets`) and batch
+    * scoring against the maintained state
+    * ([[hashedImportanceScoresWithStats]]) reproduces the batch
+    * operator exactly.
+    */
+  def dsirBucketCounts(docs: DataFrame, textCol: String, targetPred: Column,
+      bucketHexLen: Int = 2): DataFrame = {
     require(bucketHexLen >= 1 && bucketHexLen <= 4,
-      s"hashedImportanceScores: bucketHexLen must be in [1,4], got $bucketHexLen")
-    val nBuckets = math.pow(16, bucketHexLen).toLong
-    val terms = docs.select(col(idCol), targetPred.as("_is_t"),
+      s"dsirBucketCounts: bucketHexLen must be in [1,4], got $bucketHexLen")
+    docs.select(targetPred.as("_is_t"),
         explode(tokens(lower(col(textCol)))).as("_term"))
-      .select(col(idCol), col("_is_t"),
-        substring(md5(col("_term")), 1, bucketHexLen).as("_bucket"))
-    val buckets = terms.groupBy(col("_bucket"))
-      .agg(count(lit(1)).as("_cr"),
-        sum(when(col("_is_t"), 1L).otherwise(0L)).as("_ct"))
+      .select(col("_is_t"),
+        substring(md5(col("_term")), 1, bucketHexLen).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("n_target"))
+  }
+
+  /** [[hashedImportanceScores]] against a PRE-COMPUTED bucket model
+    * (`stats`: bucket / n_raw / n_target, as produced by
+    * [[dsirBucketCounts]] or maintained live by
+    * `StreamingFeatures.maintainDsirBuckets`) — the serving tier:
+    * scoring a batch costs one scan of THAT batch plus the broadcast of
+    * the constant-sized model; the corpus is never re-aggregated.
+    */
+  def hashedImportanceScoresWithStats(docs: DataFrame, idCol: String,
+      textCol: String, stats: DataFrame, bucketHexLen: Int = 2): DataFrame = {
+    require(bucketHexLen >= 1 && bucketHexLen <= 4,
+      s"hashedImportanceScoresWithStats: bucketHexLen must be in [1,4], got $bucketHexLen")
+    val nBuckets = math.pow(16, bucketHexLen).toLong
+    val buckets = stats.select(col("bucket").as("_bucket"),
+      col("n_raw").as("_cr"), col("n_target").as("_ct"))
     val totals = buckets.agg(sum(col("_cr")).as("_tr"), sum(col("_ct")).as("_tt"))
     // ratio = ((ct+1)/(tt+B)) / ((cr+1)/(tr+B)) as ONE division of two
     // exact BIGINT products (each < 2^53, so the double casts are
@@ -374,6 +404,10 @@ object TextAnalysis {
         floor(((col("_ct") + lit(1L)) * (col("_tr") + lit(nBuckets))).cast("double")
           / ((col("_cr") + lit(1L)) * (col("_tt") + lit(nBuckets))).cast("double")
           * lit(1e6) + lit(0.5)).cast("long").as("_qb"))
+    val terms = docs.select(col(idCol),
+        explode(tokens(lower(col(textCol)))).as("_term"))
+      .select(col(idCol),
+        substring(md5(col("_term")), 1, bucketHexLen).as("_bucket"))
     val scored = terms.join(broadcast(qb), Seq("_bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"), sum(col("_qb")).as("dsir_q"))
@@ -436,21 +470,63 @@ object TextAnalysis {
     * docs score 0 via the left join.
     */
   def bigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      lambda: Double = 0.7): DataFrame =
+    bigramLmScoresWithStats(docs, idCol, textCol,
+      termOccurrenceCounts(docs, textCol), bigramPairCounts(docs, textCol),
+      lambda)
+
+  /** Per-term OCCURRENCE counts (`term` / `cnt`) — unlike `termStats`'
+    * document frequency, this counts positions. One half of the
+    * bigram-LM model state: a mergeable long per vocab term, maintained
+    * live by `StreamingFeatures.maintainTermCounts`.
+    */
+  def termOccurrenceCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+
+  /** Adjacent-token pair counts (`prev` / `cur` / `cnt`) — the other
+    * half of the bigram-LM model state (mergeable longs keyed by the
+    * pair; `StreamingFeatures.maintainBigramCounts`). The per-prev
+    * continuation total is DERIVED (sum over cur), so it needs no
+    * separate state table.
+    */
+  def bigramPairCounts(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = docs.select(tokens(lower(col(textCol))).as("_w"))
+    val n = size(col("_w"))
+    toks.filter(n >= 2)
+      .select(explode(zip_with(
+        slice(col("_w"), lit(1), n - 1), slice(col("_w"), lit(2), n - 1),
+        (p, c) => struct(p.as("p"), c.as("c")))).as("_bg"))
+      .select(col("_bg.p").as("prev"), col("_bg.c").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** [[bigramLmScores]] against PRE-COMPUTED model counts
+    * (`termCounts`: term/cnt from [[termOccurrenceCounts]];
+    * `pairCounts`: prev/cur/cnt from [[bigramPairCounts]] — or both
+    * maintained live as streaming state). Scoring a batch costs one
+    * scan of THAT batch plus the vocabulary-bounded model joins; the
+    * corpus is never re-aggregated. Exact parity with the batch
+    * operator: all model quantities are integer counts, and the per-prev
+    * total is recovered exactly as sum(cnt) over the pair counts.
+    */
+  def bigramLmScoresWithStats(docs: DataFrame, idCol: String, textCol: String,
+      termCounts: DataFrame, pairCounts: DataFrame,
       lambda: Double = 0.7): DataFrame = {
     require(lambda >= 0.0 && lambda <= 1.0,
-      s"bigramLmScores: lambda must be in [0,1], got $lambda")
+      s"bigramLmScoresWithStats: lambda must be in [0,1], got $lambda")
     val toks = docs.select(col(idCol), tokens(lower(col(textCol))).as("_w"))
     val n = size(col("_w"))
-    val allTerms = toks.select(col(idCol), explode(col("_w")).as("_term"))
-    val uni = allTerms.groupBy(col("_term")).agg(count(lit(1)).as("_cu"))
+    val uni = termCounts.select(col("term").as("_term"), col("cnt").as("_cu"))
     val tot = uni.agg(sum(col("_cu")).as("_tot"))
     val pairs = toks.filter(n >= 2)
       .select(col(idCol), explode(zip_with(
         slice(col("_w"), lit(1), n - 1), slice(col("_w"), lit(2), n - 1),
         (p, c) => struct(p.as("p"), c.as("c")))).as("_bg"))
       .select(col(idCol), col("_bg.p").as("_prev"), col("_bg.c").as("_cur"))
-    val big = pairs.groupBy(col("_prev"), col("_cur")).agg(count(lit(1)).as("_cb"))
-    val pre = pairs.groupBy(col("_prev")).agg(count(lit(1)).as("_cp"))
+    val big = pairCounts.select(col("prev").as("_prev"), col("cur").as("_cur"),
+      col("cnt").as("_cb"))
+    val pre = big.groupBy(col("_prev")).agg(sum(col("_cb")).as("_cp"))
     val uniAsCur = uni.withColumnRenamed("_term", "_cur")
     val qBig = pairs
       .join(big, Seq("_prev", "_cur"))

@@ -293,6 +293,104 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming DSIR bucket-stats maintenance — the corpus model behind
+    * hashed-unigram importance scoring
+    * (`TextAnalysis.hashedImportanceScores`): per-bucket raw/target
+    * token counts as a running stateful aggregate. State is two
+    * mergeable longs per md5 hex bucket, ≤ 16^bucketHexLen keys (256 at
+    * the default) — CONSTANT-sized at any corpus scale, the cheapest
+    * state in this module. Changed buckets key-merge into the feature
+    * table; batch scoring against the maintained state
+    * (`hashedImportanceScoresWithStats`) reproduces the batch operator
+    * exactly (StreamingFeaturesSpec stream≡batch parity).
+    */
+  def maintainDsirBuckets(
+      docStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      textCol: String,
+      targetPred: org.apache.spark.sql.Column,
+      checkpointDir: String,
+      bucketHexLen: Int = 2): StreamingQuery = {
+    val agg = docStream
+      .select(targetPred.as("_is_t"),
+        explode(graft.ext.TextAnalysis.tokens(lower(col(textCol)))).as("_term"))
+      .select(col("_is_t"),
+        substring(md5(col("_term")), 1, bucketHexLen).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_raw"),
+        sum(when(col("_is_t"), 1L).otherwise(0L)).as("n_target"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming per-term OCCURRENCE counts (positions, not documents —
+    * the unigram half of the bigram-LM model,
+    * `TextAnalysis.termOccurrenceCounts`): one running long per vocab
+    * term, update mode emits changed terms only.
+    */
+  def maintainTermCounts(
+      docStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      textCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val agg = docStream
+      .select(explode(
+        graft.ext.TextAnalysis.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Streaming adjacent-token pair counts (the bigram half of the
+    * bigram-LM model, `TextAnalysis.bigramPairCounts`): a running long
+    * keyed by (prev, cur). Pairs never cross document boundaries, so
+    * each micro-batch's contribution is self-contained and the counts
+    * are exactly mergeable; the per-prev continuation total is DERIVED
+    * at scoring time (sum over cur), needing no second state table.
+    * Batch scoring against both maintained tables
+    * (`bigramLmScoresWithStats`) reproduces the batch operator exactly
+    * (StreamingFeaturesSpec stream≡batch parity).
+    */
+  def maintainBigramCounts(
+      docStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      textCol: String,
+      checkpointDir: String): StreamingQuery = {
+    val toks = graft.ext.TextAnalysis.tokens(lower(col(textCol)))
+    val agg = docStream
+      .select(toks.as("_w"))
+      .filter(size(col("_w")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_w"), lit(1), size(col("_w")) - 1),
+        slice(col("_w"), lit(2), size(col("_w")) - 1),
+        (p, c) => struct(p.as("p"), c.as("c")))).as("_bg"))
+      .select(col("_bg.p").as("prev"), col("_bg.c").as("cur"))
+      .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Exactly-once event dedup for at-least-once sources: state-backed
     * `dropDuplicates` on the event id, bounded by the watermark (state
     * for ids older than the delay is evicted — the standard streaming

@@ -212,6 +212,108 @@ class TextAnalysisSpec extends SparkSpec {
     val all = TextAnalysis.pruneTopWords(docs, 10).orderBy("doc_id").collect()
     assert(all.map(_.getString(1)).toSeq == Seq("", ""))
   }
+
+  // --- DSIR importance + bigram-LM brute-force references -----------
+
+  private def md5Hex(s: String): String = java.security.MessageDigest
+    .getInstance("MD5").digest(s.getBytes("UTF-8"))
+    .map("%02x".format(_)).mkString
+
+  private val dsirDocs = Seq(
+    (1L, "the cat sat", true),       // target
+    (2L, "the dog ran far", true),   // target
+    (3L, "el gato corre", false),
+    (4L, "", false),                 // empty → 0 tokens, score 0
+    (5L, "the the the", false))
+
+  test("hashedImportanceScores equals a driver-side brute force") {
+    val df = dsirDocs.toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.hashedImportanceScores(df, "doc_id", "text",
+      col("is_t"), bucketHexLen = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    // brute force, mirroring the §5.3 quantization exactly
+    val toks = dsirDocs.map { case (id, t, isT) =>
+      (id, t.trim.toLowerCase match {
+        case "" => Seq.empty[String]
+        case s  => s.split("\\s+").toSeq
+      }, isT)
+    }
+    val bucketOf = (w: String) => md5Hex(w).take(2)
+    val cr = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, ws, isT) <- toks; w <- ws) {
+      cr(bucketOf(w)) += 1; if (isT) ct(bucketOf(w)) += 1
+    }
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val b = 256L
+    def qb(bk: String): Long =
+      math.floor(((ct(bk) + 1L) * (tr + b)).toDouble /
+        ((cr(bk) + 1L) * (tt + b)).toDouble * 1e6 + 0.5).toLong
+    val expected = toks.map { case (id, ws, _) =>
+      (id, ws.size.toLong, ws.map(w => qb(bucketOf(w))).sum)
+    }.sortBy(_._1)
+    assert(got === expected)
+  }
+
+  test("importanceLogWeights equals a driver-side brute force (ulp tolerance)") {
+    val df = dsirDocs.toDF("doc_id", "text", "is_t")
+    val got = TextAnalysis.importanceLogWeights(df, "doc_id", "text",
+      col("is_t"), bucketHexLen = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    val toks = dsirDocs.map { case (id, t, isT) =>
+      (id, t.trim.toLowerCase match {
+        case "" => Seq.empty[String]
+        case s  => s.split("\\s+").toSeq
+      }, isT)
+    }
+    val bucketOf = (w: String) => md5Hex(w).take(2)
+    val cr = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val ct = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((_, ws, isT) <- toks; w <- ws) {
+      cr(bucketOf(w)) += 1; if (isT) ct(bucketOf(w)) += 1
+    }
+    val (tr, tt) = (cr.values.sum, ct.values.sum)
+    val b = 256L
+    def lw(bk: String): Double =
+      math.log(((ct(bk) + 1L) * (tr + b)).toDouble /
+        ((cr(bk) + 1L) * (tt + b)).toDouble)
+    for (((id, n, w), (eid, ews, _)) <- got.zip(toks.sortBy(_._1))) {
+      assert(id == eid && n == ews.size.toLong)
+      val ew = ews.map(x => lw(bucketOf(x))).sum
+      assert(math.abs(w - ew) <= 1e-9 * math.max(1.0, math.abs(ew)),
+        s"doc $id: $w != $ew")
+    }
+    // target docs score higher than the off-target doc
+    val byId = got.map(r => r._1 -> r._3).toMap
+    assert(byId(1L) / 3 > byId(3L) / 3)
+  }
+
+  test("bigramLmScores: hand-computed interpolation incl. first-token backoff") {
+    // corpus: "a b" x2, "a c", "z" (single token), "" (empty)
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"), (5L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScores(docs, "doc_id", "text", lambda = 0.7)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // unigram: a→3, b→2, c→1, z→1, tot=7; bigram: (a,b)→2, (a,c)→1; cp(a)=3
+    // mirror the engine's IEEE arithmetic exactly: 1.0−0.7 ≠ 0.3
+    val lam = 0.7; val om = 1.0 - lam
+    def q(p: Double): Long = math.floor(p * 1e9 + 0.5).toLong
+    val first = (w: Long) => q(om * (w.toDouble / 7.0))  // (1−λ)·p(w)
+    val bg = (cb: Long, cp: Long, cu: Long) =>
+      q(lam * (cb.toDouble / cp.toDouble) + om * (cu.toDouble / 7.0))
+    val expected = Seq(
+      (1L, 2L, first(3) + bg(2, 3, 2)),   // "a" + "b|a"
+      (2L, 2L, first(3) + bg(2, 3, 2)),
+      (3L, 2L, first(3) + bg(1, 3, 1)),   // "a" + "c|a"
+      (4L, 1L, first(1)),                 // single token: backoff only
+      (5L, 0L, 0L))                       // empty: left-join zero
+    assert(got === expected)
+  }
 }
 
 class SemanticDedupSpec extends SparkSpec {

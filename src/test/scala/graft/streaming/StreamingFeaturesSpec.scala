@@ -457,4 +457,93 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(bad.filter(col("violations").contains("in_range(value,0.0,100.0)")).count()
       == staged.filter(rangeBad).count())
   }
+
+  test("maintained DSIR buckets: state-derived scores equal batch across micro-batches") {
+    import graft.ext.TextAnalysis
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text", "lang")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-dsir-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("dsir_buckets", Seq("bucket"),
+      StructType(Seq(StructField("bucket", StringType),
+        StructField("n_raw", LongType), StructField("n_target", LongType)))))
+    val ckpt = Files.createTempDirectory("graft-dsir-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val pred = col("lang") === "en"
+
+    assert(StreamingFeatures.maintainDsirBuckets(stream, store, "dsir_buckets",
+      "text", pred, ckpt).awaitTermination(120000), "first run timed out")
+    // mid-stream state equals the batch bucket counts over batch 1
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(buckets(store.readTable("dsir_buckets")) ===
+      buckets(TextAnalysis.dsirBucketCounts(first, "text", pred)))
+
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainDsirBuckets(stream, store, "dsir_buckets",
+      "text", pred, ckpt).awaitTermination(120000), "second run timed out")
+
+    // scoring the full corpus against the MAINTAINED model == batch op
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val fromState = TextAnalysis.hashedImportanceScoresWithStats(
+      docs, "doc_id", "text", store.readTable("dsir_buckets"))
+    val batch = TextAnalysis.hashedImportanceScores(docs, "doc_id", "text", pred)
+    assert(scores(fromState) === scores(batch),
+      "state-derived DSIR scores != batch scores over the same corpus")
+  }
+
+  test("maintained bigram-LM counts: state-derived scores equal batch across micro-batches") {
+    import graft.ext.TextAnalysis
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "text")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-lm2-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("term_counts", Seq("term"), StructType(
+      Seq(StructField("term", StringType), StructField("cnt", LongType)))))
+    store.createTable(FeatureTableSpec("bigram_counts", Seq("prev", "cur"),
+      StructType(Seq(StructField("prev", StringType),
+        StructField("cur", StringType), StructField("cnt", LongType)))))
+    val ck1 = Files.createTempDirectory("graft-lm2-ck1-").toString
+    val ck2 = Files.createTempDirectory("graft-lm2-ck2-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    assert(StreamingFeatures.maintainTermCounts(stream, store, "term_counts",
+      "text", ck1).awaitTermination(120000))
+    assert(StreamingFeatures.maintainBigramCounts(stream, store,
+      "bigram_counts", "text", ck2).awaitTermination(120000))
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainTermCounts(stream, store, "term_counts",
+      "text", ck1).awaitTermination(120000))
+    assert(StreamingFeatures.maintainBigramCounts(stream, store,
+      "bigram_counts", "text", ck2).awaitTermination(120000))
+
+    // the running pair counts merged exactly (spot-check vs batch)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(pairs(store.readTable("bigram_counts")) ===
+      pairs(TextAnalysis.bigramPairCounts(docs, "text")))
+
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val fromState = TextAnalysis.bigramLmScoresWithStats(docs, "doc_id",
+      "text", store.readTable("term_counts"), store.readTable("bigram_counts"))
+    val batch = TextAnalysis.bigramLmScores(docs, "doc_id", "text")
+    assert(scores(fromState) === scores(batch),
+      "state-derived bigram-LM scores != batch scores over the same corpus")
+  }
 }
