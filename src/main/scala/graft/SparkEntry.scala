@@ -162,6 +162,9 @@ object SparkEntry {
     "q128_dsir_scores" -> ((s, d) => PipelinesExt.dsirScores(s, d)),
     "q129_bigram_lm" -> ((s, d) => PipelinesExt.bigramLm(s, d)),
     "q130_pagerank_dups" -> ((s, d) => PipelinesExt.pageRankDups(s, d)),
+    // batch 10 — distributed k-means, graph triangles, hashed
+    // classifier scoring, nearest as-of join
+    "q131_kmeans_clusters" -> ((s, d) => PipelinesExt.kmeansClusters(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [extension] Distributed corpus clustering (SURVEY.md §7.6; no
+  * reference citation — the reference has no clustering ops).
+  *
+  * Unlike the bounded-sample Lloyd fits used by the ANN quantizers
+  * (`Similarity.fitCentroids`, `Pq` codebooks — the faiss discipline:
+  * fit locally on a sample, fold back as literals), this is the
+  * DISTRIBUTED Lloyd iteration for when the cluster LABELS of the whole
+  * corpus are the product (topic bucketing, SemDeDup cells, curriculum
+  * strata): assignment and centroid sums run as Spark jobs over every
+  * row; only the k×d centroid table (bounded metadata, the sanctioned
+  * collect) round-trips the driver per iteration.
+  *
+  * All arithmetic is INTEGER-exact and engine-portable (§5.3): inputs
+  * quantize to BIGINT at `scale`, squared-L2 distances are exact
+  * integer values (computed as ‖v‖²−2v·c+‖c‖² in doubles — every
+  * intermediate is an integer < 2^53, so the doubles are exact), and
+  * the centroid update is the floor-mean floor(sum/count) (sum < 2^53,
+  * count ≤ n ⇒ the double division rounds to ≥ 1/n from any integer,
+  * far above ulp — floor is unambiguous). A DuckDB oracle can replay
+  * the whole recurrence hash-for-hash (q131).
+  *
+  * Scale shape: per iteration, the assignment is k codegen'd
+  * `graft_dot`s against LITERAL centroids inside the scan projection
+  * (the q35 IVF discipline — no join, no ML-vector conversion), and the
+  * centroid update is one posexplode + (cid, dim) hash aggregate whose
+  * map-side partials collapse the shuffle to k·d·partitions rows. Ties
+  * break to the lowest centroid id; an emptied cluster keeps its
+  * previous centroid (both mirrored in the oracle).
+  */
+object Clustering {
+
+  /** Cluster assignment after `iterations` distributed Lloyd rounds
+    * from deterministic seeds (the k smallest ids, cid in id order).
+    * Output: (idCol, cid, dist_q) — dist_q the exact integer squared
+    * L2 distance to the winning centroid in quantized units.
+    */
+  def kmeansAssignQuantized(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int, scale: Double = 1e6): DataFrame = {
+    require(k >= 1, s"kmeansAssignQuantized: k must be >= 1, got $k")
+    require(iterations >= 0,
+      s"kmeansAssignQuantized: iterations must be >= 0, got $iterations")
+    val qv = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * lit(scale) + lit(0.5)).cast("long"))
+    val base = df.select(col(idCol).as("_id"), qv.as("_qv"))
+
+    // deterministic seeds: quantized vectors of the k smallest ids
+    var cents: Array[Array[Long]] = base.orderBy(col("_id")).limit(k)
+      .collect().map(_.getSeq[Long](1).toArray)
+    require(cents.length == k,
+      s"kmeansAssignQuantized: corpus has ${cents.length} rows < k=$k")
+
+    // k exact squared distances as codegen'd expressions against
+    // literal centroids; ‖v‖² is shared across all k.
+    def assigned(c: Array[Array[Long]]): DataFrame = {
+      val vNorm = Similarity.dot(col("_qv").cast("array<double>"),
+        col("_qv").cast("array<double>"))
+      val dists = c.map { cArr =>
+        val cd = cArr.map(_.toDouble)
+        lit(cd.map(x => x * x).sum) - lit(2.0) *
+          Similarity.dot(col("_qv").cast("array<double>"), typedLit(cd.toSeq))
+      }
+      val minPart = if (k == 1) dists.head else least(dists.toSeq: _*)
+      val cid = if (k == 1) lit(0)
+        else coalesce(dists.zipWithIndex.map { case (dc, i) =>
+          when(dc === minPart, lit(i))
+        }.toSeq: _*)
+      base.select(col("_id"), col("_qv"), cid.as("_cid"),
+        (minPart + vNorm).cast("long").as("_dist"))
+    }
+
+    for (_ <- 1 to iterations) {
+      val sums = assigned(cents)
+        .select(col("_cid"), posexplode(col("_qv")).as(Seq("_pos", "_v")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(sum(col("_v")).as("_s"), count(lit(1)).as("_n"))
+        .select(col("_cid"), col("_pos"),
+          floor(col("_s").cast("double") / col("_n").cast("double"))
+            .cast("long").as("_m"))
+        .collect()
+      val next = cents.map(_.clone()) // emptied cluster keeps its centroid
+      sums.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getLong(2)
+      }
+      cents = next
+    }
+
+    assigned(cents).select(col("_id").as(idCol), col("_cid").as("cid"),
+      col("_dist").as("dist_q"))
+  }
+}
