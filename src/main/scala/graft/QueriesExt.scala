@@ -1695,6 +1695,16 @@ object PipelinesExt {
     ext.Clustering.kmeansAssignQuantized(t(s, d, "embeddings"),
       "embedding", "vec_id", k = 8, iterations = 2)
       .orderBy("vec_id")
+
+  // Per-node triangle counts + degree over the near-dup similarity
+  // graph (the q97/q130 edge set) — the local-clustering-coefficient
+  // statistic separating knit dup cliques from one-template stars.
+  def triangleStats(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Components.triangleCounts(pairs).orderBy("node")
+  }
 }
 
 object OraclesExt {
@@ -3240,5 +3250,30 @@ object OraclesExt {
          |SELECT vec_id, cid, dist AS dist_q FROM a3 WHERE rk = 1
          |ORDER BY vec_id""".stripMargin
     },
+
+    // q132: ground truth by the naive canonical triple join a<b<c —
+    // each triangle appears once; per-node counts unnest the three
+    // corners. The engine's degree-ordered orientation must agree
+    // exactly.
+    "q132_triangle_stats" ->
+      s"""WITH $dupEdgesCtesSql,
+         |ce AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |deg AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS deg
+         |  FROM (SELECT a AS n FROM ce UNION ALL SELECT b AS n FROM ce)
+         |  GROUP BY n),
+         |tri AS (
+         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
+         |    JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tn AS (
+         |  SELECT n, CAST(count(*) AS BIGINT) AS triangles
+         |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
+         |        UNION ALL SELECT z AS n FROM tri)
+         |  GROUP BY n)
+         |SELECT deg.n AS node, deg.deg,
+         |  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles
+         |FROM deg LEFT JOIN tn ON tn.n = deg.n
+         |ORDER BY node""".stripMargin,
   )
 }

@@ -165,6 +165,7 @@ object SparkEntry {
     // batch 10 — distributed k-means, graph triangles, hashed
     // classifier scoring, nearest as-of join
     "q131_kmeans_clusters" -> ((s, d) => PipelinesExt.kmeansClusters(s, d)),
+    "q132_triangle_stats" -> ((s, d) => PipelinesExt.triangleStats(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -89,4 +89,53 @@ class ComponentsSpec extends SparkSpec {
     // still dropped (cluster semantics, not pairwise survivor rules)
     assert(expectDropped.forall(d => !retained.contains(d)))
   }
+
+  /** Reference per-node triangle counts by brute-force triple scan. */
+  private def bruteTriangles(edges: Seq[(Long, Long)])
+      : Map[Long, (Long, Long)] = {
+    val e = edges.filter(p => p._1 != p._2)
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val nodes = e.flatMap(p => Seq(p._1, p._2)).toSeq.sorted
+    val deg = nodes.map(n => n -> e.count(p => p._1 == n || p._2 == n).toLong).toMap
+    val tri = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if e((a, b)) && e((b, c)) && e((a, c))
+      n <- Seq(a, b, c)
+    } tri(n) += 1
+    nodes.map(n => n -> (deg(n), tri(n))).toMap
+  }
+
+  private def runTriangles(edges: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+    Components.triangleCounts(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("triangleCounts equals brute force on clique + star + cycle") {
+    // K4 on 1-4 (4 triangles, 3 per node), star at 10, square 20-23
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (10L, 13L),
+      (20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    val got = runTriangles(edges)
+    assert(got === bruteTriangles(edges))
+    assert(got(1L) === (3L, 3L))   // K4 corner
+    assert(got(10L) === (3L, 0L))  // star hub: same degree, no triangles
+    assert(got(20L) === (2L, 0L))  // cycle: no triangles
+  }
+
+  test("triangleCounts: dirty input (dups, reversed, self-loops) canonicalizes") {
+    val dirty = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L))
+    val got = runTriangles(dirty)
+    assert(got === bruteTriangles(dirty))
+    assert(got(1L) === (2L, 1L) && got(2L) === (2L, 1L) && got(3L) === (2L, 1L))
+  }
+
+  test("triangleCounts: overlapping triangles accumulate per node") {
+    // two triangles sharing edge (1,2): node 1 and 2 in both
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (2L, 4L))
+    val got = runTriangles(edges)
+    assert(got === bruteTriangles(edges))
+    assert(got(1L)._2 == 2 && got(2L)._2 == 2 && got(3L)._2 == 1 && got(4L)._2 == 1)
+  }
 }
