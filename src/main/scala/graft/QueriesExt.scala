@@ -1705,6 +1705,36 @@ object PipelinesExt {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     Components.triangleCounts(pairs).orderBy("node")
   }
+
+  // FastText-shape hashed linear classifier pass over every document:
+  // unigram+bigram features hash straight to integer weights, the
+  // logit sums in the scan projection — the zero-shuffle quality-
+  // classifier serving shape.
+  def classifierScore(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  // Nearest as-of join: each purchase snaps to the temporally CLOSEST
+  // daily aggregate (either direction; ties backward) — the sensor-
+  // alignment completion of q33 (backward) / q57 (forward). The
+  // matched day rides out as a column so the gate pins WHICH version
+  // won, not just its payload.
+  def pitNearest(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    fs.PointInTime.asOfJoinNearest(spine, daily, Seq("user_id"),
+      spineTs = "ts", featTs = "day_ts",
+      featureCols = Seq("day_events", "day_ts"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"),
+        unix_micros(col("day_ts").cast("timestamp")).as("matched_us"))
+      .orderBy("event_id")
+  }
 }
 
 object OraclesExt {
@@ -3275,5 +3305,55 @@ object OraclesExt {
          |  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles
          |FROM deg LEFT JOIN tn ON tn.n = deg.n
          |ORDER BY node""".stripMargin,
+
+    // q133: replay the md5 13-hex-digit weight projection (the q127
+    // list_reduce idiom) over unigram + space-joined-bigram features
+    "q133_classifier_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id,
+        |    list_concat(toks,
+        |      CASE WHEN len(toks) < 2 THEN []
+        |           ELSE list_transform(range(1, len(toks)),
+        |             i -> toks[i] || ' ' || toks[i + 1]) END) AS feats
+        |  FROM d),
+        |x AS (SELECT doc_id, unnest(feats) AS g FROM f),
+        |w AS (SELECT doc_id,
+        |    (list_reduce(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(g), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % 2001) - 1000 AS wt
+        |  FROM x),
+        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |    CAST(sum(wt) AS BIGINT) AS logit_q
+        |  FROM w GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(s.logit_q, 0) AS BIGINT) AS logit_q
+        |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // q134: naive nearest-candidate formulation — rank every same-user
+    // daily row by |ts − day_ts| with the earlier day winning ties
+    // (the engine's backward preference); two formulations cross-check
+    "q134_pit_nearest" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'),
+        |cand AS (
+        |  SELECT s.event_id, d.day_events, epoch_us(d.day_ts) AS matched_us,
+        |    row_number() OVER (PARTITION BY s.event_id
+        |      ORDER BY abs(epoch_us(s.ts) - epoch_us(d.day_ts)), d.day_ts) AS rk
+        |  FROM spine s JOIN daily d ON s.user_id = d.user_id)
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  c.day_events, c.matched_us
+        |FROM spine s LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
+        |  ON c.event_id = s.event_id
+        |ORDER BY s.event_id""".stripMargin,
   )
 }

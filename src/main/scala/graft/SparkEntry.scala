@@ -166,6 +166,8 @@ object SparkEntry {
     // classifier scoring, nearest as-of join
     "q131_kmeans_clusters" -> ((s, d) => PipelinesExt.kmeansClusters(s, d)),
     "q132_triangle_stats" -> ((s, d) => PipelinesExt.triangleStats(s, d)),
+    "q133_classifier_score" -> ((s, d) => PipelinesExt.classifierScore(s, d)),
+    "q134_pit_nearest" -> ((s, d) => PipelinesExt.pitNearest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

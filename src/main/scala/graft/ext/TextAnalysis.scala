@@ -501,6 +501,38 @@ object TextAnalysis {
       .groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("cnt"))
   }
 
+  /** FastText-style hashed linear text scorer — the quality-classifier
+    * SERVING shape (Joulin et al. 2016 / the CCNet quality filter):
+    * features are unigrams + word bigrams, each hashed DIRECTLY to its
+    * weight — no vocabulary table to build, broadcast, or join — and
+    * the document logit is the feature-weight sum, all computed inside
+    * the scan projection: zero shuffles at any corpus size, the
+    * cheapest possible classifier pass over 100 TB.
+    *
+    * Weights are a deterministic md5 projection onto integers in
+    * [−1000, 1000] — a stand-in for learned weights (a trained model
+    * drops in by replacing the weight expression with a
+    * bucket-indexed literal array); the point under test is the
+    * hashed-feature serving shape. Integer weights keep the logit an
+    * exact BIGINT, portable through the DuckDB oracle (q133).
+    */
+  def hashedLinearScore(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val toks = coalesce(tokens(lower(col(textCol))),
+      array().cast("array<string>"))
+    val n = size(toks)
+    val bigrams = when(n < 2, array().cast("array<string>"))
+      .otherwise(zip_with(
+        slice(toks, lit(1), n - 1), slice(toks, lit(2), n - 1),
+        (p, c) => concat_ws(" ", p, c)))
+    val feats = concat(toks, bigrams)
+    def weight(g: Column): Column =
+      conv(substring(md5(g), 1, 13), 16, 10).cast("long") % lit(2001L) -
+        lit(1000L)
+    docs.select(col(idCol), size(feats).cast("long").as("n_feats"),
+      aggregate(feats, lit(0L), (acc, g) => acc + weight(g)).as("logit_q"))
+  }
+
   /** [[bigramLmScores]] against PRE-COMPUTED model counts
     * (`termCounts`: term/cnt from [[termOccurrenceCounts]];
     * `pairCounts`: prev/cur/cnt from [[bigramPairCounts]] — or both

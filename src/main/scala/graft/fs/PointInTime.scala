@@ -62,6 +62,74 @@ object PointInTime {
       featureCols: Seq[String]): DataFrame =
     asOfImpl(spine, features, keys, spineTs, featTs, featureCols, backward = false)
 
+  /** Nearest as-of join: for each spine row, the feature row whose ts
+    * is CLOSEST to the spine ts in either direction — equal distance
+    * resolves backward (the stale-but-seen value, never the future
+    * one). Sensor alignment / "snap each probe to the nearest
+    * snapshot" semantics, completing the backward/forward pair.
+    *
+    * Same one-shuffle construction as [[asOfJoin]], but BOTH candidates
+    * come out of a single union + single window partition: the
+    * backward candidate is `last(feature row)` over the preceding
+    * frame, the forward candidate `first(feature row)` over the
+    * following frame — one Exchange, one sort, two frame scans; no
+    * second join, no spine-row id bookkeeping. The matched feature ts
+    * rides inside the candidate struct, so distance comparison works
+    * for numeric and timestamp ts alike (timestamp differences compare
+    * as intervals). A feature at exactly the spine ts sorts into the
+    * preceding frame (origin 0 < 1) and wins at distance zero.
+    */
+  def asOfJoinNearest(
+      spine: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      spineTs: String,
+      featTs: String,
+      featureCols: Seq[String]): DataFrame = {
+    val spineCols = spine.columns.toSeq
+    val probes = spine
+      .withColumn("_ts", col(spineTs))
+      .withColumn("_origin", lit(1))
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c => col(c).as(s"_s_$c")) ++
+        featureCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"_f_$c")): _*)
+    val feats = features
+      .withColumn("_ts", col(featTs))
+      .withColumn("_origin", lit(0))
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c =>
+          lit(null).cast(spine.schema(c).dataType).as(s"_s_$c")) ++
+        featureCols.map(c => col(s"$c").as(s"_f_$c")): _*)
+
+    val part = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts").asc, col("_origin").asc)
+    val wBack = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wFwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val featRow = when(col("_origin") === 0,
+      struct((col("_ts").as("_ft") +:
+        featureCols.map(c => col(s"_f_$c").as(c))): _*))
+
+    val back = last(featRow, ignoreNulls = true).over(wBack)
+    val fwd = first(featRow, ignoreNulls = true).over(wFwd)
+    val chosen = when(col("_b").isNull, col("_w"))
+      .when(col("_w").isNull, col("_b"))
+      .when(col("_ts") - col("_b").getField("_ft") <=
+        col("_w").getField("_ft") - col("_ts"), col("_b"))
+      .otherwise(col("_w"))
+
+    probes.unionByName(feats)
+      .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
+        spineCols.filterNot(keys.contains).map(c => col(s"_s_$c")) :+
+        back.as("_b") :+ fwd.as("_w"): _*)
+      .filter(col("_origin") === 1)
+      .withColumn("_n", chosen)
+      .select(keys.map(col) ++
+        Seq(col("_ts").as(spineTs)) ++
+        spineCols.filterNot(c => keys.contains(c) || c == spineTs)
+          .map(c => col(s"_s_$c").as(c)) ++
+        featureCols.map(c => col("_n").getField(c).as(c)): _*)
+  }
+
   private def asOfImpl(
       spine: DataFrame,
       features: DataFrame,

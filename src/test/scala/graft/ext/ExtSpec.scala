@@ -292,6 +292,31 @@ class TextAnalysisSpec extends SparkSpec {
     assert(byId(1L) / 3 > byId(3L) / 3)
   }
 
+  test("hashedLinearScore equals brute force; degenerate docs score 0; no shuffle") {
+    val docs = Seq((1L, "The quick Brown fox"), (2L, "solo"), (3L, ""),
+      (4L, "a b a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.hashedLinearScore(docs, "doc_id", "text")
+    val rows = got.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+
+    def wt(g: String): Long =
+      (java.lang.Long.parseLong(md5Hex(g).take(13), 16) % 2001L) - 1000L
+    def feats(t: String): Seq[String] = {
+      val ws = t.trim.toLowerCase match {
+        case "" => Seq.empty[String]; case s => s.split("\\s+").toSeq
+      }
+      ws ++ ws.zip(ws.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val expected = Seq((1L, "The quick Brown fox"), (2L, "solo"), (3L, ""),
+      (4L, "a b a b")).map { case (id, t) =>
+      (id, feats(t).size.toLong, feats(t).map(wt).sum)
+    }
+    assert(rows === expected)
+    // pure scan projection: no exchange anywhere in the plan
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+  }
+
   test("bigramLmScores: hand-computed interpolation incl. first-token backoff") {
     // corpus: "a b" x2, "a c", "z" (single token), "" (empty)
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"), (5L, ""))

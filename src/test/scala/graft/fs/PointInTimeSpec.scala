@@ -115,4 +115,49 @@ class PointInTimeSpec extends SparkSpec {
     assert(got.columns.toSeq == Seq("user_id", "sts", "label", "v"))
     assert(got.collect().toSeq == Seq(Row(1L, ts("2024-01-01 12:00:00"), true, 1.0)))
   }
+
+  test("asOfJoinNearest: closest version either direction, ties backward") {
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 30.0),
+      (2L, ts("2024-01-02 00:00:00"), 99.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq(
+      (100L, 1L, ts("2024-01-01 06:00:00")),  // 6h back vs 42h fwd → 10.0
+      (101L, 1L, ts("2024-01-02 18:00:00")),  // 42h back vs 6h fwd → 30.0
+      (102L, 1L, ts("2024-01-02 00:00:00")),  // 24h both → tie → backward 10.0
+      (103L, 1L, ts("2024-01-03 00:00:00")),  // exact hit → 30.0
+      (104L, 2L, ts("2023-12-01 00:00:00")),  // only a future version → 99.0
+      (105L, 1L, ts("2024-01-09 00:00:00")),  // only past versions → 30.0
+      (106L, 3L, ts("2024-01-05 00:00:00")))  // unknown key → NULL
+      .toDF("event_id", "user_id", "sts")
+
+    val got = PointInTime.asOfJoinNearest(spine, features,
+      keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+      featureCols = Seq("score"))
+      .orderBy("event_id")
+      .select("event_id", "user_id", "score")
+      .collect().toSeq
+
+    assert(got == Seq(
+      Row(100L, 1L, 10.0),
+      Row(101L, 1L, 30.0),
+      Row(102L, 1L, 10.0),
+      Row(103L, 1L, 30.0),
+      Row(104L, 2L, 99.0),
+      Row(105L, 1L, 30.0),
+      Row(106L, 3L, null)))
+  }
+
+  test("asOfJoinNearest: one Exchange — both directions share the window sort") {
+    val features = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq((7L, 1L, ts("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "sts")
+    val plan = PointInTime.asOfJoinNearest(spine, features, Seq("user_id"),
+      "sts", "fts", Seq("score")).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 shuffle, got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+  }
 }
