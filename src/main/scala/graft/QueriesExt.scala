@@ -1735,6 +1735,15 @@ object PipelinesExt {
         unix_micros(col("day_ts").cast("timestamp")).as("matched_us"))
       .orderBy("event_id")
   }
+
+  // Recency-weighted per-user event value: each event contributes
+  // value·2^(−age_days) anchored at the newest event — exact power-of-
+  // two fixed-point decay, the time-aware upgrade of the reference's
+  // lifetime order sums.
+  def decayedFeatures(s: SparkSession, d: String): DataFrame =
+    graft.operators.Decay.decayedSumQuantized(t(s, d, "events"),
+      "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 1)
+      .orderBy("user_id")
 }
 
 object OraclesExt {
@@ -3355,5 +3364,26 @@ object OraclesExt {
         |FROM spine s LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
         |  ON c.event_id = s.event_id
         |ORDER BY s.event_id""".stripMargin,
+
+    // q135: replay the fixed-point power-of-two decay — exact-divisible
+    // integer division for the day age, bit-shift weights, BIGINT sums
+    "q135_decayed_features" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |r AS (SELECT max(us) AS ref FROM e),
+        |a AS (
+        |  SELECT user_id, vq,
+        |    CAST((ref - us - ((ref - us) % 86400000000))
+        |      / 86400000000 AS BIGINT) AS age
+        |  FROM e CROSS JOIN r),
+        |w AS (
+        |  SELECT user_id,
+        |    vq * (CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER)) AS wv
+        |  FROM a WHERE age < 30)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(wv) AS BIGINT) AS decayed_q
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

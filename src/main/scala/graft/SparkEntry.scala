@@ -168,6 +168,7 @@ object SparkEntry {
     "q132_triangle_stats" -> ((s, d) => PipelinesExt.triangleStats(s, d)),
     "q133_classifier_score" -> ((s, d) => PipelinesExt.classifierScore(s, d)),
     "q134_pit_nearest" -> ((s, d) => PipelinesExt.pitNearest(s, d)),
+    "q135_decayed_features" -> ((s, d) => PipelinesExt.decayedFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
