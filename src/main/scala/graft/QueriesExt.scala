@@ -1744,6 +1744,18 @@ object PipelinesExt {
     graft.operators.Decay.decayedSumQuantized(t(s, d, "events"),
       "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 1)
       .orderBy("user_id")
+
+  // Per-flag winsorized prices: clamp l_extendedprice into its return-
+  // flag's exact [p05, p95] band — outlier treatment that keeps rows;
+  // the q42 percentile-parity contract carries the oracle.
+  def winsorizedPrices(s: SparkSession, d: String): DataFrame =
+    graft.etl.Encoders.winsorize(
+        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        "l_returnflag", "l_extendedprice", "price_w", lo = 0.05, hi = 0.95)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("price_w"))
+      .orderBy("l_orderkey", "l_linenumber")
 }
 
 object OraclesExt {
@@ -3385,5 +3397,22 @@ object OraclesExt {
         |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(wv) AS BIGINT) AS decayed_q
         |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // q136: per-group quantile_cont bounds (the q42 parity contract)
+    // + pure min/max clamp — the output doubles are existing values
+    // or interpolated bounds, both bit-identical across engines
+    "q136_winsorized_prices" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS blo,
+        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS bhi
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN l.l_extendedprice IS NULL THEN NULL
+        |       ELSE greatest(b.blo,
+        |         least(b.bhi, CAST(l.l_extendedprice AS DOUBLE))) END
+        |    AS price_w
+        |FROM lineitem l JOIN b USING (l_returnflag)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
   )
 }

@@ -169,6 +169,7 @@ object SparkEntry {
     "q133_classifier_score" -> ((s, d) => PipelinesExt.classifierScore(s, d)),
     "q134_pit_nearest" -> ((s, d) => PipelinesExt.pitNearest(s, d)),
     "q135_decayed_features" -> ((s, d) => PipelinesExt.decayedFeatures(s, d)),
+    "q136_winsorized_prices" -> ((s, d) => PipelinesExt.winsorizedPrices(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -68,4 +68,36 @@ object Encoders {
           .otherwise((col(valueCol) - element_at(col("_q"), 2)) / iqr))
       .drop("_q")
   }
+
+  /** Per-group winsorization: clamp `valueCol` into its group's exact
+    * [lo, hi] percentile band — the outlier treatment that keeps rows
+    * (unlike a filter) and bounds influence (unlike raw scaling);
+    * standard before mean-based feature aggregates. Exact interpolated
+    * percentiles (the q42 bit-parity contract with DuckDB
+    * `quantile_cont`); the clamp itself picks an existing double, so
+    * the whole output is oracle-portable.
+    *
+    * Scale shape: one grouped percentile aggregate (|groups| rows)
+    * broadcast-joined back, the clamp folded into the scan projection
+    * — no window over the data, no corpus sort; percentile state is
+    * per-group value collection, so groups must each fit an executor
+    * (for million-row groups switch to approx_percentile and accept
+    * rows-only checking).
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String, lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+      s"winsorize: need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"percentile(CAST($valueCol AS DOUBLE), array($lo, $hi))").as("_b"))
+    // least/greatest SKIP nulls (both here and in DuckDB), which would
+    // silently impute the upper bound for a missing value — guard so
+    // NULL stays NULL
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(greatest(element_at(col("_b"), 1),
+            least(element_at(col("_b"), 2), col(valueCol).cast("double")))))
+      .drop("_b")
+  }
 }

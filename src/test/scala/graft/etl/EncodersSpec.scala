@@ -67,4 +67,31 @@ class EncodersSpec extends SparkSpec {
       .collect().map(_.getDouble(0))
     assert(s.forall(_.isNaN))
   }
+
+  test("winsorize: per-group clamp at exact percentile bounds, rows kept") {
+    // group a: 1..11 → p10 = 2.0, p90 = 10.0 (exact interp on 11 pts);
+    // group b untouched band
+    val rows = (1 to 11).map(i => ("a", i.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0), ("b", 300.0))
+    val df = rows.toDF("g", "v")
+    val got = Encoders.winsorize(df, "g", "v", "w", lo = 0.1, hi = 0.9)
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(got.size == rows.size, "winsorize must keep every row")
+    val a = got.filter(_._1 == "a").map(_._3)
+    assert(a.head == 2.0 && a(1) == 2.0)       // 1, 2 clamp up to p10
+    assert(a.last == 10.0 && a(a.size - 2) == 10.0) // 10, 11 clamp down
+    assert(a(5) == 6.0)                        // interior untouched
+    val b = got.filter(_._1 == "b").map(_._3)
+    assert(b.head == 120.0 && b.last == 280.0) // 3-pt group interp bounds
+    assert(b(1) == 200.0)
+  }
+
+  test("winsorize: NULL values pass through as NULL") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None)).toDF("g", "v")
+    val got = Encoders.winsorize(df, "g", "v", "w")
+    assert(got.filter(col("w").isNull).count() == 1)
+    assert(got.count() == 4)
+  }
 }
