@@ -1756,6 +1756,14 @@ object PipelinesExt {
       .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
         col("price_w"))
       .orderBy("l_orderkey", "l_linenumber")
+
+  // Day-bucketed decay with a weekly half-life — the read-side twin of
+  // the maintained streaming daily-sum state: raw (user, day) sums,
+  // decay applied at read against the newest bucket.
+  def decayedDailyFeatures(s: SparkSession, d: String): DataFrame =
+    graft.operators.Decay.decayedDailySumQuantized(t(s, d, "events"),
+      "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 7)
+      .orderBy("user_id")
 }
 
 object OraclesExt {
@@ -3414,5 +3422,31 @@ object OraclesExt {
         |    AS price_w
         |FROM lineitem l JOIN b USING (l_returnflag)
         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    // q137: day-bucketed decay replay — daily sums first, then the
+    // shift weights on day ages with a 7-day half-life step (S = 4)
+    "q137_decayed_daily" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ds AS (
+        |  SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(vq) AS BIGINT) AS sum_vq
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT max(day_us) AS ref FROM ds),
+        |a AS (
+        |  SELECT user_id, n_events, sum_vq,
+        |    CAST((ref - day_us - ((ref - day_us) % 86400000000))
+        |      / 86400000000 AS BIGINT) AS age
+        |  FROM ds CROSS JOIN r),
+        |w AS (
+        |  SELECT user_id, n_events,
+        |    sum_vq * (CAST(1 AS BIGINT)
+        |      << CAST(4 - (age - (age % 7)) / 7 AS INTEGER)) AS wv
+        |  FROM a WHERE age < 30)
+        |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(wv) AS BIGINT) AS decayed_q
+        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

@@ -170,6 +170,7 @@ object SparkEntry {
     "q134_pit_nearest" -> ((s, d) => PipelinesExt.pitNearest(s, d)),
     "q135_decayed_features" -> ((s, d) => PipelinesExt.decayedFeatures(s, d)),
     "q136_winsorized_prices" -> ((s, d) => PipelinesExt.winsorizedPrices(s, d)),
+    "q137_decayed_daily" -> ((s, d) => PipelinesExt.decayedDailyFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -66,4 +66,64 @@ object Decay {
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n_events"), sum(col("_wv")).as("decayed_q"))
   }
+
+  /** Per-(key, calendar-day) quantized value sums — the MERGEABLE
+    * state behind the day-bucketed decay tier: unlike pre-decayed
+    * weights (which would re-anchor every batch — the frozen-grid
+    * trap in reverse), raw daily sums merge exactly across
+    * micro-batches and the decay applies at READ time against any
+    * anchor. Streaming maintenance:
+    * `StreamingFeatures.maintainDailyValueSums`.
+    */
+  def dailySums(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, valueScale: Double = 100.0): DataFrame =
+    df.filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        unix_micros(date_trunc("day", col(tsCol).cast("timestamp")))
+          .as("day_us"),
+        floor(col(valueCol) * lit(valueScale) + lit(0.5)).cast("long").as("_vq"))
+      .groupBy(col(keyCol), col("day_us"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_vq")).as("sum_vq"))
+
+  /** Decayed per-key score from a (key, day_us, n_events, sum_vq)
+    * frame ([[dailySums]] or its maintained streaming state), anchored
+    * at the newest day present: weight 2^(−day_age/halfLife), same
+    * exact shift arithmetic as [[decayedSumQuantized]], applied to
+    * day-level sums. Output: (keyCol, n_events, decayed_q).
+    */
+  def decayedFromDailySums(daily: DataFrame, keyCol: String,
+      maxAgeDays: Int = 30, halfLifeDays: Int = 1): DataFrame = {
+    require(maxAgeDays >= 1, s"decayedFromDailySums: maxAgeDays >= 1, got $maxAgeDays")
+    require(halfLifeDays >= 1, s"decayedFromDailySums: halfLifeDays >= 1, got $halfLifeDays")
+    val s = maxAgeDays / halfLifeDays
+    require(s <= 62, s"decayedFromDailySums: 2^$s overflows BIGINT")
+    def idiv(a: Column, b: Column): Column =
+      ((a - pmod(a, b)) / b).cast("long")
+    val dayUs = lit(86400000000L)
+    val ref = daily.agg(max(col("day_us")).as("_ref"))
+    val age = idiv(col("_ref") - col("day_us"), dayUs)
+    val step = idiv(age, lit(halfLifeDays.toLong))
+    val shift = org.apache.spark.sql.graftbridge.Bridge.column(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graftbridge.Bridge.expression(lit(1L)),
+        org.apache.spark.sql.graftbridge.Bridge.expression(
+          (lit(s.toLong) - step).cast("int"))))
+    daily.crossJoin(broadcast(ref))
+      .filter(age < lit(maxAgeDays.toLong))
+      .select(col(keyCol), col("n_events"), (col("sum_vq") * shift).as("_wv"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("n_events")).as("n_events"), sum(col("_wv")).as("decayed_q"))
+  }
+
+  /** Day-bucketed decayed sum, batch formulation — the read-side twin
+    * of the maintained daily state (stream≡batch parity in
+    * StreamingFeaturesSpec). Differs from [[decayedSumQuantized]] only
+    * in granularity: ages count CALENDAR-day buckets from the newest
+    * bucket, not event-timestamp day spans.
+    */
+  def decayedDailySumQuantized(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, maxAgeDays: Int = 30, halfLifeDays: Int = 1,
+      valueScale: Double = 100.0): DataFrame =
+    decayedFromDailySums(dailySums(df, keyCol, tsCol, valueCol, valueScale),
+      keyCol, maxAgeDays, halfLifeDays)
 }

@@ -391,6 +391,44 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming per-(key, calendar-day) value-sum maintenance — the
+    * state behind the day-bucketed decay tier
+    * (`operators/Decay.decayedFromDailySums`): daily sums are kept in
+    * the UNDECAYED domain, so they merge exactly across micro-batches
+    * (counts and quantized sums are plain longs) and any anchor can
+    * apply the decay weights at read time — pre-decayed state would
+    * silently re-anchor on every batch, the frozen-grid trap in
+    * reverse. State is one (count, sum) pair per key per ACTIVE day;
+    * retention of old days is the feature table's vacuum policy, not
+    * stream state.
+    */
+  def maintainDailyValueSums(
+      eventStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      checkpointDir: String,
+      valueScale: Double = 100.0): StreamingQuery = {
+    val agg = eventStream
+      .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(keyCol),
+        unix_micros(date_trunc("day", col(tsCol).cast("timestamp")))
+          .as("day_us"),
+        floor(col(valueCol) * lit(valueScale) + lit(0.5)).cast("long").as("_vq"))
+      .groupBy(col(keyCol), col("day_us"))
+      .agg(count(lit(1)).as("n_events"), sum(col("_vq")).as("sum_vq"))
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) store.writeTable(tableName, batch, WriteMode.Merge)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Exactly-once event dedup for at-least-once sources: state-backed
     * `dropDuplicates` on the event id, bounded by the watermark (state
     * for ids older than the delay is evicted — the standard streaming

@@ -546,4 +546,49 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(scores(fromState) === scores(batch),
       "state-derived bigram-LM scores != batch scores over the same corpus")
   }
+
+  test("maintained daily value sums: state-derived decay equals batch across micro-batches") {
+    import graft.operators.Decay
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value")
+    val first = events.filter(col("event_id") % 2 === 0)
+    val second = events.filter(col("event_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-decay-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("daily_sums", Seq("user_id", "day_us"),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("day_us", LongType), StructField("n_events", LongType),
+        StructField("sum_vq", LongType)))))
+    val ckpt = Files.createTempDirectory("graft-decay-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    assert(StreamingFeatures.maintainDailyValueSums(stream, store,
+      "daily_sums", "user_id", "ts", "value", ckpt).awaitTermination(120000))
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainDailyValueSums(stream, store,
+      "daily_sums", "user_id", "ts", "value", ckpt).awaitTermination(120000))
+
+    // the maintained (user, day) sums merged exactly across batches
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "day_us", "n_events", "sum_vq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(store.readTable("daily_sums")) ===
+      rows(Decay.dailySums(events, "user_id", "ts", "value")))
+
+    // decay applied to the maintained state == the batch operator
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val fromState = Decay.decayedFromDailySums(
+      store.readTable("daily_sums"), "user_id",
+      maxAgeDays = 30, halfLifeDays = 7)
+    val batch = Decay.decayedDailySumQuantized(events, "user_id", "ts",
+      "value", maxAgeDays = 30, halfLifeDays = 7)
+    assert(scores(fromState) === scores(batch),
+      "state-derived decayed sums != batch decayed sums")
+  }
 }
