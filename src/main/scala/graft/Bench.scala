@@ -66,6 +66,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The per-query line above can exceed the driver's tail-capture
+    // window (137 queries), truncating the head — and with it the
+    // metric. Repeat the total on its own short FINAL line so a tail
+    // capture of any length parses it.
+    println(s"""{"metric":"total","value":$total,"unit":"sec"}""")
     spark.stop()
   }
 }

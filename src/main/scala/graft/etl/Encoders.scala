@@ -90,10 +90,16 @@ object Encoders {
       s"winsorize: need 0 <= lo <= hi <= 1, got [$lo, $hi]")
     val stats = df.groupBy(col(groupCol)).agg(
       expr(s"percentile(CAST($valueCol AS DOUBLE), array($lo, $hi))").as("_b"))
+      .withColumnRenamed(groupCol, "_wg")
     // least/greatest SKIP nulls (both here and in DuckDB), which would
     // silently impute the upper bound for a missing value — guard so
-    // NULL stays NULL
-    df.join(broadcast(stats), Seq(groupCol))
+    // NULL stays NULL. A NULL group is a group: the join-back is
+    // null-safe (`<=>`, the targetEncodeLoo discipline) so NULL-group
+    // rows clamp against the NULL group's own band instead of being
+    // dropped by never-matching equi-join keys — "keeps rows" must
+    // hold for every row.
+    df.join(broadcast(stats), col(groupCol) <=> col("_wg"))
+      .drop("_wg")
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("double"))
           .otherwise(greatest(element_at(col("_b"), 1),

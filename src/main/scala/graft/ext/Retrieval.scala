@@ -245,6 +245,17 @@ object Retrieval {
     * column); ids in only some lists contribute only those lists'
     * reciprocal ranks (their other rank columns stay NULL).
     * Emits (id, <label>_rank ..., rrf_q) ordered by fused score.
+    *
+    * EAGER semantics (the GlobalIndex caching-contract discipline):
+    * this call EXECUTES the fusion at call time and returns a
+    * `localCheckpoint`ed ≤ topK-row frame — the lineage cut is what
+    * lets the candidate-list caches be released before returning
+    * instead of leaking for the life of the plan. Consequences:
+    * callers pay the full fusion cost even if they never consume the
+    * result, and the returned frame lives in executor block storage
+    * — it cannot be recomputed after executor loss (irrelevant on a
+    * driver-colocated deployment, real on a preemptible cluster; for
+    * a fault-tolerant handle, persist the ≤ topK rows to a table).
     */
   def rrfFuse(rankings: Seq[(String, DataFrame, Column)], idCol: String,
       kConst: Int = 60, topK: Int = 50,

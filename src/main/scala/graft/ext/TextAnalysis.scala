@@ -408,9 +408,20 @@ object TextAnalysis {
         explode(tokens(lower(col(textCol)))).as("_term"))
       .select(col(idCol),
         substring(md5(col("_term")), 1, bucketHexLen).as("_bucket"))
-    val scored = terms.join(broadcast(qb), Seq("_bucket"))
+    // A bucket ABSENT from the maintained model (possible when serving
+    // a new batch against older state) is not a dropped position: it
+    // takes the add-one-smoothed ratio with ct = cr = 0, i.e.
+    // (tr+B)/(tt+B) — one default value derived from the totals,
+    // coalesced in. Self-scoring is unaffected (every bucket matches).
+    val qbDefault = totals.select(
+      floor((col("_tr") + lit(nBuckets)).cast("double")
+        / (col("_tt") + lit(nBuckets)).cast("double") * lit(1e6) + lit(0.5))
+        .cast("long").as("_qb0"))
+    val scored = terms.join(broadcast(qb), Seq("_bucket"), "left_outer")
+      .crossJoin(broadcast(qbDefault))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("_qb")).as("dsir_q"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("_qb"), col("_qb0"))).as("dsir_q"))
     docs.select(col(idCol))
       .join(scored, Seq(idCol), "left_outer")
       .select(col(idCol),
@@ -541,6 +552,10 @@ object TextAnalysis {
     * corpus is never re-aggregated. Exact parity with the batch
     * operator: all model quantities are integer counts, and the per-prev
     * total is recovered exactly as sum(cnt) over the pair counts.
+    * Positions unseen by the model (serving a NEWER batch than the
+    * maintained state) are scored via backoff — zero bigram mass,
+    * zero unigram probability — never dropped, so n_tokens always
+    * counts the batch's true positions.
     */
   def bigramLmScoresWithStats(docs: DataFrame, idCol: String, textCol: String,
       termCounts: DataFrame, pairCounts: DataFrame,
@@ -560,21 +575,30 @@ object TextAnalysis {
       col("cnt").as("_cb"))
     val pre = big.groupBy(col("_prev")).agg(sum(col("_cb")).as("_cp"))
     val uniAsCur = uni.withColumnRenamed("_term", "_cur")
+    // Model joins are LEFT joins: when serving a new batch against
+    // older maintained state, an unseen pair/term is not a dropped
+    // position — it takes the backoff contribution (unseen bigram →
+    // zero continuation mass, so λ·0 + (1−λ)·p(w); unseen unigram →
+    // p(w) = 0). n_tokens therefore counts every position of the batch
+    // regardless of model coverage. Self-scoring parity is unaffected
+    // (every key matches, the coalesces are no-ops).
     val qBig = pairs
-      .join(big, Seq("_prev", "_cur"))
-      .join(pre, Seq("_prev"))
-      .join(uniAsCur, Seq("_cur"))
+      .join(big, Seq("_prev", "_cur"), "left_outer")
+      .join(pre, Seq("_prev"), "left_outer")
+      .join(uniAsCur, Seq("_cur"), "left_outer")
       .crossJoin(broadcast(tot))
       .select(col(idCol),
-        floor((lit(lambda) * (col("_cb").cast("double") / col("_cp").cast("double"))
-          + lit(1.0 - lambda) * (col("_cu").cast("double") / col("_tot").cast("double")))
+        floor((lit(lambda) *
+            when(col("_cp").isNull || col("_cp") === 0L, lit(0.0))
+              .otherwise(coalesce(col("_cb"), lit(0L)).cast("double") / col("_cp").cast("double"))
+          + lit(1.0 - lambda) * (coalesce(col("_cu"), lit(0L)).cast("double") / col("_tot").cast("double")))
           * lit(1e9) + lit(0.5)).cast("long").as("_q"))
     val qFirst = toks.filter(n >= 1)
       .select(col(idCol), element_at(col("_w"), 1).as("_cur"))
-      .join(uniAsCur, Seq("_cur"))
+      .join(uniAsCur, Seq("_cur"), "left_outer")
       .crossJoin(broadcast(tot))
       .select(col(idCol),
-        floor(lit(1.0 - lambda) * (col("_cu").cast("double") / col("_tot").cast("double"))
+        floor(lit(1.0 - lambda) * (coalesce(col("_cu"), lit(0L)).cast("double") / col("_tot").cast("double"))
           * lit(1e9) + lit(0.5)).cast("long").as("_q"))
     val scored = qBig.unionByName(qFirst)
       .groupBy(col(idCol))

@@ -94,6 +94,10 @@ object PointInTime {
         spineCols.filterNot(keys.contains).map(c => col(c).as(s"_s_$c")) ++
         featureCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"_f_$c")): _*)
     val feats = features
+      // a NULL-ts feature row cannot be "nearest" to anything: it
+      // would sort first (NULLS FIRST) and leak out as a match with a
+      // NULL matched ts whenever no real candidate exists
+      .filter(col(featTs).isNotNull)
       .withColumn("_ts", col(featTs))
       .withColumn("_origin", lit(0))
       .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
@@ -101,8 +105,14 @@ object PointInTime {
           lit(null).cast(spine.schema(c).dataType).as(s"_s_$c")) ++
         featureCols.map(c => col(s"$c").as(s"_f_$c")): _*)
 
+    // Equal-(key, ts) feature rows would otherwise tie
+    // nondeterministically in last()/first() (intra-ts order is
+    // unspecified after a shuffle) — a content hash as the final sort
+    // key pins the winner run-to-run.
+    val tie = if (featureCols.isEmpty) lit(0L)
+      else xxhash64(featureCols.map(c => col(s"_f_$c")): _*)
     val part = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_ts").asc, col("_origin").asc)
+      .orderBy(col("_ts").asc, col("_origin").asc, tie.asc)
     val wBack = part.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wFwd = part.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val featRow = when(col("_origin") === 0,
@@ -148,6 +158,9 @@ object PointInTime {
         spineCols.filterNot(keys.contains).map(c => col(c).as(s"_s_$c")) ++
         featureCols.map(c => lit(null).cast(features.schema(c).dataType).as(s"_f_$c")): _*)
     val feats = features
+      // same convention as [[asOfJoinNearest]]: a NULL-ts feature row
+      // has no position on the time axis and must not match any probe
+      .filter(col(featTs).isNotNull)
       .withColumn("_ts", col(featTs))
       .withColumn("_origin", lit(0))
       .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++

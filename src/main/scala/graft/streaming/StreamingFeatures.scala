@@ -398,9 +398,24 @@ object StreamingFeatures {
     * (counts and quantized sums are plain longs) and any anchor can
     * apply the decay weights at read time — pre-decayed state would
     * silently re-anchor on every batch, the frozen-grid trap in
-    * reverse. State is one (count, sum) pair per key per ACTIVE day;
-    * retention of old days is the feature table's vacuum policy, not
-    * stream state.
+    * reverse.
+    *
+    * State growth is an explicit trade exposed as `watermarkDelay`:
+    *   - `None` (default, exact mode): the aggregation is
+    *     UNWATERMARKED, so stream state holds one (count, sum) pair
+    *     per distinct (key, day) EVER seen — it grows with the key ×
+    *     active-day product (not with event volume), and arbitrarily
+    *     late backfill still merges exactly (the stream≡batch parity
+    *     contract). Retention of old days in the TABLE is the vacuum
+    *     policy; the state store itself never evicts in this mode.
+    *   - `Some(delay)` (bounded mode): a watermark of `delay` past
+    *     the max seen event time lets closed days evict from the
+    *     state store (the group key is the event-time day window),
+    *     capping state at the keys active inside the delay horizon —
+    *     but events later than `delay` are DROPPED, so parity holds
+    *     only within the lateness bound. Use at least a day of slack
+    *     (e.g. "25 hours") so a calendar day fully closes before its
+    *     state evicts.
     */
   def maintainDailyValueSums(
       eventStream: DataFrame,
@@ -410,15 +425,31 @@ object StreamingFeatures {
       tsCol: String,
       valueCol: String,
       checkpointDir: String,
-      valueScale: Double = 100.0): StreamingQuery = {
-    val agg = eventStream
+      valueScale: Double = 100.0,
+      watermarkDelay: Option[String] = None): StreamingQuery = {
+    val cleaned = eventStream
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
-      .select(col(keyCol),
-        unix_micros(date_trunc("day", col(tsCol).cast("timestamp")))
-          .as("day_us"),
-        floor(col(valueCol) * lit(valueScale) + lit(0.5)).cast("long").as("_vq"))
-      .groupBy(col(keyCol), col("day_us"))
-      .agg(count(lit(1)).as("n_events"), sum(col("_vq")).as("sum_vq"))
+      .withColumn("_ets", col(tsCol).cast("timestamp"))
+      .withColumn("_vq",
+        floor(col(valueCol) * lit(valueScale) + lit(0.5)).cast("long"))
+    val agg = watermarkDelay match {
+      case None =>
+        cleaned
+          .select(col(keyCol),
+            unix_micros(date_trunc("day", col("_ets"))).as("day_us"),
+            col("_vq"))
+          .groupBy(col(keyCol), col("day_us"))
+          .agg(count(lit(1)).as("n_events"), sum(col("_vq")).as("sum_vq"))
+      case Some(delay) =>
+        // grouping on the event-time WINDOW (not a derived long) is
+        // what lets the state store recognize closed days and evict
+        cleaned
+          .withWatermark("_ets", delay)
+          .groupBy(col(keyCol), window(col("_ets"), "1 day").as("_day"))
+          .agg(count(lit(1)).as("n_events"), sum(col("_vq")).as("sum_vq"))
+          .select(col(keyCol), unix_micros(col("_day.start")).as("day_us"),
+            col("n_events"), col("sum_vq"))
+    }
     agg.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)

@@ -94,4 +94,18 @@ class EncodersSpec extends SparkSpec {
     assert(got.filter(col("w").isNull).count() == 1)
     assert(got.count() == 4)
   }
+
+  test("winsorize: NULL group is a group — rows survive and clamp against the NULL group's band") {
+    // a plain inner equi join on the group key would drop the three
+    // NULL-group rows (join keys never match NULL)
+    val df = Seq((Some("a"), 1.0), (Some("a"), 2.0), (Some("a"), 3.0),
+      (None, 10.0), (None, 20.0), (None, 30.0))
+      .toDF("g", "v")
+    val got = Encoders.winsorize(df, "g", "v", "w", lo = 0.25, hi = 0.75)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(1), r.getDouble(2)))
+    assert(got.length == 6, "no rows may vanish")
+    val nulls = got.filter(_._1.isEmpty).sortBy(_._2).map(_._3)
+    // NULL group 10/20/30: p25 = 15, p75 = 25 (exact interp on 3 pts)
+    assert(nulls.toSeq == Seq(15.0, 20.0, 25.0))
+  }
 }

@@ -339,6 +339,54 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0L, 0L))                       // empty: left-join zero
     assert(got === expected)
   }
+
+  test("bigramLmScoresWithStats: unseen pairs/terms take backoff, positions never drop") {
+    // model fit on corpus A = "a b a": uni a→2, b→1, tot=3; pair
+    // (a,b)→1, (b,a)→1; cp(a)=1, cp(b)=1. Serve batch B with tokens
+    // the model has never seen.
+    val modelDocs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val termCounts = TextAnalysis.termOccurrenceCounts(modelDocs, "text")
+    val pairCounts = TextAnalysis.bigramPairCounts(modelDocs, "text")
+    val batch = Seq(
+      (10L, "a c"),   // pair (a,c) unseen, term c unseen
+      (11L, "b a"),   // fully covered
+      (12L, "x y"))   // nothing covered at all
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScoresWithStats(batch, "doc_id", "text",
+        termCounts, pairCounts, lambda = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val lam = 0.5; val om = 1.0 - lam
+    def q(p: Double): Long = math.floor(p * 1e9 + 0.5).toLong
+    val expected = Seq(
+      // "a": (1−λ)·2/3; "c|a": pair unseen → λ·0, c unseen → (1−λ)·0
+      (10L, 2L, q(om * (2.0 / 3.0)) + q(0.0)),
+      // "b": (1−λ)·1/3; "a|b": λ·1/1 + (1−λ)·2/3
+      (11L, 2L, q(om * (1.0 / 3.0)) + q(lam * 1.0 + om * (2.0 / 3.0))),
+      // both positions fully unseen — still counted, scored 0
+      (12L, 2L, q(0.0) + q(0.0)))
+    assert(got === expected)
+  }
+
+  test("hashedImportanceScoresWithStats: buckets absent from the model score the smoothed default") {
+    // model state covers corpus A only; batch B introduces new tokens
+    // whose buckets may be absent — every position must still count
+    // and absent buckets take the add-one-smoothed default ratio
+    val modelDocs = Seq((1L, "alpha beta alpha")).toDF("doc_id", "text")
+    val pred = col("doc_id") === 1L
+    val stats = TextAnalysis.dsirBucketCounts(modelDocs, "text", pred)
+    val batch = Seq((10L, "zeta theta kappa unseen tokens here"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.hashedImportanceScoresWithStats(batch, "doc_id",
+        "text", stats)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    assert(got._2 == 6L, s"all 6 positions must count, got ${got._2}")
+    // model totals tr = tt = 3 and every model bucket has ct = cr
+    // (all-target corpus), so BOTH the absent-bucket default
+    // (3+256)/(3+256) and any collision bucket's exact ratio equal 1
+    // → every position contributes exactly 1e6
+    assert(got._3 == 6000000L, s"expected 6e6, got ${got._3}")
+  }
 }
 
 class SemanticDedupSpec extends SparkSpec {

@@ -3,6 +3,7 @@ package graft.fs
 import java.sql.Timestamp
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -147,6 +148,55 @@ class PointInTimeSpec extends SparkSpec {
       Row(104L, 2L, 99.0),
       Row(105L, 1L, 30.0),
       Row(106L, 3L, null)))
+  }
+
+  test("asOfJoinNearest: NULL-ts feature rows never match (no phantom nearest)") {
+    val features = Seq(
+      (1L, Option(ts("2024-01-01 00:00:00")), 10.0),
+      (2L, Option.empty[java.sql.Timestamp], 77.0)) // ts-less row: must be inert
+      .toDF("user_id", "fts", "score")
+    val spine = Seq(
+      (100L, 1L, ts("2024-01-02 00:00:00")), // real candidate → 10.0
+      (101L, 2L, ts("2024-01-02 00:00:00"))) // ONLY a NULL-ts row → no match
+      .toDF("event_id", "user_id", "sts")
+    val got = PointInTime.asOfJoinNearest(spine, features,
+      keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+      featureCols = Seq("score"))
+      .orderBy("event_id").select("event_id", "score").collect().toSeq
+    assert(got == Seq(Row(100L, 10.0), Row(101L, null)))
+  }
+
+  test("asOfJoin: NULL-ts feature rows never match") {
+    val features = Seq(
+      (2L, Option.empty[java.sql.Timestamp], 77.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq((101L, 2L, ts("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "sts")
+    val got = PointInTime.asOfJoin(spine, features,
+      keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+      featureCols = Seq("score"))
+      .select("event_id", "score").collect().toSeq
+    assert(got == Seq(Row(101L, null)))
+  }
+
+  test("asOfJoinNearest: equal-(key, ts) feature duplicates resolve deterministically") {
+    // two feature rows at the SAME (key, ts) — without a content
+    // tie-break the winner depends on shuffle order; with it, repeated
+    // runs (and repartitionings) must agree
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-01 00:00:00"), 20.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq((100L, 1L, ts("2024-01-02 00:00:00")))
+      .toDF("event_id", "user_id", "sts")
+    def run(feats: org.apache.spark.sql.DataFrame): Double =
+      PointInTime.asOfJoinNearest(spine, feats,
+        keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+        featureCols = Seq("score")).select("score").collect().head.getDouble(0)
+    val results = (1 to 3).map(i => run(features.repartition(i))) :+
+      run(features.orderBy(col("score").desc))
+    assert(results.distinct.size == 1,
+      s"tie must be deterministic across physical orders, got $results")
   }
 
   test("asOfJoinNearest: one Exchange — both directions share the window sort") {

@@ -591,4 +591,35 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(scores(fromState) === scores(batch),
       "state-derived decayed sums != batch decayed sums")
   }
+
+  test("maintained daily value sums, bounded mode: watermarked day windows match batch when data is in-bound") {
+    import graft.operators.Decay
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "ts", "value")
+    val streamDir = Files.createTempDirectory("graft-decayw-in-").toString
+    events.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("daily_sums_w", Seq("user_id", "day_us"),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("day_us", LongType), StructField("n_events", LongType),
+        StructField("sum_vq", LongType)))))
+    val ckpt = Files.createTempDirectory("graft-decayw-ck-").toString
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    // a single batch never trails its own watermark, so bounded mode
+    // must reproduce the exact batch sums — this pins that the
+    // window(ts, "1 day") group key buckets identically to
+    // date_trunc("day") (both UTC-day aligned)
+    assert(StreamingFeatures.maintainDailyValueSums(stream, store,
+      "daily_sums_w", "user_id", "ts", "value", ckpt,
+      watermarkDelay = Some("25 hours")).awaitTermination(120000))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "day_us", "n_events", "sum_vq")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(store.readTable("daily_sums_w")) ===
+      rows(Decay.dailySums(events, "user_id", "ts", "value")))
+  }
 }
