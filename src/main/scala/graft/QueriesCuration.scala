@@ -1,0 +1,870 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Features
+import graft.ext.{Chunking, Components, Dedup, Pq, Similarity, TextAnalysis}
+import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
+
+/** Gate queries — semantic dedup, curation pipelines, pricing/funnel
+  * analytics, encoders, and the dup-graph tier (CC, sampling).
+  *
+  * Mixed into [[PipelinesExt]]; the sibling [[OraclesCuration]]
+  * below keeps each query's DuckDB oracle SQL in the same file
+  * (one review unit per query, the VERDICT r9 #4 split).
+  */
+private[graft] trait PipelinesCuration { this: PipelinesBase =>
+
+  // Semantic dedup, exact retained set: earliest-survivor rule over
+  // the tiled all-pairs cosine join. Same similarity expression the
+  // hash-matched q46 gate runs, so the threshold boundary is
+  // bit-identical to the DuckDB NOT EXISTS oracle.
+  def semanticDedupExact(s: SparkSession, d: String): DataFrame =
+    graft.ext.SemanticDedup.retainExact(t(s, d, "embeddings"), 0.45)
+      .orderBy("vec_id")
+
+  // SemDeDup (clustered) variant: rows-only — the k-means cell
+  // assignment is engine-specific; the contract vs the exact rule is
+  // spec-asserted (SemanticDedupSpec).
+  def semanticDedupClustered(s: SparkSession, d: String): DataFrame =
+    graft.ext.SemanticDedup.retainClustered(t(s, d, "embeddings"), 0.45,
+      nlist = 8)
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+
+  // Corpus-driven top-k stop-word pruning: document-frequency rank is
+  // exact integers with a total tie-break, so the stop list — and
+  // therefore every rebuilt text — is deterministic at any SF.
+  def vocabPrune(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pruneTopWords(t(s, d, "documents"), k = 5)
+      .orderBy("doc_id")
+
+  // TPC-H Q10 shape: returned-item revenue per customer — fact join
+  // with a date band, broadcast nation dim, deterministic top-20.
+  def returnedItems(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
+  }
+
+  // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
+  // Catalyst splits the OR across the join: the p_brand/p_size arms
+  // push into the part scan, the l_quantity bounds into lineitem, and
+  // the residual OR evaluates post-join — the pushdown pattern naive
+  // disjunctive predicates rely on.
+  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 25)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin)
+  }
+
+  // TPC-H Q22 shape: customers above the global positive-balance mean
+  // with no RECENT (2000+) orders. The mean comparison is cross-multiplied
+  // (c_acctbal · n > Σ) so both engines compare exact decimals — no
+  // float boundary to flake on; the no-orders leg is a hash anti join.
+  def idleCustomers(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+  }
+
+  // Layout-aware scan: events rewritten PARTITIONED BY event_type,
+  // then read back with a partition filter — the scan lists only the
+  // matching directory (PartitionFilters; PruningSpec pins the plan
+  // mechanics, this gates the end-to-end result). Fixture dir derives
+  // from the dataset dir so concurrent runs on different SFs never
+  // collide (the q44 lesson).
+  def partitionedScan(s: SparkSession, d: String): DataFrame = {
+    val dir = "/tmp/graft_evpart_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  // Array aggregation: per-customer sorted order-total list reduced to
+  // scalar probes (ends + middle). collect_list is partition-order
+  // nondeterministic, so the gate-portable contract is collect + SORT;
+  // the element probes hash-check that contract without emitting an
+  // array column (driver compare is scalar-typed).
+  def groupedArrays(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(sort_array(collect_list(col("o_totalprice"))).as("totals"))
+      .select(col("o_custkey"),
+        size(col("totals")).cast("long").as("n_orders"),
+        element_at(col("totals"), 1).as("min_total"),
+        element_at(col("totals"), -1).as("max_total"),
+        expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
+      .orderBy("o_custkey")
+
+  // Conversion funnel: per-user first view / first subsequent purchase
+  // — conditional-min aggregates over one events scan, epoch-µs output
+  // (the q17 timestamp discipline). NULL-safe conversion flag via
+  // coalesce so never-purchased users gate to 0, not NULL.
+
+  /** The funnel aggregate itself, over a frame with (user_id,
+    * event_type, us) — SHARED by the q93 batch gate and the streaming
+    * `StreamingFeatures.maintainFunnelState`, so stream/batch parity
+    * holds by construction (the q08 shared-builder discipline). Both
+    * mins are mergeable, which is what makes the same expression a
+    * valid running streaming state.
+    */
+  def funnelAgg(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase_us"))
+      .withColumn("converted",
+        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
+          .cast("int"))
+
+  def conversionFunnel(s: SparkSession, d: String): DataFrame =
+    funnelAgg(t(s, d, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us")))
+      .orderBy("user_id")
+
+  // Cohort retention: users bucketed by the ISO week of their first
+  // event; activity weeks indexed by exact micro-second arithmetic
+  // ((w − cohort_w) div week_µs — both weeks are date_trunc'd so the
+  // division is exact, no calendar functions past the shared trunc).
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(unix_micros(date_trunc("week", min(col("ts")))).as("cohort_us"))
+    val active = ev
+      .select(col("user_id"),
+        unix_micros(date_trunc("week", col("ts"))).as("w_us"))
+      .distinct()
+    active.join(first, Seq("user_id"))
+      .groupBy(col("cohort_us"),
+        ((col("w_us") - col("cohort_us")) / lit(604800000000L)).cast("long")
+          .as("week_n"))
+      .agg(count(lit(1)).cast("long").as("n_users"))
+      .orderBy("cohort_us", "week_n")
+  }
+
+  // Behavioral transition matrix: counts of consecutive event-type
+  // pairs per user timeline (lead over the per-user time order, then
+  // one group-by) — the Markov-chain input for path analysis. Total
+  // ordering (us, event_id) makes the pairs deterministic under ties.
+  def eventTransitions(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    t(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy("event_type", "next_type")
+  }
+
+  // Session-scoped funnel: the q93 conversion shape applied WITHIN
+  // gap-based sessions — per (user, session), first view and first
+  // later purchase. Composes the per-event session assignment with
+  // conditional-min aggregates; the whole plan still has one exchange
+  // on user_id (windows and group-by share it).
+  def sessionFunnel(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize
+      .assignBatch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(when(col("event_type") === "view", col("_us"))).as("first_view_us"),
+        min(when(col("event_type") === "purchase", col("_us"))).as("first_purchase_us"))
+      .withColumn("converted",
+        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
+          .cast("int"))
+      .orderBy("user_id", "session_id")
+
+  // Fuzzy string matching: distinct part-name pairs within edit
+  // distance 2 — q-gram-blocked candidates, exact levenshtein filter
+  // (identical unit-cost edit distance in both engines). The DuckDB
+  // oracle runs the naive all-pairs form; equality proves the
+  // count-filter blocking loses no pair.
+  def fuzzyNamePairs(s: SparkSession, d: String): DataFrame =
+    Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 2)
+      .orderBy("name_a", "name_b")
+
+  // Robust scaling: (x − median)/IQR per customer balance — the
+  // outlier-insensitive sibling of q60's z-score; exact percentile
+  // edges make the scaled doubles bit-portable.
+  def robustScaleBalances(s: SparkSession, d: String): DataFrame =
+    graft.etl.Encoders.robustScale(
+        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
+        "c_acctbal", "acctbal_r")
+      .orderBy("c_custkey")
+
+  // Leave-one-out target encoding of order priority against the
+  // "order finished" label: integer group counts and sums enter ONE
+  // IEEE double expression written identically in the oracle, so the
+  // encoded doubles hash-match.
+  def targetEncodePriority(s: SparkSession, d: String): DataFrame =
+    graft.etl.Encoders.targetEncodeLoo(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+          col("o_orderstatus")),
+        "o_orderpriority", col("o_orderstatus") === "F", "enc_f",
+        smoothing = 10.0)
+      .select(col("o_orderkey"), col("enc_f"))
+      .orderBy("o_orderkey")
+
+  // Quantile discretization: decile-bin o_totalprice and aggregate
+  // per bin. Exact percentile edges are bit-identical to DuckDB
+  // quantile_cont (the q42 contract), so bin boundaries — and
+  // therefore every per-bin aggregate — hash-match.
+  def decileBinning(s: SparkSession, d: String): DataFrame =
+    graft.etl.Discretize.withQuantileBins(
+        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        "o_totalprice", nBins = 10)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .cast("double").as("total"),
+        min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      .orderBy("bin")
+
+  // Incremental aggregate maintenance: state built from the pre-1999
+  // orders, the 1999+ tail folded in as a delta — the oracle
+  // recomputes over ALL orders, so the gate hash-checks
+  // merge(build(base), delta) ≡ build(base ∪ delta) end-to-end.
+  def incrementalAggRefresh(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    val orders = t(s, d, "orders")
+    val cut = lit("1999-01-01").cast("timestamp")
+    val keys = Seq("o_orderpriority")
+    val state = IncrementalAgg.build(
+      orders.filter(col("o_orderdate") < cut), keys, "o_totalprice")
+    IncrementalAgg.merge(state,
+        orders.filter(col("o_orderdate") >= cut), keys, "o_totalprice")
+      .select(col("o_orderpriority"), col("cnt"),
+        col("sm").cast("double").as("total"), col("mn"), col("mx"))
+      .orderBy("o_orderpriority")
+  }
+
+  // Duplicate CLUSTERS from near-dup pairs: exact cosine pairs (the
+  // q30 edge set) closed into connected components by the alternating
+  // star algorithm, every vector labeled with its component's min id
+  // (singletons label themselves). The DuckDB oracle recomputes the
+  // transitive closure with a recursive CTE — a hash match proves the
+  // O(log n) distributed algorithm equals the declarative fixpoint.
+  def dupClusters(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val comp = Components.connectedComponents(pairs)
+    emb.select(col("vec_id"))
+      .join(comp, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
+
+  // Deterministic stratified sampling: per-source keep fractions
+  // decided by md5(doc_id) — the same filter expression the oracle
+  // runs, so the sampled row SET matches exactly (not just its size).
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.stratifiedSample(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("doc_id"),
+        fracs = Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
+        defaultFrac = 0.1)
+      .orderBy("doc_id")
+
+  // Fixed-size overlapping token chunks (64-token windows, stride 48)
+  // — the context-window prep pass; narrow flatMap, zero shuffles.
+  def chunkDocuments(s: SparkSession, d: String): DataFrame =
+    Chunking.chunkTokens(t(s, d, "documents"), chunkSize = 64, overlap = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  // Sequence-packing plan at a 512-token budget: per-source running
+  // token offsets and the pack span each document occupies.
+  def packingPlan(s: SparkSession, d: String): DataFrame =
+    Chunking.packingPlan(t(s, d, "documents"), budget = 512)
+      .orderBy("doc_id")
+
+  // End-to-end near-dup dedup: MinHash pairs → connected components →
+  // keep the min-id doc per cluster. Rows-only (§5.3: xxhash64 not
+  // portable); transitive-retention semantics spec-asserted against
+  // driver-side union-find in ComponentsSpec.
+  def nearDupDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupRetain(t(s, d, "documents"))
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+
+  // Corpus mix rebalancing: down-sample three sources to a 0.5/0.3/0.2
+  // mix. Counts are equal per source, so src0's fraction computes to
+  // EXACTLY 1.0 (0.5·scale/n with scale = n/0.5) — deliberately
+  // exercising the keep-everything sentinel branch next to the two
+  // md5-threshold branches, in both engines.
+  def mixRebalance(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.sampleToMix(
+        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
+        "source", col("doc_id"),
+        targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
+      .orderBy("doc_id")
+
+  // Quality curation: top 40% per source by quality score, doc_id
+  // tie-break — percent_rank window, exact integer-ratio doubles.
+  def qualityTopFraction(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
+      TextAnalysis.qualityScore(col("text")).as("quality"))
+    graft.etl.Sampling
+      .topFractionBy(docs, "source", 0.4, col("quality").desc, col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  // TPC-H Q13 shape: distribution of customers by order count,
+  // INCLUDING zero-order customers — the left-outer + group-on-the-
+  // aggregate double grouping; both group-bys and the join share the
+  // customer key, so one partitioning serves all three at scale.
+  def custOrderHistogram(s: SparkSession, d: String): DataFrame = {
+    val perCust = t(s, d, "customer").select(col("c_custkey"))
+      .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // TPC-H Q17 shape: revenue lost to small-quantity orders of one
+  // brand's parts. The oracle runs the naive correlated-avg subquery;
+  // the engine aggregates the per-part avg ONCE and joins it back
+  // (the q69 decorrelation discipline) — both under the exact-decimal
+  // sum / double-division contract so the single output double
+  // hash-matches.
+  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val brandParts = t(s, d, "part")
+      .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
+    val li = t(s, d, "lineitem")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val avgs = li.groupBy(col("l_partkey").as("_pk"))
+      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
+    li.join(avgs, col("l_partkey") === col("_pk"))
+      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  // TPC-H Q14 shape: promo revenue share — a conditional-ratio
+  // aggregate over a broadcast part join; both sums exact-decimal,
+  // division in double (the §5.3 contract), so the single output
+  // double hash-matches.
+  def promoRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val rev = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0) *
+        sum(when(col("p_type").startsWith("PROMO"), rev)
+          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
+        sum(rev).cast("double")).as("promo_revenue"))
+  }
+
+  // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+  // The revenue "view" subtree appears twice (group-by + its max) —
+  // both scans carry the pushed shipdate filter, and the 1-row max
+  // BROADCASTS back onto the grouped frame: the max-equality never
+  // runs as a single-partition window over the supplier set (the
+  // 100 TB cliff). At scale, materialize the revenue view once
+  // (persist / CTAS) instead of re-deriving it for the max.
+  // Equality on the DECIMAL revenue is exact in both engines; the
+  // cast to double happens after.
+  def topSupplier(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val rev = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1996-04-01").cast("date"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
+    rev.join(broadcast(rev.agg(max(col("rev_dec")).as("mx"))),
+        col("rev_dec") === col("mx"))
+      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev_dec").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  // TPC-H Q6 shape: the pure scan-filter aggregate — no join at all.
+  // The whole predicate set (date window + discount band + quantity
+  // cap) reaches the parquet scan as PushedFilters, so at 100 TB this
+  // is one pruned pass with a partial-agg reduce; exact-decimal sum,
+  // cast to double at the end (the §5.3 contract).
+  def forecastRevenue(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
+        .as("revenue"))
+  }
+
+  // TPC-H Q7 shape: volume shipping between a nation pair. The nation
+  // filter is applied to the 25-row dimension FIRST and broadcast onto
+  // supplier/customer, so both fact-side joins already carry the ~2/25
+  // selectivity before any shuffle; lineitem additionally prunes on the
+  // pushed shipdate window. The remaining shuffles (orders⋈customer,
+  // lineitem⋈orders) are unavoidable fact joins on their natural keys.
+  def volumeShipping(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    val nat = t(s, d, "nation")
+      .filter(col("n_name").isin("NATION_1", "NATION_2"))
+    val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
+        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
+    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
+      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
+        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
+    val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
+      .join(cust, col("o_custkey") === col("c_custkey"))
+    t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("volume"),
+        year(col("l_shipdate")).as("l_year"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+      .agg(sum(col("volume")).cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+}
+
+/** DuckDB oracle SQL for the [[PipelinesCuration]] queries. */
+private[graft] trait OraclesCuration { this: OracleSnippets =>
+  protected def sqlCuration: Map[String, String] = Map(
+    "q80_semantic_dedup" ->
+      """SELECT a.vec_id FROM embeddings a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM embeddings b
+        |  WHERE b.vec_id < a.vec_id
+        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |          CAST(b.embedding AS DOUBLE[])) >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
+
+
+    // DuckDB quirk: array_to_string of an EMPTY list is NULL, Spark's
+    // array_join is '' — coalesce harmonizes the all-words-pruned edge
+    "q82_vocab_prune" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |           FROM documents),
+        |dfreq AS (SELECT wd, count(DISTINCT doc_id) AS df FROM w GROUP BY wd),
+        |stop AS (SELECT wd FROM dfreq ORDER BY df DESC, wd LIMIT 5),
+        |sl AS (SELECT coalesce(list(wd), []) AS stop_list FROM stop)
+        |SELECT doc_id,
+        |  coalesce(array_to_string(list_filter(string_split(text, ' '),
+        |    x -> NOT list_contains(stop_list, x)), ' '), '') AS pruned
+        |FROM documents, sl ORDER BY doc_id""".stripMargin,
+
+
+    "q83_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+
+    "q84_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_items
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 25)
+        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
+        |       AND l_quantity BETWEEN 10 AND 40)
+        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
+        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin,
+
+
+    "q85_idle_customers" ->
+      """WITH s AS (
+        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
+        |         count(*) AS n
+        |  FROM customer WHERE c_acctbal > 0)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM customer, s
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND o_orderdate >= DATE '2000-01-01')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+
+    "q96_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |t AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY us, event_id) AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |FROM t WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin,
+
+
+    "q95_session_funnel" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+        |                     ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id,
+        |  min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase_us,
+        |  CAST(coalesce(
+        |    min(CASE WHEN event_type = 'purchase' THEN us END) >
+        |    min(CASE WHEN event_type = 'view' THEN us END), false) AS INT) AS converted
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+
+    "q93_funnel" ->
+      """SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
+        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
+        |  CAST(coalesce(
+        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
+        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END), false) AS INT)
+        |    AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+
+    "q94_cohort_retention" ->
+      """WITH f AS (
+        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
+        |  FROM events GROUP BY user_id),
+        |a AS (
+        |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS w_us
+        |  FROM events)
+        |SELECT cohort_us,
+        |  CAST((w_us - cohort_us) // 604800000000 AS BIGINT) AS week_n,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM a JOIN f USING (user_id)
+        |GROUP BY cohort_us, week_n ORDER BY cohort_us, week_n""".stripMargin,
+
+
+    "q92_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
+        |           WHERE p_name IS NOT NULL)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
+        |FROM n a, n b
+        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+        |ORDER BY name_a, name_b""".stripMargin,
+
+
+    "q90_robust_scale" ->
+      """WITH q AS (
+        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
+        |         quantile_cont(c_acctbal, 0.5)  AS med,
+        |         quantile_cont(c_acctbal, 0.75) AS q3
+        |  FROM customer)
+        |SELECT c_custkey, c_acctbal,
+        |  (c_acctbal - med) / (q3 - q1) AS acctbal_r
+        |FROM customer, q ORDER BY c_custkey""".stripMargin,
+
+
+    // same operation order as the Spark side: (cast(s_g - l) + m*prior)
+    // / cast(n_g - 1 + m) — identical IEEE doubles on both engines
+    "q91_target_encoding" ->
+      """WITH g AS (
+        |  SELECT o_orderpriority, count(*) AS n_g,
+        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s_g
+        |  FROM orders GROUP BY o_orderpriority),
+        |p AS (
+        |  SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS prior
+        |  FROM orders)
+        |SELECT o_orderkey,
+        |  (CAST(s_g - CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE)
+        |     + 10.0 * prior)
+        |  / CAST(n_g - 1 + 10.0 AS DOUBLE) AS enc_f
+        |FROM orders JOIN g USING (o_orderpriority), p
+        |ORDER BY o_orderkey""".stripMargin,
+
+
+    // bin = #edges <= value on both sides; edges from quantile_cont
+    // match Spark's exact percentile bit-for-bit (q42 contract)
+    "q89_decile_binning" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM orders)
+        |SELECT CAST(len(list_filter(edges, x -> x <= o_totalprice)) AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders, e GROUP BY bin ORDER BY bin""".stripMargin,
+
+
+    // the partition-pruned scan must produce exactly what a plain
+    // filtered scan of the source produces
+    "q87_partitioned_scan" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+
+    "q88_grouped_arrays" ->
+      """WITH g AS (
+        |  SELECT o_custkey, list_sort(list(o_totalprice)) AS totals,
+        |         count(*) AS n
+        |  FROM orders GROUP BY o_custkey)
+        |SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
+        |  totals[1] AS min_total, totals[-1] AS max_total,
+        |  totals[CAST((n + 1) // 2 AS INT)] AS mid_total
+        |FROM g ORDER BY o_custkey""".stripMargin,
+
+
+    // the oracle aggregates ALL orders in one pass — the Spark side
+    // must make base-state + delta-merge equal the full recompute
+    "q86_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+
+    // recursive transitive closure over the q30 edge set — the
+    // declarative fixpoint the alternating-star algorithm must equal
+    "q97_dup_clusters" ->
+      s"""WITH RECURSIVE $ccClosureCtesSql
+         |SELECT node AS vec_id, min(lbl) AS component
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+
+    // same md5 threshold CASE as the Spark filter — the sampled SET
+    // must match row-for-row, not merely in expectation
+    "q98_stratified_sample" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE source WHEN 'src0' THEN 'c0000000' WHEN 'src1' THEN '80000000'
+        |              WHEN 'src2' THEN '40000000' ELSE '19999999' END
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q99_chunk_documents" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents
+        |), k AS (
+        |  SELECT doc_id, toks,
+        |    CASE WHEN len(toks) = 0 THEN 0
+        |         ELSE 1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT) END AS nchunks
+        |  FROM d
+        |), e AS (
+        |  SELECT doc_id, toks, unnest(range(0, nchunks)) AS chunk_id FROM k
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+        |  array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text,
+        |  CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS INTEGER) AS n_tokens
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
+
+
+    "q100_packing_plan" ->
+      s"""WITH tc AS (
+         |  SELECT doc_id, source, CAST($tokenCountSql AS BIGINT) AS n_tokens
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
+         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS first_pack,
+         |  CAST(floor(greatest(sum(n_tokens) OVER w - 1,
+         |             sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS last_pack
+         |FROM tc
+         |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+
+    // naive correlated form — cross-checks the engine's agg-once +
+    // join-back decorrelation (the q69 discipline)
+    "q102_small_qty_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+        |  AND l_quantity < 0.2 * (
+        |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+
+    // same fraction arithmetic as Sampling.sampleToMix, step for step
+    // (min-scale, least with 1.0, floor to the 8-hex threshold); the
+    // >= 1.0 branch mirrors the Scala keep-everything sentinel
+    "q103_mix_rebalance" ->
+      """WITH targets(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+        |counts AS (
+        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
+        |  FROM documents JOIN targets USING (source) GROUP BY source),
+        |sc AS (SELECT min(n / t) AS scale FROM counts JOIN targets USING (source)),
+        |f AS (
+        |  SELECT source, least(t * scale / n, 1.0) AS frac
+        |  FROM targets JOIN counts USING (source) CROSS JOIN sc)
+        |SELECT doc_id, source, n_chars
+        |FROM documents JOIN f USING (source)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN frac >= 1.0 THEN 'g'
+        |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
+
+
+    "q104_quality_top_frac" ->
+      s"""WITH f AS (SELECT doc_id, source,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents),
+         |q AS (SELECT doc_id, source,
+         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
+         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
+         |    AS quality
+         |  FROM f),
+         |r AS (SELECT doc_id, source, quality,
+         |  percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
+         |  FROM q)
+         |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
+         |ORDER BY doc_id""".stripMargin,
+
+
+    "q110_promo_revenue" ->
+      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey
+        |  AND l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1996-04-01'""".stripMargin,
+
+
+    "q111_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01'
+        |    AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = l_suppkey
+        |  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+
+    "q112_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01'
+        |  AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= CAST(0.05 AS DOUBLE)
+        |  AND l_discount <= CAST(0.07 AS DOUBLE)
+        |  AND l_quantity < 24""".stripMargin,
+
+
+    "q113_volume_shipping" ->
+      """SELECT supp_nation, cust_nation, l_year,
+        |  CAST(sum(volume) AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
+        |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
+        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        |    AND c_custkey = o_custkey
+        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |    AND l_shipdate >= DATE '1995-01-01'
+        |    AND l_shipdate < DATE '1997-01-01')
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+
+    "q105_cust_order_histogram" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM per_cust GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+  )
+}

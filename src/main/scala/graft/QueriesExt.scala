@@ -18,1761 +18,45 @@ import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
   * DuckDB reads full ns, so comparing raw timestamps would be a dtype
   * coin-flip; integer micros are unambiguous.
   */
-object PipelinesExt {
+/** Shared plumbing for the gate-query traits: table loading and
+  * the per-(session, dir) temp feature-store cache the PIT gates
+  * reuse across queries.
+  */
+private[graft] trait PipelinesBase {
 
-  private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
-
-  // U1 pattern — per-row count of "Yes"-valued string columns across a
-  // row (pandas_udf FS:413-416 rewritten as a codegen'd expression).
-  def numOptionalServices(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .withColumn("svc_open", when(col("o_orderstatus") === "O", "Yes").otherwise("No"))
-      .withColumn("svc_urgent", when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Yes").otherwise("No"))
-      .withColumn("svc_big", when(col("o_totalprice") > 200000, "Yes").otherwise("No"))
-      .select(col("o_orderkey"),
-        Features.numOptionalServices(Seq("svc_open", "svc_urgent", "svc_big"))
-          .as("num_optional_services"))
-      .orderBy("o_orderkey")
-
-  // A1 — summary() parity with exact aggregates (SURVEY.md §5.3: the
-  // built-in summary() uses approx percentiles, so the checked variant
-  // recomputes count/mean/min/max/stddev from exact decimal sums).
-  def summaryStats(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    def statsFor(c: String): DataFrame = {
-      val dec = col(c).cast(DecimalType(18, 2))
-      li.agg(
-        count(lit(1)).as("n_rows"),
-        sum(dec).cast("double").as("sum_val"),
-        min(col(c)).as("min_val"),
-        max(col(c)).as("max_val"),
-        sum((dec * dec).cast(DecimalType(38, 4))).cast("double").as("_sumsq"))
-        .select(
-          lit(c).as("column_name"), col("n_rows"), col("sum_val"),
-          (col("sum_val") / col("n_rows")).as("mean_val"),
-          col("min_val"), col("max_val"),
-          sqrt((col("_sumsq") - col("sum_val") * col("sum_val") / col("n_rows"))
-            / (col("n_rows") - 1)).as("stddev_val"))
-    }
-    Seq("l_quantity", "l_extendedprice", "l_discount").map(statsFor)
-      .reduce(_.union(_)).orderBy("column_name")
-  }
-
-  // window dedup — latest event per (user, event_type) via row_number.
-  def windowDedup(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"), col("event_type"))
-      .orderBy(col("ts").desc, col("event_id").desc)
-    t(s, d, "events")
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("user_id"), col("event_type"), col("event_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
-      .orderBy("user_id", "event_type")
-  }
-
-  // JSON extraction from the events.props payload column.
-  def jsonExtract(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .select(col("event_id"),
-        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
-      .orderBy("event_id")
-
-  // tumbling-window aggregation (batch analog of the streaming feature
-  // refresh in graft.streaming — same groupBy plan).
-  def eventWindowAgg(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-      .select(unix_micros(col("hour_ts").cast("timestamp")).as("hour_us"),
-        col("event_type"), col("n_events"), col("sum_value"))
-      .orderBy("hour_us", "event_type")
-
-  // S3 — SQL-text entry point over registered temp views (K1): the
-  // reference drives everything through spark.sql names
-  // (FS:73 `SELECT * FROM {db}.{table}`); here a TPC-H Q5-shaped
-  // multi-join aggregate so Catalyst's join reorder + broadcast
-  // selection are exercised through the SQL path too.
-  def sqlRevenuePerNation(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT n_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  count(*) AS n_lineitems
-        |FROM customer
-        |JOIN orders   ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin)
-  }
-
-  // J2 — keyed inner-join export (FS:499 AutoML-table export shape).
-  def exportJoin(s: SparkSession, d: String): DataFrame =
-    t(s, d, "customer")
-      .join(Features.orderFeatures(t(s, d, "orders")), Seq("c_custkey"), "inner")
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
-        col("n_orders"), col("total_spent"))
-      .orderBy("c_custkey")
-
-  // K2/K3/K8/K9/S4/A2 — catalog DDL surface: database + CTAS-as-parquet
-  // saveAsTable + spark.table read-back + cache (the reference's
-  // setup.py:190-247 lifecycle, Delta swapped for parquet per §7.4).
-  def catalogOps(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    // Explicit throwaway locations: the default spark-warehouse dir
-    // outlives the (in-memory) metastore across sessions, so a managed
-    // CTAS would hit LOCATION_ALREADY_EXISTS on the second run.
-    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse-")
-    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_db LOCATION '$wh/graft_db'")
-    s.sql("DROP TABLE IF EXISTS graft_db.customer_snapshot")
-    s.sql(
-      s"""CREATE TABLE graft_db.customer_snapshot USING PARQUET
-         |LOCATION '$wh/customer_snapshot' AS
-         |SELECT c_custkey, c_name, c_mktsegment FROM customer""".stripMargin)
-    s.table("graft_db.customer_snapshot").cache().orderBy("c_custkey")
-  }
-
-  // K7 — publish to the online store and read the snapshot back.
-  def publishOnline(s: SparkSession, d: String): DataFrame = {
-    val store = Pipelines.buildStore(s, d)
-    store.publishTable("order_features")
-    store.readOnlineTable("order_features").orderBy("c_custkey")
-  }
-
-  // K7-serve — point lookups against the published snapshot: the
-  // key-manifest prunes the read to the range files containing the
-  // requested keys (FeatureStoreSpec asserts the file count); the
-  // oracle recomputes the same rows from orders directly.
-  def onlineLookup(s: SparkSession, d: String): DataFrame = {
-    val store = Pipelines.buildStore(s, d)
-    store.publishTable("order_features")
-    store.lookupOnline("order_features", (1L to 50L))
-      .orderBy("c_custkey")
-  }
-
-  // J3-PIT — point-in-time training set: spine = purchase events, time-
-  // versioned feature table = per-(user, day) event counts written
-  // through the store with (user_id, day_ts) keys; each spine row gets
-  // the latest daily feature at-or-before its timestamp (Databricks
-  // timestamp_lookup_key semantics; DuckDB checks it with ASOF JOIN).
-  def pitTrainingSet(s: SparkSession, d: String): DataFrame = {
-    val events = t(s, d, "events")
-    val daily = events
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
-      .agg(count(lit(1)).as("day_events"))
-    val store = fsTempStoreFor(s, d)
-    if (!store.tableExists("user_daily_features")) {
-      store.createTable(FeatureTableSpec("user_daily_features",
-        Seq("user_id", "day_ts"), daily.schema, "time-versioned daily user features"))
-      store.writeTable("user_daily_features", daily, WriteMode.Overwrite)
-    }
-    val spine = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    PointInTime.createTrainingSet(store, spine, "user_daily_features",
-      featureCols = Seq("day_events"), spineTs = "ts", featTs = "day_ts")
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        col("value"), col("day_events"))
-      .orderBy("event_id")
-  }
-
-  // Forward PIT — label attachment: each purchase gets the EARLIEST
-  // daily aggregate at-or-after its timestamp ("outcome window"), the
-  // mirror of q33's backward feature lookup. DuckDB checks it with a
-  // forward ASOF JOIN (s.ts <= d.day_ts).
-  def pitForwardLabels(s: SparkSession, d: String): DataFrame = {
-    val events = t(s, d, "events")
-    val daily = events
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
-      .agg(count(lit(1)).as("day_events"))
-    val spine = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    PointInTime.asOfJoinForward(spine, daily, keys = Seq("user_id"),
-      spineTs = "ts", featTs = "day_ts", featureCols = Seq("day_events"))
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        col("value"), col("day_events"))
-      .orderBy("event_id")
-  }
-
-  // multimodal plumbing — binary payload synthesized from text, decoded
-  // by the stubbed mapPartitions pass; only the portable byte count is
-  // oracle-checked (intensity stats are spec-tested).
-  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
-    import graft.ext.Multimodal
-    Multimodal.extractFeatures(Multimodal.fromText(t(s, d, "documents")))
-      .toDF()
-      .select(col("media_id"), col("n_bytes"))
-      .orderBy("media_id")
-  }
-
-  // gap-based batch sessionization (4h gap) — ANSI-portable windows.
-  def sessionize(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Sessionize.batch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
-      .orderBy("user_id", "session_id")
-
-  // IVF ANN (rows-only: KMeans centroids aren't SQL-expressible).
-  def ivfAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // salted skew join: events (probe) ⋈ customer (build, replicated ×8)
-  // on the user key; the salt never leaks into results, so the oracle
-  // is the plain join.
-  def saltedJoin(s: SparkSession, d: String): DataFrame = {
-    val probe = t(s, d, "events").withColumnRenamed("user_id", "c_custkey")
-    val build = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
-    graft.operators.SkewJoin.saltedJoin(probe, build, "c_custkey", salts = 8)
-      .groupBy(col("c_custkey"), col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-      .orderBy("c_custkey")
-  }
-
-  // exact distinct aggregation (expand + two-phase agg under the hood).
-  def distinctCounts(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_suppkey")).as("n_supps"),
-        count(lit(1)).as("n_rows"))
-      .orderBy("l_returnflag")
-
-  // ROLLUP grouping sets — subtotals + grand total with NULL markers.
-  def rollupSummary(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .rollup(col("l_returnflag"), col("l_linestatus"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
-      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
-
-  // CUBE grouping sets — all 4 grouping combinations in one pass.
-  def cubeSummary(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .cube(col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
-      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
-
-  // set operations: union / intersect / except between order-key slices.
-  def setOps(s: SparkSession, d: String): DataFrame = {
-    val o = t(s, d, "orders")
-    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
-    val both = urgent.intersect(open).withColumn("set_op", lit("intersect"))
-    val onlyUrgent = urgent.except(open).withColumn("set_op", lit("except"))
-    both.unionByName(onlyUrgent)
-      .groupBy(col("set_op")).agg(count(lit(1)).as("n_custs"))
-      .orderBy("set_op")
-  }
-
-  // exact percentiles (extends A1 beyond the §5.3 approx-percentile
-  // caveat: Spark `percentile` and DuckDB `quantile_cont` both do
-  // linear interpolation over the same exact doubles). Scale note:
-  // exact percentile buffers each group's values — fine for the 6-group
-  // key here at any row count, but for high-cardinality groups at
-  // 100 TB use approx_percentile (t-digest, bounded memory) and accept
-  // the §5.3 non-portability.
-  def percentiles(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
-        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
-        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
-        expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
-      .orderBy("l_returnflag")
-
-  // TF-IDF term statistics over documents (explode → two-level agg →
-  // join); idf as exact integer ratio, log left to callers (libm
-  // portability, see TextAnalysis.termStats).
-  def termStats(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.termStats(t(s, d, "documents"), "text", "doc_id")
-      .orderBy("doc_id", "term")
-
-  // deterministic train/test split via the md5 bucket labeller
-  // (Sampling.hashSplit) — engine-portable, so the split SET, not
-  // just the per-side sizes, is hash-gated against DuckDB replaying
-  // the same md5-threshold arithmetic (the q98/q103 discipline). The
-  // xxhash64 variant (Splits.hashSplit) keeps its spec coverage; it
-  // trades portability for a cheaper hash.
-  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
-    val customer = t(s, d, "customer")
-    graft.etl.Sampling.hashSplit(customer, col("c_custkey"),
-      Seq("train" -> 0.8, "test" -> 0.2), labelCol = "side")
-      .select(col("c_custkey"), col("side"))
-      .orderBy("c_custkey")
-  }
-
-  // S1 — CSV ingest through the real reader path: materialize the
-  // customer slice as CSV (the fixture the reference ships as
-  // Telco-Customer-Churn.csv, setup.py:206-221), then
-  // Cleanse.readCsv (header + schema inference) + recode/cast. The
-  // oracle reads the SAME files via DuckDB read_csv_auto, so the
-  // CSV parse itself is under cross-engine test. The dump path is
-  // derived from the dataset dir so concurrent runs at different SFs
-  // never overwrite each other's fixture mid-oracle-read; csvIngest
-  // records the path it used and the oracle SQL — built only after
-  // Verify has run the queries — interpolates the recorded value.
-  def csvFixturePathFor(d: String): String =
-    "/tmp/graft_q44_csv_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-  @volatile private[graft] var csvFixturePath: String =
-    csvFixturePathFor("/root/testdata/sf0.01")
-
-  def csvIngest(s: SparkSession, d: String): DataFrame = {
-    val fixture = csvFixturePathFor(d)
-    csvFixturePath = fixture
-    t(s, d, "customer")
-      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
-      .write.mode("overwrite").option("header", "true").csv(fixture)
-    graft.etl.Cleanse.readCsv(s, fixture)
-      .select(
-        col("c_custkey").cast("long").as("c_custkey"),
-        length(trim(col("c_name"))).as("name_len"),
-        graft.etl.Cleanse.recode(col("c_mktsegment"),
-          Seq("BUILDING" -> 1, "AUTOMOBILE" -> 2, "MACHINERY" -> 3)).as("segment_code"),
-        col("c_acctbal").cast("double").as("acctbal"))
-      .orderBy("c_custkey")
-  }
-
-  // A1 — the actual df.summary() API (Sean_Original.py:32). Percentile
-  // rows are approximate (SURVEY.md §5.3) and every cell is a formatted
-  // string, so this is a rows-only gate entry; exact parity of the
-  // count/mean/min/max rows against exact aggregates is spec-tested
-  // (SummaryParitySpec).
-  def summaryParity(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .summary()
-      .orderBy("summary")
+  protected def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
 
   private val pitStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
-  private def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
+  protected def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
     pitStores.computeIfAbsent((s, d), _ => graft.fs.FeatureStore.temp(s))
 
   private[graft] def invalidatePitStores(): Unit = pitStores.clear()
-
-  // ---------------------------------------------------------- dedup
-
-  def dedupExactGroups(s: SparkSession, d: String): DataFrame =
-    Dedup.exactGroups(t(s, d, "documents")).orderBy("keep_id")
-
-  def dedupExactRows(s: SparkSession, d: String): DataFrame =
-    Dedup.exactDedup(t(s, d, "documents")).orderBy("doc_id")
-
-  /** The synthetic corpus has no true near-dups, so the near-dup
-    * queries run over `documents` UNION a deterministically perturbed
-    * copy (doc_id + 1,000,000; first word dropped): every original doc
-    * gains one planted near-duplicate, which selective LSH banding must
-    * recover — candidate volume stays ~n, not n².
-    */
-  def docsWithPlantedDups(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    docs.unionByName(docs
-      .withColumn("doc_id", col("doc_id") + 1000000L)
-      .withColumn("text", regexp_replace(col("text"), "^\\S+\\s*", "")))
-  }
-
-  def minhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashPairs(docsWithPlantedDups(s, d), "text", "doc_id",
-      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
-      .orderBy("id_a", "id_b")
-
-  def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(docsWithPlantedDups(s, d), "text", "doc_id", maxHamming = 8)
-      .orderBy("id_a", "id_b")
-
-  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(docsWithPlantedDups(s, d), "text", "doc_id",
-      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4)
-      .orderBy("id_a", "id_b")
-
-  // ---------------------------------------------------- text analysis
-
-  def tokenCount(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .orderBy("doc_id")
-
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val txt = col("text")
-    t(s, d, "documents").select(
-      (col("doc_id") +:
-        TextAnalysis.langOrder.map(l => TextAnalysis.langScore(txt, l).as(s"score_$l")) :+
-        TextAnalysis.predictedLang(txt).as("pred_lang")): _*)
-      .orderBy("doc_id")
-  }
-
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val feats = TextAnalysis.qualityFeatures(col("text"))
-      .map { case (n, c) => c.as(n) }
-    t(s, d, "documents")
-      .select((col("doc_id") +: feats :+ TextAnalysis.qualityScore(col("text")).as("quality")): _*)
-      .orderBy("doc_id")
-  }
-
-  def fingerprintDocs(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents")
-      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
-      .orderBy("doc_id")
-
-  // ------------------------------------------------------ similarity
-
-  def embeddingKnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-      .orderBy("query_id", "rank")
-  }
-
-  // near-dup pairs at t=0.4, hash-gated against the exhaustive DuckDB
-  // all-pairs oracle. Round 6: the GATE runs the exact tiled path so
-  // the gate row is deterministic at every SF — the banded-LSH variant
-  // (probabilistic recall, miss odds grow with the qualifying-pair
-  // count) moved to its own rows-only entry (q66) and keeps its
-  // equals-the-exact-oracle assertion in ExtSpec on gate data.
-  def cosineNearDup(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.4)
-      .orderBy("id_a", "id_b")
-
-  // the LSH path itself, rows-only (probabilistic by design — recall
-  // budget sized by missProb, not exact-equality-gated; parity with the
-  // exact path is spec-asserted in ExtSpec on gate data). 1e-8/pair
-  // (r=4, b=107) keeps whole-corpus miss odds ~1e-5 at sf0.1 scale.
-  def cosineLshPairs(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineNearDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4, dim = 64,
-      missProb = 1e-8)
-      .orderBy("id_a", "id_b")
-
-  def lshAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
-      .orderBy("query_id", "rank")
-  }
-
-  // tiled exhaustive cosine pairs — the distributed exact path for
-  // thresholds LSH can't prune; same all-pairs DuckDB oracle shape as
-  // q30 at a different threshold.
-  def cosineTiled(s: SparkSession, d: String): DataFrame =
-    Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
-      .orderBy("id_a", "id_b")
-
-  // pivot — wide per-status counts per priority (Expand + one agg
-  // under the hood). Absent (priority, status) cells are 0, not NULL,
-  // matching the oracle's sum(CASE) encoding.
-  def pivotStatus(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy(col("o_orderpriority"))
-      .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(count(lit(1)))
-      .na.fill(0L, Seq("F", "O", "P"))
-      .orderBy("o_orderpriority")
-
-  // unpivot/melt — the inverse reshape: wide numeric columns to
-  // (metric, value) rows; the standard feature-long-format step.
-  def unpivotLineitem(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .select(col("l_orderkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_tax"))
-      .unpivot(
-        Array(col("l_orderkey"), col("l_linenumber")),
-        Array(col("l_quantity"), col("l_tax")),
-        "metric", "val")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
-
-  // Correlated scalar subquery (TPC-H Q2/Q17 shape): each customer's
-  // most expensive order(s). Catalyst decorrelates
-  // (RewriteCorrelatedScalarSubquery) into an aggregate + join — the
-  // subquery never executes per-row. max() keeps the predicate exact
-  // in both engines (no avg division portability trap, §5.3).
-  def correlatedMaxOrder(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders o
-        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
-        |                      FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin)
-  }
-
-  // Range (interval) join: events landing inside the 60-second window
-  // opened by each purchase event. The naive non-equi join is a
-  // BroadcastNestedLoopJoin; RangeJoin buckets both sides on time so
-  // the only shuffle is a bucket-id equi-join (the DuckDB oracle runs
-  // the naive form — equality is the point). Output is bare id pairs:
-  // fully portable, no timestamp columns to hash.
-  def rangeJoinEvents(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("ts").as("p_start"),
-        (col("ts") + expr("INTERVAL 60 SECONDS")).as("p_end"))
-    val points = ev.select(col("event_id"), col("ts"))
-    graft.operators.RangeJoin
-      .intervalJoin(purchases, points, "p_start", "p_end", "ts", "1 minute")
-      .filter(col("event_id") =!= col("purchase_id"))
-      .select(col("purchase_id"), col("event_id"))
-      .orderBy("purchase_id", "event_id")
-  }
-
-  // TPC-H Q20 shape (doubly nested): IN subquery whose HAVING holds a
-  // correlated scalar subquery over a derived table. Exercises
-  // multi-level decorrelation (RewriteCorrelatedScalarSubquery under a
-  // RewritePredicateSubquery). Quantities are integral doubles, so the
-  // threshold comparison is exact in both engines; output carries no
-  // floats.
-  def nestedCorrelated(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    // TPC-H-Q20-shaped semantics: suppliers whose per-part quantity
-    // beats 2× the average per-supplier quantity for that part. The
-    // naive doubly-nested correlated HAVING subquery decorrelates into
-    // THREE lineitem scans (round-5 plan audit); this is the single-
-    // scan form a production engine rewrites to — group once, then the
-    // correlated "avg over suppliers of the same part" becomes a
-    // window avg over the grouped CTE. The DuckDB oracle still runs
-    // the nested-correlated formulation, so the gate cross-checks the
-    // two formulations against each other. Decorrelation itself stays
-    // pinned by q51.
-    s.sql(
-      """WITH g AS (
-        |  SELECT l_suppkey, l_partkey, sum(l_quantity) AS q
-        |  FROM lineitem GROUP BY l_suppkey, l_partkey)
-        |SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (
-        |  SELECT l_suppkey FROM (
-        |    SELECT l_suppkey, q, avg(q) OVER (PARTITION BY l_partkey) AS aq FROM g)
-        |  WHERE q > 2 * aq)
-        |ORDER BY s_suppkey""".stripMargin)
-  }
-
-  // RANGE-frame window: per-customer 30-day rolling revenue — the
-  // interval frame (RANGE BETWEEN n PRECEDING) the row_number/rank
-  // queries don't touch. Frame bounds run on epoch-µs longs in both
-  // engines; the sum is exact DECIMAL cast to double at the end.
-  def rollingRevenue(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("_us"))
-      .rangeBetween(-2592000000000L, Window.currentRow) // 30 days in µs
-    t(s, d, "orders")
-      .withColumn("_us", unix_micros(col("o_orderdate").cast("timestamp")))
-      .select(col("o_orderkey"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-          .cast("double").as("rolling_30d"))
-      .orderBy("o_orderkey")
-  }
-
-  // Sketch aggregations (rows-only: HLL/quantile-sketch estimates are
-  // engine-specific by construction — the accuracy contract vs the
-  // exact values is spec-tested instead): approx_count_distinct is
-  // Spark's HyperLogLog++, approx_percentile its quantile sketch. At
-  // 100 TB these replace exact distinct/percentile shuffles with
-  // constant-size mergeable state — the standard pre-aggregation
-  // trade.
-  def approxStats(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
-      .orderBy("l_returnflag", "l_linestatus")
-
-  // TPC-H Q3 shape: 3-table join, date band on both sides, exact
-  // decimal revenue, deterministic top-10 (revenue DESC + key).
-  def shippingPriority(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  unix_micros(CAST(o_orderdate AS TIMESTAMP)) AS o_orderdate_us,
-        |  o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin)
-  }
-
-  // TPC-H Q8 shape: the widest join in the gate — 6 tables with nation
-  // in two roles (customer region filter, supplier market share). The
-  // share is a division of two exact-decimal sums cast to double, so
-  // both engines derive identical doubles.
-  def marketShare(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
-        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
-        |FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey
-        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-        |  AND s_nationkey = n2.n_nationkey AND r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
-  }
-
-  // Data-quality expectations audit: five declarative checks compiled
-  // into one scan (plus one anti-join for referential integrity). The
-  // oracle recomputes each count with plain SQL.
-  def expectationsAudit(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Expectations._
-    val li = t(s, d, "lineitem")
-    audit(li, Seq(
-      NotNull("l_orderkey"),
-      InRange("l_quantity", 1, 50),
-      InSet("l_returnflag", Seq("A", "N", "R")),
-      UniqueKey(Seq("l_orderkey", "l_linenumber")),
-      Satisfies(col("l_discount") >= 0 && col("l_discount") <= 0.1, "discount_bounds"),
-      RefIntegrity("l_orderkey", t(s, d, "orders"), "o_orderkey")))
-      .orderBy("check")
-  }
-
-  // Quarantine split: events failing their expectations, with the
-  // violated checks joined into a portable string. The clean/dirty
-  // row sets and reasons are recomputed independently by the oracle.
-  def quarantineEvents(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.Expectations._
-    val (_, bad) = enforce(t(s, d, "events"), Seq(
-      NotNull("user_id"),
-      InRange("value", 0, 400),
-      InSet("event_type", Seq("click", "view", "purchase", "signup", "error"))))
-    bad.select(col("event_id"),
-      concat_ws(",", col("violations")).as("violations"))
-      .orderBy("event_id")
-  }
-
-  // Scalable decontamination: word-8-gram fingerprint equi-join (the
-  // corpus-sized-probe-set path; q75 is the broadcast-substring path).
-  // Probe docs hit themselves on every gram; word-soup text shares no
-  // natural 8-gram runs, so the oracle cross-checks the full explode →
-  // dedupe → join → count pipeline.
-  def contaminationNgram(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-    TextAnalysis.contaminationHitsNgram(docs, "doc_id", "text",
-      probes, "text", n = 8)
-      .orderBy("doc_id")
-  }
-
-  // Bloom-prefiltered decontamination — same fixture and result as
-  // q79 (the oracle is the exact-overlap SQL; bloom FPs die in the
-  // confirming join), but the corpus gram stream is cut at the scan
-  // by might_contain against a one-row broadcast bloom before
-  // anything shuffles.
-  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-    TextAnalysis.contaminationHitsNgramBloom(docs, "doc_id", "text",
-      probes, "text", n = 8, expectedGrams = 1L << 16)
-      .orderBy("doc_id")
-  }
-
-  // Materialized IVF index: build the cell-partitioned index, then
-  // probe it — the probe's corpus scan is statically partition-pruned
-  // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
-  // Rows-only: cell routing depends on the engine's KMeans. The timed
-  // work is honest index-build + pruned probe.
-  def ivfIndexedAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val dir = "/tmp/graft_ivfidx_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-    Similarity.ivfIndexWrite(emb, dir, nlist = 16)
-    Similarity.ivfIndexedTopK(s, dir, emb.filter(col("vec_id") < 10),
-      k = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  // TPC-H Q18 shape (large-volume orders): the IN subquery with a
-  // HAVING aggregate becomes a semi join against the grouped lineitem
-  // — the group-by and BOTH joins share the l_orderkey partitioning.
-  // Quantities sum as exact decimals on both engines.
-  def bigVolumeOrders(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    val bigOrders = li.groupBy(col("l_orderkey"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("q"))
-      .filter(col("q") > 300).select(col("l_orderkey").as("big_okey"))
-    t(s, d, "orders")
-      .join(bigOrders, col("o_orderkey") === col("big_okey"), "left_semi")
-      .join(broadcast(t(s, d, "customer")), col("o_custkey") === col("c_custkey"))
-      .join(li, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("c_custkey"), col("o_orderkey"))
-      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
-        .cast("double").as("total_qty"))
-      .orderBy(desc("total_qty"), asc("o_orderkey"))
-      .limit(100)
-  }
-
-  // Window-function suite: the rank/offset/distribution family over
-  // one per-customer frame — lag/lead (offsets), percent_rank and
-  // cume_dist (exact integer-ratio doubles), ntile (integer). The
-  // ORDER BY carries the key so ties cannot reorder.
-  def windowSuite(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_custkey"))
-      .orderBy(col("o_orderdate"), col("o_orderkey"))
-    t(s, d, "orders").select(
-      col("o_orderkey"),
-      lag(col("o_totalprice"), 1).over(w).as("prev_price"),
-      lead(col("o_totalprice"), 1).over(w).as("next_price"),
-      percent_rank().over(w).as("pct_rank"),
-      cume_dist().over(w).as("cume"),
-      ntile(4).over(w).as("quartile"))
-      .orderBy("o_orderkey")
-  }
-
-  // Gopher-style bigram repetition filter over the corpus (pure HOF
-  // scan pass; see TextAnalysis.repetitionStats).
-  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
-    val cols = TextAnalysis.repetitionStats(col("text"))
-    t(s, d, "documents")
-      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
-  }
-
-  // PII scrub: every 50th doc gets a deterministic planted email +
-  // phone (the corpus carries none naturally), then the scrubber
-  // redacts and counts. The oracle replants identically, so the gate
-  // checks the regex semantics end to end.
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val planted = t(s, d, "documents").withColumn("t2",
-      when(col("doc_id") % 50 === 0,
-        concat(col("text"), lit(" Contact user"),
-          col("doc_id").cast("string"), lit("@example.com or 555-867-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
-        .otherwise(col("text")))
-    planted.select(
-      col("doc_id"),
-      TextAnalysis.piiCount(col("t2")).as("n_pii"),
-      TextAnalysis.scrubPii(col("t2")).as("clean_text"))
-      .orderBy("doc_id")
-  }
-
-  // Benchmark decontamination: probes are verbatim extracts from a
-  // fixed handful of docs (so they certainly occur somewhere); hits
-  // per doc via a broadcast probe join — single corpus scan.
-  def contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-      .select(substring(col("text"), 5, 48).as("probe"))
-    TextAnalysis.contaminationHits(docs, "doc_id", "text", probes, "probe")
-      .withColumn("n_hits", col("n_hits").cast("long"))
-      .orderBy("doc_id")
-  }
-
-  // Count-Min heavy hitters — oracle-gated ON PURPOSE: at event_type
-  // cardinality (5 values) the d=5/w=8192 sketch is collision-free
-  // under its fixed seeds, so the min-over-rows estimate equals the
-  // exact count deterministically and the gate cross-checks the whole
-  // sketch path (hash → counters → candidate heap → re-rank) against
-  // a plain GROUP BY. High-cardinality behavior — overestimate-only,
-  // ε·N error bound, eviction, layout invariance — is spec-tested on
-  // skewed synthetic data (SketchAggregatesSpec).
-  def cmHeavyHitters(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .agg(graft.functions.SketchAggregates.cmTopK(col("event_type"), 10).as("top"))
-      .select(explode(col("top")).as("hh"))
-      .select(col("hh.item").as("item"), col("hh.est").as("est"))
-      .orderBy(desc("est"), asc("item"))
-
-  // KMV sketch aggregate (rows-only: the estimate depends on the
-  // engine's hash; the exact/merge contracts are spec-tested) — the
-  // custom TypedImperativeAggregate tier exercised through a query.
-  def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
-        .as("approx_orders"))
-      .orderBy("l_returnflag")
-
-  // Per-group feature standardization (z-score) — the core feature-
-  // scaling transform, computed from EXACT decimal window sums so the
-  // derived doubles (mean, sample stddev, z) are bit-identical in both
-  // engines (same trick as q10; the formula text mirrors the oracle's).
-  def standardizeFeatures(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("c_mktsegment"))
-    val dec = col("c_acctbal").cast(DecimalType(18, 2))
-    t(s, d, "customer")
-      .withColumn("_n", count(lit(1)).over(w))
-      .withColumn("_sum", sum(dec).over(w).cast("double"))
-      .withColumn("_sumsq", sum((dec * dec).cast(DecimalType(38, 4))).over(w).cast("double"))
-      .select(col("c_custkey"), col("c_mktsegment"),
-        ((col("c_acctbal") - col("_sum") / col("_n")) /
-          sqrt((col("_sumsq") - col("_sum") * col("_sum") / col("_n"))
-            / (col("_n") - 1))).as("acctbal_z"))
-      .orderBy("c_custkey")
-  }
-
-  // Z-order curve values over integer ranks (no float scaling — the
-  // masked ints are the ranks, so the DuckDB oracle can rebuild the
-  // Morton interleave with plain bit ops and the gate hash-checks the
-  // fused InterleaveBits expression against an independent
-  // implementation).
-  def zorderValues(s: SparkSession, d: String): DataFrame = {
-    val ranks = Seq(
-      col("c_custkey").bitwiseAND(lit(255L)).cast("long"),
-      col("c_nationkey").bitwiseAND(lit(255L)).cast("long"))
-    t(s, d, "customer")
-      .select(col("c_custkey"),
-        graft.functions.VectorExpressions.interleaveBits(ranks, bits = 8).as("z"))
-      .orderBy("c_custkey")
-  }
-
-  // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
-  // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
-  def pqAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
-      .orderBy("query_id", "rank")
-  }
-
-  // IVF+PQ composed ANN (the faiss IVFPQ design, Jégou et al. 2011):
-  // a coarse quantizer routes each vector to one of nlist cells; PQ
-  // codes are stored per cell; a query scans only its nprobe nearest
-  // cells by ADC, then the short list is re-ranked exactly. At 100 TB
-  // this is THE scale path: cells partition the corpus (partition
-  // pruning on the cell id), codes are 8 bytes/vector, and only
-  // nprobe/nlist of the data is touched per query. Rows-only (cell
-  // routing depends on the engine's KMeans); recall + pruning are
-  // spec-tested (PqSpec).
-  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val coarse = Pq.trainCoarse(emb, dim = 64, nlist = 16)
-    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, coarse, cb,
-      nprobe = 4)
-      .orderBy("query_id", "rank")
-  }
-
-  // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
-  // lineitem, counted by priority — the EXISTS subquery expressed as a
-  // semi join so the probe side never duplicates (no distinct needed,
-  // build side carries only the join key).
-  def semiJoinPriority(s: SparkSession, d: String): DataFrame = {
-    val big = t(s, d, "lineitem").filter(col("l_quantity") >= 45).select(col("l_orderkey"))
-    t(s, d, "orders")
-      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
-      .groupBy(col("o_orderpriority"))
-      .agg(count(lit(1)).as("n_orders"))
-      .orderBy("o_orderpriority")
-  }
-
-  // LEFT ANTI join (NOT EXISTS): customers who never placed an URGENT
-  // order, per market segment (every customer has SOME order in the
-  // synthetic data, so the anti side must be predicated to be
-  // non-trivial).
-  def antiJoinCustomers(s: SparkSession, d: String): DataFrame = {
-    val urgent = t(s, d, "orders")
-      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
-    t(s, d, "customer")
-      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
-      .groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_custs"))
-      .orderBy("c_mktsegment")
-  }
-
-  // TPC-H Q2 shape: suppliers offering a part at that part's minimum
-  // single-line price. The oracle runs the NAIVE correlated-scalar-
-  // aggregate form (`l_extendedprice = (SELECT min(...) WHERE
-  // l2.l_partkey = l_partkey)`); this side runs the production
-  // rewrite — aggregate once, join back on the part key. The min-agg
-  // and the join share the l_partkey hash partitioning, so the
-  // rewrite costs ONE extra shuffle of the 2-column agg output and
-  // never recomputes lineitem. Price equality on doubles is exact
-  // (min/=, no arithmetic); ties keep every minimum-price supplier,
-  // exactly like Q2.
-  def minCostSupplier(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-    val minp = li.groupBy(col("l_partkey").as("m_partkey"))
-      .agg(min(col("l_extendedprice")).as("minp"))
-    li.join(minp, col("l_partkey") === col("m_partkey") &&
-        col("l_extendedprice") === col("minp"))
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .select(col("p_partkey"), col("p_name"), col("s_suppkey"), col("s_name"))
-      .distinct()
-      .orderBy("p_partkey", "s_suppkey")
-  }
-
-  // TPC-H Q21 shape (the sole-blame pattern): suppliers whose 'R'
-  // return lines sit on multi-supplier orders where NO other supplier
-  // returned — EXISTS (semi) + NOT EXISTS (anti) self-joins on the
-  // fact table, both compiled to hash joins on l_orderkey. Output is
-  // counts of distinct orders — fully portable (no floats).
-  def waitingSuppliers(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |WHERE l1.l_returnflag = 'R'
-        |  AND EXISTS (
-        |    SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_returnflag = 'R')
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin)
-  }
-
-  // Higher-order array functions over the embedding column — the
-  // builtin-HOF tier (transform/zip_with/aggregate) the custom
-  // expressions deliberately bypass elsewhere. All three derived
-  // values fold left-to-right in array order in BOTH engines
-  // (DuckDB list_reduce is sequential; 0.0 + x == x in IEEE, so the
-  // init-vs-first-element difference is exact), so doubles
-  // hash-match bit-for-bit.
-  def vectorNorms(s: SparkSession, d: String): DataFrame = {
-    val e = col("embedding").cast("array<double>")
-    t(s, d, "embeddings").select(
-      col("vec_id"),
-      sqrt(aggregate(zip_with(e, e, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-        .as("l2_norm"),
-      aggregate(transform(e, x => abs(x)), lit(0.0), (acc, v) => acc + v)
-        .as("l1_norm"),
-      array_max(transform(e, x => abs(x))).as("max_abs"))
-      .orderBy("vec_id")
-  }
-
-  // TPC-H-Q9-shaped 3-table fact join over the two otherwise-unread
-  // sources (part, supplier): broadcast dims, decimal-exact revenue.
-  def partSupplierRevenue(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part")), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, d, "supplier")), col("l_suppkey") === col("s_suppkey"))
-      .groupBy(col("p_brand"), col("s_nationkey"))
-      .agg(
-        count(lit(1)).as("n_items"),
-        sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
-          (lit(1) - col("l_discount").cast(DecimalType(18, 2)))))
-          .cast("double").as("revenue"))
-      .orderBy("p_brand", "s_nationkey")
-
-  // Semantic dedup, exact retained set: earliest-survivor rule over
-  // the tiled all-pairs cosine join. Same similarity expression the
-  // hash-matched q46 gate runs, so the threshold boundary is
-  // bit-identical to the DuckDB NOT EXISTS oracle.
-  def semanticDedupExact(s: SparkSession, d: String): DataFrame =
-    graft.ext.SemanticDedup.retainExact(t(s, d, "embeddings"), 0.45)
-      .orderBy("vec_id")
-
-  // SemDeDup (clustered) variant: rows-only — the k-means cell
-  // assignment is engine-specific; the contract vs the exact rule is
-  // spec-asserted (SemanticDedupSpec).
-  def semanticDedupClustered(s: SparkSession, d: String): DataFrame =
-    graft.ext.SemanticDedup.retainClustered(t(s, d, "embeddings"), 0.45,
-      nlist = 8)
-      .select(col("vec_id"))
-      .orderBy("vec_id")
-
-  // Corpus-driven top-k stop-word pruning: document-frequency rank is
-  // exact integers with a total tie-break, so the stop list — and
-  // therefore every rebuilt text — is deterministic at any SF.
-  def vocabPrune(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.pruneTopWords(t(s, d, "documents"), k = 5)
-      .orderBy("doc_id")
-
-  // TPC-H Q10 shape: returned-item revenue per customer — fact join
-  // with a date band, broadcast nation dim, deterministic top-20.
-  def returnedItems(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  c_acctbal, n_name
-        |FROM customer, orders, lineitem, nation
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
-        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
-  }
-
-  // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
-  // Catalyst splits the OR across the join: the p_brand/p_size arms
-  // push into the part scan, the l_quantity bounds into lineitem, and
-  // the residual OR evaluates post-join — the pushdown pattern naive
-  // disjunctive predicates rely on.
-  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey AND (
-        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 25)
-        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
-        |       AND l_quantity BETWEEN 10 AND 40)
-        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
-        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin)
-  }
-
-  // TPC-H Q22 shape: customers above the global positive-balance mean
-  // with no RECENT (2000+) orders. The mean comparison is cross-multiplied
-  // (c_acctbal · n > Σ) so both engines compare exact decimals — no
-  // float boundary to flake on; the no-orders leg is a hash anti join.
-  def idleCustomers(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """WITH s AS (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
-        |         count(*) AS n
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer, s
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= DATE '2000-01-01')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-  }
-
-  // Layout-aware scan: events rewritten PARTITIONED BY event_type,
-  // then read back with a partition filter — the scan lists only the
-  // matching directory (PartitionFilters; PruningSpec pins the plan
-  // mechanics, this gates the end-to-end result). Fixture dir derives
-  // from the dataset dir so concurrent runs on different SFs never
-  // collide (the q44 lesson).
-  def partitionedScan(s: SparkSession, d: String): DataFrame = {
-    val dir = "/tmp/graft_evpart_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-    t(s, d, "events")
-      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
-      .write.mode("overwrite").partitionBy("event_type").parquet(dir)
-    s.read.parquet(dir)
-      .filter(col("event_type") === "purchase")
-      .groupBy(col("user_id"))
-      .agg(count(lit(1)).as("n_purchases"),
-        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
-      .orderBy("user_id")
-  }
-
-  // Array aggregation: per-customer sorted order-total list reduced to
-  // scalar probes (ends + middle). collect_list is partition-order
-  // nondeterministic, so the gate-portable contract is collect + SORT;
-  // the element probes hash-check that contract without emitting an
-  // array column (driver compare is scalar-typed).
-  def groupedArrays(s: SparkSession, d: String): DataFrame =
-    t(s, d, "orders")
-      .groupBy(col("o_custkey"))
-      .agg(sort_array(collect_list(col("o_totalprice"))).as("totals"))
-      .select(col("o_custkey"),
-        size(col("totals")).cast("long").as("n_orders"),
-        element_at(col("totals"), 1).as("min_total"),
-        element_at(col("totals"), -1).as("max_total"),
-        expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
-      .orderBy("o_custkey")
-
-  // Conversion funnel: per-user first view / first subsequent purchase
-  // — conditional-min aggregates over one events scan, epoch-µs output
-  // (the q17 timestamp discipline). NULL-safe conversion flag via
-  // coalesce so never-purchased users gate to 0, not NULL.
-
-  /** The funnel aggregate itself, over a frame with (user_id,
-    * event_type, us) — SHARED by the q93 batch gate and the streaming
-    * `StreamingFeatures.maintainFunnelState`, so stream/batch parity
-    * holds by construction (the q08 shared-builder discipline). Both
-    * mins are mergeable, which is what makes the same expression a
-    * valid running streaming state.
-    */
-  def funnelAgg(ev: DataFrame): DataFrame =
-    ev.groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
-        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase_us"))
-      .withColumn("converted",
-        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
-          .cast("int"))
-
-  def conversionFunnel(s: SparkSession, d: String): DataFrame =
-    funnelAgg(t(s, d, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us")))
-      .orderBy("user_id")
-
-  // Cohort retention: users bucketed by the ISO week of their first
-  // event; activity weeks indexed by exact micro-second arithmetic
-  // ((w − cohort_w) div week_µs — both weeks are date_trunc'd so the
-  // division is exact, no calendar functions past the shared trunc).
-  def cohortRetention(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-    val first = ev.groupBy(col("user_id"))
-      .agg(unix_micros(date_trunc("week", min(col("ts")))).as("cohort_us"))
-    val active = ev
-      .select(col("user_id"),
-        unix_micros(date_trunc("week", col("ts"))).as("w_us"))
-      .distinct()
-    active.join(first, Seq("user_id"))
-      .groupBy(col("cohort_us"),
-        ((col("w_us") - col("cohort_us")) / lit(604800000000L)).cast("long")
-          .as("week_n"))
-      .agg(count(lit(1)).cast("long").as("n_users"))
-      .orderBy("cohort_us", "week_n")
-  }
-
-  // Behavioral transition matrix: counts of consecutive event-type
-  // pairs per user timeline (lead over the per-user time order, then
-  // one group-by) — the Markov-chain input for path analysis. Total
-  // ordering (us, event_id) makes the pairs deterministic under ties.
-  def eventTransitions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type"), col("next_type"))
-      .agg(count(lit(1)).as("n_transitions"))
-      .orderBy("event_type", "next_type")
-  }
-
-  // Session-scoped funnel: the q93 conversion shape applied WITHIN
-  // gap-based sessions — per (user, session), first view and first
-  // later purchase. Composes the per-event session assignment with
-  // conditional-min aggregates; the whole plan still has one exchange
-  // on user_id (windows and group-by share it).
-  def sessionFunnel(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Sessionize
-      .assignBatch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("_us"))).as("first_view_us"),
-        min(when(col("event_type") === "purchase", col("_us"))).as("first_purchase_us"))
-      .withColumn("converted",
-        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
-          .cast("int"))
-      .orderBy("user_id", "session_id")
-
-  // Fuzzy string matching: distinct part-name pairs within edit
-  // distance 2 — q-gram-blocked candidates, exact levenshtein filter
-  // (identical unit-cost edit distance in both engines). The DuckDB
-  // oracle runs the naive all-pairs form; equality proves the
-  // count-filter blocking loses no pair.
-  def fuzzyNamePairs(s: SparkSession, d: String): DataFrame =
-    Dedup.editDistancePairs(t(s, d, "part"), "p_name", maxDist = 2)
-      .orderBy("name_a", "name_b")
-
-  // Robust scaling: (x − median)/IQR per customer balance — the
-  // outlier-insensitive sibling of q60's z-score; exact percentile
-  // edges make the scaled doubles bit-portable.
-  def robustScaleBalances(s: SparkSession, d: String): DataFrame =
-    graft.etl.Encoders.robustScale(
-        t(s, d, "customer").select(col("c_custkey"), col("c_acctbal")),
-        "c_acctbal", "acctbal_r")
-      .orderBy("c_custkey")
-
-  // Leave-one-out target encoding of order priority against the
-  // "order finished" label: integer group counts and sums enter ONE
-  // IEEE double expression written identically in the oracle, so the
-  // encoded doubles hash-match.
-  def targetEncodePriority(s: SparkSession, d: String): DataFrame =
-    graft.etl.Encoders.targetEncodeLoo(
-        t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority"),
-          col("o_orderstatus")),
-        "o_orderpriority", col("o_orderstatus") === "F", "enc_f",
-        smoothing = 10.0)
-      .select(col("o_orderkey"), col("enc_f"))
-      .orderBy("o_orderkey")
-
-  // Quantile discretization: decile-bin o_totalprice and aggregate
-  // per bin. Exact percentile edges are bit-identical to DuckDB
-  // quantile_cont (the q42 contract), so bin boundaries — and
-  // therefore every per-bin aggregate — hash-match.
-  def decileBinning(s: SparkSession, d: String): DataFrame =
-    graft.etl.Discretize.withQuantileBins(
-        t(s, d, "orders").select(col("o_orderkey"), col("o_totalprice")),
-        "o_totalprice", nBins = 10)
-      .groupBy(col("bin"))
-      .agg(count(lit(1)).as("n_orders"),
-        sum(col("o_totalprice").cast(DecimalType(18, 2)))
-          .cast("double").as("total"),
-        min(col("o_totalprice")).as("mn"),
-        max(col("o_totalprice")).as("mx"))
-      .orderBy("bin")
-
-  // Incremental aggregate maintenance: state built from the pre-1999
-  // orders, the 1999+ tail folded in as a delta — the oracle
-  // recomputes over ALL orders, so the gate hash-checks
-  // merge(build(base), delta) ≡ build(base ∪ delta) end-to-end.
-  def incrementalAggRefresh(s: SparkSession, d: String): DataFrame = {
-    import graft.operators.IncrementalAgg
-    val orders = t(s, d, "orders")
-    val cut = lit("1999-01-01").cast("timestamp")
-    val keys = Seq("o_orderpriority")
-    val state = IncrementalAgg.build(
-      orders.filter(col("o_orderdate") < cut), keys, "o_totalprice")
-    IncrementalAgg.merge(state,
-        orders.filter(col("o_orderdate") >= cut), keys, "o_totalprice")
-      .select(col("o_orderpriority"), col("cnt"),
-        col("sm").cast("double").as("total"), col("mn"), col("mx"))
-      .orderBy("o_orderpriority")
-  }
-
-  // Duplicate CLUSTERS from near-dup pairs: exact cosine pairs (the
-  // q30 edge set) closed into connected components by the alternating
-  // star algorithm, every vector labeled with its component's min id
-  // (singletons label themselves). The DuckDB oracle recomputes the
-  // transitive closure with a recursive CTE — a hash match proves the
-  // O(log n) distributed algorithm equals the declarative fixpoint.
-  def dupClusters(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val comp = Components.connectedComponents(pairs)
-    emb.select(col("vec_id"))
-      .join(comp, col("vec_id") === col("node"), "left")
-      .select(col("vec_id"),
-        coalesce(col("component"), col("vec_id")).as("component"))
-      .orderBy("vec_id")
-  }
-
-  // Deterministic stratified sampling: per-source keep fractions
-  // decided by md5(doc_id) — the same filter expression the oracle
-  // runs, so the sampled row SET matches exactly (not just its size).
-  def stratifiedSample(s: SparkSession, d: String): DataFrame =
-    graft.etl.Sampling.stratifiedSample(
-        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-        "source", col("doc_id"),
-        fracs = Map("src0" -> 0.75, "src1" -> 0.5, "src2" -> 0.25),
-        defaultFrac = 0.1)
-      .orderBy("doc_id")
-
-  // Fixed-size overlapping token chunks (64-token windows, stride 48)
-  // — the context-window prep pass; narrow flatMap, zero shuffles.
-  def chunkDocuments(s: SparkSession, d: String): DataFrame =
-    Chunking.chunkTokens(t(s, d, "documents"), chunkSize = 64, overlap = 16)
-      .orderBy("doc_id", "chunk_id")
-
-  // Sequence-packing plan at a 512-token budget: per-source running
-  // token offsets and the pack span each document occupies.
-  def packingPlan(s: SparkSession, d: String): DataFrame =
-    Chunking.packingPlan(t(s, d, "documents"), budget = 512)
-      .orderBy("doc_id")
-
-  // End-to-end near-dup dedup: MinHash pairs → connected components →
-  // keep the min-id doc per cluster. Rows-only (§5.3: xxhash64 not
-  // portable); transitive-retention semantics spec-asserted against
-  // driver-side union-find in ComponentsSpec.
-  def nearDupDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupRetain(t(s, d, "documents"))
-      .select(col("doc_id"), col("source"))
-      .orderBy("doc_id")
-
-  // Corpus mix rebalancing: down-sample three sources to a 0.5/0.3/0.2
-  // mix. Counts are equal per source, so src0's fraction computes to
-  // EXACTLY 1.0 (0.5·scale/n with scale = n/0.5) — deliberately
-  // exercising the keep-everything sentinel branch next to the two
-  // md5-threshold branches, in both engines.
-  def mixRebalance(s: SparkSession, d: String): DataFrame =
-    graft.etl.Sampling.sampleToMix(
-        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-        "source", col("doc_id"),
-        targets = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2))
-      .orderBy("doc_id")
-
-  // Quality curation: top 40% per source by quality score, doc_id
-  // tie-break — percent_rank window, exact integer-ratio doubles.
-  def qualityTopFraction(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents").select(col("doc_id"), col("source"),
-      TextAnalysis.qualityScore(col("text")).as("quality"))
-    graft.etl.Sampling
-      .topFractionBy(docs, "source", 0.4, col("quality").desc, col("doc_id"))
-      .orderBy("doc_id")
-  }
-
-  // TPC-H Q13 shape: distribution of customers by order count,
-  // INCLUDING zero-order customers — the left-outer + group-on-the-
-  // aggregate double grouping; both group-bys and the join share the
-  // customer key, so one partitioning serves all three at scale.
-  def custOrderHistogram(s: SparkSession, d: String): DataFrame = {
-    val perCust = t(s, d, "customer").select(col("c_custkey"))
-      .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
-    perCust.groupBy(col("c_count"))
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
-  }
-
-  // TPC-H Q17 shape: revenue lost to small-quantity orders of one
-  // brand's parts. The oracle runs the naive correlated-avg subquery;
-  // the engine aggregates the per-part avg ONCE and joins it back
-  // (the q69 decorrelation discipline) — both under the exact-decimal
-  // sum / double-division contract so the single output double
-  // hash-matches.
-  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val brandParts = t(s, d, "part")
-      .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
-    val li = t(s, d, "lineitem")
-      .join(brandParts, col("l_partkey") === col("p_partkey"))
-    val avgs = li.groupBy(col("l_partkey").as("_pk"))
-      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
-    li.join(avgs, col("l_partkey") === col("_pk"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
-  }
-
-  // TPC-H Q14 shape: promo revenue share — a conditional-ratio
-  // aggregate over a broadcast part join; both sums exact-decimal,
-  // division in double (the §5.3 contract), so the single output
-  // double hash-matches.
-  def promoRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val rev = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1996-04-01").cast("date"))
-      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
-        col("l_partkey") === col("p_partkey"))
-      .agg((lit(100.0) *
-        sum(when(col("p_type").startsWith("PROMO"), rev)
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
-        sum(rev).cast("double")).as("promo_revenue"))
-  }
-
-  // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
-  // The revenue "view" subtree appears twice (group-by + its max) —
-  // both scans carry the pushed shipdate filter, and the 1-row max
-  // BROADCASTS back onto the grouped frame: the max-equality never
-  // runs as a single-partition window over the supplier set (the
-  // 100 TB cliff). At scale, materialize the revenue view once
-  // (persist / CTAS) instead of re-deriving it for the max.
-  // Equality on the DECIMAL revenue is exact in both engines; the
-  // cast to double happens after.
-  def topSupplier(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val rev = t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1996-04-01").cast("date"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
-    rev.join(broadcast(rev.agg(max(col("rev_dec")).as("mx"))),
-        col("rev_dec") === col("mx"))
-      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"),
-        col("rev_dec").cast("double").as("total_revenue"))
-      .orderBy("s_suppkey")
-  }
-
-  // TPC-H Q6 shape: the pure scan-filter aggregate — no join at all.
-  // The whole predicate set (date window + discount band + quantity
-  // cap) reaches the parquet scan as PushedFilters, so at 100 TB this
-  // is one pruned pass with a partial-agg reduce; exact-decimal sum,
-  // cast to double at the end (the §5.3 contract).
-  def forecastRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1997-01-01").cast("date") &&
-        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-        col("l_quantity") < 24)
-      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
-        .as("revenue"))
-  }
-
-  // TPC-H Q7 shape: volume shipping between a nation pair. The nation
-  // filter is applied to the 25-row dimension FIRST and broadcast onto
-  // supplier/customer, so both fact-side joins already carry the ~2/25
-  // selectivity before any shuffle; lineitem additionally prunes on the
-  // pushed shipdate window. The remaining shuffles (orders⋈customer,
-  // lineitem⋈orders) are unavoidable fact joins on their natural keys.
-  def volumeShipping(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val nat = t(s, d, "nation")
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
-    val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
-        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
-    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
-      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
-        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
-    val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
-      .join(cust, col("o_custkey") === col("c_custkey"))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
-        col("l_shipdate") < lit("1997-01-01").cast("date"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("volume"),
-        year(col("l_shipdate")).as("l_year"))
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(sum(col("volume")).cast("double").as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
-  }
-
-  // BM25 keyword retrieval over the corpus for a fixed query-term set
-  // — one scan + 1-row stats broadcast + TakeOrderedAndProject; the
-  // quantized-integer score contract makes the gate hashable (see
-  // Retrieval.bm25TopK).
-  def bm25Search(s: SparkSession, d: String): DataFrame =
-    ext.Retrieval.bm25TopK(t(s, d, "documents"), "text", "doc_id",
-      Seq("spark", "vector", "stream"), k = 50)
-      .orderBy(col("bm25_q").desc, col("doc_id"))
-
-  // Scalar int8 quantization of the embedding corpus; the gate emits
-  // the codes as a space-joined string + integer checksum (array
-  // columns are not portable through the parquet/pandas compare).
-  def int8Quantize(s: SparkSession, d: String): DataFrame =
-    Pq.scalarQuantize(t(s, d, "embeddings"), "embedding", "vec_id")
-      .select(col("vec_id"),
-        array_join(transform(col("codes"), c => c.cast("string")), " ")
-          .as("codes_str"),
-        aggregate(col("codes"), lit(0L), (acc, x) => acc + x).as("code_sum"))
-      .orderBy("vec_id")
-
-  // Span-level exact-dup profile: distinct 8-token spans per doc that
-  // also appear verbatim in another doc (Lee et al. 2022 shape).
-  def dupSpans(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.dupSpanCounts(t(s, d, "documents"), "doc_id", "text", n = 8)
-      .orderBy("doc_id")
-
-  // Corpus-fit unigram-LM familiarity score (linear-domain perplexity
-  // stand-in) per document.
-  def unigramLm(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.unigramLmScores(t(s, d, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  // Hybrid retrieval: BM25 keyword candidates fused with exact
-  // quantized-dot vector candidates (query = embedding 0, sharing the
-  // doc id domain) by reciprocal-rank fusion. Both candidate lists are
-  // TakeOrderedAndProject top-100s, so the rank windows run on ≤100
-  // rows — never on the corpus.
-  def hybridRrf(s: SparkSession, d: String): DataFrame = {
-    val text = ext.Retrieval.bm25TopK(t(s, d, "documents"), "text", "doc_id",
-      Seq("spark", "vector", "stream"), k = 100)
-    val vec = ext.Retrieval.quantizedDotTopK(t(s, d, "embeddings"),
-      "embedding", "vec_id", queryId = 0L, k = 100)
-      .withColumnRenamed("vec_id", "doc_id")
-    ext.Retrieval.rrfFuse(Seq(
-        ("text", text, col("bm25_q").desc),
-        ("vec", vec, col("dot_q").desc)), "doc_id")
-      .orderBy(col("rrf_q").desc, col("doc_id"))
-  }
-
-  // Per-group top-k curation: the top-5 quality documents per source.
-  // The rank-≤-k filter is what Catalyst's InferWindowGroupLimit turns
-  // into Partial+Final WindowGroupLimit — per-partition top-k HEAPS
-  // before the shuffle — so at 100 TB no group is ever fully sorted;
-  // only ≤k rows per partition per group reach the exchange.
-  def groupTopK(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("quality").desc, col("doc_id"))
-    t(s, d, "documents")
-      .select(col("doc_id"), col("source"),
-        TextAnalysis.qualityScore(col("text")).as("quality"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
-      .orderBy("source", "rnk")
-  }
-
-  // Distribution-drift monitor between two snapshots of a categorical
-  // feature (the chi-square-style alternative to PSI — PSI's ln term
-  // is not oracle-portable, §5.3): per-category
-  // (p−q)²/((p+q)/2), BIGINT-quantized. The two snapshot aggregates
-  // and the 5-row full-outer merge are the whole plan; the 1-row
-  // totals broadcast-cross back. At 100 TB this is two pruned scans
-  // with partial aggs — drift checks cost two passes, ever.
-  def distDrift(s: SparkSession, d: String): DataFrame = {
-    // ONE scan, not one per snapshot: the year window pushes to the
-    // scan and the two snapshot counts are conditional aggregates over
-    // the same pass (a category absent from both years is absent either
-    // way, so this equals the two-aggregate full outer merge).
-    val y = year(col("o_orderdate"))
-    val joined = t(s, d, "orders")
-      .filter(y.isin(1996, 1997))
-      .groupBy(col("o_orderpriority"))
-      .agg(sum(when(y === 1996, 1L).otherwise(0L)).as("n_a"),
-        sum(when(y === 1997, 1L).otherwise(0L)).as("n_b"))
-    operators.Drift.driftTerms(joined, "o_orderpriority")
-      .orderBy("o_orderpriority")
-  }
-
-  // End-to-end curation pipeline — the gate that pins the COMPOSITION,
-  // not just the stages: exact dedup (earliest survivor per
-  // fingerprint, q20/q21 machinery) → quality threshold (q24) →
-  // benchmark decontamination (8-gram overlap vs the q79 probe set,
-  // LEFT ANTI) → deterministic md5 half-sample (q98 discipline).
-  // Contamination hits are computed on the post-quality survivor set —
-  // per-doc hits are independent of other docs, so this is the cheap
-  // equivalent of screening the full corpus.
-  def curationPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val deduped = Dedup.exactDedup(docs, "text", "doc_id")
-    val quality = deduped
-      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
-      .filter(col("quality") >= 0.5)
-    val probes = docs.filter(col("doc_id").isin(3L, 7L, 11L, 19L, 23L))
-    val hits = TextAnalysis.contaminationHitsNgram(
-      quality, "doc_id", "text", probes, "text", n = 8)
-    quality.join(hits.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .filter(md5(col("doc_id").cast("string")) < "80000000")
-      .select(col("doc_id"), col("source"), col("quality"))
-      .orderBy("doc_id")
-  }
-
-  // Per-label embedding centroids — the nearest-class-mean /
-  // cluster-monitoring building block. Cross-row sums ride the q106
-  // BIGINT quantization (double sums are not order-stable); the mean
-  // is one double division at the end. posexplode + (label, dim) hash
-  // agg with map-side partials: output is |labels|·dims rows at any
-  // corpus size.
-  def labelCentroids(s: SparkSession, d: String): DataFrame =
-    t(s, d, "embeddings")
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-      .select(col("label"), (col("pos") + 1).as("pos"),
-        floor(col("x").cast("double") * lit(1e6) + lit(0.5)).as("q"))
-      .groupBy(col("label"), col("pos"))
-      .agg(count(lit(1)).as("n"), sum(col("q")).as("sq"))
-      .select(col("label"), col("pos").cast("int").as("pos"), col("n"),
-        col("sq"), (col("sq").cast("double") / col("n")).as("centroid_q"))
-      .orderBy("label", "pos")
-
-  // 1-bit sign-quantized Hamming retrieval — the 32×-compression tier
-  // below int8/PQ; exact integer XOR+popcount arithmetic end to end.
-  def binaryAnn(s: SparkSession, d: String): DataFrame =
-    ext.Retrieval.binaryHammingTopK(t(s, d, "embeddings"), "embedding",
-      "vec_id", queryId = 0L, k = 50)
-      .orderBy("hamming", "vec_id")
-
-  // Leakage-safe dedup-aware split: near-dup CLUSTERS (q97 components)
-  // are the split unit, so no near-duplicate pair ever straddles
-  // train/test — the q98 deterministic-md5 discipline applied to the
-  // component id instead of the row id.
-  def clusterSplit(s: SparkSession, d: String): DataFrame =
-    dupClusters(s, d)
-      .withColumn("split",
-        when(md5(col("component").cast("string")) < "40000000", "test")
-          .otherwise("train"))
-      .orderBy("vec_id")
-
-  // Top BPE merge-pair candidates over the corpus vocabulary (the
-  // Sennrich et al. training-step statistic).
-  def bpePairs(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.bpeMergePairs(t(s, d, "documents"), "text", topK = 50)
-
-  // Distributed Gram matrix of the embedding corpus, quantized to
-  // BIGINT so the cross-row sums are exact and order-independent
-  // (§5.3: double sums never hash-match across engines). The
-  // production path is the one-pass graft_gram aggregate
-  // (Projections.moments); this SQL-checkable formulation pins the
-  // same reduction through explode + partial agg.
-  def embeddingGram(s: SparkSession, d: String): DataFrame =
-    ext.Projections.quantizedGram(t(s, d, "embeddings"), "embedding")
-
-  // Curriculum schedule: short-first length curriculum (64-token
-  // bands), deterministic md5 shuffle INSIDE each band, then a dense
-  // global step index. The index comes from GlobalIndex's two-pass
-  // range-sort + offset numbering — NOT row_number() over an empty
-  // window spec, which funnels the corpus through one partition. The
-  // oracle runs exactly that single-partition row_number, which is
-  // fine for DuckDB at gate scale and pins the identical total order.
-  def curriculumSchedule(s: SparkSession, d: String): DataFrame = {
-    val banded = t(s, d, "documents")
-      .select(col("doc_id"), ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
-      .withColumn("band",
-        least(floor(col("n_tokens") / lit(64.0)), lit(7L)).cast("int"))
-      .withColumn("rkey", md5(concat_ws(":", col("doc_id"), col("band"))))
-    operators.GlobalIndex
-      .withGlobalIndex(banded, Seq(col("band"), col("rkey"), col("doc_id")), "step")
-      .select(col("step"), col("doc_id"), col("band"))
-      .orderBy("step")
-  }
-
-  // PCA-whitened 8-dim projection of the embeddings: fit = one
-  // mergeable-aggregate job + driver-side Jacobi eigensolve; apply =
-  // k codegen'd graft_dot's against literal components, no shuffle.
-  // The gate emits the ROTATION-INVARIANT contract, not the raw
-  // projection (eigenvector sign/ulp are engine-specific, and raw
-  // array columns crash the pandas compare harness): the population
-  // covariance of the whitened projections, upper triangle, quantized
-  // at 1e6. Whitening makes it the k×k identity by construction, so
-  // the oracle is the exact identity grid — a hash gate on "the
-  // whitening actually whitened THIS corpus" that is immune to
-  // partial-sum order, Jacobi rotation order, and eigenvector sign.
-  def pcaWhiten(s: SparkSession, d: String): DataFrame = {
-    val e = t(s, d, "embeddings")
-    val k = 8
-    val model = ext.Projections.fitPca(e, "embedding", dim = 64, k = k)
-    val proj = ext.Projections.pcaProject(e, "embedding", model, whiten = true)
-    // cov_ij = E[y_i y_j] − E[y_i]E[y_j]; the mean term is ~1e-26
-    // (projections are centered against the same corpus) but kept so
-    // the emitted statistic IS the covariance, not an approximation.
-    val aggs = for { i <- 0 until k; j <- i until k } yield
-      (avg(col("pca")(i) * col("pca")(j)) -
-        avg(col("pca")(i)) * avg(col("pca")(j))).as(s"c_${i}_$j")
-    val wide = proj.agg(aggs.head, aggs.tail: _*)
-    val cells = for { i <- 0 until k; j <- i until k } yield
-      struct(lit(i).as("i"), lit(j).as("j"),
-        floor(col(s"c_${i}_$j") * lit(1e6) + lit(0.5)).cast("long").as("cov_q"))
-    wide.select(explode(array(cells: _*)).as("p"))
-      .select(col("p.i"), col("p.j"), col("p.cov_q"))
-      .orderBy("i", "j")
-  }
-
-  // batch 9 — matryoshka retrieval, priority sampling, DSIR scoring,
-  // bigram LM, quantized PageRank
-
-  // Matryoshka-truncation retrieval: 3-query top-10 over the first 16
-  // of 64 dims — the no-codebook compression tier (¼ the FLOPs/bytes).
-  // Exact quantized-integer dots; per-query WindowGroupLimit top-k.
-  def matryoshkaAnn(s: SparkSession, d: String): DataFrame =
-    ext.Retrieval.truncatedCosineTopK(t(s, d, "embeddings"), "embedding",
-      "vec_id", queryIds = Seq(0L, 1L, 2L), k = 10, dims = 16)
-      .orderBy("query_id", "rnk")
-
-  // Token-budget weighted sampling: per-source top-8 documents by
-  // priority n_chars/u (Duffield et al. priority sampling) — the
-  // reproducible "sample long documents proportionally more" pass.
-  def prioritySampleDocs(s: SparkSession, d: String): DataFrame =
-    graft.etl.Sampling.prioritySampleByStratum(
-        t(s, d, "documents").select(col("doc_id"), col("source"), col("n_chars")),
-        "source", col("doc_id"), col("n_chars"), k = 8)
-      .select(col("doc_id"), col("source"), col("n_chars"), col("prio_rank"),
-        floor(graft.etl.Sampling.priorityColumn(col("doc_id"), col("n_chars"))
-          * lit(1e12) + lit(0.5)).cast("long").as("prio_q"))
-      .orderBy("source", "prio_rank")
-
-  // DSIR-style hashed-unigram importance score of every document
-  // toward the English slice of the corpus (Xie et al. 2023 shape,
-  // linear-domain quantized — §5.3: ln is not oracle-portable).
-  def dsirScores(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.hashedImportanceScores(t(s, d, "documents"), "doc_id",
-      "text", col("lang") === "en")
-      .orderBy("doc_id")
-
-  // Interpolated bigram-LM familiarity score (λ=0.7 bigram, 1−λ
-  // unigram backoff) — the next perplexity-proxy tier above q117's
-  // unigram score.
-  def bigramLm(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  // Integer-quantized PageRank over the near-dup similarity graph (the
-  // q97 edge set): 5 synchronous iterations of exact BIGINT
-  // arithmetic, so the DuckDB oracle's unrolled recurrence matches
-  // hash-for-hash — centrality ranks the canonical doc per dup
-  // cluster by "most-connected" instead of min-id.
-  def pageRankDups(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    Components.pageRankQuantized(pairs, iterations = 5)
-      .orderBy("node")
-  }
-
-  // batch 10 — distributed k-means, graph triangles, hashed
-  // classifier scoring, nearest as-of join
-
-  // Distributed integer k-means over the embeddings: 8 clusters, 2
-  // Lloyd rounds from deterministic seeds (the 8 smallest vec_ids) —
-  // assignment + centroid sums are full-corpus Spark jobs, only the
-  // k×d centroid table round-trips the driver per round. Exact BIGINT
-  // arithmetic end to end, so the DuckDB unrolled-recurrence oracle
-  // matches hash-for-hash.
-  def kmeansClusters(s: SparkSession, d: String): DataFrame =
-    ext.Clustering.kmeansAssignQuantized(t(s, d, "embeddings"),
-      "embedding", "vec_id", k = 8, iterations = 2)
-      .orderBy("vec_id")
-
-  // Per-node triangle counts + degree over the near-dup similarity
-  // graph (the q97/q130 edge set) — the local-clustering-coefficient
-  // statistic separating knit dup cliques from one-template stars.
-  def triangleStats(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    Components.triangleCounts(pairs).orderBy("node")
-  }
-
-  // FastText-shape hashed linear classifier pass over every document:
-  // unigram+bigram features hash straight to integer weights, the
-  // logit sums in the scan projection — the zero-shuffle quality-
-  // classifier serving shape.
-  def classifierScore(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text")
-      .orderBy("doc_id")
-
-  // Nearest as-of join: each purchase snaps to the temporally CLOSEST
-  // daily aggregate (either direction; ties backward) — the sensor-
-  // alignment completion of q33 (backward) / q57 (forward). The
-  // matched day rides out as a column so the gate pins WHICH version
-  // won, not just its payload.
-  def pitNearest(s: SparkSession, d: String): DataFrame = {
-    val events = t(s, d, "events")
-    val daily = events
-      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
-      .agg(count(lit(1)).as("day_events"))
-    val spine = events.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
-    fs.PointInTime.asOfJoinNearest(spine, daily, Seq("user_id"),
-      spineTs = "ts", featTs = "day_ts",
-      featureCols = Seq("day_events", "day_ts"))
-      .select(col("event_id"), col("user_id"),
-        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
-        col("value"), col("day_events"),
-        unix_micros(col("day_ts").cast("timestamp")).as("matched_us"))
-      .orderBy("event_id")
-  }
-
-  // Recency-weighted per-user event value: each event contributes
-  // value·2^(−age_days) anchored at the newest event — exact power-of-
-  // two fixed-point decay, the time-aware upgrade of the reference's
-  // lifetime order sums.
-  def decayedFeatures(s: SparkSession, d: String): DataFrame =
-    graft.operators.Decay.decayedSumQuantized(t(s, d, "events"),
-      "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 1)
-      .orderBy("user_id")
-
-  // Per-flag winsorized prices: clamp l_extendedprice into its return-
-  // flag's exact [p05, p95] band — outlier treatment that keeps rows;
-  // the q42 percentile-parity contract carries the oracle.
-  def winsorizedPrices(s: SparkSession, d: String): DataFrame =
-    graft.etl.Encoders.winsorize(
-        t(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
-          col("l_returnflag"), col("l_extendedprice")),
-        "l_returnflag", "l_extendedprice", "price_w", lo = 0.05, hi = 0.95)
-      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-        col("price_w"))
-      .orderBy("l_orderkey", "l_linenumber")
-
-  // Day-bucketed decay with a weekly half-life — the read-side twin of
-  // the maintained streaming daily-sum state: raw (user, day) sums,
-  // decay applied at read against the newest bucket.
-  def decayedDailyFeatures(s: SparkSession, d: String): DataFrame =
-    graft.operators.Decay.decayedDailySumQuantized(t(s, d, "events"),
-      "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 7)
-      .orderBy("user_id")
 }
 
-object OraclesExt {
+/** All gate queries, split per theme (VERDICT r9 #4): each
+  * `Queries<Theme>.scala` file holds a Pipelines trait and the
+  * matching Oracles trait so a query and its DuckDB oracle SQL
+  * review as one unit. This object is the stable entry point —
+  * `SparkEntry`, tests, and streaming parity specs address
+  * everything as `PipelinesExt.<query>`.
+  */
+object PipelinesExt extends PipelinesBase
+  with PipelinesSurface with PipelinesTextSim with PipelinesSqlSuite
+  with PipelinesCuration with PipelinesRetrieval with PipelinesScaleOps
+
+/** Shared DuckDB SQL snippets: ONE source of truth for semantics
+  * multiple gates reuse (thresholds, token/gram definitions, the
+  * dup-graph closure) — a width changed in one copy but not
+  * another would let a gate verify against stale semantics.
+  */
+private[graft] trait OracleSnippets {
 
   /** DuckDB-side normalized-text fingerprint (note the 'g' flag —
     * DuckDB regexp_replace is first-match-only without it; Spark's
     * replaces all).
     */
-  private val fpSql = """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
+  protected val fpSql = """md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))"""
 
   // exact verbatim 8-gram overlap vs probe docs 3/7/11/19/23 — ground
   // truth for BOTH q79 (gram equi-join) and q109 (bloom-prefiltered)
@@ -1781,14 +65,14 @@ object OraclesExt {
   // copy but not another would let a gate verify against stale
   // semantics). Raw whitespace tokens, the 8-token md5 gram list, and
   // the q97/q120 recursive connected-components closure.
-  private val rawTokensCaseSql =
+  protected val rawTokensCaseSql =
     """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
       |         ELSE regexp_split_to_array(trim(text), '\s+') END""".stripMargin
 
   // NOTE: continuation lines here must never START with "||" — this
   // snippet is interpolated into outer strings whose stripMargin would
   // eat the first pipe and corrupt the concat operator.
-  private def gram8Sql(w: String): String =
+  protected def gram8Sql(w: String): String =
     s"""CASE WHEN len($w) < 8 THEN []
        |      ELSE list_distinct(list_transform(generate_series(1, len($w) - 7),
        |        i -> md5($w[i] || ' ' || $w[i+1] || ' ' || $w[i+2] || ' ' || $w[i+3] || ' ' ||
@@ -1797,7 +81,7 @@ object OraclesExt {
 
   // the q97/q120/q130 near-dup edge set (cosine ≥ 0.4, symmetrized) —
   // one source of truth for every gate built on the dup graph
-  private val dupEdgesCtesSql =
+  protected val dupEdgesCtesSql =
     """pairs AS (
       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
       |  FROM embeddings a, embeddings b
@@ -1809,14 +93,14 @@ object OraclesExt {
       |  SELECT id_b AS u, id_a AS v FROM pairs
       |)""".stripMargin
 
-  private val ccClosureCtesSql =
+  protected val ccClosureCtesSql =
     dupEdgesCtesSql + """, reach(node, lbl) AS (
       |  SELECT vec_id, vec_id FROM embeddings
       |  UNION
       |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
       |)""".stripMargin
 
-  private val contaminationNgramOverlapSql =
+  protected val contaminationNgramOverlapSql =
     s"""WITH t AS (SELECT doc_id,
        |    $rawTokensCaseSql AS w
        |  FROM documents),
@@ -1836,14 +120,14 @@ object OraclesExt {
   // (1.2e0 + 1.0e0) is deliberately NOT folded to 2.2e0 — the Scala
   // side computes k1+1.0 at runtime and the parsed constant 2.2 is not
   // guaranteed to be the same double as the computed sum.
-  private def bm25TermSql(i: Int): String =
+  protected def bm25TermSql(i: Int): String =
     s"""CAST(floor(((n - df$i) + 0.5e0) / (df$i + 0.5e0)
        |      * ((CAST(tf$i AS DOUBLE) * (1.2e0 + 1.0e0))
        |        / (CAST(tf$i AS DOUBLE) + 1.2e0 * (1.0e0 - 0.75e0 + 0.75e0
        |            * (CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))))
        |      * 1000000.0e0 + 0.5e0) AS BIGINT)""".stripMargin
 
-  private def bm25CteSql(terms: Seq[String]): String =
+  protected def bm25CteSql(terms: Seq[String]): String =
     s"""d AS (
        |  SELECT doc_id,
        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
@@ -1865,19 +149,19 @@ object OraclesExt {
        |    (${terms.indices.map(bm25TermSql).mkString("\n     + ")}) AS bm25_q
        |  FROM pd, st)""".stripMargin
 
-  private val tokenCountSql =
+  protected val tokenCountSql =
     """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
       |     ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER)""".stripMargin
 
-  private def stopHitsSql(words: Seq[String]): String = {
+  protected def stopHitsSql(words: Seq[String]): String = {
     // same pattern builder as the Spark side (TextAnalysis) — ASCII \b
     // boundaries, none for CJK lists
     val pat = TextAnalysis.stopwordPattern(words)
     s"""len(regexp_extract_all(lower(text), '$pat'))"""
   }
 
-  private val langs = TextAnalysis.langOrder
-  private def langCaseSql: String = {
+  protected val langs = TextAnalysis.langOrder
+  protected def langCaseSql: String = {
     val conds = langs.zipWithIndex.map { case (l, i) =>
       val cond = langs.zipWithIndex.collect {
         case (l2, j) if j < i => s"score_$l > score_$l2"
@@ -1892,7 +176,7 @@ object OraclesExt {
   // DECIMAL(38,4)→DOUBLE is lossy for values past 2^53 (drops the
   // fraction), while VARCHAR→DOUBLE is correctly rounded and matches
   // Spark's Decimal.toDouble bit-for-bit.
-  private def statsForSql(c: String): String =
+  protected def statsForSql(c: String): String =
     s"""SELECT '$c' AS column_name,
        |  CAST(count(*) AS BIGINT) AS n_rows,
        |  CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) AS sum_val,
@@ -1902,1551 +186,18 @@ object OraclesExt {
        |    - CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST($c AS DECIMAL(18,2))) AS DOUBLE) / count(*))
        |    / (count(*) - 1)) AS stddev_val
        |FROM lineitem""".stripMargin
+}
 
+/** DuckDB oracle SQL for every hash-gated query, merged from the
+  * per-theme traits (adjacent to their queries).
+  */
+object OraclesExt extends OracleSnippets
+    with OraclesSurface with OraclesTextSim with OraclesSqlSuite
+    with OraclesCuration with OraclesRetrieval with OraclesScaleOps {
   // def, not val: the q44 entry interpolates the CSV fixture path that
   // csvIngest records when it runs — Verify dumps oracle SQL only after
   // running the queries, so building the map lazily picks it up.
-  def sql: Map[String, String] = Map(
-    "q06_num_optional_services" ->
-      """SELECT o_orderkey,
-        |  CAST((CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
-        |     + (CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-        |     + (CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS INTEGER)
-        |    AS num_optional_services
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q10_summary_stats" ->
-      (Seq("l_quantity", "l_extendedprice", "l_discount").map(statsForSql)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
-
-    "q13_window_dedup" ->
-      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
-        |  SELECT *, row_number() OVER (
-        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1
-        |ORDER BY user_id, event_type""".stripMargin,
-
-    "q15_sql_revenue_per_nation" ->
-      """SELECT n_name,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_lineitems
-        |FROM customer
-        |JOIN orders   ON c_custkey = o_custkey
-        |JOIN lineitem ON l_orderkey = o_orderkey
-        |JOIN nation   ON c_nationkey = n_nationkey
-        |JOIN region   ON n_regionkey = r_regionkey
-        |WHERE r_name = 'ASIA'
-        |GROUP BY n_name
-        |ORDER BY n_name""".stripMargin,
-
-    "q16_json_extract" ->
-      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
-        |FROM events ORDER BY event_id""".stripMargin,
-
-    "q18_export_join" ->
-      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, o.n_orders, o.total_spent
-        |FROM customer c
-        |JOIN (SELECT o_custkey AS c_custkey,
-        |        CAST(count(*) AS BIGINT) AS n_orders,
-        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
-        |      FROM orders GROUP BY o_custkey) o
-        |  ON c.c_custkey = o.c_custkey
-        |ORDER BY c.c_custkey""".stripMargin,
-
-    "q19_catalog_ops" ->
-      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
-
-    "q17_event_window_agg" ->
-      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
-
-    "q14_publish_online" ->
-      """SELECT o_custkey AS c_custkey,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
-        |  epoch_us(max(o_orderdate)) AS last_order_us,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
-        |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
-
-    "q67_online_lookup" ->
-      """SELECT o_custkey AS c_custkey,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
-        |  epoch_us(max(o_orderdate)) AS last_order_us,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
-        |FROM orders WHERE o_custkey BETWEEN 1 AND 50
-        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
-
-    // naive correlated-scalar-aggregate form; the Spark side runs the
-    // agg-once + join-back rewrite (see minCostSupplier)
-    "q69_min_cost_supplier" ->
-      """SELECT DISTINCT p_partkey, p_name, s_suppkey, s_name
-        |FROM part, supplier, lineitem l
-        |WHERE p_partkey = l.l_partkey AND s_suppkey = l.l_suppkey
-        |  AND l.l_extendedprice = (
-        |    SELECT min(l2.l_extendedprice) FROM lineitem l2
-        |    WHERE l2.l_partkey = l.l_partkey)
-        |ORDER BY p_partkey, s_suppkey""".stripMargin,
-
-    "q70_waiting_suppliers" ->
-      """SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
-        |FROM supplier JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |WHERE l1.l_returnflag = 'R'
-        |  AND EXISTS (
-        |    SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_returnflag = 'R')
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name""".stripMargin,
-
-    // list_reduce is DuckDB's sequential left fold — same evaluation
-    // order as Spark's aggregate(), so the doubles are bit-identical
-    "q71_vector_norms" ->
-      """SELECT vec_id,
-        |  sqrt(list_reduce(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
-        |  list_reduce(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b) AS l1_norm,
-        |  list_max(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-
-    "q79_contamination_ngram" -> contaminationNgramOverlapSql,
-
-    // q109: the bloom-prefiltered path computes the SAME exact overlap
-    // (false positives die in the confirming join), so it shares q79's
-    // oracle verbatim — two different plans, one ground truth.
-    "q109_contamination_bloom" -> contaminationNgramOverlapSql,
-
-    "q76_big_volume_orders" ->
-      """SELECT c_custkey, o_orderkey,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
-        |FROM customer, orders, lineitem
-        |WHERE o_orderkey IN (
-        |    SELECT l_orderkey FROM lineitem
-        |    GROUP BY l_orderkey
-        |    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
-        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
-        |GROUP BY c_custkey, o_orderkey
-        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
-
-    "q77_window_suite" ->
-      """SELECT o_orderkey,
-        |  lag(o_totalprice, 1) OVER w AS prev_price,
-        |  lead(o_totalprice, 1) OVER w AS next_price,
-        |  percent_rank() OVER w AS pct_rank,
-        |  cume_dist() OVER w AS cume,
-        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q73_repetition_filter" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_ngrams,
-        |  CAST(CASE WHEN len(w) < 2 THEN 0
-        |    ELSE len(list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i + 1]))) END AS BIGINT) AS n_distinct,
-        |  CASE WHEN len(w) < 2 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
-        |  END AS rep_ratio
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-    "q74_pii_scrub" ->
-      """WITH p AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 50 = 0
-        |      THEN text || ' Contact user' || doc_id || '@example.com or 555-867-'
-        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
-        |      ELSE text END AS t2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(
-        |        regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
-        |  regexp_replace(regexp_replace(t2,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-    "q75_contamination" ->
-      """WITH probes AS (
-        |  SELECT DISTINCT substr(text, 5, 48) AS probe FROM documents
-        |  WHERE doc_id IN (3, 7, 11, 19, 23))
-        |SELECT doc_id, CAST(count(DISTINCT probe) AS BIGINT) AS n_hits
-        |FROM documents, probes WHERE contains(text, probe)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-    // the CM-sketch estimate degenerates to the exact count at this
-    // cardinality (no full-row collision under the fixed seeds), so a
-    // plain GROUP BY is the oracle — see cmHeavyHitters. IS NOT NULL
-    // pins the aggregate's NULL-skipping semantics: CmTopK never emits
-    // a NULL item, so the oracle must not either.
-    "q68_cm_heavy_hitters" ->
-      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
-        |FROM events WHERE event_type IS NOT NULL
-        |GROUP BY 1 ORDER BY est DESC, item LIMIT 10""".stripMargin,
-
-    "q20_dedup_exact_groups" ->
-      s"""SELECT $fpSql AS fingerprint,
-         |  CAST(min(doc_id) AS BIGINT) AS keep_id,
-         |  CAST(count(*) AS BIGINT) AS n_copies
-         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
-
-    "q21_dedup_exact_rows" ->
-      s"""SELECT doc_id, text, lang, source, n_chars FROM (
-         |  SELECT *, row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
-         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
-
-    "q22_token_count" ->
-      s"SELECT doc_id, $tokenCountSql AS n_tokens FROM documents ORDER BY doc_id",
-
-    "q23_lang_id" ->
-      s"""SELECT doc_id,
-         |  ${langs.map(l => s"CAST(${stopHitsSql(TextAnalysis.stopwords(l))} AS INTEGER) AS score_$l").mkString(",\n  ")},
-         |  $langCaseSql AS pred_lang
-         |FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id""".stripMargin,
-
-    "q24_quality_score" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST($tokenCountSql AS DOUBLE) AS nt,
-         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
-         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
-         |  FROM documents)
-         |SELECT doc_id,
-         |  CAST(nt AS INTEGER) AS n_tokens,
-         |  CASE WHEN nt > 0 THEN nc / nt ELSE 0.0 END AS avg_word_len,
-         |  CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio,
-         |  CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS stopword_ratio,
-         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
-         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
-         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
-         |    AS quality
-         |FROM f ORDER BY doc_id""".stripMargin,
-
-    "q25_fingerprint" ->
-      s"SELECT doc_id, $fpSql AS fingerprint FROM documents ORDER BY doc_id",
-
-    "q29_embedding_knn" ->
-      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
-        |    FROM embeddings WHERE vec_id < 10),
-        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
-        |scored AS (SELECT query_id, neighbor_id,
-        |    list_cosine_similarity(qe, ce) AS cosine
-        |  FROM q, c WHERE query_id != neighbor_id),
-        |ranked AS (SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
-        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
-
-    "q33_pit_training_set" ->
-      """WITH daily AS (
-        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
-        |    CAST(count(*) AS BIGINT) AS day_events
-        |  FROM events GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase')
-        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
-        |  d.day_events
-        |FROM spine s ASOF LEFT JOIN daily d
-        |  ON s.user_id = d.user_id AND s.ts >= d.day_ts
-        |ORDER BY s.event_id""".stripMargin,
-
-    "q57_pit_forward" ->
-      """WITH daily AS (
-        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
-        |    CAST(count(*) AS BIGINT) AS day_events
-        |  FROM events GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase')
-        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
-        |  d.day_events
-        |FROM spine s ASOF LEFT JOIN daily d
-        |  ON s.user_id = d.user_id AND s.ts <= d.day_ts
-        |ORDER BY s.event_id""".stripMargin,
-
-    "q32_media_features" ->
-      """SELECT doc_id AS media_id, CAST(strlen(text) AS INTEGER) AS n_bytes
-        |FROM documents ORDER BY media_id""".stripMargin,
-
-    "q34_sessionize" ->
-      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
-        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
-        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
-        |                     ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
-        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM s2 GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-
-    "q36_salted_join" ->
-      """SELECT c.c_custkey, c.c_mktsegment,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
-        |GROUP BY c.c_custkey, c.c_mktsegment
-        |ORDER BY c.c_custkey""".stripMargin,
-
-    "q37_distinct_counts" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
-        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
-        |  CAST(count(*) AS BIGINT) AS n_rows
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q38_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
-
-    "q39_set_ops" ->
-      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-        |open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
-        |u AS (SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM open_o)
-        |      UNION ALL
-        |      SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM open_o))
-        |SELECT set_op, CAST(count(*) AS BIGINT) AS n_custs
-        |FROM u GROUP BY set_op ORDER BY set_op""".stripMargin,
-
-    "q40_term_stats" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |       FROM toks GROUP BY doc_id, term),
-        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
-        |SELECT t.term, t.doc_id, t.tf, d.df,
-        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df AS idf_ratio
-        |FROM tf t JOIN dfreq d USING (term)
-        |ORDER BY doc_id, term""".stripMargin,
-    // same md5-threshold arithmetic as Sampling.hashSplit: the
-    // 0.8 cut is the first 8 hex digits of 0.8·2³², and an
-    // 8-char-prefix tie compares greater (test side) in both engines
-    "q41_train_test_split" ->
-      """SELECT c_custkey,
-        |  CASE WHEN md5(CAST(c_custkey AS VARCHAR)) <
-        |    printf('%08x', CAST(floor(0.8e0 * 4294967296.0e0) AS BIGINT))
-        |  THEN 'train' ELSE 'test' END AS side
-        |FROM customer ORDER BY c_custkey""".stripMargin,
-
-    "q42_percentiles" ->
-      """SELECT l_returnflag,
-        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
-        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
-        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
-        |  quantile_cont(l_extendedprice, 0.5) AS price_p50
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q43_cube" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
-
-    "q30_cosine_near_dup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q46_cosine_tiled" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
-        |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
-        |ORDER BY id_a, id_b""".stripMargin,
-
-    "q47_part_supplier_revenue" ->
-      """SELECT p_brand, s_nationkey,
-        |  CAST(count(*) AS BIGINT) AS n_items,
-        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |JOIN part     ON l_partkey = p_partkey
-        |JOIN supplier ON l_suppkey = s_suppkey
-        |GROUP BY p_brand, s_nationkey
-        |ORDER BY p_brand, s_nationkey""".stripMargin,
-
-    "q52_pivot" ->
-      """SELECT o_orderpriority,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
-        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    "q53_unpivot" ->
-      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
-        |FROM lineitem
-        |UNION ALL
-        |SELECT l_orderkey, l_linenumber, 'l_tax' AS metric, l_tax AS val
-        |FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
-
-    "q51_correlated_subquery" ->
-      """SELECT o_orderkey, o_custkey, o_totalprice
-        |FROM orders o
-        |WHERE o_totalprice = (SELECT max(o2.o_totalprice)
-        |                      FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)
-        |ORDER BY o_orderkey""".stripMargin,
-
-    "q55_nested_correlated" ->
-      """SELECT s_suppkey, s_name FROM supplier WHERE s_suppkey IN (
-        |  SELECT l_suppkey FROM lineitem
-        |  GROUP BY l_suppkey, l_partkey
-        |  HAVING sum(l_quantity) > 2 * (
-        |    SELECT avg(q) FROM (
-        |      SELECT sum(l2.l_quantity) AS q FROM lineitem l2
-        |      WHERE l2.l_partkey = lineitem.l_partkey GROUP BY l2.l_suppkey) t))
-        |ORDER BY s_suppkey""".stripMargin,
-
-    "q56_range_frame_window" ->
-      """SELECT o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-        |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
-        |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS rolling_30d
-        |FROM orders ORDER BY o_orderkey""".stripMargin,
-
-    "q60_standardize" ->
-      """WITH s AS (
-        |  SELECT c_custkey, c_mktsegment, c_acctbal,
-        |    CAST(count(*) OVER w AS BIGINT) AS n,
-        |    CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sm,
-        |    CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2)) AS DECIMAL(38,4))) OVER w AS VARCHAR) AS DOUBLE) AS sq
-        |  FROM customer WINDOW w AS (PARTITION BY c_mktsegment))
-        |SELECT c_custkey, c_mktsegment,
-        |  (c_acctbal - sm / n) / sqrt((sq - sm * sm / n) / (n - 1)) AS acctbal_z
-        |FROM s ORDER BY c_custkey""".stripMargin,
-
-    "q64_shipping_priority" ->
-      """SELECT l_orderkey,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  epoch_us(o_orderdate) AS o_orderdate_us,
-        |  o_orderpriority
-        |FROM customer, orders, lineitem
-        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
-        |  AND l_orderkey = o_orderkey
-        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "q65_market_share" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  CAST(sum(CASE WHEN n2.n_name = 'NATION_9'
-        |      THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |    / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |        * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS mkt_share
-        |FROM customer, orders, lineitem, supplier, nation n1, nation n2, region
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND l_suppkey = s_suppkey
-        |  AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
-        |  AND s_nationkey = n2.n_nationkey AND r_name = 'ASIA'
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
-
-    "q63_quarantine" ->
-      """SELECT event_id,
-        |  concat_ws(',',
-        |    CASE WHEN user_id IS NULL THEN 'not_null(user_id)' END,
-        |    CASE WHEN value IS NOT NULL AND (value < 0 OR value > 400)
-        |         THEN 'in_range(value,0.0,400.0)' END,
-        |    CASE WHEN event_type IS NOT NULL
-        |          AND event_type NOT IN ('click','view','purchase','signup','error')
-        |         THEN 'in_set(event_type)' END) AS violations
-        |FROM events
-        |WHERE user_id IS NULL
-        |   OR (value IS NOT NULL AND (value < 0 OR value > 400))
-        |   OR (event_type IS NOT NULL
-        |       AND event_type NOT IN ('click','view','purchase','signup','error'))
-        |ORDER BY event_id""".stripMargin,
-
-    "q62_expectations" ->
-      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem),
-        |checks AS (
-        |  SELECT 'not_null(l_orderkey)' AS check,
-        |    CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations
-        |  FROM lineitem
-        |  UNION ALL
-        |  SELECT 'in_range(l_quantity,1.0,50.0)',
-        |    CAST(sum(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 50)
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'in_set(l_returnflag)',
-        |    CAST(sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'unique(l_orderkey,l_linenumber)',
-        |    CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'satisfies(discount_bounds)',
-        |    CAST(sum(CASE WHEN NOT coalesce(l_discount >= 0 AND l_discount <= 0.1, FALSE)
-        |      THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem
-        |  UNION ALL
-        |  SELECT 'ref_integrity(l_orderkey)',
-        |    CAST((SELECT count(*) FROM lineitem l
-        |          WHERE l.l_orderkey IS NOT NULL
-        |            AND l.l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS BIGINT))
-        |SELECT c.check, t.total AS total_rows, c.violations,
-        |  c.violations = 0 AS passed
-        |FROM checks c, t ORDER BY c.check""".stripMargin,
-
-    "q59_zorder_values" -> {
-      // independent Morton implementation: bit j of x → z bit 2j, of
-      // y → z bit 2j+1 (must mirror InterleaveBits' j·k+d layout)
-      val terms = (0 until 8).map(j =>
-        s"(((x >> $j) & 1) << ${2 * j}) | (((y >> $j) & 1) << ${2 * j + 1})")
-        .mkString(" | ")
-      s"""WITH m AS (SELECT c_custkey, c_custkey & 255 AS x, c_nationkey & 255 AS y
-         |           FROM customer)
-         |SELECT c_custkey, CAST($terms AS BIGINT) AS z
-         |FROM m ORDER BY c_custkey""".stripMargin
-    },
-
-    "q54_range_join" ->
-      """SELECT p.event_id AS purchase_id, e.event_id AS event_id
-        |FROM events p, events e
-        |WHERE p.event_type = 'purchase'
-        |  AND e.ts >= p.ts AND e.ts < p.ts + INTERVAL 60 SECOND
-        |  AND e.event_id <> p.event_id
-        |ORDER BY purchase_id, event_id""".stripMargin,
-
-    "q48_semi_join" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
-        |FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem
-        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
-        |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    "q49_anti_join" ->
-      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_custs
-        |FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = c_custkey
-        |                    AND o_orderpriority = '1-URGENT')
-        |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment""".stripMargin,
-
-    "q44_csv_ingest" ->
-      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
-         |  CAST(length(trim(c_name)) AS INTEGER) AS name_len,
-         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
-         |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 2
-         |       WHEN c_mktsegment = 'MACHINERY' THEN 3 END AS segment_code,
-         |  CAST(c_acctbal AS DOUBLE) AS acctbal
-         |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
-         |ORDER BY c_custkey""".stripMargin,
-    "q80_semantic_dedup" ->
-      """SELECT a.vec_id FROM embeddings a
-        |WHERE NOT EXISTS (
-        |  SELECT 1 FROM embeddings b
-        |  WHERE b.vec_id < a.vec_id
-        |    AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |          CAST(b.embedding AS DOUBLE[])) >= 0.45)
-        |ORDER BY vec_id""".stripMargin,
-
-    // DuckDB quirk: array_to_string of an EMPTY list is NULL, Spark's
-    // array_join is '' — coalesce harmonizes the all-words-pruned edge
-    "q82_vocab_prune" ->
-      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
-        |           FROM documents),
-        |dfreq AS (SELECT wd, count(DISTINCT doc_id) AS df FROM w GROUP BY wd),
-        |stop AS (SELECT wd FROM dfreq ORDER BY df DESC, wd LIMIT 5),
-        |sl AS (SELECT coalesce(list(wd), []) AS stop_list FROM stop)
-        |SELECT doc_id,
-        |  coalesce(array_to_string(list_filter(string_split(text, ' '),
-        |    x -> NOT list_contains(stop_list, x)), ' '), '') AS pruned
-        |FROM documents, sl ORDER BY doc_id""".stripMargin,
-
-    "q83_returned_items" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  c_acctbal, n_name
-        |FROM customer, orders, lineitem, nation
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
-        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-
-    "q84_disjunctive_revenue" ->
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey AND (
-        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 25)
-        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
-        |       AND l_quantity BETWEEN 10 AND 40)
-        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
-        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin,
-
-    "q85_idle_customers" ->
-      """WITH s AS (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
-        |         count(*) AS n
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer, s
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= DATE '2000-01-01')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-    "q96_event_transitions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-        |t AS (SELECT event_type,
-        |        lead(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY us, event_id) AS next_type
-        |      FROM e)
-        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
-        |FROM t WHERE next_type IS NOT NULL
-        |GROUP BY event_type, next_type
-        |ORDER BY event_type, next_type""".stripMargin,
-
-    "q95_session_funnel" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |           FROM events),
-        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
-        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
-        |                     ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
-        |SELECT user_id, session_id,
-        |  min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
-        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase_us,
-        |  CAST(coalesce(
-        |    min(CASE WHEN event_type = 'purchase' THEN us END) >
-        |    min(CASE WHEN event_type = 'view' THEN us END), false) AS INT) AS converted
-        |FROM s2 GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-
-    "q93_funnel" ->
-      """SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
-        |  CAST(coalesce(
-        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
-        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END), false) AS INT)
-        |    AS converted
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q94_cohort_retention" ->
-      """WITH f AS (
-        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
-        |  FROM events GROUP BY user_id),
-        |a AS (
-        |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS w_us
-        |  FROM events)
-        |SELECT cohort_us,
-        |  CAST((w_us - cohort_us) // 604800000000 AS BIGINT) AS week_n,
-        |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY cohort_us, week_n ORDER BY cohort_us, week_n""".stripMargin,
-
-    "q92_fuzzy_names" ->
-      """WITH n AS (SELECT DISTINCT p_name AS name FROM part
-        |           WHERE p_name IS NOT NULL)
-        |SELECT a.name AS name_a, b.name AS name_b,
-        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist
-        |FROM n a, n b
-        |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
-        |ORDER BY name_a, name_b""".stripMargin,
-
-    "q90_robust_scale" ->
-      """WITH q AS (
-        |  SELECT quantile_cont(c_acctbal, 0.25) AS q1,
-        |         quantile_cont(c_acctbal, 0.5)  AS med,
-        |         quantile_cont(c_acctbal, 0.75) AS q3
-        |  FROM customer)
-        |SELECT c_custkey, c_acctbal,
-        |  (c_acctbal - med) / (q3 - q1) AS acctbal_r
-        |FROM customer, q ORDER BY c_custkey""".stripMargin,
-
-    // same operation order as the Spark side: (cast(s_g - l) + m*prior)
-    // / cast(n_g - 1 + m) — identical IEEE doubles on both engines
-    "q91_target_encoding" ->
-      """WITH g AS (
-        |  SELECT o_orderpriority, count(*) AS n_g,
-        |    sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS s_g
-        |  FROM orders GROUP BY o_orderpriority),
-        |p AS (
-        |  SELECT CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE)
-        |      / count(*) AS prior
-        |  FROM orders)
-        |SELECT o_orderkey,
-        |  (CAST(s_g - CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS DOUBLE)
-        |     + 10.0 * prior)
-        |  / CAST(n_g - 1 + 10.0 AS DOUBLE) AS enc_f
-        |FROM orders JOIN g USING (o_orderpriority), p
-        |ORDER BY o_orderkey""".stripMargin,
-
-    // bin = #edges <= value on both sides; edges from quantile_cont
-    // match Spark's exact percentile bit-for-bit (q42 contract)
-    "q89_decile_binning" ->
-      """WITH e AS (
-        |  SELECT quantile_cont(o_totalprice,
-        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
-        |  FROM orders)
-        |SELECT CAST(len(list_filter(edges, x -> x <= o_totalprice)) AS INT) AS bin,
-        |  CAST(count(*) AS BIGINT) AS n_orders,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
-        |FROM orders, e GROUP BY bin ORDER BY bin""".stripMargin,
-
-    // the partition-pruned scan must produce exactly what a plain
-    // filtered scan of the source produces
-    "q87_partitioned_scan" ->
-      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases,
-        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    "q88_grouped_arrays" ->
-      """WITH g AS (
-        |  SELECT o_custkey, list_sort(list(o_totalprice)) AS totals,
-        |         count(*) AS n
-        |  FROM orders GROUP BY o_custkey)
-        |SELECT o_custkey, CAST(n AS BIGINT) AS n_orders,
-        |  totals[1] AS min_total, totals[-1] AS max_total,
-        |  totals[CAST((n + 1) // 2 AS INT)] AS mid_total
-        |FROM g ORDER BY o_custkey""".stripMargin,
-
-    // the oracle aggregates ALL orders in one pass — the Spark side
-    // must make base-state + delta-merge equal the full recompute
-    "q86_incremental_agg" ->
-      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
-        |  min(o_totalprice) AS mn, max(o_totalprice) AS mx
-        |FROM orders GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
-
-    // recursive transitive closure over the q30 edge set — the
-    // declarative fixpoint the alternating-star algorithm must equal
-    "q97_dup_clusters" ->
-      s"""WITH RECURSIVE $ccClosureCtesSql
-         |SELECT node AS vec_id, min(lbl) AS component
-         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
-
-    // same md5 threshold CASE as the Spark filter — the sampled SET
-    // must match row-for-row, not merely in expectation
-    "q98_stratified_sample" ->
-      """SELECT doc_id, source, n_chars FROM documents
-        |WHERE md5(CAST(doc_id AS VARCHAR)) <
-        |  CASE source WHEN 'src0' THEN 'c0000000' WHEN 'src1' THEN '80000000'
-        |              WHEN 'src2' THEN '40000000' ELSE '19999999' END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q99_chunk_documents" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |  FROM documents
-        |), k AS (
-        |  SELECT doc_id, toks,
-        |    CASE WHEN len(toks) = 0 THEN 0
-        |         ELSE 1 + CAST(floor((greatest(len(toks) - 64, 0) + 47) / 48.0) AS BIGINT) END AS nchunks
-        |  FROM d
-        |), e AS (
-        |  SELECT doc_id, toks, unnest(range(0, nchunks)) AS chunk_id FROM k
-        |)
-        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-        |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
-        |  array_to_string(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64), ' ') AS chunk_text,
-        |  CAST(len(list_slice(toks, chunk_id*48 + 1, chunk_id*48 + 64)) AS INTEGER) AS n_tokens
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin,
-
-    "q100_packing_plan" ->
-      s"""WITH tc AS (
-         |  SELECT doc_id, source, CAST($tokenCountSql AS BIGINT) AS n_tokens
-         |  FROM documents
-         |)
-         |SELECT doc_id, source, n_tokens,
-         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
-         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
-         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS first_pack,
-         |  CAST(floor(greatest(sum(n_tokens) OVER w - 1,
-         |             sum(n_tokens) OVER w - n_tokens) / 512.0) AS BIGINT) AS last_pack
-         |FROM tc
-         |WINDOW w AS (PARTITION BY source ORDER BY doc_id)
-         |ORDER BY doc_id""".stripMargin,
-
-    // naive correlated form — cross-checks the engine's agg-once +
-    // join-back decorrelation (the q69 discipline)
-    "q102_small_qty_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
-        |  AND l_quantity < 0.2 * (
-        |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
-
-    // same fraction arithmetic as Sampling.sampleToMix, step for step
-    // (min-scale, least with 1.0, floor to the 8-hex threshold); the
-    // >= 1.0 branch mirrors the Scala keep-everything sentinel
-    "q103_mix_rebalance" ->
-      """WITH targets(source, t) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
-        |counts AS (
-        |  SELECT source, CAST(count(*) AS DOUBLE) AS n
-        |  FROM documents JOIN targets USING (source) GROUP BY source),
-        |sc AS (SELECT min(n / t) AS scale FROM counts JOIN targets USING (source)),
-        |f AS (
-        |  SELECT source, least(t * scale / n, 1.0) AS frac
-        |  FROM targets JOIN counts USING (source) CROSS JOIN sc)
-        |SELECT doc_id, source, n_chars
-        |FROM documents JOIN f USING (source)
-        |WHERE md5(CAST(doc_id AS VARCHAR)) <
-        |  CASE WHEN frac >= 1.0 THEN 'g'
-        |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0) AS BIGINT)) END
-        |ORDER BY doc_id""".stripMargin,
-
-    "q104_quality_top_frac" ->
-      s"""WITH f AS (SELECT doc_id, source,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST($tokenCountSql AS DOUBLE) AS nt,
-         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
-         |  FROM documents),
-         |q AS (SELECT doc_id, source,
-         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
-         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
-         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
-         |    AS quality
-         |  FROM f),
-         |r AS (SELECT doc_id, source, quality,
-         |  percent_rank() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS pr
-         |  FROM q)
-         |SELECT doc_id, source, quality FROM r WHERE pr <= 0.4
-         |ORDER BY doc_id""".stripMargin,
-
-    "q110_promo_revenue" ->
-      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE)
-        |  AS promo_revenue
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey
-        |  AND l_shipdate >= DATE '1996-01-01'
-        |  AND l_shipdate < DATE '1996-04-01'""".stripMargin,
-
-    "q111_top_supplier" ->
-      """WITH revenue AS (
-        |  SELECT l_suppkey,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
-        |  FROM lineitem
-        |  WHERE l_shipdate >= DATE '1996-01-01'
-        |    AND l_shipdate < DATE '1996-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
-        |FROM supplier, revenue
-        |WHERE s_suppkey = l_suppkey
-        |  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin,
-
-    "q112_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= DATE '1996-01-01'
-        |  AND l_shipdate < DATE '1997-01-01'
-        |  AND l_discount >= CAST(0.05 AS DOUBLE)
-        |  AND l_discount <= CAST(0.07 AS DOUBLE)
-        |  AND l_quantity < 24""".stripMargin,
-
-    "q113_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year,
-        |  CAST(sum(volume) AS DOUBLE) AS revenue
-        |FROM (
-        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-        |    CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
-        |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
-        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-        |    AND c_custkey = o_custkey
-        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |    AND l_shipdate >= DATE '1995-01-01'
-        |    AND l_shipdate < DATE '1997-01-01')
-        |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-
-    "q125_dist_drift" ->
-      """WITH a AS (
-        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_a
-        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
-        |  GROUP BY o_orderpriority),
-        |b AS (
-        |  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_b
-        |  FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
-        |  GROUP BY o_orderpriority),
-        |j AS (
-        |  SELECT coalesce(a.o_orderpriority, b.o_orderpriority) AS o_orderpriority,
-        |    CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
-        |    CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
-        |  FROM a FULL OUTER JOIN b ON a.o_orderpriority = b.o_orderpriority),
-        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
-        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
-        |SELECT o_orderpriority, n_a, n_b,
-        |  CAST(floor(((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
-        |      * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb))
-        |    / ((CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb) / 2.0e0)
-        |    * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS drift_q
-        |FROM j, t ORDER BY o_orderpriority""".stripMargin,
-
-    // dedup → quality → decontaminate → sample, each stage the same
-    // SQL its standalone gate uses
-    "q124_curation_pipeline" ->
-      s"""WITH dd AS (
-         |  SELECT doc_id, source, text FROM (
-         |    SELECT doc_id, source, text,
-         |      row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
-         |    FROM documents) WHERE rn = 1),
-         |q AS (SELECT doc_id, source, text, quality FROM (
-         |  SELECT doc_id, source, text,
-         |    (CASE WHEN length(text) >= 100 AND length(text) <= 10000 THEN 1.0
-         |          WHEN length(text) > 0 THEN 0.5 ELSE 0.0 END) * 0.5
-         |    + (CASE WHEN (CASE WHEN $tokenCountSql > 0
-         |            THEN CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE)
-         |              / CAST($tokenCountSql AS DOUBLE) ELSE 0.0 END) > 0.05 THEN 1.0
-         |        ELSE (CASE WHEN $tokenCountSql > 0
-         |            THEN CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE)
-         |              / CAST($tokenCountSql AS DOUBLE) ELSE 0.0 END) / 0.05 END) * 0.5
-         |      AS quality
-         |  FROM dd) WHERE quality >= 0.5),
-         |sw AS (SELECT doc_id,
-         |    $rawTokensCaseSql AS w
-         |  FROM q),
-         |sg AS (SELECT doc_id,
-         |    ${gram8Sql("w")} AS grams
-         |  FROM sw),
-         |dg AS (SELECT doc_id, unnest(grams) AS gram FROM sg),
-         |pw AS (SELECT doc_id,
-         |    $rawTokensCaseSql AS w
-         |  FROM documents WHERE doc_id IN (3, 7, 11, 19, 23)),
-         |pgr AS (SELECT
-         |    ${gram8Sql("w")} AS grams
-         |  FROM pw),
-         |pg AS (SELECT DISTINCT unnest(grams) AS gram FROM pgr),
-         |hits AS (SELECT DISTINCT dg.doc_id FROM dg JOIN pg USING (gram))
-         |SELECT doc_id, source, quality FROM q
-         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
-         |  AND md5(CAST(doc_id AS VARCHAR)) < '80000000'
-         |ORDER BY doc_id""".stripMargin,
-
-    "q123_label_centroids" ->
-      """WITH dims AS (
-        |  SELECT label, u.i AS pos,
-        |    CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
-        |      AS BIGINT) AS q
-        |  FROM embeddings, generate_series(1, 64) AS u(i))
-        |SELECT label, CAST(pos AS INTEGER) AS pos,
-        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq,
-        |  CAST(CAST(sum(q) AS BIGINT) AS DOUBLE) / count(*) AS centroid_q
-        |FROM dims GROUP BY label, pos ORDER BY label, pos""".stripMargin,
-
-    // q104's quality arithmetic verbatim + a partitioned rank
-    "q122_group_topk" ->
-      s"""WITH f AS (SELECT doc_id, source,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST($tokenCountSql AS DOUBLE) AS nt,
-         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
-         |  FROM documents),
-         |q AS (SELECT doc_id, source,
-         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
-         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
-         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
-         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
-         |    AS quality
-         |  FROM f),
-         |r AS (SELECT doc_id, source, quality,
-         |  CAST(row_number() OVER (PARTITION BY source
-         |    ORDER BY quality DESC, doc_id) AS INTEGER) AS rnk
-         |  FROM q)
-         |SELECT doc_id, source, quality, rnk FROM r WHERE rnk <= 5
-         |ORDER BY source, rnk""".stripMargin,
-
-    // sign packing: bit i of a half-word carries dimension (off+i)
-    // with weight 2^(32-i) — the acc·2+bit fold's exact shift sum;
-    // 32 bits per BIGINT so no engine hits signed overflow (§5.3)
-    "q119_binary_ann" ->
-      """WITH p AS (
-        |  SELECT vec_id,
-        |    CAST(list_sum(list_transform(range(1, 33),
-        |      i -> CASE WHEN embedding[i] > 0
-        |                THEN (CAST(1 AS BIGINT) << (32 - i))
-        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h1,
-        |    CAST(list_sum(list_transform(range(1, 33),
-        |      i -> CASE WHEN embedding[i + 32] > 0
-        |                THEN (CAST(1 AS BIGINT) << (32 - i))
-        |                ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h2
-        |  FROM embeddings),
-        |q AS (SELECT h1 AS q1, h2 AS q2 FROM p WHERE vec_id = 0)
-        |SELECT vec_id,
-        |  CAST(bit_count(xor(h1, q1)) + bit_count(xor(h2, q2)) AS INTEGER)
-        |    AS hamming
-        |FROM p, q ORDER BY hamming, vec_id LIMIT 50""".stripMargin,
-
-    // q97's recursive-closure oracle (shared CTE text) + the q98
-    // md5-threshold split on the COMPONENT id
-    "q120_cluster_split" ->
-      s"""WITH RECURSIVE $ccClosureCtesSql, comp AS (
-         |  SELECT node AS vec_id, min(lbl) AS component
-         |  FROM reach GROUP BY node)
-         |SELECT vec_id, component,
-         |  CASE WHEN md5(CAST(component AS VARCHAR)) < '40000000'
-         |       THEN 'test' ELSE 'train' END AS split
-         |FROM comp ORDER BY vec_id""".stripMargin,
-
-    "q121_bpe_pairs" ->
-      """WITH d AS (SELECT
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |w AS (SELECT unnest(toks) AS word FROM d),
-        |v AS (SELECT word, CAST(count(*) AS BIGINT) AS wcnt
-        |  FROM w GROUP BY word),
-        |pr AS (SELECT wcnt,
-        |    unnest(CASE WHEN length(word) < 2 THEN []
-        |           ELSE list_transform(range(1, length(word)),
-        |             i -> substr(word, i, 2)) END) AS pair
-        |  FROM v)
-        |SELECT pair, CAST(sum(wcnt) AS BIGINT) AS cnt
-        |FROM pr GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin,
-
-    "q114_bm25_search" ->
-      s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))}
-         |SELECT doc_id, dl, bm25_q FROM sc
-         |ORDER BY bm25_q DESC, doc_id LIMIT 50""".stripMargin,
-
-    "q115_int8_quantize" ->
-      """WITH dims AS (
-        |  SELECT u.i AS pos, CAST(embedding[u.i] AS DOUBLE) AS x
-        |  FROM embeddings, generate_series(1, 64) AS u(i)),
-        |mm AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM dims GROUP BY pos),
-        |arrs AS (SELECT list(mn ORDER BY pos) AS mins,
-        |                list(mx ORDER BY pos) AS maxs FROM mm),
-        |codes AS (
-        |  SELECT vec_id, list_transform(range(1, 65), i ->
-        |    CASE WHEN maxs[i] = mins[i] THEN 0
-        |         ELSE CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i])
-        |           / (maxs[i] - mins[i]) * 255.0e0 + 0.5e0) AS INTEGER) END) AS cs
-        |  FROM embeddings, arrs)
-        |SELECT vec_id, array_to_string(cs, ' ') AS codes_str,
-        |  CAST(list_sum(cs) AS BIGINT) AS code_sum
-        |FROM codes ORDER BY vec_id""".stripMargin,
-
-    // same 8-token-window md5 grams as the q79 oracle (shared snippet;
-    // no lowercasing — ngramFingerprints tokenizes raw trimmed text)
-    "q116_dup_spans" ->
-      (s"""WITH t AS (SELECT doc_id,
-         |    $rawTokensCaseSql AS w
-         |  FROM documents),
-         |g AS (SELECT doc_id,
-         |    ${gram8Sql("w")} AS grams
-         |  FROM t),""".stripMargin + "\n" +
-      """dg AS (SELECT doc_id, unnest(grams) AS span FROM g),
-        |dup AS (SELECT span FROM dg GROUP BY span HAVING count(*) >= 2),
-        |pc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
-        |  FROM dg JOIN dup USING (span) GROUP BY doc_id),
-        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
-        |  FROM dg GROUP BY doc_id)
-        |SELECT doc_id, CAST(coalesce(n_spans, 0) AS BIGINT) AS n_spans,
-        |  CAST(coalesce(n_dup, 0) AS BIGINT) AS n_dup_spans
-        |FROM t LEFT JOIN tot USING (doc_id) LEFT JOIN pc USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
-
-    "q117_unigram_lm" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |tm AS (SELECT doc_id, unnest(toks) AS term FROM d),
-        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tm GROUP BY term),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM v),
-        |qp AS (SELECT term,
-        |    CAST(floor(CAST(cnt AS DOUBLE) / total * 1000000000.0e0 + 0.5e0)
-        |      AS BIGINT) AS qp
-        |  FROM v, tot),
-        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(qp) AS BIGINT) AS lm_q
-        |  FROM tm JOIN qp USING (term) GROUP BY doc_id)
-        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(lm_q, 0) AS BIGINT) AS lm_q
-        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "q118_hybrid_rrf" ->
-      s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))},
-         |tr AS (
-         |  SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS BIGINT)
-         |      AS text_rank
-         |  FROM (SELECT doc_id, bm25_q FROM sc
-         |        ORDER BY bm25_q DESC, doc_id LIMIT 100)),
-         |qe AS (SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0e0 + 0.5e0) AS BIGINT))
-         |    AS v
-         |  FROM embeddings),
-         |q0 AS (SELECT v AS qv FROM qe WHERE vec_id = 0),
-         |dots AS (SELECT vec_id AS doc_id,
-         |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i]))
-         |      AS BIGINT) AS dot_q
-         |  FROM qe, q0),
-         |vr AS (
-         |  SELECT doc_id,
-         |    CAST(row_number() OVER (ORDER BY dot_q DESC, doc_id) AS BIGINT)
-         |      AS vec_rank
-         |  FROM (SELECT doc_id, dot_q FROM dots
-         |        ORDER BY dot_q DESC, doc_id LIMIT 100)),
-         |f AS (
-         |  SELECT coalesce(tr.doc_id, vr.doc_id) AS doc_id, text_rank, vec_rank
-         |  FROM tr FULL OUTER JOIN vr ON tr.doc_id = vr.doc_id)
-         |SELECT doc_id, text_rank, vec_rank,
-         |  CAST(coalesce(CAST(floor(1000000000.0e0 / (60.0e0 + text_rank)) AS BIGINT), 0)
-         |     + coalesce(CAST(floor(1000000000.0e0 / (60.0e0 + vec_rank)) AS BIGINT), 0)
-         |    AS BIGINT) AS rrf_q
-         |FROM f ORDER BY rrf_q DESC, doc_id LIMIT 50""".stripMargin,
-
-    // q106: floor(x·1e6 + 0.5) quantization makes every product and
-    // sum exact integer arithmetic — identical in both engines for
-    // identical input doubles (floor is pure IEEE; round is not:
-    // Spark routes doubles through shortest-decimal strings).
-    "q106_embedding_gram" ->
-      """WITH q AS (
-        |  SELECT list_transform(embedding,
-        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |p AS (
-        |  -- constant bound: generate_series rejects lateral column
-        |  -- args; the embeddings table is 64-dim (TESTDATA.md)
-        |  SELECT gi.i AS i, gj.j AS j, v[gi.i] * v[gj.j] AS prod
-        |  FROM q, generate_series(1, 64) AS gi(i),
-        |       generate_series(1, 64) AS gj(j)
-        |  WHERE gj.j >= gi.i)
-        |SELECT i, j, CAST(sum(prod) AS BIGINT) AS s
-        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin,
-
-    "q108_curriculum_schedule" ->
-      s"""WITH tok AS (
-         |  SELECT doc_id, $tokenCountSql AS n_tokens FROM documents),
-         |b AS (
-         |  SELECT doc_id,
-         |    CAST(least(floor(CAST(n_tokens AS DOUBLE) / 64.0), 7) AS INTEGER) AS band
-         |  FROM tok),
-         |r AS (
-         |  SELECT doc_id, band,
-         |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(band AS VARCHAR)) AS rkey
-         |  FROM b)
-         |SELECT CAST(row_number() OVER (ORDER BY band, rkey, doc_id) - 1 AS BIGINT) AS step,
-         |  doc_id, band
-         |FROM r ORDER BY step""".stripMargin,
-
-    // q107_pca_whiten: the raw projection is engine-specific
-    // (eigenvector sign / last-ulp rotation angles), but the gate
-    // emits the population covariance of the whitened projections —
-    // rotation- and sign-INVARIANT, identity by construction (fit and
-    // gate both use population moments; whitening's eps=1e-12 biases
-    // the diagonal by eps/λ ≲ 1e-10, far inside the 1e6 quantum) — so
-    // the oracle is the exact constant identity grid. Per-row
-    // projection parity / orthonormality are spec-asserted
-    // (ProjectionsSpec) against local brute force.
-    "q107_pca_whiten" ->
-      """SELECT CAST(ii.i AS INTEGER) AS i, CAST(jj.j AS INTEGER) AS j,
-        |  CAST(CASE WHEN ii.i = jj.j THEN 1000000 ELSE 0 END AS BIGINT) AS cov_q
-        |FROM (SELECT unnest(range(8)) AS i) ii, (SELECT unnest(range(8)) AS j) jj
-        |WHERE jj.j >= ii.i
-        |ORDER BY i, j""".stripMargin,
-
-    "q105_cust_order_histogram" ->
-      """WITH per_cust AS (
-        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-        |  GROUP BY c_custkey)
-        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM per_cust GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
-
-    // q101_neardup_dedup: rows-only — the MinHash signature rides
-    // xxhash64 (§5.3, not portable); transitive retention semantics
-    // are spec-asserted against driver-side union-find.
-
-    // q45_summary: rows-only — df.summary() emits formatted strings and
-    // approx percentiles (SURVEY.md §5.3); exact-row parity spec-tested.
-    // q26/q27/q28 (minhash/simhash/ngram-jaccard candidates) and q31
-    // (LSH ANN) intentionally omit oracles: Spark xxhash64 is not
-    // reproducible in DuckDB SQL (SURVEY.md §5.3) — driver records the
-    // rows-only check; exact semantics are covered by ScalaTest.
-    // q66_cosine_lsh: rows-only — banded LSH is probabilistic-recall by
-    // design; an exact-equality gate on it can flake as the qualifying
-    // pair count grows with SF. Equality with the exact tiled path (the
-    // q30 gate) is spec-asserted in ExtSpec.
-    // q81_semdedup_clustered: rows-only — the k-means cell assignment
-    // is engine-specific; the retained-set contract vs the exact rule
-    // (superset; no intra-cell survivor pair >= t) is spec-asserted in
-    // SemanticDedupSpec.
-
-    // batch 9 — matryoshka retrieval, priority sampling, DSIR, bigram
-    // LM, quantized PageRank. Float arithmetic mirrors the Spark side
-    // operation for operation (the bm25TermSql discipline): every
-    // literal e0-suffixed, no Scala-computed constant folded into a
-    // parsed literal, division sequences written in the same order.
-
-    "q126_matryoshka_ann" ->
-      """WITH qe AS (SELECT vec_id, list_transform(range(1, 17),
-        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
-        |      AS BIGINT)) AS v
-        |  FROM embeddings),
-        |qs AS (SELECT vec_id AS query_id, v AS qv FROM qe WHERE vec_id IN (0, 1, 2)),
-        |sc AS (SELECT query_id, vec_id,
-        |    CAST(list_sum(list_transform(range(1, 17), i -> v[i] * qv[i])) AS BIGINT) AS dot,
-        |    CAST(list_sum(list_transform(range(1, 17), i -> v[i] * v[i])) AS BIGINT) AS nc,
-        |    CAST(list_sum(list_transform(range(1, 17), i -> qv[i] * qv[i])) AS BIGINT) AS nq
-        |  FROM qe CROSS JOIN qs),
-        |ct AS (SELECT query_id, vec_id,
-        |    CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
-        |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
-        |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
-        |    END AS cos_tq
-        |  FROM sc),
-        |rk AS (SELECT query_id, vec_id, cos_tq,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_tq DESC, vec_id) AS BIGINT) AS rnk
-        |  FROM ct)
-        |SELECT query_id, vec_id, cos_tq, rnk FROM rk WHERE rnk <= 10
-        |ORDER BY query_id, rnk""".stripMargin,
-
-    "q127_priority_sample" ->
-      """WITH u AS (SELECT doc_id, source, n_chars,
-        |    list_reduce(list_transform(range(1, 14),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |        substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) + 1 AS uu
-        |  FROM documents),
-        |p AS (SELECT doc_id, source, n_chars,
-        |    CAST(n_chars AS DOUBLE) / CAST(uu AS DOUBLE) AS prio
-        |  FROM u),
-        |rk AS (SELECT doc_id, source, n_chars,
-        |    CAST(row_number() OVER (PARTITION BY source
-        |      ORDER BY prio DESC, doc_id) AS BIGINT) AS prio_rank,
-        |    CAST(floor(prio * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS prio_q
-        |  FROM p)
-        |SELECT doc_id, source, n_chars, prio_rank, prio_q
-        |FROM rk WHERE prio_rank <= 8
-        |ORDER BY source, prio_rank""".stripMargin,
-
-    "q128_dsir_scores" ->
-      """WITH d AS (SELECT doc_id, lang,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |tm0 AS (SELECT doc_id, lang, unnest(toks) AS term FROM d),
-        |tm AS (SELECT doc_id, (lang = 'en') AS is_t,
-        |    substr(md5(term), 1, 2) AS bucket
-        |  FROM tm0),
-        |b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr,
-        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct
-        |  FROM tm GROUP BY bucket),
-        |tt AS (SELECT CAST(sum(cr) AS BIGINT) AS tr,
-        |    CAST(sum(ct) AS BIGINT) AS ttot FROM b),
-        |qb AS (SELECT bucket,
-        |    CAST(floor(CAST((ct + 1) * (tr + 256) AS DOUBLE)
-        |      / CAST((cr + 1) * (ttot + 256) AS DOUBLE)
-        |      * 1000000.0e0 + 0.5e0) AS BIGINT) AS qb
-        |  FROM b CROSS JOIN tt),
-        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(qb) AS BIGINT) AS dsir_q
-        |  FROM tm JOIN qb USING (bucket) GROUP BY doc_id)
-        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(dsir_q, 0) AS BIGINT) AS dsir_q
-        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    "q129_bigram_lm" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |tm AS (SELECT doc_id, unnest(toks) AS term FROM d),
-        |uni AS (SELECT term, CAST(count(*) AS BIGINT) AS cu FROM tm GROUP BY term),
-        |tot AS (SELECT CAST(sum(cu) AS BIGINT) AS tot FROM uni),
-        |bg0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-        |    i -> [toks[i], toks[i+1]])) AS pr
-        |  FROM d WHERE len(toks) >= 2),
-        |bg AS (SELECT doc_id, pr[1] AS prev, pr[2] AS cur FROM bg0),
-        |cbt AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS cb
-        |  FROM bg GROUP BY prev, cur),
-        |cpt AS (SELECT prev, CAST(count(*) AS BIGINT) AS cp
-        |  FROM bg GROUP BY prev),
-        |qbig AS (SELECT doc_id,
-        |    CAST(floor((0.7e0 * (CAST(cb AS DOUBLE) / CAST(cp AS DOUBLE))
-        |      + (1.0e0 - 0.7e0) * (CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE)))
-        |      * 1000000000.0e0 + 0.5e0) AS BIGINT) AS q
-        |  FROM bg JOIN cbt USING (prev, cur) JOIN cpt USING (prev)
-        |    JOIN uni ON uni.term = bg.cur CROSS JOIN tot),
-        |qfirst AS (SELECT doc_id,
-        |    CAST(floor((1.0e0 - 0.7e0) * (CAST(cu AS DOUBLE) / CAST(tot AS DOUBLE))
-        |      * 1000000000.0e0 + 0.5e0) AS BIGINT) AS q
-        |  FROM d JOIN uni ON uni.term = toks[1] CROSS JOIN tot
-        |  WHERE len(toks) >= 1),
-        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    CAST(sum(q) AS BIGINT) AS lm2_q
-        |  FROM (SELECT * FROM qbig UNION ALL SELECT * FROM qfirst)
-        |  GROUP BY doc_id)
-        |SELECT doc_id, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens,
-        |  CAST(coalesce(lm2_q, 0) AS BIGINT) AS lm2_q
-        |FROM d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
-
-    // unrolled 5-iteration integer recurrence — exact BIGINT arithmetic
-    // (// is integer division), so this matches the Spark loop
-    // hash-for-hash; see Components.pageRankQuantized
-    "q130_pagerank_dups" -> {
-      def iter(k: Int): String =
-        s"""r$k AS (SELECT e.v AS node,
-           |    (CAST(15 AS BIGINT) * 1000000000) // (CAST(100 AS BIGINT) * n)
-           |      + sum((CAST(85 AS BIGINT) * r.rq) // (CAST(100 AS BIGINT) * d.deg)) AS rq
-           |  FROM r${k - 1} r JOIN edges e ON e.u = r.node
-           |    JOIN deg d ON d.u = r.node CROSS JOIN nn
-           |  GROUP BY e.v, n)""".stripMargin
-      s"""WITH $dupEdgesCtesSql,
-         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-         |r0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) // n AS rq
-         |  FROM deg CROSS JOIN nn),
-         |${(1 to 5).map(iter).mkString(",\n")}
-         |SELECT node, CAST(rq AS BIGINT) AS rq FROM r5 ORDER BY node""".stripMargin
-    },
-
-    // q131: the unrolled 2-round Lloyd recurrence — assignment, floor-
-    // mean update (emptied clusters keep the previous centroid via the
-    // LEFT JOIN coalesce), final assignment vs c2. All-BIGINT distances;
-    // the floor-mean divides exact doubles (sums < 2^53) like the engine.
-    "q131_kmeans_clusters" -> {
-      def round(k: Int): String =
-        s"""d$k AS (
-           |  SELECT qd.vec_id, c.cid,
-           |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
-           |  FROM qd JOIN c${k - 1}d c ON qd.pos = c.pos
-           |  GROUP BY qd.vec_id, c.cid),
-           |a$k AS (
-           |  SELECT vec_id, cid, dist,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-           |  FROM d$k),
-           |m$k AS (
-           |  SELECT a.cid, qd.pos,
-           |    CAST(floor(CAST(CAST(sum(qd.val) AS BIGINT) AS DOUBLE)
-           |      / count(*)) AS BIGINT) AS val
-           |  FROM a$k a JOIN qd ON a.vec_id = qd.vec_id AND a.rk = 1
-           |  GROUP BY a.cid, qd.pos),
-           |c${k}d AS (
-           |  SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
-           |  FROM c${k - 1}d c LEFT JOIN m$k m ON m.cid = c.cid AND m.pos = c.pos)"""
-          .stripMargin
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |qd AS (
-         |  -- constant bound: the embeddings table is 64-dim (TESTDATA.md)
-         |  SELECT vec_id, gi.i AS pos, v[gi.i] AS val
-         |  FROM q, generate_series(1, 64) AS gi(i)),
-         |seeds AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8),
-         |c0 AS (
-         |  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-         |  FROM seeds),
-         |c0d AS (
-         |  SELECT cid, gi.i AS pos, v[gi.i] AS val
-         |  FROM c0, generate_series(1, 64) AS gi(i)),
-         |${Seq(1, 2).map(round).mkString(",\n")},
-         |d3 AS (
-         |  SELECT qd.vec_id, c.cid,
-         |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
-         |  FROM qd JOIN c2d c ON qd.pos = c.pos
-         |  GROUP BY qd.vec_id, c.cid),
-         |a3 AS (
-         |  SELECT vec_id, cid, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |  FROM d3)
-         |SELECT vec_id, cid, dist AS dist_q FROM a3 WHERE rk = 1
-         |ORDER BY vec_id""".stripMargin
-    },
-
-    // q132: ground truth by the naive canonical triple join a<b<c —
-    // each triangle appears once; per-node counts unnest the three
-    // corners. The engine's degree-ordered orientation must agree
-    // exactly.
-    "q132_triangle_stats" ->
-      s"""WITH $dupEdgesCtesSql,
-         |ce AS (SELECT id_a AS a, id_b AS b FROM pairs),
-         |deg AS (
-         |  SELECT n, CAST(count(*) AS BIGINT) AS deg
-         |  FROM (SELECT a AS n FROM ce UNION ALL SELECT b AS n FROM ce)
-         |  GROUP BY n),
-         |tri AS (
-         |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
-         |  FROM ce e1 JOIN ce e2 ON e2.a = e1.b
-         |    JOIN ce e3 ON e3.a = e1.a AND e3.b = e2.b),
-         |tn AS (
-         |  SELECT n, CAST(count(*) AS BIGINT) AS triangles
-         |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y AS n FROM tri
-         |        UNION ALL SELECT z AS n FROM tri)
-         |  GROUP BY n)
-         |SELECT deg.n AS node, deg.deg,
-         |  CAST(coalesce(tn.triangles, 0) AS BIGINT) AS triangles
-         |FROM deg LEFT JOIN tn ON tn.n = deg.n
-         |ORDER BY node""".stripMargin,
-
-    // q133: replay the md5 13-hex-digit weight projection (the q127
-    // list_reduce idiom) over unigram + space-joined-bigram features
-    "q133_classifier_score" ->
-      """WITH d AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS toks
-        |  FROM documents),
-        |f AS (SELECT doc_id,
-        |    list_concat(toks,
-        |      CASE WHEN len(toks) < 2 THEN []
-        |           ELSE list_transform(range(1, len(toks)),
-        |             i -> toks[i] || ' ' || toks[i + 1]) END) AS feats
-        |  FROM d),
-        |x AS (SELECT doc_id, unnest(feats) AS g FROM f),
-        |w AS (SELECT doc_id,
-        |    (list_reduce(list_transform(range(1, 14),
-        |      i -> CAST(strpos('0123456789abcdef',
-        |        substr(md5(g), i, 1)) - 1 AS BIGINT)),
-        |      (a, b) -> a * 16 + b) % 2001) - 1000 AS wt
-        |  FROM x),
-        |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-        |    CAST(sum(wt) AS BIGINT) AS logit_q
-        |  FROM w GROUP BY doc_id)
-        |SELECT d.doc_id, CAST(coalesce(s.n_feats, 0) AS BIGINT) AS n_feats,
-        |  CAST(coalesce(s.logit_q, 0) AS BIGINT) AS logit_q
-        |FROM d LEFT JOIN s ON s.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
-
-    // q134: naive nearest-candidate formulation — rank every same-user
-    // daily row by |ts − day_ts| with the earlier day winning ties
-    // (the engine's backward preference); two formulations cross-check
-    "q134_pit_nearest" ->
-      """WITH daily AS (
-        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
-        |    CAST(count(*) AS BIGINT) AS day_events
-        |  FROM events GROUP BY 1, 2),
-        |spine AS (
-        |  SELECT event_id, user_id, ts, value FROM events
-        |  WHERE event_type = 'purchase'),
-        |cand AS (
-        |  SELECT s.event_id, d.day_events, epoch_us(d.day_ts) AS matched_us,
-        |    row_number() OVER (PARTITION BY s.event_id
-        |      ORDER BY abs(epoch_us(s.ts) - epoch_us(d.day_ts)), d.day_ts) AS rk
-        |  FROM spine s JOIN daily d ON s.user_id = d.user_id)
-        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
-        |  c.day_events, c.matched_us
-        |FROM spine s LEFT JOIN (SELECT * FROM cand WHERE rk = 1) c
-        |  ON c.event_id = s.event_id
-        |ORDER BY s.event_id""".stripMargin,
-
-    // q135: replay the fixed-point power-of-two decay — exact-divisible
-    // integer division for the day age, bit-shift weights, BIGINT sums
-    "q135_decayed_features" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS us,
-        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |r AS (SELECT max(us) AS ref FROM e),
-        |a AS (
-        |  SELECT user_id, vq,
-        |    CAST((ref - us - ((ref - us) % 86400000000))
-        |      / 86400000000 AS BIGINT) AS age
-        |  FROM e CROSS JOIN r),
-        |w AS (
-        |  SELECT user_id,
-        |    vq * (CAST(1 AS BIGINT) << CAST(30 - age AS INTEGER)) AS wv
-        |  FROM a WHERE age < 30)
-        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(wv) AS BIGINT) AS decayed_q
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-    // q136: per-group quantile_cont bounds (the q42 parity contract)
-    // + pure min/max clamp — the output doubles are existing values
-    // or interpolated bounds, both bit-identical across engines
-    "q136_winsorized_prices" ->
-      """WITH b AS (
-        |  SELECT l_returnflag,
-        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.05) AS blo,
-        |    quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95) AS bhi
-        |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-        |  CASE WHEN l.l_extendedprice IS NULL THEN NULL
-        |       ELSE greatest(b.blo,
-        |         least(b.bhi, CAST(l.l_extendedprice AS DOUBLE))) END
-        |    AS price_w
-        |FROM lineitem l JOIN b USING (l_returnflag)
-        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
-
-    // q137: day-bucketed decay replay — daily sums first, then the
-    // shift weights on day ages with a 7-day half-life step (S = 4)
-    "q137_decayed_daily" ->
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
-        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq
-        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
-        |ds AS (
-        |  SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS n_events,
-        |    CAST(sum(vq) AS BIGINT) AS sum_vq
-        |  FROM e GROUP BY 1, 2),
-        |r AS (SELECT max(day_us) AS ref FROM ds),
-        |a AS (
-        |  SELECT user_id, n_events, sum_vq,
-        |    CAST((ref - day_us - ((ref - day_us) % 86400000000))
-        |      / 86400000000 AS BIGINT) AS age
-        |  FROM ds CROSS JOIN r),
-        |w AS (
-        |  SELECT user_id, n_events,
-        |    sum_vq * (CAST(1 AS BIGINT)
-        |      << CAST(4 - (age - (age % 7)) / 7 AS INTEGER)) AS wv
-        |  FROM a WHERE age < 30)
-        |SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
-        |  CAST(sum(wv) AS BIGINT) AS decayed_q
-        |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin,
-  )
+  def sql: Map[String, String] =
+    sqlSurface ++ sqlTextSim ++ sqlSqlSuite ++ sqlCuration ++
+      sqlRetrieval ++ sqlScaleOps
 }

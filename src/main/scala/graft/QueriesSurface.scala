@@ -1,0 +1,576 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Features
+import graft.ext.{Chunking, Components, Dedup, Pq, Similarity, TextAnalysis}
+import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
+
+/** Gate queries — reference-surface completion: U1 per-row counts, summary
+  * stats, events window/json ops, SQL/catalog/online surfaces,
+  * point-in-time training sets, sampling splits, CSV ingest.
+  *
+  * Mixed into [[PipelinesExt]]; the sibling [[OraclesSurface]]
+  * below keeps each query's DuckDB oracle SQL in the same file
+  * (one review unit per query, the VERDICT r9 #4 split).
+  */
+private[graft] trait PipelinesSurface { this: PipelinesBase =>
+
+  // U1 pattern — per-row count of "Yes"-valued string columns across a
+  // row (pandas_udf FS:413-416 rewritten as a codegen'd expression).
+  def numOptionalServices(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .withColumn("svc_open", when(col("o_orderstatus") === "O", "Yes").otherwise("No"))
+      .withColumn("svc_urgent", when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "Yes").otherwise("No"))
+      .withColumn("svc_big", when(col("o_totalprice") > 200000, "Yes").otherwise("No"))
+      .select(col("o_orderkey"),
+        Features.numOptionalServices(Seq("svc_open", "svc_urgent", "svc_big"))
+          .as("num_optional_services"))
+      .orderBy("o_orderkey")
+
+  // A1 — summary() parity with exact aggregates (SURVEY.md §5.3: the
+  // built-in summary() uses approx percentiles, so the checked variant
+  // recomputes count/mean/min/max/stddev from exact decimal sums).
+  def summaryStats(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    def statsFor(c: String): DataFrame = {
+      val dec = col(c).cast(DecimalType(18, 2))
+      li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(dec).cast("double").as("sum_val"),
+        min(col(c)).as("min_val"),
+        max(col(c)).as("max_val"),
+        sum((dec * dec).cast(DecimalType(38, 4))).cast("double").as("_sumsq"))
+        .select(
+          lit(c).as("column_name"), col("n_rows"), col("sum_val"),
+          (col("sum_val") / col("n_rows")).as("mean_val"),
+          col("min_val"), col("max_val"),
+          sqrt((col("_sumsq") - col("sum_val") * col("sum_val") / col("n_rows"))
+            / (col("n_rows") - 1)).as("stddev_val"))
+    }
+    Seq("l_quantity", "l_extendedprice", "l_discount").map(statsFor)
+      .reduce(_.union(_)).orderBy("column_name")
+  }
+
+  // window dedup — latest event per (user, event_type) via row_number.
+  def windowDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    t(s, d, "events")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"), col("value"))
+      .orderBy("user_id", "event_type")
+  }
+
+  // JSON extraction from the events.props payload column.
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"))
+      .orderBy("event_id")
+
+  // tumbling-window aggregation (batch analog of the streaming feature
+  // refresh in graft.streaming — same groupBy plan).
+  def eventWindowAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .select(unix_micros(col("hour_ts").cast("timestamp")).as("hour_us"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("hour_us", "event_type")
+
+  // S3 — SQL-text entry point over registered temp views (K1): the
+  // reference drives everything through spark.sql names
+  // (FS:73 `SELECT * FROM {db}.{table}`); here a TPC-H Q5-shaped
+  // multi-join aggregate so Catalyst's join reorder + broadcast
+  // selection are exercised through the SQL path too.
+  def sqlRevenuePerNation(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    s.sql(
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lineitems
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin)
+  }
+
+  // J2 — keyed inner-join export (FS:499 AutoML-table export shape).
+  def exportJoin(s: SparkSession, d: String): DataFrame =
+    t(s, d, "customer")
+      .join(Features.orderFeatures(t(s, d, "orders")), Seq("c_custkey"), "inner")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"),
+        col("n_orders"), col("total_spent"))
+      .orderBy("c_custkey")
+
+  // K2/K3/K8/K9/S4/A2 — catalog DDL surface: database + CTAS-as-parquet
+  // saveAsTable + spark.table read-back + cache (the reference's
+  // setup.py:190-247 lifecycle, Delta swapped for parquet per §7.4).
+  def catalogOps(s: SparkSession, d: String): DataFrame = {
+    Tables.registerAll(s, d)
+    // Explicit throwaway locations: the default spark-warehouse dir
+    // outlives the (in-memory) metastore across sessions, so a managed
+    // CTAS would hit LOCATION_ALREADY_EXISTS on the second run.
+    val wh = java.nio.file.Files.createTempDirectory("graft-warehouse-")
+    s.sql(s"CREATE DATABASE IF NOT EXISTS graft_db LOCATION '$wh/graft_db'")
+    s.sql("DROP TABLE IF EXISTS graft_db.customer_snapshot")
+    s.sql(
+      s"""CREATE TABLE graft_db.customer_snapshot USING PARQUET
+         |LOCATION '$wh/customer_snapshot' AS
+         |SELECT c_custkey, c_name, c_mktsegment FROM customer""".stripMargin)
+    s.table("graft_db.customer_snapshot").cache().orderBy("c_custkey")
+  }
+
+  // K7 — publish to the online store and read the snapshot back.
+  def publishOnline(s: SparkSession, d: String): DataFrame = {
+    val store = Pipelines.buildStore(s, d)
+    store.publishTable("order_features")
+    store.readOnlineTable("order_features").orderBy("c_custkey")
+  }
+
+  // K7-serve — point lookups against the published snapshot: the
+  // key-manifest prunes the read to the range files containing the
+  // requested keys (FeatureStoreSpec asserts the file count); the
+  // oracle recomputes the same rows from orders directly.
+  def onlineLookup(s: SparkSession, d: String): DataFrame = {
+    val store = Pipelines.buildStore(s, d)
+    store.publishTable("order_features")
+    store.lookupOnline("order_features", (1L to 50L))
+      .orderBy("c_custkey")
+  }
+
+  // J3-PIT — point-in-time training set: spine = purchase events, time-
+  // versioned feature table = per-(user, day) event counts written
+  // through the store with (user_id, day_ts) keys; each spine row gets
+  // the latest daily feature at-or-before its timestamp (Databricks
+  // timestamp_lookup_key semantics; DuckDB checks it with ASOF JOIN).
+  def pitTrainingSet(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val store = fsTempStoreFor(s, d)
+    if (!store.tableExists("user_daily_features")) {
+      store.createTable(FeatureTableSpec("user_daily_features",
+        Seq("user_id", "day_ts"), daily.schema, "time-versioned daily user features"))
+      store.writeTable("user_daily_features", daily, WriteMode.Overwrite)
+    }
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.createTrainingSet(store, spine, "user_daily_features",
+      featureCols = Seq("day_events"), spineTs = "ts", featTs = "day_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"))
+      .orderBy("event_id")
+  }
+
+  // Forward PIT — label attachment: each purchase gets the EARLIEST
+  // daily aggregate at-or-after its timestamp ("outcome window"), the
+  // mirror of q33's backward feature lookup. DuckDB checks it with a
+  // forward ASOF JOIN (s.ts <= d.day_ts).
+  def pitForwardLabels(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.asOfJoinForward(spine, daily, keys = Seq("user_id"),
+      spineTs = "ts", featTs = "day_ts", featureCols = Seq("day_events"))
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"))
+      .orderBy("event_id")
+  }
+
+  // multimodal plumbing — binary payload synthesized from text, decoded
+  // by the stubbed mapPartitions pass; only the portable byte count is
+  // oracle-checked (intensity stats are spec-tested).
+  def mediaFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    Multimodal.extractFeatures(Multimodal.fromText(t(s, d, "documents")))
+      .toDF()
+      .select(col("media_id"), col("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  // gap-based batch sessionization (4h gap) — ANSI-portable windows.
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.batch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
+      .orderBy("user_id", "session_id")
+
+  // IVF ANN (rows-only: KMeans centroids aren't SQL-expressible).
+  def ivfAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // salted skew join: events (probe) ⋈ customer (build, replicated ×8)
+  // on the user key; the salt never leaks into results, so the oracle
+  // is the plain join.
+  def saltedJoin(s: SparkSession, d: String): DataFrame = {
+    val probe = t(s, d, "events").withColumnRenamed("user_id", "c_custkey")
+    val build = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedJoin(probe, build, "c_custkey", salts = 8)
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+      .orderBy("c_custkey")
+  }
+
+  // exact distinct aggregation (expand + two-phase agg under the hood).
+  def distinctCounts(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+
+  // ROLLUP grouping sets — subtotals + grand total with NULL markers.
+  def rollupSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  // CUBE grouping sets — all 4 grouping combinations in one pass.
+  def cubeSummary(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("sum_price"))
+      .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  // set operations: union / intersect / except between order-key slices.
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    val open = o.filter(col("o_orderstatus") === "O").select(col("o_custkey"))
+    val both = urgent.intersect(open).withColumn("set_op", lit("intersect"))
+    val onlyUrgent = urgent.except(open).withColumn("set_op", lit("except"))
+    both.unionByName(onlyUrgent)
+      .groupBy(col("set_op")).agg(count(lit(1)).as("n_custs"))
+      .orderBy("set_op")
+  }
+
+  // exact percentiles (extends A1 beyond the §5.3 approx-percentile
+  // caveat: Spark `percentile` and DuckDB `quantile_cont` both do
+  // linear interpolation over the same exact doubles). Scale note:
+  // exact percentile buffers each group's values — fine for the 6-group
+  // key here at any row count, but for high-cardinality groups at
+  // 100 TB use approx_percentile (t-digest, bounded memory) and accept
+  // the §5.3 non-portability.
+  def percentiles(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("qty_p25"),
+        expr("percentile(l_quantity, 0.5)").as("qty_p50"),
+        expr("percentile(l_quantity, 0.75)").as("qty_p75"),
+        expr("percentile(l_extendedprice, 0.5)").as("price_p50"))
+      .orderBy("l_returnflag")
+
+  // TF-IDF term statistics over documents (explode → two-level agg →
+  // join); idf as exact integer ratio, log left to callers (libm
+  // portability, see TextAnalysis.termStats).
+  def termStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.termStats(t(s, d, "documents"), "text", "doc_id")
+      .orderBy("doc_id", "term")
+
+  // deterministic train/test split via the md5 bucket labeller
+  // (Sampling.hashSplit) — engine-portable, so the split SET, not
+  // just the per-side sizes, is hash-gated against DuckDB replaying
+  // the same md5-threshold arithmetic (the q98/q103 discipline). The
+  // xxhash64 variant (Splits.hashSplit) keeps its spec coverage; it
+  // trades portability for a cheaper hash.
+  def trainTestSplit(s: SparkSession, d: String): DataFrame = {
+    val customer = t(s, d, "customer")
+    graft.etl.Sampling.hashSplit(customer, col("c_custkey"),
+      Seq("train" -> 0.8, "test" -> 0.2), labelCol = "side")
+      .select(col("c_custkey"), col("side"))
+      .orderBy("c_custkey")
+  }
+
+  // S1 — CSV ingest through the real reader path: materialize the
+  // customer slice as CSV (the fixture the reference ships as
+  // Telco-Customer-Churn.csv, setup.py:206-221), then
+  // Cleanse.readCsv (header + schema inference) + recode/cast. The
+  // oracle reads the SAME files via DuckDB read_csv_auto, so the
+  // CSV parse itself is under cross-engine test. The dump path is
+  // derived from the dataset dir so concurrent runs at different SFs
+  // never overwrite each other's fixture mid-oracle-read; csvIngest
+  // records the path it used and the oracle SQL — built only after
+  // Verify has run the queries — interpolates the recorded value.
+  def csvFixturePathFor(d: String): String =
+    "/tmp/graft_q44_csv_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+  @volatile private[graft] var csvFixturePath: String =
+    csvFixturePathFor("/root/testdata/sf0.01")
+
+  def csvIngest(s: SparkSession, d: String): DataFrame = {
+    val fixture = csvFixturePathFor(d)
+    csvFixturePath = fixture
+    t(s, d, "customer")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
+      .write.mode("overwrite").option("header", "true").csv(fixture)
+    graft.etl.Cleanse.readCsv(s, fixture)
+      .select(
+        col("c_custkey").cast("long").as("c_custkey"),
+        length(trim(col("c_name"))).as("name_len"),
+        graft.etl.Cleanse.recode(col("c_mktsegment"),
+          Seq("BUILDING" -> 1, "AUTOMOBILE" -> 2, "MACHINERY" -> 3)).as("segment_code"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      .orderBy("c_custkey")
+  }
+
+  // A1 — the actual df.summary() API (Sean_Original.py:32). Percentile
+  // rows are approximate (SURVEY.md §5.3) and every cell is a formatted
+  // string, so this is a rows-only gate entry; exact parity of the
+  // count/mean/min/max rows against exact aggregates is spec-tested
+  // (SummaryParitySpec).
+  def summaryParity(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+      .summary()
+      .orderBy("summary")
+}
+
+/** DuckDB oracle SQL for the [[PipelinesSurface]] queries. */
+private[graft] trait OraclesSurface { this: OracleSnippets =>
+  protected def sqlSurface: Map[String, String] = Map(
+    "q06_num_optional_services" ->
+      """SELECT o_orderkey,
+        |  CAST((CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+        |     + (CASE WHEN o_totalprice > 200000 THEN 1 ELSE 0 END) AS INTEGER)
+        |    AS num_optional_services
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+
+    "q10_summary_stats" ->
+      (Seq("l_quantity", "l_extendedprice", "l_discount").map(statsForSql)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")),
+
+
+    "q13_window_dedup" ->
+      """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+
+    "q15_sql_revenue_per_nation" ->
+      """SELECT n_name,
+        |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems
+        |FROM customer
+        |JOIN orders   ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+
+    "q16_json_extract" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+
+
+    "q18_export_join" ->
+      """SELECT c.c_custkey, c.c_name, c.c_mktsegment, o.n_orders, o.total_spent
+        |FROM customer c
+        |JOIN (SELECT o_custkey AS c_custkey,
+        |        CAST(count(*) AS BIGINT) AS n_orders,
+        |        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent
+        |      FROM orders GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+
+    "q19_catalog_ops" ->
+      "SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey",
+
+
+    "q17_event_window_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_us, event_type""".stripMargin,
+
+
+    "q14_publish_online" ->
+      """SELECT o_custkey AS c_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+        |  epoch_us(max(o_orderdate)) AS last_order_us,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
+        |FROM orders GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+
+    "q67_online_lookup" ->
+      """SELECT o_custkey AS c_custkey,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spent,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_order_price,
+        |  epoch_us(max(o_orderdate)) AS last_order_us,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open_orders
+        |FROM orders WHERE o_custkey BETWEEN 1 AND 50
+        |GROUP BY o_custkey ORDER BY c_custkey""".stripMargin,
+
+
+    "q33_pit_training_set" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  d.day_events
+        |FROM spine s ASOF LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.ts >= d.day_ts
+        |ORDER BY s.event_id""".stripMargin,
+
+
+    "q57_pit_forward" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  d.day_events
+        |FROM spine s ASOF LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.ts <= d.day_ts
+        |ORDER BY s.event_id""".stripMargin,
+
+
+    "q32_media_features" ->
+      """SELECT doc_id AS media_id, CAST(strlen(text) AS INTEGER) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+
+    "q34_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+        |                     ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
+        |SELECT user_id, session_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+
+    "q36_salted_join" ->
+      """SELECT c.c_custkey, c.c_mktsegment,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY c.c_custkey, c.c_mktsegment
+        |ORDER BY c.c_custkey""".stripMargin,
+
+
+    "q37_distinct_counts" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supps,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+
+    "q38_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+
+    "q39_set_ops" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |open_o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |u AS (SELECT o_custkey, 'intersect' AS set_op FROM (SELECT * FROM urgent INTERSECT SELECT * FROM open_o)
+        |      UNION ALL
+        |      SELECT o_custkey, 'except' AS set_op FROM (SELECT * FROM urgent EXCEPT SELECT * FROM open_o))
+        |SELECT set_op, CAST(count(*) AS BIGINT) AS n_custs
+        |FROM u GROUP BY set_op ORDER BY set_op""".stripMargin,
+
+
+    "q40_term_stats" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM toks GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term)
+        |SELECT t.term, t.doc_id, t.tf, d.df,
+        |  CAST((SELECT count(*) FROM documents) AS DOUBLE) / d.df AS idf_ratio
+        |FROM tf t JOIN dfreq d USING (term)
+        |ORDER BY doc_id, term""".stripMargin,
+
+    // same md5-threshold arithmetic as Sampling.hashSplit: the
+    // 0.8 cut is the first 8 hex digits of 0.8·2³², and an
+    // 8-char-prefix tie compares greater (test side) in both engines
+    "q41_train_test_split" ->
+      """SELECT c_custkey,
+        |  CASE WHEN md5(CAST(c_custkey AS VARCHAR)) <
+        |    printf('%08x', CAST(floor(0.8e0 * 4294967296.0e0) AS BIGINT))
+        |  THEN 'train' ELSE 'test' END AS side
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+
+    "q42_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS qty_p25,
+        |  quantile_cont(l_quantity, 0.5) AS qty_p50,
+        |  quantile_cont(l_quantity, 0.75) AS qty_p75,
+        |  quantile_cont(l_extendedprice, 0.5) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+
+    "q43_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+
+
+    "q44_csv_ingest" ->
+      s"""SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+         |  CAST(length(trim(c_name)) AS INTEGER) AS name_len,
+         |  CASE WHEN c_mktsegment = 'BUILDING' THEN 1
+         |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 2
+         |       WHEN c_mktsegment = 'MACHINERY' THEN 3 END AS segment_code,
+         |  CAST(c_acctbal AS DOUBLE) AS acctbal
+         |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
+         |ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.etl.Features
+import graft.ext.{Chunking, Components, Dedup, Pq, Similarity, TextAnalysis}
+import graft.fs.{FeatureTableSpec, PointInTime, WriteMode}
+
+/** Gate queries — dedup (exact/MinHash/SimHash/n-gram), text analysis
+  * (lang-id, quality, tokens, fingerprints), and the
+  * similarity/ANN tier (kNN, cosine, LSH, IVF, PQ).
+  *
+  * Mixed into [[PipelinesExt]]; the sibling [[OraclesTextSim]]
+  * below keeps each query's DuckDB oracle SQL in the same file
+  * (one review unit per query, the VERDICT r9 #4 split).
+  */
+private[graft] trait PipelinesTextSim { this: PipelinesBase =>
+
+  // ---------------------------------------------------------- dedup
+
+  def dedupExactGroups(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(t(s, d, "documents")).orderBy("keep_id")
+
+  def dedupExactRows(s: SparkSession, d: String): DataFrame =
+    Dedup.exactDedup(t(s, d, "documents")).orderBy("doc_id")
+
+  /** The synthetic corpus has no true near-dups, so the near-dup
+    * queries run over `documents` UNION a deterministically perturbed
+    * copy (doc_id + 1,000,000; first word dropped): every original doc
+    * gains one planted near-duplicate, which selective LSH banding must
+    * recover — candidate volume stays ~n, not n².
+    */
+  def docsWithPlantedDups(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    docs.unionByName(docs
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "^\\S+\\s*", "")))
+  }
+
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashPairs(docsWithPlantedDups(s, d), "text", "doc_id",
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+      .orderBy("id_a", "id_b")
+
+  def simhashPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(docsWithPlantedDups(s, d), "text", "doc_id", maxHamming = 8)
+      .orderBy("id_a", "id_b")
+
+  def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithPlantedDups(s, d), "text", "doc_id",
+      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4)
+      .orderBy("id_a", "id_b")
+
+  // ---------------------------------------------------- text analysis
+
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      .orderBy("doc_id")
+
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    t(s, d, "documents").select(
+      (col("doc_id") +:
+        TextAnalysis.langOrder.map(l => TextAnalysis.langScore(txt, l).as(s"score_$l")) :+
+        TextAnalysis.predictedLang(txt).as("pred_lang")): _*)
+      .orderBy("doc_id")
+  }
+
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val feats = TextAnalysis.qualityFeatures(col("text"))
+      .map { case (n, c) => c.as(n) }
+    t(s, d, "documents")
+      .select((col("doc_id") +: feats :+ TextAnalysis.qualityScore(col("text")).as("quality")): _*)
+      .orderBy("doc_id")
+  }
+
+  def fingerprintDocs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------ similarity
+
+  def embeddingKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  // near-dup pairs at t=0.4, hash-gated against the exhaustive DuckDB
+  // all-pairs oracle. Round 6: the GATE runs the exact tiled path so
+  // the gate row is deterministic at every SF — the banded-LSH variant
+  // (probabilistic recall, miss odds grow with the qualifying-pair
+  // count) moved to its own rows-only entry (q66) and keeps its
+  // equals-the-exact-oracle assertion in ExtSpec on gate data.
+  def cosineNearDup(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.4)
+      .orderBy("id_a", "id_b")
+
+  // the LSH path itself, rows-only (probabilistic by design — recall
+  // budget sized by missProb, not exact-equality-gated; parity with the
+  // exact path is spec-asserted in ExtSpec on gate data). 1e-8/pair
+  // (r=4, b=107) keeps whole-corpus miss odds ~1e-5 at sf0.1 scale.
+  def cosineLshPairs(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineNearDupPairsLsh(t(s, d, "embeddings"), threshold = 0.4, dim = 64,
+      missProb = 1e-8)
+      .orderBy("id_a", "id_b")
+
+  def lshAnn(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+      .orderBy("query_id", "rank")
+  }
+
+  // tiled exhaustive cosine pairs — the distributed exact path for
+  // thresholds LSH can't prune; same all-pairs DuckDB oracle shape as
+  // q30 at a different threshold.
+  def cosineTiled(s: SparkSession, d: String): DataFrame =
+    Similarity.cosineAllPairsTiled(t(s, d, "embeddings"), threshold = 0.45)
+      .orderBy("id_a", "id_b")
+}
+
+/** DuckDB oracle SQL for the [[PipelinesTextSim]] queries. */
+private[graft] trait OraclesTextSim { this: OracleSnippets =>
+  protected def sqlTextSim: Map[String, String] = Map(
+
+    "q20_dedup_exact_groups" ->
+      s"""SELECT $fpSql AS fingerprint,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+
+    "q21_dedup_exact_rows" ->
+      s"""SELECT doc_id, text, lang, source, n_chars FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY $fpSql ORDER BY doc_id) AS rn
+         |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+
+    "q22_token_count" ->
+      s"SELECT doc_id, $tokenCountSql AS n_tokens FROM documents ORDER BY doc_id",
+
+
+    "q23_lang_id" ->
+      s"""SELECT doc_id,
+         |  ${langs.map(l => s"CAST(${stopHitsSql(TextAnalysis.stopwords(l))} AS INTEGER) AS score_$l").mkString(",\n  ")},
+         |  $langCaseSql AS pred_lang
+         |FROM (SELECT doc_id, text FROM documents) ORDER BY doc_id""".stripMargin,
+
+
+    "q24_quality_score" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+         |    CAST(${stopHitsSql(TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(nt AS INTEGER) AS n_tokens,
+         |  CASE WHEN nt > 0 THEN nc / nt ELSE 0.0 END AS avg_word_len,
+         |  CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END AS punct_ratio,
+         |  CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END AS stopword_ratio,
+         |  (CASE WHEN nc >= 100 AND nc <= 10000 THEN 1.0
+         |        WHEN nc > 0 THEN 0.5 ELSE 0.0 END) * 0.5
+         |  + (CASE WHEN (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) > 0.05 THEN 1.0
+         |          ELSE (CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) / 0.05 END) * 0.5
+         |    AS quality
+         |FROM f ORDER BY doc_id""".stripMargin,
+
+
+    "q25_fingerprint" ->
+      s"SELECT doc_id, $fpSql AS fingerprint FROM documents ORDER BY doc_id",
+
+
+    "q29_embedding_knn" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |    FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |scored AS (SELECT query_id, neighbor_id,
+        |    list_cosine_similarity(qe, ce) AS cosine
+        |  FROM q, c WHERE query_id != neighbor_id),
+        |ranked AS (SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM scored)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cosine
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+
+    "q30_cosine_near_dup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_cosine_tiled" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}
