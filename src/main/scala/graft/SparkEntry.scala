@@ -171,6 +171,9 @@ object SparkEntry {
     "q135_decayed_features" -> ((s, d) => PipelinesExt.decayedFeatures(s, d)),
     "q136_winsorized_prices" -> ((s, d) => PipelinesExt.winsorizedPrices(s, d)),
     "q137_decayed_daily" -> ((s, d) => PipelinesExt.decayedDailyFeatures(s, d)),
+    // round 10 — exact-pair retention, BPE application, delta-CC,
+    // decay × feature-store composition
+    "q138_neardup_retain_exact" -> ((s, d) => PipelinesExt.nearDupRetainExact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

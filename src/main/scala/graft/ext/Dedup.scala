@@ -361,10 +361,24 @@ object Dedup {
     */
   def nearDupRetain(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, minJaccard: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(docs, textCol, idCol, k, numHashes, bands, minJaccard)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val dropped = Components.connectedComponents(pairs)
+      bands: Int = 8, minJaccard: Double = 0.5): DataFrame =
+    retainFromPairs(docs,
+      minhashPairs(docs, textCol, idCol, k, numHashes, bands, minJaccard)
+        .select(col("id_a").as("src"), col("id_b").as("dst")), idCol)
+
+  /** The retention half of [[nearDupRetain]], decoupled from the
+    * candidate generator: close ANY duplicate pair set (MinHash bands,
+    * exact tiled cosine, SimHash — anything emitting (src, dst) id
+    * pairs) into components and keep each component's minimum-id row.
+    * Separating the stages lets the composition be verified against an
+    * exact pair set (the q138 gate runs it over the tiled-cosine edges,
+    * where a DuckDB recursive closure is the ground truth) while
+    * production keeps whatever candidate tier fits the corpus.
+    */
+  def retainFromPairs(docs: DataFrame, pairs: DataFrame,
+      idCol: String): DataFrame = {
+    val dropped = Components.connectedComponents(
+        pairs.select(col("src"), col("dst")))
       .filter(col("node") =!= col("component"))
       .select(col("node").as("_drop_id"))
     docs.join(dropped, col(idCol) === col("_drop_id"), "left_anti")

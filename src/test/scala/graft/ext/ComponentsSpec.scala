@@ -90,6 +90,20 @@ class ComponentsSpec extends SparkSpec {
     assert(expectDropped.forall(d => !retained.contains(d)))
   }
 
+  test("retainFromPairs: transitive drop over an externally supplied pair set") {
+    import spark.implicits._
+    // chain 1~2, 2~3 plus isolated 4: component {1,2,3} keeps only 1,
+    // even though (1,3) never appears as a pair
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val kept = Dedup.retainFromPairs(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+    // empty pair set: everything survives
+    val none = Seq.empty[(Long, Long)].toDF("src", "dst")
+    assert(Dedup.retainFromPairs(docs, none, "doc_id").count() == 4)
+  }
+
   /** Reference per-node triangle counts by brute-force triple scan. */
   private def bruteTriangles(edges: Seq[(Long, Long)])
       : Map[Long, (Long, Long)] = {
