@@ -3,7 +3,21 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity}
+import graft.ext.{Dedup, Similarity, TextAnalysis}
+
+/** Fixtures shared between round-10 queries and their oracles — ONE
+  * definition per semantic constant (the OracleSnippets discipline).
+  */
+private[graft] object Round10Fixtures {
+  /** Hand-computable BPE merge table for the q139 gate, rank-ordered.
+    * Exercises multi-level merges (t+h → th, th+e → the; i+n → in,
+    * in+g → ing) and order sensitivity ((i,n) outranking (a,n) means
+    * "ain" segments a·in, never an·i).
+    */
+  val bpeMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n", "an" -> "d",
+    "e" -> "r", "o" -> "n", "r" -> "e", "s" -> "t", "in" -> "g")
+}
 
 /** Gate queries — round 10: the near-dup retention composition verified
   * over an EXACT pair set, and the serving/maintenance tier added this
@@ -32,6 +46,23 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       .select(col("vec_id"), col("label"))
       .orderBy("vec_id")
   }
+
+  /** BPE tokenizer APPLICATION over the documents fixture: segment
+    * every word with the [[Round10Fixtures.bpeMerges]] table. The plan
+    * is one scan projection (the merge table unrolls into literal
+    * replaces inside a transform lambda); the oracle replays the
+    * identical wrapped-separator replace chain in DuckDB, so the gate
+    * pins the full segmentation — piece boundaries, merge order,
+    * overlap handling — not just counts.
+    */
+  def bpeSegmentDocs(s: SparkSession, d: String): DataFrame = {
+    val segs = TextAnalysis.bpeSegment(
+      t(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
+    segs.select(col("doc_id"),
+      size(TextAnalysis.bpePieces(col("bpe_segments"))).cast("long").as("n_pieces"),
+      concat_ws(" | ", col("bpe_segments")).as("seg_text"))
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound10]] queries. */
@@ -48,5 +79,28 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
          |FROM embeddings e JOIN comp c ON e.vec_id = c.node
          |WHERE c.component = c.node
          |ORDER BY e.vec_id""".stripMargin,
+
+    // the same wrapped-separator replace chain, built from the same
+    // merge table — DuckDB replace() and Spark replace() share
+    // all-occurrence left-to-right semantics, so the representations
+    // are bit-identical
+    "q139_bpe_segment" -> {
+      val SEP = "\u001f"
+      val wrapped =
+        s"array_to_string(list_transform(range(1, length(w)+1), i -> '$SEP' || substr(w, i, 1) || '$SEP'), '')"
+      val merged = Round10Fixtures.bpeMerges.foldLeft(wrapped) {
+        case (acc, (l, r)) => s"replace($acc, '$SEP$l$SEP$SEP$r$SEP', '$SEP$l$r$SEP')"
+      }
+      val segExpr = s"trim(replace($merged, '$SEP$SEP', ' '), '$SEP')"
+      s"""WITH d AS (SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_transform(toks, w -> $segExpr) AS segs FROM d)
+         |SELECT doc_id,
+         |  CAST(coalesce(list_sum(list_transform(segs, x -> len(string_split(x, ' ')))), 0) AS BIGINT) AS n_pieces,
+         |  coalesce(array_to_string(segs, ' | '), '') AS seg_text
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
   )
 }

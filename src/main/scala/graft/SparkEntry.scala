@@ -174,6 +174,7 @@ object SparkEntry {
     // round 10 — exact-pair retention, BPE application, delta-CC,
     // decay × feature-store composition
     "q138_neardup_retain_exact" -> ((s, d) => PipelinesExt.nearDupRetainExact(s, d)),
+    "q139_bpe_segment" -> ((s, d) => PipelinesExt.bpeSegmentDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -633,6 +633,54 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Apply a LEARNED BPE merge list to segment text — the tokenizer
+    * application step the packing/chunking tier assumes ([[bpeMergePairs]]
+    * computes the training statistic; this consumes its output). Each
+    * whitespace word is split to characters and the merges are applied
+    * in rank order, each replacing every (left, right) adjacent token
+    * occurrence left-to-right — Sennrich et al. 2016's apply step.
+    *
+    * Representation: the token sequence is a single string with every
+    * token wrapped in  separators (`␟t␟␟h␟␟e␟`), so one merge is
+    * ONE literal `replace(␟l␟␟r␟ → ␟lr␟)` — boundary-safe (a pattern
+    * can never match across a token) and overlap-correct (`aaa` +
+    * merge (a,a) → [aa, a], leftmost-first, because the second
+    * occurrence's leading separator is consumed by the first match).
+    * The whole merge table unrolls at plan-build time into a chain of
+    * codegen'd replaces inside one `transform` lambda: a pure scan
+    * projection — zero shuffles, the merge table travels as literals in
+    * the expression tree (the q133 classifier-serving discipline), so
+    * at 100 TB this costs one pass over the corpus.
+    *
+    * Output column: one space-joined piece string PER WORD (word
+    * boundaries preserved); flatten with [[bpePieces]] for the
+    * doc-level piece stream the packing tier consumes.
+    */
+  def bpeSegment(docs: DataFrame, textCol: String,
+      merges: Seq[(String, String)], outCol: String = "bpe_segments"): DataFrame = {
+    val SEP = "\u001f" // US control char: never appears in text tokens
+    require(merges.forall { case (l, r) =>
+      l.nonEmpty && r.nonEmpty && !l.contains(SEP) && !r.contains(SEP) },
+      "bpeSegment: merge tokens must be non-empty and separator-free")
+    val segWord = (w: Column) => {
+      val wrapped = concat_ws("",
+        transform(split(w, ""), ch => concat(lit(SEP), ch, lit(SEP))))
+      val merged = merges.foldLeft(wrapped) { case (acc, (l, r)) =>
+        replace(acc, lit(s"$SEP$l$SEP$SEP$r$SEP"), lit(s"$SEP$l$r$SEP"))
+      }
+      trim(replace(merged, lit(SEP + SEP), lit(" ")), SEP)
+    }
+    docs.withColumn(outCol,
+      transform(tokens(lower(col(textCol))), segWord))
+  }
+
+  /** Flatten [[bpeSegment]]'s per-word piece strings into the doc-level
+    * piece stream (pieces never contain spaces — words come from a
+    * whitespace split).
+    */
+  def bpePieces(segments: Column): Column =
+    flatten(transform(segments, s => split(s, " ")))
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -387,6 +387,36 @@ class TextAnalysisSpec extends SparkSpec {
     // → every position contributes exactly 1e6
     assert(got._3 == 6000000L, s"expected 6e6, got ${got._3}")
   }
+
+  test("bpeSegment: hand-computed segmentations, merge order, overlap, empties") {
+    val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
+      "an" -> "d", "in" -> "g")
+    val docs = Seq(
+      (1L, "thinking"),       // t+h, i+n, in+g but NOT th+e
+      (2L, "the theater"),    // th+e twice (second merge consumes first's output)
+      (3L, "aaa"),            // overlap guard: no (a,a) merge -> 3 pieces
+      (4L, "rain"),           // order: (i,n) wins before (a,n) can apply
+      (5L, "and"),            // a+n then an+d -> single piece
+      (6L, ""),               // empty text -> no words
+      (7L, "TH IN"))          // lowercased before segmentation
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bpeSegment(docs, "text", merges)
+      .orderBy("doc_id")
+      .select("bpe_segments").as[Seq[String]].collect().toSeq
+    assert(got == Seq(
+      Seq("th in k ing"),
+      Seq("the", "the a t e r"), // no (e,r) merge in this table
+      Seq("a a a"),
+      Seq("r a in"),
+      Seq("and"),
+      Seq.empty,
+      Seq("th", "in")))
+    // piece stream flattening: words contribute pieces in order
+    val pieces = TextAnalysis.bpeSegment(docs.filter(col("doc_id") === 1L), "text", merges)
+      .select(TextAnalysis.bpePieces(col("bpe_segments")).as("p"))
+      .as[Seq[String]].collect().head
+    assert(pieces == Seq("th", "in", "k", "ing"))
+  }
 }
 
 class SemanticDedupSpec extends SparkSpec {
