@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Dedup, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, Similarity, TextAnalysis}
 
 /** Fixtures shared between round-10 queries and their oracles — ONE
   * definition per semantic constant (the OracleSnippets discipline).
@@ -63,6 +63,31 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       concat_ws(" | ", col("bpe_segments")).as("seg_text"))
       .orderBy("doc_id")
   }
+
+  /** Delta-CC maintenance gate: the exact cosine edge set splits by
+    * parity of (src + dst) into a "prior" half and a "delta" half;
+    * [[Components.connectedComponents]] labels the prior half from
+    * scratch and [[Components.incrementalComponents]] merges the delta
+    * in. The result must equal the recursive closure of the FULL edge
+    * set — the q97 oracle verbatim — so the star-compression argument
+    * (stars ∪ delta ≡ full graph) is hash-verified, not just
+    * spec-asserted. The split is plain integer arithmetic, replayable
+    * by any engine.
+    */
+  def deltaCcLabels(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val prior = Components.connectedComponents(
+      pairs.filter((col("src") + col("dst")) % 2 === 0))
+    val labels = Components.incrementalComponents(prior,
+      pairs.filter((col("src") + col("dst")) % 2 === 1))
+    emb.select(col("vec_id"))
+      .join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("component"))
+      .orderBy("vec_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound10]] queries. */
@@ -102,5 +127,13 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
          |  coalesce(array_to_string(segs, ' | '), '') AS seg_text
          |FROM s ORDER BY doc_id""".stripMargin
     },
+
+    // incremental ≡ full: the closure over ALL edges (the q97 oracle,
+    // shared CTE) — the prior/delta split must be invisible in the
+    // final labeling
+    "q140_delta_cc" ->
+      s"""WITH RECURSIVE $ccClosureCtesSql
+         |SELECT node AS vec_id, min(lbl) AS component
+         |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
   )
 }

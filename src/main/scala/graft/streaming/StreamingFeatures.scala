@@ -460,6 +460,46 @@ object StreamingFeatures {
       .start()
   }
 
+  /** Streaming duplicate-CLUSTER maintenance — the serving gap between
+    * batch CC (recompute from scratch) and the streaming pair emitters
+    * (`NearDup` produces pairs, not labels): each micro-batch of
+    * (src, dst) near-dup pairs merges into the DURABLE labeling table
+    * via [[graft.ext.Components.incrementalComponentsUpdates]] — seed
+    * labels are read from the table, star rounds run on the delta plus
+    * the touched components' stars only, and only the CHANGED labels
+    * are upserted (key: node). The untouched majority of a 100 TB-corpus
+    * labeling is neither read into the rounds nor rewritten.
+    *
+    * Idempotent under micro-batch replay: re-applying edges that are
+    * already intra-component leaves every label fixed, so at-least-once
+    * delivery stays exactly-once per node. Batch-boundary-insensitive:
+    * labels are canonical component minima, which depend on the edge
+    * SET, not its arrival order — the stream≡batch parity contract
+    * (asserted across micro-batches in StreamingFeaturesSpec).
+    */
+  def maintainDupComponents(
+      pairStream: DataFrame,
+      store: FeatureStore,
+      tableName: String,
+      checkpointDir: String,
+      srcCol: String = "src",
+      dstCol: String = "dst"): StreamingQuery =
+    pairStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val prior = store.readTable(tableName)
+            .select(col("node"), col("component"))
+          val updates = graft.ext.Components.incrementalComponentsUpdates(
+            prior, batch, srcCol, dstCol)
+          if (!updates.isEmpty)
+            store.writeTable(tableName, updates, WriteMode.Merge)
+        }
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Exactly-once event dedup for at-least-once sources: state-backed
     * `dropDuplicates` on the event id, bounded by the watermark (state
     * for ids older than the delay is evicted — the standard streaming

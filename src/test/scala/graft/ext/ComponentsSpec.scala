@@ -90,6 +90,45 @@ class ComponentsSpec extends SparkSpec {
     assert(expectDropped.forall(d => !retained.contains(d)))
   }
 
+  private def labelsOf(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.select("node", "component").as[(Long, Long)].collect().toMap
+
+  test("incrementalComponents ≡ full recompute across two deltas") {
+    import spark.implicits._
+    // E0: three separate components {1,2}, {3,4}, {5,6}
+    val e0 = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("src", "dst")
+    val full0 = Components.connectedComponents(e0)
+    // D1: cascade merge {1,2}+{3,4} via (2,3); fresh nodes (7,8)
+    val d1 = Seq((2L, 3L), (7L, 8L)).toDF("src", "dst")
+    val inc1 = Components.incrementalComponents(full0, d1)
+    val fullEdges1 = e0.unionByName(d1)
+    assert(labelsOf(inc1) == labelsOf(Components.connectedComponents(fullEdges1)))
+    // D2: merge the grown {1..4} with {5,6} AND the fresh {7,8} in one
+    // delta (4,5),(6,7) — a multi-component cascade seeded from inc1
+    val d2 = Seq((4L, 5L), (6L, 7L)).toDF("src", "dst")
+    val inc2 = Components.incrementalComponents(inc1, d2)
+    val fullEdges2 = fullEdges1.unionByName(d2)
+    assert(labelsOf(inc2) == labelsOf(Components.connectedComponents(fullEdges2)))
+    assert(labelsOf(inc2).values.toSet == Set(1L), "everything merged to min id 1")
+  }
+
+  test("incrementalComponents: untouched components pass through; empty delta is the identity") {
+    import spark.implicits._
+    val e0 = Seq((1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val prior = Components.connectedComponents(e0)
+    // delta touches only the {10,11} component
+    val inc = Components.incrementalComponents(prior,
+      Seq((11L, 12L)).toDF("src", "dst"))
+    assert(labelsOf(inc) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+    val same = Components.incrementalComponents(prior,
+      Seq.empty[(Long, Long)].toDF("src", "dst"))
+    assert(labelsOf(same) == labelsOf(prior))
+    // intra-component delta edge: labels unchanged
+    val intra = Components.incrementalComponents(prior,
+      Seq((1L, 2L)).toDF("src", "dst"))
+    assert(labelsOf(intra) == labelsOf(prior))
+  }
+
   test("retainFromPairs: transitive drop over an externally supplied pair set") {
     import spark.implicits._
     // chain 1~2, 2~3 plus isolated 4: component {1,2,3} keeps only 1,

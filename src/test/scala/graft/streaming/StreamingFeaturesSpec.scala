@@ -622,4 +622,40 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(rows(store.readTable("daily_sums_w")) ===
       rows(Decay.dailySums(events, "user_id", "ts", "value")))
   }
+
+  test("maintainDupComponents: incremental labels across micro-batches equal batch CC") {
+    import graft.ext.{Components, Similarity}
+    // the REAL dup graph: exact cosine pairs over the embeddings
+    // fixture, split by parity into two deltas arriving as separate
+    // micro-batches
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val first = pairs.filter((col("src") + col("dst")) % 2 === 0)
+    val second = pairs.filter((col("src") + col("dst")) % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-dupcc-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+
+    val store = FeatureStore.temp(spark)
+    import org.apache.spark.sql.types._
+    store.createTable(FeatureTableSpec("dup_labels", Seq("node"),
+      StructType(Seq(StructField("node", LongType),
+        StructField("component", LongType)))))
+    val ckpt = Files.createTempDirectory("graft-dupcc-ck-").toString
+    val schema = spark.read.parquet(streamDir).schema
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+
+    assert(StreamingFeatures.maintainDupComponents(stream, store,
+      "dup_labels", ckpt).awaitTermination(120000))
+    second.write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainDupComponents(stream, store,
+      "dup_labels", ckpt).awaitTermination(120000))
+
+    def labels(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select("node", "component").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(store.readTable("dup_labels")) ===
+      labels(Components.connectedComponents(pairs)),
+      "maintained labels != batch CC over the full pair set")
+  }
 }
