@@ -4,6 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ext.{Components, Dedup, Similarity, TextAnalysis}
+import graft.fs.{FeatureLookup, FeatureStore, FeatureTableSpec, LogisticScorer,
+  ScorerRegistry, WriteMode}
 
 /** Fixtures shared between round-10 queries and their oracles — ONE
   * definition per semantic constant (the OracleSnippets discipline).
@@ -88,6 +90,43 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
         coalesce(col("component"), col("vec_id")).as("component"))
       .orderBy("vec_id")
   }
+
+  /** Decay tier × feature store, end-to-end (the reference's own
+    * pipeline shape, FS:411-435): the q137 day-bucketed decayed
+    * aggregates flow through the K5 merge path — a STALE snapshot
+    * (decayed features computed over a quarter of the events) written
+    * first, then the fresh full-window refresh MERGED over it (every
+    * stale key updated, newly active users inserted) — and are then
+    * consumed through the J4 scoring path: a registry model whose
+    * FeatureLookups join the decayed table onto a customer spine,
+    * customers with no event history taking the NULL→0 logistic
+    * contribution. The oracle replays decayed features + scoring join
+    * directly, so any corruption introduced by merge, lookup join, or
+    * scoring arithmetic breaks the hash.
+    */
+  def decayedScoring(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    def decayed(df: DataFrame) =
+      graft.operators.Decay.decayedDailySumQuantized(df,
+        "user_id", "ts", "value", maxAgeDays = 30, halfLifeDays = 7)
+    val store = FeatureStore.temp(s)
+    val stale = decayed(events.filter(col("event_id") % 4 === 0))
+    store.createTable(FeatureTableSpec("decayed_daily", Seq("user_id"),
+      stale.schema, "day-bucketed decayed user activity (q137 tier)"))
+    store.writeTable("decayed_daily", stale, WriteMode.Merge)
+    store.writeTable("decayed_daily", decayed(events), WriteMode.Merge)
+    val registry = new ScorerRegistry
+    registry.register(LogisticScorer(
+      name = "activity_model", version = 1,
+      lookups = Seq(
+        FeatureLookup("decayed_daily", "n_events", "user_id"),
+        FeatureLookup("decayed_daily", "decayed_q", "user_id")),
+      weights = Map("n_events" -> 0.01, "decayed_q" -> 0.0000005),
+      bias = -1.8)) // ≈ -(median margin): balanced True/False split
+    val batch = t(s, d, "customer").select(col("c_custkey").as("user_id"))
+    registry.scoreBatch(store, "models:/activity_model/1", batch)
+      .orderBy("user_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound10]] queries. */
@@ -135,5 +174,42 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
       s"""WITH RECURSIVE $ccClosureCtesSql
          |SELECT node AS vec_id, min(lbl) AS component
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+    // final merged table ≡ full-window decayed features (the stale
+    // quarter-snapshot is fully overwritten: its users all reappear in
+    // the refresh), then the J4 scoring join replayed literally —
+    // weights added in the scorer's sorted-column order (decayed_q,
+    // then n_events), NULL lookups coalesced to 0.0
+    "q141_decayed_scoring" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |ds AS (
+        |  SELECT user_id, day_us, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(vq) AS BIGINT) AS sum_vq
+        |  FROM e GROUP BY 1, 2),
+        |r AS (SELECT max(day_us) AS ref FROM ds),
+        |a AS (
+        |  SELECT user_id, n_events, sum_vq,
+        |    CAST((ref - day_us - ((ref - day_us) % 86400000000))
+        |      / 86400000000 AS BIGINT) AS age
+        |  FROM ds CROSS JOIN r),
+        |w AS (
+        |  SELECT user_id, n_events,
+        |    sum_vq * (CAST(1 AS BIGINT)
+        |      << CAST(4 - (age - (age % 7)) / 7 AS INTEGER)) AS wv
+        |  FROM a WHERE age < 30),
+        |dec AS (
+        |  SELECT user_id, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |    CAST(sum(wv) AS BIGINT) AS decayed_q
+        |  FROM w GROUP BY user_id)
+        |SELECT c.c_custkey AS user_id, dec.n_events, dec.decayed_q,
+        |  CASE WHEN ((CAST(-1.8e0 AS DOUBLE)
+        |      + coalesce(CAST(dec.decayed_q AS DOUBLE), 0.0e0) * CAST(0.0000005e0 AS DOUBLE))
+        |      + coalesce(CAST(dec.n_events AS DOUBLE), 0.0e0) * CAST(0.01e0 AS DOUBLE)) > 0
+        |    THEN 'True' ELSE 'False' END AS prediction
+        |FROM customer c LEFT JOIN dec ON c.c_custkey = dec.user_id
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -176,6 +176,7 @@ object SparkEntry {
     "q138_neardup_retain_exact" -> ((s, d) => PipelinesExt.nearDupRetainExact(s, d)),
     "q139_bpe_segment" -> ((s, d) => PipelinesExt.bpeSegmentDocs(s, d)),
     "q140_delta_cc" -> ((s, d) => PipelinesExt.deltaCcLabels(s, d)),
+    "q141_decayed_scoring" -> ((s, d) => PipelinesExt.decayedScoring(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
