@@ -216,10 +216,25 @@ object Similarity {
   def ivfIndexWrite(corpus: DataFrame, dir: String, nlist: Int = 16,
       idCol: String = "vec_id", embCol: String = "embedding",
       maxFitPoints: Int = 4096): Unit = {
-    val spark = corpus.sparkSession
     val c = Dedup.balanced(corpus)
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
     val cents = fitCentroids(c, "c_emb", nlist, maxFitPoints)
+    ivfIndexWriteWithCentroids(corpus, dir, cents, idCol, embCol)
+  }
+
+  /** [[ivfIndexWrite]] under CALLER-SUPPLIED (frozen) centroids — the
+    * q115 frozen-grid discipline for the index layout itself: rebuilds
+    * and appends that must keep cell geometry stable (so append+probe ≡
+    * rewrite+probe is testable exactly) route through here. Also writes
+    * the `stats` sidecar: per-cell fit-time assignment quality, the
+    * baseline [[ivfIndexStaleness]] measures drift against.
+    */
+  def ivfIndexWriteWithCentroids(corpus: DataFrame, dir: String,
+      cents: Array[Array[Double]],
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    val c = Dedup.balanced(corpus)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
     // cluster the file layout on the cell id before partitionBy:
     // without it every task writes a sliver into every cell dir
     // (tasks x nlist tiny files); with it a cell's rows land together.
@@ -230,6 +245,90 @@ object Similarity {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/data")
     centroidsDf(spark, cents).write.mode("overwrite").parquet(s"$dir/centroids")
+    cellAssignmentStats(spark, dir)
+      .write.mode("overwrite").parquet(s"$dir/stats")
+  }
+
+  /** Append new vectors into an existing [[ivfIndexWrite]] index:
+    * assign against the FROZEN centroid sidecar (never refit — a refit
+    * would silently move cell boundaries under the already-written
+    * data, the frozen-grid trap) and append parquet files into the
+    * matching cell directories. Serving keeps its static pruning: a
+    * probe lists only the probed cells' directories, old and appended
+    * files alike. The write shuffles ONLY the new vectors (one
+    * repartition on cell) — the existing index is never read or
+    * rewritten, so appending a day's delta to a 100 TB index costs
+    * O(delta). The fit-time `stats` baseline stays frozen; run
+    * [[ivfIndexStaleness]] after appends and re-fit (full
+    * [[ivfIndexWrite]]) when drift crosses the deployment's threshold.
+    */
+  def ivfIndexAppend(newVectors: DataFrame, dir: String,
+      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val spark = newVectors.sparkSession
+    val cents = readCentroids(spark, dir)
+    Dedup.balanced(newVectors)
+      .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+      .withColumn("cell", cellExpr(col("c_emb"), cents))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/data")
+  }
+
+  /** Index-staleness report — the re-fit trigger for an appended index:
+    * per cell, the CURRENT mean squared distance of assigned vectors to
+    * their centroid vs the fit-time baseline recorded in the `stats`
+    * sidecar. Appends drawn from the fit distribution keep
+    * `drift` ≈ 0; a shifted corpus inflates current mean distance and
+    * the drift ratio tells the operator how badly the frozen Voronoi
+    * geometry fits the data now. One partition-parallel scan of the
+    * index plus a broadcast of the (nlist-row) sidecars — no shuffle
+    * beyond the nlist-cardinality aggregate.
+    *
+    * Output: (cell, n_vectors, mean_d2, fit_n_vectors, fit_mean_d2,
+    * drift) with drift = mean_d2/fit_mean_d2 − 1 (NULL for a
+    * degenerate zero-distance fit cell).
+    */
+  def ivfIndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+    val fit = spark.read.parquet(s"$dir/stats")
+      .select(col("cell"), col("n_vectors").as("fit_n_vectors"),
+        col("mean_d2").as("fit_mean_d2"))
+    cellAssignmentStats(spark, dir)
+      .join(broadcast(fit), Seq("cell"), "left_outer")
+      .withColumn("drift",
+        when(col("fit_mean_d2") > 0, col("mean_d2") / col("fit_mean_d2") - 1.0))
+      .orderBy("cell")
+  }
+
+  /** Per-cell assignment quality of the index AS WRITTEN: count and
+    * mean squared centroid distance, computed by scanning the data
+    * partitions against the broadcast centroid sidecar.
+    */
+  private def cellAssignmentStats(spark: SparkSession, dir: String): DataFrame = {
+    val centDf = spark.read.parquet(s"$dir/centroids")
+    spark.read.parquet(s"$dir/data")
+      .join(broadcast(centDf), Seq("cell"))
+      .withColumn("_c", col("centroid").cast("array<double>"))
+      .withColumn("_d2",
+        dot(col("c_emb"), col("c_emb"))
+          - lit(2.0) * dot(col("c_emb"), col("_c"))
+          + dot(col("_c"), col("_c")))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vectors"), avg(col("_d2")).as("mean_d2"))
+  }
+
+  /** The frozen centroid set of a written index, cell-ordered — the
+    * bounded (nlist-row) sidecar read that [[ivfIndexAppend]] assigns
+    * against.
+    */
+  private def readCentroids(spark: SparkSession,
+      dir: String): Array[Array[Double]] = {
+    val rows = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell")
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(rows.nonEmpty, s"ivfIndexAppend: no centroids sidecar under $dir")
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"ivfIndexAppend: centroid sidecar cells are not dense 0..${rows.length - 1}")
+    rows.map(_._2)
   }
 
   /** ANN against a materialized [[ivfIndexWrite]] index. The query

@@ -830,6 +830,53 @@ class SimilaritySpec extends SparkSpec {
     assert(res.collect().toSeq == insession.collect().toSeq)
   }
 
+  test("ivfIndexAppend: append + probe ≡ full rewrite + probe on the combined corpus") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    val dirA = java.nio.file.Files.createTempDirectory("graft-ivfapp-a-").toString
+    val dirB = java.nio.file.Files.createTempDirectory("graft-ivfapp-b-").toString
+    // index on the first half, then append the second half under the
+    // FROZEN centroids
+    Similarity.ivfIndexWrite(first, dirA, nlist = 8)
+    Similarity.ivfIndexAppend(second, dirA)
+    // reference: one-shot write of the combined corpus under the SAME
+    // centroid set (read from the appended index's sidecar — geometry
+    // identical by construction)
+    val cents = spark.read.parquet(s"$dirA/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    Similarity.ivfIndexWriteWithCentroids(emb, dirB, cents)
+    val q = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+    def probe(dir: String) =
+      Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(dirA) == probe(dirB),
+      "appended index answers differently from a rewrite of the combined corpus")
+  }
+
+  test("ivfIndexStaleness: in-distribution appends keep drift ~0, a shifted corpus inflates it") {
+    val emb = graft.Tables.load(spark, sfDir, "embeddings").limit(256)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfstale-").toString
+    Similarity.ivfIndexWrite(emb, dir, nlist = 4)
+    // freshly written index: current stats == fit stats exactly
+    val base = Similarity.ivfIndexStaleness(spark, dir).collect()
+    assert(base.nonEmpty)
+    base.foreach { r =>
+      assert(math.abs(r.getAs[Double]("drift")) < 1e-12,
+        s"fresh index must have zero drift, got $r")
+    }
+    // append a far-shifted copy (every coordinate += 10): assignment
+    // quality degrades, drift must go clearly positive somewhere
+    val shifted = emb
+      .withColumn("embedding",
+        transform(col("embedding"), x => x + lit(10.0f)))
+      .withColumn("vec_id", col("vec_id") + 100000L)
+    Similarity.ivfIndexAppend(shifted, dir)
+    val after = Similarity.ivfIndexStaleness(spark, dir).collect()
+    assert(after.exists(r => r.getAs[Double]("drift") > 1.0),
+      s"shifted append should inflate drift, got ${after.mkString(", ")}")
+  }
+
   test("ivfIndexedTopK: an over-cap query batch fails fast with a named error") {
     val emb = graft.Tables.load(spark, sfDir, "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("graft-ivfcap-").toString
