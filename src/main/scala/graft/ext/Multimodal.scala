@@ -136,6 +136,125 @@ object Multimodal {
     }
   }
 
+  /** Real WAV/PCM audio decoder over the JDK's pure-Java
+    * `javax.sound.sampled` stack (WAV/AIFF/AU PCM readers ship with the
+    * JRE — no native codec, same portability story as
+    * [[ImageIoDecoder]]). Every PCM sample maps to a 0..255 intensity
+    * (8-bit: the raw/offset byte; 16-bit: the value shifted into the
+    * unsigned high byte), features are the mean intensity and the same
+    * 8-bin histogram — the [[MediaDecoder]] contract, so it swaps
+    * freely under [[extractFeatures]] for audio-shaped media.
+    * Undecodable or non-PCM payloads throw IllegalArgumentException
+    * (the ImageIoDecoder contract: zero-filled features would poison
+    * downstream quality filters).
+    */
+  object WavPcmDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte]): (Double, Array[Long]) = {
+      val (fmt, data) = readPcm(payload, "WavPcmDecoder")
+      val bits = fmt.getSampleSizeInBits
+      val signed =
+        fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+      val hist = new Array[Long](8)
+      var sum = 0L
+      var n = 0
+      if (bits == 8) {
+        var i = 0
+        while (i < data.length) {
+          // signed 8-bit shifts by 128 into the unsigned domain
+          val v = if (signed) ((data(i) & 0xFF) ^ 0x80) else data(i) & 0xFF
+          sum += v; hist(v >> 5) += 1; n += 1; i += 1
+        }
+      } else {
+        val big = fmt.isBigEndian
+        var i = 0
+        while (i + 1 < data.length) {
+          val hi = if (big) data(i) else data(i + 1)
+          val lo = if (big) data(i + 1) else data(i)
+          val raw = (hi << 8) | (lo & 0xFF) // sign-extended high byte
+          val u = if (signed) raw + 32768 else ((hi & 0xFF) << 8) | (lo & 0xFF)
+          val v = u >> 8
+          sum += v; hist(v >> 5) += 1; n += 1; i += 2
+        }
+      }
+      if (n == 0) (0.0, hist) else (sum.toDouble / n, hist)
+    }
+  }
+
+  /** Decode a WAV/AIFF/AU payload to (format, raw PCM bytes) with the
+    * PCM-only / 8-or-16-bit guards shared by [[WavPcmDecoder]] and
+    * [[sampleAudioFrames]].
+    */
+  private def readPcm(payload: Array[Byte],
+      who: String): (javax.sound.sampled.AudioFormat, Array[Byte]) = {
+    require(payload != null && payload.nonEmpty, s"$who: empty payload")
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      catch {
+        case e @ (_: javax.sound.sampled.UnsupportedAudioFileException |
+                  _: java.io.IOException) =>
+          throw new IllegalArgumentException(
+            s"$who: payload is not decodable audio: ${e.getMessage}", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      require(
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+        enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+        s"$who: only PCM payloads are supported, got $enc")
+      require(fmt.getSampleSizeInBits == 8 || fmt.getSampleSizeInBits == 16,
+        s"$who: only 8/16-bit PCM, got ${fmt.getSampleSizeInBits}-bit")
+      (fmt, ais.readAllBytes())
+    } finally ais.close()
+  }
+
+  /** REAL frame sampling for audio-shaped media — the javax.sound
+    * analog of [[resizeImages]], shrinking [[sampleFrames]]'s stub
+    * surface: decode the WAV payload, keep every k-th PCM FRAME
+    * (frame = one sample across all channels, so stereo stays
+    * channel-aligned — the byte-striding stub cannot promise that),
+    * re-encode as WAV with the same sample format, and set
+    * `meta.n_frames` to the real retained frame count. Plan shape
+    * unchanged: one narrow per-partition map, no shuffle.
+    */
+  def sampleAudioFrames(media: DataFrame, everyK: Int): DataFrame = {
+    require(everyK >= 1, s"sampleAudioFrames: everyK must be >= 1, got $everyK")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sampled = media
+      .select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (fmt, data) = readPcm(payload, "sampleAudioFrames")
+          val fs = fmt.getFrameSize
+          val nFrames = data.length / fs
+          val kept = (0 until nFrames by everyK).toArray
+          val out = new Array[Byte](kept.length * fs)
+          var j = 0
+          while (j < kept.length) {
+            System.arraycopy(data, kept(j) * fs, out, j * fs, fs)
+            j += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), fmt, kept.length.toLong)
+          try javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          (id, bos.toByteArray, kept.length)
+        }
+      }
+      .toDF("media_id", "payload", "_nf")
+    media.drop("payload")
+      .join(sampled, Seq("media_id"))
+      .withColumn("meta",
+        col("meta").withField("format", lit("audio/wav"))
+          .withField("n_frames", col("_nf")))
+      .drop("_nf")
+  }
+
   /** Partition-parallel decode + feature extraction: one narrow
     * `mapPartitions` pass (the Scala analog of the reference stack's
     * `mapInPandas` batch UDF), no shuffle, constant memory per row.

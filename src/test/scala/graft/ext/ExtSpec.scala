@@ -1098,4 +1098,74 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.ImageIoDecoder.decode(truncated)
     }
   }
+
+  /** WAV bytes for 16-bit signed little-endian mono PCM samples. */
+  private def wavBytes16(samples: Array[Short]): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val data = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      data(2 * i) = (s & 0xFF).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong)
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavPcmDecoder: real WAV decode, exact sample stats, distributed") {
+    // silence: every 16-bit sample 0 → intensity (0+32768)>>8 = 128,
+    // bin 4; extremes: -32768 → 0 (bin 0), 32767 → 255 (bin 7)
+    val silence = wavBytes16(Array.fill(1000)(0.toShort))
+    val extremes = wavBytes16(
+      Array.fill(250)(Short.MinValue) ++ Array.fill(250)(Short.MaxValue))
+    val rows = Seq((1L, silence), (2L, extremes)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(1).as("n_frames")))
+    val f = Multimodal.extractFeatures(rows, Multimodal.WavPcmDecoder)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).mean_intensity == 128.0)
+    assert(f(1L).histogram.toSeq == Seq(0L, 0L, 0L, 0L, 1000L, 0L, 0L, 0L))
+    assert(f(2L).mean_intensity == 127.5)
+    assert(f(2L).histogram(0) == 250L && f(2L).histogram(7) == 250L)
+    assert(f(2L).histogram.sum == 500L)
+  }
+
+  test("sampleAudioFrames: real every-kth-frame WAV resample round-trips") {
+    // frames carry their own index as the sample value: after
+    // every-3rd sampling the surviving PCM values must be 0,3,6,...
+    val src = wavBytes16((0 until 30).map(_.toShort).toArray)
+    val rows = Seq((1L, src)).toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("format"),
+        lit(0).as("width"), lit(0).as("height"), lit(30).as("n_frames")))
+    val out = Multimodal.sampleAudioFrames(rows, 3)
+      .select("payload", "meta.n_frames", "meta.format").collect().head
+    assert(out.getInt(1) == 10)
+    assert(out.getString(2) == "audio/wav")
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.getAs[Array[Byte]](0)))
+    val pcm = ais.readAllBytes()
+    val got = (0 until pcm.length / 2).map(i =>
+      (((pcm(2 * i + 1) << 8) | (pcm(2 * i) & 0xFF))).toShort)
+    assert(got == (0 until 30 by 3).map(_.toShort))
+    // sampled output feeds straight back into the real decoder
+    val f = Multimodal.extractFeatures(
+      Multimodal.sampleAudioFrames(rows, 3), Multimodal.WavPcmDecoder)
+      .collect().head
+    assert(f.histogram.sum == 10L)
+  }
+
+  test("WavPcmDecoder rejects non-audio payloads instead of zero-filling") {
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcmDecoder.decode("definitely not audio".getBytes("UTF-8"))
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcmDecoder.decode(Array.emptyByteArray)
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.WavPcmDecoder.decode(wavBytes16(Array.fill(8)(1.toShort)).take(20))
+    }
+  }
 }
