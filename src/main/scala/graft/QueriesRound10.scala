@@ -78,8 +78,12 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
     */
   def deltaCcLabels(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    // materialize the pair set once: both the prior half and the delta
+    // half filter it, and without the lineage cut each consumer would
+    // re-run the Θ(n²) tiled all-pairs generation
     val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .localCheckpoint(true)
     val prior = Components.connectedComponents(
       pairs.filter((col("src") + col("dst")) % 2 === 0))
     val labels = Components.incrementalComponents(prior,

@@ -128,12 +128,18 @@ object Components {
   private def incrementalParts(prior: DataFrame, newEdges: DataFrame,
       srcCol: String, dstCol: String,
       maxRounds: Int): (DataFrame, DataFrame) = {
+    // the canonical delta is consumed TWICE (touched-node probe + star
+    // rounds); cut its lineage eagerly so an expensive upstream
+    // candidate generator (e.g. tiled all-pairs cosine) runs once, not
+    // per consumer — the connectedComponents checkpoint discipline,
+    // and the frame is delta-sized, never graph-sized
     val delta = newEdges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
+      .localCheckpoint(true)
     val touchedNodes = delta.select(col("u").as("node"))
       .unionAll(delta.select(col("v").as("node"))).distinct()
     val touchedComps = prior.join(touchedNodes, Seq("node"))
