@@ -177,6 +177,7 @@ object SparkEntry {
     "q139_bpe_segment" -> ((s, d) => PipelinesExt.bpeSegmentDocs(s, d)),
     "q140_delta_cc" -> ((s, d) => PipelinesExt.deltaCcLabels(s, d)),
     "q141_decayed_scoring" -> ((s, d) => PipelinesExt.decayedScoring(s, d)),
+    "q142_bpe_train" -> ((s, d) => PipelinesExt.bpeTrainMerges(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

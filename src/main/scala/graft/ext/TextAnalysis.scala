@@ -681,6 +681,64 @@ object TextAnalysis {
   def bpePieces(segments: Column): Column =
     flatten(transform(segments, s => split(s, " ")))
 
+  /** DISTRIBUTED BPE training (Sennrich et al. 2016) — learn the merge
+    * list [[bpeSegment]] applies, completing the tokenizer story next
+    * to [[bpeMergePairs]]'s single-step statistic. The corpus-sized
+    * work happens ONCE (the word-frequency aggregate); each of the
+    * `numMerges` iterations then runs on the bounded VOCABULARY:
+    * one (left, right) hash aggregate over the wrapped-token
+    * representations, a deterministic argmax (count desc, then pair
+    * lexicographic) of which exactly ONE ROW reaches the driver (the
+    * k-means discipline — model state round-trips, data never), and a
+    * narrow literal replace applying the merge. Each iteration ends in
+    * an eager localCheckpoint so plan depth stays O(1) instead of
+    * O(merges) (the connectedComponents contract).
+    *
+    * Training stops early when the best pair's weighted count falls
+    * below `minCount` (merging hapax pairs only memorizes the corpus).
+    * The returned table feeds [[bpeSegment]] directly.
+    */
+  def bpeTrain(docs: DataFrame, textCol: String, numMerges: Int,
+      minCount: Long = 2L): Seq[(String, String)] = {
+    require(numMerges >= 1, s"bpeTrain: numMerges must be >= 1, got $numMerges")
+    val SEP = "\u001f"
+    var vocab = docs
+      .select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+      .select(concat_ws("",
+        transform(split(col("word"), ""), ch => concat(lit(SEP), ch, lit(SEP))))
+        .as("repr"), col("wcnt"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (!done && merges.length < numMerges) {
+      val t = split(trim(col("repr"), SEP), SEP + SEP)
+      val top = vocab
+        .select(col("wcnt"), t.as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("wcnt"), explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("_p"))
+        .groupBy(col("_p.l").as("l"), col("_p.r").as("r"))
+        .agg(sum(col("wcnt")).as("cnt"))
+        .filter(col("cnt") >= minCount)
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r) = (top.head.getString(0), top.head.getString(1))
+        merges += ((l, r))
+        vocab = vocab
+          .withColumn("repr",
+            replace(col("repr"), lit(s"$SEP$l$SEP$SEP$r$SEP"), lit(s"$SEP$l$r$SEP")))
+          .localCheckpoint(true)
+      }
+    }
+    merges.toSeq
+  }
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -388,6 +388,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._3 == 6000000L, s"expected 6e6, got ${got._3}")
   }
 
+  test("bpeTrain: hand-computed merges on the classic corpus, then segment composition") {
+    // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6,
+    // widest×3. Hand-run: round 1 counts give es=9/st=9 (tie → (e,s)
+    // lexicographic), then est=9, then lo=7/ow=7 (tie → (l,o)), then
+    // low=7, then ew/ne/w-est all 6 (tie → (e,w)).
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower"),
+      (3L, "newest newest newest newest newest newest"),
+      (4L, "widest widest widest")).toDF("doc_id", "text")
+    val merges = TextAnalysis.bpeTrain(docs, "text", numMerges = 5)
+    assert(merges == Seq("e" -> "s", "es" -> "t", "l" -> "o",
+      "lo" -> "w", "e" -> "w"))
+    // the learned table feeds the application operator directly:
+    // "lowest" = low + est under these merges
+    val seg = TextAnalysis.bpeSegment(
+        Seq((1L, "lowest")).toDF("doc_id", "text"), "text", merges)
+      .select("bpe_segments").as[Seq[String]].collect().head
+    assert(seg == Seq("low est"))
+  }
+
+  test("bpeTrain: stops early when no pair reaches minCount") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(docs, "text", numMerges = 5).isEmpty)
+    // with minCount 1 it keeps merging deterministically
+    val m = TextAnalysis.bpeTrain(docs, "text", numMerges = 2, minCount = 1L)
+    assert(m == Seq("a" -> "b", "c" -> "d"))
+  }
+
   test("bpeSegment: hand-computed segmentations, merge order, overlap, empties") {
     val merges = Seq("t" -> "h", "th" -> "e", "i" -> "n", "a" -> "n",
       "an" -> "d", "in" -> "g")
