@@ -106,4 +106,36 @@ object Encoders {
             least(element_at(col("_b"), 2), col(valueCol).cast("double")))))
       .drop("_b")
   }
+
+  /** [[winsorize]]'s million-row-group escape hatch made first-class:
+    * identical join-back / NULL-group / NULL-value semantics, but the
+    * band edges come from `approx_percentile` (KLL-style quantile
+    * sketch: CONSTANT-size mergeable state per group, map-side
+    * partials) instead of exact per-group value collection — the shape
+    * that survives a group outgrowing executor memory at 100 TB.
+    * `accuracy` trades sketch size for rank error ≤ n/accuracy. Sketch
+    * results are engine-specific (rows-only checkable, §5.3); the
+    * clamp still only ever emits existing values or sketch edges, and
+    * EncodersSpec pins exact≡approx agreement where the sketch is
+    * exact (small distinct counts).
+    */
+  def winsorizeApprox(df: DataFrame, groupCol: String, valueCol: String,
+      outCol: String, lo: Double = 0.01, hi: Double = 0.99,
+      accuracy: Int = 10000): DataFrame = {
+    require(lo >= 0.0 && hi <= 1.0 && lo <= hi,
+      s"winsorizeApprox: need 0 <= lo <= hi <= 1, got [$lo, $hi]")
+    require(accuracy >= 1,
+      s"winsorizeApprox: accuracy must be >= 1, got $accuracy")
+    val stats = df.groupBy(col(groupCol)).agg(
+      expr(s"approx_percentile(CAST($valueCol AS DOUBLE), array($lo, $hi), $accuracy)")
+        .as("_b"))
+      .withColumnRenamed(groupCol, "_wg")
+    df.join(broadcast(stats), col(groupCol) <=> col("_wg"))
+      .drop("_wg")
+      .withColumn(outCol,
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(greatest(element_at(col("_b"), 1),
+            least(element_at(col("_b"), 2), col(valueCol).cast("double")))))
+      .drop("_b")
+  }
 }

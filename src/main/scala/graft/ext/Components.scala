@@ -188,10 +188,13 @@ object Components {
     // subtraction makes the double division exact (numerator divisible)
     def idiv(a: Column, b: Column): Column =
       ((a - pmod(a, b)) / b).cast("long")
+    // `und` feeds both arms of the symmetrizing union — checkpoint it
+    // first or the upstream candidate generator runs once per arm
     val und = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .localCheckpoint(true)
     val dir = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .localCheckpoint(true)
@@ -242,12 +245,19 @@ object Components {
     */
   def triangleCounts(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
+    // the canonical edge set feeds THREE consumers (both arms of the
+    // degree union + the orientation join): cut its lineage eagerly so
+    // an expensive upstream candidate generator (tiled all-pairs
+    // cosine) runs once, not three times — the incrementalParts
+    // discipline; the frame is |E|-sized, what the algorithm holds
+    // anyway
     val canon = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
+      .localCheckpoint(true)
     val deg = canon.select(col("a").as("n"))
       .unionAll(canon.select(col("b").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))

@@ -500,6 +500,39 @@ object StreamingFeatures {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming ANN-index maintenance — continuous ingestion into a
+    * materialized IVF index: each micro-batch of embedding rows appends
+    * into the index directory via
+    * [[graft.ext.Similarity.ivfIndexAppend]] (assignment against the
+    * FROZEN centroid sidecar — geometry never moves under the written
+    * data), so probes see new vectors after the next batch while
+    * keeping their static cell pruning. Only each micro-batch shuffles
+    * (one repartition on its cell ids); the index itself is never
+    * read. Pair with [[graft.ext.Similarity.ivfIndexStaleness]] on a
+    * schedule: when drift vs the fit-time baseline crosses the
+    * deployment threshold, stop the stream, re-fit with a full
+    * `ivfIndexWrite`, restart.
+    *
+    * NOT idempotent under micro-batch replay (append-only storage
+    * double-writes replayed vectors) — run with exactly-once sources /
+    * checkpointed triggers, or dedup upstream by vector id.
+    */
+  def maintainIvfIndex(
+      vectorStream: DataFrame,
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String = "vec_id",
+      embCol: String = "embedding"): StreamingQuery =
+    vectorStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          graft.ext.Similarity.ivfIndexAppend(batch, indexDir, idCol, embCol)
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Exactly-once event dedup for at-least-once sources: state-backed
     * `dropDuplicates` on the event id, bounded by the watermark (state
     * for ids older than the delay is evicted — the standard streaming

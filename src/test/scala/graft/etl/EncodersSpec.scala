@@ -95,6 +95,36 @@ class EncodersSpec extends SparkSpec {
     assert(got.count() == 4)
   }
 
+  test("winsorizeApprox: sketch-banded clamp matches exact winsorize on rank-exact percentiles") {
+    // 5 evenly ranked values: p25/p75 land exactly on ranks 1 and 3
+    // (no interpolation), where the quantile sketch is value-exact —
+    // approx must agree with the exact operator bit-for-bit
+    val df = Seq(("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), ("a", 50.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0), ("b", 5.0))
+      .toDF("g", "v")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("g", "v", "w").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(rows(Encoders.winsorizeApprox(df, "g", "v", "w", lo = 0.25, hi = 0.75))
+      == rows(Encoders.winsorize(df, "g", "v", "w", lo = 0.25, hi = 0.75)))
+    // [0, 1] band = [min, max]: clamping is the identity, rows keep
+    val id = Encoders.winsorizeApprox(df, "g", "v", "w", lo = 0.0, hi = 1.0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2)))
+    assert(id.length == 10 && id.forall { case (v, w) => v == w })
+  }
+
+  test("winsorizeApprox: NULL group and NULL value semantics mirror the exact operator") {
+    val df = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Option.empty[Double]),
+      (None, Some(10.0)), (None, Some(20.0)))
+      .toDF("g", "v")
+    val got = Encoders.winsorizeApprox(df, "g", "v", "w", lo = 0.0, hi = 1.0)
+      .collect().map(r => (Option(r.getString(0)), Option(r.get(1)), Option(r.get(2))))
+    assert(got.length == 5, "no rows may vanish")
+    assert(got.count(_._1.isEmpty) == 2, "NULL-group rows survive")
+    assert(got.exists(r => r._2.isEmpty && r._3.isEmpty), "NULL value stays NULL")
+  }
+
   test("winsorize: NULL group is a group — rows survive and clamp against the NULL group's band") {
     // a plain inner equi join on the group key would drop the three
     // NULL-group rows (join keys never match NULL)

@@ -658,4 +658,40 @@ class StreamingFeaturesSpec extends SparkSpec {
       labels(Components.connectedComponents(pairs)),
       "maintained labels != batch CC over the full pair set")
   }
+
+  test("maintainIvfIndex: streamed appends answer like a same-centroid batch rewrite") {
+    import graft.ext.Similarity
+    val emb = graft.Tables.load(spark, sfDir, "embeddings")
+    val base = emb.filter(col("vec_id") % 3 === 0)
+    val delta = emb.filter(col("vec_id") % 3 =!= 0)
+    val idxDir = Files.createTempDirectory("graft-ivfstream-idx-").toString
+    Similarity.ivfIndexWrite(base, idxDir, nlist = 8)
+
+    // the delta arrives as TWO micro-batches through the maintainer
+    val streamDir = Files.createTempDirectory("graft-ivfstream-in-").toString
+    delta.filter(col("vec_id") % 3 === 1).select("vec_id", "embedding")
+      .write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val ckpt = Files.createTempDirectory("graft-ivfstream-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    assert(StreamingFeatures.maintainIvfIndex(stream, idxDir, ckpt)
+      .awaitTermination(120000))
+    delta.filter(col("vec_id") % 3 === 2).select("vec_id", "embedding")
+      .write.mode("append").parquet(streamDir)
+    assert(StreamingFeatures.maintainIvfIndex(stream, idxDir, ckpt)
+      .awaitTermination(120000))
+
+    // reference: one-shot write of the full corpus under the SAME
+    // frozen centroids
+    val cents = spark.read.parquet(s"$idxDir/centroids").orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+    val refDir = Files.createTempDirectory("graft-ivfstream-ref-").toString
+    Similarity.ivfIndexWriteWithCentroids(emb, refDir, cents)
+    val q = emb.filter(col("vec_id").isin(0L, 5L, 11L))
+    def probe(dir: String) =
+      Similarity.ivfIndexedTopK(spark, dir, q, k = 5, nprobe = 3)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(probe(idxDir) == probe(refDir),
+      "streamed index answers differently from the batch rewrite")
+  }
 }
