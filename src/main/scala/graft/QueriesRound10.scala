@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Similarity, TextAnalysis}
+import graft.ext.{Components, Dedup, Perceptron, Similarity, TextAnalysis}
 import graft.fs.{FeatureLookup, FeatureStore, FeatureTableSpec, LogisticScorer,
   ScorerRegistry, WriteMode}
 
@@ -155,6 +155,18 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       .toDF("merge_rank", "lhs", "rhs")
       .orderBy("merge_rank")
   }
+
+  /** Supervised training gate: 3 batch-perceptron iterations learning
+    * an is-English classifier over hashed unigram counts (the q128
+    * bucket scheme; label = lang = 'en'). All-integer recurrence, so
+    * the oracle replays the exact weight trajectory as 3 unrolled
+    * MATERIALIZED CTE stages — margins, misclassified set, per-bucket
+    * updates, bias — and the final 257-row weight vector hash-matches.
+    */
+  def perceptronTrain(s: SparkSession, d: String): DataFrame =
+    Perceptron.batchPerceptronHashed(t(s, d, "documents"),
+      "doc_id", "text", positive = col("lang") === "en", iterations = 3)
+      .orderBy("pos")
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound10]] queries. */
@@ -272,6 +284,50 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM m$k")
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
+    },
+
+    // the full-batch perceptron recurrence unrolled (the q131/q142
+    // pattern): w0 = 0; per iteration margins via a weight join,
+    // y·margin <= 0 selects the misclassified set, per-bucket and bias
+    // updates add in. Bucket ints derive from the md5 hex prefix with
+    // the strpos idiom (matching Spark's conv(substring(md5,1,2),16,10))
+    "q143_perceptron_train" -> {
+      val n = 3
+      def stage(k: Int): String =
+        s"""d$k AS MATERIALIZED (
+           |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
+           |  FROM f JOIN w${k - 1} w ON w.pos = f.pos
+           |  GROUP BY 1),
+           |m$k AS MATERIALIZED (
+           |  SELECT y.doc_id, y.y,
+           |    coalesce(d.dot, 0) + (SELECT w FROM w${k - 1} WHERE pos = 256) AS mar
+           |  FROM y LEFT JOIN d$k d USING (doc_id)),
+           |u$k AS MATERIALIZED (
+           |  SELECT f.pos, CAST(sum(m.y * f.cnt) AS BIGINT) AS up
+           |  FROM m$k m JOIN f USING (doc_id)
+           |  WHERE m.y * m.mar <= 0 GROUP BY 1
+           |  UNION ALL
+           |  SELECT 256, CAST(sum(y) AS BIGINT) FROM m$k WHERE y * mar <= 0),
+           |w$k AS MATERIALIZED (
+           |  SELECT w.pos, w.w + coalesce(u.up, 0) AS w
+           |  FROM w${k - 1} w LEFT JOIN u$k u USING (pos))""".stripMargin
+      s"""WITH f AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS pos,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+         |      FROM documents)
+         |  GROUP BY 1, 2),
+         |y AS MATERIALIZED (
+         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+         |  FROM documents),
+         |w0 AS MATERIALIZED (
+         |  SELECT CAST(pos AS BIGINT) AS pos, CAST(0 AS BIGINT) AS w
+         |  FROM range(0, 257) t(pos)),
+         |${(1 to n).map(stage).mkString(",\n")}
+         |SELECT pos, CAST(w AS BIGINT) AS weight FROM w$n ORDER BY pos""".stripMargin
     },
   )
 }

@@ -178,6 +178,7 @@ object SparkEntry {
     "q140_delta_cc" -> ((s, d) => PipelinesExt.deltaCcLabels(s, d)),
     "q141_decayed_scoring" -> ((s, d) => PipelinesExt.decayedScoring(s, d)),
     "q142_bpe_train" -> ((s, d) => PipelinesExt.bpeTrainMerges(s, d)),
+    "q143_perceptron_train" -> ((s, d) => PipelinesExt.perceptronTrain(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

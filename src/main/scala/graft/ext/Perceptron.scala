@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** [extension] Distributed batch-perceptron training over hashed text
+  * features — the SUPERVISED companion to the distributed k-means
+  * (`Clustering`) and the serving-side hashed classifier
+  * (`TextAnalysis.hashedLinearScore`): it learns the integer weight
+  * vector that tier assumes, completing the quality-classifier story
+  * (train here, serve there) next to the spark.ml GBT path (U3).
+  *
+  * Algorithm: full-batch perceptron (Rosenblatt updates summed over the
+  * whole misclassified set per iteration, not per-sample — the batch
+  * variant is deterministic and order-free):
+  *   w_{t+1} = w_t + Σ_{i : y_i·(w_t·x_i + b_t) ≤ 0} y_i·x_i
+  * Every quantity is an INTEGER (bucket counts, ±1 labels, weight
+  * sums), so the whole T-iteration recurrence is exact BIGINT
+  * arithmetic and replays hash-for-hash as an unrolled DuckDB
+  * recurrence — the q131 k-means discipline applied to supervised
+  * training.
+  *
+  * Scale shape: the corpus-sized work is ONE feature extraction
+  * (explode + (doc, bucket) hash agg, checkpointed); each iteration is
+  * a broadcast join against the (≤ nBuckets+1)-row weight frame, one
+  * doc-key agg for margins, and one bucket-key agg for updates — only
+  * the weight vector round-trips the driver per iteration (the k-means
+  * model-roundtrip discipline; data never).
+  */
+object Perceptron {
+
+  /** Train on md5-hashed unigram counts (the DSIR/q128 bucket scheme:
+    * first `2` hex chars → 256 buckets). `positive` is the boolean
+    * label column expression (true → +1, false → −1). Returns the
+    * learned model as (pos, weight): pos ∈ [0, 256), plus pos = 256
+    * for the bias term — ready to broadcast into a serving projection.
+    */
+  def batchPerceptronHashed(docs: DataFrame, idCol: String, textCol: String,
+      positive: Column, iterations: Int): DataFrame = {
+    require(iterations >= 1 && iterations <= 64,
+      s"batchPerceptronHashed: iterations must be in [1,64], got $iterations")
+    val spark = docs.sparkSession
+    val nBuckets = 256
+    // (doc, bucket) counts and ±1 labels: each is consumed every
+    // iteration — materialize once, cut the corpus out of the loop
+    val feats = docs
+      .select(col(idCol).as("_id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("_term"))
+      .select(col("_id"),
+        conv(substring(md5(col("_term")), 1, 2), 16, 10).cast("long").as("pos"))
+      .groupBy(col("_id"), col("pos")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true)
+    val labels = docs
+      .select(col(idCol).as("_id"),
+        when(positive, 1L).otherwise(-1L).as("y"))
+      .localCheckpoint(true)
+
+    val w = Array.fill(nBuckets + 1)(0L) // index nBuckets = bias
+    for (_ <- 1 to iterations) {
+      val wDf = spark.createDataFrame(
+        (0 until nBuckets).map(i => (i.toLong, w(i))))
+        .toDF("pos", "wv")
+      val dots = feats.join(broadcast(wDf), Seq("pos"))
+        .groupBy(col("_id")).agg(sum(col("cnt") * col("wv")).as("dot"))
+      // token-less docs have no feature rows: their margin is the bias
+      // alone (left join + coalesce), and they still vote on the bias
+      val mis = labels.join(dots, Seq("_id"), "left_outer")
+        .select(col("_id"), col("y"),
+          (coalesce(col("dot"), lit(0L)) + lit(w(nBuckets))).as("mar"))
+        .filter(col("y") * col("mar") <= 0)
+        .localCheckpoint(true) // consumed by both update aggregates
+      val upd = mis.join(feats, Seq("_id"))
+        .groupBy(col("pos")).agg(sum(col("y") * col("cnt")).as("up"))
+        .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+      val bias = Option(mis.agg(sum(col("y"))).collect().head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      upd.foreach { case (p, u) => w(p) += u }
+      w(nBuckets) += bias
+    }
+    import spark.implicits._
+    w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("pos", "weight")
+  }
+}

@@ -448,6 +448,78 @@ class TextAnalysisSpec extends SparkSpec {
   }
 }
 
+class PerceptronSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side reference: the same full-batch recurrence over plain
+    * Scala maps — an independent implementation, not a re-derivation of
+    * the Spark plan.
+    */
+  private def reference(docs: Seq[(Long, String, Boolean)],
+      iterations: Int): Map[Long, Long] = {
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${md(0) & 0xFF}%02x", 16)
+    }
+    val feats = docs.map { case (id, text, _) =>
+      id -> text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(bucket).map { case (b, ts) => b -> ts.length.toLong }
+    }.toMap
+    val ys = docs.map { case (id, _, p) => id -> (if (p) 1L else -1L) }.toMap
+    val w = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to iterations) {
+      val mis = docs.map(_._1).filter { id =>
+        val mar = feats(id).map { case (b, c) => w(b) * c }.sum + w(256L)
+        ys(id) * mar <= 0
+      }
+      mis.foreach { id =>
+        feats(id).foreach { case (b, c) => w(b) += ys(id) * c }
+        w(256L) += ys(id)
+      }
+    }
+    w.toMap
+  }
+
+  test("batchPerceptronHashed ≡ driver-side reference on a mixed corpus") {
+    val docs = Seq(
+      (1L, "good clean text about spark", true),
+      (2L, "mehr guter text", false),
+      (3L, "spark spark quality data", true),
+      (4L, "schlechter text hier", false),
+      (5L, "data pipelines for the win", true),
+      (6L, "", false)) // token-less doc: bias-only margin, still votes
+    val df = docs.map { case (id, t, p) => (id, t, p) }
+      .toDF("doc_id", "text", "pos_label")
+    val got = Perceptron.batchPerceptronHashed(df, "doc_id", "text",
+        positive = col("pos_label"), iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ref = reference(docs, 4)
+    assert((0L to 256L).forall(p => got(p) == ref.getOrElse(p, 0L)),
+      s"weight mismatch: got ${got.filter(_._2 != 0)}, ref ${ref.filter(_._2 != 0)}")
+  }
+
+  test("batchPerceptronHashed learns a separable planted problem") {
+    // positives always contain 'alpha', negatives 'omega' — linearly
+    // separable in the hashed space unless the two buckets collide
+    // (they don't: distinct md5 prefixes)
+    val df = (0 until 40).map { i =>
+      if (i % 2 == 0) (i.toLong, s"alpha common$i filler", true)
+      else (i.toLong, s"omega common$i filler", false)
+    }.toDF("doc_id", "text", "pos_label")
+    val w = Perceptron.batchPerceptronHashed(df, "doc_id", "text",
+        positive = col("pos_label"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${md(0) & 0xFF}%02x", 16)
+    }
+    assert(w(bucket("alpha")) > 0, s"alpha weight should be positive")
+    assert(w(bucket("omega")) < 0, s"omega weight should be negative")
+  }
+}
+
 class SemanticDedupSpec extends SparkSpec {
   import spark.implicits._
 
