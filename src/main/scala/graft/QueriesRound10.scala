@@ -167,6 +167,23 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
     Perceptron.batchPerceptronHashed(t(s, d, "documents"),
       "doc_id", "text", positive = col("lang") === "en", iterations = 3)
       .orderBy("pos")
+
+  /** Train→serve round-trip: the q143 weights come back as a LITERAL
+    * array inside one scan-projection scoring pass
+    * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
+    * shuffles), and every document's margin and prediction must match
+    * the oracle's relational replay of the same model. This is the
+    * quality-classifier pipeline a curation run deploys: train
+    * periodically, score the corpus as a pure projection.
+    */
+  def perceptronScore(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val w = Perceptron.batchPerceptronHashed(docs,
+      "doc_id", "text", positive = col("lang") === "en", iterations = 3)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    Perceptron.hashedPerceptronScore(docs, "doc_id", "text", w)
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound10]] queries. */
@@ -291,43 +308,65 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
     // y·margin <= 0 selects the misclassified set, per-bucket and bias
     // updates add in. Bucket ints derive from the md5 hex prefix with
     // the strpos idiom (matching Spark's conv(substring(md5,1,2),16,10))
-    "q143_perceptron_train" -> {
-      val n = 3
-      def stage(k: Int): String =
-        s"""d$k AS MATERIALIZED (
-           |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
-           |  FROM f JOIN w${k - 1} w ON w.pos = f.pos
-           |  GROUP BY 1),
-           |m$k AS MATERIALIZED (
-           |  SELECT y.doc_id, y.y,
-           |    coalesce(d.dot, 0) + (SELECT w FROM w${k - 1} WHERE pos = 256) AS mar
-           |  FROM y LEFT JOIN d$k d USING (doc_id)),
-           |u$k AS MATERIALIZED (
-           |  SELECT f.pos, CAST(sum(m.y * f.cnt) AS BIGINT) AS up
-           |  FROM m$k m JOIN f USING (doc_id)
-           |  WHERE m.y * m.mar <= 0 GROUP BY 1
-           |  UNION ALL
-           |  SELECT 256, CAST(sum(y) AS BIGINT) FROM m$k WHERE y * mar <= 0),
-           |w$k AS MATERIALIZED (
-           |  SELECT w.pos, w.w + coalesce(u.up, 0) AS w
-           |  FROM w${k - 1} w LEFT JOIN u$k u USING (pos))""".stripMargin
-      s"""WITH f AS MATERIALIZED (
-         |  SELECT doc_id,
-         |    CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
-         |      + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS pos,
-         |    CAST(count(*) AS BIGINT) AS cnt
-         |  FROM (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
-         |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
-         |      FROM documents)
-         |  GROUP BY 1, 2),
-         |y AS MATERIALIZED (
-         |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-         |  FROM documents),
-         |w0 AS MATERIALIZED (
-         |  SELECT CAST(pos AS BIGINT) AS pos, CAST(0 AS BIGINT) AS w
-         |  FROM range(0, 257) t(pos)),
-         |${(1 to n).map(stage).mkString(",\n")}
-         |SELECT pos, CAST(w AS BIGINT) AS weight FROM w$n ORDER BY pos""".stripMargin
-    },
+    "q143_perceptron_train" ->
+      s"""WITH ${perceptronCtesSql(3)}
+         |SELECT pos, CAST(w AS BIGINT) AS weight FROM w3 ORDER BY pos""".stripMargin,
+
+    // train→serve round-trip: the SAME trained-weight CTEs (one source
+    // of truth with q143) joined back onto every document's feature
+    // counts — margin and prediction must match Spark's literal-array
+    // scan projection exactly
+    "q144_perceptron_score" ->
+      s"""WITH ${perceptronCtesSql(3)},
+         |sc AS (
+         |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
+         |  FROM f JOIN w3 w ON w.pos = f.pos
+         |  GROUP BY 1)
+         |SELECT y.doc_id,
+         |  CAST(coalesce(sc.dot, 0) + (SELECT w FROM w3 WHERE pos = 256) AS BIGINT) AS margin_q,
+         |  (coalesce(sc.dot, 0) + (SELECT w FROM w3 WHERE pos = 256)) > 0 AS predicted
+         |FROM y LEFT JOIN sc USING (doc_id)
+         |ORDER BY y.doc_id""".stripMargin,
   )
+
+  /** The q143/q144 shared trained-model recurrence: hashed-unigram
+    * feature counts, ±1 labels, zero-initialized weights, and `n`
+    * unrolled batch-perceptron stages ending in `w{n}`.
+    */
+  private def perceptronCtesSql(n: Int): String = {
+    def stage(k: Int): String =
+      s"""d$k AS MATERIALIZED (
+         |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
+         |  FROM f JOIN w${k - 1} w ON w.pos = f.pos
+         |  GROUP BY 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT y.doc_id, y.y,
+         |    coalesce(d.dot, 0) + (SELECT w FROM w${k - 1} WHERE pos = 256) AS mar
+         |  FROM y LEFT JOIN d$k d USING (doc_id)),
+         |u$k AS MATERIALIZED (
+         |  SELECT f.pos, CAST(sum(m.y * f.cnt) AS BIGINT) AS up
+         |  FROM m$k m JOIN f USING (doc_id)
+         |  WHERE m.y * m.mar <= 0 GROUP BY 1
+         |  UNION ALL
+         |  SELECT 256, CAST(sum(y) AS BIGINT) FROM m$k WHERE y * mar <= 0),
+         |w$k AS MATERIALIZED (
+         |  SELECT w.pos, w.w + coalesce(u.up, 0) AS w
+         |  FROM w${k - 1} w LEFT JOIN u$k u USING (pos))""".stripMargin
+    s"""f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+       |      + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS pos,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+       |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+       |      FROM documents)
+       |  GROUP BY 1, 2),
+       |y AS MATERIALIZED (
+       |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |w0 AS MATERIALIZED (
+       |  SELECT CAST(pos AS BIGINT) AS pos, CAST(0 AS BIGINT) AS w
+       |  FROM range(0, 257) t(pos)),
+       |${(1 to n).map(stage).mkString(",\n")}""".stripMargin
+  }
 }

@@ -179,6 +179,7 @@ object SparkEntry {
     "q141_decayed_scoring" -> ((s, d) => PipelinesExt.decayedScoring(s, d)),
     "q142_bpe_train" -> ((s, d) => PipelinesExt.bpeTrainMerges(s, d)),
     "q143_perceptron_train" -> ((s, d) => PipelinesExt.perceptronTrain(s, d)),
+    "q144_perceptron_score" -> ((s, d) => PipelinesExt.perceptronScore(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

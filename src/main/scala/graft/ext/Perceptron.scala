@@ -81,4 +81,27 @@ object Perceptron {
     w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("pos", "weight")
   }
+
+  /** Serve a trained model ([[batchPerceptronHashed]]'s 257-long weight
+    * vector: 256 bucket weights + bias) as a PURE SCAN PROJECTION —
+    * the q133 serving discipline: the weights travel as a literal
+    * array in the expression tree, each token position adds
+    * `w[bucket(term)]` inside one `aggregate` HOF, zero shuffles and
+    * zero joins at any corpus size. Emits (idCol, margin_q, predicted)
+    * with predicted = margin > 0 — the exact training-side margin, so
+    * train→serve round-trips bit-for-bit.
+    */
+  def hashedPerceptronScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long]): DataFrame = {
+    require(weights.length == 257,
+      s"hashedPerceptronScore: need 256 bucket weights + bias, got ${weights.length}")
+    val wLit = typedLit(weights)
+    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    val margin = aggregate(toks, lit(0L), (acc, t) =>
+      acc + element_at(wLit,
+        (conv(substring(md5(t), 1, 2), 16, 10).cast("long") + 1L).cast("int"))) +
+      lit(weights(256))
+    docs.select(col(idCol), margin.as("margin_q"),
+      (margin > 0).as("predicted"))
+  }
 }

@@ -499,6 +499,37 @@ class PerceptronSpec extends SparkSpec {
       s"weight mismatch: got ${got.filter(_._2 != 0)}, ref ${ref.filter(_._2 != 0)}")
   }
 
+  test("hashedPerceptronScore: literal-weight projection matches training-side margins, no Exchange") {
+    val docs = Seq(
+      (1L, "alpha beta gamma", true),
+      (2L, "delta epsilon", false),
+      (3L, "alpha alpha zeta", true),
+      (4L, "", false)) // bias-only margin
+      .toDF("doc_id", "text", "pos_label")
+    val w = Perceptron.batchPerceptronHashed(docs, "doc_id", "text",
+        positive = col("pos_label"), iterations = 3)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    val scored = Perceptron.hashedPerceptronScore(docs, "doc_id", "text", w)
+    // independent margin: reference feature counts x reference weights
+    def bucket(term: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(term.getBytes("UTF-8"))
+      java.lang.Long.parseLong(f"${md(0) & 0xFF}%02x", 16)
+    }
+    val expect = docs.collect().map { r =>
+      val terms = r.getString(1).trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      r.getLong(0) -> (terms.map(t => w(bucket(t).toInt)).sum + w(256))
+    }.toMap
+    scored.collect().foreach { r =>
+      assert(r.getLong(1) == expect(r.getLong(0)),
+        s"margin mismatch for doc ${r.getLong(0)}")
+      assert(r.getBoolean(2) == (expect(r.getLong(0)) > 0))
+    }
+    // the serving plan is a pure projection: no Exchange anywhere
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"serving plan must not shuffle:\n$plan")
+  }
+
   test("batchPerceptronHashed learns a separable planted problem") {
     // positives always contain 'alpha', negatives 'omega' — linearly
     // separable in the hashed space unless the two buckets collide
