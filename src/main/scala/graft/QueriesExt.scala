@@ -101,6 +101,26 @@ private[graft] trait OracleSnippets {
       |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl
       |)""".stripMargin
 
+  /** The q130 quantized-PageRank recurrence (deg/nn/r0..r`iters` over
+    * an `edges` CTE) — ONE source of truth for every gate ranking the
+    * dup graph; exact-BIGINT integer division throughout, matching
+    * `Components.pageRankQuantized`.
+    */
+  protected def pageRankCtesSql(iters: Int): String = {
+    def iter(k: Int): String =
+      s"""r$k AS (SELECT e.v AS node,
+         |    (CAST(15 AS BIGINT) * 1000000000) // (CAST(100 AS BIGINT) * n)
+         |      + sum((CAST(85 AS BIGINT) * r.rq) // (CAST(100 AS BIGINT) * d.deg)) AS rq
+         |  FROM r${k - 1} r JOIN edges e ON e.u = r.node
+         |    JOIN deg d ON d.u = r.node CROSS JOIN nn
+         |  GROUP BY e.v, n)""".stripMargin
+    s"""deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+       |r0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) // n AS rq
+       |  FROM deg CROSS JOIN nn),
+       |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
   protected val contaminationNgramOverlapSql =
     s"""WITH t AS (SELECT doc_id,
        |    $rawTokensCaseSql AS w

@@ -168,6 +168,22 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       "doc_id", "text", positive = col("lang") === "en", iterations = 3)
       .orderBy("pos")
 
+  /** Rank-canonical retention: per duplicate cluster keep the
+    * highest-PageRank member instead of the minimum id — q138's
+    * composition with the q130 centrality substituted as the survivor
+    * policy. Both the closure and the 5-iteration rank recurrence
+    * replay in the oracle from shared CTE snippets, so the complete
+    * pick-the-representative pipeline is hash-verified.
+    */
+  def rankRetainExact(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pairs = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Dedup.retainFromPairsByRank(emb, pairs, "vec_id")
+      .select(col("vec_id"), col("label"))
+      .orderBy("vec_id")
+  }
+
   /** Train→serve round-trip: the q143 weights come back as a LITERAL
     * array inside one scan-projection scoring pass
     * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
@@ -302,6 +318,24 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
     },
+
+    // the q138 retention flipped to the max-PageRank survivor: the
+    // recursive closure picks clusters, the shared rank recurrence
+    // scores members, row_number picks (rq DESC, node) per cluster
+    "q145_rank_retention" ->
+      s"""WITH RECURSIVE $ccClosureCtesSql,
+         |${pageRankCtesSql(5)},
+         |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node),
+         |ranked AS (
+         |  SELECT c.component, c.node,
+         |    row_number() OVER (PARTITION BY c.component
+         |      ORDER BY r.rq DESC, c.node) AS rk
+         |  FROM comp c JOIN r5 r ON r.node = c.node),
+         |dropped AS (SELECT node FROM ranked WHERE rk > 1)
+         |SELECT e.vec_id, e.label
+         |FROM embeddings e LEFT JOIN dropped d ON e.vec_id = d.node
+         |WHERE d.node IS NULL
+         |ORDER BY e.vec_id""".stripMargin,
 
     // the full-batch perceptron recurrence unrolled (the q131/q142
     // pattern): w0 = 0; per iteration margins via a weight join,

@@ -295,22 +295,10 @@ private[graft] trait OraclesScaleOps { this: OracleSnippets =>
     // unrolled 5-iteration integer recurrence — exact BIGINT arithmetic
     // (// is integer division), so this matches the Spark loop
     // hash-for-hash; see Components.pageRankQuantized
-    "q130_pagerank_dups" -> {
-      def iter(k: Int): String =
-        s"""r$k AS (SELECT e.v AS node,
-           |    (CAST(15 AS BIGINT) * 1000000000) // (CAST(100 AS BIGINT) * n)
-           |      + sum((CAST(85 AS BIGINT) * r.rq) // (CAST(100 AS BIGINT) * d.deg)) AS rq
-           |  FROM r${k - 1} r JOIN edges e ON e.u = r.node
-           |    JOIN deg d ON d.u = r.node CROSS JOIN nn
-           |  GROUP BY e.v, n)""".stripMargin
+    "q130_pagerank_dups" ->
       s"""WITH $dupEdgesCtesSql,
-         |deg AS (SELECT u, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY u),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
-         |r0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) // n AS rq
-         |  FROM deg CROSS JOIN nn),
-         |${(1 to 5).map(iter).mkString(",\n")}
-         |SELECT node, CAST(rq AS BIGINT) AS rq FROM r5 ORDER BY node""".stripMargin
-    },
+         |${pageRankCtesSql(5)}
+         |SELECT node, CAST(rq AS BIGINT) AS rq FROM r5 ORDER BY node""".stripMargin,
 
 
     // q131: the unrolled 2-round Lloyd recurrence — assignment, floor-

@@ -180,6 +180,7 @@ object SparkEntry {
     "q142_bpe_train" -> ((s, d) => PipelinesExt.bpeTrainMerges(s, d)),
     "q143_perceptron_train" -> ((s, d) => PipelinesExt.perceptronTrain(s, d)),
     "q144_perceptron_score" -> ((s, d) => PipelinesExt.perceptronScore(s, d)),
+    "q145_rank_retention" -> ((s, d) => PipelinesExt.rankRetainExact(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

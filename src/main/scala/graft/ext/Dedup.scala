@@ -384,6 +384,32 @@ object Dedup {
     docs.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
   }
 
+  /** [[retainFromPairs]] under the "keep the most-REPRESENTATIVE
+    * duplicate" policy: each cluster keeps its highest-PageRank member
+    * (ties to the lowest id) instead of the minimum id — a template
+    * document touching every rewrite outranks an arbitrary first id.
+    * Plan: the pair set closes into components (star rounds) and ranks
+    * (5 quantized-PageRank iterations) off ONE checkpointed edge list;
+    * the per-cluster argmax is a window over |cluster| rows; retention
+    * stays one left-anti join, the corpus never shuffles. Singletons
+    * (no edges) are untouched by construction.
+    */
+  def retainFromPairsByRank(docs: DataFrame, pairs: DataFrame,
+      idCol: String, iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // consumed by BOTH the component rounds and the rank iterations
+    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    val comp = Components.connectedComponents(p)
+    val ranks = Components.pageRankQuantized(p, iterations = iterations)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("rq").desc, col("node"))
+    val dropped = comp.join(ranks, Seq("node"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") > 1)
+      .select(col("node").as("_drop_id"))
+    docs.join(dropped, col(idCol) === col("_drop_id"), "left_anti")
+  }
+
   /** Exact n-gram Jaccard for candidate pairs produced by MinHash LSH:
     * re-load each side's n-gram set and compute |∩|/|∪|. The LSH stage
     * bounds the pair count, so this never goes quadratic.

@@ -129,6 +129,21 @@ class ComponentsSpec extends SparkSpec {
     assert(labelsOf(intra) == labelsOf(prior))
   }
 
+  test("retainFromPairsByRank keeps the hub, min-id retention keeps the smallest id") {
+    import spark.implicits._
+    // star: hub 9 touches 1..4 (a template doc touching every rewrite);
+    // plus isolated 100
+    val docs = (Seq(1L, 2L, 3L, 4L, 9L, 100L)).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((9L, 1L), (9L, 2L), (9L, 3L), (9L, 4L)).toDF("src", "dst")
+    val byId = Dedup.retainFromPairs(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byId == Set(1L, 100L), "min-id policy keeps the smallest member")
+    val byRank = Dedup.retainFromPairsByRank(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(byRank == Set(9L, 100L),
+      s"rank policy must keep the hub (highest PageRank), got $byRank")
+  }
+
   test("retainFromPairs: transitive drop over an externally supplied pair set") {
     import spark.implicits._
     // chain 1~2, 2~3 plus isolated 4: component {1,2,3} keeps only 1,
