@@ -181,6 +181,7 @@ object SparkEntry {
     "q143_perceptron_train" -> ((s, d) => PipelinesExt.perceptronTrain(s, d)),
     "q144_perceptron_score" -> ((s, d) => PipelinesExt.perceptronScore(s, d)),
     "q145_rank_retention" -> ((s, d) => PipelinesExt.rankRetainExact(s, d)),
+    "q146_hard_negatives" -> ((s, d) => PipelinesExt.hardNegatives(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

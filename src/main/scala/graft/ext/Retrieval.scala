@@ -228,6 +228,53 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training data: per anchor,
+    * the k corpus vectors MOST similar under cosine whose label
+    * DIFFERS — the near-the-margin negatives that make embedding
+    * training informative (random negatives are trivially far). Same
+    * execution shape as [[truncatedCosineTopK]] at full
+    * dimensionality: the anchor batch is small by contract and
+    * broadcasts (the q29 safe-BNLJ discipline — one corpus scan scores
+    * all anchors), integer-quantized dots keep the ranking
+    * oracle-exact, the label-mismatch filter drops positives BEFORE
+    * the per-anchor top-k heaps (InferWindowGroupLimit), and the
+    * corpus never shuffles before those heaps. At 100 TB this is one
+    * scan per mining batch; for corpus-scale anchor sets route
+    * through the IVF tiers instead.
+    */
+  def hardNegativeTopK(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims >= 1, s"hardNegativeTopK: dims must be >= 1, got $dims")
+    require(queryIds.nonEmpty, "hardNegativeTopK: queryIds is empty")
+    def quant(c: Column): Column =
+      transform(slice(c, 1, dims),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quant(col(vecCol)).as("_qv"),
+        col(labelCol).as("_qlabel"))
+    val scored = corpus
+      .select(col(idCol), quant(col(vecCol)).as("_cv"), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(!(col(labelCol) <=> col("_qlabel"))) // negatives only (null-safe)
+      .select(col("query_id"), col(idCol), col(labelCol),
+        dot(col("_cv"), col("_qv")).as("_dot"),
+        dot(col("_cv"), col("_cv")).as("_nc"),
+        dot(col("_qv"), col("_qv")).as("_nq"))
+      .select(col("query_id"), col(idCol), col(labelCol),
+        when(col("_nc") === 0 || col("_nq") === 0, lit(0L))
+          .otherwise(floor(
+            col("_dot").cast("double") / sqrt(col("_nc").cast("double"))
+              / sqrt(col("_nq").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long")).as("cos_tq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_tq").desc, col(idCol))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Reciprocal-rank fusion of pre-ranked candidate lists sharing an
     * id column. Each input must already be a SMALL top-k frame (the
     * rank window here runs on candidate lists, never on the corpus —

@@ -268,6 +268,39 @@ class RetrievalSpec extends SparkSpec {
     assert(full.toSeq === Seq(1L))
   }
 
+  test("hardNegativeTopK: only different-label vectors, ranked by exact quantized cosine") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 1),
+      (1L, Array(0.99f, 0.1f), 1),   // most similar to 0 but SAME label
+      (2L, Array(0.9f, 0.3f), 2),    // hardest negative
+      (3L, Array(0.0f, 1.0f), 2),    // easy negative
+      (4L, Array(-1.0f, 0.0f), 3))   // opposite
+    val df = vecs.toDF("vec_id", "embedding", "label")
+    val got = Retrieval.hardNegativeTopK(df, "embedding", "vec_id", "label",
+        queryIds = Seq(0L), k = 3, dims = 2)
+      .orderBy("rnk")
+      .select("vec_id", "label").as[(Long, Int)].collect().toSeq
+    // positives (label 1: ids 0, 1) excluded; negatives by cosine desc
+    assert(got.map(_._1) == Seq(2L, 3L, 4L), s"got $got")
+    assert(got.forall(_._2 != 1), "a same-label vector leaked into the negatives")
+    // NULL labels are null-safe: a NULL-label anchor treats every
+    // non-NULL label as different, and NULL-label corpus rows are
+    // negatives for non-NULL anchors but NOT for the NULL anchor
+    val withNull = Seq(
+      (0L, Array(1.0f, 0.0f), Some(1)),
+      (1L, Array(0.9f, 0.1f), None),
+      (2L, Array(0.8f, 0.2f), Some(1)))
+      .toDF("vec_id", "embedding", "label")
+    val n0 = Retrieval.hardNegativeTopK(withNull, "embedding", "vec_id",
+      "label", queryIds = Seq(0L), k = 5, dims = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(n0 == Set(1L), "for anchor 0 (label 1) only the NULL-label row differs")
+    val n1 = Retrieval.hardNegativeTopK(withNull, "embedding", "vec_id",
+      "label", queryIds = Seq(1L), k = 5, dims = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(n1 == Set(0L, 2L), "for the NULL-label anchor both labeled rows differ")
+  }
+
   test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
     val corpus = Seq((0L, "a a b"), (1L, "b"), (2L, ""))
       .toDF("doc_id", "text")
