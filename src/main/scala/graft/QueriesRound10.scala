@@ -196,6 +196,14 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
         col("cos_tq"))
       .orderBy("query_id", "rnk")
 
+  /** Per-source dataset card over the documents fixture — one scan of
+    * conditional aggregates plus the distinct-fingerprint Expand; every
+    * output an exact integer.
+    */
+  def corpusCardBySource(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.corpusCard(t(s, d, "documents"), "text", "source")
+      .orderBy("source")
+
   /** Train→serve round-trip: the q143 weights come back as a LITERAL
     * array inside one scan-projection scoring pass
     * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
@@ -330,6 +338,24 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
     },
+
+    // the shared token-count and fingerprint snippets feed per-source
+    // conditional aggregates — every output an exact integer
+    "q147_corpus_card" ->
+      s"""WITH d AS (SELECT source, lang,
+         |    CAST($tokenCountSql AS BIGINT) AS nt,
+         |    CAST(length(text) AS BIGINT) AS nc,
+         |    $fpSql AS fp
+         |  FROM documents)
+         |SELECT source,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(nc) AS BIGINT) AS n_chars,
+         |  CAST(sum(CASE WHEN nt = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+         |  CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+         |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // q126's brute-force cosine shape at full dimensionality with the
     // null-safe label-mismatch filter — every arithmetic step mirrored

@@ -182,6 +182,7 @@ object SparkEntry {
     "q144_perceptron_score" -> ((s, d) => PipelinesExt.perceptronScore(s, d)),
     "q145_rank_retention" -> ((s, d) => PipelinesExt.rankRetainExact(s, d)),
     "q146_hard_negatives" -> ((s, d) => PipelinesExt.hardNegatives(s, d)),
+    "q147_corpus_card" -> ((s, d) => PipelinesExt.corpusCardBySource(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

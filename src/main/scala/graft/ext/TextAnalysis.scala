@@ -739,6 +739,33 @@ object TextAnalysis {
     merges.toSeq
   }
 
+  /** Per-stratum dataset card — the corpus documentation a curation run
+    * publishes next to the data (datasheet/dataset-card practice):
+    * document and token counts, character volume, empty-doc and
+    * majority-language counts, and the exact-duplicate profile
+    * (distinct md5 fingerprints vs docs). ONE scan: every metric is a
+    * conditional aggregate over the same pass (the q62 expectations
+    * discipline); the only extra plan structure is the Expand the
+    * distinct-fingerprint count needs. All-integer outputs — exact,
+    * order-independent, oracle-portable at any corpus size.
+    */
+  def corpusCard(docs: DataFrame, textCol: String, groupCol: String,
+      lang: String = "en", langCol: String = "lang"): DataFrame =
+    docs
+      .select(col(groupCol), col(langCol),
+        tokenCount(col(textCol)).cast("long").as("_nt"),
+        length(col(textCol)).cast("long").as("_nc"),
+        fingerprint(col(textCol)).as("_fp"))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("n_tokens"),
+        sum(col("_nc")).as("n_chars"),
+        sum(when(col("_nt") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col(langCol) === lang, 1L).otherwise(0L)).as(s"n_$lang"),
+        countDistinct(col("_fp")).as("n_distinct_fp"))
+      .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_fp"))
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -388,6 +388,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got._3 == 6000000L, s"expected 6e6, got ${got._3}")
   }
 
+  test("corpusCard: hand-computed per-source stats incl. dups, empties, languages") {
+    val docs = Seq(
+      (1L, "hello world", "en", "web"),
+      (2L, "hello  world ", "en", "web"),  // same fingerprint as 1 (ws-normalized)
+      (3L, "", "en", "web"),               // empty
+      (4L, "hallo welt", "de", "web"),
+      (5L, "one two three", "en", "books"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.corpusCard(docs, "text", "source")
+      .orderBy("source").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // web: 4 docs, tokens 2+2+0+2 = 6, chars 11+13+0+10 = 34, 1 empty,
+    // 3 en, 3 distinct fingerprints (docs 1 and 2 collapse) → 1 dup
+    assert(got("web") == ((4L, 6L, 34L, 1L, 3L, 3L, 1L)))
+    assert(got("books") == ((1L, 3L, 13L, 0L, 1L, 1L, 0L)))
+  }
+
   test("bpeTrain: hand-computed merges on the classic corpus, then segment composition") {
     // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6,
     // widest×3. Hand-run: round 1 counts give es=9/st=9 (tie → (e,s)
