@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.ext.{Components, Dedup, Perceptron, Similarity, TextAnalysis}
 import graft.fs.{FeatureLookup, FeatureStore, FeatureTableSpec, LogisticScorer,
-  ScorerRegistry, WriteMode}
+  PointInTime, ScorerRegistry, WriteMode}
 
 /** Fixtures shared between round-10 queries and their oracles — ONE
   * definition per semantic constant (the OracleSnippets discipline).
@@ -204,6 +204,29 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
     TextAnalysis.corpusCard(t(s, d, "documents"), "text", "source")
       .orderBy("source")
 
+  /** Feature-TTL as-of lookup: the q33 spine/daily-features shape with
+    * a 2-day max staleness — probes whose latest feature version is
+    * older than the TTL take NULLs instead of an arbitrarily stale
+    * value. The oracle is the q33 ASOF JOIN with the staleness CASE
+    * applied on exact epoch-µs arithmetic.
+    */
+  def pitTtlLookup(s: SparkSession, d: String): DataFrame = {
+    val events = t(s, d, "events")
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day_ts"))
+      .agg(count(lit(1)).as("day_events"))
+    val spine = events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+    PointInTime.asOfJoinWithTtl(spine, daily,
+      keys = Seq("user_id"), spineTs = "ts", featTs = "day_ts",
+      featureCols = Seq("day_events"),
+      maxStalenessMicros = 2L * 86400000000L)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"),
+        col("value"), col("day_events"))
+      .orderBy("event_id")
+  }
+
   /** Train→serve round-trip: the q143 weights come back as a LITERAL
     * array inside one scan-projection scoring pass
     * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
@@ -338,6 +361,23 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
     },
+
+    // the q33 ASOF oracle with a staleness CASE on exact epoch-µs
+    // arithmetic — matches outside the 2-day TTL become NULL
+    "q148_pit_ttl" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day_ts,
+        |    CAST(count(*) AS BIGINT) AS day_events
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.event_id, s.user_id, epoch_us(s.ts) AS ts_us, s.value,
+        |  CASE WHEN epoch_us(s.ts) - epoch_us(d.day_ts) <= 172800000000
+        |       THEN d.day_events END AS day_events
+        |FROM spine s ASOF LEFT JOIN daily d
+        |  ON s.user_id = d.user_id AND s.ts >= d.day_ts
+        |ORDER BY s.event_id""".stripMargin,
 
     // the shared token-count and fingerprint snippets feed per-source
     // conditional aggregates — every output an exact integer

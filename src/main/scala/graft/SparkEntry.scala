@@ -183,6 +183,7 @@ object SparkEntry {
     "q145_rank_retention" -> ((s, d) => PipelinesExt.rankRetainExact(s, d)),
     "q146_hard_negatives" -> ((s, d) => PipelinesExt.hardNegatives(s, d)),
     "q147_corpus_card" -> ((s, d) => PipelinesExt.corpusCardBySource(s, d)),
+    "q148_pit_ttl" -> ((s, d) => PipelinesExt.pitTtlLookup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -47,6 +47,31 @@ object PointInTime {
       featureCols: Seq[String]): DataFrame =
     asOfImpl(spine, features, keys, spineTs, featTs, featureCols, backward = true)
 
+  /** Backward as-of join with a FEATURE TTL (max staleness): the match
+    * additionally requires `spineTs − featTs ≤ maxStalenessMicros`, so
+    * a probe trailing the newest version by more than the TTL gets
+    * NULLs instead of an arbitrarily stale value — the "features
+    * expire" semantic time-series feature stores expose (serving a
+    * week-old engagement score is often worse than serving none). Same
+    * one-shuffle union+window plan: the matched feature ts rides in
+    * the carried struct, and the TTL check is a projection-stage
+    * comparison on epoch micros — no second join, no extra shuffle.
+    * Timestamp-typed ts columns only.
+    */
+  def asOfJoinWithTtl(
+      spine: DataFrame,
+      features: DataFrame,
+      keys: Seq[String],
+      spineTs: String,
+      featTs: String,
+      featureCols: Seq[String],
+      maxStalenessMicros: Long): DataFrame = {
+    require(maxStalenessMicros >= 0,
+      s"asOfJoinWithTtl: maxStalenessMicros must be >= 0, got $maxStalenessMicros")
+    asOfImpl(spine, features, keys, spineTs, featTs, featureCols,
+      backward = true, maxStalenessMicros = Some(maxStalenessMicros))
+  }
+
   /** Forward as-of join: for each spine row, the EARLIEST feature row
     * with feature-ts ≥ spine ts (ties inclusive) — label attachment
     * ("first outcome at-or-after t"), the mirror of the backward
@@ -147,7 +172,8 @@ object PointInTime {
       spineTs: String,
       featTs: String,
       featureCols: Seq[String],
-      backward: Boolean): DataFrame = {
+      backward: Boolean,
+      maxStalenessMicros: Option[Long] = None): DataFrame = {
 
     val spineCols = spine.columns.toSeq
     // tag: 0 = feature row (sorts first at equal ts), 1 = spine probe
@@ -182,8 +208,21 @@ object PointInTime {
     // whose value is legitimately NULL (a cleared feature) and return a
     // STALE older value — the struct is non-null whenever a feature row
     // exists, so as-of semantics match the SQL ASOF JOIN exactly.
+    // the matched feature ts rides in the struct (as in asOfJoinNearest)
+    // so a TTL bound can compare it against the probe ts in projection
     val featRow = when(col("_origin") === 0,
-      struct(featureCols.map(c => col(s"_f_$c").as(c)): _*))
+      struct((col("_ts").as("_ft") +:
+        featureCols.map(c => col(s"_f_$c").as(c))): _*))
+
+    // within TTL (or no TTL): NULL-safe — a missing match (_frow NULL)
+    // makes the comparison NULL, and the when() below falls through to
+    // the NULL branch either way
+    val fresh = maxStalenessMicros match {
+      case None => lit(true)
+      case Some(m) =>
+        unix_micros(col("_ts").cast("timestamp")) -
+          unix_micros(col("_frow").getField("_ft").cast("timestamp")) <= m
+    }
 
     probes.unionByName(feats)
       .select((keys.map(col) :+ col("_ts") :+ col("_origin")) ++
@@ -194,7 +233,9 @@ object PointInTime {
         Seq(col("_ts").as(spineTs)) ++
         spineCols.filterNot(c => keys.contains(c) || c == spineTs)
           .map(c => col(s"_s_$c").as(c)) ++
-        featureCols.map(c => col("_frow").getField(c).as(c)): _*)
+        featureCols.map(c =>
+          when(fresh, col("_frow").getField(c))
+            .otherwise(lit(null).cast(features.schema(c).dataType)).as(c)): _*)
   }
 
   /** Training-set assembly with a timestamp lookup key: the J3 lookup

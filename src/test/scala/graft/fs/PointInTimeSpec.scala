@@ -150,6 +150,34 @@ class PointInTimeSpec extends SparkSpec {
       Row(106L, 3L, null)))
   }
 
+  test("asOfJoinWithTtl: boundary-inclusive staleness, expired and missing matches go NULL") {
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (2L, ts("2024-01-01 00:00:00"), 20.0),
+      (3L, ts("2024-01-05 00:00:00"), 30.0))
+      .toDF("user_id", "fts", "score")
+    val day = 86400000000L
+    val spine = Seq(
+      (100L, 1L, ts("2024-01-03 00:00:00")), // staleness = 2d = ttl → kept
+      (101L, 2L, ts("2024-01-03 00:00:01")), // 1s past the ttl → NULL
+      (102L, 3L, ts("2024-01-05 00:00:00")), // exact hit, staleness 0 → kept
+      (103L, 4L, ts("2024-01-03 00:00:00"))) // no feature at all → NULL
+      .toDF("event_id", "user_id", "sts")
+    val got = PointInTime.asOfJoinWithTtl(spine, features,
+        keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+        featureCols = Seq("score"), maxStalenessMicros = 2L * day)
+      .orderBy("event_id").select("event_id", "score").collect().toSeq
+    assert(got == Seq(Row(100L, 10.0), Row(101L, null),
+      Row(102L, 30.0), Row(103L, null)))
+    // ttl = 0: only exact-timestamp hits survive
+    val zero = PointInTime.asOfJoinWithTtl(spine, features,
+        keys = Seq("user_id"), spineTs = "sts", featTs = "fts",
+        featureCols = Seq("score"), maxStalenessMicros = 0L)
+      .orderBy("event_id").select("event_id", "score").collect().toSeq
+    assert(zero == Seq(Row(100L, null), Row(101L, null),
+      Row(102L, 30.0), Row(103L, null)))
+  }
+
   test("asOfJoinNearest: NULL-ts feature rows never match (no phantom nearest)") {
     val features = Seq(
       (1L, Option(ts("2024-01-01 00:00:00")), 10.0),
