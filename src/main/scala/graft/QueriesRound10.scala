@@ -227,6 +227,27 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       .orderBy("event_id")
   }
 
+  /** Length-bucketed batching prep: documents assigned to token-count
+    * quartile buckets (the q89 exact-quantile discretizer composed over
+    * the q22 token counter) with per-bucket batch statistics — the
+    * batch-shape step before packing/inference, where mixing a 10-token
+    * and a 4k-token doc in one batch wastes the padding. One scan for
+    * the edges, one for the assignment, one bucket agg; all exact.
+    */
+  def lengthBuckets(s: SparkSession, d: String): DataFrame = {
+    val withTokens = t(s, d, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    graft.etl.Discretize.withQuantileBins(withTokens, "n_tokens", nBins = 4,
+        outCol = "length_bucket")
+      .groupBy(col("length_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("length_bucket")
+  }
+
   /** Train→serve round-trip: the q143 weights come back as a LITERAL
     * array inside one scan-projection scoring pass
     * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
@@ -361,6 +382,20 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
     },
+
+    // the q89 quantile_cont bucket rule over the shared token counter;
+    // counts and token sums are exact integers
+    "q149_length_buckets" ->
+      s"""WITH tc AS (SELECT doc_id, CAST($tokenCountSql AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |e AS (SELECT quantile_cont(CAST(n_tokens AS DOUBLE), [0.25, 0.5, 0.75]) AS edges
+         |  FROM tc)
+         |SELECT CAST(len(list_filter(edges, x -> x <= n_tokens)) AS INT) AS length_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+         |  CAST(max(n_tokens) AS BIGINT) AS max_tokens
+         |FROM tc, e GROUP BY length_bucket ORDER BY length_bucket""".stripMargin,
 
     // the q33 ASOF oracle with a staleness CASE on exact epoch-µs
     // arithmetic — matches outside the 2-day TTL become NULL

@@ -184,6 +184,7 @@ object SparkEntry {
     "q146_hard_negatives" -> ((s, d) => PipelinesExt.hardNegatives(s, d)),
     "q147_corpus_card" -> ((s, d) => PipelinesExt.corpusCardBySource(s, d)),
     "q148_pit_ttl" -> ((s, d) => PipelinesExt.pitTtlLookup(s, d)),
+    "q149_length_buckets" -> ((s, d) => PipelinesExt.lengthBuckets(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
