@@ -248,6 +248,20 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
       .orderBy("length_bucket")
   }
 
+  /** Embedding drift between the even/odd vec_id halves of the
+    * embeddings fixture — per label, the quantized squared centroid
+    * distance (q123 arithmetic on both snapshots, quantize-before-sum
+    * across dims).
+    */
+  def embeddingDriftHalves(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    graft.operators.Drift.embeddingDrift(
+      emb.filter(col("vec_id") % 2 === 0),
+      emb.filter(col("vec_id") % 2 === 1),
+      "label", "embedding")
+      .orderBy("label")
+  }
+
   /** Train→serve round-trip: the q143 weights come back as a LITERAL
     * array inside one scan-projection scoring pass
     * ([[Perceptron.hashedPerceptronScore]] — zero joins, zero
@@ -382,6 +396,32 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         .mkString("\nUNION ALL\n")
       s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
     },
+
+    // q123's per-snapshot centroid arithmetic, squared mean differences
+    // floor-quantized BEFORE the cross-dim sum (§5.3)
+    "q150_embedding_drift" ->
+      """WITH da AS (
+        |  SELECT label, u.i AS pos, CAST(count(*) AS BIGINT) AS na,
+        |    CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sa
+        |  FROM embeddings, generate_series(1, 64) AS u(i)
+        |  WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+        |db AS (
+        |  SELECT label, u.i AS pos, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS BIGINT) AS sb
+        |  FROM embeddings, generate_series(1, 64) AS u(i)
+        |  WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+        |t AS (
+        |  SELECT da.label, da.na, db.nb,
+        |    CAST(floor((CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb)
+        |      * (CAST(sa AS DOUBLE) / na - CAST(sb AS DOUBLE) / nb) + 0.5e0)
+        |      AS BIGINT) AS tq
+        |  FROM da JOIN db USING (label, pos))
+        |SELECT label, CAST(max(na) AS BIGINT) AS n_base,
+        |  CAST(max(nb) AS BIGINT) AS n_current,
+        |  CAST(sum(tq) AS BIGINT) AS drift_q
+        |FROM t GROUP BY label ORDER BY label""".stripMargin,
 
     // the q89 quantile_cont bucket rule over the shared token counter;
     // counts and token sums are exact integers

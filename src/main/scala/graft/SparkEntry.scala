@@ -185,6 +185,7 @@ object SparkEntry {
     "q147_corpus_card" -> ((s, d) => PipelinesExt.corpusCardBySource(s, d)),
     "q148_pit_ttl" -> ((s, d) => PipelinesExt.pitTtlLookup(s, d)),
     "q149_length_buckets" -> ((s, d) => PipelinesExt.lengthBuckets(s, d)),
+    "q150_embedding_drift" -> ((s, d) => PipelinesExt.embeddingDriftHalves(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -57,4 +57,40 @@ object Drift {
         coalesce(col("n_b"), lit(0L)).as("n_b"))
     driftTerms(aligned, catCol)
   }
+
+  /** Embedding-space drift between two snapshots — the VECTOR
+    * counterpart of [[categoricalDrift]] for monitoring an embedding
+    * model swap or a corpus-distribution shift: per label, the squared
+    * distance between the snapshots' integer-quantized centroids
+    * (the q123 centroid arithmetic on both sides). Per (label, dim) the
+    * squared mean difference is floor-quantized to BIGINT BEFORE the
+    * per-label sum (the §5.3 quantize-before-sum discipline — double
+    * sums are not order-stable, integer sums are). Cost: two posexplode
+    * + (label, dim) hash aggs with map-side partials and one
+    * label-keyed join — at 100 TB the shuffles carry labels × dims
+    * rows, never the corpus. Only labels present in BOTH snapshots are
+    * emitted (a centroid of an absent label is undefined — catching
+    * appearing/vanishing labels is [[categoricalDrift]]'s job).
+    */
+  def embeddingDrift(base: DataFrame, current: DataFrame,
+      labelCol: String, embCol: String): DataFrame = {
+    def cents(df: DataFrame, n: String, m: String): DataFrame = df
+      .select(col(labelCol), posexplode(col(embCol)).as(Seq("_pos", "_x")))
+      .select(col(labelCol), col("_pos"),
+        floor(col("_x").cast("double") * lit(1e6) + lit(0.5)).as("_q"))
+      .groupBy(col(labelCol), col("_pos"))
+      .agg(count(lit(1)).as(n), sum(col("_q")).as(m))
+    cents(base, "_na", "_sa")
+      .join(cents(current, "_nb", "_sb"), Seq(labelCol, "_pos"))
+      .select(col(labelCol), col("_na"), col("_nb"),
+        floor(
+          (col("_sa").cast("double") / col("_na") -
+            col("_sb").cast("double") / col("_nb")) *
+          (col("_sa").cast("double") / col("_na") -
+            col("_sb").cast("double") / col("_nb")) + lit(0.5))
+          .cast("long").as("_tq"))
+      .groupBy(col(labelCol))
+      .agg(max(col("_na")).as("n_base"), max(col("_nb")).as("n_current"),
+        sum(col("_tq")).as("drift_q"))
+  }
 }

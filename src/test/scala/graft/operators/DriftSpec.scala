@@ -40,4 +40,29 @@ class DriftSpec extends SparkSpec {
       .collect().map(_.getLong(3))
     assert(got.forall(_ === 0L))
   }
+
+  test("embeddingDrift: zero on identical snapshots, exact on a hand-computed shift, one-sided labels excluded") {
+    import spark.implicits._
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(0.0f, 1.0f), "a"),
+      (3L, Array(0.5f, 0.5f), "b"),
+      (4L, Array(0.0f, 0.0f), "gone")) // label absent from current
+      .toDF("vec_id", "embedding", "label")
+    val same = Drift.embeddingDrift(base, base, "label", "embedding")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(same == Map("a" -> 0L, "b" -> 0L, "gone" -> 0L))
+    // current shifts label a's centroid by +0.5 in dim 1:
+    // quantized mean diff = 500000 → term 2.5e11; dim 2 unchanged
+    val cur = Seq(
+      (11L, Array(1.5f, 0.0f), "a"),
+      (12L, Array(0.5f, 1.0f), "a"),
+      (13L, Array(0.5f, 0.5f), "b"))
+      .toDF("vec_id", "embedding", "label")
+    val got = Drift.embeddingDrift(base, cur, "label", "embedding")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == Seq(("a", 2L, 2L, 250000000000L), ("b", 1L, 1L, 0L)),
+      s"got $got") // 'gone' has no current centroid → excluded
+  }
 }
