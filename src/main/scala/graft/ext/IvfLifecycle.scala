@@ -1,0 +1,188 @@
+package graft.ext
+
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, functions => F}
+
+/** [extension] Versioned lifecycle for materialized IVF indexes — the
+  * missing limb between [[Similarity.ivfIndexStaleness]] (the re-fit
+  * TRIGGER) and acting on it: a re-fit must rewrite the whole
+  * partitioned layout AND move the centroid geometry, and doing that
+  * in place would let a concurrent probe read new centroids against
+  * old cell directories (or a half-written `data/`). This applies the
+  * FeatureStore commit discipline ([[graft.fs.FeatureStore]],
+  * versioned dirs + atomic pointer) to the index directory:
+  *
+  *   root/CURRENT        — pointer file, contains the live version N
+  *   root/v<N>/data      — cell-partitioned corpus (immutable once live)
+  *   root/v<N>/centroids — frozen quantizer sidecar
+  *   root/v<N>/stats     — fit-time assignment baseline
+  *
+  * Every rebuild writes a COMPLETE new `v<N+1>` (data + centroids +
+  * stats, internally consistent) before the pointer moves, so a probe
+  * resolves the pointer once and reads one immutable snapshot —
+  * old-or-new, never mixed. The previous version is retained through
+  * one rebuild (like the feature store's `retainVersions = 2`), so a
+  * probe that resolved just before the swap still completes against
+  * the old snapshot.
+  *
+  * The pointer swap prefers `FileContext.rename(OVERWRITE)` (atomic on
+  * HDFS) and a java.nio `ATOMIC_MOVE` on local roots; schemes with
+  * only a `FileSystem` binding fall back to delete+rename — the same
+  * non-atomic window (and the same log-store plug-in point) the
+  * feature store documents.
+  *
+  * Flat (un-versioned) index dirs written by
+  * [[Similarity.ivfIndexWrite]] keep working everywhere: resolution is
+  * "follow `CURRENT` if present, else use the dir as-is".
+  *
+  * Concurrency contract: one writer at a time (create/rebuild/append
+  * are not mutually concurrent — stop
+  * [[graft.streaming.StreamingFeatures.maintainIvfIndex]] ingestion
+  * before a rebuild, exactly as its doc prescribes; vectors appended
+  * after the rebuild's corpus scan would be silently absent from the
+  * new version). Probes may run concurrently with anything.
+  */
+object IvfIndex {
+
+  private val PointerName = "CURRENT"
+
+  private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
+    val p = new Path(root)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def pointerPath(root: Path) = new Path(root, PointerName)
+
+  /** The live version of a versioned index root, None for a flat
+    * [[Similarity.ivfIndexWrite]] dir (or a root not yet created).
+    */
+  def currentVersion(spark: SparkSession, root: String): Option[Int] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    val ptr = pointerPath(rootPath)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val raw = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(raw.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** The directory a probe/append/staleness call should read: the live
+    * `v<N>` snapshot of a versioned root, or the dir itself when flat.
+    * Resolution happens ONCE per call — the snapshot a reader resolves
+    * is immutable, which is what makes concurrent rebuilds safe.
+    */
+  def resolveDir(spark: SparkSession, dir: String): String =
+    currentVersion(spark, dir).map(v => s"$dir/v$v").getOrElse(dir)
+
+  /** Create a versioned index root: fit + write `v1`, then commit the
+    * pointer. Fails if the root is already a versioned index.
+    */
+  def create(corpus: DataFrame, root: String, nlist: Int = 16,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      maxFitPoints: Int = 4096): Unit = {
+    val spark = corpus.sparkSession
+    require(currentVersion(spark, root).isEmpty,
+      s"IvfIndex.create: $root is already a versioned index (use rebuild)")
+    Similarity.ivfIndexWrite(corpus, s"$root/v1", nlist, idCol, embCol, maxFitPoints)
+    commitPointer(spark, root, 1)
+  }
+
+  /** Act on the staleness trigger: re-fit the quantizer on the FULL
+    * current corpus (base + everything appended since the last fit),
+    * rewrite the partitioned layout under the new geometry into
+    * `v<N+1>`, atomically swap the pointer, and prune versions older
+    * than the previous one. Returns the new live version.
+    *
+    * Equivalence contract (IvfLifecycleSpec): the new snapshot is
+    * byte-identical in content to a fresh [[Similarity.ivfIndexWrite]]
+    * of the combined corpus — same deterministic fit, same layout —
+    * and [[Similarity.ivfIndexStaleness]] on the swapped root returns
+    * drift ≈ 0 again.
+    */
+  def rebuild(spark: SparkSession, root: String, nlist: Int = 16,
+      maxFitPoints: Int = 4096, retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1,
+      s"IvfIndex.rebuild: retainVersions must be >= 1, got $retainVersions")
+    val cur = currentVersion(spark, root).getOrElse(
+      throw new IllegalArgumentException(
+        s"IvfIndex.rebuild: $root is not a versioned index root — " +
+          "create() it first (flat ivfIndexWrite dirs re-fit by rewriting in place)"))
+    // The old snapshot is immutable, so this scan-and-rewrite reads a
+    // consistent corpus no matter how long the write takes.
+    val corpus = spark.read.parquet(s"$root/v$cur/data")
+    val next = cur + 1
+    Similarity.ivfIndexWrite(corpus, s"$root/v$next", nlist,
+      idCol = "neighbor_id", embCol = "c_emb", maxFitPoints = maxFitPoints)
+    commitPointer(spark, root, next)
+    prune(spark, root, next, retainVersions)
+    next
+  }
+
+  /** Versions present on disk, ascending — current-or-older snapshots
+    * only survive per `retainVersions`.
+    */
+  def versions(spark: SparkSession, root: String): Seq[Int] = {
+    val (fs, rootPath) = fsFor(spark, root)
+    if (!fs.exists(rootPath)) Seq.empty
+    else fs.listStatus(rootPath).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.drop(1).forall(_.isDigit) =>
+        s.drop(1).toInt }
+      .sorted
+  }
+
+  /** Atomic pointer commit: write `CURRENT.tmp.<uuid>`, fsync-close,
+    * then move over `CURRENT`. Local roots use java.nio ATOMIC_MOVE;
+    * Hadoop schemes with a FileContext binding use
+    * rename(OVERWRITE) (atomic on HDFS); bare-FileSystem schemes fall
+    * back to delete+rename (non-atomic — the log-store plug-in point).
+    */
+  private def commitPointer(spark: SparkSession, root: String, version: Int): Unit = {
+    val (fs, rootPath) = fsFor(spark, root)
+    fs.mkdirs(rootPath)
+    val ptr = pointerPath(rootPath)
+    val tmp = new Path(rootPath, s"$PointerName.tmp.${java.util.UUID.randomUUID()}")
+    val out = fs.create(tmp, true)
+    try out.write(s"$version\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.getUri.getScheme == "file") {
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(ptr.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      // drop the .crc sidecar RawLocalFileSystem wrote for the tmp name;
+      // a stale checksum under the pointer name would fail later reads
+      val crc = new Path(rootPath, s".${tmp.getName}.crc")
+      if (fs.exists(crc)) { fs.delete(crc, false); () }
+      val ptrCrc = new Path(rootPath, s".$PointerName.crc")
+      if (fs.exists(ptrCrc)) { fs.delete(ptrCrc, false); () }
+    } else {
+      val fcOpt =
+        try Some(FileContext.getFileContext(fs.getUri, spark.sessionState.newHadoopConf()))
+        catch { case _: org.apache.hadoop.fs.UnsupportedFileSystemException => None }
+      fcOpt match {
+        case Some(fc) => fc.rename(tmp, ptr, Options.Rename.OVERWRITE)
+        case None =>
+          if (fs.exists(ptr)) fs.delete(ptr, false)
+          require(fs.rename(tmp, ptr),
+            s"IvfIndex: pointer rename failed for $root -> v$version")
+      }
+    }
+  }
+
+  private def prune(spark: SparkSession, root: String, current: Int,
+      retainVersions: Int): Unit = {
+    val (fs, rootPath) = fsFor(spark, root)
+    versions(spark, root)
+      .filter(_ <= current - retainVersions)
+      .foreach { v => fs.delete(new Path(rootPath, s"v$v"), true); () }
+  }
+}

@@ -262,9 +262,12 @@ object Similarity {
     * [[ivfIndexStaleness]] after appends and re-fit (full
     * [[ivfIndexWrite]]) when drift crosses the deployment's threshold.
     */
-  def ivfIndexAppend(newVectors: DataFrame, dir: String,
+  def ivfIndexAppend(newVectors: DataFrame, rawDir: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val spark = newVectors.sparkSession
+    // versioned roots (IvfIndex.create/rebuild) resolve to the live
+    // snapshot; flat ivfIndexWrite dirs resolve to themselves
+    val dir = IvfIndex.resolveDir(spark, rawDir)
     val cents = readCentroids(spark, dir)
     Dedup.balanced(newVectors)
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
@@ -287,7 +290,8 @@ object Similarity {
     * drift) with drift = mean_d2/fit_mean_d2 − 1 (NULL for a
     * degenerate zero-distance fit cell).
     */
-  def ivfIndexStaleness(spark: SparkSession, dir: String): DataFrame = {
+  def ivfIndexStaleness(spark: SparkSession, rawDir: String): DataFrame = {
+    val dir = IvfIndex.resolveDir(spark, rawDir)
     val fit = spark.read.parquet(s"$dir/stats")
       .select(col("cell"), col("n_vectors").as("fit_n_vectors"),
         col("mean_d2").as("fit_mean_d2"))
@@ -347,11 +351,15 @@ object Similarity {
     * needs no driver-side cell list (static pruning would be
     * worthless anyway: a corpus-sized batch probes every cell).
     */
-  def ivfIndexedTopK(spark: SparkSession, dir: String, queries: DataFrame,
+  def ivfIndexedTopK(spark: SparkSession, rawDir: String, queries: DataFrame,
       k: Int, nprobe: Int = 4,
       idCol: String = "vec_id", embCol: String = "embedding",
       maxBatch: Int = 4096): DataFrame = {
     require(maxBatch > 0, s"ivfIndexedTopK: maxBatch must be > 0, got $maxBatch")
+    // resolve a versioned root ONCE, up front: the whole probe (cell
+    // collect + pruned scan) then reads one immutable snapshot —
+    // old-or-new across a concurrent IvfIndex.rebuild swap, never mixed
+    val dir = IvfIndex.resolveDir(spark, rawDir)
     val batchProbe = queries.select(col(idCol)).limit(maxBatch + 1).count()
     require(batchProbe <= maxBatch,
       s"ivfIndexedTopK: query batch exceeds maxBatch=$maxBatch — the " +

@@ -1,0 +1,117 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The IVF index lifecycle: versioned create → append → staleness
+  * trigger → rebuild with atomic pointer swap (VERDICT r10 #1).
+  * Contracts under test:
+  *   - rebuild ≡ a fresh ivfIndexWrite of the combined corpus;
+  *   - a probe resolved before the swap still answers from the OLD
+  *     snapshot (old-or-new, never mixed);
+  *   - post-swap staleness returns to ~0;
+  *   - retention prunes versions older than the previous one.
+  */
+class IvfLifecycleSpec extends SparkSpec {
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-ivflc-$tag-").toString
+
+  private def emb = graft.Tables.load(spark, sfDir, "embeddings")
+
+  private def probe(dir: String, ids: Seq[Long], nprobe: Int = 3) =
+    Similarity.ivfIndexedTopK(spark, dir,
+        emb.filter(col("vec_id").isin(ids.map(java.lang.Long.valueOf): _*)),
+        k = 5, nprobe = nprobe)
+      .orderBy("query_id", "rank").collect().toSeq
+
+  test("create: versioned root answers exactly like a flat index on the same corpus") {
+    val root = tmpRoot("create")
+    val flat = tmpRoot("flat")
+    IvfIndex.create(emb, root, nlist = 8)
+    Similarity.ivfIndexWrite(emb, flat, nlist = 8)
+    assert(IvfIndex.currentVersion(spark, root).contains(1))
+    assert(IvfIndex.resolveDir(spark, root) == s"$root/v1")
+    // same corpus + deterministic fit → identical answers
+    assert(probe(root, Seq(0L, 7L, 42L)) == probe(flat, Seq(0L, 7L, 42L)))
+    // double-create must fail fast, not silently overwrite a live index
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.create(emb, root, nlist = 8)
+    }
+    assert(e.getMessage.contains("already a versioned index"))
+  }
+
+  test("rebuild ≡ fresh ivfIndexWrite on the combined corpus; staleness returns to ~0") {
+    val root = tmpRoot("rebuild")
+    val fresh = tmpRoot("fresh")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    // shifted second half: appended under FROZEN v1 centroids, so the
+    // staleness trigger fires before the rebuild
+    val second = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(4.0f)))
+    IvfIndex.create(first, root, nlist = 8)
+    Similarity.ivfIndexAppend(second, root)
+    val before = Similarity.ivfIndexStaleness(spark, root).collect()
+    assert(before.exists(r => r.getAs[Double]("drift") > 0.5),
+      s"shifted append should trip the re-fit trigger, got ${before.mkString(", ")}")
+
+    val newV = IvfIndex.rebuild(spark, root, nlist = 8)
+    assert(newV == 2)
+    assert(IvfIndex.currentVersion(spark, root).contains(2))
+    // post-swap: geometry re-fit on the full corpus → drift ≈ 0 again
+    val after = Similarity.ivfIndexStaleness(spark, root).collect()
+    after.foreach { r =>
+      assert(math.abs(r.getAs[Double]("drift")) < 1e-9,
+        s"rebuilt index must have ~zero drift, got $r")
+    }
+    // equivalence: rebuild reads v1's data (first ∪ shifted-second) —
+    // a fresh write of that same combined corpus must answer identically
+    val combined = first.unionByName(second)
+    Similarity.ivfIndexWrite(combined, fresh, nlist = 8)
+    assert(probe(root, Seq(0L, 7L, 42L)) == probe(fresh, Seq(0L, 7L, 42L)),
+      "rebuilt snapshot answers differently from a fresh index of the combined corpus")
+  }
+
+  test("probe-during-swap: a pre-swap resolution answers from the old snapshot") {
+    val root = tmpRoot("swap")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 === 1)
+    IvfIndex.create(first, root, nlist = 8)
+    // a probe plan resolved against the live (v1) snapshot...
+    val preSwap = Similarity.ivfIndexedTopK(spark, root,
+      emb.filter(col("vec_id") === 0), k = 5, nprobe = 3)
+    val v1Answer = preSwap.orderBy("rank").collect().toSeq
+    // ...then the index rebuilds (corpus unchanged) and ingests the
+    // second half into v2
+    IvfIndex.rebuild(spark, root, nlist = 8)
+    Similarity.ivfIndexAppend(second, root)
+    // the old plan still reads v1 only — late-materialized, it must
+    // neither fail nor see v2's appended rows
+    assert(preSwap.orderBy("rank").collect().toSeq == v1Answer,
+      "pre-swap plan leaked post-swap data (mixed snapshot read)")
+    // a NEW probe resolves v2 and sees the appended vectors: with the
+    // odd half present, some odd neighbor enters vec 0's top-5
+    val post = probe(root, Seq(0L))
+    assert(post.exists(r => r.getLong(2) % 2 == 1),
+      s"post-swap probe should see appended odd ids, got $post")
+  }
+
+  test("retention: rebuild keeps current + previous, prunes older") {
+    val root = tmpRoot("retain")
+    IvfIndex.create(emb.limit(128), root, nlist = 4)
+    IvfIndex.rebuild(spark, root, nlist = 4)
+    assert(IvfIndex.versions(spark, root) == Seq(1, 2))
+    IvfIndex.rebuild(spark, root, nlist = 4)
+    assert(IvfIndex.versions(spark, root) == Seq(2, 3),
+      "v1 must be pruned once v3 is live (retainVersions=2)")
+    assert(IvfIndex.currentVersion(spark, root).contains(3))
+    // rebuild on a flat (un-versioned) dir is a named error
+    val flat = tmpRoot("flaterr")
+    Similarity.ivfIndexWrite(emb.limit(128), flat, nlist = 4)
+    val e = intercept[IllegalArgumentException] {
+      IvfIndex.rebuild(spark, flat, nlist = 4)
+    }
+    assert(e.getMessage.contains("not a versioned index root"))
+  }
+}
