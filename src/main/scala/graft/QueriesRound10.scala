@@ -547,9 +547,11 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
 
   /** The q143/q144 shared trained-model recurrence: hashed-unigram
     * feature counts, ±1 labels, zero-initialized weights, and `n`
-    * unrolled batch-perceptron stages ending in `w{n}`.
+    * unrolled batch-perceptron stages ending in `w{n}`. `trainWhere`
+    * restricts the TRAINING slice (q151 trains on a labeled subset);
+    * empty = the full documents table (q143/q144).
     */
-  private def perceptronCtesSql(n: Int): String = {
+  protected def perceptronCtesSql(n: Int, trainWhere: String = ""): String = {
     def stage(k: Int): String =
       s"""d$k AS MATERIALIZED (
          |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
@@ -575,11 +577,11 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
        |    CAST(count(*) AS BIGINT) AS cnt
        |  FROM (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
        |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
-       |      FROM documents)
+       |      FROM documents$trainWhere)
        |  GROUP BY 1, 2),
        |y AS MATERIALIZED (
        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-       |  FROM documents),
+       |  FROM documents$trainWhere),
        |w0 AS MATERIALIZED (
        |  SELECT CAST(pos AS BIGINT) AS pos, CAST(0 AS BIGINT) AS w
        |  FROM range(0, 257) t(pos)),

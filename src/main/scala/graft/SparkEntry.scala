@@ -186,6 +186,10 @@ object SparkEntry {
     "q148_pit_ttl" -> ((s, d) => PipelinesExt.pitTtlLookup(s, d)),
     "q149_length_buckets" -> ((s, d) => PipelinesExt.lengthBuckets(s, d)),
     "q150_embedding_drift" -> ((s, d) => PipelinesExt.embeddingDriftHalves(s, d)),
+    // batch 12 — round-11 consolidation compositions
+    "q151_classifier_curation" -> ((s, d) => PipelinesExt.classifierCuration(s, d)),
+    "q152_incremental_retention" -> ((s, d) => PipelinesExt.incrementalRetention(s, d)),
+    "q153_summary_exact" -> ((s, d) => PipelinesExt.summaryExactRows(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

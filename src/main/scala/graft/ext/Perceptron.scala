@@ -92,6 +92,16 @@ object Perceptron {
     * train→serve round-trips bit-for-bit.
     */
   def hashedPerceptronScore(docs: DataFrame, idCol: String, textCol: String,
+      weights: Seq[Long]): DataFrame =
+    withHashedPerceptronScore(docs, textCol, weights)
+      .select(col(idCol), col("margin_q"), col("predicted"))
+
+  /** [[hashedPerceptronScore]] as a column APPENDER — same literal-array
+    * zero-shuffle projection, but the input columns ride along, so the
+    * scorer composes inside a curation pipeline (filter on `margin_q`,
+    * keep the document) without a join back onto the corpus.
+    */
+  def withHashedPerceptronScore(docs: DataFrame, textCol: String,
       weights: Seq[Long]): DataFrame = {
     require(weights.length == 257,
       s"hashedPerceptronScore: need 256 bucket weights + bias, got ${weights.length}")
@@ -101,7 +111,7 @@ object Perceptron {
       acc + element_at(wLit,
         (conv(substring(md5(t), 1, 2), 16, 10).cast("long") + 1L).cast("int"))) +
       lit(weights(256))
-    docs.select(col(idCol), margin.as("margin_q"),
-      (margin > 0).as("predicted"))
+    docs.withColumn("margin_q", margin)
+      .withColumn("predicted", margin > 0)
   }
 }
