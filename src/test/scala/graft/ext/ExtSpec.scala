@@ -463,6 +463,17 @@ class TextAnalysisSpec extends SparkSpec {
       .select(TextAnalysis.bpePieces(col("bpe_segments")).as("p"))
       .as[Seq[String]].collect().head
     assert(pieces == Seq("th", "in", "k", "ing"))
+    // an in-text U+001F must not forge token boundaries: it is stripped
+    // before wrapping, so "th\u001fe" segments exactly like "the"
+    val withSep = Seq((1L, "th\u001fe")).toDF("doc_id", "text")
+    val sepGot = TextAnalysis.bpeSegment(withSep, "text", merges)
+      .select("bpe_segments").as[Seq[String]].collect().head
+    assert(sepGot == Seq("the"), s"got $sepGot")
+    // same guard on the training side: counts merge with the clean word
+    val trainSep = Seq((1L, "a\u001fb a\u001fb ab")).toDF("doc_id", "text")
+    val trainClean = Seq((1L, "ab ab ab")).toDF("doc_id", "text")
+    assert(TextAnalysis.bpeTrain(trainSep, "text", numMerges = 1) ==
+      TextAnalysis.bpeTrain(trainClean, "text", numMerges = 1))
   }
 }
 
