@@ -126,6 +126,16 @@ object Encoders {
       s"winsorizeApprox: need 0 <= lo <= hi <= 1, got [$lo, $hi]")
     require(accuracy >= 1,
       s"winsorizeApprox: accuracy must be >= 1, got $accuracy")
+    // the sketch's rank error is ~n/accuracy; if that exceeds the
+    // clipped tail mass (lo·n below, (1−hi)·n above) the band edge is
+    // noise — clamping against it silently winsorizes the wrong
+    // fraction. Fail fast instead (accuracy 1/tail is the floor, not a
+    // recommendation).
+    val tail = math.min(if (lo > 0.0) lo else 1.0, if (hi < 1.0) 1.0 - hi else 1.0)
+    require(tail >= 1.0 / accuracy,
+      s"winsorizeApprox: accuracy=$accuracy gives rank error ~1/$accuracy " +
+        s"of the group, larger than the clipped tail ($tail) — raise " +
+        f"accuracy above ${math.ceil(1.0 / tail).toLong} or widen the band")
     val stats = df.groupBy(col(groupCol)).agg(
       expr(s"approx_percentile(CAST($valueCol AS DOUBLE), array($lo, $hi), $accuracy)")
         .as("_b"))

@@ -162,7 +162,11 @@ object PointInTime {
         Seq(col("_ts").as(spineTs)) ++
         spineCols.filterNot(c => keys.contains(c) || c == spineTs)
           .map(c => col(s"_s_$c").as(c)) ++
-        featureCols.map(c => col("_n").getField(c).as(c)): _*)
+        // NULL-ts probes sort NULLS-FIRST and would take the earliest
+        // feature as "nearest" — no time position, no match (the same
+        // convention as the NULL-ts feature filter)
+        featureCols.map(c =>
+          when(col("_ts").isNotNull, col("_n").getField(c)).as(c)): _*)
   }
 
   private def asOfImpl(
@@ -233,8 +237,13 @@ object PointInTime {
         Seq(col("_ts").as(spineTs)) ++
         spineCols.filterNot(c => keys.contains(c) || c == spineTs)
           .map(c => col(s"_s_$c").as(c)) ++
+        // the _ts guard mirrors the NULL-ts feature filter above: a
+        // NULL-ts PROBE has no position on the time axis either, so it
+        // keeps its spine columns and takes NULL features — without
+        // it, forward mode's descending sort puts NULL probes after
+        // every feature row and they'd match the earliest feature
         featureCols.map(c =>
-          when(fresh, col("_frow").getField(c))
+          when(col("_ts").isNotNull && fresh, col("_frow").getField(c))
             .otherwise(lit(null).cast(features.schema(c).dataType)).as(c)): _*)
   }
 

@@ -80,17 +80,36 @@ object Drift {
         floor(col("_x").cast("double") * lit(1e6) + lit(0.5)).as("_q"))
       .groupBy(col(labelCol), col("_pos"))
       .agg(count(lit(1)).as(n), sum(col("_q")).as(m))
+    val dm = col("_sa").cast("double") / col("_na") -
+      col("_sb").cast("double") / col("_nb")
+    // |Δmean_q| past ~3e9 (a raw mean gap above ~3e3 units) would push
+    // Δ² past Long range and the cast would saturate/wrap silently —
+    // error loudly instead; real embedding drift is orders of magnitude
+    // below this bound
+    val dmSafe = when(abs(dm) > lit(3.0e9),
+      raise_error(concat(
+        lit("Drift.embeddingDrift: |quantized mean delta| "),
+        abs(dm).cast("string"),
+        lit(" exceeds the exact-BIGINT term bound (~3e9) — rescale inputs")))
+        .cast("double"))
+      .otherwise(dm)
     cents(base, "_na", "_sa")
       .join(cents(current, "_nb", "_sb"), Seq(labelCol, "_pos"))
       .select(col(labelCol), col("_na"), col("_nb"),
-        floor(
-          (col("_sa").cast("double") / col("_na") -
-            col("_sb").cast("double") / col("_nb")) *
-          (col("_sa").cast("double") / col("_na") -
-            col("_sb").cast("double") / col("_nb")) + lit(0.5))
-          .cast("long").as("_tq"))
+        floor(dmSafe * dmSafe + lit(0.5)).cast("long").as("_tq"))
       .groupBy(col(labelCol))
-      .agg(max(col("_na")).as("n_base"), max(col("_nb")).as("n_current"),
+      .agg(min(col("_na")).as("_namin"), max(col("_na")).as("_namax"),
+        min(col("_nb")).as("_nbmin"), max(col("_nb")).as("_nbmax"),
         sum(col("_tq")).as("drift_q"))
+      // ragged embedding lengths make per-dim counts differ within a
+      // label — a silently-masked data defect if n were just max()
+      .select(col(labelCol),
+        when(col("_namin") =!= col("_namax") || col("_nbmin") =!= col("_nbmax"),
+          raise_error(concat(
+            lit("Drift.embeddingDrift: ragged embedding lengths for label "),
+            col(labelCol).cast("string"))).cast("long"))
+          .otherwise(col("_namax")).as("n_base"),
+        col("_nbmax").as("n_current"),
+        col("drift_q"))
   }
 }

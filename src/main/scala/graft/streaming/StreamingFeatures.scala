@@ -415,7 +415,10 @@ object StreamingFeatures {
     *     but events later than `delay` are DROPPED, so parity holds
     *     only within the lateness bound. Use at least a day of slack
     *     (e.g. "25 hours") so a calendar day fully closes before its
-    *     state evicts.
+    *     state evicts. REQUIRES a UTC session time zone (asserted at
+    *     call time): the eviction window is epoch-aligned while exact
+    *     mode's date_trunc follows the session zone, and the two must
+    *     share day boundaries.
     */
   def maintainDailyValueSums(
       eventStream: DataFrame,
@@ -427,6 +430,22 @@ object StreamingFeatures {
       checkpointDir: String,
       valueScale: Double = 100.0,
       watermarkDelay: Option[String] = None): StreamingQuery = {
+    // Bounded mode groups on window(_, '1 day'), which is UTC-epoch
+    // aligned; exact mode (and the batch decay tier this table feeds)
+    // uses date_trunc('day'), which follows spark.sql.session.timeZone.
+    // In a non-UTC session the two modes would assign the same event to
+    // DIFFERENT day_us keys, silently breaking the documented
+    // exact ≡ bounded parity — fail fast instead.
+    watermarkDelay.foreach { _ =>
+      val tz = eventStream.sparkSession.sessionState.conf.sessionLocalTimeZone
+      val rules = java.time.ZoneId.of(tz).getRules
+      require(rules.isFixedOffset &&
+          rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+        s"maintainDailyValueSums: bounded mode requires a UTC session time " +
+          s"zone so window() and date_trunc('day') share day boundaries; " +
+          s"got spark.sql.session.timeZone='$tz' — set it to UTC or use " +
+          "exact mode (watermarkDelay = None)")
+    }
     val cleaned = eventStream
       .filter(col(tsCol).isNotNull && col(valueCol).isNotNull)
       .withColumn("_ets", col(tsCol).cast("timestamp"))
@@ -510,12 +529,18 @@ object StreamingFeatures {
     * (one repartition on its cell ids); the index itself is never
     * read. Pair with [[graft.ext.Similarity.ivfIndexStaleness]] on a
     * schedule: when drift vs the fit-time baseline crosses the
-    * deployment threshold, stop the stream, re-fit with a full
-    * `ivfIndexWrite`, restart.
+    * deployment threshold, stop the stream, re-fit, restart — with a
+    * flat dir via a full `ivfIndexWrite`, with a versioned root via
+    * [[graft.ext.IvfIndex.rebuild]] (atomic pointer swap; probes never
+    * see a half-written index).
     *
-    * NOT idempotent under micro-batch replay (append-only storage
-    * double-writes replayed vectors) — run with exactly-once sources /
-    * checkpointed triggers, or dedup upstream by vector id.
+    * Crash windows: a failure DURING the parquet append leaves only
+    * `_temporary` litter (job-commit rename never ran), which readers
+    * ignore — the index is unchanged and the replayed batch appends
+    * cleanly. A failure AFTER the append commits but BEFORE the
+    * checkpoint commits makes the replay double-write that batch:
+    * NOT idempotent under micro-batch replay — run with exactly-once
+    * sources / checkpointed triggers, or dedup upstream by vector id.
     */
   def maintainIvfIndex(
       vectorStream: DataFrame,

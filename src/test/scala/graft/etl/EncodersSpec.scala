@@ -138,4 +138,18 @@ class EncodersSpec extends SparkSpec {
     // NULL group 10/20/30: p25 = 15, p75 = 25 (exact interp on 3 pts)
     assert(nulls.toSeq == Seq(15.0, 20.0, 25.0))
   }
+
+  test("winsorizeApprox: accuracy below 1/tail is a named error") {
+    // rank error ~n/accuracy larger than the clipped tail mass makes
+    // the band edge noise — must fail fast, not silently mis-winsorize
+    val df = Seq(("a", 1.0)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Encoders.winsorizeApprox(df, "g", "v", "w",
+        lo = 0.01, hi = 0.99, accuracy = 50)
+    }
+    assert(e.getMessage.contains("rank error"))
+    // boundary: accuracy == 1/tail is allowed
+    Encoders.winsorizeApprox(df, "g", "v", "w",
+      lo = 0.01, hi = 0.99, accuracy = 100).collect()
+  }
 }

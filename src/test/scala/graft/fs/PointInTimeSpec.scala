@@ -227,6 +227,32 @@ class PointInTimeSpec extends SparkSpec {
       s"tie must be deterministic across physical orders, got $results")
   }
 
+  test("NULL-ts spine probes take NULL features in every as-of mode") {
+    // a probe with no time position must keep its spine columns and
+    // take NULL features — forward mode's descending sort (NULLS LAST)
+    // and nearest's NULLS-FIRST would otherwise hand it the earliest
+    // feature row
+    val features = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0),
+      (1L, ts("2024-01-03 00:00:00"), 30.0))
+      .toDF("user_id", "fts", "score")
+    val spine = Seq(
+      (100L, 1L, Option(ts("2024-01-02 00:00:00"))),
+      (101L, 1L, Option.empty[Timestamp]))
+      .toDF("event_id", "user_id", "sts")
+    def scores(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.orderBy("event_id").select("score").collect().toSeq.map(_.get(0))
+    assert(scores(PointInTime.asOfJoin(spine, features,
+      Seq("user_id"), "sts", "fts", Seq("score"))) == Seq(10.0, null))
+    assert(scores(PointInTime.asOfJoinForward(spine, features,
+      Seq("user_id"), "sts", "fts", Seq("score"))) == Seq(30.0, null))
+    assert(scores(PointInTime.asOfJoinNearest(spine, features,
+      Seq("user_id"), "sts", "fts", Seq("score"))) == Seq(10.0, null))
+    assert(scores(PointInTime.asOfJoinWithTtl(spine, features,
+      Seq("user_id"), "sts", "fts", Seq("score"),
+      maxStalenessMicros = 10L * 86400000000L)) == Seq(10.0, null))
+  }
+
   test("asOfJoinNearest: one Exchange — both directions share the window sort") {
     val features = Seq((1L, ts("2024-01-01 00:00:00"), 1.0))
       .toDF("user_id", "fts", "score")

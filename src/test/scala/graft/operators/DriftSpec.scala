@@ -65,4 +65,27 @@ class DriftSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 2L, 250000000000L), ("b", 1L, 1L, 0L)),
       s"got $got") // 'gone' has no current centroid → excluded
   }
+
+  test("embeddingDrift: ragged dims and oversized mean deltas are named errors") {
+    def msg(e: Exception): String =
+      e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+    // ragged: label 'a' has a 2-dim and a 1-dim vector in the base
+    val ragged = Seq(
+      (1L, Array(1.0f, 0.0f), "a"),
+      (2L, Array(1.0f), "a"))
+      .toDF("vec_id", "embedding", "label")
+    val ok = Seq((9L, Array(1.0f, 0.0f), "a")).toDF("vec_id", "embedding", "label")
+    val e1 = intercept[Exception] {
+      Drift.embeddingDrift(ragged, ok, "label", "embedding").collect()
+    }
+    assert(msg(e1).contains("ragged"), msg(e1))
+    // a quantized mean delta past ~3e9 (raw gap 2e4 here) would
+    // overflow the exact-BIGINT term — named error, not a wrapped sum
+    val far1 = Seq((1L, Array(10000.0f), "a")).toDF("vec_id", "embedding", "label")
+    val far2 = Seq((2L, Array(-10000.0f), "a")).toDF("vec_id", "embedding", "label")
+    val e2 = intercept[Exception] {
+      Drift.embeddingDrift(far1, far2, "label", "embedding").collect()
+    }
+    assert(msg(e2).contains("exceeds"), msg(e2))
+  }
 }

@@ -694,4 +694,27 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(probe(idxDir) == probe(refDir),
       "streamed index answers differently from the batch rewrite")
   }
+
+  test("maintainDailyValueSums: bounded mode requires a UTC session time zone") {
+    // bounded mode's day window is epoch-aligned while exact mode's
+    // date_trunc follows the session zone — a non-UTC session would
+    // silently break exact == bounded parity, so it must fail fast
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp")).limit(10)
+    val streamDir = Files.createTempDirectory("graft-tz-in-").toString
+    events.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val store = FeatureStore.temp(spark)
+    val ckpt = Files.createTempDirectory("graft-tz-ck-").toString
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        StreamingFeatures.maintainDailyValueSums(stream, store, "tz_sums",
+          "user_id", "ts", "value", ckpt, watermarkDelay = Some("25 hours"))
+      }
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
 }
