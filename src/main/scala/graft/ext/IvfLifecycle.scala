@@ -124,6 +124,27 @@ object IvfIndex {
     next
   }
 
+  /** Close the staleness loop: measure drift on the live snapshot and
+    * [[rebuild]] only when any cell's drift exceeds `maxDrift` —
+    * the scheduled maintenance entry point (`ivfIndexStaleness`
+    * produces the trigger, this acts on it). Returns Some(newVersion)
+    * when a rebuild ran, None when the index is still fresh. The
+    * staleness scan costs one partition-parallel pass of the index;
+    * the ingestion stream must be stopped before calling (the
+    * [[rebuild]] concurrency contract).
+    */
+  def rebuildIfStale(spark: SparkSession, root: String, maxDrift: Double,
+      nlist: Int = 16, maxFitPoints: Int = 4096,
+      retainVersions: Int = 2): Option[Int] = {
+    require(maxDrift >= 0.0,
+      s"IvfIndex.rebuildIfStale: maxDrift must be >= 0, got $maxDrift")
+    val stale = Similarity.ivfIndexStaleness(spark, root)
+      .filter(F.col("drift") > maxDrift)
+      .limit(1).count() > 0
+    if (stale) Some(rebuild(spark, root, nlist, maxFitPoints, retainVersions))
+    else None
+  }
+
   /** Versions present on disk, ascending — current-or-older snapshots
     * only survive per `retainVersions`.
     */

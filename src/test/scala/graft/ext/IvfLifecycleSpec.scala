@@ -97,6 +97,25 @@ class IvfLifecycleSpec extends SparkSpec {
       s"post-swap probe should see appended odd ids, got $post")
   }
 
+  test("rebuildIfStale: fresh index is a no-op, drifted index re-fits back to ~0") {
+    val root = tmpRoot("ifstale")
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    IvfIndex.create(first, root, nlist = 8)
+    // freshly created: every cell at fit-time quality → no rebuild
+    assert(IvfIndex.rebuildIfStale(spark, root, maxDrift = 0.5, nlist = 8).isEmpty)
+    assert(IvfIndex.currentVersion(spark, root).contains(1))
+    // shifted append trips the trigger → rebuild runs, drift resets
+    val shifted = emb.filter(col("vec_id") % 2 === 1)
+      .withColumn("embedding", transform(col("embedding"), x => x + lit(4.0f)))
+    Similarity.ivfIndexAppend(shifted, root)
+    assert(IvfIndex.rebuildIfStale(spark, root, maxDrift = 0.5, nlist = 8)
+      .contains(2))
+    assert(Similarity.ivfIndexStaleness(spark, root).collect()
+      .forall(r => math.abs(r.getAs[Double]("drift")) < 1e-9))
+    // and the refreshed index is fresh again → next check is a no-op
+    assert(IvfIndex.rebuildIfStale(spark, root, maxDrift = 0.5, nlist = 8).isEmpty)
+  }
+
   test("retention: rebuild keeps current + previous, prunes older") {
     val root = tmpRoot("retain")
     IvfIndex.create(emb.limit(128), root, nlist = 4)

@@ -657,6 +657,20 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(labels(store.readTable("dup_labels")) ===
       labels(Components.connectedComponents(pairs)),
       "maintained labels != batch CC over the full pair set")
+
+    // ...and retention SERVED from the maintained table equals the
+    // full-recompute retention — the streaming half of the q152
+    // contract: min-id survivors off incremental labels, singletons
+    // (absent from the labeling) surviving by construction
+    val dropped = store.readTable("dup_labels")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("_drop_id"))
+    val served = emb.join(dropped, col("vec_id") === col("_drop_id"), "left_anti")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.ext.Dedup.retainFromPairs(emb, pairs, "vec_id")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(served === batch,
+      "retention over maintained labels != full-recompute retention")
   }
 
   test("maintainIvfIndex: streamed appends answer like a same-centroid batch rewrite") {
