@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Perceptron, Similarity}
+import graft.ext.{Components, Dedup, Perceptron, Retrieval, SetSimJoin, Similarity}
 
 /** Gate queries — round 11: consolidation compositions (VERDICT r10
   * #5/#6/#7). The quality-classifier curation loop (train → score →
@@ -14,7 +14,7 @@ import graft.ext.{Components, Dedup, Perceptron, Similarity}
   * Mixed into [[PipelinesExt]]; the sibling [[OraclesRound11]] below
   * keeps each query's DuckDB oracle SQL in the same file.
   */
-private[graft] trait PipelinesRound11 { this: PipelinesBase =>
+private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSim =>
 
   /** The CCNet-style quality-classifier loop, end to end: a perceptron
     * trains on the LABELED SLICE (doc_id % 5 = 0; label = lang = 'en'),
@@ -92,6 +92,50 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase =>
       .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
       .summary("count", "min", "max")
       .orderBy("summary")
+
+  /** EXACT token-set Jaccard self-join over the planted-dup corpus —
+    * the deterministic twin of the MinHash tier (q26/q28 stay
+    * rows-only because LSH recall is probabilistic): prefix-filtered
+    * candidates (AllPairs/PPJoin) verified exactly, hash-gated against
+    * the exhaustive DuckDB all-pairs oracle. A hash match IS the proof
+    * that the prefix filter lost no qualifying pair.
+    *
+    * The gate slices to doc_id % 10 = 0 (plus each doc's planted
+    * near-dup) at near-dup threshold 0.9: the SYNTHETIC corpus is
+    * template-generated with ~7 % of ALL pairs above 0.9 Jaccard, so
+    * every exact algorithm's output — and the DuckDB all-pairs
+    * oracle — is inherently quadratic in it; the slice bounds the
+    * fixture, not the operator (whose prefix join never materializes
+    * all pairs on a real-density corpus).
+    */
+  def jaccardJoinPairs(s: SparkSession, d: String): DataFrame =
+    SetSimJoin.jaccardJoinExact(
+        docsWithPlantedDups(s, d).filter(col("doc_id") % 10 === 0),
+        "text", "doc_id", minJaccard = 0.9)
+      .orderBy("id_a", "id_b")
+
+  /** Label-noise audit by kNN disagreement: for vectors 0–19, the 5
+    * nearest corpus neighbors vote on the label; a strict-majority
+    * disagreement flags the row for re-annotation. The oracle replays
+    * the full quantized-cosine ranking (the q146 arithmetic minus the
+    * label filter) and the vote count.
+    */
+  def labelNoiseAudit(s: SparkSession, d: String): DataFrame =
+    Retrieval.knnLabelNoise(t(s, d, "embeddings"), "embedding", "vec_id",
+      "label", queryIds = (0L until 20L), k = 5, dims = 64)
+      .orderBy("vec_id")
+
+  /** Temperature-flattened source mix (α = 0.5) over the documents
+    * corpus: per-source keep fractions ∝ √n_s re-normalized so the
+    * binding source keeps everything — the multilingual-mixing rule
+    * with the whole arithmetic (sqrt, the q103 scale/frac chain, the
+    * md5 threshold) replayed exactly by the oracle.
+    */
+  def temperatureMixDocs(s: SparkSession, d: String): DataFrame =
+    graft.etl.Sampling.temperatureMix(
+        t(s, d, "documents").select(col("doc_id"), col("source")),
+        "source", col("doc_id"), alpha = 0.5)
+      .orderBy("doc_id")
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound11]] queries. */
@@ -161,5 +205,84 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CAST(max(l_discount) AS VARCHAR)
         |FROM lineitem
         |ORDER BY summary""".stripMargin,
+
+    // exhaustive all-pairs exact Jaccard over the planted-dup corpus —
+    // the Spark side answers from prefix-filtered candidates, so a
+    // hash match proves the AllPairs prefix filter is lossless; the
+    // division is one correctly-rounded IEEE op over exact integers
+    "q154_jaccard_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', '')
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ts AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS toks
+        |  FROM corpus),
+        |nz AS (SELECT doc_id, toks, len(toks) AS sz FROM ts WHERE len(toks) > 0),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS DOUBLE) AS j
+        |  FROM nz a, nz b WHERE a.doc_id < b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(floor(j * 1000000000.0e0 + 0.5e0) AS BIGINT) AS jacc_q
+        |FROM pr WHERE j >= 0.9e0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q146 quantized-cosine ranking minus the label filter, self
+    // excluded, then the per-query disagreement vote over the top 5
+    "q155_label_noise" ->
+      """WITH qe AS (SELECT vec_id, label, list_transform(range(1, 65),
+        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+        |      AS BIGINT)) AS v
+        |  FROM embeddings),
+        |qs AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+        |  FROM qe WHERE vec_id < 20),
+        |sc AS (SELECT query_id, qlabel, vec_id, label,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nc,
+        |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nq
+        |  FROM qe CROSS JOIN qs
+        |  WHERE qe.vec_id != qs.query_id),
+        |ct AS (SELECT query_id, qlabel, vec_id, label,
+        |    CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
+        |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
+        |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
+        |    END AS cos_tq
+        |  FROM sc),
+        |rk AS (SELECT query_id, qlabel, vec_id, label, cos_tq,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cos_tq DESC, vec_id) AS rnk
+        |  FROM ct)
+        |SELECT query_id AS vec_id, qlabel AS label,
+        |  CAST(sum(CASE WHEN label IS DISTINCT FROM qlabel THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_diff,
+        |  CAST(sum(CASE WHEN label IS DISTINCT FROM qlabel THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 2 > 5 AS noisy
+        |FROM rk WHERE rnk <= 5
+        |GROUP BY query_id, qlabel
+        |ORDER BY vec_id""".stripMargin,
+
+    // the q103 scale/frac/md5-threshold chain with targets DERIVED as
+    // sqrt(n) — every double op (sqrt, the two divisions, the product)
+    // is correctly rounded, so the kept SET is engine-portable
+    "q156_temperature_mix" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS nn
+        |  FROM documents WHERE source IS NOT NULL GROUP BY source),
+        |t AS (SELECT source, CAST(nn AS DOUBLE) AS n,
+        |    sqrt(CAST(nn AS DOUBLE)) AS tw
+        |  FROM counts),
+        |sc AS (SELECT min(n / tw) AS scale FROM t),
+        |f AS (SELECT source, least(tw * scale / n, 1.0e0) AS frac
+        |  FROM t CROSS JOIN sc)
+        |SELECT doc_id, source FROM documents JOIN f USING (source)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN frac >= 1.0e0 THEN 'g'
+        |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -190,6 +190,9 @@ object SparkEntry {
     "q151_classifier_curation" -> ((s, d) => PipelinesExt.classifierCuration(s, d)),
     "q152_incremental_retention" -> ((s, d) => PipelinesExt.incrementalRetention(s, d)),
     "q153_summary_exact" -> ((s, d) => PipelinesExt.summaryExactRows(s, d)),
+    "q154_jaccard_join" -> ((s, d) => PipelinesExt.jaccardJoinPairs(s, d)),
+    "q155_label_noise" -> ((s, d) => PipelinesExt.labelNoiseAudit(s, d)),
+    "q156_temperature_mix" -> ((s, d) => PipelinesExt.temperatureMixDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

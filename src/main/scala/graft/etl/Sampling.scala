@@ -86,6 +86,48 @@ object Sampling {
     stratifiedSample(df, strataCol, keyCol, fracs, defaultFrac = 0.0)
   }
 
+  /** Temperature-based source rebalancing — the multilingual-corpus
+    * mixing rule (sample source s ∝ n_s^α, α < 1 flattening the head
+    * so low-resource sources aren't drowned; the mBERT/XLM-R exponent
+    * discipline): per-stratum keep fractions from [[sampleToMix]]'s
+    * max-sample arithmetic with targets t_s = n_s^α DERIVED from the
+    * observed counts instead of hand-specified. α is restricted to
+    * {1.0, 0.5, 0.25} — the exponents expressible as repeated IEEE
+    * square roots, each CORRECTLY ROUNDED by spec and therefore
+    * bit-identical in any engine; a general `pow` is only
+    * faithfully rounded and may differ in the last ulp between
+    * libms, which would flip keep/drop verdicts at the md5 threshold
+    * boundary (§5.3 — the same reason PSI's ln is excluded from the
+    * drift monitors). Cost: one stratum-count aggregation (#strata
+    * rows to the driver — metadata scale), then the same scan-stage
+    * md5 filter as [[stratifiedSample]]; nothing corpus-sized
+    * shuffles.
+    */
+  def temperatureMix(df: DataFrame, strataCol: String, keyCol: Column,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha == 1.0 || alpha == 0.5 || alpha == 0.25,
+      s"temperatureMix: alpha must be 1.0, 0.5 or 0.25 (sqrt-composable, " +
+        s"engine-portable — general pow is not correctly rounded), got $alpha")
+    def weight(n: Long): Double = alpha match {
+      case 1.0 => n.toDouble
+      case 0.5 => math.sqrt(n.toDouble)
+      case _ => math.sqrt(math.sqrt(n.toDouble))
+    }
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"temperatureMix: no rows with non-NULL '$strataCol'")
+    // the sampleToMix arithmetic verbatim (q103 oracle shape): maximal
+    // sample whose expected mix matches the tempered targets with no
+    // stratum up-sampled — the binding (smallest-weight-ratio) stratum
+    // keeps everything
+    val scale = counts.map { case (s, n) => n.toDouble / weight(n) }.min
+    val fracs = counts.map { case (s, n) =>
+      s -> math.min(weight(n) * scale / n.toDouble, 1.0)
+    }
+    stratifiedSample(df, strataCol, keyCol, fracs, defaultFrac = 0.0)
+  }
+
   /** Keep the top `frac` of every stratum under `order` (curation:
     * "top 40 % by quality per source"). percent_rank ≤ frac over one
     * window exchange on the stratum key; with a total tie-break in

@@ -275,6 +275,62 @@ object Retrieval {
       .filter(col("rnk") <= k)
   }
 
+  /** Label-noise mining by kNN disagreement (the Confident-Learning /
+    * deep-kNN filtering shape): for each audited vector, its k nearest
+    * corpus neighbors under cosine (self excluded), and the count of
+    * neighbors whose label DIFFERS — a point whose neighborhood
+    * majority-disagrees with its own label is a mislabel candidate,
+    * the rows a training-data audit routes to re-annotation. Same
+    * execution contract as [[hardNegativeTopK]]: the audit batch is
+    * small by contract and broadcasts (one corpus scan scores every
+    * audited point; corpus-scale audits route through the IVF tiers),
+    * integer-quantized dots keep the ranking oracle-exact, and the
+    * per-query top-k is a rank-≤-k filter riding the
+    * InferWindowGroupLimit heaps. NULL-safe label compare: a NULL
+    * label disagrees with every non-NULL neighbor label.
+    *
+    * Emits one row per audited id: (idCol, labelCol, n_diff, noisy)
+    * with noisy = strict majority of the k neighbors disagreeing.
+    */
+  def knnLabelNoise(corpus: DataFrame, vecCol: String, idCol: String,
+      labelCol: String, queryIds: Seq[Long], k: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(dims >= 1, s"knnLabelNoise: dims must be >= 1, got $dims")
+    require(k >= 1, s"knnLabelNoise: k must be >= 1, got $k")
+    require(queryIds.nonEmpty, "knnLabelNoise: queryIds is empty")
+    def quant(c: Column): Column =
+      transform(slice(c, 1, dims),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5)).cast("long"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    val q = corpus.filter(col(idCol).isin(queryIds: _*))
+      .select(col(idCol).as("query_id"), quant(col(vecCol)).as("_qv"),
+        col(labelCol).as("_qlabel"))
+    val scored = corpus
+      .select(col(idCol), quant(col(vecCol)).as("_cv"), col(labelCol))
+      .crossJoin(broadcast(q))
+      .filter(col(idCol) =!= col("query_id")) // self never votes
+      .select(col("query_id"), col("_qlabel"), col(idCol), col(labelCol),
+        dot(col("_cv"), col("_qv")).as("_dot"),
+        dot(col("_cv"), col("_cv")).as("_nc"),
+        dot(col("_qv"), col("_qv")).as("_nq"))
+      .select(col("query_id"), col("_qlabel"), col(idCol), col(labelCol),
+        when(col("_nc") === 0 || col("_nq") === 0, lit(0L))
+          .otherwise(floor(
+            col("_dot").cast("double") / sqrt(col("_nc").cast("double"))
+              / sqrt(col("_nq").cast("double")) * lit(1e9) + lit(0.5))
+            .cast("long")).as("cos_tq"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_tq").desc, col(idCol))
+    scored.withColumn("_rnk", row_number().over(w))
+      .filter(col("_rnk") <= k)
+      .groupBy(col("query_id"), col("_qlabel"))
+      .agg(sum(when(!(col(labelCol) <=> col("_qlabel")), 1L).otherwise(0L))
+        .as("n_diff"))
+      .select(col("query_id").as(idCol), col("_qlabel").as(labelCol),
+        col("n_diff"), (col("n_diff") * 2 > k).as("noisy"))
+  }
+
   /** Reciprocal-rank fusion of pre-ranked candidate lists sharing an
     * id column. Each input must already be a SMALL top-k frame (the
     * rank window here runs on candidate lists, never on the corpus —

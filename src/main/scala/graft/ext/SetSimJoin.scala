@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [extension] EXACT set-similarity self-join with prefix filtering —
+  * the AllPairs/PPJoin candidate discipline (Chaudhuri et al. ICDE
+  * 2006; Bayardo et al. WWW 2007) re-expressed as Spark equi joins.
+  * Complements the MinHash tier (`Dedup.minhashPairs`): LSH banding is
+  * probabilistic (recall budgeted, never 1.0), while this join returns
+  * EXACTLY the pairs with token-set Jaccard ≥ t — the path a
+  * contamination audit or a legal-grade dedup takes, where a missed
+  * pair is a defect rather than a statistic.
+  *
+  * Why it scales without LSH's recall loss: a pair with Jaccard ≥ t
+  * must share a token among each side's `|s| − ⌈t·|s|⌉ + 1` RAREST
+  * tokens (rarity = global doc-frequency). Candidates therefore come
+  * from an equi join on prefix tokens only — and prefix tokens are
+  * rare BY CONSTRUCTION, so bucket sizes stay small exactly where a
+  * naive token join explodes (stopwords never key a candidate unless
+  * a document consists almost entirely of stopwords). Verification
+  * then computes exact Jaccard on candidates only.
+  */
+object SetSimJoin {
+
+  /** Distinct lowercase whitespace tokens (the corpus-wide token-set
+    * view of a document; empty/NULL text → empty set).
+    */
+  def tokenSet(text: Column): Column =
+    array_distinct(TextAnalysis.tokens(lower(text)))
+
+  /** All pairs (id_a < id_b) with token-set Jaccard ≥ `minJaccard`,
+    * with the similarity attached as `jacc_q` (floor(j·1e9 + 0.5),
+    * exact-integer compare cross-engine; the division itself is one
+    * correctly-rounded IEEE op over exact integers, §5.3-portable).
+    * Documents with empty token sets are excluded (Jaccard undefined).
+    *
+    * Stages, all equi joins — no O(n²) operator at any scale:
+    *   1. token doc-frequencies: one explode + hash agg
+    *      (vocabulary-sized output);
+    *   2. per-doc PREFIX under the global (df, token) rarity order:
+    *      a window over the doc id — groups are single documents, so
+    *      the per-group sort is bounded by document length;
+    *   3. candidates: prefix ⋈ prefix on the token, id_a < id_b, with
+    *      the Jaccard size band (t·|a| ≤ |b| ≤ |a|/t) pushed into the
+    *      join filter; distinct on the bare id pair — token sets never
+    *      ride the candidate shuffle;
+    *   4. verification: re-attach both token sets by id and keep
+    *      exact Jaccard ≥ t.
+    *
+    * The two floating-point prefix/band computations carry a −1e-9
+    * slack so a product landing an ulp ABOVE the true rational can
+    * only lengthen a prefix or widen the band — never drop a
+    * qualifying pair. Over-admission costs a few extra verified
+    * candidates; under-admission would cost recall.
+    */
+  def jaccardJoinExact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"jaccardJoinExact: minJaccard must be in (0,1], got $minJaccard")
+    val toks = docs
+      .select(col(idCol).as("_id"), tokenSet(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
+      .withColumn("_sz", size(col("_toks")))
+      .cache()
+    toks.count() // eager: the df agg, the prefix build, and both
+                 // verification joins read this frame; a lazy cache
+                 // lets their scans race, each re-tokenizing the corpus
+                 // before blocks land (the ngramJaccardPairs lesson)
+    val tokenDf = toks.select(explode(col("_toks")).as("_token"))
+      .groupBy(col("_token")).agg(count(lit(1)).as("_tdf"))
+    // prefix length |s| − ⌈t·|s|⌉ + 1 under the global (df, token)
+    // total order; row_number groups are single docs (bounded size),
+    // so the variable per-doc limit costs nothing at scale
+    val w = Window.partitionBy(col("_id")).orderBy(col("_tdf"), col("_token"))
+    val prefixes = toks
+      .select(col("_id"), col("_sz"), explode(col("_toks")).as("_token"))
+      .join(tokenDf, Seq("_token"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <=
+        col("_sz") - ceil(lit(minJaccard) * col("_sz") - lit(1e-9)) + 1)
+      .select(col("_token"), col("_id"), col("_sz"))
+      // both sides of the candidate self-join consume this frame — an
+      // uncut lineage re-runs the df join + window once PER SIDE (the
+      // triangleCounts/delta-CC lesson); the checkpointed frame is the
+      // narrow (token, id, sz) prefix stream, ~(1−t) of the token
+      // volume
+      .localCheckpoint(true)
+    val cands = prefixes
+      .select(col("_token"), col("_id").as("id_a"), col("_sz").as("_sza"))
+      .join(prefixes.select(col("_token"), col("_id").as("id_b"),
+        col("_sz").as("_szb")), Seq("_token"))
+      .filter(col("id_a") < col("id_b") &&
+        col("_szb").cast("double") >= lit(minJaccard) * col("_sza") - lit(1e-9) &&
+        col("_sza").cast("double") >= lit(minJaccard) * col("_szb") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("_ta"), col("_tb")))
+    val jacc = inter.cast("double") / (col("_na") + col("_nb") - inter)
+    cands
+      .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta"),
+        col("_sz").as("_na")), Seq("id_a"))
+      .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb"),
+        col("_sz").as("_nb")), Seq("id_b"))
+      .filter(jacc >= minJaccard)
+      .select(col("id_a"), col("id_b"),
+        floor(jacc * lit(1e9) + lit(0.5)).cast("long").as("jacc_q"))
+  }
+}

@@ -93,6 +93,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.sampleToMix(df, "grp", col("id"), Map("absent" -> 1.0)))
   }
 
+  test("temperatureMix: sqrt-tempered fractions, binding stratum keeps all") {
+    // counts 6400/400: α=0.5 targets 80/20 → scale = min(6400/80, 400/20)
+    // = 20 → fracs 80·20/6400 = 0.25 and 20·20/400 = 1.0 — the small
+    // source keeps everything, the big one flattens toward it
+    val df = spark.range(6800).select(col("id"),
+      when(col("id") < 6400, "big").otherwise("small").as("src"))
+    val kept = Sampling.temperatureMix(df, "src", col("id"), alpha = 0.5)
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 400, s"binding stratum must keep everything: $kept")
+    // big keeps Bernoulli(0.25) of 6400: sd ≈ 35, allow 5 sd
+    assert(math.abs(kept("big") - 1600) < 175, kept.toString)
+    // α=1.0 degenerates to keep-everything (targets ∝ counts)
+    val id1 = Sampling.temperatureMix(df, "src", col("id"), alpha = 1.0).count()
+    assert(id1 == 6800)
+    // only sqrt-composable alphas are portable
+    intercept[IllegalArgumentException](
+      Sampling.temperatureMix(df, "src", col("id"), alpha = 0.7))
+  }
+
   test("topFractionBy: exact per-stratum counts under a total order") {
     // 10 distinct scores per stratum: percent_rank = (rank-1)/9 <= 0.3
     // keeps ranks 1..3 exactly

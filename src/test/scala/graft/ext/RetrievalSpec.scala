@@ -301,6 +301,47 @@ class RetrievalSpec extends SparkSpec {
     assert(n1 == Set(0L, 2L), "for the NULL-label anchor both labeled rows differ")
   }
 
+  test("knnLabelNoise: disagreement votes match brute force, self excluded") {
+    // cluster A near (1,0) labeled 1 — except vec 2, mislabeled 9;
+    // cluster B near (0,1) labeled 2 — 3 members, so B's points vote
+    // each other up and A's mislabel is outvoted by its A neighbors
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), Some(1)),
+      (1L, Array(0.9f, 0.1f), Some(1)),
+      (2L, Array(0.95f, 0.05f), Some(9)),  // planted label noise
+      (3L, Array(0.85f, 0.15f), Some(1)),
+      (4L, Array(0.0f, 1.0f), Some(2)),
+      (5L, Array(0.1f, 0.9f), Some(2)),
+      (6L, Array(0.05f, 0.95f), Some(2)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.knnLabelNoise(vecs, "embedding", "vec_id", "label",
+      queryIds = Seq(0L, 2L, 4L), k = 3, dims = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getBoolean(3))).toMap
+    // vec 2's 3 nearest are all label-1 A members → 3 disagreements, noisy
+    assert(got(2L) === ((9, 3L, true)), s"planted mislabel must flag: $got")
+    // vec 0's 3 nearest: 2 (label 9), 1, 3 → one disagreement, not noisy
+    assert(got(0L) === ((1, 1L, false)), got.toString)
+    // vec 4's 3 nearest: 5, 6 (label 2) then an A point → 1 diff, clean
+    assert(got(4L) === ((2, 1L, false)), got.toString)
+    // self never votes: a k covering the whole corpus still yields ≤ n-1 votes
+    val all = Retrieval.knnLabelNoise(vecs, "embedding", "vec_id", "label",
+      queryIds = Seq(0L), k = 10, dims = 2)
+      .select("n_diff").as[Long].head()
+    assert(all === 4L, "6 neighbors: 3 label-2 + 1 label-9 disagree")
+  }
+
+  test("knnLabelNoise: NULL label disagrees with every labeled neighbor") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), None),
+      (1L, Array(0.9f, 0.1f), Some(1)),
+      (2L, Array(0.8f, 0.2f), Some(1)))
+      .toDF("vec_id", "embedding", "label")
+    val got = Retrieval.knnLabelNoise(vecs, "embedding", "vec_id", "label",
+      queryIds = Seq(0L), k = 2, dims = 2)
+      .collect().map(r => (r.getLong(2), r.getBoolean(3))).head
+    assert(got === ((2L, true)))
+  }
+
   test("unigramLmScores: hand-computed tiny corpus incl. empty doc") {
     val corpus = Seq((0L, "a a b"), (1L, "b"), (2L, ""))
       .toDF("doc_id", "text")
