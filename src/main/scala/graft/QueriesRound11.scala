@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Perceptron, Retrieval, SetSimJoin, Similarity}
+import graft.ext.{Components, Dedup, Mmr, Perceptron, Retrieval, SetSimJoin, Similarity}
 
 /** Gate queries — round 11: consolidation compositions (VERDICT r10
   * #5/#6/#7). The quality-classifier curation loop (train → score →
@@ -136,6 +136,25 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
         t(s, d, "documents").select(col("doc_id"), col("source")),
         "source", col("doc_id"), alpha = 0.5)
       .orderBy("doc_id")
+
+  /** MMR diversity re-rank: the top 20 cosine candidates for query
+    * vector 0 (one corpus scan, self dropped), then 5 greedy
+    * λ=1/2 picks — each maximizing rel_q − max-sim-to-picked in exact
+    * BIGINTs. The oracle unrolls the greedy recurrence (the
+    * q142/q143 discipline), so the entire pick SEQUENCE — not just
+    * the set — must match.
+    */
+  def mmrRerankTopK(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val cands = Retrieval.truncatedCosineTopK(emb, "embedding", "vec_id",
+      queryIds = Seq(0L), k = 21, dims = 64)
+      .filter(col("vec_id") =!= 0L) // self is always rank 1 (cos 1e9, min id)
+      .select(col("vec_id"), col("cos_tq"))
+      .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+    Mmr.mmrRerank(cands, "embedding", "vec_id", "cos_tq",
+      k = 5, dims = 64, lambdaNum = 1, lambdaDen = 2)
+      .orderBy("rnk")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound11]] queries. */
@@ -284,5 +303,58 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // the greedy MMR recurrence unrolled (the q142/q143 discipline):
+    // one MATERIALIZED 1-row CTE per pick, each an argmax of
+    // rel_q − greatest(sim to every previous pick) over the remaining
+    // candidates — the whole pick SEQUENCE replays, in exact BIGINTs
+    "q157_mmr_rerank" -> {
+      val k = 5
+      def sim(c: String, s: String): String =
+        s"""CASE WHEN $c.n2 = 0 OR $s.n2 = 0 THEN CAST(0 AS BIGINT)
+           |      ELSE CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+           |          i -> $c.v[i] * $s.v[i])) AS DOUBLE)
+           |        / sqrt(CAST($c.n2 AS DOUBLE)) / sqrt(CAST($s.n2 AS DOUBLE))
+           |        * 1000000000.0e0 + 0.5e0) AS BIGINT) END""".stripMargin
+      def stage(j: Int): String = {
+        val prev = (1 until j).map(i => s"s$i t$i").mkString(", ")
+        val sims = (1 until j).map(i => sim("c", s"t$i")).mkString(",\n      ")
+        val excl = (1 until j).map(i => s"t$i.vec_id").mkString(", ")
+        s"""s$j AS MATERIALIZED (
+           |  SELECT c.vec_id, c.v, c.n2,
+           |    c.rel_q - greatest($sims) AS mmr_q
+           |  FROM cand c, $prev
+           |  WHERE c.vec_id NOT IN ($excl)
+           |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1)""".stripMargin
+      }
+      val stages = (2 to k).map(stage).mkString(",\n")
+      val sel = (1 to k)
+        .map(j => s"SELECT CAST($j AS BIGINT) AS rnk, vec_id, mmr_q FROM s$j")
+        .mkString("\nUNION ALL\n")
+      s"""WITH qe AS (SELECT vec_id, list_transform(range(1, 65),
+         |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+         |      AS BIGINT)) AS v
+         |  FROM embeddings),
+         |q0 AS (SELECT v AS qv FROM qe WHERE vec_id = 0),
+         |sc AS (SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS n2,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nq
+         |  FROM qe CROSS JOIN q0 WHERE vec_id != 0),
+         |ct AS (SELECT vec_id, v, n2,
+         |    CASE WHEN n2 = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
+         |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE))
+         |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
+         |    END AS rel_q
+         |  FROM sc),
+         |cand AS MATERIALIZED (SELECT vec_id, v, n2, rel_q FROM (
+         |    SELECT *, row_number() OVER (ORDER BY rel_q DESC, vec_id) AS rnk
+         |    FROM ct) WHERE rnk <= 20),
+         |s1 AS MATERIALIZED (SELECT vec_id, v, n2, rel_q AS mmr_q
+         |  FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1),
+         |$stages
+         |$sel
+         |ORDER BY rnk""".stripMargin
+    },
   )
 }

@@ -193,6 +193,7 @@ object SparkEntry {
     "q154_jaccard_join" -> ((s, d) => PipelinesExt.jaccardJoinPairs(s, d)),
     "q155_label_noise" -> ((s, d) => PipelinesExt.labelNoiseAudit(s, d)),
     "q156_temperature_mix" -> ((s, d) => PipelinesExt.temperatureMixDocs(s, d)),
+    "q157_mmr_rerank" -> ((s, d) => PipelinesExt.mmrRerankTopK(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
