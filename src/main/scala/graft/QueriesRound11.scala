@@ -137,6 +137,24 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
         "source", col("doc_id"), alpha = 0.5)
       .orderBy("doc_id")
 
+  /** Near-dup retention over the EXACT Jaccard edge set — the q138
+    * composition discipline on the TEXT tier (q138/q145/q152 all close
+    * embedding-cosine edges): q154's prefix-filtered exact pairs feed
+    * components + min-id retention, hash-gated against the DuckDB
+    * recursive closure of the exhaustive all-pairs Jaccard edges.
+    * Empty-token docs carry no edges and survive as singletons by
+    * construction on both sides.
+    */
+  def jaccardRetention(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithPlantedDups(s, d).filter(col("doc_id") % 10 === 0)
+    val pairs = SetSimJoin.jaccardJoinExact(docs, "text", "doc_id",
+        minJaccard = 0.9)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    Dedup.retainFromPairs(docs, pairs, "doc_id")
+      .select(col("doc_id"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** MMR diversity re-rank: the top 20 cosine candidates for query
     * vector 0 (one corpus scan, self dropped), then 5 greedy
     * λ=1/2 picks — each maximizing rel_q − max-sim-to-picked in exact
@@ -303,6 +321,43 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // the q138 retention oracle shape over the JACCARD edge set: the
+    // exhaustive all-pairs edges (≥ 0.9), symmetrized, recursively
+    // closed, min-id survivors; seeded from the FULL sliced corpus so
+    // empty-token docs survive as singletons
+    "q158_jaccard_retention" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text, source FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, regexp_replace(text, '^\S+\s*', ''), source
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |ts AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS toks
+        |  FROM corpus),
+        |nz AS (SELECT doc_id, toks, len(toks) AS sz FROM ts WHERE len(toks) > 0),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM nz a, nz b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(a.sz + b.sz - len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      >= 0.9e0),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION
+        |  SELECT id_b AS u, id_a AS v FROM pairs),
+        |reach(node, lbl) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT r.node, e.v FROM reach r JOIN edges e ON e.u = r.lbl),
+        |comp AS (SELECT node, min(lbl) AS component FROM reach GROUP BY node)
+        |SELECT c.doc_id, c.source
+        |FROM corpus c JOIN comp ON c.doc_id = comp.node
+        |WHERE comp.component = comp.node
+        |ORDER BY c.doc_id""".stripMargin,
 
     // the greedy MMR recurrence unrolled (the q142/q143 discipline):
     // one MATERIALIZED 1-row CTE per pick, each an argmax of

@@ -194,6 +194,7 @@ object SparkEntry {
     "q155_label_noise" -> ((s, d) => PipelinesExt.labelNoiseAudit(s, d)),
     "q156_temperature_mix" -> ((s, d) => PipelinesExt.temperatureMixDocs(s, d)),
     "q157_mmr_rerank" -> ((s, d) => PipelinesExt.mmrRerankTopK(s, d)),
+    "q158_jaccard_retention" -> ((s, d) => PipelinesExt.jaccardRetention(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
