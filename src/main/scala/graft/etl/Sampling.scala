@@ -105,27 +105,44 @@ object Sampling {
     */
   def temperatureMix(df: DataFrame, strataCol: String, keyCol: Column,
       alpha: Double = 0.5): DataFrame = {
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"temperatureMix: no rows with non-NULL '$strataCol'")
+    stratifiedSample(df, strataCol, keyCol, temperatureFracs(counts, alpha),
+      defaultFrac = 0.0)
+  }
+
+  /** The tempered keep-fraction arithmetic of [[temperatureMix]],
+    * decoupled from the count source: per-stratum counts may come from
+    * the in-plan aggregate above, a stored stats table, or a
+    * streaming-maintained state table
+    * ([[graft.streaming.StreamingFeatures.maintainAggState]]) — at
+    * 100 TB re-mixing against CURRENT counts then costs zero extra
+    * aggregation, the same serve-from-maintained-state posture as the
+    * drift monitors. The sampleToMix arithmetic verbatim (q103 oracle
+    * shape): maximal sample whose expected mix matches the tempered
+    * targets with no stratum up-sampled — the binding
+    * (smallest-weight-ratio) stratum keeps everything. `min` over
+    * strata is order-independent, so the fracs — and therefore the
+    * kept SET — do not depend on map iteration order.
+    */
+  def temperatureFracs(counts: Map[String, Long],
+      alpha: Double): Map[String, Double] = {
     require(alpha == 1.0 || alpha == 0.5 || alpha == 0.25,
       s"temperatureMix: alpha must be 1.0, 0.5 or 0.25 (sqrt-composable, " +
         s"engine-portable — general pow is not correctly rounded), got $alpha")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "temperatureFracs: counts must be non-empty and positive")
     def weight(n: Long): Double = alpha match {
       case 1.0 => n.toDouble
       case 0.5 => math.sqrt(n.toDouble)
       case _ => math.sqrt(math.sqrt(n.toDouble))
     }
-    val counts = df.filter(col(strataCol).isNotNull)
-      .groupBy(col(strataCol).cast("string").as("_s")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, s"temperatureMix: no rows with non-NULL '$strataCol'")
-    // the sampleToMix arithmetic verbatim (q103 oracle shape): maximal
-    // sample whose expected mix matches the tempered targets with no
-    // stratum up-sampled — the binding (smallest-weight-ratio) stratum
-    // keeps everything
-    val scale = counts.map { case (s, n) => n.toDouble / weight(n) }.min
-    val fracs = counts.map { case (s, n) =>
+    val scale = counts.map { case (_, n) => n.toDouble / weight(n) }.min
+    counts.map { case (s, n) =>
       s -> math.min(weight(n) * scale / n.toDouble, 1.0)
     }
-    stratifiedSample(df, strataCol, keyCol, fracs, defaultFrac = 0.0)
   }
 
   /** Keep the top `frac` of every stratum under `order` (curation:

@@ -152,6 +152,50 @@ class StreamingFeaturesSpec extends SparkSpec {
       "running state != batch build over all data")
   }
 
+  test("temperatureMix served from maintained counts ≡ batch mix") {
+    // the serve-from-state posture: per-source counts live in a
+    // maintainAggState table; re-mixing against CURRENT counts costs
+    // zero extra aggregation and must keep the SAME set as the batch
+    // temperatureMix (whose counts come from its own in-plan agg)
+    import graft.operators.IncrementalAgg
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-tmix-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    val keys = Seq("source")
+    val stateSchema = IncrementalAgg.build(
+      spark.read.parquet(streamDir), keys, "n_chars").schema
+    store.createTable(FeatureTableSpec("src_counts", keys, stateSchema,
+      "per-source corpus counts"))
+    val ckpt = Files.createTempDirectory("graft-tmix-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val q1 = StreamingFeatures.maintainAggState(stream, store, "src_counts",
+      keys, "n_chars", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainAggState(stream, store, "src_counts",
+      keys, "n_chars", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+
+    val maintained = store.readTable("src_counts")
+      .select(col("source"), col("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val servedFracs = graft.etl.Sampling.temperatureFracs(maintained, 0.5)
+    val served = graft.etl.Sampling.stratifiedSample(docs, "source",
+        col("doc_id"), servedFracs, defaultFrac = 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = graft.etl.Sampling.temperatureMix(docs, "source",
+        col("doc_id"), alpha = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(served == batch,
+      "mix from streaming-maintained counts must equal the batch mix")
+    assert(served.nonEmpty)
+  }
+
   test("applyChangeStream: CDC micro-batches apply upserts+deletes atomically") {
     import spark.implicits._
     val store = FeatureStore.temp(spark)
