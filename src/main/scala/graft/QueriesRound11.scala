@@ -137,6 +137,23 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
         "source", col("doc_id"), alpha = 0.5)
       .orderBy("doc_id")
 
+  /** Numeric-distribution drift: order prices before vs after
+    * 1996-01-01, binned under decile edges FITTED ON THE BASE half
+    * (frozen edges — re-fitting on the current half would hide the
+    * shift), chi-square drift terms per bin in the q125 quantized
+    * arithmetic. The q89 exact-quantile edges and the q125 drift
+    * terms compose on one hash path.
+    */
+  def numericDriftPrices(s: SparkSession, d: String): DataFrame = {
+    val orders = t(s, d, "orders")
+    val split = to_timestamp_ntz(lit("1996-01-01"))
+    graft.operators.Drift.numericDrift(
+        orders.filter(col("o_orderdate") < split),
+        orders.filter(col("o_orderdate") >= split),
+        "o_totalprice", nBins = 10)
+      .orderBy("bin")
+  }
+
   /** Near-dup retention over the EXACT Jaccard edge set — the q138
     * composition discipline on the TEXT tier (q138/q145/q152 all close
     * embedding-cosine edges): q154's prefix-filtered exact pairs feed
@@ -321,6 +338,37 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // base-half decile edges (q89 quantile_cont contract) frozen and
+    // applied to both halves, then the q125 drift-term arithmetic
+    "q159_numeric_drift" ->
+      """WITH e AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS edges
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+        |a AS (
+        |  SELECT CAST(len(list_filter(edges, x -> x <= o_totalprice)) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_a
+        |  FROM orders, e WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |  GROUP BY bin),
+        |b AS (
+        |  SELECT CAST(len(list_filter(edges, x -> x <= o_totalprice)) AS INT) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_b
+        |  FROM orders, e WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY bin),
+        |j AS (
+        |  SELECT coalesce(a.bin, b.bin) AS bin,
+        |    CAST(coalesce(n_a, 0) AS BIGINT) AS n_a,
+        |    CAST(coalesce(n_b, 0) AS BIGINT) AS n_b
+        |  FROM a FULL OUTER JOIN b ON a.bin = b.bin),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS ta,
+        |             CAST(sum(n_b) AS BIGINT) AS tb FROM j)
+        |SELECT bin, n_a, n_b,
+        |  CAST(floor(((CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb)
+        |      * (CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb))
+        |    / ((CAST(n_a AS DOUBLE) / ta + CAST(n_b AS DOUBLE) / tb) / 2.0e0)
+        |    * 1000000000000.0e0 + 0.5e0) AS BIGINT) AS drift_q
+        |FROM j, t ORDER BY bin""".stripMargin,
 
     // the q138 retention oracle shape over the JACCARD edge set: the
     // exhaustive all-pairs edges (≥ 0.9), symmetrized, recursively

@@ -195,6 +195,7 @@ object SparkEntry {
     "q156_temperature_mix" -> ((s, d) => PipelinesExt.temperatureMixDocs(s, d)),
     "q157_mmr_rerank" -> ((s, d) => PipelinesExt.mmrRerankTopK(s, d)),
     "q158_jaccard_retention" -> ((s, d) => PipelinesExt.jaccardRetention(s, d)),
+    "q159_numeric_drift" -> ((s, d) => PipelinesExt.numericDriftPrices(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -31,13 +31,30 @@ object Discretize {
     * land in bin 0 (spec-asserted in DiscretizeSpec).
     */
   def withQuantileBins(df: DataFrame, valueCol: String, nBins: Int,
-      outCol: String = "bin"): DataFrame = {
-    require(nBins >= 2, s"withQuantileBins: need nBins >= 2, got $nBins")
-    require(!df.columns.contains(outCol),
-      s"withQuantileBins: column '$outCol' already exists")
+      outCol: String = "bin"): DataFrame =
+    withBins(df, valueCol, quantileEdges(df, valueCol, nBins), outCol)
+
+  /** The n−1 exact percentile edges of `valueCol` as a lazy 1-row
+    * `_edges` array frame — split from [[withQuantileBins]] so edges
+    * can be FIT on one snapshot and APPLIED to another (train-time
+    * edges at serving, base-snapshot edges in
+    * [[graft.operators.Drift.numericDrift]] — re-fitting on the
+    * current snapshot would hide exactly the shift being measured).
+    */
+  def quantileEdges(df: DataFrame, valueCol: String, nBins: Int): DataFrame = {
+    require(nBins >= 2, s"quantileEdges: need nBins >= 2, got $nBins")
     val probs = (1 until nBins).map(i => i.toDouble / nBins)
-    val edges = df.agg(
+    df.agg(
       expr(s"percentile($valueCol, array(${probs.mkString(", ")}))").as("_edges"))
+  }
+
+  /** Attach `outCol` = bin of `valueCol` under a fitted `_edges`
+    * frame (from [[quantileEdges]], possibly of a DIFFERENT
+    * snapshot). */
+  def withBins(df: DataFrame, valueCol: String, edges: DataFrame,
+      outCol: String = "bin"): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"withBins: column '$outCol' already exists")
     df.crossJoin(broadcast(edges))
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("int"))

@@ -58,6 +58,34 @@ object Drift {
     driftTerms(aligned, catCol)
   }
 
+  /** NUMERIC-distribution drift between two snapshots — the
+    * continuous-column counterpart of [[categoricalDrift]] (the
+    * PSI-style monitor with the chi-square term, since PSI's ln is
+    * not bit-portable, §5.3): the base snapshot fits n-quantile bin
+    * edges ([[graft.etl.Discretize.quantileEdges]] — fitting on the
+    * CURRENT snapshot would hide exactly the shift being measured),
+    * both snapshots bin under those FROZEN edges, and the per-bin
+    * counts flow through [[categoricalDrift]]'s aligned drift terms.
+    * NULL values are excluded from both histograms (they are
+    * [[categoricalDrift]]'s job as an explicit category if needed).
+    * Cost: one percentile aggregate over the base + two count
+    * aggregates — the bin shuffles carry nBins rows, never the
+    * corpus. The 1-row edge frame is eagerly checkpointed: both
+    * binning scans consume it, and an uncut lineage would re-run the
+    * percentile aggregate once per snapshot.
+    */
+  def numericDrift(base: DataFrame, current: DataFrame, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    val edges = graft.etl.Discretize.quantileEdges(base, valueCol, nBins)
+      .localCheckpoint(true)
+    def binCounts(df: DataFrame, n: String): DataFrame =
+      graft.etl.Discretize.withBins(df, valueCol, edges, "bin")
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    categoricalDrift(binCounts(base, "n"), binCounts(current, "n"),
+      "bin", "n")
+  }
+
   /** Embedding-space drift between two snapshots — the VECTOR
     * counterpart of [[categoricalDrift]] for monitoring an embedding
     * model swap or a corpus-distribution shift: per label, the squared

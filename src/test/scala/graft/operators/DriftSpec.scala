@@ -41,6 +41,31 @@ class DriftSpec extends SparkSpec {
     assert(got.forall(_ === 0L))
   }
 
+  test("numericDrift: frozen base edges, hand-computed terms, zero identity") {
+    import org.apache.spark.sql.functions.col
+    // base 1..8 → interpolated quartile edges [2.75, 4.5, 6.25], so
+    // base bins hold exactly two values each (p = 0.25 per bin)
+    val base = (1 to 8).map(_.toDouble).toDF("v")
+    // current: mass concentrated at/above base's top edge — the shift
+    // the FROZEN edges must expose (re-fit edges would re-balance it)
+    val cur = Seq(6.0, 7.0, 9.0, 100.0).toDF("v")
+    val got = Drift.numericDrift(base, cur, "v", nBins = 4)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    def term(p: Double, q: Double): Long =
+      math.floor(((p - q) * (p - q)) / ((p + q) / 2.0) * 1e12 + 0.5).toLong
+    // bin = #edges <= v: current 6→2, 7/9/100→3
+    assert(got(0) === ((2L, 0L, term(0.25, 0.0))))
+    assert(got(1) === ((2L, 0L, term(0.25, 0.0))))
+    assert(got(2) === ((2L, 1L, term(0.25, 0.25))))
+    assert(got(2)._3 === 0L, "matching mass in a bin drifts zero")
+    assert(got(3) === ((2L, 3L, term(0.25, 0.75))), "current mass in the top bin")
+    // identical snapshots drift to exactly zero in every bin
+    val zero = Drift.numericDrift(base, base, "v", nBins = 4)
+      .select(col("drift_q")).collect().map(_.getLong(0))
+    assert(zero.length === 4 && zero.forall(_ === 0L))
+  }
+
   test("embeddingDrift: zero on identical snapshots, exact on a hand-computed shift, one-sided labels excluded") {
     import spark.implicits._
     val base = Seq(
