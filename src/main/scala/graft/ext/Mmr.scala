@@ -39,6 +39,10 @@ object Mmr {
     * the RAW embedding (`vecCol`); emits (rnk, id, mmr_q) in pick
     * order, where mmr_q = num·rel − (den−num)·maxsim (den-scaled —
     * the first pick's maxsim is 0 by convention).
+    *
+    * EAGER semantics (the rrfFuse contract): the greedy loop executes
+    * at CALL time — k argmax jobs — and the returned frame is
+    * driver-local (a LocalTableScan); ids are assumed unique.
     */
   def mmrRerank(candidates: DataFrame, vecCol: String, idCol: String,
       relCol: String, k: Int, dims: Int,

@@ -291,6 +291,10 @@ object Retrieval {
     *
     * Emits one row per audited id: (idCol, labelCol, n_diff, noisy)
     * with noisy = strict majority of the k neighbors disagreeing.
+    * The majority test is against the PARAMETER k: on a corpus with
+    * fewer than k other vectors the vote is conservative (fewer
+    * voters can reach the same bar), never inflated. Audited ids
+    * absent from the corpus are absent from the output.
     */
   def knnLabelNoise(corpus: DataFrame, vecCol: String, idCol: String,
       labelCol: String, queryIds: Seq[Long], k: Int, dims: Int): DataFrame = {

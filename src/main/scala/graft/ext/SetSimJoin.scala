@@ -54,6 +54,14 @@ object SetSimJoin {
     * only lengthen a prefix or widen the band — never drop a
     * qualifying pair. Over-admission costs a few extra verified
     * candidates; under-admission would cost recall.
+    *
+    * EAGER semantics (the rrfFuse contract discipline): this call
+    * materializes the token-set cache and the checkpointed prefix
+    * frame at CALL time — callers pay the tokenize + prefix cost even
+    * if they never consume the result. Ids are assumed unique per
+    * document (the corpus contract every dedup operator here shares);
+    * duplicate ids would interleave two documents' tokens inside one
+    * prefix window.
     */
   def jaccardJoinExact(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
