@@ -154,6 +154,29 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("bin")
   }
 
+  /** Hybrid keyword-relevance × embedding-diversity retrieval: the
+    * q114 BM25 top-20 joined to its embeddings (doc_id ≍ vec_id in
+    * the fixture), re-ranked by the same MMR recurrence as q157 —
+    * text decides WHAT is relevant, the embedding space decides what
+    * is REDUNDANT. One corpus scan for candidates, then k argmax jobs
+    * on the 20-row frame.
+    */
+  def hybridMmrRerank(s: SparkSession, d: String): DataFrame = {
+    // bm25_q is 1e6-quantized while the cosine penalty is
+    // 1e9-quantized: rescale relevance ×1000 so λ=1/2 weighs
+    // comparable magnitudes instead of letting diversity swamp text
+    // relevance (both engines apply the same integer rescale)
+    val cands = Retrieval.bm25TopK(t(s, d, "documents"), "text", "doc_id",
+      Seq("spark", "vector", "stream"), k = 20)
+      .select(col("doc_id").as("vec_id"),
+        (col("bm25_q") * 1000L).as("rel_q"))
+      .join(t(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+        Seq("vec_id"))
+    Mmr.mmrRerank(cands, "embedding", "vec_id", "rel_q",
+      k = 5, dims = 64, lambdaNum = 1, lambdaDen = 2)
+      .orderBy("rnk")
+  }
+
   /** Near-dup retention over the EXACT Jaccard edge set — the q138
     * composition discipline on the TEXT tier (q138/q145/q152 all close
     * embedding-cosine edges): q154's prefix-filtered exact pairs feed
@@ -411,33 +434,8 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
     // one MATERIALIZED 1-row CTE per pick, each an argmax of
     // rel_q − greatest(sim to every previous pick) over the remaining
     // candidates — the whole pick SEQUENCE replays, in exact BIGINTs
-    "q157_mmr_rerank" -> {
-      val k = 5
-      def sim(c: String, s: String): String =
-        s"""CASE WHEN $c.n2 = 0 OR $s.n2 = 0 THEN CAST(0 AS BIGINT)
-           |      ELSE CAST(floor(CAST(list_sum(list_transform(range(1, 65),
-           |          i -> $c.v[i] * $s.v[i])) AS DOUBLE)
-           |        / sqrt(CAST($c.n2 AS DOUBLE)) / sqrt(CAST($s.n2 AS DOUBLE))
-           |        * 1000000000.0e0 + 0.5e0) AS BIGINT) END""".stripMargin
-      def stage(j: Int): String = {
-        val prev = (1 until j).map(i => s"s$i t$i").mkString(", ")
-        val sims = (1 until j).map(i => sim("c", s"t$i")).mkString(",\n      ")
-        val excl = (1 until j).map(i => s"t$i.vec_id").mkString(", ")
-        s"""s$j AS MATERIALIZED (
-           |  SELECT c.vec_id, c.v, c.n2,
-           |    c.rel_q - greatest($sims) AS mmr_q
-           |  FROM cand c, $prev
-           |  WHERE c.vec_id NOT IN ($excl)
-           |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1)""".stripMargin
-      }
-      val stages = (2 to k).map(stage).mkString(",\n")
-      val sel = (1 to k)
-        .map(j => s"SELECT CAST($j AS BIGINT) AS rnk, vec_id, mmr_q FROM s$j")
-        .mkString("\nUNION ALL\n")
-      s"""WITH qe AS (SELECT vec_id, list_transform(range(1, 65),
-         |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
-         |      AS BIGINT)) AS v
-         |  FROM embeddings),
+    "q157_mmr_rerank" ->
+      s"""WITH $quantEmbCteSql,
          |q0 AS (SELECT v AS qv FROM qe WHERE vec_id = 0),
          |sc AS (SELECT vec_id, v,
          |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot,
@@ -453,11 +451,65 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
          |cand AS MATERIALIZED (SELECT vec_id, v, n2, rel_q FROM (
          |    SELECT *, row_number() OVER (ORDER BY rel_q DESC, vec_id) AS rnk
          |    FROM ct) WHERE rnk <= 20),
-         |s1 AS MATERIALIZED (SELECT vec_id, v, n2, rel_q AS mmr_q
-         |  FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1),
-         |$stages
-         |$sel
-         |ORDER BY rnk""".stripMargin
-    },
+         |${mmrStagesSql(5)}
+         |${mmrSelectSql(5)}""".stripMargin,
+
+    // BM25 relevance × embedding diversity: the q114 keyword
+    // candidates re-ranked by the same MMR recurrence — the hybrid
+    // eval-pool/RAG shape where plain top-k returns k near-copies of
+    // the best keyword hit
+    "q160_hybrid_mmr" ->
+      s"""WITH ${bm25CteSql(Seq("spark", "vector", "stream"))},
+         |$quantEmbCteSql,
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.v,
+         |    CAST(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i])) AS BIGINT) AS n2,
+         |    t.bm25_q * CAST(1000 AS BIGINT) AS rel_q
+         |  FROM (SELECT doc_id, bm25_q,
+         |      row_number() OVER (ORDER BY bm25_q DESC, doc_id) AS rk
+         |    FROM sc) t
+         |  JOIN qe e ON e.vec_id = t.doc_id
+         |  WHERE t.rk <= 20),
+         |${mmrStagesSql(5)}
+         |${mmrSelectSql(5)}""".stripMargin,
   )
+
+  /** 1e6-quantized embedding vectors — shared by every MMR oracle. */
+  protected val quantEmbCteSql: String =
+    """qe AS (SELECT vec_id, list_transform(range(1, 65),
+      |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+      |      AS BIGINT)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  /** The greedy MMR recurrence over a `cand(vec_id, v, n2, rel_q)`
+    * CTE, unrolled to k MATERIALIZED 1-row stages — ONE source of
+    * truth for every MMR gate (λ = 1/2: mmr = rel − maxsim).
+    */
+  protected def mmrStagesSql(k: Int): String = {
+    def sim(c: String, s: String): String =
+      s"""CASE WHEN $c.n2 = 0 OR $s.n2 = 0 THEN CAST(0 AS BIGINT)
+         |      ELSE CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+         |          i -> $c.v[i] * $s.v[i])) AS DOUBLE)
+         |        / sqrt(CAST($c.n2 AS DOUBLE)) / sqrt(CAST($s.n2 AS DOUBLE))
+         |        * 1000000000.0e0 + 0.5e0) AS BIGINT) END""".stripMargin
+    def stage(j: Int): String = {
+      val prev = (1 until j).map(i => s"s$i t$i").mkString(", ")
+      val sims = (1 until j).map(i => sim("c", s"t$i")).mkString(",\n      ")
+      val excl = (1 until j).map(i => s"t$i.vec_id").mkString(", ")
+      s"""s$j AS MATERIALIZED (
+         |  SELECT c.vec_id, c.v, c.n2,
+         |    c.rel_q - greatest($sims) AS mmr_q
+         |  FROM cand c, $prev
+         |  WHERE c.vec_id NOT IN ($excl)
+         |  ORDER BY mmr_q DESC, c.vec_id LIMIT 1)""".stripMargin
+    }
+    ("""s1 AS MATERIALIZED (SELECT vec_id, v, n2, rel_q AS mmr_q
+       |  FROM cand ORDER BY rel_q DESC, vec_id LIMIT 1)""".stripMargin +:
+      (2 to k).map(stage)).mkString(",\n")
+  }
+
+  protected def mmrSelectSql(k: Int): String =
+    (1 to k)
+      .map(j => s"SELECT CAST($j AS BIGINT) AS rnk, vec_id, mmr_q FROM s$j")
+      .mkString("\nUNION ALL\n") + "\nORDER BY rnk"
 }

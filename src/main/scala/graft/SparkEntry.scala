@@ -196,6 +196,7 @@ object SparkEntry {
     "q157_mmr_rerank" -> ((s, d) => PipelinesExt.mmrRerankTopK(s, d)),
     "q158_jaccard_retention" -> ((s, d) => PipelinesExt.jaccardRetention(s, d)),
     "q159_numeric_drift" -> ((s, d) => PipelinesExt.numericDriftPrices(s, d)),
+    "q160_hybrid_mmr" -> ((s, d) => PipelinesExt.hybridMmrRerank(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -67,6 +67,28 @@ class SetSimJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("property: prefix filter lossless on random corpora at every threshold") {
+    // the q154 hash gate proves losslessness on ONE corpus; this
+    // generalizes it: random small-vocab corpora (the adversarial
+    // case — heavy token sharing, long prefix buckets) must equal
+    // brute force at thresholds across the range, including 1.0
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def corpusGen(n: Int): Gen[List[String]] =
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    for (seed <- 0 until 6; t <- Seq(0.3, 0.6, 0.9, 1.0)) {
+      val texts = corpusGen(18)(Gen.Parameters.default, rng.Seed(seed * 31 + 7))
+        .getOrElse(Nil)
+      val rows = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("doc_id", "text")
+      val got = SetSimJoin.jaccardJoinExact(df, "text", "doc_id", t)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, j) => (a, b) -> j }.toMap
+      assert(got === bruteForce(rows, t), s"seed=$seed t=$t corpus=$texts")
+    }
+  }
+
   test("jaccardJoinExact recovers every planted near-dup on real docs") {
     val docsT = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
