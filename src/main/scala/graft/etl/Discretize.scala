@@ -48,6 +48,30 @@ object Discretize {
       expr(s"percentile($valueCol, array(${probs.mkString(", ")}))").as("_edges"))
   }
 
+  /** [[quantileEdges]] with the mergeable `approx_percentile` sketch
+    * instead of exact `percentile` — the extreme-cardinality path
+    * (per-group value collection is the exact aggregate's documented
+    * small-SF trade): constant-size partial state per partition, rank
+    * error ~n/accuracy. Sketch edges are engine-specific (SURVEY
+    * §5.3), so anything built on them is rows-only territory; the
+    * drift monitors only need edges CONSISTENT across the two
+    * snapshots, which a fitted-once frame gives by construction.
+    */
+  def quantileEdgesApprox(df: DataFrame, valueCol: String, nBins: Int,
+      accuracy: Int = 10000): DataFrame = {
+    require(nBins >= 2, s"quantileEdgesApprox: need nBins >= 2, got $nBins")
+    // rank error ~1/accuracy must sit well under the 1/nBins bin mass
+    // or bin boundaries are noise (the winsorizeApprox fail-fast
+    // discipline; 10× is the floor, not a recommendation)
+    require(accuracy >= 10 * nBins,
+      s"quantileEdgesApprox: accuracy=$accuracy gives rank error " +
+        s"~1/$accuracy, too coarse for $nBins bins (need >= ${10 * nBins})")
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    df.agg(expr(
+      s"approx_percentile(CAST($valueCol AS DOUBLE), array(${probs.mkString(", ")}), $accuracy)")
+      .as("_edges"))
+  }
+
   /** Attach `outCol` = bin of `valueCol` under a fitted `_edges`
     * frame (from [[quantileEdges]], possibly of a DIFFERENT
     * snapshot). */

@@ -86,6 +86,31 @@ object Drift {
       "bin", "n")
   }
 
+  /** [[numericDrift]] with sketch-fitted edges
+    * ([[graft.etl.Discretize.quantileEdgesApprox]]) — the
+    * extreme-cardinality escape hatch (the winsorizeApprox
+    * discipline): exact `percentile` collects per-group values, the
+    * KLL-style sketch keeps constant-size partial state. Sketch edges
+    * are engine-specific (§5.3 — this variant cannot hash-gate), but
+    * drift only needs edges CONSISTENT across the two snapshots,
+    * which the fitted-once frozen frame gives by construction; the
+    * identities that matter (identical snapshots → all-zero drift,
+    * mass shifts surface in the tail bins) hold under ANY monotone
+    * edge set and are spec-pinned.
+    */
+  def numericDriftApprox(base: DataFrame, current: DataFrame,
+      valueCol: String, nBins: Int = 10, accuracy: Int = 10000): DataFrame = {
+    val edges = graft.etl.Discretize
+      .quantileEdgesApprox(base, valueCol, nBins, accuracy)
+      .localCheckpoint(true)
+    def binCounts(df: DataFrame, n: String): DataFrame =
+      graft.etl.Discretize.withBins(df, valueCol, edges, "bin")
+        .filter(col("bin").isNotNull)
+        .groupBy(col("bin")).agg(count(lit(1)).as(n))
+    categoricalDrift(binCounts(base, "n"), binCounts(current, "n"),
+      "bin", "n")
+  }
+
   /** Embedding-space drift between two snapshots — the VECTOR
     * counterpart of [[categoricalDrift]] for monitoring an embedding
     * model swap or a corpus-distribution shift: per label, the squared

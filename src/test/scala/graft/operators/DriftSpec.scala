@@ -66,6 +66,25 @@ class DriftSpec extends SparkSpec {
     assert(zero.length === 4 && zero.forall(_ === 0L))
   }
 
+  test("numericDriftApprox: zero identity, tail shift surfaces, accuracy guard") {
+    import org.apache.spark.sql.functions.col
+    val base = (1 to 200).map(_.toDouble).toDF("v")
+    // identical snapshots → all-zero drift under ANY edge set — the
+    // identity that survives sketch-specific edges
+    val zero = Drift.numericDriftApprox(base, base, "v", nBins = 4, accuracy = 1000)
+      .select(col("drift_q")).collect().map(_.getLong(0))
+    assert(zero.length === 4 && zero.forall(_ === 0L))
+    // all current mass beyond base's max → the top bin must carry
+    // large drift (bin 3 gets q=1.0 vs p=0.25)
+    val cur = Seq(500.0, 600.0, 700.0).toDF("v")
+    val shifted = Drift.numericDriftApprox(base, cur, "v", nBins = 4, accuracy = 1000)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(shifted(3) > shifted.getOrElse(0, 0L))
+    assert(shifted(3) > 0L)
+    intercept[IllegalArgumentException](
+      Drift.numericDriftApprox(base, cur, "v", nBins = 10, accuracy = 50))
+  }
+
   test("embeddingDrift: zero on identical snapshots, exact on a hand-computed shift, one-sided labels excluded") {
     import spark.implicits._
     val base = Seq(
