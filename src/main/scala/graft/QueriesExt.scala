@@ -121,6 +121,41 @@ private[graft] trait OracleSnippets {
        |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** The q142 BPE training loop unrolled (v0 word frequencies + one
+    * MATERIALIZED (m_k, v_k) stage per merge) — ONE source of truth
+    * for every gate built on the LEARNED merge table (q142 emits it,
+    * q161 segments with it via scalar subqueries). Argmax tie-break
+    * (cnt DESC, l, r) and the >= 2 min-count mirror
+    * `TextAnalysis.bpeTrain` exactly; inlining instead of
+    * MATERIALIZED would re-expand the previous vocab once per
+    * reference — exponential.
+    */
+  protected def bpeTrainCtesSql(n: Int): String = {
+    val S = "\u001f"
+    val v0 =
+      s"""v0 AS MATERIALIZED (
+         |  SELECT array_to_string(list_transform(range(1, length(word)+1),
+         |      i -> '$S' || substr(word, i, 1) || '$S'), '') AS repr,
+         |    CAST(count(*) AS BIGINT) AS wcnt
+         |  FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS word
+         |      FROM documents)
+         |  GROUP BY word)""".stripMargin
+    def stage(k: Int): String =
+      s"""m$k AS MATERIALIZED (
+         |  SELECT l, r FROM (
+         |    SELECT pr[1] AS l, pr[2] AS r, CAST(sum(wcnt) AS BIGINT) AS cnt
+         |    FROM (SELECT wcnt, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
+         |          FROM (SELECT wcnt, string_split(trim(repr, '$S'), '$S$S') AS t FROM v${k - 1})
+         |          WHERE len(t) >= 2)
+         |    GROUP BY 1, 2)
+         |  WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT replace(repr,
+         |    '$S' || (SELECT l FROM m$k) || '$S$S' || (SELECT r FROM m$k) || '$S',
+         |    '$S' || (SELECT l || r FROM m$k) || '$S') AS repr, wcnt FROM v${k - 1})""".stripMargin
+    s"$v0,\n${(1 to n).map(stage).mkString(",\n")}"
+  }
+
   protected val contaminationNgramOverlapSql =
     s"""WITH t AS (SELECT doc_id,
        |    $rawTokensCaseSql AS w

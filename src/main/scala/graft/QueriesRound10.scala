@@ -363,38 +363,17 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
         |FROM customer c LEFT JOIN dec ON c.c_custkey = dec.user_id
         |ORDER BY user_id""".stripMargin,
 
-    // the training loop unrolled: one MATERIALIZED CTE stage per merge
-    // (inlining would re-expand the previous vocab once per reference —
-    // exponential); argmax tie-break (cnt DESC, l, r) and the >= 2
-    // min-count mirror bpeTrain exactly
+    // the training loop unrolled via the shared bpeTrainCtesSql
+    // builder (one MATERIALIZED CTE stage per merge -- inlining would
+    // re-expand the previous vocab once per reference, exponential);
+    // argmax tie-break (cnt DESC, l, r) and the >= 2 min-count mirror
+    // bpeTrain exactly
     "q142_bpe_train" -> {
-      val S = "\u001f"
       val n = Round10Fixtures.bpeTrainMerges
-      val v0 =
-        s"""v0 AS MATERIALIZED (
-           |  SELECT array_to_string(list_transform(range(1, length(word)+1),
-           |      i -> '$S' || substr(word, i, 1) || '$S'), '') AS repr,
-           |    CAST(count(*) AS BIGINT) AS wcnt
-           |  FROM (SELECT unnest(CASE WHEN length(trim(text)) = 0 THEN []
-           |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS word
-           |      FROM documents)
-           |  GROUP BY word)""".stripMargin
-      def stage(k: Int): String =
-        s"""m$k AS MATERIALIZED (
-           |  SELECT l, r FROM (
-           |    SELECT pr[1] AS l, pr[2] AS r, CAST(sum(wcnt) AS BIGINT) AS cnt
-           |    FROM (SELECT wcnt, unnest(list_transform(range(1, len(t)), i -> [t[i], t[i+1]])) AS pr
-           |          FROM (SELECT wcnt, string_split(trim(repr, '$S'), '$S$S') AS t FROM v${k - 1})
-           |          WHERE len(t) >= 2)
-           |    GROUP BY 1, 2)
-           |  WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1),
-           |v$k AS MATERIALIZED (SELECT replace(repr,
-           |    '$S' || (SELECT l FROM m$k) || '$S$S' || (SELECT r FROM m$k) || '$S',
-           |    '$S' || (SELECT l || r FROM m$k) || '$S') AS repr, wcnt FROM v${k - 1})""".stripMargin
       val sel = (1 to n)
         .map(k => s"SELECT CAST($k AS BIGINT) AS merge_rank, l AS lhs, r AS rhs FROM m$k")
         .mkString("\nUNION ALL\n")
-      s"WITH $v0,\n${(1 to n).map(stage).mkString(",\n")}\n$sel\nORDER BY merge_rank"
+      s"WITH ${bpeTrainCtesSql(n)}\n$sel\nORDER BY merge_rank"
     },
 
     // q123's per-snapshot centroid arithmetic, squared mean differences

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ext.{Components, Dedup, Mmr, Perceptron, Retrieval, SetSimJoin, Similarity}
+import graft.ext.{Components, Dedup, Mmr, Perceptron, Retrieval, SetSimJoin, Similarity, TextAnalysis}
 
 /** Gate queries — round 11: consolidation compositions (VERDICT r10
   * #5/#6/#7). The quality-classifier curation loop (train → score →
@@ -152,6 +152,29 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
         orders.filter(col("o_orderdate") >= split),
         "o_totalprice", nBins = 10)
       .orderBy("bin")
+  }
+
+  /** Tokenizer train → apply → budget, end to end: BPE merges LEARNED
+    * on this corpus (the q142 loop), the corpus segmented under those
+    * learned merges (the q139 replace chain — built from TRAINED
+    * state, not a fixture table), and the per-source token budget the
+    * capacity plan reads. The oracle chains the training recurrence
+    * INTO the segmentation via scalar subqueries, so drift in any
+    * stage — a wrong argmax, a mis-applied merge, a count — breaks
+    * the hash.
+    */
+  def tokenBudgetCard(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val merges = TextAnalysis.bpeTrain(docs, "text",
+      numMerges = Round10Fixtures.bpeTrainMerges)
+    TextAnalysis.bpeSegment(docs, "text", merges)
+      .select(col("source"),
+        when(col("bpe_segments").isNull, 0L)
+          .otherwise(size(TextAnalysis.bpePieces(col("bpe_segments"))).cast("long"))
+          .as("_np"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_np")).as("n_pieces"))
+      .orderBy("source")
   }
 
   /** Hybrid keyword-relevance × embedding-diversity retrieval: the
@@ -361,6 +384,36 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // the q142 training recurrence chained INTO the q139 replace-chain
+    // segmentation via scalar subqueries on the learned m_k CTEs, then
+    // the per-source piece counts — train → apply → budget on one hash
+    "q161_token_budget" -> {
+      val S = "\u001f"
+      val n = Round10Fixtures.bpeTrainMerges
+      // DuckDB lambdas reject subqueries, so the learned 1-row merge
+      // CTEs cross-join in as plain captured columns (l1/r1..ln/rn)
+      val mm = "mm AS (SELECT " +
+        (1 to n).map(k => s"m$k.l AS l$k, m$k.r AS r$k").mkString(", ") +
+        " FROM " + (1 to n).map(k => s"m$k").mkString(", ") + ")"
+      val wrapped =
+        s"array_to_string(list_transform(range(1, length(w)+1), i -> '$S' || substr(w, i, 1) || '$S'), '')"
+      val merged = (1 to n).foldLeft(wrapped) { (acc, k) =>
+        s"replace($acc, '$S' || l$k || '$S$S' || r$k || '$S', '$S' || l$k || r$k || '$S')"
+      }
+      val segExpr = s"trim(replace($merged, '$S$S', ' '), '$S')"
+      s"""WITH ${bpeTrainCtesSql(n)},
+         |$mm,
+         |dd AS (SELECT source,
+         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |sg AS (SELECT source, list_transform(toks, w -> $segExpr) AS segs
+         |  FROM dd CROSS JOIN mm)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(coalesce(list_sum(list_transform(segs, x -> len(string_split(x, ' ')))), 0)) AS BIGINT) AS n_pieces
+         |FROM sg GROUP BY source ORDER BY source""".stripMargin
+    },
 
     // base-half decile edges (q89 quantile_cont contract) frozen and
     // applied to both halves, then the q125 drift-term arithmetic

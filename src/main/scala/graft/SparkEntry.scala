@@ -197,6 +197,7 @@ object SparkEntry {
     "q158_jaccard_retention" -> ((s, d) => PipelinesExt.jaccardRetention(s, d)),
     "q159_numeric_drift" -> ((s, d) => PipelinesExt.numericDriftPrices(s, d)),
     "q160_hybrid_mmr" -> ((s, d) => PipelinesExt.hybridMmrRerank(s, d)),
+    "q161_token_budget" -> ((s, d) => PipelinesExt.tokenBudgetCard(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
