@@ -31,7 +31,25 @@ private[graft] trait PipelinesBase {
   protected def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =
     pitStores.computeIfAbsent((s, d), _ => graft.fs.FeatureStore.temp(s))
 
-  private[graft] def invalidatePitStores(): Unit = pitStores.clear()
+  /** The q143 corpus-perceptron weights, memoized per (session, dir)
+    * — q143 measures TRAINING and q144 measures SERVING; without the
+    * memo the serving gate re-ran the whole training loop (the r10
+    * verdict's double-train nit). Same discipline as the feature-store
+    * memo: a real deployment trains once and serves many, and Bench
+    * drops the memo between passes so re-measured work stays honest.
+    */
+  private val perceptronWeightsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Long]]()
+  protected def corpusPerceptronWeights(s: SparkSession, d: String): Seq[Long] =
+    perceptronWeightsMemo.computeIfAbsent((s, d), _ =>
+      graft.ext.Perceptron.batchPerceptronHashed(t(s, d, "documents"),
+        "doc_id", "text", positive = col("lang") === "en", iterations = 3)
+        .orderBy("pos").collect().map(_.getLong(1)).toSeq)
+
+  private[graft] def invalidatePitStores(): Unit = {
+    pitStores.clear()
+    perceptronWeightsMemo.clear()
+  }
 }
 
 /** All gate queries, split per theme (VERDICT r9 #4): each
