@@ -139,6 +139,35 @@ private[graft] trait OracleSnippets {
        |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
   }
 
+  /** The q146 hard-negative ranking chain (quantized embeddings →
+    * anchor batch 0/1/2 → different-label quantized cosines →
+    * per-anchor rank) — ONE source of truth for q146's mining gate
+    * and the q162 contrastive-pair dataset built on it.
+    */
+  protected val hardNegCtesSql: String =
+    """qe AS (SELECT vec_id, label, list_transform(range(1, 65),
+      |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+      |      AS BIGINT)) AS v
+      |  FROM embeddings),
+      |qs AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
+      |  FROM qe WHERE vec_id IN (0, 1, 2)),
+      |sc AS (SELECT query_id, vec_id, label,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nc,
+      |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nq
+      |  FROM qe CROSS JOIN qs
+      |  WHERE qe.label IS DISTINCT FROM qs.qlabel),
+      |ct AS (SELECT query_id, vec_id, label,
+      |    CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
+      |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
+      |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
+      |    END AS cos_tq
+      |  FROM sc),
+      |rk AS (SELECT query_id, vec_id, label, cos_tq,
+      |    CAST(row_number() OVER (PARTITION BY query_id
+      |      ORDER BY cos_tq DESC, vec_id) AS BIGINT) AS rnk
+      |  FROM ct)""".stripMargin
+
   /** The q142 BPE training loop unrolled (v0 word frequencies + one
     * MATERIALIZED (m_k, v_k) stage per merge) — ONE source of truth
     * for every gate built on the LEARNED merge table (q142 emits it,

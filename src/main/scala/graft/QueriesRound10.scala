@@ -459,30 +459,9 @@ private[graft] trait OraclesRound10 { this: OracleSnippets =>
     // null-safe label-mismatch filter — every arithmetic step mirrored
     // (1e6-quantized components, 1e9-quantized cosine, zero-norm guard)
     "q146_hard_negatives" ->
-      """WITH qe AS (SELECT vec_id, label, list_transform(range(1, 65),
-        |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
-        |      AS BIGINT)) AS v
-        |  FROM embeddings),
-        |qs AS (SELECT vec_id AS query_id, v AS qv, label AS qlabel
-        |  FROM qe WHERE vec_id IN (0, 1, 2)),
-        |sc AS (SELECT query_id, vec_id, label,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * qv[i])) AS BIGINT) AS dot,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> v[i] * v[i])) AS BIGINT) AS nc,
-        |    CAST(list_sum(list_transform(range(1, 65), i -> qv[i] * qv[i])) AS BIGINT) AS nq
-        |  FROM qe CROSS JOIN qs
-        |  WHERE qe.label IS DISTINCT FROM qs.qlabel),
-        |ct AS (SELECT query_id, vec_id, label,
-        |    CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
-        |         ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
-        |           / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
-        |    END AS cos_tq
-        |  FROM sc),
-        |rk AS (SELECT query_id, vec_id, label, cos_tq,
-        |    CAST(row_number() OVER (PARTITION BY query_id
-        |      ORDER BY cos_tq DESC, vec_id) AS BIGINT) AS rnk
-        |  FROM ct)
-        |SELECT query_id, rnk, vec_id, label, cos_tq FROM rk WHERE rnk <= 5
-        |ORDER BY query_id, rnk""".stripMargin,
+      s"""WITH $hardNegCtesSql
+         |SELECT query_id, rnk, vec_id, label, cos_tq FROM rk WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
 
     // the q138 retention flipped to the max-PageRank survivor: the
     // recursive closure picks clusters, the shared rank recurrence

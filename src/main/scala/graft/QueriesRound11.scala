@@ -154,6 +154,27 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("bin")
   }
 
+  /** Contrastive-pair dataset construction — the embedding-finetune
+    * artifact a curation pipeline publishes: POSITIVES are co-members
+    * of the exact near-dup graph (the q30 edge set — pairs a
+    * contrastive loss should pull together), NEGATIVES are the
+    * q146 hard negatives for the anchor batch (near-the-margin
+    * different-label vectors the loss should push apart). Both halves
+    * are already individually hash-gated; this gate pins the
+    * composed, labeled dataset.
+    */
+  def contrastivePairs(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val pos = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a").as("anchor_id"), col("id_b").as("pair_id"),
+        lit(1).as("pair_label"))
+    val neg = Retrieval.hardNegativeTopK(emb, "embedding", "vec_id", "label",
+      queryIds = Seq(0L, 1L, 2L), k = 5, dims = 64)
+      .select(col("query_id").as("anchor_id"), col("vec_id").as("pair_id"),
+        lit(0).as("pair_label"))
+    pos.unionByName(neg).orderBy("pair_label", "anchor_id", "pair_id")
+  }
+
   /** Tokenizer train → apply → budget, end to end: BPE merges LEARNED
     * on this corpus (the q142 loop), the corpus segmented under those
     * learned merges (the q139 replace chain — built from TRAINED
@@ -384,6 +405,17 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // positives from the shared q30 edge CTE, negatives from the
+    // shared q146 ranking chain — the labeled dataset both existing
+    // gates compose into
+    "q162_contrastive_pairs" ->
+      s"""WITH $dupEdgesCtesSql, $hardNegCtesSql
+         |SELECT id_a AS anchor_id, id_b AS pair_id, 1 AS pair_label FROM pairs
+         |UNION ALL
+         |SELECT query_id AS anchor_id, vec_id AS pair_id, 0 AS pair_label
+         |FROM rk WHERE rnk <= 5
+         |ORDER BY pair_label, anchor_id, pair_id""".stripMargin,
 
     // the q142 training recurrence chained INTO the q139 replace-chain
     // segmentation via scalar subqueries on the learned m_k CTEs, then

@@ -198,6 +198,7 @@ object SparkEntry {
     "q159_numeric_drift" -> ((s, d) => PipelinesExt.numericDriftPrices(s, d)),
     "q160_hybrid_mmr" -> ((s, d) => PipelinesExt.hybridMmrRerank(s, d)),
     "q161_token_budget" -> ((s, d) => PipelinesExt.tokenBudgetCard(s, d)),
+    "q162_contrastive_pairs" -> ((s, d) => PipelinesExt.contrastivePairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

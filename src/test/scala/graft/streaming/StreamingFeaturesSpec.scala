@@ -196,6 +196,51 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("numericDrift served from maintained bin counts ≡ batch drift") {
+    // the drift-at-scale posture made real: the CURRENT snapshot's
+    // per-bin histogram lives in a maintainAggState table (the stream
+    // bins under FROZEN base edges before the stateful agg), and drift
+    // against the frozen base costs zero extra corpus aggregation
+    import graft.etl.Discretize
+    import graft.operators.Drift
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .select("event_id", "value").filter(col("value").isNotNull)
+    val base = events.filter(col("event_id") % 2 === 0)
+    val current = events.filter(col("event_id") % 2 === 1)
+    val edges = Discretize.quantileEdges(base, "value", nBins = 4)
+      .localCheckpoint(true)
+    val streamDir = Files.createTempDirectory("graft-drift-in-").toString
+    current.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    val binned = StreamingFeatures.readEventStream(spark, streamDir, schema)
+      .crossJoin(broadcast(edges))
+      .withColumn("bin",
+        size(filter(col("_edges"), e => e <= col("value"))).cast("int"))
+      .drop("_edges")
+    val stateSchema = graft.operators.IncrementalAgg.build(
+      Discretize.withBins(current, "value", edges), Seq("bin"), "value").schema
+    store.createTable(FeatureTableSpec("bin_counts", Seq("bin"), stateSchema,
+      "per-bin histogram of the current stream under frozen base edges"))
+    val ckpt = Files.createTempDirectory("graft-drift-ck-").toString
+    val q = StreamingFeatures.maintainAggState(binned, store, "bin_counts",
+      Seq("bin"), "value", ckpt)
+    assert(q.awaitTermination(120000), "drift-bin run timed out")
+
+    val maintained = store.readTable("bin_counts")
+      .select(col("bin"), col("cnt").as("n"))
+    val baseCounts = Discretize.withBins(base, "value", edges)
+      .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val served = rows(Drift.categoricalDrift(baseCounts, maintained, "bin", "n"))
+    val batch = rows(Drift.numericDrift(base, current, "value", nBins = 4))
+    assert(served == batch,
+      "drift from streaming-maintained bin counts must equal batch numericDrift")
+    assert(served.nonEmpty && served.exists(_._4 >= 0))
+  }
+
   test("applyChangeStream: CDC micro-batches apply upserts+deletes atomically") {
     import spark.implicits._
     val store = FeatureStore.temp(spark)
