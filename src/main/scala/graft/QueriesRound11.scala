@@ -154,6 +154,16 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("bin")
   }
 
+  /** Span-level dedup, the REWRITE half: every token covered by an
+    * 8-token span shared verbatim across >= 2 documents is removed —
+    * the Lee et al. substring surgery q116 only profiles. The oracle
+    * replays positional grams, distinct-doc counts, covered-position
+    * union, and the order-preserving rebuild.
+    */
+  def scrubSpans(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.scrubDupSpans(t(s, d, "documents"), "doc_id", "text", n = 8)
+      .orderBy("doc_id")
+
   /** Contrastive-pair dataset construction — the embedding-finetune
     * artifact a curation pipeline publishes: POSITIVES are co-members
     * of the exact near-dup graph (the q30 edge set — pairs a
@@ -405,6 +415,36 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // positional 8-gram md5s (the gram8 space-joined definition),
+    // distinct-doc counts, covered-position union per doc, then the
+    // order-preserving string_agg rebuild
+    "q163_scrub_spans" ->
+      s"""WITH t AS (SELECT doc_id, $rawTokensCaseSql AS w FROM documents),
+         |occ AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    md5(w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] || ' ' || w[u.i+3] || ' ' ||
+         |      w[u.i+4] || ' ' || w[u.i+5] || ' ' || w[u.i+6] || ' ' || w[u.i+7]) AS g
+         |  FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
+         |  WHERE len(w) >= 8),
+         |gd AS (SELECT g, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+         |  FROM occ GROUP BY g),
+         |dup AS (
+         |  SELECT DISTINCT o.doc_id, p.i AS pos
+         |  FROM occ o JOIN gd ON gd.g = o.g AND gd.nd >= 2,
+         |    unnest(generate_series(o.pos, o.pos + 7)) AS p(i)),
+         |kept AS (
+         |  SELECT t.doc_id, u.i AS pos, w[u.i] AS tok
+         |  FROM t, unnest(generate_series(1, len(w))) AS u(i)
+         |  WHERE NOT EXISTS (SELECT 1 FROM dup d
+         |    WHERE d.doc_id = t.doc_id AND d.pos = u.i)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS s,
+         |    CAST(count(*) AS BIGINT) AS nk
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.s, '') AS scrubbed_text,
+         |  CAST(len(t.w) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // positives from the shared q30 edge CTE, negatives from the
     // shared q146 ranking chain — the labeled dataset both existing

@@ -199,6 +199,7 @@ object SparkEntry {
     "q160_hybrid_mmr" -> ((s, d) => PipelinesExt.hybridMmrRerank(s, d)),
     "q161_token_budget" -> ((s, d) => PipelinesExt.tokenBudgetCard(s, d)),
     "q162_contrastive_pairs" -> ((s, d) => PipelinesExt.contrastivePairs(s, d)),
+    "q163_scrub_spans" -> ((s, d) => PipelinesExt.scrubSpans(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -294,6 +294,65 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
   }
 
+  /** The REWRITE half of span-level dedup ([[dupSpanCounts]] is the
+    * profile): remove every token covered by an n-token span that
+    * appears verbatim in >= `minDocs` documents — the Lee et al. 2022
+    * substring-dedup surgery that doc-level retention cannot perform
+    * (a document that shares only its boilerplate header should lose
+    * the header, not its life). Within-doc repeats alone do not
+    * trigger removal (cross-doc semantics, same as the profile).
+    *
+    * Plan: positional n-gram md5s explode from a guarded sequence (a
+    * doc shorter than n emits none), span→distinct-doc counts hash-agg
+    * on the span key, dup occurrences expand to covered positions and
+    * collapse to ONE bounded array per doc (|doc| ints max), and the
+    * rebuild is a pure projection — position filter + token lookup +
+    * concat — on the cached token frame. Two span-key shuffles + one
+    * doc-key agg, no all-pairs join; a span shared by millions of
+    * docs is aggregation skew, never a pairwise blow-up.
+    *
+    * Emits (idCol, scrubbed_text, n_removed); a fully-covered or
+    * empty doc yields the empty string, never NULL.
+    */
+  def scrubDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Long = 2L): DataFrame = {
+    require(n >= 1, s"scrubDupSpans: need n >= 1, got $n")
+    require(minDocs >= 2, s"scrubDupSpans: minDocs < 2 would scrub " +
+      s"every token of every doc with length >= n, got $minDocs")
+    val toks = docs.select(col(idCol),
+        coalesce(tokens(col(textCol)), array().cast("array<string>")).as("_t"))
+      .cache()
+    toks.count() // eager: the occurrence stream and the rebuild join
+                 // both read this frame (the shared-consumer lesson)
+    // guarded sequence: size < n means NO spans — a bare
+    // sequence(1, size-n+1) would count BACKWARD [1, 0] and fabricate
+    // phantom positions
+    val starts = when(size(col("_t")) >= n,
+      sequence(lit(1), size(col("_t")) - (n - 1)))
+      .otherwise(array().cast("array<int>"))
+    val occ = toks.select(col(idCol),
+      explode(transform(starts, i =>
+        struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("_t"), i, lit(n)))).as("g")))).as("_o"))
+      .select(col(idCol), col("_o.pos").as("_pos"), col("_o.g").as("_g"))
+    val spanDocs = occ.select(col("_g"), col(idCol)).distinct()
+      .groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
+    val covered = occ.join(spanDocs.filter(col("_nd") >= minDocs), Seq("_g"))
+      .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_cp"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_list(col("_cp")).as("_cov"))
+    val cov = coalesce(col("_cov"), array().cast("array<int>"))
+    val posSeq = when(size(col("_t")) > 0, sequence(lit(1), size(col("_t"))))
+      .otherwise(array().cast("array<int>"))
+    val keptToks = transform(
+      filter(posSeq, i => !array_contains(cov, i)),
+      i => element_at(col("_t"), i))
+    toks.join(covered, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        concat_ws(" ", keptToks).as("scrubbed_text"),
+        (size(col("_t")) - size(keptToks)).cast("long").as("n_removed"))
+  }
+
   /** Per-stratum dataset card — the corpus documentation a curation run
     * publishes next to the data (datasheet/dataset-card practice):
     * document and token counts, character volume, empty-doc and

@@ -301,6 +301,34 @@ class RetrievalSpec extends SparkSpec {
     assert(n1 == Set(0L, 2L), "for the NULL-label anchor both labeled rows differ")
   }
 
+  test("scrubDupSpans: cross-doc spans removed, within-doc repeats kept") {
+    val docs = Seq(
+      (0L, "a b c d e"),       // shares "a b c" with d1 → loses pos 1-3
+      (1L, "x y a b c"),       // → loses pos 3-5
+      (2L, "p q r p q r"),     // within-doc repeat only → untouched
+      (3L, ""),                // empty
+      (4L, "a b"))             // shorter than n → untouched
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, "d e", 3L),
+      (1L, "x y", 3L),
+      (2L, "p q r p q r", 0L),
+      (3L, "", 0L),
+      (4L, "a b", 0L)))
+    // overlapping dup spans cover their union, not double-remove:
+    // d5/d6 share "a b c" AND "b c d" → d5 loses pos 1-4, keeps "e"
+    val overlap = Seq(
+      (5L, "a b c d e"),
+      (6L, "z a b c d")).toDF("doc_id", "text")
+    val got2 = TextAnalysis.scrubDupSpans(overlap, "doc_id", "text", n = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got2 === Seq((5L, "e", 4L), (6L, "z", 4L)))
+    intercept[IllegalArgumentException](
+      TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 3, minDocs = 1))
+  }
+
   test("knnLabelNoise: disagreement votes match brute force, self excluded") {
     // cluster A near (1,0) labeled 1 — except vec 2, mislabeled 9;
     // cluster B near (0,1) labeled 2 — 3 members, so B's points vote
