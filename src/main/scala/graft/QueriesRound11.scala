@@ -175,13 +175,25 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
     */
   def contrastivePairs(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val pos = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+    val edges = Similarity.cosineAllPairsTiled(emb, threshold = 0.4)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true) // consumed by the positive half AND the
+                             // negative exclusion anti-join
+    val pos = edges
       .select(col("id_a").as("anchor_id"), col("id_b").as("pair_id"),
         lit(1).as("pair_label"))
+    // a near-dup co-member with a DIFFERENT label is label noise, not
+    // a training negative — pushing apart what the positive half pulls
+    // together would hand the loss contradictory rows, so the dup
+    // graph anti-joins out of the negatives (unordered pair match)
     val neg = Retrieval.hardNegativeTopK(emb, "embedding", "vec_id", "label",
       queryIds = Seq(0L, 1L, 2L), k = 5, dims = 64)
       .select(col("query_id").as("anchor_id"), col("vec_id").as("pair_id"),
         lit(0).as("pair_label"))
+      .join(edges,
+        least(col("anchor_id"), col("pair_id")) === col("id_a") &&
+          greatest(col("anchor_id"), col("pair_id")) === col("id_b"),
+        "left_anti")
     pos.unionByName(neg).orderBy("pair_label", "anchor_id", "pair_id")
   }
 
@@ -455,6 +467,9 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
          |UNION ALL
          |SELECT query_id AS anchor_id, vec_id AS pair_id, 0 AS pair_label
          |FROM rk WHERE rnk <= 5
+         |  AND NOT EXISTS (SELECT 1 FROM pairs p
+         |    WHERE p.id_a = least(rk.query_id, rk.vec_id)
+         |      AND p.id_b = greatest(rk.query_id, rk.vec_id))
          |ORDER BY pair_label, anchor_id, pair_id""".stripMargin,
 
     // the q142 training recurrence chained INTO the q139 replace-chain
