@@ -154,6 +154,36 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("bin")
   }
 
+  /** Classifier evaluation: the keep-threshold sweep a curation run
+    * reads before picking its quality cut — confusion counts (vs the
+    * lang = 'en' label) at the 10/30/50/70/90th exact percentiles of
+    * the corpus-trained perceptron margin. One scoring projection
+    * (memoized weights), one 1-row percentile broadcast-back, and a
+    * 5× threshold Expand absorbed by map-side partial aggregation —
+    * precision/recall at any cut derive from the exact integer cells.
+    */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val w = corpusPerceptronWeights(s, d)
+    val m = Perceptron.withHashedPerceptronScore(docs, "text", w)
+      .select((col("lang") === "en").as("_pos"), col("margin_q"))
+    val th = m.agg(
+      expr("percentile(margin_q, array(0.1, 0.3, 0.5, 0.7, 0.9))").as("_th"))
+    val above = col("margin_q").cast("double") > col("_thr")
+    m.crossJoin(broadcast(th))
+      .select(col("_pos"), col("margin_q"),
+        posexplode(col("_th")).as(Seq("_i", "_thr")))
+      .groupBy(col("_i"), col("_thr"))
+      .agg(
+        sum(when(above && col("_pos"), 1L).otherwise(0L)).as("tp"),
+        sum(when(above && !col("_pos"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!above && col("_pos"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!above && !col("_pos"), 1L).otherwise(0L)).as("tn"))
+      .select((col("_i") + 1L).as("thr_idx"), col("_thr").as("threshold"),
+        col("tp"), col("fp"), col("fn"), col("tn"))
+      .orderBy("thr_idx")
+  }
+
   /** Span-level dedup, the REWRITE half: every token covered by an
     * 8-token span shared verbatim across >= 2 documents is removed —
     * the Lee et al. substring surgery q116 only profiles. The oracle
@@ -427,6 +457,31 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // the q144 margin replay (shared trained-weight CTEs), exact
+    // percentile thresholds, then conditional confusion counts per
+    // threshold — precision/recall cells all exact BIGINTs
+    "q164_threshold_sweep" ->
+      s"""WITH ${perceptronCtesSql(3)},
+         |sc AS (
+         |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
+         |  FROM f JOIN w3 w ON w.pos = f.pos
+         |  GROUP BY 1),
+         |mar AS (
+         |  SELECT y.doc_id, y.y = 1 AS pos,
+         |    CAST(coalesce(sc.dot, 0) + (SELECT w FROM w3 WHERE pos = 256) AS BIGINT) AS margin_q
+         |  FROM y LEFT JOIN sc USING (doc_id)),
+         |th AS (SELECT quantile_cont(CAST(margin_q AS DOUBLE),
+         |    [0.1, 0.3, 0.5, 0.7, 0.9]) AS t FROM mar),
+         |ex AS (SELECT m.pos, m.margin_q, u.i AS idx, th.t[u.i] AS thr
+         |  FROM mar m, th, unnest(generate_series(1, 5)) AS u(i))
+         |SELECT CAST(idx AS BIGINT) AS thr_idx, thr AS threshold,
+         |  CAST(sum(CASE WHEN CAST(margin_q AS DOUBLE) > thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN CAST(margin_q AS DOUBLE) > thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN CAST(margin_q AS DOUBLE) <= thr AND pos THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN CAST(margin_q AS DOUBLE) <= thr AND NOT pos THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |FROM ex GROUP BY 1, 2
+         |ORDER BY thr_idx""".stripMargin,
 
     // positional 8-gram md5s (the gram8 space-joined definition),
     // distinct-doc counts, covered-position union per doc, then the

@@ -200,6 +200,7 @@ object SparkEntry {
     "q161_token_budget" -> ((s, d) => PipelinesExt.tokenBudgetCard(s, d)),
     "q162_contrastive_pairs" -> ((s, d) => PipelinesExt.contrastivePairs(s, d)),
     "q163_scrub_spans" -> ((s, d) => PipelinesExt.scrubSpans(s, d)),
+    "q164_threshold_sweep" -> ((s, d) => PipelinesExt.thresholdSweep(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
