@@ -154,6 +154,35 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("bin")
   }
 
+  /** Retrieval-tier evaluation: recall@10 and reciprocal rank of the
+    * 16-dim matryoshka-prefix ranking against the full 64-dim exact
+    * ranking as ground truth — the numbers a deployment tunes
+    * truncation/nprobe against ([[graft.ext.RetrievalMetrics]],
+    * previously spec-only, now oracle-gated; both rankings are
+    * deterministic quantized cosines, so the metric cells replay
+    * exactly). Both metric doubles are single exact-rational
+    * divisions (§5.3-portable).
+    */
+  def retrievalEval(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val qs = (0L until 10L)
+    val truth = Retrieval.truncatedCosineTopK(emb, "embedding", "vec_id",
+      qs, k = 10, dims = 64)
+    val sys = Retrieval.truncatedCosineTopK(emb, "embedding", "vec_id",
+      qs, k = 10, dims = 16)
+    val rec = graft.ext.RetrievalMetrics.recallAtK(sys, truth,
+      "query_id", "vec_id")
+    // relevance = the true NEAREST NON-SELF neighbor (truth rank 1 is
+    // the query itself in both rankings, which would make rr trivially
+    // 1.0): at which rank does the prefix ranking surface it?
+    val rr = graft.ext.RetrievalMetrics.reciprocalRank(sys,
+      truth.filter(col("rnk") === 2), "query_id", "vec_id", "rnk")
+    rec.join(rr, Seq("query_id"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        col("recall"), col("rr"))
+      .orderBy("query_id")
+  }
+
   /** Classifier evaluation: the keep-threshold sweep a curation run
     * reads before picking its quality cut — confusion counts (vs the
     * lang = 'en' label) at the 10/30/50/70/90th exact percentiles of
@@ -457,6 +486,50 @@ private[graft] trait OraclesRound11 { this: OracleSnippets with OraclesRound10 =
         |  CASE WHEN frac >= 1.0e0 THEN 'g'
         |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
         |ORDER BY doc_id""".stripMargin,
+
+    // two quantized-cosine rankings (full-dim truth, 16-dim prefix
+    // system — self included in both, symmetric), then the recall and
+    // first-relevant-rank arithmetic — each metric one exact-rational
+    // division
+    "q165_retrieval_eval" -> {
+      def rank(dims: Int, p: String): String =
+        s"""${p}e AS (SELECT vec_id, list_transform(range(1, ${dims + 1}),
+           |    i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0e0 + 0.5e0)
+           |      AS BIGINT)) AS v
+           |  FROM embeddings),
+           |${p}q AS (SELECT vec_id AS query_id, v AS qv FROM ${p}e WHERE vec_id < 10),
+           |${p}s AS (SELECT query_id, vec_id,
+           |    CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * qv[i])) AS BIGINT) AS dot,
+           |    CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> v[i] * v[i])) AS BIGINT) AS nc,
+           |    CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> qv[i] * qv[i])) AS BIGINT) AS nq
+           |  FROM ${p}e CROSS JOIN ${p}q),
+           |${p}r AS (SELECT query_id, vec_id,
+           |    row_number() OVER (PARTITION BY query_id ORDER BY
+           |      CASE WHEN nc = 0 OR nq = 0 THEN CAST(0 AS BIGINT)
+           |           ELSE CAST(floor(CAST(dot AS DOUBLE) / sqrt(CAST(nc AS DOUBLE))
+           |             / sqrt(CAST(nq AS DOUBLE)) * 1000000000.0e0 + 0.5e0) AS BIGINT)
+           |      END DESC, vec_id) AS rnk
+           |  FROM ${p}s),
+           |${p}k AS (SELECT query_id, vec_id, rnk FROM ${p}r WHERE rnk <= 10)""".stripMargin
+      s"""WITH ${rank(64, "t")},
+         |${rank(16, "x")},
+         |rec AS (
+         |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |    CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+         |  FROM tk t LEFT JOIN xk a
+         |    ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+         |  GROUP BY 1),
+         |fr AS (
+         |  SELECT a.query_id, min(a.rnk) AS first_rank
+         |  FROM xk a JOIN tk t1
+         |    ON t1.query_id = a.query_id AND t1.vec_id = a.vec_id AND t1.rnk = 2
+         |  GROUP BY 1)
+         |SELECT r.query_id, r.n_exact, r.n_hit,
+         |  CAST(r.n_hit AS DOUBLE) / r.n_exact AS recall,
+         |  coalesce(1.0e0 / fr.first_rank, 0.0e0) AS rr
+         |FROM rec r LEFT JOIN fr USING (query_id)
+         |ORDER BY r.query_id""".stripMargin
+    },
 
     // the q144 margin replay (shared trained-weight CTEs), exact
     // percentile thresholds, then conditional confusion counts per

@@ -201,6 +201,7 @@ object SparkEntry {
     "q162_contrastive_pairs" -> ((s, d) => PipelinesExt.contrastivePairs(s, d)),
     "q163_scrub_spans" -> ((s, d) => PipelinesExt.scrubSpans(s, d)),
     "q164_threshold_sweep" -> ((s, d) => PipelinesExt.thresholdSweep(s, d)),
+    "q165_retrieval_eval" -> ((s, d) => PipelinesExt.retrievalEval(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
