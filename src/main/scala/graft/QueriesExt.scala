@@ -62,7 +62,7 @@ private[graft] trait PipelinesBase {
 object PipelinesExt extends PipelinesBase
   with PipelinesSurface with PipelinesTextSim with PipelinesSqlSuite
   with PipelinesCuration with PipelinesRetrieval with PipelinesScaleOps
-  with PipelinesRound10 with PipelinesRound11
+  with PipelinesRound10 with PipelinesRound11 with PipelinesRound11b
 
 /** Shared DuckDB SQL snippets: ONE source of truth for semantics
   * multiple gates reuse (thresholds, token/gram definitions, the
@@ -297,11 +297,11 @@ private[graft] trait OracleSnippets {
 object OraclesExt extends OracleSnippets
     with OraclesSurface with OraclesTextSim with OraclesSqlSuite
     with OraclesCuration with OraclesRetrieval with OraclesScaleOps
-    with OraclesRound10 with OraclesRound11 {
+    with OraclesRound10 with OraclesRound11 with OraclesRound11b {
   // def, not val: the q44 entry interpolates the CSV fixture path that
   // csvIngest records when it runs — Verify dumps oracle SQL only after
   // running the queries, so building the map lazily picks it up.
   def sql: Map[String, String] =
     sqlSurface ++ sqlTextSim ++ sqlSqlSuite ++ sqlCuration ++
-      sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11
+      sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b
 }
