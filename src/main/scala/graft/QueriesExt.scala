@@ -63,6 +63,7 @@ object PipelinesExt extends PipelinesBase
   with PipelinesSurface with PipelinesTextSim with PipelinesSqlSuite
   with PipelinesCuration with PipelinesRetrieval with PipelinesScaleOps
   with PipelinesRound10 with PipelinesRound11 with PipelinesRound11b
+  with PipelinesRound11c
 
 /** Shared DuckDB SQL snippets: ONE source of truth for semantics
   * multiple gates reuse (thresholds, token/gram definitions, the
@@ -137,6 +138,63 @@ private[graft] trait OracleSnippets {
        |r0 AS (SELECT u AS node, CAST(1000000000 AS BIGINT) // n AS rq
        |  FROM deg CROSS JOIN nn),
        |${(1 to iters).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** The q131 distributed-Lloyd recurrence unrolled over the
+    * embeddings table (seeds = the k smallest vec_ids, exact-BIGINT
+    * distances, floor-mean update, emptied clusters keep their
+    * centroid — `Clustering.kmeansAssignQuantized` exactly): the
+    * final assignment is `a{iterations+1} ... WHERE rk = 1` as
+    * (vec_id, cid, dist). ONE source of truth for q131's clustering
+    * gate and the prototypicality-pruning gate built on it.
+    */
+  protected def kmeansCtesSql(k: Int, iterations: Int): String = {
+    def round(j: Int): String =
+      s"""d$j AS (
+         |  SELECT qd.vec_id, c.cid,
+         |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
+         |  FROM qd JOIN c${j - 1}d c ON qd.pos = c.pos
+         |  GROUP BY qd.vec_id, c.cid),
+         |a$j AS (
+         |  SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+         |  FROM d$j),
+         |m$j AS (
+         |  SELECT a.cid, qd.pos,
+         |    CAST(floor(CAST(CAST(sum(qd.val) AS BIGINT) AS DOUBLE)
+         |      / count(*)) AS BIGINT) AS val
+         |  FROM a$j a JOIN qd ON a.vec_id = qd.vec_id AND a.rk = 1
+         |  GROUP BY a.cid, qd.pos),
+         |c${j}d AS (
+         |  SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
+         |  FROM c${j - 1}d c LEFT JOIN m$j m ON m.cid = c.cid AND m.pos = c.pos)"""
+        .stripMargin
+    val fin = iterations + 1
+    s"""q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |qd AS (
+       |  -- constant bound: the embeddings table is 64-dim (TESTDATA.md)
+       |  SELECT vec_id, gi.i AS pos, v[gi.i] AS val
+       |  FROM q, generate_series(1, 64) AS gi(i)),
+       |seeds AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k),
+       |c0 AS (
+       |  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
+       |  FROM seeds),
+       |c0d AS (
+       |  SELECT cid, gi.i AS pos, v[gi.i] AS val
+       |  FROM c0, generate_series(1, 64) AS gi(i)),
+       |${(1 to iterations).map(round).mkString(",\n")},
+       |d$fin AS (
+       |  SELECT qd.vec_id, c.cid,
+       |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
+       |  FROM qd JOIN c${iterations}d c ON qd.pos = c.pos
+       |  GROUP BY qd.vec_id, c.cid),
+       |a$fin AS (
+       |  SELECT vec_id, cid, dist,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
+       |  FROM d$fin)""".stripMargin
   }
 
   /** The q146 hard-negative ranking chain (quantized embeddings →
@@ -297,11 +355,13 @@ private[graft] trait OracleSnippets {
 object OraclesExt extends OracleSnippets
     with OraclesSurface with OraclesTextSim with OraclesSqlSuite
     with OraclesCuration with OraclesRetrieval with OraclesScaleOps
-    with OraclesRound10 with OraclesRound11 with OraclesRound11b {
+    with OraclesRound10 with OraclesRound11 with OraclesRound11b
+    with OraclesRound11c {
   // def, not val: the q44 entry interpolates the CSV fixture path that
   // csvIngest records when it runs — Verify dumps oracle SQL only after
   // running the queries, so building the map lazily picks it up.
   def sql: Map[String, String] =
     sqlSurface ++ sqlTextSim ++ sqlSqlSuite ++ sqlCuration ++
-      sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b
+      sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b ++
+      sqlRound11c
 }

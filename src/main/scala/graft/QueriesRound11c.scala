@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Sampling
+import graft.ext.{Clustering, TextAnalysis}
+
+/** Gate queries — round 11, third pass: the data-constrained curation
+  * tier. Prototypicality-based pruning (keep the hard per-cluster
+  * fraction of the embedding space), the benchmark-decontamination
+  * REWRITE (scrub eval-set spans out of corpus documents instead of
+  * dropping the documents), and the UniMax epoch-aware mixing plan
+  * (repeat sources under a token budget with a per-source epoch cap —
+  * the regime temperature mixing cannot reach because it only ever
+  * down-samples).
+  *
+  * Mixed into [[PipelinesExt]]; the sibling [[OraclesRound11c]] keeps
+  * each query's DuckDB oracle SQL in the same file.
+  */
+private[graft] trait PipelinesRound11c { this: PipelinesBase =>
+
+  /** Prototypicality pruning (Sorscher et al. 2022): k-means the
+    * embedding corpus (the q131 recurrence — same k, iterations, and
+    * integer arithmetic), keep each cluster's far-from-centroid HALF
+    * (the abundant-data regime). The oracle replays the full Lloyd
+    * recurrence, the per-cluster exact median, and the strict cut —
+    * a drift in any iteration, centroid, or threshold breaks the
+    * hash.
+    */
+  def prototypePrune(s: SparkSession, d: String): DataFrame =
+    Clustering.prototypicalityPrune(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = 8, iterations = 2, keepFrac = 0.5, keepHard = true)
+      .orderBy("vec_id")
+
+  /** Benchmark decontamination, the REWRITE half (q75/q79/q109 only
+    * profile): every token covered by an 8-token span that appears
+    * verbatim in the probe documents (the q79 probe set: doc_ids
+    * 3/7/11/19/23) is removed from every corpus document — the
+    * quoted eval question goes, the page stays. The probe documents
+    * themselves scrub to empty by construction (every span of a probe
+    * is a probe span).
+    */
+  def decontamScrub(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    TextAnalysis.scrubContaminated(docs, "doc_id", "text",
+        docs.filter(col("doc_id").isin(3L, 7L, 11L, 19L, 23L)), "text", n = 8)
+      .orderBy("doc_id")
+  }
+
+  /** Epoch-aware mixing plan under a token budget (UniMax): the
+    * budget is 2× the corpus's token volume with a 3-epoch cap, so
+    * small sources bind at their cap and large sources level at the
+    * equal integer share — caps, leveling, and the lexicographic
+    * remainder all exercise on real counts. Every (doc, epoch) row of
+    * the materialized plan must match: full passes replay as
+    * generate_series over the integer allocation, the fractional
+    * final epoch as the md5-threshold filter at the exact remainder
+    * fraction.
+    */
+  def epochMixPlan(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val total = docs.filter(col("source").isNotNull)
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    Sampling.epochMix(docs.select(col("doc_id"), col("source"), col("text")),
+        "source", col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        budget = 2L * total, maxEpochs = 3)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+}
+
+/** DuckDB oracle SQL for the [[PipelinesRound11c]] queries. */
+private[graft] trait OraclesRound11c { this: OracleSnippets =>
+  protected def sqlRound11c: Map[String, String] = Map(
+
+    // the shared q131 Lloyd recurrence, then the per-cluster exact
+    // median (quantile_cont — the q164 percentile contract) and the
+    // strict far-half cut
+    "q166_prototype_prune" ->
+      s"""WITH ${kmeansCtesSql(8, 2)},
+         |asg AS (SELECT vec_id, cid, dist FROM a3 WHERE rk = 1),
+         |thr AS (SELECT cid, quantile_cont(CAST(dist AS DOUBLE), 0.5e0) AS t
+         |  FROM asg GROUP BY cid)
+         |SELECT a.vec_id, a.cid, a.dist AS dist_q
+         |FROM asg a JOIN thr USING (cid)
+         |WHERE CAST(a.dist AS DOUBLE) > t
+         |ORDER BY a.vec_id""".stripMargin,
+
+    // the q163 positional-gram/coverage/rebuild shape, with the dup
+    // span set replaced by the probe documents' distinct gram set
+    "q167_decontam_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $rawTokensCaseSql AS w FROM documents),
+         |occ AS (
+         |  SELECT doc_id, u.i AS pos,
+         |    md5(w[u.i] || ' ' || w[u.i+1] || ' ' || w[u.i+2] || ' ' || w[u.i+3] || ' ' ||
+         |      w[u.i+4] || ' ' || w[u.i+5] || ' ' || w[u.i+6] || ' ' || w[u.i+7]) AS g
+         |  FROM t, unnest(generate_series(1, len(w) - 7)) AS u(i)
+         |  WHERE len(w) >= 8),
+         |pg AS (SELECT DISTINCT g FROM occ WHERE doc_id IN (3, 7, 11, 19, 23)),
+         |hit AS (
+         |  SELECT DISTINCT o.doc_id, p.i AS pos
+         |  FROM occ o JOIN pg ON pg.g = o.g,
+         |    unnest(generate_series(o.pos, o.pos + 7)) AS p(i)),
+         |kept AS (
+         |  SELECT t.doc_id, u.i AS pos, w[u.i] AS tok
+         |  FROM t, unnest(generate_series(1, len(w))) AS u(i)
+         |  WHERE NOT EXISTS (SELECT 1 FROM hit h
+         |    WHERE h.doc_id = t.doc_id AND h.pos = u.i)),
+         |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS s,
+         |    CAST(count(*) AS BIGINT) AS nk
+         |  FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, coalesce(a.s, '') AS scrubbed_text,
+         |  CAST(len(t.w) - coalesce(a.nk, 0) AS BIGINT) AS n_removed
+         |FROM t LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // UniMax water-filling in closed form (ascending-cap prefix sums:
+    // sources before the stop index take their cap, the rest level at
+    // the integer share with the remainder going to the
+    // lexicographically smallest), then the per-epoch materialization
+    // — full passes via generate_series, the fractional epoch via the
+    // md5 threshold at the exact remainder fraction
+    "q168_epoch_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
+        |  FROM documents WHERE source IS NOT NULL),
+        |src AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS n
+        |  FROM d GROUP BY source),
+        |tot AS (SELECT CAST(2 * sum(n) AS BIGINT) AS b FROM src),
+        |ord AS (SELECT source, n, n * 3 AS cap,
+        |    row_number() OVER (ORDER BY n * 3, source) AS i,
+        |    sum(n * 3) OVER (ORDER BY n * 3, source
+        |      ROWS UNBOUNDED PRECEDING) AS pc,
+        |    count(*) OVER () AS m
+        |  FROM src),
+        |stp AS (SELECT coalesce(
+        |    (SELECT min(i) FROM ord, tot
+        |      WHERE cap > (b - (pc - cap)) // (m - i + 1)),
+        |    (SELECT max(m) FROM ord) + 1) AS ks),
+        |lvl AS (SELECT
+        |    (SELECT b FROM tot)
+        |      - coalesce((SELECT pc FROM ord, stp WHERE i = ks - 1), 0) AS remb,
+        |    (SELECT max(m) FROM ord) - (SELECT ks FROM stp) + 1 AS act),
+        |pre AS (SELECT o.source, o.n, o.cap AS b_s
+        |  FROM ord o, stp WHERE o.i < ks),
+        |post AS (SELECT o.source, o.n,
+        |    (SELECT remb FROM lvl) // (SELECT act FROM lvl)
+        |      + CASE WHEN row_number() OVER (ORDER BY o.source)
+        |          <= (SELECT remb FROM lvl) % (SELECT act FROM lvl)
+        |        THEN 1 ELSE 0 END AS b_s
+        |  FROM ord o, stp WHERE o.i >= ks),
+        |alloc AS (SELECT * FROM pre UNION ALL SELECT * FROM post),
+        |plan AS (SELECT source, n, CAST(b_s // n AS BIGINT) AS fe,
+        |    CAST(b_s % n AS BIGINT) AS remt FROM alloc),
+        |thr AS (SELECT source, fe,
+        |    printf('%08x', CAST(floor(CAST(remt AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * 4294967296.0e0) AS BIGINT)) AS h
+        |  FROM plan),
+        |fulle AS (
+        |  SELECT d.doc_id, d.source, CAST(u.e AS BIGINT) AS epoch
+        |  FROM d JOIN thr t USING (source),
+        |    unnest(generate_series(1, t.fe)) AS u(e)
+        |  WHERE t.fe >= 1),
+        |part AS (
+        |  SELECT d.doc_id, d.source, CAST(t.fe + 1 AS BIGINT) AS epoch
+        |  FROM d JOIN thr t USING (source)
+        |  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':ep') < t.h)
+        |SELECT doc_id, source, epoch
+        |FROM (SELECT * FROM fulle UNION ALL SELECT * FROM part)
+        |ORDER BY doc_id, epoch""".stripMargin,
+  )
+}

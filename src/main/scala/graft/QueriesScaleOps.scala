@@ -301,59 +301,13 @@ private[graft] trait OraclesScaleOps { this: OracleSnippets =>
          |SELECT node, CAST(rq AS BIGINT) AS rq FROM r5 ORDER BY node""".stripMargin,
 
 
-    // q131: the unrolled 2-round Lloyd recurrence — assignment, floor-
-    // mean update (emptied clusters keep the previous centroid via the
-    // LEFT JOIN coalesce), final assignment vs c2. All-BIGINT distances;
-    // the floor-mean divides exact doubles (sums < 2^53) like the engine.
-    "q131_kmeans_clusters" -> {
-      def round(k: Int): String =
-        s"""d$k AS (
-           |  SELECT qd.vec_id, c.cid,
-           |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
-           |  FROM qd JOIN c${k - 1}d c ON qd.pos = c.pos
-           |  GROUP BY qd.vec_id, c.cid),
-           |a$k AS (
-           |  SELECT vec_id, cid, dist,
-           |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-           |  FROM d$k),
-           |m$k AS (
-           |  SELECT a.cid, qd.pos,
-           |    CAST(floor(CAST(CAST(sum(qd.val) AS BIGINT) AS DOUBLE)
-           |      / count(*)) AS BIGINT) AS val
-           |  FROM a$k a JOIN qd ON a.vec_id = qd.vec_id AND a.rk = 1
-           |  GROUP BY a.cid, qd.pos),
-           |c${k}d AS (
-           |  SELECT c.cid, c.pos, coalesce(m.val, c.val) AS val
-           |  FROM c${k - 1}d c LEFT JOIN m$k m ON m.cid = c.cid AND m.pos = c.pos)"""
-          .stripMargin
-      s"""WITH q AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS v
-         |  FROM embeddings),
-         |qd AS (
-         |  -- constant bound: the embeddings table is 64-dim (TESTDATA.md)
-         |  SELECT vec_id, gi.i AS pos, v[gi.i] AS val
-         |  FROM q, generate_series(1, 64) AS gi(i)),
-         |seeds AS (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT 8),
-         |c0 AS (
-         |  SELECT v, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid
-         |  FROM seeds),
-         |c0d AS (
-         |  SELECT cid, gi.i AS pos, v[gi.i] AS val
-         |  FROM c0, generate_series(1, 64) AS gi(i)),
-         |${Seq(1, 2).map(round).mkString(",\n")},
-         |d3 AS (
-         |  SELECT qd.vec_id, c.cid,
-         |    CAST(sum((qd.val - c.val) * (qd.val - c.val)) AS BIGINT) AS dist
-         |  FROM qd JOIN c2d c ON qd.pos = c.pos
-         |  GROUP BY qd.vec_id, c.cid),
-         |a3 AS (
-         |  SELECT vec_id, cid, dist,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rk
-         |  FROM d3)
+    // q131: the unrolled 2-round Lloyd recurrence (shared kmeansCtesSql
+    // — assignment, floor-mean update with emptied clusters keeping the
+    // previous centroid, final assignment vs c2; all-BIGINT distances).
+    "q131_kmeans_clusters" ->
+      s"""WITH ${kmeansCtesSql(8, 2)}
          |SELECT vec_id, cid, dist AS dist_q FROM a3 WHERE rk = 1
-         |ORDER BY vec_id""".stripMargin
-    },
+         |ORDER BY vec_id""".stripMargin,
 
 
     // q132: ground truth by the naive canonical triple join a<b<c —

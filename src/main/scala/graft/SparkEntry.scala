@@ -202,6 +202,9 @@ object SparkEntry {
     "q163_scrub_spans" -> ((s, d) => PipelinesExt.scrubSpans(s, d)),
     "q164_threshold_sweep" -> ((s, d) => PipelinesExt.thresholdSweep(s, d)),
     "q165_retrieval_eval" -> ((s, d) => PipelinesExt.retrievalEval(s, d)),
+    "q166_prototype_prune" -> ((s, d) => PipelinesExt.prototypePrune(s, d)),
+    "q167_decontam_scrub" -> ((s, d) => PipelinesExt.decontamScrub(s, d)),
+    "q168_epoch_mix" -> ((s, d) => PipelinesExt.epochMixPlan(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -209,6 +209,120 @@ object Sampling {
       .filter(col(rankCol) <= k)
   }
 
+  /** UniMax budget allocation (Chung et al., ICLR 2023 "UniMax: Fairer
+    * and More Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining"): split a total token `budget` across sources as
+    * UNIFORMLY as possible subject to a per-source repetition cap of
+    * `maxEpochs` passes — the data-constrained regime
+    * ([[temperatureMix]] only ever down-samples; when the budget
+    * exceeds the corpus, sources must be REPEATED, and temperature
+    * mixing has no principled way to cap repetition per source).
+    *
+    * Deterministic integer water-filling, processed in ascending
+    * (cap, name) order: each step offers the smallest-capped source an
+    * equal integer share `remaining / #active`; a source whose cap
+    * `n_s · maxEpochs` fits inside the share takes exactly its cap
+    * (it binds) and the leftover re-levels across the rest; the first
+    * source whose cap exceeds the share ends the pass — every still-
+    * active source takes the floor share, and the integer remainder
+    * goes +1 each to the lexicographically smallest active names. All
+    * arithmetic is exact BIGINT (floor division), so an oracle replays
+    * the allocation closed-form with prefix sums — no double ever
+    * enters. Σ allocations = min(budget, Σ caps); no source exceeds
+    * its cap; when no cap binds the split is the near-equal integer
+    * partition of the budget.
+    */
+  def uniMaxBudgets(tokenCounts: Map[String, Long], budget: Long,
+      maxEpochs: Int): Map[String, Long] = {
+    require(budget >= 0, s"uniMaxBudgets: budget must be >= 0, got $budget")
+    require(maxEpochs >= 1,
+      s"uniMaxBudgets: maxEpochs must be >= 1, got $maxEpochs")
+    require(tokenCounts.nonEmpty && tokenCounts.values.forall(_ > 0),
+      "uniMaxBudgets: tokenCounts must be non-empty and positive")
+    require(tokenCounts.values.forall(_ <= Long.MaxValue / maxEpochs),
+      "uniMaxBudgets: n · maxEpochs overflows Long")
+    val ord = tokenCounts.toSeq
+      .map { case (s, nTok) => (s, nTok * maxEpochs) }
+      .sortBy { case (s, cap) => (cap, s) }
+    val out = Map.newBuilder[String, Long]
+    var remaining = budget
+    var idx = 0
+    var leveled = false
+    while (idx < ord.length && !leveled) {
+      val active = ord.length - idx
+      val share = remaining / active
+      val (s, cap) = ord(idx)
+      if (cap <= share) {
+        out += s -> cap
+        remaining -= cap
+        idx += 1
+      } else leveled = true
+    }
+    if (idx < ord.length) {
+      val active = ord.length - idx
+      val share = remaining / active
+      val extra = remaining - share * active
+      ord.drop(idx).map(_._1).sorted.zipWithIndex.foreach { case (s, i) =>
+        out += s -> (share + (if (i < extra) 1L else 0L))
+      }
+    }
+    out.result()
+  }
+
+  /** Materialize an epoch-aware training mix under a token budget: each
+    * stratum's [[uniMaxBudgets]] allocation b_s becomes
+    * `b_s / n_s` FULL passes over the stratum (every row repeated with
+    * epoch = 1..full) plus a fractional final epoch — the remainder
+    * `b_s mod n_s` tokens selected by the scan-stage md5 threshold at
+    * fraction `(b_s mod n_s) / n_s` (one exact-BIGINT-to-double
+    * division, §5.3-portable — the jacc_q discipline), keyed on
+    * `md5(key · ":ep")` so the partial-epoch subset is independent of
+    * any [[hashSample]] the caller already applied to the same keys.
+    * A capped stratum (full = maxEpochs) has remainder 0 by
+    * construction, so no row ever exceeds `maxEpochs` repetitions.
+    *
+    * Cost: one stratum-count aggregation (#strata rows to the driver —
+    * metadata scale, the [[temperatureMix]] posture), then the output
+    * is a pure generator projection (`explode(sequence)`) plus one
+    * scan-stage filter — nothing corpus-sized shuffles, and the repeat
+    * factor rides the generator, not a join. Rows with a NULL stratum
+    * are excluded (no budget to charge them against). Emits the input
+    * columns plus `epochCol` (1-based).
+    */
+  def epochMix(df: DataFrame, strataCol: String, keyCol: Column,
+      weightCol: Column, budget: Long, maxEpochs: Int,
+      epochCol: String = "epoch"): DataFrame = {
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s"))
+      .agg(sum(weightCol.cast("long")).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"epochMix: no rows with non-NULL '$strataCol'")
+    require(counts.values.forall(_ > 0),
+      s"epochMix: every stratum needs positive token volume, got $counts")
+    val budgets = uniMaxBudgets(counts, budget, maxEpochs)
+    val strata = counts.keys.toSeq.sorted
+    val full = strata.foldLeft(lit(0L)) { (acc, s) =>
+      when(col(strataCol).cast("string") === s,
+        lit(budgets(s) / counts(s))).otherwise(acc)
+    }
+    val fracThr = strata.foldLeft(lit(hexThreshold(0.0))) { (acc, s) =>
+      val rem = budgets(s) % counts(s)
+      when(col(strataCol).cast("string") === s,
+        lit(hexThreshold(rem.toDouble / counts(s).toDouble))).otherwise(acc)
+    }
+    val fullEpochs = df.withColumn("_full", full)
+      .withColumn(epochCol,
+        explode(when(col("_full") >= 1L, sequence(lit(1L), col("_full")))
+          .otherwise(array().cast("array<bigint>"))))
+      .drop("_full")
+    val partial = df.withColumn("_full", full)
+      .filter(col(strataCol).isNotNull &&
+        md5(concat(keyCol.cast("string"), lit(":ep"))) < fracThr)
+      .withColumn(epochCol, col("_full") + 1L)
+      .drop("_full")
+    fullEpochs.unionByName(partial)
+  }
+
   /** Deterministic n-way split: label each row with the name of the
     * weight bucket its `md5(key)` lands in — the reproducible
     * `randomSplit` (FS training cell) replacement. Weights are

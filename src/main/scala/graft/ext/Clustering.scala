@@ -92,4 +92,46 @@ object Clustering {
     assigned(cents).select(col("_id").as(idCol), col("_cid").as("cid"),
       col("_dist").as("dist_q"))
   }
+
+  /** Prototypicality-based data pruning (Sorscher et al., NeurIPS 2022
+    * "Beyond neural scaling laws"): score every example by its
+    * squared-L2 distance to its k-means cluster centroid and keep a
+    * per-cluster fraction — the HARD (far-from-centroid) examples when
+    * data is abundant (`keepHard = true`, the paper's large-dataset
+    * regime), the prototypical ones when it is scarce. Per-CLUSTER
+    * cuts, not a global one, so a tight cluster's examples aren't
+    * wholesale out-competed by a diffuse cluster's distances.
+    *
+    * Builds on [[kmeansAssignQuantized]] — the assignment and the
+    * distance are already exact-integer and oracle-replayable; the cut
+    * adds one k-row exact `percentile` aggregate broadcast back onto
+    * the assignment (the q151 median-filter discipline: an exact
+    * percentile is scale-free here because its input is the k-row
+    * GROUPED aggregate path, and the threshold compare
+    * `long > interpolated-double` is exact — dist_q < 2^53). Strict
+    * `>` / non-strict `<=` keep the two regimes complementary: the
+    * hard and easy halves of a cluster partition it exactly.
+    *
+    * Output: the kept (idCol, cid, dist_q) rows — join back to the
+    * corpus by id for the pruned dataset.
+    */
+  def prototypicalityPrune(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int, keepFrac: Double, keepHard: Boolean = true,
+      scale: Double = 1e6): DataFrame = {
+    require(keepFrac >= 0.0 && keepFrac <= 1.0,
+      s"prototypicalityPrune: keepFrac must be in [0,1], got $keepFrac")
+    val assign = kmeansAssignQuantized(df, vecCol, idCol, k, iterations, scale)
+    // the percentile cut is strict on one side, so the boundary
+    // fractions short-circuit: 1.0 keeps everything (a strict > at
+    // p=0 would drop each cluster's min-dist rows), 0.0 keeps nothing
+    if (keepFrac == 1.0) return assign
+    if (keepFrac == 0.0) return assign.limit(0)
+    val p = if (keepHard) 1.0 - keepFrac else keepFrac
+    val thr = assign.groupBy(col("cid"))
+      .agg(expr(s"percentile(dist_q, ${p}d)").as("_thr"))
+    val kept = assign.join(broadcast(thr), Seq("cid"))
+    (if (keepHard) kept.filter(col("dist_q").cast("double") > col("_thr"))
+     else kept.filter(col("dist_q").cast("double") <= col("_thr")))
+      .select(col(idCol), col("cid"), col("dist_q"))
+  }
 }

@@ -319,25 +319,87 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     require(n >= 1, s"scrubDupSpans: need n >= 1, got $n")
     require(minDocs >= 2, s"scrubDupSpans: minDocs < 2 would scrub " +
       s"every token of every doc with length >= n, got $minDocs")
+    val toks = cachedTokenFrame(docs, idCol, textCol)
+    val occ = positionalSpans(toks, idCol, n)
+    val spanDocs = occ.select(col("_g"), col(idCol)).distinct()
+      .groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
+    val hits = occ.join(spanDocs.filter(col("_nd") >= minDocs), Seq("_g"))
+    rebuildWithoutSpans(toks, hits, idCol, n)
+  }
+
+  /** Benchmark-decontamination REWRITE — the surgical counterpart of
+    * the [[contaminationHits]]/[[contaminationHitsNgram]] PROFILES:
+    * remove every token covered by an n-token span that appears
+    * verbatim in the probe (benchmark / held-out eval) set, instead of
+    * dropping or merely flagging the whole document. A 10k-token page
+    * that quotes one eval question should lose the quote, not its
+    * life — the doc-level drop both over-deletes (the other 9.99k
+    * tokens) and under-protects (a flagged-but-kept doc still leaks
+    * the benchmark verbatim).
+    *
+    * Plan: the probe side collapses to its DISTINCT span-fingerprint
+    * set (benchmark-scale, typically thousands of grams); the corpus
+    * side streams positional span fingerprints into one equi join on
+    * the gram key — the [[contaminationHitsNgram]] shape, so no
+    * per-pair text scan and no broadcast requirement; coverage union
+    * and the order-preserving rebuild are shared with
+    * [[scrubDupSpans]]. A probe gram shared by many corpus docs is
+    * ordinary join skew (AQE territory), never a pairwise blow-up.
+    *
+    * Emits (idCol, scrubbed_text, n_removed) for EVERY corpus doc; a
+    * fully-covered doc yields the empty string, never NULL.
+    */
+  def scrubContaminated(docs: DataFrame, idCol: String, textCol: String,
+      probes: DataFrame, probeTextCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"scrubContaminated: need n >= 1, got $n")
+    val toks = cachedTokenFrame(docs, idCol, textCol)
+    val probeToks = probes.select(
+      coalesce(tokens(col(probeTextCol)), array().cast("array<string>")).as("_t"))
+    val probeGrams = positionalSpans(
+        probeToks.withColumn("_pid", monotonically_increasing_id()), "_pid", n)
+      .select(col("_g")).distinct()
+    val hits = positionalSpans(toks, idCol, n).join(probeGrams, Seq("_g"))
+    rebuildWithoutSpans(toks, hits, idCol, n)
+  }
+
+  /** Cached (idCol, _t) token frame shared by a scrub's occurrence
+    * stream and its rebuild join (the shared-consumer lesson — an
+    * uncut lineage re-tokenizes the corpus once per consumer).
+    */
+  private def cachedTokenFrame(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = docs.select(col(idCol),
         coalesce(tokens(col(textCol)), array().cast("array<string>")).as("_t"))
       .cache()
-    toks.count() // eager: the occurrence stream and the rebuild join
-                 // both read this frame (the shared-consumer lesson)
-    // guarded sequence: size < n means NO spans — a bare
-    // sequence(1, size-n+1) would count BACKWARD [1, 0] and fabricate
-    // phantom positions
+    toks.count()
+    toks
+  }
+
+  /** Positional n-token span fingerprints (idCol, _pos, _g) of a
+    * token frame. Guarded sequence: size < n means NO spans — a bare
+    * sequence(1, size-n+1) would count BACKWARD [1, 0] and fabricate
+    * phantom positions.
+    */
+  private def positionalSpans(toks: DataFrame, idCol: String,
+      n: Int): DataFrame = {
     val starts = when(size(col("_t")) >= n,
       sequence(lit(1), size(col("_t")) - (n - 1)))
       .otherwise(array().cast("array<int>"))
-    val occ = toks.select(col(idCol),
+    toks.select(col(idCol),
       explode(transform(starts, i =>
         struct(i.as("pos"),
           md5(concat_ws(" ", slice(col("_t"), i, lit(n)))).as("g")))).as("_o"))
       .select(col(idCol), col("_o.pos").as("_pos"), col("_o.g").as("_g"))
-    val spanDocs = occ.select(col("_g"), col(idCol)).distinct()
-      .groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
-    val covered = occ.join(spanDocs.filter(col("_nd") >= minDocs), Seq("_g"))
+  }
+
+  /** Shared rewrite tail: expand hit spans (idCol, _pos, …) to covered
+    * positions, collapse to ONE bounded array per doc, and rebuild the
+    * text as an order-preserving projection over the cached token
+    * frame.
+    */
+  private def rebuildWithoutSpans(toks: DataFrame, hits: DataFrame,
+      idCol: String, n: Int): DataFrame = {
+    val covered = hits
       .select(col(idCol), explode(sequence(col("_pos"), col("_pos") + (n - 1))).as("_cp"))
       .distinct()
       .groupBy(col(idCol)).agg(collect_list(col("_cp")).as("_cov"))

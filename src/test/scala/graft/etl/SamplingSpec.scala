@@ -186,4 +186,65 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
+
+  test("uniMaxBudgets: leveling, binding caps, and the lexicographic remainder") {
+    // no cap binds: near-equal integer partition, remainder to 'a'
+    val b1 = Sampling.uniMaxBudgets(Map("a" -> 5L, "b" -> 5L, "c" -> 5L), 10L, 1)
+    assert(b1 === Map("a" -> 4L, "b" -> 3L, "c" -> 3L))
+    // a tiny source binds at its cap, the rest re-level
+    val b2 = Sampling.uniMaxBudgets(
+      Map("s" -> 1L, "big" -> 100L, "mid" -> 50L), 30L, 2)
+    assert(b2 === Map("s" -> 2L, "big" -> 14L, "mid" -> 14L))
+    // budget above the total cap: everyone capped, leftover unassigned
+    val b3 = Sampling.uniMaxBudgets(Map("a" -> 3L, "b" -> 4L), 100L, 2)
+    assert(b3 === Map("a" -> 6L, "b" -> 8L))
+    // invariants on a mixed case
+    val counts = Map("w" -> 7L, "x" -> 19L, "y" -> 2L, "z" -> 401L)
+    val b4 = Sampling.uniMaxBudgets(counts, 300L, 4)
+    assert(b4.values.sum === math.min(300L,
+      counts.values.map(_ * 4).sum))
+    counts.foreach { case (s, n) => assert(b4(s) <= n * 4) }
+    intercept[IllegalArgumentException](Sampling.uniMaxBudgets(Map.empty, 1L, 1))
+    intercept[IllegalArgumentException](
+      Sampling.uniMaxBudgets(Map("a" -> 1L), 1L, 0))
+  }
+
+  test("epochMix: full passes repeat every row, partial epoch is the md5 subset") {
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "a", "w w"), (3L, "b", "w w w w w"))
+      .toDF("id", "src", "text")
+    val wc = size(split(trim(col("text")), "\\s+"))
+    // token volumes a=5, b=5; budget 15, cap 2 epochs → caps 10/10,
+    // share 7+remainder → a=8 (full 1, frac 3/5), b=7 (full 1, frac 2/5)
+    val got = Sampling.epochMix(docs, "src", col("id"), wc, 15L, 2)
+      .select(col("id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    val e1 = got.filter(_._3 == 1L).map(_._1)
+    assert(e1 === Seq(1L, 2L, 3L), "every row gets the full pass")
+    assert(got.forall(_._3 <= 2L), "the epoch cap holds")
+    // partial-epoch membership replays the salted md5 threshold
+    def inPartial(id: Long, frac: Double): Boolean =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s"$id:ep") <
+        Sampling.hexThreshold(frac)
+    val expect2 = Seq(1L -> 0.6, 2L -> 0.6, 3L -> 0.4)
+      .collect { case (id, f) if inPartial(id, f) => id }
+    assert(got.filter(_._3 == 2L).map(_._1) === expect2)
+    // determinism
+    val again = Sampling.epochMix(docs, "src", col("id"), wc, 15L, 2)
+      .select(col("id"), col("src"), col("epoch"))
+      .as[(Long, String, Long)].collect().toSeq.sorted
+    assert(again === got)
+  }
+
+  test("epochMix: a budget at the total cap yields exact full epochs, no partial") {
+    val docs = Seq(
+      (1L, "a", "w w w"), (2L, "b", "w w"), (3L, null.asInstanceOf[String], "w"))
+      .toDF("id", "src", "text")
+    val wc = size(split(trim(col("text")), "\\s+"))
+    // caps: a=9, b=6 at 3 epochs; budget 100 > 15 → both fully capped
+    val got = Sampling.epochMix(docs, "src", col("id"), wc, 100L, 3)
+      .select(col("id"), col("epoch")).as[(Long, Long)].collect().toSeq.sorted
+    assert(got === Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 2L,
+      2L -> 3L).sorted, "capped strata repeat exactly maxEpochs; NULL stratum drops")
+  }
 }

@@ -100,4 +100,48 @@ class ClusteringSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
     assert(!plan.contains("Join"), s"unexpected join:\n$plan")
   }
+
+  test("prototypicalityPrune: hard and easy halves partition each cluster") {
+    val df = pts.toDF("id", "vec")
+    val assign = Clustering.kmeansAssignQuantized(df, "vec", "id",
+        k = 3, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    def prune(hard: Boolean) =
+      Clustering.prototypicalityPrune(df, "vec", "id", k = 3, iterations = 2,
+          keepFrac = 0.5, keepHard = hard)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val hard = prune(true)
+    val easy = prune(false)
+    assert((hard ++ easy) === assign, "halves cover the assignment")
+    assert(hard.intersect(easy).isEmpty, "halves are disjoint")
+    // within each cluster every kept-hard distance exceeds every
+    // kept-easy distance — the cut is per-cluster, not global
+    for (cid <- assign.map(_._2)) {
+      val h = hard.collect { case (_, c, d) if c == cid => d }
+      val e = easy.collect { case (_, c, d) if c == cid => d }
+      if (h.nonEmpty && e.nonEmpty)
+        assert(h.min > e.max, s"cluster $cid: hard ${h.min} <= easy ${e.max}")
+    }
+    // per-cluster replay of the exact-percentile cut (linear
+    // interpolation at p = 0.5, ties land in the easy half)
+    val expectedHard = assign.groupBy(_._2).flatMap { case (_, rows) =>
+      val ds = rows.toSeq.map(_._3.toDouble).sorted
+      val idx = 0.5 * (ds.size - 1)
+      val lo = ds(idx.toInt)
+      val med = lo + (idx - idx.toInt) * (ds(math.ceil(idx).toInt) - lo)
+      rows.filter(_._3.toDouble > med)
+    }.toSet
+    assert(hard === expectedHard)
+  }
+
+  test("prototypicalityPrune: boundary fractions keep all / none") {
+    val df = pts.toDF("id", "vec")
+    val all = Clustering.prototypicalityPrune(df, "vec", "id", 3, 2,
+      keepFrac = 1.0).count()
+    val none = Clustering.prototypicalityPrune(df, "vec", "id", 3, 2,
+      keepFrac = 0.0).count()
+    assert(all === 9L && none === 0L)
+    intercept[IllegalArgumentException](
+      Clustering.prototypicalityPrune(df, "vec", "id", 3, 2, keepFrac = 1.5))
+  }
 }

@@ -329,6 +329,39 @@ class RetrievalSpec extends SparkSpec {
       TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 3, minDocs = 1))
   }
 
+  test("scrubContaminated: probe spans removed, clean docs untouched") {
+    val docs = Seq(
+      (0L, "a b c d e"),       // contains probe span "a b c" → loses 1-3
+      (1L, "x y z w v"),       // clean → untouched
+      (2L, "q q a b c"),       // → loses 3-5
+      (3L, ""),                // empty
+      (4L, "a b"))             // shorter than n → untouched
+      .toDF("doc_id", "text")
+    val probes = Seq(Tuple1("a b c")).toDF("ptext")
+    val got = TextAnalysis.scrubContaminated(docs, "doc_id", "text",
+        probes, "ptext", n = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (0L, "d e", 3L),
+      (1L, "x y z w v", 0L),
+      (2L, "q q", 3L),
+      (3L, "", 0L),
+      (4L, "a b", 0L)))
+    // a longer probe contributes ALL its internal n-grams, and
+    // overlapping covered spans union (not double-remove)
+    val probes2 = Seq(Tuple1("a b c d")).toDF("ptext") // grams: abc, bcd
+    val got2 = TextAnalysis.scrubContaminated(docs, "doc_id", "text",
+        probes2, "ptext", n = 3)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got2.head === ((0L, "e", 4L)))
+    // a probe shorter than n contributes no grams — nothing scrubbed
+    val probes3 = Seq(Tuple1("a b")).toDF("ptext")
+    val got3 = TextAnalysis.scrubContaminated(docs, "doc_id", "text",
+        probes3, "ptext", n = 3)
+      .as[(Long, String, Long)].collect()
+    assert(got3.forall(_._3 == 0L))
+  }
+
   test("knnLabelNoise: disagreement votes match brute force, self excluded") {
     // cluster A near (1,0) labeled 1 — except vec 2, mislabeled 9;
     // cluster B near (0,1) labeled 2 — 3 members, so B's points vote
