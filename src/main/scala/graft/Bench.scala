@@ -77,8 +77,11 @@ object Bench {
       val dir = java.nio.file.Paths.get("/root/repo")
       val out = if (java.nio.file.Files.isDirectory(dir)) dir.resolve("BENCH_TOTAL.json")
                 else java.nio.file.Paths.get("BENCH_TOTAL.json")
+      // ONE JSON document — a second line would break a plain
+      // json.load on the sidecar ("Extra data"); the short line
+      // already exists on stdout for tail captures
       java.nio.file.Files.write(out,
-        (fullJson + "\n" + shortJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     spark.stop()
   }
