@@ -69,6 +69,37 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy("doc_id", "epoch")
   }
+
+  /** The q168 epoch plan feeding the q100 packing window — the shape
+    * a pretraining run actually executes: mix → order → pack. The
+    * replicated corpus concatenates in composite (epoch, doc) order
+    * within each source stream (epoch·10¹² + doc_id — epochs run
+    * sequentially, each a full deterministic pass), and every
+    * (doc, epoch) occurrence gets its token interval and the fixed
+    * 512-token training sequences it spans. One window exchange on
+    * the stream key over the generator output; the oracle chains the
+    * UniMax allocation INTO the running-sum window, so a wrong epoch
+    * count shifts every downstream pack id and breaks the hash.
+    */
+  def epochPacking(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val total = docs.filter(col("source").isNotNull)
+      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    val mixed = Sampling.epochMix(
+        docs.select(col("doc_id"), col("source"), col("text")),
+        "source", col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        budget = 2L * total, maxEpochs = 3)
+      .withColumn("eid", col("epoch") * lit(1000000000000L) + col("doc_id"))
+    graft.ext.Chunking.packingPlan(mixed, "text", "eid", "source",
+        budget = 512)
+      .select(col("eid"),
+        (col("eid") % 1000000000000L).as("doc_id"),
+        (col("eid") / 1000000000000L).cast("long").as("epoch"),
+        col("source"), col("n_tokens"), col("start_tok"), col("end_tok"),
+        col("first_pack"), col("last_pack"))
+      .orderBy("eid")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound11c]] queries. */
@@ -123,7 +154,38 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
     // — full passes via generate_series, the fractional epoch via the
     // md5 threshold at the exact remainder fraction
     "q168_epoch_mix" ->
-      """WITH d AS (
+      s"""WITH $epochMixCtesSql
+         |SELECT doc_id, source, epoch FROM mix
+         |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the q168 epoch plan feeding the q100 packing window: the
+    // replicated corpus orders by the composite (epoch, doc) id
+    // within each source stream, running token sums and pack spans
+    // replay over it
+    "q169_epoch_packing" ->
+      s"""WITH $epochMixCtesSql,
+         |e AS (
+         |  SELECT m.epoch * 1000000000000 + m.doc_id AS eid,
+         |    m.doc_id, m.epoch, m.source, CAST(d.ntok AS BIGINT) AS n_tokens
+         |  FROM mix m JOIN d USING (doc_id, source))
+         |SELECT eid, doc_id, epoch, source, n_tokens,
+         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
+         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
+         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS first_pack,
+         |  CAST(floor(greatest(sum(n_tokens) OVER w - 1,
+         |             sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS last_pack
+         |FROM e
+         |WINDOW w AS (PARTITION BY source ORDER BY eid)
+         |ORDER BY eid""".stripMargin,
+  )
+
+  /** The q168 UniMax allocation + epoch materialization, through a
+    * final `mix(doc_id, source, epoch)` CTE (per-doc token counts stay
+    * visible as `d(doc_id, source, ntok)`) — ONE source of truth for
+    * q168's plan gate and the q169 packing composition built on it.
+    */
+  protected val epochMixCtesSql: String =
+      """d AS (
         |  SELECT doc_id, source,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
         |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS ntok
@@ -168,9 +230,6 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
         |part AS (
         |  SELECT d.doc_id, d.source, CAST(t.fe + 1 AS BIGINT) AS epoch
         |  FROM d JOIN thr t USING (source)
-        |  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':ep') < t.h)
-        |SELECT doc_id, source, epoch
-        |FROM (SELECT * FROM fulle UNION ALL SELECT * FROM part)
-        |ORDER BY doc_id, epoch""".stripMargin,
-  )
+        |  WHERE md5(CAST(d.doc_id AS VARCHAR) || ':ep') < t.h),
+        |mix AS (SELECT * FROM fulle UNION ALL SELECT * FROM part)""".stripMargin
 }

@@ -205,6 +205,7 @@ object SparkEntry {
     "q166_prototype_prune" -> ((s, d) => PipelinesExt.prototypePrune(s, d)),
     "q167_decontam_scrub" -> ((s, d) => PipelinesExt.decontamScrub(s, d)),
     "q168_epoch_mix" -> ((s, d) => PipelinesExt.epochMixPlan(s, d)),
+    "q169_epoch_packing" -> ((s, d) => PipelinesExt.epochPacking(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -297,8 +297,25 @@ object Sampling {
       .agg(sum(weightCol.cast("long")).as("_n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     require(counts.nonEmpty, s"epochMix: no rows with non-NULL '$strataCol'")
+    epochMixFromCounts(df, strataCol, keyCol, counts, budget, maxEpochs,
+      epochCol)
+  }
+
+  /** [[epochMix]] with the per-stratum token volumes supplied by the
+    * caller — the [[temperatureFracs]] decoupling: counts may come
+    * from the in-plan aggregate above, a stored stats table, or a
+    * streaming-maintained state table
+    * ([[graft.streaming.StreamingFeatures.maintainAggState]]), so at
+    * 100 TB re-planning epochs against CURRENT volumes costs zero
+    * extra aggregation. Strata absent from `counts` are excluded
+    * (same posture as a NULL stratum: no volume, no budget to charge).
+    */
+  def epochMixFromCounts(df: DataFrame, strataCol: String, keyCol: Column,
+      counts: Map[String, Long], budget: Long, maxEpochs: Int,
+      epochCol: String = "epoch"): DataFrame = {
+    require(counts.nonEmpty, "epochMixFromCounts: counts must be non-empty")
     require(counts.values.forall(_ > 0),
-      s"epochMix: every stratum needs positive token volume, got $counts")
+      s"epochMixFromCounts: every stratum needs positive token volume, got $counts")
     val budgets = uniMaxBudgets(counts, budget, maxEpochs)
     val strata = counts.keys.toSeq.sorted
     val full = strata.foldLeft(lit(0L)) { (acc, s) =>

@@ -196,6 +196,53 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("epochMix served from maintained token volumes ≡ batch plan") {
+    // the data-constrained plan at scale: per-source token volumes
+    // live in a maintainAggState table; re-planning epochs against
+    // CURRENT volumes costs zero extra aggregation and must produce
+    // the SAME (doc, epoch) set as the batch epochMix (whose volumes
+    // come from its own in-plan agg)
+    import graft.operators.IncrementalAgg
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars")
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-emix-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    val keys = Seq("source")
+    val stateSchema = IncrementalAgg.build(
+      spark.read.parquet(streamDir), keys, "n_chars").schema
+    store.createTable(FeatureTableSpec("src_volumes", keys, stateSchema,
+      "per-source token volumes"))
+    val ckpt = Files.createTempDirectory("graft-emix-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val q1 = StreamingFeatures.maintainAggState(stream, store, "src_volumes",
+      keys, "n_chars", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainAggState(stream, store, "src_volumes",
+      keys, "n_chars", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+
+    val maintained = store.readTable("src_volumes")
+      .select(col("source"), col("sm").cast("long"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val budget = 2L * maintained.values.sum
+    val served = graft.etl.Sampling.epochMixFromCounts(docs, "source",
+        col("doc_id"), maintained, budget, maxEpochs = 3)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.etl.Sampling.epochMix(docs, "source",
+        col("doc_id"), col("n_chars"), budget, maxEpochs = 3)
+      .select("doc_id", "epoch").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(served == batch,
+      "epoch plan from streaming-maintained volumes must equal the batch plan")
+    assert(served.nonEmpty)
+  }
+
   test("numericDrift served from maintained bin counts ≡ batch drift") {
     // the drift-at-scale posture made real: the CURRENT snapshot's
     // per-bin histogram lives in a maintainAggState table (the stream
