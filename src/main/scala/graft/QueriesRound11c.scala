@@ -70,6 +70,26 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id", "epoch")
   }
 
+  /** Quantile-normalized quality ensemble: the four q24 signals
+    * (token count, average word length, punctuation ratio, stopword
+    * ratio) each map to their exact decile bin and the ensemble is
+    * the integer bin sum — rank fusion whose ORDERING is
+    * engine-portable (a weighted-double blend would be ulp-fragile at
+    * every cut boundary). One aggregate fits all four edge arrays
+    * simultaneously; scoring is a projection under the broadcast
+    * 1-row edge frame.
+    */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val sig = t(s, d, "documents").select(
+      col("doc_id") +:
+        TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+    graft.etl.Discretize.ensembleQuantileScore(sig,
+        Seq("n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio"),
+        nBins = 10)
+      .select(col("doc_id"), col("ensemble_q"))
+      .orderBy("doc_id")
+  }
+
   /** The q168 epoch plan feeding the q100 packing window — the shape
     * a pretraining run actually executes: mix → order → pack. The
     * replicated corpus concatenates in composite (epoch, doc) order
@@ -157,6 +177,35 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
       s"""WITH $epochMixCtesSql
          |SELECT doc_id, source, epoch FROM mix
          |ORDER BY doc_id, epoch""".stripMargin,
+
+    // the four q24 signal expressions, one quantile_cont per signal
+    // over the whole corpus (the q166 percentile contract), then the
+    // integer bin-sum fusion
+    "q170_quality_ensemble" ->
+      s"""WITH f AS (SELECT doc_id,
+         |    CAST(length(text) AS DOUBLE) AS nc,
+         |    CAST($tokenCountSql AS DOUBLE) AS nt,
+         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+         |    CAST(${stopHitsSql(graft.ext.TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |    nt AS s0,
+         |    CASE WHEN nt > 0 THEN nc / nt ELSE 0.0e0 END AS s1,
+         |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0e0 END AS s2,
+         |    CASE WHEN nt > 0 THEN ns / nt ELSE 0.0e0 END AS s3
+         |  FROM f),
+         |e AS (SELECT
+         |    quantile_cont(s0, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e0,
+         |    quantile_cont(s1, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e1,
+         |    quantile_cont(s2, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e2,
+         |    quantile_cont(s3, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e3
+         |  FROM s)
+         |SELECT doc_id,
+         |  CAST(len(list_filter(e0, x -> x <= s0))
+         |     + len(list_filter(e1, x -> x <= s1))
+         |     + len(list_filter(e2, x -> x <= s2))
+         |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
+         |FROM s, e ORDER BY doc_id""".stripMargin,
 
     // the q168 epoch plan feeding the q100 packing window: the
     // replicated corpus orders by the composite (epoch, doc) id

@@ -206,6 +206,7 @@ object SparkEntry {
     "q167_decontam_scrub" -> ((s, d) => PipelinesExt.decontamScrub(s, d)),
     "q168_epoch_mix" -> ((s, d) => PipelinesExt.epochMixPlan(s, d)),
     "q169_epoch_packing" -> ((s, d) => PipelinesExt.epochPacking(s, d)),
+    "q170_quality_ensemble" -> ((s, d) => PipelinesExt.qualityEnsemble(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

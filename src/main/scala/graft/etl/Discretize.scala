@@ -72,6 +72,46 @@ object Discretize {
       .as("_edges"))
   }
 
+  /** Multi-signal quality ensemble by quantile normalization — the
+    * robust way to combine heterogeneous curation signals (length,
+    * punctuation ratio, stopword ratio, LM score …) whose raw scales
+    * are incomparable: each signal maps to its quantile bin
+    * (rank-normalization without a global sort — the q108
+    * single-partition-window cliff never appears), and the ensemble
+    * score is the exact integer SUM of bins, so the fused ordering is
+    * engine-portable where any weighted-double blend would be
+    * ulp-fragile. The corpus-scale sibling of the bounded-list
+    * `rrfFuse`: same Borda-style rank fusion, but as two corpus scans
+    * (ONE aggregate fits every signal's exact percentile edges
+    * simultaneously; scoring is a pure projection under the broadcast
+    * 1-row edge frame) instead of a per-candidate loop.
+    *
+    * A NULL in ANY signal yields a NULL ensemble score (a row that
+    * cannot be ranked on some dimension must not outrank one that
+    * can); filter or coalesce downstream per policy. Cut the kept set
+    * with a percentile threshold or [[Sampling.topFractionBy]] over
+    * `outCol` + a deterministic tie-break.
+    */
+  def ensembleQuantileScore(df: DataFrame, valueCols: Seq[String],
+      nBins: Int, outCol: String = "ensemble_q"): DataFrame = {
+    require(valueCols.nonEmpty, "ensembleQuantileScore: need >= 1 signal")
+    require(nBins >= 2, s"ensembleQuantileScore: need nBins >= 2, got $nBins")
+    require(!df.columns.contains(outCol),
+      s"ensembleQuantileScore: column '$outCol' already exists")
+    val probs = (1 until nBins).map(i => i.toDouble / nBins)
+    val aggs = valueCols.zipWithIndex.map { case (c, i) =>
+      expr(s"percentile($c, array(${probs.mkString(", ")}))").as(s"_edges_$i")
+    }
+    val edges = df.agg(aggs.head, aggs.tail: _*)
+    val score = valueCols.zipWithIndex.map { case (c, i) =>
+      when(col(c).isNull, lit(null).cast("long"))
+        .otherwise(size(filter(col(s"_edges_$i"), e => e <= col(c))).cast("long"))
+    }.reduce(_ + _)
+    df.crossJoin(broadcast(edges))
+      .withColumn(outCol, score)
+      .drop(valueCols.indices.map(i => s"_edges_$i"): _*)
+  }
+
   /** Attach `outCol` = bin of `valueCol` under a fitted `_edges`
     * frame (from [[quantileEdges]], possibly of a DIFFERENT
     * snapshot). */

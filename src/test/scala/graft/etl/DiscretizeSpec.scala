@@ -65,4 +65,41 @@ class DiscretizeSpec extends SparkSpec {
     // explain would throw on an invalid plan
     assert(planned.queryExecution.logical != null)
   }
+
+  test("ensembleQuantileScore: bin sum matches per-signal bins; NULL poisons") {
+    // two signals pulling in OPPOSITE directions — the ensemble must
+    // agree with the sum of the independently fitted per-signal bins
+    val df = Seq(
+      (1L, 10.0, 0.9), (2L, 20.0, 0.7), (3L, 30.0, 0.5), (4L, 40.0, 0.3))
+      .toDF("id", "a", "b")
+    val got = Discretize.ensembleQuantileScore(df, Seq("a", "b"), nBins = 4)
+      .select("id", "ensemble_q").as[(Long, Long)].collect().toMap
+    val binsA = Discretize.withQuantileBins(df, "a", 4, "ba")
+      .select("id", "ba").as[(Long, Int)].collect().toMap
+    val binsB = Discretize.withQuantileBins(df, "b", 4, "bb")
+      .select("id", "bb").as[(Long, Int)].collect().toMap
+    df.select("id").as[Long].collect().foreach { id =>
+      assert(got(id) === binsA(id).toLong + binsB(id).toLong, s"id $id")
+    }
+    // opposite monotonicity really fused: neither signal's own order
+    assert(got.values.toSet.size < 4 || got(1L) != got.values.max)
+    // a NULL in any signal yields a NULL ensemble; other rows unaffected
+    val withNull = Seq(
+      (1L, Some(10.0), Some(0.9)), (2L, None, Some(0.7)),
+      (3L, Some(30.0), Some(0.5)))
+      .toDF("id", "a", "b")
+    val gotN = Discretize.ensembleQuantileScore(withNull, Seq("a", "b"), 4)
+      .select("id", "ensemble_q").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    assert(gotN(2L).isEmpty && gotN(1L).nonEmpty && gotN(3L).nonEmpty)
+    // guards
+    assert(intercept[IllegalArgumentException] {
+      Discretize.ensembleQuantileScore(df, Seq.empty, 4)
+    }.getMessage.contains("signal"))
+    assert(intercept[IllegalArgumentException] {
+      Discretize.ensembleQuantileScore(
+        df.withColumn("ensemble_q", lit(0)), Seq("a"), 4)
+    }.getMessage.contains("already exists"))
+  }
 }
