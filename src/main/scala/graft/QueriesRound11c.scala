@@ -90,6 +90,17 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** T5 span-corruption masking plan: every mask decision is
+    * md5(doc:pos) against the noiseFrac/spanLen threshold, so the
+    * corrupted input, the sentinel-delimited target, and both
+    * counters replay exactly — the training-data construction is
+    * byte-reproducible, not an RNG draw.
+    */
+  def spanCorruption(s: SparkSession, d: String): DataFrame =
+    graft.ext.Denoise.spanCorruptionPlan(t(s, d, "documents"),
+        "doc_id", "text", noiseFrac = 0.15, spanLen = 3)
+      .orderBy("doc_id")
+
   /** The q168 epoch plan feeding the q100 packing window — the shape
     * a pretraining run actually executes: mix → order → pack. The
     * replicated corpus concatenates in composite (epoch, doc) order
@@ -206,6 +217,40 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |     + len(list_filter(e2, x -> x <= s2))
          |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
          |FROM s, e ORDER BY doc_id""".stripMargin,
+
+    // every mask decision replays: md5(doc:pos:sc) under the replayed
+    // printf threshold, L-window coverage, maximal-run starts, and
+    // both sentinel rebuilds — list HOFs over the same position space
+    "q171_span_corruption" ->
+      s"""WITH t AS (SELECT doc_id, $rawTokensCaseSql AS w FROM documents),
+         |b AS (SELECT doc_id, w, len(w) AS n,
+         |    list_transform(range(1, len(w) + 1), i ->
+         |      md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR) || ':sc')
+         |        < printf('%08x', CAST(floor(0.15e0 / 3.0e0 * 4294967296.0e0) AS BIGINT))) AS st
+         |  FROM t),
+         |m AS (SELECT doc_id, w, n, st,
+         |    list_transform(range(1, n + 1), j ->
+         |      len(list_filter(range(greatest(j - 2, 1), j + 1), s -> st[s])) > 0) AS mk
+         |  FROM b),
+         |r AS (SELECT doc_id, w, n, mk,
+         |    list_filter(range(1, n + 1), j -> mk[j] AND (j = 1 OR NOT mk[j-1])) AS runs
+         |  FROM m)
+         |SELECT doc_id,
+         |  coalesce(array_to_string(flatten(list_transform(range(1, n + 1), j ->
+         |    CASE WHEN mk[j] THEN
+         |      CASE WHEN list_contains(runs, j)
+         |        THEN ['<extra_id_' || CAST(list_position(runs, j) AS VARCHAR) || '>']
+         |        ELSE CAST([] AS VARCHAR[]) END
+         |    ELSE [w[j]] END)), ' '), '') AS input_text,
+         |  coalesce(array_to_string(flatten(list_transform(range(1, n + 1), j ->
+         |    CASE WHEN mk[j] THEN
+         |      CASE WHEN list_contains(runs, j)
+         |        THEN ['<extra_id_' || CAST(list_position(runs, j) AS VARCHAR) || '>', w[j]]
+         |        ELSE [w[j]] END
+         |    ELSE CAST([] AS VARCHAR[]) END)), ' '), '') AS target_text,
+         |  CAST(len(list_filter(mk, x -> x)) AS BIGINT) AS n_masked,
+         |  CAST(len(runs) AS BIGINT) AS n_spans
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     // the q168 epoch plan feeding the q100 packing window: the
     // replicated corpus orders by the composite (epoch, doc) id

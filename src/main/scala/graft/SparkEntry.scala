@@ -207,6 +207,7 @@ object SparkEntry {
     "q168_epoch_mix" -> ((s, d) => PipelinesExt.epochMixPlan(s, d)),
     "q169_epoch_packing" -> ((s, d) => PipelinesExt.epochPacking(s, d)),
     "q170_quality_ensemble" -> ((s, d) => PipelinesExt.qualityEnsemble(s, d)),
+    "q171_span_corruption" -> ((s, d) => PipelinesExt.spanCorruption(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

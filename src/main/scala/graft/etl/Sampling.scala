@@ -32,7 +32,7 @@ object Sampling {
     * 32-bit prefix is below it (an 8-char-prefix tie compares GREATER,
     * matching the half-open [0, frac) bucket).
     */
-  private[etl] def hexThreshold(frac: Double): String = {
+  private[graft] def hexThreshold(frac: Double): String = {
     require(frac >= 0.0 && frac <= 1.0,
       s"sampling fraction must be in [0,1], got $frac")
     // 'g' sorts above every hex digit — the keep-everything sentinel
