@@ -101,6 +101,80 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         "doc_id", "text", noiseFrac = 0.15, spanLen = 3)
       .orderBy("doc_id")
 
+  /** TPC-H Q12 shape (adapted — the fixture carries no
+    * l_shipmode/l_commitdate, so the category is l_returnflag and the
+    * window rides l_shipdate): one fact⋈fact equi join on the order
+    * key, then conditional priority counts per category — the
+    * two-bucket CASE pivot every ops dashboard runs. All-integer
+    * cells, exact at any scale; at 100 TB both sides shuffle on the
+    * shared order key and the counts ride map-side partials.
+    */
+  def shipPriorityCounts(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date"))
+      .select(col("l_orderkey"), col("l_returnflag"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q9 shape (adapted — no partsupp table, so profit is the
+    * discounted revenue of the filtered parts): lineitem joins part
+    * (name filter), supplier→nation, and orders (for the year), then
+    * rolls profit up by (nation, year). The dims broadcast; the two
+    * fact joins shuffle on their own keys; the DECIMAL sum is exact
+    * and casts to double only at the edge (§5.3).
+    */
+  def profitByNationYear(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+    t(s, d, "lineitem")
+      .join(broadcast(t(s, d, "part").filter(col("p_name").contains("red"))
+        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
+        .cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q16 shape (adapted — the distinct (part, supplier) pairs
+    * observed in lineitem stand in for partsupp, and negative-balance
+    * suppliers for the complaints exclusion): supplier counts per
+    * part attribute group, with the excluded suppliers LEFT
+    * ANTI-joined out BEFORE the distinct count. The anti join and
+    * the count-distinct Expand both key on the supplier/part ids —
+    * no dimension explosion at any scale.
+    */
+  def partSupplierCounts(s: SparkSession, d: String): DataFrame = {
+    val ps = t(s, d, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(t(s, d, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_anti")
+    ps.join(broadcast(t(s, d, "part")
+        .filter(col("p_brand") =!= "Brand#4" &&
+          !col("p_type").startsWith("MEDIUM") &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   /** The q168 epoch plan feeding the q100 packing window — the shape
     * a pretraining run actually executes: mix → order → pack. The
     * replicated corpus concatenates in composite (epoch, doc) order
@@ -217,6 +291,42 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |     + len(list_filter(e2, x -> x <= s2))
          |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
          |FROM s, e ORDER BY doc_id""".stripMargin,
+
+    "q172_ship_priority" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q173_profit_rollup" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    "q174_part_supplier_counts" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT ps.l_partkey, ps.l_suppkey FROM ps
+        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
+        |    WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand != 'Brand#4' AND p_type NOT LIKE 'MEDIUM%'
+        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     // every mask decision replays: md5(doc:pos:sc) under the replayed
     // printf threshold, L-window coverage, maximal-run starts, and

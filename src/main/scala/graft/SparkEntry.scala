@@ -208,6 +208,9 @@ object SparkEntry {
     "q169_epoch_packing" -> ((s, d) => PipelinesExt.epochPacking(s, d)),
     "q170_quality_ensemble" -> ((s, d) => PipelinesExt.qualityEnsemble(s, d)),
     "q171_span_corruption" -> ((s, d) => PipelinesExt.spanCorruption(s, d)),
+    "q172_ship_priority" -> ((s, d) => PipelinesExt.shipPriorityCounts(s, d)),
+    "q173_profit_rollup" -> ((s, d) => PipelinesExt.profitByNationYear(s, d)),
+    "q174_part_supplier_counts" -> ((s, d) => PipelinesExt.partSupplierCounts(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

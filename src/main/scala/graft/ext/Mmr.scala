@@ -50,6 +50,13 @@ object Mmr {
       maxCandidates: Int = 4096): DataFrame = {
     require(dims >= 1, s"mmrRerank: dims must be >= 1, got $dims")
     require(k >= 1, s"mmrRerank: k must be >= 1, got $k")
+    // each pick folds ALL previous picks back as literal-vector dot
+    // products, so iteration i carries an O(i·dims) expression —
+    // unbounded k would grow the final argmax's codegen quadratically
+    // (the maxCandidates discipline, enforced not advisory)
+    require(k <= 128,
+      s"mmrRerank: k=$k exceeds 128 — MMR re-ranks a short display/pool " +
+        "list; for larger selections compose a top-k scan with clustering")
     require(lambdaDen >= 1 && lambdaNum >= 0 && lambdaNum <= lambdaDen,
       s"mmrRerank: lambda must be a rational in [0,1], got $lambdaNum/$lambdaDen")
     val spark = candidates.sparkSession
