@@ -101,6 +101,16 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         "doc_id", "text", noiseFrac = 0.15, spanLen = 3)
       .orderBy("doc_id")
 
+  /** Fill-in-the-middle plan: half the corpus (md5-decided) splits at
+    * two md5-derived token cuts and re-serializes in PSM sentinel
+    * order; every cut decision and both boundary draws replay in the
+    * oracle, so the infilling training set is byte-reproducible.
+    */
+  def fimPlanDocs(s: SparkSession, d: String): DataFrame =
+    graft.ext.Denoise.fimPlan(t(s, d, "documents"), "doc_id", "text",
+        fimRate = 0.5)
+      .orderBy("doc_id")
+
   /** TPC-H Q12 shape (adapted — the fixture carries no
     * l_shipmode/l_commitdate, so the category is l_returnflag and the
     * window rides l_shipdate): one fact⋈fact equi join on the order
@@ -291,6 +301,39 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |     + len(list_filter(e2, x -> x <= s2))
          |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
          |FROM s, e ORDER BY doc_id""".stripMargin,
+
+    // both md5 decisions replay: the fim gate under the printf
+    // threshold, the two 13-hex-digit boundary draws (the q127
+    // strpos/list_reduce idiom, no +1 here) mod (n+1), then the PSM
+    // sentinel assembly over 1-based list slices
+    "q175_fim_plan" -> {
+      def u(salt: String): String =
+        s"""list_reduce(list_transform(range(1, 14),
+           |      i -> CAST(strpos('0123456789abcdef',
+           |        substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), i, 1)) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b)""".stripMargin
+      s"""WITH t AS (SELECT doc_id, $rawTokensCaseSql AS w FROM documents),
+         |b AS (SELECT doc_id, w, CAST(len(w) AS BIGINT) AS n,
+         |    md5(CAST(doc_id AS VARCHAR) || ':fim')
+         |      < printf('%08x', CAST(floor(0.5e0 * 4294967296.0e0) AS BIGINT)) AS fim,
+         |    ${u(":c1")} % (len(w) + 1) AS c1,
+         |    ${u(":c2")} % (len(w) + 1) AS c2
+         |  FROM t),
+         |c AS (SELECT doc_id, w, n, fim,
+         |    least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM b)
+         |SELECT doc_id,
+         |  CASE WHEN fim THEN coalesce(array_to_string(
+         |      list_concat(list_concat(list_concat(list_concat(list_concat(
+         |        ['<fim_prefix>'], w[1:lo]),
+         |        ['<fim_suffix>']), w[hi+1:n]),
+         |        ['<fim_middle>']), w[lo+1:hi]), ' '), '')
+         |    ELSE coalesce(array_to_string(w, ' '), '') END AS fim_text,
+         |  fim AS is_fim,
+         |  CAST(CASE WHEN fim THEN lo ELSE n END AS BIGINT) AS n_prefix,
+         |  CAST(CASE WHEN fim THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+         |  CAST(CASE WHEN fim THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix
+         |FROM c ORDER BY doc_id""".stripMargin
+    },
 
     "q172_ship_priority" ->
       """SELECT l_returnflag,

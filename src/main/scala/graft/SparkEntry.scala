@@ -211,6 +211,7 @@ object SparkEntry {
     "q172_ship_priority" -> ((s, d) => PipelinesExt.shipPriorityCounts(s, d)),
     "q173_profit_rollup" -> ((s, d) => PipelinesExt.profitByNationYear(s, d)),
     "q174_part_supplier_counts" -> ((s, d) => PipelinesExt.partSupplierCounts(s, d)),
+    "q175_fim_plan" -> ((s, d) => PipelinesExt.fimPlanDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -94,4 +94,63 @@ object Denoise {
       size(filter(col("_masked"), b => b)).cast("long").as("n_masked"),
       size(col("_runs")).cast("long").as("n_spans"))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022) as a
+    * deterministic data construction: a `fimRate` fraction of
+    * documents (decided by `md5(id:fim)` under the portable-hash
+    * threshold) is split at two token cuts into (prefix, middle,
+    * suffix) and re-serialized in PSM order —
+    * `<fim_prefix> P <fim_suffix> S <fim_middle> M` — so the model
+    * learns infilling; the rest pass through as their
+    * canonical-whitespace token join. Both cut positions derive from
+    * the 13-hex-digit md5 integer (the [[graft.etl.Sampling]]
+    * priority-u discipline) mod (n+1), giving each of the (n+1)
+    * boundary slots equal mass; the unordered pair sorts, so
+    * prefix/middle/suffix partition the document exactly and any
+    * segment may be empty (sentinels stay adjacent).
+    *
+    * One pure scan projection — no shuffle, no RNG state; a re-run or
+    * a backfill reproduces byte-identical training rows, and every
+    * cut decision replays in the oracle.
+    *
+    * Emits (idCol, fim_text, is_fim, n_prefix, n_middle, n_suffix);
+    * pass-through rows report the whole document as prefix.
+    */
+  def fimPlan(docs: DataFrame, idCol: String, textCol: String,
+      fimRate: Double = 0.5): DataFrame = {
+    require(fimRate >= 0.0 && fimRate <= 1.0,
+      s"fimPlan: fimRate must be in [0,1], got $fimRate")
+    val thr = graft.etl.Sampling.hexThreshold(fimRate)
+    val toks = coalesce(TextAnalysis.tokens(col(textCol)),
+      array().cast("array<string>"))
+
+    def u(salt: String): Column =
+      conv(substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 13),
+        16, 10).cast("long")
+
+    val base = docs.select(col(idCol), toks.as("_t"))
+      .withColumn("_n", size(col("_t")).cast("long"))
+      .withColumn("_fim",
+        md5(concat(col(idCol).cast("string"), lit(":fim"))) < lit(thr))
+      .withColumn("_c1", u(":c1") % (col("_n") + 1L))
+      .withColumn("_c2", u(":c2") % (col("_n") + 1L))
+      .withColumn("_lo", least(col("_c1"), col("_c2")))
+      .withColumn("_hi", greatest(col("_c1"), col("_c2")))
+    val prefix = slice(col("_t"), lit(1), col("_lo").cast("int"))
+    val middle = slice(col("_t"), col("_lo").cast("int") + 1,
+      (col("_hi") - col("_lo")).cast("int"))
+    val suffix = slice(col("_t"), col("_hi").cast("int") + 1,
+      (col("_n") - col("_hi")).cast("int"))
+    val fimToks = concat(
+      array(lit("<fim_prefix>")), prefix,
+      array(lit("<fim_suffix>")), suffix,
+      array(lit("<fim_middle>")), middle)
+    base.select(col(idCol),
+      when(col("_fim"), concat_ws(" ", fimToks))
+        .otherwise(concat_ws(" ", col("_t"))).as("fim_text"),
+      col("_fim").as("is_fim"),
+      when(col("_fim"), col("_lo")).otherwise(col("_n")).as("n_prefix"),
+      when(col("_fim"), col("_hi") - col("_lo")).otherwise(lit(0L)).as("n_middle"),
+      when(col("_fim"), col("_n") - col("_hi")).otherwise(lit(0L)).as("n_suffix"))
+  }
 }

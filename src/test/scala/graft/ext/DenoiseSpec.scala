@@ -95,6 +95,52 @@ class DenoiseSpec extends SparkSpec {
         "text", spanLen = 0))
   }
 
+  private def bruteFim(id: Long, text: String,
+      fimRate: Double): (String, Boolean, Long, Long, Long) = {
+    val toks = text.trim match {
+      case "" => Array.empty[String]
+      case s => s.split("\\s+")
+    }
+    val n = toks.length.toLong
+    val thr = if (fimRate == 1.0) "g"
+      else f"${(fimRate * 4294967296.0).toLong}%08x"
+    val fim = DigestUtils.md5Hex(s"$id:fim") < thr
+    def u(salt: String): Long =
+      java.lang.Long.parseLong(
+        DigestUtils.md5Hex(s"$id$salt").substring(0, 13), 16)
+    if (!fim) (toks.mkString(" "), false, n, 0L, 0L)
+    else {
+      val c1 = u(":c1") % (n + 1)
+      val c2 = u(":c2") % (n + 1)
+      val lo = math.min(c1, c2).toInt
+      val hi = math.max(c1, c2).toInt
+      val txt = (Seq("<fim_prefix>") ++ toks.take(lo) ++
+        Seq("<fim_suffix>") ++ toks.drop(hi) ++
+        Seq("<fim_middle>") ++ toks.slice(lo, hi)).mkString(" ")
+      (txt, true, lo.toLong, (hi - lo).toLong, n - hi)
+    }
+  }
+
+  test("fimPlan equals the driver-side md5 replay; segments partition") {
+    for (rate <- Seq(0.0, 0.5, 1.0)) {
+      val got = Denoise.fimPlan(docs.toDF("doc_id", "text"),
+          "doc_id", "text", fimRate = rate)
+        .as[(Long, String, Boolean, Long, Long, Long)]
+        .collect().sortBy(_._1).toSeq
+      val want = docs.sortBy(_._1).map { case (id, tx) =>
+        val (t, f, p, m, sfx) = bruteFim(id, tx, rate)
+        (id, t, f, p, m, sfx)
+      }
+      assert(got === want, s"rate=$rate")
+      got.zip(docs.sortBy(_._1)).foreach { case ((_, _, _, p, m, sfx), (_, tx)) =>
+        val nTok = tx.trim.split("\\s+").count(_.nonEmpty).toLong
+        assert(p + m + sfx === nTok, "segments partition the document")
+      }
+    }
+    intercept[IllegalArgumentException](
+      Denoise.fimPlan(docs.toDF("doc_id", "text"), "doc_id", "text", 1.5))
+  }
+
   test("plan is a pure scan projection: no exchange, no join") {
     val plan = Denoise.spanCorruptionPlan(docs.toDF("doc_id", "text"),
       "doc_id", "text").queryExecution.executedPlan.toString
