@@ -111,6 +111,17 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         fimRate = 0.5)
       .orderBy("doc_id")
 
+  /** Session skip-gram co-occurrence pairs: each event pairs with the
+    * next 3 events of its session (the q34 4-hour gap definition);
+    * the directed pair counts are the item2vec training table. All
+    * lookaheads ride the ONE session sort — no within-session
+    * self-join anywhere.
+    */
+  def sessionCoOccurrence(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.coOccurrencePairs(t(s, d, "events"),
+        gapMicros = 14400000000L, maxDist = 3)
+      .orderBy("src_type", "dst_type")
+
   /** TPC-H Q12 shape (adapted — the fixture carries no
     * l_shipmode/l_commitdate, so the category is l_returnflag and the
     * window rides l_shipdate): one fact⋈fact equi join on the order
@@ -301,6 +312,30 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |     + len(list_filter(e2, x -> x <= s2))
          |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
          |FROM s, e ORDER BY doc_id""".stripMargin,
+
+    // the q34 session assignment, then one lead() arm per distance
+    // with the same-session guard, unioned and counted
+    "q176_session_cooccur" -> {
+      val arms = (1 to 3).map { k =>
+        s"""SELECT event_type AS src_type,
+           |    CASE WHEN lead(session_id, $k) OVER v$k = session_id
+           |         THEN lead(event_type, $k) OVER v$k END AS dst_type
+           |  FROM s2 WINDOW v$k AS (PARTITION BY user_id ORDER BY us, event_id)"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+         |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+         |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+         |                     ELSE 0 END AS brk
+         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+         |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
+         |p AS ($arms)
+         |SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM p WHERE dst_type IS NOT NULL
+         |GROUP BY src_type, dst_type
+         |ORDER BY src_type, dst_type""".stripMargin
+    },
 
     // both md5 decisions replay: the fim gate under the printf
     // threshold, the two 13-hex-digit boundary draws (the q127

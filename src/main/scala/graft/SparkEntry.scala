@@ -212,6 +212,7 @@ object SparkEntry {
     "q173_profit_rollup" -> ((s, d) => PipelinesExt.profitByNationYear(s, d)),
     "q174_part_supplier_counts" -> ((s, d) => PipelinesExt.partSupplierCounts(s, d)),
     "q175_fim_plan" -> ((s, d) => PipelinesExt.fimPlanDocs(s, d)),
+    "q176_session_cooccur" -> ((s, d) => PipelinesExt.sessionCoOccurrence(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

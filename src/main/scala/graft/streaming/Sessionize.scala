@@ -38,6 +38,47 @@ object Sessionize {
         sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
   }
 
+  /** Skip-gram co-occurrence pair mining over sessions — the
+    * item2vec/word2vec training-pair extraction applied to behavioral
+    * events: for every event, each of the next `maxDist` events of
+    * the SAME session contributes one directed (src_type, dst_type)
+    * pair, and the output is the corpus-wide pair-count table an
+    * embedding trainer (or a PMI-style association analysis) consumes.
+    *
+    * Scale shape: the naive formulation is a within-session self-join
+    * — quadratic in session length, and one marathon session stalls
+    * the stage. Here the window is BOUNDED by construction: all
+    * `maxDist` lookaheads are `lead()` columns over the ONE
+    * (user | ts, event_id) sort that session assignment already
+    * needs, with a same-session guard (`lead(session_id) ===
+    * session_id`) instead of a second (user, session) exchange; the
+    * pair stream then explodes from an in-row array and hash-aggs on
+    * the pair key. One exchange + one sort + one agg at any session
+    * length; `maxDist` is an enforced contract (each distance adds a
+    * window expression), not advisory.
+    */
+  def coOccurrencePairs(events: DataFrame, gapMicros: Long,
+      maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 16,
+      s"coOccurrencePairs: maxDist must be in [1,16], got $maxDist")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // window expressions are not allowed inside a generator (the
+    // top-level-generator rule's sibling): land each guarded lookahead
+    // as a plain column first, then explode the assembled array
+    val withLeads = (1 to maxDist).foldLeft(assignBatch(events, gapMicros)) {
+      (acc, k) =>
+        acc.withColumn(s"_dst_$k",
+          when(lead(col("session_id"), k).over(w) === col("session_id"),
+            lead(col("event_type"), k).over(w)))
+    }
+    withLeads
+      .select(col("event_type").as("src_type"),
+        explode(array((1 to maxDist).map(k => col(s"_dst_$k")): _*)).as("dst_type"))
+      .filter(col("dst_type").isNotNull)
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Per-event session assignment: every input column plus `_us`
     * (epoch micros) and `session_id` (1-based running break count per
     * user). One exchange on user_id; both window passes share the

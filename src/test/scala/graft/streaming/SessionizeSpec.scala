@@ -83,4 +83,35 @@ class SessionizeSpec extends SparkSpec {
     assert(unmatched.isEmpty, s"streamed sessions disagree with batch: ${unmatched.take(3)}")
     assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} sessions closed")
   }
+
+  test("coOccurrencePairs: bounded lookahead, session boundaries respected") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: session A = [a, b, c], then a 5h gap, session B = [d];
+    // user 2: session = [a, c]
+    val events = Seq(
+      (1L, 1L, t("2024-01-01 10:00:00"), "a"),
+      (2L, 1L, t("2024-01-01 10:10:00"), "b"),
+      (3L, 1L, t("2024-01-01 10:20:00"), "c"),
+      (4L, 1L, t("2024-01-01 16:00:00"), "d"),  // new session — never pairs
+      (5L, 2L, t("2024-01-01 09:00:00"), "a"),
+      (6L, 2L, t("2024-01-01 09:30:00"), "c"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val got = Sessionize.coOccurrencePairs(events, GAP, maxDist = 2)
+      .as[(String, String, Long)].collect().toSet
+    // session A at dist<=2: a→b, a→c, b→c; user 2: a→c; d pairs with
+    // nothing (its session has one event, and cross-session is barred)
+    assert(got === Set(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L)))
+    // maxDist=1 drops the skip pair a→c from session A
+    val adj = Sessionize.coOccurrencePairs(events, GAP, maxDist = 1)
+      .as[(String, String, Long)].collect().toSet
+    assert(adj === Set(("a", "b", 1L), ("b", "c", 1L), ("a", "c", 1L)))
+    intercept[IllegalArgumentException](
+      Sessionize.coOccurrencePairs(events, GAP, maxDist = 0))
+    // one exchange only: the lookaheads ride the sessionize sort
+    val plan = Sessionize.coOccurrencePairs(events, GAP, maxDist = 3)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2, s"expected sessionize + agg exchanges only:\n$plan")
+    assert(!plan.contains("Join"), s"no self-join allowed:\n$plan")
+  }
 }
