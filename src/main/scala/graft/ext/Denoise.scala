@@ -25,13 +25,14 @@ import org.apache.spark.sql.functions._
   * `noiseFrac / spanLen` makes the expected masked fraction
   * ≈ `noiseFrac` (before the merge discount).
   *
-  * Execution shape: ONE pure scan projection — every array
-  * (start flags, coverage, run starts, rebuilt token lists) derives
-  * per row with higher-order functions; no shuffle, no join, no RNG
-  * state, at any corpus size. Each intermediate array lands in its
-  * own projection stage so lambdas index ATTRIBUTES, not re-inlined
-  * expressions. Per-row expression cost is O(tokens · spans) (the
-  * run-index lookup); chunk book-length rows upstream
+  * Execution shape: ONE pure scan projection — every array (span
+  * starts, covered-position union, run starts, rebuilt token lists)
+  * derives per row with higher-order functions; no shuffle, no join,
+  * no RNG state, at any corpus size. The md5 start decisions evaluate
+  * exactly once per position (the coverage-array shape — see the
+  * inline note on the CollapseProject inlining trap); the rebuild
+  * pays O(masked) membership probes per position, the same contract
+  * as the scrub rewrites. Chunk book-length rows upstream
   * ([[Chunking.chunkTokens]]) — the ngramFingerprints maxTokens
   * discipline.
   */
@@ -55,43 +56,49 @@ object Denoise {
     val posOf = (t: Column) => when(size(t) > 0, sequence(lit(1), size(t)))
       .otherwise(array().cast("array<int>"))
 
+    // The per-position md5 start flags must evaluate exactly ONCE per
+    // position: an earlier formulation kept a boolean flag ARRAY and
+    // sliced it per position, and CollapseProject inlined the md5
+    // chain into the slice lambda — O(n²) md5 evaluations per row
+    // (20.9 s vs 0.8 s at sf0.1). The q163 coverage-array shape
+    // avoids the trap structurally: starts → covered-position union →
+    // run starts, each a bounded array derived once, with only O(1)
+    // array_contains probes per position in the rebuild.
     val base = docs.select(col(idCol), toks.as("_t"))
-      .withColumn("_pos", posOf(col("_t")))
-      // deterministic span starts: a pure function of (doc id, position)
-      .withColumn("_start", transform(col("_pos"), i =>
+      .withColumn("_starts", filter(posOf(col("_t")), i =>
         md5(concat(col(idCol).cast("string"), lit(":"), i.cast("string"),
           lit(":sc"))) < lit(thr)))
-      // coverage: position j is masked iff some start lies within the
-      // last L positions (slice start is clamped at 1 — a span never
-      // counts backward past the document head)
-      .withColumn("_masked", transform(col("_pos"), j => {
-        val from = greatest(j - (L - 1), lit(1))
-        exists(slice(col("_start"), from, j - from + 1), b => b)
-      }))
-      // maximal-run starts: masked here, unmasked (or nothing) before
-      .withColumn("_runs", filter(col("_pos"), j =>
-        element_at(col("_masked"), j) &&
-          (j === 1 || !element_at(col("_masked"), j - 1))))
+      // covered positions: each start spans L slots, truncated at the
+      // document end; sorted+distinct so runs derive by adjacency
+      .withColumn("_cov", array_sort(array_distinct(flatten(
+        transform(col("_starts"), s =>
+          sequence(s, least(s + (L - 1), size(col("_t")))))))))
+      // maximal-run starts: a covered position whose predecessor slot
+      // is not covered — zip the sorted array against its shift-by-one
+      .withColumn("_runs", filter(
+        zip_with(col("_cov"),
+          concat(array(lit(-1)), slice(col("_cov"), lit(1),
+            greatest(size(col("_cov")) - 1, lit(0)))),
+          (cur, prev) => when(cur =!= prev + 1, cur)),
+        x => x.isNotNull))
 
     val sentinel = (j: Column) =>
       concat(lit("<extra_id_"),
         array_position(col("_runs"), j).cast("string"), lit(">"))
-    val inputToks = flatten(transform(col("_pos"), j =>
-      when(element_at(col("_masked"), j),
-        when(array_contains(col("_runs"), j), array(sentinel(j)))
-          .otherwise(array().cast("array<string>")))
-        .otherwise(array(element_at(col("_t"), j)))))
-    val targetToks = flatten(transform(col("_pos"), j =>
-      when(element_at(col("_masked"), j),
-        when(array_contains(col("_runs"), j),
-          array(sentinel(j), element_at(col("_t"), j)))
-          .otherwise(array(element_at(col("_t"), j))))
+    val inputToks = flatten(transform(posOf(col("_t")), j =>
+      when(!array_contains(col("_cov"), j), array(element_at(col("_t"), j)))
+        .when(array_contains(col("_runs"), j), array(sentinel(j)))
         .otherwise(array().cast("array<string>"))))
+    val targetToks = flatten(transform(posOf(col("_t")), j =>
+      when(!array_contains(col("_cov"), j), array().cast("array<string>"))
+        .when(array_contains(col("_runs"), j),
+          array(sentinel(j), element_at(col("_t"), j)))
+        .otherwise(array(element_at(col("_t"), j)))))
 
     base.select(col(idCol),
       concat_ws(" ", inputToks).as("input_text"),
       concat_ws(" ", targetToks).as("target_text"),
-      size(filter(col("_masked"), b => b)).cast("long").as("n_masked"),
+      size(col("_cov")).cast("long").as("n_masked"),
       size(col("_runs")).cast("long").as("n_spans"))
   }
 
