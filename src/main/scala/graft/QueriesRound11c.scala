@@ -111,6 +111,39 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         fimRate = 0.5)
       .orderBy("doc_id")
 
+  /** Ensemble curation, end to end through the STORE: the q170
+    * ensemble scores cut strictly above the corpus exact median (the
+    * q151 1-row broadcast-back discipline — a fixed integer cut would
+    * drift with the signal distributions), and the kept set publishes
+    * through the feature-store write path (create + overwrite +
+    * read-back), so the gate hash-checks the PUBLISHED table content,
+    * not just the plan — the K-tier commit machinery sits inside the
+    * verified path, the q07/q33 discipline applied to curation.
+    */
+  def ensembleCuration(s: SparkSession, d: String): DataFrame = {
+    val sig = t(s, d, "documents").select(
+      col("doc_id") +:
+        TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+    val scored = graft.etl.Discretize.ensembleQuantileScore(sig,
+        Seq("n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio"),
+        nBins = 10)
+      .select(col("doc_id"), col("ensemble_q"))
+    val med = scored.agg(expr("percentile(ensemble_q, 0.5d)").as("_m"))
+    val kept = scored.crossJoin(broadcast(med))
+      .filter(col("ensemble_q").cast("double") > col("_m"))
+      .drop("_m")
+    val store = fsTempStoreFor(s, d)
+    val name = "ensemble_keep"
+    if (!store.tableExists(name)) {
+      store.createTable(graft.fs.FeatureTableSpec(name, Seq("doc_id"),
+        kept.schema, "ensemble-curated document ids"))
+    }
+    store.writeTable(name, kept, graft.fs.WriteMode.Overwrite)
+    store.readTable(name)
+      .select(col("doc_id"), col("ensemble_q"))
+      .orderBy("doc_id")
+  }
+
   /** Session skip-gram co-occurrence pairs: each event pairs with the
     * next 3 events of its session (the q34 4-hour gap definition);
     * the directed pair counts are the item2vec training table. All
@@ -288,30 +321,18 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
     // over the whole corpus (the q166 percentile contract), then the
     // integer bin-sum fusion
     "q170_quality_ensemble" ->
-      s"""WITH f AS (SELECT doc_id,
-         |    CAST(length(text) AS DOUBLE) AS nc,
-         |    CAST($tokenCountSql AS DOUBLE) AS nt,
-         |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
-         |    CAST(${stopHitsSql(graft.ext.TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
-         |  FROM documents),
-         |s AS (SELECT doc_id,
-         |    nt AS s0,
-         |    CASE WHEN nt > 0 THEN nc / nt ELSE 0.0e0 END AS s1,
-         |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0e0 END AS s2,
-         |    CASE WHEN nt > 0 THEN ns / nt ELSE 0.0e0 END AS s3
-         |  FROM f),
-         |e AS (SELECT
-         |    quantile_cont(s0, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e0,
-         |    quantile_cont(s1, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e1,
-         |    quantile_cont(s2, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e2,
-         |    quantile_cont(s3, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e3
-         |  FROM s)
-         |SELECT doc_id,
-         |  CAST(len(list_filter(e0, x -> x <= s0))
-         |     + len(list_filter(e1, x -> x <= s1))
-         |     + len(list_filter(e2, x -> x <= s2))
-         |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
-         |FROM s, e ORDER BY doc_id""".stripMargin,
+      s"""WITH $ensembleCtesSql
+         |SELECT doc_id, ensemble_q FROM ens ORDER BY doc_id""".stripMargin,
+
+    // the q170 scores, the exact corpus median, and the strict
+    // above-median cut — the published store table must equal it
+    "q177_ensemble_curation" ->
+      s"""WITH $ensembleCtesSql,
+         |md AS (SELECT quantile_cont(CAST(ensemble_q AS DOUBLE), 0.5e0) AS m
+         |  FROM ens)
+         |SELECT doc_id, ensemble_q FROM ens, md
+         |WHERE CAST(ensemble_q AS DOUBLE) > m
+         |ORDER BY doc_id""".stripMargin,
 
     // the q34 session assignment, then one lead() arm per distance
     // with the same-session guard, unioned and counted
@@ -460,6 +481,36 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |WINDOW w AS (PARTITION BY source ORDER BY eid)
          |ORDER BY eid""".stripMargin,
   )
+
+  /** The q170 quantile-bin ensemble through a final
+    * `ens(doc_id, ensemble_q)` CTE — ONE source of truth for the
+    * score gate and the q177 curation cut built on it.
+    */
+  protected def ensembleCtesSql: String =
+    s"""f AS (SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS nc,
+       |    CAST($tokenCountSql AS DOUBLE) AS nt,
+       |    CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS np,
+       |    CAST(${stopHitsSql(graft.ext.TextAnalysis.stopwords("en"))} AS DOUBLE) AS ns
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |    nt AS s0,
+       |    CASE WHEN nt > 0 THEN nc / nt ELSE 0.0e0 END AS s1,
+       |    CASE WHEN nc > 0 THEN np / nc ELSE 0.0e0 END AS s2,
+       |    CASE WHEN nt > 0 THEN ns / nt ELSE 0.0e0 END AS s3
+       |  FROM f),
+       |e AS (SELECT
+       |    quantile_cont(s0, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e0,
+       |    quantile_cont(s1, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e1,
+       |    quantile_cont(s2, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e2,
+       |    quantile_cont(s3, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS e3
+       |  FROM s),
+       |ens AS (SELECT doc_id,
+       |  CAST(len(list_filter(e0, x -> x <= s0))
+       |     + len(list_filter(e1, x -> x <= s1))
+       |     + len(list_filter(e2, x -> x <= s2))
+       |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
+       |FROM s, e)""".stripMargin
 
   /** The q168 UniMax allocation + epoch materialization, through a
     * final `mix(doc_id, source, epoch)` CTE (per-doc token counts stay

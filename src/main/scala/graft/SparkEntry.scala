@@ -213,6 +213,7 @@ object SparkEntry {
     "q174_part_supplier_counts" -> ((s, d) => PipelinesExt.partSupplierCounts(s, d)),
     "q175_fim_plan" -> ((s, d) => PipelinesExt.fimPlanDocs(s, d)),
     "q176_session_cooccur" -> ((s, d) => PipelinesExt.sessionCoOccurrence(s, d)),
+    "q177_ensemble_curation" -> ((s, d) => PipelinesExt.ensembleCuration(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
