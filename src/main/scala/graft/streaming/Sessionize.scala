@@ -151,4 +151,68 @@ object Sessionize {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
   }
+
+  case class TypedEvent(user_id: Long, ts: Timestamp, event_type: String)
+  case class CoPairState(endUs: Long, recent: List[String])
+  case class CoPair(src_type: String, dst_type: String)
+
+  /** Streaming co-occurrence mining — [[coOccurrencePairs]] as an
+    * incremental emitter: state per user is the open session's end
+    * time plus its last `maxDist` event TYPES (a bounded deque —
+    * O(maxDist) per user regardless of session length, unlike a
+    * whole-session buffer), and each arriving in-gap event emits its
+    * pairs IMMEDIATELY against that deque, so a session's pairs are
+    * complete the moment its last event is processed and the
+    * event-time timeout merely clears state. Feed the output through
+    * [[StreamingFeatures.maintainAggState]] keyed on (src, dst) for
+    * the continuously-maintained pair-count table.
+    *
+    * Parity contract (spec-asserted): over any replay whose event
+    * times are distinct per user, the emitted pair multiset equals
+    * the batch [[coOccurrencePairs]] pair stream. Equal-timestamp
+    * events order by arrival within a micro-batch (the batch path
+    * tie-breaks on event_id), so distinct timestamps are the
+    * determinism boundary — the [[streaming]] sessionizer's same
+    * caveat.
+    */
+  def streamingCoOccurrence(events: Dataset[TypedEvent], gapMicros: Long,
+      maxDist: Int = 3,
+      watermarkDelay: String = "10 minutes"): Dataset[CoPair] = {
+    require(maxDist >= 1 && maxDist <= 16,
+      s"streamingCoOccurrence: maxDist must be in [1,16], got $maxDist")
+    import events.sparkSession.implicits._
+
+    import EventTime.toUs
+
+    def fn(userId: Long, evs: Iterator[TypedEvent],
+        state: GroupState[CoPairState]): Iterator[CoPair] = {
+      var out = List.empty[CoPair]
+      var cur = state.getOption
+      if (state.hasTimedOut) {
+        state.remove()
+        cur = None
+      }
+      for (e <- evs.toSeq.sortBy(x => toUs(x.ts))) {
+        val us = toUs(e.ts)
+        cur match {
+          case Some(s) if us - s.endUs <= gapMicros =>
+            s.recent.foreach(r => out ::= CoPair(r, e.event_type))
+            cur = Some(CoPairState(math.max(s.endUs, us),
+              (e.event_type :: s.recent).take(maxDist)))
+          case _ =>
+            cur = Some(CoPairState(us, List(e.event_type)))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.endUs / 1000 + gapMicros / 1000)
+      }
+      out.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 }

@@ -84,6 +84,38 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} sessions closed")
   }
 
+  test("streamingCoOccurrence pair counts ≡ batch over distinct-ts replay") {
+    // distinct (user, ts) is the determinism boundary (batch breaks
+    // ties on event_id, a stream on micro-batch arrival) — dedupe the
+    // fixture to it, then the pair MULTISETS must agree exactly
+    val events = graft.Tables.load(spark, sfDir, "events")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .dropDuplicates("user_id", "ts")
+    val streamDir = Files.createTempDirectory("graft-cooc-in-").toString
+    events.select("user_id", "ts", "event_type")
+      .write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val stream = spark.readStream.schema(schema).parquet(streamDir)
+      .as[Sessionize.TypedEvent]
+    val q = Sessionize.streamingCoOccurrence(stream, GAP, maxDist = 3,
+        watermarkDelay = "1 minute")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cooc_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-cooc-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "stream timed out")
+    val streamed = spark.table("cooc_out")
+      .groupBy("src_type", "dst_type").count()
+      .as[(String, String, Long)].collect().toSet
+    val batch = Sessionize.coOccurrencePairs(events, GAP, maxDist = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(streamed === batch,
+      "streaming pair counts must equal the batch extraction")
+    assert(streamed.nonEmpty)
+  }
+
   test("coOccurrencePairs: bounded lookahead, session boundaries respected") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // user 1: session A = [a, b, c], then a 5h gap, session B = [d];
