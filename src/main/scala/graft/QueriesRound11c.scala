@@ -155,6 +155,16 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         gapMicros = 14400000000L, maxDist = 3)
       .orderBy("src_type", "dst_type")
 
+  /** Lift association over the q176 pairs — the log-free PMI sibling
+    * (ln is §5.3-excluded): exact integer-rational
+    * n_pairs·N·1e6/(n_src·n_dst), marginals and total from the same
+    * shared pair CTE the oracle replays.
+    */
+  def sessionCoOccurLift(s: SparkSession, d: String): DataFrame =
+    graft.streaming.Sessionize.coOccurrenceLift(t(s, d, "events"),
+        gapMicros = 14400000000L, maxDist = 3)
+      .orderBy("src_type", "dst_type")
+
   /** TPC-H Q12 shape (adapted — the fixture carries no
     * l_shipmode/l_commitdate, so the category is l_returnflag and the
     * window rides l_shipdate): one fact⋈fact equi join on the order
@@ -336,27 +346,26 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
 
     // the q34 session assignment, then one lead() arm per distance
     // with the same-session guard, unioned and counted
-    "q176_session_cooccur" -> {
-      val arms = (1 to 3).map { k =>
-        s"""SELECT event_type AS src_type,
-           |    CASE WHEN lead(session_id, $k) OVER v$k = session_id
-           |         THEN lead(event_type, $k) OVER v$k END AS dst_type
-           |  FROM s2 WINDOW v$k AS (PARTITION BY user_id ORDER BY us, event_id)"""
-          .stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-         |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
-         |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
-         |                     ELSE 0 END AS brk
-         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-         |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-         |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
-         |p AS ($arms)
-         |SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_pairs
-         |FROM p WHERE dst_type IS NOT NULL
-         |GROUP BY src_type, dst_type
-         |ORDER BY src_type, dst_type""".stripMargin
-    },
+    "q176_session_cooccur" ->
+      s"""WITH $coocCtesSql
+         |SELECT src_type, dst_type, n_pairs FROM pc
+         |ORDER BY src_type, dst_type""".stripMargin,
+
+    // pair marginals + total over the shared pair CTE, then the exact
+    // integer-rational lift (the log-free PMI sibling) — products and
+    // division written in the engine's exact order
+    "q178_cooccur_lift" ->
+      s"""WITH $coocCtesSql,
+         |st AS (SELECT src_type, CAST(sum(n_pairs) AS BIGINT) AS n_src
+         |  FROM pc GROUP BY 1),
+         |dt AS (SELECT dst_type, CAST(sum(n_pairs) AS BIGINT) AS n_dst
+         |  FROM pc GROUP BY 1),
+         |tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM pc)
+         |SELECT src_type, dst_type, n_pairs,
+         |  CAST(floor(CAST(n_pairs AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0e0
+         |    / (CAST(n_src AS DOUBLE) * CAST(n_dst AS DOUBLE))) AS BIGINT) AS lift_q
+         |FROM pc JOIN st USING (src_type) JOIN dt USING (dst_type) CROSS JOIN tt
+         |ORDER BY src_type, dst_type""".stripMargin,
 
     // both md5 decisions replay: the fim gate under the printf
     // threshold, the two 13-hex-digit boundary draws (the q127
@@ -481,6 +490,31 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |WINDOW w AS (PARTITION BY source ORDER BY eid)
          |ORDER BY eid""".stripMargin,
   )
+
+  /** The q176 session-co-occurrence extraction through a final
+    * `pc(src_type, dst_type, n_pairs)` CTE — ONE source of truth for
+    * the pair gate and the q178 lift scores built on it.
+    */
+  protected def coocCtesSql: String = {
+    val arms = (1 to 3).map { k =>
+      s"""SELECT event_type AS src_type,
+         |    CASE WHEN lead(session_id, $k) OVER v$k = session_id
+         |         THEN lead(event_type, $k) OVER v$k END AS dst_type
+         |  FROM s2 WINDOW v$k AS (PARTITION BY user_id ORDER BY us, event_id)"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+       |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+       |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+       |                     ELSE 0 END AS brk
+       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
+       |p AS ($arms),
+       |pc AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_pairs
+       |  FROM p WHERE dst_type IS NOT NULL
+       |  GROUP BY src_type, dst_type)""".stripMargin
+  }
 
   /** The q170 quantile-bin ensemble through a final
     * `ens(doc_id, ensemble_q)` CTE — ONE source of truth for the

@@ -214,6 +214,7 @@ object SparkEntry {
     "q175_fim_plan" -> ((s, d) => PipelinesExt.fimPlanDocs(s, d)),
     "q176_session_cooccur" -> ((s, d) => PipelinesExt.sessionCoOccurrence(s, d)),
     "q177_ensemble_curation" -> ((s, d) => PipelinesExt.ensembleCuration(s, d)),
+    "q178_cooccur_lift" -> ((s, d) => PipelinesExt.sessionCoOccurLift(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -79,6 +79,40 @@ object Sessionize {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Association (lift) scores over the [[coOccurrencePairs]] table —
+    * the log-free sibling of PMI (ln is excluded from the portable
+    * tier, SURVEY §5.3): lift(a→b) = P(pair) / (P(src=a)·P(dst=b)),
+    * computed as the exact integer-rational
+    * `floor(n_pairs · N · 1e6 / (n_src · n_dst))` where N is the
+    * total pair count and the marginals count each type's
+    * appearances as src / as dst. Lift > 1e6 means a follows b more
+    * often than the session traffic predicts — the association a
+    * recommender or a prompt-sequencing curriculum reads.
+    *
+    * Three aggregates over the (already tiny) pair table + two
+    * broadcast joins back; nothing event-scale shuffles beyond the
+    * pair extraction itself.
+    */
+  def coOccurrenceLift(events: DataFrame, gapMicros: Long,
+      maxDist: Int = 3): DataFrame = {
+    val pairs = coOccurrencePairs(events, gapMicros, maxDist)
+      .localCheckpoint(true) // three aggregate consumers below — an
+                             // uncut lineage re-mines the pairs per arm
+    val srcTot = pairs.groupBy(col("src_type"))
+      .agg(sum(col("n_pairs")).as("n_src"))
+    val dstTot = pairs.groupBy(col("dst_type"))
+      .agg(sum(col("n_pairs")).as("n_dst"))
+    val total = pairs.agg(sum(col("n_pairs")).as("_n"))
+    pairs
+      .join(broadcast(srcTot), Seq("src_type"))
+      .join(broadcast(dstTot), Seq("dst_type"))
+      .crossJoin(broadcast(total))
+      .select(col("src_type"), col("dst_type"), col("n_pairs"),
+        floor(col("n_pairs").cast("double") * col("_n").cast("double")
+          * lit(1e6) / (col("n_src").cast("double") * col("n_dst").cast("double")))
+          .cast("long").as("lift_q"))
+  }
+
   /** Per-event session assignment: every input column plus `_us`
     * (epoch micros) and `session_id` (1-based running break count per
     * user). One exchange on user_id; both window passes share the
