@@ -144,6 +144,20 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** Manifest diff between the even-doc half and the full corpus:
+    * per-source counts and order-independent content digests (BIGINT
+    * sums of 13-hex md5 fingerprint integers — invariant to
+    * partitioning and engine), with the changed flag a re-run
+    * verification reads. Every source differs here by construction;
+    * the digest arithmetic is what the hash pins.
+    */
+  def manifestDiffHalves(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    TextAnalysis.manifestDiff(docs.filter(col("doc_id") % 2 === 0), docs,
+        "text", "source")
+      .orderBy("source")
+  }
+
   /** Session skip-gram co-occurrence pairs: each event pairs with the
     * next 3 events of its session (the q34 4-hour gap definition);
     * the directed pair counts are the item2vec training table. All
@@ -343,6 +357,30 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |SELECT doc_id, ensemble_q FROM ens, md
          |WHERE CAST(ensemble_q AS DOUBLE) > m
          |ORDER BY doc_id""".stripMargin,
+
+    // the fingerprint md5 (fpSql), the 13-hex-digit integer parse
+    // (q127 idiom), order-free BIGINT sums per source, full-outer diff
+    "q179_manifest_diff" -> {
+      def man(name: String, where: String): String =
+        s"""$name AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(list_reduce(list_transform(range(1, 14),
+           |      i -> CAST(strpos('0123456789abcdef',
+           |        substr($fpSql, i, 1)) - 1 AS BIGINT)),
+           |      (a, b) -> a * 16 + b)) AS BIGINT) AS fp
+           |  FROM documents $where GROUP BY source)""".stripMargin
+      s"""WITH ${man("ma", "WHERE doc_id % 2 = 0")},
+         |${man("mb", "")}
+         |SELECT coalesce(ma.source, mb.source) AS source,
+         |  CAST(coalesce(ma.n, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(mb.n, 0) AS BIGINT) AS n_b,
+         |  CAST(coalesce(ma.fp, 0) AS BIGINT) AS fp_a,
+         |  CAST(coalesce(mb.fp, 0) AS BIGINT) AS fp_b,
+         |  (coalesce(ma.n, 0) != coalesce(mb.n, 0)
+         |    OR coalesce(ma.fp, 0) != coalesce(mb.fp, 0)) AS changed
+         |FROM ma FULL OUTER JOIN mb ON ma.source = mb.source
+         |ORDER BY source""".stripMargin
+    },
 
     // the q34 session assignment, then one lead() arm per distance
     // with the same-session guard, unioned and counted

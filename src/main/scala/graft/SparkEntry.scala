@@ -215,6 +215,7 @@ object SparkEntry {
     "q176_session_cooccur" -> ((s, d) => PipelinesExt.sessionCoOccurrence(s, d)),
     "q177_ensemble_curation" -> ((s, d) => PipelinesExt.ensembleCuration(s, d)),
     "q178_cooccur_lift" -> ((s, d) => PipelinesExt.sessionCoOccurLift(s, d)),
+    "q179_manifest_diff" -> ((s, d) => PipelinesExt.manifestDiffHalves(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -442,6 +442,48 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
         countDistinct(col("_fp")).as("n_distinct_fp"))
       .withColumn("n_exact_dups", col("n_docs") - col("n_distinct_fp"))
 
+  /** Content-addressed dataset manifest — the integrity fingerprint a
+    * pipeline publishes beside its data so a re-run (or a consumer)
+    * can verify "same corpus" WITHOUT re-reading it next time: per
+    * group, the row count and an ORDER-INDEPENDENT content digest.
+    * The digest is the BIGINT sum of each document's 13-hex-digit
+    * normalized-text fingerprint integer ([[fingerprint]] →
+    * md5-prefix, the priority-u parse): addition commutes, so the
+    * digest is invariant to partitioning, shuffle order, and engine —
+    * unlike a hash-of-concatenation, which would need a global sort.
+    * Collisions: two corpora differing in one doc collide only if the
+    * 52-bit fingerprint sums coincide — fine for drift DETECTION
+    * (it is not a cryptographic commitment).
+    */
+  def contentManifest(docs: DataFrame, textCol: String,
+      groupCol: String): DataFrame =
+    docs.select(col(groupCol),
+        conv(substring(fingerprint(col(textCol)), 1, 13), 16, 10)
+          .cast("long").as("_fpi"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_fpi")).as("fp_sum"))
+
+  /** Manifest DIFF between two corpus snapshots: per group, both
+    * counts and digests plus a changed flag — the cheap answer to
+    * "which sources did this pipeline run actually touch". Groups
+    * absent from a side report count 0 / digest 0 (full outer).
+    */
+  def manifestDiff(a: DataFrame, b: DataFrame, textCol: String,
+      groupCol: String): DataFrame = {
+    val ma = contentManifest(a, textCol, groupCol)
+      .withColumnRenamed("n_docs", "n_a").withColumnRenamed("fp_sum", "fp_a")
+    val mb = contentManifest(b, textCol, groupCol)
+      .withColumnRenamed("n_docs", "n_b").withColumnRenamed("fp_sum", "fp_b")
+    ma.join(mb, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("fp_a"), lit(0L)).as("fp_a"),
+        coalesce(col("fp_b"), lit(0L)).as("fp_b"))
+      .withColumn("changed",
+        col("n_a") =!= col("n_b") || col("fp_a") =!= col("fp_b"))
+  }
+
   /** Scalable decontamination: verbatim word-n-gram overlap. The
     * substring variant ([[contaminationHits]]) broadcasts the probe set
     * and scans each text per probe — right when probes are a

@@ -406,6 +406,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got("books") == ((1L, 3L, 13L, 0L, 1L, 1L, 0L)))
   }
 
+  test("contentManifest/manifestDiff: order-invariant digest, change detection") {
+    val docs = Seq(
+      (1L, "hello world", "web"), (2L, "more text here", "web"),
+      (3L, "one two three", "books"))
+      .toDF("doc_id", "text", "source")
+    // the digest must not depend on row order / partitioning
+    val m1 = TextAnalysis.contentManifest(docs, "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val m2 = TextAnalysis.contentManifest(
+        docs.orderBy(org.apache.spark.sql.functions.col("doc_id").desc)
+          .repartition(7), "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m1 === m2)
+    // identical snapshots: nothing changed
+    val same = TextAnalysis.manifestDiff(docs, docs, "text", "source")
+      .collect().map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    assert(same.values.forall(_ == false))
+    // one edited doc flips exactly its source (count unchanged — the
+    // digest alone must catch it); a dropped source reports 0/0
+    val edited = Seq(
+      (1L, "hello world!", "web"), (2L, "more text here", "web"))
+      .toDF("doc_id", "text", "source")
+    val diff = TextAnalysis.manifestDiff(docs, edited, "text", "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(5))).toMap
+    assert(diff("web")._3 === true && diff("web")._1 === diff("web")._2)
+    assert(diff("books") === ((1L, 0L, true)))
+  }
+
   test("bpeTrain: hand-computed merges on the classic corpus, then segment composition") {
     // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6,
     // widest×3. Hand-run: round 1 counts give es=9/st=9 (tie → (e,s)
