@@ -144,6 +144,18 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** Capped examples-proportional mixing (the T5 rule) over the
+    * skewed lang strata with cap 100: at sf0.01 only the en head
+    * binds at the cap, at sf0.1 every lang exceeds it and the
+    * smallest becomes the keep-everything binding stratum — both
+    * regimes of the rule exercise on real counts, and the kept SET
+    * (not just its size) replays through the md5 threshold.
+    */
+  def cappedMixDocs(s: SparkSession, d: String): DataFrame =
+    Sampling.cappedMix(t(s, d, "documents"), "lang", col("doc_id"), cap = 100L)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
   /** Manifest diff between the even-doc half and the full corpus:
     * per-source counts and order-independent content digests (BIGINT
     * sums of 13-hex md5 fingerprint integers — invariant to
@@ -357,6 +369,24 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |SELECT doc_id, ensemble_q FROM ens, md
          |WHERE CAST(ensemble_q AS DOUBLE) > m
          |ORDER BY doc_id""".stripMargin,
+
+    // the q103 scale/frac/md5-threshold chain with targets
+    // min(n, cap) — every double step written in the engine's order
+    "q180_capped_mix" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |sc AS (SELECT min(CAST(n AS DOUBLE) / CAST(least(n, 100) AS DOUBLE)) AS scale
+        |  FROM counts),
+        |f AS (SELECT lang,
+        |    least(CAST(least(n, 100) AS DOUBLE) * scale / CAST(n AS DOUBLE),
+        |      1.0e0) AS frac
+        |  FROM counts CROSS JOIN sc)
+        |SELECT doc_id, lang FROM documents JOIN f USING (lang)
+        |WHERE md5(CAST(doc_id AS VARCHAR)) <
+        |  CASE WHEN frac >= 1.0e0 THEN 'g'
+        |       ELSE printf('%08x', CAST(floor(frac * 4294967296.0e0) AS BIGINT)) END
+        |ORDER BY doc_id""".stripMargin,
 
     // the fingerprint md5 (fpSql), the 13-hex-digit integer parse
     // (q127 idiom), order-free BIGINT sums per source, full-outer diff

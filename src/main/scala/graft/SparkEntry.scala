@@ -216,6 +216,7 @@ object SparkEntry {
     "q177_ensemble_curation" -> ((s, d) => PipelinesExt.ensembleCuration(s, d)),
     "q178_cooccur_lift" -> ((s, d) => PipelinesExt.sessionCoOccurLift(s, d)),
     "q179_manifest_diff" -> ((s, d) => PipelinesExt.manifestDiffHalves(s, d)),
+    "q180_capped_mix" -> ((s, d) => PipelinesExt.cappedMixDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

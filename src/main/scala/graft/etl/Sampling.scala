@@ -209,6 +209,34 @@ object Sampling {
       .filter(col(rankCol) <= k)
   }
 
+  /** Examples-proportional mixing with an artificial size cap
+    * (Raffel et al., JMLR 2020 §3.5.2 — the T5 mixing rule, the third
+    * member of the canonical family beside [[temperatureMix]] and
+    * [[uniMaxBudgets]]): sampling rates ∝ min(n_s, K), so sources
+    * below the cap keep their natural proportion while every source
+    * above it contributes as if it had exactly K rows — the blunt,
+    * robust guard against one giant crawl drowning the mixture.
+    * Same maximal-sample arithmetic as [[sampleToMix]] (no stratum
+    * up-sampled; the binding stratum keeps everything), same
+    * metadata-scale count aggregation + scan-stage md5 filter, every
+    * double step written identically in the oracle.
+    */
+  def cappedMix(df: DataFrame, strataCol: String, keyCol: Column,
+      cap: Long): DataFrame = {
+    require(cap >= 1, s"cappedMix: cap must be >= 1, got $cap")
+    val counts = df.filter(col(strataCol).isNotNull)
+      .groupBy(col(strataCol).cast("string").as("_s")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, s"cappedMix: no rows with non-NULL '$strataCol'")
+    val scale = counts.map { case (_, n) =>
+      n.toDouble / math.min(n, cap).toDouble
+    }.min
+    val fracs = counts.map { case (s, n) =>
+      s -> math.min(math.min(n, cap).toDouble * scale / n.toDouble, 1.0)
+    }
+    stratifiedSample(df, strataCol, keyCol, fracs, defaultFrac = 0.0)
+  }
+
   /** UniMax budget allocation (Chung et al., ICLR 2023 "UniMax: Fairer
     * and More Effective Language Sampling for Large-Scale Multilingual
     * Pretraining"): split a total token `budget` across sources as

@@ -457,11 +457,20 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     */
   def contentManifest(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame =
-    docs.select(col(groupCol),
-        conv(substring(fingerprint(col(textCol)), 1, 13), 16, 10)
-          .cast("long").as("_fpi"))
+    docs.select(col(groupCol), fingerprintInt(col(textCol)).as("_fpi"))
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("_fpi")).as("fp_sum"))
+
+  /** The manifest's per-document digest term: the 13-hex-digit
+    * integer of the normalized-text [[fingerprint]] (the priority-u
+    * parse). Exposed so a streaming maintainer can sum the SAME term
+    * ([[graft.streaming.StreamingFeatures.maintainAggState]] over
+    * this column ≡ [[contentManifest]], spec-asserted) — at 100 TB
+    * the manifest then updates incrementally instead of re-reading
+    * the corpus.
+    */
+  def fingerprintInt(text: Column): Column =
+    conv(substring(fingerprint(text), 1, 13), 16, 10).cast("long")
 
   /** Manifest DIFF between two corpus snapshots: per group, both
     * counts and digests plus a changed flag — the cheap answer to

@@ -236,6 +236,25 @@ class SamplingSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("cappedMix: head capped to K-proportional, tail kept whole") {
+    // sizes a=10, b=4, c=2; cap 4 → targets 4/4/2, scale = min(10/4,
+    // 4/4, 2/2) = 1 → frac a = 0.4, b = c = 1.0 (binding strata)
+    val rows = (1 to 10).map(i => (i.toLong, "a")) ++
+      (11 to 14).map(i => (i.toLong, "b")) ++
+      (15 to 16).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "s")
+    val got = Sampling.cappedMix(df, "s", col("id"), cap = 4L)
+      .as[(Long, String)].collect().toSet
+    assert(got.filter(_._2 == "b").map(_._1) === Set(11L, 12L, 13L, 14L))
+    assert(got.filter(_._2 == "c").map(_._1) === Set(15L, 16L))
+    val expectA = (1 to 10).map(_.toLong).filter(i =>
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(i.toString) <
+        Sampling.hexThreshold(0.4)).toSet
+    assert(got.filter(_._2 == "a").map(_._1) === expectA)
+    intercept[IllegalArgumentException](
+      Sampling.cappedMix(df, "s", col("id"), cap = 0L))
+  }
+
   test("epochMix: a budget at the total cap yields exact full epochs, no partial") {
     val docs = Seq(
       (1L, "a", "w w w"), (2L, "b", "w w"), (3L, null.asInstanceOf[String], "w"))

@@ -243,6 +243,44 @@ class StreamingFeaturesSpec extends SparkSpec {
     assert(served.nonEmpty)
   }
 
+  test("contentManifest served from maintained digest sums ≡ batch manifest") {
+    // the manifest-at-scale posture: the per-source digest is a SUM of
+    // per-doc fingerprint integers, so maintainAggState over that term
+    // IS the manifest — incremental updates instead of corpus re-reads
+    import graft.operators.IncrementalAgg
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.ext.TextAnalysis.fingerprintInt(col("text")).as("fpi"))
+    val first = docs.filter(col("doc_id") % 2 === 0)
+    val second = docs.filter(col("doc_id") % 2 === 1)
+    val streamDir = Files.createTempDirectory("graft-man-in-").toString
+    first.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val store = FeatureStore.temp(spark)
+    val stateSchema = IncrementalAgg.build(
+      spark.read.parquet(streamDir), Seq("source"), "fpi").schema
+    store.createTable(FeatureTableSpec("src_manifest", Seq("source"),
+      stateSchema, "per-source content digests"))
+    val ckpt = Files.createTempDirectory("graft-man-ck-").toString
+    def stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+    val q1 = StreamingFeatures.maintainAggState(stream, store, "src_manifest",
+      Seq("source"), "fpi", ckpt)
+    assert(q1.awaitTermination(120000), "first run timed out")
+    second.write.mode("append").parquet(streamDir)
+    val q2 = StreamingFeatures.maintainAggState(stream, store, "src_manifest",
+      Seq("source"), "fpi", ckpt)
+    assert(q2.awaitTermination(120000), "second run timed out")
+
+    val served = store.readTable("src_manifest")
+      .select(col("source"), col("cnt"), col("sm").cast("long"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val batch = graft.ext.TextAnalysis.contentManifest(
+        graft.Tables.load(spark, sfDir, "documents"), "text", "source")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(served === batch,
+      "manifest from streaming-maintained sums must equal the batch manifest")
+  }
+
   test("numericDrift served from maintained bin counts ≡ batch drift") {
     // the drift-at-scale posture made real: the CURRENT snapshot's
     // per-bin histogram lives in a maintainAggState table (the stream
