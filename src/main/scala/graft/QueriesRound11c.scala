@@ -70,6 +70,25 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id", "epoch")
   }
 
+  /** Per-pack training manifest over the q169 plan: for every
+    * (source, pack), how many documents START there and the ordered
+    * boundary-offset list (start_tok mod the 512-token pack width —
+    * where attention must reset inside the sequence). The offsets
+    * serialize as a comma-joined string so the gate stays on flat
+    * columns; boundary order is the (start, eid) sort, deterministic.
+    */
+  def packManifest(s: SparkSession, d: String): DataFrame = {
+    val plan = epochPacking(s, d)
+    plan.filter(col("n_tokens") > 0)
+      .select(col("source"), col("first_pack").as("pack"),
+        struct((col("start_tok") % 512L).as("off"), col("eid")).as("_b"))
+      .groupBy(col("source"), col("pack"))
+      .agg(count(lit(1)).as("n_docs"),
+        concat_ws(",", transform(array_sort(collect_list(col("_b"))),
+          b => b.getField("off").cast("string"))).as("boundaries"))
+      .orderBy("source", "pack")
+  }
+
   /** Quantile-normalized quality ensemble: the four q24 signals
     * (token count, average word length, punctuation ratio, stopword
     * ratio) each map to their exact decile bin and the ensemble is
@@ -543,20 +562,22 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
     // within each source stream, running token sums and pack spans
     // replay over it
     "q169_epoch_packing" ->
-      s"""WITH $epochMixCtesSql,
-         |e AS (
-         |  SELECT m.epoch * 1000000000000 + m.doc_id AS eid,
-         |    m.doc_id, m.epoch, m.source, CAST(d.ntok AS BIGINT) AS n_tokens
-         |  FROM mix m JOIN d USING (doc_id, source))
-         |SELECT eid, doc_id, epoch, source, n_tokens,
-         |  CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
-         |  CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
-         |  CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS first_pack,
-         |  CAST(floor(greatest(sum(n_tokens) OVER w - 1,
-         |             sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS last_pack
-         |FROM e
-         |WINDOW w AS (PARTITION BY source ORDER BY eid)
-         |ORDER BY eid""".stripMargin,
+      s"""WITH $epochPackCtesSql
+         |SELECT eid, doc_id, epoch, source, n_tokens, start_tok, end_tok,
+         |  first_pack, last_pack
+         |FROM pk ORDER BY eid""".stripMargin,
+
+    // the q169 pack plan grouped per (source, pack): docs STARTING in
+    // the pack plus the ordered within-pack boundary offsets — the
+    // attention-reset manifest a trainer consumes
+    "q181_pack_manifest" ->
+      s"""WITH $epochPackCtesSql
+         |SELECT source, first_pack AS pack, CAST(count(*) AS BIGINT) AS n_docs,
+         |  string_agg(CAST(start_tok % 512 AS VARCHAR), ','
+         |    ORDER BY start_tok % 512, eid) AS boundaries
+         |FROM pk WHERE n_tokens > 0
+         |GROUP BY 1, 2
+         |ORDER BY source, pack""".stripMargin,
   )
 
   /** The q176 session-co-occurrence extraction through a final
@@ -613,6 +634,26 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
        |     + len(list_filter(e2, x -> x <= s2))
        |     + len(list_filter(e3, x -> x <= s3)) AS BIGINT) AS ensemble_q
        |FROM s, e)""".stripMargin
+
+  /** The q169 pack plan through a final `pk` CTE (eid, doc_id, epoch,
+    * source, n_tokens, start/end_tok, first/last_pack) — ONE source of
+    * truth for the packing gate and the q181 per-pack manifest.
+    */
+  protected def epochPackCtesSql: String =
+    s"""$epochMixCtesSql,
+       |e AS (
+       |  SELECT m.epoch * 1000000000000 + m.doc_id AS eid,
+       |    m.doc_id, m.epoch, m.source, CAST(d.ntok AS BIGINT) AS n_tokens
+       |  FROM mix m JOIN d USING (doc_id, source)),
+       |pk AS (
+       |  SELECT eid, doc_id, epoch, source, n_tokens,
+       |    CAST(sum(n_tokens) OVER w - n_tokens AS BIGINT) AS start_tok,
+       |    CAST(sum(n_tokens) OVER w AS BIGINT) AS end_tok,
+       |    CAST(floor((sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS first_pack,
+       |    CAST(floor(greatest(sum(n_tokens) OVER w - 1,
+       |               sum(n_tokens) OVER w - n_tokens) / 512.0e0) AS BIGINT) AS last_pack
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY source ORDER BY eid))""".stripMargin
 
   /** The q168 UniMax allocation + epoch materialization, through a
     * final `mix(doc_id, source, epoch)` CTE (per-doc token counts stay

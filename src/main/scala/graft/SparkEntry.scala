@@ -217,6 +217,7 @@ object SparkEntry {
     "q178_cooccur_lift" -> ((s, d) => PipelinesExt.sessionCoOccurLift(s, d)),
     "q179_manifest_diff" -> ((s, d) => PipelinesExt.manifestDiffHalves(s, d)),
     "q180_capped_mix" -> ((s, d) => PipelinesExt.cappedMixDocs(s, d)),
+    "q181_pack_manifest" -> ((s, d) => PipelinesExt.packManifest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
