@@ -70,6 +70,22 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id", "epoch")
   }
 
+  /** Tempered negative-sampling table: 50 deterministic draws against
+    * the corpus unigram distribution at exponent 0.75 (sqrt·sqrt∘sqrt
+    * — engine-portable where pow is not); every draw's md5 target,
+    * the quantized cumulative interval layout, and the containment
+    * match replay exactly.
+    */
+  def negativeSamples(s: SparkSession, d: String): DataFrame = {
+    val vocab = t(s, d, "documents")
+      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val draws = s.range(50).select(col("id").as("draw_id"))
+    graft.ext.NegativeSampling.sampleTable(vocab, "term", "cnt",
+        draws, "draw_id")
+      .orderBy("draw_id")
+  }
+
   /** Per-pack training manifest over the q169 plan: for every
     * (source, pack), how many documents START there and the ordered
     * boundary-offset list (start_tok mod the 512-token pack width —
@@ -388,6 +404,33 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |SELECT doc_id, ensemble_q FROM ens, md
          |WHERE CAST(ensemble_q AS DOUBLE) > m
          |ORDER BY doc_id""".stripMargin,
+
+    // tempered weights (sqrt·sqrt∘sqrt, quantized to BIGINT), ordered
+    // cumulative intervals, md5 draw targets mod the total mass, and
+    // the half-open containment match
+    "q182_negative_samples" ->
+      """WITH tm AS (SELECT unnest(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS term
+        |  FROM documents),
+        |v AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tm GROUP BY term),
+        |w AS (SELECT term, CAST(floor(sqrt(CAST(cnt AS DOUBLE))
+        |    * sqrt(sqrt(CAST(cnt AS DOUBLE))) * 1000000.0e0 + 0.5e0) AS BIGINT) AS wq
+        |  FROM v),
+        |c AS (SELECT term, wq, CAST(sum(wq) OVER (ORDER BY term
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM w),
+        |tot AS (SELECT CAST(sum(wq) AS BIGINT) AS wt FROM w),
+        |dr AS (SELECT CAST(u.i AS BIGINT) AS draw_id
+        |  FROM unnest(generate_series(0, 49)) AS u(i)),
+        |tg AS (SELECT draw_id,
+        |    list_reduce(list_transform(range(1, 14),
+        |      i -> CAST(strpos('0123456789abcdef',
+        |        substr(md5(CAST(draw_id AS VARCHAR) || ':ns'), i, 1)) - 1 AS BIGINT)),
+        |      (a, b) -> a * 16 + b) % wt AS t
+        |  FROM dr, tot)
+        |SELECT tg.draw_id, c.term, c.wq AS w_q
+        |FROM tg JOIN c ON tg.t >= c.cum - c.wq AND tg.t < c.cum
+        |ORDER BY tg.draw_id""".stripMargin,
 
     // the q103 scale/frac/md5-threshold chain with targets
     // min(n, cap) — every double step written in the engine's order

@@ -218,6 +218,7 @@ object SparkEntry {
     "q179_manifest_diff" -> ((s, d) => PipelinesExt.manifestDiffHalves(s, d)),
     "q180_capped_mix" -> ((s, d) => PipelinesExt.cappedMixDocs(s, d)),
     "q181_pack_manifest" -> ((s, d) => PipelinesExt.packManifest(s, d)),
+    "q182_negative_samples" -> ((s, d) => PipelinesExt.negativeSamples(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
