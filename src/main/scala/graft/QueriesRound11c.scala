@@ -70,6 +70,15 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("doc_id", "epoch")
   }
 
+  /** Temporal spike monitor: per (event_type, day) counts against the
+    * trailing 7-day baseline, spike = exact integer-rational
+    * n·7·1e6/trailing_sum; NULL until a full baseline exists.
+    */
+  def temporalSpikesByType(s: SparkSession, d: String): DataFrame =
+    graft.operators.Drift.temporalSpikes(t(s, d, "events"), "ts",
+        "event_type", window = 7)
+      .orderBy("event_type", "day_us")
+
   /** Tempered negative-sampling table: 50 deterministic draws against
     * the corpus unigram distribution at exponent 0.75 (sqrt·sqrt∘sqrt
     * — engine-portable where pow is not); every draw's md5 target,
@@ -404,6 +413,26 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |SELECT doc_id, ensemble_q FROM ens, md
          |WHERE CAST(ensemble_q AS DOUBLE) > m
          |ORDER BY doc_id""".stripMargin,
+
+    // per-(type, day) counts, the trailing 7-row window sum/count per
+    // type, and the exact-rational spike ratio with the NULL baseline
+    // guard
+    "q183_temporal_spikes" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(date_trunc('day', ts)) AS day_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, day_us, n,
+        |    CAST(count(n) OVER w AS BIGINT) AS tn,
+        |    CAST(sum(n) OVER w AS BIGINT) AS tsum
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day_us
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+        |SELECT event_type, day_us, n,
+        |  CAST(coalesce(tsum, 0) AS BIGINT) AS trail_sum,
+        |  CASE WHEN tn = 7 AND tsum > 0
+        |    THEN CAST(floor(CAST(n AS DOUBLE) * 7.0e0 * 1000000.0e0
+        |      / CAST(tsum AS DOUBLE)) AS BIGINT) END AS spike_q
+        |FROM s ORDER BY event_type, day_us""".stripMargin,
 
     // tempered weights (sqrt·sqrt∘sqrt, quantized to BIGINT), ordered
     // cumulative intervals, md5 draw targets mod the total mass, and

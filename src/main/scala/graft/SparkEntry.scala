@@ -219,6 +219,7 @@ object SparkEntry {
     "q180_capped_mix" -> ((s, d) => PipelinesExt.cappedMixDocs(s, d)),
     "q181_pack_manifest" -> ((s, d) => PipelinesExt.packManifest(s, d)),
     "q182_negative_samples" -> ((s, d) => PipelinesExt.negativeSamples(s, d)),
+    "q183_temporal_spikes" -> ((s, d) => PipelinesExt.temporalSpikesByType(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

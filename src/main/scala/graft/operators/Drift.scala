@@ -165,4 +165,45 @@ object Drift {
         col("_nbmax").as("n_current"),
         col("drift_q"))
   }
+
+  /** Temporal spike detection — the TIME-axis anomaly monitor beside
+    * the two snapshot-axis drift monitors: per (category, day), the
+    * event count against its trailing `window`-day baseline, as the
+    * exact integer-rational spike score
+    * `floor(n · w_days · 1e6 / trailing_sum)` (1e6 ≙ exactly at
+    * baseline; the count and the trailing sum are exact BIGINTs, so
+    * the one division is correctly rounded and engine-portable —
+    * same shape as the lift scores). Days with no trailing history
+    * (the first `window` days of a category) or a zero baseline emit
+    * NULL spike — absence of a baseline is not a spike.
+    *
+    * Cost: one (cat, day) count aggregate, then a per-category window
+    * over DAYS (≤ a few thousand rows per category regardless of
+    * corpus size — the shuffle carries cat × days rows, never
+    * events). Gaps in the day sequence count as missing days, not
+    * zeros — feed a densified calendar upstream if zero-fill
+    * semantics are wanted.
+    */
+  def temporalSpikes(events: DataFrame, tsCol: String, catCol: String,
+      window: Int = 7): DataFrame = {
+    require(window >= 1, s"temporalSpikes: window must be >= 1, got $window")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(catCol))
+      .orderBy(col("day_us"))
+      .rowsBetween(-window, -1)
+    events
+      .select(col(catCol),
+        unix_micros(date_trunc("day", col(tsCol).cast("timestamp")))
+          .as("day_us"))
+      .groupBy(col(catCol), col("day_us"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_tn", count(col("n")).over(w))
+      .withColumn("_ts", sum(col("n")).over(w))
+      .select(col(catCol), col("day_us"), col("n"),
+        coalesce(col("_ts"), lit(0L)).as("trail_sum"),
+        when(col("_tn") === window && col("_ts") > 0,
+          floor(col("n").cast("double") * lit(window.toDouble) * lit(1e6)
+            / col("_ts").cast("double")).cast("long"))
+          .otherwise(lit(null).cast("long")).as("spike_q"))
+  }
 }

@@ -132,4 +132,28 @@ class DriftSpec extends SparkSpec {
     }
     assert(msg(e2).contains("exceeds"), msg(e2))
   }
+
+  test("temporalSpikes: planted spike scores, warm-up days stay NULL") {
+    import spark.implicits._
+    def t(day: Int, k: Int) = (1 to k).map(_ =>
+      ("click", java.sql.Timestamp.valueOf(f"2024-01-$day%02d 10:00:00")))
+    // 3 steady days of 4, then a day of 12 → spike = 12·3·1e6/12 = 3e6
+    val events = (t(1, 4) ++ t(2, 4) ++ t(3, 4) ++ t(4, 12))
+      .toDF("event_type", "ts")
+    val got = Drift.temporalSpikes(events, "ts", "event_type", window = 3)
+      .orderBy("day_us").collect()
+      .map(r => (r.getLong(2),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.toSeq === Seq(
+      (4L, None), (4L, None), (4L, None), // warm-up: no full baseline
+      (12L, Some(3000000L))))             // 3× baseline
+    // a flat continuation scores exactly 1e6
+    val flat = (t(1, 5) ++ t(2, 5) ++ t(3, 5) ++ t(4, 5))
+      .toDF("event_type", "ts")
+    val g2 = Drift.temporalSpikes(flat, "ts", "event_type", window = 3)
+      .orderBy("day_us").collect()
+    assert(g2.last.getLong(4) === 1000000L)
+    intercept[IllegalArgumentException](
+      Drift.temporalSpikes(events, "ts", "event_type", window = 0))
+  }
 }
