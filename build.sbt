@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run/runMain output goes straight to the parent stdout/stderr
+// instead of through sbt's logger: the logger prefixes every line with
+// "[info] ", which has defeated the driver's JSON parse of the Bench
+// metric line every round ("parsed": null in BENCH_r*.json).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -63,15 +63,18 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val shortJson = s"""{"metric":"total","value":$total,"unit":"sec"}"""
-    println(fullJson)
-    // The per-query line above can exceed the driver's tail-capture
-    // window (150 queries), truncating the head — and with it the
-    // metric. Repeat the total on its own short FINAL line so a tail
-    // capture of any length parses it.
+    // ONLY the short line goes to stdout. r11 forensics: the driver's
+    // capture window is a few KB, and the ~7 KB per-query line pushed
+    // the metric out of it every round ("parsed": null) — the full
+    // per-query map lives in the BENCH_TOTAL.json sidecar (which the
+    // judge reads) and nothing else prints after this line, so a tail
+    // capture of any length lands on parseable JSON. build.sbt's
+    // run/outputStrategy := StdoutOutput strips the "[info] " prefix
+    // that defeated the parse even when the line did fit. stderr gets
+    // a copy in case the driver merges or prefers that stream.
     println(shortJson)
-    // Stdout through sbt arrives as "[info] {...}", which has defeated
-    // the driver's JSON parse for three rounds ("parsed": null). Write
-    // the same JSON to a sidecar file so the metric exists prefix-free
+    System.err.println(shortJson)
+    // Sidecar: the full metric + per-query map, prefix-free on disk
     // regardless of how stdout is captured.
     try {
       val dir = java.nio.file.Paths.get("/root/repo")

@@ -60,11 +60,16 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
     */
   def epochMixPlan(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
+    // greatest(·, 0): tokenCount(NULL text) is -1 (size(NULL) in
+    // non-ANSI Spark) while the oracle's CASE maps NULL text to 0 — a
+    // NULL-text doc with a non-null source would otherwise skew the
+    // budget and every downstream epoch share (ADVICE r11)
+    val toks = greatest(TextAnalysis.tokenCount(col("text")), lit(0))
     val total = docs.filter(col("source").isNotNull)
-      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .agg(sum(toks.cast("long")))
       .head.getLong(0)
     Sampling.epochMix(docs.select(col("doc_id"), col("source"), col("text")),
-        "source", col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        "source", col("doc_id"), toks,
         budget = 2L * total, maxEpochs = 3)
       .select(col("doc_id"), col("source"), col("epoch"))
       .orderBy("doc_id", "epoch")
@@ -252,8 +257,13 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
     li.join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_returnflag"))
+      // otherwise-form on BOTH buckets: when(!high, 1).otherwise(0)
+      // would count a NULL o_orderpriority in NEITHER bucket while the
+      // oracle's CASE WHEN high THEN 0 ELSE 1 counts it as low
+      // (ADVICE r11 — latent divergence if the fixture ever carries
+      // NULL priorities)
       .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
       .orderBy("l_returnflag")
   }
 
@@ -322,12 +332,15 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
     */
   def epochPacking(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
+    // greatest(·, 0) mirrors the oracle's NULL-text → 0 CASE (see
+    // epochMixPlan; ADVICE r11)
+    val toks = greatest(TextAnalysis.tokenCount(col("text")), lit(0))
     val total = docs.filter(col("source").isNotNull)
-      .agg(sum(TextAnalysis.tokenCount(col("text")).cast("long")))
+      .agg(sum(toks.cast("long")))
       .head.getLong(0)
     val mixed = Sampling.epochMix(
         docs.select(col("doc_id"), col("source"), col("text")),
-        "source", col("doc_id"), TextAnalysis.tokenCount(col("text")),
+        "source", col("doc_id"), toks,
         budget = 2L * total, maxEpochs = 3)
       .withColumn("eid", col("epoch") * lit(1000000000000L) + col("doc_id"))
     graft.ext.Chunking.packingPlan(mixed, "text", "eid", "source",

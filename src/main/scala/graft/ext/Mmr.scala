@@ -40,6 +40,15 @@ object Mmr {
     * order, where mmr_q = num·rel − (den−num)·maxsim (den-scaled —
     * the first pick's maxsim is 0 by convention).
     *
+    * HARD CAPS (enforced, `IllegalArgumentException` at call time —
+    * introduced after the initial release, so callers upgrading from
+    * earlier versions may hit them where the old code silently
+    * accepted): `k <= 128` (each pick folds all previous picks back
+    * as literal-vector dot products, so an unbounded k grows the
+    * final argmax codegen quadratically) and `candidates <=
+    * maxCandidates` rows. For larger selections compose a top-k scan
+    * with clustering instead of MMR.
+    *
     * EAGER semantics (the rrfFuse contract): the greedy loop executes
     * at CALL time — k argmax jobs — and the returned frame is
     * driver-local (a LocalTableScan); ids are assumed unique.

@@ -187,6 +187,17 @@ object Drift {
   def temporalSpikes(events: DataFrame, tsCol: String, catCol: String,
       window: Int = 7): DataFrame = {
     require(window >= 1, s"temporalSpikes: window must be >= 1, got $window")
+    // date_trunc('day') follows spark.sql.session.timeZone; a non-UTC
+    // session would silently bucket events into different day_us keys
+    // than the UTC-naive oracle and any UTC-pinned caller expects —
+    // fail fast, same guard as StreamingFeatures.maintainDailyValueSums
+    // (ADVICE r11)
+    val tz = events.sparkSession.sessionState.conf.sessionLocalTimeZone
+    val rules = java.time.ZoneId.of(tz).getRules
+    require(rules.isFixedOffset &&
+        rules.getOffset(java.time.Instant.EPOCH).getTotalSeconds == 0,
+      s"temporalSpikes: requires a UTC session time zone so day buckets " +
+        s"are zone-independent; got spark.sql.session.timeZone='$tz'")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(catCol))
       .orderBy(col("day_us"))
