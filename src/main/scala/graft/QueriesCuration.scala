@@ -325,11 +325,13 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
       .orderBy("doc_id")
 
   // End-to-end near-dup dedup: MinHash pairs → connected components →
-  // keep the min-id doc per cluster. Rows-only (§5.3: xxhash64 not
-  // portable); transitive-retention semantics spec-asserted against
+  // keep the min-id doc per cluster. Hash-gated since r12 via the
+  // portable md5 base hash (the q26 discipline): the oracle replays
+  // signatures, bands, est filter, AND the recursive closure;
+  // transitive-retention semantics additionally spec-asserted against
   // driver-side union-find in ComponentsSpec.
   def nearDupDedup(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupRetain(t(s, d, "documents"))
+    Dedup.nearDupRetain(t(s, d, "documents"), portableHash = true)
       .select(col("doc_id"), col("source"))
       .orderBy("doc_id")
 
@@ -697,6 +699,26 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
       s"""WITH RECURSIVE $ccClosureCtesSql
          |SELECT node AS vec_id, min(lbl) AS component
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+
+    // portable-MinHash end-to-end dedup replay (r12): word-3-gram
+    // md5-52 signatures → banded candidates → est >= 0.5 edges →
+    // recursive closure → keep each component's min id. The full
+    // q26-pipeline + q97-closure composition as ONE oracle.
+    "q101_neardup_dedup" ->
+      s"""WITH RECURSIVE
+         |${minhashEstCtesSql("documents", n = 3, numHashes = 32, bands = 8)},
+         |mpairs AS (SELECT id_a, id_b FROM mest WHERE est_jaccard >= 0.5),
+         |medges AS (SELECT id_a AS u, id_b AS v FROM mpairs
+         |  UNION SELECT id_b AS u, id_a AS v FROM mpairs),
+         |mreach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT r.node, e.v FROM mreach r JOIN medges e ON e.u = r.lbl),
+         |mcomp AS (SELECT node, min(lbl) AS component FROM mreach GROUP BY node)
+         |SELECT d.doc_id, d.source FROM documents d
+         |JOIN mcomp c ON c.node = d.doc_id
+         |WHERE c.component = d.doc_id ORDER BY d.doc_id""".stripMargin,
 
 
     // same md5 threshold CASE as the Spark filter — the sampled SET

@@ -89,6 +89,115 @@ private[graft] trait OracleSnippets {
     """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
       |         ELSE regexp_split_to_array(trim(text), '\s+') END""".stripMargin
 
+  // ---- portable signature hashing (r12): the md5-13-hex base hash
+  // ---- and the MinHash/SimHash signature pipelines replayed in exact
+  // ---- BIGINT arithmetic, mirroring VectorExpressions' portableHash
+  // ---- flavor ingredient for ingredient.
+
+  /** 13-hex-char md5 prefix parsed positionally to a BIGINT (< 2⁵²) —
+    * the DuckDB replay of `VectorExpressions.md5Hash52`. `m` must be a
+    * 32-char md5 hex column/expression.
+    */
+  protected def md5Hex52Sql(m: String): String =
+    (0 until 13).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($m, ${i + 1}, 1)) AS BIGINT) - 1) * ${1L << (4 * (12 - i))}"
+    }.mkString("\n      + ")
+
+  /** documents UNION a deterministically perturbed copy (doc_id +
+    * 1,000,000; first word dropped) — the exact DuckDB twin of
+    * `PipelinesTextSim.docsWithPlantedDups`, the shared input of every
+    * near-dup gate.
+    */
+  protected val plantedDupsCteSql =
+    """dp AS (SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |    regexp_replace(text, '^\S+\s*', '') AS text
+      |  FROM documents)""".stripMargin
+
+  /** The portable-MinHash pipeline over a (doc_id, text) CTE `src`:
+    * word `n`-gram windows of lowercased whitespace tokens → md5-52
+    * base hash mod p → per-permutation minima under the shared affine
+    * family (`VectorExpressions.MinHashFamily`, constants spliced as
+    * literals) → banded candidates (`bands` equi-join arms on the
+    * consecutive signature slices) → agreement-fraction estimate.
+    * Emits CTEs mtk/mg/mh/ms/mcand/mest; consumers read
+    * mest(id_a, id_b, est_jaccard) and/or mtk(doc_id, toks).
+    * Docs with fewer than n tokens drop out of ms — the NULL-signature
+    * filter's twin.
+    */
+  protected def minhashEstCtesSql(src: String, n: Int, numHashes: Int,
+      bands: Int): String = {
+    import graft.functions.VectorExpressions.MinHashFamily
+    val P = MinHashFamily.P
+    val rows = numHashes / bands
+    val gram = (0 until n).map {
+      case 0 => "toks[i]"
+      case j => s"toks[i+$j]"
+    }.mkString(" || ' ' || ")
+    val mins = (0 until numHashes).map { j =>
+      s"min((${MinHashFamily.a(j)} * h + ${MinHashFamily.b(j)}) % $P) AS h$j"
+    }.mkString(",\n    ")
+    val bandArms = (0 until bands).map { b =>
+      val conds = (b * rows until (b + 1) * rows)
+        .map(j => s"a.h$j = b.h$j").mkString(" AND ")
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |    FROM ms a JOIN ms b ON $conds AND a.doc_id < b.doc_id""".stripMargin
+    }.mkString("\n    UNION ALL ")
+    val agree = (0 until numHashes)
+      .map(j => s"CASE WHEN a.h$j = b.h$j THEN 1 ELSE 0 END")
+      .mkString("\n      + ")
+    s"""mtk AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM $src),
+       |mg AS (SELECT doc_id,
+       |    unnest(list_transform(generate_series(1, len(toks) - ${n - 1}),
+       |      i -> $gram)) AS gram
+       |  FROM mtk WHERE len(toks) >= $n),
+       |mh AS (SELECT doc_id, (${md5Hex52Sql("m")}) % $P AS h
+       |  FROM (SELECT doc_id, md5(gram) AS m FROM mg)),
+       |ms AS (SELECT doc_id,
+       |    $mins
+       |  FROM mh GROUP BY doc_id),
+       |mcand AS (SELECT DISTINCT id_a, id_b FROM (
+       |    $bandArms)),
+       |mest AS (SELECT c.id_a, c.id_b,
+       |    CAST(($agree) AS DOUBLE) / $numHashes AS est_jaccard
+       |  FROM mcand c JOIN ms a ON a.doc_id = c.id_a
+       |    JOIN ms b ON b.doc_id = c.id_b)""".stripMargin
+  }
+
+  /** The portable-SimHash pipeline over a (doc_id, text) CTE `src`:
+    * per token, 52 vote bits from the md5-52 hash; signature = the
+    * majority-vote integer; candidates = pairs sharing any of the 4
+    * 13-bit pigeonhole blocks. Emits stk/sth/svb/ssg; consumers rank
+    * candidates off ssg(doc_id, sh). Token-less docs drop out at sth —
+    * the portable flavor's NULL-signature twin.
+    */
+  protected def simhashCtesSql(src: String): String = {
+    val bits = graft.functions.VectorExpressions.SimHash64.portableBits
+    val votes = (0 until bits)
+      .map(b => s"sum(CASE WHEN ((h >> $b) & 1) = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(",\n    ")
+    val sig = (0 until bits)
+      .map(b => s"CASE WHEN v$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString("\n      + ")
+    s"""stk AS (SELECT doc_id,
+       |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+       |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+       |  FROM $src),
+       |sth AS (SELECT doc_id, (${md5Hex52Sql("m")}) AS h
+       |  FROM (SELECT doc_id, md5(w) AS m
+       |        FROM (SELECT doc_id, unnest(toks) AS w FROM stk))),
+       |svb AS (SELECT doc_id,
+       |    $votes
+       |  FROM sth GROUP BY doc_id),
+       |ssg AS (SELECT doc_id,
+       |    ($sig) AS sh
+       |  FROM svb)""".stripMargin
+  }
+
   // NOTE: continuation lines here must never START with "||" — this
   // snippet is interpolated into outer strings whose stripMargin would
   // eat the first pipe and corrupt the concat operator.

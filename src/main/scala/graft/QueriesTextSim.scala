@@ -40,18 +40,28 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
       .withColumn("text", regexp_replace(col("text"), "^\\S+\\s*", "")))
   }
 
+  // The near-dup gates run the PORTABLE md5-base-hash flavor (r11
+  // verdict ask #1): the affine family, banding, est-jaccard and
+  // closure arithmetic were always exact-integer and replayable — the
+  // xxh64 base hash was the only non-portable ingredient, so the md5
+  // flavor turns all of q26/q27/q28/q101 into full hash gates. The
+  // xxh64 production default keeps a DedupSpec parity pin (identical
+  // pair sets on gate data).
   def minhashPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashPairs(docsWithPlantedDups(s, d), "text", "doc_id",
-      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5)
+      k = 2, numHashes = 32, bands = 8, minJaccard = 0.5,
+      portableHash = true)
       .orderBy("id_a", "id_b")
 
   def simhashPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(docsWithPlantedDups(s, d), "text", "doc_id", maxHamming = 8)
+    Dedup.simhashPairs(docsWithPlantedDups(s, d), "text", "doc_id",
+      maxHamming = 8, portableHash = true)
       .orderBy("id_a", "id_b")
 
   def ngramJaccardPairs(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(docsWithPlantedDups(s, d), "text", "doc_id",
-      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4)
+      n = 2, k = 2, numHashes = 32, bands = 8, minEstJaccard = 0.4,
+      portableHash = true)
       .orderBy("id_a", "id_b")
 
   // ---------------------------------------------------- text analysis
@@ -174,6 +184,49 @@ private[graft] trait OraclesTextSim { this: OracleSnippets =>
 
     "q25_fingerprint" ->
       s"SELECT doc_id, $fpSql AS fingerprint FROM documents ORDER BY doc_id",
+
+
+    // portable-MinHash replay (r12): planted dups → word-2-gram md5-52
+    // signatures under the shared affine family → 8 band arms →
+    // agreement estimate at the 0.5 gate threshold
+    "q26_minhash_pairs" ->
+      s"""WITH $plantedDupsCteSql,
+         |${minhashEstCtesSql("dp", n = 2, numHashes = 32, bands = 8)}
+         |SELECT id_a, id_b, est_jaccard FROM mest
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+
+    // portable-SimHash replay (r12): 52 md5 vote bits, candidates by
+    // any equal 13-bit pigeonhole block, exact hamming <= 8
+    "q27_simhash_pairs" ->
+      s"""WITH $plantedDupsCteSql,
+         |${simhashCtesSql("dp")},
+         |scand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM ssg a JOIN ssg b ON a.doc_id < b.doc_id
+         |  WHERE ((a.sh >> 0) & 8191) = ((b.sh >> 0) & 8191)
+         |     OR ((a.sh >> 13) & 8191) = ((b.sh >> 13) & 8191)
+         |     OR ((a.sh >> 26) & 8191) = ((b.sh >> 26) & 8191)
+         |     OR ((a.sh >> 39) & 8191) = ((b.sh >> 39) & 8191))
+         |SELECT id_a, id_b, hamming FROM scand WHERE hamming <= 8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // q26's candidate pipeline at the 0.4 estimate threshold, then the
+    // EXACT 2-gram Jaccard re-load on the surviving pairs
+    "q28_ngram_jaccard" ->
+      s"""WITH $plantedDupsCteSql,
+         |${minhashEstCtesSql("dp", n = 2, numHashes = 32, bands = 8)},
+         |mgs AS (SELECT doc_id,
+         |    list_distinct(list_transform(generate_series(1, len(toks) - 1),
+         |      i -> toks[i] || ' ' || toks[i+1])) AS grams
+         |  FROM mtk WHERE len(toks) >= 2)
+         |SELECT e.id_a, e.id_b,
+         |  CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+         |FROM mest e JOIN mgs a ON a.doc_id = e.id_a
+         |  JOIN mgs b ON b.doc_id = e.id_b
+         |WHERE e.est_jaccard >= 0.4 ORDER BY id_a, id_b""".stripMargin,
 
 
     "q29_embedding_knn" ->

@@ -144,10 +144,16 @@ object Dedup {
     * low-vocabulary corpora: most docs share most char k-grams). The
     * gram construction is fused into the hash expression; only the
     * (codegen'd) tokenization happens in SQL space.
+    *
+    * `portableHash` = true swaps the xxh64 base hash for the
+    * md5-13-hex flavor the DuckDB oracle can replay — what the hash
+    * gates run; production keeps the (faster) default, with the two
+    * flavors' pair sets pinned equal on gate data by DedupSpec.
     */
-  def minhashSignatureWords(text: Column, n: Int, numHashes: Int): Column =
+  def minhashSignatureWords(text: Column, n: Int, numHashes: Int,
+      portableHash: Boolean = false): Column =
     graft.functions.VectorExpressions.minhashNgramSig(
-      TextAnalysis.tokens(lower(text)), n, numHashes)
+      TextAnalysis.tokens(lower(text)), n, numHashes, portableHash)
 
   /** Candidate near-duplicate pairs via MinHash+LSH with estimated
     * Jaccard attached. Plan, tuned for scale:
@@ -163,7 +169,7 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame, textCol: String, idCol: String,
       k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minJaccard: Double = 0.5): DataFrame = {
+      minJaccard: Double = 0.5, portableHash: Boolean = false): DataFrame = {
     val rows = numHashes / bands
     // cache: the signature subtree is read 4× (self-join left/right +
     // two re-attach joins); without the cache each subtree recomputes
@@ -175,7 +181,7 @@ object Dedup {
     // docs too short to produce any gram have NULL signatures — they
     // carry no similarity evidence and must not pair with each other
     val withSig = balanced(docs).select(col(idCol).as("id"),
-      minhashSignatureWords(col(textCol), k, numHashes).as("sig"))
+      minhashSignatureWords(col(textCol), k, numHashes, portableHash).as("sig"))
       .filter(col("sig").isNotNull).cache()
     withSig.count() // eager: lazy cache would race among the 4 readers,
                     // each recomputing the signature pipeline
@@ -203,23 +209,38 @@ object Dedup {
     * per bit, majority vote of token-hash bits. One narrow pass via the
     * fused SimHash64 expression — no explode, no shuffle.
     */
-  def simhash(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+  def simhash(docs: DataFrame, textCol: String, idCol: String,
+      portableHash: Boolean = false): DataFrame =
     balanced(docs).select(col(idCol).as("id"),
       graft.functions.VectorExpressions.simhash64(
-        TextAnalysis.tokens(lower(col(textCol)))).as("simhash"))
+        TextAnalysis.tokens(lower(col(textCol))), portableHash).as("simhash"))
 
-  /** SimHash near-dup candidates: block on 16-bit sub-keys (any of the
-    * 4 blocks equal → candidate; guarantees recall for hamming ≤ 3 by
-    * pigeonhole on 4 blocks), then filter on exact hamming distance.
+  /** SimHash near-dup candidates: block on 4 sub-keys (any block equal
+    * → candidate; guarantees recall for hamming ≤ 3 by pigeonhole on 4
+    * blocks), then filter on exact hamming distance. Default flavor:
+    * 64-bit xxh64 signature, 16-bit blocks; `portableHash` = true runs
+    * the md5-derived 52-bit signature in 13-bit blocks — the
+    * oracle-replayable gate flavor (token-less docs drop out via their
+    * NULL signature there; join keys on NULL never match).
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, textCol, idCol).cache() // read by both join sides
+      maxHamming: Int = 3, portableHash: Boolean = false): DataFrame = {
+    val blockBits =
+      if (portableHash) graft.functions.VectorExpressions.SimHash64.portableBits / 4
+      else 16
+    val blockMask = (1L << blockBits) - 1
+    // NULL signatures (NULL text; token-less docs in the portable
+    // flavor) carry no similarity evidence — drop them explicitly
+    // rather than relying on NULL-key join semantics through the
+    // struct bucket key
+    val sh = simhash(docs, textCol, idCol, portableHash)
+      .filter(col("simhash").isNotNull)
+      .cache() // read by both join sides
     sh.count()
     val blocked = sh.select(col("id"), col("simhash"),
       explode(array((0 until 4).map { blk =>
         struct(lit(blk).as("blk"),
-          shiftrightunsigned(col("simhash"), blk * 16).bitwiseAND(lit(0xFFFFL)).as("key"))
+          shiftrightunsigned(col("simhash"), blk * blockBits).bitwiseAND(lit(blockMask)).as("key"))
       }: _*)).as("bk"))
     val a = blocked.select(col("id").as("id_a"), col("simhash").as("sh_a"), col("bk"))
     val b = blocked.select(col("id").as("id_b"), col("simhash").as("sh_b"), col("bk"))
@@ -361,9 +382,11 @@ object Dedup {
     */
   def nearDupRetain(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 32,
-      bands: Int = 8, minJaccard: Double = 0.5): DataFrame =
+      bands: Int = 8, minJaccard: Double = 0.5,
+      portableHash: Boolean = false): DataFrame =
     retainFromPairs(docs,
-      minhashPairs(docs, textCol, idCol, k, numHashes, bands, minJaccard)
+      minhashPairs(docs, textCol, idCol, k, numHashes, bands, minJaccard,
+          portableHash)
         .select(col("id_a").as("src"), col("id_b").as("dst")), idCol)
 
   /** The retention half of [[nearDupRetain]], decoupled from the
@@ -416,8 +439,9 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, k: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      minEstJaccard: Double = 0.2): DataFrame = {
-    val cands = minhashPairs(docs, textCol, idCol, k, numHashes, bands, minEstJaccard)
+      minEstJaccard: Double = 0.2, portableHash: Boolean = false): DataFrame = {
+    val cands = minhashPairs(docs, textCol, idCol, k, numHashes, bands,
+      minEstJaccard, portableHash)
     val grams = balanced(docs)
       .select(col(idCol).as("id"), wordNgrams(col(textCol), n).as("grams")).cache()
     grams.count() // eager: both re-attach joins read this frame; a lazy

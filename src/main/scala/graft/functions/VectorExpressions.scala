@@ -55,6 +55,29 @@ object VectorExpressions {
       copy(left = l, right = r)
   }
 
+  /** The MinHash affine hash family h_j(x) = (a_j·x + b_j) mod p with
+    * p = 2³¹−1 — ONE source of truth shared by the signature
+    * expressions AND the DuckDB oracle SQL builders (which splice
+    * a_j/b_j as literals): a constant derived twice would let the gate
+    * verify against a stale family. Products stay < 2⁶² (a_j, x < p),
+    * exact in BIGINT on both engines.
+    */
+  object MinHashFamily {
+    val P = 2147483647L
+    def a(j: Int): Long = Math.floorMod(0x9E3779B97F4A7C15L * (j + 1), P - 1) + 1
+    def b(j: Int): Long = Math.floorMod(0xC2B2AE3D27D4EB4FL * (j + 7), P)
+  }
+
+  /** The engine-portable 52-bit base hash: the first 13 hex chars of
+    * md5 parsed as an integer (< 2⁵²) — the q41 md5-threshold
+    * discipline applied to signature hashing. DuckDB replays it as a
+    * positional digit sum over substr(md5(x), i, 1); Spark's
+    * xxhash64, by contrast, is not reproducible there (SURVEY §5.3).
+    */
+  private[graft] def md5Hash52(bytes: Array[Byte]): Long =
+    java.lang.Long.parseLong(
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes).substring(0, 13), 16)
+
   /** MinHash signature over an array<string> of shingles: one pass per
     * row computing all `numHashes` minima — O(shingles × hashes) tight
     * loop instead of `numHashes` interpreted array traversals. Hash
@@ -70,11 +93,9 @@ object VectorExpressions {
     override def nullable: Boolean = true
     override def prettyName: String = "graft_minhash"
 
-    private val P = 2147483647L
-    private val as = Array.tabulate(numHashes)(j =>
-      Math.floorMod(0x9E3779B97F4A7C15L * (j + 1), P - 1) + 1)
-    private val bs = Array.tabulate(numHashes)(j =>
-      Math.floorMod(0xC2B2AE3D27D4EB4FL * (j + 7), P))
+    private val P = MinHashFamily.P
+    private val as = Array.tabulate(numHashes)(MinHashFamily.a)
+    private val bs = Array.tabulate(numHashes)(MinHashFamily.b)
 
     override def nullSafeEval(v: Any): Any = {
       val arr = v.asInstanceOf[ArrayData]
@@ -109,18 +130,24 @@ object VectorExpressions {
     * minimum, so no distinct step is needed — this fuses what would be
     * tokens→transform(slice+concat_ws)→array_distinct→minhash (four
     * interpreted array traversals) into a single tight loop.
+    *
+    * `portableHash` selects the base hash under the affine family:
+    * false → xxh64(seed 42) mod p, the fast production default; true →
+    * the md5-13-hex [[md5Hash52]] mod p, bit-replayable by the DuckDB
+    * oracle — the flavor every hash GATE runs (SURVEY §5.3). The two
+    * flavors are independent draws of the same MinHash estimator; a
+    * parity spec pins their pair sets equal on gate data.
     */
-  case class MinHashNgramSig(child: Expression, n: Int, numHashes: Int)
+  case class MinHashNgramSig(child: Expression, n: Int, numHashes: Int,
+      portableHash: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true // NULL when fewer than n tokens
     override def prettyName: String = "graft_minhash_ngram"
 
-    private val P = 2147483647L
-    private val as = Array.tabulate(numHashes)(j =>
-      Math.floorMod(0x9E3779B97F4A7C15L * (j + 1), P - 1) + 1)
-    private val bs = Array.tabulate(numHashes)(j =>
-      Math.floorMod(0xC2B2AE3D27D4EB4FL * (j + 7), P))
+    private val P = MinHashFamily.P
+    private val as = Array.tabulate(numHashes)(MinHashFamily.a)
+    private val bs = Array.tabulate(numHashes)(MinHashFamily.b)
     private val space = UTF8String.fromString(" ")
 
     override def nullSafeEval(v: Any): Any = {
@@ -137,9 +164,11 @@ object VectorExpressions {
         var w = 0
         while (w < n) { parts(w) = toks.getUTF8String(i + w); w += 1 }
         val gram = UTF8String.concatWs(space, parts: _*)
-        val h = Math.floorMod(
-          org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-            gram, StringType, 42L), P)
+        val h =
+          if (portableHash) Math.floorMod(md5Hash52(gram.getBytes), P)
+          else Math.floorMod(
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              gram, StringType, 42L), P)
         var j = 0
         while (j < numHashes) {
           val hv = Math.floorMod(as(j) * h + bs(j), P)
@@ -158,22 +187,35 @@ object VectorExpressions {
     * tokens' xxh64 bits (multiset semantics — each occurrence votes).
     * One pass per row; replaces an explode + 64-conditional-sum groupBy
     * (a full shuffle of every token) with a narrow map.
+    *
+    * `portableHash` = true switches to the oracle-replayable flavor:
+    * votes come from the 52 bits of [[md5Hash52]] (signature width
+    * [[SimHash64.portableBits]]), and a token-less doc returns NULL
+    * instead of the all-zero signature — an empty doc carries no
+    * similarity evidence, and a shared zero signature would make every
+    * empty doc a certain "duplicate" of every other (the
+    * MinHashNgramSig sentinel rationale).
     */
-  case class SimHash64(child: Expression)
+  case class SimHash64(child: Expression, portableHash: Boolean = false)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true // portable flavor: NULL on no tokens
     override def prettyName: String = "graft_simhash"
+    private val bits = if (portableHash) SimHash64.portableBits else 64
 
     override def nullSafeEval(v: Any): Any = {
       val toks = v.asInstanceOf[ArrayData]
-      val counts = new Array[Int](64)
+      val counts = new Array[Int](bits)
       val n = toks.numElements()
+      if (portableHash && n == 0) return null
       var i = 0
       while (i < n) {
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          toks.getUTF8String(i), StringType, 42L)
+        val h =
+          if (portableHash) md5Hash52(toks.getUTF8String(i).getBytes)
+          else org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+            toks.getUTF8String(i), StringType, 42L)
         var b = 0
-        while (b < 64) {
+        while (b < bits) {
           if (((h >>> b) & 1L) != 0) counts(b) += 1 else counts(b) -= 1
           b += 1
         }
@@ -181,11 +223,20 @@ object VectorExpressions {
       }
       var sig = 0L
       var b = 0
-      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      while (b < bits) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
       sig
     }
 
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  object SimHash64 {
+    /** Width of the portable signature: 13 md5 hex chars = 52 bits —
+      * the widest integer the oracle can rebuild digit-by-digit in
+      * exact BIGINT arithmetic. Splits evenly into 4 pigeonhole blocks
+      * of 13 bits for the candidate join.
+      */
+    val portableBits = 52
   }
 
   /** Random-hyperplane LSH signature over array<double>: bit i of the
@@ -653,11 +704,13 @@ object VectorExpressions {
   def minhashSig(shingles: Column, numHashes: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(shingles), numHashes))
 
-  def minhashNgramSig(tokens: Column, n: Int, numHashes: Int): Column =
-    Bridge.column(MinHashNgramSig(Bridge.expression(tokens), n, numHashes))
+  def minhashNgramSig(tokens: Column, n: Int, numHashes: Int,
+      portableHash: Boolean = false): Column =
+    Bridge.column(MinHashNgramSig(Bridge.expression(tokens), n, numHashes,
+      portableHash))
 
-  def simhash64(tokens: Column): Column =
-    Bridge.column(SimHash64(Bridge.expression(tokens)))
+  def simhash64(tokens: Column, portableHash: Boolean = false): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens), portableHash))
 
   def ngramStats(tokens: Column, n: Int): Column =
     Bridge.column(NgramStats(Bridge.expression(tokens), n))

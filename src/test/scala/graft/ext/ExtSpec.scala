@@ -823,6 +823,42 @@ class DedupSpec extends SparkSpec {
       s"short docs paired spuriously: $pairs")
   }
 
+  test("minhashPairs: portable md5 flavor finds the xxh64 flavor's pair set (gate data)") {
+    // the two base hashes are independent draws of the same MinHash
+    // estimator; on the gate corpus (planted first-word-dropped dups,
+    // q26's construction) their banded pair SETS must agree — this is
+    // the production-default xxh64 flavor's correctness tether now that
+    // the hash gates run the portable flavor
+    val sf = graft.Tables.load(spark, sfDir, "documents")
+    val planted = sf.unionByName(sf
+      .withColumn("doc_id", col("doc_id") + 1000000L)
+      .withColumn("text", regexp_replace(col("text"), "^\\S+\\s*", "")))
+    def pairSet(portable: Boolean): Set[(Long, Long)] =
+      Dedup.minhashPairs(planted, "text", "doc_id", k = 2, numHashes = 32,
+        bands = 8, minJaccard = 0.5, portableHash = portable)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val xx = pairSet(portable = false)
+    val md = pairSet(portable = true)
+    assert(xx == md,
+      s"flavors diverge: only-xxh64=${(xx -- md).take(5)} only-md5=${(md -- xx).take(5)}")
+    assert(xx.nonEmpty)
+  }
+
+  test("simhashPairs portable flavor: dups pair at hamming 0, token-less docs drop out") {
+    val fixture = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, ""),                       // no tokens → NULL signature
+      (4L, null.asInstanceOf[String]) // NULL text → NULL signature
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(fixture, "text", "doc_id",
+      maxHamming = 8, portableHash = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.get((1L, 2L)).contains(0))
+    assert(!pairs.keySet.exists(p => Set(p._1, p._2).exists(Set(3L, 4L))),
+      s"token-less docs paired: ${pairs.keySet}")
+  }
+
   test("simhash: identical docs same hash; near dups within hamming 16") {
     val sh = Dedup.simhash(docs, "text", "doc_id").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
