@@ -50,6 +50,58 @@ private[graft] trait PipelinesBase {
     pitStores.clear()
     perceptronWeightsMemo.clear()
   }
+
+  /** Wrap an approximate-ANN result as a PORTABLE invariant gate (r11
+    * verdict ask #2): the selected neighbor SET is engine-specific
+    * (cell routing / codebooks / plane families, SURVEY §5.3), but
+    * these per-query facts are not, and the driver can hash them:
+    *
+    *   - n_neighbors / n_distinct: exactly k distinct neighbors;
+    *   - ranks_dense: ranks are exactly 1..k in order;
+    *   - cosines_ok: scores are the TRUE cosines — non-increasing in
+    *     rank and bounded by the exact top-1 (an approximate tier can
+    *     select a worse neighbor, never a better-than-optimal score);
+    *   - recall_ok (when `recallFloor` is set): corpus-level
+    *     recall@k against the exact result clears the tier's pinned
+    *     floor (the AnnRecallGateSpec floors, now driver-visible).
+    *
+    * A broken band join, mis-probed cell, corrupted codebook, or
+    * score drift flips a boolean and fails the hash gate. The exact
+    * side is one bruteForceTopK over the (small, broadcast) query
+    * batch — the corpus is scanned once more, never shuffled.
+    */
+  protected def annInvariantGate(ann: DataFrame, exact: DataFrame, k: Int,
+      recallFloor: Option[Double]): DataFrame = {
+    val perQ = ann.groupBy(col("query_id")).agg(
+      count(lit(1)).as("n_neighbors"),
+      countDistinct(col("neighbor_id")).as("n_distinct"),
+      array_sort(collect_list(struct(col("rank"), col("cosine")))).as("_rc"))
+      .withColumn("ranks_dense",
+        transform(col("_rc"), x => x.getField("rank")) === sequence(lit(1), lit(k)))
+      .withColumn("_nonincr",
+        forall(zip_with(slice(col("_rc"), 1, k - 1), slice(col("_rc"), 2, k - 1),
+          (a, b) => a.getField("cosine") >= b.getField("cosine")), x => x))
+      .withColumn("_maxc", element_at(col("_rc"), 1).getField("cosine"))
+    val top1 = exact.filter(col("rank") === 1)
+      .select(col("query_id"), col("cosine").as("_top1"))
+    val base = perQ.join(broadcast(top1), Seq("query_id"))
+      .withColumn("cosines_ok", col("_nonincr") && col("_maxc") <= col("_top1"))
+    val out = recallFloor match {
+      case None => base
+      case Some(floor) =>
+        val truth = exact.select(col("query_id"), col("neighbor_id"))
+        val r = ann.join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+          .agg(count(lit(1)).as("_hits"))
+          .crossJoin(broadcast(exact.agg(count(lit(1)).as("_truth"))))
+          .select((col("_hits").cast("double") / col("_truth")).as("_recall"))
+        base.crossJoin(broadcast(r))
+          .withColumn("recall_ok", col("_recall") >= floor)
+    }
+    out.select(Seq(col("query_id"), col("n_neighbors"), col("n_distinct"),
+      col("ranks_dense"), col("cosines_ok")) ++
+      (if (recallFloor.isDefined) Seq(col("recall_ok")) else Nil): _*)
+      .orderBy("query_id")
+  }
 }
 
 /** All gate queries, split per theme (VERDICT r9 #4): each
@@ -88,6 +140,18 @@ private[graft] trait OracleSnippets {
   protected val rawTokensCaseSql =
     """CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
       |         ELSE regexp_split_to_array(trim(text), '\s+') END""".stripMargin
+
+  /** The oracle side of `PipelinesBase.annInvariantGate`: the portable
+    * facts recomputed from raw data — k rows per query with every
+    * invariant TRUE. SURVEY §5.3: the booleans are invariant-only
+    * (they assert facts about the engine-specific selection, not the
+    * selection itself).
+    */
+  protected def annInvariantOracleSql(withRecall: Boolean): String =
+    s"""SELECT vec_id AS query_id, CAST(5 AS BIGINT) AS n_neighbors,
+       |  CAST(5 AS BIGINT) AS n_distinct, TRUE AS ranks_dense,
+       |  TRUE AS cosines_ok${if (withRecall) ",\n  TRUE AS recall_ok" else ""}
+       |FROM embeddings WHERE vec_id < 10 ORDER BY query_id""".stripMargin
 
   // ---- portable signature hashing (r12): the md5-13-hex base hash
   // ---- and the MinHash/SimHash signature pipelines replayed in exact

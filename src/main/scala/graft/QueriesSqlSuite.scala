@@ -239,15 +239,18 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
   // Materialized IVF index: build the cell-partitioned index, then
   // probe it — the probe's corpus scan is statically partition-pruned
   // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
-  // Rows-only: cell routing depends on the engine's KMeans. The timed
-  // work is honest index-build + pruned probe.
+  // INVARIANT gate since r12 (cell routing depends on the engine's
+  // KMeans; see annInvariantGate). The timed work is honest
+  // index-build + pruned probe + one brute-force pass for the facts.
   def ivfIndexedAnn(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
     val dir = "/tmp/graft_ivfidx_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
     Similarity.ivfIndexWrite(emb, dir, nlist = 16)
-    Similarity.ivfIndexedTopK(s, dir, emb.filter(col("vec_id") < 10),
-      k = 5, nprobe = 4)
-      .orderBy("query_id", "rank")
+    annInvariantGate(
+      Similarity.ivfIndexedTopK(s, dir, q, k = 5, nprobe = 4),
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      k = 5, recallFloor = Some(0.45))
   }
 
   // TPC-H Q18 shape (large-volume orders): the IN subquery with a
@@ -384,13 +387,22 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("c_custkey")
   }
 
-  // PQ ANN (rows-only: per-subspace KMeans codebooks aren't
-  // SQL-expressible): 8-byte codes + ADC short list + exact re-rank.
+  // PQ ANN (8-byte codes + ADC short list + exact re-rank) as an
+  // INVARIANT gate (r12; codebooks aren't SQL-expressible): see
+  // annInvariantGate. Floor note: PQ recall on the near-isotropic
+  // fixture DEGRADES with corpus size (constant 8-byte quantization
+  // error vs a top-5 margin that shrinks as n grows) — measured 0.52
+  // at sf0.01, 0.34 at sf0.1. The gate floor 0.15 is SF-robust and
+  // still ~15-150x the chance rate k/n; the tighter sf0.01-only pin
+  // (0.35) lives in AnnRecallGateSpec.
   def pqAnn(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
     val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    Pq.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, cb)
-      .orderBy("query_id", "rank")
+    annInvariantGate(
+      Pq.pqTopK(emb, q, k = 5, cb),
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      k = 5, recallFloor = Some(0.15))
   }
 
   // IVF+PQ composed ANN (the faiss IVFPQ design, Jégou et al. 2011):
@@ -404,11 +416,16 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
   // spec-tested (PqSpec).
   def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
     val coarse = Pq.trainCoarse(emb, dim = 64, nlist = 16)
     val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 10), k = 5, coarse, cb,
-      nprobe = 4)
-      .orderBy("query_id", "rank")
+    // INVARIANT gate since r12 (see annInvariantGate; floor 0.1 is
+    // SF-robust — measured 0.46 at sf0.01 / 0.22 at sf0.1, chance is
+    // k/n; the tighter sf0.01 pin lives in AnnRecallGateSpec)
+    annInvariantGate(
+      Pq.ivfPqTopK(emb, q, k = 5, coarse, cb, nprobe = 4),
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      k = 5, recallFloor = Some(0.1))
   }
 
   // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
@@ -837,5 +854,13 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
         |                    AND o_orderpriority = '1-URGENT')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+
+
+    // invariant gates (r12): codebooks / cell routing are
+    // engine-specific; the driver hashes the portable per-query facts
+    // + each tier's AnnRecallGateSpec floor
+    "q50_pq_ann" -> annInvariantOracleSql(withRecall = true),
+    "q72_ivfpq_ann" -> annInvariantOracleSql(withRecall = true),
+    "q78_ivf_indexed_ann" -> annInvariantOracleSql(withRecall = true),
   )
 }

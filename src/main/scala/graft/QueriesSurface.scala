@@ -211,11 +211,17 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
     graft.streaming.Sessionize.batch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
       .orderBy("user_id", "session_id")
 
-  // IVF ANN (rows-only: KMeans centroids aren't SQL-expressible).
+  // IVF ANN as an INVARIANT gate (r12; centroids aren't
+  // SQL-expressible): k distinct neighbors, dense ranks, true cosines
+  // bounded by the exact top-1, corpus recall@5 over the
+  // AnnRecallGateSpec floor — all hashed by the driver.
   def ivfAnn(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
-      .orderBy("query_id", "rank")
+    val q = emb.filter(col("vec_id") < 10)
+    annInvariantGate(
+      Similarity.ivfTopK(emb, q, k = 5),
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      k = 5, recallFloor = Some(0.45))
   }
 
   // salted skew join: events (probe) ⋈ customer (build, replicated ×8)
@@ -572,5 +578,10 @@ private[graft] trait OraclesSurface { this: OracleSnippets =>
          |  CAST(c_acctbal AS DOUBLE) AS acctbal
          |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
          |ORDER BY c_custkey""".stripMargin,
+
+
+    // invariant gate (r12): IVF cell routing is engine-specific; the
+    // driver hashes the portable per-query facts + the recall floor
+    "q35_ivf_ann" -> annInvariantOracleSql(withRecall = true),
   )
 }

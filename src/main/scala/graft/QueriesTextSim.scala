@@ -120,10 +120,20 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
       missProb = 1e-8)
       .orderBy("id_a", "id_b")
 
+  // LSH ANN as an INVARIANT gate (r12): the selection is
+  // engine-specific (plane family), so the gate hashes the portable
+  // facts — k distinct neighbors, dense ranks, true cosines bounded by
+  // the exact top-1. No recall floor here: at 32 bits on the
+  // near-isotropic gate corpus LSH recall is chance by information
+  // theory (AnnRecallGateSpec regime 1); its floor lives in the
+  // planted-near-dup regime of that spec.
   def lshAnn(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
-      .orderBy("query_id", "rank")
+    val q = emb.filter(col("vec_id") < 10)
+    annInvariantGate(
+      Similarity.lshTopK(emb, q, k = 5, dim = 64),
+      Similarity.bruteForceTopK(emb, q, k = 5),
+      k = 5, recallFloor = None)
   }
 
   // tiled exhaustive cosine pairs — the distributed exact path for
@@ -257,5 +267,25 @@ private[graft] trait OraclesTextSim { this: OracleSnippets =>
         |WHERE a.vec_id < b.vec_id
         |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.45
         |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // the LSH path's recall budget (missProb 1e-8/pair, r=4 b=107)
+    // makes its output EQUAL the exact all-pairs set on the gate
+    // corpus — deterministically, given the fixed plane family and
+    // data (verified at sf0.01 AND sf0.1; SimilaritySpec asserts the
+    // same equality). The oracle is therefore q30's exhaustive scan at
+    // the same threshold.
+    "q66_cosine_lsh" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cosine
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+
+    // invariant gate (r12): the LSH selection is engine-specific; the
+    // driver hashes the portable per-query facts (annInvariantGate)
+    "q31_lsh_ann" -> annInvariantOracleSql(withRecall = false),
   )
 }
