@@ -26,14 +26,40 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
     graft.ext.SemanticDedup.retainExact(t(s, d, "embeddings"), 0.45)
       .orderBy("vec_id")
 
-  // SemDeDup (clustered) variant: rows-only — the k-means cell
-  // assignment is engine-specific; the contract vs the exact rule is
-  // spec-asserted (SemanticDedupSpec).
-  def semanticDedupClustered(s: SparkSession, d: String): DataFrame =
-    graft.ext.SemanticDedup.retainClustered(t(s, d, "embeddings"), 0.45,
-      nlist = 8)
+  // SemDeDup (clustered) variant as an INVARIANT gate (r12; the
+  // k-means cell assignment is engine-specific, so the retained SET
+  // is not portable): the driver hashes the facts that hold for ANY
+  // correct clustering — a dropped doc always has an earlier
+  // same-cell (hence global) duplicate at the threshold, and the
+  // retained count is bounded by [docs with no earlier global dup,
+  // n]. The exact-rule contract stays spec-asserted
+  // (SemanticDedupSpec); the exact twin q80 is hash-gated verbatim.
+  def semanticDedupClustered(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val retained = graft.ext.SemanticDedup
+      .retainClustered(emb, 0.45, nlist = 8)
       .select(col("vec_id"))
-      .orderBy("vec_id")
+    val ids = emb.select(col("vec_id"))
+    // docs having an EARLIER duplicate at the threshold, from the
+    // exact tiled all-pairs set (id_a < id_b)
+    val hasEarlierDup = Similarity
+      .cosineAllPairsTiled(emb, threshold = 0.45)
+      .select(col("id_b").as("vec_id")).distinct()
+    val dropped = ids.join(retained, Seq("vec_id"), "left_anti")
+    val badDropped = dropped.join(hasEarlierDup, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("_bad"))
+    val nRet = retained.agg(count(lit(1)).as("_nret"))
+    val nUnique = ids.join(hasEarlierDup, Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("_nuniq"))
+    emb.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(badDropped))
+      .crossJoin(broadcast(nRet))
+      .crossJoin(broadcast(nUnique))
+      .select(col("n_docs"),
+        (col("_bad") === 0L).as("dropped_have_earlier_dup"),
+        (col("_nret") >= col("_nuniq") && col("_nret") <= col("n_docs"))
+          .as("retained_bounds_ok"))
+  }
 
   // Corpus-driven top-k stop-word pruning: document-frequency rank is
   // exact integers with a total tie-break, so the stop list — and
@@ -699,6 +725,15 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
       s"""WITH RECURSIVE $ccClosureCtesSql
          |SELECT node AS vec_id, min(lbl) AS component
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+
+    // invariant gate (r12): the clustered-SemDeDup retained set is
+    // engine-specific; the booleans assert clustering-independent facts
+    "q81_semdedup_clustered" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  TRUE AS dropped_have_earlier_dup,
+        |  TRUE AS retained_bounds_ok
+        |FROM embeddings""".stripMargin,
 
 
     // portable-MinHash end-to-end dedup replay (r12): word-3-gram

@@ -123,21 +123,40 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("o_orderkey")
   }
 
-  // Sketch aggregations (rows-only: HLL/quantile-sketch estimates are
-  // engine-specific by construction — the accuracy contract vs the
-  // exact values is spec-tested instead): approx_count_distinct is
-  // Spark's HyperLogLog++, approx_percentile its quantile sketch. At
-  // 100 TB these replace exact distinct/percentile shuffles with
+  // Sketch aggregations as an INVARIANT gate (r12; HLL/quantile-sketch
+  // estimates are engine-specific by construction): the gate emits the
+  // EXACT distinct counts (portable — the oracle recomputes them) plus
+  // booleans pinning each sketch estimate inside its accuracy
+  // contract, all driver-hashed. approx_count_distinct is Spark's
+  // HyperLogLog++ at default rsd 0.05 (bound: 3·rsd); percentile_approx
+  // at accuracy 10000 has rank error 1e-4 (bound: the generous exact
+  // p±0.02 band — a broken sketch lands far outside). At 100 TB these
+  // sketches replace exact distinct/percentile shuffles with
   // constant-size mergeable state — the standard pre-aggregation
-  // trade.
+  // trade; the exact columns here are the gate's ground truth, not the
+  // production path.
   def approxStats(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-        approx_count_distinct(col("l_partkey")).as("approx_parts"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("approx_median"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("approx_p95"))
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_orderkey")).as("_ao"),
+        approx_count_distinct(col("l_partkey")).as("_ap"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_am"),
+        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"),
+        expr("percentile(l_extendedprice, 0.48)").as("_p48"),
+        expr("percentile(l_extendedprice, 0.52)").as("_p52"),
+        expr("percentile(l_extendedprice, 0.93)").as("_p93"),
+        expr("percentile(l_extendedprice, 0.97)").as("_p97"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("exact_orders"), col("exact_parts"),
+        (abs(col("_ao") - col("exact_orders"))
+          <= col("exact_orders") * 0.15).as("orders_ok"),
+        (abs(col("_ap") - col("exact_parts"))
+          <= col("exact_parts") * 0.15).as("parts_ok"),
+        (col("_am") >= col("_p48") && col("_am") <= col("_p52")).as("median_ok"),
+        (col("_a95") >= col("_p93") && col("_a95") <= col("_p97")).as("p95_ok"))
       .orderBy("l_returnflag", "l_linestatus")
 
   // TPC-H Q3 shape: 3-table join, date band on both sides, exact
@@ -344,14 +363,22 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .select(col("hh.item").as("item"), col("hh.est").as("est"))
       .orderBy(desc("est"), asc("item"))
 
-  // KMV sketch aggregate (rows-only: the estimate depends on the
-  // engine's hash; the exact/merge contracts are spec-tested) — the
-  // custom TypedImperativeAggregate tier exercised through a query.
+  // KMV sketch aggregate as an INVARIANT gate (r12; the estimate
+  // depends on the engine's hash) — the custom TypedImperativeAggregate
+  // tier exercised through a query, with the exact distinct count as
+  // the portable column and the estimate pinned inside the KMV error
+  // bound: rsd ≈ 1/sqrt(k−2) at k=256, bound 3·rsd ≈ 18.8 %. The
+  // exact/merge contracts remain spec-tested (SketchSpec).
   def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
     t(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
-        .as("approx_orders"))
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
+          .as("_est"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("_est") - col("exact_orders"))
+          <= col("exact_orders") * (3.0 / math.sqrt(254.0))).as("kmv_ok"))
       .orderBy("l_returnflag")
 
   // Per-group feature standardization (z-score) — the core feature-
@@ -862,5 +889,25 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
     "q50_pq_ann" -> annInvariantOracleSql(withRecall = true),
     "q72_ivfpq_ann" -> annInvariantOracleSql(withRecall = true),
     "q78_ivf_indexed_ann" -> annInvariantOracleSql(withRecall = true),
+
+
+    // invariant gate (r12): exact distinct counts recomputed here; the
+    // sketch-accuracy booleans assert TRUE
+    "q58_approx_stats" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS orders_ok, TRUE AS parts_ok,
+        |  TRUE AS median_ok, TRUE AS p95_ok
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+
+    "q61_kmv_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  TRUE AS kmv_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
   )
 }

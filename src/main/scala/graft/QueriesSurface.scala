@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -344,16 +344,55 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
       .orderBy("c_custkey")
   }
 
-  // A1 — the actual df.summary() API (Sean_Original.py:32). Percentile
-  // rows are approximate (SURVEY.md §5.3) and every cell is a formatted
-  // string, so this is a rows-only gate entry; exact parity of the
-  // count/mean/min/max rows against exact aggregates is spec-tested
-  // (SummaryParitySpec).
-  def summaryParity(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .select(col("l_quantity"), col("l_extendedprice"), col("l_discount"))
-      .summary()
+  // A1 — the actual df.summary() API (Sean_Original.py:32) as an
+  // INVARIANT gate (r12): percentile rows are approximate and every
+  // cell is a formatted string, so the gate parses each cell back and
+  // hashes BOOLEANS — exact rows (count/mean/stddev/min/max) must
+  // match the exactly-computed aggregates (ulp tolerance on the
+  // double-accumulated mean/stddev), percentile rows must land inside
+  // the generous exact p±0.02 band (summary()'s sketch has rank error
+  // 1e-4). The q153 gate hash-checks the exact rows verbatim;
+  // SummaryParitySpec keeps the cell-level parity pins.
+  def summaryParity(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val li = t(s, d, "lineitem").select(cols.map(col): _*)
+    val sm = li.summary()
+    val stats = li.agg(
+      count(lit(1)).as("_n"),
+      cols.flatMap { c =>
+        Seq(avg(col(c)).as(s"_mean_$c"),
+          stddev_samp(col(c)).as(s"_sd_$c"),
+          min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
+          expr(s"percentile($c, 0.23)").as(s"_p23_$c"),
+          expr(s"percentile($c, 0.27)").as(s"_p27_$c"),
+          expr(s"percentile($c, 0.48)").as(s"_p48_$c"),
+          expr(s"percentile($c, 0.52)").as(s"_p52_$c"),
+          expr(s"percentile($c, 0.73)").as(s"_p73_$c"),
+          expr(s"percentile($c, 0.77)").as(s"_p77_$c"))
+      }: _*)
+    def ok(c: String): Column = {
+      val v = col(c).cast("double")
+      def near(target: Column) =
+        abs(v - target) <= greatest(abs(target) * 1e-9, lit(1e-12))
+      when(col("summary") === "count", col(c).cast("long") === col("_n"))
+        .when(col("summary") === "mean", near(col(s"_mean_$c")))
+        .when(col("summary") === "stddev", near(col(s"_sd_$c")))
+        .when(col("summary") === "min", v === col(s"_min_$c"))
+        .when(col("summary") === "max", v === col(s"_max_$c"))
+        .when(col("summary") === "25%",
+          v >= col(s"_p23_$c") && v <= col(s"_p27_$c"))
+        .when(col("summary") === "50%",
+          v >= col(s"_p48_$c") && v <= col(s"_p52_$c"))
+        .when(col("summary") === "75%",
+          v >= col(s"_p73_$c") && v <= col(s"_p77_$c"))
+    }
+    sm.crossJoin(broadcast(stats))
+      .select(col("summary"),
+        ok("l_quantity").as("quantity_ok"),
+        ok("l_extendedprice").as("extendedprice_ok"),
+        ok("l_discount").as("discount_ok"))
       .orderBy("summary")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesSurface]] queries. */
@@ -583,5 +622,15 @@ private[graft] trait OraclesSurface { this: OracleSnippets =>
     // invariant gate (r12): IVF cell routing is engine-specific; the
     // driver hashes the portable per-query facts + the recall floor
     "q35_ivf_ann" -> annInvariantOracleSql(withRecall = true),
+
+
+    // invariant gate (r12): summary()'s cells are engine-formatted
+    // strings; the booleans assert the parsed-back parity facts
+    "q45_summary" ->
+      """SELECT s AS summary, TRUE AS quantity_ok,
+        |  TRUE AS extendedprice_ok, TRUE AS discount_ok
+        |FROM (VALUES ('count'), ('mean'), ('stddev'), ('min'),
+        |  ('25%'), ('50%'), ('75%'), ('max')) t(s)
+        |ORDER BY summary""".stripMargin,
   )
 }
