@@ -68,64 +68,6 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
     TextAnalysis.pruneTopWords(t(s, d, "documents"), k = 5)
       .orderBy("doc_id")
 
-  // TPC-H Q10 shape: returned-item revenue per customer — fact join
-  // with a date band, broadcast nation dim, deterministic top-20.
-  def returnedItems(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  c_acctbal, n_name
-        |FROM customer, orders, lineitem, nation
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
-        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin)
-  }
-
-  // TPC-H Q19 shape: disjunction of brand/size/quantity conjunctions.
-  // Catalyst splits the OR across the join: the p_brand/p_size arms
-  // push into the part scan, the l_quantity bounds into lineitem, and
-  // the residual OR evaluates post-join — the pushdown pattern naive
-  // disjunctive predicates rely on.
-  def disjunctiveRevenue(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey AND (
-        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 25)
-        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
-        |       AND l_quantity BETWEEN 10 AND 40)
-        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
-        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin)
-  }
-
-  // TPC-H Q22 shape: customers above the global positive-balance mean
-  // with no RECENT (2000+) orders. The mean comparison is cross-multiplied
-  // (c_acctbal · n > Σ) so both engines compare exact decimals — no
-  // float boundary to flake on; the no-orders leg is a hash anti join.
-  def idleCustomers(s: SparkSession, d: String): DataFrame = {
-    Tables.registerAll(s, d)
-    s.sql(
-      """WITH s AS (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
-        |         count(*) AS n
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer, s
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= DATE '2000-01-01')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
-  }
 
   // Layout-aware scan: events rewritten PARTITIONED BY event_type,
   // then read back with a partition filter — the scan lists only the
@@ -162,87 +104,6 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
         expr("element_at(totals, int((size(totals) + 1) div 2))").as("mid_total"))
       .orderBy("o_custkey")
 
-  // Conversion funnel: per-user first view / first subsequent purchase
-  // — conditional-min aggregates over one events scan, epoch-µs output
-  // (the q17 timestamp discipline). NULL-safe conversion flag via
-  // coalesce so never-purchased users gate to 0, not NULL.
-
-  /** The funnel aggregate itself, over a frame with (user_id,
-    * event_type, us) — SHARED by the q93 batch gate and the streaming
-    * `StreamingFeatures.maintainFunnelState`, so stream/batch parity
-    * holds by construction (the q08 shared-builder discipline). Both
-    * mins are mergeable, which is what makes the same expression a
-    * valid running streaming state.
-    */
-  def funnelAgg(ev: DataFrame): DataFrame =
-    ev.groupBy(col("user_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("us"))).as("first_view_us"),
-        min(when(col("event_type") === "purchase", col("us"))).as("first_purchase_us"))
-      .withColumn("converted",
-        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
-          .cast("int"))
-
-  def conversionFunnel(s: SparkSession, d: String): DataFrame =
-    funnelAgg(t(s, d, "events")
-      .select(col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us")))
-      .orderBy("user_id")
-
-  // Cohort retention: users bucketed by the ISO week of their first
-  // event; activity weeks indexed by exact micro-second arithmetic
-  // ((w − cohort_w) div week_µs — both weeks are date_trunc'd so the
-  // division is exact, no calendar functions past the shared trunc).
-  def cohortRetention(s: SparkSession, d: String): DataFrame = {
-    val ev = t(s, d, "events")
-      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
-    val first = ev.groupBy(col("user_id"))
-      .agg(unix_micros(date_trunc("week", min(col("ts")))).as("cohort_us"))
-    val active = ev
-      .select(col("user_id"),
-        unix_micros(date_trunc("week", col("ts"))).as("w_us"))
-      .distinct()
-    active.join(first, Seq("user_id"))
-      .groupBy(col("cohort_us"),
-        ((col("w_us") - col("cohort_us")) / lit(604800000000L)).cast("long")
-          .as("week_n"))
-      .agg(count(lit(1)).cast("long").as("n_users"))
-      .orderBy("cohort_us", "week_n")
-  }
-
-  // Behavioral transition matrix: counts of consecutive event-type
-  // pairs per user timeline (lead over the per-user time order, then
-  // one group-by) — the Markov-chain input for path analysis. Total
-  // ordering (us, event_id) makes the pairs deterministic under ties.
-  def eventTransitions(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("us"), col("event_id"))
-    t(s, d, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("us"))
-      .withColumn("next_type", lead(col("event_type"), 1).over(w))
-      .filter(col("next_type").isNotNull)
-      .groupBy(col("event_type"), col("next_type"))
-      .agg(count(lit(1)).as("n_transitions"))
-      .orderBy("event_type", "next_type")
-  }
-
-  // Session-scoped funnel: the q93 conversion shape applied WITHIN
-  // gap-based sessions — per (user, session), first view and first
-  // later purchase. Composes the per-event session assignment with
-  // conditional-min aggregates; the whole plan still has one exchange
-  // on user_id (windows and group-by share it).
-  def sessionFunnel(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Sessionize
-      .assignBatch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        min(when(col("event_type") === "view", col("_us"))).as("first_view_us"),
-        min(when(col("event_type") === "purchase", col("_us"))).as("first_purchase_us"))
-      .withColumn("converted",
-        coalesce(col("first_purchase_us") > col("first_view_us"), lit(false))
-          .cast("int"))
-      .orderBy("user_id", "session_id")
 
   // Fuzzy string matching: distinct part-name pairs within edit
   // distance 2 — q-gram-blocked candidates, exact levenshtein filter
@@ -383,130 +244,7 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
-  // TPC-H Q13 shape: distribution of customers by order count,
-  // INCLUDING zero-order customers — the left-outer + group-on-the-
-  // aggregate double grouping; both group-bys and the join share the
-  // customer key, so one partitioning serves all three at scale.
-  def custOrderHistogram(s: SparkSession, d: String): DataFrame = {
-    val perCust = t(s, d, "customer").select(col("c_custkey"))
-      .join(t(s, d, "orders").select(col("o_custkey"), col("o_orderkey")),
-        col("c_custkey") === col("o_custkey"), "left_outer")
-      .groupBy(col("c_custkey"))
-      .agg(count(col("o_orderkey")).as("c_count"))
-    perCust.groupBy(col("c_count"))
-      .agg(count(lit(1)).as("custdist"))
-      .orderBy(col("custdist").desc, col("c_count").desc)
-  }
 
-  // TPC-H Q17 shape: revenue lost to small-quantity orders of one
-  // brand's parts. The oracle runs the naive correlated-avg subquery;
-  // the engine aggregates the per-part avg ONCE and joins it back
-  // (the q69 decorrelation discipline) — both under the exact-decimal
-  // sum / double-division contract so the single output double
-  // hash-matches.
-  def smallQtyRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val brandParts = t(s, d, "part")
-      .filter(col("p_brand") === "Brand#12").select(col("p_partkey"))
-    val li = t(s, d, "lineitem")
-      .join(brandParts, col("l_partkey") === col("p_partkey"))
-    val avgs = li.groupBy(col("l_partkey").as("_pk"))
-      .agg((sum(dec("l_quantity")).cast("double") / count(lit(1))).as("avg_qty"))
-    li.join(avgs, col("l_partkey") === col("_pk"))
-      .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
-      .agg((sum(dec("l_extendedprice")).cast("double") / lit(7.0)).as("avg_yearly"))
-  }
-
-  // TPC-H Q14 shape: promo revenue share — a conditional-ratio
-  // aggregate over a broadcast part join; both sums exact-decimal,
-  // division in double (the §5.3 contract), so the single output
-  // double hash-matches.
-  def promoRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val rev = dec("l_extendedprice") * (lit(1) - dec("l_discount"))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1996-04-01").cast("date"))
-      .join(broadcast(t(s, d, "part").select(col("p_partkey"), col("p_type"))),
-        col("l_partkey") === col("p_partkey"))
-      .agg((lit(100.0) *
-        sum(when(col("p_type").startsWith("PROMO"), rev)
-          .otherwise(lit(0).cast(DecimalType(18, 2)))).cast("double") /
-        sum(rev).cast("double")).as("promo_revenue"))
-  }
-
-  // TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
-  // The revenue "view" subtree appears twice (group-by + its max) —
-  // both scans carry the pushed shipdate filter, and the 1-row max
-  // BROADCASTS back onto the grouped frame: the max-equality never
-  // runs as a single-partition window over the supplier set (the
-  // 100 TB cliff). At scale, materialize the revenue view once
-  // (persist / CTAS) instead of re-deriving it for the max.
-  // Equality on the DECIMAL revenue is exact in both engines; the
-  // cast to double happens after.
-  def topSupplier(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val rev = t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1996-04-01").cast("date"))
-      .groupBy(col("l_suppkey"))
-      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("rev_dec"))
-    rev.join(broadcast(rev.agg(max(col("rev_dec")).as("mx"))),
-        col("rev_dec") === col("mx"))
-      .join(broadcast(t(s, d, "supplier").select("s_suppkey", "s_name")),
-        col("l_suppkey") === col("s_suppkey"))
-      .select(col("s_suppkey"), col("s_name"),
-        col("rev_dec").cast("double").as("total_revenue"))
-      .orderBy("s_suppkey")
-  }
-
-  // TPC-H Q6 shape: the pure scan-filter aggregate — no join at all.
-  // The whole predicate set (date window + discount band + quantity
-  // cap) reaches the parquet scan as PushedFilters, so at 100 TB this
-  // is one pruned pass with a partial-agg reduce; exact-decimal sum,
-  // cast to double at the end (the §5.3 contract).
-  def forecastRevenue(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1997-01-01").cast("date") &&
-        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
-        col("l_quantity") < 24)
-      .agg(sum(dec("l_extendedprice") * dec("l_discount")).cast("double")
-        .as("revenue"))
-  }
-
-  // TPC-H Q7 shape: volume shipping between a nation pair. The nation
-  // filter is applied to the 25-row dimension FIRST and broadcast onto
-  // supplier/customer, so both fact-side joins already carry the ~2/25
-  // selectivity before any shuffle; lineitem additionally prunes on the
-  // pushed shipdate window. The remaining shuffles (orders⋈customer,
-  // lineitem⋈orders) are unavoidable fact joins on their natural keys.
-  def volumeShipping(s: SparkSession, d: String): DataFrame = {
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    val nat = t(s, d, "nation")
-      .filter(col("n_name").isin("NATION_1", "NATION_2"))
-    val supp = t(s, d, "supplier").select("s_suppkey", "s_nationkey")
-      .join(broadcast(nat.select(col("n_nationkey").as("sn_key"),
-        col("n_name").as("supp_nation"))), col("s_nationkey") === col("sn_key"))
-    val cust = t(s, d, "customer").select("c_custkey", "c_nationkey")
-      .join(broadcast(nat.select(col("n_nationkey").as("cn_key"),
-        col("n_name").as("cust_nation"))), col("c_nationkey") === col("cn_key"))
-    val ord = t(s, d, "orders").select("o_orderkey", "o_custkey")
-      .join(cust, col("o_custkey") === col("c_custkey"))
-    t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1995-01-01").cast("date") &&
-        col("l_shipdate") < lit("1997-01-01").cast("date"))
-      .select(col("l_orderkey"), col("l_suppkey"),
-        (dec("l_extendedprice") * (lit(1) - dec("l_discount"))).as("volume"),
-        year(col("l_shipdate")).as("l_year"))
-      .join(supp, col("l_suppkey") === col("s_suppkey"))
-      .join(ord, col("l_orderkey") === col("o_orderkey"))
-      .filter(col("supp_nation") =!= col("cust_nation"))
-      .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
-      .agg(sum(col("volume")).cast("double").as("revenue"))
-      .orderBy("supp_nation", "cust_nation", "l_year")
-  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesCuration]] queries. */
@@ -534,105 +272,6 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
         |  coalesce(array_to_string(list_filter(string_split(text, ' '),
         |    x -> NOT list_contains(stop_list, x)), ' '), '') AS pruned
         |FROM documents, sl ORDER BY doc_id""".stripMargin,
-
-
-    "q83_returned_items" ->
-      """SELECT c_custkey, c_name,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  c_acctbal, n_name
-        |FROM customer, orders, lineitem, nation
-        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
-        |  AND o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1997-07-01'
-        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
-        |GROUP BY c_custkey, c_name, c_acctbal, n_name
-        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
-
-
-    "q84_disjunctive_revenue" ->
-      """SELECT
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
-        |  CAST(count(*) AS BIGINT) AS n_items
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey AND (
-        |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
-        |       AND l_quantity BETWEEN 1 AND 25)
-        |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 30
-        |       AND l_quantity BETWEEN 10 AND 40)
-        |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 50
-        |       AND l_quantity BETWEEN 20 AND 50))""".stripMargin,
-
-
-    "q85_idle_customers" ->
-      """WITH s AS (
-        |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sm,
-        |         count(*) AS n
-        |  FROM customer WHERE c_acctbal > 0)
-        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
-        |FROM customer, s
-        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > sm
-        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
-        |                  AND o_orderdate >= DATE '2000-01-01')
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-
-
-    "q96_event_transitions" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-        |t AS (SELECT event_type,
-        |        lead(event_type) OVER (PARTITION BY user_id
-        |          ORDER BY us, event_id) AS next_type
-        |      FROM e)
-        |SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions
-        |FROM t WHERE next_type IS NOT NULL
-        |GROUP BY event_type, next_type
-        |ORDER BY event_type, next_type""".stripMargin,
-
-
-    "q95_session_funnel" ->
-      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us
-        |           FROM events),
-        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
-        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
-        |                     ELSE 0 END AS brk
-        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s)
-        |SELECT user_id, session_id,
-        |  min(CASE WHEN event_type = 'view' THEN us END) AS first_view_us,
-        |  min(CASE WHEN event_type = 'purchase' THEN us END) AS first_purchase_us,
-        |  CAST(coalesce(
-        |    min(CASE WHEN event_type = 'purchase' THEN us END) >
-        |    min(CASE WHEN event_type = 'view' THEN us END), false) AS INT) AS converted
-        |FROM s2 GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin,
-
-
-    "q93_funnel" ->
-      """SELECT user_id,
-        |  min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view_us,
-        |  min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_purchase_us,
-        |  CAST(coalesce(
-        |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) >
-        |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END), false) AS INT)
-        |    AS converted
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
-
-
-    "q94_cohort_retention" ->
-      """WITH f AS (
-        |  SELECT user_id, epoch_us(date_trunc('week', min(ts))) AS cohort_us
-        |  FROM events GROUP BY user_id),
-        |a AS (
-        |  SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS w_us
-        |  FROM events)
-        |SELECT cohort_us,
-        |  CAST((w_us - cohort_us) // 604800000000 AS BIGINT) AS week_n,
-        |  CAST(count(*) AS BIGINT) AS n_users
-        |FROM a JOIN f USING (user_id)
-        |GROUP BY cohort_us, week_n ORDER BY cohort_us, week_n""".stripMargin,
 
 
     "q92_fuzzy_names" ->
@@ -803,17 +442,6 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
          |ORDER BY doc_id""".stripMargin,
 
 
-    // naive correlated form — cross-checks the engine's agg-once +
-    // join-back decorrelation (the q69 discipline)
-    "q102_small_qty_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
-        |FROM lineitem, part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
-        |  AND l_quantity < 0.2 * (
-        |    SELECT CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)
-        |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
-
-
     // same fraction arithmetic as Sampling.sampleToMix, step for step
     // (min-scale, least with 1.0, floor to the 8-hex threshold); the
     // >= 1.0 branch mirrors the Scala keep-everything sentinel
@@ -854,74 +482,5 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
          |ORDER BY doc_id""".stripMargin,
 
 
-    "q110_promo_revenue" ->
-      """SELECT CAST(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))
-        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS DOUBLE)
-        |  AS promo_revenue
-        |FROM lineitem, part
-        |WHERE l_partkey = p_partkey
-        |  AND l_shipdate >= DATE '1996-01-01'
-        |  AND l_shipdate < DATE '1996-04-01'""".stripMargin,
-
-
-    "q111_top_supplier" ->
-      """WITH revenue AS (
-        |  SELECT l_suppkey,
-        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
-        |  FROM lineitem
-        |  WHERE l_shipdate >= DATE '1996-01-01'
-        |    AND l_shipdate < DATE '1996-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
-        |FROM supplier, revenue
-        |WHERE s_suppkey = l_suppkey
-        |  AND rev_dec = (SELECT max(rev_dec) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin,
-
-
-    "q112_forecast_revenue" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
-        |FROM lineitem
-        |WHERE l_shipdate >= DATE '1996-01-01'
-        |  AND l_shipdate < DATE '1997-01-01'
-        |  AND l_discount >= CAST(0.05 AS DOUBLE)
-        |  AND l_discount <= CAST(0.07 AS DOUBLE)
-        |  AND l_quantity < 24""".stripMargin,
-
-
-    "q113_volume_shipping" ->
-      """SELECT supp_nation, cust_nation, l_year,
-        |  CAST(sum(volume) AS DOUBLE) AS revenue
-        |FROM (
-        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
-        |    CAST(l_extendedprice AS DECIMAL(18,2))
-        |      * (1 - CAST(l_discount AS DECIMAL(18,2))) AS volume
-        |  FROM lineitem, supplier, orders, customer, nation n1, nation n2
-        |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
-        |    AND c_custkey = o_custkey
-        |    AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-        |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-        |    AND l_shipdate >= DATE '1995-01-01'
-        |    AND l_shipdate < DATE '1997-01-01')
-        |GROUP BY supp_nation, cust_nation, l_year
-        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
-
-
-    "q105_cust_order_histogram" ->
-      """WITH per_cust AS (
-        |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
-        |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
-        |  GROUP BY c_custkey)
-        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
-        |FROM per_cust GROUP BY c_count
-        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
   )
 }

@@ -113,7 +113,9 @@ private[graft] trait PipelinesBase {
   */
 object PipelinesExt extends PipelinesBase
   with PipelinesSurface with PipelinesTextSim with PipelinesSqlSuite
-  with PipelinesCuration with PipelinesRetrieval with PipelinesScaleOps
+  with PipelinesCuration with PipelinesTpchDeep with PipelinesBehavior
+  with PipelinesVectorSketch with PipelinesTextHygiene
+  with PipelinesRetrieval with PipelinesScaleOps
   with PipelinesRound10 with PipelinesRound11 with PipelinesRound11b
   with PipelinesRound11c
 
@@ -527,7 +529,9 @@ private[graft] trait OracleSnippets {
   */
 object OraclesExt extends OracleSnippets
     with OraclesSurface with OraclesTextSim with OraclesSqlSuite
-    with OraclesCuration with OraclesRetrieval with OraclesScaleOps
+    with OraclesCuration with OraclesTpchDeep with OraclesBehavior
+    with OraclesVectorSketch with OraclesTextHygiene
+    with OraclesRetrieval with OraclesScaleOps
     with OraclesRound10 with OraclesRound11 with OraclesRound11b
     with OraclesRound11c {
   // def, not val: the q44 entry interpolates the CSV fixture path that
@@ -535,6 +539,7 @@ object OraclesExt extends OracleSnippets
   // running the queries, so building the map lazily picks it up.
   def sql: Map[String, String] =
     sqlSurface ++ sqlTextSim ++ sqlSqlSuite ++ sqlCuration ++
+      sqlTpchDeep ++ sqlBehavior ++ sqlVectorSketch ++ sqlTextHygiene ++
       sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b ++
       sqlRound11c
 }

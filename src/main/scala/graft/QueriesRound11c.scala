@@ -219,105 +219,6 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
       .orderBy("source")
   }
 
-  /** Session skip-gram co-occurrence pairs: each event pairs with the
-    * next 3 events of its session (the q34 4-hour gap definition);
-    * the directed pair counts are the item2vec training table. All
-    * lookaheads ride the ONE session sort — no within-session
-    * self-join anywhere.
-    */
-  def sessionCoOccurrence(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Sessionize.coOccurrencePairs(t(s, d, "events"),
-        gapMicros = 14400000000L, maxDist = 3)
-      .orderBy("src_type", "dst_type")
-
-  /** Lift association over the q176 pairs — the log-free PMI sibling
-    * (ln is §5.3-excluded): exact integer-rational
-    * n_pairs·N·1e6/(n_src·n_dst), marginals and total from the same
-    * shared pair CTE the oracle replays.
-    */
-  def sessionCoOccurLift(s: SparkSession, d: String): DataFrame =
-    graft.streaming.Sessionize.coOccurrenceLift(t(s, d, "events"),
-        gapMicros = 14400000000L, maxDist = 3)
-      .orderBy("src_type", "dst_type")
-
-  /** TPC-H Q12 shape (adapted — the fixture carries no
-    * l_shipmode/l_commitdate, so the category is l_returnflag and the
-    * window rides l_shipdate): one fact⋈fact equi join on the order
-    * key, then conditional priority counts per category — the
-    * two-bucket CASE pivot every ops dashboard runs. All-integer
-    * cells, exact at any scale; at 100 TB both sides shuffle on the
-    * shared order key and the counts ride map-side partials.
-    */
-  def shipPriorityCounts(s: SparkSession, d: String): DataFrame = {
-    val li = t(s, d, "lineitem")
-      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
-        col("l_shipdate") < lit("1997-01-01").cast("date"))
-      .select(col("l_orderkey"), col("l_returnflag"))
-    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
-    li.join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderpriority")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_returnflag"))
-      // otherwise-form on BOTH buckets: when(!high, 1).otherwise(0)
-      // would count a NULL o_orderpriority in NEITHER bucket while the
-      // oracle's CASE WHEN high THEN 0 ELSE 1 counts it as low
-      // (ADVICE r11 — latent divergence if the fixture ever carries
-      // NULL priorities)
-      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
-      .orderBy("l_returnflag")
-  }
-
-  /** TPC-H Q9 shape (adapted — no partsupp table, so profit is the
-    * discounted revenue of the filtered parts): lineitem joins part
-    * (name filter), supplier→nation, and orders (for the year), then
-    * rolls profit up by (nation, year). The dims broadcast; the two
-    * fact joins shuffle on their own keys; the DECIMAL sum is exact
-    * and casts to double only at the edge (§5.3).
-    */
-  def profitByNationYear(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = (c: String) => col(c).cast(DecimalType(18, 2))
-    t(s, d, "lineitem")
-      .join(broadcast(t(s, d, "part").filter(col("p_name").contains("red"))
-        .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))),
-        col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(t(s, d, "nation").select(col("n_nationkey"), col("n_name"))),
-        col("s_nationkey") === col("n_nationkey"))
-      .join(t(s, d, "orders").select(col("o_orderkey"), col("o_orderdate")),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("n_name").as("nation"),
-        year(col("o_orderdate")).as("o_year"))
-      .agg(sum(dec("l_extendedprice") * (lit(1) - dec("l_discount")))
-        .cast("double").as("profit"))
-      .orderBy(col("nation"), col("o_year").desc)
-  }
-
-  /** TPC-H Q16 shape (adapted — the distinct (part, supplier) pairs
-    * observed in lineitem stand in for partsupp, and negative-balance
-    * suppliers for the complaints exclusion): supplier counts per
-    * part attribute group, with the excluded suppliers LEFT
-    * ANTI-joined out BEFORE the distinct count. The anti join and
-    * the count-distinct Expand both key on the supplier/part ids —
-    * no dimension explosion at any scale.
-    */
-  def partSupplierCounts(s: SparkSession, d: String): DataFrame = {
-    val ps = t(s, d, "lineitem")
-      .select(col("l_partkey"), col("l_suppkey")).distinct()
-      .join(t(s, d, "supplier").filter(col("s_acctbal") < 0)
-        .select(col("s_suppkey")),
-        col("l_suppkey") === col("s_suppkey"), "left_anti")
-    ps.join(broadcast(t(s, d, "part")
-        .filter(col("p_brand") =!= "Brand#4" &&
-          !col("p_type").startsWith("MEDIUM") &&
-          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25))
-        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))),
-        col("l_partkey") === col("p_partkey"))
-      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
-      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
-      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
-        col("p_size"))
-  }
 
   /** The q168 epoch plan feeding the q100 packing window — the shape
     * a pretraining run actually executes: mix → order → pack. The
@@ -516,28 +417,6 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |ORDER BY source""".stripMargin
     },
 
-    // the q34 session assignment, then one lead() arm per distance
-    // with the same-session guard, unioned and counted
-    "q176_session_cooccur" ->
-      s"""WITH $coocCtesSql
-         |SELECT src_type, dst_type, n_pairs FROM pc
-         |ORDER BY src_type, dst_type""".stripMargin,
-
-    // pair marginals + total over the shared pair CTE, then the exact
-    // integer-rational lift (the log-free PMI sibling) — products and
-    // division written in the engine's exact order
-    "q178_cooccur_lift" ->
-      s"""WITH $coocCtesSql,
-         |st AS (SELECT src_type, CAST(sum(n_pairs) AS BIGINT) AS n_src
-         |  FROM pc GROUP BY 1),
-         |dt AS (SELECT dst_type, CAST(sum(n_pairs) AS BIGINT) AS n_dst
-         |  FROM pc GROUP BY 1),
-         |tt AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS n FROM pc)
-         |SELECT src_type, dst_type, n_pairs,
-         |  CAST(floor(CAST(n_pairs AS DOUBLE) * CAST(n AS DOUBLE) * 1000000.0e0
-         |    / (CAST(n_src AS DOUBLE) * CAST(n_dst AS DOUBLE))) AS BIGINT) AS lift_q
-         |FROM pc JOIN st USING (src_type) JOIN dt USING (dst_type) CROSS JOIN tt
-         |ORDER BY src_type, dst_type""".stripMargin,
 
     // both md5 decisions replay: the fim gate under the printf
     // threshold, the two 13-hex-digit boundary draws (the q127
@@ -572,41 +451,6 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |FROM c ORDER BY doc_id""".stripMargin
     },
 
-    "q172_ship_priority" ->
-      """SELECT l_returnflag,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
-
-    "q173_profit_rollup" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
-        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-        |    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
-        |FROM lineitem
-        |  JOIN part ON l_partkey = p_partkey
-        |  JOIN supplier ON l_suppkey = s_suppkey
-        |  JOIN nation ON s_nationkey = n_nationkey
-        |  JOIN orders ON l_orderkey = o_orderkey
-        |WHERE p_name LIKE '%red%'
-        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
-
-    "q174_part_supplier_counts" ->
-      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
-        |kept AS (
-        |  SELECT ps.l_partkey, ps.l_suppkey FROM ps
-        |  WHERE NOT EXISTS (SELECT 1 FROM supplier s
-        |    WHERE s.s_suppkey = ps.l_suppkey AND s.s_acctbal < 0))
-        |SELECT p_brand, p_type, p_size,
-        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
-        |FROM kept JOIN part ON l_partkey = p_partkey
-        |WHERE p_brand != 'Brand#4' AND p_type NOT LIKE 'MEDIUM%'
-        |  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25)
-        |GROUP BY 1, 2, 3
-        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     // every mask decision replays: md5(doc:pos:sc) under the replayed
     // printf threshold, L-window coverage, maximal-run starts, and
@@ -664,31 +508,6 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |GROUP BY 1, 2
          |ORDER BY source, pack""".stripMargin,
   )
-
-  /** The q176 session-co-occurrence extraction through a final
-    * `pc(src_type, dst_type, n_pairs)` CTE — ONE source of truth for
-    * the pair gate and the q178 lift scores built on it.
-    */
-  protected def coocCtesSql: String = {
-    val arms = (1 to 3).map { k =>
-      s"""SELECT event_type AS src_type,
-         |    CASE WHEN lead(session_id, $k) OVER v$k = session_id
-         |         THEN lead(event_type, $k) OVER v$k END AS dst_type
-         |  FROM s2 WINDOW v$k AS (PARTITION BY user_id ORDER BY us, event_id)"""
-        .stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
-       |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
-       |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
-       |                     ELSE 0 END AS brk
-       |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-       |s2 AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-       |         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id FROM s),
-       |p AS ($arms),
-       |pc AS (SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n_pairs
-       |  FROM p WHERE dst_type IS NOT NULL
-       |  GROUP BY src_type, dst_type)""".stripMargin
-  }
 
   /** The q170 quantile-bin ensemble through a final
     * `ens(doc_id, ensemble_q)` CTE — ONE source of truth for the

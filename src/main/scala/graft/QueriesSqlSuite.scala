@@ -123,41 +123,6 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("o_orderkey")
   }
 
-  // Sketch aggregations as an INVARIANT gate (r12; HLL/quantile-sketch
-  // estimates are engine-specific by construction): the gate emits the
-  // EXACT distinct counts (portable — the oracle recomputes them) plus
-  // booleans pinning each sketch estimate inside its accuracy
-  // contract, all driver-hashed. approx_count_distinct is Spark's
-  // HyperLogLog++ at default rsd 0.05 (bound: 3·rsd); percentile_approx
-  // at accuracy 10000 has rank error 1e-4 (bound: the generous exact
-  // p±0.02 band — a broken sketch lands far outside). At 100 TB these
-  // sketches replace exact distinct/percentile shuffles with
-  // constant-size mergeable state — the standard pre-aggregation
-  // trade; the exact columns here are the gate's ground truth, not the
-  // production path.
-  def approxStats(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_linestatus"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_orderkey")).as("_ao"),
-        approx_count_distinct(col("l_partkey")).as("_ap"),
-        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_am"),
-        percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"),
-        expr("percentile(l_extendedprice, 0.48)").as("_p48"),
-        expr("percentile(l_extendedprice, 0.52)").as("_p52"),
-        expr("percentile(l_extendedprice, 0.93)").as("_p93"),
-        expr("percentile(l_extendedprice, 0.97)").as("_p97"))
-      .select(col("l_returnflag"), col("l_linestatus"),
-        col("exact_orders"), col("exact_parts"),
-        (abs(col("_ao") - col("exact_orders"))
-          <= col("exact_orders") * 0.15).as("orders_ok"),
-        (abs(col("_ap") - col("exact_parts"))
-          <= col("exact_parts") * 0.15).as("parts_ok"),
-        (col("_am") >= col("_p48") && col("_am") <= col("_p52")).as("median_ok"),
-        (col("_a95") >= col("_p93") && col("_a95") <= col("_p97")).as("p95_ok"))
-      .orderBy("l_returnflag", "l_linestatus")
 
   // TPC-H Q3 shape: 3-table join, date band on both sides, exact
   // decimal revenue, deterministic top-10 (revenue DESC + key).
@@ -229,48 +194,6 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("event_id")
   }
 
-  // Scalable decontamination: word-8-gram fingerprint equi-join (the
-  // corpus-sized-probe-set path; q75 is the broadcast-substring path).
-  // Probe docs hit themselves on every gram; word-soup text shares no
-  // natural 8-gram runs, so the oracle cross-checks the full explode →
-  // dedupe → join → count pipeline.
-  def contaminationNgram(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-    TextAnalysis.contaminationHitsNgram(docs, "doc_id", "text",
-      probes, "text", n = 8)
-      .orderBy("doc_id")
-  }
-
-  // Bloom-prefiltered decontamination — same fixture and result as
-  // q79 (the oracle is the exact-overlap SQL; bloom FPs die in the
-  // confirming join), but the corpus gram stream is cut at the scan
-  // by might_contain against a one-row broadcast bloom before
-  // anything shuffles.
-  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-    TextAnalysis.contaminationHitsNgramBloom(docs, "doc_id", "text",
-      probes, "text", n = 8, expectedGrams = 1L << 16)
-      .orderBy("doc_id")
-  }
-
-  // Materialized IVF index: build the cell-partitioned index, then
-  // probe it — the probe's corpus scan is statically partition-pruned
-  // to the nprobe cells (SimilaritySpec pins partitionCount <= nprobe).
-  // INVARIANT gate since r12 (cell routing depends on the engine's
-  // KMeans; see annInvariantGate). The timed work is honest
-  // index-build + pruned probe + one brute-force pass for the facts.
-  def ivfIndexedAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val dir = "/tmp/graft_ivfidx_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-    Similarity.ivfIndexWrite(emb, dir, nlist = 16)
-    annInvariantGate(
-      Similarity.ivfIndexedTopK(s, dir, q, k = 5, nprobe = 4),
-      Similarity.bruteForceTopK(emb, q, k = 5),
-      k = 5, recallFloor = Some(0.45))
-  }
 
   // TPC-H Q18 shape (large-volume orders): the IN subquery with a
   // HAVING aggregate becomes a semi join against the grouped lineitem
@@ -309,77 +232,6 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("o_orderkey")
   }
 
-  // Gopher-style bigram repetition filter over the corpus (pure HOF
-  // scan pass; see TextAnalysis.repetitionStats).
-  def repetitionFilter(s: SparkSession, d: String): DataFrame = {
-    val cols = TextAnalysis.repetitionStats(col("text"))
-    t(s, d, "documents")
-      .select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
-      .orderBy("doc_id")
-  }
-
-  // PII scrub: every 50th doc gets a deterministic planted email +
-  // phone (the corpus carries none naturally), then the scrubber
-  // redacts and counts. The oracle replants identically, so the gate
-  // checks the regex semantics end to end.
-  def piiScrub(s: SparkSession, d: String): DataFrame = {
-    val planted = t(s, d, "documents").withColumn("t2",
-      when(col("doc_id") % 50 === 0,
-        concat(col("text"), lit(" Contact user"),
-          col("doc_id").cast("string"), lit("@example.com or 555-867-"),
-          lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(".")))
-        .otherwise(col("text")))
-    planted.select(
-      col("doc_id"),
-      TextAnalysis.piiCount(col("t2")).as("n_pii"),
-      TextAnalysis.scrubPii(col("t2")).as("clean_text"))
-      .orderBy("doc_id")
-  }
-
-  // Benchmark decontamination: probes are verbatim extracts from a
-  // fixed handful of docs (so they certainly occur somewhere); hits
-  // per doc via a broadcast probe join — single corpus scan.
-  def contamination(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
-    val probes = docs.filter(col("doc_id").isin(3, 7, 11, 19, 23))
-      .select(substring(col("text"), 5, 48).as("probe"))
-    TextAnalysis.contaminationHits(docs, "doc_id", "text", probes, "probe")
-      .withColumn("n_hits", col("n_hits").cast("long"))
-      .orderBy("doc_id")
-  }
-
-  // Count-Min heavy hitters — oracle-gated ON PURPOSE: at event_type
-  // cardinality (5 values) the d=5/w=8192 sketch is collision-free
-  // under its fixed seeds, so the min-over-rows estimate equals the
-  // exact count deterministically and the gate cross-checks the whole
-  // sketch path (hash → counters → candidate heap → re-rank) against
-  // a plain GROUP BY. High-cardinality behavior — overestimate-only,
-  // ε·N error bound, eviction, layout invariance — is spec-tested on
-  // skewed synthetic data (SketchAggregatesSpec).
-  def cmHeavyHitters(s: SparkSession, d: String): DataFrame =
-    t(s, d, "events")
-      .agg(graft.functions.SketchAggregates.cmTopK(col("event_type"), 10).as("top"))
-      .select(explode(col("top")).as("hh"))
-      .select(col("hh.item").as("item"), col("hh.est").as("est"))
-      .orderBy(desc("est"), asc("item"))
-
-  // KMV sketch aggregate as an INVARIANT gate (r12; the estimate
-  // depends on the engine's hash) — the custom TypedImperativeAggregate
-  // tier exercised through a query, with the exact distinct count as
-  // the portable column and the estimate pinned inside the KMV error
-  // bound: rsd ≈ 1/sqrt(k−2) at k=256, bound 3·rsd ≈ 18.8 %. The
-  // exact/merge contracts remain spec-tested (SketchSpec).
-  def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        countDistinct(col("l_orderkey")).as("exact_orders"),
-        graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
-          .as("_est"))
-      .select(col("l_returnflag"), col("exact_orders"),
-        (abs(col("_est") - col("exact_orders"))
-          <= col("exact_orders") * (3.0 / math.sqrt(254.0))).as("kmv_ok"))
-      .orderBy("l_returnflag")
 
   // Per-group feature standardization (z-score) — the core feature-
   // scaling transform, computed from EXACT decimal window sums so the
@@ -399,61 +251,6 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
       .orderBy("c_custkey")
   }
 
-  // Z-order curve values over integer ranks (no float scaling — the
-  // masked ints are the ranks, so the DuckDB oracle can rebuild the
-  // Morton interleave with plain bit ops and the gate hash-checks the
-  // fused InterleaveBits expression against an independent
-  // implementation).
-  def zorderValues(s: SparkSession, d: String): DataFrame = {
-    val ranks = Seq(
-      col("c_custkey").bitwiseAND(lit(255L)).cast("long"),
-      col("c_nationkey").bitwiseAND(lit(255L)).cast("long"))
-    t(s, d, "customer")
-      .select(col("c_custkey"),
-        graft.functions.VectorExpressions.interleaveBits(ranks, bits = 8).as("z"))
-      .orderBy("c_custkey")
-  }
-
-  // PQ ANN (8-byte codes + ADC short list + exact re-rank) as an
-  // INVARIANT gate (r12; codebooks aren't SQL-expressible): see
-  // annInvariantGate. Floor note: PQ recall on the near-isotropic
-  // fixture DEGRADES with corpus size (constant 8-byte quantization
-  // error vs a top-5 margin that shrinks as n grows) — measured 0.52
-  // at sf0.01, 0.34 at sf0.1. The gate floor 0.15 is SF-robust and
-  // still ~15-150x the chance rate k/n; the tighter sf0.01-only pin
-  // (0.35) lives in AnnRecallGateSpec.
-  def pqAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    annInvariantGate(
-      Pq.pqTopK(emb, q, k = 5, cb),
-      Similarity.bruteForceTopK(emb, q, k = 5),
-      k = 5, recallFloor = Some(0.15))
-  }
-
-  // IVF+PQ composed ANN (the faiss IVFPQ design, Jégou et al. 2011):
-  // a coarse quantizer routes each vector to one of nlist cells; PQ
-  // codes are stored per cell; a query scans only its nprobe nearest
-  // cells by ADC, then the short list is re-ranked exactly. At 100 TB
-  // this is THE scale path: cells partition the corpus (partition
-  // pruning on the cell id), codes are 8 bytes/vector, and only
-  // nprobe/nlist of the data is touched per query. Rows-only (cell
-  // routing depends on the engine's KMeans); recall + pruning are
-  // spec-tested (PqSpec).
-  def ivfPqAnn(s: SparkSession, d: String): DataFrame = {
-    val emb = t(s, d, "embeddings")
-    val q = emb.filter(col("vec_id") < 10)
-    val coarse = Pq.trainCoarse(emb, dim = 64, nlist = 16)
-    val cb = Pq.train(emb, dim = 64, m = 8, ksub = 16)
-    // INVARIANT gate since r12 (see annInvariantGate; floor 0.1 is
-    // SF-robust — measured 0.46 at sf0.01 / 0.22 at sf0.1, chance is
-    // k/n; the tighter sf0.01 pin lives in AnnRecallGateSpec)
-    annInvariantGate(
-      Pq.ivfPqTopK(emb, q, k = 5, coarse, cb, nprobe = 4),
-      Similarity.bruteForceTopK(emb, q, k = 5),
-      k = 5, recallFloor = Some(0.1))
-  }
 
   // LEFT SEMI join (TPC-H Q4 shape): orders with ANY qualifying
   // lineitem, counted by priority — the EXISTS subquery expressed as a
@@ -527,24 +324,6 @@ private[graft] trait PipelinesSqlSuite { this: PipelinesBase =>
         |ORDER BY numwait DESC, s_name""".stripMargin)
   }
 
-  // Higher-order array functions over the embedding column — the
-  // builtin-HOF tier (transform/zip_with/aggregate) the custom
-  // expressions deliberately bypass elsewhere. All three derived
-  // values fold left-to-right in array order in BOTH engines
-  // (DuckDB list_reduce is sequential; 0.0 + x == x in IEEE, so the
-  // init-vs-first-element difference is exact), so doubles
-  // hash-match bit-for-bit.
-  def vectorNorms(s: SparkSession, d: String): DataFrame = {
-    val e = col("embedding").cast("array<double>")
-    t(s, d, "embeddings").select(
-      col("vec_id"),
-      sqrt(aggregate(zip_with(e, e, (x, y) => x * y), lit(0.0), (acc, v) => acc + v))
-        .as("l2_norm"),
-      aggregate(transform(e, x => abs(x)), lit(0.0), (acc, v) => acc + v)
-        .as("l1_norm"),
-      array_max(transform(e, x => abs(x))).as("max_abs"))
-      .orderBy("vec_id")
-  }
 
   // TPC-H-Q9-shaped 3-table fact join over the two otherwise-unread
   // sources (part, supplier): broadcast dims, decimal-exact revenue.
@@ -592,28 +371,6 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
         |ORDER BY numwait DESC, s_name""".stripMargin,
 
 
-    // list_reduce is DuckDB's sequential left fold — same evaluation
-    // order as Spark's aggregate(), so the doubles are bit-identical
-    "q71_vector_norms" ->
-      """SELECT vec_id,
-        |  sqrt(list_reduce(list_transform(embedding,
-        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS l2_norm,
-        |  list_reduce(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE))), (a, b) -> a + b) AS l1_norm,
-        |  list_max(list_transform(embedding,
-        |    x -> abs(CAST(x AS DOUBLE)))) AS max_abs
-        |FROM embeddings ORDER BY vec_id""".stripMargin,
-
-
-    "q79_contamination_ngram" -> contaminationNgramOverlapSql,
-
-
-    // q109: the bloom-prefiltered path computes the SAME exact overlap
-    // (false positives die in the confirming join), so it shares q79's
-    // oracle verbatim — two different plans, one ground truth.
-    "q109_contamination_bloom" -> contaminationNgramOverlapSql,
-
-
     "q76_big_volume_orders" ->
       """SELECT c_custkey, o_orderkey,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
@@ -637,61 +394,6 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin,
-
-
-    "q73_repetition_filter" ->
-      """WITH t AS (SELECT doc_id,
-        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS w
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(greatest(len(w) - 1, 0) AS BIGINT) AS n_ngrams,
-        |  CAST(CASE WHEN len(w) < 2 THEN 0
-        |    ELSE len(list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i + 1]))) END AS BIGINT) AS n_distinct,
-        |  CASE WHEN len(w) < 2 THEN 0.0
-        |    ELSE 1.0 - CAST(len(list_distinct(list_transform(generate_series(1, len(w) - 1),
-        |      i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE) / CAST(len(w) - 1 AS DOUBLE)
-        |  END AS rep_ratio
-        |FROM t ORDER BY doc_id""".stripMargin,
-
-
-    "q74_pii_scrub" ->
-      """WITH p AS (SELECT doc_id,
-        |    CASE WHEN doc_id % 50 = 0
-        |      THEN text || ' Contact user' || doc_id || '@example.com or 555-867-'
-        |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.'
-        |      ELSE text END AS t2
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
-        |    + len(regexp_extract_all(
-        |        regexp_replace(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |        '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_pii,
-        |  regexp_replace(regexp_replace(t2,
-        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text
-        |FROM p ORDER BY doc_id""".stripMargin,
-
-
-    "q75_contamination" ->
-      """WITH probes AS (
-        |  SELECT DISTINCT substr(text, 5, 48) AS probe FROM documents
-        |  WHERE doc_id IN (3, 7, 11, 19, 23))
-        |SELECT doc_id, CAST(count(DISTINCT probe) AS BIGINT) AS n_hits
-        |FROM documents, probes WHERE contains(text, probe)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-
-
-    // the CM-sketch estimate degenerates to the exact count at this
-    // cardinality (no full-row collision under the fixed seeds), so a
-    // plain GROUP BY is the oracle — see cmHeavyHitters. IS NOT NULL
-    // pins the aggregate's NULL-skipping semantics: CmTopK never emits
-    // a NULL item, so the oracle must not either.
-    "q68_cm_heavy_hitters" ->
-      """SELECT event_type AS item, CAST(count(*) AS BIGINT) AS est
-        |FROM events WHERE event_type IS NOT NULL
-        |GROUP BY 1 ORDER BY est DESC, item LIMIT 10""".stripMargin,
 
 
     "q47_part_supplier_revenue" ->
@@ -842,19 +544,6 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
         |FROM checks c, t ORDER BY c.check""".stripMargin,
 
 
-    "q59_zorder_values" -> {
-      // independent Morton implementation: bit j of x → z bit 2j, of
-      // y → z bit 2j+1 (must mirror InterleaveBits' j·k+d layout)
-      val terms = (0 until 8).map(j =>
-        s"(((x >> $j) & 1) << ${2 * j}) | (((y >> $j) & 1) << ${2 * j + 1})")
-        .mkString(" | ")
-      s"""WITH m AS (SELECT c_custkey, c_custkey & 255 AS x, c_nationkey & 255 AS y
-         |           FROM customer)
-         |SELECT c_custkey, CAST($terms AS BIGINT) AS z
-         |FROM m ORDER BY c_custkey""".stripMargin
-    },
-
-
     "q54_range_join" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS event_id
         |FROM events p, events e
@@ -883,31 +572,5 @@ private[graft] trait OraclesSqlSuite { this: OracleSnippets =>
         |ORDER BY c_mktsegment""".stripMargin,
 
 
-    // invariant gates (r12): codebooks / cell routing are
-    // engine-specific; the driver hashes the portable per-query facts
-    // + each tier's AnnRecallGateSpec floor
-    "q50_pq_ann" -> annInvariantOracleSql(withRecall = true),
-    "q72_ivfpq_ann" -> annInvariantOracleSql(withRecall = true),
-    "q78_ivf_indexed_ann" -> annInvariantOracleSql(withRecall = true),
-
-
-    // invariant gate (r12): exact distinct counts recomputed here; the
-    // sketch-accuracy booleans assert TRUE
-    "q58_approx_stats" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
-        |  TRUE AS orders_ok, TRUE AS parts_ok,
-        |  TRUE AS median_ok, TRUE AS p95_ok
-        |FROM lineitem GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
-
-
-    "q61_kmv_distinct" ->
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-        |  TRUE AS kmv_ok
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
   )
 }

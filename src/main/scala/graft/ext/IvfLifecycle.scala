@@ -104,6 +104,16 @@ object IvfIndex {
     * of the combined corpus — same deterministic fit, same layout —
     * and [[Similarity.ivfIndexStaleness]] on the swapped root returns
     * drift ≈ 0 again.
+    *
+    * Crash recovery (r12 audit): a crash BETWEEN the `v<N+1>` write
+    * and the pointer swap leaves an orphan, possibly half-written,
+    * `v<N+1>` directory that no reader ever resolves (the pointer
+    * still names `v<N>`). The NEXT rebuild reclaims it by
+    * construction: it computes the same `next = N+1` from the
+    * still-old pointer and `ivfIndexWrite`'s mode("overwrite")
+    * truncates each of data/centroids/stats before writing — no
+    * manual cleanup, no version skipped. IvfLifecycleSpec pins this
+    * with a simulated pre-swap crash.
     */
   def rebuild(spark: SparkSession, root: String, nlist: Int = 16,
       maxFitPoints: Int = 4096, retainVersions: Int = 2): Int = {

@@ -31,6 +31,16 @@ import org.apache.spark.sql.functions._
   * would put an ulp coin-flip inside every argmax). Ties break on the
   * id, so the selected SEQUENCE is deterministic and the whole greedy
   * trajectory hash-gates as an unrolled oracle recurrence.
+  *
+  * Tie determinism across engines (r12 audit): an EXACT score tie —
+  * two candidates with equal den·score at the same iteration, e.g.
+  * duplicate vectors with equal relevance — is resolved by the
+  * (_mmr DESC, _id) total order, and because every score ingredient
+  * is an exact integer (dot products of 1e6-quantized vectors stay
+  * < 2⁵³, so the one double division per cosine is a single
+  * correctly-rounded IEEE op both engines share), the tie EXISTS in
+  * both engines or in neither — the oracle recurrence picks the same
+  * id. MmrSpec pins this with a deliberate duplicate-candidate tie.
   */
 object Mmr {
 

@@ -29,6 +29,14 @@ import org.apache.spark.sql.functions._
   * draw→interval match is [[graft.operators.RangeJoin.intervalJoinLong]]
   * — an equi join on bucket ids, no nested loop, with a heavy head
   * term spanning many buckets as ordinary join fan-out.
+  *
+  * Skew bound (r12 audit): a term carrying ANY share of the mass —
+  * even > 50 % — replicates across at most span/width + 1 buckets,
+  * and the TOTAL bucket replication across the whole vocabulary is
+  * ≤ 4096 + |vocab| rows by construction (the widths tile W once), so
+  * the interval side stays model-sized under arbitrary head skew; the
+  * heavy term's draws spread over its many buckets rather than
+  * hot-spotting one join key.
   */
 object NegativeSampling {
 
@@ -44,7 +52,14 @@ object NegativeSampling {
     */
   def sampleTable(vocab: DataFrame, termCol: String, countCol: String,
       draws: DataFrame, drawCol: String): DataFrame = {
-    val cd = col(countCol).cast("double")
+    // enforce the countCol >= 1 contract at the row level: sqrt of a
+    // negative count is NaN, which would silently poison the cumsum
+    // (every downstream interval NULL) instead of failing loudly
+    // (r12 audit)
+    val cd = when(col(countCol) >= 1, col(countCol).cast("double"))
+      .otherwise(raise_error(concat(
+        lit(s"negativeSampleTable: $countCol must be >= 1, got "),
+        col(countCol).cast("string"))))
     val wq = floor(sqrt(cd) * sqrt(sqrt(cd)) * lit(1e6) + lit(0.5)).cast("long")
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(termCol))
@@ -60,7 +75,10 @@ object NegativeSampling {
       .withColumn("_cum", sum(col("_wq")).over(w))
       .withColumn("_start", col("_cum") - col("_wq"))
       .localCheckpoint(true) // consumed by the total agg AND the join
-    val wTot = intervals.agg(sum(col("_wq"))).head.getLong(0)
+    // sum over an EMPTY vocabulary is NULL (rows with count < 1 no
+    // longer reach here — they raise in wq) — map it to the mass-0 error
+    val wRow = intervals.agg(sum(col("_wq"))).head
+    val wTot = if (wRow.isNullAt(0)) 0L else wRow.getLong(0)
     require(wTot > 0, "negativeSampleTable: vocabulary mass is 0")
     val targets = draws
       .withColumn("_t", drawU(col(drawCol)) % lit(wTot))

@@ -53,7 +53,14 @@ object SetSimJoin {
     * slack so a product landing an ulp ABOVE the true rational can
     * only lengthen a prefix or widen the band — never drop a
     * qualifying pair. Over-admission costs a few extra verified
-    * candidates; under-admission would cost recall.
+    * candidates; under-admission would cost recall. Slack domain
+    * (r12 audit): under-admission would need the double error of
+    * t·|s| to exceed the slack, i.e. half-ulp(t·|s|) > 1e-9, which
+    * first happens at |s| ≥ 2²³ ≈ 8.4M DISTINCT tokens in one
+    * document (≈ 50 MB of unique words) — far past any real
+    * document; at every feasible size the bound is strict at ANY
+    * threshold in (0, 1], including band edges where t·|s| is an
+    * exact integer (ceil(k − 1e-9) = k).
     *
     * EAGER semantics (the rrfFuse contract discipline): this call
     * materializes the token-set cache and the checkpointed prefix

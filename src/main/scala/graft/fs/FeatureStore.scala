@@ -66,15 +66,16 @@ object WriteMode {
   *     one row per snapshot FILE (i.e. by `numPartitions`), never by
   *     row count.
   */
-final class FeatureStore(spark: SparkSession, val root: String,
-    val retainVersions: Int = 2) {
+final class FeatureStore(private[fs] val spark: SparkSession,
+    val root: String, val retainVersions: Int = 2)
+    extends FeatureStoreOnline {
 
   require(retainVersions >= 1,
     s"FeatureStore: retainVersions must be >= 1, got $retainVersions")
 
   private val hconf = spark.sessionState.newHadoopConf()
-  private val rootPath = new Path(root)
-  private val fs: FileSystem = rootPath.getFileSystem(hconf)
+  private[fs] val rootPath = new Path(root)
+  private[fs] val fs: FileSystem = rootPath.getFileSystem(hconf)
   // FileContext gives the no-overwrite/overwrite rename semantics the
   // commit needs, but some schemes ship only a FileSystem binding
   // (fs.AbstractFileSystem.<scheme>.impl unset for s3a/gs by default)
@@ -123,9 +124,16 @@ final class FeatureStore(spark: SparkSession, val root: String,
 
   def currentVersion(name: String): Int = loadSpec(name)._2
 
-  /** K6 — drop metadata + all data versions. */
+  /** K6 — drop metadata + all data versions (and, for bucketed tables,
+    * the per-version catalog entries readBucketed declared).
+    */
   def deleteTable(name: String): Unit = {
     require(tableExists(name), s"feature table $name does not exist")
+    val (spec, version) = loadSpec(name)
+    if (spec.buckets > 0)
+      (1 to version).foreach { v =>
+        spark.sql(s"DROP TABLE IF EXISTS `${bucketedCatalogName(name, v)}`")
+      }
     fs.delete(tableDir(name), true)
     ()
   }
@@ -139,8 +147,49 @@ final class FeatureStore(spark: SparkSession, val root: String,
     val (spec, version) = loadSpec(name)
     if (version == 0)
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row], spec.schema)
+    else if (spec.buckets > 0)
+      readBucketed(spec, version, spec.schema)
     else
       spark.read.schema(spec.schema).parquet(dataDir(name, version).toString)
+  }
+
+  /** Read a bucketed snapshot THROUGH the catalog: plain
+    * spark.read.parquet has no channel for bucket metadata, so the
+    * store declares (once per (root, table, version) — snapshots are
+    * immutable) an external bucketed table over the version directory
+    * and reads that. The declared CLUSTERED/SORTED BY must match what
+    * the write path produced; bucket ids are parsed from the file
+    * names the commit rename preserved. This is what lets the J3
+    * lookup join plan with NO Exchange (and no Sort) on the feature
+    * side — the 100 TB repeated-training-set-join layout (SURVEY
+    * §7.7), proven by BucketedFeatureTableSpec.
+    */
+  private def readBucketed(spec: FeatureTableSpec, version: Int,
+      schema: StructType): DataFrame = {
+    val cat = bucketedCatalogName(spec.name, version)
+    if (!spark.catalog.tableExists(cat)) {
+      val keyList = spec.keys.map(k => s"`$k`").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE IF NOT EXISTS `$cat` (${schema.toDDL})
+           |USING PARQUET
+           |CLUSTERED BY ($keyList) SORTED BY ($keyList)
+           |INTO ${spec.buckets} BUCKETS
+           |LOCATION '${dataDir(spec.name, version)}'""".stripMargin)
+      ()
+    }
+    spark.table(cat)
+  }
+
+  /** Session-catalog name for a bucketed snapshot: sanitized table
+    * name + a root digest (two stores may share a session) + the
+    * version. Entries are dropped by [[deleteTable]]; entries for
+    * pruned versions go stale harmlessly (their reads already fail on
+    * the missing directory).
+    */
+  private def bucketedCatalogName(name: String, version: Int): String = {
+    val rootHash = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(root).substring(0, 8)
+    s"graft_fs_${name.toLowerCase.replaceAll("[^a-z0-9_]", "_")}_${rootHash}_v$version"
   }
 
   /** Time-travel read within the retention window (the commit path
@@ -156,7 +205,12 @@ final class FeatureStore(spark: SparkSession, val root: String,
     require(fs.exists(dataDir(name, version)),
       s"readTableVersion($name): version $version was pruned by retention " +
         s"(kept: ${math.max(1, current - retainVersions + 1)}..$current)")
-    spark.read.parquet(dataDir(name, version).toString)
+    val spec = loadSpec(name)._1
+    if (spec.buckets > 0)
+      readBucketed(spec, version,
+        spark.read.parquet(dataDir(name, version).toString).schema)
+    else
+      spark.read.parquet(dataDir(name, version).toString)
   }
 
   /** Reclaim history on demand: drop all but the newest `keep`
@@ -292,10 +346,29 @@ final class FeatureStore(spark: SparkSession, val root: String,
     // files; the loser's rename fails and it aborts before touching the
     // pointer (a merge computed against a stale base must not commit)
     val tmp = new Path(tableDir(name), s"v$newVersion.tmp-${java.util.UUID.randomUUID()}")
-    val writer = result.write.mode("overwrite")
-    val partitioned =
-      if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
-    partitioned.parquet(tmp.toString)
+    if (spec.buckets > 0) {
+      // Bucketed layout can only be produced through saveAsTable (the
+      // writer needs a catalog entry to record bucket metadata), so:
+      // write an EXTERNAL table whose path is the writer-private temp
+      // dir, then drop the throwaway catalog entry (external → files
+      // stay) and let the normal claim-rename commit the directory.
+      // Bucket ids live in the FILE NAMES, which the rename preserves;
+      // readers re-declare the bucket spec over the committed dir
+      // (readBucketed).
+      val tmpTable = s"graft_fs_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      result.write.mode("overwrite").format("parquet")
+        .bucketBy(spec.buckets, spec.keys.head, spec.keys.tail: _*)
+        .sortBy(spec.keys.head, spec.keys.tail: _*)
+        .option("path", tmp.toString)
+        .saveAsTable(tmpTable)
+      spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+      ()
+    } else {
+      val writer = result.write.mode("overwrite")
+      val partitioned =
+        if (spec.partitionBy.nonEmpty) writer.partitionBy(spec.partitionBy: _*) else writer
+      partitioned.parquet(tmp.toString)
+    }
     claimVersionDir(name, tmp, target)
     val nowVersion = loadSpec(name)._2
     if (nowVersion != version) {
@@ -390,190 +463,6 @@ final class FeatureStore(spark: SparkSession, val root: String,
     }
   }
 
-  /** K7 — publish the offline table to an "online" store for point
-    * lookups (SO:374-387 publishes to MySQL over JDBC). With zero egress
-    * the stand-in is a key-range-partitioned, per-file key-sorted
-    * parquet snapshot under `<root>/_online/<name>` — the shape a KV
-    * bulk-load consumes (each range file is one ingest unit; sorted
-    * runs build the KV index without re-sorting). `numPartitions`
-    * controls write parallelism and file count; the default follows the
-    * session's parallelism so a 1000-executor cluster writes 1000-way,
-    * never through one task. A real deployment swaps the parquet sink
-    * for JDBC — [[publishTableJdbc]] builds exactly that plan.
-    */
-  def publishTable(name: String,
-      numPartitions: Int = spark.sparkContext.defaultParallelism): String = {
-    val online = onlinePath(name)
-    publishFrame(name, numPartitions)
-      .write.mode("overwrite").parquet(online.toString)
-    writeKeyManifest(name, loadSpec(name)._1.keys.head)
-    online.toString
-  }
-
-  /** K7 over JDBC — the reference's actual online sink
-    * (Feature_Store_Telco_Churn_Sean_Original.py:374-387 publishes to
-    * MySQL over JDBC): the same range-partitioned key-sorted publish
-    * plan written through Spark's JDBC relation (`numPartitions`
-    * concurrent INSERT streams, truncate-not-drop overwrite so the
-    * serving store keeps its indexes). FeatureStoreSpec executes the
-    * full round trip against embedded Derby (write → read-back →
-    * lookupOnline parity → truncate republish) in addition to
-    * asserting the sink options.
-    */
-  def publishTableJdbc(name: String, url: String, table: String,
-      props: Properties = new Properties(),
-      numPartitions: Int = spark.sparkContext.defaultParallelism): Unit =
-    publishFrame(name, numPartitions)
-      .write.format("jdbc").mode("overwrite")
-      .options(FeatureStore.jdbcPublishOptions(url, table, props))
-      .save()
-
-  /** The publish plan shared by every online sink: range-partition by
-    * key (contiguous key ranges → point-lookup locality + bounded
-    * per-task memory) and sort within each partition.
-    */
-  private[fs] def publishFrame(name: String, numPartitions: Int): DataFrame = {
-    require(numPartitions > 0, s"publishTable($name): numPartitions must be > 0")
-    val (spec, _) = loadSpec(name)
-    readTable(name)
-      .repartitionByRange(numPartitions, spec.keys.map(col): _*)
-      .sortWithinPartitions(spec.keys.map(col): _*)
-  }
-
-  private def onlinePath(name: String) = new Path(new Path(rootPath, "_online"), name)
-  // underscore prefix: parquet readers ignore it, so the snapshot stays
-  // readable as a plain parquet directory
-  private def manifestFile(name: String) = new Path(onlinePath(name), "_key_manifest")
-
-  def readOnlineTable(name: String): DataFrame =
-    spark.read.parquet(onlinePath(name).toString)
-
-  /** Online point lookup over the published snapshot — the serving-side
-    * read the reference delegates to its online store (the MySQL table
-    * publish_table feeds, Sean_Original.py:374-387). The publish-time
-    * key manifest (per-file min/max of the leading key over the
-    * range-partitioned, key-sorted files) prunes the read to the files
-    * whose key range intersects the requested keys, so a point lookup
-    * touches O(1) files regardless of snapshot size — the bulk-loaded-
-    * KV access pattern, without a database in the container. Tables
-    * with a composite key prune and filter on the LEADING key (the
-    * range-partitioning major order); callers needing full-tuple
-    * lookups filter the result. Falls back to a pushed-down filter of
-    * the whole snapshot when no manifest exists (non-integral,
-    * non-string leading key).
-    */
-  def lookupOnline(name: String, keys: Seq[Any]): DataFrame = {
-    require(keys.nonEmpty, s"lookupOnline($name): need at least one key")
-    require(fs.exists(onlinePath(name)),
-      s"lookupOnline($name): table is not published — call publishTable first")
-    val keyCol = loadSpec(name)._1.keys.head
-    readKeyManifest(name) match {
-      case Some((typeName, entries)) =>
-        // The manifest min/max were computed by Spark aggregates, which
-        // order strings as UTF8String — unsigned UTF-8 byte comparison.
-        // Java String <= is UTF-16 code-unit order; the two disagree
-        // when supplementary chars (>= U+10000) mix with [U+E000,
-        // U+FFFF], so string stats must be compared with the SAME
-        // comparator they were written under — UTF8String.compareTo —
-        // or a containing file gets wrongly pruned.
-        def u8(s: String) =
-          org.apache.spark.unsafe.types.UTF8String.fromString(s)
-        // Integral manifests are only ever written for integral key
-        // columns, so lo/hi always parse; a CALLER key that does not
-        // parse can match no file (instead of throwing an opaque
-        // NumberFormatException from inside the prune).
-        val contains: ManifestEntry => Boolean =
-          if (typeName == "string") {
-            val wanted = keys.map(k => u8(k.toString))
-            e => (e.kmin, e.kmax) match {
-              case (Some(lo), Some(hi)) =>
-                val (l, h) = (u8(lo), u8(hi))
-                wanted.exists(k => l.compareTo(k) <= 0 && k.compareTo(h) <= 0)
-              case _ => true // a file with no stats (all-null keys) is never pruned
-            }
-          } else {
-            val wanted = keys.flatMap(k => scala.util.Try(k.toString.toLong).toOption)
-            e => (e.kmin, e.kmax) match {
-              case (Some(lo), Some(hi)) =>
-                wanted.exists(k => lo.toLong <= k && k <= hi.toLong)
-              case _ => true
-            }
-          }
-        val files = entries.collect { case e if contains(e) => e.file }
-        if (files.isEmpty)
-          spark.createDataFrame(java.util.Collections.emptyList[Row](),
-            spark.read.parquet(onlinePath(name).toString).schema)
-        else spark.read.parquet(files: _*).filter(col(keyCol).isin(keys: _*))
-      case None =>
-        readOnlineTable(name).filter(col(keyCol).isin(keys: _*))
-    }
-  }
-
-  private case class ManifestEntry(file: String, kmin: Option[String], kmax: Option[String])
-
-  /** One manifest line per snapshot file: `file \t min \t max` of the
-    * leading key (header line carries the key's type name). Collected
-    * at publish time — one row per FILE, bounded by `numPartitions`,
-    * not data size. Written only for integral/string leading keys whose
-    * rendered stats can't contain the separators; anything else simply
-    * gets no manifest and lookups fall back to a full filtered scan.
-    */
-  private def writeKeyManifest(name: String, keyCol: String): Unit = {
-    import org.apache.spark.sql.types._
-    val snap = spark.read.parquet(onlinePath(name).toString)
-    val dt = snap.schema(keyCol).dataType
-    val integral = dt match {
-      case ByteType | ShortType | IntegerType | LongType => true
-      case _ => false
-    }
-    if (!integral && dt != StringType) return
-    val stats = snap
-      .groupBy(input_file_name().as("file"))
-      .agg(min(col(keyCol)).cast("string").as("kmin"),
-        max(col(keyCol)).cast("string").as("kmax"))
-      .collect()
-    def ok(s: String) = s == null || !(s.contains("\t") || s.contains("\n"))
-    if (!stats.forall(r => ok(r.getString(1)) && ok(r.getString(2)))) return
-    val header = if (integral) "integral" else "string"
-    val body = stats.map { r =>
-      val lo = Option(r.getString(1)).getOrElse("")
-      val hi = Option(r.getString(2)).getOrElse("")
-      s"${r.getString(0)}\t$lo\t$hi"
-    }.mkString("\n")
-    val out = fs.create(manifestFile(name), true)
-    try out.write(s"$header\n$body".getBytes("UTF-8")) finally out.close()
-  }
-
-  private def readKeyManifest(name: String): Option[(String, Seq[ManifestEntry])] = {
-    val p = manifestFile(name)
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val text = try {
-      val buf = new java.io.ByteArrayOutputStream()
-      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
-      buf.toString("UTF-8")
-    } finally in.close()
-    val lines = text.split("\n", -1).toSeq
-    val entries = lines.drop(1).filter(_.nonEmpty).map { l =>
-      val parts = l.split("\t", -1)
-      ManifestEntry(parts(0),
-        Some(parts(1)).filter(_.nonEmpty), Some(parts(2)).filter(_.nonEmpty))
-    }
-    Some((lines.head, entries))
-  }
-
-  /** Compact the current snapshot into `targetPartitions` files (repeated
-    * merges leave one file per shuffle partition per write — at 100 TB
-    * the equivalent is OPTIMIZE/bin-packing; here: read → repartition on
-    * the keys → rewrite as a new version through the same commit path).
-    */
-  def compact(name: String, targetPartitions: Int = 1): Unit = {
-    val (spec, version) = loadSpec(name)
-    require(version > 0, s"compact($name): table has no data yet")
-    val compacted = readTable(name)
-      .repartition(targetPartitions, spec.keys.map(col): _*)
-    writeTable(name, compacted, WriteMode.Overwrite)
-  }
 
   // ---------------------------------------------------------------- impl
 
@@ -615,6 +504,7 @@ final class FeatureStore(spark: SparkSession, val root: String,
     p.setProperty("description", spec.description)
     p.setProperty("schemaDdl", spec.schema.toDDL)
     p.setProperty("partitionBy", spec.partitionBy.mkString(","))
+    p.setProperty("buckets", spec.buckets.toString)
     p.setProperty("version", version.toString)
     val specPath = specFile(spec.name)
     if (isLocalFs) {
@@ -654,7 +544,7 @@ final class FeatureStore(spark: SparkSession, val root: String,
     }
   }
 
-  private def loadSpec(name: String): (FeatureTableSpec, Int) = {
+  private[fs] def loadSpec(name: String): (FeatureTableSpec, Int) = {
     require(tableExists(name), s"feature table $name does not exist")
     val p = new Properties()
     val in =
@@ -672,7 +562,8 @@ final class FeatureStore(spark: SparkSession, val root: String,
       keys = list("keys"),
       schema = StructType.fromDDL(p.getProperty("schemaDdl")),
       description = p.getProperty("description", ""),
-      partitionBy = list("partitionBy"))
+      partitionBy = list("partitionBy"),
+      buckets = p.getProperty("buckets", "0").toInt)
     (spec, p.getProperty("version", "0").toInt)
   }
 }

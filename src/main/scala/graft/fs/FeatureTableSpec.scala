@@ -17,10 +17,20 @@ final case class FeatureTableSpec(
     keys: Seq[String],
     schema: StructType,
     description: String = "",
-    partitionBy: Seq[String] = Nil) {
+    partitionBy: Seq[String] = Nil,
+    buckets: Int = 0) {
 
   require(name.nonEmpty, "feature table name must be non-empty")
   require(keys.nonEmpty, s"feature table $name needs at least one key")
+  // buckets > 0 = the 100 TB lookup-join layout (SURVEY §7.7): data is
+  // written CLUSTERED BY the keys INTO `buckets` BUCKETS (sorted within
+  // each), so the J3 training-set join plans with NO Exchange on the
+  // feature side. Mutually exclusive with partitionBy here — one
+  // physical-layout dimension per table keeps the commit/catalog
+  // machinery simple; compose at the query level if both are needed.
+  require(buckets >= 0, s"feature table $name: buckets must be >= 0, got $buckets")
+  require(buckets == 0 || partitionBy.isEmpty,
+    s"feature table $name: buckets and partitionBy are mutually exclusive")
 
   /** Key validation replays the client-side check the reference's
     * catalog performs at create time (every key must be a schema column).

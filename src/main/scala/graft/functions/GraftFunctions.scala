@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import VectorExpressions._
+import LayoutExpressions.{HilbertIndex2D, InterleaveBits}
 
 /** SQL registration for the custom expressions, so `spark.sql` users
   * get the same operators the Column API exposes:

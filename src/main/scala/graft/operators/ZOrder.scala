@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.VectorExpressions
+import graft.functions.{LayoutExpressions, VectorExpressions}
 
 /** [extension] Space-filling-curve data layouts — multi-dimensional
   * clustering so parquet min/max footer stats prune on EVERY layout
@@ -79,7 +79,7 @@ object ZOrder {
     requireFreshColumn(df, zCol)
     val (ranked, ranks) = withRanks(df, cols, bits)
     ranked
-      .withColumn(zCol, VectorExpressions.interleaveBits(ranks, bits))
+      .withColumn(zCol, LayoutExpressions.interleaveBits(ranks, bits))
       .drop(statNames(cols): _*)
   }
 
@@ -92,7 +92,7 @@ object ZOrder {
     val cols = Seq(xCol, yCol)
     val (ranked, ranks) = withRanks(df, cols, bits)
     ranked
-      .withColumn(zCol, VectorExpressions.hilbert2D(ranks(0), ranks(1), bits))
+      .withColumn(zCol, LayoutExpressions.hilbert2D(ranks(0), ranks(1), bits))
       .drop(statNames(cols): _*)
   }
 

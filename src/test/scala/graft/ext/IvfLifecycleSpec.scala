@@ -116,6 +116,35 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(IvfIndex.rebuildIfStale(spark, root, maxDrift = 0.5, nlist = 8).isEmpty)
   }
 
+  test("crash before pointer swap: the orphan v<N+1> is reclaimed by the next rebuild (r12 audit)") {
+    val root = tmpRoot("crash")
+    IvfIndex.create(emb, root, nlist = 8)
+    // simulate the crash: write the v2 snapshot EXACTLY as rebuild()
+    // would — read the live data, ivfIndexWrite to v2 — but die before
+    // commitPointer; then corrupt the orphan's stats to a half-written
+    // state so reclamation is observable
+    val corpus = spark.read.parquet(s"$root/v1/data")
+    Similarity.ivfIndexWrite(corpus, s"$root/v2", nlist = 8,
+      idCol = "neighbor_id", embCol = "c_emb")
+    val statsDir = java.nio.file.Paths.get(s"$root/v2/stats")
+    org.apache.commons.io.FileUtils.deleteDirectory(statsDir.toFile)
+    // readers never resolve the orphan
+    assert(IvfIndex.currentVersion(spark, root).contains(1))
+    assert(IvfIndex.resolveDir(spark, root) == s"$root/v1")
+    assert(probe(root, Seq(0L, 7L)).nonEmpty)
+    // the retried rebuild computes the SAME next version and
+    // overwrites the orphan wholesale — committed v2 is complete and
+    // fresh (staleness ~0), no version skipped
+    val next = IvfIndex.rebuild(spark, root, nlist = 8)
+    assert(next == 2)
+    assert(IvfIndex.currentVersion(spark, root).contains(2))
+    assert(java.nio.file.Files.isDirectory(statsDir))
+    val drifts = Similarity.ivfIndexStaleness(spark, root)
+      .select("drift").collect().flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Double]))
+    assert(drifts.forall(d => math.abs(d) < 1e-9), drifts.mkString(","))
+    assert(probe(root, Seq(0L, 7L)).nonEmpty)
+  }
+
   test("retention: rebuild keeps current + previous, prunes older") {
     val root = tmpRoot("retain")
     IvfIndex.create(emb.limit(128), root, nlist = 4)

@@ -80,6 +80,25 @@ class MmrSpec extends SparkSpec {
     assert(got(1)._2 !== 99L)
   }
 
+  test("mmrRerank: exact score ties resolve by id — same pick as the replay (r12 audit)") {
+    // 30L and 31L are byte-identical vectors with equal relevance: at
+    // every iteration their den·score ties EXACTLY (same integers on
+    // both sides), so the (_mmr DESC, _id) order must pick 30L first —
+    // and the driver-side replay, running the same recurrence, must
+    // agree on the full trajectory
+    val tied = Seq(
+      (30L, Array(0.6f, 0.4f), 800L),
+      (31L, Array(0.6f, 0.4f), 800L),
+      (40L, Array(0.1f, 0.9f), 750L))
+    val df = tied.toDF("id", "vec", "rel")
+    val got = Mmr.mmrRerank(df, "vec", "id", "rel", k = 3, dims = 2)
+      .orderBy("rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == refMmr(3, 1L, 2L, tied))
+    assert(got.map(_._2).indexOf(30L) < got.map(_._2).indexOf(31L),
+      s"tie must break to the lower id first: $got")
+  }
+
   test("mmrRerank: guards — candidate cap and lambda range") {
     val df = cands.toDF("vec_id", "embedding", "rel_q")
     intercept[IllegalArgumentException](

@@ -41,8 +41,17 @@ class NegativeSamplingSpec extends SparkSpec {
       draws, "draw_id").queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"), s"containment must bucket:\n$plan")
-    intercept[IllegalArgumentException](
+    // a count below 1 raises the NAMED row-level error (r12 audit: the
+    // old behavior silently NaN-poisoned the cumsum for negatives)
+    val e = intercept[org.apache.spark.SparkRuntimeException](
       NegativeSampling.sampleTable(
         Seq(("x", 0L)).toDF("term", "cnt"), "term", "cnt", draws, "draw_id"))
+    assert(e.getMessage.contains("must be >= 1"))
+    // an EMPTY vocabulary still fails fast with the mass-0 error
+    val e2 = intercept[IllegalArgumentException](
+      NegativeSampling.sampleTable(
+        Seq.empty[(String, Long)].toDF("term", "cnt"), "term", "cnt",
+        draws, "draw_id"))
+    assert(e2.getMessage.contains("mass is 0"))
   }
 }

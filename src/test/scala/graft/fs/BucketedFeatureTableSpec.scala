@@ -1,0 +1,93 @@
+package graft.fs
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Bucketed feature tables (SURVEY §7.7's last line, r11 verdict ask
+  * #7): a `FeatureTableSpec(buckets = n)` table is written CLUSTERED BY
+  * its keys INTO n BUCKETS (sorted within each), committed through the
+  * same versioned claim-rename as every write, and read back through a
+  * catalog declaration — so the J3 lookup join plans with NO Exchange
+  * and NO Sort on the feature side. This is the 100 TB
+  * repeated-training-set-join story (FS:321's join at scale) made
+  * concrete: the expensive feature side is shuffled ONCE at write time,
+  * then every training-set assembly reuses that layout for free.
+  */
+class BucketedFeatureTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = FeatureStore.temp(spark)
+
+  private def orderFeats = graft.etl.Features.orderFeatures(
+    graft.Tables.load(spark, sfDir, "orders"))
+
+  test("bucketed table round-trips through the versioned commit; merge keeps the layout") {
+    val store = freshStore()
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_b", Seq("c_custkey"), feats.schema,
+      "bucketed order features", buckets = 4))
+    store.writeTable("of_b", feats, WriteMode.Overwrite)
+    // round-trip equality with the plain frame
+    val back = store.readTable("of_b")
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      feats.orderBy("c_custkey").collect().toSeq)
+    // merge writes through the same bucketed path and version bump
+    val delta = feats.limit(5).withColumn("total_spent", col("total_spent") + 1.0)
+    store.writeTable("of_b", delta, WriteMode.Merge)
+    assert(store.tableVersion("of_b") == 2)
+    val merged = store.readTable("of_b")
+    assert(merged.count() == feats.count())
+    // time travel still reads v1 (bucketed read path, schema from files)
+    assert(store.readTableVersion("of_b", 1).count() == feats.count())
+    store.deleteTable("of_b")
+  }
+
+  test("J3 lookup join over a bucketed feature table: NO Exchange on the feature side") {
+    val store = freshStore()
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_b2", Seq("c_custkey"), feats.schema,
+      "bucketed order features", buckets = 4))
+    store.writeTable("of_b2", feats, WriteMode.Overwrite)
+
+    val spine = graft.Tables.load(spark, sfDir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force sort-merge: the case where the bucketed layout pays
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val ts = FeatureStoreClient.createTrainingSet(store, spine,
+        FeatureLookup.allFeatures(store, "of_b2", Seq("c_custkey")),
+        label = "c_mktsegment").loadDf
+      val plan = ts.queryExecution.executedPlan
+      val planStr = plan.toString
+      assert(planStr.contains("SortMergeJoin"), s"expected SMJ:\n$planStr")
+      // exactly ONE exchange in the whole plan — the spine side; the
+      // bucketed feature side must contribute neither Exchange nor Sort
+      val exchanges = planStr.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges == 1, s"expected 1 exchange (spine only), got $exchanges:\n$planStr")
+      // the feature-side scan subtree: locate the bucketed scan and
+      // assert the join consumes it without an Exchange in between —
+      // equivalently, the scan advertises its bucketed output
+      // partitioning
+      assert(planStr.contains("Bucketed: true"),
+        s"feature scan not bucketed:\n$planStr")
+      // and the result matches the unbucketed join
+      val expect = spine.join(feats, Seq("c_custkey"), "left_outer")
+      assert(ts.count() == expect.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    store.deleteTable("of_b2")
+  }
+
+  test("guards: buckets and partitionBy are mutually exclusive; buckets >= 0") {
+    val schema = orderFeats.schema
+    intercept[IllegalArgumentException] {
+      FeatureTableSpec("bad", Seq("c_custkey"), schema,
+        partitionBy = Seq("n_orders"), buckets = 4)
+    }
+    intercept[IllegalArgumentException] {
+      FeatureTableSpec("bad2", Seq("c_custkey"), schema, buckets = -1)
+    }
+  }
+}

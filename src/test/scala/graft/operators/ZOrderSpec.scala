@@ -28,7 +28,7 @@ class ZOrderSpec extends SparkSpec {
   test("interleaveBits: Morton encoding matches the reference definition") {
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (3L, 5L)).toDF("x", "y")
     val got = df.select(
-      graft.functions.VectorExpressions.interleaveBits(Seq(col("x"), col("y")), 4).as("z"))
+      graft.functions.LayoutExpressions.interleaveBits(Seq(col("x"), col("y")), 4).as("z"))
       .as[Long].collect().toSeq
     // bit j of x → bit 2j; bit j of y → bit 2j+1
     def morton(x: Long, y: Long): Long =
@@ -91,7 +91,7 @@ class ZOrderSpec extends SparkSpec {
     val df = cells.zipWithIndex.map { case ((x, y), d) => (x, y, d.toLong) }
       .toDF("x", "y", "d")
     val got = df.select(col("d"),
-      graft.functions.VectorExpressions.hilbert2D(col("x"), col("y"), bits).as("h"))
+      graft.functions.LayoutExpressions.hilbert2D(col("x"), col("y"), bits).as("h"))
       .filter(col("d") =!= col("h")).count()
     assert(got == 0, "hilbert2D disagrees with the d2xy reference walk")
   }
