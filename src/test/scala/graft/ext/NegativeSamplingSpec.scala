@@ -43,7 +43,7 @@ class NegativeSamplingSpec extends SparkSpec {
       !plan.contains("CartesianProduct"), s"containment must bucket:\n$plan")
     // a count below 1 raises the NAMED row-level error (r12 audit: the
     // old behavior silently NaN-poisoned the cumsum for negatives)
-    val e = intercept[org.apache.spark.SparkRuntimeException](
+    val e = intercept[Exception](
       NegativeSampling.sampleTable(
         Seq(("x", 0L)).toDF("term", "cnt"), "term", "cnt", draws, "draw_id"))
     assert(e.getMessage.contains("must be >= 1"))
