@@ -64,6 +64,43 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
       portableHash = true)
       .orderBy("id_a", "id_b")
 
+  /** The STREAMING near-dup path as a hash gate (r11 verdict ask #8):
+    * a real Structured Streaming query — file source →
+    * `flatMapGroupsWithState` keyed on (band, bucket) → memory sink,
+    * run to completion with Trigger.AvailableNow — whose emitted pair
+    * set the DuckDB oracle replays as the BATCH portable-MinHash
+    * candidate pipeline (the q26 CTEs at q101's n = 3 edge
+    * parameters). Determinism under arbitrary file/micro-batch order:
+    * every doc carries the SAME event time, so the watermark never
+    * drops or evicts anything and each pair is found when its later
+    * member is processed, whatever the order; per-band duplicate
+    * emissions collapse under dropDuplicates. This makes the
+    * spec-only streaming tier driver-visible: a broken state
+    * function, band key, or signature flavor breaks the hash.
+    */
+  def streamNearDupPairs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = t(s, d, "documents").schema
+    // the file source requires a DIRECTORY; the fixture is a single
+    // parquet file — stage it (hardlink, copy fallback) once per sfDir
+    val streamDir = PipelinesTextSim.stagedStreamDir(d)
+    val stream = s.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val pairs = graft.streaming.NearDup.nearDupPairs(stream,
+      n = 3, numHashes = 32, bands = 8, minJaccard = 0.5,
+      watermarkDelay = "1 day", maxPerBucket = 1000000,
+      portableHash = true)
+    val qname = "graft_stream_neardup_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val query = pairs.writeStream.format("memory").queryName(qname)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    s.table(qname)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+      .orderBy("id_a", "id_b")
+  }
+
   // ---------------------------------------------------- text analysis
 
   def tokenCount(s: SparkSession, d: String): DataFrame =
@@ -287,5 +324,40 @@ private[graft] trait OraclesTextSim { this: OracleSnippets =>
     // invariant gate (r12): the LSH selection is engine-specific; the
     // driver hashes the portable per-query facts (annInvariantGate)
     "q31_lsh_ann" -> annInvariantOracleSql(withRecall = false),
+
+
+    // the STREAMING flatMapGroupsWithState path must emit exactly the
+    // batch portable-MinHash candidate set (q26 CTEs, n = 3)
+    "q184_stream_neardup" ->
+      s"""WITH ${minhashEstCtesSql("documents", n = 3, numHashes = 32, bands = 8)}
+         |SELECT id_a, id_b, est_jaccard FROM mest
+         |WHERE est_jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
   )
+}
+
+private[graft] object PipelinesTextSim {
+  /** Unique memory-sink names across repeated gate runs (Bench times
+    * every query twice; a restarted query may not reuse an active
+    * name).
+    */
+  val streamGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** A directory containing (a hardlink to) `<sfDir>/documents.parquet`
+    * — the streaming file source rejects bare file paths. Hardlinks
+    * cost nothing; cross-device roots fall back to a copy.
+    */
+  def stagedStreamDir(sfDir: String): String =
+    stagedDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-streamdocs-")
+      val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
+      val dst = dir.resolve("documents.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst); ()
+      }
+      dir.toString
+    })
 }

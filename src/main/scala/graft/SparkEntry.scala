@@ -220,6 +220,8 @@ object SparkEntry {
     "q181_pack_manifest" -> ((s, d) => PipelinesExt.packManifest(s, d)),
     "q182_negative_samples" -> ((s, d) => PipelinesExt.negativeSamples(s, d)),
     "q183_temporal_spikes" -> ((s, d) => PipelinesExt.temporalSpikesByType(s, d)),
+    // round 12 — the streaming tier made driver-visible
+    "q184_stream_neardup" -> ((s, d) => PipelinesExt.streamNearDupPairs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -63,7 +63,8 @@ object NearDup extends Serializable {
       bands: Int = 8,
       minJaccard: Double = 0.5,
       watermarkDelay: String = "10 minutes",
-      maxPerBucket: Int = 1000): Dataset[NearDupPair] = {
+      maxPerBucket: Int = 1000,
+      portableHash: Boolean = false): Dataset[NearDupPair] = {
     require(numHashes % bands == 0,
       s"streaming nearDupPairs: bands ($bands) must divide numHashes ($numHashes)")
     val spark = docs.sparkSession
@@ -75,7 +76,8 @@ object NearDup extends Serializable {
       .select(
         col(idCol).cast("long").as("id"),
         col(tsCol).as("ts"),
-        graft.ext.Dedup.minhashSignatureWords(col(textCol), n, numHashes).as("sig"))
+        graft.ext.Dedup.minhashSignatureWords(col(textCol), n, numHashes,
+          portableHash).as("sig"))
       .filter(col("sig").isNotNull) // short docs carry no evidence (batch rule)
       .select(col("id"), col("ts"), col("sig"),
         explode(graft.ext.Dedup.bandKeys(col("sig"), bands, rows)).as("bk"))
