@@ -1394,4 +1394,65 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.WavPcmDecoder.decode(wavBytes16(Array.fill(8)(1.toShort)).take(20))
     }
   }
+
+  // ---- MJPEG-in-AVI video (r12: the last stub surface closed for
+  // ---- JRE-expressible formats)
+
+  /** A solid-color JPEG frame encoded through ImageIO. */
+  private def jpegFrame(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach(y => (0 until w).foreach(x => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    bos.toByteArray
+  }
+
+  test("AVI round-trip: parser recovers the writer's JPEG frames byte-exactly") {
+    val frames = Seq(0x102030, 0x405060, 0x708090, 0xA0B0C0, 0xD0E0F0)
+      .map(jpegFrame(16, 12, _))
+    val avi = Multimodal.aviFromJpegFrames(frames, 16, 12)
+    assert(new String(avi, 0, 4, "US-ASCII") == "RIFF")
+    val back = Multimodal.aviVideoFrames(avi)
+    assert(back.length == frames.length)
+    back.zip(frames).foreach { case (b, f) =>
+      assert(java.util.Arrays.equals(b, f), "frame bytes differ")
+    }
+  }
+
+  test("sampleVideoFrames: every k-th frame kept byte-exactly, meta updated, no transcode") {
+    val frames = (0 until 7).map(i => jpegFrame(20, 10, i * 0x112233))
+    val avi = Multimodal.aviFromJpegFrames(frames, 20, 10)
+    val media = Seq((1L, avi)).toDF("media_id", "payload")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("video/x-msvideo").as("format"),
+        org.apache.spark.sql.functions.lit(20).as("width"),
+        org.apache.spark.sql.functions.lit(10).as("height"),
+        org.apache.spark.sql.functions.lit(7).as("n_frames")))
+    val out = Multimodal.sampleVideoFrames(media, everyK = 3).collect()(0)
+    val meta = out.getStruct(out.fieldIndex("meta"))
+    assert(meta.getAs[Int]("n_frames") == 3) // frames 0, 3, 6
+    assert(meta.getAs[String]("format").contains("mjpeg"))
+    assert(meta.getAs[Int]("width") == 20 && meta.getAs[Int]("height") == 10)
+    val kept = Multimodal.aviVideoFrames(out.getAs[Array[Byte]]("payload"))
+    assert(kept.length == 3)
+    kept.zip(Seq(frames(0), frames(3), frames(6))).foreach { case (b, f) =>
+      assert(java.util.Arrays.equals(b, f), "sampled frame bytes differ (transcoded?)")
+    }
+  }
+
+  test("MjpegAviDecoder: pooled luma stats equal the per-frame ImageIO stats") {
+    val f1 = jpegFrame(8, 8, 0x000000)
+    val f2 = jpegFrame(8, 8, 0xFFFFFF)
+    val avi = Multimodal.aviFromJpegFrames(Seq(f1, f2), 8, 8)
+    val (mean, hist) = Multimodal.MjpegAviDecoder.decode(avi)
+    val (m1, h1) = Multimodal.ImageIoDecoder.decode(f1)
+    val (m2, h2) = Multimodal.ImageIoDecoder.decode(f2)
+    assert(math.abs(mean - (m1 + m2) / 2) < 1e-9) // equal pixel counts
+    assert(hist.toSeq == h1.zip(h2).map { case (a, b) => a + b }.toSeq)
+    // and it rejects non-AVI payloads (the decoder-family contract)
+    intercept[IllegalArgumentException] {
+      Multimodal.MjpegAviDecoder.decode("not a container".getBytes("UTF-8"))
+    }
+  }
 }
