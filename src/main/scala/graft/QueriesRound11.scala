@@ -94,8 +94,8 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       .orderBy("summary")
 
   /** EXACT token-set Jaccard self-join over the planted-dup corpus —
-    * the deterministic twin of the MinHash tier (q26/q28 stay
-    * rows-only because LSH recall is probabilistic): prefix-filtered
+    * the deterministic twin of the MinHash tier (whose q26/q28
+    * gates replay the portable md5-52 flavor since r12): prefix-filtered
     * candidates (AllPairs/PPJoin) verified exactly, hash-gated against
     * the exhaustive DuckDB all-pairs oracle. A hash match IS the proof
     * that the prefix filter lost no qualifying pair.

@@ -13,8 +13,10 @@ import org.apache.spark.sql.types._
   * boundary: `ImageIoDecoder` (REAL image decode via the JDK's
   * pure-Java PNG/BMP/GIF/JPEG readers) and `ByteStatsDecoder` (a
   * deterministic fake for payloads that are not images — the gate
-  * query's synthetic payloads are text bytes). Audio/video codecs are
-  * not on this container, so those formats stay behind the same trait.
+  * query's synthetic payloads are text bytes). WAV/PCM audio and
+  * MJPEG-in-AVI video decode are REAL too (javax.sound + RIFF walking
+  * over per-frame ImageIO); only codec formats genuinely absent from
+  * the JRE (MP3/H.264/...) stay behind the stub.
   * The decoder choice changes nothing about the plan: decode is a
   * per-partition narrow map, so a 100 TB corpus decodes with zero
   * shuffles.
@@ -64,10 +66,11 @@ object Multimodal {
   }
 
   /** ======== STUB ========
-    * Deterministic fake decoder: treats the payload bytes as pixels.
-    * The container ships no image/audio codecs, so this derives
-    * intensity stats directly from the bytes; signature and batch
-    * shape are what a real codec integration would use.
+    * Deterministic fake decoder: treats the payload bytes as pixels —
+    * for SYNTHETIC payloads (the gate fixture's text bytes) and for
+    * codec formats the JRE genuinely lacks; real decode for
+    * PNG/BMP/GIF/JPEG, WAV/PCM, and MJPEG-AVI lives in the sibling
+    * decoders. Signature and batch shape are the real contract.
     */
   object ByteStatsDecoder extends MediaDecoder {
     override def decode(payload: Array[Byte]): (Double, Array[Long]) = {
