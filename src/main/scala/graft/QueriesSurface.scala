@@ -206,6 +206,46 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
       .orderBy("media_id")
   }
 
+  /** End-to-end MJPEG-in-AVI video frame sampling as a hash gate
+    * (r12): per doc, a deterministic container of (doc_id % 5) + 1
+    * solid-color JPEG frames is assembled (ImageIO encode, RIFF
+    * writer), run through [[graft.ext.Multimodal.sampleVideoFrames]]
+    * (RIFF parse → keep every 2nd frame → re-assemble), and the gate
+    * hashes the PORTABLE fact: frames_kept = ceil(n/2), which the
+    * oracle recomputes from doc_id arithmetic. JPEG bytes themselves
+    * never cross to the oracle (encoder output is JRE-specific);
+    * byte-exactness of the sampler is MultimodalSpec's round-trip pin.
+    * One narrow mapPartitions pass each way — no shuffle.
+    */
+  def videoFrameSample(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    import s.implicits._
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = (id % 5 + 1).toInt
+          val frames = (0 until n).map { i =>
+            val img = new java.awt.image.BufferedImage(8, 8,
+              java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val rgb = ((id * 31 + i) & 0xFFFFFF).toInt
+            (0 until 8).foreach(y => (0 until 8).foreach(x => img.setRGB(x, y, rgb)))
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "jpg", bos)
+            bos.toByteArray
+          }
+          (id, Multimodal.aviFromJpegFrames(frames, 8, 8))
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(
+        lit("video/x-msvideo").as("format"),
+        lit(8).as("width"), lit(8).as("height"),
+        (col("media_id") % 5 + 1).cast("int").as("n_frames")))
+    Multimodal.sampleVideoFrames(media, everyK = 2)
+      .select(col("media_id"), col("meta.n_frames").as("frames_kept"))
+      .orderBy("media_id")
+  }
+
   // gap-based batch sessionization (4h gap) — ANSI-portable windows.
   def sessionize(s: SparkSession, d: String): DataFrame =
     graft.streaming.Sessionize.batch(t(s, d, "events"), gapMicros = 4L * 3600 * 1000000)
@@ -622,6 +662,14 @@ private[graft] trait OraclesSurface { this: OracleSnippets =>
     // invariant gate (r12): IVF cell routing is engine-specific; the
     // driver hashes the portable per-query facts + the recall floor
     "q35_ivf_ann" -> annInvariantOracleSql(withRecall = true),
+
+
+    // the sampler's portable fact: ceil(n/2) frames survive everyK=2
+    // over the (doc_id % 5 + 1)-frame container
+    "q186_video_frames" ->
+      """SELECT doc_id AS media_id,
+        |  CAST((doc_id % 5 + 2) // 2 AS INTEGER) AS frames_kept
+        |FROM documents ORDER BY media_id""".stripMargin,
 
 
     // invariant gate (r12): summary()'s cells are engine-formatted

@@ -220,8 +220,11 @@ object SparkEntry {
     "q181_pack_manifest" -> ((s, d) => PipelinesExt.packManifest(s, d)),
     "q182_negative_samples" -> ((s, d) => PipelinesExt.negativeSamples(s, d)),
     "q183_temporal_spikes" -> ((s, d) => PipelinesExt.temporalSpikesByType(s, d)),
-    // round 12 — the streaming tier made driver-visible
+    // round 12 — streaming tier, bucketed store, and video made
+    // driver-visible
     "q184_stream_neardup" -> ((s, d) => PipelinesExt.streamNearDupPairs(s, d)),
+    "q185_bucketed_training_set" -> ((s, d) => Pipelines.bucketedTrainingSet(s, d)),
+    "q186_video_frames" -> ((s, d) => PipelinesExt.videoFrameSample(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
@@ -383,6 +386,29 @@ object Pipelines {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  /** J3 over a BUCKETED feature table (r12, SURVEY §7.7): the feature
+    * table is written CLUSTERED BY its key INTO 8 BUCKETS through the
+    * store's versioned commit, and the training-set lookup join then
+    * plans with NO Exchange and NO Sort on the feature side
+    * (BucketedFeatureTableSpec pins the plan; this gate hash-checks
+    * the RESULT through the bucketed write + catalog read path). The
+    * oracle is the plain join — bucketing is pure physical layout.
+    */
+  def bucketedTrainingSet(s: SparkSession, d: String): DataFrame = {
+    val store = FeatureStore.temp(s)
+    val feats = Features.orderFeatures(t(s, d, "orders"))
+    store.createTable(FeatureTableSpec("order_features_b", Seq("c_custkey"),
+      feats.schema, "bucketed order features", buckets = 8))
+    store.writeTable("order_features_b", feats, WriteMode.Overwrite)
+    val spine = t(s, d, "customer")
+      .select(col("c_custkey"), (col("c_acctbal") > 1000).as("high_value"))
+    FeatureStoreClient
+      .createTrainingSet(store, spine,
+        FeatureLookup.allFeatures(store, "order_features_b", Seq("c_custkey")),
+        label = "high_value")
+      .loadDf.orderBy("c_custkey")
+  }
+
   // sort+limit — TakeOrderedAndProject (top-k never fully sorts at scale).
   def topkOrders(s: SparkSession, d: String): DataFrame =
     t(s, d, "orders")
@@ -489,5 +515,15 @@ object Oracles {
     "q12_topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // bucketing is physical layout only — the oracle is the plain join
+    "q185_bucketed_training_set" ->
+      s"""WITH ord AS ($orderFeaturesSql GROUP BY o_custkey)
+         |SELECT c.c_custkey, c.c_acctbal > 1000 AS high_value,
+         |  o.n_orders, o.total_spent, o.avg_order_price, o.last_order_us,
+         |  o.n_open_orders
+         |FROM customer c
+         |LEFT JOIN ord o ON c.c_custkey = o.c_custkey
+         |ORDER BY c.c_custkey""".stripMargin,
   )
 }
