@@ -46,9 +46,28 @@ private[graft] trait PipelinesBase {
         "doc_id", "text", positive = col("lang") === "en", iterations = 3)
         .orderBy("pos").collect().map(_.getLong(1)).toSeq)
 
+  /** The exact brute-force top-5 ground truth every ANN invariant gate
+    * compares against, memoized per (session, dir) and materialized
+    * (50 rows, localCheckpoint): five tiers share one exact pass per
+    * bench sweep instead of re-scoring the corpus five times. Bench
+    * drops the memo between passes (invalidatePitStores) so the
+    * re-measured work stays honest — the train-once/serve-many
+    * discipline of the feature-store and perceptron memos.
+    */
+  private val annExactMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  protected def annExactTop5(s: SparkSession, d: String): DataFrame =
+    annExactMemo.computeIfAbsent((s, d), _ => {
+      val emb = t(s, d, "embeddings")
+      graft.ext.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .localCheckpoint(true)
+    })
+
   private[graft] def invalidatePitStores(): Unit = {
     pitStores.clear()
     perceptronWeightsMemo.clear()
+    annExactMemo.clear()
   }
 
   /** Wrap an approximate-ANN result as a PORTABLE invariant gate (r11

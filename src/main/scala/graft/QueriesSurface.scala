@@ -260,7 +260,7 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
     val q = emb.filter(col("vec_id") < 10)
     annInvariantGate(
       Similarity.ivfTopK(emb, q, k = 5),
-      Similarity.bruteForceTopK(emb, q, k = 5),
+      annExactTop5(s, d),
       k = 5, recallFloor = Some(0.45))
   }
 
@@ -389,42 +389,53 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
   // cell is a formatted string, so the gate parses each cell back and
   // hashes BOOLEANS — exact rows (count/mean/stddev/min/max) must
   // match the exactly-computed aggregates (ulp tolerance on the
-  // double-accumulated mean/stddev), percentile rows must land inside
-  // the generous exact p±0.02 band (summary()'s sketch has rank error
-  // 1e-4). The q153 gate hash-checks the exact rows verbatim;
-  // SummaryParitySpec keeps the cell-level parity pins.
+  // double-accumulated mean/stddev), percentile rows are checked
+  // RANK-wise: the parsed cell's exact rank must sit inside a generous
+  // q±0.03 band (summary()'s sketch has rank error 1e-4; an exact
+  // percentile() comparator would sort-collect every value — 11 s at
+  // sf0.1 where these hash aggs cost fractions of a second). The q153
+  // gate hash-checks the exact rows verbatim; SummaryParitySpec keeps
+  // the cell-level parity pins.
   def summaryParity(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val qrows = Seq("25" -> 0.25, "50" -> 0.50, "75" -> 0.75)
     val li = t(s, d, "lineitem").select(cols.map(col): _*)
     val sm = li.summary()
-    val stats = li.agg(
+    // the sketch's percentile answers, parsed back into ONE row
+    val pctCols = for { c <- cols; (qn, _) <- qrows } yield
+      max(when(col("summary") === s"$qn%", col(c).cast("double")))
+        .as(s"_q${qn}_$c")
+    val pcts = sm.agg(pctCols.head, pctCols.tail: _*)
+    val stats = li.crossJoin(broadcast(pcts)).agg(
       count(lit(1)).as("_n"),
       cols.flatMap { c =>
         Seq(avg(col(c)).as(s"_mean_$c"),
           stddev_samp(col(c)).as(s"_sd_$c"),
-          min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c"),
-          expr(s"percentile($c, 0.23)").as(s"_p23_$c"),
-          expr(s"percentile($c, 0.27)").as(s"_p27_$c"),
-          expr(s"percentile($c, 0.48)").as(s"_p48_$c"),
-          expr(s"percentile($c, 0.52)").as(s"_p52_$c"),
-          expr(s"percentile($c, 0.73)").as(s"_p73_$c"),
-          expr(s"percentile($c, 0.77)").as(s"_p77_$c"))
+          min(col(c)).as(s"_min_$c"), max(col(c)).as(s"_max_$c")) ++
+        qrows.flatMap { case (qn, _) =>
+          Seq(
+            sum(when(col(c) <= col(s"_q${qn}_$c"), 1L).otherwise(0L))
+              .as(s"_le${qn}_$c"),
+            sum(when(col(c) < col(s"_q${qn}_$c"), 1L).otherwise(0L))
+              .as(s"_lt${qn}_$c"))
+        }
       }: _*)
     def ok(c: String): Column = {
       val v = col(c).cast("double")
       def near(target: Column) =
         abs(v - target) <= greatest(abs(target) * 1e-9, lit(1e-12))
+      // duplicate-safe rank band: cnt(<= v) >= (q−δ)n AND cnt(< v) <= (q+δ)n
+      def rankOk(qn: String, q: Double) =
+        col(s"_le${qn}_$c") >= col("_n") * (q - 0.03) &&
+          col(s"_lt${qn}_$c") <= col("_n") * (q + 0.03)
       when(col("summary") === "count", col(c).cast("long") === col("_n"))
         .when(col("summary") === "mean", near(col(s"_mean_$c")))
         .when(col("summary") === "stddev", near(col(s"_sd_$c")))
         .when(col("summary") === "min", v === col(s"_min_$c"))
         .when(col("summary") === "max", v === col(s"_max_$c"))
-        .when(col("summary") === "25%",
-          v >= col(s"_p23_$c") && v <= col(s"_p27_$c"))
-        .when(col("summary") === "50%",
-          v >= col(s"_p48_$c") && v <= col(s"_p52_$c"))
-        .when(col("summary") === "75%",
-          v >= col(s"_p73_$c") && v <= col(s"_p77_$c"))
+        .when(col("summary") === "25%", rankOk("25", 0.25))
+        .when(col("summary") === "50%", rankOk("50", 0.50))
+        .when(col("summary") === "75%", rankOk("75", 0.75))
     }
     sm.crossJoin(broadcast(stats))
       .select(col("summary"),

@@ -169,7 +169,7 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
     val q = emb.filter(col("vec_id") < 10)
     annInvariantGate(
       Similarity.lshTopK(emb, q, k = 5, dim = 64),
-      Similarity.bruteForceTopK(emb, q, k = 5),
+      annExactTop5(s, d),
       k = 5, recallFloor = None)
   }
 
