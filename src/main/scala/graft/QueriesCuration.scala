@@ -61,6 +61,32 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
           .as("retained_bounds_ok"))
   }
 
+  /** SEMANTIC decontamination (r12) — the embedding-space sibling of
+    * the verbatim-gram tier (q75/q79/q109/q167): drop every corpus
+    * vector whose cosine to ANY eval-probe vector (vec_id % 100 = 3,
+    * self excluded) reaches 0.3 — the "remove anything semantically
+    * close to the benchmark" pass a leakage audit runs when paraphrase
+    * contamination defeats exact n-gram matching. Plan: the probe set
+    * is tiny by construction, so it broadcasts onto ONE corpus scan;
+    * the per-vector max-probe-cosine is a vec_id hash agg; retention
+    * is the filter — the corpus never self-joins and never shuffles
+    * its payload. Exact doubles end-to-end (the q29/q30 cosine
+    * portability), so the gate hash-checks every retained row's max
+    * probe cosine.
+    */
+  def semanticDecontam(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 3)
+      .select(col("vec_id").as("_pid"),
+        Similarity.asDouble(col("embedding")).as("_pe"))
+    emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("_e"))
+      .join(broadcast(probes), col("vec_id") =!= col("_pid"))
+      .groupBy(col("vec_id"))
+      .agg(max(Similarity.cosine(col("_e"), col("_pe"))).as("max_probe_cos"))
+      .filter(col("max_probe_cos") < 0.3)
+      .orderBy("vec_id")
+  }
+
   // Corpus-driven top-k stop-word pruning: document-frequency rank is
   // exact integers with a total tie-break, so the stop list — and
   // therefore every rebuilt text — is deterministic at any SF.
@@ -364,6 +390,21 @@ private[graft] trait OraclesCuration { this: OracleSnippets =>
       s"""WITH RECURSIVE $ccClosureCtesSql
          |SELECT node AS vec_id, min(lbl) AS component
          |FROM reach GROUP BY node ORDER BY vec_id""".stripMargin,
+
+
+    // semantic decontamination: max probe cosine per vector, retained
+    // set below the threshold — exact doubles both engines
+    "q187_semantic_decontam" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+        |           FROM embeddings WHERE vec_id % 100 = 3),
+        |m AS (SELECT e.vec_id,
+        |        max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pe))
+        |          AS max_probe_cos
+        |      FROM embeddings e CROSS JOIN p
+        |      WHERE e.vec_id != pid
+        |      GROUP BY e.vec_id)
+        |SELECT vec_id, max_probe_cos FROM m
+        |WHERE max_probe_cos < 0.3 ORDER BY vec_id""".stripMargin,
 
 
     // invariant gate (r12): the clustered-SemDeDup retained set is

@@ -225,6 +225,7 @@ object SparkEntry {
     "q184_stream_neardup" -> ((s, d) => PipelinesExt.streamNearDupPairs(s, d)),
     "q185_bucketed_training_set" -> ((s, d) => Pipelines.bucketedTrainingSet(s, d)),
     "q186_video_frames" -> ((s, d) => PipelinesExt.videoFrameSample(s, d)),
+    "q187_semantic_decontam" -> ((s, d) => PipelinesExt.semanticDecontam(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
