@@ -362,6 +362,11 @@ final class FeatureStore(private[fs] val spark: SparkSession,
         .option("path", tmp.toString)
         .saveAsTable(tmpTable)
       spark.sql(s"DROP TABLE IF EXISTS `$tmpTable`")
+      // a rollback DISCARDS a version whose number the next write
+      // reclaims — drop any lingering catalog declaration for the
+      // reclaimed number, or readBucketed would serve the discarded
+      // snapshot's (possibly stale) schema over the new files
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketedCatalogName(name, newVersion)}`")
       ()
     } else {
       val writer = result.write.mode("overwrite")

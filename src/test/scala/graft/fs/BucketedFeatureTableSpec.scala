@@ -80,6 +80,29 @@ class BucketedFeatureTableSpec extends SparkSpec {
     store.deleteTable("of_b2")
   }
 
+  test("rollback + re-write reclaims the version number with a FRESH catalog entry") {
+    val store = freshStore()
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_rb", Seq("c_custkey"), feats.schema,
+      "bucketed rollback", buckets = 4))
+    store.writeTable("of_rb", feats, WriteMode.Overwrite)           // v1
+    store.writeTable("of_rb", feats.withColumn("extra", lit(1)),
+      WriteMode.Overwrite)                                          // v2 (+col)
+    store.readTable("of_rb").count()  // declare the v2 catalog entry
+    store.rollbackTable("of_rb")      // discard v2
+    // the next write reclaims v2 WITHOUT the extra column — a stale
+    // catalog declaration would serve the discarded schema
+    store.writeTable("of_rb",
+      feats.withColumn("total_spent", col("total_spent") + 2.0),
+      WriteMode.Overwrite)
+    val back = store.readTable("of_rb")
+    assert(store.tableVersion("of_rb") == 2)
+    assert(!back.columns.contains("extra"),
+      s"stale catalog schema served: ${back.columns.toSeq}")
+    assert(back.count() == feats.count())
+    store.deleteTable("of_rb")
+  }
+
   test("guards: buckets and partitionBy are mutually exclusive; buckets >= 0") {
     val schema = orderFeats.schema
     intercept[IllegalArgumentException] {
