@@ -89,8 +89,13 @@ private[graft] trait PipelinesBase {
     * side is one bruteForceTopK over the (small, broadcast) query
     * batch — the corpus is scanned once more, never shuffled.
     */
-  protected def annInvariantGate(ann: DataFrame, exact: DataFrame, k: Int,
+  protected def annInvariantGate(annRaw: DataFrame, exact: DataFrame, k: Int,
       recallFloor: Option[Double]): DataFrame = {
+    // the ANN result (k·|queries| rows) feeds BOTH the per-query facts
+    // and the recall join — without the checkpoint the whole probe
+    // pipeline (index scans, codebook scoring) executes twice per
+    // action (the shared-consumer lesson)
+    val ann = annRaw.localCheckpoint(true)
     val perQ = ann.groupBy(col("query_id")).agg(
       count(lit(1)).as("n_neighbors"),
       countDistinct(col("neighbor_id")).as("n_distinct"),

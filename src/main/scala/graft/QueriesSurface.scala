@@ -400,7 +400,10 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
     val qrows = Seq("25" -> 0.25, "50" -> 0.50, "75" -> 0.75)
     val li = t(s, d, "lineitem").select(cols.map(col): _*)
-    val sm = li.summary()
+    // 8 rows, consumed by BOTH the pct extraction and the final output
+    // — without the checkpoint the approximate-percentile sweep over
+    // lineitem runs twice per action (the shared-consumer lesson)
+    val sm = li.summary().localCheckpoint(true)
     // the sketch's percentile answers, parsed back into ONE row
     val pctCols = for { c <- cols; (qn, _) <- qrows } yield
       max(when(col("summary") === s"$qn%", col(c).cast("double")))

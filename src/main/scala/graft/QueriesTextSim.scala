@@ -95,10 +95,16 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
     val query = pairs.writeStream.format("memory").queryName(qname)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     query.awaitTermination()
-    s.table(qname)
+    // materialize off the memory sink, then DROP it — repeated gate
+    // runs (Bench's min-of-2, long sessions) would otherwise pin every
+    // run's full pair set in driver memory (r12 review)
+    val out = s.table(qname)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
       .orderBy("id_a", "id_b")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    out
   }
 
   // ---------------------------------------------------- text analysis

@@ -42,6 +42,11 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
       approx_count_distinct(col("l_partkey")).as("_ap"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_am"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"))
+      // consumed by BOTH the rank pass and the final join — without the
+      // checkpoint the exact-distinct Expand over lineitem runs twice
+      // per action (the shared-consumer lesson); the frame is one row
+      // per (returnflag, linestatus)
+      .localCheckpoint(true)
     // pass 2: RANK-COUNT the sketch's returned elements against the
     // exact order — cnt(<= v) >= (q−δ)·n and cnt(< v) <= (q+δ)·n, the
     // duplicate-safe form of "v's rank is within δ of quantile q".

@@ -389,7 +389,11 @@ object Multimodal {
       while (off + 8 <= until) {
         val id = fourcc(payload, off)
         val size = readLe32(payload, off + 4)
-        require(size >= 0 && off + 8 + size <= until,
+        // bound check in LONG: a corrupt size near Int.MaxValue would
+        // wrap off + 8 + size negative and slip past an Int compare
+        // (r12 review), surfacing later as an opaque index error
+        // instead of this named one
+        require(size >= 0 && off.toLong + 8 + size <= until,
           s"aviVideoFrames: chunk '$id' overruns its parent")
         if (id == "LIST" && size >= 4) {
           val listType = fourcc(payload, off + 8)
@@ -470,12 +474,17 @@ object Multimodal {
   /** REAL video frame sampling for MJPEG-in-AVI payloads — the last
     * stub surface closed for JRE-expressible formats (r11 verdict ask
     * #6): parse the container, keep every k-th frame, re-assemble a
-    * valid MJPEG AVI, and set `meta.n_frames` to the real retained
-    * count. Frame bytes round-trip EXACTLY (no transcode — JPEG
-    * payloads are copied, never re-encoded), and the plan shape is the
+    * valid MJPEG AVI, and emit the CANONICAL media schema
+    * ([[mediaSchema]]: media_id, payload, meta — every meta field is
+    * derived from the sampled container, like [[resizeImages]]; extra
+    * input columns are dropped, re-join them by media_id if needed).
+    * Frame bytes round-trip EXACTLY (no transcode — JPEG payloads are
+    * copied, never re-encoded), and the plan shape is the
     * [[extractFeatures]] contract: one narrow per-partition map, no
-    * shuffle at any corpus size. Frame geometry for the rebuilt header
-    * comes from decoding the first kept frame (ImageIO, pure Java).
+    * shuffle at any corpus size (the earlier meta re-attach join both
+    * shuffled and re-ran the decode once per side — r12 review). Frame
+    * geometry for the rebuilt header comes from decoding the first
+    * kept frame (ImageIO, pure Java).
     */
   def sampleVideoFrames(media: DataFrame, everyK: Int): DataFrame = {
     require(everyK >= 1, s"sampleVideoFrames: everyK must be >= 1, got $everyK")
@@ -505,14 +514,10 @@ object Multimodal {
         }
       }
       .toDF("media_id", "payload", "_nf", "_w", "_h")
-    media.drop("payload")
-      .join(sampled, Seq("media_id"))
-      .withColumn("meta",
-        col("meta").withField("format", lit("video/x-msvideo;codec=mjpeg"))
-          .withField("width", col("_w"))
-          .withField("height", col("_h"))
-          .withField("n_frames", col("_nf")))
-      .drop("_nf", "_w", "_h")
+    sampled.select(col("media_id"), col("payload"),
+      struct(lit("video/x-msvideo;codec=mjpeg").as("format"),
+        col("_w").as("width"), col("_h").as("height"),
+        col("_nf").as("n_frames")).as("meta"))
   }
 
   /** MJPEG-in-AVI feature decoder: luma stats pooled over EVERY frame

@@ -130,8 +130,10 @@ final class FeatureStore(private[fs] val spark: SparkSession,
   def deleteTable(name: String): Unit = {
     require(tableExists(name), s"feature table $name does not exist")
     val (spec, version) = loadSpec(name)
+    // version + 1: a rollback leaves a declared (discarded) entry one
+    // past the current pointer
     if (spec.buckets > 0)
-      (1 to version).foreach { v =>
+      (1 to version + 1).foreach { v =>
         spark.sql(s"DROP TABLE IF EXISTS `${bucketedCatalogName(name, v)}`")
       }
     fs.delete(tableDir(name), true)
@@ -181,15 +183,18 @@ final class FeatureStore(private[fs] val spark: SparkSession,
   }
 
   /** Session-catalog name for a bucketed snapshot: sanitized table
-    * name + a root digest (two stores may share a session) + the
-    * version. Entries are dropped by [[deleteTable]]; entries for
-    * pruned versions go stale harmlessly (their reads already fail on
-    * the missing directory).
+    * name + a digest of (root, RAW name) + the version. The digest
+    * covers the raw name because sanitization alone can collide
+    * ("of-b" and "of_b" both sanitize to of_b — two tables would
+    * silently share one catalog identifier, r12 review); two stores
+    * sharing a session are disambiguated by the root half. Entries are
+    * dropped by [[deleteTable]]; entries for pruned versions go stale
+    * harmlessly (their reads already fail on the missing directory).
     */
   private def bucketedCatalogName(name: String, version: Int): String = {
-    val rootHash = org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(root).substring(0, 8)
-    s"graft_fs_${name.toLowerCase.replaceAll("[^a-z0-9_]", "_")}_${rootHash}_v$version"
+    val digest = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(root + " " + name).substring(0, 8)
+    s"graft_fs_${name.toLowerCase.replaceAll("[^a-z0-9_]", "_")}_${digest}_v$version"
   }
 
   /** Time-travel read within the retention window (the commit path
