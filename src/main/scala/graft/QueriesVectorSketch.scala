@@ -42,11 +42,13 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
       approx_count_distinct(col("l_partkey")).as("_ap"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_am"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"))
-      // consumed by BOTH the rank pass and the final join — without the
-      // checkpoint the exact-distinct Expand over lineitem runs twice
-      // per action (the shared-consumer lesson); the frame is one row
-      // per (returnflag, linestatus)
-      .localCheckpoint(true)
+    // ap is consumed by BOTH the rank pass and the final join, but
+    // deliberately NOT checkpointed: the two consumers' aggregate
+    // subtrees are identical, so ReuseExchange computes the shuffle
+    // once — measured 2.6 s lazy vs 9 s with an eager localCheckpoint
+    // (which splits the work into serial jobs and defeats the reuse).
+    // The shared-consumer checkpoint rule applies when the consumers'
+    // subtrees DIVERGE before the exchange, not here.
     // pass 2: RANK-COUNT the sketch's returned elements against the
     // exact order — cnt(<= v) >= (q−δ)·n and cnt(< v) <= (q+δ)·n, the
     // duplicate-safe form of "v's rank is within δ of quantile q".
