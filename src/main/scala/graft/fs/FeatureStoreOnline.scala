@@ -199,4 +199,33 @@ private[fs] trait FeatureStoreOnline { this: FeatureStore =>
       .repartition(targetPartitions, spec.keys.map(col): _*)
     writeTable(name, compacted, WriteMode.Overwrite)
   }
+
+  /** OPTIMIZE … ZORDER BY analog (r12) — the other half of the Delta
+    * maintenance pair next to [[compact]]: rewrite the current
+    * snapshot laid out along the space-filling curve over `zorderBy`
+    * (`graft.operators.ZOrder.layout` — range partition + sort on the
+    * fused Morton value), THROUGH the same versioned commit, so
+    * readers swap atomically, time travel keeps the pre-optimize
+    * snapshot, and rollback undoes the rewrite. Content-identical by
+    * construction — only the file layout changes, which is what makes
+    * parquet min/max footer stats prune on EVERY zorder dimension for
+    * the range-scan queries a feature table serves (the q59/ZOrderSpec
+    * geometry, now reachable as table maintenance). Bucketed tables
+    * refuse: their physical layout IS the bucket spec.
+    */
+  def optimizeTable(name: String, zorderBy: Seq[String],
+      targetPartitions: Int = spark.sparkContext.defaultParallelism): Unit = {
+    require(zorderBy.nonEmpty, s"optimizeTable($name): need zorderBy columns")
+    val (spec, version) = loadSpec(name)
+    require(version > 0, s"optimizeTable($name): table has no data yet")
+    require(spec.buckets == 0,
+      s"optimizeTable($name): bucketed tables fix their own layout " +
+        "(CLUSTERED BY keys); compact by rewriting at the same bucket spec")
+    val bad = zorderBy.filterNot(spec.schema.fieldNames.contains)
+    require(bad.isEmpty,
+      s"optimizeTable($name): zorderBy column(s) ${bad.mkString(", ")} not in schema")
+    val laidOut = graft.operators.ZOrder
+      .layout(readTable(name), zorderBy, numFiles = targetPartitions)
+    writeTable(name, laidOut, WriteMode.Overwrite)
+  }
 }

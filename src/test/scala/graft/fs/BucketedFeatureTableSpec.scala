@@ -103,6 +103,46 @@ class BucketedFeatureTableSpec extends SparkSpec {
     store.deleteTable("of_rb")
   }
 
+  test("optimizeTable: z-order rewrite preserves content, tightens per-file spans, keeps time travel") {
+    val store = freshStore()
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_z", Seq("c_custkey"), feats.schema,
+      "zorder maintenance"))
+    store.writeTable("of_z", feats, WriteMode.Overwrite)            // v1
+    store.optimizeTable("of_z", Seq("n_orders", "total_spent"),
+      targetPartitions = 4)                                          // v2
+    assert(store.tableVersion("of_z") == 2)
+    val back = store.readTable("of_z")
+    // layout-only: content identical
+    assert(back.orderBy("c_custkey").collect().toSeq ==
+      feats.orderBy("c_custkey").collect().toSeq)
+    // v1 (pre-optimize) still readable — the rewrite went through the
+    // versioned commit
+    assert(store.readTableVersion("of_z", 1).count() == feats.count())
+    // per-file spans on the SECOND zorder dimension are tighter than a
+    // lexicographic single-dim sort would leave them: every file's
+    // total_spent span must be well below the full domain
+    val files = back.groupBy(input_file_name().as("f"))
+      .agg(min("total_spent").as("lo"), max("total_spent").as("hi"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(files.length == 4, s"expected 4 files, got ${files.length}")
+    val domain = feats.agg(max("total_spent") - min("total_spent"))
+      .head.getDouble(0)
+    val meanSpan = files.map(r => r.getDouble(2) - r.getDouble(1)).sum / files.length
+    assert(meanSpan < domain * 0.95,
+      s"z-order left per-file spans at the full domain: $meanSpan vs $domain")
+    // bucketed tables refuse the rewrite
+    store.createTable(FeatureTableSpec("of_zb", Seq("c_custkey"), feats.schema,
+      "bucketed", buckets = 4))
+    store.writeTable("of_zb", feats, WriteMode.Overwrite)
+    val e = intercept[IllegalArgumentException] {
+      store.optimizeTable("of_zb", Seq("n_orders"))
+    }
+    assert(e.getMessage.contains("bucketed"))
+    store.deleteTable("of_z"); store.deleteTable("of_zb")
+  }
+
   test("guards: buckets and partitionBy are mutually exclusive; buckets >= 0") {
     val schema = orderFeats.schema
     intercept[IllegalArgumentException] {
