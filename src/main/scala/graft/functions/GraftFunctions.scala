@@ -30,16 +30,33 @@ object GraftFunctions {
       s"$fn: argument ${pos + 1} must be an integer literal, got $other")
   }
 
+  private def boolArg(e: Expression, fn: String, pos: Int): Boolean = e match {
+    case Literal(v: Boolean, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a boolean literal, got $other")
+  }
+
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_dot", "dot product of two array<double>",
       es => DotProduct(es(0), es(1))),
-    ("graft_simhash", "64-bit SimHash of array<string> tokens",
-      es => SimHash64(es(0))),
+    ("graft_simhash", "SimHash of array<string> tokens (tokens[, portable])",
+      es => {
+        require(es.length == 1 || es.length == 2, s"graft_simhash: " +
+          s"expected 1 or 2 arguments (tokens[, portableHash]), got ${es.length}")
+        SimHash64(es(0),
+          if (es.length == 2) boolArg(es(1), "graft_simhash", 1) else false)
+      }),
     ("graft_minhash", "MinHash signature of array<string> shingles",
       es => MinHashSig(es(0), intArg(es(1), "graft_minhash", 1))),
-    ("graft_minhash_ngram", "fused word-ngram MinHash signature",
-      es => MinHashNgramSig(es(0), intArg(es(1), "graft_minhash_ngram", 1),
-        intArg(es(2), "graft_minhash_ngram", 2))),
+    ("graft_minhash_ngram",
+      "fused word-ngram MinHash signature (toks, g, n[, portable])",
+      es => {
+        require(es.length == 3 || es.length == 4, s"graft_minhash_ngram: " +
+          s"expected 3 or 4 arguments (toks, g, n[, portableHash]), got ${es.length}")
+        MinHashNgramSig(es(0), intArg(es(1), "graft_minhash_ngram", 1),
+          intArg(es(2), "graft_minhash_ngram", 2),
+          if (es.length == 4) boolArg(es(3), "graft_minhash_ngram", 3) else false)
+      }),
     ("graft_hyperplane_sig", "random-hyperplane LSH bit signature",
       es => {
         // 3-arg (vec, dim, bits) or 4-arg (vec, dim, bits, planeOffset)

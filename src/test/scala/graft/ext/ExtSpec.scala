@@ -688,6 +688,25 @@ class GraftFunctionsSpec extends SparkSpec {
     assert(err.getMessage.contains("graft_minhash") ||
       err.getCause != null && err.getCause.getMessage.contains("graft_minhash"))
   }
+
+  test("portable-hash flavors reachable from SQL and match the Column API (r12)") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_minhash_ngram(array('a','b','c'), 2, 8, true) AS mgp,
+        |  graft_simhash(array('a','b'), true) AS shp,
+        |  graft_simhash(array(), true) AS shp_empty
+        |""".stripMargin).collect()(0)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val api = Seq(1).toDF("x").select(
+      graft.functions.VectorExpressions.minhashNgramSig(
+        typedLit(Seq("a", "b", "c")), 2, 8, portableHash = true).as("mgp"),
+      graft.functions.VectorExpressions.simhash64(
+        typedLit(Seq("a", "b")), portableHash = true).as("shp")).collect()(0)
+    assert(r.getSeq[Long](0) == api.getSeq[Long](0))
+    assert(r.getLong(1) == api.getLong(1))
+    assert(r.isNullAt(2)) // token-less portable simhash is NULL, not 0
+  }
 }
 
 class DedupSpec extends SparkSpec {
