@@ -33,6 +33,19 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
         "vec_id", k = 8, iterations = 2, keepFrac = 0.5, keepHard = true)
       .orderBy("vec_id")
 
+  /** Cluster-balanced subsampling (r12): at most 30 docs per k-means
+    * cluster, chosen by the portable md5(id) order — the
+    * diversity-preserving downsample a frequency-skewed corpus needs
+    * (a giant near-duplicate mode shrinks to its quota, small tails
+    * survive whole). The oracle chains the q131 Lloyd recurrence into
+    * a per-cluster md5-ordered rank — assignment, distance, and the
+    * sampled SET all replay exactly.
+    */
+  def clusterBalancedDocs(s: SparkSession, d: String): DataFrame =
+    Clustering.clusterBalancedSample(t(s, d, "embeddings"), "embedding",
+        "vec_id", k = 8, iterations = 2, quota = 30)
+      .orderBy("vec_id")
+
   /** Benchmark decontamination, the REWRITE half (q75/q79/q109 only
     * profile): every token covered by an 8-token span that appears
     * verbatim in the probe documents (the q79 probe set: doc_ids
@@ -271,6 +284,19 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
          |FROM asg a JOIN thr USING (cid)
          |WHERE CAST(a.dist AS DOUBLE) > t
          |ORDER BY a.vec_id""".stripMargin,
+
+
+    // the q131 Lloyd recurrence chained into a per-cluster md5-ordered
+    // quota rank — the cluster-balanced sampled SET replays exactly
+    "q188_cluster_balance" ->
+      s"""WITH ${kmeansCtesSql(8, 2)},
+         |asg AS (SELECT vec_id, cid, dist FROM a3 WHERE rk = 1),
+         |rq AS (SELECT vec_id, cid, dist,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk2
+         |  FROM asg)
+         |SELECT vec_id, cid, dist AS dist_q FROM rq
+         |WHERE rk2 <= 30 ORDER BY vec_id""".stripMargin,
 
     // the q163 positional-gram/coverage/rebuild shape, with the dup
     // span set replaced by the probe documents' distinct gram set

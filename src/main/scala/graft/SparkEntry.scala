@@ -226,6 +226,7 @@ object SparkEntry {
     "q185_bucketed_training_set" -> ((s, d) => Pipelines.bucketedTrainingSet(s, d)),
     "q186_video_frames" -> ((s, d) => PipelinesExt.videoFrameSample(s, d)),
     "q187_semantic_decontam" -> ((s, d) => PipelinesExt.semanticDecontam(s, d)),
+    "q188_cluster_balance" -> ((s, d) => PipelinesExt.clusterBalancedDocs(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

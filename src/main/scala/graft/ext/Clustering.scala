@@ -134,4 +134,37 @@ object Clustering {
      else kept.filter(col("dist_q").cast("double") <= col("_thr")))
       .select(col(idCol), col("cid"), col("dist_q"))
   }
+
+  /** Cluster-balanced subsampling (r12) — the diversity-preserving
+    * downsample next to [[prototypicalityPrune]]'s difficulty cut:
+    * assign every example to its deterministic k-means cluster, then
+    * keep AT MOST `quota` per cluster, chosen by the md5(id) order
+    * (the q98 portable-sampling discipline — deterministic, unbiased
+    * within the cluster, replayable by the oracle) with the id as
+    * tie-break. A frequency-skewed corpus (one giant near-duplicate
+    * mode, many small tails) downsamples to the embedding-space
+    * coverage a per-SOURCE quota cannot see.
+    *
+    * Scale: the assignment is the [[kmeansAssignQuantized]] scan
+    * (k codegen'd distances per row); the per-cluster quota is a
+    * rank-≤-quota window that Catalyst rewrites to Partial+Final
+    * WindowGroupLimit — per-partition top-quota HEAPS before the cid
+    * exchange (the q122 group-top-k shape), so the shuffle carries at
+    * most quota rows per cluster per partition, never the corpus.
+    *
+    * Output: the kept (idCol, cid, dist_q) rows — join back by id for
+    * the sampled dataset.
+    */
+  def clusterBalancedSample(df: DataFrame, vecCol: String, idCol: String,
+      k: Int, iterations: Int, quota: Int,
+      scale: Double = 1e6): DataFrame = {
+    require(quota >= 1, s"clusterBalancedSample: quota must be >= 1, got $quota")
+    val assign = kmeansAssignQuantized(df, vecCol, idCol, k, iterations, scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid"))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    assign.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= quota)
+      .select(col(idCol), col("cid"), col("dist_q"))
+  }
 }

@@ -134,6 +134,37 @@ class ClusteringSpec extends SparkSpec {
     assert(hard === expectedHard)
   }
 
+  test("clusterBalancedSample: quota binds per cluster; selection is the md5(id) order (r12)") {
+    // three planted blobs of 4/3/2 points; ids 1/2/3 are one per blob
+    // so the k-smallest-id seeds start inside distinct blobs (the seed
+    // discipline kmeansAssignQuantized documents)
+    val vecs = Seq(
+      (1L, Seq(0.0, 0.0)), (4L, Seq(0.1, 0.0)), (5L, Seq(0.0, 0.1)), (6L, Seq(0.1, 0.1)),
+      (2L, Seq(5.0, 5.0)), (11L, Seq(5.1, 5.0)), (12L, Seq(5.0, 5.1)),
+      (3L, Seq(9.0, 0.0)), (21L, Seq(9.1, 0.0)))
+    val df = vecs.toDF("id", "vec")
+    val kept = Clustering.clusterBalancedSample(df, "vec", "id",
+      k = 3, iterations = 3, quota = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kept.size == 6, s"expected 2 per cluster: $kept")
+    assert(kept.values.groupBy(identity).values.forall(_.size == 2))
+    // the kept ids per cluster are the md5-order minimum two — replay
+    def md5(id: Long) = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(id.toString)
+    val byCluster = Clustering.kmeansAssignQuantized(df, "vec", "id", 3, 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    vecs.map(_._1).groupBy(byCluster).foreach { case (cid, ids) =>
+      val want = ids.sortBy(i => (md5(i), i)).take(2).toSet
+      val got = kept.collect { case (id, c) if c == cid => id }.toSet
+      assert(got == want, s"cluster $cid: got $got want $want")
+    }
+    // a quota past every cluster size keeps everything
+    assert(Clustering.clusterBalancedSample(df, "vec", "id", 3, 3,
+      quota = 100).count() == vecs.size)
+    intercept[IllegalArgumentException](
+      Clustering.clusterBalancedSample(df, "vec", "id", 3, 3, quota = 0))
+  }
+
   test("prototypicalityPrune: boundary fractions keep all / none") {
     val df = pts.toDF("id", "vec")
     val all = Clustering.prototypicalityPrune(df, "vec", "id", 3, 2,
