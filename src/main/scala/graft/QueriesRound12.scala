@@ -1,0 +1,211 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.etl.Splits
+import graft.ext.{Calibration, CorpusStats, Perceptron, SetSimJoin}
+
+/** Round-12 continuation gates: the asymmetric containment join, the
+  * classifier reliability/AUC audit, the embargoed chronological
+  * split, and the per-source distinct-n diversity audit. Each query
+  * sits next to its DuckDB oracle (trait pair discipline, VERDICT r9
+  * #4).
+  */
+private[graft] trait PipelinesRound12 { this: PipelinesBase =>
+
+  /** Quote / subset-document detection: every document's first-8-token
+    * snippet is planted back into the corpus under an offset id, then
+    * [[SetSimJoin.containmentJoinExact]] at t = 0.9 must recover each
+    * snippet→parent edge EXACTLY (plus whatever cross-template edges
+    * the corpus genuinely contains — the oracle is brute-force over
+    * the slice, so the hash proves the asymmetric prefix filter is
+    * lossless). Jaccard cannot see these pairs: an 8-token quote
+    * inside a 200-token document has union-dominated similarity ~0.04.
+    * Slice doc_id % 10 = 3 for the same reason q154 slices: the
+    * fixture's template density makes ANY exact algorithm's output
+    * quadratic at full width; the operator keeps full-corpus posture.
+    */
+  def containmentQuotes(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 3)
+      .select(col("doc_id"), col("text"))
+    val quotes = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("text"))
+    SetSimJoin.containmentJoinExact(docs.union(quotes), "text", "doc_id",
+        minContainment = 0.9)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Held-out reliability audit of the q151 classifier: train the
+    * hashed perceptron on the labeled slice (doc_id % 5 = 0, label =
+    * lang = 'en'), score the COMPLEMENT, and gate the full
+    * [[Calibration.reliabilityAudit]] table — rank-decile bins with
+    * exact counts/margin spans and the exact Mann-Whitney AUC. The
+    * oracle replays the training recurrence, the margin projection,
+    * the global (margin, id) rank, the integer-division bins, and the
+    * tie-aware rank-sum — a drift anywhere (including in the
+    * GlobalIndex two-pass rank) breaks the hash.
+    */
+  def classifierReliability(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val labeled = docs.filter(col("doc_id") % 5 === 0)
+    val w = Perceptron.batchPerceptronHashed(labeled, "doc_id", "text",
+      positive = col("lang") === "en", iterations = 3)
+      .orderBy("pos").collect().map(_.getLong(1)).toSeq
+    val holdout = docs.filter(col("doc_id") % 5 =!= 0)
+    val scored = Perceptron.withHashedPerceptronScore(holdout, "text", w)
+      .select(col("doc_id"), col("margin_q"), (col("lang") === "en").as("lab"))
+    Calibration.reliabilityAudit(scored, "doc_id", "margin_q", "lab", bins = 10)
+  }
+
+  /** Leakage-safe evaluation split over the event stream:
+    * [[Splits.chronoSplitEmbargo]] at 4/5 train with a 1-day embargo,
+    * summarized per (split, event_type) with exact micros spans — the
+    * gate pins the exact integer boundary arithmetic and the
+    * train < embargo < test ordering (ts_hi of train + embargo <
+    * ts_lo of test by construction).
+    */
+  def embargoSplit(s: SparkSession, d: String): DataFrame = {
+    val ev = t(s, d, "events")
+    Splits.chronoSplitEmbargo(ev, "ts", trainNum = 4, trainDen = 5,
+        embargoUs = 86400000000L)
+      .groupBy(col("split"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        min(unix_micros(col("ts").cast("timestamp"))).as("ts_lo"),
+        max(unix_micros(col("ts").cast("timestamp"))).as("ts_hi"))
+      .orderBy("split", "event_type")
+  }
+
+  /** Per-source distinct-n diversity ([[CorpusStats]]): exact
+    * type-token and bigram ratios per source — the cross-document
+    * collapse signal per-document repetition scores cannot see.
+    */
+  def corpusDiversity(s: SparkSession, d: String): DataFrame =
+    CorpusStats.distinctNgramDiversity(t(s, d, "documents"))
+}
+
+private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =>
+  protected def sqlRound12: Map[String, String] = Map(
+
+    // brute-force directed containment over the sliced corpus + its
+    // planted first-8-token quotes — the Spark side answers from
+    // asymmetric prefix-filtered candidates, so a hash match proves
+    // the A-prefix ⋈ B-all filter is lossless
+    "q189_containment_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
+        |         ELSE array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') END
+        |  FROM documents WHERE doc_id % 10 = 3),
+        |ts AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END) AS toks
+        |  FROM corpus),
+        |nz AS (SELECT doc_id, toks, len(toks) AS sz FROM ts WHERE len(toks) > 0),
+        |pr AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / CAST(a.sz AS DOUBLE) AS c
+        |  FROM nz a, nz b WHERE a.doc_id <> b.doc_id)
+        |SELECT id_a, id_b,
+        |  CAST(floor(c * 1000000000.0e0 + 0.5e0) AS BIGINT) AS cont_q
+        |FROM pr WHERE c >= 0.9e0
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the q151 training recurrence on the labeled slice, margins over
+    // the COMPLEMENT, then the global (margin, id) rank, integer-
+    // division decile bins, and the tie-aware Mann-Whitney rank-sum
+    "q190_classifier_reliability" ->
+      s"""WITH ${perceptronCtesSql(3, " WHERE doc_id % 5 = 0")},
+         |ho AS MATERIALIZED (
+         |  SELECT doc_id, (lang = 'en') AS lab FROM documents WHERE doc_id % 5 <> 0),
+         |fa AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CAST((strpos('0123456789abcdef', substr(md5(term), 1, 1)) - 1) * 16
+         |      + (strpos('0123456789abcdef', substr(md5(term), 2, 1)) - 1) AS BIGINT) AS pos,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest(CASE WHEN length(trim(text)) = 0 THEN []
+         |        ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END) AS term
+         |      FROM documents WHERE doc_id % 5 <> 0)
+         |  GROUP BY 1, 2),
+         |sc AS (
+         |  SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS dot
+         |  FROM fa f JOIN w3 w ON w.pos = f.pos
+         |  GROUP BY 1),
+         |mar AS MATERIALIZED (
+         |  SELECT h.doc_id, h.lab,
+         |    CAST(coalesce(sc.dot, 0) + (SELECT w FROM w3 WHERE pos = 256) AS BIGINT) AS m
+         |  FROM ho h LEFT JOIN sc USING (doc_id)),
+         |ix AS MATERIALIZED (
+         |  SELECT doc_id, lab, m,
+         |    row_number() OVER (ORDER BY m, doc_id) - 1 AS idx
+         |  FROM mar),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS np FROM ix),
+         |g AS (SELECT m, min(idx) AS off, CAST(count(*) AS BIGINT) AS nm,
+         |    CAST(sum(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pm
+         |  FROM ix GROUP BY m),
+         |r AS (SELECT sum(CAST(pm AS HUGEINT) * CAST(2 * off + nm + 1 AS HUGEINT)) AS r2 FROM g),
+         |a AS (SELECT CASE WHEN np > 0 AND np < n THEN
+         |      CAST(r2 - CAST(np AS HUGEINT) * (np + 1) AS DOUBLE)
+         |        / CAST(2 * CAST(np AS HUGEINT) * (n - np) AS DOUBLE) END AS auc
+         |  FROM tot, r)
+         |SELECT CAST((ix.idx * 10) // t.n AS INTEGER) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN ix.lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN ix.lab THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS pos_rate,
+         |  min(ix.m) AS margin_lo, max(ix.m) AS margin_hi, min(a.auc) AS auc
+         |FROM ix, tot t, a
+         |GROUP BY 1, t.n
+         |ORDER BY bin""".stripMargin,
+
+    // exact integer boundary arithmetic + the three-way CASE, then the
+    // per-(split, type) count/span summary
+    "q191_embargo_split" ->
+      """WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi FROM events),
+        |lab AS (
+        |  SELECT event_type, epoch_us(ts) AS us,
+        |    CASE WHEN epoch_us(ts) <= lo + ((hi - lo) * 4) // 5 THEN 'train'
+        |         WHEN epoch_us(ts) <= lo + ((hi - lo) * 4) // 5 + 86400000000 THEN 'embargo'
+        |         ELSE 'test' END AS split
+        |  FROM events, b)
+        |SELECT split, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  min(us) AS ts_lo, max(us) AS ts_hi
+        |FROM lab GROUP BY 1, 2
+        |ORDER BY split, event_type""".stripMargin,
+
+    // per-source exact distinct unigram/bigram counts and ratios over
+    // the shared lowercase whitespace tokens
+    "q192_corpus_diversity" ->
+      """WITH base AS (
+        |  SELECT source,
+        |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN []
+        |         ELSE regexp_split_to_array(lower(trim(text)), '\s+') END AS t
+        |  FROM documents),
+        |sz AS (SELECT source, t, len(t) AS n FROM base),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT) AS n_bigrams
+        |  FROM sz GROUP BY 1),
+        |u1 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS uniq_tokens
+        |  FROM (SELECT source, unnest(t) AS g FROM sz) GROUP BY 1),
+        |u2 AS (SELECT source, CAST(count(DISTINCT g) AS BIGINT) AS uniq_bigrams
+        |  FROM (SELECT source,
+        |      unnest(list_transform(range(1, n), i -> t[i] || ' ' || t[i + 1])) AS g
+        |    FROM sz WHERE n > 1) GROUP BY 1)
+        |SELECT ps.source, ps.n_docs, ps.n_tokens,
+        |  coalesce(u1.uniq_tokens, 0) AS uniq_tokens,
+        |  CASE WHEN ps.n_tokens > 0 THEN
+        |    CAST(coalesce(u1.uniq_tokens, 0) AS DOUBLE) / CAST(ps.n_tokens AS DOUBLE) END AS ttr,
+        |  ps.n_bigrams,
+        |  coalesce(u2.uniq_bigrams, 0) AS uniq_bigrams,
+        |  CASE WHEN ps.n_bigrams > 0 THEN
+        |    CAST(coalesce(u2.uniq_bigrams, 0) AS DOUBLE) / CAST(ps.n_bigrams AS DOUBLE) END AS bigram_ttr
+        |FROM ps LEFT JOIN u1 USING (source) LEFT JOIN u2 USING (source)
+        |ORDER BY source""".stripMargin,
+  )
+}

@@ -227,6 +227,10 @@ object SparkEntry {
     "q186_video_frames" -> ((s, d) => PipelinesExt.videoFrameSample(s, d)),
     "q187_semantic_decontam" -> ((s, d) => PipelinesExt.semanticDecontam(s, d)),
     "q188_cluster_balance" -> ((s, d) => PipelinesExt.clusterBalancedDocs(s, d)),
+    "q189_containment_join" -> ((s, d) => PipelinesExt.containmentQuotes(s, d)),
+    "q190_classifier_reliability" -> ((s, d) => PipelinesExt.classifierReliability(s, d)),
+    "q191_embargo_split" -> ((s, d) => PipelinesExt.embargoSplit(s, d)),
+    "q192_corpus_diversity" -> ((s, d) => PipelinesExt.corpusDiversity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

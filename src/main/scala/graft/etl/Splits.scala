@@ -32,4 +32,46 @@ object Splits {
     val b = pmod(xxhash64(col(key), col(stratum)), lit(100))
     (df.filter(b < trainPct), df.filter(b >= trainPct))
   }
+
+  /** Chronological split with an EMBARGO gap — the leakage-safe
+    * evaluation split for temporally-correlated data, where a hash
+    * split silently leaks (a near-duplicate event lands on both sides of
+    * the model's deployment boundary; cf. purged walk-forward CV):
+    * rows at or before the boundary are `train`, rows inside
+    * (boundary, boundary + embargo] are `embargo` (kept and LABELED,
+    * not dropped — an audit needs to see what the gap excluded), rows
+    * after are `test`. By construction max(train ts) + embargo <
+    * min(test ts): no label-horizon overlap.
+    *
+    * The boundary is data-derived and exact: one 1-row (min, max)
+    * micros aggregate broadcasts back (the winsorize scalar shape),
+    * and `boundary = min + (span · trainNum) div trainDen` is pure
+    * BIGINT arithmetic — reproducible across engines, runs, and
+    * partitionings, unlike a percentile over timestamps (the q58
+    * sort-collect trap) or a driver-supplied wall-clock constant.
+    * NULL timestamps raise — a silent bucket would corrupt the split.
+    *
+    * Scale shape: one scan for the 1-row agg, then a scan-stage CASE
+    * projection; no shuffle, no sort, no collect of data rows.
+    */
+  def chronoSplitEmbargo(df: DataFrame, tsCol: String,
+      trainNum: Int, trainDen: Int, embargoUs: Long,
+      outCol: String = "split"): DataFrame = {
+    require(trainDen > 0 && trainNum > 0 && trainNum < trainDen,
+      s"chronoSplitEmbargo: need 0 < trainNum < trainDen, got $trainNum/$trainDen")
+    require(embargoUs >= 0,
+      s"chronoSplitEmbargo: embargoUs must be >= 0, got $embargoUs")
+    val us = unix_micros(col(tsCol).cast("timestamp"))
+    val bounds = df.agg(min(us).as("_lo"), max(us).as("_hi"))
+    val boundary = col("_lo") +
+      expr(s"((_hi - _lo) * ${trainNum}L) div ${trainDen}L")
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        when(us.isNull, raise_error(
+          lit(s"chronoSplitEmbargo: NULL $tsCol — assign or drop before splitting")))
+          .when(us <= boundary, lit("train"))
+          .when(us <= boundary + lit(embargoUs), lit("embargo"))
+          .otherwise(lit("test")))
+      .drop("_lo", "_hi")
+  }
 }

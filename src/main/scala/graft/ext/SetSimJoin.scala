@@ -70,19 +70,28 @@ object SetSimJoin {
     * duplicate ids would interleave two documents' tokens inside one
     * prefix window.
     */
-  def jaccardJoinExact(docs: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
-    require(minJaccard > 0.0 && minJaccard <= 1.0,
-      s"jaccardJoinExact: minJaccard must be in (0,1], got $minJaccard")
+  /** The shared eager token-set frame (_id, _toks, _sz): cached and
+    * materialized at call time because the df agg, the prefix build,
+    * and the verification joins all read it — a lazy cache lets their
+    * scans race, each re-tokenizing the corpus before blocks land
+    * (the ngramJaccardPairs lesson).
+    */
+  private def tokenFrame(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     val toks = docs
       .select(col(idCol).as("_id"), tokenSet(col(textCol)).as("_toks"))
       .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
       .withColumn("_sz", size(col("_toks")))
       .cache()
-    toks.count() // eager: the df agg, the prefix build, and both
-                 // verification joins read this frame; a lazy cache
-                 // lets their scans race, each re-tokenizing the corpus
-                 // before blocks land (the ngramJaccardPairs lesson)
+    toks.count()
+    toks
+  }
+
+  def jaccardJoinExact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"jaccardJoinExact: minJaccard must be in (0,1], got $minJaccard")
+    val toks = tokenFrame(docs, textCol, idCol)
     val tokenDf = toks.select(explode(col("_toks")).as("_token"))
       .groupBy(col("_token")).agg(count(lit(1)).as("_tdf"))
     // prefix length |s| − ⌈t·|s|⌉ + 1 under the global (df, token)
@@ -120,5 +129,66 @@ object SetSimJoin {
       .filter(jacc >= minJaccard)
       .select(col("id_a"), col("id_b"),
         floor(jacc * lit(1e9) + lit(0.5)).cast("long").as("jacc_q"))
+  }
+
+  /** All DIRECTED pairs (id_a ≠ id_b) with token-set containment
+    * C(a→b) = |A∩B| / |A| ≥ `minContainment`, attached as `cont_q`
+    * (floor(c·1e9 + 0.5) — one correctly-rounded IEEE division over
+    * exact integers, §5.3-portable). The asymmetric sibling of
+    * [[jaccardJoinExact]]: Jaccard misses a short quote inside a long
+    * document (the union term swamps it), containment is EXACTLY the
+    * quote-detection / subset-document relation a provenance or
+    * license audit needs. Mutual containment yields both directions;
+    * empty token sets are excluded (containment undefined).
+    *
+    * Prefix filter, asymmetric form: if C(a→b) ≥ t then B holds at
+    * least ⌈t·|A|⌉ of A's tokens, so B misses at most |A| − ⌈t·|A|⌉ of
+    * them — B must share a token with A's first |A| − ⌈t·|A|⌉ + 1
+    * RAREST (global df order). Candidates are therefore A-prefix ⋈
+    * B-ALL-TOKENS on the token: only the CONTAINED side gets a prefix
+    * (containment puts no upper bound on |B|, so B has no prefix
+    * shrink), and the join stays bounded because every key is an
+    * A-prefix token — rare by construction, bucket size df(token)
+    * (the contaminationHits shape: the B token stream shuffles once,
+    * the same volume the df aggregate already moved; stopwords never
+    * key a candidate). The |B| ≥ ⌈t·|A|⌉ size bound pushes into the
+    * join filter; verification computes exact containment on
+    * candidates only. Same −1e-9 slack discipline and domain as
+    * [[jaccardJoinExact]] (sound below 2²³ distinct tokens/doc).
+    */
+  def containmentJoinExact(docs: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minContainment: Double = 0.8): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"containmentJoinExact: minContainment must be in (0,1], got $minContainment")
+    val toks = tokenFrame(docs, textCol, idCol)
+    val tokenDf = toks.select(explode(col("_toks")).as("_token"))
+      .groupBy(col("_token")).agg(count(lit(1)).as("_tdf"))
+    val w = Window.partitionBy(col("_id")).orderBy(col("_tdf"), col("_token"))
+    val prefixes = toks
+      .select(col("_id"), col("_sz"), explode(col("_toks")).as("_token"))
+      .join(tokenDf, Seq("_token"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <=
+        col("_sz") - ceil(lit(minContainment) * col("_sz") - lit(1e-9)) + 1)
+      .select(col("_token"), col("_id"), col("_sz"))
+    val allToks = toks.select(explode(col("_toks")).as("_token"),
+      col("_id").as("id_b"), col("_sz").as("_szb"))
+    val cands = prefixes
+      .select(col("_token"), col("_id").as("id_a"), col("_sz").as("_sza"))
+      .join(allToks, Seq("_token"))
+      .filter(col("id_a") =!= col("id_b") &&
+        col("_szb").cast("double") >=
+          lit(minContainment) * col("_sza") - lit(1e-9))
+      .select(col("id_a"), col("id_b")).distinct()
+    val inter = size(array_intersect(col("_ta"), col("_tb")))
+    val cont = inter.cast("double") / col("_na")
+    cands
+      .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta"),
+        col("_sz").as("_na")), Seq("id_a"))
+      .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb")),
+        Seq("id_b"))
+      .filter(cont >= minContainment)
+      .select(col("id_a"), col("id_b"),
+        floor(cont * lit(1e9) + lit(0.5)).cast("long").as("cont_q"))
   }
 }

@@ -89,6 +89,66 @@ class SetSimJoinSpec extends SparkSpec {
     }
   }
 
+  private def bruteContainment(corpus: Seq[(Long, String)],
+      t: Double): Map[(Long, Long), Long] = {
+    val sets = corpus.map { case (id, s) =>
+      id -> (if (s.trim.isEmpty) Set.empty[String]
+             else s.trim.toLowerCase.split("\\s+").toSet)
+    }.filter(_._2.nonEmpty)
+    (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia != ib
+      c = (sa & sb).size.toDouble / sa.size
+      if c >= t
+    } yield (ia, ib) -> math.floor(c * 1e9 + 0.5).toLong).toMap
+  }
+
+  test("containmentJoinExact matches brute force; direction is asymmetric (r12)") {
+    val corpus = docs :+ (10L, "alpha beta")  // {alpha,beta} ⊂ doc 0's set
+    val df = corpus.toDF("doc_id", "text")
+    val got = SetSimJoin.containmentJoinExact(df, "text", "doc_id", 0.9)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val want = bruteContainment(corpus, 0.9)
+    assert(got === want, s"got $got want $want")
+    // the subset points INTO its supersets (docs 0/1/2/9 all hold
+    // {alpha, beta}), never the reverse — Jaccard(10, 0) is only 2/4
+    assert(got((10L, 0L)) === 1000000000L)
+    assert(!got.contains((0L, 10L)))
+    // exact dups contain each other: both directions present
+    assert(got.contains((0L, 2L)) && got.contains((2L, 0L)))
+  }
+
+  test("containmentJoinExact: no nested-loop operator; threshold guard (r12)") {
+    val df = docs.toDF("doc_id", "text")
+    val plan = SetSimJoin.containmentJoinExact(df, "text", "doc_id", 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    intercept[IllegalArgumentException](
+      SetSimJoin.containmentJoinExact(df, "text", "doc_id", 0.0))
+  }
+
+  test("property: asymmetric prefix filter lossless on random corpora (r12)") {
+    // heavy-sharing small-vocab corpora: A-prefix ⋈ B-all candidate
+    // generation must equal brute force at thresholds across the
+    // range, including 1.0 (strict subset/equality only)
+    import org.scalacheck.{Gen, rng}
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    def corpusGen(n: Int): Gen[List[String]] =
+      Gen.listOfN(n, Gen.choose(0, 6).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    for (seed <- 0 until 6; t <- Seq(0.3, 0.6, 0.9, 1.0)) {
+      val texts = corpusGen(18)(Gen.Parameters.default, rng.Seed(seed * 17 + 3))
+        .getOrElse(Nil)
+      val rows = texts.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      val df = rows.toDF("doc_id", "text")
+      val got = SetSimJoin.containmentJoinExact(df, "text", "doc_id", t)
+        .as[(Long, Long, Long)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      assert(got === bruteContainment(rows, t), s"seed=$seed t=$t corpus=$texts")
+    }
+  }
+
   test("jaccardJoinExact recovers every planted near-dup on real docs") {
     val docsT = graft.Tables.load(spark, sfDir, "documents")
       .select(col("doc_id"), col("text"))
