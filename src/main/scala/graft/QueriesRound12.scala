@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.etl.Splits
-import graft.ext.{Calibration, CorpusStats, Perceptron, SetSimJoin}
+import graft.etl.{Sampling, Splits}
+import graft.ext.{Calibration, CorpusStats, Perceptron, SetSimJoin, TextAnalysis}
 
 /** Round-12 continuation gates: the asymmetric containment join, the
   * classifier reliability/AUC audit, the embargoed chronological
@@ -82,6 +82,49 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
     */
   def corpusDiversity(s: SparkSession, d: String): DataFrame =
     CorpusStats.distinctNgramDiversity(t(s, d, "documents"))
+
+  /** Exact-total batch construction: EXACTLY 137 documents allocated
+    * across the (skewed) language strata by largest-remainder
+    * apportionment, each stratum filled in md5(doc_id) order — the
+    * output SET hash-gates the whole allocation (integer quotas,
+    * remainder ranking incl. the tie order, and the per-stratum md5
+    * fill). 137 is deliberately coprime with the stratum sizes so the
+    * remainders are non-trivial at every SF.
+    */
+  def quotaAllocation(s: SparkSession, d: String): DataFrame =
+    Sampling.largestRemainderSample(t(s, d, "documents"), "lang",
+        col("doc_id"), total = 137L)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+
+  /** Train/test contamination matrix over the portable md5 80/20
+    * split (the q41 discipline): per source, how many TEST documents
+    * share at least one verbatim 8-token gram with ANY train
+    * document — the audit number a decontamination pass (q167) is
+    * judged by, computed BEFORE anyone scrubs. The gram overlap is
+    * the q79 equi-join shape with the probe side swapped from 5 fixed
+    * docs to the whole train split: both sides shuffle on the gram
+    * key, no broadcast requirement, hot grams are ordinary AQE join
+    * skew.
+    */
+  def splitContamination(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents")
+    val isTrain = md5(col("doc_id").cast("string")) <
+      lit(Sampling.hexThreshold(0.8))
+    val train = docs.filter(isTrain)
+    val test = docs.filter(!isTrain)
+    val hits = TextAnalysis.contaminationHitsNgram(
+      test, "doc_id", "text", train, "text", n = 8)
+    test.select(col("doc_id"), col("source"))
+      .join(hits, Seq("doc_id"), "left_outer")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("n_gram_hits") > 0, 1L).otherwise(0L)).as("n_contaminated"),
+        sum(coalesce(col("n_gram_hits"), lit(0L))).as("gram_hits"))
+      .withColumn("contam_rate",
+        col("n_contaminated").cast("double") / col("n_test").cast("double"))
+      .orderBy("source")
+  }
 }
 
 private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =>
@@ -177,6 +220,58 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
         |  min(us) AS ts_lo, max(us) AS ts_hi
         |FROM lab GROUP BY 1, 2
         |ORDER BY split, event_type""".stripMargin,
+
+    // the Hamilton apportionment replayed in exact integers: floor
+    // quotas, remainder ranking with the stratum-name tie order, then
+    // the per-stratum md5-ordered fill — the 137-row output SET gates
+    "q193_quota_allocation" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents GROUP BY 1),
+        |tn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |q AS (SELECT lang, (137 * cnt) // n AS base, (137 * cnt) % n AS rem
+        |  FROM c, tn),
+        |rq AS (SELECT lang, base,
+        |    row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM q),
+        |quota AS (SELECT lang,
+        |    base + CASE WHEN rk <= 137 - (SELECT sum(base) FROM q)
+        |      THEN 1 ELSE 0 END AS quota
+        |  FROM rq),
+        |ranked AS (SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang, r.source
+        |FROM ranked r JOIN quota USING (lang)
+        |WHERE r.rn <= quota.quota
+        |ORDER BY doc_id""".stripMargin,
+
+    // the q41 md5 80/20 split feeding the q79 gram equi-join with the
+    // whole train side as the probe set, rolled up per test source
+    "q194_split_contamination" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    md5(CAST(doc_id AS VARCHAR)) <
+         |      printf('%08x', CAST(floor(0.8e0 * 4294967296.0e0) AS BIGINT)) AS is_train,
+         |    $rawTokensCaseSql AS w
+         |  FROM documents),
+         |g AS (SELECT doc_id, source, is_train,
+         |    ${gram8Sql("w")} AS grams
+         |  FROM t),
+         |trg AS (SELECT DISTINCT gram FROM (
+         |    SELECT unnest(grams) AS gram FROM g WHERE is_train)),
+         |th AS (SELECT tg.doc_id, CAST(count(DISTINCT tg.gram) AS BIGINT) AS hits
+         |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g WHERE NOT is_train) tg
+         |  JOIN trg USING (gram)
+         |  GROUP BY 1)
+         |SELECT g.source,
+         |  CAST(count(*) AS BIGINT) AS n_test,
+         |  CAST(sum(CASE WHEN coalesce(th.hits, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  CAST(sum(coalesce(th.hits, 0)) AS BIGINT) AS gram_hits,
+         |  CAST(sum(CASE WHEN coalesce(th.hits, 0) > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS contam_rate
+         |FROM g LEFT JOIN th USING (doc_id)
+         |WHERE NOT g.is_train
+         |GROUP BY 1
+         |ORDER BY source""".stripMargin,
 
     // per-source exact distinct unigram/bigram counts and ratios over
     // the shared lowercase whitespace tokens

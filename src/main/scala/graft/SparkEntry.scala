@@ -231,6 +231,8 @@ object SparkEntry {
     "q190_classifier_reliability" -> ((s, d) => PipelinesExt.classifierReliability(s, d)),
     "q191_embargo_split" -> ((s, d) => PipelinesExt.embargoSplit(s, d)),
     "q192_corpus_diversity" -> ((s, d) => PipelinesExt.corpusDiversity(s, d)),
+    "q193_quota_allocation" -> ((s, d) => PipelinesExt.quotaAllocation(s, d)),
+    "q194_split_contamination" -> ((s, d) => PipelinesExt.splitContamination(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -387,4 +387,68 @@ object Sampling {
     }
     df.withColumn(labelCol, label)
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split `total` across
+    * strata proportionally to `counts`, in EXACT integers — each
+    * stratum gets floor(total·nₛ/N), and the leftover seats go to the
+    * largest remainders (ties by stratum name, so the allocation is a
+    * pure function of the counts). The fraction-threshold samplers
+    * above hit their target only in expectation; batch construction
+    * ("give me EXACTLY 4096 examples, sources proportional") needs the
+    * exact-total allocation. Requires total ≤ N (no stratum can owe
+    * more rows than it has: floor(total·nₛ/N) ≤ nₛ iff total ≤ N).
+    * BigInt products, so 10¹²-row strata cannot wrap the multiply.
+    */
+  def largestRemainderQuotas(counts: Map[String, Long],
+      total: Long): Map[String, Long] = {
+    require(total >= 0, s"largestRemainderQuotas: total must be >= 0, got $total")
+    require(counts.nonEmpty && counts.values.forall(_ > 0),
+      "largestRemainderQuotas: need non-empty positive stratum counts")
+    val n = counts.values.map(BigInt(_)).sum
+    require(total <= n,
+      s"largestRemainderQuotas: total $total exceeds corpus size $n")
+    val base = counts.map { case (s, c) =>
+      s -> (BigInt(total) * c / n).toLong }
+    val topUp = (total - base.values.sum).toInt
+    val bumped = counts.toSeq
+      .map { case (s, c) => (s, BigInt(total) * c % n) }
+      .sortBy { case (s, r) => (-r, s) }(Ordering.Tuple2(Ordering.BigInt, Ordering.String))
+      .take(topUp).map(_._1).toSet
+    base.map { case (s, q) => s -> (if (bumped(s)) q + 1 else q) }
+  }
+
+  /** Materialize the [[largestRemainderQuotas]] allocation: exactly
+    * `total` rows, per-stratum quotas filled in the md5(key) order
+    * with the key as tie-break (deterministic, unbiased within the
+    * stratum, oracle-replayable — the q98 discipline). One
+    * metadata-scale count collect fixes the quotas; selection is a
+    * per-stratum rank window whose literal max-quota conjunct lets
+    * Catalyst rewrite to Partial+Final WindowGroupLimit (per-partition
+    * top-quota heaps before the stratum exchange), with the exact
+    * per-stratum quota CASE refining after. The CASE is linear in the
+    * stratum count (the stratifiedSample discipline — fine for
+    * source/language strata); past a few thousand strata swap the
+    * CASE for a broadcast join against the quota table, same plan
+    * shape otherwise.
+    */
+  def largestRemainderSample(df: DataFrame, strataCol: String,
+      keyCol: Column, total: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(!counts.contains(null),
+      s"largestRemainderSample: NULL $strataCol stratum — a NULL never " +
+        "matches the quota CASE, so its seats would silently vanish; " +
+        "recode or drop NULL strata first")
+    val quotas = largestRemainderQuotas(counts, total)
+    val qCol = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (s, q)) => when(col(strataCol) === s, lit(q)).otherwise(acc)
+    }
+    val maxQ = quotas.values.max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(md5(keyCol.cast("string")), keyCol)
+    df.withColumn("_lrq_rn", row_number().over(w).cast("long"))
+      .filter(col("_lrq_rn") <= lit(maxQ) && col("_lrq_rn") <= qCol)
+      .drop("_lrq_rn")
+  }
 }

@@ -42,6 +42,13 @@ object Calibration {
   def reliabilityAudit(scored: DataFrame, idCol: String, marginCol: String,
       labelCol: String, bins: Int = 10): DataFrame = {
     require(bins >= 1, s"reliabilityAudit: bins must be >= 1, got $bins")
+    // exact-integer contract: a double margin would silently truncate
+    // through the long cast, corrupting ranks and ties (r12 self-audit)
+    val mType = scored.schema(scored.schema.fieldIndex(marginCol)).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(mType.typeName),
+      s"reliabilityAudit: $marginCol must be an integral type (quantize " +
+        s"scores first — the q133 margin_q discipline), got $mType")
     val base = scored.select(col(idCol).as("_id"),
       col(marginCol).cast("long").as("_m"),
       col(labelCol).cast("boolean").as("_pos"))

@@ -56,9 +56,13 @@ object CorpusStats {
         i => concat_ws(" ", element_at(col("_t"), i),
           element_at(col("_t"), i + 1)))).as("_g"))
     val u2 = uniq(bigrams, "uniq_bigrams")
-    perSource
-      .join(u1, Seq("source"), "left_outer")
-      .join(u2, Seq("source"), "left_outer")
+    // null-safe join keys: a NULL source is a legitimate group in the
+    // aggregates, but `Seq("source")` equi-keys would never match it —
+    // the group would silently report zero distincts (r12 self-audit)
+    def nullSafe(l: DataFrame, r: DataFrame): DataFrame =
+      l.join(r.withColumnRenamed("source", "_rs"),
+        col("source") <=> col("_rs"), "left_outer").drop("_rs")
+    nullSafe(nullSafe(perSource, u1), u2)
       .select(col("source"), col("n_docs"), col("n_tokens"),
         coalesce(col("uniq_tokens"), lit(0L)).as("uniq_tokens"),
         when(col("n_tokens") > 0, coalesce(col("uniq_tokens"), lit(0L))

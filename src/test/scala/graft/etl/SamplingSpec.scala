@@ -266,4 +266,54 @@ class SamplingSpec extends SparkSpec {
     assert(got === Seq(1L -> 1L, 1L -> 2L, 1L -> 3L, 2L -> 1L, 2L -> 2L,
       2L -> 3L).sorted, "capped strata repeat exactly maxEpochs; NULL stratum drops")
   }
+
+  test("largestRemainderQuotas: hand-computed Hamilton allocation with tie order (r12)") {
+    // 10 seats over 31 rows: ideal 10·n/31 = {a 2.58, b 3.23, c 4.19}
+    // → floors {2, 3, 4} = 9, one seat left → largest remainder is a
+    assert(Sampling.largestRemainderQuotas(
+      Map("a" -> 8L, "b" -> 10L, "c" -> 13L), 10L) ===
+      Map("a" -> 3L, "b" -> 3L, "c" -> 4L))
+    // equal counts, equal remainders: ties resolve by stratum NAME, so
+    // 7 seats over 3×5 give the extra to "a" (floor 2 each, one left)
+    assert(Sampling.largestRemainderQuotas(
+      Map("c" -> 5L, "a" -> 5L, "b" -> 5L), 7L) ===
+      Map("a" -> 3L, "b" -> 2L, "c" -> 2L))
+    // exact-total invariant and boundaries
+    assert(Sampling.largestRemainderQuotas(
+      Map("a" -> 3L, "b" -> 4L), 7L).values.sum === 7L)
+    assert(Sampling.largestRemainderQuotas(
+      Map("a" -> 3L, "b" -> 4L), 0L).values.forall(_ == 0L))
+    intercept[IllegalArgumentException](
+      Sampling.largestRemainderQuotas(Map("a" -> 3L), 4L))
+    intercept[IllegalArgumentException](
+      Sampling.largestRemainderQuotas(Map.empty[String, Long], 0L))
+  }
+
+  test("largestRemainderSample: exact total, per-stratum quota, md5-order fill (r12)") {
+    val df = spark.range(90)
+      .select(col("id"), concat(lit("s"), col("id") % 3).as("grp"))
+    val picked = Sampling.largestRemainderSample(df, "grp", col("id"), 25L)
+      .as[(Long, String)].collect()
+    assert(picked.length === 25)
+    val byGrp = picked.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val quotas = Sampling.largestRemainderQuotas(
+      Map("s0" -> 30L, "s1" -> 30L, "s2" -> 30L), 25L)
+    assert(byGrp.view.mapValues(_.size.toLong).toMap === quotas)
+    // each stratum holds exactly its md5-order minimum quota ids
+    def md5s(id: Long) = org.apache.commons.codec.digest.DigestUtils
+      .md5Hex(id.toString)
+    (0L until 90L).groupBy(i => s"s${i % 3}").foreach { case (g, all) =>
+      val want = all.sortBy(i => (md5s(i), i)).take(quotas(g).toInt).toSet
+      assert(byGrp(g) === want, s"stratum $g")
+    }
+    // the rank window rewrites to the group-top-k shape
+    val plan = Sampling.largestRemainderSample(df, "grp", col("id"), 25L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), plan)
+    // NULL stratum refused (its seats would silently vanish)
+    val withNull = df.withColumn("grp",
+      when(col("id") === 0, lit(null)).otherwise(col("grp")))
+    intercept[IllegalArgumentException](
+      Sampling.largestRemainderSample(withNull, "grp", col("id"), 5L))
+  }
 }

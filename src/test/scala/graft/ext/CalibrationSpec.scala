@@ -53,6 +53,13 @@ class CalibrationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum === 2L)
   }
 
+  test("reliabilityAudit: non-integral margin column refused (r12 audit)") {
+    val df = Seq((1L, 0.5, true), (2L, 0.9, false)).toDF("id", "m", "pos")
+    val ex = intercept[IllegalArgumentException](
+      Calibration.reliabilityAudit(df, "id", "m", "pos", 2))
+    assert(ex.getMessage.contains("integral"))
+  }
+
   test("reliabilityAudit: bins guard; more bins than rows leaves empties out") {
     val df = Seq((1L, 5L, true), (2L, 9L, false)).toDF("id", "m", "pos")
     intercept[IllegalArgumentException](

@@ -46,6 +46,16 @@ class CorpusStatsSpec extends SparkSpec {
     assert(r.isNullAt(4) && r.isNullAt(7))
   }
 
+  test("distinctNgramDiversity: NULL source is a real group with real counts (r12 audit)") {
+    val docs = Seq((null.asInstanceOf[String], "x y x"), (null.asInstanceOf[String], "x z"))
+      .toDF("source", "text")
+    val r = CorpusStats.distinctNgramDiversity(docs).head()
+    assert(r.isNullAt(0))
+    // an equi-join on the NULL key would have zeroed these
+    assert(r.getLong(2) === 5L && r.getLong(3) === 3L)
+    assert(r.getLong(6) === 3L) // "x y", "y x", "x z"
+  }
+
   test("distinctNgramDiversity: case folds before counting (Spam == spam)") {
     val docs = Seq(("s", "Spam spam SPAM ham")).toDF("source", "text")
     val r = CorpusStats.distinctNgramDiversity(docs).head()
