@@ -15,7 +15,7 @@ import graft.ext.{Calibration, CorpusStats, Perceptron, SetSimJoin, TextAnalysis
 private[graft] trait PipelinesRound12 { this: PipelinesBase =>
 
   /** Quote / subset-document detection: every document's first-8-token
-    * snippet is planted back into the corpus under an offset id, then
+    * snippet is planted back into the corpus under its negated id, then
     * [[SetSimJoin.containmentJoinExact]] at t = 0.9 must recover each
     * snippet→parent edge EXACTLY (plus whatever cross-template edges
     * the corpus genuinely contains — the oracle is brute-force over
@@ -29,7 +29,10 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
   def containmentQuotes(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents").filter(col("doc_id") % 10 === 3)
       .select(col("doc_id"), col("text"))
-    val quotes = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+    // quote ids = −doc_id − 1: disjoint from ANY non-negative corpus
+    // id (a fixed +offset collides once the corpus outgrows it,
+    // silently breaking tokenFrame's unique-id contract)
+    val quotes = docs.select((-col("doc_id") - 1L).as("doc_id"),
       concat_ws(" ", slice(split(trim(col("text")), "\\s+"), 1, 8)).as("text"))
     SetSimJoin.containmentJoinExact(docs.union(quotes), "text", "doc_id",
         minContainment = 0.9)
@@ -138,7 +141,7 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 3
         |  UNION ALL
-        |  SELECT doc_id + 1000000,
+        |  SELECT -doc_id - 1,
         |    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN ''
         |         ELSE array_to_string((regexp_split_to_array(trim(text), '\s+'))[1:8], ' ') END
         |  FROM documents WHERE doc_id % 10 = 3),
@@ -300,7 +303,9 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
         |  coalesce(u2.uniq_bigrams, 0) AS uniq_bigrams,
         |  CASE WHEN ps.n_bigrams > 0 THEN
         |    CAST(coalesce(u2.uniq_bigrams, 0) AS DOUBLE) / CAST(ps.n_bigrams AS DOUBLE) END AS bigram_ttr
-        |FROM ps LEFT JOIN u1 USING (source) LEFT JOIN u2 USING (source)
-        |ORDER BY source""".stripMargin,
+        |FROM ps
+        |LEFT JOIN u1 ON ps.source IS NOT DISTINCT FROM u1.source
+        |LEFT JOIN u2 ON ps.source IS NOT DISTINCT FROM u2.source
+        |ORDER BY ps.source NULLS FIRST""".stripMargin,
   )
 }

@@ -28,7 +28,10 @@ import graft.operators.GlobalIndex
   * aggregates over it (bins and margin groups; the margin-group frame
   * is bounded by distinct margins, and its only consumer is a 1-row
   * sum). Wide sums go through DECIMAL(38,0) so n_pos·n up to ~1e38
-  * cannot wrap — at 10¹² held-out rows BIGINT would overflow.
+  * cannot wrap — at 10¹² held-out rows BIGINT would overflow. EAGER
+  * semantics: the ranked frame localCheckpoints at CALL time and the
+  * range-sorted intermediate releases before return, so repeated
+  * audits in one session don't accumulate persisted sorts.
   */
 object Calibration {
 
@@ -52,8 +55,14 @@ object Calibration {
     val base = scored.select(col(idCol).as("_id"),
       col(marginCol).cast("long").as("_m"),
       col(labelCol).cast("boolean").as("_pos"))
-    val idx = GlobalIndex.withGlobalIndex(base,
+    // managed index: the eager localCheckpoint materializes the ranked
+    // frame for the three consumers below, after which the range-sorted
+    // intermediate can release — the unmanaged form would persist it
+    // for the session's lifetime (GlobalIndex's own caching contract)
+    val (idxRaw, releaseSort) = GlobalIndex.withGlobalIndexManaged(base,
       Seq(col("_m"), col("_id")), "_idx")
+    val idx = idxRaw.localCheckpoint(true)
+    releaseSort()
     val tot = idx.agg(count(lit(1)).as("_n"),
       sum(when(col("_pos"), 1L).otherwise(0L)).as("_np"))
     // Mann-Whitney in halves-free form over per-margin tie groups;

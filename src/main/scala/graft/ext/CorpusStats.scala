@@ -15,15 +15,18 @@ import org.apache.spark.sql.functions._
   * uses. All counts are exact BIGINTs; the two ratios are single IEEE
   * divisions at the edge (§5.3-portable).
   *
-  * Scale shape: one scan derives tokens and bigrams per row, then ONE
-  * grouping-sets-style aggregate per n-gram order: the token stream
+  * Scale shape: ONE scan tokenizes into an eagerly-cached (source,
+  * tokens) frame (the tokenFrame discipline — three aggregates read
+  * it, and an uncached lineage would re-tokenize the corpus per
+  * consumer), then one aggregate per n-gram order: the gram stream
   * shuffles on (source, gram) for the exact distinct, with map-side
   * partial aggregation collapsing within-partition repeats — the
   * distinct count never funnels through a driver or a single
   * partition. The two orders run as separate aggregates rather than
   * one count_distinct pair (a multi-distinct plan Expands the stream
-  * ×2 — same shuffle volume, deeper plan), then join on the
-  * source-sized frames.
+  * ×2 — same shuffle volume, deeper plan), then join null-safely on
+  * the source-sized frames. EAGER semantics: the cache materializes
+  * at call time.
   */
 object CorpusStats {
 
@@ -40,8 +43,13 @@ object CorpusStats {
     // the counts)
     val toks = when(col(textCol).isNull, array().cast("array<string>"))
       .otherwise(TextAnalysis.tokens(lower(col(textCol))))
+    // EAGER cache (the SetSimJoin.tokenFrame discipline): three
+    // aggregates read this frame — uncached, each would re-scan and
+    // re-tokenize the corpus
     val base = docs.select(col(sourceCol).as("source"), toks.as("_t"))
       .withColumn("_n", size(col("_t")))
+      .cache()
+    base.count()
     val perSource = base.groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n").cast("long")).as("n_tokens"),

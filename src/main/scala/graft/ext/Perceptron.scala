@@ -106,7 +106,11 @@ object Perceptron {
     require(weights.length == 257,
       s"hashedPerceptronScore: need 256 bucket weights + bias, got ${weights.length}")
     val wLit = typedLit(weights)
-    val toks = TextAnalysis.tokens(lower(col(textCol)))
+    // NULL text scores as zero features → margin = bias, matching the
+    // oracle replays' coalesce(dot, 0) + bias (a NULL token array
+    // would otherwise NULL the whole margin and desync the ranking)
+    val toks = coalesce(TextAnalysis.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
     val margin = aggregate(toks, lit(0L), (acc, t) =>
       acc + element_at(wLit,
         (conv(substring(md5(t), 1, 2), 16, 10).cast("long") + 1L).cast("int"))) +

@@ -30,6 +30,23 @@ object SetSimJoin {
   def tokenSet(text: Column): Column =
     array_distinct(TextAnalysis.tokens(lower(text)))
 
+  /** The shared eager token-set frame (_id, _toks, _sz): cached and
+    * materialized at call time because the df agg, the prefix build,
+    * and the verification joins all read it — a lazy cache lets their
+    * scans race, each re-tokenizing the corpus before blocks land
+    * (the ngramJaccardPairs lesson).
+    */
+  private def tokenFrame(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).as("_id"), tokenSet(col(textCol)).as("_toks"))
+      .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
+      .withColumn("_sz", size(col("_toks")))
+      .cache()
+    toks.count()
+    toks
+  }
+
   /** All pairs (id_a < id_b) with token-set Jaccard ≥ `minJaccard`,
     * with the similarity attached as `jacc_q` (floor(j·1e9 + 0.5),
     * exact-integer compare cross-engine; the division itself is one
@@ -70,23 +87,6 @@ object SetSimJoin {
     * duplicate ids would interleave two documents' tokens inside one
     * prefix window.
     */
-  /** The shared eager token-set frame (_id, _toks, _sz): cached and
-    * materialized at call time because the df agg, the prefix build,
-    * and the verification joins all read it — a lazy cache lets their
-    * scans race, each re-tokenizing the corpus before blocks land
-    * (the ngramJaccardPairs lesson).
-    */
-  private def tokenFrame(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
-    val toks = docs
-      .select(col(idCol).as("_id"), tokenSet(col(textCol)).as("_toks"))
-      .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
-      .withColumn("_sz", size(col("_toks")))
-      .cache()
-    toks.count()
-    toks
-  }
-
   def jaccardJoinExact(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
