@@ -128,6 +128,102 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
         col("n_contaminated").cast("double") / col("n_test").cast("double"))
       .orderBy("source")
   }
+
+  /** The STREAMING windowed-aggregation path as a hash gate — the
+    * second streaming primitive made driver-visible (q184 covers
+    * `flatMapGroupsWithState`; this covers watermark + event-time
+    * `window()` + update-mode merge into the feature store): a real
+    * Structured Streaming query runs
+    * [[graft.streaming.StreamingFeatures.maintainDailyValueSums]] in
+    * bounded mode over the staged events fixture, and the MAINTAINED
+    * feature table gates against the batch daily-sum SQL. Determinism
+    * under any file/micro-batch split: update mode emits each updated
+    * group's CUMULATIVE aggregate and the store merge keeps the
+    * latest, so the final table equals the total regardless of batch
+    * boundaries; the 3650-day watermark delay keeps every day's state
+    * live for the fixture's span (eviction-vs-late-data behavior is
+    * StreamingFeaturesSpec's pinned territory, not this gate's).
+    */
+  def streamDailySums(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = t(s, d, "events").schema
+    val streamDir = PipelinesRound12.stagedEventsDir(d)
+    val stream = s.readStream.schema(schema).parquet(streamDir)
+    val store = graft.fs.FeatureStore.temp(s)
+    store.createTable(graft.fs.FeatureTableSpec("daily_sums_gate",
+      Seq("user_id", "day_us"),
+      StructType(Seq(StructField("user_id", LongType),
+        StructField("day_us", LongType), StructField("n_events", LongType),
+        StructField("sum_vq", LongType)))))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q195-ck-").toString
+    graft.streaming.StreamingFeatures.maintainDailyValueSums(stream, store,
+      "daily_sums_gate", "user_id", "ts", "value", ckpt,
+      valueScale = 100.0, watermarkDelay = Some("3650 days"))
+      .awaitTermination()
+    store.readTable("daily_sums_gate")
+      .select(col("user_id"), col("day_us"), col("n_events"), col("sum_vq"))
+      .orderBy("user_id", "day_us")
+      .localCheckpoint(true)
+  }
+
+  /** JSONL round-trip through the real reader path (S1 sibling — the
+    * dominant LLM corpus interchange format): materialize the corpus
+    * as JSON-lines via the standard writer, re-read it with
+    * [[graft.etl.Cleanse.readJsonLines]] under an explicit schema,
+    * and gate a per-(source, lang) manifest whose fp_sum digests the
+    * RAW text (md5-52 sums — deliberately not the normalized
+    * fingerprint: an escaping bug that mangles a newline into a space
+    * would survive normalization but breaks this hash). The oracle
+    * parses the SAME files via DuckDB read_json, so the JSON
+    * encode/decode itself is under cross-engine test, unicode and
+    * escapes included.
+    */
+  def jsonlIngest(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val fixture = PipelinesRound12.jsonlFixturePathFor(d)
+    PipelinesRound12.jsonlFixturePath = fixture
+    t(s, d, "documents")
+      .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").json(fixture)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    graft.etl.Cleanse.readJsonLines(s, fixture, Some(schema))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
+          .as("fp_sum"))
+      .orderBy("source", "lang")
+  }
+}
+
+private[graft] object PipelinesRound12 {
+  // q196's JSONL fixture path: derived from the dataset dir (q44's
+  // concurrent-SF discipline) and recorded for the lazily-built
+  // oracle SQL, which reads the SAME files via DuckDB read_json
+  def jsonlFixturePathFor(d: String): String =
+    "/tmp/graft_q196_jsonl_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+  @volatile private[graft] var jsonlFixturePath: String =
+    jsonlFixturePathFor("/root/testdata/sf0.01")
+
+  // per-sfDir staged events dir for the streaming gate (the file
+  // source requires a DIRECTORY; hardlink with copy fallback, the
+  // stagedStreamDir discipline)
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def stagedEventsDir(sfDir: String): String =
+    stagedDirs.computeIfAbsent(sfDir, _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-streamevents-")
+      val src = java.nio.file.Paths.get(sfDir, "events.parquet")
+      val dst = dir.resolve("events.parquet")
+      try java.nio.file.Files.createLink(dst, src)
+      catch { case _: Exception =>
+        java.nio.file.Files.copy(src, dst); ()
+      }
+      dir.toString
+    })
 }
 
 private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =>
@@ -275,6 +371,35 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
          |WHERE NOT g.is_train
          |GROUP BY 1
          |ORDER BY source""".stripMargin,
+
+    // the batch daily-sum replay of the STREAMING bounded-mode
+    // maintenance: window(ts, '1 day') starts are UTC-day aligned
+    // (the session zone is pinned UTC), so date_trunc replays them
+    "q195_stream_daily_sums" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT)) AS BIGINT) AS sum_vq
+        |FROM events
+        |WHERE ts IS NOT NULL AND value IS NOT NULL
+        |GROUP BY 1, 2
+        |ORDER BY user_id, day_us""".stripMargin,
+
+    // DuckDB parses the SAME JSONL files Spark wrote — the JSON
+    // encode/decode round-trip is the thing under test; fp_sum digests
+    // RAW text (md5-52 sums, the q127 strpos/list_reduce idiom)
+    "q196_jsonl_ingest" ->
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(sum(list_reduce(list_transform(range(1, 14),
+         |    i -> CAST(strpos('0123456789abcdef',
+         |      substr(md5(text), i, 1)) - 1 AS BIGINT)),
+         |    (a, b) -> a * 16 + b)) AS BIGINT) AS fp_sum
+         |FROM read_json('${PipelinesRound12.jsonlFixturePath}/*.json',
+         |  format = 'newline_delimited',
+         |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
+         |    source: 'VARCHAR', n_chars: 'BIGINT'})
+         |GROUP BY 1, 2
+         |ORDER BY source, lang""".stripMargin,
 
     // per-source exact distinct unigram/bigram counts and ratios over
     // the shared lowercase whitespace tokens

@@ -233,6 +233,8 @@ object SparkEntry {
     "q192_corpus_diversity" -> ((s, d) => PipelinesExt.corpusDiversity(s, d)),
     "q193_quota_allocation" -> ((s, d) => PipelinesExt.quotaAllocation(s, d)),
     "q194_split_contamination" -> ((s, d) => PipelinesExt.splitContamination(s, d)),
+    "q195_stream_daily_sums" -> ((s, d) => PipelinesExt.streamDailySums(s, d)),
+    "q196_jsonl_ingest" -> ((s, d) => PipelinesExt.jsonlIngest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

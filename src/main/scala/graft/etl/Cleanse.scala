@@ -15,6 +15,19 @@ object Cleanse {
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path)
 
+  /** S1 sibling [extension] — JSON-lines ingest, the dominant LLM
+    * corpus interchange format (one JSON object per line). With an
+    * explicit schema the reader skips the inference pass (one fewer
+    * full scan) and is deterministic about numeric widths — pass it in
+    * production; `None` falls back to inference for exploration. Both
+    * paths are the real multiline=false streaming reader: each line
+    * parses independently, so a 100 TB corpus splits by line ranges
+    * exactly like CSV/parquet row groups.
+    */
+  def readJsonLines(spark: SparkSession, path: String,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame =
+    schema.fold(spark.read.json(path))(s => spark.read.schema(s).json(path))
+
   /** E3-as-boolean — `col == value` recode (setup.py:209: SeniorCitizen
     * == 1; setup.py:211-212: "Yes" flags). Three-valued: NULL stays NULL.
     */

@@ -128,4 +128,28 @@ class CleanseSpec extends SparkSpec {
     val got = Features.computeServiceFeatures(raw)
     assert(got.columns.toSeq == Seq("customerID", "InternetService", "TotalCharges"))
   }
+
+  test("readJsonLines: hard-case strings round-trip byte-exactly (r12)") {
+    // newline, tab, quotes, backslash, unicode incl. an astral pair,
+    // NULL, and empty — the escapes the q196 gate's fixture may never
+    // exercise
+    val rows = Seq(
+      (1L, "line one\nline two"), (2L, "tab\there \"quoted\" back\\slash"),
+      (3L, "汉字 émoji 😃 ok"), (4L, null.asInstanceOf[String]),
+      (5L, ""), (6L, "controlchar"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-rt-").toString
+    rows.toDF("id", "text").write.mode("overwrite").json(dir)
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType)))
+    val back = Cleanse.readJsonLines(spark, dir, Some(schema))
+      .as[(Long, String)].collect().toMap
+    // the JSON writer drops NULL fields; the reader restores them as NULL
+    assert(back === rows.toMap)
+    // inference fallback parses the same content
+    val inferred = Cleanse.readJsonLines(spark, dir)
+      .select(col("id").cast("long"), col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(inferred === rows.toMap)
+  }
 }
