@@ -428,7 +428,7 @@ private[graft] trait OraclesRound11c { this: OracleSnippets =>
            |    CAST(sum(list_reduce(list_transform(range(1, 14),
            |      i -> CAST(strpos('0123456789abcdef',
            |        substr($fpSql, i, 1)) - 1 AS BIGINT)),
-           |      (a, b) -> a * 16 + b)) AS BIGINT) AS fp
+           |      (a, b) -> a * 16 + b)) % 4503599627370496 AS BIGINT) AS fp
            |  FROM documents $where GROUP BY source)""".stripMargin
       s"""WITH ${man("ma", "WHERE doc_id % 2 = 0")},
          |${man("mb", "")}

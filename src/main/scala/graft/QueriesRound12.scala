@@ -147,7 +147,7 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
   def streamDailySums(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
     val schema = t(s, d, "events").schema
-    val streamDir = PipelinesRound12.stagedEventsDir(d)
+    val streamDir = PipelinesTextSim.stagedStreamDir(d, "events.parquet")
     val stream = s.readStream.schema(schema).parquet(streamDir)
     val store = graft.fs.FeatureStore.temp(s)
     store.createTable(graft.fs.FeatureTableSpec("daily_sums_gate",
@@ -193,8 +193,11 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).as("sum_chars"),
-        sum(conv(substring(md5(col("text")), 1, 13), 16, 10).cast("long"))
-          .as("fp_sum"))
+        // DECIMAL(38,0) sum → mod 2^52 (the contentManifest digest
+        // discipline): a BIGINT sum of ~2^51-mean terms overflows at
+        // ≈4k docs per group (ANSI throws; the oracle's HUGEINT cast errors)
+        (sum(conv(substring(md5(col("text")), 1, 13), 16, 10)
+          .cast("decimal(38,0)")) % lit(1L << 52)).cast("long").as("fp_sum"))
       .orderBy("source", "lang")
   }
 }
@@ -208,22 +211,6 @@ private[graft] object PipelinesRound12 {
   @volatile private[graft] var jsonlFixturePath: String =
     jsonlFixturePathFor("/root/testdata/sf0.01")
 
-  // per-sfDir staged events dir for the streaming gate (the file
-  // source requires a DIRECTORY; hardlink with copy fallback, the
-  // stagedStreamDir discipline)
-  private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-  def stagedEventsDir(sfDir: String): String =
-    stagedDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-streamevents-")
-      val src = java.nio.file.Paths.get(sfDir, "events.parquet")
-      val dst = dir.resolve("events.parquet")
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(src, dst); ()
-      }
-      dir.toString
-    })
 }
 
 private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =>
@@ -393,7 +380,7 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
          |  CAST(sum(list_reduce(list_transform(range(1, 14),
          |    i -> CAST(strpos('0123456789abcdef',
          |      substr(md5(text), i, 1)) - 1 AS BIGINT)),
-         |    (a, b) -> a * 16 + b)) AS BIGINT) AS fp_sum
+         |    (a, b) -> a * 16 + b)) % 4503599627370496 AS BIGINT) AS fp_sum
          |FROM read_json('${PipelinesRound12.jsonlFixturePath}/*.json',
          |  format = 'newline_delimited',
          |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',

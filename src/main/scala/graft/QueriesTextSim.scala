@@ -351,15 +351,18 @@ private[graft] object PipelinesTextSim {
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** A directory containing (a hardlink to) `<sfDir>/documents.parquet`
-    * — the streaming file source rejects bare file paths. Hardlinks
-    * cost nothing; cross-device roots fall back to a copy.
+  /** A directory containing (a hardlink to) `<sfDir>/<fileName>` —
+    * the streaming file source rejects bare file paths. Hardlinks
+    * cost nothing; cross-device roots fall back to a copy. One
+    * staging helper serves every streaming gate (q184's documents,
+    * q195's events — the r12 review's duplicate-stager finding).
     */
-  def stagedStreamDir(sfDir: String): String =
-    stagedDirs.computeIfAbsent(sfDir, _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-streamdocs-")
-      val src = java.nio.file.Paths.get(sfDir, "documents.parquet")
-      val dst = dir.resolve("documents.parquet")
+  def stagedStreamDir(sfDir: String,
+      fileName: String = "documents.parquet"): String =
+    stagedDirs.computeIfAbsent(s"$sfDir/$fileName", _ => {
+      val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+      val src = java.nio.file.Paths.get(sfDir, fileName)
+      val dst = dir.resolve(fileName)
       try java.nio.file.Files.createLink(dst, src)
       catch { case _: Exception =>
         java.nio.file.Files.copy(src, dst); ()

@@ -446,20 +446,29 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     * pipeline publishes beside its data so a re-run (or a consumer)
     * can verify "same corpus" WITHOUT re-reading it next time: per
     * group, the row count and an ORDER-INDEPENDENT content digest.
-    * The digest is the BIGINT sum of each document's 13-hex-digit
+    * The digest is the MOD-2⁵² sum of each document's 13-hex-digit
     * normalized-text fingerprint integer ([[fingerprint]] →
     * md5-prefix, the priority-u parse): addition commutes, so the
     * digest is invariant to partitioning, shuffle order, and engine —
     * unlike a hash-of-concatenation, which would need a global sort.
-    * Collisions: two corpora differing in one doc collide only if the
-    * 52-bit fingerprint sums coincide — fine for drift DETECTION
-    * (it is not a cryptographic commitment).
+    * The modulus keeps the digest width-stable at ANY group size: a
+    * plain BIGINT sum of ~2⁵¹-mean terms overflows at ≈4k docs per
+    * group — an ANSI-mode ARITHMETIC_OVERFLOW on the Spark side, a
+    * HUGEINT→BIGINT conversion error on the oracle side (the r12
+    * review) — so the sum runs in DECIMAL(38,0) (exact to ~10³⁶ docs)
+    * and reduces mod 2⁵² at the end. Modular addition commutes and
+    * associates, so an incremental maintainer can equivalently fold
+    * the mod at every merge. Collisions: two corpora differing in one
+    * doc collide only if the fingerprint sums coincide mod 2⁵² — fine
+    * for drift DETECTION (it is not a cryptographic commitment).
     */
   def contentManifest(docs: DataFrame, textCol: String,
       groupCol: String): DataFrame =
     docs.select(col(groupCol), fingerprintInt(col(textCol)).as("_fpi"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_docs"), sum(col("_fpi")).as("fp_sum"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("_fpi").cast("decimal(38,0)")) % lit(1L << 52))
+          .cast("long").as("fp_sum"))
 
   /** The manifest's per-document digest term: the 13-hex-digit
     * integer of the normalized-text [[fingerprint]] (the priority-u

@@ -435,6 +435,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(diff("books") === ((1L, 0L, true)))
   }
 
+  test("contentManifest: digest stays width-stable past the BIGINT wrap point (r12)") {
+    // 4500 ~2^51-mean terms in ONE group: a plain long sum would wrap;
+    // the mod-2^52 digest must equal the exact BigInt sum mod 2^52
+    val n = 4500
+    val docs = (0 until n).map(i => (i.toLong, s"doc$i", "s")).toDF("id", "text", "source")
+    val got = TextAnalysis.contentManifest(docs, "text", "source").head()
+    val expected = (0 until n).map { i =>
+      BigInt(org.apache.commons.codec.digest.DigestUtils
+        .md5Hex(s"doc$i").take(13), 16)
+    }.sum.mod(BigInt(1L) << 52)
+    assert(got.getLong(1) === n.toLong)
+    assert(BigInt(got.getLong(2)) === expected)
+    assert(got.getLong(2) >= 0L && got.getLong(2) < (1L << 52))
+  }
+
   test("bpeTrain: hand-computed merges on the classic corpus, then segment composition") {
     // Sennrich et al.'s canonical corpus: low×5, lower×2, newest×6,
     // widest×3. Hand-run: round 1 counts give es=9/st=9 (tie → (e,s)

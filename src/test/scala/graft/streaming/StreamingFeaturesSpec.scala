@@ -271,8 +271,13 @@ class StreamingFeaturesSpec extends SparkSpec {
       Seq("source"), "fpi", ckpt)
     assert(q2.awaitTermination(120000), "second run timed out")
 
+    // the maintained state is the plain running sum; the digest is its
+    // pmod 2^52 (modular addition commutes with the fold — at a scale
+    // where the running long sum itself would overflow, the maintainer
+    // folds the mod at every merge instead)
     val served = store.readTable("src_manifest")
-      .select(col("source"), col("cnt"), col("sm").cast("long"))
+      .select(col("source"), col("cnt"),
+        pmod(col("sm").cast("long"), lit(1L << 52)))
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     val batch = graft.ext.TextAnalysis.contentManifest(
         graft.Tables.load(spark, sfDir, "documents"), "text", "source")
