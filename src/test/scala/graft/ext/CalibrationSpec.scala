@@ -53,6 +53,32 @@ class CalibrationSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n")).sum === 2L)
   }
 
+  test("property: AUC equals O(n²) brute force with ties, random margins/labels") {
+    // exact Mann-Whitney with 0.5 tie credit, replayed pairwise — the
+    // rank-sum shortcut must agree on margin distributions dense with
+    // ties (margins drawn from a small range)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 8) {
+      val n = 5 + rnd.nextInt(40)
+      val rows = (0 until n).map(i =>
+        (i.toLong, (rnd.nextInt(9) - 4).toLong, rnd.nextBoolean()))
+      val np = rows.count(_._3)
+      val auc = Calibration.reliabilityAudit(
+        rows.toDF("id", "m", "pos"), "id", "m", "pos", bins = 4)
+        .head().getAs[java.lang.Double]("auc")
+      if (np == 0 || np == n) assert(auc == null, s"trial $trial")
+      else {
+        val pos = rows.filter(_._3).map(_._2)
+        val neg = rows.filterNot(_._3).map(_._2)
+        val u = (for (p <- pos; q <- neg) yield
+          if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val want = u / (pos.size.toDouble * neg.size)
+        assert(math.abs(auc - want) < 1e-12,
+          s"trial $trial: got $auc want $want rows=$rows")
+      }
+    }
+  }
+
   test("reliabilityAudit: non-integral margin column refused (r12 audit)") {
     val df = Seq((1L, 0.5, true), (2L, 0.9, false)).toDF("id", "m", "pos")
     val ex = intercept[IllegalArgumentException](
