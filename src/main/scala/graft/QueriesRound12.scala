@@ -160,10 +160,16 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
       "daily_sums_gate", "user_id", "ts", "value", ckpt,
       valueScale = 100.0, watermarkDelay = Some("3650 days"))
       .awaitTermination()
-    store.readTable("daily_sums_gate")
+    val out = store.readTable("daily_sums_gate")
       .select(col("user_id"), col("day_us"), col("n_events"), col("sum_vq"))
       .orderBy("user_id", "day_us")
-      .localCheckpoint(true)
+      .localCheckpoint(true) // eager: safe to delete the sources below
+    // Bench runs every gate at least twice per sweep — without cleanup
+    // each run leaves a checkpoint (state store + WAL) and a feature
+    // table copy in /tmp for the host's lifetime (r12 review)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(store.root))
+    out
   }
 
   /** JSONL round-trip through the real reader path (S1 sibling — the
@@ -203,6 +209,19 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
 }
 
 private[graft] object PipelinesRound12 {
+  /** Best-effort recursive delete for per-run scratch (checkpoints,
+    * temp feature stores) — never throws: cleanup failure must not
+    * fail a gate that already produced its result.
+    */
+  def deleteRecursively(p: java.nio.file.Path): Unit =
+    try {
+      if (java.nio.file.Files.isDirectory(p)) {
+        val s = java.nio.file.Files.list(p)
+        try s.forEach(deleteRecursively(_)) finally s.close()
+      }
+      java.nio.file.Files.deleteIfExists(p); ()
+    } catch { case _: Exception => () }
+
   // q196's JSONL fixture path: derived from the dataset dir (q44's
   // concurrent-SF discipline) and recorded for the lazily-built
   // oracle SQL, which reads the SAME files via DuckDB read_json
@@ -357,7 +376,7 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
          |FROM g LEFT JOIN th USING (doc_id)
          |WHERE NOT g.is_train
          |GROUP BY 1
-         |ORDER BY source""".stripMargin,
+         |ORDER BY source NULLS FIRST""".stripMargin,
 
     // the batch daily-sum replay of the STREAMING bounded-mode
     // maintenance: window(ts, '1 day') starts are UTC-day aligned
@@ -386,7 +405,7 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
          |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
          |    source: 'VARCHAR', n_chars: 'BIGINT'})
          |GROUP BY 1, 2
-         |ORDER BY source, lang""".stripMargin,
+         |ORDER BY source NULLS FIRST, lang NULLS FIRST""".stripMargin,
 
     // per-source exact distinct unigram/bigram counts and ratios over
     // the shared lowercase whitespace tokens

@@ -237,10 +237,11 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
         }
       }
       .toDF("media_id", "payload")
-      .withColumn("meta", struct(
-        lit("video/x-msvideo").as("format"),
-        lit(8).as("width"), lit(8).as("height"),
-        (col("media_id") % 5 + 1).cast("int").as("n_frames")))
+    // no input meta: sampleVideoFrames consumes only (media_id,
+    // payload) and rebuilds meta from the SAMPLED container's RIFF
+    // re-parse — frames_kept comes from that re-parse, not from the
+    // synthesized frame count (r12 review: a decorative input struct
+    // here misread as feeding the output)
     Multimodal.sampleVideoFrames(media, everyK = 2)
       .select(col("media_id"), col("meta.n_frames").as("frames_kept"))
       .orderBy("media_id")

@@ -362,6 +362,12 @@ private[graft] object PipelinesTextSim {
     stagedDirs.computeIfAbsent(s"$sfDir/$fileName", _ => {
       val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
       val src = java.nio.file.Paths.get(sfDir, fileName)
+      // fail fast on a directory-shaped fixture: createLink throws on
+      // directories and nio copy would stage it as an EMPTY dir — the
+      // stream would silently read zero rows (r12 review)
+      require(java.nio.file.Files.isRegularFile(src),
+        s"stagedStreamDir: $src is not a regular file — a " +
+          "directory-shaped parquet fixture needs its part files staged")
       val dst = dir.resolve(fileName)
       try java.nio.file.Files.createLink(dst, src)
       catch { case _: Exception =>

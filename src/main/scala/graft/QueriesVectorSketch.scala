@@ -23,8 +23,9 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
   // contract, all driver-hashed. approx_count_distinct is Spark's
   // HyperLogLog++ at default rsd 0.05 (bound: 3·rsd); percentile_approx
   // at accuracy 10000 has rank error 1e-4, checked RANK-wise (the
-  // returned element's exact rank inside a generous q±0.05 band — a
-  // broken sketch lands far outside). At 100 TB these
+  // returned element's exact rank inside a generous q±0.03 band —
+  // cnt(<=v) ≥ 0.92·n and cnt(<v) ≤ 0.98·n for p95; a broken sketch
+  // lands far outside). At 100 TB these
   // sketches replace exact distinct/percentile shuffles with
   // constant-size mergeable state — the standard pre-aggregation
   // trade; the exact columns here are the gate's ground truth, not the

@@ -433,6 +433,11 @@ object Sampling {
     */
   def largestRemainderSample(df: DataFrame, strataCol: String,
       keyCol: Column, total: Long): DataFrame = {
+    require(df.schema(strataCol).dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"largestRemainderSample: $strataCol must be a string stratum " +
+        s"(cast first — e.g. a cluster id via .cast(\"string\")), got " +
+        df.schema(strataCol).dataType.typeName)
     val counts = df.groupBy(col(strataCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(!counts.contains(null),
