@@ -289,6 +289,29 @@ class SamplingSpec extends SparkSpec {
       Sampling.largestRemainderQuotas(Map.empty[String, Long], 0L))
   }
 
+  test("property: Hamilton quotas satisfy the quota rule on random inputs (r12)") {
+    // largest-remainder always lands every stratum inside
+    // [floor(ideal), ceil(ideal)] and sums exactly to the total —
+    // the no-seat-vanishes / no-stratum-robbed invariant pair
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 30) {
+      val k = 1 + rnd.nextInt(9)
+      val counts = (0 until k)
+        .map(i => s"s$i" -> (1L + rnd.nextInt(1000))).toMap
+      val n = counts.values.sum
+      val total = rnd.nextLong(n + 1)
+      val q = Sampling.largestRemainderQuotas(counts, total)
+      assert(q.values.sum === total, s"trial $trial")
+      counts.foreach { case (s, c) =>
+        val lo = (BigInt(total) * c / n).toLong
+        val ideal = BigInt(total) * c
+        val hi = if (ideal % n == 0) lo else lo + 1
+        assert(q(s) >= lo && q(s) <= hi,
+          s"trial $trial stratum $s: quota ${q(s)} outside [$lo,$hi]")
+      }
+    }
+  }
+
   test("largestRemainderSample: exact total, per-stratum quota, md5-order fill (r12)") {
     val df = spark.range(90)
       .select(col("id"), concat(lit("s"), col("id") % 3).as("grp"))
