@@ -187,7 +187,6 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
   def jsonlIngest(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val fixture = PipelinesRound12.jsonlFixturePathFor(d)
-    PipelinesRound12.jsonlFixturePath = fixture
     t(s, d, "documents")
       .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").json(fixture)
@@ -222,14 +221,21 @@ private[graft] object PipelinesRound12 {
       java.nio.file.Files.deleteIfExists(p); ()
     } catch { case _: Exception => () }
 
-  // q196's JSONL fixture path: derived from the dataset dir (q44's
-  // concurrent-SF discipline) and recorded for the lazily-built
-  // oracle SQL, which reads the SAME files via DuckDB read_json
+  // q196's JSONL fixture path: a pure function of the dataset dir
+  // (q44's concurrent-SF discipline). The query no longer records it
+  // in shared state — the oracle builder resolves the path for the SF
+  // being VERIFIED via [[oracleDatasetDir]], which Verify pins to its
+  // own sfDir before dumping oracle_sql.json (r12 ADVICE: a process
+  // running two SF dirs back-to-back must not leak the second SF's
+  // fixture path into the first SF's oracle).
   def jsonlFixturePathFor(d: String): String =
     "/tmp/graft_q196_jsonl_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-  @volatile private[graft] var jsonlFixturePath: String =
-    jsonlFixturePathFor("/root/testdata/sf0.01")
 
+  /** The dataset dir the NEXT oracleSql dump describes. Set by Verify
+    * (and any local sweep) to its sfDir; defaults to the driver's
+    * correctness SF.
+    */
+  @volatile private[graft] var oracleDatasetDir: String = "/root/testdata/sf0.01"
 }
 
 private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =>
@@ -400,7 +406,7 @@ private[graft] trait OraclesRound12 { this: OracleSnippets with OraclesRound10 =
          |    i -> CAST(strpos('0123456789abcdef',
          |      substr(md5(text), i, 1)) - 1 AS BIGINT)),
          |    (a, b) -> a * 16 + b)) % 4503599627370496 AS BIGINT) AS fp_sum
-         |FROM read_json('${PipelinesRound12.jsonlFixturePath}/*.json',
+         |FROM read_json('${PipelinesRound12.jsonlFixturePathFor(PipelinesRound12.oracleDatasetDir)}/*.json',
          |  format = 'newline_delimited',
          |  columns = {doc_id: 'BIGINT', text: 'VARCHAR', lang: 'VARCHAR',
          |    source: 'VARCHAR', n_chars: 'BIGINT'})

@@ -412,11 +412,17 @@ object Pipelines {
     store.writeTable("order_features_b", feats, WriteMode.Overwrite)
     val spine = t(s, d, "customer")
       .select(col("c_custkey"), (col("c_acctbal") > 1000).as("high_value"))
-    FeatureStoreClient
+    val out = FeatureStoreClient
       .createTrainingSet(store, spine,
         FeatureLookup.allFeatures(store, "order_features_b", Seq("c_custkey")),
         label = "high_value")
       .loadDf.orderBy("c_custkey")
+      .localCheckpoint(true) // eager: safe to delete the store below
+    // q195 discipline (r12 ADVICE): without cleanup each run leaks a
+    // parquet copy in /tmp plus bucketed session-catalog entries.
+    store.deleteTable("order_features_b")
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(store.root))
+    out
   }
 
   // sort+limit — TakeOrderedAndProject (top-k never fully sorts at scale).

@@ -39,6 +39,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Pin SF-dependent oracle fragments (q196's JSONL fixture path) to
+    // THIS run's dataset dir before interpolating the oracle map.
+    PipelinesRound12.oracleDatasetDir = sfDir
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

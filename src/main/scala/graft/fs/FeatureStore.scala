@@ -130,8 +130,9 @@ final class FeatureStore(private[fs] val spark: SparkSession,
   def deleteTable(name: String): Unit = {
     require(tableExists(name), s"feature table $name does not exist")
     val (spec, version) = loadSpec(name)
-    // version + 1: a rollback leaves a declared (discarded) entry one
-    // past the current pointer
+    // version + 1: defensive headroom (rollbackTable now drops its own
+    // discarded entry, but a crash between its delete and drop could
+    // still leave one entry past the pointer)
     if (spec.buckets > 0)
       (1 to version + 1).foreach { v =>
         spark.sql(s"DROP TABLE IF EXISTS `${bucketedCatalogName(name, v)}`")
@@ -193,7 +194,7 @@ final class FeatureStore(private[fs] val spark: SparkSession,
     */
   private def bucketedCatalogName(name: String, version: Int): String = {
     val digest = org.apache.commons.codec.digest.DigestUtils
-      .md5Hex(root + " " + name).substring(0, 8)
+      .md5Hex(root + "\u0000" + name).substring(0, 8)
     s"graft_fs_${name.toLowerCase.replaceAll("[^a-z0-9_]", "_")}_${digest}_v$version"
   }
 
@@ -249,6 +250,11 @@ final class FeatureStore(private[fs] val spark: SparkSession,
     val prevSchema = spark.read.parquet(prevDir.toString).schema
     saveSpec(spec.copy(schema = prevSchema), version - 1)
     fs.delete(dataDir(name, version), true)
+    // Drop the discarded version's bucketed catalog entry HERE: repeated
+    // rollbacks would otherwise strand declared entries above version+1,
+    // beyond deleteTable's cleanup bound (r12 fresh-eyes audit).
+    if (spec.buckets > 0)
+      spark.sql(s"DROP TABLE IF EXISTS `${bucketedCatalogName(name, version)}`")
     ()
   }
 
