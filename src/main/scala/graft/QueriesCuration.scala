@@ -66,24 +66,19 @@ private[graft] trait PipelinesCuration { this: PipelinesBase =>
     * vector whose cosine to ANY eval-probe vector (vec_id % 100 = 3,
     * self excluded) reaches 0.3 — the "remove anything semantically
     * close to the benchmark" pass a leakage audit runs when paraphrase
-    * contamination defeats exact n-gram matching. Plan: the probe set
-    * is tiny by construction, so it broadcasts onto ONE corpus scan;
-    * the per-vector max-probe-cosine is a vec_id hash agg; retention
-    * is the filter — the corpus never self-joins and never shuffles
-    * its payload. Exact doubles end-to-end (the q29/q30 cosine
-    * portability), so the gate hash-checks every retained row's max
-    * probe cosine.
+    * contamination defeats exact n-gram matching. The operator lives
+    * in [[graft.ext.Decontamination]] (r13): the broadcast variant
+    * here now ENFORCES its bounded-probe contract, and the
+    * corpus-scale sibling routes probes through a materialized IVF
+    * index instead of broadcasting. Exact doubles end-to-end (the
+    * q29/q30 cosine portability), so the gate hash-checks every
+    * retained row's max probe cosine.
     */
   def semanticDecontam(s: SparkSession, d: String): DataFrame = {
     val emb = t(s, d, "embeddings")
-    val probes = emb.filter(col("vec_id") % 100 === 3)
-      .select(col("vec_id").as("_pid"),
-        Similarity.asDouble(col("embedding")).as("_pe"))
-    emb.select(col("vec_id"), Similarity.asDouble(col("embedding")).as("_e"))
-      .join(broadcast(probes), col("vec_id") =!= col("_pid"))
-      .groupBy(col("vec_id"))
-      .agg(max(Similarity.cosine(col("_e"), col("_pe"))).as("max_probe_cos"))
-      .filter(col("max_probe_cos") < 0.3)
+    graft.ext.Decontamination
+      .retainBelow(emb, emb.filter(col("vec_id") % 100 === 3), 0.3,
+        excludeSelf = true)
       .orderBy("vec_id")
   }
 

@@ -186,7 +186,7 @@ object Similarity {
     * ||q−c||² = ||q||² − 2q·c + ||c||²; the ||q||² term is constant
     * per query, so rank by ||c||² − 2q·c.
     */
-  private def nearestCells(queries: DataFrame, centDf: DataFrame,
+  private[ext] def nearestCells(queries: DataFrame, centDf: DataFrame,
       nprobe: Int, idCol: String, embCol: String): DataFrame =
     queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
       .crossJoin(broadcast(centDf))
