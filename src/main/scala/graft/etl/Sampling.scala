@@ -43,18 +43,68 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: Column, frac: Double): DataFrame =
     df.filter(md5(keyCol.cast("string")) < lit(hexThreshold(frac)))
 
+  /** CASE chains stop and broadcast-join lookups start at this stratum
+    * cardinality (r13). Below it a per-stratum constant compiles to a
+    * scan-stage CASE — no join node, folds into the parquet scan's
+    * codegen. Above it that chain is a liability: the comparator run
+    * is O(|strata|) PER ROW and the expression tree itself grows with
+    * the data (temperatureMix/epochMix derive their strata from
+    * observed counts, so "a caller map" can be a million sources).
+    */
+  private val CaseBranchLimit = 64
+
+  /** Attach per-stratum constant columns to `df`, keyed by
+    * `strataKey`: `cols` names each output column with its default
+    * literal and type; `table` maps stratum → values in `cols` order.
+    * ≤ [[CaseBranchLimit]] strata compile to CASE chains (the historic
+    * scan-stage shape — every existing gate keeps its plan); above
+    * that, ONE broadcast left-outer join against the (stratum, v₁…vₙ)
+    * table with per-column coalesce to the defaults. Both shapes are
+    * the same function of (strataKey, table): NULL or unlisted strata
+    * get the defaults.
+    */
+  private def stratumLookup(df: DataFrame, strataKey: Column,
+      table: Seq[(String, Seq[Any])],
+      cols: Seq[(String, Any, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    if (table.size <= CaseBranchLimit) {
+      cols.zipWithIndex.foldLeft(df) { case (acc, ((name, default, dt), i)) =>
+        acc.withColumn(name,
+          table.foldLeft(lit(default).cast(dt)) { case (a, (s, vs)) =>
+            when(strataKey === s, lit(vs(i)).cast(dt)).otherwise(a)
+          })
+      }
+    } else {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(StructField("_sl_key", StringType) +:
+        cols.map { case (n, _, dt) => StructField(s"_sl_$n", dt) })
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        table.map { case (s, vs) => Row.fromSeq(s +: vs) }: _*)
+      val lookup = df.sparkSession.createDataFrame(rows, schema)
+      val joined = df.join(broadcast(lookup),
+        strataKey === col("_sl_key"), "left_outer")
+      cols.foldLeft(joined) { case (acc, (name, default, dt)) =>
+        acc.withColumn(name, coalesce(col(s"_sl_$name"), lit(default).cast(dt)))
+          .drop(s"_sl_$name")
+      }.drop("_sl_key")
+    }
+  }
+
   /** Per-stratum fractions: rows in stratum s keep fraction
-    * `fracs(s)`, anything unlisted keeps `defaultFrac`. One CASE over
-    * the stratum column — still a single scan-stage filter; the
-    * stratum cardinality never becomes a shuffle or a driver loop.
+    * `fracs(s)`, anything unlisted keeps `defaultFrac`. The threshold
+    * lookup rides [[stratumLookup]]: a scan-stage CASE for hand-sized
+    * maps, a broadcast join past [[CaseBranchLimit]] strata (the
+    * derived-frac callers sampleToMix/temperatureMix feed DATA-driven
+    * stratum cardinalities here).
     */
   def stratifiedSample(df: DataFrame, strataCol: String, keyCol: Column,
       fracs: Map[String, Double], defaultFrac: Double = 0.0): DataFrame = {
-    val threshold = fracs.toSeq.sortBy(_._1).foldLeft(
-      lit(hexThreshold(defaultFrac))) { case (acc, (stratum, frac)) =>
-      when(col(strataCol) === stratum, lit(hexThreshold(frac))).otherwise(acc)
-    }
-    df.filter(md5(keyCol.cast("string")) < threshold)
+    import org.apache.spark.sql.types.StringType
+    stratumLookup(df, col(strataCol),
+      fracs.toSeq.sortBy(_._1).map { case (s, f) => s -> Seq(hexThreshold(f)) },
+      Seq(("_ss_thr", hexThreshold(defaultFrac), StringType)))
+      .filter(md5(keyCol.cast("string")) < col("_ss_thr"))
+      .select(df.columns.map(col): _*)
   }
 
   /** Rebalance strata to target mix PROPORTIONS by deterministic
@@ -346,25 +396,27 @@ object Sampling {
       s"epochMixFromCounts: every stratum needs positive token volume, got $counts")
     val budgets = uniMaxBudgets(counts, budget, maxEpochs)
     val strata = counts.keys.toSeq.sorted
-    val full = strata.foldLeft(lit(0L)) { (acc, s) =>
-      when(col(strataCol).cast("string") === s,
-        lit(budgets(s) / counts(s))).otherwise(acc)
-    }
-    val fracThr = strata.foldLeft(lit(hexThreshold(0.0))) { (acc, s) =>
-      val rem = budgets(s) % counts(s)
-      when(col(strataCol).cast("string") === s,
-        lit(hexThreshold(rem.toDouble / counts(s).toDouble))).otherwise(acc)
-    }
-    val fullEpochs = df.withColumn("_full", full)
+    // per-stratum (full-epoch count, partial-epoch threshold) via
+    // stratumLookup: CASE chains at hand scale, a broadcast join at
+    // data-driven stratum cardinality (r13 — was two linear CASEs)
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val looked = stratumLookup(df, col(strataCol).cast("string"),
+      strata.map { s =>
+        val rem = budgets(s) % counts(s)
+        s -> Seq(budgets(s) / counts(s),
+          hexThreshold(rem.toDouble / counts(s).toDouble))
+      },
+      Seq(("_full", 0L, LongType), ("_ep_thr", hexThreshold(0.0), StringType)))
+    val fullEpochs = looked
       .withColumn(epochCol,
         explode(when(col("_full") >= 1L, sequence(lit(1L), col("_full")))
           .otherwise(array().cast("array<bigint>"))))
-      .drop("_full")
-    val partial = df.withColumn("_full", full)
+      .drop("_full", "_ep_thr")
+    val partial = looked
       .filter(col(strataCol).isNotNull &&
-        md5(concat(keyCol.cast("string"), lit(":ep"))) < fracThr)
+        md5(concat(keyCol.cast("string"), lit(":ep"))) < col("_ep_thr"))
       .withColumn(epochCol, col("_full") + 1L)
-      .drop("_full")
+      .drop("_full", "_ep_thr")
     fullEpochs.unionByName(partial)
   }
 
@@ -425,11 +477,11 @@ object Sampling {
     * per-stratum rank window whose literal max-quota conjunct lets
     * Catalyst rewrite to Partial+Final WindowGroupLimit (per-partition
     * top-quota heaps before the stratum exchange), with the exact
-    * per-stratum quota CASE refining after. The CASE is linear in the
-    * stratum count (the stratifiedSample discipline — fine for
-    * source/language strata); past a few thousand strata swap the
-    * CASE for a broadcast join against the quota table, same plan
-    * shape otherwise.
+    * per-stratum quota refined by a BROADCAST join against the quota
+    * table (r13 — was a CASE chain linear in the stratum count: a
+    * million-stratum allocation would have built a million-branch
+    * expression; the quota table broadcasts at any realistic stratum
+    * cardinality and the filter stays one comparison per row).
     */
   def largestRemainderSample(df: DataFrame, strataCol: String,
       keyCol: Column, total: Long): DataFrame = {
@@ -445,15 +497,20 @@ object Sampling {
         "matches the quota CASE, so its seats would silently vanish; " +
         "recode or drop NULL strata first")
     val quotas = largestRemainderQuotas(counts, total)
-    val qCol = quotas.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (s, q)) => when(col(strataCol) === s, lit(q)).otherwise(acc)
-    }
+    val quotaDf = df.sparkSession
+      .createDataFrame(quotas.toSeq).toDF(strataCol, "_lrq_quota")
     val maxQ = quotas.values.max
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(strataCol))
       .orderBy(md5(keyCol.cast("string")), keyCol)
+    // the literal-max filter must sit DIRECTLY on the window so the
+    // WindowGroupLimit rewrite still fires (a variable limit alone
+    // would not rewrite — the r12 lesson); the broadcast quota join
+    // then refines to the exact per-stratum quota
     df.withColumn("_lrq_rn", row_number().over(w).cast("long"))
-      .filter(col("_lrq_rn") <= lit(maxQ) && col("_lrq_rn") <= qCol)
-      .drop("_lrq_rn")
+      .filter(col("_lrq_rn") <= lit(maxQ))
+      .join(broadcast(quotaDf), Seq(strataCol))
+      .filter(col("_lrq_rn") <= col("_lrq_quota"))
+      .select(df.columns.map(col): _*) // the join moved the key first; restore caller order
   }
 }

@@ -333,10 +333,69 @@ class SamplingSpec extends SparkSpec {
     val plan = Sampling.largestRemainderSample(df, "grp", col("id"), 25L)
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), plan)
+    // quota refinement is a broadcast join against the quota table,
+    // not a stratum-count-linear CASE chain (r13)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("CASE WHEN grp"), plan)
     // NULL stratum refused (its seats would silently vanish)
     val withNull = df.withColumn("grp",
       when(col("id") === 0, lit(null)).otherwise(col("grp")))
     intercept[IllegalArgumentException](
       Sampling.largestRemainderSample(withNull, "grp", col("id"), 5L))
+  }
+
+  test("stratifiedSample: broadcast-join lookup past the CASE limit ≡ the CASE path (r13)") {
+    // 100 strata forces the join shape; the same fractions through a
+    // ≤64-stratum call (two disjoint halves unioned) take the CASE
+    // shape — both must pick the identical set
+    val df = spark.range(2000)
+      .select(col("id"), concat(lit("s"), col("id") % 100).as("grp"))
+    val fracs = (0 until 100).map(i => s"s$i" -> (i % 7 + 1) / 10.0).toMap
+    val joined = Sampling.stratifiedSample(df, "grp", col("id"), fracs)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    val (loF, hiF) = fracs.partition(_._1.drop(1).toInt < 50)
+    val viaCase = Sampling.stratifiedSample(df, "grp", col("id"), loF)
+      .unionByName(Sampling.stratifiedSample(df, "grp", col("id"), hiF))
+    assert(!viaCase.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(joined.select("id").as[Long].collect().sorted.toSeq ==
+      viaCase.select("id").as[Long].collect().sorted.toSeq)
+    // unlisted + NULL strata fall to defaultFrac on BOTH shapes
+    val dfn = df.withColumn("grp",
+      when(col("id") < 40, lit(null)).otherwise(col("grp")))
+    val keptNull = Sampling.stratifiedSample(dfn, "grp", col("id"), fracs,
+      defaultFrac = 1.0)
+    assert(keptNull.filter(col("grp").isNull).count() === 40)
+  }
+
+  test("epochMixFromCounts: join-shape lookup past the CASE limit ≡ CASE shape (r13)") {
+    val df = spark.range(700)
+      .select(col("id"), concat(lit("s"), col("id") % 70).as("grp"),
+        lit(1L).as("w"))
+    val counts = (0 until 70).map(i => s"s$i" -> 10L).toMap
+    val viaJoin = Sampling.epochMixFromCounts(df, "grp", col("id"),
+      counts, budget = 1500L, maxEpochs = 4)
+    assert(viaJoin.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin"))
+    // driver-side oracle from the SAME budget allocation: full epochs
+    // are budgets/count passes; the partial epoch keeps ids whose
+    // md5(id:ep) clears the remainder-fraction threshold
+    val budgets = Sampling.uniMaxBudgets(counts, 1500L, 4)
+    def md5s(s: String) =
+      org.apache.commons.codec.digest.DigestUtils.md5Hex(s)
+    val expected = (0L until 700L).flatMap { id =>
+      val g = s"s${id % 70}"
+      val full = budgets(g) / 10L
+      val rem = budgets(g) % 10L
+      val fullRows = (1L to full).map(e => (id, g, e))
+      val partial =
+        if (md5s(s"$id:ep") < Sampling.hexThreshold(rem.toDouble / 10.0))
+          Seq((id, g, full + 1L))
+        else Seq.empty
+      fullRows ++ partial
+    }
+    val got = viaJoin.select("id", "grp", "epoch")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got.sorted == expected.sorted)
   }
 }
