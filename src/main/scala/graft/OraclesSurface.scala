@@ -221,7 +221,7 @@ private[graft] trait OraclesSurface { this: OracleSnippets =>
          |       WHEN c_mktsegment = 'AUTOMOBILE' THEN 2
          |       WHEN c_mktsegment = 'MACHINERY' THEN 3 END AS segment_code,
          |  CAST(c_acctbal AS DOUBLE) AS acctbal
-         |FROM read_csv_auto('${PipelinesExt.csvFixturePath}/*.csv', header=true)
+         |FROM read_csv_auto('${PipelinesExt.csvFixturePathFor(PipelinesRound12.oracleDatasetDir)}/*.csv', header=true)
          |ORDER BY c_custkey""".stripMargin,
 
 

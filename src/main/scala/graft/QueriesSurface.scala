@@ -359,19 +359,18 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
   // Telco-Customer-Churn.csv, setup.py:206-221), then
   // Cleanse.readCsv (header + schema inference) + recode/cast. The
   // oracle reads the SAME files via DuckDB read_csv_auto, so the
-  // CSV parse itself is under cross-engine test. The dump path is
-  // derived from the dataset dir so concurrent runs at different SFs
-  // never overwrite each other's fixture mid-oracle-read; csvIngest
-  // records the path it used and the oracle SQL — built only after
-  // Verify has run the queries — interpolates the recorded value.
+  // CSV parse itself is under cross-engine test. The dump path is a
+  // pure function of the dataset dir (concurrent SF runs never
+  // overwrite each other's fixture mid-oracle-read), and the oracle
+  // SQL resolves it through the SF Verify pins in
+  // [[PipelinesRound12.oracleDatasetDir]] — the same r13 fix as q196:
+  // a query-run-recorded mutable path leaked the second SF's fixture
+  // into the first SF's oracle when one process ran both.
   def csvFixturePathFor(d: String): String =
     "/tmp/graft_q44_csv_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-  @volatile private[graft] var csvFixturePath: String =
-    csvFixturePathFor("/root/testdata/sf0.01")
 
   def csvIngest(s: SparkSession, d: String): DataFrame = {
     val fixture = csvFixturePathFor(d)
-    csvFixturePath = fixture
     t(s, d, "customer")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_mktsegment"))
       .write.mode("overwrite").option("header", "true").csv(fixture)

@@ -235,6 +235,7 @@ object SparkEntry {
     "q194_split_contamination" -> ((s, d) => PipelinesExt.splitContamination(s, d)),
     "q195_stream_daily_sums" -> ((s, d) => PipelinesExt.streamDailySums(s, d)),
     "q196_jsonl_ingest" -> ((s, d) => PipelinesExt.jsonlIngest(s, d)),
+    "q197_stream_interval_join" -> ((s, d) => PipelinesExt.streamIntervalJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
