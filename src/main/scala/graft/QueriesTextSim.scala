@@ -355,12 +355,21 @@ private[graft] object PipelinesTextSim {
     * the streaming file source rejects bare file paths. Hardlinks
     * cost nothing; cross-device roots fall back to a copy. One
     * staging helper serves every streaming gate (q184's documents,
-    * q195's events — the r12 review's duplicate-stager finding).
+    * q195's events, q197's events — the r12 review's duplicate-stager
+    * finding).
+    *
+    * r13 (fresh-eyes audit): the staging path is now DETERMINISTIC per
+    * (sfDir, fileName) — the old per-JVM temp dir leaked one /tmp dir
+    * per JVM forever. Reuse across JVMs brings a staleness hazard (the
+    * driver regenerates fixtures between rounds; a hardlink pins the
+    * OLD inode when the source is replaced), so an existing staged
+    * link that is no longer the same file is dropped and re-linked;
+    * the copy fallback (isSameFile always false) re-copies once per
+    * JVM — the same cost the temp-dir design paid.
     */
   def stagedStreamDir(sfDir: String,
       fileName: String = "documents.parquet"): String =
     stagedDirs.computeIfAbsent(s"$sfDir/$fileName", _ => {
-      val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
       val src = java.nio.file.Paths.get(sfDir, fileName)
       // fail fast on a directory-shaped fixture: createLink throws on
       // directories and nio copy would stage it as an EMPTY dir — the
@@ -368,10 +377,20 @@ private[graft] object PipelinesTextSim {
       require(java.nio.file.Files.isRegularFile(src),
         s"stagedStreamDir: $src is not a regular file — a " +
           "directory-shaped parquet fixture needs its part files staged")
+      val dir = java.nio.file.Paths.get("/tmp",
+        "graft_stream_" + s"$sfDir/$fileName".replaceAll("[^A-Za-z0-9.-]", "_"))
+      java.nio.file.Files.createDirectories(dir)
       val dst = dir.resolve(fileName)
-      try java.nio.file.Files.createLink(dst, src)
-      catch { case _: Exception =>
-        java.nio.file.Files.copy(src, dst); ()
+      val fresh =
+        try java.nio.file.Files.exists(dst) &&
+          java.nio.file.Files.isSameFile(dst, src)
+        catch { case _: Exception => false }
+      if (!fresh) {
+        java.nio.file.Files.deleteIfExists(dst)
+        try java.nio.file.Files.createLink(dst, src)
+        catch { case _: Exception =>
+          java.nio.file.Files.copy(src, dst); ()
+        }
       }
       dir.toString
     })

@@ -143,6 +143,59 @@ class BucketedFeatureTableSpec extends SparkSpec {
     store.deleteTable("of_z"); store.deleteTable("of_zb")
   }
 
+  test("optimizeTable under retainVersions = 1: the self-read rewrite survives its source being pruned (r13 audit)") {
+    // the rewrite reads the current version and commits a new one; with
+    // a 1-version window the source dir is deleted in the SAME write —
+    // safe only because the temp-dir write materializes the lazy read
+    // BEFORE the prune runs (writeTable's write→claim→prune order)
+    val store = FeatureStore.temp(spark, retainVersions = 1)
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_z1", Seq("c_custkey"), feats.schema,
+      "zorder at retain=1"))
+    store.writeTable("of_z1", feats, WriteMode.Overwrite)            // v1
+    store.optimizeTable("of_z1", Seq("n_orders"), targetPartitions = 2) // v2; v1 pruned
+    assert(store.tableVersion("of_z1") == 2)
+    assert(store.readTable("of_z1").orderBy("c_custkey").collect().toSeq ==
+      feats.orderBy("c_custkey").collect().toSeq)
+    // v1 really was pruned (retention window honored)
+    val e = intercept[IllegalArgumentException] {
+      store.readTableVersion("of_z1", 1)
+    }
+    assert(e.getMessage.contains("pruned"))
+    store.deleteTable("of_z1")
+  }
+
+  test("repeated rollbacks drop their bucketed catalog entries (r13: was only version+1-bounded at delete)") {
+    val store = freshStore()
+    val feats = orderFeats
+    store.createTable(FeatureTableSpec("of_rr", Seq("c_custkey"), feats.schema,
+      "rollback catalog hygiene", buckets = 4))
+    store.writeTable("of_rr", feats, WriteMode.Overwrite)            // v1
+    store.writeTable("of_rr",
+      feats.withColumn("total_spent", col("total_spent") + 1.0),
+      WriteMode.Overwrite)                                            // v2
+    // touch v2 through the catalog so its entry exists, then roll back
+    assert(store.readTable("of_rr").count() == feats.count())
+    val catBefore = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_fs_of_rr")).count()
+    store.rollbackTable("of_rr")                                      // back to v1
+    val catAfter = spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_fs_of_rr")).count()
+    assert(catAfter < catBefore,
+      s"rollback left the discarded version's catalog entry ($catBefore -> $catAfter)")
+    // the re-written v2 must serve the NEW snapshot, not a stale entry
+    store.writeTable("of_rr",
+      feats.withColumn("total_spent", col("total_spent") + 9.0),
+      WriteMode.Overwrite)                                            // v2 reclaimed
+    val v2 = store.readTable("of_rr").agg(sum("total_spent")).head.getDouble(0)
+    val want = feats.agg(sum(col("total_spent") + 9.0)).head.getDouble(0)
+    assert(math.abs(v2 - want) < 1e-6)
+    store.deleteTable("of_rr")
+    // nothing left behind in the session catalog
+    assert(spark.catalog.listTables()
+      .filter(col("name").startsWith("graft_fs_of_rr")).count() == 0)
+  }
+
   test("guards: buckets and partitionBy are mutually exclusive; buckets >= 0") {
     val schema = orderFeats.schema
     intercept[IllegalArgumentException] {
