@@ -62,6 +62,61 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
     out
   }
+
+  /** IVF-routed semantic decontamination as an INVARIANT gate (r13 —
+    * the driver-visible face of [[graft.ext.Decontamination
+    * .retainBelowIvf]], q187's corpus-scale sibling). The routed
+    * retained SET at nprobe < nlist depends on the cell geometry, so
+    * the gate hashes what holds for ANY correct routing plus two
+    * exactly-checkable facts:
+    *
+    *   - n_corpus / n_retained_exact — exact counts the oracle
+    *     recomputes (the broadcast variant's retained set);
+    *   - full_probe_matches_exact — at nprobe = nlist every probe
+    *     routes everywhere, so the IVF path must reproduce the
+    *     broadcast frame BIT-EXACTLY (ids and maxima; cosine operand
+    *     order commutes exactly in IEEE);
+    *   - routed_superset_ok — partial routing can only UNDER-drop:
+    *     everything the exact pass retains, the routed pass retains;
+    *   - routed_bounds_ok — a routed max cosine is a max over a probe
+    *     SUBSET, so it never exceeds the true max.
+    *
+    * A broken cell assignment, routing join, or centroid sidecar flips
+    * a boolean and fails the hash.
+    */
+  def decontamIvfGate(s: SparkSession, d: String): DataFrame = {
+    val emb = t(s, d, "embeddings")
+    val probes = emb.filter(col("vec_id") % 100 === 3)
+    val dir = "/tmp/graft_q198_ivf_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    graft.ext.Similarity.ivfIndexWrite(emb, dir, nlist = 8)
+    val bc = graft.ext.Decontamination
+      .retainBelow(emb, probes, 0.3, excludeSelf = true).localCheckpoint(true)
+    val full = graft.ext.Decontamination
+      .retainBelowIvf(s, dir, probes, 0.3, nprobe = 8, excludeSelf = true)
+      .localCheckpoint(true)
+    val routed = graft.ext.Decontamination
+      .retainBelowIvf(s, dir, probes, 0.3, nprobe = 2, excludeSelf = true)
+      .localCheckpoint(true)
+    val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
+    val nBc = bc.agg(count(lit(1)).as("n_retained_exact"))
+    val d1 = full.exceptAll(bc).agg(count(lit(1)).as("_d1"))
+    val d2 = bc.exceptAll(full).agg(count(lit(1)).as("_d2"))
+    val d3 = bc.select("vec_id")
+      .join(routed.select("vec_id"), Seq("vec_id"), "left_anti")
+      .agg(count(lit(1)).as("_d3"))
+    val d4 = routed.filter(col("max_probe_cos").isNotNull)
+      .select(col("vec_id"), col("max_probe_cos").as("_routed"))
+      .join(bc.select(col("vec_id"), col("max_probe_cos").as("_true")), Seq("vec_id"))
+      .filter(col("_routed") > col("_true"))
+      .agg(count(lit(1)).as("_d4"))
+    nCorpus.crossJoin(broadcast(nBc))
+      .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))
+      .crossJoin(broadcast(d3)).crossJoin(broadcast(d4))
+      .select(col("n_corpus"), col("n_retained_exact"),
+        (col("_d1") === 0L && col("_d2") === 0L).as("full_probe_matches_exact"),
+        (col("_d3") === 0L).as("routed_superset_ok"),
+        (col("_d4") === 0L).as("routed_bounds_ok"))
+  }
 }
 
 private[graft] trait OraclesRound13 { this: OracleSnippets =>
@@ -81,6 +136,25 @@ private[graft] trait OraclesRound13 { this: OracleSnippets =>
         |  epoch_us(c_ts) - epoch_us(p_ts) AS dt_us
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 DAY
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // invariant gate: the routed retained set is geometry-specific;
+    // the counts are exact (the q187 broadcast-decontam oracle), the
+    // booleans assert routing-independent facts
+    "q198_decontam_ivf" ->
+      """WITH p AS (SELECT vec_id AS pid, CAST(embedding AS DOUBLE[]) AS pe
+        |           FROM embeddings WHERE vec_id % 100 = 3),
+        |m AS (SELECT e.vec_id,
+        |        max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), pe))
+        |          AS max_probe_cos
+        |      FROM embeddings e CROSS JOIN p
+        |      WHERE e.vec_id != pid
+        |      GROUP BY e.vec_id)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM m WHERE max_probe_cos < 0.3)
+        |    AS n_retained_exact,
+        |  TRUE AS full_probe_matches_exact,
+        |  TRUE AS routed_superset_ok,
+        |  TRUE AS routed_bounds_ok""".stripMargin
   )
 }

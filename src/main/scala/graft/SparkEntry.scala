@@ -236,6 +236,7 @@ object SparkEntry {
     "q195_stream_daily_sums" -> ((s, d) => PipelinesExt.streamDailySums(s, d)),
     "q196_jsonl_ingest" -> ((s, d) => PipelinesExt.jsonlIngest(s, d)),
     "q197_stream_interval_join" -> ((s, d) => PipelinesExt.streamIntervalJoin(s, d)),
+    "q198_decontam_ivf" -> ((s, d) => PipelinesExt.decontamIvfGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
