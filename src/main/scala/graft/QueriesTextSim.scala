@@ -389,7 +389,11 @@ private[graft] object PipelinesTextSim {
         java.nio.file.Files.deleteIfExists(dst)
         try java.nio.file.Files.createLink(dst, src)
         catch { case _: Exception =>
-          java.nio.file.Files.copy(src, dst); ()
+          // cross-device roots (copy), or a concurrent JVM won the
+          // relink race after our delete (REPLACE tolerates both)
+          java.nio.file.Files.copy(src, dst,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
         }
       }
       dir.toString
