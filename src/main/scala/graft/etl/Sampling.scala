@@ -66,6 +66,14 @@ object Sampling {
   private def stratumLookup(df: DataFrame, strataKey: Column,
       table: Seq[(String, Seq[Any])],
       cols: Seq[(String, Any, org.apache.spark.sql.types.DataType)]): DataFrame = {
+    // the join path introduces _sl_-prefixed helper columns — a caller
+    // frame already carrying them would silently alias (the RangeJoin
+    // requireFresh discipline)
+    val clash = df.columns.filter(c =>
+      c == "_sl_key" || cols.exists { case (n, _, _) => c == s"_sl_$n" || c == n })
+    require(clash.isEmpty,
+      s"stratumLookup: input already has internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before sampling")
     if (table.size <= CaseBranchLimit) {
       cols.zipWithIndex.foldLeft(df) { case (acc, ((name, default, dt), i)) =>
         acc.withColumn(name,

@@ -51,9 +51,20 @@ object ScaleCheck {
     // ------------------------------------------------ fixtures
     val base = graft.Tables.load(spark, baseDir, "documents")
       .select(col("doc_id"), col("text"), col("source"), col("lang"))
+    // freshness stamp: fixtures memoized on disk must regenerate when
+    // the driver rewrites the BASE corpus between rounds — existence
+    // alone would silently measure stale data (r13 self-audit)
+    val baseFile = Paths.get(baseDir, "documents.parquet")
+    val stamp =
+      s"${Files.size(baseFile)}:${Files.getLastModifiedTime(baseFile).toMillis}"
     val dirs: Map[Int, String] = Scales.map { s =>
       val dir = s"/tmp/graft_scale_docs_${s}x"
-      if (!Files.isDirectory(Paths.get(dir))) {
+      val marker = Paths.get(dir, "_graft_base_stamp")
+      val fresh = Files.isDirectory(Paths.get(dir)) &&
+        Files.exists(marker) &&
+        (try Files.readString(marker).trim == stamp
+         catch { case _: Exception => false })
+      if (!fresh) {
         val replicas = (0 until s).map { r =>
           base.select(
             (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
@@ -64,6 +75,8 @@ object ScaleCheck {
         replicas.reduce(_ unionByName _)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(dir)
+        Files.writeString(marker, stamp)
+        ()
       }
       s -> dir
     }.toMap
