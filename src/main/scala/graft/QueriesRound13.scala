@@ -63,6 +63,69 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     out
   }
 
+  /** Streaming as-of (point-in-time) join as a hash gate (r13 — the
+    * FOURTH streaming tier made driver-visible): purchases probe the
+    * latest at-or-before "view" feature per user through
+    * [[graft.streaming.StreamingPit.asOfJoin]] — two watermarked
+    * streams unioned into ONE flatMapGroupsWithState where probes
+    * BUFFER until the watermark passes their event time, so the lookup
+    * is exact under any arrival order (the buffer-until-watermark
+    * contract, spec-proven against batch PointInTime).
+    *
+    * Determinism: a sentinel row on EACH stream pushes both stream
+    * clocks past every real probe (the operator holds probes at the
+    * MIN of the two clocks), so the final no-data batch emits all of
+    * them; views are pre-aggregated per (user, ts) so equal-timestamp
+    * versions cannot race arrival order (none exist in the fixture;
+    * the oracle mirrors the same rollup). featureRetention = forever:
+    * exact batch parity, probes arbitrarily later than the last
+    * feature still see it. The DuckDB oracle replays the as-of lookup
+    * as a lateral top-1; ts are exact integer micros, values raw
+    * doubles.
+    */
+  def streamAsOfJoin(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(s, d, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id"), col("ts").cast("timestamp").as("feat_ts"))
+      .agg(max(col("value")).as("value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        col("ts").cast("timestamp").as("ts"))
+    val sentinelTs = lit("2024-12-31 00:00:00").cast("timestamp")
+    val featFix = views.unionByName(s.range(1).select(
+      lit(-1L).as("user_id"), sentinelTs.as("feat_ts"), lit(0.0).as("value")))
+    val spineFix = purchases.unionByName(s.range(1).select(
+      lit(-1L).as("event_id"), lit(-1L).as("user_id"), sentinelTs.as("ts")))
+    val dir = "/tmp/graft_q199_pit_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    featFix.coalesce(1).write.mode("overwrite").parquet(s"$dir/features")
+    spineFix.coalesce(1).write.mode("overwrite").parquet(s"$dir/spine")
+    val joined = graft.streaming.StreamingPit.asOfJoin(
+      s.readStream.schema(spineFix.schema).parquet(s"$dir/spine"),
+      s.readStream.schema(featFix.schema).parquet(s"$dir/features"),
+      keyCol = "user_id", tsCol = "ts", idCol = "event_id",
+      featTsCol = "feat_ts", valueCol = "value",
+      watermarkDelay = "1 minute", featureRetention = "forever")
+    val qname = "graft_stream_pit_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q199-ck-").toString
+    val query = joined.toDF.writeStream.format("memory").queryName(qname)
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val out = s.table(qname)
+      .filter(col("probe_id") >= 0) // the sentinel can't emit; belt anyway
+      .select(col("probe_id"), col("user_id"), col("ts_us"),
+        col("feature_ts_us"), col("feature_value"))
+      .orderBy("probe_id")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    out
+  }
+
   /** IVF-routed semantic decontamination as an INVARIANT gate (r13 —
     * the driver-visible face of [[graft.ext.Decontamination
     * .retainBelowIvf]], q187's corpus-scale sibling). The routed
@@ -155,6 +218,24 @@ private[graft] trait OraclesRound13 { this: OracleSnippets =>
         |    AS n_retained_exact,
         |  TRUE AS full_probe_matches_exact,
         |  TRUE AS routed_superset_ok,
-        |  TRUE AS routed_bounds_ok""".stripMargin
+        |  TRUE AS routed_bounds_ok""".stripMargin,
+
+    // batch replay of the streaming as-of join: per purchase, the
+    // latest at-or-before view (views pre-rolled per (user, ts) like
+    // the gate), exact integer micros, NULL when no version precedes
+    "q199_stream_asof_join" ->
+      """WITH f AS (
+        |  SELECT user_id, ts AS fts, max(value) AS value
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_id AS probe_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT probe_id, p.user_id, epoch_us(p.ts) AS ts_us,
+        |  epoch_us(b.fts) AS feature_ts_us, b.value AS feature_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT fts, value FROM f
+        |  WHERE f.user_id = p.user_id AND f.fts <= p.ts
+        |  ORDER BY fts DESC LIMIT 1) b ON TRUE
+        |ORDER BY probe_id""".stripMargin
   )
 }

@@ -237,6 +237,7 @@ object SparkEntry {
     "q196_jsonl_ingest" -> ((s, d) => PipelinesExt.jsonlIngest(s, d)),
     "q197_stream_interval_join" -> ((s, d) => PipelinesExt.streamIntervalJoin(s, d)),
     "q198_decontam_ivf" -> ((s, d) => PipelinesExt.decontamIvfGate(s, d)),
+    "q199_stream_asof_join" -> ((s, d) => PipelinesExt.streamAsOfJoin(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
