@@ -39,8 +39,9 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // Pin SF-dependent oracle fragments (q196's JSONL fixture path) to
-    // THIS run's dataset dir before interpolating the oracle map.
+    // Pin SF-dependent oracle fragments (q44's CSV and q196's JSONL
+    // fixture paths) to THIS run's dataset dir before interpolating
+    // the oracle map.
     PipelinesRound12.oracleDatasetDir = sfDir
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")

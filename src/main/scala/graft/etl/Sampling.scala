@@ -502,8 +502,8 @@ object Sampling {
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     require(!counts.contains(null),
       s"largestRemainderSample: NULL $strataCol stratum — a NULL never " +
-        "matches the quota CASE, so its seats would silently vanish; " +
-        "recode or drop NULL strata first")
+        "matches the quota-table join, so its seats would silently " +
+        "vanish; recode or drop NULL strata first")
     val quotas = largestRemainderQuotas(counts, total)
     val quotaDf = df.sparkSession
       .createDataFrame(quotas.toSeq).toDF(strataCol, "_lrq_quota")
