@@ -111,11 +111,23 @@ object ScaleCheck {
       ScaleCheckState.pendingRelease = release
       out
     }
+    // Tier D — the decontamination gram join (q194 shape): the md5
+    // 80/20 split is a scan-stage filter on both reads, the train side
+    // collapses to its distinct gram set, and the overlap shuffles BOTH
+    // sides on the gram key — the heaviest non-banded shuffle tier.
+    def tierContamination(s: Int): DataFrame = {
+      val d = docs(s)
+      val isTrain = md5(col("doc_id").cast("string")) <
+        lit(graft.etl.Sampling.hexThreshold(0.8))
+      graft.ext.TextAnalysis.contaminationHitsNgram(
+        d.filter(!isTrain), "doc_id", "text", d.filter(isTrain), "text", n = 8)
+    }
 
     val tiers: Seq[(String, Int => DataFrame)] = Seq(
       ("minhash_retention", tierMinhash),
       ("setsim_exact_join", tierSetSim),
-      ("global_index", tierGlobalIndex))
+      ("global_index", tierGlobalIndex),
+      ("contamination_gram_join", tierContamination))
 
     // ------------------------------------------------ measurement
     // min-of-2 timed noop evaluations (the Bench discipline) + one
@@ -157,7 +169,9 @@ object ScaleCheck {
     md.append("- tiers: `Dedup.minhashPairs` (k=3, 32 hashes, 8 bands, t=0.5) →\n")
     md.append("  `retainFromPairs` (CC + anti join); `SetSimJoin.jaccardJoinExact`\n")
     md.append("  (t=0.9, doc_id%10=0 slice — the q154/q189 slice discipline, scaled\n")
-    md.append("  with the corpus); `GlobalIndex.withGlobalIndex` over (md5(text), doc_id).\n\n")
+    md.append("  with the corpus); `GlobalIndex.withGlobalIndex` over (md5(text), doc_id);\n")
+    md.append("  `TextAnalysis.contaminationHitsNgram` over the md5 80/20 split (the\n")
+    md.append("  q194 shape — both sides shuffle on the 8-gram key).\n\n")
     md.append("| tier | scale | rows in | rows out | wall (s) | wall ratio vs prev | input ratio |\n")
     md.append("|---|---|---|---|---|---|---|\n")
     for ((tname, group) <- results.groupBy(_._1).toSeq.sortBy(_._1)) {
