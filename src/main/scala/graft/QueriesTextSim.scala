@@ -92,8 +92,16 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
       portableHash = true)
     val qname = "graft_stream_neardup_" +
       PipelinesTextSim.streamGateRuns.incrementAndGet()
-    val query = pairs.writeStream.format("memory").queryName(qname)
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // 8 state partitions (the q197 rationale, r13): at gate volume the
+    // 32-partition default spends the run opening empty state stores;
+    // the emitted pair set is partition-count independent (keyed state)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val query =
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        pairs.writeStream.format("memory").queryName(qname)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     query.awaitTermination()
     // materialize off the memory sink, then DROP it — repeated gate
     // runs (Bench's min-of-2, long sessions) would otherwise pin every
