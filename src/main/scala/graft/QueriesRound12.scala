@@ -156,16 +156,12 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
         StructField("day_us", LongType), StructField("n_events", LongType),
         StructField("sum_vq", LongType)))))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q195-ck-").toString
-    // 8 state partitions (the q197 rationale, r13): per-(user, day)
-    // window state is partition-count independent
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        graft.streaming.StreamingFeatures.maintainDailyValueSums(stream, store,
-          "daily_sums_gate", "user_id", "ts", "value", ckpt,
-          valueScale = 100.0, watermarkDelay = Some("3650 days"))
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // per-(user, day) window state is partition-count independent
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      graft.streaming.StreamingFeatures.maintainDailyValueSums(stream, store,
+        "daily_sums_gate", "user_id", "ts", "value", ckpt,
+        valueScale = 100.0, watermarkDelay = Some("3650 days"))
+    }
     query.awaitTermination()
     val out = store.readTable("daily_sums_gate")
       .select(col("user_id"), col("day_us"), col("n_events"), col("sum_vq"))

@@ -46,22 +46,15 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     val qname = "graft_stream_ivj_" +
       PipelinesTextSim.streamGateRuns.incrementAndGet()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q197-ck-").toString
-    // scope the streaming query to 8 state partitions: a stream-stream
-    // join opens TWO state stores per partition, and at gate volume the
-    // 32-partition default spends the gate in store setup (6.9 s → the
-    // join itself is sub-second). The result is partition-count
-    // independent (hash equi join); a production deployment sizes this
-    // to its key volume. Restored in finally — queries run one at a
-    // time under Verify/Bench.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // a stream-stream join opens TWO state stores per partition — the
+    // motivating case for the shared 8-partition scope (6.9 s → 2.7 s
+    // measured; the join itself is sub-second)
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      joined.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     query.awaitTermination()
     // materialize off the memory sink, then DROP it and the checkpoint
     // (the q195 scratch discipline — Bench runs every gate twice)
@@ -121,17 +114,12 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     val qname = "graft_stream_pit_" +
       PipelinesTextSim.streamGateRuns.incrementAndGet()
     val ckpt = java.nio.file.Files.createTempDirectory("graft-q199-ck-").toString
-    // 8 state partitions, the q197 rationale: gate volume spends the
-    // default 32-partition setup cost on empty stores
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        joined.toDF.writeStream.format("memory").queryName(qname)
-          .outputMode("append")
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      joined.toDF.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
     query.awaitTermination()
     val out = s.table(qname)
       .filter(col("probe_id") >= 0) // the sentinel can't emit; belt anyway

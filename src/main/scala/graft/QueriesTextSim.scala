@@ -92,16 +92,10 @@ private[graft] trait PipelinesTextSim { this: PipelinesBase =>
       portableHash = true)
     val qname = "graft_stream_neardup_" +
       PipelinesTextSim.streamGateRuns.incrementAndGet()
-    // 8 state partitions (the q197 rationale, r13): at gate volume the
-    // 32-partition default spends the run opening empty state stores;
-    // the emitted pair set is partition-count independent (keyed state)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val query =
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        pairs.writeStream.format("memory").queryName(qname)
-          .outputMode("append").trigger(Trigger.AvailableNow()).start()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      pairs.writeStream.format("memory").queryName(qname)
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    }
     query.awaitTermination()
     // materialize off the memory sink, then DROP it — repeated gate
     // runs (Bench's min-of-2, long sessions) would otherwise pin every
@@ -355,6 +349,24 @@ private[graft] object PipelinesTextSim {
     * name).
     */
   val streamGateRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Start a streaming query under 8 state partitions (r13): a
+    * stateful operator opens its stores per shuffle partition and the
+    * 32-partition session default spends a gate-sized run on empty
+    * stores (q197 measured 6.9 s → 2.7 s). Keyed-state output is
+    * partition-count independent; a production deployment sizes this
+    * to its key volume. The partition count pins into the query's
+    * offset log at start, so the session conf is restored immediately
+    * after — queries run one at a time under Verify/Bench.
+    */
+  def withStreamStatePartitions[A](s: org.apache.spark.sql.SparkSession)(
+      start: => A): A = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      start
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
 
   private val stagedDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
