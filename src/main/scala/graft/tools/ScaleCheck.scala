@@ -122,12 +122,49 @@ object ScaleCheck {
       graft.ext.TextAnalysis.contaminationHitsNgram(
         d.filter(!isTrain), "doc_id", "text", d.filter(isTrain), "text", n = 8)
     }
+    // Tier E — the IVF SERVING probe against a materialized index: the
+    // claim under test is that a probe reads nprobe partition-pruned
+    // cells, i.e. ~nprobe·n/nlist vectors, NOT the corpus — with the
+    // faiss nlist ≈ √n discipline the probe cost should grow ~√n while
+    // the corpus grows n. Vectors are deterministic md5-derived
+    // 16-dim doubles (vec_id ⊕ dim), so every scale's geometry is a
+    // pure function of the ids; the index builds ONCE per scale
+    // (memoized like the doc fixtures, build seconds logged untimed).
+    def ivfVectors(s: Int): DataFrame = docs(s).select(
+      col("doc_id").as("vec_id"),
+      expr("""transform(sequence(0, 15), i ->
+        cast(conv(substring(md5(concat(cast(doc_id as string), ':',
+          cast(i as string))), 1, 8), 16, 10) as double)
+        / 4294967296.0 - 0.5)""").as("embedding"))
+    def ivfNlist(s: Int): Int = 8 * math.round(math.sqrt(s)).toInt
+    def ivfDir(s: Int): String = {
+      val dir = s"/tmp/graft_scale_ivf_${s}x"
+      val marker = Paths.get(dir, "_graft_base_stamp")
+      val fresh = Files.isDirectory(Paths.get(dir)) &&
+        Files.exists(marker) &&
+        (try Files.readString(marker).trim == stamp
+         catch { case _: Exception => false })
+      if (!fresh) {
+        val t0 = System.nanoTime()
+        graft.ext.Similarity.ivfIndexWrite(ivfVectors(s), dir,
+          nlist = ivfNlist(s))
+        println(f"[scale] ivf_index_build     ${s}%3dx nlist=${ivfNlist(s)}%4d " +
+          f"build=${(System.nanoTime() - t0) / 1e9}%8.2fs")
+        Files.writeString(marker, stamp)
+        ()
+      }
+      dir
+    }
+    def tierIvfProbe(s: Int): DataFrame =
+      graft.ext.Similarity.ivfIndexedTopK(spark, ivfDir(s),
+        ivfVectors(s).filter(col("vec_id") < 10), k = 5, nprobe = 4)
 
     val tiers: Seq[(String, Int => DataFrame)] = Seq(
       ("minhash_retention", tierMinhash),
       ("setsim_exact_join", tierSetSim),
       ("global_index", tierGlobalIndex),
-      ("contamination_gram_join", tierContamination))
+      ("contamination_gram_join", tierContamination),
+      ("ivf_serving_probe", tierIvfProbe))
 
     // ------------------------------------------------ measurement
     // min-of-2 timed noop evaluations (the Bench discipline) + one
@@ -171,7 +208,11 @@ object ScaleCheck {
     md.append("  (t=0.9, doc_id%10=0 slice — the q154/q189 slice discipline, scaled\n")
     md.append("  with the corpus); `GlobalIndex.withGlobalIndex` over (md5(text), doc_id);\n")
     md.append("  `TextAnalysis.contaminationHitsNgram` over the md5 80/20 split (the\n")
-    md.append("  q194 shape — both sides shuffle on the 8-gram key).\n\n")
+    md.append("  q194 shape — both sides shuffle on the 8-gram key);\n")
+    md.append("  `Similarity.ivfIndexedTopK` 10-query probe against a per-scale\n")
+    md.append("  materialized index (nlist ≈ 8·√scale, the faiss √n discipline —\n")
+    md.append("  the partition-pruned probe should grow ~√n while the corpus grows n;\n")
+    md.append("  index build seconds logged untimed at generation).\n\n")
     md.append("| tier | scale | rows in | rows out | wall (s) | wall ratio vs prev | input ratio |\n")
     md.append("|---|---|---|---|---|---|---|\n")
     for ((tname, group) <- results.groupBy(_._1).toSeq.sortBy(_._1)) {
