@@ -158,6 +158,41 @@ object ScaleCheck {
     def tierIvfProbe(s: Int): DataFrame =
       graft.ext.Similarity.ivfIndexedTopK(spark, ivfDir(s),
         ivfVectors(s).filter(col("vec_id") < 10), k = 5, nprobe = 4)
+    // Tier F — the STREAMING watermarked window aggregation
+    // (StreamingFeatures.userEventFeatures, the q195-family shape),
+    // driven AvailableNow over the same replicated corpus mapped to
+    // the event schema. Replica doc_id offsets are multiples of 10⁷,
+    // so `doc_id % 100000` maps every replica onto the SAME time
+    // range and `doc_id % 1000` onto the same user set: events per
+    // (window, user) group grow with scale while the GROUP COUNT is
+    // fixed — the production claim under test is that streaming
+    // throughput grows ~linearly with input while state stays bounded
+    // by windows×users. The rows-out column reports the state store's
+    // numRowsTotal (the real state cardinality), not emitted rows.
+    def tierStreamAgg(s: Int): (Double, Long) = {
+      val ckpt = Files.createTempDirectory("graft_scale_stream_ck").toString
+      val events = spark.readStream.schema(docs(s).schema).parquet(dirs(s))
+        .select(
+          timestamp_seconds(lit(1600000000L) +
+            pmod(col("doc_id"), lit(100000L)) * 60).as("ts"),
+          pmod(col("doc_id"), lit(1000L)).as("user_id"),
+          length(col("text")).cast("double").as("value"),
+          when(pmod(col("doc_id"), lit(7)) === 0, "purchase")
+            .otherwise("view").as("event_type"))
+      val out = graft.streaming.StreamingFeatures.userEventFeatures(events)
+      val t0 = System.nanoTime()
+      val q = out.writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val stateRows = Option(q.lastProgress)
+        .flatMap(p => p.stateOperators.headOption)
+        .map(_.numRowsTotal).getOrElse(0L)
+      graft.PipelinesRound12.deleteRecursively(Paths.get(ckpt))
+      (wall, stateRows)
+    }
 
     val tiers: Seq[(String, Int => DataFrame)] = Seq(
       ("minhash_retention", tierMinhash),
@@ -177,7 +212,7 @@ object ScaleCheck {
       secs
     }
 
-    val results: Seq[(String, Int, Long, Double, Long)] = for {
+    val batchResults: Seq[(String, Int, Long, Double, Long)] = for {
       (tname, tfn) <- tiers
       s <- Scales
     } yield {
@@ -188,6 +223,15 @@ object ScaleCheck {
       println(f"[scale] $tname%-18s ${s}%2dx rows_in=$rowsIn%7d out=$out%9d wall=$best%8.2fs")
       (tname, s, rowsIn, best, out)
     }
+    val streamResults: Seq[(String, Int, Long, Double, Long)] = Scales.map { s =>
+      val rowsIn = docs(s).count()
+      val (w1, stateRows) = tierStreamAgg(s)
+      val (w2, _) = tierStreamAgg(s)
+      val best = math.min(w1, w2)
+      println(f"[scale] stream_windowed_agg ${s}%2dx rows_in=$rowsIn%7d state=$stateRows%8d wall=$best%8.2fs")
+      ("stream_windowed_agg", s, rowsIn, best, stateRows)
+    }
+    val results = batchResults ++ streamResults
     val loadAfter = loadavg()
 
     // ------------------------------------------------ report
@@ -212,7 +256,16 @@ object ScaleCheck {
     md.append("  `Similarity.ivfIndexedTopK` 10-query probe against a per-scale\n")
     md.append("  materialized index (nlist ≈ 8·√scale, the faiss √n discipline —\n")
     md.append("  the partition-pruned probe should grow ~√n while the corpus grows n;\n")
-    md.append("  index build seconds logged untimed at generation).\n\n")
+    md.append("  index build seconds logged untimed at generation);\n")
+    md.append("  `StreamingFeatures.userEventFeatures` (watermark + window + append,\n")
+    md.append("  the q195-family shape) AvailableNow over the corpus mapped to the\n")
+    md.append("  event schema — replica ids collapse mod 10⁵/10³ onto one time range\n")
+    md.append("  and user set, so events per group grow with scale while the group\n")
+    md.append("  count is fixed; its rows-out column is the state store's FINAL\n")
+    md.append("  numRowsTotal, not emitted rows — the constant small value is the\n")
+    md.append("  watermark-LIVE remainder (finalized windows were evicted after\n")
+    md.append("  emission; total groups are ~30× more), i.e. both halves of the\n")
+    md.append("  bounded-state claim measured: state ≪ input, and eviction works.\n\n")
     md.append("| tier | scale | rows in | rows out | wall (s) | wall ratio vs prev | input ratio |\n")
     md.append("|---|---|---|---|---|---|---|\n")
     for ((tname, group) <- results.groupBy(_._1).toSeq.sortBy(_._1)) {
