@@ -498,8 +498,24 @@ object Sampling {
       s"largestRemainderSample: $strataCol must be a string stratum " +
         s"(cast first — e.g. a cluster id via .cast(\"string\")), got " +
         df.schema(strataCol).dataType.typeName)
+    // a caller frame already carrying a helper column would be silently
+    // REPLACED by withColumn and then restored with rank values by the
+    // final column-order select (the stratumLookup requireFresh
+    // discipline — r13 fresh-eyes audit)
+    val clash = df.columns.filter(c => c == "_lrq_rn" || c == "_lrq_quota")
+    require(clash.isEmpty,
+      s"largestRemainderSample: input already has internal column(s) " +
+        s"${clash.mkString(", ")} — rename them before sampling")
     val counts = df.groupBy(col(strataCol)).count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) {
+      // zero strata: total = 0 is trivially satisfied by the empty
+      // frame; any positive total is unfillable — fail with a named
+      // error instead of the bare max-of-empty it used to throw
+      require(total == 0,
+        s"largestRemainderSample: empty input cannot fill total=$total")
+      return df
+    }
     require(!counts.contains(null),
       s"largestRemainderSample: NULL $strataCol stratum — a NULL never " +
         "matches the quota-table join, so its seats would silently " +

@@ -46,6 +46,14 @@ object Decontamination {
     * The probe count is checked with a bounded `limit(maxProbes+1)`
     * count — it short-circuits, so the guard costs one bounded scan
     * even when a caller mistakenly passes the full corpus.
+    *
+    * A corpus vector NO probe reaches (an empty probe set, or
+    * `excludeSelf` against a singleton self-probe) is RETAINED with a
+    * NULL max_probe_cos — the [[retainBelowIvf]] contract. The join is
+    * left-outer for exactly this: the first cut's inner join dropped
+    * the whole corpus for an empty probe frame (r13 fresh-eyes audit),
+    * which is the opposite of what "nothing to decontaminate against"
+    * means.
     */
   def retainBelow(corpus: DataFrame, probes: DataFrame, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding",
@@ -60,13 +68,11 @@ object Decontamination {
       Similarity.asDouble(col(embCol)).as("_pe"))
     val base = corpus.select(col(idCol),
       Similarity.asDouble(col(embCol)).as("_e"))
-    val joined =
-      if (excludeSelf) base.join(broadcast(p), col(idCol) =!= col("_pid"))
-      else base.crossJoin(broadcast(p))
-    joined
+    val cond = if (excludeSelf) col(idCol) =!= col("_pid") else lit(true)
+    base.join(broadcast(p), cond, "left_outer")
       .groupBy(col(idCol))
       .agg(max(Similarity.cosine(col("_e"), col("_pe"))).as("max_probe_cos"))
-      .filter(col("max_probe_cos") < threshold)
+      .filter(col("max_probe_cos").isNull || col("max_probe_cos") < threshold)
   }
 
   /** IVF-routed decontamination for probe sets too large to broadcast.

@@ -344,6 +344,25 @@ class SamplingSpec extends SparkSpec {
       Sampling.largestRemainderSample(withNull, "grp", col("id"), 5L))
   }
 
+  test("largestRemainderSample: helper-column clash and empty-input edges are named errors (r13)") {
+    val df = spark.range(10)
+      .select(col("id"), concat(lit("s"), col("id") % 2).as("grp"))
+    // a caller frame already carrying _lrq_rn used to be silently
+    // REPLACED by the rank column and restored with rank values
+    val clash = df.withColumn("_lrq_rn", lit(7L))
+    val e = intercept[IllegalArgumentException](
+      Sampling.largestRemainderSample(clash, "grp", col("id"), 5L))
+    assert(e.getMessage.contains("_lrq_rn"))
+    // empty input: total = 0 returns the empty frame; a positive total
+    // is unfillable and must be a NAMED error, not max-of-empty
+    val empty = df.filter(lit(false))
+    assert(Sampling.largestRemainderSample(empty, "grp", col("id"), 0L)
+      .count() === 0L)
+    val e2 = intercept[IllegalArgumentException](
+      Sampling.largestRemainderSample(empty, "grp", col("id"), 5L))
+    assert(e2.getMessage.contains("empty input"))
+  }
+
   test("stratifiedSample: broadcast-join lookup past the CASE limit ≡ the CASE path (r13)") {
     // 100 strata forces the join shape; the same fractions through a
     // ≤64-stratum call (two disjoint halves unioned) take the CASE

@@ -76,6 +76,23 @@ class DecontaminationSpec extends SparkSpec {
     }
   }
 
+  test("an empty probe set retains the whole corpus (NULL max) in BOTH variants") {
+    // r13 fresh-eyes audit: the first cut's inner join dropped the
+    // ENTIRE corpus for an empty probe frame while the IVF variant
+    // retained it — "nothing to decontaminate against" must retain.
+    val none = probes.filter(lit(false))
+    val bc = Decontamination.retainBelow(emb, none, threshold)
+      .collect().toSeq
+    assert(bc.size == emb.count())
+    assert(bc.forall(_.isNullAt(1)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-decontam-").toString
+    Similarity.ivfIndexWrite(emb, dir, nlist = 8)
+    val ivf = Decontamination.retainBelowIvf(spark, dir, none, threshold,
+      nprobe = 2).collect().toSeq
+    assert(ivf.size == emb.count())
+    assert(ivf.forall(_.isNullAt(1)))
+  }
+
   test("retainBelowIvf at nprobe < nlist retains a superset; routed maxima are lower bounds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-decontam-").toString
     Similarity.ivfIndexWrite(emb, dir, nlist = 8)
