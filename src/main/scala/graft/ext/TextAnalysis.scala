@@ -232,13 +232,19 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
       .groupBy(col(idCol))
       .agg(countDistinct(col(probeCol)).as("n_hits"))
 
-  /** Distinct md5 fingerprints of a text's word n-grams — pure HOF
-    * expressions, md5 so the fingerprint is portable to the oracle.
+  /** Distinct md5 fingerprints of a text's word n-grams — BinaryType
+    * 16-byte digests (NOT hex strings): grams exist only to shuffle,
+    * distinct, and equi-join, and the binary form halves those key
+    * bytes (see [[graft.functions.VectorExpressions.NgramMd5Fingerprints]]
+    * for the measured effect). `lower(hex(g))` recovers the portable
+    * oracle hex form when a human-readable fingerprint is needed;
+    * count-valued oracles are unaffected (hex↔binary is bijective, so
+    * distinct counts and join hit-sets are identical).
     *
     * `maxTokens` bounds the PER-ROW intermediate: the gram array
     * materializes in one row before explode, so a 10M-token outlier
     * document would otherwise build a ~GB unsafe row. The default cap
-    * (128k tokens ≈ 4 MB of grams) covers any sane document; longer
+    * (128k tokens ≈ 2 MB of grams) covers any sane document; longer
     * texts are fingerprinted on their first maxTokens tokens —
     * acceptable for contamination screening (chunk upstream if full
     * coverage of book-length rows is required).
@@ -388,7 +394,10 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     toks.select(col(idCol),
       explode(transform(starts, i =>
         struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("_t"), i, lit(n)))).as("g")))).as("_o"))
+          // binary digest key (not hex): `_g` only shuffles and joins,
+          // and the 16-byte form halves those exchanges — the
+          // NgramMd5Fingerprints representation argument
+          unhex(md5(concat_ws(" ", slice(col("_t"), i, lit(n))))).as("g")))).as("_o"))
       .select(col(idCol), col("_o.pos").as("_pos"), col("_o.g").as("_g"))
   }
 

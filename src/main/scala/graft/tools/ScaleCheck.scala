@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * clone every duplicate cluster and grow the pair set
   * quadratically — that would measure the fixture, not the operator.
   *
-  * Run: `sbt "runMain graft.tools.ScaleCheck"` (optional arg: base
-  * dataset dir, default sf0.1).
+  * Run: `sbt "runMain graft.tools.ScaleCheck"` (optional args: base
+  * dataset dir, default sf0.1; a comma-separated tier-name filter; a
+  * comma-separated scale filter, e.g. `64,256`). A filtered run
+  * PRINTS its cells but does not rewrite SCALE.md — partial sweeps
+  * are for investigation, the committed table is always a full one.
+  * `SPARK_GRAFT_SHUFFLE` overrides shuffle.partitions independently
+  * of the thread count (to test partition-scaling hypotheses).
   */
 object ScaleCheck {
 
@@ -34,10 +39,16 @@ object ScaleCheck {
 
   def main(args: Array[String]): Unit = {
     val baseDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val tierFilter: Option[Set[String]] =
+      args.lift(1).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val scaleFilter: Option[Set[Int]] =
+      args.lift(2).map(_.split(",").map(_.trim.toInt).toSet)
+    val filtered = tierFilter.isDefined || scaleFilter.isDefined
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -57,7 +68,8 @@ object ScaleCheck {
     val baseFile = Paths.get(baseDir, "documents.parquet")
     val stamp =
       s"${Files.size(baseFile)}:${Files.getLastModifiedTime(baseFile).toMillis}"
-    val dirs: Map[Int, String] = Scales.map { s =>
+    val activeScales = scaleFilter.map(f => Scales.filter(f)).getOrElse(Scales)
+    val dirs: Map[Int, String] = activeScales.map { s =>
       val dir = s"/tmp/graft_scale_docs_${s}x"
       val marker = Paths.get(dir, "_graft_base_stamp")
       val fresh = Files.isDirectory(Paths.get(dir)) &&
@@ -194,12 +206,17 @@ object ScaleCheck {
       (wall, stateRows)
     }
 
-    val tiers: Seq[(String, Int => DataFrame)] = Seq(
+    val allTiers: Seq[(String, Int => DataFrame)] = Seq(
       ("minhash_retention", tierMinhash),
       ("setsim_exact_join", tierSetSim),
       ("global_index", tierGlobalIndex),
       ("contamination_gram_join", tierContamination),
       ("ivf_serving_probe", tierIvfProbe))
+    val tiers = tierFilter match {
+      case Some(f) => allTiers.filter(t => f(t._1))
+      case None    => allTiers
+    }
+    val runStream = tierFilter.forall(_("stream_windowed_agg"))
 
     // ------------------------------------------------ measurement
     // min-of-2 timed noop evaluations (the Bench discipline) + one
@@ -214,7 +231,7 @@ object ScaleCheck {
 
     val batchResults: Seq[(String, Int, Long, Double, Long)] = for {
       (tname, tfn) <- tiers
-      s <- Scales
+      s <- activeScales
     } yield {
       val rowsIn = docs(s).count()
       val best = math.min(timeOnce(tfn(s)), timeOnce(tfn(s)))
@@ -223,7 +240,8 @@ object ScaleCheck {
       println(f"[scale] $tname%-18s ${s}%2dx rows_in=$rowsIn%7d out=$out%9d wall=$best%8.2fs")
       (tname, s, rowsIn, best, out)
     }
-    val streamResults: Seq[(String, Int, Long, Double, Long)] = Scales.map { s =>
+    val streamResults: Seq[(String, Int, Long, Double, Long)] =
+      (if (runStream) activeScales else Seq.empty).map { s =>
       val rowsIn = docs(s).count()
       val (w1, stateRows) = tierStreamAgg(s)
       val (w2, _) = tierStreamAgg(s)
@@ -233,6 +251,13 @@ object ScaleCheck {
     }
     val results = batchResults ++ streamResults
     val loadAfter = loadavg()
+    if (filtered) {
+      println(s"[scale] filtered run (tiers=${tiers.map(_._1).mkString(",")}" +
+        s" scales=${activeScales.mkString(",")}" +
+        s" shuffle=$shufflePartitions) — SCALE.md NOT rewritten")
+      spark.stop()
+      return
+    }
 
     // ------------------------------------------------ report
     val md = new StringBuilder

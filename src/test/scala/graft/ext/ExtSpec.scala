@@ -68,13 +68,16 @@ class TextAnalysisSpec extends SparkSpec {
       "solo",
       "", null.asInstanceOf[String],
       "x " * 300 + "tail").toDF("text")
-    // the pre-fusion HOF chain, inlined as the oracle
+    // the pre-fusion HOF chain, inlined as the oracle; the fused
+    // expression emits BinaryType digests, so hex it back to the
+    // portable oracle form for the comparison (bijective)
     def hofFingerprints(text: org.apache.spark.sql.Column, n: Int, maxTokens: Int) = {
       val w = slice(TextAnalysis.tokens(text), 1, maxTokens)
       array_distinct(transform(TextAnalysis.wordNgramsOf(w, n), g => md5(g)))
     }
     val both = docs.select(
-      TextAnalysis.ngramFingerprints(col("text"), 3, maxTokens = 64).as("fused"),
+      transform(TextAnalysis.ngramFingerprints(col("text"), 3, maxTokens = 64),
+        g => lower(hex(g))).as("fused"),
       hofFingerprints(col("text"), 3, 64).as("hof"))
     val rows = both.collect()
     rows.foreach { r =>
