@@ -187,6 +187,124 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
         (col("_d3") === 0L).as("routed_superset_ok"),
         (col("_d4") === 0L).as("routed_bounds_ok"))
   }
+
+  /** Streaming content dedup as a hash gate (r13 — the FIFTH streaming
+    * tier made driver-visible): the documents corpus, stamped with a
+    * deterministic event time (epoch 2024-01-01 + doc_id seconds),
+    * flows through [[graft.streaming.StreamingFeatures
+    * .dedupDocsByContent]] — `dropDuplicatesWithinWatermark` keyed on
+    * the SAME normalized-text md5 fingerprint as batch
+    * `Dedup.exactDedup` — under Trigger.AvailableNow.
+    *
+    * Determinism under arbitrary file/micro-batch order: WHICH copy is
+    * kept per fingerprint is arrival-order-specific, so the gate keeps
+    * only the fingerprint column of each emission (identical across
+    * copies) and re-derives keeper identity batch-side. The 40-day
+    * delay exceeds the fixture's stamped span, so (a) every duplicate
+    * pair is within the watermark of each other — the emitted SET must
+    * equal batch-distinct exactly — and (b) no row can arrive behind
+    * the watermark. n_emissions gates once-only emission: a dedup that
+    * leaks a key twice (or drops one) breaks the hash, as does any
+    * spurious fingerprint (NULL keep_id via the left-outer join).
+    */
+  def streamContentDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = t(s, d, "documents")
+    // 2024-01-01T00:00:00Z + doc_id seconds — exact integer micros
+    val base = docs.select(col("doc_id"), col("text"))
+      .withColumn("ts",
+        timestamp_micros(lit(1704067200000000L) + col("doc_id") * lit(1000000L)))
+    val dir = "/tmp/graft_q200_docs_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = s.readStream.schema(base.schema).parquet(dir)
+    val deduped = graft.streaming.StreamingFeatures.dedupDocsByContent(
+      stream, textCol = "text", tsCol = "ts", watermarkDelay = "40 days")
+    val qname = "graft_stream_dedup_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q200-ck-").toString
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      deduped.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    query.awaitTermination()
+    val emitted = s.table(qname)
+      .groupBy(col("fingerprint")).agg(count(lit(1)).as("n_emissions"))
+    val groups = docs
+      .withColumn("fingerprint",
+        graft.ext.TextAnalysis.fingerprint(col("text")))
+      .groupBy(col("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val out = emitted
+      .join(groups, Seq("fingerprint"), "left_outer")
+      .select(col("fingerprint"), col("n_emissions"), col("keep_id"),
+        col("n_copies"))
+      .orderBy("keep_id")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    out
+  }
+
+  /** Streaming sessionization as a hash gate (r13 — the SIXTH
+    * streaming tier made driver-visible, and the q34 batch gate's
+    * stream twin): the events fixture flows through
+    * [[graft.streaming.Sessionize.streaming]] — flatMapGroupsWithState
+    * with EVENT-TIME TIMEOUT, one open session of state per user —
+    * and every closed session gates against the batch lag/window
+    * session SQL.
+    *
+    * Determinism: values are pre-quantized to integer-valued doubles
+    * (floor(v·100 + 0.5), the q195 valueScale discipline) so the
+    * per-session running sum is exact integer arithmetic regardless of
+    * arrival order; equal-timestamp events cannot split a session in
+    * either formulation (gap 0 ≤ gapMicros) and their sums commute. A
+    * sentinel event 11 months past the fixture pushes the final
+    * watermark beyond every real session's end + gap, so the closing
+    * no-data batch times out and emits every open session. Output
+    * omits session ordinals (engine-specific emission order) and keys
+    * sessions by (user_id, start_us) — the oracle groups identically.
+    */
+  def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val gapMicros = 14400000000L // 4 h — q34's session definition
+    val ev = t(s, d, "events").select(
+      col("user_id"),
+      col("ts").cast("timestamp").as("ts"),
+      floor(col("value") * lit(100.0) + lit(0.5)).cast("double").as("value"))
+    val sentinelTs = lit("2024-12-31 00:00:00").cast("timestamp")
+    val fix = ev.unionByName(s.range(1).select(
+      lit(-1L).as("user_id"), sentinelTs.as("ts"), lit(0.0).as("value")))
+    val dir = "/tmp/graft_q201_sess_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    fix.coalesce(1).write.mode("overwrite").parquet(dir)
+    import s.implicits._
+    val stream = s.readStream.schema(fix.schema).parquet(dir)
+      .as[graft.streaming.Sessionize.SessEvent]
+    val sessions = graft.streaming.Sessionize.streaming(stream, gapMicros,
+      watermarkDelay = "1 minute")
+    val qname = "graft_stream_sess_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q201-ck-").toString
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      sessions.toDF.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    query.awaitTermination()
+    val out = s.table(qname)
+      .filter(col("user_id") >= 0) // the sentinel's session never times out
+      .select(col("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value").cast("long").as("sum_vq"))
+      .orderBy("user_id", "start_us")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    out
+  }
 }
 
 private[graft] trait OraclesRound13 { this: OracleSnippets =>
@@ -243,6 +361,34 @@ private[graft] trait OraclesRound13 { this: OracleSnippets =>
         |  SELECT fts, value FROM f
         |  WHERE f.user_id = p.user_id AND f.fts <= p.ts
         |  ORDER BY fts DESC LIMIT 1) b ON TRUE
-        |ORDER BY probe_id""".stripMargin
+        |ORDER BY probe_id""".stripMargin,
+
+    // batch replay of the streaming content dedup: the emitted
+    // fingerprint set must equal batch-distinct, each key exactly once
+    "q200_stream_dedup" ->
+      s"""SELECT $fpSql AS fingerprint,
+         |  CAST(1 AS BIGINT) AS n_emissions,
+         |  CAST(min(doc_id) AS BIGINT) AS keep_id,
+         |  CAST(count(*) AS BIGINT) AS n_copies
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+
+    // batch replay of the streaming sessionizer: q34's lag/window
+    // session assignment, sessions keyed by (user, start) instead of
+    // ordinal, values quantized per event (the q195 floor(v*100+0.5)
+    // discipline) so both engines sum exact integers
+    "q201_stream_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CAST(floor(value * 100.0e0 + 0.5e0) AS BIGINT) AS vq FROM events),
+        |s AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL THEN 1
+        |                     WHEN us - lag(us) OVER w > 14400000000 THEN 1
+        |                     ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s2 AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |         ROWS UNBOUNDED PRECEDING) AS session_id FROM s)
+        |SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(vq) AS BIGINT) AS sum_vq
+        |FROM s2 GROUP BY user_id, session_id
+        |ORDER BY user_id, start_us""".stripMargin
   )
 }

@@ -238,6 +238,8 @@ object SparkEntry {
     "q197_stream_interval_join" -> ((s, d) => PipelinesExt.streamIntervalJoin(s, d)),
     "q198_decontam_ivf" -> ((s, d) => PipelinesExt.decontamIvfGate(s, d)),
     "q199_stream_asof_join" -> ((s, d) => PipelinesExt.streamAsOfJoin(s, d)),
+    "q200_stream_dedup" -> ((s, d) => PipelinesExt.streamContentDedup(s, d)),
+    "q201_stream_sessionize" -> ((s, d) => PipelinesExt.streamSessionize(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
