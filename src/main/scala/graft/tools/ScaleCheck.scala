@@ -134,6 +134,49 @@ object ScaleCheck {
       graft.ext.TextAnalysis.contaminationHitsNgram(
         d.filter(!isTrain), "doc_id", "text", d.filter(isTrain), "text", n = 8)
     }
+    // Tier H — incremental CC maintenance vs full recompute (the
+    // q140/q152 serving claim, measured): the dedup graph GROWS with
+    // the corpus while the arriving delta stays bounded, and the claim
+    // is that merging the delta costs O(|delta| + |touched
+    // components|) — one broadcast-anti passthrough scan of the prior
+    // labels, NEVER a graph-sized shuffle — where a full recompute
+    // re-runs star rounds over the whole edge set. Edges are in-decade
+    // chains (doc_id → doc_id+1 unless doc_id ends in 9): linear in
+    // the corpus, ~4 star rounds to converge at any scale (chains of
+    // 10). The delta is 100 FIXED head-linking edges inside replica 0
+    // (present at every scale), each merging two 10-node components,
+    // so the touched set is constant while the graph grows 256×. The
+    // prior labeling is materialized once per scale (untimed build,
+    // memoized like the doc fixtures).
+    def ccEdges(s: Int): DataFrame = docs(s)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 9)
+      .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+    def ccDelta(): DataFrame = spark.range(100).select(
+      (col("id") * 20).as("src"), (col("id") * 20 + 10).as("dst"))
+    def ccPriorDir(s: Int): String = {
+      val dir = s"/tmp/graft_scale_cc_${s}x"
+      val marker = Paths.get(dir, "_graft_base_stamp")
+      val fresh = Files.isDirectory(Paths.get(dir)) &&
+        Files.exists(marker) &&
+        (try Files.readString(marker).trim == stamp
+         catch { case _: Exception => false })
+      if (!fresh) {
+        val t0 = System.nanoTime()
+        graft.ext.Components.connectedComponents(ccEdges(s))
+          .write.mode("overwrite").parquet(dir)
+        println(f"[scale] cc_prior_build      ${s}%3dx " +
+          f"build=${(System.nanoTime() - t0) / 1e9}%8.2fs (untimed)")
+        Files.writeString(marker, stamp)
+        ()
+      }
+      dir
+    }
+    def tierIncrementalCc(s: Int): DataFrame =
+      graft.ext.Components.incrementalComponents(
+        spark.read.parquet(ccPriorDir(s)), ccDelta())
+    def tierFullCc(s: Int): DataFrame =
+      graft.ext.Components.connectedComponents(
+        ccEdges(s).unionByName(ccDelta()))
     // Tier E — the IVF SERVING probe against a materialized index: the
     // claim under test is that a probe reads nprobe partition-pruned
     // cells, i.e. ~nprobe·n/nlist vectors, NOT the corpus — with the
@@ -252,7 +295,9 @@ object ScaleCheck {
       ("setsim_exact_join", tierSetSim),
       ("global_index", tierGlobalIndex),
       ("contamination_gram_join", tierContamination),
-      ("ivf_serving_probe", tierIvfProbe))
+      ("ivf_serving_probe", tierIvfProbe),
+      ("full_cc_recompute", tierFullCc),
+      ("incremental_cc_delta", tierIncrementalCc))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers
@@ -380,6 +425,17 @@ object ScaleCheck {
     md.append("  materialized index (nlist ≈ 8·√scale, the faiss √n discipline —\n")
     md.append("  the partition-pruned probe should grow ~√n while the corpus grows n;\n")
     md.append("  index build seconds logged untimed at generation);\n")
+    md.append("  `Components.connectedComponents` full recompute vs\n")
+    md.append("  `incrementalComponents` delta maintenance over the SAME grown\n")
+    md.append("  chain graph (in-decade chains, linear in the corpus; the delta is\n")
+    md.append("  100 FIXED head-linking edges at every scale, prior labels\n")
+    md.append("  materialized untimed per scale) — the q140/q152 serving claim:\n")
+    md.append("  merging a bounded delta is one broadcast-anti passthrough scan of\n")
+    md.append("  the prior labels plus delta-sized star rounds, never a graph-sized\n")
+    md.append("  shuffle, where the full recompute re-runs ~4 star rounds (each a\n")
+    md.append("  distinct + two window shuffles + convergence check) over the whole\n")
+    md.append("  edge set. Both walls include materializing the full label output;\n")
+    md.append("  the claim shows as the widening gap on the top legs;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")
