@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   * checkpoint for a reliable `checkpoint()` dir — same contract.
   * Convergence is detected by set equality (count + left-anti) on the
   * checkpointed frames, one cheap job per round.
+  *
+  * Negative result (r13, measured): batching TWO star rounds per
+  * checkpoint/convergence cycle — to halve driver round-trips — ran
+  * 15-25% SLOWER on the q97/q140/q145/q152 gates at sf0.1 (27-30 s
+  * single vs 32-35 s doubled across repeated A/B sweeps). Large-star
+  * EXPANDS the edge set mid-convergence, so the unchecked second pass
+  * does real extra shuffle work that the per-round check would have
+  * skipped near the fixpoint; don't re-try this.
   */
 object Components {
 
