@@ -66,6 +66,59 @@ class StreamingFeaturesSpec extends SparkSpec {
       s"stream dedup != batch dedup ($batchDistinct)")
   }
 
+  test("content dedup: fingerprint state EVICTS past the watermark delay (re-post re-emits)") {
+    import org.apache.spark.sql.functions._
+    // The contract BOUNDARY the q200 gate's 40-day delay is sized
+    // against: this is dedup-WITHIN-watermark, not global dedup — once
+    // the watermark passes a fingerprint's event time + delay its
+    // state entry is evicted, so the same content re-posted later than
+    // the delay window re-emits. Eviction is also what keeps the state
+    // store at O(delay window), never O(corpus) — the 100 TB/day
+    // posture claim in dedupDocsByContent's Scaladoc, pinned here.
+    val docs = graft.Tables.load(spark, sfDir, "documents").limit(50)
+      .select(col("doc_id"), col("text"))
+      .withColumn("ts", timestamp_seconds(
+        unix_timestamp(to_timestamp(lit("2024-01-01 00:00:00"))) + col("doc_id")))
+    val streamDir = Files.createTempDirectory("graft-cdedup-ev-in-").toString
+    docs.write.mode("overwrite").parquet(streamDir)
+    val schema = spark.read.parquet(streamDir).schema
+    val ckpt = Files.createTempDirectory("graft-cdedup-ev-ck-").toString
+    // foreachBatch, not the memory sink: only foreachBatch/file sinks
+    // support recovering from an existing checkpoint, and the restart
+    // IS the thing under test here
+    def phase(name: String): Long = {
+      val emitted = new java.util.concurrent.atomic.LongAdder
+      val stream = StreamingFeatures.readEventStream(spark, streamDir, schema)
+      val q = StreamingFeatures
+        .dedupDocsByContent(stream, watermarkDelay = "30 minutes")
+        .writeStream.outputMode("append")
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          emitted.add(b.count())
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000), s"$name timed out")
+      emitted.sum()
+    }
+    assert(phase("cdedup_ev_p1") == 50, "all distinct content emits")
+    // one FRESH doc 2 h later, same checkpoint: its batch advances the
+    // watermark past every phase-1 fingerprint's expiry (ts + 30 min),
+    // evicting their state
+    docs.limit(1)
+      .withColumn("doc_id", lit(900000L))
+      .withColumn("text", lit("watermark advancer - unique content"))
+      .withColumn("ts", to_timestamp(lit("2024-01-01 02:00:00")))
+      .write.mode("append").parquet(streamDir)
+    assert(phase("cdedup_ev_p2") == 1, "the advancer is distinct content")
+    // the SAME 50 texts re-posted past the delay window: state was
+    // evicted, so every one re-emits
+    docs.withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("ts", to_timestamp(lit("2024-01-01 02:10:00")))
+      .write.mode("append").parquet(streamDir)
+    assert(phase("cdedup_ev_p3") == 50,
+      "re-posted duplicates past the delay window must re-emit (state evicted)")
+  }
+
   test("streaming windowed agg merges into a feature table (K5 reuse)") {
     val batchEvents = graft.Tables.load(spark, sfDir, "events")
     // stage events as a stream-readable dir with micros timestamps
