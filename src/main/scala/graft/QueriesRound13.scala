@@ -305,9 +305,66 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
     out
   }
+
+  /** Streaming session co-occurrence mining as a hash gate (r13 — the
+    * SEVENTH streaming tier driver-visible, and q176's stream twin,
+    * closing the last spec-only streaming primitive):
+    * [[graft.streaming.Sessionize.streamingCoOccurrence]] — a bounded
+    * per-user deque (the open session's last `maxDist` event types,
+    * O(maxDist) state however long the session runs) emits each
+    * arriving in-gap event's pairs IMMEDIATELY, so no sentinel is
+    * needed: every pair is out by the last data batch and the
+    * event-time timeout merely clears state. The gate aggregates the
+    * emitted pair stream to the SAME (src, dst, n_pairs) table as
+    * batch [[graft.streaming.Sessionize.coOccurrencePairs]], replaying
+    * q176's oracle verbatim (one shared CTE, one source of truth).
+    *
+    * Determinism boundary, ENFORCED rather than assumed: equal
+    * per-user timestamps order by arrival in the stream where the
+    * batch path tie-breaks on event_id, so the gate fails fast if the
+    * fixture ever grows a (user, ts) collision instead of hash-flaking
+    * (the q187 maxProbes discipline applied to a precondition).
+    */
+  def streamCoOccurrence(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val ev = t(s, d, "events").select(
+      col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_type"))
+    require(ev.groupBy(col("user_id"), col("ts"))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1).isEmpty,
+      "streamCoOccurrence: events fixture has per-(user, ts) collisions — " +
+        "stream arrival order vs the batch event_id tie-break would diverge")
+    val dir = "/tmp/graft_q202_cooc_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    ev.coalesce(1).write.mode("overwrite").parquet(dir)
+    import s.implicits._
+    val stream = s.readStream.schema(ev.schema).parquet(dir)
+      .as[graft.streaming.Sessionize.TypedEvent]
+    val pairs = graft.streaming.Sessionize.streamingCoOccurrence(stream,
+      gapMicros = 14400000000L, maxDist = 3, watermarkDelay = "40 days")
+    val qname = "graft_stream_cooc_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q202-ck-").toString
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      pairs.toDF.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    query.awaitTermination()
+    val out = s.table(qname)
+      .groupBy(col("src_type"), col("dst_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("src_type", "dst_type")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    out
+  }
 }
 
-private[graft] trait OraclesRound13 { this: OracleSnippets =>
+// self-type includes OraclesBehavior: q202 replays q176's shared
+// co-occurrence CTE (one source of truth for the pair semantics)
+private[graft] trait OraclesRound13 { this: OracleSnippets with OraclesBehavior =>
   protected def sqlRound13: Map[String, String] = Map(
 
     // the batch replay of the streaming interval join: same key
@@ -389,6 +446,13 @@ private[graft] trait OraclesRound13 { this: OracleSnippets =>
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(vq) AS BIGINT) AS sum_vq
         |FROM s2 GROUP BY user_id, session_id
-        |ORDER BY user_id, start_us""".stripMargin
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    // q176's oracle verbatim (the shared pair CTE): the streaming
+    // bounded-deque miner must reproduce the batch pair-count table
+    "q202_stream_cooccur" ->
+      s"""WITH $coocCtesSql
+         |SELECT src_type, dst_type, n_pairs FROM pc
+         |ORDER BY src_type, dst_type""".stripMargin
   )
 }

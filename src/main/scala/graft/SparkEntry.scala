@@ -240,6 +240,7 @@ object SparkEntry {
     "q199_stream_asof_join" -> ((s, d) => PipelinesExt.streamAsOfJoin(s, d)),
     "q200_stream_dedup" -> ((s, d) => PipelinesExt.streamContentDedup(s, d)),
     "q201_stream_sessionize" -> ((s, d) => PipelinesExt.streamSessionize(s, d)),
+    "q202_stream_cooccur" -> ((s, d) => PipelinesExt.streamCoOccurrence(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
