@@ -360,6 +360,58 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
     out
   }
+
+  /** End-to-end WAV/PCM audio feature extraction as a hash gate (r13
+    * — the audio sibling of q186's video gate, making the REAL
+    * `javax.sound` decode path driver-visible): per doc, a
+    * deterministic 8-bit unsigned PCM clip (sample i =
+    * (doc_id·31 + i·7) mod 256, (doc_id mod 5 + 1)·400 samples) is
+    * ENCODED to a real WAV container through the JDK's
+    * `AudioSystem.write`, run through [[graft.ext.Multimodal
+    * .sampleAudioFrames]] (WAV parse → keep every 3rd frame → WAV
+    * re-encode) and decoded by [[graft.ext.Multimodal.WavPcmDecoder]].
+    * Unlike q186 (whose JPEG bytes are JRE-specific, so only the
+    * frame COUNT crosses to the oracle), PCM samples survive the
+    * encode→sample→re-encode→decode round trip bit-exactly, so the
+    * gate hashes the decoded VALUES: kept-frame count, mean intensity
+    * (one IEEE division of exact integers), and the full 8-bin
+    * histogram — the DuckDB oracle replays all of it from the
+    * generator arithmetic alone. Any header, frame-size, sampling, or
+    * sign-mapping bug in the audio stack breaks the hash. One narrow
+    * mapPartitions pass each way — no shuffle until the gate ORDER BY.
+    */
+  def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Multimodal
+    import s.implicits._
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val n = ((id % 5) + 1).toInt * 400
+          val pcm = new Array[Byte](n)
+          var i = 0
+          while (i < n) { pcm(i) = ((id * 31 + i * 7) % 256).toByte; i += 1 }
+          val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1,
+            /* signed = */ false, /* bigEndian = */ false)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ais = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+          try javax.sound.sampled.AudioSystem.write(ais,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          finally ais.close()
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "payload")
+      .withColumn("meta", struct(lit("audio/wav").as("format")))
+    val sampled = Multimodal.sampleAudioFrames(media, everyK = 3)
+    Multimodal.extractFeatures(sampled, Multimodal.WavPcmDecoder).toDF()
+      .select(
+        col("media_id").as("doc_id") +:
+        expr("aggregate(histogram, 0L, (a, x) -> a + x)").as("n_frames") +:
+        col("mean_intensity") +:
+        (0 until 8).map(k => element_at(col("histogram"), k + 1).as(s"h$k")): _*)
+      .orderBy("doc_id")
+  }
 }
 
 // self-type includes OraclesBehavior: q202 replays q176's shared
@@ -453,6 +505,30 @@ private[graft] trait OraclesRound13 { this: OracleSnippets with OraclesBehavior 
     "q202_stream_cooccur" ->
       s"""WITH $coocCtesSql
          |SELECT src_type, dst_type, n_pairs FROM pc
-         |ORDER BY src_type, dst_type""".stripMargin
+         |ORDER BY src_type, dst_type""".stripMargin,
+
+    // the WAV round-trip replayed from the PCM generator arithmetic:
+    // kept frames are i % 3 = 0 of (doc_id % 5 + 1)*400 samples, each
+    // sample (doc_id*31 + i*7) mod 256; mean is ONE IEEE division of
+    // exact integers, bins are v // 32
+    "q203_audio_features" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0, (doc_id % 5 + 1) * 400 - 1)) AS i
+        |  FROM documents),
+        |v AS (SELECT doc_id, (doc_id * 31 + i * 7) % 256 AS v
+        |      FROM e WHERE i % 3 = 0)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(v) AS DOUBLE) / count(*) AS mean_intensity,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 0) AS BIGINT) AS h0,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 1) AS BIGINT) AS h1,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 2) AS BIGINT) AS h2,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 3) AS BIGINT) AS h3,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 4) AS BIGINT) AS h4,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 5) AS BIGINT) AS h5,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 6) AS BIGINT) AS h6,
+        |  CAST(count(*) FILTER (WHERE v // 32 = 7) AS BIGINT) AS h7
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

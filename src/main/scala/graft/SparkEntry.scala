@@ -241,6 +241,7 @@ object SparkEntry {
     "q200_stream_dedup" -> ((s, d) => PipelinesExt.streamContentDedup(s, d)),
     "q201_stream_sessionize" -> ((s, d) => PipelinesExt.streamSessionize(s, d)),
     "q202_stream_cooccur" -> ((s, d) => PipelinesExt.streamCoOccurrence(s, d)),
+    "q203_audio_features" -> ((s, d) => PipelinesExt.audioFeatures(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
