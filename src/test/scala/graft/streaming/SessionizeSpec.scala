@@ -84,6 +84,51 @@ class SessionizeSpec extends SparkSpec {
     assert(streamed.size >= batch.size / 2, s"only ${streamed.size}/${batch.size} sessions closed")
   }
 
+  test("equal-timestamp events cannot split a session: stream ≡ batch on ties") {
+    // the q201 gate's documented tie argument, pinned: a zero gap is
+    // ≤ gapMicros in BOTH formulations, so duplicate (user, ts) events
+    // always share a session, and with integer-valued doubles the
+    // state sum is exact whatever the arrival order
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rows = Seq(
+      (1L, t("2024-01-01 10:00:00"), 1.0),
+      (1L, t("2024-01-01 10:00:00"), 2.0),  // tie with the row above
+      (1L, t("2024-01-01 10:00:05"), 4.0),
+      (1L, t("2024-01-01 16:00:00"), 8.0),  // 6h gap → second session
+      (2L, t("2024-01-01 11:00:00"), 1.0),  // triple tie: one session,
+      (2L, t("2024-01-01 11:00:00"), 2.0),  // start = end, n = 3
+      (2L, t("2024-01-01 11:00:00"), 4.0),
+      (99L, t("2024-01-03 00:00:00"), 0.0)) // watermark sentinel
+    val events = rows.zipWithIndex
+      .map { case ((u, ts, v), i) => (i.toLong, u, ts, v) }
+      .toDF("event_id", "user_id", "ts", "value")
+    val streamDir = Files.createTempDirectory("graft-sess-tie-in-").toString
+    events.select("user_id", "ts", "value")
+      .coalesce(1).write.mode("overwrite").parquet(streamDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema).parquet(streamDir)
+      .as[Sessionize.SessEvent]
+    val q = Sessionize.streaming(stream, GAP, watermarkDelay = "1 minute")
+      .toDF.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_tie_out")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-sess-tie-ck-").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("user_id") =!= 99L)
+      .select("user_id", "start_us", "end_us", "n_events", "sum_value")
+      .as[(Long, Long, Long, Long, Double)].collect().toSet
+    val streamed = key(spark.table("sessions_tie_out"))
+    val batch = key(Sessionize.batch(events.filter(col("user_id") =!= 99L), GAP))
+    assert(streamed == batch,
+      s"tie sessions diverge: stream $streamed vs batch $batch")
+    // and the triple tie really is ONE session with start = end
+    assert(streamed.count(s => s._1 == 2L) == 1)
+    assert(streamed.find(_._1 == 2L).exists(s => s._2 == s._3 && s._4 == 3L && s._5 == 7.0))
+  }
+
   test("streamingCoOccurrence pair counts ≡ batch over distinct-ts replay") {
     // distinct (user, ts) is the determinism boundary (batch breaks
     // ties on event_id, a stream on micro-batch arrival) — dedupe the
