@@ -149,7 +149,10 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     *   - routed_superset_ok — partial routing can only UNDER-drop:
     *     everything the exact pass retains, the routed pass retains;
     *   - routed_bounds_ok — a routed max cosine is a max over a probe
-    *     SUBSET, so it never exceeds the true max.
+    *     SUBSET, so it never exceeds the true max. Checked against the
+    *     UNFILTERED exact max frame ([[graft.ext.Decontamination
+    *     .maxProbeCos]]) so vectors the exact pass DROPS are bounded
+    *     too, not just the retained subset (r13 ADVICE fix).
     *
     * A broken cell assignment, routing join, or centroid sidecar flips
     * a boolean and fails the hash.
@@ -174,10 +177,13 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     val d3 = bc.select("vec_id")
       .join(routed.select("vec_id"), Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("_d3"))
+    val trueMax = graft.ext.Decontamination
+      .maxProbeCos(emb, probes, excludeSelf = true).localCheckpoint(true)
     val d4 = routed.filter(col("max_probe_cos").isNotNull)
       .select(col("vec_id"), col("max_probe_cos").as("_routed"))
-      .join(bc.select(col("vec_id"), col("max_probe_cos").as("_true")), Seq("vec_id"))
-      .filter(col("_routed") > col("_true"))
+      .join(trueMax.select(col("vec_id"), col("max_probe_cos").as("_true")),
+        Seq("vec_id"))
+      .filter(col("_true").isNull || col("_routed") > col("_true"))
       .agg(count(lit(1)).as("_d4"))
     nCorpus.crossJoin(broadcast(nBc))
       .crossJoin(broadcast(d1)).crossJoin(broadcast(d2))

@@ -74,6 +74,15 @@ object Sampling {
     require(clash.isEmpty,
       s"stratumLookup: input already has internal column(s) " +
         s"${clash.mkString(", ")} — rename them before sampling")
+    // the "both shapes are the same function" contract needs UNIQUE
+    // stratum keys: a duplicated key would be last-entry-wins in the
+    // CASE fold but silently DUPLICATE input rows through the join
+    // (r13 ADVICE). Every current caller derives `table` from a Map,
+    // so this is an API guard, not a reachable state.
+    val dupKeys = table.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dupKeys.isEmpty,
+      s"stratumLookup: duplicate stratum key(s) ${dupKeys.mkString(", ")} — " +
+        "the CASE and join shapes would diverge (last-wins vs row duplication)")
     if (table.size <= CaseBranchLimit) {
       cols.zipWithIndex.foldLeft(df) { case (acc, ((name, default, dt), i)) =>
         acc.withColumn(name,

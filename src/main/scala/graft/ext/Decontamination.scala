@@ -57,11 +57,24 @@ object Decontamination {
     */
   def retainBelow(corpus: DataFrame, probes: DataFrame, threshold: Double,
       idCol: String = "vec_id", embCol: String = "embedding",
+      excludeSelf: Boolean = false, maxProbes: Int = 100000): DataFrame =
+    maxProbeCos(corpus, probes, idCol, embCol, excludeSelf, maxProbes)
+      .filter(col("max_probe_cos").isNull || col("max_probe_cos") < threshold)
+
+  /** The UNFILTERED exact pass [[retainBelow]] thresholds: one row per
+    * corpus vector with its true max probe cosine (NULL when no probe
+    * reaches it). Exposed separately so invariant gates can bound an
+    * IVF-routed max against the TRUE max for EVERY vector — checking
+    * bounds only on the retained subset silently skips exactly the
+    * vectors the exact pass drops (r13 ADVICE on q198).
+    */
+  def maxProbeCos(corpus: DataFrame, probes: DataFrame,
+      idCol: String = "vec_id", embCol: String = "embedding",
       excludeSelf: Boolean = false, maxProbes: Int = 100000): DataFrame = {
-    require(maxProbes > 0, s"retainBelow: maxProbes must be > 0, got $maxProbes")
+    require(maxProbes > 0, s"maxProbeCos: maxProbes must be > 0, got $maxProbes")
     val nProbe = probes.select(col(idCol)).limit(maxProbes + 1).count()
     require(nProbe <= maxProbes,
-      s"retainBelow: probe set exceeds maxProbes=$maxProbes — the broadcast " +
+      s"maxProbeCos: probe set exceeds maxProbes=$maxProbes — the broadcast " +
         "path is for eval-suite-sized probe sets; route corpus-scale probe " +
         "frames through retainBelowIvf against a materialized IVF index")
     val p = probes.select(col(idCol).as("_pid"),
@@ -72,7 +85,6 @@ object Decontamination {
     base.join(broadcast(p), cond, "left_outer")
       .groupBy(col(idCol))
       .agg(max(Similarity.cosine(col("_e"), col("_pe"))).as("max_probe_cos"))
-      .filter(col("max_probe_cos").isNull || col("max_probe_cos") < threshold)
   }
 
   /** IVF-routed decontamination for probe sets too large to broadcast.

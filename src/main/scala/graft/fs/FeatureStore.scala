@@ -191,6 +191,15 @@ final class FeatureStore(private[fs] val spark: SparkSession,
     * sharing a session are disambiguated by the root half. Entries are
     * dropped by [[deleteTable]]; entries for pruned versions go stale
     * harmlessly (their reads already fail on the missing directory).
+    *
+    * Digest-scheme note (r13 ADVICE): the (root, name) separator
+    * changed from a space to NUL ("\\u0000") in r13, which RENAMED every derived
+    * catalog entry. Acceptable because these entries are session-scoped
+    * (the in-memory catalog dies with the session — no external
+    * metastore is configured here); a deployment pointing this at a
+    * durable metastore must either keep the separator fixed or drop
+    * both old- and new-named entries in [[deleteTable]] for one
+    * transition release.
     */
   private def bucketedCatalogName(name: String, version: Int): String = {
     val digest = org.apache.commons.codec.digest.DigestUtils
