@@ -33,21 +33,39 @@ object Bench {
     val loadBefore = loadavg()
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    // (elapsed seconds, completed without throwing). The noop sink —
-    // not count() — is what makes the timing honest: under count()
-    // Catalyst prunes every unused projection, so a pure-projection
-    // query (token counts, quality scores, PII scrub, ...) would time
-    // the parquet scan alone and report near-zero regardless of the
-    // operator's real cost. noop evaluates every output column and
-    // discards the rows — the standard Spark benching sink.
-    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+    // Steal-immune sidecar columns (r13 verdict ask #1): wall time is
+    // the only number host steal can corrupt, so every query also
+    // records executor CPU-ns and shuffle read/write bytes from a
+    // task-end listener. The bus is drained before each snapshot so
+    // the deltas are exact per-query cuts (async listener delivery
+    // would otherwise smear a query's tail into its successor).
+    val taskMetrics = org.apache.spark.graftmetrics.GraftTaskMetrics
+      .install(spark.sparkContext)
+    def metricsCut(): (Long, Long, Long) = {
+      org.apache.spark.graftmetrics.GraftTaskMetrics.flush(spark.sparkContext)
+      taskMetrics.snapshot()
+    }
+    // Measurement record: wall secs, completed-without-throwing, CPU
+    // secs, shuffle read/write bytes. The noop sink — not count() — is
+    // what makes the timing honest: under count() Catalyst prunes
+    // every unused projection, so a pure-projection query (token
+    // counts, quality scores, PII scrub, ...) would time the parquet
+    // scan alone and report near-zero regardless of the operator's
+    // real cost. noop evaluates every output column and discards the
+    // rows — the standard Spark benching sink.
+    final case class Sample(wall: Double, ok: Boolean, cpu: Double,
+        shufRead: Long, shufWrite: Long)
+    def time(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Sample = {
+      val (c0, r0, w0) = metricsCut()
       val t0 = System.nanoTime()
       val ok = try {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
       } catch { case _: Throwable => false }
-      ((System.nanoTime() - t0) / 1e9, ok)
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (c1, r1, w1) = metricsCut()
+      Sample(wall, ok, (c1 - c0) / 1e9, r1 - r0, w1 - w0)
     }
-    val firstPass = selected.map { case (name, fn) => (name, fn, time(fn)._1) }
+    val firstPass = selected.map { case (name, fn) => (name, fn, time(fn)) }
     // A single stop-the-world pause (GC, JIT deopt storm, host
     // contention) can inflate one query 10x — r04 recorded q20 at
     // 25.6s vs a 1.6s steady state, and r10's cross-round grading
@@ -60,16 +78,24 @@ object Bench {
     // exactly the pass-1 work profile (caches start empty, then warm in
     // the same sorted order).
     Pipelines.invalidateStoreCaches()
-    val results = firstPass.map { case (name, fn, t1) =>
-      val (t2, ok) = time(fn)
+    val results = firstPass.map { case (name, fn, s1) =>
+      val s2 = time(fn)
       // a retry that THREW measured nothing — its elapsed time must
-      // not flatter the result via min()
-      name -> (if (ok) math.min(t1, t2) else t1)
+      // not flatter the result via min(); the reported CPU/shuffle
+      // numbers belong to the SAME pass as the reported wall, so the
+      // three columns describe one execution, not a min-mixture
+      val best = if (s2.ok && s2.wall < s1.wall) s2 else s1
+      name -> best
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.wall }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
+    val metricsJson = results.map { case (k, v) =>
+      s"\"" + k + "\":" + s"""{"wall":${v.wall},"cpu":${v.cpu},""" +
+        s""""shuffle_read":${v.shufRead},"shuffle_write":${v.shufWrite}}"""
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2.wall).sum else 0.0
+    val cpuTotal = if (results.nonEmpty) results.map(_._2.cpu).sum else 0.0
+    val fullJson = s"""{"metric":"total","value":$total,"unit":"sec","cpu_total":$cpuTotal,"queries":$qs,"metrics":$metricsJson,"sf":"$sfDir","loadavg_before":"$loadBefore","loadavg_after":"${loadavg()}"}"""
     val shortJson = s"""{"metric":"total","value":$total,"unit":"sec"}"""
     // ONLY the short line goes to stdout. r11 forensics: the driver's
     // capture window is a few KB, and the ~7 KB per-query line pushed
