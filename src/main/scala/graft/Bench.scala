@@ -12,6 +12,9 @@ object Bench {
       // different (unverified) work
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // same session shape as Verify: q205 requires the injected
+      // RangeJoinRewrite rule, and benching must time the verified plan
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timed region: first-touch costs (codegen JIT,

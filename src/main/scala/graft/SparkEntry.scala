@@ -242,6 +242,8 @@ object SparkEntry {
     "q201_stream_sessionize" -> ((s, d) => PipelinesExt.streamSessionize(s, d)),
     "q202_stream_cooccur" -> ((s, d) => PipelinesExt.streamCoOccurrence(s, d)),
     "q203_audio_features" -> ((s, d) => PipelinesExt.audioFeatures(s, d)),
+    "q204_stream_restart" -> ((s, d) => PipelinesExt.streamRestartAgg(s, d)),
+    "q205_range_rewrite_sql" -> ((s, d) => PipelinesExt.rangeRewriteSql(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

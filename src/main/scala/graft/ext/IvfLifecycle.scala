@@ -155,6 +155,58 @@ object IvfIndex {
     else None
   }
 
+  /** Measured macro-average recall@k of the live snapshot: probe the
+    * index with `queries` (a held-out truth sample — serving-batch
+    * sized, the [[Similarity.ivfIndexedTopK]] maxBatch contract) at
+    * the SERVING nprobe, compute the exact brute-force top-k over the
+    * index's own corpus as ground truth, and average
+    * [[RetrievalMetrics.recallAtK]] per query. Cost: one pruned probe
+    * plus one full corpus scan × |queries| — the price of truth, paid
+    * only at maintenance cadence, never per serving call.
+    */
+  def recallProbe(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int): Double = {
+    val dir = resolveDir(spark, root)
+    val corpus = spark.read.parquet(s"$dir/data")
+      .select(F.col("neighbor_id").as("vec_id"),
+        F.col("c_emb").as("embedding"))
+    val approx = Similarity.ivfIndexedTopK(spark, root, queries, k, nprobe)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    val exact = Similarity.bruteForceTopK(corpus, queries, k)
+      .select(F.col("query_id"), F.col("neighbor_id"))
+    val row = RetrievalMetrics.recallAtK(exact = exact, approx = approx,
+        queryCol = "query_id", idCol = "neighbor_id")
+      .agg(F.avg(F.col("recall")).as("r")).collect()(0)
+    if (row.isNullAt(0)) 1.0 else row.getDouble(0) // no queries → nothing stale
+  }
+
+  /** Close the RECALL loop (r13 verdict ask #6 — [[rebuildIfStale]]
+    * re-fits on centroid drift, but the measured failure mode of a
+    * grown corpus is recall decay without dramatic drift: appended
+    * vectors land between frozen centroids, their true neighbor sets
+    * straddle cell boundaries, and a fixed-nprobe probe stops seeing
+    * them): measure [[recallProbe]] on the live snapshot and rebuild —
+    * re-fit at the caller's (typically finer) `nlist` over the full
+    * current corpus — only when measured recall falls below `floor`.
+    *
+    * Returns (measured recall before, Some(newVersion) if a rebuild
+    * ran else None). The ingestion stream must be stopped first (the
+    * [[rebuild]] concurrency contract); callers verify restoration
+    * with a second [[recallProbe]] — IvfLifecycleSpec pins the full
+    * degrade → trigger → restore cycle.
+    */
+  def rebuildIfRecallBelow(spark: SparkSession, root: String,
+      queries: DataFrame, k: Int, nprobe: Int, floor: Double,
+      nlist: Int = 16, maxFitPoints: Int = 4096,
+      retainVersions: Int = 2): (Double, Option[Int]) = {
+    require(floor >= 0.0 && floor <= 1.0,
+      s"IvfIndex.rebuildIfRecallBelow: floor must be in [0,1], got $floor")
+    val measured = recallProbe(spark, root, queries, k, nprobe)
+    if (measured < floor)
+      (measured, Some(rebuild(spark, root, nlist, maxFitPoints, retainVersions)))
+    else (measured, None)
+  }
+
   /** Versions present on disk, ascending — current-or-older snapshots
     * only survive per `retainVersions`.
     */

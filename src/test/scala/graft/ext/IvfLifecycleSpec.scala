@@ -145,6 +145,50 @@ class IvfLifecycleSpec extends SparkSpec {
     assert(probe(root, Seq(0L, 7L)).nonEmpty)
   }
 
+  test("rebuildIfRecallBelow: measured recall decay triggers a re-fit that restores the floor (r13 ask #6)") {
+    import spark.implicits._
+    // 2-d geometry chosen so the degradation is STRUCTURAL, not noise:
+    // clusters A (90°) and B (0°) fit the v1 quantizer (nlist=2); an
+    // appended cluster C straddles the 45° Voronoi boundary between
+    // the two FROZEN centroids, so its members split across both cells
+    // while every C-query's true neighbor set spans the split — the
+    // exact decay mode rebuildIfStale's drift metric under-reports
+    // (C sits no farther from the centroids than A/B's own spread).
+    def vec(angleDeg: Double, r: Double): Array[Float] = {
+      val a = math.toRadians(angleDeg)
+      Array((r * math.cos(a)).toFloat, (r * math.sin(a)).toFloat)
+    }
+    val clusterA = (0 until 20).map(i => (i.toLong, vec(90.0 - i * 0.05, 10.0)))
+    val clusterB = (0 until 20).map(i => (100L + i, vec(0.0 + i * 0.05, 10.0)))
+    // C: 10 points fanned ±4.5° around 45° — the nearest-by-cosine
+    // ordering from a 45° query alternates sides, so ANY top-5 truth
+    // set contains members of both halves of the split
+    val clusterC = (0 until 10).map(j => (200L + j, vec(45.0 + (j - 4.5) * 1.0, 9.9)))
+    val queries = (0 until 4).map(i => (900L + i, vec(45.0 + i * 0.01, 10.0)))
+      .toDF("vec_id", "embedding")
+    val root = tmpRoot("recall")
+    IvfIndex.create((clusterA ++ clusterB).toDF("vec_id", "embedding"),
+      root, nlist = 2)
+    Similarity.ivfIndexAppend(clusterC.toDF("vec_id", "embedding"), root)
+    val degraded = IvfIndex.recallProbe(spark, root, queries, k = 5, nprobe = 1)
+    assert(degraded < 0.9,
+      s"straddling append should degrade nprobe=1 recall, got $degraded")
+    // the trigger: measured recall < floor → re-fit at a finer nlist
+    // that gives C its own cell
+    val (measured, rebuilt) = IvfIndex.rebuildIfRecallBelow(spark, root,
+      queries, k = 5, nprobe = 1, floor = 0.9, nlist = 3)
+    assert(measured == degraded, "the trigger must report what it measured")
+    assert(rebuilt.contains(2), s"expected a v2 rebuild, got $rebuilt")
+    val restored = IvfIndex.recallProbe(spark, root, queries, k = 5, nprobe = 1)
+    assert(restored >= 0.9,
+      s"the re-fit quantizer must restore the recall floor, got $restored")
+    // a fresh index must NOT re-trigger (the loop converges)
+    val (after, again) = IvfIndex.rebuildIfRecallBelow(spark, root,
+      queries, k = 5, nprobe = 1, floor = 0.9, nlist = 3)
+    assert(after >= 0.9 && again.isEmpty,
+      s"restored index re-triggered: recall=$after rebuilt=$again")
+  }
+
   test("retention: rebuild keeps current + previous, prunes older") {
     val root = tmpRoot("retain")
     IvfIndex.create(emb.limit(128), root, nlist = 4)
