@@ -387,6 +387,28 @@ class SamplingSpec extends SparkSpec {
     assert(keptNull.filter(col("grp").isNull).count() === 40)
   }
 
+  test("stratumLookup boundary: exactly 64 strata keeps the CASE shape, 65 switches to the join — same function either side (r13 ask #7)") {
+    // the r13 fresh-eyes item: the shape flip at CaseBranchLimit must
+    // be invisible in the sampled SET — both shapes are checked against
+    // a driver-side md5 oracle, so a boundary off-by-one in EITHER
+    // shape (not just a disagreement between them) fails
+    for ((n, joinShape) <- Seq(64 -> false, 65 -> true)) {
+      val df = spark.range(1300)
+        .select(col("id"), concat(lit("s"), col("id") % n).as("grp"))
+      val fracs = (0 until n).map(i => s"s$i" -> (i % 5 + 3) / 10.0).toMap
+      val out = Sampling.stratifiedSample(df, "grp", col("id"), fracs)
+      assert(out.queryExecution.executedPlan.toString
+        .contains("BroadcastHashJoin") == joinShape,
+        s"n=$n expected joinShape=$joinShape")
+      val expected = (0L until 1300L).filter { id =>
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString) <
+          Sampling.hexThreshold(fracs(s"s${id % n}"))
+      }
+      assert(out.select("id").as[Long].collect().sorted.toSeq == expected,
+        s"n=$n sampled set diverges from the md5 oracle")
+    }
+  }
+
   test("epochMixFromCounts: join-shape lookup past the CASE limit ≡ CASE shape (r13)") {
     val df = spark.range(700)
       .select(col("id"), concat(lit("s"), col("id") % 70).as("grp"),
