@@ -480,11 +480,16 @@ object ScaleCheck {
         ("skew_payload_join", tierSkewPayloadJoin _))
       if tiers.exists(_._1 == tname) && activeScales.nonEmpty) {
       val s = activeScales.max
+      // min-of-2 like every timed cell: a single control run would
+      // fold first-touch costs into the "mitigation off" number and
+      // overstate the split's win (r14 fresh-eyes — the first full
+      // sweep's single-run control read 2× high on a tier whose split
+      // never even fired)
       val (wOff, _, _) = withConf(tierConf(tname) :+
           ("spark.sql.adaptive.skewJoin.enabled" -> "false")) {
-        timeOnce(tfn(s))
+        bestOf2(tfn(s))
       }
-      skewNotes += f"$tname ${s}× control with skew-join disabled: $wOff%.2f s (single run)"
+      skewNotes += f"$tname ${s}× control with skew-join disabled: $wOff%.2f s (min-of-2)"
       println(f"[scale] $tname ${s}%2dx skewjoin_off_wall=$wOff%8.2fs (control)")
     }
     val ivfRecalls: Seq[(Int, Double)] =
