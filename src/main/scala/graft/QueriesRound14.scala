@@ -139,6 +139,69 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
     s.catalog.dropTempView("graft_q205_c")
     out
   }
+
+  /** Perceptual image near-dup pairs over REAL decode (the multimodal
+    * × dedup crossover): per doc a deterministic 18×16 grayscale BMP
+    * (lossless 24-bit — pixels round-trip exactly, unlike JPEG) is
+    * encoded with md5-derived block intensities, then the full
+    * [[graft.ext.ImageHash]] pipeline runs — ImageIO decode → 2×2
+    * block sums → 64-bit dHash → 4×16-bit band-bucket join → Hamming
+    * verify. Docs sharing `doc_id / 4` share block intensities up to a
+    * per-doc uniform exposure shift (`doc_id % 4`, which dHash is
+    * invariant to — the perceptual claim, under test) and one variant
+    * with a +64 bump in block (0,0) (≤1 bit of drift — the tolerance
+    * claim); different groups draw independent md5 intensities, so
+    * cross-group candidates die at the Hamming check.
+    *
+    * The oracle replays the ENTIRE pipeline from the generator
+    * arithmetic — block sums, gradient bits, band values, the banded
+    * candidate semantics (a pair must share ≥1 exact band — the
+    * documented ≥4-bit-distance miss mode is part of the contract,
+    * not hidden), and band-wise bit_count Hamming. Any defect in the
+    * BMP writer, the decoder, block summation, bit packing, band
+    * extraction, or pair dedup breaks the hash.
+    */
+  def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val gid = id / 4
+          val variant = (id % 4).toInt
+          val img = new java.awt.image.BufferedImage(18, 16,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 9) {
+              val h = Character.digit(org.apache.commons.codec.digest.DigestUtils
+                .md5Hex(s"$gid:$bx:$by").charAt(0), 16)
+              // ≤ 15·12 + 3 + 64 = 247: never clips, so the oracle's
+              // unclamped arithmetic is exact
+              val v = h * 12 + variant +
+                (if (variant == 3 && bx == 0 && by == 0) 64 else 0)
+              val rgb = v * 0x010101
+              var dy = 0
+              while (dy < 2) {
+                var dx = 0
+                while (dx < 2) {
+                  img.setRGB(2 * bx + dx, 2 * by + dy, rgb); dx += 1
+                }
+                dy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          (id, bos.toByteArray)
+        }
+      }.toDF("media_id", "payload")
+    val hashes = graft.ext.ImageHash.imageDHash(media)
+    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+      .orderBy("id_a", "id_b")
+  }
 }
 
 private[graft] trait OraclesRound14 { this: OracleSnippets =>
@@ -169,6 +232,47 @@ private[graft] trait OraclesRound14 { this: OracleSnippets =>
         |SELECT purchase_id, click_id,
         |  epoch_us(c_ts) - epoch_us(p_ts) AS dt_us
         |FROM p JOIN c ON c_ts >= p_ts AND c_ts < p_ts + INTERVAL 1 DAY
-        |ORDER BY purchase_id, click_id""".stripMargin
+        |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // full arithmetic replay of the dHash pipeline: block sums from the
+    // generator formula (md5 nibble via the strpos idiom), horizontal
+    // gradient bits, 16-bit band values (idx%16 shifts keep every
+    // intermediate non-negative — no sign-bit traps), the BANDED
+    // candidate join (≥1 exact shared band, the operator's documented
+    // semantics), and band-wise bit_count Hamming ≤ 8
+    "q206_image_phash_neardup" ->
+      """WITH grid AS (SELECT bx, by FROM range(9) t1(bx), range(8) t2(by)),
+        |docs AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v FROM documents),
+        |gids AS (SELECT DISTINCT gid FROM docs),
+        |h AS (SELECT gid, bx, by,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(CAST(gid AS VARCHAR) || ':' || bx || ':' || by), 1, 1)) - 1 AS hv
+        |  FROM gids, grid),
+        |g AS (SELECT d.doc_id, hh.bx, hh.by,
+        |    4 * (hh.hv * 12 + d.v)
+        |      + CASE WHEN d.v = 3 AND hh.bx = 0 AND hh.by = 0 THEN 256 ELSE 0 END AS gsum
+        |  FROM docs d JOIN h hh ON hh.gid = d.gid),
+        |bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS idx,
+        |    CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1),
+        |bandvals AS (SELECT doc_id, idx // 16 AS band,
+        |    CAST(sum(bit * (1 << (idx % 16))) AS INTEGER) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN bval END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bval END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bval END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bval END) AS b3
+        |  FROM bandvals GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bandvals x JOIN bandvals y
+        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        |      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hd
+        |  FROM cand c JOIN wide wa ON wa.doc_id = c.id_a
+        |              JOIN wide wb ON wb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hd AS INTEGER) AS hamming
+        |FROM pairs WHERE hd <= 8 ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -244,6 +244,7 @@ object SparkEntry {
     "q203_audio_features" -> ((s, d) => PipelinesExt.audioFeatures(s, d)),
     "q204_stream_restart" -> ((s, d) => PipelinesExt.streamRestartAgg(s, d)),
     "q205_range_rewrite_sql" -> ((s, d) => PipelinesExt.rangeRewriteSql(s, d)),
+    "q206_image_phash_neardup" -> ((s, d) => PipelinesExt.imageNearDup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -333,7 +333,7 @@ object Dedup {
     // meet; for any pair with max len ≤ maxDist the count threshold is
     // ≤ 0, so the sentinel never has to lie about real shared chars.
     val sentinel = names.filter(col("len") <= maxDist)
-      .select(col("name"), col("len"), lit("  ").as("gram"),
+      .select(col("name"), col("len"), lit("\u0000\u0000").as("gram"),
         lit(1L).as("cnt"))
     val shortG = gramCounts(names.filter(col("len") < minSafe), 1)
       .unionByName(sentinel)

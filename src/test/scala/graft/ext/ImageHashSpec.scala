@@ -1,0 +1,118 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[ImageHash]] — the q206 gate hashes real decoded pixels,
+  * so these specs pin the properties the DuckDB oracle CANNOT see
+  * (it replays generator arithmetic, not the codec): that the claimed
+  * invariances hold through an actual encode→decode round trip, that
+  * band extraction survives the sign bit, and that the banded join
+  * honors both its guarantee (every pair within distance 3 found) and
+  * its documented miss mode (all four bands dirty → candidate never
+  * forms).
+  */
+class ImageHashSpec extends SparkSpec {
+  import ImageHash._
+
+  /** Encode a 9×8 grid of block intensities (0..255) as the 18×16
+    * 24-bit BMP the hasher expects — each block painted as a 2×2
+    * square, the same construction as the q206 fixture generator.
+    */
+  private def bmp(block: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      2 * GridW, 2 * GridH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (by <- 0 until GridH; bx <- 0 until GridW) {
+      val v = block(bx, by)
+      require(v >= 0 && v <= 255, s"test block value out of byte range: $v")
+      val rgb = v * 0x010101
+      for (dy <- 0 until 2; dx <- 0 until 2)
+        img.setRGB(2 * bx + dx, 2 * by + dy, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  private def base(bx: Int, by: Int): Int = (bx * 7 + by * 13) % 180
+
+  test("dHash64 is invariant under a uniform exposure shift (real codec round trip)") {
+    val h0 = dHash64(bmp(base))
+    val h1 = dHash64(bmp((bx, by) => base(bx, by) + 60))
+    assert(h0 === h1)
+  }
+
+  test("dHash64 flips exactly the targeted gradient bit when one comparison inverts") {
+    // base grid has sum(x+1,y) vs sum(x,y) strictly ordered everywhere
+    // except where the mod wraps; build a strictly increasing row so
+    // every horizontal bit is 1, then invert one comparison
+    def inc(bx: Int, by: Int): Int = bx * 20 + by
+    val h0 = dHash64(bmp(inc))
+    // make block (4,2) larger than block (5,2): bit idx 2*8+4 flips 1→0
+    def tweaked(bx: Int, by: Int): Int =
+      if (bx == 4 && by == 2) inc(5, 2) + 5 else inc(bx, by)
+    val h1 = dHash64(bmp(tweaked))
+    assert((h0 ^ h1) === (1L << (2 * 8 + 4)))
+  }
+
+  test("dHash64 rejects wrong-size and undecodable payloads loudly") {
+    val big = new java.awt.image.BufferedImage(20, 16,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(big, "bmp", bos)
+    val e1 = intercept[IllegalArgumentException](dHash64(bos.toByteArray))
+    assert(e1.getMessage.contains("resize first"))
+    val e2 = intercept[IllegalArgumentException](dHash64(Array[Byte](1, 2, 3)))
+    assert(e2.getMessage.contains("not a decodable image"))
+  }
+
+  test("band16 strips sign extension — band 3 of a negative hash is the raw 16 bits") {
+    val df = spark.range(1).select(
+      band16(lit(0x8001_0000_0000_0001L), 3).as("b3"),
+      band16(lit(0x8001_0000_0000_0001L), 0).as("b0"),
+      band16(lit(-1L), 2).as("allones"))
+    val r = df.head()
+    assert(r.getLong(0) === 0x8001L)
+    assert(r.getLong(1) === 1L)
+    assert(r.getLong(2) === 0xFFFFL)
+  }
+
+  test("hamming64 equals bit_count of the xor, including sign-bit masks") {
+    val cases = Seq(
+      (0L, 0L, 0), (-1L, 0L, 64), (0x8000_0000_0000_0000L, 0L, 1),
+      (0x0123_4567_89AB_CDEFL, 0x0123_4567_89AB_CDEEL, 1),
+      (0xF0F0_F0F0_F0F0_F0F0L, 0x0F0F_0F0F_0F0F_0F0FL, 64))
+    val df = spark.createDataFrame(cases).toDF("a", "b", "want")
+      .withColumn("got", hamming64(col("a"), col("b")))
+    assert(df.filter(col("got") =!= col("want")).count() === 0)
+  }
+
+  test("nearDupPairs: distance ≤3 guaranteed, all-bands-dirty missed, over-threshold cut") {
+    import spark.implicits._
+    val h = 0x1111_2222_3333_4444L
+    val hashes = Seq(
+      (1L, h),                                  // anchor
+      (2L, h),                                  // exact dup → hamming 0
+      (3L, h ^ 0x7L),                           // 3 bits, one band dirty → found
+      (4L, h ^ 0x0001_0001_0001_0001L),         // 4 bits, ALL bands dirty → missed
+      (5L, h ^ 0x01FF_0000_0000_0000L),         // 9 bits in band 3, 3 clean bands → hamming 9 > 8 cut
+      (6L, 0x5A5A_5A5A_5A5A_5A5AL)              // unrelated, no shared band
+    ).toDF("media_id", "dhash")
+    val got = ImageHash.nearDupPairs(hashes, maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pairs among {1,2,3}: (1,2,0) (1,3,3) (2,3,3); 4 misses 1/2 (no clean
+    // band) but 3 vs 4 shares... band0 of 3 is h0^7, of 4 is h0^1 → differ;
+    // all bands differ between 3 and 4 too, so no candidate.
+    assert(got === Set((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3)))
+  }
+
+  test("imageDHash over a DataFrame matches the local hash") {
+    import spark.implicits._
+    val payload = bmp(base)
+    val df = Seq((7L, payload)).toDF("media_id", "payload")
+    val got = ImageHash.imageDHash(df).head()
+    assert(got.getLong(0) === 7L)
+    assert(got.getLong(1) === dHash64(payload))
+  }
+}
