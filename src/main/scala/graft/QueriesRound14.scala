@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-14 gates. Each query sits next to its DuckDB oracle (trait
@@ -202,6 +202,127 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
     graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
       .orderBy("id_a", "id_b")
   }
+
+  /** Deterministic MESSY url for generator key `i` — every
+    * canonicalization hazard in one string: mixed-case scheme and
+    * host, `www.` and `cdn.` prefixes, default vs explicit ports,
+    * trailing slashes, tracking params, unsorted query order,
+    * fragments. Shared by q207 (keyed by doc_id) and q208 (keyed by
+    * doc_id % 150 so documents collide on a page), the q176/q202
+    * shared-generator discipline; both oracles restate the SAME
+    * arithmetic.
+    */
+  private def messyUrl(i: Column): Column = {
+    val scheme = element_at(array(lit("http"), lit("HTTP"),
+      lit("https"), lit("HTTPS")), (pmod(i, lit(4)) + 1).cast("int"))
+    val base = element_at(array(lit("example"), lit("News-Site"),
+      lit("blog"), lit("data7"), lit("ARCHIVE")),
+      (pmod(i / 4, lit(5)) + 1).cast("int"))
+    val tld = element_at(array(lit("com"), lit("org"), lit("co.uk")),
+      (pmod(i, lit(3)) + 1).cast("int"))
+    val www = when(pmod(i, lit(2)) === 0, lit("www.")).otherwise(lit(""))
+    val sub = when(pmod(i, lit(13)) === 0, lit("cdn.")).otherwise(lit(""))
+    val port = when(pmod(i, lit(7)) === 0,
+        when(pmod(i, lit(4)) < 2, lit(":80")).otherwise(lit(":443")))
+      .when(pmod(i, lit(11)) === 0, lit(":8080"))
+      .otherwise(lit(""))
+    val path = when(pmod(i, lit(5)) === 0, lit("")).otherwise(
+      concat(lit("/items/"), pmod(i, lit(50)).cast("string"),
+        when(pmod(i, lit(6)) === 0, lit("/")).otherwise(lit(""))))
+    val trackers = pmod(i, lit(8)) >= 4
+    val params = filter(array(
+      when(trackers, lit("gclid=z")).otherwise(lit("")),
+      when(trackers, lit("utm_source=x")).otherwise(lit("")),
+      when(pmod(i, lit(4)) >= 2, lit("b=2")).otherwise(lit("")),
+      when(pmod(i, lit(2)) === 1, lit("a=1")).otherwise(lit(""))),
+      p => p =!= "")
+    val query = when(size(params) > 0,
+      concat(lit("?"), array_join(params, "&"))).otherwise(lit(""))
+    val frag = when(pmod(i, lit(9)) === 0, lit("#sec-2")).otherwise(lit(""))
+    concat(scheme, lit("://"), www, sub, base, lit("."), tld,
+      port, path, query, frag)
+  }
+
+  /** URL canonicalization as a hash gate: per document a messy url is
+    * synthesized ([[messyUrl]]) and [[graft.ext.Urls.canonicalizeUrl]]
+    * must normalize it — the oracle constructs the EXPECTED canonical
+    * string directly from the generator arithmetic (an independent
+    * derivation, not a replay of the parsing), so any defect in the
+    * fragment/query/host/port/path handling or the param sort breaks
+    * the per-row hash. `registered_domain` exercises the public-suffix
+    * heuristic on both branches (`.co.uk` keeps three labels, `cdn.`
+    * subdomains drop to two).
+    */
+  def urlCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val docs = t(s, d, "documents").select(col("doc_id"))
+    docs.select(col("doc_id"), messyUrl(col("doc_id")).as("url"))
+      .select(col("doc_id"),
+        graft.ext.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+      .withColumn("registered_domain", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("canonical_url"))))
+      .orderBy("doc_id")
+  }
+
+  /** Per-domain cap as the crawl-curation composition: messy urls
+    * keyed by `doc_id % 150` (so ~3–4 documents fetch each page under
+    * different messy spellings — here identical spellings per gid,
+    * the collision is the point) → canonicalize → URL-level dedup
+    * keeping the best fetch (max `n_chars`, ties to min doc_id) →
+    * [[graft.ext.Urls.capPerDomain]] keeps the 4 best pages per
+    * registered domain by `n_chars`. The oracle restates generator
+    * arithmetic + both window ranks; a dedup that keys on the RAW url
+    * (missing collisions) or a cap ranking that breaks ties
+    * nondeterministically changes rows.
+    */
+  def domainCap(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(s, d, "documents").select(col("doc_id"), col("n_chars"))
+      .withColumn("url", messyUrl(pmod(col("doc_id"), lit(150))))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(col("url")))
+    val wUrl = Window.partitionBy(col("canonical_url"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val deduped = docs.withColumn("_rn", row_number().over(wUrl))
+      .filter(col("_rn") === 1).drop("_rn", "url")
+      .withColumn("registered_domain", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("canonical_url"))))
+    graft.ext.Urls.capPerDomain(deduped, "registered_domain",
+        "n_chars", "doc_id", cap = 4)
+      .select(col("registered_domain"), col("domain_rank"),
+        col("doc_id"), col("canonical_url"), col("n_chars"))
+      .orderBy("registered_domain", "domain_rank")
+  }
+
+  /** k-anonymity release of the customer table
+    * ([[graft.ext.Privacy.kAnonymize]]): quasi-identifiers are
+    * (nation, segment, balance band) with the ladder (nation,
+    * segment, band) → (nation, segment) → (segment) → * — and the
+    * ITERATIVE semantics under test: a coarser class releases only if
+    * its STILL-UNRELEASED member count clears k, which the oracle
+    * states as staged window counts over the remainder of each stage.
+    * The band is deliberately skewed — `least(floor(acctbal/2000), 2)`
+    * puts ~60% of customers in the top band — so level-0 releases
+    * carve many (nation, segment) remainders below k: at sf0.01,
+    * 138 rows land at level 2 that a NAIVE whole-class level-1 count
+    * would (wrongly) release at level 1, so the honesty of the
+    * remainder counting is hash-visible, not just spec-pinned.
+    * (Full suppression needs a segment remainder < k, which 1500
+    * customers over 5 segments never produce — PrivacySpec pins
+    * level 3 on a crafted fixture instead.)
+    */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cust = t(s, d, "customer").select(col("c_custkey"),
+      col("c_nationkey"), col("c_mktsegment"),
+      least(floor(col("c_acctbal") / 2000.0), lit(2L)).as("bal_band"))
+    graft.ext.Privacy.kAnonymize(cust,
+        ladder = Seq(Seq("c_nationkey", "c_mktsegment", "bal_band"),
+          Seq("c_nationkey", "c_mktsegment"), Seq("c_mktsegment")),
+        k = 5)
+      .select(col("c_custkey"), col("anon_level"),
+        col("rel_c_nationkey").as("rel_nation"),
+        col("rel_c_mktsegment").as("rel_segment"),
+        col("rel_bal_band").as("rel_band"))
+      .orderBy("c_custkey")
+  }
 }
 
 private[graft] trait OraclesRound14 { this: OracleSnippets =>
@@ -273,6 +394,84 @@ private[graft] trait OraclesRound14 { this: OracleSnippets =>
         |  FROM cand c JOIN wide wa ON wa.doc_id = c.id_a
         |              JOIN wide wb ON wb.doc_id = c.id_b)
         |SELECT id_a, id_b, CAST(hd AS INTEGER) AS hamming
-        |FROM pairs WHERE hd <= 8 ORDER BY id_a, id_b""".stripMargin
+        |FROM pairs WHERE hd <= 8 ORDER BY id_a, id_b""".stripMargin,
+
+    // INDEPENDENT derivation of the canonical form from the messyUrl
+    // generator arithmetic — the oracle never parses a url, it states
+    // what canonicalization must produce (already-lowercased host, www
+    // stripped, default ports dropped, trailing slash cut, tracking
+    // params removed, survivors sorted)
+    "q207_url_canonicalize" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents),
+        |c AS (SELECT i,
+        |    CASE WHEN i % 4 < 2 THEN 'http' ELSE 'https' END AS scheme,
+        |    CASE WHEN i % 13 = 0 THEN 'cdn.' ELSE '' END
+        |      || ['example','news-site','blog','data7','archive'][CAST((i // 4) % 5 AS INTEGER) + 1]
+        |      || '.' || ['com','org','co.uk'][CAST(i % 3 AS INTEGER) + 1] AS host,
+        |    CASE WHEN i % 7 <> 0 AND i % 11 = 0 THEN ':8080' ELSE '' END AS port,
+        |    CASE WHEN i % 5 = 0 THEN '' ELSE '/items/' || CAST(i % 50 AS VARCHAR) END AS path,
+        |    CASE CAST(i % 4 AS INTEGER) WHEN 0 THEN '' WHEN 1 THEN '?a=1'
+        |      WHEN 2 THEN '?b=2' ELSE '?a=1&b=2' END AS q,
+        |    ['example','news-site','blog','data7','archive'][CAST((i // 4) % 5 AS INTEGER) + 1]
+        |      || '.' || ['com','org','co.uk'][CAST(i % 3 AS INTEGER) + 1] AS registered_domain
+        |  FROM d)
+        |SELECT i AS doc_id,
+        |  scheme || '://' || host || port || path || q AS canonical_url,
+        |  registered_domain
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // same generator keyed by doc_id % 150, then the curation windows:
+    // best fetch per canonical url (n_chars desc, doc_id), then the 4
+    // best pages per registered domain
+    "q208_domain_cap" ->
+      """WITH docs AS (SELECT doc_id, n_chars, doc_id % 150 AS g FROM documents),
+        |b AS (SELECT doc_id, n_chars, g,
+        |    ['example','news-site','blog','data7','archive'][CAST((g // 4) % 5 AS INTEGER) + 1] AS base,
+        |    ['com','org','co.uk'][CAST(g % 3 AS INTEGER) + 1] AS tld FROM docs),
+        |c AS (SELECT doc_id, n_chars,
+        |    (CASE WHEN g % 4 < 2 THEN 'http' ELSE 'https' END) || '://'
+        |      || (CASE WHEN g % 13 = 0 THEN 'cdn.' ELSE '' END) || base || '.' || tld
+        |      || (CASE WHEN g % 7 <> 0 AND g % 11 = 0 THEN ':8080' ELSE '' END)
+        |      || (CASE WHEN g % 5 = 0 THEN '' ELSE '/items/' || CAST(g % 50 AS VARCHAR) END)
+        |      || (CASE CAST(g % 4 AS INTEGER) WHEN 0 THEN '' WHEN 1 THEN '?a=1'
+        |          WHEN 2 THEN '?b=2' ELSE '?a=1&b=2' END) AS canonical_url,
+        |    base || '.' || tld AS registered_domain
+        |  FROM b),
+        |dd AS (SELECT *, row_number() OVER (PARTITION BY canonical_url
+        |    ORDER BY n_chars DESC, doc_id) AS rn FROM c),
+        |kept AS (SELECT doc_id, n_chars, canonical_url, registered_domain
+        |  FROM dd WHERE rn = 1),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY registered_domain
+        |    ORDER BY n_chars DESC, doc_id) AS dr FROM kept)
+        |SELECT registered_domain, CAST(dr AS INTEGER) AS domain_rank,
+        |  doc_id, canonical_url, n_chars
+        |FROM capped WHERE dr <= 4
+        |ORDER BY registered_domain, domain_rank""".stripMargin,
+
+    // the ITERATIVE ladder: each coarser level counts only the
+    // remainder of the previous one (records already released at a
+    // finer level do not hide anyone)
+    "q209_k_anonymity" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, c_mktsegment,
+        |    least(CAST(floor(c_acctbal / 2000) AS BIGINT), 2) AS bal_band FROM customer),
+        |l0 AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey, c_mktsegment,
+        |    bal_band) AS n0 FROM c),
+        |rem0 AS (SELECT * FROM l0 WHERE n0 < 5),
+        |l1 AS (SELECT *, count(*) OVER (PARTITION BY c_nationkey,
+        |    c_mktsegment) AS n1 FROM rem0),
+        |rem1 AS (SELECT * FROM l1 WHERE n1 < 5),
+        |l2 AS (SELECT *, count(*) OVER (PARTITION BY c_mktsegment) AS n2 FROM rem1)
+        |SELECT c_custkey, 0 AS anon_level,
+        |    CAST(c_nationkey AS VARCHAR) AS rel_nation,
+        |    c_mktsegment AS rel_segment, CAST(bal_band AS VARCHAR) AS rel_band
+        |  FROM l0 WHERE n0 >= 5
+        |UNION ALL
+        |SELECT c_custkey, 1, CAST(c_nationkey AS VARCHAR), c_mktsegment, '*'
+        |  FROM l1 WHERE n1 >= 5
+        |UNION ALL
+        |SELECT c_custkey, 2, '*', c_mktsegment, '*' FROM l2 WHERE n2 >= 5
+        |UNION ALL
+        |SELECT c_custkey, 3, '*', '*', '*' FROM l2 WHERE n2 < 5
+        |ORDER BY c_custkey""".stripMargin
   )
 }

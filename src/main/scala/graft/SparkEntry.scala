@@ -245,6 +245,9 @@ object SparkEntry {
     "q204_stream_restart" -> ((s, d) => PipelinesExt.streamRestartAgg(s, d)),
     "q205_range_rewrite_sql" -> ((s, d) => PipelinesExt.rangeRewriteSql(s, d)),
     "q206_image_phash_neardup" -> ((s, d) => PipelinesExt.imageNearDup(s, d)),
+    "q207_url_canonicalize" -> ((s, d) => PipelinesExt.urlCanonicalize(s, d)),
+    "q208_domain_cap" -> ((s, d) => PipelinesExt.domainCap(s, d)),
+    "q209_k_anonymity" -> ((s, d) => PipelinesExt.kAnonymity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

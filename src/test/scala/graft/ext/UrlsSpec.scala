@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[Urls]] — edge cases the q207/q208 generator cannot
+  * reach (multi-label subdomains, single-label hosts, all-tracking
+  * queries) plus the contract properties: idempotence of the
+  * canonical form and determinism of the per-domain cap.
+  */
+class UrlsSpec extends SparkSpec {
+
+  private def canon(urls: String*): Seq[String] = {
+    import spark.implicits._
+    urls.toDF("u").select(Urls.canonicalizeUrl(col("u"))).as[String].collect().toSeq
+  }
+
+  test("canonicalizeUrl normalizes case, www, default port, slash, fragment, params") {
+    assert(canon("HTTPS://WWW.Example.COM:443/a/b/?utm_source=t&b=2&a=1#frag")
+      === Seq("https://example.com/a/b?a=1&b=2"))
+  }
+
+  test("canonicalizeUrl keeps non-default ports and handles path-less urls") {
+    assert(canon(
+      "http://x.org:8080/",           // explicit port kept, root slash cut
+      "http://www.x.com",             // nothing but host
+      "https://x.com?b=1&utm_x=2",    // query with no path
+      "http://x.com/p?utm_a=1&gclid=2", // ALL params tracking → '?' dropped
+      "http://x.com:80/p"             // default port with a path
+    ) === Seq(
+      "http://x.org:8080",
+      "http://x.com",
+      "https://x.com?b=1",
+      "http://x.com/p",
+      "http://x.com/p"))
+  }
+
+  test("canonicalizeUrl is idempotent") {
+    import spark.implicits._
+    val urls = Seq(
+      "HTTPS://WWW.Example.COM:443/a/b/?utm_source=t&b=2&a=1#frag",
+      "http://x.org:8080/", "http://www.x.com", "https://x.com?b=1&utm_x=2",
+      "http://cdn.Site.co.uk/i/3?z=9&a=1#x").toDF("u")
+    val twice = urls.select(
+      Urls.canonicalizeUrl(col("u")).as("once"),
+      Urls.canonicalizeUrl(Urls.canonicalizeUrl(col("u"))).as("twice"))
+    assert(twice.filter(col("once") =!= col("twice")).count() === 0)
+  }
+
+  test("registeredDomain handles 2-label, subdomain, multi-part suffix, single label") {
+    import spark.implicits._
+    val got = Seq("example.com", "cdn.example.com", "a.b.example.co.uk",
+        "example.co.uk", "localhost").toDF("h")
+      .select(Urls.registeredDomain(col("h"))).as[String].collect().toSeq
+    assert(got === Seq("example.com", "example.com", "example.co.uk",
+      "example.co.uk", "localhost"))
+  }
+
+  test("hostOf strips scheme, www, port, path, query, fragment") {
+    import spark.implicits._
+    val got = Seq("HTTP://WWW.A.B.Com:8080/p/q?x=1#f", "https://plain.org")
+      .toDF("u").select(Urls.hostOf(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("a.b.com", "plain.org"))
+  }
+
+  test("capPerDomain keeps the cap best rows per domain, ties by id") {
+    import spark.implicits._
+    val docs = Seq(
+      ("d1", 10L, 1L), ("d1", 30L, 2L), ("d1", 30L, 3L), ("d1", 5L, 4L),
+      ("d2", 7L, 5L)).toDF("dom", "q", "id")
+    val got = Urls.capPerDomain(docs, "dom", "q", "id", cap = 2)
+      .select("dom", "id", "domain_rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    // d1: quality 30 ties on ids 2,3 → both beat 10; id 2 ranks first
+    assert(got === Set(("d1", 2L, 1), ("d1", 3L, 2), ("d2", 5L, 1)))
+    val e = intercept[IllegalArgumentException](
+      Urls.capPerDomain(docs, "dom", "q", "id", cap = 0))
+    assert(e.getMessage.contains("cap must be positive"))
+  }
+}
