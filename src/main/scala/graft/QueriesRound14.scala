@@ -292,6 +292,118 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
       .orderBy("registered_domain", "domain_rank")
   }
 
+  /** Deterministic tag-soup HTML for generator key `i` — every
+    * extraction hazard the q210/q211 gates need: entities in title
+    * and body (`&amp;` that must decode LAST, `&lt;raw&gt;` that must
+    * survive tag stripping), a script body with a raw `<` that would
+    * corrupt the text if scripts were tag-stripped instead of
+    * dropped, a style body with braces, attributes on tags, and 0–2
+    * anchor links with messy hrefs (the [[messyUrl]] hazards: case,
+    * www, default port, trailing slash, tracking param). Shared by
+    * q210 and q211; both oracles restate the SAME arithmetic.
+    */
+  private def docHtml(i: Column): Column = {
+    val script = when(pmod(i, lit(4)) === 0,
+      lit("<script type=\"text/javascript\">var a = 1 < 2; " +
+        "document.write(\"junk\");</script>")).otherwise(lit(""))
+    val style = when(pmod(i, lit(5)) === 0,
+      lit("<style>.big { color: #fff; }</style>")).otherwise(lit(""))
+    // host index (i/3 + 4j) % 9 is deliberately DECORRELATED from the
+    // link-count key i % 3: with (i+j) % 9 the residues k mod 3 and j
+    // lock together and the second link never reaches the domains
+    // whose robots rules test longest-match — found by auditing the
+    // q212 branch distribution
+    def link(j: Int): Column = when(pmod(i, lit(3)) > j, concat(
+      lit("<a href=\"HTTP://WWW.Site"),
+      pmod(floor(i / 3) + lit(4 * j), lit(9)).cast("string"),
+      lit(".COM:80/p/" + j + "/?utm_source=z&x="), pmod(i, lit(4)).cast("string"),
+      lit("\">link " + j + "</a>"))).otherwise(lit(""))
+    concat(
+      lit("<html><head><title>Doc "), i.cast("string"),
+      lit(" &amp; notes</title>"), script, lit("</head><body>"),
+      lit("<h1 class=\"big\">Heading "), pmod(i, lit(7)).cast("string"),
+      lit("</h1><p>Text "),
+      substring(md5(concat(i.cast("string"), lit(":body")).cast("binary")),
+        1, 1),
+      lit(" &lt;raw&gt; and <b>bold "), pmod(i, lit(5)).cast("string"),
+      lit("</b> tail.</p>"), link(0), link(1), style, lit("</body></html>"))
+  }
+
+  /** HTML text extraction as a hash gate ([[graft.ext.Html]]): the
+    * generated tag soup must reduce to exactly the visible text — the
+    * oracle constructs the EXPECTED title/text/link-count straight
+    * from the generator arithmetic (never touching a regex), so a
+    * script body leaking into text, an entity decoded before tag
+    * stripping (`&lt;raw&gt;` would vanish), `&amp;` decoded first
+    * (double-decode), broken whitespace collapse, or a missed href
+    * all break the per-row hash.
+    */
+  def htmlExtract(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").select(col("doc_id"),
+        docHtml(col("doc_id")).as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.extractTitle(col("html")).as("title"),
+        graft.ext.Html.extractText(col("html")).as("text"),
+        size(graft.ext.Html.extractLinks(col("html"))).as("n_links"))
+      .orderBy("doc_id")
+  }
+
+  /** Link-graph aggregation — the crawl composition q207/q210 exist
+    * for: harvested hrefs ([[graft.ext.Html.extractLinks]]) are
+    * canonicalized ([[graft.ext.Urls.canonicalizeUrl]]) and rolled up
+    * to per-registered-domain in-degree, distinct linking documents,
+    * and distinct target pages. Scale: explode is a narrow per-row
+    * expansion (≤2 links/doc here; real pages fan out more but stay
+    * row-local), and the single shuffle is the domain groupBy with
+    * map-side partial aggregation.
+    */
+  def linkGraph(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "documents").select(col("doc_id"),
+        docHtml(col("doc_id")).as("html"))
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("html"))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("registered_domain", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .groupBy("registered_domain")
+      .agg(count(lit(1)).as("in_degree"),
+        countDistinct(col("doc_id")).as("n_sources"),
+        countDistinct(col("curl")).as("n_urls"))
+      .orderBy("registered_domain")
+  }
+
+  /** Robots-rule filtering over the harvested link frontier — the
+    * crawl step between q211's link graph and any fetch: the shared
+    * generator's canonical urls run through
+    * [[graft.ext.Urls.applyRobotsRules]] under a rule set exercising
+    * every decision branch — longest-match override (site1 disallows
+    * `/p/` but allows the longer `/p/1`), whole-site disallow
+    * (site2 `/`), single-page disallow with a non-matching sibling
+    * (site4 `/p/0`), an equal-length allow/disallow tie that must
+    * resolve toward allow (site5 `/p` twice), a rule that never
+    * matches (site7 `/q`), and rule-less domains. The oracle states
+    * the expected decision and matched prefix length per (domain,
+    * path ordinal) directly.
+    */
+  def robotsFilter(s: SparkSession, d: String): DataFrame = {
+    val links = t(s, d, "documents").select(col("doc_id"),
+        docHtml(col("doc_id")).as("html"))
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("html"))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    val rules = Seq(
+      ("site1.com", "/p/", false), ("site1.com", "/p/1", true),
+      ("site2.com", "/", false), ("site4.com", "/p/0", false),
+      ("site5.com", "/p", true), ("site5.com", "/p", false),
+      ("site7.com", "/q", false))
+    graft.ext.Urls.applyRobotsRules(links, rules, "dom", "path")
+      .select(col("doc_id"), col("curl"), col("allowed"), col("matched_len"))
+      .orderBy("doc_id", "curl")
+  }
+
   /** k-anonymity release of the customer table
     * ([[graft.ext.Privacy.kAnonymize]]): quasi-identifiers are
     * (nation, segment, balance band) with the ladder (nation,
@@ -472,6 +584,60 @@ private[graft] trait OraclesRound14 { this: OracleSnippets =>
         |SELECT c_custkey, 2, '*', c_mktsegment, '*' FROM l2 WHERE n2 >= 5
         |UNION ALL
         |SELECT c_custkey, 3, '*', '*', '*' FROM l2 WHERE n2 < 5
-        |ORDER BY c_custkey""".stripMargin
+        |ORDER BY c_custkey""".stripMargin,
+
+    // EXPECTED visible text constructed straight from the docHtml
+    // generator arithmetic — no regex on the oracle side; every
+    // extraction-order hazard (script drop before tag strip, entities
+    // after tag strip, &amp; last, whitespace collapse) is hash-visible
+    "q210_html_extract" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents)
+        |SELECT i AS doc_id,
+        |  'Doc ' || i || ' & notes' AS title,
+        |  'Doc ' || i || ' & notes Heading ' || (i % 7) || ' Text '
+        |    || substr(md5(i || ':body'), 1, 1)
+        |    || ' <raw> and bold ' || (i % 5) || ' tail.'
+        |    || CASE CAST(i % 3 AS INTEGER) WHEN 0 THEN ''
+        |       WHEN 1 THEN ' link 0' ELSE ' link 0 link 1' END AS text,
+        |  CAST(i % 3 AS INTEGER) AS n_links
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // per-(doc, link ordinal) rows from the generator, canonical urls
+    // restated directly (www/port/slash/tracking normalization already
+    // applied), then the domain rollup
+    "q211_link_graph" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |u AS (SELECT i,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl,
+        |    'site' || ((i // 3 + 4 * j) % 9) || '.com' AS dom FROM l)
+        |SELECT dom AS registered_domain, count(*) AS in_degree,
+        |  count(DISTINCT i) AS n_sources, count(DISTINCT curl) AS n_urls
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // expected robots decision per (domain k, path ordinal j) stated
+    // directly from the rule set: longest match wins, equal-length tie
+    // → allow, no match / no rules → allowed with matched_len 0
+    "q212_robots_filter" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |u AS (SELECT i, (i // 3 + 4 * j) % 9 AS k, j,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl FROM l)
+        |SELECT i AS doc_id, curl,
+        |  CASE WHEN k = 1 AND j = 0 THEN FALSE
+        |       WHEN k = 2 THEN FALSE
+        |       WHEN k = 4 AND j = 0 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CAST(CASE WHEN k = 1 AND j = 0 THEN 3
+        |       WHEN k = 1 AND j = 1 THEN 4
+        |       WHEN k = 2 THEN 1
+        |       WHEN k = 4 AND j = 0 THEN 4
+        |       WHEN k = 5 THEN 2
+        |       ELSE 0 END AS INTEGER) AS matched_len
+        |FROM u ORDER BY doc_id, curl""".stripMargin
   )
 }

@@ -248,6 +248,9 @@ object SparkEntry {
     "q207_url_canonicalize" -> ((s, d) => PipelinesExt.urlCanonicalize(s, d)),
     "q208_domain_cap" -> ((s, d) => PipelinesExt.domainCap(s, d)),
     "q209_k_anonymity" -> ((s, d) => PipelinesExt.kAnonymity(s, d)),
+    "q210_html_extract" -> ((s, d) => PipelinesExt.htmlExtract(s, d)),
+    "q211_link_graph" -> ((s, d) => PipelinesExt.linkGraph(s, d)),
+    "q212_robots_filter" -> ((s, d) => PipelinesExt.robotsFilter(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTML text extraction — the step between fetching a crawl and every
+  * text-level operator in this repo: strip markup down to the visible
+  * text (dropping script/style bodies entirely — they are code, not
+  * prose), pull the title, decode character entities, and harvest the
+  * outbound links that feed the frontier and the link graph
+  * ([[Urls]] canonicalizes them downstream).
+  *
+  * Reference scope: the reference pipelines
+  * (`/root/reference/Feature_Store_Telco_Churn_Flight_School.py`)
+  * ingest structured CSV, never markup — §8.2 training-data extension
+  * surface, the upstream producer for [[TextAnalysis]]' documents.
+  *
+  * Everything is native `regexp_replace` / `regexp_extract` /
+  * `regexp_extract_all` expressions — per-row narrow projections, no
+  * UDF, no shuffle; at 100 TB extraction cost parallelizes with the
+  * scan exactly like decode in [[Multimodal]]. This is a pragmatic
+  * crawl extractor (regex over tag soup, the trafilatura/jusText
+  * lineage), not an HTML5 tree parser: unclosed tags degrade to extra
+  * whitespace, never to wrong text; CDATA and comments inside
+  * script bodies die with the body.
+  */
+object Html {
+
+  /** Character entities decoded after tag stripping. `&amp;` MUST
+    * decode last: `&amp;lt;` is the TEXT `&lt;`, and decoding `&amp;`
+    * first would turn it into markup that a second pass would wrongly
+    * decode again (HtmlSpec pins this).
+    */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+    "&nbsp;" -> " ", "&amp;" -> "&")
+
+  /** Decode the [[Entities]] in already-tag-free text. */
+  def decodeEntities(text: Column): Column =
+    Entities.foldLeft(text) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+
+  /** Visible text of an HTML document: script/style elements dropped
+    * WITH their bodies, every other tag replaced by a space, entities
+    * decoded, whitespace collapsed and trimmed. Title text is part of
+    * the document text (it is visible — in the tab), matching the
+    * plain strip-tags convention.
+    */
+  def extractText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+  }
+
+  /** Title text (first `<title>` element), entity-decoded and
+    * whitespace-collapsed; empty string when absent.
+    */
+  def extractTitle(html: Column): Column =
+    trim(regexp_replace(decodeEntities(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)), "\\s+", " "))
+
+  /** All `href` targets of anchor tags, in document order, as an
+    * array — raw as written (canonicalization is [[Urls]]' job, and
+    * fusing it here would hide which stage broke a link).
+    */
+  def extractLinks(html: Column): Column =
+    regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
+}

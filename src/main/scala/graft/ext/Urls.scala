@@ -114,6 +114,58 @@ object Urls {
         .otherwise(last2))
   }
 
+  /** Path component of a canonical absolute URL (query and fragment
+    * excluded): `http://h.com/a/b?x=1` → `/a/b`, `http://h.com` → ``.
+    */
+  def pathOf(url: Column): Column = {
+    val rest = substring_index(
+      substring_index(substring_index(url, "#", 1), "?", 1), "://", -1)
+    val hostport = substring_index(rest, "/", 1)
+    substring(rest, length(hostport) + 1, lit(1 << 20))
+  }
+
+  /** Robots-style allow/disallow decision per URL under a rule set of
+    * `(registeredDomain, pathPrefix, allow)` triples with the
+    * longest-match semantics crawlers implement (RFC 9309 / Google):
+    * among the URL's domain's rules whose prefix matches its path,
+    * the LONGEST prefix wins; equal lengths tie toward allow; no
+    * matching rule (or no rules for the domain) means allowed.
+    *
+    * Scale shape: a real rule corpus is robots-fetch-sized — millions
+    * of domains, a handful of prefixes each — which still broadcasts;
+    * here the rules compile into ONE literal map-lookup + filter +
+    * array_max expression evaluated per row in the scan projection
+    * (the `stratumLookup` discipline), so the decision adds NO join
+    * and NO shuffle at any corpus size. Longest-match itself is the
+    * lexicographic max of `(prefixLen, allowBit)` over the matching
+    * rules — no sort, no window.
+    *
+    * Output: input columns plus `allowed` (boolean) and
+    * `matched_len` (longest matching prefix length; 0 = no rule).
+    */
+  def applyRobotsRules(urls: DataFrame, rules: Seq[(String, String, Boolean)],
+      domainCol: String, pathCol: String): DataFrame = {
+    require(rules.nonEmpty, "Urls.applyRobotsRules: empty rule set")
+    val byDomain = rules.groupBy(_._1).toSeq.sortBy(_._1)
+    val ruleMap = map(byDomain.flatMap { case (dom, rs) =>
+      Seq(lit(dom), array(rs.map { case (_, prefix, allow) =>
+        struct(lit(prefix).as("prefix"),
+          lit(if (allow) 1 else 0).as("allow"))
+      }: _*))
+    }: _*)
+    val domRules = element_at(ruleMap, col(domainCol))
+    val matched = filter(domRules, r =>
+      col(pathCol).startsWith(r.getField("prefix")))
+    val best = array_max(transform(matched, r =>
+      struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
+    urls
+      .withColumn("_rb", when(domRules.isNull || size(matched) === 0,
+        struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
+      .withColumn("allowed", col("_rb.a") === 1)
+      .withColumn("matched_len", col("_rb.l"))
+      .drop("_rb")
+  }
+
   /** Per-domain document cap — crawl curation's anti-monoculture
     * control: after URL-level dedup a handful of giant domains still
     * dominate raw counts, so each registered domain keeps at most

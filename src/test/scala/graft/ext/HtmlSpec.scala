@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[Html]] — the extraction-ORDER hazards the q210 oracle
+  * sees only end-to-end: script/style bodies must die before tag
+  * stripping, entities must decode after it, `&amp;` must decode
+  * last, and the link harvest must take anchors only.
+  */
+class HtmlSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(c).as[String].head()
+  }
+
+  test("extractText drops script/style bodies including raw '<' inside them") {
+    val html = "<body><p>keep</p><script>if (1 < 2) { x(\"<p>no</p>\"); }" +
+      "</script><style>.a { b: c; }</style><p>also</p></body>"
+    assert(one(Html.extractText(col("h")), html) === "keep also")
+  }
+
+  test("entities decode AFTER tag stripping, &amp; decodes LAST") {
+    // &lt;b&gt; is TEXT — decoding before stripping would delete it as
+    // a tag; &amp;lt; is the text '&lt;' — decoding &amp; first would
+    // double-decode it to '<'
+    val html = "<p>a &lt;b&gt; c &amp;lt; d &amp; e&nbsp;f</p>"
+    assert(one(Html.extractText(col("h")), html) === "a <b> c &lt; d & e f")
+  }
+
+  test("extractText collapses whitespace across stripped tags and newlines") {
+    val html = "<div>\n  one\n  <span>two</span>\n\tthree </div>"
+    assert(one(Html.extractText(col("h")), html) === "one two three")
+  }
+
+  test("extractTitle handles attributes and multiline bodies, empty when absent") {
+    assert(one(Html.extractTitle(col("h")),
+      "<title lang=\"en\">A\n  &amp; B</title>") === "A & B")
+    assert(one(Html.extractTitle(col("h")), "<p>no title</p>") === "")
+  }
+
+  test("extractLinks takes anchor hrefs in order, not <link> or unquoted ones") {
+    import spark.implicits._
+    val html = "<link href=\"skip.css\"><a href=\"first\">1</a>" +
+      "<A HREF=\"second\">2</A><a class=\"x\" href=\"third\">3</a>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractLinks(col("h"))).as[Seq[String]].head()
+    assert(got === Seq("first", "second", "third"))
+  }
+}

@@ -64,6 +64,39 @@ class UrlsSpec extends SparkSpec {
     assert(got === Seq("a.b.com", "plain.org"))
   }
 
+  test("pathOf takes the path only — no host, port, query, fragment") {
+    import spark.implicits._
+    val got = Seq("http://h.com/a/b?x=1#f", "https://h.com:8080/p",
+        "http://h.com", "http://h.com?x=1")
+      .toDF("u").select(Urls.pathOf(col("u"))).as[String].collect().toSeq
+    assert(got === Seq("/a/b", "/p", "", ""))
+  }
+
+  test("applyRobotsRules: longest match wins, ties allow, no match/rules allow") {
+    import spark.implicits._
+    val rules = Seq(
+      ("d.com", "/p/", false), ("d.com", "/p/1", true),
+      ("t.com", "/x", true), ("t.com", "/x", false))
+    val urls = Seq(
+      ("d.com", "/p/0"),   // /p/ blocks
+      ("d.com", "/p/1"),   // longer allow overrides /p/
+      ("d.com", "/p/10"),  // /p/1 is a PREFIX of /p/10 → allow wins
+      ("d.com", "/q"),     // no matching rule
+      ("t.com", "/x/y"),   // equal-length allow+disallow → allow
+      ("e.com", "/p/0")    // domain without rules
+    ).toDF("dom", "path")
+    val got = Urls.applyRobotsRules(urls, rules, "dom", "path")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getInt(3))).toSet
+    assert(got === Set(
+      ("d.com", "/p/0", false, 3), ("d.com", "/p/1", true, 4),
+      ("d.com", "/p/10", true, 4), ("d.com", "/q", true, 0),
+      ("t.com", "/x/y", true, 2), ("e.com", "/p/0", true, 0)))
+    val e = intercept[IllegalArgumentException](
+      Urls.applyRobotsRules(urls, Seq.empty, "dom", "path"))
+    assert(e.getMessage.contains("empty rule set"))
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
