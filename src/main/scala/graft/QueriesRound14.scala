@@ -162,8 +162,20 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
     * extraction, or pair dedup breaks the hash.
     */
   def imageNearDup(s: SparkSession, d: String): DataFrame = {
+    val media = imageMedia(t(s, d, "documents").select(col("doc_id")))
+    val hashes = graft.ext.ImageHash.imageDHash(media)
+    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The q206 BMP fixture generator on its own — (media_id, payload)
+    * from a one-column id frame; also driven at 1×–256× by
+    * `tools/ScaleCheck`'s image tier.
+    */
+  private[graft] def imageMedia(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
     import s.implicits._
-    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val gid = id / 4
@@ -198,9 +210,6 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
           (id, bos.toByteArray)
         }
       }.toDF("media_id", "payload")
-    val hashes = graft.ext.ImageHash.imageDHash(media)
-    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
-      .orderBy("id_a", "id_b")
   }
 
   /** Deterministic MESSY url for generator key `i` — every
@@ -302,7 +311,7 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
     * www, default port, trailing slash, tracking param). Shared by
     * q210 and q211; both oracles restate the SAME arithmetic.
     */
-  private def docHtml(i: Column): Column = {
+  private[graft] def docHtml(i: Column): Column = {
     val script = when(pmod(i, lit(4)) === 0,
       lit("<script type=\"text/javascript\">var a = 1 < 2; " +
         "document.write(\"junk\");</script>")).otherwise(lit(""))

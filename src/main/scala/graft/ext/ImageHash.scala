@@ -120,8 +120,14 @@ object ImageHash {
     * Column. Arithmetic shift then mask — sign extension from bit 63
     * is stripped by the AND, so band 3 is correct for negative longs.
     */
-  def band16(hash: Column, b: Int): Column =
-    shiftright(hash, 16 * b).bitwiseAND(lit(0xFFFFL))
+  def band16(hash: Column, b: Int): Column = band(hash, b, 16)
+
+  /** The b-th `bits`-wide fragment of a 64-bit hash
+    * (b ∈ 0 until 64/bits); same sign-safe shift-and-mask.
+    */
+  def band(hash: Column, b: Int, bits: Int): Column =
+    shiftright(hash, bits * b)
+      .bitwiseAND(lit(if (bits == 64) -1L else (1L << bits) - 1))
 
   /** Hamming distance between two 64-bit hashes, computed band-wise
     * (4 × bit_count over non-negative 16-bit ints) so the SAME
@@ -134,33 +140,57 @@ object ImageHash {
       .reduce(_ + _)
 
   /** Near-duplicate image pairs by banded dHash: hashes agreeing on at
-    * least one of the four 16-bit bands meet in a bucket join, and
+    * least one of the 64/`bandBits` bands meet in a bucket join, and
     * candidates are kept iff full Hamming ≤ `maxHamming`. Guarantees
-    * every pair within distance 3 is found (4 bands, ≤3 differing bits
-    * → some band is clean — the pigeonhole bound the MinHash banding
-    * shares); pairs at distance 4..maxHamming are found iff their
+    * every pair within distance (nBands − 1) is found (≤ nBands−1
+    * differing bits → some band is clean — the pigeonhole bound the
+    * MinHash banding shares); pairs past that are found iff their
     * differing bits leave a band intact. Output: (id_a, id_b, hamming),
     * id_a < id_b, each pair once.
     *
     * Scale: the only shuffle is the (band, value) bucket key; a bucket
-    * holds just the images sharing that exact 16-bit fragment, and the
+    * holds just the images sharing that exact fragment, and the
     * join output is verified per candidate — never materializing an
     * all-pairs frame. Hash-fragment skew (e.g. millions of solid-white
     * thumbnails sharing every band) is real dup structure, the same
     * story as the MinHash band join's hot buckets.
+    *
+    * `bandBits` is the corpus-size dial: RANDOM (non-dup) hashes
+    * collide on a `bandBits`-wide fragment with probability 2^-bits,
+    * so expected accidental candidates grow ~ nBands · n² / 2^bits —
+    * 16-bit bands saturate around 10⁶ images (measured in SCALE.md:
+    * the candidate count, not the dup structure, dominates the wall),
+    * while 32-bit bands hold accidental candidates near zero at the
+    * price of the guarantee dropping to distance ≤ 1 (2 bands).
+    * Pick the widest band whose pigeonhole guarantee still covers the
+    * distance you must not miss.
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int,
-      idCol: String = "media_id"): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 16,
-      s"ImageHash.nearDupPairs: maxHamming must be in [0, 16], got $maxHamming " +
-        "(above 16 a single clean band no longer implies similarity)")
-    // the four (band, value) rows per image are a prebuilt struct
+      idCol: String = "media_id", bandBits: Int = 16): DataFrame = {
+    require(Set(8, 16, 32).contains(bandBits),
+      s"ImageHash.nearDupPairs: bandBits must be 8, 16, or 32, got $bandBits")
+    val nBands = 64 / bandBits
+    require(maxHamming >= 0 && maxHamming <= 4 * bandBits,
+      s"ImageHash.nearDupPairs: maxHamming must be in [0, ${4 * bandBits}], " +
+        s"got $maxHamming (past it a single clean band no longer implies similarity)")
+    // cache the (id, dhash) projection: the self-join reads it twice,
+    // and the upstream is typically the DECODE pass — without the
+    // cache every image decodes once per join side (measured 2× wall
+    // on the 16× ScaleCheck corpus). 16 bytes/row; eager count so the
+    // two sides never race the fill (the Dedup.minhashPairs
+    // discipline). Left unpersisted for the same reason as there: the
+    // returned frame stays lazy over this plan.
+    val snap = hashes.select(col(idCol).cast("long").as("id"),
+      col("dhash").cast("long").as("dhash")).cache()
+    snap.count()
+    // the (band, value) rows per image are a prebuilt struct
     // array — shiftright takes a literal shift, and prebuilding keeps
     // the band extraction inside the same codegen'd projection as the
     // explode
-    val bands = hashes.select(col(idCol).as("id"), col("dhash"),
-        explode(array((0 until 4).map(i =>
-          struct(lit(i).as("band"), band16(col("dhash"), i).as("bval"))): _*)).as("bv"))
+    val bands = snap.select(col("id"), col("dhash"),
+        explode(array((0 until nBands).map(i =>
+          struct(lit(i).as("band"),
+            band(col("dhash"), i, bandBits).as("bval"))): _*)).as("bv"))
       .select(col("id"), col("dhash"),
         col("bv.band").as("band"), col("bv.bval").as("bval"))
     val a = bands.select(col("id").as("id_a"), col("dhash").as("h_a"),

@@ -107,6 +107,27 @@ class ImageHashSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 0), (1L, 3L, 3), (2L, 3L, 3)))
   }
 
+  test("nearDupPairs at 32-bit bands: same pairs on near-dup structure, distance-1 guarantee") {
+    import spark.implicits._
+    val h = 0x1111_2222_3333_4444L
+    val hashes = Seq(
+      (1L, h), (2L, h), (3L, h ^ 0x7L),
+      (4L, h ^ 0x0001_0001_0001_0001L),
+      (5L, h ^ 0x01FF_0000_0000_0000L),
+      (6L, 0x5A5A_5A5A_5A5A_5A5AL)).toDF("media_id", "dhash")
+    def pairs(bits: Int) =
+      ImageHash.nearDupPairs(hashes, maxHamming = 8, bandBits = bits)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // this fixture's survivors all share a clean 32-bit half, so the
+    // wide-band variant emits the IDENTICAL pair set (the SCALE.md
+    // rows-out-equality claim); distance-1 pairs are guaranteed by the
+    // 2-band pigeonhole
+    assert(pairs(32) === pairs(16))
+    val e = intercept[IllegalArgumentException](
+      ImageHash.nearDupPairs(hashes, maxHamming = 8, bandBits = 7))
+    assert(e.getMessage.contains("bandBits"))
+  }
+
   test("imageDHash over a DataFrame matches the local hash") {
     import spark.implicits._
     val payload = bmp(base)
