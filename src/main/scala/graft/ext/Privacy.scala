@@ -82,7 +82,16 @@ object Privacy {
       }
     val decision = cls.select(quasi.map(col) :+ level.cast("int").as("anon_level"): _*)
 
-    val out = df.join(broadcast(decision), quasi)
+    // NULL-SAFE join back: groupBy above groups null quasi values as
+    // their own class (a real population — "segment unknown" — that
+    // must be counted and released/generalized like any other), so the
+    // join must match them too; a plain equi-join would silently DROP
+    // every null-keyed record from the release
+    val l = df.alias("_ka_l")
+    val r = broadcast(decision).alias("_ka_r")
+    val out = l.join(r,
+        quasi.map(c => col(s"_ka_l.$c") <=> col(s"_ka_r.$c")).reduce(_ && _))
+      .select(col("_ka_l.*") +: col("_ka_r.anon_level") +: Nil: _*)
     quasi.foldLeft(out) { (acc, c) =>
       // level at which c falls off the ladder; monotone subsets mean c
       // is present at exactly the levels below that

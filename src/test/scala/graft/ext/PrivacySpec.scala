@@ -61,6 +61,22 @@ class PrivacySpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("null quasi values form their own class and are never dropped") {
+    import spark.implicits._
+    // a "segment unknown" population: 3 null-a rows clear k at level 0;
+    // the 2 non-null rows fall the whole ladder to suppression. A plain
+    // equi-join back would silently DROP the null-keyed rows.
+    val df = Seq[(Int, Option[Int], String, Int)](
+      (201, None, "n", 1), (202, None, "n", 1), (203, None, "n", 1),
+      (204, Some(9), "n", 1), (205, Some(9), "n", 2)).toDF("id", "a", "b", "c")
+    val out = Privacy.kAnonymize(df, ladder, k = 3)
+    assert(out.count() === 5)
+    val byId = out.select("id", "anon_level")
+      .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+    for (i <- 201 to 203) assert(byId(i) === 0, s"id $i")
+    for (i <- 204 to 205) assert(byId(i) === 3, s"id $i")
+  }
+
   test("ladder validation rejects non-monotone and empty ladders") {
     val df = fixture
     val e1 = intercept[IllegalArgumentException](
