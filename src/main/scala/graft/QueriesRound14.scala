@@ -413,6 +413,46 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
       .orderBy("doc_id", "curl")
   }
 
+  /** WARC ingest as a hash gate ([[graft.ext.Warc]]): per doc a
+    * binary WARC blob of 1–3 records is synthesized and the
+    * length-driven parser must recover every header field and the
+    * exact payload. The j=1 record's payload EMBEDS a fake
+    * `WARC/1.0` header block (`\r\n`-framed) — a magic-scanning
+    * parser would split there and desynchronize every later record,
+    * so the Content-Length framing is what the hash certifies. The
+    * oracle restates fields and payloads from the generator
+    * arithmetic (chr(13)||chr(10) for the embedded CRLFs).
+    */
+  def warcIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val sb = new StringBuilder
+          val n = (i % 3).toInt + 1
+          for (j <- 0 until n) {
+            val payload =
+              if (j == 1) s"A\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nB $i"
+              else "payload " + i + ":" + j + " " + "x" * ((i + j) % 7).toInt
+            val host = (i / 3 + 4 * j) % 9
+            sb.append("WARC/1.0\r\n")
+              .append(if (j % 2 == 0) "WARC-Type: response\r\n"
+                      else "WARC-Type: request\r\n")
+              .append(s"WARC-Target-URI: http://site$host.com/p/$j\r\n")
+              .append(s"WARC-Record-ID: <urn:uuid:$i-$j>\r\n")
+              .append(s"Content-Length: ${payload.length}\r\n\r\n")
+              .append(payload).append("\r\n\r\n")
+          }
+          (i, sb.toString.getBytes("US-ASCII"))
+        }
+      }.toDF("doc_id", "blob")
+    graft.ext.Warc.parseWarcColumn(blobs, "doc_id", "blob")
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"),
+        col("payload").cast("string").as("payload_text"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   /** k-anonymity release of the customer table
     * ([[graft.ext.Privacy.kAnonymize]]): quasi-identifiers are
     * (nation, segment, balance band) with the ladder (nation,
@@ -647,6 +687,27 @@ private[graft] trait OraclesRound14 { this: OracleSnippets =>
         |       WHEN k = 4 AND j = 0 THEN 4
         |       WHEN k = 5 THEN 2
         |       ELSE 0 END AS INTEGER) AS matched_len
-        |FROM u ORDER BY doc_id, curl""".stripMargin
+        |FROM u ORDER BY doc_id, curl""".stripMargin,
+
+    // expected WARC fields and payloads stated from the generator;
+    // the j=1 payload embeds a fake header block (chr(13)||chr(10)
+    // CRLFs) that only length-driven framing survives
+    "q213_warc_ingest" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 + 1 AS n FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 2)) AS j) s WHERE j < n),
+        |p AS (SELECT i, j,
+        |    CASE WHEN j = 1 THEN 'A' || chr(13) || chr(10) || 'WARC/1.0'
+        |        || chr(13) || chr(10) || 'WARC-Type: fake' || chr(13) || chr(10)
+        |        || chr(13) || chr(10) || 'B ' || i
+        |      ELSE 'payload ' || i || ':' || j || ' '
+        |        || repeat('x', CAST((i + j) % 7 AS INTEGER)) END AS payload
+        |  FROM l)
+        |SELECT i AS doc_id, CAST(j AS INTEGER) AS rec_idx,
+        |  CASE WHEN j % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+        |  'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j AS target_uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length,
+        |  payload AS payload_text
+        |FROM p ORDER BY doc_id, rec_idx""".stripMargin
   )
 }

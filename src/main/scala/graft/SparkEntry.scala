@@ -251,6 +251,7 @@ object SparkEntry {
     "q210_html_extract" -> ((s, d) => PipelinesExt.htmlExtract(s, d)),
     "q211_link_graph" -> ((s, d) => PipelinesExt.linkGraph(s, d)),
     "q212_robots_filter" -> ((s, d) => PipelinesExt.robotsFilter(s, d)),
+    "q213_warc_ingest" -> ((s, d) => PipelinesExt.warcIngest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Pins for [[Warc]] — what the q213 oracle cannot see: byte-exact
+  * Content-Length framing with MULTIBYTE payloads (the gate fixture
+  * is ASCII so chars == bytes there), zero-length payloads, unknown
+  * headers, and the named framing errors.
+  */
+class WarcSpec extends SparkSpec {
+
+  private def rec(headers: Seq[String], payload: Array[Byte]): Array[Byte] = {
+    val head = ("WARC/1.0" +: headers :+
+      s"Content-Length: ${payload.length}").mkString("", "\r\n", "\r\n\r\n")
+    head.getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+  }
+
+  test("length framing is BYTES: a multibyte payload does not desynchronize") {
+    // 'é' is 2 UTF-8 bytes but 1 char — a char-counting parser would
+    // leave one byte behind and misparse record 2's magic
+    val p1 = "héllo wörld".getBytes("UTF-8")
+    val p2 = "plain".getBytes("US-ASCII")
+    val blob = rec(Seq("WARC-Type: response", "WARC-Target-URI: http://a/1"), p1) ++
+      rec(Seq("WARC-Type: request", "WARC-Target-URI: http://a/2"), p2)
+    val rs = Warc.parseRecords(blob)
+    assert(rs.map(_.targetUri) === Seq("http://a/1", "http://a/2"))
+    assert(new String(rs(0).payload, "UTF-8") === "héllo wörld")
+    assert(rs(0).contentLength === p1.length.toLong)
+    assert(rs(1).warcType === "request")
+  }
+
+  test("payload containing a fake WARC header parses as opaque bytes") {
+    val evil = "x\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\ny".getBytes("US-ASCII")
+    val rs = Warc.parseRecords(
+      rec(Seq("WARC-Type: response"), evil) ++
+        rec(Seq("WARC-Type: request"), "tail".getBytes("US-ASCII")))
+    assert(rs.size === 2)
+    assert(new String(rs(0).payload, "US-ASCII").contains("WARC-Type: fake"))
+    assert(rs(1).warcType === "request")
+  }
+
+  test("zero-length payloads and unknown headers are legal") {
+    val rs = Warc.parseRecords(rec(
+      Seq("WARC-Type: metadata", "X-Custom-Header: kept-but-ignored",
+        "WARC-Record-ID: <urn:uuid:0>"), Array.emptyByteArray))
+    assert(rs.size === 1)
+    assert(rs.head.contentLength === 0L)
+    assert(rs.head.recordId === "<urn:uuid:0>")
+  }
+
+  test("framing errors are loud and named") {
+    val e1 = intercept[IllegalArgumentException](
+      Warc.parseRecords("HTTP/1.1 200 OK\r\n\r\n".getBytes("US-ASCII")))
+    assert(e1.getMessage.contains("expected WARC/1.0 magic"))
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes("US-ASCII")
+    val e2 = intercept[IllegalArgumentException](Warc.parseRecords(noLen))
+    assert(e2.getMessage.contains("no Content-Length"))
+    val truncated = "WARC/1.0\r\nContent-Length: 99\r\n\r\nshort".getBytes("US-ASCII")
+    val e3 = intercept[IllegalArgumentException](Warc.parseRecords(truncated))
+    assert(e3.getMessage.contains("declares 99 payload bytes"))
+    val noSep = ("WARC/1.0\r\nContent-Length: 2\r\n\r\nab" +
+      "WARC/1.0\r\n").getBytes("US-ASCII")
+    val e4 = intercept[IllegalArgumentException](Warc.parseRecords(noSep))
+    assert(e4.getMessage.contains("not followed by CRLF CRLF"))
+  }
+
+  test("parseWarcColumn explodes blobs distributively with ids attached") {
+    import spark.implicits._
+    val blob = rec(Seq("WARC-Type: response", "WARC-Target-URI: u1"),
+      "p1".getBytes("US-ASCII")) ++
+      rec(Seq("WARC-Type: request", "WARC-Target-URI: u2"),
+        "p2".getBytes("US-ASCII"))
+    val df = Seq((7L, blob)).toDF("doc_id", "blob")
+    val got = Warc.parseWarcColumn(df, "doc_id", "blob")
+      .orderBy("rec_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getString(3), new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+    assert(got.toSeq === Seq(
+      (7L, 0, "response", "u1", "p1"), (7L, 1, "request", "u2", "p2")))
+  }
+}
