@@ -63,7 +63,11 @@ object Html {
 
   /** All `href` targets of anchor tags, in document order, as an
     * array — raw as written (canonicalization is [[Urls]]' job, and
-    * fusing it here would hide which stage broke a link).
+    * fusing it here would hide which stage broke a link). Contract:
+    * DOUBLE-quoted hrefs on `<a>` tags only — the form the HTML spec
+    * serializers emit; single-quoted and unquoted attributes are out
+    * of scope (HtmlSpec pins the exclusion), as is `<link href>`
+    * (stylesheets, not navigation).
     */
   def extractLinks(html: Column): Column =
     regexp_extract_all(html,

@@ -101,14 +101,17 @@ object Urls {
     * labels, or the last three when the second-to-last label is a
     * multi-part public-suffix second level (`example.co.uk` →
     * `example.co.uk`, `cdn.example.com` → `example.com`). Hosts with
-    * ≤ 2 labels are already registered domains.
+    * ≤ 2 labels are already registered domains. IPv4 literals have no
+    * label hierarchy — the whole address IS the registrable unit
+    * (label-suffix logic would mangle `192.168.0.1` into `0.1`).
     */
   def registeredDomain(host: Column): Column = {
+    val isIpv4 = host.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$")
     val labels = split(host, "\\.")
     val last2 = concat_ws(".", element_at(labels, -2), element_at(labels, -1))
     val last3 = concat_ws(".",
       element_at(labels, -3), element_at(labels, -2), element_at(labels, -1))
-    when(size(labels) <= 2, host)
+    when(isIpv4 || size(labels) <= 2, host)
       .otherwise(when(element_at(labels, -2)
         .isin(MultiPartSecondLevels.map(x => x: Any): _*), last3)
         .otherwise(last2))

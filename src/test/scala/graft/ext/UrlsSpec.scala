@@ -51,10 +51,12 @@ class UrlsSpec extends SparkSpec {
   test("registeredDomain handles 2-label, subdomain, multi-part suffix, single label") {
     import spark.implicits._
     val got = Seq("example.com", "cdn.example.com", "a.b.example.co.uk",
-        "example.co.uk", "localhost").toDF("h")
+        "example.co.uk", "localhost", "192.168.0.1").toDF("h")
       .select(Urls.registeredDomain(col("h"))).as[String].collect().toSeq
+    // an IPv4 literal has no label hierarchy: the address itself is
+    // the registrable unit, not its last two octets
     assert(got === Seq("example.com", "example.com", "example.co.uk",
-      "example.co.uk", "localhost"))
+      "example.co.uk", "localhost", "192.168.0.1"))
   }
 
   test("hostOf strips scheme, www, port, path, query, fragment") {
