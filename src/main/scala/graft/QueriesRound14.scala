@@ -43,10 +43,13 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
       col("event_id"), col("user_id"),
       col("ts").cast("timestamp").as("ts"),
       floor(col("value") * lit(100.0) + lit(0.5)).cast("double").as("vq"))
-    val dir = "/tmp/graft_q204_rst_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
-    // fresh per invocation: the source dir is APPENDED to between
-    // phases, and Bench runs every gate twice
-    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    // per-invocation temp dir (Files.createTempDirectory, the
+    // ScaleCheck stream-tier pattern): the source dir is APPENDED to
+    // between phases, and a path keyed only by the dataset would let
+    // two concurrent processes (Bench and Verify on the same sf)
+    // corrupt each other's in-flight checkpoint (r14 ADVICE)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_q204_rst_").toString
     val srcDir = s"$dir/src"
     val outDir = s"$dir/out"
     val ckpt = s"$dir/ckpt"

@@ -1,0 +1,483 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-15 gates. Each query sits next to its DuckDB oracle (trait
+  * pair discipline, VERDICT r9 #4).
+  */
+private[graft] trait PipelinesRound15 { this: PipelinesBase =>
+
+  /** Gzipped WARC ingest ([[graft.ext.Warc.gunzipMembers]], r14
+    * verdict ask #1): real crawl archives (`.warc.gz`) arrive as one
+    * gzip MEMBER per record, members concatenated — the q213 parser
+    * alone cannot open one. Per doc 1–3 records are framed exactly as
+    * in q213, then each record is compressed as its OWN gzip member
+    * (a fresh `GZIPOutputStream` finished per record into one shared
+    * stream), and the gate runs decompress → length-driven parse. The
+    * j=1 record's payload still embeds a fake `WARC/1.0` block, so
+    * both hazards are live at once: a magic-scanning parser
+    * desynchronizes AFTER decompression, and a single-member gunzip
+    * stops after record 0 and loses every later record — either
+    * defect breaks the hash. The oracle restates fields and payloads
+    * from the generator arithmetic; compression is transparent to it
+    * by construction.
+    */
+  def warcGzIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val n = (i % 3).toInt + 1
+          for (j <- 0 until n) {
+            val payload =
+              if (j == 1) s"G\r\nWARC/1.0\r\nWARC-Type: fake\r\n\r\nZ $i"
+              else "gz payload " + i + ":" + j + " " + "y" * ((i + 2 * j) % 5).toInt
+            val host = (i / 5 + 3 * j) % 7
+            val rec = new StringBuilder
+            rec.append("WARC/1.0\r\n")
+              .append(if (j % 2 == 0) "WARC-Type: response\r\n"
+                      else "WARC-Type: request\r\n")
+              .append(s"WARC-Target-URI: http://gz$host.org/g/$j\r\n")
+              .append(s"WARC-Record-ID: <urn:uuid:gz-$i-$j>\r\n")
+              .append(s"Content-Length: ${payload.length}\r\n\r\n")
+              .append(payload).append("\r\n\r\n")
+            // one gzip MEMBER per record: finish() flushes the member
+            // trailer but leaves the shared byte stream open for the
+            // next member — the .warc.gz layout
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(rec.toString.getBytes("US-ASCII"))
+            gz.finish()
+          }
+          (i, bos.toByteArray)
+        }
+      }.toDF("doc_id", "blob")
+    graft.ext.Warc.parseWarcColumn(blobs, "doc_id", "blob", gzipped = true)
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"),
+        col("payload").cast("string").as("payload_text"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
+  /** The real image-dedup pipeline END TO END (r14 verdict ask #2):
+    * heterogeneous source sizes → [[graft.ext.Multimodal.resizeImages]]
+    * → [[graft.ext.ImageHash.imageDHash]] → banded near-dup pairs.
+    * q206 gates the hash on fixtures already AT the 18×16 contract
+    * size; this gate feeds 18×16, 36×32, and 54×48 sources (scale
+    * `doc_id % 3 + 1`), so near-dup groups must survive a resize from
+    * DIFFERENT dimensions — the composition q206 deliberately left
+    * unfused.
+    *
+    * Exactness argument (what makes a hash oracle possible at all):
+    * each source is painted uniformly over every s×s region that maps
+    * to one target pixel, so nearest-neighbor sampling — wherever in
+    * the footprint Java2D lands — returns the region's single value,
+    * and the resized 18×16 image is bit-identical to the 1× rendering
+    * of the same block grid (ImageHashSpec pins this per scale). From
+    * there the oracle replays the q206 arithmetic: block sums from the
+    * md5 formula (fresh `r15:` salt — decorrelated from the q206
+    * fixture), gradient bits, band values, the banded candidate join,
+    * band-wise bit_count Hamming ≤ 8. BMP in (lossless), PNG out of
+    * the resizer (lossless) — no codec noise anywhere.
+    */
+  def imageResizeDedup(s: SparkSession, d: String): DataFrame = {
+    val media = resizeImageMedia(t(s, d, "documents").select(col("doc_id")))
+    val resized = graft.ext.Multimodal.resizeImages(media, 18, 16)
+    val hashes = graft.ext.ImageHash.imageDHash(resized)
+    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** The q215 fixture generator: (media_id, payload, meta) BMPs at
+    * scale s = id % 3 + 1 — an (18s)×(16s) image whose every s×s
+    * target-pixel footprint is uniform, carrying the q206 group
+    * structure (id/4 groups, exposure variant id % 4, +64 bump in
+    * block (0,0) for variant 3) under the `r15:` md5 salt. Also driven
+    * by `tools/ScaleCheck`'s resize tier.
+    */
+  private[graft] def resizeImageMedia(ids: DataFrame): DataFrame = {
+    val s = ids.sparkSession
+    import s.implicits._
+    ids.select(col(ids.columns.head).cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val scale = (id % 3).toInt + 1
+          val gid = id / 4
+          val variant = (id % 4).toInt
+          val w = 18 * scale
+          val h = 16 * scale
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var by = 0
+          while (by < 8) {
+            var bx = 0
+            while (bx < 9) {
+              val hv = Character.digit(org.apache.commons.codec.digest.DigestUtils
+                .md5Hex(s"r15:$gid:$bx:$by").charAt(0), 16)
+              val v = hv * 12 + variant +
+                (if (variant == 3 && bx == 0 && by == 0) 64 else 0)
+              val rgb = v * 0x010101
+              // block (bx,by) covers target pixels {2bx,2bx+1}×{2by,2by+1},
+              // i.e. source region [2bx·s,(2bx+2)·s)×[2by·s,(2by+2)·s)
+              var dy = 0
+              while (dy < 2 * scale) {
+                var dx = 0
+                while (dx < 2 * scale) {
+                  img.setRGB(2 * bx * scale + dx, 2 * by * scale + dy, rgb)
+                  dx += 1
+                }
+                dy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "bmp", bos)
+          (id, bos.toByteArray, w, h)
+        }
+      }.toDF("media_id", "payload", "w", "h")
+      .select(col("media_id"), col("payload"),
+        struct(lit("image/bmp").as("format"), col("w").as("width"),
+          col("h").as("height"), lit(1).as("n_frames")).as("meta"))
+  }
+
+  /** Percent-encoding normalization as a hash gate
+    * ([[graft.ext.Urls.normalizePercentEncoding]], r14 verdict ask
+    * #3): per doc a url plants every encoding hazard — an unreserved
+    * escape in three spellings (`%7e` / `%7E` / literal `~`, all one
+    * identity), a reserved escape in both hex cases (`%2f`/`%2F`,
+    * must stay encoded uppercase — decoding it would CHANGE the path
+    * structure), an ALPHA escape vs its literal (`%41`/`A`/`%61`), an
+    * encoded query value, and a malformed `%zz` that must pass
+    * through untouched. The oracle states the canonical string
+    * directly from the generator arithmetic (an independent
+    * derivation — it never decodes anything), and the `idempotent`
+    * column re-canonicalizes in-gate: canonicalize ∘ canonicalize ≡
+    * canonicalize, hash-visible.
+    */
+  def urlPercentCanonicalize(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val seg1 = element_at(array(lit("%7e"), lit("%7E"), lit("~")),
+      (pmod(i, lit(3)) + 1).cast("int"))
+    val seg2 = element_at(array(lit("%2f"), lit("%2F")),
+      (pmod(i, lit(2)) + 1).cast("int"))
+    val seg3 = element_at(array(lit("%41"), lit("A"), lit("%61")),
+      (pmod(floor(i / 3), lit(3)) + 1).cast("int"))
+    val mal = when(pmod(i, lit(5)) === 0, lit("%zz")).otherwise(lit(""))
+    val qv = element_at(array(lit("%4a"), lit("J"), lit("%7c")),
+      (pmod(floor(i / 9), lit(3)) + 1).cast("int"))
+    val url = concat(lit("https://ex"), pmod(i, lit(4)).cast("string"),
+      lit(".com/f/"), seg1, seg2, seg3, mal, lit("?v="), qv)
+    val canon = graft.ext.Urls.canonicalizeUrl(url)
+    t(s, d, "documents").select(col("doc_id"),
+        canon.as("canonical_url"),
+        (graft.ext.Urls.canonicalizeUrl(canon) === canon).as("idempotent"))
+      .orderBy("doc_id")
+  }
+
+  /** The robots BROADCAST-JOIN gear as a hash gate
+    * ([[graft.ext.Urls.applyRobotsRules]] past `maxLiteralDomains`,
+    * r14 verdict ask #4): the q212 frontier runs under the SAME seven
+    * decision rules plus 90 dummy domains that match no row — enough
+    * domains that compiling a literal map would be a plan-size cliff,
+    * so the operator must take the broadcast left-outer join gear and
+    * apply the identical filter/transform/array_max decision past it.
+    * The plan REQUIRE fails fast if the join gear didn't engage; the
+    * oracle is the q212 decision table restated — decision parity
+    * across the switch, driver-visible (UrlsSpec proves it unit-side).
+    */
+  def robotsJoinFilter(s: SparkSession, d: String): DataFrame = {
+    val links = t(s, d, "documents").select(col("doc_id"),
+        PipelinesExt.docHtml(col("doc_id")).as("html"))
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("html"))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    val rules = Seq(
+      ("site1.com", "/p/", false), ("site1.com", "/p/1", true),
+      ("site2.com", "/", false), ("site4.com", "/p/0", false),
+      ("site5.com", "/p", true), ("site5.com", "/p", false),
+      ("site7.com", "/q", false)) ++
+      (0 until 90).map(n => (f"dummy$n%03d.net", "/", false))
+    val out = graft.ext.Urls.applyRobotsRules(links, rules, "dom", "path")
+      .select(col("doc_id"), col("curl"), col("allowed"), col("matched_len"))
+      .orderBy("doc_id", "curl")
+    // the plan audit IS part of the gate (the q205 discipline): 97
+    // domains must engage the broadcast-join gear, not the literal map
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("BroadcastHashJoin"),
+      "q217: expected the robots rule broadcast join in the physical plan — " +
+        "the literal-map gear engaged past maxLiteralDomains")
+    out
+  }
+
+  /** PSL-backed registered domains as a hash gate
+    * ([[graft.ext.Urls.withRegisteredDomainPsl]], r14 verdict ask #5):
+    * hosts cover exactly the shapes the 7-entry heuristic groups
+    * wrong or cannot see — a PRIVATE suffix (`github.io`: registrable
+    * is one label deeper), ccTLD families (`com.au`, `co.uk`) under
+    * extra subdomains, deep label chains over a plain TLD, a host
+    * that IS a public suffix (strict PSL: NULL — no registrable
+    * domain), an unlisted-TLD fallback (`*` default rule), and IPv4
+    * literals (the address is the registrable unit). The oracle
+    * states the expected domain per branch directly; UrlsSpec
+    * separately proves heuristic ≡ PSL on the heuristic's home
+    * domain.
+    */
+  def pslDomains(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7)).cast("string")
+    val host = when(pmod(i, lit(11)) === 0,
+        concat(lit("10.0."), pmod(i, lit(4)).cast("string"), lit("."),
+          pmod(i, lit(9)).cast("string")))
+      .when(pmod(i, lit(5)) === 0, concat(lit("alpha"), k, lit(".github.io")))
+      .when(pmod(i, lit(5)) === 1, concat(lit("www.beta"), k, lit(".com.au")))
+      .when(pmod(i, lit(5)) === 2, concat(lit("cdn.gamma"), k, lit(".co.uk")))
+      .when(pmod(i, lit(5)) === 3, concat(lit("a.b.delta"), k, lit(".org")))
+      .otherwise(when(pmod(i, lit(2)) === 0, lit("github.io"))
+        .otherwise(concat(lit("eps"), k, lit(".zz"))))
+    val hosts = t(s, d, "documents").select(col("doc_id"), host.as("host"))
+    graft.ext.Urls.withRegisteredDomainPsl(hosts, "host", PslFixture.Suffixes)
+      .select(col("doc_id"), col("host"), col("registered_domain"))
+      .orderBy("doc_id")
+  }
+
+  /** The full crawl stack as ONE oracle-pinned composition gate (r14
+    * verdict ask #8 — CrawlStackSpec proved the chain unit-side; this
+    * is the q124 composition-gate treatment): WARC blobs are framed
+    * in-plan around the SHARED q210 html generator (plus, for
+    * doc_id % 6 = 0, a single-quoted footer anchor — the r14 gap-#5
+    * quoting form, live in a driver gate), then
+    *
+    *   parse ([[graft.ext.Warc]], response records only; a trailing
+    *   `request` record per blob must be type-filtered, not
+    *   mis-framed) → link harvest ([[graft.ext.Html.extractLinks]]) →
+    *   canonicalize ([[graft.ext.Urls.canonicalizeUrl]]) → robots
+    *   ([[graft.ext.Urls.applyRobotsRules]], longest-match) →
+    *   frontier rollup (in-degree, first-seen doc per canonical url)
+    *   → [[graft.ext.Urls.capPerDomain]] (3 best pages per domain).
+    *
+    * The oracle chains the stage CTEs — links and canonical urls from
+    * the generator arithmetic, robots decisions restated, the same
+    * two windows — so a defect in ANY stage (framing, quoting,
+    * normalization, the robots tie, the cap ordering) breaks the
+    * hash. Stage semantics are individually pinned by q210–q214; this
+    * gate pins their composition.
+    */
+  def crawlStack(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val html = concat(PipelinesExt.docHtml(i),
+      when(pmod(i, lit(6)) === 0,
+        concat(lit("<a href='https://Foot"), pmod(i, lit(4)).cast("string"),
+          lit(".NET/f/'>f</a>"))).otherwise(lit("")))
+    val blob = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://origin"),
+      pmod(i, lit(20)).cast("string"), lit(".com/d/"), i.cast("string"),
+      lit("\r\nWARC-Record-ID: <urn:uuid:cs-"), i.cast("string"),
+      lit(">\r\nContent-Length: "), octet_length(html).cast("string"),
+      lit("\r\n\r\n"), html, lit("\r\n\r\n"),
+      lit("WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: http://origin"),
+      pmod(i, lit(20)).cast("string"), lit(".com/r/"), i.cast("string"),
+      lit("\r\nContent-Length: 4\r\n\r\nping\r\n\r\n")).cast("binary")
+    val blobs = t(s, d, "documents").select(col("doc_id"), blob.as("blob"))
+    val links = graft.ext.Warc.parseWarcColumn(blobs, "doc_id", "blob")
+      .filter(col("warc_type") === "response")
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("payload").cast("string")))
+          .as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    val rules = Seq(
+      ("site1.com", "/p/", false), ("site1.com", "/p/1", true),
+      ("site2.com", "/", false), ("site4.com", "/p/0", false),
+      ("site5.com", "/p", true), ("site5.com", "/p", false),
+      ("site7.com", "/q", false),
+      // footer domains: foot2 blocked, foot0 has a non-matching rule
+      // (doc_id % 6 = 0 forces doc_id even, so only foot0/foot2 occur)
+      ("foot2.net", "/f", false), ("foot0.net", "/x", false))
+    val frontier = graft.ext.Urls.applyRobotsRules(links, rules, "dom", "path")
+      .filter(col("allowed"))
+      .groupBy(col("dom"), col("curl"))
+      .agg(count(lit(1)).as("in_degree"), min(col("doc_id")).as("first_doc"))
+    graft.ext.Urls.capPerDomain(frontier, "dom", "in_degree", "curl", cap = 3)
+      .select(col("dom").as("registered_domain"), col("domain_rank"),
+        col("curl"), col("in_degree"), col("first_doc"))
+      .orderBy("registered_domain", "domain_rank")
+  }
+}
+
+/** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
+  * exact-entry subset: ICANN TLDs, ccTLD second levels, and one
+  * private suffix.
+  */
+private[graft] object PslFixture {
+  val Suffixes: Seq[String] = Seq(
+    "com", "org", "net", "io", "au", "uk", "edu", "gov",
+    "com.au", "net.au", "gov.au", "co.uk", "org.uk", "ac.uk",
+    "github.io")
+}
+
+private[graft] trait OraclesRound15 { this: OracleSnippets =>
+  protected def sqlRound15: Map[String, String] = Map(
+
+    // expected fields and payloads restated from the q214 generator —
+    // gzip is transparent to the oracle by construction; the j=1
+    // payload still embeds the fake header block
+    "q214_warc_gz_ingest" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 + 1 AS n FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 2)) AS j) s WHERE j < n),
+        |p AS (SELECT i, j,
+        |    CASE WHEN j = 1 THEN 'G' || chr(13) || chr(10) || 'WARC/1.0'
+        |        || chr(13) || chr(10) || 'WARC-Type: fake' || chr(13) || chr(10)
+        |        || chr(13) || chr(10) || 'Z ' || i
+        |      ELSE 'gz payload ' || i || ':' || j || ' '
+        |        || repeat('y', CAST((i + 2 * j) % 5 AS INTEGER)) END AS payload
+        |  FROM l)
+        |SELECT i AS doc_id, CAST(j AS INTEGER) AS rec_idx,
+        |  CASE WHEN j % 2 = 0 THEN 'response' ELSE 'request' END AS warc_type,
+        |  'http://gz' || ((i // 5 + 3 * j) % 7) || '.org/g/' || j AS target_uri,
+        |  CAST(length(payload) AS BIGINT) AS content_length,
+        |  payload AS payload_text
+        |FROM p ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // the q206 arithmetic under the r15: salt — resize exactness means
+    // the hash pipeline sees the SAME 18×16 block grid at every source
+    // scale, so scale never appears in the oracle
+    "q215_image_resize_dedup" ->
+      """WITH grid AS (SELECT bx, by FROM range(9) t1(bx), range(8) t2(by)),
+        |docs AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v FROM documents),
+        |gids AS (SELECT DISTINCT gid FROM docs),
+        |h AS (SELECT gid, bx, by,
+        |    strpos('0123456789abcdef',
+        |      substr(md5('r15:' || CAST(gid AS VARCHAR) || ':' || bx || ':' || by), 1, 1)) - 1 AS hv
+        |  FROM gids, grid),
+        |g AS (SELECT d.doc_id, hh.bx, hh.by,
+        |    4 * (hh.hv * 12 + d.v)
+        |      + CASE WHEN d.v = 3 AND hh.bx = 0 AND hh.by = 0 THEN 256 ELSE 0 END AS gsum
+        |  FROM docs d JOIN h hh ON hh.gid = d.gid),
+        |bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS idx,
+        |    CASE WHEN b.gsum > a.gsum THEN 1 ELSE 0 END AS bit
+        |  FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.by = a.by AND b.bx = a.bx + 1),
+        |bandvals AS (SELECT doc_id, idx // 16 AS band,
+        |    CAST(sum(bit * (1 << (idx % 16))) AS INTEGER) AS bval
+        |  FROM bits GROUP BY 1, 2),
+        |wide AS (SELECT doc_id,
+        |    max(CASE WHEN band = 0 THEN bval END) AS b0,
+        |    max(CASE WHEN band = 1 THEN bval END) AS b1,
+        |    max(CASE WHEN band = 2 THEN bval END) AS b2,
+        |    max(CASE WHEN band = 3 THEN bval END) AS b3
+        |  FROM bandvals GROUP BY doc_id),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bandvals x JOIN bandvals y
+        |    ON x.band = y.band AND x.bval = y.bval AND x.doc_id < y.doc_id),
+        |pairs AS (SELECT c.id_a, c.id_b,
+        |    bit_count(xor(wa.b0, wb.b0)) + bit_count(xor(wa.b1, wb.b1))
+        |      + bit_count(xor(wa.b2, wb.b2)) + bit_count(xor(wa.b3, wb.b3)) AS hd
+        |  FROM cand c JOIN wide wa ON wa.doc_id = c.id_a
+        |              JOIN wide wb ON wb.doc_id = c.id_b)
+        |SELECT id_a, id_b, CAST(hd AS INTEGER) AS hamming
+        |FROM pairs WHERE hd <= 8 ORDER BY id_a, id_b""".stripMargin,
+
+    // the canonical string stated from the generator — the oracle never
+    // percent-decodes: unreserved escapes are written decoded, reserved
+    // ones uppercase, the malformed %zz verbatim
+    "q216_url_percent_canonicalize" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents)
+        |SELECT i AS doc_id,
+        |  'https://ex' || (i % 4) || '.com/f/~%2F'
+        |    || ['A', 'A', 'a'][CAST((i // 3) % 3 AS INTEGER) + 1]
+        |    || CASE WHEN i % 5 = 0 THEN '%zz' ELSE '' END
+        |    || '?v=' || ['J', 'J', '%7C'][CAST((i // 9) % 3 AS INTEGER) + 1]
+        |    AS canonical_url,
+        |  TRUE AS idempotent
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the q212 decision table restated — 90 dummy rule domains match no
+    // frontier row, so the broadcast-join gear must reproduce the
+    // literal gear's decisions exactly
+    "q217_robots_join_filter" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |u AS (SELECT i, (i // 3 + 4 * j) % 9 AS k, j,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl FROM l)
+        |SELECT i AS doc_id, curl,
+        |  CASE WHEN k = 1 AND j = 0 THEN FALSE
+        |       WHEN k = 2 THEN FALSE
+        |       WHEN k = 4 AND j = 0 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CAST(CASE WHEN k = 1 AND j = 0 THEN 3
+        |       WHEN k = 1 AND j = 1 THEN 4
+        |       WHEN k = 2 THEN 1
+        |       WHEN k = 4 AND j = 0 THEN 4
+        |       WHEN k = 5 THEN 2
+        |       ELSE 0 END AS INTEGER) AS matched_len
+        |FROM u ORDER BY doc_id, curl""".stripMargin,
+
+    // expected registered domain per host branch: longest listed
+    // suffix + one label; suffix-only host → NULL; unlisted TLD → the
+    // default * rule; IPv4 → the address itself
+    "q218_psl_domains" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |  FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN i % 11 = 0 THEN '10.0.' || (i % 4) || '.' || (i % 9)
+        |       WHEN i % 5 = 0 THEN 'alpha' || k || '.github.io'
+        |       WHEN i % 5 = 1 THEN 'www.beta' || k || '.com.au'
+        |       WHEN i % 5 = 2 THEN 'cdn.gamma' || k || '.co.uk'
+        |       WHEN i % 5 = 3 THEN 'a.b.delta' || k || '.org'
+        |       WHEN i % 2 = 0 THEN 'github.io'
+        |       ELSE 'eps' || k || '.zz' END AS host,
+        |  CASE WHEN i % 11 = 0 THEN '10.0.' || (i % 4) || '.' || (i % 9)
+        |       WHEN i % 5 = 0 THEN 'alpha' || k || '.github.io'
+        |       WHEN i % 5 = 1 THEN 'beta' || k || '.com.au'
+        |       WHEN i % 5 = 2 THEN 'gamma' || k || '.co.uk'
+        |       WHEN i % 5 = 3 THEN 'delta' || k || '.org'
+        |       WHEN i % 2 = 0 THEN NULL
+        |       ELSE 'eps' || k || '.zz' END AS registered_domain
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the whole stack chained as CTEs: q211's link arithmetic + the
+    // single-quoted footer, canonical urls restated, q212's robots
+    // decisions + the footer rules, the frontier rollup, and the
+    // per-domain cap windows
+    "q219_crawl_stack" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |main AS (SELECT i,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl,
+        |    'site' || ((i // 3 + 4 * j) % 9) || '.com' AS dom,
+        |    (i // 3 + 4 * j) % 9 AS k, j
+        |  FROM d, (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |foot AS (SELECT i,
+        |    'https://foot' || (i % 4) || '.net/f' AS curl,
+        |    'foot' || (i % 4) || '.net' AS dom,
+        |    -1 AS k, -1 AS j
+        |  FROM d WHERE i % 6 = 0),
+        |linked AS (SELECT * FROM main UNION ALL SELECT * FROM foot),
+        |decided AS (SELECT *,
+        |    CASE WHEN k = 1 AND j = 0 THEN FALSE
+        |         WHEN k = 2 THEN FALSE
+        |         WHEN k = 4 AND j = 0 THEN FALSE
+        |         WHEN dom = 'foot2.net' THEN FALSE
+        |         ELSE TRUE END AS allowed
+        |  FROM linked),
+        |frontier AS (SELECT dom, curl, count(*) AS in_degree,
+        |    min(i) AS first_doc
+        |  FROM decided WHERE allowed GROUP BY dom, curl),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY dom
+        |    ORDER BY in_degree DESC, curl) AS dr FROM frontier)
+        |SELECT dom AS registered_domain, CAST(dr AS INTEGER) AS domain_rank,
+        |  curl, in_degree, first_doc
+        |FROM capped WHERE dr <= 3
+        |ORDER BY registered_domain, domain_rank""".stripMargin
+  )
+}

@@ -252,6 +252,15 @@ object SparkEntry {
     "q211_link_graph" -> ((s, d) => PipelinesExt.linkGraph(s, d)),
     "q212_robots_filter" -> ((s, d) => PipelinesExt.robotsFilter(s, d)),
     "q213_warc_ingest" -> ((s, d) => PipelinesExt.warcIngest(s, d)),
+    // round 15 — crawl-stack hardening: gzip WARC, resize-fused image
+    // dedup, percent normalization, robots join gear, PSL domains, and
+    // the end-to-end crawl composition
+    "q214_warc_gz_ingest" -> ((s, d) => PipelinesExt.warcGzIngest(s, d)),
+    "q215_image_resize_dedup" -> ((s, d) => PipelinesExt.imageResizeDedup(s, d)),
+    "q216_url_percent_canonicalize" -> ((s, d) => PipelinesExt.urlPercentCanonicalize(s, d)),
+    "q217_robots_join_filter" -> ((s, d) => PipelinesExt.robotsJoinFilter(s, d)),
+    "q218_psl_domains" -> ((s, d) => PipelinesExt.pslDomains(s, d)),
+    "q219_crawl_stack" -> ((s, d) => PipelinesExt.crawlStack(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

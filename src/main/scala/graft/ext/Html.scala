@@ -63,13 +63,21 @@ object Html {
 
   /** All `href` targets of anchor tags, in document order, as an
     * array — raw as written (canonicalization is [[Urls]]' job, and
-    * fusing it here would hide which stage broke a link). Contract:
-    * DOUBLE-quoted hrefs on `<a>` tags only — the form the HTML spec
-    * serializers emit; single-quoted and unquoted attributes are out
-    * of scope (HtmlSpec pins the exclusion), as is `<link href>`
-    * (stylesheets, not navigation).
+    * fusing it here would hide which stage broke a link). All three
+    * HTML quoting forms are harvested (r14 verdict gap #5 — real tag
+    * soup mixes them): double-quoted, single-quoted, and unquoted
+    * (`href=/p/1`, value ending at whitespace or `>`). `<link href>`
+    * stays out of scope (stylesheets, not navigation; HtmlSpec pins
+    * the exclusion). The alternation captures the value WITH its
+    * quotes and a codegen'd `transform` strips them — one regex pass
+    * keeps document order, which two per-form passes would lose.
     */
-  def extractLinks(html: Column): Column =
-    regexp_extract_all(html,
-      lit("(?is)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""), lit(1))
+  def extractLinks(html: Column): Column = {
+    val raw = regexp_extract_all(html,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"),
+      lit(1))
+    transform(raw, v =>
+      when(v.startsWith("\"") || v.startsWith("'"),
+        substring(v, lit(2), length(v) - 2)).otherwise(v))
+  }
 }

@@ -166,7 +166,8 @@ object ImageHash {
     * distance you must not miss.
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int,
-      idCol: String = "media_id", bandBits: Int = 16): DataFrame = {
+      idCol: String = "media_id", bandBits: Int = 16,
+      eager: Boolean = false): DataFrame = {
     require(Set(8, 16, 32).contains(bandBits),
       s"ImageHash.nearDupPairs: bandBits must be 8, 16, or 32, got $bandBits")
     val nBands = 64 / bandBits
@@ -178,8 +179,12 @@ object ImageHash {
     // cache every image decodes once per join side (measured 2× wall
     // on the 16× ScaleCheck corpus). 16 bytes/row; eager count so the
     // two sides never race the fill (the Dedup.minhashPairs
-    // discipline). Left unpersisted for the same reason as there: the
-    // returned frame stays lazy over this plan.
+    // discipline). With eager=false the returned frame stays lazy over
+    // this plan and the cache lives for the session; eager=true
+    // materializes the result (localCheckpoint) and unpersists the
+    // snapshot before returning — the mode for sweep harnesses like
+    // ScaleCheck that call this many times per session and would
+    // otherwise accumulate cached partitions (r14 ADVICE).
     val snap = hashes.select(col(idCol).cast("long").as("id"),
       col("dhash").cast("long").as("dhash")).cache()
     snap.count()
@@ -197,12 +202,18 @@ object ImageHash {
       col("band"), col("bval"))
     val b = bands.select(col("id").as("id_b"), col("dhash").as("h_b"),
       col("band"), col("bval"))
-    a.join(b, Seq("band", "bval"))
+    val pairs = a.join(b, Seq("band", "bval"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "h_a", "h_b")
       .distinct()
       .withColumn("hamming", hamming64(col("h_a"), col("h_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+    if (!eager) pairs
+    else {
+      val out = pairs.localCheckpoint(true)
+      snap.unpersist()
+      out
+    }
   }
 }

@@ -45,13 +45,26 @@ object Privacy {
     *   level is the set of quasi columns RETAINED at that level and
     *   must be a strict subset of the previous level (monotone
     *   coarsening). `ladder.head` is the full quasi-identifier set.
+    * @param maxClasses fail-fast bound on the class table (r14 verdict
+    *   #7): the per-class decision is driver-BROADCAST, so a
+    *   high-cardinality quasi column (class count ~ row count) would
+    *   OOM the driver silently. The bound is probed with a
+    *   `limit(n+1).count()` (the Decontamination `maxProbes`
+    *   discipline — early-exits, never counts the full class table)
+    *   and the error names the knob. The default (2²⁰ classes ≈ tens
+    *   of MB broadcast) is far past any quasi set that could ever be
+    *   k-anonymous: a table with a million classes over fewer than
+    *   k·10⁶ rows suppresses almost everything anyway.
     * @return the input columns plus `anon_level` (0-based ladder
     *   index; `ladder.size` = suppressed) and one `rel_<col>` string
     *   per quasi column — the value where released at the record's
     *   level, `"*"` where generalized away.
     */
-  def kAnonymize(df: DataFrame, ladder: Seq[Seq[String]], k: Int): DataFrame = {
+  def kAnonymize(df: DataFrame, ladder: Seq[Seq[String]], k: Int,
+      maxClasses: Int = 1 << 20): DataFrame = {
     require(k >= 1, s"Privacy.kAnonymize: k must be >= 1, got $k")
+    require(maxClasses >= 1,
+      s"Privacy.kAnonymize: maxClasses must be >= 1, got $maxClasses")
     require(ladder.nonEmpty, "Privacy.kAnonymize: ladder must be non-empty")
     ladder.sliding(2).foreach {
       case Seq(finer, coarser) =>
@@ -65,6 +78,14 @@ object Privacy {
 
     // class table: one row per finest quasi tuple, with its member count
     var cls = df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("n_0"))
+    val classProbe = cls.limit(maxClasses + 1).count()
+    require(classProbe <= maxClasses,
+      s"Privacy.kAnonymize: more than $maxClasses distinct quasi-identifier " +
+        s"classes under ${quasi.mkString("(", ", ", ")")} — the class " +
+        "decision table is driver-broadcast and a quasi set this " +
+        "fine-grained would exhaust driver memory. Coarsen the ladder head " +
+        "(drop or band the high-cardinality column) or raise maxClasses " +
+        "if the driver can genuinely hold the table.")
     cls = cls.withColumn("_rel_0", col("n_0") >= k)
     for (i <- 1 until ladder.size) {
       val unreleased = (0 until i).map(j => !col(s"_rel_$j")).reduce(_ && _)

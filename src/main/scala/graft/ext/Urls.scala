@@ -42,6 +42,52 @@ object Urls {
   val MultiPartSecondLevels: Seq[String] =
     Seq("co", "com", "org", "net", "ac", "gov", "edu")
 
+  /** All printable ASCII from `-` (0x2D) up — the percent-decoder's
+    * char table: decoding indexes this literal instead of calling a
+    * chr() builtin, keeping the whole normalization one codegen'd
+    * string expression. Every RFC 3986 unreserved byte (ALPHA, DIGIT,
+    * `-` `.` `_` `~`) lies in [0x2D, 0x7E].
+    */
+  private val AsciiFrom0x2D: String = (0x2D to 0x7E).map(_.toChar).mkString
+
+  /** RFC 3986 §6.2.2 percent-encoding normalization, as one native
+    * string expression (split on `%` + a `transform` over the pieces —
+    * no UDF, stays in whole-stage codegen):
+    *
+    *   - `%XX` of an UNRESERVED byte (ALPHA / DIGIT / `-` `.` `_` `~`)
+    *     decodes to the character (`%7E` and `%7e` → `~`) — §6.2.2.2,
+    *   - any other well-formed `%XX` keeps the escape but uppercases
+    *     the hex (`%2f` → `%2F`) — §6.2.2.1,
+    *   - a malformed escape (`%` not followed by two hex digits)
+    *     passes through byte-for-byte: crawl URLs are tag soup too,
+    *     and normalization must never corrupt what it cannot parse.
+    *
+    * Idempotent by construction: decoded characters carry no `%`, and
+    * surviving escapes are already-uppercase non-unreserved bytes, so
+    * a second pass is the identity (UrlsSpec pins it). Multibyte UTF-8
+    * sequences (`%C3%A9`) are ≥ 0x80 per byte — never unreserved, so
+    * they normalize to uppercase hex and stay encoded.
+    */
+  def normalizePercentEncoding(s: Column): Column = {
+    val parts = split(s, "%", -1)
+    val tail = slice(parts, lit(2), size(parts))
+    val norm = transform(tail, p => {
+      val v1 = instr(lit("0123456789abcdef"), lower(substring(p, 1, 1))) - 1
+      val v2 = instr(lit("0123456789abcdef"), lower(substring(p, 2, 1))) - 1
+      val wellFormed = length(p) >= 2 && v1 >= 0 && v2 >= 0
+      val b = v1 * 16 + v2
+      val unreserved = (b >= 0x30 && b <= 0x39) || (b >= 0x41 && b <= 0x5A) ||
+        (b >= 0x61 && b <= 0x7A) ||
+        b.isin(0x2D, 0x2E, 0x5F, 0x7E)
+      val rest = substring(p, lit(3), lit(1 << 20))
+      when(!wellFormed, concat(lit("%"), p))
+        .when(unreserved,
+          concat(substring(lit(AsciiFrom0x2D), b - 0x2D + 1, lit(1)), rest))
+        .otherwise(concat(lit("%"), upper(substring(p, 1, 2)), rest))
+    })
+    concat(element_at(parts, 1), array_join(norm, ""))
+  }
+
   /** Canonical form of an absolute `scheme://host[:port][/path][?q][#f]`
     * URL:
     *
@@ -51,6 +97,11 @@ object Urls {
     *     any other explicit port kept,
     *   - trailing `/` stripped from the path (`/a/b/` ≡ `/a/b`, and a
     *     bare `/` root ≡ no path),
+    *   - percent-encoding normalized in path and query
+    *     ([[normalizePercentEncoding]]: unreserved bytes decoded, the
+    *     rest uppercased — `%7e` vs `~` vs `%7E` no longer split page
+    *     identity); `%2F`/`%26`/`%3D` stay encoded, so the structural
+    *     splits on `/`, `&`, `=` are unaffected,
     *   - query parameters: tracking params removed
     *     ([[TrackingPrefixes]]), the rest sorted byte-wise and
     *     re-joined, the `?` dropped when nothing survives.
@@ -58,6 +109,10 @@ object Urls {
     * Order of operations matters: the query is split off BEFORE the
     * host/path split, so a path-less `http://h?a=1` parses correctly;
     * the fragment is dropped first so `#f` never contaminates either.
+    * Hosts are NOT percent-normalized (hostnames carry no escapes in
+    * practice) and punycode/IDN host folding is out of scope — an IDN
+    * host and its `xn--` form remain distinct identities (documented
+    * limitation; the JRE's IDN codec has no expression form).
     */
   def canonicalizeUrl(url: Column): Column = {
     val nofrag = substring_index(url, "#", 1)
@@ -77,8 +132,8 @@ object Urls {
       (scheme === "https" && port === "443")
     val portPart = when(port === "" || defaultPort, lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = regexp_replace(rawPath, "/+$", "")
-    val kept = array_sort(filter(split(query, "&"), p =>
+    val path = regexp_replace(normalizePercentEncoding(rawPath), "/+$", "")
+    val kept = array_sort(filter(split(normalizePercentEncoding(query), "&"), p =>
       not(TrackingPrefixes.map(t => p.startsWith(t)).reduce(_ || _)) &&
         p =!= ""))
     val queryPart = when(size(kept) > 0,
@@ -117,6 +172,94 @@ object Urls {
         .otherwise(last2))
   }
 
+  /** Registered domain under a REAL public-suffix list — the
+    * production variant of [[registeredDomain]] for corpora where the
+    * 7-entry second-level heuristic groups wrong (`github.io`-style
+    * private suffixes, ccTLD families beyond the dominant patterns).
+    * [[registeredDomain]] stays the codegen-only fast path for
+    * hand-sized rule sets and gate fixtures; UrlsSpec proves the two
+    * agree on the heuristic's domain.
+    *
+    * PSL semantics (publicsuffix.org algorithm, exact-entry subset —
+    * no `*.` wildcard or `!` exception rules, which the public list
+    * uses for a handful of ccTLDs):
+    *
+    *   - the matching suffix is the LONGEST list entry equal to a
+    *     trailing label sequence of the host (the longest-match
+    *     discipline of [[applyRobotsRules]], inverted to suffixes),
+    *   - no entry matches → the default `*` rule applies: the last
+    *     label is the public suffix,
+    *   - the registered domain is the suffix plus ONE more label;
+    *     a host that IS a public suffix has no registrable domain →
+    *     NULL (strict PSL; callers grouping by the column decide how
+    *     to treat suffix-only hosts),
+    *   - IPv4 literals have no label hierarchy — the address itself
+    *     is the registrable unit (the [[registeredDomain]] pin).
+    *
+    * Scale shape: one broadcast of the `(suffix, depth)` table and
+    * `maxDepth` broadcast LEFT joins — one per candidate suffix depth,
+    * each matching the host's trailing `d` labels. No shuffle on the
+    * host side at any corpus size, and the real PSL (~10k exact
+    * entries, depth ≤ 4 for all but a handful) broadcasts trivially.
+    * A literal-map gear would hit the same plan-size cliff the robots
+    * rules document — suffix lists are data, not plan.
+    *
+    * Output: the input columns plus `out` (default
+    * `registered_domain`).
+    */
+  def withRegisteredDomainPsl(df: DataFrame, hostCol: String,
+      suffixes: Seq[String], out: String = "registered_domain",
+      maxDepth: Int = 4): DataFrame = {
+    require(suffixes.nonEmpty, "Urls.withRegisteredDomainPsl: empty suffix list")
+    val bad = suffixes.filter(s => s.isEmpty || s.startsWith(".") ||
+      s.endsWith(".") || s.contains("*") || s.contains("!"))
+    require(bad.isEmpty, s"Urls.withRegisteredDomainPsl: unsupported suffix " +
+      s"entries ${bad.take(3).mkString(", ")} — exact labels only " +
+      "(wildcard/exception PSL rules are out of scope)")
+    val depths = suffixes.map(s => s.count(_ == '.') + 1)
+    require(depths.max <= maxDepth,
+      s"Urls.withRegisteredDomainPsl: suffix depth ${depths.max} exceeds " +
+        s"maxDepth $maxDepth — raise maxDepth to cover the list")
+    val internal = ("_psl_labels" +: (1 to maxDepth).flatMap(d =>
+      Seq(s"_psl_c$d", s"_psl_m$d"))) :+ out
+    val clash = df.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Urls.withRegisteredDomainPsl: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val labeled = df.withColumn("_psl_labels", split(col(hostCol), "\\."))
+    val joined = (1 to maxDepth).foldLeft(labeled) { (acc, d) =>
+      val entries = suffixes.filter(_.count(_ == '.') + 1 == d).distinct
+      if (entries.isEmpty) acc.withColumn(s"_psl_m$d", lit(false))
+      else {
+        val lookup = spark.createDataFrame(
+          java.util.Arrays.asList(entries.map(Row(_)): _*),
+          StructType(Seq(StructField(s"_psl_c$d", StringType, nullable = false))))
+        acc.withColumn(s"_psl_cand$d",
+            concat_ws(".", slice(col("_psl_labels"), -d, d)))
+          .join(broadcast(lookup),
+            col(s"_psl_cand$d") === col(s"_psl_c$d"), "left_outer")
+          .withColumn(s"_psl_m$d", col(s"_psl_c$d").isNotNull)
+          .drop(s"_psl_cand$d", s"_psl_c$d")
+      }
+    }
+    val nLabels = size(col("_psl_labels"))
+    // fold upward so the DEEPEST match lands outermost in the CASE —
+    // longest suffix wins
+    val bestDepth = (2 to maxDepth).foldLeft(lit(1)) { (rest, d) =>
+      when(col(s"_psl_m$d") && nLabels >= d, lit(d)).otherwise(rest)
+    }
+    val isIpv4 = col(hostCol)
+      .rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$")
+    val reg = when(isIpv4, col(hostCol))
+      .when(nLabels > bestDepth,
+        concat_ws(".", slice(col("_psl_labels"), (bestDepth + 1) * -1, bestDepth + 1)))
+      .otherwise(lit(null).cast("string"))
+    joined.withColumn(out, reg)
+      .drop("_psl_labels" +: (1 to maxDepth).map(d => s"_psl_m$d"): _*)
+  }
+
   /** Path component of a canonical absolute URL (query and fragment
     * excluded): `http://h.com/a/b?x=1` → `/a/b`, `http://h.com` → ``.
     */
@@ -134,12 +277,18 @@ object Urls {
     * the LONGEST prefix wins; equal lengths tie toward allow; no
     * matching rule (or no rules for the domain) means allowed.
     *
-    * Scale shape: a real rule corpus is robots-fetch-sized — millions
-    * of domains, a handful of prefixes each — which still broadcasts;
-    * here the rules compile into ONE literal map-lookup + filter +
-    * array_max expression evaluated per row in the scan projection
-    * (the `stratumLookup` discipline), so the decision adds NO join
-    * and NO shuffle at any corpus size. Longest-match itself is the
+    * Scale shape — the `stratumLookup` two-gear switch
+    * (`etl/Sampling.scala`): a hand-sized rule set (≤
+    * `maxLiteralDomains` distinct domains) compiles into ONE literal
+    * map-lookup + filter + array_max expression evaluated per row in
+    * the scan projection — no join, no shuffle, fully codegen'd. Past
+    * that, a literal map is a plan-size/codegen cliff, not a
+    * broadcast — so a robots-fetch-sized corpus (millions of domains)
+    * instead BROADCASTS a `(domain, rules)` table through one
+    * left-outer hash join, with the IDENTICAL filter/transform/
+    * array_max decision applied to the joined rules column
+    * (UrlsSpec proves decision parity across the switch). Either gear
+    * adds zero shuffles on the URL side. Longest-match itself is the
     * lexicographic max of `(prefixLen, allowBit)` over the matching
     * rules — no sort, no window.
     *
@@ -147,26 +296,53 @@ object Urls {
     * `matched_len` (longest matching prefix length; 0 = no rule).
     */
   def applyRobotsRules(urls: DataFrame, rules: Seq[(String, String, Boolean)],
-      domainCol: String, pathCol: String): DataFrame = {
+      domainCol: String, pathCol: String,
+      maxLiteralDomains: Int = 64): DataFrame = {
     require(rules.nonEmpty, "Urls.applyRobotsRules: empty rule set")
     val byDomain = rules.groupBy(_._1).toSeq.sortBy(_._1)
-    val ruleMap = map(byDomain.flatMap { case (dom, rs) =>
-      Seq(lit(dom), array(rs.map { case (_, prefix, allow) =>
-        struct(lit(prefix).as("prefix"),
-          lit(if (allow) 1 else 0).as("allow"))
-      }: _*))
-    }: _*)
-    val domRules = element_at(ruleMap, col(domainCol))
-    val matched = filter(domRules, r =>
-      col(pathCol).startsWith(r.getField("prefix")))
-    val best = array_max(transform(matched, r =>
-      struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
-    urls
-      .withColumn("_rb", when(domRules.isNull || size(matched) === 0,
-        struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
-      .withColumn("allowed", col("_rb.a") === 1)
-      .withColumn("matched_len", col("_rb.l"))
-      .drop("_rb")
+    // both gears share this decision — a drifted copy would make the
+    // switch a silent semantics change instead of a physical one
+    def decide(df: DataFrame, domRules: Column): DataFrame = {
+      val matched = filter(domRules, r =>
+        col(pathCol).startsWith(r.getField("prefix")))
+      val best = array_max(transform(matched, r =>
+        struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
+      df.withColumn("_rb", when(domRules.isNull || size(matched) === 0,
+          struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
+        .withColumn("allowed", col("_rb.a") === 1)
+        .withColumn("matched_len", col("_rb.l"))
+        .drop("_rb")
+    }
+    if (byDomain.size <= maxLiteralDomains) {
+      val ruleMap = map(byDomain.flatMap { case (dom, rs) =>
+        Seq(lit(dom), array(rs.map { case (_, prefix, allow) =>
+          struct(lit(prefix).as("prefix"),
+            lit(if (allow) 1 else 0).as("allow"))
+        }: _*))
+      }: _*)
+      decide(urls, element_at(ruleMap, col(domainCol)))
+    } else {
+      val clash = urls.columns.filter(c => c == "_rr_dom" || c == "_rr_rules")
+      require(clash.isEmpty, s"Urls.applyRobotsRules: input already has " +
+        s"internal column(s) ${clash.mkString(", ")} — rename them first")
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("_rr_dom", StringType, nullable = false),
+        StructField("_rr_rules", ArrayType(StructType(Seq(
+          StructField("prefix", StringType, nullable = false),
+          StructField("allow", IntegerType, nullable = false))),
+          containsNull = false), nullable = false)))
+      val rows: java.util.List[Row] = java.util.Arrays.asList(
+        byDomain.map { case (dom, rs) =>
+          Row(dom, rs.map { case (_, p, a) => Row(p, if (a) 1 else 0) })
+        }: _*)
+      val lookup = urls.sparkSession.createDataFrame(rows, schema)
+      decide(urls.join(broadcast(lookup),
+          col(domainCol) === col("_rr_dom"), "left_outer"),
+          col("_rr_rules"))
+        .drop("_rr_dom", "_rr_rules")
+    }
   }
 
   /** Per-domain document cap — crawl curation's anti-monoculture

@@ -96,6 +96,42 @@ object Warc {
     out.result()
   }
 
+  /** Decompress a (possibly multi-member) gzip stream to its full
+    * concatenated payload — the framing real crawl archives use:
+    * a `.warc.gz` file is one gzip MEMBER per record, members simply
+    * concatenated, so a random-access reader can start at any member
+    * boundary. `GZIPInputStream` reads consecutive members natively
+    * when given enough lookahead, and the decompressed concatenation
+    * is byte-identical to the uncompressed WARC, so [[parseRecords]]'
+    * Content-Length contract applies unchanged to the result.
+    *
+    * Truncated members throw (EOFException surfaced with context) —
+    * the quarantine discipline, never a silent partial parse.
+    */
+  def gunzipMembers(blob: Array[Byte]): Array[Byte] = {
+    require(blob.length >= 2 &&
+      (blob(0) & 0xFF) == 0x1f && (blob(1) & 0xFF) == 0x8b,
+      "Warc.gunzipMembers: payload does not start with the gzip magic " +
+        "(1f 8b) — already-uncompressed WARCs go through parseRecords directly")
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(blob), 64 * 1024)
+    val out = new java.io.ByteArrayOutputStream(blob.length * 4)
+    val buf = new Array[Byte](64 * 1024)
+    try {
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (n > 0) out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+    } catch {
+      case e: java.io.EOFException =>
+        throw new IllegalArgumentException(
+          s"Warc.gunzipMembers: truncated gzip member after " +
+            s"${out.size} decompressed bytes: ${e.getMessage}", e)
+    } finally in.close()
+    out.toByteArray
+  }
+
   private val recordSchema = StructType(Seq(
     StructField("rec_idx", IntegerType, nullable = false),
     StructField("warc_type", StringType, nullable = false),
@@ -107,9 +143,14 @@ object Warc {
   /** Explode a frame of `(idCol long, blobCol binary)` WARC blobs into
     * one row per record: (idCol, rec_idx, warc_type, target_uri,
     * record_id, content_length, payload). One narrow `mapPartitions`
-    * pass, no shuffle.
+    * pass, no shuffle. With `gzipped = true` each blob is a
+    * concatenation of per-record gzip members (the `.warc.gz` crawl
+    * layout) and is decompressed via [[gunzipMembers]] first — the
+    * decompression runs inside the same partition-local pass, so the
+    * scale shape is unchanged.
     */
-  def parseWarcColumn(df: DataFrame, idCol: String, blobCol: String): DataFrame = {
+  def parseWarcColumn(df: DataFrame, idCol: String, blobCol: String,
+      gzipped: Boolean = false): DataFrame = {
     val schema = StructType(StructField(idCol, LongType, nullable = false) +:
       recordSchema.fields.toSeq)
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
@@ -117,7 +158,9 @@ object Warc {
     df.select(df(idCol).cast("long"), df(blobCol)).mapPartitions { it =>
       it.flatMap { row =>
         val id = row.getLong(0)
-        parseRecords(row.getAs[Array[Byte]](1)).map(r =>
+        val raw = row.getAs[Array[Byte]](1)
+        val bytes = if (gzipped) gunzipMembers(raw) else raw
+        parseRecords(bytes).map(r =>
           Row(id, r.recIdx, r.warcType, r.targetUri, r.recordId,
             r.contentLength, r.payload))
       }

@@ -197,9 +197,12 @@ object ScaleCheck {
         xxhash64(floor(col("doc_id") / 4)).bitwiseXOR(
           expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(doc_id, 64) AS INT))")))
         .otherwise(xxhash64(floor(col("doc_id") / 4))).as("dhash"))
+    // eager=true: the sweep calls this per cell at both band widths —
+    // without it cached (id, dhash) snapshots accumulate in storage
+    // memory for the life of the session (r14 ADVICE)
     def tierBandJoin(bits: Int)(s: Int): DataFrame =
       graft.ext.ImageHash.nearDupPairs(synthHashes(s), maxHamming = 8,
-        bandBits = bits)
+        bandBits = bits, eager = true)
     // Tier J — the q210/q211/q212 crawl-extraction stack (round 14):
     // per-doc HTML synthesis + full text/title extraction (the regex
     // engine is the cost) + link harvest + canonicalization + robots
