@@ -71,9 +71,16 @@ object Html {
     * the exclusion). The alternation captures the value WITH its
     * quotes and a codegen'd `transform` strips them — one regex pass
     * keeps document order, which two per-form passes would lose.
+    * Script/style bodies are dropped FIRST (the [[extractText]]
+    * discipline): anchor markup quoted inside a script is code, not
+    * navigation — with the unquoted form now harvested, an escaped
+    * `href=\"...\"` inside a script would otherwise match it
+    * (CrawlStackSpec pins the exclusion).
     */
   def extractLinks(html: Column): Column = {
-    val raw = regexp_extract_all(html,
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val raw = regexp_extract_all(noScript,
       lit("(?is)<a\\s[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"),
       lit(1))
     transform(raw, v =>

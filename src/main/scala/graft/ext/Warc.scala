@@ -124,7 +124,9 @@ object Warc {
         n = in.read(buf)
       }
     } catch {
-      case e: java.io.EOFException =>
+      // EOFException = cut mid-stream; ZipException = corrupt bytes —
+      // both are a truncated/damaged member to a crawl pipeline
+      case e: java.io.IOException =>
         throw new IllegalArgumentException(
           s"Warc.gunzipMembers: truncated gzip member after " +
             s"${out.size} decompressed bytes: ${e.getMessage}", e)

@@ -41,12 +41,34 @@ class HtmlSpec extends SparkSpec {
     assert(one(Html.extractTitle(col("h")), "<p>no title</p>") === "")
   }
 
-  test("extractLinks takes anchor hrefs in order, not <link> or unquoted ones") {
+  test("extractLinks takes anchor hrefs in order, not <link> hrefs") {
     import spark.implicits._
     val html = "<link href=\"skip.css\"><a href=\"first\">1</a>" +
       "<A HREF=\"second\">2</A><a class=\"x\" href=\"third\">3</a>"
     val got = Seq(html).toDF("h")
       .select(Html.extractLinks(col("h"))).as[Seq[String]].head()
     assert(got === Seq("first", "second", "third"))
+  }
+
+  test("extractLinks harvests all three quoting forms against hostile soup") {
+    import spark.implicits._
+    def links(html: String): Seq[String] =
+      Seq(html).toDF("h").select(Html.extractLinks(col("h")))
+        .as[Seq[String]].head()
+    // r14 verdict gap #5: real tag soup mixes double-quoted,
+    // single-quoted, and unquoted hrefs — one alternation keeps
+    // document order across the forms
+    assert(links("<a href=\"d\">1</a><a href='s'>2</a><a href=u>3</a>")
+      === Seq("d", "s", "u"))
+    // quotes of the OTHER kind are data inside a quoted value
+    assert(links("<a href=\"it's\">1</a><a href='say \"hi\"'>2</a>")
+      === Seq("it's", "say \"hi\""))
+    // unquoted values end at whitespace or '>'; empty quoted hrefs
+    // stay (an explicit self-link target), spaces around '=' are legal
+    assert(links("<a href=/p/1 class=x>1</a><a href=\"\">2</a>" +
+      "<a href = 'spaced'>3</a>") === Seq("/p/1", "", "spaced"))
+    // a multiline tag and an href-less anchor
+    assert(links("<a\n  class=\"y\"\n  href=\"ml\">1</a><a name=\"n\">2</a>")
+      === Seq("ml"))
   }
 }

@@ -128,6 +128,77 @@ class ImageHashSpec extends SparkSpec {
     assert(e.getMessage.contains("bandBits"))
   }
 
+  test("band masks are exact at every width including the full-word edge") {
+    // r14 verdict fresh-eyes ask: the `-1L` mask special case in
+    // band(hash, b, 64) and the shift-and-mask at every (width, index)
+    // — band values of an all-ones hash must be the all-ones fragment
+    val checks = (for {
+      bits <- Seq(8, 16, 32, 64)
+      b <- 0 until 64 / bits
+    } yield band(lit(-1L), b, bits).as(s"w${bits}b$b")) ++ Seq(
+      band(lit(0x8000_0000_0000_0000L), 1, 32).as("top32"),
+      band(lit(0x8000_0000_0000_0000L), 7, 8).as("top8"),
+      band(lit(0x8000_0000_0000_0000L), 0, 64).as("whole"))
+    val r = spark.range(1).select(checks: _*).head()
+    var i = 0
+    for (bits <- Seq(8, 16, 32, 64); _ <- 0 until 64 / bits) {
+      val want = if (bits == 64) -1L else (1L << bits) - 1
+      assert(r.getLong(i) === want, s"all-ones fragment at width $bits")
+      i += 1
+    }
+    assert(r.getLong(i) === 0x8000_0000L)      // sign bit lands in top32
+    assert(r.getLong(i + 1) === 0x80L)         // ...and in top8
+    assert(r.getLong(i + 2) === 0x8000_0000_0000_0000L) // 64-bit identity
+  }
+
+  /** The q215 fixture at one (gid, variant, scale): an (18s)×(16s)
+    * image whose every s×s target-pixel footprint is uniform.
+    */
+  private def scaledBmp(block: (Int, Int) => Int, s: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      2 * GridW * s, 2 * GridH * s, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (by <- 0 until GridH; bx <- 0 until GridW) {
+      val rgb = block(bx, by) * 0x010101
+      for (dy <- 0 until 2 * s; dx <- 0 until 2 * s)
+        img.setRGB(2 * bx * s + dx, 2 * by * s + dy, rgb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  test("resizeImages → dHash is exact on block-uniform sources at 2× and 3×") {
+    import spark.implicits._
+    // the q215 exactness argument, pinned per scale: nearest-neighbor
+    // sampling anywhere inside a UNIFORM s×s footprint returns the
+    // block value, so the resized image is bit-identical to the 1×
+    // rendering and the hash is scale-independent
+    val want = dHash64(bmp(base))
+    for (s <- Seq(2, 3)) {
+      val media = Seq((1L, scaledBmp(base, s))).toDF("media_id", "payload")
+        .withColumn("meta", struct(lit("image/bmp").as("format"),
+          lit(2 * GridW * s).as("width"), lit(2 * GridH * s).as("height"),
+          lit(1).as("n_frames")))
+      val resized = Multimodal.resizeImages(media, 2 * GridW, 2 * GridH)
+      val got = ImageHash.imageDHash(resized).head().getLong(1)
+      assert(got === want, s"scale $s resize must be hash-exact")
+    }
+  }
+
+  test("nearDupPairs eager mode leaves no cached snapshot behind") {
+    import spark.implicits._
+    val hashes = Seq((1L, 5L), (2L, 5L)).toDF("media_id", "dhash")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = ImageHash.nearDupPairs(hashes, maxHamming = 8, eager = true)
+    assert(got.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === Seq((1L, 2L)))
+    // localCheckpoint(true) legitimately registers ONE persistent RDD
+    // (the materialized result); the leak this pins against is the
+    // (id, dhash) snapshot ALSO staying cached (before + 2)
+    assert(spark.sparkContext.getPersistentRDDs.size <= before + 1,
+      "eager mode must unpersist its (id, dhash) snapshot")
+  }
+
   test("imageDHash over a DataFrame matches the local hash") {
     import spark.implicits._
     val payload = bmp(base)

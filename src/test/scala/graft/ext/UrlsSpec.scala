@@ -99,6 +99,108 @@ class UrlsSpec extends SparkSpec {
     assert(e.getMessage.contains("empty rule set"))
   }
 
+  test("normalizePercentEncoding: unreserved decode, hex case, malformed passthrough") {
+    import spark.implicits._
+    def norm(xs: String*): Seq[String] =
+      xs.toDF("s").select(Urls.normalizePercentEncoding(col("s")))
+        .as[String].collect().toSeq
+    assert(norm(
+      "a%7eb",        // unreserved ~ decodes, either hex case
+      "a%7Eb",
+      "a%2fb",        // reserved / stays encoded, hex uppercased
+      "%41%5a%61%7a%30%39%2d%2e%5f", // ALPHA/DIGIT/-._ all decode
+      "%C3%A9",       // multibyte UTF-8: >= 0x80 per byte, stays encoded
+      "a%zzb",        // malformed: not hex → byte-for-byte passthrough
+      "tail%",        // malformed: nothing after %
+      "%2",           // malformed: one hex digit only
+      "plain",        // no escapes at all
+      ""              // empty string
+    ) === Seq("a~b", "a~b", "a%2Fb", "AZaz09-._", "%C3%A9",
+      "a%zzb", "tail%", "%2", "plain", ""))
+    // idempotence: a second pass is the identity on every shape above
+    val once = norm("a%7eb", "a%2fb", "%C3%A9", "a%zzb", "tail%", "%2")
+    assert(norm(once: _*) === once)
+  }
+
+  test("canonicalizeUrl percent-normalizes path and query without structural change") {
+    // %2F must NOT decode (it would split the path segment); %7e/%61
+    // decode; params sort AFTER normalization
+    assert(canon("http://h.com/a%2Fb/%7ex?b=%61&a=1")
+      === Seq("http://h.com/a%2Fb/~x?a=1&b=a"))
+    assert(canon("HTTP://h.com/%7E/") === Seq("http://h.com/~"))
+  }
+
+  test("applyRobotsRules: broadcast-join gear decides identically to the literal gear") {
+    import spark.implicits._
+    val rules = Seq(
+      ("d.com", "/p/", false), ("d.com", "/p/1", true),
+      ("t.com", "/x", true), ("t.com", "/x", false))
+    val urls = Seq(
+      ("d.com", "/p/0"), ("d.com", "/p/1"), ("d.com", "/p/10"),
+      ("d.com", "/q"), ("t.com", "/x/y"), ("e.com", "/p/0"))
+      .toDF("dom", "path")
+    def run(maxLit: Int) =
+      Urls.applyRobotsRules(urls, rules, "dom", "path", maxLiteralDomains = maxLit)
+        .select("dom", "path", "allowed", "matched_len")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getBoolean(2), r.getInt(3))).toSet
+    val literal = run(64)
+    val joined = run(1) // 2 domains > 1 → join gear
+    assert(literal === joined)
+    // the join gear really is a join (and the literal gear is not)
+    val planJoin = Urls.applyRobotsRules(urls, rules, "dom", "path",
+      maxLiteralDomains = 1).queryExecution.executedPlan.toString
+    assert(planJoin.contains("BroadcastHashJoin"))
+    val planLit = Urls.applyRobotsRules(urls, rules, "dom", "path")
+      .queryExecution.executedPlan.toString
+    assert(!planLit.contains("Join"))
+    // internal-column clash fails fast, not silently
+    val e = intercept[IllegalArgumentException](Urls.applyRobotsRules(
+      urls.withColumn("_rr_rules", lit(1)), rules, "dom", "path",
+      maxLiteralDomains = 1))
+    assert(e.getMessage.contains("_rr_rules"))
+  }
+
+  test("withRegisteredDomainPsl: longest suffix, default rule, suffix-only NULL") {
+    import spark.implicits._
+    val suffixes = graft.PslFixture.Suffixes
+    val hosts = Seq(
+      "foo.github.io",        // private suffix: registrable is 3 labels
+      "deep.foo.github.io",   // ...and one extra subdomain
+      "www.beta.com.au",      // ccTLD family
+      "a.b.c.example.co.uk",
+      "plain.example.com",    // simple TLD
+      "example.zz",           // unlisted TLD → default * rule
+      "github.io",            // host IS a suffix → strict PSL NULL
+      "io",                   // bare listed TLD → NULL too
+      "192.168.0.1"           // IPv4: the address is the unit
+    ).toDF("host")
+    val got = Urls.withRegisteredDomainPsl(hosts, "host", suffixes)
+      .select("registered_domain").collect().map(r =>
+        Option(r.getString(0)).getOrElse("NULL")).toSeq
+    assert(got === Seq("foo.github.io", "foo.github.io", "beta.com.au",
+      "example.co.uk", "example.com", "example.zz", "NULL", "NULL",
+      "192.168.0.1"))
+    // wildcard/exception entries are declared out of scope, loudly
+    val e = intercept[IllegalArgumentException](
+      Urls.withRegisteredDomainPsl(hosts, "host", Seq("*.ck")))
+    assert(e.getMessage.contains("exact labels only"))
+  }
+
+  test("withRegisteredDomainPsl agrees with the heuristic on its home domain") {
+    import spark.implicits._
+    // hosts whose suffixes the 7-entry heuristic handles: the PSL
+    // variant must group them identically (r14 verdict ask #5)
+    val hosts = Seq("example.com", "cdn.example.com", "a.b.example.co.uk",
+      "example.co.uk", "x.example.org", "192.168.0.1").toDF("host")
+    val both = Urls.withRegisteredDomainPsl(hosts, "host",
+        graft.PslFixture.Suffixes, out = "psl")
+      .withColumn("heur", Urls.registeredDomain(col("host")))
+    // the suffix-only host is the one DOCUMENTED divergence (heuristic
+    // returns the host, strict PSL returns NULL) — none here
+    assert(both.filter(not(col("psl") <=> col("heur"))).count() === 0)
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(

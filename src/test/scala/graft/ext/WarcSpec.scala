@@ -64,6 +64,49 @@ class WarcSpec extends SparkSpec {
     assert(e4.getMessage.contains("not followed by CRLF CRLF"))
   }
 
+  private def gzMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  test("gunzipMembers: concatenated per-record members decompress to the full WARC") {
+    // the .warc.gz layout: one gzip member PER record, members simply
+    // concatenated — a single-member reader would stop after record 0
+    val r1 = rec(Seq("WARC-Type: response", "WARC-Target-URI: http://a/1"),
+      "one".getBytes("US-ASCII"))
+    val r2 = rec(Seq("WARC-Type: request", "WARC-Target-URI: http://a/2"),
+      "héllo".getBytes("UTF-8")) // multibyte survives compression framing
+    val blob = gzMember(r1) ++ gzMember(r2)
+    val rs = Warc.parseRecords(Warc.gunzipMembers(blob))
+    assert(rs.map(_.targetUri) === Seq("http://a/1", "http://a/2"))
+    assert(new String(rs(1).payload, "UTF-8") === "héllo")
+  }
+
+  test("gunzipMembers: truncated member and non-gzip input are loud") {
+    val whole = gzMember(rec(Seq("WARC-Type: response"), "abcdefgh".getBytes))
+    val e1 = intercept[IllegalArgumentException](
+      Warc.gunzipMembers(whole.dropRight(6))) // cut inside the trailer
+    assert(e1.getMessage.contains("truncated gzip member"))
+    val e2 = intercept[IllegalArgumentException](
+      Warc.gunzipMembers("WARC/1.0\r\n".getBytes("US-ASCII")))
+    assert(e2.getMessage.contains("gzip magic"))
+  }
+
+  test("parseWarcColumn gzipped=true parses member-per-record blobs") {
+    import spark.implicits._
+    val blob = gzMember(rec(Seq("WARC-Type: response", "WARC-Target-URI: u1"),
+        "p1".getBytes("US-ASCII"))) ++
+      gzMember(rec(Seq("WARC-Type: request", "WARC-Target-URI: u2"),
+        "p2".getBytes("US-ASCII")))
+    val df = Seq((3L, blob)).toDF("doc_id", "blob")
+    val got = Warc.parseWarcColumn(df, "doc_id", "blob", gzipped = true)
+      .orderBy("rec_idx")
+      .collect().map(r => (r.getInt(1), r.getString(3))).toSeq
+    assert(got === Seq((0, "u1"), (1, "u2")))
+  }
+
   test("parseWarcColumn explodes blobs distributively with ids attached") {
     import spark.implicits._
     val blob = rec(Seq("WARC-Type: response", "WARC-Target-URI: u1"),
