@@ -180,6 +180,15 @@ object ScaleCheck {
       docs(s).filter(pmod(col("doc_id"), lit(40)) < 4).select(col("doc_id"))
     def tierImageHash(s: Int): DataFrame =
       graft.ext.ImageHash.imageDHash(graft.PipelinesExt.imageMedia(imageSlice(s)))
+    // decode + nearest-neighbor resize + re-encode + hash (the q215
+    // composition, r14 verdict ask #2): prices the REAL image-dedup
+    // front half — two ImageIO decodes per image (resizer + hasher,
+    // the honest cost of stage-pinned components) over heterogeneous
+    // source sizes (1×–3× linear, so mean source pixels ≈ 4.7× the
+    // 18×16 target). Same slice discipline as image_decode_hash.
+    def tierImageResize(s: Int): DataFrame =
+      graft.ext.ImageHash.imageDHash(graft.ext.Multimodal.resizeImages(
+        graft.PipelinesExt.resizeImageMedia(imageSlice(s)), 18, 16))
     // (b) the BANDED pairing at FULL corpus width on synthetic dHashes
     // (xxhash64 per doc_id/4 group, variant 3 flips one bit — the same
     // 3-identical + 1-at-Hamming-1 group structure, no decode in the
@@ -482,6 +491,7 @@ object ScaleCheck {
       ("full_cc_recompute", tierFullCc),
       ("incremental_cc_delta", tierIncrementalCc),
       ("image_decode_hash", tierImageHash),
+      ("image_resize_hash", tierImageResize),
       ("image_band16_join", tierBandJoin(16)),
       ("image_band32_join", tierBandJoin(32)),
       ("crawl_extract_stack", tierCrawlStack))

@@ -7,7 +7,12 @@ Bench task-metrics listener — so cross-round diffs start from numbers
 host steal cannot corrupt. Wall stays for absolute-latency context;
 the prior round's wall column is carried over for continuity.
 
-Usage: python3 tools/gen_baseline.py [BENCH_TOTAL.json] [BASELINE.md]
+Usage:
+  python3 tools/gen_baseline.py [BENCH_TOTAL.json] [BASELINE.md] [ROUND]
+
+ROUND (e.g. "r15") labels the new columns; the prior round's label is
+recovered from the existing BASELINE.md header so reruns in a later
+round never silently mislabel the carried-over column (r14 ADVICE).
 Reads the previous round's wall column out of the existing BASELINE.md
 table before overwriting it.
 """
@@ -23,6 +28,16 @@ def main() -> None:
     metrics = bench["metrics"]
 
     old = open(base_path, encoding="utf-8").read()
+    # the PREVIOUS round's label comes from the existing table header
+    # (first wall column), the NEW label from argv or prev+1
+    m = re.search(r"\| query \| (r\d+) wall s \|", old)
+    prev_label = m.group(1) if m else "r?"
+    if len(sys.argv) > 3:
+        cur_label = sys.argv[3]
+    elif m:
+        cur_label = f"r{int(prev_label[1:]) + 1}"
+    else:
+        cur_label = "r?"
     # previous per-query wall column: first numeric cell of each query row
     prev = {}
     for m in re.finditer(r"^\| (q\S+) \| ([0-9.]+) \|", old, re.M):
@@ -35,7 +50,7 @@ def main() -> None:
     total_wall = sum(v["wall"] for v in metrics.values())
     total_cpu = sum(v["cpu"] for v in metrics.values())
     lines.append(
-        "\n## Per-query baseline (round 14 closing code, one full sweep, "
+        f"\n## Per-query baseline ({cur_label} closing code, one full sweep, "
         "sf0.1 local[32])\n")
     lines.append(
         "With 200+ queries the single 2x-total gate can hide a 10x regression\n"
@@ -55,7 +70,8 @@ def main() -> None:
         f"Totals this sweep: wall {total_wall:.1f} s, cpu {total_cpu:.1f} s "
         f"over {len(metrics)} queries; loadavg "
         f"{bench.get('loadavg_before', '?')} -> {bench.get('loadavg_after', '?')}.\n")
-    lines.append("| query | r14 wall s | r14 cpu s | r14 shuf MB | r13 wall s (min) |")
+    lines.append(f"| query | {cur_label} wall s | {cur_label} cpu s "
+                 f"| {cur_label} shuf MB | {prev_label} wall s (min) |")
     lines.append("|---|---|---|---|---|")
     for q in sorted(metrics):
         v = metrics[q]
