@@ -310,6 +310,180 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
         col("curl"), col("in_degree"), col("first_doc"))
       .orderBy("registered_domain", "domain_rank")
   }
+
+  /** robots.txt PARSING as a hash gate ([[graft.ext.RobotsTxt]]): per
+    * doc a robots body is synthesized with every grammar hazard live —
+    * a comment line and a TRAILING comment on a directive, a
+    * non-`*` group whose rules must be ignored (before AND, for
+    * i%5=0, after the `*` group), mixed-case directive names, a
+    * stacked second `User-agent` line that must extend the `*` group
+    * (not end it), an EMPTY `Disallow:` that is a marker rather than
+    * a rule, an ignored `Crawl-delay:`, and CRLF vs LF line endings
+    * by parity. The oracle states the expected (rule ordinal, prefix,
+    * allow) rows straight from the generator arithmetic — any state
+    * machine defect (group tracking, comment cut, case fold, empty
+    * value) changes rows.
+    */
+  def robotsTxtParse(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val nl = when(pmod(i, lit(2)) === 0, lit("\r\n")).otherwise(lit("\n"))
+    val k = pmod(i, lit(7)).cast("string")
+    val txt = concat(
+      lit("# crawl policy "), i.cast("string"), nl,
+      lit("User-Agent: googlebot"), nl,
+      lit("Disallow: /private"), pmod(i, lit(5)).cast("string"), nl,
+      lit("User-agent: *"), nl,
+      when(pmod(i, lit(3)) === 0, concat(lit("User-agent: extrabot"), nl))
+        .otherwise(lit("")),
+      lit("DISALLOW: /p/"), k,
+      when(pmod(i, lit(3)) === 1, lit(" # temporary")).otherwise(lit("")), nl,
+      when(pmod(i, lit(2)) === 0,
+        concat(lit("Allow: /p/"), k, lit("/pub"), nl)).otherwise(lit("")),
+      when(pmod(i, lit(4)) === 0, concat(lit("Disallow:"), nl)).otherwise(lit("")),
+      lit("Crawl-delay: 5"), nl,
+      when(pmod(i, lit(5)) === 0,
+        concat(lit("User-agent: otherbot"), nl, lit("Disallow: /x"), nl))
+        .otherwise(lit("")))
+    t(s, d, "documents").select(col("doc_id"),
+        graft.ext.RobotsTxt.parseRules(txt).as("rules"))
+      .select(col("doc_id"), posexplode(col("rules")).as(Seq("rule_idx", "r")))
+      .select(col("doc_id"), col("rule_idx"),
+        col("r.prefix").as("prefix"), col("r.allow").as("allow"))
+      .orderBy("doc_id", "rule_idx")
+  }
+
+  /** HTTP response parsing as a hash gate ([[graft.ext.Http]]): WARC
+    * `response` payloads are HTTP MESSAGES, and this pins the
+    * message split — status line (three codes), `Content-Type` media
+    * type extraction (mixed case, charset parameter stripped, header
+    * matched inside the header block only), another header pulled by
+    * name, and the body taken past the FIRST `\r\n\r\n` — including
+    * the hazard body that itself CONTAINS a blank line, which a
+    * last-separator split would truncate. A non-HTTP payload row
+    * yields NULL status / empty type (the quarantine signal).
+    */
+  def httpParse(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val status = element_at(array(lit("200 OK"), lit("404 Not Found"),
+      lit("301 Moved Permanently")), (pmod(i, lit(3)) + 1).cast("int"))
+    val ctype = element_at(array(lit("text/html; charset=UTF-8"),
+      lit("application/json"), lit("Text/Plain")),
+      (pmod(floor(i / 3), lit(3)) + 1).cast("int"))
+    val body = when(pmod(i, lit(4)) === 1,
+        concat(lit("A\r\n\r\nB "), i.cast("string")))
+      .otherwise(concat(lit("body "), i.cast("string")))
+    val payload = when(pmod(i, lit(11)) === 0,
+        concat(lit("not-http "), i.cast("string")))
+      .otherwise(concat(
+        lit("HTTP/1.1 "), status, lit("\r\n"),
+        when(pmod(i, lit(2)) === 0, lit("X-Cache: HIT\r\n")).otherwise(lit("")),
+        lit("Content-Type: "), ctype, lit("\r\nServer: g\r\n\r\n"), body))
+    t(s, d, "documents").select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"),
+        graft.ext.Http.statusOf(col("p")).as("status"),
+        graft.ext.Http.contentTypeOf(col("p")).as("content_type"),
+        graft.ext.Http.headerOf(col("p"), "X-Cache").as("x_cache"),
+        graft.ext.Http.bodyOf(col("p")).as("body_text"))
+      .orderBy("doc_id")
+  }
+
+  /** The Common-Crawl-shaped pipeline END TO END, robots rules as
+    * DATA: WARC blobs whose response payloads are HTTP MESSAGES
+    * wrapping the shared q210 html → parse ([[graft.ext.Warc]]) →
+    * HTTP split ([[graft.ext.Http]]) → keep `200` + `text/html` only
+    * (1 in 10 docs 404s, 1 in 9 serves JSON — both must drop out) →
+    * link harvest → canonicalize → robots decision where the rule
+    * table is PARSED from per-domain robots.txt bodies in-plan
+    * ([[graft.ext.RobotsTxt.parseRules]] →
+    * [[graft.ext.Urls.applyRobotsRulesFrom]], the q212 rule semantics
+    * re-expressed as robots.txt text, non-`*` groups planted) →
+    * frontier rollup → per-domain cap. q219 pinned the stack with
+    * literal rules; this gate pins the production shape — rules as a
+    * broadcast TABLE produced by the parser, plus the HTTP layer
+    * q219 skips.
+    */
+  def crawlPipeline(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val html = PipelinesExt.docHtml(i)
+    val status = when(pmod(i, lit(10)) === 0, lit("404 Not Found"))
+      .otherwise(lit("200 OK"))
+    val ctype = when(pmod(i, lit(9)) === 0, lit("application/json"))
+      .otherwise(lit("text/html; charset=UTF-8"))
+    val http = concat(lit("HTTP/1.1 "), status,
+      lit("\r\nContent-Type: "), ctype, lit("\r\n\r\n"), html)
+    val blob = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://origin"),
+      pmod(i, lit(20)).cast("string"), lit(".com/d/"), i.cast("string"),
+      lit("\r\nContent-Length: "), octet_length(http).cast("string"),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n")).cast("binary")
+    val blobs = t(s, d, "documents").select(col("doc_id"), blob.as("blob"))
+    val pages = graft.ext.Warc.parseWarcColumn(blobs, "doc_id", "blob")
+      .filter(col("warc_type") === "response")
+      .withColumn("p", col("payload").cast("string"))
+      .filter(graft.ext.Http.statusOf(col("p")) === 200 &&
+        graft.ext.Http.contentTypeOf(col("p")) === "text/html")
+      .select(col("doc_id"), graft.ext.Http.bodyOf(col("p")).as("html"))
+    val links = pages
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("html"))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    // the q212 rule semantics, re-expressed as per-domain robots.txt
+    // BODIES and parsed in-plan; rule-less domains carry a non-star
+    // group (rules for someone else = no rules for us)
+    val kk = col("id")
+    val robotsTxt = when(kk === 1,
+        lit("User-agent: *\nDisallow: /p/\nAllow: /p/1"))
+      .when(kk === 2, lit("User-agent: *\nDisallow: /"))
+      .when(kk === 4, lit("User-agent: *\nDisallow: /p/0"))
+      .when(kk === 5, lit("User-agent: *\nAllow: /p\nDisallow: /p"))
+      .when(kk === 7, lit("User-agent: *\nDisallow: /q"))
+      .otherwise(lit("User-agent: googlebot\nDisallow: /"))
+    val ruleTable = s.range(9).select(
+      concat(lit("site"), kk.cast("string"), lit(".com")).as("domain"),
+      graft.ext.RobotsTxt.parseRules(robotsTxt).as("rules"))
+    val frontier = graft.ext.Urls.applyRobotsRulesFrom(links, ruleTable,
+        "dom", "path")
+      .filter(col("allowed"))
+      .groupBy(col("dom"), col("curl"))
+      .agg(count(lit(1)).as("in_degree"), min(col("doc_id")).as("first_doc"))
+    graft.ext.Urls.capPerDomain(frontier, "dom", "in_degree", "curl", cap = 3)
+      .select(col("dom").as("registered_domain"), col("domain_rank"),
+        col("curl"), col("in_degree"), col("first_doc"))
+      .orderBy("registered_domain", "domain_rank")
+  }
+
+  /** Sitemap ingestion as a hash gate
+    * ([[graft.ext.Html.extractSitemapLocs]]): per doc a sitemaps.org
+    * `<urlset>` with 1–3 `<url><loc>` entries — namespace attribute
+    * on the root, whitespace padding inside `<loc>` (must trim), the
+    * spec-REQUIRED `&amp;` escaping inside loc values (must decode),
+    * and an unknown `<priority>` sibling that must flow past. Each
+    * loc then canonicalizes ([[graft.ext.Urls.canonicalizeUrl]]:
+    * mixed case, `:443` default port, tracking param, the decoded
+    * `&`) — the frontier-feed composition. The oracle restates loc
+    * and canonical per (doc, ordinal) from the generator arithmetic.
+    */
+  def sitemapIngest(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    def loc(j: Int): Column = when(pmod(i, lit(3)) >= j, concat(
+      lit("<url><loc>\n  HTTPS://Site"),
+      pmod(floor(i / 3) + lit(4 * j), lit(9)).cast("string"),
+      lit(".COM:443/s/" + j + "?utm_y=2&amp;id="), pmod(i, lit(5)).cast("string"),
+      lit("\n  </loc><priority>0.")
+        , pmod(i, lit(9)).cast("string"), lit("</priority></url>")))
+      .otherwise(lit(""))
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+      loc(0), loc(1), loc(2), lit("</urlset>"))
+    t(s, d, "documents").select(col("doc_id"),
+        graft.ext.Html.extractSitemapLocs(xml).as("locs"))
+      .select(col("doc_id"), posexplode(col("locs")).as(Seq("loc_idx", "loc")))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(col("loc")))
+      .orderBy("doc_id", "loc_idx")
+  }
 }
 
 /** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
@@ -478,6 +652,83 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |SELECT dom AS registered_domain, CAST(dr AS INTEGER) AS domain_rank,
         |  curl, in_degree, first_doc
         |FROM capped WHERE dr <= 3
-        |ORDER BY registered_domain, domain_rank""".stripMargin
+        |ORDER BY registered_domain, domain_rank""".stripMargin,
+
+    // expected (ordinal, prefix, allow) rows stated from the generator:
+    // exactly one disallow from the * group (the googlebot and otherbot
+    // groups' rules must never appear), plus the even-doc allow; the
+    // empty Disallow and Crawl-delay contribute nothing
+    "q220_robots_txt_parse" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |  FROM documents)
+        |SELECT doc_id, rule_idx, prefix, allow FROM (
+        |  SELECT i AS doc_id, CAST(0 AS INTEGER) AS rule_idx,
+        |    '/p/' || k AS prefix, CAST(0 AS INTEGER) AS allow FROM d
+        |  UNION ALL
+        |  SELECT i, CAST(1 AS INTEGER), '/p/' || k || '/pub',
+        |    CAST(1 AS INTEGER) FROM d WHERE i % 2 = 0)
+        |ORDER BY doc_id, rule_idx""".stripMargin,
+
+    // expected message split stated from the generator: status code,
+    // parameter-stripped lowercased media type, the named header, and
+    // the body INCLUDING the embedded-blank-line hazard; the non-HTTP
+    // row yields NULL/empty across the board
+    "q221_http_parse" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN i % 11 = 0 THEN NULL
+        |       ELSE [200, 404, 301][CAST(i % 3 AS INTEGER) + 1] END AS status,
+        |  CASE WHEN i % 11 = 0 THEN ''
+        |       ELSE ['text/html', 'application/json', 'text/plain']
+        |         [CAST((i // 3) % 3 AS INTEGER) + 1] END AS content_type,
+        |  CASE WHEN i % 11 <> 0 AND i % 2 = 0 THEN 'HIT' ELSE '' END AS x_cache,
+        |  CASE WHEN i % 11 = 0 THEN ''
+        |       WHEN i % 4 = 1 THEN 'A' || chr(13) || chr(10) || chr(13)
+        |         || chr(10) || 'B ' || i
+        |       ELSE 'body ' || i END AS body_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the q219 chain with the HTTP layer's filters applied up front
+    // (404s and JSON responses contribute no links) and the q212
+    // robots decisions — now produced by the in-plan robots.txt parse
+    "q222_crawl_pipeline" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents
+        |           WHERE doc_id % 10 <> 0 AND doc_id % 9 <> 0),
+        |main AS (SELECT i,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl,
+        |    'site' || ((i // 3 + 4 * j) % 9) || '.com' AS dom,
+        |    (i // 3 + 4 * j) % 9 AS k, j
+        |  FROM d, (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |decided AS (SELECT *,
+        |    CASE WHEN k = 1 AND j = 0 THEN FALSE
+        |         WHEN k = 2 THEN FALSE
+        |         WHEN k = 4 AND j = 0 THEN FALSE
+        |         ELSE TRUE END AS allowed
+        |  FROM main),
+        |frontier AS (SELECT dom, curl, count(*) AS in_degree,
+        |    min(i) AS first_doc
+        |  FROM decided WHERE allowed GROUP BY dom, curl),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY dom
+        |    ORDER BY in_degree DESC, curl) AS dr FROM frontier)
+        |SELECT dom AS registered_domain, CAST(dr AS INTEGER) AS domain_rank,
+        |  curl, in_degree, first_doc
+        |FROM capped WHERE dr <= 3
+        |ORDER BY registered_domain, domain_rank""".stripMargin,
+
+    // expected (ordinal, raw trimmed+decoded loc, canonical) per doc:
+    // the oracle writes the DECODED loc (it never runs entity or url
+    // logic) and the canonical form with port/tracking/case folded
+    "q223_sitemap_ingest" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 2)) AS j) s WHERE j <= nl),
+        |u AS (SELECT i, j, (i // 3 + 4 * j) % 9 AS kk FROM l)
+        |SELECT i AS doc_id, CAST(j AS INTEGER) AS loc_idx,
+        |  'HTTPS://Site' || kk || '.COM:443/s/' || j
+        |    || '?utm_y=2&id=' || (i % 5) AS loc,
+        |  'https://site' || kk || '.com/s/' || j || '?id=' || (i % 5)
+        |    AS canonical_url
+        |FROM u ORDER BY doc_id, loc_idx""".stripMargin
   )
 }

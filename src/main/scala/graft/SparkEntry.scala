@@ -261,6 +261,10 @@ object SparkEntry {
     "q217_robots_join_filter" -> ((s, d) => PipelinesExt.robotsJoinFilter(s, d)),
     "q218_psl_domains" -> ((s, d) => PipelinesExt.pslDomains(s, d)),
     "q219_crawl_stack" -> ((s, d) => PipelinesExt.crawlStack(s, d)),
+    "q220_robots_txt_parse" -> ((s, d) => PipelinesExt.robotsTxtParse(s, d)),
+    "q221_http_parse" -> ((s, d) => PipelinesExt.httpParse(s, d)),
+    "q222_crawl_pipeline" -> ((s, d) => PipelinesExt.crawlPipeline(s, d)),
+    "q223_sitemap_ingest" -> ((s, d) => PipelinesExt.sitemapIngest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -77,6 +77,19 @@ object Html {
     * `href=\"...\"` inside a script would otherwise match it
     * (CrawlStackSpec pins the exclusion).
     */
+  /** All `<loc>` targets of a sitemap document (sitemaps.org XML —
+    * `<urlset>` page entries and `<sitemapindex>` child sitemaps
+    * alike), in document order, surrounding whitespace trimmed,
+    * entities decoded (the sitemap spec REQUIRES `&` escaped as
+    * `&amp;` inside loc values). The pragmatic regex reader in this
+    * file's lineage — namespace declarations and unknown elements
+    * flow past it — feeding the same frontier as [[extractLinks]].
+    */
+  def extractSitemapLocs(xml: Column): Column =
+    transform(
+      regexp_extract_all(xml, lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1)),
+      decodeEntities(_))
+
   def extractLinks(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")

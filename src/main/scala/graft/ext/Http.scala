@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** HTTP/1.x response-message parsing — the layer between [[Warc]] and
+  * [[Html]] that real crawl archives require: a WARC `response`
+  * record's payload is not a bare document, it is the HTTP MESSAGE
+  * the crawler received — status line, header block, blank line,
+  * body — and a pipeline that treats the payload as page text feeds
+  * status lines and header soup into every text operator downstream.
+  * Splitting status / headers / body off first (and keeping only
+  * 2xx + text/html) is the step Common-Crawl-style processing runs
+  * between record framing and markup extraction.
+  *
+  * Reference scope: the reference pipelines
+  * (`/root/reference/Feature_Store_Telco_Churn_Flight_School.py`)
+  * ingest structured CSV — §8.2 extension surface, the stage between
+  * [[Warc]] (q213/q214) and [[Html]] (q210).
+  *
+  * All native string/regexp expressions — per-row narrow projections,
+  * no UDF, no shuffle; at 100 TB the parse rides the scan exactly
+  * like [[Html.extractText]]. The header/body split is the FIRST
+  * `\r\n\r\n` (the message grammar — header values cannot contain a
+  * blank line, bodies routinely contain header-looking text, so
+  * splitting on anything later would corrupt both sides). Bodies are
+  * handled as strings: fixtures and the dominant crawl content are
+  * UTF-8/ASCII; charset transcoding from the Content-Type parameter
+  * is documented out of scope (the [[Multimodal]] codec discipline —
+  * a real deployment decodes bytes per charset before this layer).
+  */
+object Http {
+
+  private val CrlfCrlf = "\r\n\r\n"
+
+  /** The header block of an HTTP response message (status line
+    * included, terminating blank line excluded). A payload with no
+    * blank-line separator is all headers and has an empty body —
+    * the tolerant read for truncated fetches.
+    */
+  def headerBlockOf(payload: Column): Column =
+    substring_index(payload, CrlfCrlf, 1)
+
+  /** The message body: everything past the FIRST `\r\n\r\n`. Empty
+    * when the separator is absent. `substring` past the header block
+    * (never a second `substring_index`) keeps bodies intact when THEY
+    * contain `\r\n\r\n`.
+    */
+  def bodyOf(payload: Column): Column = {
+    val head = headerBlockOf(payload)
+    when(length(payload) > length(head),
+      substring(payload, length(head) + lit(5), lit(1 << 24)))
+      .otherwise(lit(""))
+  }
+
+  /** Status code of the response (`HTTP/1.0` or `HTTP/1.1` status
+    * line), NULL when the payload does not start with one — the
+    * quarantine signal for non-HTTP payloads.
+    */
+  def statusOf(payload: Column): Column = {
+    val s = regexp_extract(payload, "^HTTP/1\\.[01] (\\d{3})", 1)
+    when(s === "", lit(null).cast("int")).otherwise(s.cast("int"))
+  }
+
+  /** The media type of the `Content-Type` header, lowercased, charset
+    * and other parameters stripped (`Text/HTML; charset=UTF-8` →
+    * `text/html`); empty string when the header is absent. Matched
+    * case-insensitively at line starts INSIDE the header block only —
+    * a body echoing `Content-Type:` text never contaminates it.
+    */
+  def contentTypeOf(payload: Column): Column =
+    lower(trim(regexp_extract(headerBlockOf(payload),
+      "(?im)^content-type:[ \\t]*([^\\r\\n;]+)", 1)))
+
+  /** One named response header's value (first occurrence, trimmed,
+    * case-insensitive name match inside the header block); empty when
+    * absent. The name must be a literal header token.
+    */
+  def headerOf(payload: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9-]+"),
+      s"Http.headerOf: '$name' is not a header token")
+    trim(regexp_extract(headerBlockOf(payload),
+      "(?im)^" + name + ":[ \\t]*([^\\r\\n]+)", 1))
+  }
+}

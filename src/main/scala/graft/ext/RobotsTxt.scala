@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** robots.txt PARSING (RFC 9309 grammar) — the producer side of
+  * [[Urls.applyRobotsRules]]: a crawler does not receive rule tuples,
+  * it fetches `robots.txt` BODIES, and the rules a frontier obeys are
+  * parsed per domain from that text. This is the step that turns the
+  * robots decision from a hand-authored literal into DATA — at crawl
+  * scale the rule corpus is a (domain, rules) TABLE maintained by the
+  * fetcher, which is exactly the shape
+  * [[Urls.applyRobotsRulesFrom]] consumes.
+  *
+  * Reference scope: §8.2 extension surface (the reference ingests one
+  * CSV); sibling of [[Html]] and [[Http]] in the crawl stack.
+  *
+  * Grammar subset (RFC 9309 §2.2, targeting the `*` product token):
+  *
+  *   - `#` starts a comment (rest of line dropped),
+  *   - directive names are case-INsensitive (`DISALLOW:` parses),
+  *     values (path prefixes) are case-sensitive,
+  *   - consecutive `User-agent:` lines STACK into one group (rules
+  *     that follow bind to every stacked agent); a `User-agent:` line
+  *     after rules starts a NEW group,
+  *   - rules in groups naming `*` are kept; other groups' rules are
+  *     ignored (we crawl as the generic agent),
+  *   - an EMPTY `Disallow:` value means "nothing disallowed" — it is
+  *     a group marker, never a rule; empty `Allow:` likewise,
+  *   - lines before any group, blank lines, and unknown directives
+  *     (`Crawl-delay:`, `Sitemap:`) change nothing. RFC wildcard
+  *     path patterns (`*`, `$`) are out of scope (documented — the
+  *     decision layer is longest-PREFIX, the RFC's required core).
+  *
+  * The parser is ONE native expression: `split` on line breaks, then
+  * an `aggregate` HOF threading a (in_star_group, seen_rules, rules)
+  * accumulator across lines — no UDF, no shuffle, whole-stage
+  * codegen; at 100 TB parsing rides the robots-fetch scan. The
+  * output column is `array<struct<prefix, allow>>`, directly
+  * joinable by [[Urls.applyRobotsRulesFrom]].
+  */
+object RobotsTxt {
+
+  /** Parse one robots.txt body into the `*`-agent rule array
+    * (`struct(prefix string, allow int)` per rule, document order).
+    */
+  def parseRules(txt: Column): Column = {
+    val lines = split(txt, "\r?\n")
+    val init = struct(
+      lit(false).as("in_star"), lit(false).as("after_rules"),
+      array().cast("array<struct<prefix:string,allow:int>>").as("rules"))
+    aggregate(lines, init, (a, rawLine) => {
+      val line = trim(substring_index(rawLine, "#", 1))
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAll = low.startsWith("allow:")
+      val value = trim(substring(line, instr(line, ":") + 1, lit(1 << 20)))
+      // stacked UA lines extend the group (in_star sticks until rules
+      // have been seen); a UA line after rules starts a fresh group
+      val inStar = when(isUa,
+          (value === "*") || (a.getField("in_star") && !a.getField("after_rules")))
+        .otherwise(a.getField("in_star"))
+      val afterRules = when(isUa, lit(false))
+        .otherwise(a.getField("after_rules") || isDis || isAll)
+      val appendRule = a.getField("in_star") && (isDis || isAll) && value =!= ""
+      val rules = when(appendRule,
+          concat(a.getField("rules"), array(struct(value.as("prefix"),
+            when(isAll, lit(1)).otherwise(lit(0)).as("allow")))))
+        .otherwise(a.getField("rules"))
+      struct(inStar.as("in_star"), afterRules.as("after_rules"),
+        rules.as("rules"))
+    }, a => a.getField("rules"))
+  }
+}

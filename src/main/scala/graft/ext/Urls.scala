@@ -300,19 +300,8 @@ object Urls {
       maxLiteralDomains: Int = 64): DataFrame = {
     require(rules.nonEmpty, "Urls.applyRobotsRules: empty rule set")
     val byDomain = rules.groupBy(_._1).toSeq.sortBy(_._1)
-    // both gears share this decision — a drifted copy would make the
-    // switch a silent semantics change instead of a physical one
-    def decide(df: DataFrame, domRules: Column): DataFrame = {
-      val matched = filter(domRules, r =>
-        col(pathCol).startsWith(r.getField("prefix")))
-      val best = array_max(transform(matched, r =>
-        struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
-      df.withColumn("_rb", when(domRules.isNull || size(matched) === 0,
-          struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
-        .withColumn("allowed", col("_rb.a") === 1)
-        .withColumn("matched_len", col("_rb.l"))
-        .drop("_rb")
-    }
+    def decide(df: DataFrame, domRules: Column): DataFrame =
+      robotsDecide(df, domRules, pathCol)
     if (byDomain.size <= maxLiteralDomains) {
       val ruleMap = map(byDomain.flatMap { case (dom, rs) =>
         Seq(lit(dom), array(rs.map { case (_, prefix, allow) =>
@@ -343,6 +332,53 @@ object Urls {
           col("_rr_rules"))
         .drop("_rr_dom", "_rr_rules")
     }
+  }
+
+  /** The longest-match decision shared by EVERY robots gear — literal
+    * map, broadcast-join, and the DataFrame-driven
+    * [[applyRobotsRulesFrom]]: a drifted copy would make a gear switch
+    * a silent semantics change instead of a physical one. `domRules`
+    * is an `array<struct<prefix, allow>>` column (NULL = no rules for
+    * the row's domain).
+    */
+  private def robotsDecide(df: DataFrame, domRules: Column,
+      pathCol: String): DataFrame = {
+    val matched = filter(domRules, r =>
+      col(pathCol).startsWith(r.getField("prefix")))
+    val best = array_max(transform(matched, r =>
+      struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
+    df.withColumn("_rb", when(domRules.isNull || size(matched) === 0,
+        struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
+      .withColumn("allowed", col("_rb.a") === 1)
+      .withColumn("matched_len", col("_rb.l"))
+      .drop("_rb")
+  }
+
+  /** Robots decision against a RULES TABLE — the production shape
+    * ([[RobotsTxt.parseRules]] produces it): `rules` is a frame of
+    * `(domainCol', rulesCol array<struct<prefix, allow>>)`, one row
+    * per domain, maintained by the robots fetcher as DATA (never a
+    * plan literal — the q212-documented cliff). ONE broadcast
+    * left-outer hash join attaches each URL's rule array, then the
+    * SAME longest-match decision as [[applyRobotsRules]] runs past
+    * it; domains absent from the table are allowed with
+    * `matched_len` 0 (no rules = no restriction, the RFC default).
+    * The URL side never shuffles; a robots-fetch-sized rule corpus
+    * (millions of domains × a handful of rules) broadcasts in the
+    * tens of MB.
+    */
+  def applyRobotsRulesFrom(urls: DataFrame, rules: DataFrame,
+      domainCol: String, pathCol: String,
+      rulesDomainCol: String = "domain", rulesCol: String = "rules"): DataFrame = {
+    val clash = urls.columns.filter(c => c == "_rr_dom" || c == "_rr_rules")
+    require(clash.isEmpty, s"Urls.applyRobotsRulesFrom: input already has " +
+      s"internal column(s) ${clash.mkString(", ")} — rename them first")
+    val lookup = rules.select(col(rulesDomainCol).as("_rr_dom"),
+      col(rulesCol).as("_rr_rules"))
+    robotsDecide(urls.join(broadcast(lookup),
+        col(domainCol) === col("_rr_dom"), "left_outer"),
+        col("_rr_rules"), pathCol)
+      .drop("_rr_dom", "_rr_rules")
   }
 
   /** Per-domain document cap — crawl curation's anti-monoculture

@@ -50,6 +50,22 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq("first", "second", "third"))
   }
 
+  test("extractSitemapLocs trims, decodes entities, reads index and urlset alike") {
+    import spark.implicits._
+    def locs(xml: String): Seq[String] =
+      Seq(xml).toDF("h").select(Html.extractSitemapLocs(col("h")))
+        .as[Seq[String]].head()
+    // urlset entries with padding and the spec-required &amp; escape
+    assert(locs("<urlset><url><loc>\n  http://a.com/p?x=1&amp;y=2\n</loc>" +
+      "<lastmod>2024-01-01</lastmod></url>" +
+      "<url><loc>http://a.com/q</loc></url></urlset>")
+      === Seq("http://a.com/p?x=1&y=2", "http://a.com/q"))
+    // a sitemap INDEX lists child sitemaps through the same element
+    assert(locs("<sitemapindex><sitemap><loc>http://a.com/s1.xml</loc>" +
+      "</sitemap></sitemapindex>") === Seq("http://a.com/s1.xml"))
+    assert(locs("<urlset></urlset>") === Seq.empty)
+  }
+
   test("extractLinks harvests all three quoting forms against hostile soup") {
     import spark.implicits._
     def links(html: String): Seq[String] =

@@ -1,0 +1,56 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[Http]] — edge cases the q221 generator cannot reach:
+  * header-block-only messages, bodies echoing header text, multiple
+  * same-name headers, HTTP/1.0, and the header-token guard.
+  */
+class HttpSpec extends SparkSpec {
+
+  private def one(c: org.apache.spark.sql.Column, p: String): Option[String] = {
+    import spark.implicits._
+    Seq(p).toDF("p").select(c.cast("string")).as[Option[String]].head()
+  }
+
+  test("split is the FIRST blank line; a body echoing headers stays body") {
+    val p = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "Content-Type: I am body text\r\n\r\nand so is this"
+    assert(one(Http.contentTypeOf(col("p")), p) === Some("text/html"))
+    assert(one(Http.bodyOf(col("p")), p) ===
+      Some("Content-Type: I am body text\r\n\r\nand so is this"))
+  }
+
+  test("headerless-body and bodyless-header messages degrade safely") {
+    // no separator: everything is headers, body empty
+    val noSep = "HTTP/1.0 204 No Content\r\nServer: g"
+    assert(one(Http.statusOf(col("p")), noSep) === Some("204"))
+    assert(one(Http.bodyOf(col("p")), noSep) === Some(""))
+    // separator present, empty body
+    val emptyBody = "HTTP/1.1 200 OK\r\nServer: g\r\n\r\n"
+    assert(one(Http.bodyOf(col("p")), emptyBody) === Some(""))
+  }
+
+  test("status is NULL for non-HTTP payloads, parsed for both 1.0 and 1.1") {
+    assert(one(Http.statusOf(col("p")), "<html>raw</html>") === None)
+    assert(one(Http.statusOf(col("p")), "HTTP/1.0 302 Found\r\n\r\n") === Some("302"))
+    // HTTP/2 framing is binary — its absence here is deliberate
+    assert(one(Http.statusOf(col("p")), "HTTP/2 200\r\n\r\n") === None)
+  }
+
+  test("content type lowercases and strips parameters; first header wins") {
+    val p = "HTTP/1.1 200 OK\r\nCONTENT-TYPE: Text/HTML ; charset=ISO-8859-1\r\n" +
+      "Content-Type: application/json\r\n\r\nx"
+    assert(one(Http.contentTypeOf(col("p")), p) === Some("text/html"))
+    assert(one(Http.headerOf(col("p"), "Content-Type"), p)
+      === Some("Text/HTML ; charset=ISO-8859-1"))
+  }
+
+  test("headerOf rejects non-token names loudly") {
+    val e = intercept[IllegalArgumentException](
+      Http.headerOf(col("p"), "bad name\r\nInjected: x"))
+    assert(e.getMessage.contains("not a header token"))
+  }
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins for [[RobotsTxt.parseRules]] — grammar corners the q220
+  * generator cannot reach (group re-opening, rules before any group,
+  * case-sensitive VALUES under case-insensitive directives) plus the
+  * end-to-end parity: parsed rules drive
+  * [[Urls.applyRobotsRulesFrom]] to the same decisions as the
+  * hand-authored tuples in [[Urls.applyRobotsRules]].
+  */
+class RobotsTxtSpec extends SparkSpec {
+
+  private def rules(txt: String): Seq[(String, Int)] = {
+    import spark.implicits._
+    Seq(txt).toDF("t").select(RobotsTxt.parseRules(col("t")).as("r"))
+      .select(explode(col("r")).as("x"))
+      .select(col("x.prefix"), col("x.allow"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+  }
+
+  test("star group rules are kept in order; other groups ignored") {
+    assert(rules(
+      """User-agent: googlebot
+        |Disallow: /g
+        |User-agent: *
+        |Disallow: /a
+        |Allow: /a/pub
+        |User-agent: later
+        |Disallow: /l""".stripMargin)
+      === Seq(("/a", 0), ("/a/pub", 1)))
+  }
+
+  test("stacked agent lines share one group; a UA line after rules re-opens") {
+    // {* , helper} group → kept; the helper-only group after → ignored;
+    // the reopened * group at the end → kept again
+    assert(rules(
+      """User-agent: *
+        |User-agent: helper
+        |Disallow: /shared
+        |User-agent: helper
+        |Disallow: /helper-only
+        |User-agent: *
+        |Disallow: /again""".stripMargin)
+      === Seq(("/shared", 0), ("/again", 0)))
+  }
+
+  test("comments, empty values, unknown directives, stray rules, case") {
+    assert(rules(
+      """Disallow: /stray-before-any-group
+        |# full-line comment
+        |USER-AGENT: *
+        |disallow: /CaseKept # trailing comment
+        |Disallow:
+        |Allow:
+        |Crawl-delay: 10
+        |Sitemap: http://x.com/s.xml""".stripMargin)
+      === Seq(("/CaseKept", 0)))
+    assert(rules("") === Seq.empty)
+    assert(rules("# only a comment") === Seq.empty)
+  }
+
+  test("CRLF bodies parse identically to LF bodies") {
+    val lf = "User-agent: *\nDisallow: /a\nAllow: /b"
+    val crlf = lf.replace("\n", "\r\n")
+    assert(rules(lf) === rules(crlf))
+  }
+
+  test("parsed rules drive applyRobotsRulesFrom to the literal gear's decisions") {
+    import spark.implicits._
+    val tuples = Seq(
+      ("d.com", "/p/", false), ("d.com", "/p/1", true),
+      ("t.com", "/x", true), ("t.com", "/x", false))
+    val bodies = Seq(
+      ("d.com", "User-agent: *\nDisallow: /p/\nAllow: /p/1"),
+      ("t.com", "User-agent: *\nAllow: /x\nDisallow: /x"),
+      ("n.com", "User-agent: googlebot\nDisallow: /")).toDF("domain", "txt")
+    val table = bodies.select(col("domain"),
+      RobotsTxt.parseRules(col("txt")).as("rules"))
+    val urls = Seq(
+      ("d.com", "/p/0"), ("d.com", "/p/1"), ("d.com", "/q"),
+      ("t.com", "/x/y"), ("n.com", "/p"), ("e.com", "/p"))
+      .toDF("dom", "path")
+    def out(df: org.apache.spark.sql.DataFrame) =
+      df.select("dom", "path", "allowed", "matched_len")
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getBoolean(2), r.getInt(3))).toSet
+    assert(out(Urls.applyRobotsRulesFrom(urls, table, "dom", "path"))
+      === out(Urls.applyRobotsRules(urls, tuples, "dom", "path")))
+  }
+}
