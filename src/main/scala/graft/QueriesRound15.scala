@@ -484,6 +484,82 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
       .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(col("loc")))
       .orderBy("doc_id", "loc_idx")
   }
+
+  /** Charset-correct body decoding as a hash gate
+    * ([[graft.ext.Http.decodeBody]]): payloads are REAL bytes — the
+    * same text encoded as UTF-8 (2-byte é) or ISO-8859-1 (1-byte é,
+    * quoted mixed-case charset parameter), plus an undeclared-charset
+    * document (UTF-8 crawl default), a declared us-ascii one, and a
+    * shift_jis row that must yield NULL (quarantine, never mojibake).
+    * The gate also emits [[graft.ext.Http.charsetOf]]. A decoder that
+    * framed through a UTF-8 view, ignored the charset parameter, or
+    * guessed at unsupported encodings changes rows; the oracle states
+    * the expected text (with its non-ASCII characters) per branch.
+    */
+  def charsetDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val accented = s"café résumé $i"
+          val ascii = s"plain ascii $i"
+          val (ctypeTail, bodyBytes) = (i % 4) match {
+            case 0 => ("; charset=utf-8", accented.getBytes("UTF-8"))
+            case 1 => ("; charset=\"ISO-8859-1\"", accented.getBytes("ISO-8859-1"))
+            case 2 =>
+              if (i % 8 == 2) ("", ascii.getBytes("US-ASCII"))
+              else ("; charset=US-ASCII", ascii.getBytes("US-ASCII"))
+            case _ => ("; charset=shift_jis", ascii.getBytes("US-ASCII"))
+          }
+          val header = s"HTTP/1.1 200 OK\r\nContent-Type: text/html$ctypeTail\r\n\r\n"
+          (i, header.getBytes("US-ASCII") ++ bodyBytes)
+        }
+      }.toDF("doc_id", "payload")
+    payloads.select(col("doc_id"),
+        graft.ext.Http.charsetOf(decode(col("payload"), "ISO-8859-1"))
+          .as("charset"),
+        graft.ext.Http.decodeBody(col("payload")).as("body_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Relative-URL resolution as a hash gate
+    * ([[graft.ext.Urls.resolveUrl]]), composed the way a frontier
+    * builds: a one-anchor page is synthesized, the href HARVESTED
+    * ([[graft.ext.Html.extractLinks]]), then resolved against the
+    * page's own URL. Branches cover every RFC 3986 §5.3 merge case —
+    * absolute, protocol-relative, root-relative, path-relative,
+    * `../` (plus a `../../..` that must CLAMP at root), `./`,
+    * query-only (base path kept, query replaced), and fragment-only
+    * (base path AND base query inherited). The oracle states the
+    * resolved URL per branch from the generator arithmetic — merge
+    * choice, dot-segment stack, query inheritance all hash-visible.
+    */
+  def urlResolve(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(3)).cast("string")
+    val m = pmod(i, lit(4)).cast("string")
+    val base = concat(lit("http://base"), pmod(i, lit(5)).cast("string"),
+      lit(".com/a"), k, lit("/b/c.html"),
+      when(pmod(i, lit(2)) === 0, lit("?id=9")).otherwise(lit("")))
+    val href = when(pmod(i, lit(13)) === 0, lit("#sec"))
+      .when(pmod(i, lit(17)) === 0, lit("../../../z"))
+      .otherwise(element_at(array(
+        lit("http://abs.example/x"),
+        concat(lit("//cdn"), k, lit(".com/y")),
+        concat(lit("/rooted/p"), m),
+        concat(lit("img/"), m, lit(".png")),
+        concat(lit("../up/"), m),
+        concat(lit("./same/"), m, lit("?z=1")),
+        concat(lit("?q="), m)), (pmod(i, lit(7)) + 1).cast("int")))
+    val html = concat(lit("<a href=\""), href, lit("\">x</a>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), base.as("base_url"),
+        explode(graft.ext.Html.extractLinks(html)).as("href"))
+      .withColumn("resolved",
+        graft.ext.Urls.resolveUrl(col("base_url"), col("href")))
+      .select(col("doc_id"), col("href"), col("resolved"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
@@ -715,6 +791,56 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |  curl, in_degree, first_doc
         |FROM capped WHERE dr <= 3
         |ORDER BY registered_domain, domain_rank""".stripMargin,
+
+    // expected charset and decoded text per branch — the é characters
+    // are literal in the oracle, so a UTF-8-view framing bug or an
+    // ignored charset parameter (mojibake) breaks the hash; shift_jis
+    // rows must be NULL
+    "q224_charset_decode" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE CAST(i % 4 AS INTEGER)
+        |    WHEN 0 THEN 'utf-8'
+        |    WHEN 1 THEN 'iso-8859-1'
+        |    WHEN 2 THEN CASE WHEN i % 8 = 2 THEN '' ELSE 'us-ascii' END
+        |    ELSE 'shift_jis' END AS charset,
+        |  CASE CAST(i % 4 AS INTEGER)
+        |    WHEN 0 THEN 'café résumé ' || i
+        |    WHEN 1 THEN 'café résumé ' || i
+        |    WHEN 2 THEN 'plain ascii ' || i
+        |    ELSE NULL END AS body_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // resolved URL per RFC 3986 merge branch, stated directly: the
+    // dot-segment stack (incl. the root clamp), query replacement vs
+    // inheritance, and the authority choice are all in the expected
+    // strings
+    "q225_url_resolve" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS k, doc_id % 4 AS m,
+        |    doc_id % 5 AS r5,
+        |    CASE WHEN doc_id % 2 = 0 THEN '?id=9' ELSE '' END AS bq
+        |  FROM documents),
+        |b AS (SELECT *, 'http://base' || r5 || '.com' AS root,
+        |    '/a' || k || '/b' AS dir FROM d)
+        |SELECT i AS doc_id,
+        |  CASE WHEN i % 13 = 0 THEN '#sec'
+        |       WHEN i % 17 = 0 THEN '../../../z'
+        |       ELSE ['http://abs.example/x', '//cdn' || k || '.com/y',
+        |         '/rooted/p' || m, 'img/' || m || '.png', '../up/' || m,
+        |         './same/' || m || '?z=1', '?q=' || m]
+        |         [CAST(i % 7 AS INTEGER) + 1] END AS href,
+        |  CASE WHEN i % 13 = 0 THEN root || dir || '/c.html' || bq
+        |       WHEN i % 17 = 0 THEN root || '/z'
+        |       ELSE [
+        |         'http://abs.example/x',
+        |         'http://cdn' || k || '.com/y',
+        |         root || '/rooted/p' || m,
+        |         root || dir || '/img/' || m || '.png',
+        |         root || '/a' || k || '/up/' || m,
+        |         root || dir || '/same/' || m || '?z=1',
+        |         root || dir || '/c.html?q=' || m]
+        |         [CAST(i % 7 AS INTEGER) + 1] END AS resolved
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // expected (ordinal, raw trimmed+decoded loc, canonical) per doc:
     // the oracle writes the DECODED loc (it never runs entity or url

@@ -265,6 +265,8 @@ object SparkEntry {
     "q221_http_parse" -> ((s, d) => PipelinesExt.httpParse(s, d)),
     "q222_crawl_pipeline" -> ((s, d) => PipelinesExt.crawlPipeline(s, d)),
     "q223_sitemap_ingest" -> ((s, d) => PipelinesExt.sitemapIngest(s, d)),
+    "q224_charset_decode" -> ((s, d) => PipelinesExt.charsetDecode(s, d)),
+    "q225_url_resolve" -> ((s, d) => PipelinesExt.urlResolve(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

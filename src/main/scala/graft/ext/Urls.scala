@@ -260,6 +260,83 @@ object Urls {
       .drop("_psl_labels" +: (1 to maxDepth).map(d => s"_psl_m$d"): _*)
   }
 
+  /** Resolve an href against its page's base URL (RFC 3986 §5) — the
+    * step between [[Html.extractLinks]] and [[canonicalizeUrl]] that
+    * real pages force: most anchors are RELATIVE (`img/x.png`,
+    * `../up`, `/rooted`, `//cdn.com/y`, `?page=2`), and a frontier
+    * built from raw hrefs drops or corrupts every one of them.
+    *
+    * Branches (all RFC 3986 §5.3 merge cases):
+    *   - absolute href (`scheme://…`) → itself,
+    *   - protocol-relative (`//host/p`) → base's scheme + href,
+    *   - root-relative (`/p`) → base's scheme://host + href,
+    *   - query-only (`?q=2`) → base path kept, query replaced,
+    *   - fragment-only / empty → the base itself (fragment dropped —
+    *     this operator feeds [[canonicalizeUrl]], which drops it too),
+    *   - path-relative → merged onto the base's DIRECTORY (last
+    *     segment cut).
+    *
+    * Dot segments (`.` / `..`) are removed per §5.2.4 in every branch
+    * — an `aggregate` HOF threads a segment stack across the split
+    * path (`..` pops, clamped at root), the same native state-machine
+    * technique as [[RobotsTxt.parseRules]]; the whole resolution is
+    * one codegen'd expression, no UDF, no shuffle. The href's query
+    * survives; its fragment never does. Trailing-slash identity is
+    * delegated to [[canonicalizeUrl]] (which strips it), so `/a/b/`
+    * and `/a/b` resolve equal downstream.
+    */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val h = substring_index(href, "#", 1)
+    val q = when(instr(h, "?") > 0,
+      substring(h, instr(h, "?"), lit(1 << 20))).otherwise(lit(""))
+    val hp = substring_index(h, "?", 1)
+    // base decomposition (the base is the page's own URL — absolute)
+    val bNoFrag = substring_index(substring_index(base, "#", 1), "?", 1)
+    val scheme = substring_index(bNoFrag, "://", 1)
+    val bRest = substring_index(bNoFrag, "://", -1)
+    val bHost = substring_index(bRest, "/", 1)
+    val bRoot = concat(scheme, lit("://"), bHost)
+    val bPath = substring(bRest, length(bHost) + 1, lit(1 << 20))
+    val bDir = when(instr(bPath, "/") > 0,
+      regexp_replace(bPath, "/[^/]*$", "/")).otherwise(lit("/"))
+    val hasScheme = hp.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
+    val isProtoRel = !hasScheme && hp.startsWith("//")
+    // per-branch authority + pre-cleaning path ("//" before "/": a
+    // protocol-relative href also startsWith "/")
+    val aRest = substring_index(hp, "://", -1)
+    val aHost = substring_index(aRest, "/", 1)
+    val pRest = substring(hp, lit(3), lit(1 << 20))
+    val pHost = substring_index(pRest, "/", 1)
+    val root = when(hasScheme,
+        concat(substring_index(hp, "://", 1), lit("://"), aHost))
+      .when(isProtoRel, concat(scheme, lit("://"), pHost))
+      .otherwise(bRoot)
+    val mergedPath = when(hasScheme,
+        substring(aRest, length(aHost) + 1, lit(1 << 20)))
+      .when(isProtoRel, substring(pRest, length(pHost) + 1, lit(1 << 20)))
+      .when(hp.startsWith("/"), hp)
+      .when(hp === "", bPath) // query-only / fragment-only / empty
+      .otherwise(concat(bDir, hp))
+    // §5.2.4 remove_dot_segments: "." skips, ".." pops (clamped at
+    // root); empty segments collapse (canonical form strips them too)
+    val segs = filter(split(mergedPath, "/"), s => s =!= "")
+    val stack = aggregate(segs, array().cast("array<string>"), (acc, s) =>
+      when(s === ".", acc)
+        .when(s === "..",
+          slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
+        .otherwise(concat(acc, array(s))))
+    val cleanPath = when(size(stack) > 0,
+      concat(lit("/"), array_join(stack, "/"))).otherwise(lit(""))
+    // §5.3: a fragment-only/empty href inherits the BASE's query
+    // (the link points back at the same resource); any href with its
+    // own path or query replaces it
+    val bFull = substring_index(base, "#", 1)
+    val bQuery = when(instr(bFull, "?") > 0,
+      substring(bFull, instr(bFull, "?"), lit(1 << 20))).otherwise(lit(""))
+    val outQ = when(hp === "" && q === "", bQuery).otherwise(q)
+    concat(root, cleanPath, outQ)
+  }
+
   /** Path component of a canonical absolute URL (query and fragment
     * excluded): `http://h.com/a/b?x=1` → `/a/b`, `http://h.com` → ``.
     */

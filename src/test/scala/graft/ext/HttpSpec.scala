@@ -48,6 +48,37 @@ class HttpSpec extends SparkSpec {
       === Some("Text/HTML ; charset=ISO-8859-1"))
   }
 
+  test("decodeBody frames through latin-1 and decodes per declared charset") {
+    import spark.implicits._
+    val accented = "café über"
+    def payload(ct: String, body: Array[Byte]): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n".getBytes("US-ASCII") ++ body
+    val rows = Seq(
+      (1L, payload("text/html; charset=utf-8", accented.getBytes("UTF-8"))),
+      (2L, payload("text/html; charset=\"ISO-8859-1\"",
+        accented.getBytes("ISO-8859-1"))),
+      (3L, payload("text/html; charset=latin1", accented.getBytes("ISO-8859-1"))),
+      (4L, payload("text/html", "plain".getBytes("US-ASCII"))), // undeclared → UTF-8
+      (5L, payload("text/html; charset=shift_jis", "x".getBytes("US-ASCII"))),
+      (6L, payload("text/html; charset=utf-8", Array.emptyByteArray))
+    ).toDF("id", "p")
+    val got = rows.select(col("id"), Http.decodeBody(col("p")).as("b"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got(1L) === Some(accented))
+    assert(got(2L) === Some(accented)) // 1-byte é/ü decoded, not mojibake
+    assert(got(3L) === Some(accented)) // alias folds to ISO-8859-1
+    assert(got(4L) === Some("plain"))
+    assert(got(5L) === None)           // unsupported charset → quarantine
+    assert(got(6L) === Some(""))
+  }
+
+  test("charsetOf strips quotes and case; empty when undeclared") {
+    val p = "HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=\"UTF-8\"\r\n\r\nx"
+    assert(one(Http.charsetOf(col("p")), p) === Some("utf-8"))
+    assert(one(Http.charsetOf(col("p")),
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\nx") === Some(""))
+  }
+
   test("headerOf rejects non-token names loudly") {
     val e = intercept[IllegalArgumentException](
       Http.headerOf(col("p"), "bad name\r\nInjected: x"))

@@ -201,6 +201,30 @@ class UrlsSpec extends SparkSpec {
     assert(both.filter(not(col("psl") <=> col("heur"))).count() === 0)
   }
 
+  test("resolveUrl: RFC 3986 corners the q225 generator cannot reach") {
+    import spark.implicits._
+    def res(base: String, href: String): String =
+      Seq((base, href)).toDF("b", "h")
+        .select(Urls.resolveUrl(col("b"), col("h"))).as[String].head()
+    // an ABSOLUTE href still gets dot-segment removal
+    assert(res("http://b.com/p/q", "http://x.com/a/./b/../c")
+      === "http://x.com/a/c")
+    // base without any path: relative href resolves against the root
+    assert(res("http://b.com", "img/x.png") === "http://b.com/img/x.png")
+    // fragment after query on the href: fragment dies, query lives
+    assert(res("http://b.com/a/b", "c?x=1#frag") === "http://b.com/a/c?x=1")
+    // fragment-only href inherits the base's QUERY as well as path
+    assert(res("http://b.com/p?id=3", "#top") === "http://b.com/p?id=3")
+    // empty href = self-reference
+    assert(res("http://b.com/p?id=3", "") === "http://b.com/p?id=3")
+    // '..' clamps at the root, even from the root itself
+    assert(res("http://b.com/", "../../x") === "http://b.com/x")
+    // protocol-relative href takes the BASE's scheme
+    assert(res("https://b.com/p", "//cdn.com/y") === "https://cdn.com/y")
+    // trailing-dot-segment: directory self-reference resolves to the dir
+    assert(res("http://b.com/a/b/c.html", ".") === "http://b.com/a/b")
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
