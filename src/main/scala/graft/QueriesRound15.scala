@@ -503,13 +503,16 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
         it.map { i =>
           val accented = s"café résumé $i"
           val ascii = s"plain ascii $i"
+          val smart = s"price €9 “quoted” $i" // cp1252 0x80/0x93/0x94
           val (ctypeTail, bodyBytes) = (i % 4) match {
             case 0 => ("; charset=utf-8", accented.getBytes("UTF-8"))
             case 1 => ("; charset=\"ISO-8859-1\"", accented.getBytes("ISO-8859-1"))
             case 2 =>
               if (i % 8 == 2) ("", ascii.getBytes("US-ASCII"))
               else ("; charset=US-ASCII", ascii.getBytes("US-ASCII"))
-            case _ => ("; charset=shift_jis", ascii.getBytes("US-ASCII"))
+            case _ =>
+              if (i % 8 == 3) ("; charset=Windows-1252", smart.getBytes("windows-1252"))
+              else ("; charset=shift_jis", ascii.getBytes("US-ASCII"))
           }
           val header = s"HTTP/1.1 200 OK\r\nContent-Type: text/html$ctypeTail\r\n\r\n"
           (i, header.getBytes("US-ASCII") ++ bodyBytes)
@@ -792,10 +795,10 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |FROM capped WHERE dr <= 3
         |ORDER BY registered_domain, domain_rank""".stripMargin,
 
-    // expected charset and decoded text per branch — the é characters
-    // are literal in the oracle, so a UTF-8-view framing bug or an
-    // ignored charset parameter (mojibake) breaks the hash; shift_jis
-    // rows must be NULL
+    // expected charset and decoded text per branch — the é/€/“ ”
+    // characters are literal in the oracle, so a UTF-8-view framing
+    // bug, an ignored charset parameter (mojibake), or a cp1252 block
+    // left as C1 controls breaks the hash; shift_jis rows must be NULL
     "q224_charset_decode" ->
       """WITH d AS (SELECT doc_id AS i FROM documents)
         |SELECT i AS doc_id,
@@ -803,12 +806,14 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |    WHEN 0 THEN 'utf-8'
         |    WHEN 1 THEN 'iso-8859-1'
         |    WHEN 2 THEN CASE WHEN i % 8 = 2 THEN '' ELSE 'us-ascii' END
-        |    ELSE 'shift_jis' END AS charset,
+        |    ELSE CASE WHEN i % 8 = 3 THEN 'windows-1252'
+        |         ELSE 'shift_jis' END END AS charset,
         |  CASE CAST(i % 4 AS INTEGER)
         |    WHEN 0 THEN 'café résumé ' || i
         |    WHEN 1 THEN 'café résumé ' || i
         |    WHEN 2 THEN 'plain ascii ' || i
-        |    ELSE NULL END AS body_text
+        |    ELSE CASE WHEN i % 8 = 3 THEN 'price €9 “quoted” ' || i
+        |         ELSE NULL END END AS body_text
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // resolved URL per RFC 3986 merge branch, stated directly: the

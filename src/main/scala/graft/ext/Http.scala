@@ -91,9 +91,10 @@ object Http {
     lower(regexp_extract(headerBlockOf(payload),
       "(?im)^content-type:[^\\r\\n]*;[ \\t]*charset=\"?([^\\r\\n;\" ]+)\"?", 1))
 
-  /** Charsets [[decodeBody]] transcodes (the JRE-expressible set
-    * Spark's `decode` supports, plus their common aliases). The
-    * overwhelming crawl majority: W3C's census puts UTF-8 + Latin-1 +
+  /** Charsets [[decodeBody]] transcodes: the set Spark's `decode`
+    * supports plus WINDOWS-1252 (decoded as Latin-1 then the 0x80–0x9F
+    * block translated — see [[Cp1252HighChars]]), with common aliases.
+    * The crawl majority: W3C's census puts UTF-8 + cp1252/Latin-1 +
     * ASCII above 95% of pages; anything else returns NULL — the
     * quarantine signal, never a silently mojibake'd document.
     */
@@ -102,7 +103,25 @@ object Http {
     "iso-8859-1" -> "ISO-8859-1", "latin1" -> "ISO-8859-1",
     "l1" -> "ISO-8859-1",
     "us-ascii" -> "US-ASCII", "ascii" -> "US-ASCII",
+    "windows-1252" -> "CP1252", "cp1252" -> "CP1252",
     "" -> "UTF-8") // RFC 9110: undeclared text defaults are caller policy; UTF-8 is the crawl default
+
+  /** The 27 defined WINDOWS-1252 code points in 0x80–0x9F, indexed by
+    * byte − 0x80 (the five undefined bytes map to themselves as C1
+    * controls, the lenient convention). Everything else in cp1252 is
+    * byte-identical to ISO-8859-1, so cp1252 = latin-1 decode + one
+    * native `translate` of this block — no JRE charset needed.
+    */
+  private val Cp1252HighChars: Seq[(Char, Char)] =
+    "€‚ƒ„…†‡ˆ‰Š‹ŒŽ‘’“”•–—˜™š›œžŸ"
+      .zipWithIndex.collect {
+        case (c, i) if c >= 0xA0 => ((0x80 + i).toChar, c)
+      }
+
+  private def decodeAs(bin: Column, canonical: String): Column =
+    if (canonical != "CP1252") decode(bin, canonical)
+    else translate(decode(bin, "ISO-8859-1"),
+      Cp1252HighChars.map(_._1).mkString, Cp1252HighChars.map(_._2).mkString)
 
   /** Charset-correct body text from a BINARY HTTP payload — the
     * production form of [[bodyOf]]: real fetches are bytes, and a
@@ -132,7 +151,7 @@ object Http {
     SupportedCharsets.groupBy(_._2).toSeq.sortBy(_._1)
       .foldLeft(lit(null).cast("string")) { case (rest, (canonical, aliases)) =>
         when(cs.isin(aliases.keys.toSeq.map(x => x: Any): _*),
-          decode(bodyBin, canonical)).otherwise(rest)
+          decodeAs(bodyBin, canonical)).otherwise(rest)
       }
   }
 }

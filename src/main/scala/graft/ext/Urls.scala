@@ -334,7 +334,11 @@ object Urls {
     val bQuery = when(instr(bFull, "?") > 0,
       substring(bFull, instr(bFull, "?"), lit(1 << 20))).otherwise(lit(""))
     val outQ = when(hp === "" && q === "", bQuery).otherwise(q)
-    concat(root, cleanPath, outQ)
+    // a malformed (non-absolute) base cannot anchor a resolution —
+    // NULL is the quarantine signal (the Http.statusOf discipline),
+    // never a garbage URL into the frontier
+    val baseOk = base.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
+    when(baseOk, concat(root, cleanPath, outQ)).otherwise(lit(null).cast("string"))
   }
 
   /** Path component of a canonical absolute URL (query and fragment

@@ -60,7 +60,11 @@ class HttpSpec extends SparkSpec {
       (3L, payload("text/html; charset=latin1", accented.getBytes("ISO-8859-1"))),
       (4L, payload("text/html", "plain".getBytes("US-ASCII"))), // undeclared → UTF-8
       (5L, payload("text/html; charset=shift_jis", "x".getBytes("US-ASCII"))),
-      (6L, payload("text/html; charset=utf-8", Array.emptyByteArray))
+      (6L, payload("text/html; charset=utf-8", Array.emptyByteArray)),
+      (7L, payload("text/html; charset=Windows-1252",
+        "a€b“c”–d".getBytes("windows-1252"))),
+      (8L, payload("text/html; charset=cp1252",
+        Array[Byte]('x'.toByte, 0x81.toByte, 'y'.toByte))) // undefined byte
     ).toDF("id", "p")
     val got = rows.select(col("id"), Http.decodeBody(col("p")).as("b"))
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
@@ -70,6 +74,11 @@ class HttpSpec extends SparkSpec {
     assert(got(4L) === Some("plain"))
     assert(got(5L) === None)           // unsupported charset → quarantine
     assert(got(6L) === Some(""))
+    // cp1252: latin-1 decode + the 0x80–0x9F translate — € “ ” – are
+    // NOT C1 controls in the result
+    assert(got(7L) === Some("a€b“c”–d"))
+    // the five UNDEFINED cp1252 bytes stay as C1 controls (lenient)
+    assert(got(8L) === Some("x\u0081y"))
   }
 
   test("charsetOf strips quotes and case; empty when undeclared") {

@@ -223,6 +223,12 @@ class UrlsSpec extends SparkSpec {
     assert(res("https://b.com/p", "//cdn.com/y") === "https://cdn.com/y")
     // trailing-dot-segment: directory self-reference resolves to the dir
     assert(res("http://b.com/a/b/c.html", ".") === "http://b.com/a/b")
+    // a malformed (non-absolute) base quarantines to NULL, never a
+    // garbage URL into the frontier
+    import spark.implicits._
+    val nullRes = Seq(("not-a-url", "x/y")).toDF("b", "h")
+      .select(Urls.resolveUrl(col("b"), col("h"))).head()
+    assert(nullRes.isNullAt(0))
   }
 
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
