@@ -707,7 +707,11 @@ object ScaleCheck {
     md.append("  one narrow pass over a 10% whole-group slice (doc_id % 40 < 4\n")
     md.append("  keeps dup groups intact; ImageIO is ~4 ms CPU per call, the\n")
     md.append("  honest price of the general decoder — the claim is wall ∝\n")
-    md.append("  images/slot); image_band16_join / image_band32_join — the banded\n")
+    md.append("  images/slot); image_resize_hash — the q215 composition\n")
+    md.append("  (decode + nearest-neighbor resize + PNG re-encode + dHash, two\n")
+    md.append("  decodes per image over heterogeneous 1x-3x source sizes — the\n")
+    md.append("  real image-dedup front half, priced next to decode-only);\n")
+    md.append("  image_band16_join / image_band32_join — the banded\n")
     md.append("  Hamming pairing at FULL corpus width on synthetic group-structured\n")
     md.append("  dHashes (no decode in the measurement), the banding dial:\n")
     md.append("  accidental candidates grow ~ nBands·n²/2^bits, so 16-bit bands go\n")
