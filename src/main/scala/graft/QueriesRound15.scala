@@ -563,6 +563,46 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
       .select(col("doc_id"), col("href"), col("resolved"))
       .orderBy("doc_id")
   }
+
+  /** RFC 9309 WILDCARD rules end to end (`*` any-sequence, trailing
+    * `$` anchor) — parsed from robots.txt TEXT
+    * ([[graft.ext.RobotsTxt.parseRules]] compiles `rx`) and decided
+    * through the data-driven gear
+    * ([[graft.ext.Urls.applyRobotsRulesFrom]]): the q212 frontier
+    * under rule bodies where a WILDCARD must beat a shorter prefix
+    * (site3 allows the `/p/` prefix but disallows the 5-char
+    * star-slash-1-anchor pattern — /p/1 falls to the longer pattern,
+    * /p/0 stays allowed), an ANCHOR must match exactly one path
+    * (site6 `/p/0$`), a never-matching wildcard must decide nothing
+    * (site8 `/x*y`), and plain-prefix and whole-site rules ride
+    * unchanged next to them. `matched_len` is the RAW
+    * pattern length (the RFC most-specific tiebreaker), so the oracle
+    * pins precedence, not just the boolean.
+    */
+  def robotsWildcard(s: SparkSession, d: String): DataFrame = {
+    val links = t(s, d, "documents").select(col("doc_id"),
+        PipelinesExt.docHtml(col("doc_id")).as("html"))
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractLinks(col("html"))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("href")))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    val kk = col("id")
+    val robotsTxt = when(kk === 1,
+        lit("User-agent: *\nDisallow: /p/\nAllow: /p/1"))
+      .when(kk === 2, lit("User-agent: *\nDisallow: /"))
+      .when(kk === 3, lit("User-agent: *\nAllow: /p/\nDisallow: /*/1$"))
+      .when(kk === 6, lit("User-agent: *\nDisallow: /p/0$"))
+      .when(kk === 8, lit("User-agent: *\nDisallow: /x*y"))
+      .otherwise(lit("User-agent: googlebot\nDisallow: /"))
+    val ruleTable = s.range(9).select(
+      concat(lit("site"), kk.cast("string"), lit(".com")).as("domain"),
+      graft.ext.RobotsTxt.parseRules(robotsTxt).as("rules"))
+    graft.ext.Urls.applyRobotsRulesFrom(links, ruleTable, "dom", "path")
+      .select(col("doc_id"), col("curl"), col("allowed"), col("matched_len"))
+      .orderBy("doc_id", "curl")
+  }
 }
 
 /** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
@@ -846,6 +886,31 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |         root || dir || '/c.html?q=' || m]
         |         [CAST(i % 7 AS INTEGER) + 1] END AS resolved
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // expected wildcard decisions stated per (domain k, path ordinal j):
+    // matched_len is the RAW pattern length, so wildcard-vs-prefix
+    // precedence (site3: 5 > 3) is hash-pinned, not just the boolean
+    "q226_robots_wildcard" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS nl FROM documents),
+        |l AS (SELECT i, j FROM d,
+        |    (SELECT unnest(generate_series(0, 1)) AS j) s WHERE j < nl),
+        |u AS (SELECT i, (i // 3 + 4 * j) % 9 AS k, j,
+        |    'http://site' || ((i // 3 + 4 * j) % 9) || '.com/p/' || j
+        |      || '?x=' || (i % 4) AS curl FROM l)
+        |SELECT i AS doc_id, curl,
+        |  CASE WHEN k = 1 AND j = 0 THEN FALSE
+        |       WHEN k = 2 THEN FALSE
+        |       WHEN k = 3 AND j = 1 THEN FALSE
+        |       WHEN k = 6 AND j = 0 THEN FALSE
+        |       ELSE TRUE END AS allowed,
+        |  CAST(CASE WHEN k = 1 AND j = 0 THEN 3
+        |       WHEN k = 1 AND j = 1 THEN 4
+        |       WHEN k = 2 THEN 1
+        |       WHEN k = 3 AND j = 0 THEN 3
+        |       WHEN k = 3 AND j = 1 THEN 5
+        |       WHEN k = 6 AND j = 0 THEN 5
+        |       ELSE 0 END AS INTEGER) AS matched_len
+        |FROM u ORDER BY doc_id, curl""".stripMargin,
 
     // expected (ordinal, raw trimmed+decoded loc, canonical) per doc:
     // the oracle writes the DECODED loc (it never runs entity or url

@@ -267,6 +267,7 @@ object SparkEntry {
     "q223_sitemap_ingest" -> ((s, d) => PipelinesExt.sitemapIngest(s, d)),
     "q224_charset_decode" -> ((s, d) => PipelinesExt.charsetDecode(s, d)),
     "q225_url_resolve" -> ((s, d) => PipelinesExt.urlResolve(s, d)),
+    "q226_robots_wildcard" -> ((s, d) => PipelinesExt.robotsWildcard(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   *   - an EMPTY `Disallow:` value means "nothing disallowed" — it is
   *     a group marker, never a rule; empty `Allow:` likewise,
   *   - lines before any group, blank lines, and unknown directives
-  *     (`Crawl-delay:`, `Sitemap:`) change nothing. RFC wildcard
-  *     path patterns (`*`, `$`) are out of scope (documented — the
-  *     decision layer is longest-PREFIX, the RFC's required core).
+  *     (`Crawl-delay:`, `Sitemap:`) change nothing,
+  *   - RFC wildcard path patterns are COMPILED: `*` → `.*`, a
+  *     trailing `$` → end anchor, everything else regex-escaped; the
+  *     rule's `rx` field carries the regex (NULL for plain prefixes)
+  *     and the decision layer matches it with `regexp_like`,
+  *     precedence still by pattern length (the RFC's
+  *     most-specific-match rule, Google's reference behavior).
   *
   * The parser is ONE native expression: `split` on line breaks, then
   * an `aggregate` HOF threading a (in_star_group, seen_rules, rules)
@@ -42,13 +46,19 @@ import org.apache.spark.sql.functions._
 object RobotsTxt {
 
   /** Parse one robots.txt body into the `*`-agent rule array
-    * (`struct(prefix string, allow int)` per rule, document order).
+    * (`struct(prefix string, allow int, rx string)` per rule, document
+    * order — the [[Urls.applyRobotsRulesFrom]] shape). `rx` is the
+    * compiled Java regex for RFC 9309 WILDCARD patterns (`*` = any
+    * sequence, trailing `$` = end anchor), NULL for the plain-prefix
+    * majority so those stay on the decision layer's `startsWith` fast
+    * path; a mid-pattern `$` is literal, per the RFC's grammar.
     */
   def parseRules(txt: Column): Column = {
     val lines = split(txt, "\r?\n")
     val init = struct(
       lit(false).as("in_star"), lit(false).as("after_rules"),
-      array().cast("array<struct<prefix:string,allow:int>>").as("rules"))
+      array().cast("array<struct<prefix:string,allow:int,rx:string>>")
+        .as("rules"))
     aggregate(lines, init, (a, rawLine) => {
       val line = trim(substring_index(rawLine, "#", 1))
       val low = lower(line)
@@ -64,9 +74,22 @@ object RobotsTxt {
       val afterRules = when(isUa, lit(false))
         .otherwise(a.getField("after_rules") || isDis || isAll)
       val appendRule = a.getField("in_star") && (isDis || isAll) && value =!= ""
+      // wildcard compile (in-expression twin of Urls.robotsPatternRx,
+      // match-equivalent by RobotsTxtSpec): escape regex metachars,
+      // then the escaped \* becomes .*; trailing $ becomes the anchor
+      val anchored = value.endsWith("$")
+      val core = when(anchored,
+        substring(value, lit(1), length(value) - 1)).otherwise(value)
+      val escaped = regexp_replace(core, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+      val rxBody = regexp_replace(escaped, "\\\\\\*", ".*")
+      val hasWild = instr(value, "*") > 0 || anchored
+      val rx = when(hasWild, concat(lit("^"), rxBody,
+          when(anchored, lit("$")).otherwise(lit(""))))
+        .otherwise(lit(null).cast("string"))
       val rules = when(appendRule,
           concat(a.getField("rules"), array(struct(value.as("prefix"),
-            when(isAll, lit(1)).otherwise(lit(0)).as("allow")))))
+            when(isAll, lit(1)).otherwise(lit(0)).as("allow"),
+            rx.as("rx")))))
         .otherwise(a.getField("rules"))
       struct(inStar.as("in_star"), afterRules.as("after_rules"),
         rules.as("rules"))

@@ -387,7 +387,8 @@ object Urls {
       val ruleMap = map(byDomain.flatMap { case (dom, rs) =>
         Seq(lit(dom), array(rs.map { case (_, prefix, allow) =>
           struct(lit(prefix).as("prefix"),
-            lit(if (allow) 1 else 0).as("allow"))
+            lit(if (allow) 1 else 0).as("allow"),
+            lit(robotsPatternRx(prefix)).cast("string").as("rx"))
         }: _*))
       }: _*)
       decide(urls, element_at(ruleMap, col(domainCol)))
@@ -401,11 +402,13 @@ object Urls {
         StructField("_rr_dom", StringType, nullable = false),
         StructField("_rr_rules", ArrayType(StructType(Seq(
           StructField("prefix", StringType, nullable = false),
-          StructField("allow", IntegerType, nullable = false))),
+          StructField("allow", IntegerType, nullable = false),
+          StructField("rx", StringType, nullable = true))),
           containsNull = false), nullable = false)))
       val rows: java.util.List[Row] = java.util.Arrays.asList(
         byDomain.map { case (dom, rs) =>
-          Row(dom, rs.map { case (_, p, a) => Row(p, if (a) 1 else 0) })
+          Row(dom, rs.map { case (_, p, a) =>
+            Row(p, if (a) 1 else 0, robotsPatternRx(p)) })
         }: _*)
       val lookup = urls.sparkSession.createDataFrame(rows, schema)
       decide(urls.join(broadcast(lookup),
@@ -419,13 +422,21 @@ object Urls {
     * map, broadcast-join, and the DataFrame-driven
     * [[applyRobotsRulesFrom]]: a drifted copy would make a gear switch
     * a silent semantics change instead of a physical one. `domRules`
-    * is an `array<struct<prefix, allow>>` column (NULL = no rules for
-    * the row's domain).
+    * is an `array<struct<prefix, allow, rx>>` column (NULL = no rules
+    * for the row's domain). `rx` is the compiled regex of an RFC 9309
+    * WILDCARD pattern (`*` = any sequence, trailing `$` = end anchor)
+    * or NULL for the plain-prefix majority — plain rules keep the
+    * cheap `startsWith`, wildcard rules match via `regexp_like`, and
+    * precedence is pattern-OCTET length for both (the `prefix` field
+    * holds the RAW pattern, so `length(prefix)` is the RFC's
+    * most-specific-match tiebreaker — Google's reference behavior).
     */
   private def robotsDecide(df: DataFrame, domRules: Column,
       pathCol: String): DataFrame = {
     val matched = filter(domRules, r =>
-      col(pathCol).startsWith(r.getField("prefix")))
+      when(r.getField("rx").isNotNull,
+        regexp_like(col(pathCol), r.getField("rx")))
+        .otherwise(col(pathCol).startsWith(r.getField("prefix"))))
     val best = array_max(transform(matched, r =>
       struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
     df.withColumn("_rb", when(domRules.isNull || size(matched) === 0,
@@ -433,6 +444,22 @@ object Urls {
       .withColumn("allowed", col("_rb.a") === 1)
       .withColumn("matched_len", col("_rb.l"))
       .drop("_rb")
+  }
+
+  /** Compiled Java regex for an RFC 9309 wildcard pattern, or null
+    * for a plain prefix (no `*`, no trailing `$`) — plain rules stay
+    * on the codegen'd `startsWith` fast path.
+    */
+  private[ext] def robotsPatternRx(p: String): String = {
+    if (!p.contains('*') && !p.endsWith("$")) null
+    else {
+      val anchored = p.endsWith("$")
+      val core = if (anchored) p.dropRight(1) else p
+      "^" + core.split("\\*", -1).map {
+        case "" => ""
+        case s  => java.util.regex.Pattern.quote(s)
+      }.mkString(".*") + (if (anchored) "$" else "")
+    }
   }
 
   /** Robots decision against a RULES TABLE — the production shape

@@ -189,6 +189,12 @@ object ScaleCheck {
     def tierImageResize(s: Int): DataFrame =
       graft.ext.ImageHash.imageDHash(graft.ext.Multimodal.resizeImages(
         graft.PipelinesExt.resizeImageMedia(imageSlice(s)), 18, 16))
+    // the FUSED single-decode variant (r15 ADVICE follow-through) on
+    // the identical corpus — the measured decode saving vs the
+    // two-stage tier above; hash parity is ImageHashSpec-pinned
+    def tierImageResizeFused(s: Int): DataFrame =
+      graft.ext.ImageHash.imageDHashResized(
+        graft.PipelinesExt.resizeImageMedia(imageSlice(s)))
     // (b) the BANDED pairing at FULL corpus width on synthetic dHashes
     // (xxhash64 per doc_id/4 group, variant 3 flips one bit — the same
     // 3-identical + 1-at-Hamming-1 group structure, no decode in the
@@ -492,6 +498,7 @@ object ScaleCheck {
       ("incremental_cc_delta", tierIncrementalCc),
       ("image_decode_hash", tierImageHash),
       ("image_resize_hash", tierImageResize),
+      ("image_resize_hash_fused", tierImageResizeFused),
       ("image_band16_join", tierBandJoin(16)),
       ("image_band32_join", tierBandJoin(32)),
       ("crawl_extract_stack", tierCrawlStack))
@@ -710,7 +717,10 @@ object ScaleCheck {
     md.append("  images/slot); image_resize_hash — the q215 composition\n")
     md.append("  (decode + nearest-neighbor resize + PNG re-encode + dHash, two\n")
     md.append("  decodes per image over heterogeneous 1x-3x source sizes — the\n")
-    md.append("  real image-dedup front half, priced next to decode-only);\n")
+    md.append("  real image-dedup front half, priced next to decode-only, and\n")
+    md.append("  image_resize_hash_fused — the single-decode fused variant on\n")
+    md.append("  the identical corpus, the measured saving of skipping the\n")
+    md.append("  PNG re-encode + second decode);\n")
     md.append("  image_band16_join / image_band32_join — the banded\n")
     md.append("  Hamming pairing at FULL corpus width on synthetic group-structured\n")
     md.append("  dHashes (no decode in the measurement), the banding dial:\n")

@@ -72,16 +72,21 @@ class RobotsTxtSpec extends SparkSpec {
     import spark.implicits._
     val tuples = Seq(
       ("d.com", "/p/", false), ("d.com", "/p/1", true),
-      ("t.com", "/x", true), ("t.com", "/x", false))
+      ("t.com", "/x", true), ("t.com", "/x", false),
+      // wildcard + anchor: the expression-compiled rx (parseRules) and
+      // the Scala-compiled rx (tuple gear) must decide identically
+      ("w.com", "/q/*/z$", false))
     val bodies = Seq(
       ("d.com", "User-agent: *\nDisallow: /p/\nAllow: /p/1"),
       ("t.com", "User-agent: *\nAllow: /x\nDisallow: /x"),
+      ("w.com", "User-agent: *\nDisallow: /q/*/z$"),
       ("n.com", "User-agent: googlebot\nDisallow: /")).toDF("domain", "txt")
     val table = bodies.select(col("domain"),
       RobotsTxt.parseRules(col("txt")).as("rules"))
     val urls = Seq(
       ("d.com", "/p/0"), ("d.com", "/p/1"), ("d.com", "/q"),
-      ("t.com", "/x/y"), ("n.com", "/p"), ("e.com", "/p"))
+      ("t.com", "/x/y"), ("n.com", "/p"), ("e.com", "/p"),
+      ("w.com", "/q/a/z"), ("w.com", "/q/a/zz"))
       .toDF("dom", "path")
     def out(df: org.apache.spark.sql.DataFrame) =
       df.select("dom", "path", "allowed", "matched_len")

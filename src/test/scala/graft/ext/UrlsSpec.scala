@@ -201,6 +201,28 @@ class UrlsSpec extends SparkSpec {
     assert(both.filter(not(col("psl") <=> col("heur"))).count() === 0)
   }
 
+  test("applyRobotsRules wildcards: * spans, $ anchors, mid-$ literal, length precedence") {
+    import spark.implicits._
+    val rules = Seq(
+      ("d.com", "/p/", true), ("d.com", "/*/1$", false), // 6 beats 3 on /p/1
+      ("e.com", "/a$", false),                           // anchor: /a only
+      ("f.com", "/x*y", false),                          // spanning *
+      ("g.com", "/a$b", false))                          // mid-pattern $ literal
+    val urls = Seq(
+      ("d.com", "/p/0"), ("d.com", "/p/1"),
+      ("e.com", "/a"), ("e.com", "/a/b"),
+      ("f.com", "/xzzy"), ("f.com", "/x"),
+      ("g.com", "/a$b"), ("g.com", "/ab")).toDF("dom", "path")
+    val got = Urls.applyRobotsRules(urls, rules, "dom", "path")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getBoolean(2), r.getInt(3))).toSet
+    assert(got === Set(
+      ("d.com", "/p/0", true, 3), ("d.com", "/p/1", false, 5),
+      ("e.com", "/a", false, 3), ("e.com", "/a/b", true, 0),
+      ("f.com", "/xzzy", false, 4), ("f.com", "/x", true, 0),
+      ("g.com", "/a$b", false, 4), ("g.com", "/ab", true, 0)))
+  }
+
   test("resolveUrl: RFC 3986 corners the q225 generator cannot reach") {
     import spark.implicits._
     def res(base: String, href: String): String =
