@@ -603,6 +603,94 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
       .select(col("doc_id"), col("curl"), col("allowed"), col("matched_len"))
       .orderBy("doc_id", "curl")
   }
+
+  /** The CAPSTONE crawl gate — every round-15 layer composed the way
+    * Common Crawl is actually processed, no stage skipped:
+    *
+    *   per-record GZIP members ([[graft.ext.Warc.gunzipMembers]]) →
+    *   length-driven WARC parse → HTTP message split
+    *   ([[graft.ext.Http]], non-200 and non-html responses drop) →
+    *   link harvest → RELATIVE resolution against the record's own
+    *   `WARC-Target-URI` ([[graft.ext.Urls.resolveUrl]] — pages link
+    *   relatively: `item/3`, `../shared/5`, plus an absolute
+    *   cross-site anchor with canonicalization hazards) →
+    *   [[graft.ext.Urls.canonicalizeUrl]] → robots rules PARSED from
+    *   per-domain robots.txt text including a WILDCARD pattern
+    *   ([[graft.ext.RobotsTxt.parseRules]] →
+    *   [[graft.ext.Urls.applyRobotsRulesFrom]]) → frontier rollup →
+    *   per-domain cap.
+    *
+    * Fixture keys are decorrelated (the q212 lesson): host `i % 9`,
+    * JSON responses `i % 11 = 1`, 404s `i % 10 = 0`, link fan-out
+    * `i % 2` / `i % 5` — no filter silently blanks a host. The oracle
+    * chains every stage's CTE from the generator arithmetic; each
+    * stage's own gate (q214, q221, q225, q226, q216/q207) localizes a
+    * break this composition detects.
+    */
+  def crawlFull(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val k0 = (i % 9).toInt
+          val pageUrl = s"http://site$k0.com/dir${i % 4}/page${i % 20}.html"
+          val sb = new StringBuilder("<html><body>")
+          sb.append(s"""<a href="item/${i % 5}">a</a>""")
+          if (i % 2 == 0) sb.append(s"<a href='../shared/${i % 7}'>b</a>")
+          if (i % 5 == 0)
+            sb.append(s"""<a href="HTTP://WWW.Site${(i / 5) % 9}.COM:80/abs/${i % 3}/">c</a>""")
+          sb.append("</body></html>")
+          val status = if (i % 10 == 0) "404 Not Found" else "200 OK"
+          val ctype =
+            if (i % 11 == 1) "application/json" else "text/html; charset=UTF-8"
+          val http = s"HTTP/1.1 $status\r\nContent-Type: $ctype\r\n\r\n" + sb
+          val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: $pageUrl\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n"
+          val req = s"WARC/1.0\r\nWARC-Type: request\r\n" +
+            s"WARC-Target-URI: $pageUrl\r\nContent-Length: 4\r\n\r\nping\r\n\r\n"
+          val bos = new java.io.ByteArrayOutputStream()
+          for (member <- Seq(rec, req)) {
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(member.getBytes("US-ASCII"))
+            gz.finish()
+          }
+          (i, bos.toByteArray)
+        }
+      }.toDF("doc_id", "blob")
+    val links = graft.ext.Warc
+      .parseWarcColumn(blobs, "doc_id", "blob", gzipped = true)
+      .filter(col("warc_type") === "response")
+      .withColumn("p", col("payload").cast("string"))
+      .filter(graft.ext.Http.statusOf(col("p")) === 200 &&
+        graft.ext.Http.contentTypeOf(col("p")) === "text/html")
+      .select(col("doc_id"), col("target_uri"),
+        explode(graft.ext.Html.extractLinks(
+          graft.ext.Http.bodyOf(col("p")))).as("href"))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(
+        graft.ext.Urls.resolveUrl(col("target_uri"), col("href"))))
+      .withColumn("dom", graft.ext.Urls.registeredDomain(
+        graft.ext.Urls.hostOf(col("curl"))))
+      .withColumn("path", graft.ext.Urls.pathOf(col("curl")))
+    val kk = col("id")
+    val robotsTxt = when(kk === 2, lit("User-agent: *\nDisallow: /shared/"))
+      .when(kk === 4, lit("User-agent: *\nDisallow: /*/item/3$"))
+      .when(kk === 6, lit("User-agent: *\nDisallow: /"))
+      .when(kk === 7, lit("User-agent: *\nAllow: /abs\nDisallow: /abs"))
+      .otherwise(lit("User-agent: googlebot\nDisallow: /"))
+    val ruleTable = s.range(9).select(
+      concat(lit("site"), kk.cast("string"), lit(".com")).as("domain"),
+      graft.ext.RobotsTxt.parseRules(robotsTxt).as("rules"))
+    val frontier = graft.ext.Urls
+      .applyRobotsRulesFrom(links, ruleTable, "dom", "path")
+      .filter(col("allowed"))
+      .groupBy(col("dom"), col("curl"))
+      .agg(count(lit(1)).as("in_degree"), min(col("doc_id")).as("first_doc"))
+    graft.ext.Urls.capPerDomain(frontier, "dom", "in_degree", "curl", cap = 3)
+      .select(col("dom").as("registered_domain"), col("domain_rank"),
+        col("curl"), col("in_degree"), col("first_doc"))
+      .orderBy("registered_domain", "domain_rank")
+  }
 }
 
 /** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
@@ -911,6 +999,38 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |       WHEN k = 6 AND j = 0 THEN 5
         |       ELSE 0 END AS INTEGER) AS matched_len
         |FROM u ORDER BY doc_id, curl""".stripMargin,
+
+    // the capstone chain stated stage by stage: the HTTP filters cut
+    // the doc set (decorrelated keys), the three link arms state their
+    // RESOLVED canonical urls and robots decisions directly, then the
+    // frontier rollup and cap windows replay
+    "q227_crawl_full" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents
+        |           WHERE doc_id % 10 <> 0 AND doc_id % 11 <> 1),
+        |la AS (SELECT i, i % 9 AS k,
+        |    'http://site' || (i % 9) || '.com/dir' || (i % 4)
+        |      || '/item/' || (i % 5) AS curl,
+        |    NOT (i % 9 = 6 OR (i % 9 = 4 AND i % 5 = 3)) AS allowed
+        |  FROM d),
+        |lb AS (SELECT i, i % 9 AS k,
+        |    'http://site' || (i % 9) || '.com/shared/' || (i % 7) AS curl,
+        |    i % 9 NOT IN (2, 6) AS allowed
+        |  FROM d WHERE i % 2 = 0),
+        |lc AS (SELECT i, (i // 5) % 9 AS k,
+        |    'http://site' || ((i // 5) % 9) || '.com/abs/' || (i % 3) AS curl,
+        |    (i // 5) % 9 <> 6 AS allowed
+        |  FROM d WHERE i % 5 = 0),
+        |linked AS (SELECT * FROM la UNION ALL SELECT * FROM lb
+        |           UNION ALL SELECT * FROM lc),
+        |frontier AS (SELECT 'site' || k || '.com' AS dom, curl,
+        |    count(*) AS in_degree, min(i) AS first_doc
+        |  FROM linked WHERE allowed GROUP BY 1, 2),
+        |capped AS (SELECT *, row_number() OVER (PARTITION BY dom
+        |    ORDER BY in_degree DESC, curl) AS dr FROM frontier)
+        |SELECT dom AS registered_domain, CAST(dr AS INTEGER) AS domain_rank,
+        |  curl, in_degree, first_doc
+        |FROM capped WHERE dr <= 3
+        |ORDER BY registered_domain, domain_rank""".stripMargin,
 
     // expected (ordinal, raw trimmed+decoded loc, canonical) per doc:
     // the oracle writes the DECODED loc (it never runs entity or url

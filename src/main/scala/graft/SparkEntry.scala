@@ -268,6 +268,7 @@ object SparkEntry {
     "q224_charset_decode" -> ((s, d) => PipelinesExt.charsetDecode(s, d)),
     "q225_url_resolve" -> ((s, d) => PipelinesExt.urlResolve(s, d)),
     "q226_robots_wildcard" -> ((s, d) => PipelinesExt.robotsWildcard(s, d)),
+    "q227_crawl_full" -> ((s, d) => PipelinesExt.crawlFull(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
