@@ -411,7 +411,11 @@ private[graft] trait PipelinesRound14 { this: PipelinesBase =>
       ("site2.com", "/", false), ("site4.com", "/p/0", false),
       ("site5.com", "/p", true), ("site5.com", "/p", false),
       ("site7.com", "/q", false))
-    graft.ext.Urls.applyRobotsRules(links, rules, "dom", "path")
+    // maxLiteralDomains = 64 pins the LITERAL gear (this gate is its
+    // plan pin; the production default is the join gear — see the r15
+    // measured finding in applyRobotsRules' Scaladoc)
+    graft.ext.Urls.applyRobotsRules(links, rules, "dom", "path",
+        maxLiteralDomains = 64)
       .select(col("doc_id"), col("curl"), col("allowed"), col("matched_len"))
       .orderBy("doc_id", "curl")
   }

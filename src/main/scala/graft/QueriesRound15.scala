@@ -170,10 +170,19 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
       (pmod(floor(i / 9), lit(3)) + 1).cast("int"))
     val url = concat(lit("https://ex"), pmod(i, lit(4)).cast("string"),
       lit(".com/f/"), seg1, seg2, seg3, mal, lit("?v="), qv)
-    val canon = graft.ext.Urls.canonicalizeUrl(url)
-    t(s, d, "documents").select(col("doc_id"),
-        canon.as("canonical_url"),
-        (graft.ext.Urls.canonicalizeUrl(canon) === canon).as("idempotent"))
+    // STAGED through attributes (the q171 CollapseProject discipline):
+    // canonicalizeUrl references its input ~15 times, so feeding it a
+    // raw expression tree copies that tree per reference — and the
+    // idempotence re-canonicalization would square it (measured 68 s
+    // vs <1 s at sf0.1, the cost being Janino codegen of the exploded
+    // tree). Each select boundary below survives CollapseProject
+    // because its alias is multi-referenced upstream.
+    t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      .select(col("doc_id"),
+        graft.ext.Urls.canonicalizeUrl(col("url")).as("canonical_url"))
+      .select(col("doc_id"), col("canonical_url"),
+        (graft.ext.Urls.canonicalizeUrl(col("canonical_url"))
+          === col("canonical_url")).as("idempotent"))
       .orderBy("doc_id")
   }
 
@@ -667,8 +676,13 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
       .select(col("doc_id"), col("target_uri"),
         explode(graft.ext.Html.extractLinks(
           graft.ext.Http.bodyOf(col("p")))).as("href"))
-      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(
-        graft.ext.Urls.resolveUrl(col("target_uri"), col("href"))))
+      // resolved is staged as an attribute before canonicalization:
+      // canonicalizeUrl references its input ~15 times, and inlining
+      // the resolveUrl tree (with its aggregate-HOF segment stack) per
+      // reference explodes the generated code (the q216 lesson)
+      .withColumn("resolved",
+        graft.ext.Urls.resolveUrl(col("target_uri"), col("href")))
+      .withColumn("curl", graft.ext.Urls.canonicalizeUrl(col("resolved")))
       .withColumn("dom", graft.ext.Urls.registeredDomain(
         graft.ext.Urls.hostOf(col("curl"))))
       .withColumn("path", graft.ext.Urls.pathOf(col("curl")))

@@ -358,27 +358,31 @@ object Urls {
     * the LONGEST prefix wins; equal lengths tie toward allow; no
     * matching rule (or no rules for the domain) means allowed.
     *
-    * Scale shape — the `stratumLookup` two-gear switch
-    * (`etl/Sampling.scala`): a hand-sized rule set (≤
-    * `maxLiteralDomains` distinct domains) compiles into ONE literal
-    * map-lookup + filter + array_max expression evaluated per row in
-    * the scan projection — no join, no shuffle, fully codegen'd. Past
-    * that, a literal map is a plan-size/codegen cliff, not a
-    * broadcast — so a robots-fetch-sized corpus (millions of domains)
-    * instead BROADCASTS a `(domain, rules)` table through one
-    * left-outer hash join, with the IDENTICAL filter/transform/
-    * array_max decision applied to the joined rules column
-    * (UrlsSpec proves decision parity across the switch). Either gear
-    * adds zero shuffles on the URL side. Longest-match itself is the
-    * lexicographic max of `(prefixLen, allowBit)` over the matching
-    * rules — no sort, no window.
+    * Scale shape — two gears, the BROADCAST JOIN the default: the
+    * rules become a `(domain, rules)` table attached through one
+    * left-outer hash join, with the filter/transform/array_max
+    * decision applied to the joined rules column; the URL side never
+    * shuffles and a robots-fetch-sized corpus (millions of domains)
+    * broadcasts in tens of MB. The LITERAL gear (≤ `maxLiteralDomains`
+    * distinct domains compile into one in-plan map expression — no
+    * join at all) is opt-in for scan-shaped frontiers: besides the
+    * obvious plan-size cliff at corpus scale, a literal rule map
+    * interacts badly with a downstream AGGREGATE even when tiny —
+    * AQE re-optimizes per query stage and every optimizer pass
+    * re-traverses the literal tree (measured r15: the SAME 9-domain
+    * rule set + frontier rollup ran 13.6 s literal vs 1.7 s joined at
+    * sf0.1, driver-side optimizer/codegen wall). UrlsSpec proves
+    * decision parity across the gears. Longest-match itself is the
+    * lexicographic max of `(patternLen, allowBit)` over the matching
+    * rules — no sort, no window; RFC 9309 wildcard patterns ride the
+    * per-rule `rx` regex (see [[RobotsTxt.parseRules]]).
     *
     * Output: input columns plus `allowed` (boolean) and
-    * `matched_len` (longest matching prefix length; 0 = no rule).
+    * `matched_len` (longest matching pattern length; 0 = no rule).
     */
   def applyRobotsRules(urls: DataFrame, rules: Seq[(String, String, Boolean)],
       domainCol: String, pathCol: String,
-      maxLiteralDomains: Int = 64): DataFrame = {
+      maxLiteralDomains: Int = 0): DataFrame = {
     require(rules.nonEmpty, "Urls.applyRobotsRules: empty rule set")
     val byDomain = rules.groupBy(_._1).toSeq.sortBy(_._1)
     def decide(df: DataFrame, domRules: Column): DataFrame =

@@ -145,19 +145,18 @@ class UrlsSpec extends SparkSpec {
         .collect().map(r => (r.getString(0), r.getString(1),
           r.getBoolean(2), r.getInt(3))).toSet
     val literal = run(64)
-    val joined = run(1) // 2 domains > 1 → join gear
+    val joined = run(0) // default: always the join gear
     assert(literal === joined)
     // the join gear really is a join (and the literal gear is not)
     val planJoin = Urls.applyRobotsRules(urls, rules, "dom", "path",
       maxLiteralDomains = 1).queryExecution.executedPlan.toString
     assert(planJoin.contains("BroadcastHashJoin"))
-    val planLit = Urls.applyRobotsRules(urls, rules, "dom", "path")
-      .queryExecution.executedPlan.toString
+    val planLit = Urls.applyRobotsRules(urls, rules, "dom", "path",
+        maxLiteralDomains = 64).queryExecution.executedPlan.toString
     assert(!planLit.contains("Join"))
     // internal-column clash fails fast, not silently
     val e = intercept[IllegalArgumentException](Urls.applyRobotsRules(
-      urls.withColumn("_rr_rules", lit(1)), rules, "dom", "path",
-      maxLiteralDomains = 1))
+      urls.withColumn("_rr_rules", lit(1)), rules, "dom", "path"))
     assert(e.getMessage.contains("_rr_rules"))
   }
 
