@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   * like [[Html.extractText]]. The header/body split is the FIRST
   * `\r\n\r\n` (the message grammar — header values cannot contain a
   * blank line, bodies routinely contain header-looking text, so
-  * splitting on anything later would corrupt both sides). Bodies are
-  * handled as strings: fixtures and the dominant crawl content are
-  * UTF-8/ASCII; charset transcoding from the Content-Type parameter
-  * is documented out of scope (the [[Multimodal]] codec discipline —
-  * a real deployment decodes bytes per charset before this layer).
+  * splitting on anything later would corrupt both sides). [[bodyOf]]
+  * reads the payload as a string (right when upstream already decoded
+  * bytes); [[decodeBody]] is the byte-true form — it frames through a
+  * lossless Latin-1 view and transcodes the body per the declared
+  * charset (UTF-8 / Latin-1 / ASCII / Windows-1252; anything else
+  * quarantines to NULL rather than mojibake).
   */
 object Http {
 
@@ -49,7 +50,7 @@ object Http {
   def bodyOf(payload: Column): Column = {
     val head = headerBlockOf(payload)
     when(length(payload) > length(head),
-      substring(payload, length(head) + lit(5), lit(1 << 24)))
+      substring(payload, length(head) + lit(5), lit(Int.MaxValue)))
       .otherwise(lit(""))
   }
 
@@ -145,7 +146,7 @@ object Http {
     val latin1 = decode(payloadBin, "ISO-8859-1")
     val head = headerBlockOf(latin1)
     val bodyBin = when(length(latin1) > length(head),
-        substring(payloadBin, length(head) + lit(5), lit(1 << 24)))
+        substring(payloadBin, length(head) + lit(5), lit(Int.MaxValue)))
       .otherwise(lit(Array.emptyByteArray))
     val cs = charsetOf(latin1)
     SupportedCharsets.groupBy(_._2).toSeq.sortBy(_._1)
