@@ -705,6 +705,46 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
         col("curl"), col("in_degree"), col("first_doc"))
       .orderBy("registered_domain", "domain_rank")
   }
+
+  /** Main-content extraction (boilerplate removal) as a hash gate
+    * ([[graft.ext.Html.extractMainText]]): each page carries the four
+    * block archetypes a real crawl page mixes — a nav bar (short AND
+    * link-saturated: dies by both tests), an always-present prose
+    * paragraph (kept), an even-doc paragraph whose INLINE link must
+    * not disqualify it (the density threshold under test from below),
+    * a promo block that clears the LENGTH floor but dies by density
+    * alone (26 anchor chars of 44 — the density branch isolated), and
+    * a footer (short). The `<head><title>` lands in the leading
+    * non-block chunk and is dropped by length — titles are not body
+    * text. The oracle states the surviving prose directly from the
+    * generator arithmetic; a scorer that counted anchor chars wrong,
+    * split blocks wrong, or skipped the extraction-order contract
+    * changes rows.
+    */
+  def mainContent(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val html = concat(
+      lit("<html><head><title>Doc "), i.cast("string"),
+      lit("</title></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+        "<a href=\"/faq\">FAQ</a></nav>"),
+      lit("<p>Opening paragraph "), pmod(i, lit(7)).cast("string"),
+      lit(" carries enough plain prose to clear the length floor easily.</p>"),
+      when(pmod(i, lit(2)) === 0, concat(
+        lit("<p>Second passage keeps <a href=\"/ref\">one link "),
+        pmod(i, lit(5)).cast("string"),
+        lit("</a> inside substantially longer surrounding prose text.</p>")))
+        .otherwise(lit("")),
+      when(pmod(i, lit(3)) === 0, concat(
+        lit("<div><a href=\"/buy\">Buy now "), pmod(i, lit(4)).cast("string"),
+        lit("</a> - <a href=\"/deal\">todays deals here</a> limited offer!</div>")))
+        .otherwise(lit("")),
+      lit("<footer><a href=\"/contact\">Contact</a></footer></body></html>"))
+    t(s, d, "documents").select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.extractMainText(col("html")).as("main_text"))
+      .orderBy("doc_id")
+  }
 }
 
 /** Suffix fixture shared by the q218 gate and UrlsSpec — a PSL-shaped
@@ -1013,6 +1053,21 @@ private[graft] trait OraclesRound15 { this: OracleSnippets =>
         |       WHEN k = 6 AND j = 0 THEN 5
         |       ELSE 0 END AS INTEGER) AS matched_len
         |FROM u ORDER BY doc_id, curl""".stripMargin,
+
+    // the surviving prose blocks stated from the generator: the nav,
+    // promo, footer, and title chunks never appear — length and
+    // density kills are both exercised (the promo dies by density
+    // alone: 26 anchor chars against 44 text chars at the 50% gate)
+    "q228_main_content" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents)
+        |SELECT i AS doc_id,
+        |  'Opening paragraph ' || (i % 7)
+        |    || ' carries enough plain prose to clear the length floor easily.'
+        |  || CASE WHEN i % 2 = 0
+        |     THEN ' Second passage keeps one link ' || (i % 5)
+        |       || ' inside substantially longer surrounding prose text.'
+        |     ELSE '' END AS main_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the capstone chain stated stage by stage: the HTTP filters cut
     // the doc set (decorrelated keys), the three link arms state their

@@ -269,6 +269,7 @@ object SparkEntry {
     "q225_url_resolve" -> ((s, d) => PipelinesExt.urlResolve(s, d)),
     "q226_robots_wildcard" -> ((s, d) => PipelinesExt.robotsWildcard(s, d)),
     "q227_crawl_full" -> ((s, d) => PipelinesExt.crawlFull(s, d)),
+    "q228_main_content" -> ((s, d) => PipelinesExt.mainContent(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -77,6 +77,65 @@ object Html {
     * `href=\"...\"` inside a script would otherwise match it
     * (CrawlStackSpec pins the exclusion).
     */
+  /** Block-level elements whose tags bound content blocks for
+    * [[extractMainText]] — the jusText/boilerpipe block inventory.
+    */
+  private val BlockTagSplit =
+    "(?i)</?(?:p|div|td|th|li|h[1-6]|article|section|aside|nav|footer|header|ul|ol|table|tr|blockquote|main|figure)(?:\\s[^>]*)?>"
+
+  /** MAIN-CONTENT extraction (boilerplate removal) — the step between
+    * [[extractText]] and a training corpus that real pipelines cannot
+    * skip: raw pages are ~half navigation, footers, cookie banners,
+    * and sidebars, and `extractText` keeps all of it. The classic
+    * link-density heuristic (jusText / boilerpipe / trafilatura
+    * lineage): split the page into BLOCKS at block-element tags, score
+    * each block by length and by how much of its text sits inside
+    * anchors, and keep only prose-like blocks —
+    *
+    *   keep(block) ⇔ len(text) ≥ minChars ∧
+    *                 100·len(anchor text) ≤ maxLinkDensityPct·len(text)
+    *
+    * (integer arithmetic, so the decision is exactly replayable by an
+    * engine-independent oracle). A nav bar is short AND link-saturated
+    * — both tests kill it; body paragraphs with an inline link or two
+    * pass. Per-block text follows the [[extractText]] ORDER contract
+    * (script/style bodies die first, inline tags strip, entities
+    * decode after, whitespace collapses); kept blocks join with one
+    * space in document order.
+    *
+    * One native expression — split + transform (with a nested
+    * aggregate summing anchor-text lengths) + filter + array_join —
+    * per-row narrow, no UDF, no shuffle; at 100 TB it rides the scan
+    * like every extractor here. Heuristic, not a DOM: NESTED block
+    * elements split into separate blocks (each scored alone), which
+    * for boilerplate removal is the desired granularity.
+    */
+  def extractMainText(html: Column, minChars: Int = 25,
+      maxLinkDensityPct: Int = 50): Column = {
+    require(minChars >= 0, s"Html.extractMainText: minChars $minChars < 0")
+    require(maxLinkDensityPct >= 0 && maxLinkDensityPct <= 100,
+      s"Html.extractMainText: maxLinkDensityPct must be 0..100, " +
+        s"got $maxLinkDensityPct")
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    val blocks = split(noScript, BlockTagSplit)
+    val scored = transform(blocks, b => {
+      val anchorTexts = regexp_extract_all(b,
+        lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+      val linkChars = aggregate(anchorTexts, lit(0), (acc, a) =>
+        acc + length(trim(regexp_replace(decodeEntities(
+          regexp_replace(a, "<[^>]*>", " ")), "\\s+", " "))))
+      val text = trim(regexp_replace(decodeEntities(
+        regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+      struct(text.as("text"), linkChars.as("lc"))
+    })
+    val kept = filter(scored, s =>
+      length(s.getField("text")) >= minChars &&
+        s.getField("lc") * 100 <=
+          length(s.getField("text")) * maxLinkDensityPct)
+    array_join(transform(kept, _.getField("text")), " ")
+  }
+
   /** All `<loc>` targets of a sitemap document (sitemaps.org XML —
     * `<urlset>` page entries and `<sitemapindex>` child sitemaps
     * alike), in document order, surrounding whitespace trimmed,

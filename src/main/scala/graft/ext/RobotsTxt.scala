@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   * an `aggregate` HOF threading a (in_star_group, seen_rules, rules)
   * accumulator across lines — no UDF, no shuffle, whole-stage
   * codegen; at 100 TB parsing rides the robots-fetch scan. The
-  * output column is `array<struct<prefix, allow>>`, directly
+  * output column is `array<struct<prefix, allow, rx>>`, directly
   * joinable by [[Urls.applyRobotsRulesFrom]].
   */
 object RobotsTxt {

@@ -50,6 +50,35 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq("first", "second", "third"))
   }
 
+  test("extractMainText: length and density kills, nested anchors, entities, scripts") {
+    def main(html: String): String =
+      one(Html.extractMainText(col("h")), html)
+    val prose = "This paragraph carries enough plain prose to stay in the corpus."
+    // nav (short + saturated) and footer die; prose survives
+    assert(main("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>" +
+      s"<p>$prose</p><footer><a href=\"/c\">Contact</a></footer>") === prose)
+    // a LONG but link-saturated block dies by density alone
+    val promo = "<div><a href=\"/b\">Buy this today</a> and " +
+      "<a href=\"/d\">see all the deals</a> now!</div>"
+    assert(main(promo + s"<p>$prose</p>") === prose)
+    // an inline link inside long prose does NOT disqualify the block,
+    // and NESTED inline tags inside the anchor count once
+    val linked = "<p>Long prose around <a href=\"/r\"><b>a bold link</b></a> " +
+      "keeps its block well under the density gate.</p>"
+    assert(main(linked) ===
+      "Long prose around a bold link keeps its block well under the density gate.")
+    // script bodies die before scoring; entities decode in block text
+    assert(main("<p>Script-free &amp; long enough prose to clear the floor." +
+      "<script>var x = \"<a href='/no'>fake</a>\";</script></p>")
+      === "Script-free & long enough prose to clear the floor.")
+    // kept blocks join in document order; empty page → empty string
+    assert(main(s"<p>$prose</p><p>$prose</p>") === s"$prose $prose")
+    assert(main("<p>short</p>") === "")
+    val e = intercept[IllegalArgumentException](
+      Html.extractMainText(col("h"), maxLinkDensityPct = 101))
+    assert(e.getMessage.contains("maxLinkDensityPct"))
+  }
+
   test("extractSitemapLocs trims, decodes entities, reads index and urlset alike") {
     import spark.implicits._
     def locs(xml: String): Seq[String] =
