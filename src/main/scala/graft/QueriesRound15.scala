@@ -43,12 +43,15 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
               .append(s"WARC-Record-ID: <urn:uuid:gz-$i-$j>\r\n")
               .append(s"Content-Length: ${payload.length}\r\n\r\n")
               .append(payload).append("\r\n\r\n")
-            // one gzip MEMBER per record: finish() flushes the member
-            // trailer but leaves the shared byte stream open for the
-            // next member — the .warc.gz layout
+            // one gzip MEMBER per record: close() finishes the member
+            // trailer AND ends the native Deflater deterministically
+            // (finish() alone leaks it until GC finalization);
+            // ByteArrayOutputStream.close() is a no-op, so the shared
+            // byte stream stays open for the next member — the
+            // .warc.gz layout
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(rec.toString.getBytes("US-ASCII"))
-            gz.finish()
+            gz.close()
           }
           (i, bos.toByteArray)
         }
@@ -85,7 +88,11 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
     val media = resizeImageMedia(t(s, d, "documents").select(col("doc_id")))
     val resized = graft.ext.Multimodal.resizeImages(media, 18, 16)
     val hashes = graft.ext.ImageHash.imageDHash(resized)
-    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8)
+    // eager=true: materialize and unpersist the (id, dhash) snapshot
+    // before returning — Bench/Verify call this gate repeatedly per
+    // session, and the lazy gear's cached partitions would accumulate
+    // in storage memory (r15 ADVICE; the ScaleCheck discipline)
+    graft.ext.ImageHash.nearDupPairs(hashes, maxHamming = 8, eager = true)
       .orderBy("id_a", "id_b")
   }
 
@@ -660,9 +667,11 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
             s"WARC-Target-URI: $pageUrl\r\nContent-Length: 4\r\n\r\nping\r\n\r\n"
           val bos = new java.io.ByteArrayOutputStream()
           for (member <- Seq(rec, req)) {
+            // close() (not bare finish()) ends the native Deflater;
+            // BAOS.close() is a no-op so the stream stays usable
             val gz = new java.util.zip.GZIPOutputStream(bos)
             gz.write(member.getBytes("US-ASCII"))
-            gz.finish()
+            gz.close()
           }
           (i, bos.toByteArray)
         }

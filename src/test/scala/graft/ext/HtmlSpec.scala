@@ -116,4 +116,14 @@ class HtmlSpec extends SparkSpec {
     assert(links("<a\n  class=\"y\"\n  href=\"ml\">1</a><a name=\"n\">2</a>")
       === Seq("ml"))
   }
+  test("extractMainText splits on block tags whose attributes span newlines") {
+    import spark.implicits._
+    // real tag soup line-wraps inside tags: <div\nclass=...> must still
+    // bound a block (and its closing tag may wrap too)
+    val html = "<div\n  class=\"nav\"><a href=\"/\">Home</a> <a href=\"/x\">X</a></div\n>" +
+      "<p\n id=\"m\">This prose paragraph easily clears the length floor intact.</p>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractMainText(col("h"))).as[String].head()
+    assert(got === "This prose paragraph easily clears the length floor intact.")
+  }
 }

@@ -95,4 +95,8 @@ class RobotsTxtSpec extends SparkSpec {
     assert(out(Urls.applyRobotsRulesFrom(urls, table, "dom", "path"))
       === out(Urls.applyRobotsRules(urls, tuples, "dom", "path")))
   }
+  test("a UTF-8 BOM on the first line does not break the first directive") {
+    assert(rules("\uFEFFUser-agent: *\nDisallow: /a\nAllow: /a/pub")
+      === Seq(("/a", 0), ("/a/pub", 1)))
+  }
 }

@@ -252,6 +252,44 @@ class UrlsSpec extends SparkSpec {
     assert(nullRes.isNullAt(0))
   }
 
+  test("path-embedded :// never displaces the authority (first-split pin)") {
+    import spark.implicits._
+    // redirect/proxy-style paths carry a whole URL: the host is the
+    // FIRST authority, not whatever follows the last "://"
+    assert(canon("http://h.com/r/https://x.com/y")
+      === Seq("http://h.com/r/https://x.com/y"))
+    val host = Seq("http://h.com/r/https://x.com/y").toDF("u")
+      .select(Urls.hostOf(col("u"))).as[String].head()
+    assert(host === "h.com")
+    val path = Seq("http://h.com/r/https://x.com/y").toDF("u")
+      .select(Urls.pathOf(col("u"))).as[String].head()
+    assert(path === "/r/https://x.com/y")
+    // resolveUrl: both the BASE and an ABSOLUTE HREF with embedded
+    // URLs keep their real authorities (empty segments collapse per
+    // the documented dot-segment convention)
+    val r1 = Seq(("http://b.com/r/https://x.com/y", "z")).toDF("b", "h")
+      .select(Urls.resolveUrl(col("b"), col("h"))).as[String].head()
+    assert(r1 === "http://b.com/r/https:/x.com/z")
+    val r2 = Seq(("http://b.com/p", "http://a.com/r/https://x.com/y"))
+      .toDF("b", "h")
+      .select(Urls.resolveUrl(col("b"), col("h"))).as[String].head()
+    assert(r2 === "http://a.com/r/https:/x.com/y")
+  }
+
+  test("robots precedence counts pattern OCTETS, not characters") {
+    import spark.implicits._
+    // path /päge/1: the plain allow "/päge" is 5 chars but 6 UTF-8
+    // bytes — equal to the 6-byte wildcard disallow "/*ge/1", so the
+    // byte-length tie breaks toward ALLOW (character-length precedence
+    // would rank the wildcard longer and disallow)
+    val urls = Seq(("d.com", "/päge/1")).toDF("dom", "path")
+    val rules = Seq(("d.com", "/päge", true), ("d.com", "/*ge/1", false))
+    val got = Urls.applyRobotsRules(urls, rules, "dom", "path")
+      .select("allowed", "matched_len").head()
+    assert(got.getBoolean(0) === true)
+    assert(got.getInt(1) === 6)
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
