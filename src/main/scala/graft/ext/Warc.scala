@@ -39,98 +39,263 @@ object Warc {
   /** Parse every record in one WARC blob. Framing errors (bad magic,
     * missing Content-Length, truncated payload, missing separator)
     * throw with the byte offset — a crawl pipeline quarantines such
-    * blobs (the q63 discipline), it never guesses.
+    * blobs (the q63 discipline), it never guesses. One framing path:
+    * this is [[parseRecordsStream]] over the raw bytes, fully drained.
     */
-  def parseRecords(blob: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var pos = 0
-    var idx = 0
-    def readLine(): String = {
-      val start = pos
-      while (pos + 1 < blob.length &&
-        !(blob(pos) == '\r' && blob(pos + 1) == '\n')) pos += 1
-      require(pos + 1 < blob.length,
-        s"Warc: header line without CRLF at byte $start")
-      val line = new String(blob, start, pos - start, "UTF-8")
-      pos += 2
-      line
-    }
-    while (pos < blob.length) {
-      val magic = readLine()
-      require(magic == "WARC/1.0",
-        s"Warc: expected WARC/1.0 magic at byte ${pos - magic.length - 2}, got '$magic'")
-      var warcType = ""
-      var uri = ""
-      var recordId = ""
-      var len = -1L
-      var line = readLine()
-      while (line.nonEmpty) {
-        val sep = line.indexOf(':')
-        require(sep > 0, s"Warc: malformed header line '$line'")
-        val (k, v) = (line.substring(0, sep).trim, line.substring(sep + 1).trim)
-        k.toLowerCase match {
-          case "warc-type"       => warcType = v
-          case "warc-target-uri" => uri = v
-          case "warc-record-id"  => recordId = v
-          case "content-length"  => len = v.toLong
-          case _                 => () // tolerated: unknown headers are legal
+  def parseRecords(blob: Array[Byte]): Seq[WarcRecord] =
+    parseRecordsStream(new java.io.ByteArrayInputStream(blob)).toSeq
+
+  /** STREAMING record parse — the shared framing core of
+    * [[parseRecords]] and the gzipped [[parseWarcColumn]] path: records
+    * are parsed one at a time as bytes become available, so memory is
+    * bounded by the LARGEST RECORD, never the (decompressed) file.
+    * That bound is what makes one task per multi-GB `.warc.gz` file
+    * sane on a real executor: fused over [[GzipMemberStream]], each
+    * record parses as its member decompresses. Byte offsets in error
+    * messages are positions in the DECOMPRESSED stream. The iterator
+    * is one-record-lookahead lazy: `next()` never reads past the
+    * current record's terminator.
+    */
+  def parseRecordsStream(in: java.io.InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var pos = 0L
+      private var idx = 0
+      private var nextRec: WarcRecord = _
+      private var done = false
+      private val one = new Array[Byte](1)
+
+      private def read1(): Int = {
+        val n = in.read(one, 0, 1)
+        if (n < 0) -1 else { pos += 1; one(0) & 0xFF }
+      }
+
+      private def readLine(firstByte: Int): String = {
+        val start = pos - 1
+        val sb = new java.lang.StringBuilder(64)
+        var b = firstByte
+        while (true) {
+          if (b < 0) throw new IllegalArgumentException(
+            s"Warc: header line without CRLF at byte $start")
+          if (b == '\r') {
+            val nl = read1()
+            if (nl == '\n') return sb.toString
+            if (nl < 0) throw new IllegalArgumentException(
+              s"Warc: header line without CRLF at byte $start")
+            sb.append('\r').append(nl.toChar)
+          } else sb.append(b.toChar)
+          b = read1()
         }
-        line = readLine()
+        "" // unreachable
       }
-      require(len >= 0, s"Warc: record $idx has no Content-Length")
-      require(pos + len <= blob.length,
-        s"Warc: record $idx declares $len payload bytes but only " +
-          s"${blob.length - pos} remain")
-      val payload = java.util.Arrays.copyOfRange(blob, pos, pos + len.toInt)
-      pos += len.toInt
-      // record terminator: two CRLFs
-      for (_ <- 0 until 2) {
-        require(pos + 2 <= blob.length &&
-          blob(pos) == '\r' && blob(pos + 1) == '\n',
-          s"Warc: record $idx payload not followed by CRLF CRLF at byte $pos")
-        pos += 2
+
+      private def readFully(buf: Array[Byte], what: String): Unit = {
+        var off = 0
+        while (off < buf.length) {
+          val n = in.read(buf, off, buf.length - off)
+          if (n < 0) throw new IllegalArgumentException(what +
+            s" (stream ends after $off of ${buf.length} bytes)")
+          off += n
+          pos += n
+        }
       }
-      out += WarcRecord(idx, warcType, uri, recordId, len, payload)
-      idx += 1
+
+      private def advance(): Unit = {
+        val first = read1()
+        if (first < 0) { done = true; return }
+        val magicAt = pos - 1
+        val magic = readLine(first)
+        require(magic == "WARC/1.0",
+          s"Warc: expected WARC/1.0 magic at byte $magicAt, got '$magic'")
+        var warcType = ""
+        var uri = ""
+        var recordId = ""
+        var len = -1L
+        var line = readLine(read1())
+        while (line.nonEmpty) {
+          val sep = line.indexOf(':')
+          require(sep > 0, s"Warc: malformed header line '$line'")
+          val (k, v) = (line.substring(0, sep).trim, line.substring(sep + 1).trim)
+          k.toLowerCase match {
+            case "warc-type"       => warcType = v
+            case "warc-target-uri" => uri = v
+            case "warc-record-id"  => recordId = v
+            case "content-length"  => len = v.toLong
+            case _                 => () // tolerated: unknown headers are legal
+          }
+          line = readLine(read1())
+        }
+        require(len >= 0, s"Warc: record $idx has no Content-Length")
+        require(len <= Int.MaxValue,
+          s"Warc: record $idx declares $len payload bytes — past the " +
+            "2 GiB per-record bound of a byte-array payload column")
+        val payload = new Array[Byte](len.toInt)
+        readFully(payload, s"Warc: record $idx declares $len payload bytes")
+        // record terminator: two CRLFs
+        for (_ <- 0 until 2) {
+          val c = read1(); val l = if (c == '\r') read1() else -2
+          require(c == '\r' && l == '\n',
+            s"Warc: record $idx payload not followed by CRLF CRLF at byte ${pos - 2}")
+        }
+        nextRec = WarcRecord(idx, warcType, uri, recordId, len, payload)
+        idx += 1
+      }
+
+      override def hasNext: Boolean = {
+        if (!done && nextRec == null) advance()
+        !done && nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("Warc: past last record")
+        val r = nextRec; nextRec = null; r
+      }
     }
-    out.result()
+
+  /** Streaming decompressor over a concatenation of gzip MEMBERS —
+    * the `.warc.gz` layout (one member per record, members simply
+    * concatenated so a random-access reader can start at any member
+    * boundary) — with EXACT byte accounting: each member's RFC 1952
+    * header is parsed by hand, its deflate body inflated with a raw
+    * `Inflater` (so compressed consumption is known to the byte), and
+    * its trailer's CRC32 + ISIZE verified against the decompressed
+    * output. That accounting is what `GZIPInputStream` cannot give:
+    * it treats a corrupt next-member header as clean end-of-stream
+    * (read() returns -1), silently dropping every remaining record —
+    * here, ANY leftover bytes that do not start a valid member throw.
+    *
+    * Memory: one fixed `Inflater` window — the stream never buffers
+    * the decompressed blob, so a consumer like [[parseRecordsStream]]
+    * holds at most one record regardless of file size (a real
+    * Common-Crawl file is ~1 GB compressed / ~5 GB decompressed;
+    * whole-blob buffering caps file parallelism at memory/blob).
+    *
+    * Truncated or corrupt members throw `IllegalArgumentException`
+    * with the decompressed-byte position — the quarantine discipline,
+    * never a silent partial parse.
+    */
+  private[ext] final class GzipMemberStream(blob: Array[Byte])
+      extends java.io.InputStream {
+    private var pos = 0 // next unconsumed COMPRESSED byte
+    private var inflater: java.util.zip.Inflater = _
+    private val crc = new java.util.zip.CRC32
+    private var memberOut = 0L // decompressed bytes of the current member
+    private var totalOut = 0L  // decompressed bytes overall (for errors)
+    private val one = new Array[Byte](1)
+
+    /** Compressed bytes consumed so far (member-granular: a member's
+      * bytes count once its header is parsed). Exposed for the
+      * laziness pin in WarcSpec.
+      */
+    private[ext] def compressedConsumed: Int = pos
+
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(
+        s"Warc.gunzipMembers: $msg after $totalOut decompressed bytes")
+
+    private def u8(i: Int): Int = {
+      if (i >= blob.length) fail("truncated gzip member header")
+      blob(i) & 0xFF
+    }
+
+    /** Parse one RFC 1952 member header at `pos`, leaving `pos` at the
+      * first deflate byte and the inflater primed.
+      */
+    private def startMember(): Unit = {
+      if (u8(pos) != 0x1f || u8(pos + 1) != 0x8b)
+        fail(s"${blob.length - pos} trailing bytes do not start a gzip member")
+      if (u8(pos + 2) != 8) fail(s"unsupported compression method ${u8(pos + 2)}")
+      val flg = u8(pos + 3)
+      var p = pos + 10 // past MTIME(4) XFL(1) OS(1)
+      if ((flg & 4) != 0) p += 2 + (u8(p) | (u8(p + 1) << 8)) // FEXTRA
+      if ((flg & 8) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FNAME
+      if ((flg & 16) != 0) { while (u8(p) != 0) p += 1; p += 1 } // FCOMMENT
+      if ((flg & 2) != 0) p += 2 // FHCRC (header CRC16 — not verified)
+      if (p > blob.length) fail("truncated gzip member header")
+      pos = p
+      inflater = new java.util.zip.Inflater(true) // raw deflate
+      inflater.setInput(blob, pos, blob.length - pos)
+      crc.reset()
+      memberOut = 0L
+    }
+
+    /** Verify the 8-byte trailer of the member that just finished and
+      * release its inflater.
+      */
+    private def finishMember(): Unit = {
+      // exact compressed consumption: everything we handed to setInput
+      // minus what the finished inflater left untouched
+      pos = blob.length - inflater.getRemaining
+      inflater.end()
+      inflater = null
+      if (pos + 8 > blob.length) fail("truncated gzip member trailer")
+      def le32(i: Int): Long =
+        (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) |
+          (u8(i + 3).toLong << 24)) & 0xFFFFFFFFL
+      val gotCrc = le32(pos)
+      val gotIsize = le32(pos + 4)
+      if (gotCrc != crc.getValue)
+        fail(f"member CRC32 mismatch (trailer $gotCrc%08x, data ${crc.getValue}%08x)")
+      if (gotIsize != (memberOut & 0xFFFFFFFFL))
+        fail(s"member ISIZE mismatch (trailer $gotIsize, data $memberOut)")
+      pos += 8
+    }
+
+    override def read(): Int = {
+      val n = read(one, 0, 1)
+      if (n < 0) -1 else one(0) & 0xFF
+    }
+
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (len == 0) return 0
+      while (true) {
+        if (inflater == null) {
+          if (pos >= blob.length) return -1
+          startMember()
+        }
+        val n =
+          try inflater.inflate(b, off, len)
+          catch {
+            case e: java.util.zip.DataFormatException =>
+              fail(s"corrupt deflate data (${e.getMessage})")
+          }
+        if (n > 0) {
+          crc.update(b, off, n)
+          memberOut += n
+          totalOut += n
+          return n
+        }
+        if (inflater.finished()) finishMember() // then loop: next member or EOF
+        else if (inflater.needsInput())
+          fail("truncated gzip member") // we handed it ALL remaining bytes
+      }
+      -1 // unreachable
+    }
   }
 
   /** Decompress a (possibly multi-member) gzip stream to its full
-    * concatenated payload — the framing real crawl archives use:
-    * a `.warc.gz` file is one gzip MEMBER per record, members simply
-    * concatenated, so a random-access reader can start at any member
-    * boundary. `GZIPInputStream` reads consecutive members natively
-    * when given enough lookahead, and the decompressed concatenation
-    * is byte-identical to the uncompressed WARC, so [[parseRecords]]'
+    * concatenated payload — the buffered convenience form of
+    * [[GzipMemberStream]] (which [[parseWarcColumn]] uses streaming,
+    * never buffering the blob): the decompressed concatenation is
+    * byte-identical to the uncompressed WARC, so [[parseRecords]]'
     * Content-Length contract applies unchanged to the result.
     *
-    * Truncated members throw (EOFException surfaced with context) —
-    * the quarantine discipline, never a silent partial parse.
+    * Truncated members, CRC/length mismatches, and trailing bytes
+    * that do not start a valid member ALL throw — the quarantine
+    * discipline, never a silent partial parse (`GZIPInputStream`
+    * would silently drop every record after mid-stream corruption).
     */
   def gunzipMembers(blob: Array[Byte]): Array[Byte] = {
     require(blob.length >= 2 &&
       (blob(0) & 0xFF) == 0x1f && (blob(1) & 0xFF) == 0x8b,
       "Warc.gunzipMembers: payload does not start with the gzip magic " +
         "(1f 8b) — already-uncompressed WARCs go through parseRecords directly")
-    val in = new java.util.zip.GZIPInputStream(
-      new java.io.ByteArrayInputStream(blob), 64 * 1024)
+    val in = new GzipMemberStream(blob)
     val out = new java.io.ByteArrayOutputStream(blob.length * 4)
     val buf = new Array[Byte](64 * 1024)
-    try {
-      var n = in.read(buf)
-      while (n >= 0) {
-        if (n > 0) out.write(buf, 0, n)
-        n = in.read(buf)
-      }
-    } catch {
-      // EOFException = cut mid-stream; ZipException = corrupt bytes —
-      // both are a truncated/damaged member to a crawl pipeline
-      case e: java.io.IOException =>
-        throw new IllegalArgumentException(
-          s"Warc.gunzipMembers: truncated gzip member after " +
-            s"${out.size} decompressed bytes: ${e.getMessage}", e)
-    } finally in.close()
+    var n = in.read(buf)
+    while (n >= 0) {
+      if (n > 0) out.write(buf, 0, n)
+      n = in.read(buf)
+    }
     out.toByteArray
   }
 
@@ -147,7 +312,11 @@ object Warc {
     * record_id, content_length, payload). One narrow `mapPartitions`
     * pass, no shuffle. With `gzipped = true` each blob is a
     * concatenation of per-record gzip members (the `.warc.gz` crawl
-    * layout) and is decompressed via [[gunzipMembers]] first — the
+    * layout) and parses STREAMING — [[parseRecordsStream]] fused over
+    * [[GzipMemberStream]], each record framed as its member
+    * decompresses, so per-task memory is bounded by the largest
+    * RECORD (compressed blob + one payload), never the decompressed
+    * file: one task per multi-GB crawl file stays executor-sane. The
     * decompression runs inside the same partition-local pass, so the
     * scale shape is unchanged.
     */
@@ -161,8 +330,15 @@ object Warc {
       it.flatMap { row =>
         val id = row.getLong(0)
         val raw = row.getAs[Array[Byte]](1)
-        val bytes = if (gzipped) gunzipMembers(raw) else raw
-        parseRecords(bytes).map(r =>
+        val records =
+          if (gzipped) {
+            require(raw.length >= 2 &&
+              (raw(0) & 0xFF) == 0x1f && (raw(1) & 0xFF) == 0x8b,
+              "Warc.parseWarcColumn: gzipped=true but the blob does not " +
+                "start with the gzip magic (1f 8b)")
+            parseRecordsStream(new GzipMemberStream(raw))
+          } else parseRecordsStream(new java.io.ByteArrayInputStream(raw))
+        records.map(r =>
           Row(id, r.recIdx, r.warcType, r.targetUri, r.recordId,
             r.contentLength, r.payload))
       }

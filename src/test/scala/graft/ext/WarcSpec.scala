@@ -94,6 +94,58 @@ class WarcSpec extends SparkSpec {
     assert(e2.getMessage.contains("gzip magic"))
   }
 
+  test("streaming gzip parse is byte-identical to the buffered path") {
+    val recs = (0 until 5).map(i => rec(
+      Seq(s"WARC-Type: response", s"WARC-Target-URI: http://a/$i"),
+      (s"payload $i " + "x" * (i * 7)).getBytes("UTF-8")))
+    val blob = recs.map(gzMember).reduce(_ ++ _)
+    val streamed = Warc.parseRecordsStream(new Warc.GzipMemberStream(blob)).toSeq
+    val buffered = Warc.parseRecords(Warc.gunzipMembers(blob))
+    assert(streamed.map(_.targetUri) === buffered.map(_.targetUri))
+    assert(streamed.zip(buffered).forall { case (a, b) =>
+      java.util.Arrays.equals(a.payload, b.payload) &&
+        a.contentLength == b.contentLength && a.recIdx == b.recIdx })
+  }
+
+  test("streaming gzip parse is LAZY: one record never drains the file") {
+    // the memory contract: next() consumes only the current record's
+    // member(s), so a multi-GB .warc.gz never buffers decompressed —
+    // pinned by compressed-consumption position after the first record
+    val recs = (0 until 4).map(i => rec(
+      Seq("WARC-Type: response", s"WARC-Target-URI: http://a/$i"),
+      ("y" * 2000).getBytes("US-ASCII")))
+    val blob = recs.map(gzMember).reduce(_ ++ _)
+    val in = new Warc.GzipMemberStream(blob)
+    val it = Warc.parseRecordsStream(in)
+    assert(it.next().targetUri === "http://a/0")
+    assert(in.compressedConsumed < blob.length / 2,
+      s"first record consumed ${in.compressedConsumed} of ${blob.length} " +
+        "compressed bytes — the parse is draining ahead of the iterator")
+    assert(it.toSeq.size === 3) // and the rest still parses
+  }
+
+  test("gunzipMembers: inter-member corruption and trailing garbage are LOUD") {
+    // GZIPInputStream's failure mode: corrupt bytes between members
+    // read as clean EOF, silently dropping every remaining record —
+    // the exact-accounting decompressor must throw instead
+    val r1 = gzMember(rec(Seq("WARC-Type: response"), "one".getBytes))
+    val r2 = gzMember(rec(Seq("WARC-Type: request"), "two".getBytes))
+    val garbageBetween = r1 ++ "GARBAGE!".getBytes("US-ASCII") ++ r2
+    val e1 = intercept[IllegalArgumentException](
+      Warc.gunzipMembers(garbageBetween))
+    assert(e1.getMessage.contains("do not start a gzip member"))
+    val garbageAfter = r1 ++ Array[Byte](0x1f, 0x00, 0x00)
+    val e2 = intercept[IllegalArgumentException](
+      Warc.gunzipMembers(garbageAfter))
+    assert(e2.getMessage.contains("do not start a gzip member") ||
+      e2.getMessage.contains("truncated gzip member"))
+    // a flipped trailer CRC byte is named, not absorbed
+    val flipped = r1.clone()
+    flipped(flipped.length - 5) = (flipped(flipped.length - 5) ^ 0x01).toByte
+    val e3 = intercept[IllegalArgumentException](Warc.gunzipMembers(flipped))
+    assert(e3.getMessage.contains("CRC32 mismatch"))
+  }
+
   test("parseWarcColumn gzipped=true parses member-per-record blobs") {
     import spark.implicits._
     val blob = gzMember(rec(Seq("WARC-Type: response", "WARC-Target-URI: u1"),
