@@ -142,7 +142,7 @@ object PipelinesExt extends PipelinesBase
   with PipelinesRetrieval with PipelinesScaleOps
   with PipelinesRound10 with PipelinesRound11 with PipelinesRound11b
   with PipelinesRound11c with PipelinesRound12 with PipelinesRound13
-  with PipelinesRound14 with PipelinesRound15
+  with PipelinesRound14 with PipelinesRound15 with PipelinesRound16
 
 /** Shared DuckDB SQL snippets: ONE source of truth for semantics
   * multiple gates reuse (thresholds, token/gram definitions, the
@@ -559,7 +559,7 @@ object OraclesExt extends OracleSnippets
     with OraclesRetrieval with OraclesScaleOps
     with OraclesRound10 with OraclesRound11 with OraclesRound11b
     with OraclesRound11c with OraclesRound12 with OraclesRound13
-    with OraclesRound14 with OraclesRound15 {
+    with OraclesRound14 with OraclesRound15 with OraclesRound16 {
   // def, not val: the q44 entry interpolates the CSV fixture path that
   // csvIngest records when it runs — Verify dumps oracle SQL only after
   // running the queries, so building the map lazily picks it up.
@@ -567,5 +567,6 @@ object OraclesExt extends OracleSnippets
     sqlSurface ++ sqlTextSim ++ sqlSqlSuite ++ sqlCuration ++
       sqlTpchDeep ++ sqlBehavior ++ sqlVectorSketch ++ sqlTextHygiene ++
       sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b ++
-      sqlRound11c ++ sqlRound12 ++ sqlRound13 ++ sqlRound14 ++ sqlRound15
+      sqlRound11c ++ sqlRound12 ++ sqlRound13 ++ sqlRound14 ++ sqlRound15 ++
+      sqlRound16
 }

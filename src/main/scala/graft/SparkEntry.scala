@@ -270,6 +270,8 @@ object SparkEntry {
     "q226_robots_wildcard" -> ((s, d) => PipelinesExt.robotsWildcard(s, d)),
     "q227_crawl_full" -> ((s, d) => PipelinesExt.crawlFull(s, d)),
     "q228_main_content" -> ((s, d) => PipelinesExt.mainContent(s, d)),
+    "q229_http_transfer_decode" -> ((s, d) => PipelinesExt.httpTransferDecode(s, d)),
+    "q230_charset_jre_decode" -> ((s, d) => PipelinesExt.charsetJreDecode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** HTTP/1.x response-message parsing — the layer between [[Warc]] and
@@ -154,5 +154,217 @@ object Http {
         when(cs.isin(aliases.keys.toSeq.map(x => x: Any): _*),
           decodeAs(bodyBin, canonical)).otherwise(rest)
       }
+  }
+
+  // ---------------------------------------------------------------------
+  // Transfer/content-decoding gear — the FULL production form of
+  // [[decodeBody]]: real crawl responses routinely arrive with
+  // `Transfer-Encoding: chunked` (hex chunk-size framing interleaved
+  // with the data) and/or `Content-Encoding: gzip`/`deflate`
+  // (compressed bodies), and a decoder that skips those layers feeds
+  // chunk-size lines or raw deflate bytes into every text operator
+  // downstream. Framing (chunked) strips BEFORE content decoding
+  // (gzip), which strips before charset decoding — the inverse of the
+  // order the layers were applied on the wire (RFC 9112 §6.1/§7).
+  //
+  // The gear is a narrow `mapPartitions` pass (the [[Multimodal]] /
+  // [[Warc]] codec discipline): gzip/deflate need the JVM's Inflater,
+  // and once a JVM pass exists the charset decode rides it too —
+  // which lifts the charset set from [[SupportedCharsets]] to the
+  // FULL JRE set (Shift_JIS, GBK, EUC-KR, Big5, …): a multilingual
+  // crawl keeps whole languages the native path must quarantine.
+  // Malformed layers (bad chunk framing, corrupt gzip, unknown
+  // charset or content coding) yield NULL — the quarantine signal,
+  // never wrong text; HttpSpec proves the JVM path ≡ [[decodeBody]]
+  // on identity-encoded payloads over the shared charsets, so the two
+  // gears cannot drift.
+  // ---------------------------------------------------------------------
+
+  private val CrlfCrlfBytes = Array[Byte]('\r', '\n', '\r', '\n')
+
+  /** Index of the first `\r\n\r\n` in `payload`, or -1 — the BYTE form
+    * of [[headerBlockOf]]'s split (HTTP headers are ASCII by grammar,
+    * so the byte scan and the Latin-1-view scan find the same offset;
+    * one framing rule, two physical paths).
+    */
+  private[ext] def headerEnd(payload: Array[Byte]): Int = {
+    var i = 0
+    val last = payload.length - 4
+    while (i <= last) {
+      if (payload(i) == '\r' && payload(i + 1) == '\n' &&
+        payload(i + 2) == '\r' && payload(i + 3) == '\n') return i
+      i += 1
+    }
+    -1
+  }
+
+  /** RFC 9112 §7.1 chunked-coding decode over raw body bytes: hex
+    * size line (chunk extensions after `;` dropped), CRLF, size data
+    * bytes, CRLF, repeating; a `0` chunk then OPTIONAL trailer header
+    * lines until a blank line end the body. Malformed framing —
+    * non-hex size, missing CRLF, truncated chunk or trailer, bytes
+    * after the terminator — throws `IllegalArgumentException` (the
+    * caller quarantines to NULL).
+    */
+  private[ext] def dechunk(body: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(body.length)
+    var pos = 0
+    def crlfFrom(i: Int): Int = {
+      var j = i
+      while (j + 1 < body.length) {
+        if (body(j) == '\r' && body(j + 1) == '\n') return j
+        j += 1
+      }
+      -1
+    }
+    while (true) {
+      val eol = crlfFrom(pos)
+      require(eol >= 0, s"Http.dechunk: chunk-size line without CRLF at byte $pos")
+      val line = new String(body, pos, eol - pos, "ISO-8859-1")
+      val hex = line.split(";", 2)(0).trim
+      require(hex.nonEmpty && hex.forall(c => Character.digit(c, 16) >= 0),
+        s"Http.dechunk: malformed chunk size '$hex' at byte $pos")
+      val size = java.lang.Long.parseLong(hex, 16)
+      require(size <= Int.MaxValue, s"Http.dechunk: chunk size $size too large")
+      pos = eol + 2
+      if (size == 0) {
+        // trailer section: header lines until the blank line
+        var done = false
+        while (!done) {
+          val t = crlfFrom(pos)
+          require(t >= 0,
+            s"Http.dechunk: trailer section without terminating CRLF at byte $pos")
+          done = t == pos // blank line
+          pos = t + 2
+        }
+        require(pos == body.length,
+          s"Http.dechunk: ${body.length - pos} bytes after the final chunk")
+        return out.toByteArray
+      }
+      require(pos + size + 2 <= body.length,
+        s"Http.dechunk: chunk declares $size bytes but only " +
+          s"${body.length - pos} remain at byte $pos")
+      out.write(body, pos, size.toInt)
+      pos += size.toInt
+      require(body(pos) == '\r' && body(pos + 1) == '\n',
+        s"Http.dechunk: chunk data not followed by CRLF at byte $pos")
+      pos += 2
+    }
+    out.toByteArray // unreachable
+  }
+
+  /** One content-coding decode: gzip rides [[Warc.GzipMemberStream]]
+    * (exact accounting, multi-member tolerant — the same core as the
+    * `.warc.gz` path, one shared decompressor); deflate accepts the
+    * zlib-wrapped form RFC 9110 specifies AND the raw-deflate form
+    * real servers ship (tried second). Unknown codings throw (the
+    * caller quarantines).
+    */
+  private[ext] def decodeContentCoding(coding: String,
+      body: Array[Byte]): Array[Byte] = coding match {
+    case "" | "identity" => body
+    case "gzip" | "x-gzip" =>
+      require(body.length >= 2 &&
+        (body(0) & 0xFF) == 0x1f && (body(1) & 0xFF) == 0x8b,
+        "Http: Content-Encoding gzip body lacks the gzip magic")
+      Warc.gunzipMembers(body)
+    case "deflate" =>
+      def inflateWith(raw: Boolean): Array[Byte] = {
+        val inf = new java.util.zip.Inflater(raw)
+        try {
+          inf.setInput(body)
+          val out = new java.io.ByteArrayOutputStream(body.length * 4)
+          val buf = new Array[Byte](8192)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n > 0) out.write(buf, 0, n)
+            else if (inf.needsInput() || inf.needsDictionary())
+              throw new java.util.zip.DataFormatException(
+                "truncated deflate body")
+          }
+          out.toByteArray
+        } finally inf.end()
+      }
+      try inflateWith(raw = false)
+      catch { case _: java.util.zip.DataFormatException =>
+        inflateWith(raw = true) // raw-deflate servers (the historic IE bug)
+      }
+    case other =>
+      throw new IllegalArgumentException(s"Http: unsupported Content-Encoding '$other'")
+  }
+
+  private def headerValue(head: String, name: String): String = {
+    val m = java.util.regex.Pattern
+      .compile("(?im)^" + name + ":[ \\t]*([^\\r\\n]+)").matcher(head)
+    if (m.find()) m.group(1).trim else ""
+  }
+
+  /** JVM core of [[decodeBodyFull]] — one payload to `(charset,
+    * text-or-null)`. Kept separate so HttpSpec can drive it directly
+    * and so the framing rules live in ONE place for both the
+    * column gear and any future caller.
+    */
+  private[ext] def decodeMessageBody(payload: Array[Byte]): (String, String) = {
+    val he = headerEnd(payload)
+    val head = new String(payload, 0,
+      if (he < 0) payload.length else he, "ISO-8859-1")
+    val rawBody =
+      if (he < 0) Array.emptyByteArray
+      else java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
+    val csName = {
+      val m = java.util.regex.Pattern.compile(
+        "(?im)^content-type:[^\\r\\n]*;[ \\t]*charset=\"?([^\\r\\n;\" ]+)\"?")
+        .matcher(head)
+      if (m.find()) m.group(1).toLowerCase else ""
+    }
+    try {
+      val te = headerValue(head, "Transfer-Encoding").toLowerCase
+      val framed = te match {
+        case ""        => rawBody
+        case "chunked" => dechunk(rawBody)
+        case other => throw new IllegalArgumentException(
+          s"Http: unsupported Transfer-Encoding '$other'")
+      }
+      val ce = headerValue(head, "Content-Encoding").toLowerCase
+      val decoded = decodeContentCoding(ce, framed)
+      val cs = java.nio.charset.Charset.forName(
+        if (csName.isEmpty) "UTF-8" else csName)
+      // REPLACE on malformed/unmappable — Spark's decode() convention,
+      // so the two gears agree byte-for-byte on the shared charsets
+      val dec = cs.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      (csName, dec.decode(java.nio.ByteBuffer.wrap(decoded)).toString)
+    } catch {
+      // malformed framing, corrupt compression, unknown coding or
+      // charset: NULL is the quarantine signal, never wrong text
+      case _: IllegalArgumentException | _: java.nio.charset.CharacterCodingException |
+           _: java.io.IOException | _: java.util.zip.DataFormatException =>
+        (csName, null)
+    }
+  }
+
+  /** Charset-correct body text honoring `Transfer-Encoding: chunked`
+    * and `Content-Encoding: gzip`/`deflate`, with the FULL JRE charset
+    * set — the production decode for real crawl archives (see the
+    * gear comment above). Input: `(idCol castable to long, payloadCol
+    * binary)`. Output: `(idCol, charset, out)` — `charset` as declared
+    * (lowercased, empty when undeclared), `out` NULL when any layer is
+    * malformed or unsupported. One narrow `mapPartitions` pass, no
+    * shuffle; at 100 TB the decode rides the scan like [[Multimodal]]'s
+    * codecs.
+    */
+  def decodeBodyFull(df: DataFrame, idCol: String, payloadCol: String,
+      out: String = "body_text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val (cs, text) = decodeMessageBody(payload)
+          (id, cs, text)
+        }
+      }.toDF(idCol, "charset", out)
   }
 }

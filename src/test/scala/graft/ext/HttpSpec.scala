@@ -93,4 +93,129 @@ class HttpSpec extends SparkSpec {
       Http.headerOf(col("p"), "bad name\r\nInjected: x"))
     assert(e.getMessage.contains("not a header token"))
   }
+
+  private def asciiBytes(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def chunked(parts: Seq[Array[Byte]], trailer: String = ""): Array[Byte] =
+    parts.map(p => asciiBytes(p.length.toHexString + "\r\n") ++ p ++
+        asciiBytes("\r\n")).reduceOption(_ ++ _).getOrElse(Array.emptyByteArray) ++
+      asciiBytes("0\r\n" + trailer + "\r\n")
+
+  test("dechunk: sizes in hex, extensions dropped, trailer headers consumed") {
+    val body = chunked(Seq(asciiBytes("hello "), asciiBytes("world")))
+    assert(new String(Http.dechunk(body), "US-ASCII") === "hello world")
+    // chunk extension after ';' and a trailer header line
+    val ext = asciiBytes("6;name=v\r\n") ++ asciiBytes("abcdef") ++
+      asciiBytes("\r\n0\r\nX-Trailer: t\r\n\r\n")
+    assert(new String(Http.dechunk(ext), "US-ASCII") === "abcdef")
+    // chunk DATA containing CRLF and a hex-looking line stays data
+    val hazard = asciiBytes("8\r\n") ++ asciiBytes("x\r\n3\r\nyz") ++
+      asciiBytes("\r\n0\r\n\r\n")
+    assert(new String(Http.dechunk(hazard), "US-ASCII") === "x\r\n3\r\nyz")
+  }
+
+  test("dechunk: truncated and malformed framings are loud") {
+    val e1 = intercept[IllegalArgumentException](
+      Http.dechunk(asciiBytes("5\r\nab"))) // cut mid-chunk
+    assert(e1.getMessage.contains("declares 5 bytes"))
+    val e2 = intercept[IllegalArgumentException](
+      Http.dechunk(asciiBytes("zz\r\nab\r\n0\r\n\r\n")))
+    assert(e2.getMessage.contains("malformed chunk size"))
+    val e3 = intercept[IllegalArgumentException](
+      Http.dechunk(asciiBytes("2\r\nab\r\n0\r\n\r\nEXTRA")))
+    assert(e3.getMessage.contains("after the final chunk"))
+    val e4 = intercept[IllegalArgumentException](
+      Http.dechunk(asciiBytes("2\r\nab\r\n0\r\nX-T: 1"))) // trailer cut
+    assert(e4.getMessage.contains("trailer section"))
+  }
+
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(b); gz.close()
+    bos.toByteArray
+  }
+
+  test("decodeMessageBody: chunked, gzip, deflate, chunked+gzip, quarantines") {
+    def msg(headers: String, body: Array[Byte]): Array[Byte] =
+      asciiBytes(s"HTTP/1.1 200 OK\r\n$headers\r\n\r\n") ++ body
+    val text = "résumé €9 body"
+    // chunked utf-8
+    val c = Http.decodeMessageBody(msg(
+      "Content-Type: text/html; charset=utf-8\r\nTransfer-Encoding: chunked",
+      chunked(Seq(text.getBytes("UTF-8")))))
+    assert(c === (("utf-8", text)))
+    // gzip content coding
+    val g = Http.decodeMessageBody(msg(
+      "Content-Type: text/html; charset=UTF-8\r\nContent-Encoding: gzip",
+      gzipBytes(text.getBytes("UTF-8"))))
+    assert(g._2 === text)
+    // zlib-wrapped deflate AND raw deflate both decode
+    def deflated(raw: Boolean): Array[Byte] = {
+      val d = new java.util.zip.Deflater(6, raw)
+      d.setInput(text.getBytes("UTF-8")); d.finish()
+      val buf = new Array[Byte](1024)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+    for (raw <- Seq(false, true)) {
+      val z = Http.decodeMessageBody(msg(
+        "Content-Type: text/html; charset=utf-8\r\nContent-Encoding: deflate",
+        deflated(raw)))
+      assert(z._2 === text, s"deflate raw=$raw")
+    }
+    // chunked FRAMING over gzip CONTENT: strip order is chunked → gzip
+    val both = Http.decodeMessageBody(msg(
+      "Content-Type: text/html; charset=utf-8\r\n" +
+        "Transfer-Encoding: chunked\r\nContent-Encoding: gzip",
+      chunked(gzipBytes(text.getBytes("UTF-8")).grouped(7).toSeq)))
+    assert(both._2 === text)
+    // quarantines: truncated chunks, corrupt gzip, unknown coding/charset
+    assert(Http.decodeMessageBody(msg(
+      "Transfer-Encoding: chunked", asciiBytes("5\r\nab")))._2 === null)
+    assert(Http.decodeMessageBody(msg(
+      "Content-Encoding: gzip", asciiBytes("not gzip")))._2 === null)
+    assert(Http.decodeMessageBody(msg(
+      "Content-Encoding: br", asciiBytes("x")))._2 === null)
+    assert(Http.decodeMessageBody(msg(
+      "Content-Type: text/html; charset=no-such-cs", asciiBytes("x")))._2 === null)
+  }
+
+  test("decodeMessageBody: full JRE charsets — Shift_JIS/GBK/EUC-KR/Big5 decode") {
+    def msg(cs: String, body: Array[Byte]): Array[Byte] =
+      asciiBytes(s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=$cs\r\n\r\n") ++ body
+    val cases = Seq(
+      ("shift_jis", "東京 データ"), ("gbk", "数据管道"),
+      ("euc-kr", "데이터"), ("big5", "資料"))
+    for ((cs, s) <- cases) {
+      val got = Http.decodeMessageBody(msg(cs, s.getBytes(cs)))
+      assert(got === ((cs, s)), cs)
+    }
+  }
+
+  test("decodeBodyFull ≡ decodeBody on identity-encoded shared-charset payloads") {
+    import spark.implicits._
+    // the drift pin: same header/body framing rule, two physical paths
+    val payloads = Seq(
+      ("utf-8", "café résumé".getBytes("UTF-8")),
+      ("iso-8859-1", "café résumé".getBytes("ISO-8859-1")),
+      ("us-ascii", "plain".getBytes("US-ASCII")),
+      ("windows-1252", "price €9 “q”".getBytes("windows-1252")),
+      ("", "undeclared utf-8 é".getBytes("UTF-8"))).zipWithIndex.map {
+      case ((cs, body), i) =>
+        val ct = if (cs.isEmpty) "text/html" else s"text/html; charset=$cs"
+        (i.toLong, s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n"
+          .getBytes("US-ASCII") ++ body)
+    }
+    val df = payloads.toDF("id", "payload")
+    val nativeSide = df.select(col("id"),
+        Http.decodeBody(col("payload")).as("native"))
+    val jvmSide = Http.decodeBodyFull(df, "id", "payload")
+    val joined = nativeSide.join(jvmSide, "id")
+      .select("id", "native", "body_text").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getString(1) === r.getString(2), s"id ${r.getLong(0)}")
+    }
+  }
 }
