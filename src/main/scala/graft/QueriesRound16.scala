@@ -90,6 +90,42 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** PSL WILDCARD and EXCEPTION rules as a hash gate
+    * ([[graft.ext.Urls.withRegisteredDomainPsl]], r15 verdict ask #3):
+    * the real publicsuffix.org list carries ~2k `*.`/`!` lines
+    * (`*.ck`, `*.kawasaki.jp`, `!www.ck`) that the exact-entry subset
+    * q218 gates had to refuse; domains in those families group wrong
+    * in per-domain caps and link graphs without them. Per doc a host
+    * exercises every precedence branch — a wildcard-suffixed
+    * registrable (`a.b.ck`), an exception under a subdomain
+    * (`x.www.ck` → `www.ck`), a host that IS a wildcard-matched
+    * suffix (strict NULL), the deep-wildcard family
+    * (`*.kawasaki.jp` beating plain `jp`), a wildcard-suffix-only
+    * host (NULL), a plain entry riding along, and IPv4 literals. The
+    * oracle states the registered domain per branch; UrlsSpec pins
+    * the full exception-beats-wildcard-beats-plain table unit-side.
+    */
+  def pslWildcardDomains(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(floor(i / 6), lit(7)).cast("string")
+    val host = when(pmod(i, lit(11)) === 0,
+        concat(lit("10.1."), pmod(i, lit(4)).cast("string"), lit("."),
+          pmod(i, lit(9)).cast("string")))
+      .when(pmod(i, lit(6)) === 0, concat(lit("a"), k, lit(".b.ck")))
+      .when(pmod(i, lit(6)) === 1, concat(lit("x"), k, lit(".www.ck")))
+      .when(pmod(i, lit(6)) === 2, concat(lit("b"), k, lit(".ck")))
+      .when(pmod(i, lit(6)) === 3,
+        concat(lit("s"), k, lit(".city.kawasaki.jp")))
+      .when(pmod(i, lit(6)) === 4,
+        concat(lit("city"), k, lit(".kawasaki.jp")))
+      .otherwise(concat(lit("cdn"), k, lit(".shop"), k, lit(".com")))
+    val suffixes = Seq("com", "ck", "*.ck", "!www.ck", "jp", "*.kawasaki.jp")
+    val hosts = t(s, d, "documents").select(col("doc_id"), host.as("host"))
+    graft.ext.Urls.withRegisteredDomainPsl(hosts, "host", suffixes)
+      .select(col("doc_id"), col("host"), col("registered_domain"))
+      .orderBy("doc_id")
+  }
+
   /** Full-JRE charset decoding as a hash gate
     * ([[graft.ext.Http.decodeBodyFull]]'s charset layer, r15 verdict
     * ask #2): the native [[graft.ext.Http.decodeBody]] quarantines
@@ -141,6 +177,29 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |SELECT i AS doc_id, 'utf-8' AS charset,
         |  CASE WHEN i % 11 = 0 OR i % 13 = 0 THEN NULL
         |       ELSE 'crawl body ' || i || ' é' || (i % 7) END AS body_text
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // expected registered domain per PSL branch: wildcard suffixes add
+    // one label, the exception's own span registers, suffix-only hosts
+    // (exact OR wildcard-matched) are strict NULL, IPv4 is the unit
+    "q231_psl_wildcard_domains" ->
+      """WITH d AS (SELECT doc_id AS i,
+        |    CAST((doc_id // 6) % 7 AS VARCHAR) AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN i % 11 = 0 THEN '10.1.' || (i % 4) || '.' || (i % 9)
+        |       WHEN i % 6 = 0 THEN 'a' || k || '.b.ck'
+        |       WHEN i % 6 = 1 THEN 'x' || k || '.www.ck'
+        |       WHEN i % 6 = 2 THEN 'b' || k || '.ck'
+        |       WHEN i % 6 = 3 THEN 's' || k || '.city.kawasaki.jp'
+        |       WHEN i % 6 = 4 THEN 'city' || k || '.kawasaki.jp'
+        |       ELSE 'cdn' || k || '.shop' || k || '.com' END AS host,
+        |  CASE WHEN i % 11 = 0 THEN '10.1.' || (i % 4) || '.' || (i % 9)
+        |       WHEN i % 6 = 0 THEN 'a' || k || '.b.ck'
+        |       WHEN i % 6 = 1 THEN 'www.ck'
+        |       WHEN i % 6 = 2 THEN NULL
+        |       WHEN i % 6 = 3 THEN 's' || k || '.city.kawasaki.jp'
+        |       WHEN i % 6 = 4 THEN NULL
+        |       ELSE 'shop' || k || '.com' END AS registered_domain
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder

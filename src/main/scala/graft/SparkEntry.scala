@@ -272,6 +272,7 @@ object SparkEntry {
     "q228_main_content" -> ((s, d) => PipelinesExt.mainContent(s, d)),
     "q229_http_transfer_decode" -> ((s, d) => PipelinesExt.httpTransferDecode(s, d)),
     "q230_charset_jre_decode" -> ((s, d) => PipelinesExt.charsetJreDecode(s, d)),
+    "q231_psl_wildcard_domains" -> ((s, d) => PipelinesExt.pslWildcardDomains(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -195,15 +195,20 @@ object Urls {
     * hand-sized rule sets and gate fixtures; UrlsSpec proves the two
     * agree on the heuristic's domain.
     *
-    * PSL semantics (publicsuffix.org algorithm, exact-entry subset —
-    * no `*.` wildcard or `!` exception rules, which the public list
-    * uses for a handful of ccTLDs):
+    * PSL semantics (the FULL publicsuffix.org algorithm — exact,
+    * `*.` wildcard, and `!` exception rules, r15 verdict ask #3):
     *
-    *   - the matching suffix is the LONGEST list entry equal to a
-    *     trailing label sequence of the host (the longest-match
-    *     discipline of [[applyRobotsRules]], inverted to suffixes),
-    *   - no entry matches → the default `*` rule applies: the last
-    *     label is the public suffix,
+    *   - a rule matches when its labels equal the host's trailing
+    *     labels right-to-left, `*` matching any ONE label
+    *     (`*.kawasaki.jp` matches `city.kawasaki.jp`),
+    *   - an EXCEPTION rule match prevails over everything: the public
+    *     suffix is the rule minus its leftmost label, so the
+    *     registered domain is the exception rule's own label span
+    *     (`!www.ck` → host `x.www.ck` registers as `www.ck`),
+    *   - otherwise the prevailing rule is the matching one with the
+    *     MOST labels (exact and wildcard rank together by depth),
+    *   - no rule matches → the default `*` rule: the last label is
+    *     the public suffix,
     *   - the registered domain is the suffix plus ONE more label;
     *     a host that IS a public suffix has no registrable domain →
     *     NULL (strict PSL; callers grouping by the column decide how
@@ -211,13 +216,15 @@ object Urls {
     *   - IPv4 literals have no label hierarchy — the address itself
     *     is the registrable unit (the [[registeredDomain]] pin).
     *
-    * Scale shape: one broadcast of the `(suffix, depth)` table and
-    * `maxDepth` broadcast LEFT joins — one per candidate suffix depth,
-    * each matching the host's trailing `d` labels. No shuffle on the
-    * host side at any corpus size, and the real PSL (~10k exact
-    * entries, depth ≤ 4 for all but a handful) broadcasts trivially.
-    * A literal-map gear would hit the same plan-size cliff the robots
-    * rules document — suffix lists are data, not plan.
+    * Scale shape: per candidate depth, ONE broadcast LEFT join keyed
+    * by the host's trailing `d` labels (the lookup row carries
+    * exact/exception flags) plus, where wildcard entries exist at
+    * that depth, one keyed by `*.` + the trailing `d-1` labels. No
+    * shuffle on the host side at any corpus size, and the real PSL
+    * (~10k entries, depth ≤ 4 for all but a handful, ~2k
+    * wildcard/exception lines) broadcasts trivially. A literal-map
+    * gear would hit the same plan-size cliff the robots rules
+    * document — suffix lists are data, not plan.
     *
     * Output: the input columns plus `out` (default
     * `registered_domain`).
@@ -226,17 +233,30 @@ object Urls {
       suffixes: Seq[String], out: String = "registered_domain",
       maxDepth: Int = 4): DataFrame = {
     require(suffixes.nonEmpty, "Urls.withRegisteredDomainPsl: empty suffix list")
-    val bad = suffixes.filter(s => s.isEmpty || s.startsWith(".") ||
-      s.endsWith(".") || s.contains("*") || s.contains("!"))
-    require(bad.isEmpty, s"Urls.withRegisteredDomainPsl: unsupported suffix " +
-      s"entries ${bad.take(3).mkString(", ")} — exact labels only " +
-      "(wildcard/exception PSL rules are out of scope)")
-    val depths = suffixes.map(s => s.count(_ == '.') + 1)
+    val bad = suffixes.filter { s =>
+      val body = s.stripPrefix("!")
+      body.isEmpty || body.startsWith(".") || body.endsWith(".") ||
+        body.drop(2).contains("*") ||
+        (body.contains("*") && !body.startsWith("*.")) ||
+        (s.startsWith("!") && body.contains("*")) || // no wildcard exceptions
+        body.contains("!")
+    }
+    require(bad.isEmpty, s"Urls.withRegisteredDomainPsl: malformed suffix " +
+      s"entries ${bad.take(3).mkString(", ")} — exact labels, '*.suffix' " +
+      "wildcards, or '!suffix' exceptions only (the publicsuffix.org grammar)")
+    // partition the list: exception bodies (keyed like exact entries),
+    // wildcard tails (keyed under their '*.' prefix), exact entries
+    val (excRaw, restRaw) = suffixes.distinct.partition(_.startsWith("!"))
+    val (wild, exact) = restRaw.partition(_.startsWith("*."))
+    val exc = excRaw.map(_.stripPrefix("!"))
+    def depthOf(s: String): Int = s.count(_ == '.') + 1
+    val depths = exact.map(depthOf) ++ wild.map(depthOf) ++ exc.map(depthOf)
     require(depths.max <= maxDepth,
       s"Urls.withRegisteredDomainPsl: suffix depth ${depths.max} exceeds " +
         s"maxDepth $maxDepth — raise maxDepth to cover the list")
     val internal = ("_psl_labels" +: (1 to maxDepth).flatMap(d =>
-      Seq(s"_psl_c$d", s"_psl_m$d"))) :+ out
+      Seq(s"_psl_c$d", s"_psl_cand$d", s"_psl_m$d", s"_psl_e$d",
+        s"_psl_w$d", s"_psl_wc$d", s"_psl_wcand$d"))) :+ out
     val clash = df.columns.filter(internal.contains)
     require(clash.isEmpty, s"Urls.withRegisteredDomainPsl: input already has " +
       s"column(s) ${clash.mkString(", ")} — rename them first")
@@ -245,34 +265,80 @@ object Urls {
     val spark = df.sparkSession
     val labeled = df.withColumn("_psl_labels", split(col(hostCol), "\\."))
     val joined = (1 to maxDepth).foldLeft(labeled) { (acc, d) =>
-      val entries = suffixes.filter(_.count(_ == '.') + 1 == d).distinct
-      if (entries.isEmpty) acc.withColumn(s"_psl_m$d", lit(false))
+      // one lookup for BOTH exact entries and exception bodies at this
+      // depth — same join key (the host's trailing d labels), flags
+      // say which kind(s) matched
+      val exactHere = exact.filter(depthOf(_) == d).toSet
+      val excHere = exc.filter(depthOf(_) == d).toSet
+      val acc1 =
+        if (exactHere.isEmpty && excHere.isEmpty)
+          acc.withColumn(s"_psl_m$d", lit(false))
+            .withColumn(s"_psl_e$d", lit(false))
+        else {
+          val rows = (exactHere ++ excHere).toSeq.sorted.map(e =>
+            Row(e, exactHere.contains(e), excHere.contains(e)))
+          val lookup = spark.createDataFrame(
+            java.util.Arrays.asList(rows: _*),
+            StructType(Seq(
+              StructField(s"_psl_c$d", StringType, nullable = false),
+              StructField(s"_psl_cm$d", BooleanType, nullable = false),
+              StructField(s"_psl_ce$d", BooleanType, nullable = false))))
+          acc.withColumn(s"_psl_cand$d",
+              // hosts with fewer than d labels key to a never-matching
+              // sentinel — slice past the array start is not portable
+              when(size(col("_psl_labels")) >= d,
+                concat_ws(".", slice(col("_psl_labels"), -d, d)))
+                .otherwise(lit(" ")))
+            .join(broadcast(lookup),
+              col(s"_psl_cand$d") === col(s"_psl_c$d"), "left_outer")
+            .withColumn(s"_psl_m$d",
+              coalesce(col(s"_psl_cm$d"), lit(false)))
+            .withColumn(s"_psl_e$d",
+              coalesce(col(s"_psl_ce$d"), lit(false)))
+            .drop(s"_psl_cand$d", s"_psl_c$d", s"_psl_cm$d", s"_psl_ce$d")
+        }
+      // wildcard entries of TOTAL depth d ('*' + d-1 tail labels):
+      // keyed by '*.' + the host's trailing d-1 labels
+      val wildHere = wild.filter(depthOf(_) == d).distinct
+      if (wildHere.isEmpty) acc1.withColumn(s"_psl_w$d", lit(false))
       else {
         val lookup = spark.createDataFrame(
-          java.util.Arrays.asList(entries.map(Row(_)): _*),
-          StructType(Seq(StructField(s"_psl_c$d", StringType, nullable = false))))
-        acc.withColumn(s"_psl_cand$d",
-            concat_ws(".", slice(col("_psl_labels"), -d, d)))
+          java.util.Arrays.asList(wildHere.map(Row(_)): _*),
+          StructType(Seq(StructField(s"_psl_wc$d", StringType, nullable = false))))
+        acc1.withColumn(s"_psl_wcand$d",
+            when(size(col("_psl_labels")) >= d,
+              concat(lit("*."),
+                concat_ws(".", slice(col("_psl_labels"), -(d - 1), d - 1))))
+              .otherwise(lit(" ")))
           .join(broadcast(lookup),
-            col(s"_psl_cand$d") === col(s"_psl_c$d"), "left_outer")
-          .withColumn(s"_psl_m$d", col(s"_psl_c$d").isNotNull)
-          .drop(s"_psl_cand$d", s"_psl_c$d")
+            col(s"_psl_wcand$d") === col(s"_psl_wc$d"), "left_outer")
+          .withColumn(s"_psl_w$d", col(s"_psl_wc$d").isNotNull)
+          .drop(s"_psl_wcand$d", s"_psl_wc$d")
       }
     }
     val nLabels = size(col("_psl_labels"))
     // fold upward so the DEEPEST match lands outermost in the CASE —
-    // longest suffix wins
+    // most-labels wins; exception matches resolve separately and first
     val bestDepth = (2 to maxDepth).foldLeft(lit(1)) { (rest, d) =>
-      when(col(s"_psl_m$d") && nLabels >= d, lit(d)).otherwise(rest)
+      when((col(s"_psl_m$d") || col(s"_psl_w$d")) && nLabels >= d, lit(d))
+        .otherwise(rest)
+    }
+    val excDepth = (1 to maxDepth).foldLeft(lit(0)) { (rest, d) =>
+      when(col(s"_psl_e$d") && nLabels >= d, lit(d)).otherwise(rest)
     }
     val isIpv4 = col(hostCol)
       .rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$")
     val reg = when(isIpv4, col(hostCol))
+      // an exception rule's own span IS the registered domain (public
+      // suffix = the rule minus its leftmost label)
+      .when(excDepth > 0,
+        concat_ws(".", slice(col("_psl_labels"), excDepth * -1, excDepth)))
       .when(nLabels > bestDepth,
         concat_ws(".", slice(col("_psl_labels"), (bestDepth + 1) * -1, bestDepth + 1)))
       .otherwise(lit(null).cast("string"))
     joined.withColumn(out, reg)
-      .drop("_psl_labels" +: (1 to maxDepth).map(d => s"_psl_m$d"): _*)
+      .drop("_psl_labels" +: (1 to maxDepth).flatMap(d =>
+        Seq(s"_psl_m$d", s"_psl_e$d", s"_psl_w$d")): _*)
   }
 
   /** Resolve an href against its page's base URL (RFC 3986 §5) — the

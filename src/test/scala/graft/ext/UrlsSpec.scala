@@ -180,10 +180,35 @@ class UrlsSpec extends SparkSpec {
     assert(got === Seq("foo.github.io", "foo.github.io", "beta.com.au",
       "example.co.uk", "example.com", "example.zz", "NULL", "NULL",
       "192.168.0.1"))
-    // wildcard/exception entries are declared out of scope, loudly
-    val e = intercept[IllegalArgumentException](
-      Urls.withRegisteredDomainPsl(hosts, "host", Seq("*.ck")))
-    assert(e.getMessage.contains("exact labels only"))
+    // malformed entries are rejected loudly (the publicsuffix grammar)
+    for (badList <- Seq(Seq("a.*.b"), Seq("!w.*.ck"), Seq(".com"),
+        Seq("com."), Seq("!"), Seq("x!y"))) {
+      val e = intercept[IllegalArgumentException](
+        Urls.withRegisteredDomainPsl(hosts, "host", badList))
+      assert(e.getMessage.contains("malformed suffix"), badList.head)
+    }
+  }
+
+  test("withRegisteredDomainPsl: exception beats wildcard beats plain (PSL precedence)") {
+    import spark.implicits._
+    val suffixes = Seq("com", "ck", "*.ck", "!www.ck", "jp", "*.kawasaki.jp")
+    val hosts = Seq(
+      "a.b.ck",                 // *.ck → suffix b.ck → registered a.b.ck
+      "x.a.b.ck",               // ...one deeper: still a.b.ck
+      "b.ck",                   // host IS a wildcard-matched suffix → NULL
+      "www.ck",                 // !www.ck: exception span IS registrable
+      "x.www.ck",               // exception under a subdomain
+      "site.city.kawasaki.jp",  // *.kawasaki.jp (depth 3 beats plain jp)
+      "city.kawasaki.jp",       // host IS the wildcard suffix → NULL
+      "kawasaki.jp",            // only plain 'jp' matches → kawasaki.jp
+      "plain.com",              // plain entry rides along
+      "ck"                      // bare listed TLD (exact 'ck') → NULL
+    ).toDF("host")
+    val got = Urls.withRegisteredDomainPsl(hosts, "host", suffixes)
+      .select("registered_domain").collect().map(r =>
+        Option(r.getString(0)).getOrElse("NULL")).toSeq
+    assert(got === Seq("a.b.ck", "a.b.ck", "NULL", "www.ck", "www.ck",
+      "site.city.kawasaki.jp", "NULL", "kawasaki.jp", "plain.com", "NULL"))
   }
 
   test("withRegisteredDomainPsl agrees with the heuristic on its home domain") {
