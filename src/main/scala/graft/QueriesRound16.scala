@@ -139,6 +139,67 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
     * JVM path ≡ native path on the shared charsets, so this gate plus
     * q224 cover both gears without drift.
     */
+  /** IDN/punycode host folding as a hash gate
+    * ([[graft.ext.Urls.withIdnFoldedUrl]], r15 verdict ask #5): an
+    * internationalized site appears in crawls BOTH as its Unicode
+    * host and as the `xn--` wire form, and without folding the two
+    * split URL identity — double-counting the site in dedup,
+    * per-domain caps, and the link graph. Per doc one of nine
+    * branches —
+    *
+    *   - the COLLAPSE pair: `bücher.example` (branch 0) and
+    *     `xn--bcher-kva.example` (branch 1) paths built from the SAME
+    *     k, so after fold + canonicalize their canonical URLs are
+    *     string-equal and the window `dup_count` proves the merge,
+    *   - a Unicode host WITH an explicit non-default port and a
+    *     tracking param (`東京.jp:8443` — fold keeps the port,
+    *     canonicalize keeps it too and drops the param),
+    *   - an UPPERCASE Unicode host (`MÜNCHEN.de` — nameprep
+    *     case-folds before punycode),
+    *   - a Unicode TLD (`пример.рф` → `xn--e1afmkfd.xn--p1ai` — the
+    *     suffix itself folds),
+    *   - a k-VARYING Unicode host family (`café{k}.fr` — the
+    *     distinct-host gear maps each member),
+    *   - an UNFOLDABLE host (`é..example`, empty label — the codec
+    *     rejects it and the URL passes through unchanged:
+    *     quarantine-keep, never corruption),
+    *   - a pure-ASCII URL (the crawl majority — the codegen fast
+    *     path, byte-identical passthrough),
+    *   - a no-`://` string (cannot locate an authority → unchanged,
+    *     canonical NULL).
+    *
+    * The oracle states url, folded form, and canonical per branch
+    * from the generator arithmetic (punycode constants verified
+    * against `java.net.IDN`), and replays the dup-count window.
+    */
+  def idnHostFold(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = col("doc_id")
+    val k = pmod(floor(i / 9), lit(5)).cast("string")
+    val m = pmod(i, lit(4)).cast("string")
+    val b = pmod(i, lit(9))
+    val url = when(b === 0, concat(lit("http://bücher.example/p/"), k))
+      .when(b === 1, concat(lit("http://xn--bcher-kva.example/p/"), k))
+      .when(b === 2, concat(lit("https://東京.jp:8443/t?id="), m, lit("&utm_x=1")))
+      .when(b === 3, concat(lit("http://MÜNCHEN.de/x/"), k))
+      .when(b === 4, lit("http://пример.рф/r"))
+      .when(b === 5, concat(lit("http://café"), k, lit(".fr/c")))
+      .when(b === 6, lit("http://é..example/q"))
+      .when(b === 7, concat(lit("http://plain"), k, lit(".example/a?z="), m))
+      .otherwise(concat(lit("no-scheme-"), k))
+    val urls = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+    graft.ext.Urls.withIdnFoldedUrl(urls, "url")
+      .withColumn("canonical_url",
+        when(instr(col("url"), "://") > 0,
+          graft.ext.Urls.canonicalizeUrl(col("url_idn")))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy(col("canonical_url"))))
+      .select(col("doc_id"), col("url"), col("url_idn"),
+        col("canonical_url"), col("dup_count"))
+      .orderBy("doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -201,6 +262,50 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |       WHEN i % 6 = 4 THEN NULL
         |       ELSE 'shop' || k || '.com' END AS registered_domain
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // url, folded form, and canonical per branch from the generator
+    // arithmetic — punycode constants verified against java.net.IDN;
+    // the collapse pair (branches 0/1) shares one canonical string and
+    // the dup-count window replays identically
+    "q232_idn_host_fold" ->
+      """WITH d AS (SELECT doc_id AS i,
+        |    CAST((doc_id // 9) % 5 AS VARCHAR) AS k,
+        |    CAST(doc_id % 4 AS VARCHAR) AS m FROM documents),
+        |r AS (SELECT i,
+        |  CASE CAST(i % 9 AS INTEGER)
+        |    WHEN 0 THEN 'http://bücher.example/p/' || k
+        |    WHEN 1 THEN 'http://xn--bcher-kva.example/p/' || k
+        |    WHEN 2 THEN 'https://東京.jp:8443/t?id=' || m || '&utm_x=1'
+        |    WHEN 3 THEN 'http://MÜNCHEN.de/x/' || k
+        |    WHEN 4 THEN 'http://пример.рф/r'
+        |    WHEN 5 THEN 'http://café' || k || '.fr/c'
+        |    WHEN 6 THEN 'http://é..example/q'
+        |    WHEN 7 THEN 'http://plain' || k || '.example/a?z=' || m
+        |    ELSE 'no-scheme-' || k END AS url,
+        |  CASE CAST(i % 9 AS INTEGER)
+        |    WHEN 0 THEN 'http://xn--bcher-kva.example/p/' || k
+        |    WHEN 1 THEN 'http://xn--bcher-kva.example/p/' || k
+        |    WHEN 2 THEN 'https://xn--1lqs71d.jp:8443/t?id=' || m || '&utm_x=1'
+        |    WHEN 3 THEN 'http://xn--mnchen-3ya.de/x/' || k
+        |    WHEN 4 THEN 'http://xn--e1afmkfd.xn--p1ai/r'
+        |    WHEN 5 THEN 'http://xn--caf' || k || '-dpa.fr/c'
+        |    WHEN 6 THEN 'http://é..example/q'
+        |    WHEN 7 THEN 'http://plain' || k || '.example/a?z=' || m
+        |    ELSE 'no-scheme-' || k END AS url_idn,
+        |  CASE CAST(i % 9 AS INTEGER)
+        |    WHEN 0 THEN 'http://xn--bcher-kva.example/p/' || k
+        |    WHEN 1 THEN 'http://xn--bcher-kva.example/p/' || k
+        |    WHEN 2 THEN 'https://xn--1lqs71d.jp:8443/t?id=' || m
+        |    WHEN 3 THEN 'http://xn--mnchen-3ya.de/x/' || k
+        |    WHEN 4 THEN 'http://xn--e1afmkfd.xn--p1ai/r'
+        |    WHEN 5 THEN 'http://xn--caf' || k || '-dpa.fr/c'
+        |    WHEN 6 THEN 'http://é..example/q'
+        |    WHEN 7 THEN 'http://plain' || k || '.example/a?z=' || m
+        |    ELSE NULL END AS canonical_url
+        | FROM d)
+        |SELECT i AS doc_id, url, url_idn, canonical_url,
+        |  COUNT(*) OVER (PARTITION BY canonical_url) AS dup_count
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -273,6 +273,8 @@ object SparkEntry {
     "q229_http_transfer_decode" -> ((s, d) => PipelinesExt.httpTransferDecode(s, d)),
     "q230_charset_jre_decode" -> ((s, d) => PipelinesExt.charsetJreDecode(s, d)),
     "q231_psl_wildcard_domains" -> ((s, d) => PipelinesExt.pslWildcardDomains(s, d)),
+    // round 16 — IDN host folding, robots→sitemap wiring, politeness
+    "q232_idn_host_fold" -> ((s, d) => PipelinesExt.idnHostFold(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -606,4 +606,138 @@ object Urls {
     docs.withColumn("domain_rank", row_number().over(w))
       .filter(col("domain_rank") <= cap)
   }
+
+  // ---------------------------------------------------------------------
+  // IDN / punycode host folding (r15 verdict ask #5) — the identity gap
+  // [[canonicalizeUrl]] declares out of scope: an internationalized host
+  // appears in crawls BOTH as Unicode (`bücher.example`, what pages
+  // link) and as its punycode wire form (`xn--bcher-kva.example`, what
+  // resolvers and archives record), and a corpus that folds neither
+  // double-counts every international site in dedup, per-domain caps,
+  // and the link graph. The canonical identity here is the ASCII
+  // (`xn--`) form — what actually goes on the wire (RFC 3987 → RFC 5890
+  // ToASCII), so already-ASCII hosts are ALREADY canonical and never
+  // touch the codec.
+  //
+  // Scale shape: IDNA ToASCII (nameprep + punycode's adaptive
+  // variable-length integer coding) has no expression form, so this is
+  // a JVM gear — but unlike the [[Http.decodeBodyFull]] byte codecs it
+  // does NOT ride the scan: the fold runs over the DISTINCT non-ASCII
+  // hosts only (a near-empty subset of any real corpus — IDN sites are
+  // rare AND distinct hosts ≪ rows), and the tiny (host → ascii) map
+  // broadcast-joins back onto the untouched main frame. The ASCII
+  // majority stays entirely inside the codegen'd fast path: its rows
+  // carry a NULL join key, miss the broadcast, and pass through
+  // byte-identical. Cost at 100 TB ≈ one broadcast left join + a
+  // distinct over the IDN sliver.
+  // ---------------------------------------------------------------------
+
+  /** Matches strings that are pure ASCII — hosts outside this need the
+    * IDNA codec; hosts inside it (including `xn--` forms) are already
+    * the canonical wire form.
+    */
+  private val AsciiOnlyRx = "^[\\x00-\\x7F]*$"
+
+  /** IDNA ToASCII of one host (`java.net.IDN`, lowercased — punycode
+    * output is case-insensitive and the URL layer lowercases hosts).
+    * A host the codec rejects (empty label, label > 63 octets after
+    * encoding) keeps its ORIGINAL form — the [[normalizePercentEncoding]]
+    * discipline: normalization must never corrupt what it cannot
+    * parse; an unfoldable host simply remains its own identity.
+    */
+  private[ext] def idnAsciiOf(host: String): String =
+    try java.net.IDN.toASCII(host).toLowerCase(java.util.Locale.ROOT)
+    catch { case _: IllegalArgumentException | _: StringIndexOutOfBoundsException => host }
+
+  /** The (host → folded) lookup for a frame's non-ASCII hosts: filter
+    * to the IDN sliver, distinct, one narrow mapPartitions over the
+    * survivors. Null-safe (null hosts never reach the codec).
+    */
+  private def idnHostLookup(df: DataFrame, host: Column,
+      keyCol: String, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(host.as(keyCol))
+      .filter(col(keyCol).isNotNull && !col(keyCol).rlike(AsciiOnlyRx))
+      .distinct()
+      .as[String]
+      .mapPartitions(_.map(h => (h, idnAsciiOf(h))))
+      .toDF(keyCol, valCol)
+  }
+
+  /** Fold a HOST column to its IDNA ASCII (punycode) form: non-ASCII
+    * hosts encode (`bücher.example` → `xn--bcher-kva.example`,
+    * Unicode TLDs too: `пример.рф` → `xn--e1afmkfd.xn--p1ai`), ASCII
+    * hosts — including already-`xn--` ones — pass through unchanged,
+    * unfoldable hosts keep their original form (see [[idnAsciiOf]]).
+    * Idempotent: the output is always ASCII or the unchanged original,
+    * so a second fold is the identity (UrlsSpec pins it).
+    *
+    * Output: the input columns plus `out` (default `host_idn`).
+    */
+  def withIdnAsciiHost(df: DataFrame, hostCol: String,
+      out: String = "host_idn"): DataFrame = {
+    val internal = Seq("_idn_k", "_idn_v", out)
+    val clash = df.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Urls.withIdnAsciiHost: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
+    val lookup = idnHostLookup(df, col(hostCol), "_idn_k", "_idn_v")
+    df.join(broadcast(lookup), col(hostCol) === col("_idn_k"), "left_outer")
+      .withColumn(out, coalesce(col("_idn_v"), col(hostCol)))
+      .drop("_idn_k", "_idn_v")
+  }
+
+  /** Fold a URL column's HOST to its IDNA ASCII form, everything else
+    * byte-preserved — the URL-level companion of [[withIdnAsciiHost]]
+    * that composes BEFORE [[canonicalizeUrl]] in a frontier pipeline
+    * (fold first, then canonicalize: nameprep already case-folds the
+    * Unicode labels, canonicalize lowercases whatever survives).
+    *
+    *   - scheme, port, path, query, and fragment pass through
+    *     untouched (the fold rewrites ONLY the host span),
+    *   - a URL with no `://` cannot locate its authority → unchanged
+    *     (quarantine-keep, the [[idnAsciiOf]] discipline),
+    *   - ASCII-host URLs (the crawl majority) never leave the codegen
+    *     fast path: their join key is NULL and the rebuild branch is
+    *     skipped,
+    *   - userinfo (`user@host`) is out of scope, as everywhere in this
+    *     module.
+    *
+    * Output: the input columns plus `out` (default `url_idn`).
+    */
+  def withIdnFoldedUrl(df: DataFrame, urlCol: String,
+      out: String = "url_idn"): DataFrame = {
+    val internal = Seq("_idn_h", "_idn_k", "_idn_v", out)
+    val clash = df.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Urls.withIdnFoldedUrl: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
+    val url = col(urlCol)
+    val scheme = substring_index(url, "://", 1)
+    val hasScheme = instr(url, "://") > 0
+    // past the FIRST "://" (the canonicalizeUrl pin); the authority
+    // ends at the first of "/", "?", "#" — substring_index up to each
+    // terminator, the SHORTEST prefix wins (a query-before-path URL
+    // like "http://h?x=1" parses correctly)
+    val rest = substring(url, length(scheme) + lit(4), lit(1 << 20))
+    val cut = least(
+      length(substring_index(rest, "/", 1)),
+      length(substring_index(rest, "?", 1)),
+      length(substring_index(rest, "#", 1)))
+    val auth = substring(rest, lit(1), cut)
+    val suffix = substring(rest, cut + lit(1), lit(1 << 20))
+    val host = substring_index(auth, ":", 1)
+    val portPart = substring(auth, length(host) + lit(1), lit(1 << 20))
+    // the join key: ONLY hosts that need the codec (non-ASCII under a
+    // real scheme) — everything else misses the broadcast and keeps
+    // the original URL verbatim
+    val needsFold = hasScheme && host.isNotNull && !host.rlike(AsciiOnlyRx)
+    val keyed = df.withColumn("_idn_h",
+      when(needsFold, host).otherwise(lit(null).cast("string")))
+    val lookup = idnHostLookup(keyed, col("_idn_h"), "_idn_k", "_idn_v")
+    keyed.join(broadcast(lookup), col("_idn_h") === col("_idn_k"), "left_outer")
+      .withColumn(out, when(col("_idn_v").isNotNull,
+          concat(scheme, lit("://"), col("_idn_v"), portPart, suffix))
+        .otherwise(url))
+      .drop("_idn_h", "_idn_k", "_idn_v")
+  }
 }

@@ -315,6 +315,67 @@ class UrlsSpec extends SparkSpec {
     assert(got.getInt(1) === 6)
   }
 
+  test("withIdnAsciiHost folds Unicode hosts to punycode, ASCII passes through") {
+    import spark.implicits._
+    val got = Seq("bücher.example", "BÜCHER.example", "東京.jp",
+        "пример.рф", "xn--bcher-kva.example", "plain.example")
+      .toDF("h")
+    val folded = Urls.withIdnAsciiHost(got, "h")
+      .select("host_idn").as[String].collect().toSeq
+    // constants verified against java.net.IDN; nameprep case-folds
+    // BEFORE punycode, so the uppercase form lands on the same string
+    assert(folded === Seq("xn--bcher-kva.example", "xn--bcher-kva.example",
+      "xn--1lqs71d.jp", "xn--e1afmkfd.xn--p1ai",
+      "xn--bcher-kva.example", "plain.example"))
+  }
+
+  test("withIdnAsciiHost keeps unfoldable hosts and is idempotent") {
+    import spark.implicits._
+    val df = Seq("é..example", "bücher.example", "plain.example", "東京.jp")
+      .toDF("h")
+    val once = Urls.withIdnAsciiHost(df, "h", out = "f1")
+    // the empty-label host is rejected by the codec → original kept
+    assert(once.filter(col("h") === "é..example")
+      .select("f1").as[String].head() === "é..example")
+    // second fold is the identity (outputs are ASCII or the unchanged
+    // original)
+    val twice = Urls.withIdnAsciiHost(once, "f1", out = "f2")
+    assert(twice.filter(col("f1") =!= col("f2")).count() === 0)
+  }
+
+  test("withIdnFoldedUrl rewrites only the host span") {
+    import spark.implicits._
+    val got = Seq(
+      "https://東京.jp:8443/t?id=1&utm_x=1#frag", // port+query+fragment kept
+      "http://bücher.example/p/2",
+      "http://café1.fr",                          // path-less
+      "https://東京.jp?q=1",                       // query BEFORE any path
+      "http://plain.example/a?z=0",               // ASCII fast path
+      "no-scheme-at-all").toDF("u")               // no authority → unchanged
+    val folded = Urls.withIdnFoldedUrl(got, "u")
+      .select("url_idn").as[String].collect().toSeq
+    assert(folded === Seq(
+      "https://xn--1lqs71d.jp:8443/t?id=1&utm_x=1#frag",
+      "http://xn--bcher-kva.example/p/2",
+      "http://xn--caf1-dpa.fr",
+      "https://xn--1lqs71d.jp?q=1",
+      "http://plain.example/a?z=0",
+      "no-scheme-at-all"))
+  }
+
+  test("withIdnFoldedUrl agrees with withIdnAsciiHost on the host component") {
+    import spark.implicits._
+    val urls = Seq("http://bücher.example/p", "https://東京.jp:1/x?y=1",
+      "http://plain.example/", "http://é..example/q").toDF("u")
+    val viaUrl = Urls.withIdnFoldedUrl(urls, "u")
+      .select(Urls.hostOf(col("url_idn")).as("h1"))
+    val viaHost = Urls.withIdnAsciiHost(
+        urls.select(Urls.hostOf(col("u")).as("h")), "h", out = "h2")
+      .select("h2")
+    assert(viaUrl.as[String].collect().toSeq ===
+      viaHost.as[String].collect().toSeq)
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
