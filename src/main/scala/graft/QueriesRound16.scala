@@ -200,6 +200,97 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** robots.txt → sitemap → frontier wiring as a hash gate
+    * ([[graft.ext.RobotsTxt.parseSitemaps]] +
+    * [[graft.ext.Html.extractSitemapLocs]], r15 verdict ask #7): the
+    * `Sitemap:` directive [[graft.ext.RobotsTxt.parseRules]]
+    * deliberately flows past IS the frontier feed — a crawler reads
+    * it out of robots.txt, fetches the sitemap, and when that sitemap
+    * is a `<sitemapindex>` recurses ONE level into its children. Per
+    * doc the robots body branches —
+    *
+    *   - even k: a `Sitemap:` pointing at a `<sitemapindex>` whose two
+    *     children (whitespace-padded `<loc>`s) are urlsets,
+    *   - odd k: a lowercase `sitemap:` directive with a TRAILING
+    *     COMMENT pointing straight at a urlset,
+    *   - k % 3 == 0: a SECOND `Sitemap:` line (direct urlset) — even k
+    *     then reaches pages_b BOTH ways, level-tagged apart,
+    *
+    * and every "fetch" is a broadcast join of the URL against a
+    * (fetch_url, xml) body table — the rules-as-data discipline, never
+    * string synthesis at the consumer. Page locs carry mixed case, a
+    * tracking param, the spec-REQUIRED `&amp;` escaping, `www.` and a
+    * trailing slash, so the canonicalization composition stays
+    * hash-visible. The oracle replays directive extraction, the
+    * one-level recursion, and the canonical arithmetic per branch.
+    */
+  def robotsSitemapWiring(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7))
+    val ks = k.cast("string")
+    val robots = concat(
+      lit("# robots\nUser-agent: *\nDisallow: /tmp\n"),
+      when(pmod(k, lit(2)) === 0,
+        concat(lit("Sitemap: https://site"), ks, lit(".com/sm_index.xml\n")))
+        .otherwise(concat(lit("sitemap: https://site"), ks,
+          lit(".com/pages_a.xml # mirror\n"))),
+      when(pmod(k, lit(3)) === 0,
+        concat(lit("Sitemap: https://site"), ks, lit(".com/pages_b.xml\n")))
+        .otherwise(lit("")))
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), robots.as("robots_txt"))
+    val smUrls = docs.select(col("doc_id"),
+      explode(graft.ext.RobotsTxt.parseSitemaps(col("robots_txt")))
+        .as("sm_url"))
+    // the fixture fetch table: one body per sitemap URL; the broadcast
+    // join IS the fetch (bodies are data, never consumer-side strings)
+    val kb = col("id").cast("string")
+    val xmlns = "<?xml version=\"1.0\"?>"
+    val idxBody = concat(lit(xmlns +
+        "<sitemapindex xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<sitemap><loc>https://site"), kb,
+      lit(".com/pages_a.xml</loc></sitemap><sitemap><loc>\n  https://site"),
+      kb, lit(".com/pages_b.xml </loc></sitemap></sitemapindex>"))
+    val aBody = concat(lit(xmlns +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc>HTTPS://Site"), kb, lit(".COM/a/0?id="), kb,
+      lit("&amp;utm_x=1</loc><priority>0.5</priority></url>" +
+        "<url><loc>HTTPS://Site"), kb, lit(".COM/a/1?id="), kb,
+      lit("&amp;utm_x=1</loc></url></urlset>"))
+    val bBody = concat(lit(xmlns +
+        "<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">" +
+        "<url><loc>http://www.site"), kb, lit(".com/b/0/</loc></url></urlset>"))
+    def fetchUrl(leaf: String) =
+      concat(lit("https://site"), kb, lit(".com/" + leaf))
+    val base = s.range(7)
+    val bodies =
+      base.select(fetchUrl("sm_index.xml").as("fetch_url"), idxBody.as("xml"))
+        .unionByName(base.select(
+          fetchUrl("pages_a.xml").as("fetch_url"), aBody.as("xml")))
+        .unionByName(base.select(
+          fetchUrl("pages_b.xml").as("fetch_url"), bBody.as("xml")))
+    val fetched = smUrls
+      .join(broadcast(bodies), col("sm_url") === col("fetch_url"))
+      .drop("fetch_url")
+    val isIdx = instr(col("xml"), "<sitemapindex") > 0
+    val direct = fetched.filter(!isIdx).select(col("doc_id"),
+      lit(0).as("level"), col("sm_url"),
+      explode(graft.ext.Html.extractSitemapLocs(col("xml"))).as("loc"))
+    // ONE recursion level: index children are sitemap URLs — fetch
+    // again, extract their page locs
+    val level1 = fetched.filter(isIdx)
+      .select(col("doc_id"),
+        explode(graft.ext.Html.extractSitemapLocs(col("xml"))).as("child_url"))
+      .join(broadcast(bodies), col("child_url") === col("fetch_url"))
+      .select(col("doc_id"), lit(1).as("level"),
+        col("child_url").as("sm_url"),
+        explode(graft.ext.Html.extractSitemapLocs(col("xml"))).as("loc"))
+    direct.unionByName(level1)
+      .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(col("loc")))
+      .select(col("doc_id"), col("level"), col("sm_url"), col("canonical_url"))
+      .orderBy("doc_id", "level", "canonical_url")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -306,6 +397,33 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |SELECT i AS doc_id, url, url_idn, canonical_url,
         |  COUNT(*) OVER (PARTITION BY canonical_url) AS dup_count
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // directive extraction, one-level index recursion, and canonical
+    // arithmetic replayed per branch: pages_a rides the index (level 1)
+    // for even k and the direct lowercase directive (level 0) for odd
+    // k; pages_b arrives via the index for even k and ALSO directly
+    // when k % 3 = 0
+    "q233_robots_sitemap_wiring" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k,
+        |    doc_id % 7 AS kn FROM documents),
+        |aj AS (SELECT 0 AS j UNION ALL SELECT 1),
+        |r AS (
+        |  SELECT i, CASE WHEN kn % 2 = 0 THEN 1 ELSE 0 END AS level,
+        |    'https://site' || k || '.com/pages_a.xml' AS sm_url,
+        |    'https://site' || k || '.com/a/' || j || '?id=' || k
+        |      AS canonical_url
+        |  FROM d, aj
+        |  UNION ALL
+        |  SELECT i, 1, 'https://site' || k || '.com/pages_b.xml',
+        |    'http://site' || k || '.com/b/0'
+        |  FROM d WHERE kn % 2 = 0
+        |  UNION ALL
+        |  SELECT i, 0, 'https://site' || k || '.com/pages_b.xml',
+        |    'http://site' || k || '.com/b/0'
+        |  FROM d WHERE kn % 3 = 0
+        |)
+        |SELECT i AS doc_id, level, sm_url, canonical_url
+        |FROM r ORDER BY doc_id, level, canonical_url""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -275,6 +275,7 @@ object SparkEntry {
     "q231_psl_wildcard_domains" -> ((s, d) => PipelinesExt.pslWildcardDomains(s, d)),
     // round 16 — IDN host folding, robots→sitemap wiring, politeness
     "q232_idn_host_fold" -> ((s, d) => PipelinesExt.idnHostFold(s, d)),
+    "q233_robots_sitemap_wiring" -> ((s, d) => PipelinesExt.robotsSitemapWiring(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

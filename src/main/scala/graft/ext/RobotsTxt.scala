@@ -98,4 +98,26 @@ object RobotsTxt {
         rules.as("rules"))
     }, a => a.getField("rules"))
   }
+
+  /** All `Sitemap:` directive values of a robots.txt body, in document
+    * order — the frontier feed [[parseRules]] deliberately flows past
+    * (rules bind to agent groups; `Sitemap:` is GROUP-INDEPENDENT per
+    * the sitemaps.org protocol, valid anywhere in the file). Directive
+    * name case-insensitive, value trimmed, `#` comments stripped (the
+    * [[parseRules]] line discipline — the FIRST `:` is the directive
+    * colon, so the URL's own `://` never splits wrong), a leading
+    * UTF-8 BOM tolerated. One native filter/transform over the line
+    * split — no UDF, no shuffle; the output column feeds a fetch join
+    * against the sitemap bodies (see the q233 gate).
+    */
+  def parseSitemaps(txt: Column): Column = {
+    val lines = split(regexp_replace(txt, "^\\uFEFF", ""), "\r?\n")
+    val vals = transform(lines, rawLine => {
+      val line = trim(substring_index(rawLine, "#", 1))
+      when(lower(line).startsWith("sitemap:"),
+        trim(substring(line, instr(line, ":") + 1, lit(1 << 20))))
+        .otherwise(lit(null).cast("string"))
+    })
+    filter(vals, v => v.isNotNull && v =!= "")
+  }
 }

@@ -99,4 +99,30 @@ class RobotsTxtSpec extends SparkSpec {
     assert(rules("\uFEFFUser-agent: *\nDisallow: /a\nAllow: /a/pub")
       === Seq(("/a", 0), ("/a/pub", 1)))
   }
+
+  private def sitemaps(txt: String): Seq[String] = {
+    import spark.implicits._
+    Seq(txt).toDF("t").select(RobotsTxt.parseSitemaps(col("t")).as("s"))
+      .selectExpr("explode(s)").as[String].collect().toSeq
+  }
+
+  test("parseSitemaps extracts directives anywhere, case-insensitive, comments stripped") {
+    val txt = "\uFEFF# header comment\n" +
+      "Sitemap: https://a.com/s1.xml\n" +
+      "User-agent: *\nDisallow: /p\n" +
+      "SITEMAP:https://a.com/s2.xml # mirror\n" + // no space, trailing comment
+      "User-agent: other\nDisallow: /\n" +
+      "sitemap:   https://a.com/s3.xml  \r\n" + // padding + CRLF
+      "Sitemap:\n" + // empty value \u2192 dropped
+      "NotASitemap: https://a.com/s4.xml"
+    assert(sitemaps(txt) === Seq("https://a.com/s1.xml",
+      "https://a.com/s2.xml", "https://a.com/s3.xml"))
+  }
+
+  test("parseSitemaps finds nothing in a directive-free body; parseRules ignores Sitemap lines") {
+    assert(sitemaps("User-agent: *\nDisallow: /p") === Seq.empty)
+    // the two parsers partition the file: Sitemap lines are rule-inert
+    assert(rules("User-agent: *\nSitemap: https://a.com/s.xml\nDisallow: /p")
+      === Seq(("/p", 0)))
+  }
 }
