@@ -707,37 +707,51 @@ object Urls {
     */
   def withIdnFoldedUrl(df: DataFrame, urlCol: String,
       out: String = "url_idn"): DataFrame = {
-    val internal = Seq("_idn_h", "_idn_k", "_idn_v", out)
+    val internal = Seq("_idn_scheme", "_idn_rest", "_idn_cut", "_idn_auth",
+      "_idn_host", "_idn_h", "_idn_k", "_idn_v", out)
     val clash = df.columns.filter(internal.contains)
     require(clash.isEmpty, s"Urls.withIdnFoldedUrl: input already has " +
       s"column(s) ${clash.mkString(", ")} — rename them first")
     val url = col(urlCol)
-    val scheme = substring_index(url, "://", 1)
-    val hasScheme = instr(url, "://") > 0
-    // past the FIRST "://" (the canonicalizeUrl pin); the authority
-    // ends at the first of "/", "?", "#" — substring_index up to each
-    // terminator, the SHORTEST prefix wins (a query-before-path URL
-    // like "http://h?x=1" parses correctly)
-    val rest = substring(url, length(scheme) + lit(4), lit(1 << 20))
-    val cut = least(
-      length(substring_index(rest, "/", 1)),
-      length(substring_index(rest, "?", 1)),
-      length(substring_index(rest, "#", 1)))
-    val auth = substring(rest, lit(1), cut)
-    val suffix = substring(rest, cut + lit(1), lit(1 << 20))
-    val host = substring_index(auth, ":", 1)
-    val portPart = substring(auth, length(host) + lit(1), lit(1 << 20))
-    // the join key: ONLY hosts that need the codec (non-ASCII under a
-    // real scheme) — everything else misses the broadcast and keeps
-    // the original URL verbatim
-    val needsFold = hasScheme && host.isNotNull && !host.rlike(AsciiOnlyRx)
-    val keyed = df.withColumn("_idn_h",
-      when(needsFold, host).otherwise(lit(null).cast("string")))
+    // each decomposition step is STAGED as a projected column, not a
+    // nested expression: every stage below is referenced 2–3 times by
+    // later stages, and inlining would re-expand the whole upstream
+    // tree per reference (the q216 CollapseProject staging fix —
+    // multi-referenced non-cheap aliases survive collapsing, so the
+    // optimizer walks each sub-tree once)
+    val keyed = df
+      // past the FIRST "://" (the canonicalizeUrl pin)
+      .withColumn("_idn_scheme", substring_index(url, "://", 1))
+      .withColumn("_idn_rest",
+        substring(url, length(col("_idn_scheme")) + lit(4), lit(1 << 20)))
+      // the authority ends at the first of "/", "?", "#" — the
+      // SHORTEST terminator prefix wins (a query-before-path URL like
+      // "http://h?x=1" parses correctly)
+      .withColumn("_idn_cut", least(
+        length(substring_index(col("_idn_rest"), "/", 1)),
+        length(substring_index(col("_idn_rest"), "?", 1)),
+        length(substring_index(col("_idn_rest"), "#", 1))))
+      .withColumn("_idn_auth",
+        substring(col("_idn_rest"), lit(1), col("_idn_cut")))
+      .withColumn("_idn_host", substring_index(col("_idn_auth"), ":", 1))
+      // the join key: ONLY hosts that need the codec (non-ASCII under
+      // a real scheme) — everything else misses the broadcast and
+      // keeps the original URL verbatim
+      .withColumn("_idn_h",
+        when(instr(url, "://") > 0 && col("_idn_host").isNotNull &&
+            !col("_idn_host").rlike(AsciiOnlyRx), col("_idn_host"))
+          .otherwise(lit(null).cast("string")))
     val lookup = idnHostLookup(keyed, col("_idn_h"), "_idn_k", "_idn_v")
+    val portPart = substring(col("_idn_auth"),
+      length(col("_idn_host")) + lit(1), lit(1 << 20))
+    val suffix = substring(col("_idn_rest"),
+      col("_idn_cut") + lit(1), lit(1 << 20))
     keyed.join(broadcast(lookup), col("_idn_h") === col("_idn_k"), "left_outer")
       .withColumn(out, when(col("_idn_v").isNotNull,
-          concat(scheme, lit("://"), col("_idn_v"), portPart, suffix))
+          concat(col("_idn_scheme"), lit("://"), col("_idn_v"),
+            portPart, suffix))
         .otherwise(url))
-      .drop("_idn_h", "_idn_k", "_idn_v")
+      .drop("_idn_scheme", "_idn_rest", "_idn_cut", "_idn_auth",
+        "_idn_host", "_idn_h", "_idn_k", "_idn_v")
   }
 }
