@@ -291,6 +291,60 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id", "level", "canonical_url")
   }
 
+  /** Crawl-delay politeness scheduling as a hash gate
+    * ([[graft.ext.RobotsTxt.parseCrawlDelay]] +
+    * [[graft.ext.Urls.schedulePolite]]): the pacing knob between a
+    * robots-filtered frontier and the fetcher. Per host (20 distinct,
+    * branch k = host mod 6) the robots body exercises —
+    *
+    *   - no directive (k 0) → the 1.0 s default,
+    *   - a delay whose group is then CLOSED by a later UA line (k 1 —
+    *     the stacking-end rule: `b`'s rules never bind to `*`),
+    *   - a DECIMAL delay before rules (k 2),
+    *   - a delay in ANOTHER agent's group only (k 3) → default,
+    *   - a malformed value (`fast`, k 4) → NULL, never a guess →
+    *     default,
+    *   - a delay AFTER rules in the same `*` group (k 5) → honored,
+    *
+    * then three frontier URLs per doc serialize per host into fetch
+    * slots across the whole corpus (`row_number` by uid), offset by
+    * `slot × delay`. Delays are binary-exact doubles (3, 0.5, 2.5, 1)
+    * so the offset arithmetic hashes clean. The oracle replays the
+    * branch table, the window, and the offsets.
+    */
+  def crawlDelaySchedule(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val m = pmod(i, lit(20))
+    val k = pmod(m, lit(6))
+    val host = concat(lit("site"), m.cast("string"), lit(".com"))
+    val robots = when(k === 0, lit("User-agent: *\nDisallow: /tmp\n"))
+      .when(k === 1,
+        lit("User-agent: *\nCrawl-delay: 3\nUser-agent: b\nDisallow: /z\n"))
+      .when(k === 2,
+        lit("User-agent: *\nCrawl-delay: 0.5\nDisallow: /p\n"))
+      .when(k === 3,
+        lit("User-agent: bot\nCrawl-delay: 9\n\nUser-agent: *\nDisallow: /x\n"))
+      .when(k === 4, lit("User-agent: *\nCrawl-delay: fast\n"))
+      .otherwise(lit("User-agent: *\nDisallow: /y\nCrawl-delay: 2.5\n"))
+    val hostDocs = t(s, d, "documents")
+      .select(col("doc_id"), host.as("host"), robots.as("txt"))
+    // the robots "fetch" result: one parsed delay per distinct host —
+    // rules-as-data, broadcast back onto the frontier
+    val delays = hostDocs.select(col("host"), col("txt")).distinct()
+      .select(col("host"),
+        graft.ext.RobotsTxt.parseCrawlDelay(col("txt")).as("crawl_delay"))
+    val frontier = hostDocs.select(col("doc_id"), col("host"),
+        posexplode(array(lit("/a"), lit("/b"), lit("/c")))
+          .as(Seq("url_ord", "path")))
+      .withColumn("uid", i * 3 + col("url_ord"))
+    graft.ext.Urls.schedulePolite(
+        frontier.join(broadcast(delays), Seq("host")),
+        "host", "uid", "crawl_delay", defaultDelaySecs = 1.0)
+      .select(col("doc_id"), col("url_ord"), col("host"),
+        col("crawl_delay"), col("fetch_slot"), col("fetch_offset_secs"))
+      .orderBy("doc_id", "url_ord")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -424,6 +478,28 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |)
         |SELECT i AS doc_id, level, sm_url, canonical_url
         |FROM r ORDER BY doc_id, level, canonical_url""".stripMargin,
+
+    // the delay branch table, the per-host slot window, and the offset
+    // arithmetic replayed; NULL delay (absent / other-group / malformed)
+    // falls to the 1.0 s default in the offset only, staying NULL in
+    // the crawl_delay column itself
+    "q234_crawl_delay_schedule" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 20 AS m,
+        |    (doc_id % 20) % 6 AS k FROM documents),
+        |f AS (SELECT i, j AS url_ord, 'site' || m || '.com' AS host,
+        |    CASE WHEN k = 1 THEN CAST(3 AS DOUBLE)
+        |         WHEN k = 2 THEN CAST(0.5 AS DOUBLE)
+        |         WHEN k = 5 THEN CAST(2.5 AS DOUBLE)
+        |         ELSE NULL END AS crawl_delay,
+        |    i * 3 + j AS uid
+        |  FROM d, (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2)),
+        |s AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY host ORDER BY uid) - 1
+        |      AS fetch_slot FROM f)
+        |SELECT i AS doc_id, url_ord, host, crawl_delay, fetch_slot,
+        |  fetch_slot * COALESCE(crawl_delay, CAST(1 AS DOUBLE))
+        |    AS fetch_offset_secs
+        |FROM s ORDER BY doc_id, url_ord""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

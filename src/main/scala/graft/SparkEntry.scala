@@ -276,6 +276,7 @@ object SparkEntry {
     // round 16 — IDN host folding, robots→sitemap wiring, politeness
     "q232_idn_host_fold" -> ((s, d) => PipelinesExt.idnHostFold(s, d)),
     "q233_robots_sitemap_wiring" -> ((s, d) => PipelinesExt.robotsSitemapWiring(s, d)),
+    "q234_crawl_delay_schedule" -> ((s, d) => PipelinesExt.crawlDelaySchedule(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

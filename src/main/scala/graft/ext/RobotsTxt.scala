@@ -110,6 +110,47 @@ object RobotsTxt {
     * split — no UDF, no shuffle; the output column feeds a fetch join
     * against the sitemap bodies (see the q233 gate).
     */
+  /** The `*`-agent group's `Crawl-delay:` value in seconds (DOUBLE),
+    * NULL when the group carries none — the politeness knob
+    * [[graft.ext.Urls.schedulePolite]] consumes. Nonstandard but
+    * widely honored (Bing/Yandex semantics): the directive binds to
+    * its agent GROUP like a rule line, so the [[parseRules]] group
+    * machine is replayed here with `Crawl-delay` itself counting as a
+    * rule for stacking purposes (a UA line after it starts a fresh
+    * group). The FIRST value in a `*` group wins; a non-numeric value
+    * is NULL (quarantine, never a guessed delay — `try_cast`
+    * discipline under ANSI mode). Decimal values (`0.5`) are real:
+    * large crawlers batch sub-second delays.
+    */
+  def parseCrawlDelay(txt: Column): Column = {
+    val lines = split(regexp_replace(txt, "^\\uFEFF", ""), "\r?\n")
+    val init = struct(
+      lit(false).as("in_star"), lit(false).as("after_rules"),
+      lit(null).cast("double").as("delay"))
+    aggregate(lines, init, (a, rawLine) => {
+      val line = trim(substring_index(rawLine, "#", 1))
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAll = low.startsWith("allow:")
+      val isDelay = low.startsWith("crawl-delay:")
+      val value = trim(substring(line, instr(line, ":") + 1, lit(1 << 20)))
+      val inStar = when(isUa,
+          (value === "*") || (a.getField("in_star") && !a.getField("after_rules")))
+        .otherwise(a.getField("in_star"))
+      val afterRules = when(isUa, lit(false))
+        .otherwise(a.getField("after_rules") || isDis || isAll || isDelay)
+      val capture = a.getField("in_star") && isDelay &&
+        a.getField("delay").isNull
+      val delay = when(capture,
+          when(value.rlike("^[0-9]+(\\.[0-9]+)?$"), value.cast("double"))
+            .otherwise(lit(null).cast("double")))
+        .otherwise(a.getField("delay"))
+      struct(inStar.as("in_star"), afterRules.as("after_rules"),
+        delay.as("delay"))
+    }, a => a.getField("delay"))
+  }
+
   def parseSitemaps(txt: Column): Column = {
     val lines = split(regexp_replace(txt, "^\\uFEFF", ""), "\r?\n")
     val vals = transform(lines, rawLine => {

@@ -119,6 +119,37 @@ class RobotsTxtSpec extends SparkSpec {
       "https://a.com/s2.xml", "https://a.com/s3.xml"))
   }
 
+  private def delay(txt: String): Option[Double] = {
+    import spark.implicits._
+    Seq(txt).toDF("t").select(RobotsTxt.parseCrawlDelay(col("t")).as("d"))
+      .as[Option[Double]].head()
+  }
+
+  test("parseCrawlDelay binds to the star group with rule-line stacking semantics") {
+    assert(delay("User-agent: *\nCrawl-delay: 3\nDisallow: /p") === Some(3.0))
+    assert(delay("User-agent: *\nDisallow: /p\nCrawl-delay: 2.5") === Some(2.5))
+    // other-group delays never leak into *
+    assert(delay("User-agent: bot\nCrawl-delay: 9\nUser-agent: *\nDisallow: /x")
+      === None)
+    // a Crawl-delay line ENDS UA stacking: the UA line after it starts
+    // a fresh group, so a star group opened before keeps its delay
+    assert(delay("User-agent: *\nCrawl-delay: 4\nUser-agent: b\nCrawl-delay: 7")
+      === Some(4.0))
+    // stacked UA lines extend the group (no rules seen between them)
+    assert(delay("User-agent: a\nUser-agent: *\nCrawl-delay: 6") === Some(6.0))
+  }
+
+  test("parseCrawlDelay quarantines malformed values and takes the first valid one") {
+    assert(delay("User-agent: *\nDisallow: /p") === None)
+    assert(delay("User-agent: *\nCrawl-delay: fast") === None)
+    // malformed = absent: a later valid value in the same group wins
+    assert(delay("User-agent: *\nCrawl-delay: fast\nCrawl-delay: 2") === Some(2.0))
+    // first valid wins over later ones
+    assert(delay("User-agent: *\nCrawl-delay: 1\nCrawl-delay: 9") === Some(1.0))
+    // comments strip before the value parse
+    assert(delay("User-agent: *\nCrawl-delay: 5 # be nice") === Some(5.0))
+  }
+
   test("parseSitemaps finds nothing in a directive-free body; parseRules ignores Sitemap lines") {
     assert(sitemaps("User-agent: *\nDisallow: /p") === Seq.empty)
     // the two parsers partition the file: Sitemap lines are rule-inert

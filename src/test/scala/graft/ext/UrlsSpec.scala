@@ -376,6 +376,25 @@ class UrlsSpec extends SparkSpec {
       viaHost.as[String].collect().toSeq)
   }
 
+  test("schedulePolite serializes per host with the delay, default for NULL") {
+    import spark.implicits._
+    val frontier = Seq(
+      ("a.com", 1L, Some(2.5)), ("a.com", 2L, Some(2.5)),
+      ("a.com", 3L, Some(2.5)),
+      ("b.com", 4L, None), ("b.com", 5L, None)).toDF("host", "uid", "delay")
+    val got = Urls.schedulePolite(frontier, "host", "uid", "delay",
+        defaultDelaySecs = 1.0)
+      .select("host", "uid", "fetch_slot", "fetch_offset_secs")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(got === Set(
+      ("a.com", 1L, 0L, 0.0), ("a.com", 2L, 1L, 2.5), ("a.com", 3L, 2L, 5.0),
+      ("b.com", 4L, 0L, 0.0), ("b.com", 5L, 1L, 1.0)))
+    val e = intercept[IllegalArgumentException](
+      Urls.schedulePolite(frontier, "host", "uid", "delay", -1.0))
+    assert(e.getMessage.contains("negative default delay"))
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
