@@ -345,6 +345,48 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id", "url_ord")
   }
 
+  /** WARC WRITE → READ round trip as a hash gate
+    * ([[graft.ext.Warc.buildWarcColumn]] inverting
+    * [[graft.ext.Warc.parseWarcColumn]]): an engine that re-shards or
+    * re-emits crawl archives needs the OUTPUT side of the container,
+    * and a writer that drifts from the reader's framing poisons every
+    * downstream archive silently. Per doc 1–3 records whose payloads
+    * carry BOTH hazards the framing must survive — multibyte UTF-8
+    * (`é`: Content-Length counts bytes, not chars) and an embedded
+    * `WARC/1.0` magic (length-driven framing, never magic-scanning) —
+    * are built into one blob per doc (even docs as per-record gzip
+    * members, odd docs plain), then parsed BACK by the production
+    * reader. The oracle restates every parsed field from the
+    * generator arithmetic: a writer that miscounted bytes, reordered
+    * records, or leaked framing into payloads changes rows.
+    */
+  def warcRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7)).cast("string")
+    val recs = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(3)))).as("j"))
+      .select(col("doc_id"), col("j"),
+        when(pmod(col("j"), lit(2)) === 0, lit("response"))
+          .otherwise(lit("request")).as("warc_type"),
+        concat(lit("http://rt"), k, lit(".com/p/"), col("j")).as("target_uri"),
+        concat(lit("<urn:uuid:rt-"), i, lit("-"), col("j"), lit(">"))
+          .as("record_id"),
+        encode(concat(lit("page é"), k, lit(" <html>WARC/1.0 hazard</html> "),
+          i, lit("-"), col("j")), "UTF-8").as("payload"))
+    def roundTrip(part: DataFrame, gz: Boolean) =
+      graft.ext.Warc.parseWarcColumn(
+        graft.ext.Warc.buildWarcColumn(part, "doc_id", "j", "warc_type",
+          "target_uri", "record_id", "payload", gzipped = gz),
+        "doc_id", "warc_blob", gzipped = gz)
+        .withColumn("gz", lit(if (gz) 1 else 0))
+    roundTrip(recs.filter(pmod(i, lit(2)) === 0), gz = true)
+      .unionByName(roundTrip(recs.filter(pmod(i, lit(2)) === 1), gz = false))
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("record_id"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("body_text"), col("gz"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -500,6 +542,27 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  fetch_slot * COALESCE(crawl_delay, CAST(1 AS DOUBLE))
         |    AS fetch_offset_secs
         |FROM s ORDER BY doc_id, url_ord""".stripMargin,
+
+    // every parsed-back field restated from the generator arithmetic;
+    // content_length is the UTF-8 OCTET length of the text (the
+    // multibyte pin), rec_idx is the parse order = the build order
+    "q235_warc_round_trip" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |    FROM documents),
+        |js AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT i, k, j,
+        |    'page é' || k || ' <html>WARC/1.0 hazard</html> ' || i || '-'
+        |      || j AS txt
+        |  FROM d, js WHERE j <= i % 3)
+        |SELECT i AS doc_id, j AS rec_idx,
+        |  CASE WHEN j % 2 = 0 THEN 'response' ELSE 'request' END
+        |    AS warc_type,
+        |  'http://rt' || k || '.com/p/' || j AS target_uri,
+        |  '<urn:uuid:rt-' || i || '-' || j || '>' AS record_id,
+        |  octet_length(encode(txt)) AS content_length,
+        |  txt AS body_text,
+        |  CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS gz
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -299,6 +299,105 @@ object Warc {
     out.toByteArray
   }
 
+  // ---------------------------------------------------------------------
+  // WARC WRITING — the output side of the container: a pipeline that
+  // re-shards, filters, or re-crawls needs to EMIT `.warc(.gz)` blobs,
+  // not only read them, and a writer that drifts from the reader's
+  // framing silently poisons every downstream archive. One framing
+  // contract, both directions: [[buildRecordBytes]] emits exactly what
+  // [[parseRecordsStream]] consumes (WarcSpec pins the round trip
+  // byte-for-byte), and the gzipped layout is one member per record —
+  // the random-access property real crawl archives rely on.
+  // ---------------------------------------------------------------------
+
+  /** Serialize ONE record: `WARC/1.0` magic, the four headers the
+    * reader frames by, blank line, exactly `payload.length` bytes,
+    * CRLF CRLF terminator. Headers encode as ISO-8859-1 — the byte
+    * form [[parseRecordsStream]]'s Latin-1 line reader inverts
+    * exactly; header values containing CR/LF (framing corruption) or
+    * characters past 0xFF (not Latin-1-encodable — real WARC writers
+    * percent-encode URIs to ASCII first) throw rather than emit a
+    * blob the reader would misparse. `Content-Length` counts BYTES
+    * (the multibyte pin shared with the reader).
+    */
+  def buildRecordBytes(warcType: String, targetUri: String,
+      recordId: String, payload: Array[Byte]): Array[Byte] = {
+    require(payload != null, "Warc.buildRecordBytes: null payload")
+    Seq("WARC-Type" -> warcType, "WARC-Target-URI" -> targetUri,
+        "WARC-Record-ID" -> recordId).foreach { case (k, v) =>
+      require(v != null && !v.exists(c => c == '\r' || c == '\n'),
+        s"Warc.buildRecordBytes: $k value contains CR/LF or is null")
+      require(v.forall(_ <= 0xFF),
+        s"Warc.buildRecordBytes: $k value is not Latin-1-encodable " +
+          "(percent-encode URIs to ASCII first)")
+    }
+    val head = s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+      s"WARC-Target-URI: $targetUri\r\nWARC-Record-ID: $recordId\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n"
+    val headBytes = head.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val out = new Array[Byte](headBytes.length + payload.length + 4)
+    System.arraycopy(headBytes, 0, out, 0, headBytes.length)
+    System.arraycopy(payload, 0, out, headBytes.length, payload.length)
+    out(out.length - 4) = '\r'; out(out.length - 3) = '\n'
+    out(out.length - 2) = '\r'; out(out.length - 1) = '\n'
+    out
+  }
+
+  /** One gzip MEMBER (RFC 1952) of `bytes` — the `.warc.gz` unit:
+    * members concatenate into a random-access archive. `close()` ends
+    * the native Deflater deterministically (the q214 leak pin).
+    */
+  private[ext] def gzipMember(bytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(bytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(bytes); gz.close()
+    bos.toByteArray
+  }
+
+  /** Assemble a frame of records into one WARC blob per `idCol` —
+    * the inverse of [[parseWarcColumn]]: records group on the blob id
+    * (ONE shuffle — the re-shard every archive writer pays, with
+    * map-side partial collect), order by `ordCol` inside the group
+    * (`sort_array` on the collected structs — collect order is
+    * partition-nondeterministic, the blob must not be), then a narrow
+    * mapPartitions serializes each group. With `gzipped = true` every
+    * record becomes its own gzip member (the random-access `.warc.gz`
+    * layout [[GzipMemberStream]] consumes). Memory per task is one
+    * blob's records — the writer-side mirror of the reader's
+    * one-record bound; callers size blobs accordingly (crawl archives
+    * target ~1 GB compressed).
+    *
+    * Output: one row per id — (idCol long, `warc_blob` binary).
+    */
+  def buildWarcColumn(df: DataFrame, idCol: String, ordCol: String,
+      typeCol: String, uriCol: String, recIdCol: String,
+      payloadCol: String, gzipped: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val grouped = df
+      .groupBy(col(idCol).cast("long").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).cast("long").as("o"),
+        col(typeCol).as("t"), col(uriCol).as("u"),
+        col(recIdCol).as("r"), col(payloadCol).as("p")))).as("_recs"))
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("warc_blob", BinaryType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    grouped.mapPartitions { it =>
+      it.map { row =>
+        val id = row.getLong(0)
+        val bos = new java.io.ByteArrayOutputStream()
+        row.getSeq[Row](1).foreach { r =>
+          val rec = buildRecordBytes(r.getString(1), r.getString(2),
+            r.getString(3), r.getAs[Array[Byte]](4))
+          bos.write(if (gzipped) gzipMember(rec) else rec)
+        }
+        Row(id, bos.toByteArray)
+      }
+    }(enc)
+  }
+
   private val recordSchema = StructType(Seq(
     StructField("rec_idx", IntegerType, nullable = false),
     StructField("warc_type", StringType, nullable = false),

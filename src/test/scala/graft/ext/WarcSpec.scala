@@ -173,4 +173,56 @@ class WarcSpec extends SparkSpec {
     assert(got.toSeq === Seq(
       (7L, 0, "response", "u1", "p1"), (7L, 1, "request", "u2", "p2")))
   }
+
+  test("buildRecordBytes round-trips through parseRecords byte-exactly") {
+    // multibyte payload (Content-Length counts BYTES) carrying an
+    // embedded WARC/1.0 magic (length-driven framing hazard)
+    val payload = "café WARC/1.0\r\nWARC-Type: fake\r\n\r\nstill payload é"
+      .getBytes("UTF-8")
+    val bytes = Warc.buildRecordBytes("response", "http://x.com/p",
+      "<urn:uuid:1>", payload) ++
+      Warc.buildRecordBytes("request", "http://x.com/q", "<urn:uuid:2>",
+        Array.emptyByteArray)
+    val recs = Warc.parseRecords(bytes)
+    assert(recs.map(r => (r.recIdx, r.warcType, r.targetUri, r.recordId,
+      r.contentLength)) === Seq(
+      (0, "response", "http://x.com/p", "<urn:uuid:1>", payload.length.toLong),
+      (1, "request", "http://x.com/q", "<urn:uuid:2>", 0L)))
+    assert(java.util.Arrays.equals(recs.head.payload, payload))
+  }
+
+  test("buildRecordBytes refuses header values the reader would misparse") {
+    val p = "x".getBytes("US-ASCII")
+    val crlf = intercept[IllegalArgumentException](
+      Warc.buildRecordBytes("response", "http://x.com/\r\nInjected: 1",
+        "<urn:uuid:1>", p))
+    assert(crlf.getMessage.contains("CR/LF"))
+    val wide = intercept[IllegalArgumentException](
+      Warc.buildRecordBytes("response", "http://東京.jp/p", "<urn:uuid:1>", p))
+    assert(wide.getMessage.contains("Latin-1"))
+    val np = intercept[IllegalArgumentException](
+      Warc.buildRecordBytes("response", "http://x.com", "<urn:uuid:1>", null))
+    assert(np.getMessage.contains("null payload"))
+  }
+
+  test("buildWarcColumn orders records by ordCol and round-trips gzipped") {
+    import spark.implicits._
+    // records arrive SHUFFLED; the blob must come out in ord order
+    val recs = Seq(
+      (5L, 1L, "request", "u1", "<r1>", "b".getBytes("UTF-8")),
+      (5L, 0L, "response", "u0", "<r0>", "a é".getBytes("UTF-8")),
+      (6L, 0L, "response", "u2", "<r2>", "c".getBytes("UTF-8")))
+      .toDF("doc_id", "ord", "t", "u", "r", "p")
+    for (gz <- Seq(true, false)) {
+      val blob = Warc.buildWarcColumn(recs, "doc_id", "ord", "t", "u", "r",
+        "p", gzipped = gz)
+      val back = Warc.parseWarcColumn(blob, "doc_id", "warc_blob",
+          gzipped = gz)
+        .orderBy("doc_id", "rec_idx")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(3),
+          new String(r.getAs[Array[Byte]]("payload"), "UTF-8")))
+      assert(back.toSeq === Seq((5L, 0, "u0", "a é"), (5L, 1, "u1", "b"),
+        (6L, 0, "u2", "c")), s"gzipped=$gz")
+    }
+  }
 }
