@@ -387,6 +387,69 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id", "rec_idx")
   }
 
+  /** HTML metadata harvest as a hash gate
+    * ([[graft.ext.Html.extractMetaContent]] +
+    * [[graft.ext.Html.extractCanonicalHref]]): the WAT-style per-page
+    * metadata a crawl pipeline extracts beside the text — title,
+    * description, `og:url`, and the page's own dedup vote, `<link
+    * rel=canonical>`. Branches cover both meta attribute ORDERS
+    * (`name=… content=…` double-quoted vs `content=… name=…`
+    * single-quoted with an UNQUOTED name), the `property=` keying of
+    * OpenGraph, absent title/description/canonical, entity decoding
+    * (`&amp;` in title and description), and both link attribute
+    * orders. The canonical identity —
+    * `canonicalizeUrl(coalesce(canonical_href, page_url))` — then
+    * collapses page VARIANTS onto their declared target (mixed case,
+    * `:80`, a tracking param all die), and the window `dup_count`
+    * proves the grouping. The oracle restates every field and replays
+    * the window.
+    */
+  def htmlMetadata(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = col("doc_id")
+    val k = pmod(i, lit(8))
+    val g = pmod(floor(i / 2), lit(5)).cast("string")
+    val titlePart = when(k === 7, lit(""))
+      .otherwise(concat(lit("<title> Page &amp; Co "), g, lit(" </title>")))
+    val descPart = when(k === 5, lit(""))
+      .when(pmod(k, lit(2)) === 0,
+        concat(lit("<meta name=\"description\" content=\"Desc &amp; d"), g,
+          lit("\">")))
+      .otherwise(concat(lit("<meta content='Desc & d"), g,
+        lit("' name=description>")))
+    val ogPart = when(pmod(k, lit(3)) === 0,
+        concat(lit("<meta property=\"og:url\" content=\"https://og"), g,
+          lit(".com/x\">")))
+      .otherwise(lit(""))
+    val canonHref = concat(lit("HTTP://Site"), g, lit(".COM:80/page/"), g,
+      lit("?utm_z=1"))
+    val canonPart = when(k >= 6, lit(""))
+      .when(pmod(k, lit(2)) === 0,
+        concat(lit("<link rel=\"canonical\" href=\""), canonHref, lit("\">")))
+      .otherwise(concat(lit("<link href='"), canonHref,
+        lit("' rel=canonical>")))
+    val html = concat(lit("<html><head>"), titlePart, descPart, ogPart,
+      canonPart, lit("</head><body><p>body</p></body></html>"))
+    val pageUrl = concat(lit("http://self"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), pmod(i, lit(4)).cast("string"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"), pageUrl.as("page_url"))
+      .select(col("doc_id"),
+        graft.ext.Html.extractTitle(col("html")).as("title"),
+        graft.ext.Html.extractMetaContent(col("html"), "description")
+          .as("description"),
+        graft.ext.Html.extractMetaContent(col("html"), "og:url").as("og_url"),
+        graft.ext.Html.extractCanonicalHref(col("html")).as("canonical_href"),
+        col("page_url"))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(
+        coalesce(col("canonical_href"), col("page_url"))))
+      .withColumn("dup_count",
+        count(lit(1)).over(Window.partitionBy(col("canonical_url"))))
+      .select(col("doc_id"), col("title"), col("description"), col("og_url"),
+        col("canonical_href"), col("canonical_url"), col("dup_count"))
+      .orderBy("doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -563,6 +626,31 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  txt AS body_text,
         |  CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END AS gz
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // every harvested field restated per branch (extractTitle keeps
+    // its documented empty-string-when-absent contract; the meta and
+    // link extractors are NULL-when-absent); the canonical-identity
+    // window replays over coalesce(canonical target, own URL)
+    "q236_html_metadata" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 8 AS k,
+        |    CAST((doc_id // 2) % 5 AS VARCHAR) AS g FROM documents),
+        |r AS (SELECT i, k, g,
+        |  CASE WHEN k = 7 THEN '' ELSE 'Page & Co ' || g END AS title,
+        |  CASE WHEN k = 5 THEN NULL ELSE 'Desc & d' || g END AS description,
+        |  CASE WHEN k % 3 = 0 THEN 'https://og' || g || '.com/x'
+        |       ELSE NULL END AS og_url,
+        |  CASE WHEN k >= 6 THEN NULL
+        |       ELSE 'HTTP://Site' || g || '.COM:80/page/' || g || '?utm_z=1'
+        |       END AS canonical_href,
+        |  CASE WHEN k >= 6 THEN
+        |         'http://self' || (i % 10) || '.com/p/' || (i % 4)
+        |       ELSE 'http://site' || g || '.com/page/' || g
+        |       END AS canonical_url
+        | FROM d)
+        |SELECT i AS doc_id, title, description, og_url, canonical_href,
+        |  canonical_url,
+        |  COUNT(*) OVER (PARTITION BY canonical_url) AS dup_count
+        |FROM r ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -278,6 +278,7 @@ object SparkEntry {
     "q233_robots_sitemap_wiring" -> ((s, d) => PipelinesExt.robotsSitemapWiring(s, d)),
     "q234_crawl_delay_schedule" -> ((s, d) => PipelinesExt.crawlDelaySchedule(s, d)),
     "q235_warc_round_trip" -> ((s, d) => PipelinesExt.warcRoundTrip(s, d)),
+    "q236_html_metadata" -> ((s, d) => PipelinesExt.htmlMetadata(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -61,6 +61,52 @@ object Html {
     trim(regexp_replace(decodeEntities(
       regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)), "\\s+", " "))
 
+  /** `content` of the first `<meta>` tag whose `name` or `property`
+    * attribute equals `key` (`description`, `og:url`, …), NULL when
+    * absent — the WAT-style metadata harvest real crawl pipelines run
+    * beside text extraction. Real tag soup puts the attributes in
+    * EITHER order (`name=… content=…` and `content=… name=…`) and
+    * quotes them with `"`, `'`, or nothing on the key side — both
+    * orders are matched ([^>]* never crosses the tag's `>`, so the
+    * pair must share one tag), the value is entity-decoded and
+    * whitespace-collapsed.
+    */
+  def extractMetaContent(html: Column, key: String): Column = {
+    val k = java.util.regex.Pattern.quote(key)
+    val keyed = regexp_extract(html,
+      "(?is)<meta\\b[^>]*(?:name|property)\\s*=\\s*[\"']?" + k +
+        "[\"']?[^>]*?content\\s*=\\s*(\"[^\"]*\"|'[^']*')", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*content\\s*=\\s*(\"[^\"]*\"|'[^']*')" +
+        "[^>]*(?:name|property)\\s*=\\s*[\"']?" + k + "[\"']?", 1)
+    val raw = when(keyed =!= "", keyed).otherwise(contentFirst)
+    when(raw === "", lit(null).cast("string"))
+      .otherwise(trim(regexp_replace(decodeEntities(
+        substring(raw, lit(2), length(raw) - 2)), "\\s+", " ")))
+  }
+
+  /** `href` of the first `<link rel="canonical">`, NULL when absent —
+    * the page's own dedup vote: variants of one page (tracking params,
+    * mirrors, pagination soup) declare a shared canonical target, and
+    * a corpus that ignores it re-discovers those duplicates the hard
+    * way (or not at all). Attribute order and all three HTML quoting
+    * forms handled as in [[extractMetaContent]]/[[extractLinks]]; the
+    * value is raw as written — resolution and canonicalization stay
+    * [[Urls]]' job.
+    */
+  def extractCanonicalHref(html: Column): Column = {
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+    val relFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*rel\\s*=\\s*[\"']?canonical[\"']?[^>]*?href\\s*=\\s*" + v, 1)
+    val hrefFirst = regexp_extract(html,
+      "(?is)<link\\b[^>]*href\\s*=\\s*" + v +
+        "[^>]*rel\\s*=\\s*[\"']?canonical[\"']?", 1)
+    val raw = when(relFirst =!= "", relFirst).otherwise(hrefFirst)
+    val unq = when(raw.startsWith("\"") || raw.startsWith("'"),
+      substring(raw, lit(2), length(raw) - 2)).otherwise(raw)
+    when(raw === "", lit(null).cast("string")).otherwise(unq)
+  }
+
   /** All `href` targets of anchor tags, in document order, as an
     * array — raw as written (canonicalization is [[Urls]]' job, and
     * fusing it here would hide which stage broke a link). All three

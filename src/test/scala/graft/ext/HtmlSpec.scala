@@ -116,6 +116,42 @@ class HtmlSpec extends SparkSpec {
     assert(links("<a\n  class=\"y\"\n  href=\"ml\">1</a><a name=\"n\">2</a>")
       === Seq("ml"))
   }
+  private def oneOpt(c: org.apache.spark.sql.Column, html: String): Option[String] = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(c).as[Option[String]].head()
+  }
+
+  test("extractMetaContent handles both attribute orders, quoting forms, property keys") {
+    val desc = Html.extractMetaContent(col("h"), "description")
+    assert(oneOpt(desc,
+      "<head><meta name=\"description\" content=\"A &amp; B\"></head>")
+      === Some("A & B"))
+    // content BEFORE name, single quotes, unquoted name value
+    assert(oneOpt(desc, "<meta content='C  D' name=description>")
+      === Some("C D")) // whitespace collapses
+    // property= keying (OpenGraph)
+    assert(oneOpt(Html.extractMetaContent(col("h"), "og:url"),
+      "<meta property=\"og:url\" content=\"https://x.com/p\">")
+      === Some("https://x.com/p"))
+    // absent key → NULL; a DIFFERENT meta must not leak
+    assert(oneOpt(desc, "<meta name=\"keywords\" content=\"nope\">") === None)
+    // the name/content pair must share ONE tag — a keywords tag
+    // followed by a bare content tag must not stitch across '>'
+    assert(oneOpt(desc,
+      "<meta name=\"description\"><meta content=\"orphan\">") === None)
+  }
+
+  test("extractCanonicalHref handles attribute orders and quoting; absent is NULL") {
+    val c = Html.extractCanonicalHref(col("h"))
+    assert(oneOpt(c, "<link rel=\"canonical\" href=\"http://x.com/p\">")
+      === Some("http://x.com/p"))
+    assert(oneOpt(c, "<link href='http://y.com/q' rel=canonical>")
+      === Some("http://y.com/q"))
+    assert(oneOpt(c, "<link rel=canonical href=/rooted>") === Some("/rooted"))
+    assert(oneOpt(c, "<link rel=\"stylesheet\" href=\"s.css\">") === None)
+    assert(oneOpt(c, "no links here") === None)
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
