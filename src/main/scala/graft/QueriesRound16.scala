@@ -450,6 +450,58 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** Anchor-text link graph as a hash gate
+    * ([[graft.ext.Html.extractAnchors]] →
+    * [[graft.ext.Urls.resolveUrl]] →
+    * [[graft.ext.Urls.canonicalizeUrl]] → per-target aggregation):
+    * anchor text is how the web DESCRIBES a target page — retrieval
+    * and quality pipelines aggregate it per canonical target, which
+    * takes the full composition: harvest anchors with their visible
+    * text (nested `<b>` stripped, `&amp;` decoded), resolve each href
+    * against its page (root-relative, absolute, and QUERY-ONLY merge
+    * branches all live), canonicalize (trailing slash dies), then a
+    * two-level aggregation — (target, text) counts, then per-target
+    * in-degree, distinct-text count, and the MODE anchor text
+    * (`max(struct(n, text))`: ties break toward the
+    * lexicographically larger text, deterministically). The oracle
+    * replays the whole composition from the generator arithmetic.
+    */
+  def anchorTextGraph(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val t1 = pmod(i, lit(5)).cast("string")
+    val t2 = pmod(i + 1, lit(5)).cast("string")
+    val html = concat(
+      lit("<html><body><a href=\"/t/"), t1,
+      lit("\">Go <b>now</b> &amp; read "), pmod(i, lit(2)).cast("string"),
+      lit("</a><a href='http://hub.com/t/"), t2, lit("/'>Hub "), t2,
+      lit("</a><a href=?p="), t1, lit(">Query "), t1,
+      lit("</a></body></html>"))
+    val pageUrl = concat(lit("http://self.com/d"),
+      pmod(i, lit(3)).cast("string"), lit("/page.html"))
+    val anchors = t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"), pageUrl.as("page_url"))
+      .select(col("page_url"),
+        explode(graft.ext.Html.extractAnchors(col("html"))).as("a"))
+      .select(col("page_url"), col("a.href").as("href"),
+        col("a.text").as("text"))
+    // resolveUrl STAGED before canonicalizeUrl: the canonicalizer
+    // references its input ~20×, and inlining would re-expand the
+    // whole resolve tree per reference (the q216 staging discipline)
+    val resolved = anchors
+      .withColumn("resolved_url",
+        graft.ext.Urls.resolveUrl(col("page_url"), col("href")))
+      .withColumn("target_url",
+        graft.ext.Urls.canonicalizeUrl(col("resolved_url")))
+    val byText = resolved.groupBy(col("target_url"), col("text"))
+      .agg(count(lit(1)).as("n"))
+    byText.groupBy(col("target_url"))
+      .agg(sum(col("n")).as("in_degree"),
+        count(lit(1)).as("n_texts"),
+        max(struct(col("n").as("n"), col("text").as("text")))
+          .getField("text").as("top_text"))
+      .orderBy("target_url")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -651,6 +703,30 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  canonical_url,
         |  COUNT(*) OVER (PARTITION BY canonical_url) AS dup_count
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // the full composition replayed: three anchors per doc (relative,
+    // absolute-with-trailing-slash, query-only), (target, text) counts
+    // from the documents table itself, mode by (n DESC, text DESC)
+    "q237_anchor_text_graph" ->
+      """WITH d AS (SELECT doc_id AS i FROM documents),
+        |a AS (
+        |  SELECT 'http://self.com/t/' || (i % 5) AS target_url,
+        |    'Go now & read ' || (i % 2) AS text FROM d
+        |  UNION ALL
+        |  SELECT 'http://hub.com/t/' || ((i + 1) % 5),
+        |    'Hub ' || ((i + 1) % 5) FROM d
+        |  UNION ALL
+        |  SELECT 'http://self.com/d' || (i % 3) || '/page.html?p=' || (i % 5),
+        |    'Query ' || (i % 5) FROM d),
+        |g AS (SELECT target_url, text, COUNT(*) AS n FROM a GROUP BY 1, 2),
+        |top AS (SELECT target_url, text, ROW_NUMBER() OVER (
+        |    PARTITION BY target_url ORDER BY n DESC, text DESC) AS rn
+        |  FROM g),
+        |tot AS (SELECT target_url, CAST(SUM(n) AS BIGINT) AS in_degree,
+        |    COUNT(*) AS n_texts FROM g GROUP BY 1)
+        |SELECT t.target_url, tot.in_degree, tot.n_texts, t.text AS top_text
+        |FROM top t JOIN tot ON t.target_url = tot.target_url
+        |WHERE t.rn = 1 ORDER BY t.target_url""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

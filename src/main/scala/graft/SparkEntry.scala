@@ -279,6 +279,7 @@ object SparkEntry {
     "q234_crawl_delay_schedule" -> ((s, d) => PipelinesExt.crawlDelaySchedule(s, d)),
     "q235_warc_round_trip" -> ((s, d) => PipelinesExt.warcRoundTrip(s, d)),
     "q236_html_metadata" -> ((s, d) => PipelinesExt.htmlMetadata(s, d)),
+    "q237_anchor_text_graph" -> ((s, d) => PipelinesExt.anchorTextGraph(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

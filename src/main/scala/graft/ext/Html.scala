@@ -205,4 +205,39 @@ object Html {
       when(v.startsWith("\"") || v.startsWith("'"),
         substring(v, lit(2), length(v) - 2)).otherwise(v))
   }
+
+  /** Anchors WITH their anchor text, in document order, as
+    * `array<struct<href, text>>` — the link-graph signal
+    * [[extractLinks]] drops: anchor text is how the web describes a
+    * TARGET page (retrieval indexes and quality models aggregate it
+    * per target). `href` follows the [[extractLinks]] contract (three
+    * quoting forms, raw as written); `text` is the anchor's VISIBLE
+    * text — inner markup (`<b>`, spans) stripped, entities decoded,
+    * whitespace collapsed ([[extractText]]'s discipline at element
+    * scope). Script/style bodies drop first; an anchor with no
+    * closing tag has no text span and is skipped (its href still
+    * surfaces through [[extractLinks]]). Same native regex lineage:
+    * per-row projection, no UDF, no shuffle.
+    */
+  def extractAnchors(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    // the text span is tempered — ((?!<a\s).)*? — so an UNCLOSED
+    // anchor can never swallow the next anchor's markup and claim its
+    // closing tag (real tag soup leaves anchors unclosed; the next
+    // <a implicitly closes them, and here that means: no text span)
+    val elems = regexp_extract_all(noScript,
+      lit("(?is)<a\\s[^>]*href\\s*=\\s*(?:\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)[^>]*>(?:(?!<a\\s).)*?</a\\s*>"),
+      lit(0))
+    transform(elems, a => {
+      val rawHref = regexp_extract(a,
+        "(?is)<a\\s[^>]*href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1)
+      val href = when(rawHref.startsWith("\"") || rawHref.startsWith("'"),
+        substring(rawHref, lit(2), length(rawHref) - 2)).otherwise(rawHref)
+      val inner = regexp_extract(a, "(?is)^<a\\s[^>]*>(.*)</a\\s*>$", 1)
+      val text = trim(regexp_replace(decodeEntities(
+        regexp_replace(inner, "<[^>]*>", " ")), "\\s+", " "))
+      struct(href.as("href"), text.as("text"))
+    })
+  }
 }

@@ -152,6 +152,23 @@ class HtmlSpec extends SparkSpec {
     assert(oneOpt(c, "no links here") === None)
   }
 
+  test("extractAnchors pairs hrefs with visible text; unclosed anchors skip") {
+    import spark.implicits._
+    val html = "<body><a href=\"/p\">Go <b>now</b> &amp; read</a>" +
+      "<a href='q'>  spaced\n text </a>" +
+      "<a href=unq>U</a>" +
+      // unclosed anchor FOLLOWED by a real one: the temper keeps it
+      // from swallowing the next anchor and claiming its </a>
+      "<a href=\"/noclose\">dangling <a href=\"/after\">A</a>" +
+      "<script>var s = '<a href=\"/fake\">code</a>';</script></body>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select("a.href", "a.text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(got === Seq(("/p", "Go now & read"), ("q", "spaced text"),
+      ("unq", "U"), ("/after", "A")))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
