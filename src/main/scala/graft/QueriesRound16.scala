@@ -502,6 +502,62 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("target_url")
   }
 
+  /** Redirect-chain resolution as a hash gate
+    * ([[graft.ext.Urls.followRedirects]], fed by
+    * [[graft.ext.Http.statusOf]]/[[graft.ext.Http.headerOf]]): a crawl
+    * keyed by final URLs has to walk 3xx chains, and every chain
+    * pathology is planted per site family m — a 2-edge chain to a
+    * terminal page (relative AND absolute `Location` values both
+    * live), a 2-cycle entered from both of its nodes, a redirect to a
+    * never-fetched URL (`dangling` — the next crawl pass's frontier),
+    * and a 3-edge chain that exhausts `maxHops = 3` (`hop_limit`,
+    * honestly reported even though its tail is terminal). The
+    * composition is the production one: status + Location parse →
+    * staged resolve → canonicalize → bounded pointer-chasing joins.
+    * The oracle states (status, target, outcome, final, hops) per
+    * node from the chain topology.
+    */
+  def redirectChains(s: SparkSession, d: String): DataFrame = {
+    val nodes = t(s, d, "documents")
+      .select(pmod(col("doc_id"), lit(10)).cast("string").as("m")).distinct()
+      .select(col("m"), explode(sequence(lit(0), lit(6))).as("j"))
+    val letter = element_at(
+      array(Seq("a", "b", "c", "d", "e", "f", "g").map(lit): _*),
+      col("j") + 1)
+    val payload = when(col("j") === 0,
+        lit("HTTP/1.1 301 Moved\r\nLocation: /hop/b\r\n\r\n"))
+      .when(col("j") === 1, concat(
+        lit("HTTP/1.1 302 Found\r\nLocation: http://s"), col("m"),
+        lit(".com/hop/c\r\n\r\n")))
+      .when(col("j") === 2, lit("HTTP/1.1 200 OK\r\n\r\nok"))
+      .when(col("j") === 3,
+        lit("HTTP/1.1 301 Moved\r\nLocation: /hop/e\r\n\r\n"))
+      .when(col("j") === 4,
+        lit("HTTP/1.1 301 Moved\r\nLocation: /hop/d\r\n\r\n"))
+      .when(col("j") === 5,
+        lit("HTTP/1.1 302 Found\r\nLocation: /hop/x\r\n\r\n"))
+      .otherwise(lit("HTTP/1.1 301 Moved\r\nLocation: /hop/a\r\n\r\n"))
+    val pages = nodes
+      .select(concat(lit("http://s"), col("m"), lit(".com/hop/"), letter)
+          .as("url"),
+        payload.as("payload"))
+      .withColumn("status", graft.ext.Http.statusOf(col("payload")))
+      .withColumn("loc", graft.ext.Http.headerOf(col("payload"), "Location"))
+      // staged resolve (q216 discipline) before the canonicalizer
+      .withColumn("resolved",
+        graft.ext.Urls.resolveUrl(col("url"), col("loc")))
+      .withColumn("redirect_to",
+        when(col("status").isin(301, 302, 303, 307, 308) && col("loc") =!= "",
+          graft.ext.Urls.canonicalizeUrl(col("resolved")))
+          .otherwise(lit(null).cast("string")))
+    graft.ext.Urls.followRedirects(pages, "url", "redirect_to", maxHops = 3)
+      .join(pages.select(col("url"), col("status"), col("redirect_to")),
+        Seq("url"))
+      .select(col("url"), col("status"), col("redirect_to"), col("outcome"),
+        col("final_url"), col("n_hops"))
+      .orderBy("url")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -727,6 +783,27 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |SELECT t.target_url, tot.in_degree, tot.n_texts, t.text AS top_text
         |FROM top t JOIN tot ON t.target_url = tot.target_url
         |WHERE t.rn = 1 ORDER BY t.target_url""".stripMargin,
+
+    // the chain topology stated per node: (status, resolved target,
+    // outcome, final URL, hops) over the distinct site families
+    "q238_redirect_chains" ->
+      """WITH d AS (SELECT DISTINCT CAST(doc_id % 10 AS VARCHAR) AS m
+        |    FROM documents),
+        |jt AS (SELECT * FROM (VALUES
+        |  ('a', 301, 'b',  'ok',        'c', 2),
+        |  ('b', 302, 'c',  'ok',        'c', 1),
+        |  ('c', 200, NULL, 'ok',        'c', 0),
+        |  ('d', 301, 'e',  'loop',      'd', 2),
+        |  ('e', 301, 'd',  'loop',      'e', 2),
+        |  ('f', 302, 'x',  'dangling',  'x', 1),
+        |  ('g', 301, 'a',  'hop_limit', 'c', 3)
+        |) AS t(l, status, r, outcome, fin, hops))
+        |SELECT 'http://s' || m || '.com/hop/' || l AS url, status,
+        |  CASE WHEN r IS NULL THEN NULL
+        |       ELSE 'http://s' || m || '.com/hop/' || r END AS redirect_to,
+        |  outcome, 'http://s' || m || '.com/hop/' || fin AS final_url,
+        |  CAST(hops AS BIGINT) AS n_hops
+        |FROM d, jt ORDER BY url""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

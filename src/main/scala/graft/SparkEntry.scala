@@ -280,6 +280,7 @@ object SparkEntry {
     "q235_warc_round_trip" -> ((s, d) => PipelinesExt.warcRoundTrip(s, d)),
     "q236_html_metadata" -> ((s, d) => PipelinesExt.htmlMetadata(s, d)),
     "q237_anchor_text_graph" -> ((s, d) => PipelinesExt.anchorTextGraph(s, d)),
+    "q238_redirect_chains" -> ((s, d) => PipelinesExt.redirectChains(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

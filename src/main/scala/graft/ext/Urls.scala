@@ -607,6 +607,77 @@ object Urls {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** Follow redirect chains to their resolution — the step between a
+    * fetched crawl (3xx responses carry `Location` headers) and a
+    * corpus keyed by FINAL URLs: without it every hop of a chain
+    * counts as its own page and the destination's content is
+    * attributed to nothing. Input: one row per fetched URL with its
+    * already-RESOLVED absolute redirect target (`redirectCol`, NULL =
+    * terminal response). Each start URL walks its chain; outcomes:
+    *
+    *   - `ok` — reached a terminal page (`final_url` = it),
+    *   - `loop` — the next hop re-enters the walked path (`final_url`
+    *     = the URL that closed the cycle),
+    *   - `dangling` — the next hop was never fetched (`final_url` =
+    *     the missing URL: the frontier feed for the next crawl pass),
+    *   - `hop_limit` — still redirecting after `maxHops` lookups
+    *     (`final_url` = the last URL reached).
+    *
+    * Scale shape: `maxHops` hash JOINS on the URL key (pointer
+    * chasing — each round looks the current URL up in the edge
+    * table), never an unbounded recursion; browsers cap chains at
+    * ~20 hops, crawlers at 5–10, so the bound is semantic, not a
+    * compromise. The walked path is carried as a bounded array
+    * (≤ maxHops+1 URLs) for loop detection. For chains known to be
+    * shallow the joins broadcast when the edge table does; a full
+    * crawl's edge table hash-partitions and each round is one
+    * shuffle-free probe of the same partitioning. Rows finish early
+    * (`ok`/`loop`/`dangling`) and ride the remaining rounds untouched
+    * — the per-round work shrinks to the surviving walkers.
+    *
+    * Output: `urlCol`, `final_url`, `n_hops` (edges traversed, the
+    * loop-closing edge included), `outcome`.
+    */
+  def followRedirects(pages: DataFrame, urlCol: String, redirectCol: String,
+      maxHops: Int = 5): DataFrame = {
+    require(maxHops >= 1, s"Urls.followRedirects: maxHops must be >= 1, got $maxHops")
+    val internal = Seq("_fr_u", "_fr_next", "_fr_cur", "_fr_path", "_fr_out")
+    val clash = pages.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Urls.followRedirects: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
+    val edges = pages.select(col(urlCol).as("_fr_u"),
+      col(redirectCol).as("_fr_next"))
+    var acc = pages.select(col(urlCol), col(urlCol).as("_fr_cur"),
+      array(col(urlCol)).as("_fr_path"),
+      lit(null).cast("string").as("_fr_out"))
+    for (_ <- 1 to maxHops) {
+      val joined = acc.join(edges, col("_fr_cur") === col("_fr_u"), "left_outer")
+      val finished = col("_fr_out").isNotNull
+      val outcome = when(finished, col("_fr_out"))
+        .when(col("_fr_u").isNull, lit("dangling"))
+        .when(col("_fr_next").isNull, lit("ok"))
+        .when(array_contains(col("_fr_path"), col("_fr_next")), lit("loop"))
+        .otherwise(lit(null).cast("string"))
+      // advancing walkers AND loop-closers both step onto the target
+      // (a loop's final_url is the URL that closed the cycle); the
+      // path only grows on a real advance, so n_hops can count the
+      // loop-closing edge separately
+      val stepping = !finished &&
+        (outcome.isNull || outcome === "loop") && col("_fr_next").isNotNull
+      val advancing = !finished && outcome.isNull
+      acc = joined.select(col(urlCol),
+        when(stepping, col("_fr_next")).otherwise(col("_fr_cur")).as("_fr_cur"),
+        when(advancing, concat(col("_fr_path"), array(col("_fr_next"))))
+          .otherwise(col("_fr_path")).as("_fr_path"),
+        outcome.as("_fr_out"))
+    }
+    acc.select(col(urlCol), col("_fr_cur").as("final_url"),
+      (size(col("_fr_path")) - 1 +
+        when(col("_fr_out") === "loop", 1).otherwise(0)).cast("long")
+        .as("n_hops"),
+      coalesce(col("_fr_out"), lit("hop_limit")).as("outcome"))
+  }
+
   /** Politeness schedule for a fetch frontier: within each host, URLs
     * are serialized into fetch slots and offset by the host's
     * crawl delay ([[RobotsTxt.parseCrawlDelay]] or the default) —

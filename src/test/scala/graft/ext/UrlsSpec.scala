@@ -395,6 +395,34 @@ class UrlsSpec extends SparkSpec {
     assert(e.getMessage.contains("negative default delay"))
   }
 
+  test("followRedirects resolves chains, loops, dangling targets, hop limits") {
+    import spark.implicits._
+    val pages = Seq(
+      ("a", Some("b")), ("b", Some("c")), ("c", None), // 2-edge chain
+      ("d", Some("e")), ("e", Some("d")),              // 2-cycle
+      ("f", Some("x")),                                // dangling target
+      ("s", Some("s"))                                 // self-loop
+    ).toDF("url", "next")
+    val got = Urls.followRedirects(pages, "url", "next", maxHops = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      ("a", "c", 2L, "ok"), ("b", "c", 1L, "ok"), ("c", "c", 0L, "ok"),
+      ("d", "d", 2L, "loop"), ("e", "e", 2L, "loop"),
+      ("f", "x", 1L, "dangling"), ("s", "s", 1L, "loop")))
+    // one extra start above the budget → hop_limit, honestly reported
+    val long = Seq(("p0", Some("p1")), ("p1", Some("p2")), ("p2", Some("p3")),
+      ("p3", Some("p4")), ("p4", None)).toDF("url", "next")
+    val lim = Urls.followRedirects(long, "url", "next", maxHops = 3)
+      .filter(col("url") === "p0")
+      .select("final_url", "n_hops", "outcome").head()
+    assert((lim.getString(0), lim.getLong(1), lim.getString(2))
+      === (("p3", 3L, "hop_limit")))
+    val e = intercept[IllegalArgumentException](
+      Urls.followRedirects(pages, "url", "next", maxHops = 0))
+    assert(e.getMessage.contains("maxHops"))
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
