@@ -558,6 +558,72 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("url")
   }
 
+  /** Per-segment language profiling as a hash gate
+    * ([[graft.ext.TextAnalysis.segmentLangProfile]]): doc-level
+    * language ID buries the minority language of a code-switching
+    * page — the profile classifies per LINE (mC4/CCNet's per-paragraph
+    * discipline). Branches per doc: monolingual EN, EN-majority mixed,
+    * ES-majority mixed, and an unclassifiable zero-stopword segment
+    * beside one EN line (counted in `n_segments`, honest `unknown` —
+    * never the argmax tie-break's first language); every doc carries
+    * a short `nav` line that the `minChars` floor drops. `n_fr` is
+    * emitted to pin that the Spanish lines' `la` hit (a French
+    * stopword too) never flips a segment. The oracle restates the
+    * whole profile per branch.
+    */
+  def segmentLangs(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(4))
+    val ks = k.cast("string")
+    val en = concat(lit("the cat is in the house "), ks)
+    val es = concat(lit("el perro es de la casa "), ks)
+    val unk = concat(lit("zzzz qqqq wwww rrrr tttt "), ks)
+    val text = when(k === 0, concat_ws("\n", en, lit("nav"), en, en))
+      .when(k === 1, concat_ws("\n", en, en, lit("nav"), es))
+      .when(k === 2, concat_ws("\n", en, es, es))
+      .otherwise(concat_ws("\n", unk, lit("nav"), en))
+    val profile = graft.ext.TextAnalysis.segmentLangProfile(text)
+    t(s, d, "documents").select(col("doc_id"), profile.as("p"))
+      .select(col("doc_id"),
+        col("p.n_segments").as("n_segments"),
+        col("p.n_classified").as("n_classified"),
+        col("p.n_en").as("n_en"), col("p.n_es").as("n_es"),
+        col("p.n_fr").as("n_fr"),
+        col("p.majority_lang").as("majority_lang"),
+        col("p.is_mixed").as("is_mixed"))
+      .orderBy("doc_id")
+  }
+
+  /** In-doc repeated-line scrubbing as a hash gate
+    * ([[graft.ext.TextAnalysis.dropRepeatedLines]]): scraped pages
+    * repeat navigation rows and banners throughout the body, and a
+    * Gopher-style duplicate-line FILTER would discard such docs
+    * wholesale where this rewrite saves them. Per doc (branch on
+    * k = doc_id % 3): a clean single-line doc passes untouched, and a
+    * seven-line doc loses its CASE-VARIANT repeat and its exact
+    * repeat (first occurrence kept in ORIGINAL form) while the blank
+    * structural line survives. The oracle restates the rebuilt text
+    * byte-for-byte per branch.
+    */
+  def repeatedLineScrub(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val m = pmod(i, lit(5)).cast("string")
+    val text = when(pmod(i, lit(3)) === 0, concat(lit("only line "), i))
+      .otherwise(concat_ws("\n",
+        concat(lit("Nav Bar "), m),
+        concat(lit("unique content A "), i),
+        concat(lit("nav bar "), m), // case-variant repeat → removed
+        lit(""),                    // blank structural line → kept
+        concat(lit("unique content B "), i),
+        concat(lit("Nav Bar "), m), // exact repeat → removed
+        concat(lit("tail "), i)))
+    val scrub = graft.ext.TextAnalysis.dropRepeatedLines(text)
+    t(s, d, "documents").select(col("doc_id"), scrub.as("r"))
+      .select(col("doc_id"), col("r.text").as("text"),
+        col("r.n_removed").as("n_removed"))
+      .orderBy("doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -804,6 +870,40 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  outcome, 'http://s' || m || '.com/hop/' || fin AS final_url,
         |  CAST(hops AS BIGINT) AS n_hops
         |FROM d, jt ORDER BY url""".stripMargin,
+
+    // the whole per-branch profile restated: segment counts after the
+    // minChars floor, per-language line counts, majority with the
+    // langOrder tie-break, the mixed flag, and the unknown segment
+    // that must never inherit the argmax default
+    "q239_segment_langs" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 4 AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN k = 0 THEN 3 WHEN k = 1 THEN 3 WHEN k = 2 THEN 3
+        |       ELSE 2 END AS n_segments,
+        |  CASE WHEN k = 3 THEN 1 ELSE 3 END AS n_classified,
+        |  CASE WHEN k = 0 THEN 3 WHEN k = 1 THEN 2 WHEN k = 2 THEN 1
+        |       ELSE 1 END AS n_en,
+        |  CASE WHEN k = 1 THEN 1 WHEN k = 2 THEN 2 ELSE 0 END AS n_es,
+        |  0 AS n_fr,
+        |  CASE WHEN k = 2 THEN 'es' ELSE 'en' END AS majority_lang,
+        |  k IN (1, 2) AS is_mixed
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the rebuilt text restated byte-for-byte: case-variant and exact
+    // repeats die (first occurrence in ORIGINAL form), the blank
+    // structural line survives, clean docs pass untouched
+    "q240_repeated_line_scrub" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 5 AS VARCHAR) AS m
+        |    FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN i % 3 = 0 THEN 'only line ' || i
+        |       ELSE 'Nav Bar ' || m || chr(10) ||
+        |            'unique content A ' || i || chr(10) ||
+        |            chr(10) ||
+        |            'unique content B ' || i || chr(10) ||
+        |            'tail ' || i END AS text,
+        |  CASE WHEN i % 3 = 0 THEN 0 ELSE 2 END AS n_removed
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -281,6 +281,8 @@ object SparkEntry {
     "q236_html_metadata" -> ((s, d) => PipelinesExt.htmlMetadata(s, d)),
     "q237_anchor_text_graph" -> ((s, d) => PipelinesExt.anchorTextGraph(s, d)),
     "q238_redirect_chains" -> ((s, d) => PipelinesExt.redirectChains(s, d)),
+    "q239_segment_langs" -> ((s, d) => PipelinesExt.segmentLangs(s, d)),
+    "q240_repeated_line_scrub" -> ((s, d) => PipelinesExt.repeatedLineScrub(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

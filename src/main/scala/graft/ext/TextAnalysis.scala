@@ -95,6 +95,91 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     }
   }
 
+  /** Per-SEGMENT language profile — the code-switching story doc-level
+    * [[predictedLang]] cannot tell: real crawl pages interleave
+    * languages (boilerplate in one, content in another; forum quotes;
+    * mC4/CCNet run language-ID per paragraph for exactly this), and a
+    * doc-level argmax silently buries the minority language. Segments
+    * are newline-split lines of at least `minChars` trimmed chars
+    * (shorter lines are navigation/noise, not classifiable prose);
+    * each classifies with the [[predictedLang]] heuristic, except that
+    * a segment with ZERO stopword hits is honestly `unknown` rather
+    * than inheriting the argmax's first-language tie-break.
+    *
+    * One pure HOF expression over the line split — no UDF, no
+    * shuffle, profile cost rides the scan. Output struct:
+    * `n_segments`, `n_classified`, per-language counts
+    * (`n_<lang>`), `majority_lang` (most segments, [[langOrder]]
+    * tie-break; NULL when nothing classified), and `is_mixed`
+    * (2+ languages present among classified segments).
+    */
+  def segmentLangProfile(text: Column, minChars: Int = 10): Column = {
+    val segs = filter(split(coalesce(text, lit("")), "\n"),
+      s => length(trim(s)) >= minChars)
+    val langs = transform(segs, s => {
+      val anyHit = langOrder.map(l => langScore(s, l) > 0).reduce(_ || _)
+      when(anyHit, predictedLang(s)).otherwise(lit(null).cast("string"))
+    })
+    val counts = langOrder.map(l =>
+      l -> size(filter(langs, x => x.isNotNull && x === l)))
+    val nClassified = counts.map(_._2).reduce(_ + _)
+    // majority: most segments, earlier langOrder wins ties (the
+    // predictedLang fold, one level up)
+    val majority = counts.zipWithIndex.foldLeft(lit(null).cast("string")) {
+      case (acc, ((l, c), i)) =>
+        val beatsAll = counts.zipWithIndex.collect {
+          case ((_, c2), j) if j < i => c > c2
+          case ((_, c2), j) if j > i => c >= c2
+        }.reduceOption(_ && _).getOrElse(lit(true))
+        when(acc.isNull && c > 0 && beatsAll, lit(l)).otherwise(acc)
+    }
+    val nLangs = counts.map { case (_, c) => when(c > 0, 1).otherwise(0) }
+      .reduce(_ + _)
+    struct(
+      (size(segs).as("n_segments") +:
+        nClassified.as("n_classified") +:
+        counts.map { case (l, c) => c.as(s"n_$l") } :+
+        majority.as("majority_lang") :+
+        (nLangs >= 2).as("is_mixed")): _*)
+  }
+
+  /** Drop REPEATED lines within a document, keeping each line's FIRST
+    * occurrence — the in-doc half of boilerplate removal (cross-doc
+    * spans are [[scrubDupSpans]]'): scraped pages repeat navigation
+    * rows, cookie banners, and share-bar lines throughout the body,
+    * and Gopher-style `duplicate line fraction` FILTERS discard such
+    * docs wholesale when a rewrite would save them. Lines compare
+    * NORMALIZED (trimmed, lowercased — a case-variant repeat is the
+    * same boilerplate) but the kept line is the original form; blank
+    * lines are structure, not content, and always survive.
+    *
+    * One `aggregate` HOF threading a (seen, kept) accumulator across
+    * the line split — no UDF, no shuffle; `array_contains` against
+    * the seen set is O(lines²) per DOC, bounded by document size,
+    * never corpus size. Output struct: `text` (rebuilt, `\n`-joined),
+    * `n_removed`.
+    */
+  def dropRepeatedLines(text: Column): Column = {
+    val lines = split(coalesce(text, lit("")), "\n")
+    val init = struct(
+      array().cast("array<string>").as("seen"),
+      array().cast("array<string>").as("kept"),
+      lit(0).as("removed"))
+    aggregate(lines, init, (a, l) => {
+      val norm = trim(lower(l))
+      val isBlank = norm === ""
+      val dup = !isBlank && array_contains(a.getField("seen"), norm)
+      struct(
+        when(isBlank || dup, a.getField("seen"))
+          .otherwise(concat(a.getField("seen"), array(norm))).as("seen"),
+        when(dup, a.getField("kept"))
+          .otherwise(concat(a.getField("kept"), array(l))).as("kept"),
+        (a.getField("removed") + when(dup, 1).otherwise(0)).as("removed"))
+    }, a => struct(
+      array_join(a.getField("kept"), "\n").as("text"),
+      a.getField("removed").as("n_removed")))
+  }
+
   /** Term statistics for TF-IDF-style weighting: explode tokens →
     * per-(doc, term) term frequency ⋈ per-term document frequency.
     * `idf_ratio` = N/df is emitted instead of ln(N/df): the ratio of

@@ -635,6 +635,12 @@ object Urls {
     * (`ok`/`loop`/`dangling`) and ride the remaining rounds untouched
     * — the per-round work shrinks to the surviving walkers.
     *
+    * Contract: ONE row per URL (`pages` is a fetch log keyed by the
+    * fetched URL — the [[applyRobotsRulesFrom]] rules-table
+    * discipline). A duplicated URL would both duplicate its own walk
+    * and fan out every lookup that passes through it; dedup upstream
+    * (`groupBy(url).agg(first(...))` on refetches) before walking.
+    *
     * Output: `urlCol`, `final_url`, `n_hops` (edges traversed, the
     * loop-closing edge included), `outcome`.
     */

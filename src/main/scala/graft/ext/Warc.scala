@@ -365,7 +365,9 @@ object Warc {
     * layout [[GzipMemberStream]] consumes). Memory per task is one
     * blob's records — the writer-side mirror of the reader's
     * one-record bound; callers size blobs accordingly (crawl archives
-    * target ~1 GB compressed).
+    * target ~1 GB compressed). `ordCol` must be unique within an id —
+    * ties would fall through to comparing the later struct fields
+    * (payload bytes included), an order nobody intended.
     *
     * Output: one row per id — (idCol long, `warc_blob` binary).
     */

@@ -248,6 +248,26 @@ object ScaleCheck {
           sum(col("text_len")).as("sum_text_len"),
           sum(col("title_len")).as("sum_title_len"))
     }
+    // Tier — WARC write→read round trip (r16): the container's output
+    // side at archive shape — 64 records per blob (one shuffle groups
+    // them), per-record gzip members on the write, streaming
+    // member-exact decode on the read; wall should track payload bytes
+    // linearly (both legs are narrow passes around the one re-shard).
+    def tierWarcRoundTrip(s: Int): DataFrame = {
+      val recs = docs(s).select(
+        floor(col("doc_id") / 64).cast("long").as("blob_id"),
+        col("doc_id").as("ord"), lit("response").as("t"),
+        concat(lit("http://w"), pmod(col("doc_id"), lit(1000)).cast("string"),
+          lit(".com/p")).as("u"),
+        concat(lit("<urn:uuid:"), col("doc_id"), lit(">")).as("r"),
+        encode(col("text"), "UTF-8").as("p"))
+      val blobs = graft.ext.Warc.buildWarcColumn(recs, "blob_id", "ord",
+        "t", "u", "r", "p", gzipped = true)
+      graft.ext.Warc.parseWarcColumn(blobs, "blob_id", "warc_blob",
+          gzipped = true)
+        .agg(count(lit(1)).as("n_records"),
+          sum(col("content_length")).as("total_bytes"))
+    }
     // Tier C — GlobalIndex dense rank over a total order (the q108
     // curriculum shape): range exchange + per-partition numbering.
     def tierGlobalIndex(s: Int): DataFrame = {
@@ -501,7 +521,8 @@ object ScaleCheck {
       ("image_resize_hash_fused", tierImageResizeFused),
       ("image_band16_join", tierBandJoin(16)),
       ("image_band32_join", tierBandJoin(32)),
-      ("crawl_extract_stack", tierCrawlStack))
+      ("crawl_extract_stack", tierCrawlStack),
+      ("warc_write_read", tierWarcRoundTrip))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers

@@ -522,6 +522,55 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrain(trainSep, "text", numMerges = 1) ==
       TextAnalysis.bpeTrain(trainClean, "text", numMerges = 1))
   }
+
+  test("segmentLangProfile classifies per line; zero-hit segments stay unknown") {
+    val en = "the cat is in the house"
+    val es = "el perro es de la casa"
+    val unk = "zzzz qqqq wwww rrrr tttt"
+    val got = Seq(s"$en\nshort\n$es\n$unk\n$en").toDF("text")
+      .select(TextAnalysis.segmentLangProfile(col("text")).as("p"))
+      .select("p.n_segments", "p.n_classified", "p.n_en", "p.n_es",
+        "p.n_fr", "p.majority_lang", "p.is_mixed")
+      .head()
+    // 'short' dies at the minChars floor; the zero-hit line counts as
+    // a segment but never classifies; es's 'la' (also a French
+    // stopword) must not flip the line to fr
+    assert((got.getInt(0), got.getInt(1), got.getInt(2), got.getInt(3),
+      got.getInt(4), got.getString(5), got.getBoolean(6))
+      === ((4, 3, 2, 1, 0, "en", true)))
+    // equal counts tie toward langOrder (en before es); NULL text is
+    // an empty profile with a NULL majority
+    val tie = Seq(s"$en\n$es").toDF("text")
+      .select(TextAnalysis.segmentLangProfile(col("text"))
+        .getField("majority_lang")).as[String].head()
+    assert(tie === "en")
+    val empty = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.segmentLangProfile(col("text")).as("p"))
+      .select("p.n_segments", "p.majority_lang", "p.is_mixed").head()
+    assert(empty.getInt(0) === 0)
+    assert(empty.isNullAt(1))
+    assert(empty.getBoolean(2) === false)
+  }
+
+  test("dropRepeatedLines keeps first occurrences in original form, blanks survive") {
+    val text = "Nav Bar\ncontent a\nnav bar\n\ncontent b\n\nNav Bar\ncontent a"
+    val got = Seq(text).toDF("text")
+      .select(TextAnalysis.dropRepeatedLines(col("text")).as("r"))
+      .select("r.text", "r.n_removed").head()
+    // case-variant 'nav bar' and exact repeats die; the FIRST form
+    // ('Nav Bar', capitalized) is what survives; both blanks stay
+    assert(got.getString(0) === "Nav Bar\ncontent a\n\ncontent b\n")
+    assert(got.getInt(1) === 3)
+    // no-op on clean docs and on NULL
+    val clean = Seq("a\nb").toDF("text")
+      .select(TextAnalysis.dropRepeatedLines(col("text")).as("r"))
+      .select("r.text", "r.n_removed").head()
+    assert((clean.getString(0), clean.getInt(1)) === (("a\nb", 0)))
+    val nul = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.dropRepeatedLines(col("text")).as("r"))
+      .select("r.text", "r.n_removed").head()
+    assert((nul.getString(0), nul.getInt(1)) === (("", 0)))
+  }
 }
 
 class PerceptronSpec extends SparkSpec {
