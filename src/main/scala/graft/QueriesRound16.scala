@@ -624,6 +624,82 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** Gopher quality rules as a hash gate
+    * ([[graft.ext.TextAnalysis.gopherQualityFlags]], Rae et al. 2021
+    * §A1.1): the published document-level filter battery between
+    * extraction and dedup. Eight branch texts each trip ONE rule
+    * where the arithmetic allows isolation — good prose (passes all),
+    * too few words, gibberish mean word length 171/13, `#`-suffixed
+    * words at symbol ratio 1, an all-bullet list page (alpha and mean
+    * sit exactly ON their 0.8 / 3.0 bounds — boundary-inclusive),
+    * ellipsis-trailing lines (ALSO trips the symbol rule — Gopher
+    * counts `...` as a symbol, the coupling is faithful), digit soup
+    * at alpha 4/12, and stopword-free prose. Every ratio is stated in
+    * the oracle as the same integer division the operator performs.
+    */
+  def gopherQuality(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(8))
+    val text = when(k === 0, lit(
+        "the quick brown fox jumps over the lazy dog today.\n" +
+        "we have many fine words here to read and enjoy now."))
+      .when(k === 1, lit("short doc only."))
+      .when(k === 2, lit((Seq.fill(5)("extraordinarily") ++ Seq("the") ++
+        Seq.fill(5)("extraordinarily") ++ Seq("and", "extraordinarily"))
+        .mkString(" ")))
+      .when(k === 3,
+        lit("the# tag# has# many# hash# marks# and# more# here# now#"))
+      .when(k === 4, lit(Seq.fill(4)("- the item and more").mkString("\n")))
+      .when(k === 5, lit("the story continues longer...\n" +
+        "we have more words here\nit trails away again...\n" +
+        "and the plot thickens now\nfading out at last..."))
+      .when(k === 6, lit("the and 111 222 333 444 555 666 777 12345 cat dog."))
+      .otherwise(lit("cats enjoy naps under warm sun during quiet " +
+        "afternoons here."))
+    val flags = graft.ext.TextAnalysis.gopherQualityFlags(text,
+      minWords = 10, maxWords = 1000)
+    t(s, d, "documents").select(col("doc_id"), flags.as("g"))
+      .select(col("doc_id"), col("g.n_words").as("n_words"),
+        col("g.mean_word_len").as("mean_word_len"),
+        col("g.symbol_ratio").as("symbol_ratio"),
+        col("g.bullet_line_ratio").as("bullet_line_ratio"),
+        col("g.ellipsis_line_ratio").as("ellipsis_line_ratio"),
+        col("g.alpha_word_ratio").as("alpha_word_ratio"),
+        col("g.n_stopword_hits").as("n_stopword_hits"),
+        col("g.pass").as("pass"))
+      .orderBy("doc_id")
+  }
+
+  /** C4 line-level cleaning as a hash gate
+    * ([[graft.ext.TextAnalysis.c4CleanLines]], Raffel et al. 2020
+    * §2.2): the REWRITE battery — terminal punctuation required
+    * (`"`-quoted endings count), the 3-word line floor, curly-brace /
+    * `javascript` / `lorem ipsum` line drops, and the ≥ 3-kept-lines
+    * doc flag. Branch 0 keeps three lines (doc survives), branch 1
+    * keeps two (doc flagged out), branch 2 is boilerplate-only (empty
+    * rebuild). The oracle restates the rebuilt text byte-for-byte.
+    */
+  def c4LineClean(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(3))
+    val bad = "short one.\nNo terminal punctuation here\n" +
+      "This has code { inside } here.\n" +
+      "Please enable javascript to continue.\n" +
+      "We offer lorem ipsum filler text."
+    val text = when(k === 0, lit(
+        "This line is a fine sentence.\n" + bad +
+        "\nAnother good sentence stands here!\n" +
+        "He said \"yes it works.\""))
+      .when(k === 1, lit(
+        "This line is a fine sentence.\n" + bad +
+        "\nAnother good sentence stands here!"))
+      .otherwise(lit(bad))
+    val cleaned = graft.ext.TextAnalysis.c4CleanLines(text)
+    t(s, d, "documents").select(col("doc_id"), cleaned.as("c"))
+      .select(col("doc_id"), col("c.text").as("text"),
+        col("c.n_kept").as("n_kept"), col("c.n_dropped").as("n_dropped"),
+        col("c.keep_doc").as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -903,6 +979,55 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |            'unique content B ' || i || chr(10) ||
         |            'tail ' || i END AS text,
         |  CASE WHEN i % 3 = 0 THEN 0 ELSE 2 END AS n_removed
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // every ratio stated as the SAME integer division the operator
+    // performs (IEEE-identical across engines); pass only for the
+    // good-prose branch
+    "q241_gopher_quality" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 8 AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE k WHEN 0 THEN 21 WHEN 1 THEN 3 WHEN 2 THEN 13
+        |         WHEN 3 THEN 10 WHEN 4 THEN 20 WHEN 5 THEN 22
+        |         WHEN 6 THEN 12 ELSE 10 END AS n_words,
+        |  CASE k WHEN 0 THEN CAST(82 AS DOUBLE)/21
+        |         WHEN 1 THEN CAST(13 AS DOUBLE)/3
+        |         WHEN 2 THEN CAST(171 AS DOUBLE)/13
+        |         WHEN 3 THEN CAST(46 AS DOUBLE)/10
+        |         WHEN 4 THEN CAST(60 AS DOUBLE)/20
+        |         WHEN 5 THEN CAST(104 AS DOUBLE)/22
+        |         WHEN 6 THEN CAST(39 AS DOUBLE)/12
+        |         ELSE CAST(51 AS DOUBLE)/10 END AS mean_word_len,
+        |  CASE k WHEN 3 THEN CAST(10 AS DOUBLE)/10
+        |         WHEN 5 THEN CAST(3 AS DOUBLE)/22
+        |         ELSE CAST(0 AS DOUBLE) END AS symbol_ratio,
+        |  CASE k WHEN 4 THEN CAST(4 AS DOUBLE)/4
+        |         ELSE CAST(0 AS DOUBLE) END AS bullet_line_ratio,
+        |  CASE k WHEN 5 THEN CAST(3 AS DOUBLE)/5
+        |         ELSE CAST(0 AS DOUBLE) END AS ellipsis_line_ratio,
+        |  CASE k WHEN 4 THEN CAST(16 AS DOUBLE)/20
+        |         WHEN 6 THEN CAST(4 AS DOUBLE)/12
+        |         ELSE CAST(1 AS DOUBLE) END AS alpha_word_ratio,
+        |  CASE k WHEN 0 THEN 4 WHEN 1 THEN 0 WHEN 5 THEN 3
+        |         WHEN 7 THEN 0 ELSE 2 END AS n_stopword_hits,
+        |  k = 0 AS pass
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the rebuilt text per branch: terminal-punctuation/word-floor/
+    // brace/javascript/lorem-ipsum drops, quote-terminated lines kept,
+    // the >=3-kept-lines doc flag
+    "q242_c4_line_clean" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 3 AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN k = 0 THEN 'This line is a fine sentence.' || chr(10)
+        |         || 'Another good sentence stands here!' || chr(10)
+        |         || 'He said "yes it works."'
+        |       WHEN k = 1 THEN 'This line is a fine sentence.' || chr(10)
+        |         || 'Another good sentence stands here!'
+        |       ELSE '' END AS text,
+        |  CASE WHEN k = 0 THEN 3 WHEN k = 1 THEN 2 ELSE 0 END AS n_kept,
+        |  5 AS n_dropped,
+        |  k = 0 AS keep_doc
         |FROM d ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder

@@ -283,6 +283,8 @@ object SparkEntry {
     "q238_redirect_chains" -> ((s, d) => PipelinesExt.redirectChains(s, d)),
     "q239_segment_langs" -> ((s, d) => PipelinesExt.segmentLangs(s, d)),
     "q240_repeated_line_scrub" -> ((s, d) => PipelinesExt.repeatedLineScrub(s, d)),
+    "q241_gopher_quality" -> ((s, d) => PipelinesExt.gopherQuality(s, d)),
+    "q242_c4_line_clean" -> ((s, d) => PipelinesExt.c4LineClean(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

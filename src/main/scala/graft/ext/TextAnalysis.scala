@@ -180,6 +180,100 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
       a.getField("removed").as("n_removed")))
   }
 
+  /** Gopher word-level stopwords (Rae et al. 2021 §A1.1's "must
+    * contain 2 of" list) — distinct from the language-ID lists above:
+    * these gate QUALITY, not language.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021 §A1.1) as
+    * one metrics+flags struct — the published document-level heuristic
+    * battery between raw extraction and dedup. Emitted per doc:
+    *
+    *   - `n_words`, `mean_word_len` (non-whitespace chars / words),
+    *   - `symbol_ratio` (`#` and `...` occurrences per word),
+    *   - `bullet_line_ratio` / `ellipsis_line_ratio` (lines starting
+    *     with a bullet glyph / ending with `...`),
+    *   - `alpha_word_ratio` (words containing ≥ 1 ASCII letter),
+    *   - `n_stopword_hits` (distinct [[GopherStopwords]] present),
+    *   - `pass` — the conjunction at the paper's published thresholds
+    *     (parameterized; word bounds scaled to the caller's corpus).
+    *
+    * Counts are exact integers and every ratio is a single division of
+    * exact integers, so the whole battery replays in the oracle. One
+    * pure expression over the token/line splits — no UDF, no shuffle.
+    */
+  def gopherQualityFlags(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000, minMeanWordLen: Double = 3.0,
+      maxMeanWordLen: Double = 10.0, maxSymbolRatio: Double = 0.1,
+      maxBulletRatio: Double = 0.9, maxEllipsisRatio: Double = 0.3,
+      minAlphaRatio: Double = 0.8, minStopwordHits: Int = 2): Column = {
+    val t = coalesce(text, lit(""))
+    val words = tokens(t)
+    val nWords = size(words)
+    val nChars = length(regexp_replace(t, "\\s+", ""))
+    val meanLen = when(nWords > 0,
+      nChars.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val nSymbols = countMatches(t, "#") + countMatches(t, "\\.\\.\\.")
+    val symbolRatio = when(nWords > 0,
+      nSymbols.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val lines = filter(split(t, "\n"), l => trim(l) =!= "")
+    val nLines = size(lines)
+    val nBullet = size(filter(lines, l =>
+      trim(l).rlike("^[\\u2022\\-\\*]")))
+    val nEllipsis = size(filter(lines, l => trim(l).endsWith("...")))
+    val bulletRatio = when(nLines > 0,
+      nBullet.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val ellipsisRatio = when(nLines > 0,
+      nEllipsis.cast("double") / nLines.cast("double")).otherwise(lit(0.0))
+    val nAlpha = size(filter(words, w => w.rlike("[A-Za-z]")))
+    val alphaRatio = when(nWords > 0,
+      nAlpha.cast("double") / nWords.cast("double")).otherwise(lit(0.0))
+    val hits = GopherStopwords.map(w =>
+        when(lower(t).rlike("(^|[^a-z])" + w + "([^a-z]|$)"), 1).otherwise(0))
+      .reduce(_ + _)
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen &&
+      symbolRatio <= maxSymbolRatio && bulletRatio <= maxBulletRatio &&
+      ellipsisRatio <= maxEllipsisRatio && alphaRatio >= minAlphaRatio &&
+      hits >= minStopwordHits
+    struct(nWords.as("n_words"), meanLen.as("mean_word_len"),
+      symbolRatio.as("symbol_ratio"), bulletRatio.as("bullet_line_ratio"),
+      ellipsisRatio.as("ellipsis_line_ratio"),
+      alphaRatio.as("alpha_word_ratio"), hits.as("n_stopword_hits"),
+      pass.as("pass"))
+  }
+
+  /** C4's line-level cleaning (Raffel et al. 2020 §2.2) as a REWRITE —
+    * keep only lines that end in terminal punctuation (`.` `!` `?`
+    * `"`), carry at least `minLineWords` words, and contain neither a
+    * curly brace (code, not prose), the word `javascript`
+    * (enable-JS boilerplate), nor `lorem ipsum`; the doc-level
+    * `keep_doc` flag requires `minKeptLines` surviving lines. One
+    * filter-HOF over the line split, counts exact. Output struct:
+    * `text` (kept lines re-joined), `n_kept`, `n_dropped`,
+    * `keep_doc`.
+    */
+  def c4CleanLines(text: Column, minLineWords: Int = 3,
+      minKeptLines: Int = 3): Column = {
+    val lines = filter(split(coalesce(text, lit("")), "\n"),
+      l => trim(l) =!= "")
+    val kept = filter(lines, l => {
+      val lt = trim(l)
+      val low = lower(lt)
+      lt.rlike("[.!?\"]$") &&
+        size(tokens(lt)) >= minLineWords &&
+        !low.contains("{") && !low.contains("javascript") &&
+        !low.contains("lorem ipsum")
+    })
+    struct(
+      array_join(kept, "\n").as("text"),
+      size(kept).as("n_kept"),
+      (size(lines) - size(kept)).as("n_dropped"),
+      (size(kept) >= minKeptLines).as("keep_doc"))
+  }
+
   /** Term statistics for TF-IDF-style weighting: explode tokens →
     * per-(doc, term) term frequency ⋈ per-term document frequency.
     * `idf_ratio` = N/df is emitted instead of ln(N/df): the ratio of

@@ -552,6 +552,49 @@ class TextAnalysisSpec extends SparkSpec {
     assert(empty.getBoolean(2) === false)
   }
 
+  test("gopherQualityFlags: boundary inclusivity, unicode bullets, word-bounded stopwords") {
+    def flags(t: String, minWords: Int = 2) =
+      Seq(t).toDF("text")
+        .select(TextAnalysis.gopherQualityFlags(col("text"),
+          minWords = minWords).as("g"))
+        .select("g.n_words", "g.bullet_line_ratio", "g.alpha_word_ratio",
+          "g.n_stopword_hits", "g.pass").head()
+    // '•' bullets count like '-'/'*'; ratio exactly at 0.9 would pass,
+    // 1.0 fails
+    val b = flags("• the cat and dog")
+    assert(b.getDouble(1) === 1.0)
+    assert(!b.getBoolean(4))
+    // 'to' inside 'afternoons' must NOT hit (word-bounded match);
+    // a doc with zero hits fails the stopword floor alone
+    val s = flags("cats nap during quiet afternoons here today now")
+    assert(s.getInt(3) === 0)
+    assert(!s.getBoolean(4))
+    // empty/NULL text: all-zero metrics, fails the word floor
+    val e = Seq((1L, null: String)).toDF("id", "text")
+      .select(TextAnalysis.gopherQualityFlags(col("text")).as("g"))
+      .select("g.n_words", "g.mean_word_len", "g.pass").head()
+    assert((e.getInt(0), e.getDouble(1), e.getBoolean(2)) === ((0, 0.0, false)))
+    // a clean passing doc at relaxed minWords
+    val ok = flags("the cat and dog have fun with toys here daily.")
+    assert(ok.getBoolean(4))
+  }
+
+  test("c4CleanLines: terminal punctuation, word floor, boilerplate drops") {
+    def clean(t: String) = Seq(t).toDF("text")
+      .select(TextAnalysis.c4CleanLines(col("text")).as("c"))
+      .select("c.text", "c.n_kept", "c.n_dropped", "c.keep_doc").head()
+    val got = clean("Good long sentence here.\nbad no punct\nshort one.\n" +
+      "Uses { braces } badly.\nEnable JavaScript now please.\n" +
+      "lorem ipsum dolor sit amet.\nHe said \"fine.\"\nAlso quite good!")
+    assert(got.getString(0) ===
+      "Good long sentence here.\nHe said \"fine.\"\nAlso quite good!")
+    assert((got.getInt(1), got.getInt(2), got.getBoolean(3)) === ((3, 5, true)))
+    // everything dropped → empty rebuild, doc flagged out
+    val none = clean("all bad\n{ code }.")
+    assert((none.getString(0), none.getInt(1), none.getBoolean(3))
+      === (("", 0, false)))
+  }
+
   test("dropRepeatedLines keeps first occurrences in original form, blanks survive") {
     val text = "Nav Bar\ncontent a\nnav bar\n\ncontent b\n\nNav Bar\ncontent a"
     val got = Seq(text).toDF("text")
