@@ -700,6 +700,56 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** CDX-indexed WARC random access as a hash gate
+    * ([[graft.ext.Warc.buildWarcColumnIndexed]]): real archives ship a
+    * CDX index beside every `.warc.gz` so one record costs one ranged
+    * read + one member decompression — and this gate PROVES that
+    * access path in-plan: blobs build with their index, each index
+    * entry's `(offset, length)` slices the member back out of the
+    * binary blob with `substring`, the slice parses STANDALONE through
+    * the production reader, and `access_ok` checks the re-parsed URI
+    * and payload md5 against the index entry. Offsets are compressed
+    * byte positions (content-dependent — deliberately NOT emitted;
+    * the digest and the round-tripped fields are the hash surface).
+    * The oracle restates URI/digest/length/text per record and pins
+    * `access_ok` TRUE everywhere.
+    */
+  def warcCdxAccess(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7)).cast("string")
+    val recs = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(3)))).as("j"))
+      .select(col("doc_id"), col("j"), lit("response").as("warc_type"),
+        concat(lit("http://cdx"), k, lit(".com/p/"), col("j"))
+          .as("target_uri"),
+        concat(lit("<urn:uuid:cdx-"), i, lit("-"), col("j"), lit(">"))
+          .as("record_id"),
+        encode(concat(lit("cdx body é"), k, lit(" rec "), i, lit("-"),
+          col("j")), "UTF-8").as("payload"))
+    val indexed = graft.ext.Warc.buildWarcColumnIndexed(recs, "doc_id", "j",
+      "warc_type", "target_uri", "record_id", "payload")
+    val entries = indexed
+      .select(col("doc_id"), col("warc_blob"), explode(col("cdx")).as("e"))
+      .select((col("doc_id") * 4 + col("e.rec_idx")).as("uid"),
+        col("doc_id"), col("e.rec_idx").as("rec_idx"),
+        col("e.target_uri").as("indexed_uri"), col("e.digest").as("digest"),
+        // the ranged read: one member sliced straight out of the blob
+        substring(col("warc_blob"), (col("e.offset") + 1).cast("int"),
+          col("e.length").cast("int")).as("member"))
+    val reparsed = graft.ext.Warc.parseWarcColumn(
+      entries.select(col("uid"), col("member")), "uid", "member",
+      gzipped = true)
+    entries.drop("member")
+      .join(reparsed.select(col("uid"), col("target_uri"),
+        col("content_length"), col("payload")), Seq("uid"))
+      .select(col("doc_id"), col("rec_idx"), col("indexed_uri"),
+        col("digest"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("body_text"),
+        (col("target_uri") === col("indexed_uri") &&
+          md5(col("payload")) === col("digest")).as("access_ok"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -1029,6 +1079,24 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  5 AS n_dropped,
         |  k = 0 AS keep_doc
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // uri/digest/length/text restated per record (md5 over the same
+    // UTF-8 bytes both sides), access_ok pinned TRUE — a wrong offset,
+    // a torn member, or a digest drift would flip it
+    "q243_warc_cdx_access" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |    FROM documents),
+        |js AS (SELECT 0 AS j UNION ALL SELECT 1 UNION ALL SELECT 2),
+        |r AS (SELECT i, k, j,
+        |    'cdx body é' || k || ' rec ' || i || '-' || j AS txt
+        |  FROM d, js WHERE j <= i % 3)
+        |SELECT i AS doc_id, j AS rec_idx,
+        |  'http://cdx' || k || '.com/p/' || j AS indexed_uri,
+        |  md5(txt) AS digest,
+        |  octet_length(encode(txt)) AS content_length,
+        |  txt AS body_text,
+        |  TRUE AS access_ok
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

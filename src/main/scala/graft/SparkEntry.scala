@@ -285,6 +285,7 @@ object SparkEntry {
     "q240_repeated_line_scrub" -> ((s, d) => PipelinesExt.repeatedLineScrub(s, d)),
     "q241_gopher_quality" -> ((s, d) => PipelinesExt.gopherQuality(s, d)),
     "q242_c4_line_clean" -> ((s, d) => PipelinesExt.c4LineClean(s, d)),
+    "q243_warc_cdx_access" -> ((s, d) => PipelinesExt.warcCdxAccess(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -375,29 +375,85 @@ object Warc {
       typeCol: String, uriCol: String, recIdCol: String,
       payloadCol: String, gzipped: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
-    val grouped = df
-      .groupBy(col(idCol).cast("long").as(idCol))
-      .agg(sort_array(collect_list(struct(
-        col(ordCol).cast("long").as("o"),
-        col(typeCol).as("t"), col(uriCol).as("u"),
-        col(recIdCol).as("r"), col(payloadCol).as("p")))).as("_recs"))
     val schema = StructType(Seq(
       StructField(idCol, LongType, nullable = false),
       StructField("warc_blob", BinaryType, nullable = false)))
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
       org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
-    grouped.mapPartitions { it =>
-      it.map { row =>
-        val id = row.getLong(0)
-        val bos = new java.io.ByteArrayOutputStream()
-        row.getSeq[Row](1).foreach { r =>
-          val rec = buildRecordBytes(r.getString(1), r.getString(2),
-            r.getString(3), r.getAs[Array[Byte]](4))
-          bos.write(if (gzipped) gzipMember(rec) else rec)
+    groupedRecords(df, idCol, ordCol, typeCol, uriCol, recIdCol, payloadCol)
+      .mapPartitions { it =>
+        it.map { row =>
+          val bos = new java.io.ByteArrayOutputStream()
+          row.getSeq[Row](1).foreach { r =>
+            val rec = buildRecordBytes(r.getString(1), r.getString(2),
+              r.getString(3), r.getAs[Array[Byte]](4))
+            bos.write(if (gzipped) gzipMember(rec) else rec)
+          }
+          Row(row.getLong(0), bos.toByteArray)
         }
-        Row(id, bos.toByteArray)
-      }
-    }(enc)
+      }(enc)
+  }
+
+  private def groupedRecords(df: DataFrame, idCol: String, ordCol: String,
+      typeCol: String, uriCol: String, recIdCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(col(idCol).cast("long").as(idCol))
+      .agg(sort_array(collect_list(struct(
+        col(ordCol).cast("long").as("o"),
+        col(typeCol).as("t"), col(uriCol).as("u"),
+        col(recIdCol).as("r"), col(payloadCol).as("p")))).as("_recs"))
+  }
+
+  /** [[buildWarcColumn]] with a CDX-style per-record index — the
+    * random-access companion every real web archive ships beside its
+    * `.warc.gz` files (Common Crawl's CDXJ): because the gzipped
+    * layout is one MEMBER per record, a reader can fetch one record
+    * with one ranged read of `length` bytes at `offset` and one
+    * member decompression — no scan of the file. Gzipped only (the
+    * layout that makes the index useful). The index rides the blob
+    * row as `cdx: array<struct<target_uri, rec_idx, offset, length,
+    * digest>>` — offsets are COMPRESSED byte positions in
+    * `warc_blob`, `digest` is the payload's md5 hex (the CDX content
+    * digest, dedup's cheap first pass). Same one-shuffle plan as the
+    * writer; the index falls out of the serialization loop for free.
+    */
+  def buildWarcColumnIndexed(df: DataFrame, idCol: String, ordCol: String,
+      typeCol: String, uriCol: String, recIdCol: String,
+      payloadCol: String): DataFrame = {
+    val cdxType = ArrayType(StructType(Seq(
+      StructField("target_uri", StringType, nullable = false),
+      StructField("rec_idx", IntegerType, nullable = false),
+      StructField("offset", LongType, nullable = false),
+      StructField("length", LongType, nullable = false),
+      StructField("digest", StringType, nullable = false))),
+      containsNull = false)
+    val schema = StructType(Seq(
+      StructField(idCol, LongType, nullable = false),
+      StructField("warc_blob", BinaryType, nullable = false),
+      StructField("cdx", cdxType, nullable = false)))
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema))
+    groupedRecords(df, idCol, ordCol, typeCol, uriCol, recIdCol, payloadCol)
+      .mapPartitions { it =>
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+        it.map { row =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val cdx = Seq.newBuilder[Row]
+          row.getSeq[Row](1).zipWithIndex.foreach { case (r, i) =>
+            val payload = r.getAs[Array[Byte]](4)
+            val member = gzipMember(buildRecordBytes(r.getString(1),
+              r.getString(2), r.getString(3), payload))
+            val offset = bos.size().toLong
+            bos.write(member)
+            md5.reset()
+            val digest = md5.digest(payload)
+              .map(b => f"${b & 0xFF}%02x").mkString
+            cdx += Row(r.getString(2), i, offset, member.length.toLong, digest)
+          }
+          Row(row.getLong(0), bos.toByteArray, cdx.result())
+        }
+      }(enc)
   }
 
   private val recordSchema = StructType(Seq(

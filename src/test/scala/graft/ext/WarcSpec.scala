@@ -205,6 +205,44 @@ class WarcSpec extends SparkSpec {
     assert(np.getMessage.contains("null payload"))
   }
 
+  test("buildWarcColumnIndexed: each cdx entry slices a standalone member") {
+    import spark.implicits._
+    val recs = Seq(
+      (9L, 0L, "response", "u0", "<r0>", "first é".getBytes("UTF-8")),
+      (9L, 1L, "response", "u1", "<r1>", "second".getBytes("UTF-8")),
+      (9L, 2L, "request", "u2", "<r2>", Array.emptyByteArray))
+      .toDF("doc_id", "ord", "t", "u", "r", "p")
+    val out = Warc.buildWarcColumnIndexed(recs, "doc_id", "ord", "t", "u",
+      "r", "p").collect().head
+    val blob = out.getAs[Array[Byte]]("warc_blob")
+    val cdx = out.getSeq[org.apache.spark.sql.Row](2)
+    assert(cdx.map(r => (r.getString(0), r.getInt(1))) ===
+      Seq(("u0", 0), ("u1", 1), ("u2", 2)))
+    // offsets tile the blob exactly: contiguous, gap-free, full cover
+    val spans = cdx.map(r => (r.getLong(2), r.getLong(3)))
+    assert(spans.head._1 === 0L)
+    spans.sliding(2).foreach { case Seq((o1, l1), (o2, _)) =>
+      assert(o1 + l1 === o2)
+    case _ => ()
+    }
+    assert(spans.last._1 + spans.last._2 === blob.length.toLong)
+    // every slice parses standalone and byte-matches its payload
+    val payloads = Seq("first é".getBytes("UTF-8"), "second".getBytes("UTF-8"),
+      Array.emptyByteArray)
+    cdx.zip(payloads).foreach { case (e, expected) =>
+      val member = java.util.Arrays.copyOfRange(blob,
+        e.getLong(2).toInt, (e.getLong(2) + e.getLong(3)).toInt)
+      val rec = Warc.parseRecords(Warc.gunzipMembers(member))
+      assert(rec.size === 1)
+      assert(rec.head.targetUri === e.getString(0))
+      assert(java.util.Arrays.equals(rec.head.payload, expected))
+      // digest is the payload md5 (the CDX content-digest contract)
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      assert(e.getString(4) ===
+        md5.digest(expected).map(b => f"${b & 0xFF}%02x").mkString)
+    }
+  }
+
   test("buildWarcColumn orders records by ordCol and round-trips gzipped") {
     import spark.implicits._
     // records arrive SHUFFLED; the blob must come out in ord order
