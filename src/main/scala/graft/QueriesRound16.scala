@@ -750,6 +750,96 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id", "rec_idx")
   }
 
+  /** Content-type sniffing as a hash gate
+    * ([[graft.ext.Http.sniffContentType]]): real crawl `Content-Type`
+    * headers LIE — PNGs served as `text/html`, gzip as `text/plain` —
+    * and a pipeline that trusts them feeds binary soup into text
+    * operators. Per branch a response whose DECLARED type and actual
+    * body magic agree or disagree: BOM-prefixed real HTML (match),
+    * PNG magic under `text/html` (mismatch), PNG under `image/png`
+    * (match), gzip magic under `text/plain` (mismatch), real PDF
+    * (match), an undeclared `<?xml` (sniffed alone), and plain prose
+    * (the printable fallback). The oracle states declared, sniffed,
+    * and the mismatch verdict per branch.
+    */
+  def mimeSniff(s: SparkSession, d: String): DataFrame = {
+    val k = pmod(col("doc_id"), lit(7))
+    val png = "\u0089PNG\r\n\u001A\n0000FAKEPIXELS"
+    val (ct, body) = (
+      when(k === 0, lit("text/html"))
+        .when(k === 1, lit("text/html"))
+        .when(k === 2, lit("image/png"))
+        .when(k === 3, lit("text/plain"))
+        .when(k === 4, lit("application/pdf"))
+        .when(k === 5, lit(""))
+        .otherwise(lit("text/plain")),
+      when(k === 0,
+          lit("ï»¿<!DOCTYPE html><html><body>hi</body></html>"))
+        .when(k === 1, lit(png))
+        .when(k === 2, lit(png))
+        .when(k === 3, lit("\u001F\u008B\u0008not really deflate"))
+        .when(k === 4, lit("%PDF-1.4 fake pdf body"))
+        .when(k === 5, lit("  <?xml version=\"1.0\"?><root/>"))
+        .otherwise(lit("just some plain prose here.")))
+    val payload = concat(lit("HTTP/1.1 200 OK\r\n"),
+      when(ct === "", lit("")).otherwise(concat(lit("Content-Type: "), ct,
+        lit("\r\n"))),
+      lit("\r\n"), body)
+    t(s, d, "documents").select(col("doc_id"), payload.as("p"))
+      .select(col("doc_id"),
+        graft.ext.Http.contentTypeOf(col("p")).as("declared"),
+        graft.ext.Http.sniffContentType(graft.ext.Http.bodyOf(col("p")))
+          .as("sniffed"))
+      .withColumn("mismatch",
+        col("declared") =!= "" && col("declared") =!= col("sniffed"))
+      .orderBy("doc_id")
+  }
+
+  /** Meta-charset fallback decoding as a hash gate
+    * ([[graft.ext.Http.decodeBodyFull]] with `metaFallback`, the
+    * WHATWG prescan): real pages declare their charset in the BODY
+    * (`<meta charset=…>` / the legacy http-equiv form) at least as
+    * often as in the header, and a header-only decoder mojibakes or
+    * drops them. Branches: header silent + HTML5 meta `shift_jis`
+    * (REAL Shift_JIS bytes decode exactly), header `utf-8` + meta
+    * `shift_jis` (header WINS — precedence pin), header silent +
+    * http-equiv `koi8-r` (legacy form, real bytes), meta declaring an
+    * unknown charset (quarantine NULL, the charset column still names
+    * it), and no declaration anywhere (UTF-8 crawl default). The
+    * oracle states effective charset + exact text per branch.
+    */
+  def metaCharsetDecode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { i =>
+          val k = i % 5
+          val (ctype, bodyStr, cs) = k match {
+            case 0 => ("text/html",
+              s"<html><head><meta charset=\"shift_jis\"></head>" +
+                s"<body>東京 $i</body></html>", "shift_jis")
+            case 1 => ("text/html; charset=utf-8",
+              s"<html><head><meta charset=\"shift_jis\"></head>" +
+                s"<body>café $i</body></html>", "UTF-8")
+            case 2 => ("text/html",
+              "<html><head><meta http-equiv=\"Content-Type\" " +
+                s"content=\"text/html; charset=koi8-r\"></head>" +
+                s"<body>данные $i</body></html>", "koi8-r")
+            case 3 => ("text/html",
+              s"<html><head><meta charset=\"x-klingon\"></head>" +
+                s"<body>opaque $i</body></html>", "US-ASCII")
+            case _ => ("text/html", s"<html><body>plain é $i</body></html>",
+              "UTF-8")
+          }
+          val header = s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n"
+          (i, header.getBytes("US-ASCII") ++ bodyStr.getBytes(cs))
+        }
+      }.toDF("doc_id", "payload")
+    graft.ext.Http.decodeBodyFull(payloads, "doc_id", "payload",
+        metaFallback = true)
+      .orderBy("doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -1097,6 +1187,46 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  txt AS body_text,
         |  TRUE AS access_ok
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // declared vs sniffed vs mismatch verdict per branch — a sniffer
+    // that trusted the header, missed a magic, or tripped on the BOM
+    // changes rows
+    "q244_mime_sniff" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 7 AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE k WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/html'
+        |         WHEN 2 THEN 'image/png' WHEN 3 THEN 'text/plain'
+        |         WHEN 4 THEN 'application/pdf' WHEN 5 THEN ''
+        |         ELSE 'text/plain' END AS declared,
+        |  CASE k WHEN 0 THEN 'text/html' WHEN 1 THEN 'image/png'
+        |         WHEN 2 THEN 'image/png' WHEN 3 THEN 'application/gzip'
+        |         WHEN 4 THEN 'application/pdf'
+        |         WHEN 5 THEN 'application/xml'
+        |         ELSE 'text/plain' END AS sniffed,
+        |  k IN (1, 3) AS mismatch
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // effective charset (header beats meta beats default) + exact text
+    // per branch; the unknown-meta branch quarantines to NULL while
+    // still NAMING what the page declared
+    "q245_meta_charset_decode" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 5 AS k FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE k WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'utf-8'
+        |         WHEN 2 THEN 'koi8-r' WHEN 3 THEN 'x-klingon'
+        |         ELSE '' END AS charset,
+        |  CASE k
+        |    WHEN 0 THEN '<html><head><meta charset="shift_jis"></head>'
+        |      || '<body>東京 ' || i || '</body></html>'
+        |    WHEN 1 THEN '<html><head><meta charset="shift_jis"></head>'
+        |      || '<body>café ' || i || '</body></html>'
+        |    WHEN 2 THEN '<html><head><meta http-equiv="Content-Type" '
+        |      || 'content="text/html; charset=koi8-r"></head>'
+        |      || '<body>данные ' || i || '</body></html>'
+        |    WHEN 3 THEN NULL
+        |    ELSE '<html><body>plain é ' || i || '</body></html>'
+        |    END AS body_text
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -286,6 +286,8 @@ object SparkEntry {
     "q241_gopher_quality" -> ((s, d) => PipelinesExt.gopherQuality(s, d)),
     "q242_c4_line_clean" -> ((s, d) => PipelinesExt.c4LineClean(s, d)),
     "q243_warc_cdx_access" -> ((s, d) => PipelinesExt.warcCdxAccess(s, d)),
+    "q244_mime_sniff" -> ((s, d) => PipelinesExt.mimeSniff(s, d)),
+    "q245_meta_charset_decode" -> ((s, d) => PipelinesExt.metaCharsetDecode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

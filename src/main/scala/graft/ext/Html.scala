@@ -85,6 +85,18 @@ object Html {
         substring(raw, lit(2), length(raw) - 2)), "\\s+", " ")))
   }
 
+  /** The `<meta>`-declared charset, lowercased, NULL when absent —
+    * both HTML5 (`<meta charset=x>`) and legacy http-equiv forms via
+    * ONE shared pattern ([[Http.MetaCharsetPattern]] — the JVM decode
+    * gear's fallback scan uses the same string, so the WAT-side
+    * harvest and the decode path can never disagree about what a page
+    * declares).
+    */
+  def extractMetaCharset(html: Column): Column = {
+    val raw = regexp_extract(html, Http.MetaCharsetPattern, 1)
+    when(raw === "", lit(null).cast("string")).otherwise(lower(raw))
+  }
+
   /** `href` of the first `<link rel="canonical">`, NULL when absent —
     * the page's own dedup vote: variants of one page (tracking params,
     * mirrors, pagination soup) declare a shared canonical target, and

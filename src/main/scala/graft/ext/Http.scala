@@ -92,6 +92,46 @@ object Http {
     lower(regexp_extract(headerBlockOf(payload),
       "(?im)^content-type:[^\\r\\n]*;[ \\t]*charset=\"?([^\\r\\n;\" ]+)\"?", 1))
 
+  /** One regex, BOTH `<meta>` charset forms — `<meta charset="x">`
+    * (HTML5) and `<meta http-equiv="Content-Type" content="…;
+    * charset=x">` (the legacy form real pages still carry): the
+    * `charset=` token inside the tag is what matters, whichever
+    * attribute holds it. Shared verbatim by the native
+    * [[Html.extractMetaCharset]] expression and the JVM decode gear's
+    * fallback scan, so the two can never drift.
+    */
+  val MetaCharsetPattern: String =
+    "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9._-]+)"
+
+  /** Sniff the media type from CONTENT bytes (their lossless Latin-1
+    * view — the framing convention of this module): real crawl
+    * `Content-Type` headers LIE routinely (PNGs served as text/html,
+    * gzip as text/plain), and a pipeline that trusts them feeds binary
+    * soup into text operators. Magic numbers are matched on the RAW
+    * head (gzip, PNG, JPEG, GIF, PDF, ZIP); markup sniffing
+    * (`<!doctype html`/`<html`, `<?xml`) tolerates leading whitespace
+    * and a UTF-8 BOM; a head of printable/whitespace Latin-1 falls to
+    * `text/plain`, anything else to `application/octet-stream`. One
+    * native expression, no UDF.
+    */
+  def sniffContentType(latin1: Column): Column = {
+    val head = substring(latin1, 1, 512)
+    val markup = lower(regexp_replace(head,
+      "^(\\uFEFF|\\u00EF\\u00BB\\u00BF|\\s)+", ""))
+    when(head.startsWith("\u001F\u008B"), lit("application/gzip"))
+      .when(head.startsWith("\u0089PNG"), lit("image/png"))
+      .when(head.startsWith("\u00FF\u00D8\u00FF"), lit("image/jpeg"))
+      .when(head.startsWith("GIF8"), lit("image/gif"))
+      .when(head.startsWith("%PDF-"), lit("application/pdf"))
+      .when(head.startsWith("PK\u0003\u0004"), lit("application/zip"))
+      .when(markup.startsWith("<!doctype html") || markup.startsWith("<html"),
+        lit("text/html"))
+      .when(markup.startsWith("<?xml"), lit("application/xml"))
+      .when(head.rlike("^[\\x09\\x0A\\x0D\\x20-\\x7E\\u00A0-\\u00FF]*$"),
+        lit("text/plain"))
+      .otherwise(lit("application/octet-stream"))
+  }
+
   /** Charsets [[decodeBody]] transcodes: the set Spark's `decode`
     * supports plus WINDOWS-1252 (decoded as Latin-1 then the 0x80–0x9F
     * block translated — see [[Cp1252HighChars]]), with common aliases.
@@ -299,24 +339,34 @@ object Http {
     if (m.find()) m.group(1).trim else ""
   }
 
+  private lazy val MetaCharsetRx =
+    java.util.regex.Pattern.compile(MetaCharsetPattern)
+
   /** JVM core of [[decodeBodyFull]] — one payload to `(charset,
     * text-or-null)`. Kept separate so HttpSpec can drive it directly
     * and so the framing rules live in ONE place for both the
-    * column gear and any future caller.
+    * column gear and any future caller. With `metaFallback` a payload
+    * whose HEADER declares no charset is scanned (first 1 KiB of the
+    * transfer/content-decoded body, Latin-1 view — the WHATWG
+    * prescan) for a `<meta>` charset ([[MetaCharsetPattern]]); the
+    * header always wins when both declare. The returned charset is
+    * the EFFECTIVE one (header, else meta, else "").
     */
-  private[ext] def decodeMessageBody(payload: Array[Byte]): (String, String) = {
+  private[ext] def decodeMessageBody(payload: Array[Byte],
+      metaFallback: Boolean = false): (String, String) = {
     val he = headerEnd(payload)
     val head = new String(payload, 0,
       if (he < 0) payload.length else he, "ISO-8859-1")
     val rawBody =
       if (he < 0) Array.emptyByteArray
       else java.util.Arrays.copyOfRange(payload, he + 4, payload.length)
-    val csName = {
+    val headerCs = {
       val m = java.util.regex.Pattern.compile(
         "(?im)^content-type:[^\\r\\n]*;[ \\t]*charset=\"?([^\\r\\n;\" ]+)\"?")
         .matcher(head)
       if (m.find()) m.group(1).toLowerCase else ""
     }
+    var csName = headerCs
     try {
       val te = headerValue(head, "Transfer-Encoding").toLowerCase
       val framed = te match {
@@ -327,6 +377,12 @@ object Http {
       }
       val ce = headerValue(head, "Content-Encoding").toLowerCase
       val decoded = decodeContentCoding(ce, framed)
+      if (csName.isEmpty && metaFallback) {
+        val view = new String(decoded, 0, math.min(1024, decoded.length),
+          "ISO-8859-1")
+        val m = MetaCharsetRx.matcher(view)
+        if (m.find()) csName = m.group(1).toLowerCase
+      }
       val cs = java.nio.charset.Charset.forName(
         if (csName.isEmpty) "UTF-8" else csName)
       // REPLACE on malformed/unmappable — Spark's decode() convention,
@@ -355,14 +411,14 @@ object Http {
     * codecs.
     */
   def decodeBodyFull(df: DataFrame, idCol: String, payloadCol: String,
-      out: String = "body_text"): DataFrame = {
+      out: String = "body_text", metaFallback: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, payload) =>
-          val (cs, text) = decodeMessageBody(payload)
+          val (cs, text) = decodeMessageBody(payload, metaFallback)
           (id, cs, text)
         }
       }.toDF(idCol, "charset", out)

@@ -218,4 +218,56 @@ class HttpSpec extends SparkSpec {
       assert(r.getString(1) === r.getString(2), s"id ${r.getLong(0)}")
     }
   }
+
+  test("sniffContentType: magics, markup with BOM/whitespace, printable fallback") {
+    import spark.implicits._
+    def sniff(latin1: String): String =
+      Seq(latin1).toDF("b").select(Http.sniffContentType(col("b")))
+        .as[String].head()
+    assert(sniff("\u0089PNG\r\n\u001A\nxxxx") === "image/png")
+    assert(sniff("\u001F\u008B\u0008whatever") === "application/gzip")
+    assert(sniff("ÿØÿjpeg") === "image/jpeg")
+    assert(sniff("GIF89a....") === "image/gif")
+    assert(sniff("%PDF-1.7 x") === "application/pdf")
+    assert(sniff("PK\u0003\u0004zip") === "application/zip")
+    // markup sniffing tolerates whitespace AND a UTF-8 BOM (in its
+    // Latin-1 view), case-insensitively
+    assert(sniff("ï»¿\n  <!DOCTYPE HTML><html>") === "text/html")
+    assert(sniff("<HTML><body>") === "text/html")
+    assert(sniff("\t<?xml version=\"1.0\"?>") === "application/xml")
+    assert(sniff("ordinary prose, digits 123.") === "text/plain")
+    // control bytes outside the printable set → octet-stream
+    assert(sniff("\u0000\u0001\u0002binary") === "application/octet-stream")
+  }
+
+  test("decodeMessageBody metaFallback: meta charset used only when the header is silent") {
+    def payload(ctype: String, body: Array[Byte]): Array[Byte] =
+      s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n".getBytes("US-ASCII") ++ body
+    // header silent → the HTML5 meta form decides (real Shift_JIS)
+    val sj = "<meta charset=shift_jis><p>東京</p>".getBytes("shift_jis")
+    assert(Http.decodeMessageBody(payload("text/html", sj), metaFallback = true)
+      === (("shift_jis", "<meta charset=shift_jis><p>東京</p>")))
+    // header present → it WINS over a lying meta
+    val lying = "<meta charset=shift_jis><p>café</p>".getBytes("UTF-8")
+    assert(Http.decodeMessageBody(
+      payload("text/html; charset=utf-8", lying), metaFallback = true)
+      === (("utf-8", "<meta charset=shift_jis><p>café</p>")))
+    // without the flag the scan never runs (q229/q230 behavior intact)
+    assert(Http.decodeMessageBody(payload("text/html", sj))._1 === "")
+    // meta past the 1 KiB prescan window is not consulted
+    val far = (" " * 1100 + "<meta charset=shift_jis>x").getBytes("US-ASCII")
+    assert(Http.decodeMessageBody(payload("text/html", far),
+      metaFallback = true)._1 === "")
+  }
+
+  test("extractMetaCharset shares the decode gear's pattern") {
+    import spark.implicits._
+    def meta(h: String): Option[String] =
+      Seq(h).toDF("h").select(Html.extractMetaCharset(col("h")))
+        .as[Option[String]].head()
+    assert(meta("<meta charset=\"UTF-8\">") === Some("utf-8"))
+    assert(meta("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=KOI8-R\">") === Some("koi8-r"))
+    assert(meta("<meta name=\"viewport\" content=\"width=1\">") === None)
+  }
 }
