@@ -582,8 +582,8 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .when(k === 1, concat_ws("\n", en, en, lit("nav"), es))
       .when(k === 2, concat_ws("\n", en, es, es))
       .otherwise(concat_ws("\n", unk, lit("nav"), en))
-    val profile = graft.ext.TextAnalysis.segmentLangProfile(text)
-    t(s, d, "documents").select(col("doc_id"), profile.as("p"))
+    val docs = t(s, d, "documents").select(col("doc_id"), text.as("text"))
+    graft.ext.TextAnalysis.withSegmentLangProfile(docs, "text", out = "p")
       .select(col("doc_id"),
         col("p.n_segments").as("n_segments"),
         col("p.n_classified").as("n_classified"),

@@ -523,12 +523,13 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.bpeTrain(trainClean, "text", numMerges = 1))
   }
 
-  test("segmentLangProfile classifies per line; zero-hit segments stay unknown") {
+  test("withSegmentLangProfile classifies per line; zero-hit segments stay unknown") {
     val en = "the cat is in the house"
     val es = "el perro es de la casa"
     val unk = "zzzz qqqq wwww rrrr tttt"
-    val got = Seq(s"$en\nshort\n$es\n$unk\n$en").toDF("text")
-      .select(TextAnalysis.segmentLangProfile(col("text")).as("p"))
+    def profile(t: String) = TextAnalysis.withSegmentLangProfile(
+      Seq((1L, t)).toDF("id", "text"), "text", out = "p")
+    val got = profile(s"$en\nshort\n$es\n$unk\n$en")
       .select("p.n_segments", "p.n_classified", "p.n_en", "p.n_es",
         "p.n_fr", "p.majority_lang", "p.is_mixed")
       .head()
@@ -540,12 +541,10 @@ class TextAnalysisSpec extends SparkSpec {
       === ((4, 3, 2, 1, 0, "en", true)))
     // equal counts tie toward langOrder (en before es); NULL text is
     // an empty profile with a NULL majority
-    val tie = Seq(s"$en\n$es").toDF("text")
-      .select(TextAnalysis.segmentLangProfile(col("text"))
-        .getField("majority_lang")).as[String].head()
-    assert(tie === "en")
-    val empty = Seq((1L, null: String)).toDF("id", "text")
-      .select(TextAnalysis.segmentLangProfile(col("text")).as("p"))
+    assert(profile(s"$en\n$es").select("p.majority_lang")
+      .as[String].head() === "en")
+    val empty = TextAnalysis.withSegmentLangProfile(
+        Seq((1L, null: String)).toDF("id", "text"), "text", out = "p")
       .select("p.n_segments", "p.majority_lang", "p.is_mixed").head()
     assert(empty.getInt(0) === 0)
     assert(empty.isNullAt(1))
