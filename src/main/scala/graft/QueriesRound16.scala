@@ -840,6 +840,55 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** WET conversion-record generation as a hash gate — the Common
+    * Crawl text artifact, end to end: a RESPONSE archive (gzipped
+    * members) parses through the production reader, each page's main
+    * content extracts ([[graft.ext.Html.extractMainText]] — the nav
+    * block dies by link density, the prose survives), and the text is
+    * re-archived as WARC `conversion` records
+    * ([[graft.ext.Warc.buildWarcColumn]]) that parse BACK
+    * byte-exactly — the full read→transform→write→read cycle over
+    * multibyte text. The oracle restates type, URI, extracted text,
+    * and its UTF-8 octet length per record.
+    */
+  def wetConversion(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7)).cast("string")
+    val html = concat(
+      lit("<html><body><div><a href=\"/\">Home</a> <a href=\"/x\">X</a>" +
+        "</div><p>Documents about topic "), k,
+      lit(" continue with ample prose to clear the floor easily é "),
+      i, lit("-"), col("j"), lit(".</p></body></html>"))
+    val responses = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(2)))).as("j"))
+      .select(col("doc_id"), col("j"), lit("response").as("wt"),
+        concat(lit("http://wet"), k, lit(".com/p/"), col("j")).as("uri"),
+        concat(lit("<urn:uuid:resp-"), i, lit("-"), col("j"), lit(">"))
+          .as("rid"),
+        encode(html, "UTF-8").as("payload"))
+    val responseArchive = graft.ext.Warc.buildWarcColumn(responses,
+      "doc_id", "j", "wt", "uri", "rid", "payload", gzipped = true)
+    val pages = graft.ext.Warc.parseWarcColumn(responseArchive,
+      "doc_id", "warc_blob", gzipped = true)
+    val wet = pages
+      .withColumn("page_html", decode(col("payload"), "UTF-8"))
+      .withColumn("main_text",
+        graft.ext.Html.extractMainText(col("page_html")))
+      .select(col("doc_id"), col("rec_idx"), lit("conversion").as("wt"),
+        col("target_uri").as("uri"),
+        concat(lit("<urn:uuid:wet-"), col("doc_id"), lit("-"),
+          col("rec_idx"), lit(">")).as("rid"),
+        encode(col("main_text"), "UTF-8").as("payload"))
+    val wetArchive = graft.ext.Warc.buildWarcColumn(wet, "doc_id",
+      "rec_idx", "wt", "uri", "rid", "payload", gzipped = true)
+    graft.ext.Warc.parseWarcColumn(wetArchive, "doc_id", "warc_blob",
+        gzipped = true)
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("wet_text"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -1227,6 +1276,24 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |    ELSE '<html><body>plain é ' || i || '</body></html>'
         |    END AS body_text
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    // type/URI/extracted text/UTF-8 octet length restated per record:
+    // the nav block dies inside the archive cycle, the prose paragraph
+    // survives byte-exactly through two WARC round trips
+    "q246_wet_conversion" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |    FROM documents),
+        |js AS (SELECT 0 AS j UNION ALL SELECT 1),
+        |r AS (SELECT i, k, j,
+        |    'Documents about topic ' || k ||
+        |    ' continue with ample prose to clear the floor easily é '
+        |    || i || '-' || j || '.' AS txt
+        |  FROM d, js WHERE j <= i % 2)
+        |SELECT i AS doc_id, j AS rec_idx, 'conversion' AS warc_type,
+        |  'http://wet' || k || '.com/p/' || j AS target_uri,
+        |  octet_length(encode(txt)) AS content_length,
+        |  txt AS wet_text
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

@@ -288,6 +288,7 @@ object SparkEntry {
     "q243_warc_cdx_access" -> ((s, d) => PipelinesExt.warcCdxAccess(s, d)),
     "q244_mime_sniff" -> ((s, d) => PipelinesExt.mimeSniff(s, d)),
     "q245_meta_charset_decode" -> ((s, d) => PipelinesExt.metaCharsetDecode(s, d)),
+    "q246_wet_conversion" -> ((s, d) => PipelinesExt.wetConversion(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
