@@ -757,6 +757,12 @@ object ScaleCheck {
     md.append("  the rollup is narrow per-row regex/string work, and the rollup's\n")
     md.append("  9-domain groupBy is a worst-case hot-key aggregation that map-side\n")
     md.append("  partial aggregation collapses to 9 rows per task;\n")
+    md.append("  warc_write_read (r16) — the archive OUTPUT path at real shape:\n")
+    md.append("  64 records per blob grouped by one shuffle, serialized with one\n")
+    md.append("  gzip member per record (buildWarcColumn), then parsed back\n")
+    md.append("  through the streaming member-exact reader; both legs are narrow\n")
+    md.append("  byte passes around the single re-shard, so wall should track\n")
+    md.append("  payload bytes and shuffle bytes should grow exactly with input;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")
