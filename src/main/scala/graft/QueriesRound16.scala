@@ -889,6 +889,71 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
       .orderBy("doc_id", "rec_idx")
   }
 
+  /** Fused robots-policy parse as a hash gate
+    * ([[graft.ext.RobotsTxt.parsePolicy]]): a fetcher maintains rules,
+    * crawl delay, AND sitemap feeds per domain — three separate parses
+    * walk the same body three times; the fused machine walks once.
+    * Per doc a hostile body carries all three concerns interleaved
+    * (directive before any group, a wildcard rule, a delay whose group
+    * is closed by a later UA line, sitemaps scattered group-free, a
+    * trailing comment); the exploded rule rows ride beside the
+    * repeated delay/sitemap columns so every field is hash-visible.
+    * RobotsTxtSpec pins fused ≡ the three single parsers on the same
+    * bodies.
+    */
+  def robotsPolicy(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(4))
+    val ks = k.cast("string")
+    val txt = when(k === 0, concat(
+        lit("Sitemap: https://p0-"), ks, lit(".com/sm.xml\n" +
+          "User-agent: *\nDisallow: /a\nCrawl-delay: 2.5\nAllow: /a/pub\n")))
+      .when(k === 1, concat(
+        lit("User-agent: *\nCrawl-delay: 3\nUser-agent: b\nDisallow: /only-b\n" +
+          "sitemap: https://p1-"), ks, lit(".com/s1.xml # mirror\n")))
+      .when(k === 2,
+        lit("User-agent: *\nDisallow: /q/*/z$\nCrawl-delay: fast\n"))
+      .otherwise(lit("User-agent: other\nDisallow: /x\n"))
+    val docs = t(s, d, "documents").select(col("doc_id"),
+      graft.ext.RobotsTxt.parsePolicy(txt).as("p"))
+    docs.select(col("doc_id"),
+        col("p.crawl_delay").as("crawl_delay"),
+        array_join(col("p.sitemaps"), " ").as("sitemaps"),
+        size(col("p.rules")).as("n_rules"),
+        posexplode_outer(col("p.rules")).as(Seq("rule_idx", "r")))
+      .select(col("doc_id"), col("crawl_delay"), col("sitemaps"),
+        col("n_rules"), col("rule_idx"),
+        col("r.prefix").as("prefix"), col("r.allow").as("allow"),
+        col("r.rx").as("rx"))
+      .orderBy("doc_id", "rule_idx")
+  }
+
+  /** SURT keys as a hash gate ([[graft.ext.Urls.surtKey]]): the
+    * sort-friendly transform CDX archives key by — host labels
+    * reverse so one registered domain's URLs become ONE contiguous
+    * key range (a prefix scan instead of a scatter over subdomains).
+    * Branches: a subdomain with case/tracking hazards (canonicalize
+    * feeds the key), a `www.` + trailing-slash variant landing
+    * adjacent to its sibling subdomain, and an IPv4 literal that must
+    * NOT reverse. The output is ORDERED BY the key, so the
+    * domain-contiguity property is itself hash-visible.
+    */
+  def surtKeys(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(5)).cast("string")
+    val m = pmod(i, lit(3))
+    val ms = m.cast("string")
+    val url = when(m === 0, concat(lit("HTTP://A.Shop"), k,
+        lit(".COM/x/"), ms, lit("?utm_z=1&id="), ms))
+      .when(m === 1, concat(lit("https://www.shop"), k, lit(".com/y/")))
+      .otherwise(concat(lit("http://10.0."), k, lit(".1/z")))
+    val urls = t(s, d, "documents").select(col("doc_id"), url.as("url"))
+      .withColumn("canonical_url", graft.ext.Urls.canonicalizeUrl(col("url")))
+    urls.withColumn("surt", graft.ext.Urls.surtKey(col("canonical_url")))
+      .select(col("doc_id"), col("canonical_url"), col("surt"))
+      .orderBy("surt", "doc_id")
+  }
+
   def charsetJreDecode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val payloads = t(s, d, "documents").select(col("doc_id")).as[Long]
@@ -1294,6 +1359,50 @@ private[graft] trait OraclesRound16 { this: OracleSnippets =>
         |  octet_length(encode(txt)) AS content_length,
         |  txt AS wet_text
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // all three policy fields restated per branch: rules (with the
+    // compiled wildcard regex), first-valid delay under stacking-end
+    // semantics, group-independent sitemaps; rule-less docs emit one
+    // outer row of NULL rule fields
+    "q247_robots_policy" ->
+      """WITH d AS (SELECT doc_id AS i, doc_id % 4 AS k,
+        |    CAST(doc_id % 4 AS VARCHAR) AS ks FROM documents),
+        |r AS (
+        |  SELECT i, 0 AS rule_idx, '/a' AS prefix, 0 AS allow,
+        |    NULL AS rx FROM d WHERE k = 0
+        |  UNION ALL SELECT i, 1, '/a/pub', 1, NULL FROM d WHERE k = 0
+        |  UNION ALL SELECT i, 0, '/q/*/z$', 0, '^/q/.*/z$' FROM d
+        |    WHERE k = 2
+        |  UNION ALL SELECT i, NULL, NULL, NULL, NULL FROM d
+        |    WHERE k IN (1, 3))
+        |SELECT d.i AS doc_id,
+        |  CASE k WHEN 0 THEN CAST(2.5 AS DOUBLE)
+        |         WHEN 1 THEN CAST(3 AS DOUBLE)
+        |         ELSE NULL END AS crawl_delay,
+        |  CASE k WHEN 0 THEN 'https://p0-' || ks || '.com/sm.xml'
+        |         WHEN 1 THEN 'https://p1-' || ks || '.com/s1.xml'
+        |         ELSE '' END AS sitemaps,
+        |  CASE k WHEN 0 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS n_rules,
+        |  r.rule_idx, r.prefix, r.allow, r.rx
+        |FROM d JOIN r ON d.i = r.i
+        |ORDER BY doc_id, rule_idx""".stripMargin,
+
+    // canonical URL and its SURT key per branch; the ORDER BY surt
+    // makes the domain-contiguity property itself hash-visible
+    "q248_surt_keys" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 5 AS VARCHAR) AS k,
+        |    doc_id % 3 AS m, CAST(doc_id % 3 AS VARCHAR) AS ms
+        |  FROM documents)
+        |SELECT i AS doc_id,
+        |  CASE WHEN m = 0 THEN
+        |         'http://a.shop' || k || '.com/x/' || ms || '?id=' || ms
+        |       WHEN m = 1 THEN 'https://shop' || k || '.com/y'
+        |       ELSE 'http://10.0.' || k || '.1/z' END AS canonical_url,
+        |  CASE WHEN m = 0 THEN
+        |         'com,shop' || k || ',a)/x/' || ms || '?id=' || ms
+        |       WHEN m = 1 THEN 'com,shop' || k || ')/y'
+        |       ELSE '10.0.' || k || '.1)/z' END AS surt
+        |FROM d ORDER BY surt, doc_id""".stripMargin,
 
     // the Unicode text per charset branch, stated literally — a decoder
     // that guessed, mojibake'd, or framed through a UTF-8 view changes

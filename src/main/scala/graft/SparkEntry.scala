@@ -289,6 +289,8 @@ object SparkEntry {
     "q244_mime_sniff" -> ((s, d) => PipelinesExt.mimeSniff(s, d)),
     "q245_meta_charset_decode" -> ((s, d) => PipelinesExt.metaCharsetDecode(s, d)),
     "q246_wet_conversion" -> ((s, d) => PipelinesExt.wetConversion(s, d)),
+    "q247_robots_policy" -> ((s, d) => PipelinesExt.robotsPolicy(s, d)),
+    "q248_surt_keys" -> ((s, d) => PipelinesExt.surtKeys(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

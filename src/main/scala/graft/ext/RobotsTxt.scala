@@ -68,14 +68,20 @@ object RobotsTxt {
       val isUa = low.startsWith("user-agent:")
       val isDis = low.startsWith("disallow:")
       val isAll = low.startsWith("allow:")
+      val isDelay = low.startsWith("crawl-delay:")
       val value = trim(substring(line, instr(line, ":") + 1, lit(1 << 20)))
       // stacked UA lines extend the group (in_star sticks until rules
-      // have been seen); a UA line after rules starts a fresh group
+      // have been seen); a UA line after rules starts a fresh group.
+      // Crawl-delay counts as a RULE for stacking purposes (the
+      // Google-parser convention, shared with [[parseCrawlDelay]] and
+      // [[parsePolicy]] so the three parsers agree on group
+      // boundaries); Sitemap stays group-independent and never ends
+      // stacking.
       val inStar = when(isUa,
           (value === "*") || (a.getField("in_star") && !a.getField("after_rules")))
         .otherwise(a.getField("in_star"))
       val afterRules = when(isUa, lit(false))
-        .otherwise(a.getField("after_rules") || isDis || isAll)
+        .otherwise(a.getField("after_rules") || isDis || isAll || isDelay)
       val appendRule = a.getField("in_star") && (isDis || isAll) && value =!= ""
       // wildcard compile (in-expression twin of Urls.robotsPatternRx,
       // match-equivalent by RobotsTxtSpec): escape regex metachars,
@@ -149,6 +155,71 @@ object RobotsTxt {
       struct(inStar.as("in_star"), afterRules.as("after_rules"),
         delay.as("delay"))
     }, a => a.getField("delay"))
+  }
+
+  /** The WHOLE fetch policy in ONE pass —
+    * `struct(rules, crawl_delay, sitemaps)` — fusing [[parseRules]],
+    * [[parseCrawlDelay]], and [[parseSitemaps]] into a single
+    * `aggregate` state machine: a fetcher maintains all three per
+    * domain, and three separate parses walk the same robots body three
+    * times (the line split and group-state threading re-run per
+    * parser). Semantics are EXACTLY the three parsers' (spec-pinned
+    * equal on hostile bodies): group stacking ends on any rule line
+    * (Disallow/Allow/Crawl-delay), `Sitemap:` stays group-independent,
+    * first valid delay wins, comments/BOM as everywhere.
+    */
+  def parsePolicy(txt: Column): Column = {
+    val lines = split(regexp_replace(txt, "^\\uFEFF", ""), "\r?\n")
+    val init = struct(
+      lit(false).as("in_star"), lit(false).as("after_rules"),
+      array().cast("array<struct<prefix:string,allow:int,rx:string>>")
+        .as("rules"),
+      lit(null).cast("double").as("delay"),
+      array().cast("array<string>").as("sitemaps"))
+    aggregate(lines, init, (a, rawLine) => {
+      val line = trim(substring_index(rawLine, "#", 1))
+      val low = lower(line)
+      val isUa = low.startsWith("user-agent:")
+      val isDis = low.startsWith("disallow:")
+      val isAll = low.startsWith("allow:")
+      val isDelay = low.startsWith("crawl-delay:")
+      val isSitemap = low.startsWith("sitemap:")
+      val value = trim(substring(line, instr(line, ":") + 1, lit(1 << 20)))
+      val inStar = when(isUa,
+          (value === "*") || (a.getField("in_star") && !a.getField("after_rules")))
+        .otherwise(a.getField("in_star"))
+      val afterRules = when(isUa, lit(false))
+        .otherwise(a.getField("after_rules") || isDis || isAll || isDelay)
+      // the parseRules wildcard compile, verbatim
+      val appendRule = a.getField("in_star") && (isDis || isAll) && value =!= ""
+      val anchored = value.endsWith("$")
+      val core = when(anchored,
+        substring(value, lit(1), length(value) - 1)).otherwise(value)
+      val escaped = regexp_replace(core, "([\\\\.\\[\\]{}()*+?^$|])", "\\\\$1")
+      val rxBody = regexp_replace(escaped, "\\\\\\*", ".*")
+      val hasWild = instr(value, "*") > 0 || anchored
+      val rx = when(hasWild, concat(lit("^"), rxBody,
+          when(anchored, lit("$")).otherwise(lit(""))))
+        .otherwise(lit(null).cast("string"))
+      val rules = when(appendRule,
+          concat(a.getField("rules"), array(struct(value.as("prefix"),
+            when(isAll, lit(1)).otherwise(lit(0)).as("allow"),
+            rx.as("rx")))))
+        .otherwise(a.getField("rules"))
+      val capture = a.getField("in_star") && isDelay &&
+        a.getField("delay").isNull
+      val delay = when(capture,
+          when(value.rlike("^[0-9]+(\\.[0-9]+)?$"), value.cast("double"))
+            .otherwise(lit(null).cast("double")))
+        .otherwise(a.getField("delay"))
+      val sitemaps = when(isSitemap && value =!= "",
+          concat(a.getField("sitemaps"), array(value)))
+        .otherwise(a.getField("sitemaps"))
+      struct(inStar.as("in_star"), afterRules.as("after_rules"),
+        rules.as("rules"), delay.as("delay"), sitemaps.as("sitemaps"))
+    }, a => struct(a.getField("rules").as("rules"),
+      a.getField("delay").as("crawl_delay"),
+      a.getField("sitemaps").as("sitemaps")))
   }
 
   def parseSitemaps(txt: Column): Column = {

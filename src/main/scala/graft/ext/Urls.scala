@@ -607,6 +607,31 @@ object Urls {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** SURT key (Sort-friendly URI Reordering Transform) of a CANONICAL
+    * URL — the key web archives sort and range-scan by (CDX indexes
+    * are SURT-ordered): host labels reverse (`a.shop.com` →
+    * `com,shop,a`), so one registered domain's URLs are one contiguous
+    * key range — a prefix scan replaces a scatter over every
+    * subdomain. Scheme is dropped (http/https duplicates of one page
+    * collapse — canonicalize upstream already folded case, www, ports,
+    * tracking params), the path+query follow after `)`. IPv4 literals
+    * keep their natural order (reversed octets would be a different
+    * address, the [[registeredDomain]] pin). Pure codegen string
+    * expression; at archive scale the key IS the sort/partition
+    * column, so building it rides the scan.
+    */
+  def surtKey(url: Column): Column = {
+    val host = hostOf(url)
+    val isIpv4 = host.rlike("^\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}$")
+    val revHost = when(isIpv4, host)
+      .otherwise(array_join(reverse(split(host, "\\.")), ","))
+    val noFrag = substring_index(url, "#", 1)
+    val path = pathOf(url)
+    val qpart = when(instr(noFrag, "?") > 0,
+      substring(noFrag, instr(noFrag, "?"), lit(1 << 20))).otherwise(lit(""))
+    concat(revHost, lit(")"), path, qpart)
+  }
+
   /** Follow redirect chains to their resolution — the step between a
     * fetched crawl (3xx responses carry `Location` headers) and a
     * corpus keyed by FINAL URLs: without it every hop of a chain

@@ -150,6 +150,27 @@ class RobotsTxtSpec extends SparkSpec {
     assert(delay("User-agent: *\nCrawl-delay: 5 # be nice") === Some(5.0))
   }
 
+  test("parsePolicy equals the three single parsers on hostile bodies") {
+    import spark.implicits._
+    val bodies = Seq(
+      "﻿# bom + comment\nSitemap: https://a.com/s.xml\n" +
+        "User-agent: *\nDisallow: /a\nCrawl-delay: 2.5\nAllow: /a/pub",
+      "User-agent: *\nCrawl-delay: 3\nUser-agent: b\nDisallow: /only-b\n" +
+        "sitemap: https://m.com/s.xml # mirror",
+      "User-agent: *\nDisallow: /q/*/z$\nCrawl-delay: fast",
+      "User-agent: other\nDisallow: /x",
+      "User-agent: a\nUser-agent: *\nCrawl-delay: 6\nSitemap:\nSitemap: x")
+    val df = bodies.toDF("t").select(
+      RobotsTxt.parsePolicy(col("t")).as("p"),
+      RobotsTxt.parseRules(col("t")).as("rules1"),
+      RobotsTxt.parseCrawlDelay(col("t")).as("delay1"),
+      RobotsTxt.parseSitemaps(col("t")).as("sitemaps1"))
+    assert(df.filter(
+      col("p.rules") =!= col("rules1") ||
+        not(col("p.crawl_delay") <=> col("delay1")) ||
+        col("p.sitemaps") =!= col("sitemaps1")).count() === 0)
+  }
+
   test("parseSitemaps finds nothing in a directive-free body; parseRules ignores Sitemap lines") {
     assert(sitemaps("User-agent: *\nDisallow: /p") === Seq.empty)
     // the two parsers partition the file: Sitemap lines are rule-inert

@@ -423,6 +423,24 @@ class UrlsSpec extends SparkSpec {
     assert(e.getMessage.contains("maxHops"))
   }
 
+  test("surtKey reverses host labels, keeps IPv4, carries path+query") {
+    import spark.implicits._
+    val got = Seq(
+      "http://a.shop.com/x/1?id=2", // subdomain
+      "http://shop.com/x",          // its registered domain — shared prefix
+      "http://localhost/p",         // single label
+      "http://10.0.3.1/z?a=1",      // IPv4 stays natural order
+      "http://h.com"                // path-less
+    ).toDF("u").select(Urls.surtKey(col("u"))).as[String].collect().toSeq
+    assert(got === Seq(
+      "com,shop,a)/x/1?id=2", "com,shop)/x", "localhost)/p",
+      "10.0.3.1)/z?a=1", "com,h)"))
+    // the contiguity property: every URL of one registered domain
+    // sorts inside the domain's key prefix range
+    assert(got.head.startsWith("com,shop"))
+    assert(got(1).startsWith("com,shop"))
+  }
+
   test("capPerDomain keeps the cap best rows per domain, ties by id") {
     import spark.implicits._
     val docs = Seq(
