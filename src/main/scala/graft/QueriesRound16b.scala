@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 second wave. Each query sits next to its DuckDB oracle
+  * (trait pair discipline, VERDICT r9 #4).
+  */
+private[graft] trait PipelinesRound16b { this: PipelinesBase =>
+
+  /** JSON-LD structured-data harvest as a hash gate
+    * ([[graft.ext.Html.extractJsonLd]] /
+    * [[graft.ext.Html.parseJsonLdEntity]]): schema.org entities are
+    * the machine-readable layer of the web — news corpora
+    * (headline/datePublished/author) and product corpora
+    * (name/offers) are built by harvesting them, and the WAT sidecar
+    * format every Common-Crawl consumer reads carries exactly this
+    * extraction. Per doc a REAL page is built with the hazards live:
+    *
+    *   - k=0: one Article entity, double-quoted `type` attribute, a
+    *     plain `<script>` BEFORE it (the type filter must skip it);
+    *   - k=1: one Product entity with nested offers, single-quoted
+    *     `type` plus a leading `async` attribute;
+    *   - k=2: an entity ARRAY — [Article, Product]; the harvest takes
+    *     the FIRST entity (publisher-primary convention);
+    *   - k=3: no JSON-LD block at all → has_ld false, all fields NULL;
+    *   - k=4: a TRUNCATED JSON body → has_ld true, fields NULL
+    *     (quarantine, never a crash);
+    *   - k=5: unquoted `type` attribute, whitespace-padded body,
+    *     Article with only a headline (absent fields stay NULL).
+    *
+    * The oracle restates the expected fields per branch from the
+    * generator arithmetic (the extraction and Jackson parse are
+    * transparent to it by construction).
+    */
+  def jsonLdHarvest(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(6))
+    val g = pmod(i, lit(9)).cast("string")
+    val m = (pmod(i, lit(9)) + 1).cast("string")
+    val article = concat(
+      lit("{\"@type\":\"Article\",\"headline\":\"Story g"), g,
+      lit("\",\"datePublished\":\"2024-0"), m,
+      lit("-01\",\"author\":{\"@type\":\"Person\",\"name\":\"Author g"), g,
+      lit("\"}}"))
+    val product = concat(
+      lit("{\"@type\":\"Product\",\"name\":\"Widget g"), g,
+      lit("\",\"offers\":{\"@type\":\"Offer\",\"price\":\""), g,
+      lit("9.99\",\"priceCurrency\":\"USD\"}}"))
+    val block = when(k === 0, concat(
+        lit("<script>var x=1;</script><script type=\"application/ld+json\">"),
+        article, lit("</script>")))
+      .when(k === 1, concat(
+        lit("<script async type='application/ld+json'>"), product,
+        lit("</script>")))
+      .when(k === 2, concat(
+        lit("<script type=\"application/ld+json\">["), article, lit(","),
+        product, lit("]</script>")))
+      .when(k === 3, lit(""))
+      .when(k === 4, concat(
+        lit("<script type=\"application/ld+json\">"),
+        lit("{\"@type\":\"Article\",\"headline\":\"Broken g"), g,
+        lit("</script>")))
+      .otherwise(concat(
+        lit("<script type=application/ld+json>\n  "),
+        lit("{\"@type\":\"Article\",\"headline\":\"Pad g"), g,
+        lit("\"}\n</script>")))
+    val html = concat(lit("<html><head><title>t</title>"), block,
+      lit("</head><body><p>body</p></body></html>"))
+    val e = graft.ext.Html.parseJsonLdEntity(col("ld_raw"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .withColumn("ld_raw", graft.ext.Html.extractJsonLd(col("html")))
+      .select(col("doc_id"),
+        col("ld_raw").isNotNull.as("has_ld"),
+        e.getField("@type").as("ld_type"),
+        e.getField("headline").as("headline"),
+        e.getField("datePublished").as("date_published"),
+        e.getField("author").getField("name").as("author_name"),
+        e.getField("name").as("product_name"),
+        e.getField("offers").getField("price").as("price"),
+        e.getField("offers").getField("priceCurrency").as("currency"))
+      .orderBy("doc_id")
+  }
+}
+
+/** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
+private[graft] trait OraclesRound16b { this: OracleSnippets =>
+  protected def sqlRound16b: Map[String, String] = Map(
+    // q249: expected JSON-LD fields restated per branch from the
+    // generator arithmetic — k=3 has no block (has_ld false), k=4 is
+    // malformed (has_ld true, fields NULL), k=2 takes the FIRST
+    // entity of the array (the Article).
+    "q249_jsonld_harvest" ->
+      """WITH b AS (SELECT doc_id, doc_id % 6 AS k,
+        |    CAST(doc_id % 9 AS VARCHAR) AS g,
+        |    CAST(doc_id % 9 + 1 AS VARCHAR) AS m
+        |  FROM documents)
+        |SELECT doc_id,
+        |  k != 3 AS has_ld,
+        |  CASE WHEN k IN (0, 2, 5) THEN 'Article'
+        |       WHEN k = 1 THEN 'Product' END AS ld_type,
+        |  CASE WHEN k = 0 THEN 'Story g' || g
+        |       WHEN k = 2 THEN 'Story g' || g
+        |       WHEN k = 5 THEN 'Pad g' || g END AS headline,
+        |  CASE WHEN k IN (0, 2) THEN '2024-0' || m || '-01' END AS date_published,
+        |  CASE WHEN k IN (0, 2) THEN 'Author g' || g END AS author_name,
+        |  CASE WHEN k = 1 THEN 'Widget g' || g END AS product_name,
+        |  CASE WHEN k = 1 THEN g || '9.99' END AS price,
+        |  CASE WHEN k = 1 THEN 'USD' END AS currency
+        |FROM b ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -291,6 +291,7 @@ object SparkEntry {
     "q246_wet_conversion" -> ((s, d) => PipelinesExt.wetConversion(s, d)),
     "q247_robots_policy" -> ((s, d) => PipelinesExt.robotsPolicy(s, d)),
     "q248_surt_keys" -> ((s, d) => PipelinesExt.surtKeys(s, d)),
+    "q249_jsonld_harvest" -> ((s, d) => PipelinesExt.jsonLdHarvest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

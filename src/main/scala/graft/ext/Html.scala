@@ -97,6 +97,56 @@ object Html {
     when(raw === "", lit(null).cast("string")).otherwise(lower(raw))
   }
 
+  /** Raw body of the first `<script type="application/ld+json">`
+    * block, trimmed, NULL when absent — schema.org structured data,
+    * the machine-readable layer real crawl pipelines harvest beside
+    * the visible text (WAT records carry it; news/article and product
+    * corpora are built from it). The `type` attribute is matched in
+    * all three HTML quoting forms and may sit after other attributes
+    * (`<script async type='application/ld+json'>`); the body is NOT
+    * entity-decoded — JSON-LD script bodies are raw data, not HTML
+    * text (the HTML5 script-element parsing model), so decoding would
+    * corrupt legitimate `&amp;` sequences inside string values.
+    * Parsing stays [[parseJsonLdEntity]]'s job.
+    */
+  def extractJsonLd(html: Column): Column = {
+    // regex trim, not trim(): Spark's trim strips only the space
+    // character, and script bodies are routinely newline-padded
+    val raw = regexp_replace(regexp_extract(html,
+      "(?is)<script\\b[^>]*type\\s*=\\s*[\"']?application/ld\\+json[\"']?" +
+        "[^>]*>(.*?)</script\\s*>", 1), "(?s)^\\s+|\\s+$", "")
+    when(raw === "", lit(null).cast("string")).otherwise(raw)
+  }
+
+  /** One schema.org entity parsed from a JSON-LD block via native
+    * `from_json` (Catalyst's Jackson path — codegen-adjacent, no UDF):
+    * a struct of the fields the Article/Product harvest downstream
+    * keys on (`@type`, headline, datePublished, author.name, name,
+    * offers.price, offers.priceCurrency). JSON-LD blocks legally hold
+    * either ONE entity object or an ARRAY of them — an array parses
+    * to its FIRST entity (the page's primary entity by publisher
+    * convention); malformed JSON parses to NULL (quarantine, never a
+    * crash — the [[Http]] decode discipline). Unknown fields flow
+    * past the schema untouched; absent fields are NULL.
+    */
+  def parseJsonLdEntity(raw: Column): Column = {
+    import org.apache.spark.sql.types._
+    val entity = StructType(Seq(
+      StructField("@type", StringType),
+      StructField("headline", StringType),
+      StructField("datePublished", StringType),
+      StructField("author", StructType(Seq(StructField("name", StringType)))),
+      StructField("name", StringType),
+      StructField("offers", StructType(Seq(
+        StructField("price", StringType),
+        StructField("priceCurrency", StringType))))))
+    // regex probe, not ltrim().startsWith: Spark's ltrim strips only
+    // spaces and a newline-led array would misroute to the object arm
+    when(regexp_extract(raw, "(?s)^\\s*\\[", 0) =!= "",
+      element_at(from_json(raw, ArrayType(entity)), 1))
+      .otherwise(from_json(raw, entity))
+  }
+
   /** `href` of the first `<link rel="canonical">`, NULL when absent —
     * the page's own dedup vote: variants of one page (tracking params,
     * mirrors, pagination soup) declare a shared canonical target, and

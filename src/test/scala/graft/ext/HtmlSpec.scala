@@ -169,6 +169,41 @@ class HtmlSpec extends SparkSpec {
       ("unq", "U"), ("/after", "A")))
   }
 
+  test("extractJsonLd takes the typed block, skips plain scripts, NULL when absent") {
+    import spark.implicits._
+    val html = "<script>var x = 1;</script>" +
+      "<script async type='application/ld+json'>\n {\"@type\":\"Article\"} \n</script>" +
+      "<script type=\"application/ld+json\">{\"second\":true}</script>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractJsonLd(col("h"))).as[String].head()
+    assert(got === "{\"@type\":\"Article\"}")
+    val absent = Seq("<script>not typed</script>").toDF("h")
+      .select(Html.extractJsonLd(col("h"))).collect().head
+    assert(absent.isNullAt(0))
+  }
+
+  test("parseJsonLdEntity: single object, entity array takes FIRST, malformed is NULL") {
+    import spark.implicits._
+    def fields(raw: String): (String, String, String) = {
+      val e = Html.parseJsonLdEntity(col("r"))
+      Seq(raw).toDF("r").select(
+        e.getField("@type"), e.getField("headline"),
+        e.getField("offers").getField("price"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .head
+    }
+    assert(fields("{\"@type\":\"Article\",\"headline\":\"H\"}") ===
+      (("Article", "H", null)))
+    // array form: first entity wins; the second entity's fields must
+    // NOT leak through
+    assert(fields("[{\"@type\":\"Article\",\"headline\":\"A1\"}," +
+      "{\"@type\":\"Product\",\"offers\":{\"price\":\"9\"}}]") ===
+      (("Article", "A1", null)))
+    // malformed JSON quarantines to NULL fields, never throws
+    assert(fields("{\"@type\":\"Article\",\"headline\":\"trunc") ===
+      ((null, null, null)))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
