@@ -82,6 +82,64 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         e.getField("offers").getField("priceCurrency").as("currency"))
       .orderBy("doc_id")
   }
+
+  /** Robots-directive-aware link pruning as a hash gate
+    * ([[graft.ext.Html.robotsDirectives]] /
+    * [[graft.ext.Html.relHasToken]]): an indexer must honor the
+    * page-level `<meta name=robots>` AND `X-Robots-Tag` header
+    * channels (union — most restrictive wins), and a link graph must
+    * drop `rel=nofollow` edges BY TOKEN, not substring. Per doc a
+    * page with five outlinks is built: plain (kept), `nofollow`
+    * (dropped), `ugc nofollow` multi-token (dropped), `sponsored`
+    * (kept — not a nofollow token), and an unquoted-attribute
+    * `rel=nofollow` (dropped). Page-level branches k=0..7 cover: no
+    * directives, meta noindex, meta nofollow, both, header-only
+    * nofollow, header noindex + META uppercase NOFOLLOW (union +
+    * case-fold), `none` (the spec'd noindex+nofollow shorthand), and
+    * an explicit `index, follow` no-op. A nofollow PAGE contributes
+    * zero edges regardless of per-link rel.
+    */
+  def nofollowLinkGraph(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(8))
+    val g = pmod(i, lit(5)).cast("string")
+    def tgt(p: String) = concat(lit("http://t"), g, lit(".com/" + p))
+    val links = concat(
+      lit("<a href=\""), tgt("a"), lit("\">A</a>"),
+      lit("<a rel=\"nofollow\" href=\""), tgt("b"), lit("\">B</a>"),
+      lit("<a rel=\"ugc nofollow\" href=\""), tgt("c"), lit("\">C</a>"),
+      lit("<a rel=\"sponsored\" href=\""), tgt("d"), lit("\">D</a>"),
+      lit("<a rel=nofollow href="), tgt("e"), lit(">E</a>"))
+    val meta = when(k === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+      .when(k === 2, lit("<meta name=\"robots\" content=\"nofollow\">"))
+      .when(k === 3, lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+      .when(k === 5, lit("<meta name=\"robots\" content=\"NOFOLLOW\">"))
+      .when(k === 6, lit("<meta name=\"robots\" content=\"none\">"))
+      .when(k === 7, lit("<meta name=\"robots\" content=\"index, follow\">"))
+      .otherwise(lit(""))
+    val header = when(k === 4, lit("nofollow"))
+      .when(k === 5, lit("noindex")).otherwise(lit(null).cast("string"))
+    val html = concat(lit("<html><head>"), meta, lit("</head><body>"),
+      links, lit("</body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"), header.as("xrobots"))
+      .withColumn("dirs", graft.ext.Html.robotsDirectives(
+        graft.ext.Html.extractMetaContent(col("html"), "robots"),
+        col("xrobots")))
+      .withColumn("anchors", graft.ext.Html.extractAnchors(col("html")))
+      .withColumn("kept", when(col("dirs.nofollow"),
+          array().cast("array<struct<href:string,text:string,rel:string>>"))
+        .otherwise(filter(col("anchors"),
+          a => !graft.ext.Html.relHasToken(a.getField("rel"), "nofollow"))))
+      .select(col("doc_id"),
+        col("dirs.noindex").as("noindex"),
+        col("dirs.nofollow").as("nofollow_page"),
+        size(col("anchors")).cast("long").as("n_links_total"),
+        size(col("kept")).cast("long").as("n_links_kept"),
+        concat_ws(" ", transform(col("kept"), _.getField("href")))
+          .as("kept_hrefs"))
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -108,6 +166,25 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  CASE WHEN k = 1 THEN 'Widget g' || g END AS product_name,
         |  CASE WHEN k = 1 THEN g || '9.99' END AS price,
         |  CASE WHEN k = 1 THEN 'USD' END AS currency
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q250: directive arithmetic restated — noindex from meta
+    // (1,3,6), header (5), and the 'none' shorthand; page-nofollow
+    // from meta (2,3,5,6) and header (4); of the five planted links
+    // only /a (plain) and /d (rel=sponsored) survive a follow page.
+    "q250_nofollow_links" ->
+      """WITH b AS (SELECT doc_id, doc_id % 8 AS k,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents)
+        |SELECT doc_id,
+        |  k IN (1, 3, 5, 6) AS noindex,
+        |  k IN (2, 3, 4, 5, 6) AS nofollow_page,
+        |  CAST(5 AS BIGINT) AS n_links_total,
+        |  CAST(CASE WHEN k IN (2, 3, 4, 5, 6) THEN 0 ELSE 2 END AS BIGINT)
+        |    AS n_links_kept,
+        |  CASE WHEN k IN (2, 3, 4, 5, 6) THEN ''
+        |       ELSE 'http://t' || g || '.com/a http://t' || g || '.com/d'
+        |  END AS kept_hrefs
         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -292,6 +292,7 @@ object SparkEntry {
     "q247_robots_policy" -> ((s, d) => PipelinesExt.robotsPolicy(s, d)),
     "q248_surt_keys" -> ((s, d) => PipelinesExt.surtKeys(s, d)),
     "q249_jsonld_harvest" -> ((s, d) => PipelinesExt.jsonLdHarvest(s, d)),
+    "q250_nofollow_links" -> ((s, d) => PipelinesExt.nofollowLinkGraph(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -299,7 +299,42 @@ object Html {
       val inner = regexp_extract(a, "(?is)^<a\\s[^>]*>(.*)</a\\s*>$", 1)
       val text = trim(regexp_replace(decodeEntities(
         regexp_replace(inner, "<[^>]*>", " ")), "\\s+", " "))
-      struct(href.as("href"), text.as("text"))
+      // rel is a space-separated TOKEN LIST per HTML spec — kept raw
+      // here (lowercased); token membership is [[relHasToken]]'s job
+      val rawRel = regexp_extract(a,
+        "(?is)<a\\s[^>]*\\brel\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1)
+      val rel = lower(when(rawRel.startsWith("\"") || rawRel.startsWith("'"),
+        substring(rawRel, lit(2), length(rawRel) - 2)).otherwise(rawRel))
+      struct(href.as("href"), text.as("text"), rel.as("rel"))
     })
+  }
+
+  /** TOKEN membership in an HTML space-separated token-list attribute
+    * (`rel`, `class`): `rel="ugc nofollow"` has the token, the
+    * hypothetical `rel="nofollowish"` does NOT — a substring contains()
+    * would take both (the link-graph over-pruning bug).
+    */
+  def relHasToken(rel: Column, token: String): Column =
+    array_contains(split(lower(rel), "\\s+"), token.toLowerCase)
+
+  /** Page-level robots directives — the union of the robots `<meta>`
+    * content and the `X-Robots-Tag` response header (RFC 9309's
+    * sibling channel; a page is as restricted as its MOST restrictive
+    * source says), as `struct<noindex, nofollow>`. Directive lists
+    * are comma-separated, case-insensitive, whitespace-tolerant;
+    * `none` is the spec'd shorthand for `noindex, nofollow`. An
+    * indexer that skips this harvest republishes pages their owners
+    * opted out of — and a link graph that keeps nofollow-page edges
+    * counts votes the page explicitly withheld.
+    */
+  def robotsDirectives(meta: Column, header: Column): Column = {
+    def toks(c: Column): Column =
+      transform(split(lower(coalesce(c, lit(""))), ","),
+        t => regexp_replace(t, "(?s)^\\s+|\\s+$", ""))
+    val all = concat(toks(meta), toks(header))
+    val none = array_contains(all, "none")
+    struct(
+      (array_contains(all, "noindex") || none).as("noindex"),
+      (array_contains(all, "nofollow") || none).as("nofollow"))
   }
 }

@@ -204,6 +204,34 @@ class HtmlSpec extends SparkSpec {
       ((null, null, null)))
   }
 
+  test("robotsDirectives unions meta and header; 'none' means both; case-folds") {
+    import spark.implicits._
+    def dirs(meta: String, header: String): (Boolean, Boolean) = {
+      val d = Html.robotsDirectives(col("m"), col("h"))
+      Seq((Option(meta), Option(header))).toDF("m", "h")
+        .select(d.getField("noindex"), d.getField("nofollow"))
+        .collect().map(r => (r.getBoolean(0), r.getBoolean(1))).head
+    }
+    assert(dirs(null, null) === ((false, false)))
+    assert(dirs("noindex, nofollow", null) === ((true, true)))
+    assert(dirs(" NOFOLLOW ", "noindex") === ((true, true)))
+    assert(dirs("none", null) === ((true, true)))
+    assert(dirs("index, follow", null) === ((false, false)))
+    // 'noindexing' is not the token 'noindex'
+    assert(dirs("noindexing", null) === ((false, false)))
+  }
+
+  test("relHasToken matches rel TOKENS, never substrings; anchors carry rel") {
+    import spark.implicits._
+    val html = "<a rel=\"ugc nofollow\" href=\"/b\">B</a>" +
+      "<a rel=\"nofollowish\" href=\"/c\">C</a><a href=\"/d\">D</a>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.extractAnchors(col("h"))).as("a"))
+      .select(col("a.href"), Html.relHasToken(col("a.rel"), "nofollow"))
+      .collect().map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(got === Seq(("/b", true), ("/c", false), ("/d", false)))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
