@@ -140,6 +140,41 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
           .as("kept_hrefs"))
       .orderBy("doc_id")
   }
+
+  /** URL category-blocklist curation as a hash gate
+    * ([[graft.ext.Urls.matchBlocklist]]): the UT1-style domain
+    * blocklist every production crawl runs before training-data
+    * selection. Hosts per doc cover the four match shapes — a
+    * SUBDOMAIN of a listed domain (ads.track<g>.com under
+    * track<g>.com: entries block their whole subtree), a clean host,
+    * a deeper subdomain under a listed domain with a DUAL-category
+    * entry (bad0.net is both adult and malware — categories
+    * accumulate sorted), and the substring hazard (notbad<g>.net must
+    * NOT match the bad<g>.net entry — label-suffix semantics, never
+    * substring). One exact-host entry (good3.org) pins that listed
+    * hosts match themselves, not only their children.
+    */
+  def blocklistCuration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val i = col("doc_id")
+    val g = pmod(i, lit(5)).cast("string")
+    val j = pmod(i, lit(4))
+    val host = when(j === 0, concat(lit("ads.track"), g, lit(".com")))
+      .when(j === 1, concat(lit("good"), g, lit(".org")))
+      .when(j === 2, concat(lit("sub.bad"), g, lit(".net")))
+      .otherwise(concat(lit("notbad"), g, lit(".net")))
+    val bl = Seq(
+      ("track0.com", "ads"), ("track1.com", "ads"), ("track2.com", "ads"),
+      ("bad0.net", "adult"), ("bad2.net", "adult"), ("bad4.net", "adult"),
+      ("bad0.net", "malware"), ("good3.org", "parked"))
+      .toDF("domain", "category")
+    graft.ext.Urls.matchBlocklist(
+        t(s, d, "documents").select(col("doc_id"), host.as("host")),
+        "doc_id", "host", bl, "domain", "category")
+      .select(col("doc_id"), col("host"),
+        concat_ws(",", col("categories")).as("categories"), col("blocked"))
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -185,6 +220,28 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  CASE WHEN k IN (2, 3, 4, 5, 6) THEN ''
         |       ELSE 'http://t' || g || '.com/a http://t' || g || '.com/d'
         |  END AS kept_hrefs
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q251: blocklist arithmetic restated — track0..2.com block their
+    // ads.* subdomains, bad0/2/4.net block sub.* (bad0 dual-category,
+    // sorted), good3.org matches itself exactly, notbad*.net never
+    // matches (label suffix, not substring).
+    "q251_blocklist_curation" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS j, doc_id % 5 AS g,
+        |    CAST(doc_id % 5 AS VARCHAR) AS gs
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN j = 0 THEN 'ads.track' || gs || '.com'
+        |       WHEN j = 1 THEN 'good' || gs || '.org'
+        |       WHEN j = 2 THEN 'sub.bad' || gs || '.net'
+        |       ELSE 'notbad' || gs || '.net' END AS host,
+        |  CASE WHEN j = 0 AND g < 3 THEN 'ads'
+        |       WHEN j = 1 AND g = 3 THEN 'parked'
+        |       WHEN j = 2 AND g = 0 THEN 'adult,malware'
+        |       WHEN j = 2 AND g IN (2, 4) THEN 'adult'
+        |       ELSE '' END AS categories,
+        |  (j = 0 AND g < 3) OR (j = 1 AND g = 3)
+        |    OR (j = 2 AND g IN (0, 2, 4)) AS blocked
         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

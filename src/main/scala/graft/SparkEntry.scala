@@ -293,6 +293,7 @@ object SparkEntry {
     "q248_surt_keys" -> ((s, d) => PipelinesExt.surtKeys(s, d)),
     "q249_jsonld_harvest" -> ((s, d) => PipelinesExt.jsonLdHarvest(s, d)),
     "q250_nofollow_links" -> ((s, d) => PipelinesExt.nofollowLinkGraph(s, d)),
+    "q251_blocklist_curation" -> ((s, d) => PipelinesExt.blocklistCuration(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

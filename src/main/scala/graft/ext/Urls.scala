@@ -607,6 +607,46 @@ object Urls {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** Category-blocklist matching (the UT1/Shallalist shape every
+    * production crawl curation runs: a list of (domain, category)
+    * rows where an entry blocks the domain AND every subdomain under
+    * it). Matching is by LABEL SUFFIX, never substring — `bad.net`
+    * blocks `sub.bad.net` but not `notbad.net` — done the scalable
+    * way: each host expands to its label-suffix chain (`a.b.c.com` →
+    * `a.b.c.com`, `b.c.com`, `c.com`, `com`, capped at `maxLabels`
+    * entries), and the chain equi-joins the blocklist on the suffix
+    * key. No LIKE-prefix join, no per-entry regex scan: ≤ `maxLabels`
+    * narrow rows per URL into one hash join that AQE broadcasts when
+    * the list is small (UT1's ~4M-domain adult list is ~60 MB — still
+    * broadcastable on real executors) and shuffles cleanly when it is
+    * not. Blocklist domains are matched case-insensitively; hosts are
+    * expected pre-canonicalized ([[hostOf]] lowercases).
+    *
+    * Emits every input row + `categories` (sorted distinct matched
+    * categories, empty when clean) + `blocked`.
+    */
+  def matchBlocklist(df: DataFrame, idCol: String, hostCol: String,
+      blocklist: DataFrame, domainCol: String, categoryCol: String,
+      maxLabels: Int = 8): DataFrame = {
+    require(maxLabels >= 1,
+      s"Urls.matchBlocklist: maxLabels must be positive, got $maxLabels")
+    val labels = split(lower(col(hostCol)), "\\.")
+    val suffixes = transform(
+      sequence(lit(1), least(size(labels), lit(maxLabels))),
+      n => concat_ws(".", slice(labels, -n, n)))
+    val chain = df.select(col(idCol),
+        explode(suffixes).as("_sfx"))
+    val bl = blocklist.select(lower(col(domainCol)).as("_sfx"),
+      col(categoryCol).as("_cat"))
+    val hits = chain.join(bl, Seq("_sfx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_cat"))).as("categories"))
+    df.join(hits, Seq(idCol), "left_outer")
+      .withColumn("categories",
+        coalesce(col("categories"), array().cast("array<string>")))
+      .withColumn("blocked", size(col("categories")) > 0)
+  }
+
   /** SURT key (Sort-friendly URI Reordering Transform) of a CANONICAL
     * URL — the key web archives sort and range-scan by (CDX indexes
     * are SURT-ordered): host labels reverse (`a.shop.com` →

@@ -455,4 +455,28 @@ class UrlsSpec extends SparkSpec {
       Urls.capPerDomain(docs, "dom", "q", "id", cap = 0))
     assert(e.getMessage.contains("cap must be positive"))
   }
+
+  test("matchBlocklist: label-suffix match, subtree inherit, never substring") {
+    import spark.implicits._
+    val urls = Seq((1L, "sub.bad.net"), (2L, "notbad.net"), (3L, "bad.net"),
+      (4L, "deep.a.bad.net"), (5L, "clean.org")).toDF("id", "host")
+    val bl = Seq(("BAD.net", "adult"), ("bad.net", "malware"))
+      .toDF("domain", "category")
+    val got = Urls.matchBlocklist(urls, "id", "host", bl, "domain", "category")
+      .select(col("id"), concat_ws(",", col("categories")), col("blocked"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    // entries case-fold and accumulate sorted; notbad.net shares the
+    // character suffix but not a LABEL suffix; depth does not matter
+    assert(got === Set(
+      (1L, "adult,malware", true), (2L, "", false),
+      (3L, "adult,malware", true), (4L, "adult,malware", true),
+      (5L, "", false)))
+    // maxLabels caps the chain: with 1 label only TLD-level entries hit
+    val tld = Urls.matchBlocklist(urls, "id", "host",
+        Seq(("bad.net", "x")).toDF("domain", "category"),
+        "domain", "category", maxLabels = 1)
+      .filter(col("blocked")).count()
+    assert(tld === 0L)
+  }
 }
