@@ -175,6 +175,38 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         concat_ws(",", col("categories")).as("categories"), col("blocked"))
       .orderBy("doc_id")
   }
+
+  /** Payload-digest revisit dedup as a hash gate
+    * ([[graft.ext.Warc.revisitRecords]]): two crawl snapshots of the
+    * corpus where (a) every third URL's content is STABLE across
+    * crawls — its second capture must become a `revisit` stub
+    * pointing at the first, (b) mirror docs share one payload across
+    * DIFFERENT URLs — payload identity, not URL identity, drives the
+    * dedup (the earliest capture of the whole mirror family is the
+    * one original), and (c) everything else changes per crawl and
+    * stores twice. Capture time is synthetic and unique
+    * (crawl·100000 + doc_id) so first-capture selection is total.
+    * The oracle replays the same md5 + window arithmetic in SQL.
+    */
+  def revisitDedup(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val url = concat(lit("http://rv"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), i.cast("string"))
+    val payload = when(pmod(i, lit(10)) === 1, lit("mirror page body"))
+      .when(pmod(i, lit(3)) === 0,
+        concat(lit("stable content "), i.cast("string")))
+      .otherwise(concat(lit("content "), i.cast("string"),
+        lit(" crawl "), col("crawl").cast("string")))
+    val captures = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("crawl"))
+      .select(col("doc_id"), col("crawl"), url.as("url"),
+        (col("crawl") * 100000 + i).as("capture_ts"), payload.as("payload"))
+    graft.ext.Warc.revisitRecords(captures, "url", "capture_ts", "payload")
+      .select(col("doc_id"), col("crawl"), col("url"), col("capture_ts"),
+        col("payload_digest"), col("record_type"), col("refers_to_url"),
+        col("refers_to_ts"))
+      .orderBy("doc_id", "crawl")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -243,5 +275,33 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  (j = 0 AND g < 3) OR (j = 1 AND g = 3)
         |    OR (j = 2 AND g IN (0, 2, 4)) AS blocked
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q252: the same md5 + first-capture window replayed in SQL —
+    // digest partitions, (ts, url) orders, row 1 is the response.
+    "q252_revisit_dedup" ->
+      """WITH caps AS (
+        |  SELECT doc_id, c.crawl,
+        |    'http://rv' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+        |      || CAST(doc_id AS VARCHAR) AS url,
+        |    c.crawl * 100000 + doc_id AS capture_ts,
+        |    CASE WHEN doc_id % 10 = 1 THEN 'mirror page body'
+        |         WHEN doc_id % 3 = 0
+        |           THEN 'stable content ' || CAST(doc_id AS VARCHAR)
+        |         ELSE 'content ' || CAST(doc_id AS VARCHAR) || ' crawl '
+        |           || CAST(c.crawl AS VARCHAR) END AS payload
+        |  FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS crawl) c),
+        |d AS (SELECT *, md5(payload) AS payload_digest,
+        |    row_number() OVER w AS rn,
+        |    first_value(url) OVER w AS fu,
+        |    first_value(capture_ts) OVER w AS ft
+        |  FROM caps
+        |  WINDOW w AS (PARTITION BY md5(payload)
+        |    ORDER BY capture_ts, url))
+        |SELECT doc_id, CAST(crawl AS INT) AS crawl, url, capture_ts,
+        |  payload_digest,
+        |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+        |  CASE WHEN rn > 1 THEN fu END AS refers_to_url,
+        |  CASE WHEN rn > 1 THEN ft END AS refers_to_ts
+        |FROM d ORDER BY doc_id, crawl""".stripMargin,
   )
 }

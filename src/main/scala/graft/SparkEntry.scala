@@ -294,6 +294,7 @@ object SparkEntry {
     "q249_jsonld_harvest" -> ((s, d) => PipelinesExt.jsonLdHarvest(s, d)),
     "q250_nofollow_links" -> ((s, d) => PipelinesExt.nofollowLinkGraph(s, d)),
     "q251_blocklist_curation" -> ((s, d) => PipelinesExt.blocklistCuration(s, d)),
+    "q252_revisit_dedup" -> ((s, d) => PipelinesExt.revisitDedup(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -371,6 +371,43 @@ object Warc {
     *
     * Output: one row per id — (idCol long, `warc_blob` binary).
     */
+  /** WARC revisit-record assignment — the payload-digest dedup web
+    * archives run across crawl snapshots (WARC 1.1 `revisit` records
+    * with `WARC-Refers-To`): of all captures sharing one payload
+    * digest, the FIRST (by capture time, then URL for determinism)
+    * stays a full `response` record; every later capture becomes a
+    * `revisit` stub pointing at it. Identity is the PAYLOAD, not the
+    * URL — a mirror page on a different host revisits the original,
+    * and a URL whose content changed between crawls stores both
+    * versions. Digest is md5 (the engine's portable-digest choice;
+    * production archives use sha1 — same mechanics, different
+    * constant).
+    *
+    * Plan: one window over the digest key — one hash exchange, no
+    * join, no self-pairing; a digest shared by millions of captures
+    * is partition skew on that key, never a pairwise blow-up.
+    *
+    * Emits every capture row + `payload_digest`, `record_type`
+    * (`response`/`revisit`), and `refers_to_url`/`refers_to_ts`
+    * (NULL on originals).
+    */
+  def revisitRecords(captures: DataFrame, urlCol: String, tsCol: String,
+      payloadCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("payload_digest"))
+      .orderBy(col(tsCol), col(urlCol))
+    captures.withColumn("payload_digest", md5(col(payloadCol)))
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("record_type",
+        when(col("_rn") === 1, lit("response")).otherwise(lit("revisit")))
+      .withColumn("refers_to_url",
+        when(col("_rn") > 1, first(col(urlCol)).over(w)))
+      .withColumn("refers_to_ts",
+        when(col("_rn") > 1, first(col(tsCol)).over(w)))
+      .drop("_rn")
+  }
+
   def buildWarcColumn(df: DataFrame, idCol: String, ordCol: String,
       typeCol: String, uriCol: String, recIdCol: String,
       payloadCol: String, gzipped: Boolean = false): DataFrame = {
