@@ -207,6 +207,60 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         col("refers_to_ts"))
       .orderBy("doc_id", "crawl")
   }
+
+  /** RSS/Atom feed ingest as a hash gate
+    * ([[graft.ext.Html.extractFeedEntries]] → resolve → canonicalize,
+    * the frontier feed channel beside sitemaps q223/q233): even docs
+    * carry an RSS 2.0 feed — two items (one entity-escaped title, one
+    * CDATA title, one whitespace-padded link), with the CHANNEL-level
+    * `<link>` present as the classic harvest hazard (it is the site
+    * link, not an entry); odd docs carry an Atom feed — a feed-level
+    * `rel=self` link (never an entry), a `rel=alternate` entry, a
+    * bare `<link href>` entry, and an entry where a `rel=self` link
+    * precedes the real one (the no-rel arm must skip PAST it).
+    * Atom hrefs are RELATIVE and resolve against the feed URL.
+    */
+  def feedIngest(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val g = pmod(i, lit(6)).cast("string")
+    val rss = concat(
+      lit("<rss><channel><title>Feed "), g,
+      lit("</title><link>http://feed"), g, lit(".com/</link>"),
+      lit("<item><title>First &amp; g"), g,
+      lit("</title><link>http://feed"), g, lit(".com/a1</link></item>"),
+      lit("<item><title><![CDATA[Second & g"), g,
+      lit("]]></title><link>\n  http://feed"), g,
+      lit(".com/a2 </link></item>"),
+      lit("</channel></rss>"))
+    val atom = concat(
+      lit("<feed><title>AF "), g,
+      lit("</title><link rel=\"self\" href=\"http://feed"), g,
+      lit(".org/feed.xml\"/>"),
+      lit("<entry><title>AOne g"), g,
+      lit("</title><link rel=\"alternate\" href=\"/e1\"/></entry>"),
+      lit("<entry><title>ATwo g"), g,
+      lit("</title><link href='/e2'/></entry>"),
+      lit("<entry><title>AThree g"), g,
+      lit("</title><link rel=\"self\" href=\"/ignore\"/>"),
+      lit("<link href=\"/e3\"/></entry>"),
+      lit("</feed>"))
+    val isRss = pmod(i, lit(2)) === 0
+    val feedUrl = when(isRss, concat(lit("http://feed"), g, lit(".com/feed.xml")))
+      .otherwise(concat(lit("http://feed"), g, lit(".org/feed.xml")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        when(isRss, rss).otherwise(atom).as("xml"),
+        feedUrl.as("feed_url"),
+        when(isRss, lit("rss")).otherwise(lit("atom")).as("fmt"))
+      .select(col("doc_id"), col("feed_url"), col("fmt"),
+        posexplode(graft.ext.Html.extractFeedEntries(col("xml"))))
+      .withColumnRenamed("pos", "idx")
+      .select(col("doc_id"), col("idx").cast("long").as("idx"), col("fmt"),
+        graft.ext.Urls.canonicalizeUrl(graft.ext.Urls.resolveUrl(
+          col("feed_url"), col("col.url"))).as("url"),
+        col("col.title").as("title"))
+      .orderBy("doc_id", "idx")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -303,5 +357,29 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  CASE WHEN rn > 1 THEN fu END AS refers_to_url,
         |  CASE WHEN rn > 1 THEN ft END AS refers_to_ts
         |FROM d ORDER BY doc_id, crawl""".stripMargin,
+
+    // q253: expected entries restated per branch — RSS docs yield
+    // items a1/a2 (channel link skipped), Atom docs yield e1/e2/e3
+    // resolved against the feed URL (self links skipped).
+    "q253_feed_ingest" ->
+      """WITH b AS (SELECT doc_id, doc_id % 2 = 0 AS is_rss,
+        |    CAST(doc_id % 6 AS VARCHAR) AS g
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, is_rss, g, idx.i AS idx
+        |  FROM b CROSS JOIN (SELECT unnest([0, 1, 2]) AS i) idx
+        |  WHERE is_rss AND idx.i < 2 OR NOT is_rss)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+        |  CASE WHEN is_rss THEN 'rss' ELSE 'atom' END AS fmt,
+        |  CASE WHEN is_rss
+        |       THEN 'http://feed' || g || '.com/a' || CAST(idx + 1 AS VARCHAR)
+        |       ELSE 'http://feed' || g || '.org/e' || CAST(idx + 1 AS VARCHAR)
+        |  END AS url,
+        |  CASE WHEN is_rss AND idx = 0 THEN 'First & g' || g
+        |       WHEN is_rss THEN 'Second & g' || g
+        |       WHEN idx = 0 THEN 'AOne g' || g
+        |       WHEN idx = 1 THEN 'ATwo g' || g
+        |       ELSE 'AThree g' || g END AS title
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
   )
 }

@@ -295,6 +295,7 @@ object SparkEntry {
     "q250_nofollow_links" -> ((s, d) => PipelinesExt.nofollowLinkGraph(s, d)),
     "q251_blocklist_curation" -> ((s, d) => PipelinesExt.blocklistCuration(s, d)),
     "q252_revisit_dedup" -> ((s, d) => PipelinesExt.revisitDedup(s, d)),
+    "q253_feed_ingest" -> ((s, d) => PipelinesExt.feedIngest(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -257,6 +257,53 @@ object Html {
       regexp_extract_all(xml, lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1)),
       decodeEntities(_))
 
+  /** Feed entries — `array<struct<url, title>>` — from EITHER feed
+    * dialect the web actually ships: RSS 2.0 (`<item>` with a
+    * text-form `<link>URL</link>`) and Atom (`<entry>` with an
+    * attribute-form `<link href=…/>`). Scoping is per entry block, so
+    * the RSS channel-level `<link>` (the SITE link) and the Atom
+    * feed-level `rel="self"` link are never harvested. Atom entries
+    * may carry several links: `rel="alternate"` wins (either
+    * attribute order), then a link with NO rel attribute; `rel=self`/
+    * `edit`/`enclosure` links are never the entry URL. Titles unwrap
+    * CDATA, then entity-decode, then whitespace-collapse. Entries
+    * without a resolvable link are skipped. Feeds are XML so
+    * attributes are always quoted (unlike the HTML extractors above);
+    * hrefs may be RELATIVE — resolution against the feed URL stays
+    * [[Urls.resolveUrl]]'s job. Same native regex lineage: per-row
+    * projection, no UDF, no shuffle.
+    */
+  def extractFeedEntries(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml,
+      lit("(?is)<(item|entry)\\b[^>]*>(.*?)</\\1\\s*>"), lit(2))
+    val v = "(\"[^\"]*\"|'[^']*')"
+    val entries = transform(blocks, b => {
+      val rssLink = regexp_extract(b, "(?is)<link>\\s*(.*?)\\s*</link>", 1)
+      val altRelFirst = regexp_extract(b,
+        "(?is)<link\\b[^>]*?rel\\s*=\\s*[\"']alternate[\"'][^>]*?href\\s*=\\s*" + v, 1)
+      val altHrefFirst = regexp_extract(b,
+        "(?is)<link\\b[^>]*?href\\s*=\\s*" + v +
+          "[^>]*?rel\\s*=\\s*[\"']alternate[\"']", 1)
+      // tempered on BOTH sides of href: a rel anywhere in the tag
+      // (self/edit/enclosure) disqualifies it from the no-rel arm
+      val noRel = regexp_extract(b,
+        "(?is)<link\\b(?:(?!\\brel\\s*=)[^>])*?href\\s*=\\s*" + v +
+          "(?:(?!\\brel\\s*=)[^>])*>", 1)
+      def unq(c: Column): Column =
+        when(c.startsWith("\"") || c.startsWith("'"),
+          substring(c, lit(2), length(c) - 2)).otherwise(c)
+      def nonEmpty(c: Column): Column =
+        when(c === "", lit(null).cast("string")).otherwise(c)
+      val url = coalesce(nonEmpty(rssLink), nonEmpty(unq(altRelFirst)),
+        nonEmpty(unq(altHrefFirst)), nonEmpty(unq(noRel)), lit(""))
+      val rawTitle = regexp_extract(b, "(?is)<title[^>]*>(.*?)</title>", 1)
+      val title = trim(regexp_replace(decodeEntities(regexp_replace(rawTitle,
+        "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")), "\\s+", " "))
+      struct(url.as("url"), title.as("title"))
+    })
+    filter(entries, e => e.getField("url") =!= "")
+  }
+
   def extractLinks(html: Column): Column = {
     val noScript = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")

@@ -232,6 +232,27 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq(("/b", true), ("/c", false), ("/d", false)))
   }
 
+  test("extractFeedEntries scopes to item/entry blocks, honors rel, unwraps CDATA") {
+    import spark.implicits._
+    val rss = "<rss><channel><link>http://site.com/</link>" +
+      "<item><title><![CDATA[T & one]]></title><link>http://site.com/1</link></item>" +
+      "<item><title>No link here</title></item></rss>"
+    val atom = "<feed><link rel=\"self\" href=\"http://f.org/feed\"/>" +
+      "<entry><title>E</title><link rel=\"self\" href=\"/skip\"/>" +
+      "<link href=\"/keep\" type=\"text/html\"/></entry></feed>"
+    def entries(xml: String): Seq[(String, String)] =
+      Seq(xml).toDF("x")
+        .select(explode(Html.extractFeedEntries(col("x"))).as("e"))
+        .select("e.url", "e.title")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // channel-level link never harvested; link-less item skipped;
+    // CDATA title unwrapped and entity-decoded
+    assert(entries(rss) === Seq(("http://site.com/1", "T & one")))
+    // feed-level self link out of scope; in-entry self link skipped
+    // even though it comes FIRST; trailing attributes tolerated
+    assert(entries(atom) === Seq(("/keep", "E")))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
