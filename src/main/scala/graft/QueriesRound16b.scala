@@ -261,6 +261,40 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         col("col.title").as("title"))
       .orderBy("doc_id", "idx")
   }
+
+  /** Unicode normalization as a hash gate
+    * ([[graft.functions.VectorExpressions.UnicodeNormalize]], the
+    * codegen'd `java.text.Normalizer` expression): per doc a branch
+    * plants each normalization hazard class — precomposed é
+    * (NFC-stable), DECOMPOSED e+U+0301 (NFC must fold it to the same
+    * bytes as the precomposed branch — the exact-dedup identity
+    * split), fullwidth ＡＢＣ１２３ (NFC-stable but NFKC folds to
+    * ASCII), the ﬁ/ﬂ ligatures (same), and plain ASCII (the
+    * zero-copy fast path). The oracle restates the expected NFC and
+    * NFKC strings per branch from the generator arithmetic; the
+    * changed_* flags pin which branches the normalizer may NOT touch.
+    */
+  def unicodeNormalizeGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(5))
+    val istr = i.cast("string")
+    val raw = when(k === 0, concat(lit("café résumé "), istr))
+      .when(k === 1, concat(
+        lit("café résumé "), istr))
+      .when(k === 2, concat(
+        lit("ＡＢＣ１２３ "), istr))
+      .when(k === 3, concat(lit("ﬁnal ﬂow "), istr))
+      .otherwise(concat(lit("plain ascii "), istr))
+    val V = graft.functions.VectorExpressions
+    t(s, d, "documents")
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        V.unicodeNormalize(col("raw"), "NFC").as("nfc"),
+        V.unicodeNormalize(col("raw"), "NFKC").as("nfkc"))
+      .withColumn("changed_nfc", col("nfc") =!= raw)
+      .withColumn("changed_nfkc", col("nfkc") =!= raw)
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -381,5 +415,25 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |       WHEN idx = 1 THEN 'ATwo g' || g
         |       ELSE 'AThree g' || g END AS title
         |FROM e ORDER BY doc_id, idx""".stripMargin,
+
+    // q254: expected normalized strings restated per branch — the é
+    // literals here are PRECOMPOSED (U+00E9); branch k=1 plants the
+    // decomposed form and must fold onto them.
+    "q254_unicode_normalize" ->
+      """WITH b AS (SELECT doc_id, doc_id % 5 AS k,
+        |    CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN k IN (0, 1) THEN 'café résumé ' || s
+        |       WHEN k = 2 THEN 'ＡＢＣ１２３ ' || s
+        |       WHEN k = 3 THEN 'ﬁnal ﬂow ' || s
+        |       ELSE 'plain ascii ' || s END AS nfc,
+        |  CASE WHEN k IN (0, 1) THEN 'café résumé ' || s
+        |       WHEN k = 2 THEN 'ABC123 ' || s
+        |       WHEN k = 3 THEN 'final flow ' || s
+        |       ELSE 'plain ascii ' || s END AS nfkc,
+        |  k = 1 AS changed_nfc,
+        |  k IN (1, 2, 3) AS changed_nfkc
+        |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

@@ -296,6 +296,7 @@ object SparkEntry {
     "q251_blocklist_curation" -> ((s, d) => PipelinesExt.blocklistCuration(s, d)),
     "q252_revisit_dedup" -> ((s, d) => PipelinesExt.revisitDedup(s, d)),
     "q253_feed_ingest" -> ((s, d) => PipelinesExt.feedIngest(s, d)),
+    "q254_unicode_normalize" -> ((s, d) => PipelinesExt.unicodeNormalizeGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

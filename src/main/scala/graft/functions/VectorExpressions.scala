@@ -597,6 +597,57 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** Unicode normalization (NFC/NFKC/NFD/NFKD) as a whole-stage-
+    * codegen expression over `java.text.Normalizer` — the first text
+    * operator of any multilingual corpus pipeline: the same word
+    * arrives precomposed (é = U+00E9) from one site and decomposed
+    * (e + U+0301) from another, and every downstream exact operator
+    * (fingerprints, gram hashing, dedup, token counts) silently
+    * splits identity on the byte difference unless the corpus is
+    * folded to one form first. NFC is the web's canonical form (and
+    * what W3C mandates for comparison); NFKC additionally folds
+    * compatibility variants (fullwidth ASCII, ligatures) and is what
+    * BPE-style tokenizers normalize with. No Spark built-in exposes
+    * this; the JRE implementation is allocation-free on
+    * already-normalized input via the `isNormalized` fast path —
+    * which is ~all real text, so the common case costs one scan and
+    * ZERO copies (the input UTF8String passes straight through).
+    */
+  case class UnicodeNormalize(child: Expression, form: String)
+      extends UnaryExpression {
+    require(Seq("NFC", "NFKC", "NFD", "NFKD").contains(form),
+      s"UnicodeNormalize: unknown form $form")
+    @transient private lazy val javaForm = java.text.Normalizer.Form.valueOf(form)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_unicode_normalize"
+
+    override def nullSafeEval(v: Any): Any = {
+      val u = v.asInstanceOf[UTF8String]
+      val s = u.toString
+      if (java.text.Normalizer.isNormalized(s, javaForm)) u
+      else UTF8String.fromString(java.text.Normalizer.normalize(s, javaForm))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, in => {
+        val formRef = ctx.addReferenceObj("form", javaForm,
+          "java.text.Normalizer.Form")
+        val s = ctx.freshName("s")
+        s"""
+           |java.lang.String $s = $in.toString();
+           |if (java.text.Normalizer.isNormalized($s, $formRef)) {
+           |  ${ev.value} = $in;
+           |} else {
+           |  ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+           |    java.text.Normalizer.normalize($s, $formRef));
+           |}
+         """.stripMargin
+      })
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
   // ------------------------------------------------- Column wrappers
 
   def dot(a: Column, b: Column): Column =
@@ -641,4 +692,7 @@ object VectorExpressions {
 
   def pqAdcDot(codes: Column, table: Column, ksub: Int): Column =
     Bridge.column(PqAdcDot(Bridge.expression(codes), Bridge.expression(table), ksub))
+
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
 }

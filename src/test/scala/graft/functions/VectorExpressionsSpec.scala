@@ -93,4 +93,43 @@ class VectorExpressionsSpec extends SparkSpec {
     // hilbert (this orientation): (0,0) is curve position 0, (1,0) is 1
     assert(r.getLong(1) == 0L && r.getLong(2) == 1L)
   }
+
+  test("unicodeNormalize: NFC folds decomposed onto precomposed, NFKC folds compat") {
+    val pre = "café"
+    val dec = "café"
+    val rows = Seq((1L, pre), (2L, dec), (3L, "Ａ１ ﬁx"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("id", "t")
+      .select(col("id"),
+        VectorExpressions.unicodeNormalize(col("t"), "NFC").as("nfc"),
+        VectorExpressions.unicodeNormalize(col("t"), "NFKC").as("nfkc"))
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) === pre && rows(1).getString(1) === pre)
+    // NFC leaves fullwidth/ligatures alone; NFKC folds them to ASCII
+    assert(rows(2).getString(1) === "Ａ１ ﬁx")
+    assert(rows(2).getString(2) === "A1 fix")
+    assert(rows(3).isNullAt(1) && rows(3).isNullAt(2))
+    // unknown form is a named construction-time error
+    val e = intercept[IllegalArgumentException](
+      VectorExpressions.unicodeNormalize(col("t"), "NFX"))
+    assert(e.getMessage.contains("unknown form"))
+  }
+
+  test("unicodeNormalize: interpreted eval matches codegen") {
+    // force the interpreted path with codegen disabled and compare
+    val dec = Seq((1L, "é Ｄx")).toDF("id", "t")
+    def run(): (String, String) = {
+      val r = dec.select(
+        VectorExpressions.unicodeNormalize(col("t"), "NFC"),
+        VectorExpressions.unicodeNormalize(col("t"), "NFKC")).head()
+      (r.getString(0), r.getString(1))
+    }
+    val withCodegen = run()
+    val conf = spark.conf
+    val prev = conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() === withCodegen)
+    finally conf.set("spark.sql.codegen.factoryMode", prev)
+    assert(withCodegen === (("é Ｄx", "é Dx")))
+  }
 }
