@@ -295,6 +295,40 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
       .withColumn("changed_nfkc", col("nfkc") =!= raw)
       .orderBy("doc_id")
   }
+
+  /** Canonical alias clustering as a hash gate
+    * ([[graft.ext.Urls.aliasClusters]]): families of four pages per
+    * doc-id block — the base page, a URL 301-redirecting to it, a
+    * MIRROR on another host declaring it `rel=canonical`, and a
+    * two-hop redirect chain (older → old → page) — must fold into ONE
+    * cluster of size 4 even though no single channel connects them
+    * all: the mirror only touches the base via rel=canonical and the
+    * chain head only reaches it transitively (the pairwise-channel
+    * miss this operator exists to close). Representative = component
+    * minimum ('…/old' in every family), size counts page rows.
+    */
+  def aliasClusterGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val m = pmod(i, lit(4))
+    val f = floor(i / 4).cast("string")
+    def fam(p: String) = concat(lit("http://fam"), f, lit(".com/" + p))
+    val url = when(m === 0, fam("page"))
+      .when(m === 1, fam("old"))
+      .when(m === 2, concat(lit("http://mirror-fam"), f, lit(".net/copy")))
+      .otherwise(fam("older"))
+    val redirectTo = when(m === 1, fam("page"))
+      .when(m === 3, fam("old"))
+      .otherwise(lit(null).cast("string"))
+    val canonHref = when(m === 2, fam("page")).otherwise(lit(null).cast("string"))
+    val pages = t(s, d, "documents")
+      .select(col("doc_id"), url.as("url"), redirectTo.as("redirect_to"),
+        canonHref.as("canonical_href"))
+    graft.ext.Urls.aliasClusters(pages, "url",
+        Seq("redirect_to", "canonical_href"))
+      .select(col("doc_id"), col("url"), col("cluster_rep"),
+        col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -434,6 +468,23 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |       ELSE 'plain ascii ' || s END AS nfkc,
         |  k = 1 AS changed_nfc,
         |  k IN (1, 2, 3) AS changed_nfkc
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q255: family arithmetic restated — every block of four doc_ids
+    // is one alias family whose component minimum is the '/old' url
+    // ('old' < 'older' < 'page' < the mirror host). Assumes the doc
+    // count is a multiple of 4 (all driver SFs are).
+    "q255_alias_clusters" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS m,
+        |    CAST(doc_id // 4 AS VARCHAR) AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN m = 0 THEN 'http://fam' || f || '.com/page'
+        |       WHEN m = 1 THEN 'http://fam' || f || '.com/old'
+        |       WHEN m = 2 THEN 'http://mirror-fam' || f || '.net/copy'
+        |       ELSE 'http://fam' || f || '.com/older' END AS url,
+        |  'http://fam' || f || '.com/old' AS cluster_rep,
+        |  CAST(4 AS BIGINT) AS cluster_size
         |FROM b ORDER BY doc_id""".stripMargin,
   )
 }

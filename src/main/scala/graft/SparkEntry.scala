@@ -297,6 +297,7 @@ object SparkEntry {
     "q252_revisit_dedup" -> ((s, d) => PipelinesExt.revisitDedup(s, d)),
     "q253_feed_ingest" -> ((s, d) => PipelinesExt.feedIngest(s, d)),
     "q254_unicode_normalize" -> ((s, d) => PipelinesExt.unicodeNormalizeGate(s, d)),
+    "q255_alias_clusters" -> ((s, d) => PipelinesExt.aliasClusterGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -607,6 +607,45 @@ object Urls {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** URL alias clustering — the dedup step that unifies every
+    * alias CHANNEL at once: HTTP redirects (q238's edges), the page's
+    * own `rel=canonical` vote (q236's harvest), and any other
+    * same-page declaration, as one undirected alias graph whose
+    * connected components are page identities. Pairwise channel
+    * handling misses transitive aliases (A redirects to B, C declares
+    * B canonical → A≡C only through the component); the component
+    * fold catches them all at once. Alias endpoints should be
+    * pre-canonicalized ([[canonicalizeUrl]]) so the cheap
+    * string-level folds never reach the graph.
+    *
+    * The representative is the component's MINIMUM url string —
+    * deterministic and order-free (production systems overlay a
+    * priority score; the mechanics are identical). Pages with no
+    * alias edges are their own singleton cluster. `cluster_size`
+    * counts PAGE rows in the cluster, not graph nodes — a redirect
+    * target that was never fetched contributes an edge, not a row.
+    *
+    * Plan: [[Components.connectedComponents]] (alternating-star, the
+    * measured O(log n) fold) over the union of alias edge frames +
+    * one membership join + one window count — no pairwise join
+    * anywhere.
+    */
+  def aliasClusters(pages: DataFrame, urlCol: String,
+      aliasCols: Seq[String]): DataFrame = {
+    require(aliasCols.nonEmpty, "Urls.aliasClusters: need at least one alias column")
+    val edges = aliasCols.map(a =>
+        pages.filter(col(a).isNotNull && col(a) =!= col(urlCol))
+          .select(col(urlCol).as("src"), col(a).as("dst")))
+      .reduce(_ unionByName _)
+    val comps = graft.ext.Components.connectedComponents(edges)
+      .withColumnRenamed("node", urlCol)
+    val labeled = pages.join(comps, Seq(urlCol), "left_outer")
+      .withColumn("cluster_rep", coalesce(col("component"), col(urlCol)))
+      .drop("component")
+    labeled.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
+  }
+
   /** Category-blocklist matching (the UT1/Shallalist shape every
     * production crawl curation runs: a list of (domain, category)
     * rows where an entry blocks the domain AND every subdomain under
