@@ -329,6 +329,36 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         col("cluster_size").cast("long").as("cluster_size"))
       .orderBy("doc_id")
   }
+
+  /** Tokenizer fertility per language as a hash gate
+    * ([[graft.ext.TextAnalysis.bpeSegment]] over the q139 merge
+    * table, rolled up by the corpus `lang` column): fertility —
+    * subword pieces per word, and per 100 characters — is the
+    * tokenizer-equity metric every multilingual corpus audit runs,
+    * because a BPE trained on one language fragments the others
+    * (higher fertility = more compute and context spent per word).
+    * Ratios are quantized to integer ppm BEFORE hashing (the
+    * cross-row double-aggregate discipline, q106/q114 pattern).
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val T = graft.ext.TextAnalysis
+    val toks = T.tokens(lower(col("text")))
+    T.bpeSegment(t(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
+      .select(col("lang"),
+        size(toks).cast("long").as("w"),
+        size(T.bpePieces(col("bpe_segments"))).cast("long").as("p"),
+        length(concat_ws("", toks)).cast("long").as("c"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("p").as("n_pieces"), sum("c").as("n_chars"))
+      .withColumn("fertility_ppm",
+        floor(col("n_pieces").cast("double") * 1e6 /
+          col("n_words").cast("double") + 0.5).cast("long"))
+      .withColumn("pieces_per_100c_ppm",
+        floor(col("n_pieces").cast("double") * 1e8 /
+          col("n_chars").cast("double") + 0.5).cast("long"))
+      .orderBy("lang")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -486,5 +516,38 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  'http://fam' || f || '.com/old' AS cluster_rep,
         |  CAST(4 AS BIGINT) AS cluster_size
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q256: the q139 wrapped-separator replace chain (same merge
+    // table) rolled up by lang; ratios quantized to ppm in double
+    // arithmetic on both engines.
+    "q256_tokenizer_fertility" -> {
+      val SEP = "\u001f"
+      val wrapped =
+        s"array_to_string(list_transform(range(1, length(w)+1), i -> '$SEP' || substr(w, i, 1) || '$SEP'), '')"
+      val merged = Round10Fixtures.bpeMerges.foldLeft(wrapped) {
+        case (acc, (l, r)) => s"replace($acc, '$SEP$l$SEP$SEP$r$SEP', '$SEP$l$r$SEP')"
+      }
+      val segExpr = s"trim(replace($merged, '$SEP$SEP', ' '), '$SEP')"
+      s"""WITH d AS (SELECT lang,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE regexp_split_to_array(lower(trim(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |s AS (SELECT lang, len(toks) AS w,
+         |    coalesce(list_sum(list_transform(toks,
+         |      w -> len(string_split($segExpr, ' ')))), 0) AS p,
+         |    coalesce(list_sum(list_transform(toks, w -> length(w))), 0) AS c
+         |  FROM d),
+         |a AS (SELECT lang, count(*) AS nd, sum(w) AS nw, sum(p) AS np,
+         |    sum(c) AS nc
+         |  FROM s GROUP BY lang)
+         |SELECT lang, CAST(nd AS BIGINT) AS n_docs,
+         |  CAST(nw AS BIGINT) AS n_words, CAST(np AS BIGINT) AS n_pieces,
+         |  CAST(nc AS BIGINT) AS n_chars,
+         |  CAST(floor(CAST(np AS DOUBLE) * 1000000e0 / CAST(nw AS DOUBLE)
+         |    + 0.5e0) AS BIGINT) AS fertility_ppm,
+         |  CAST(floor(CAST(np AS DOUBLE) * 100000000e0 / CAST(nc AS DOUBLE)
+         |    + 0.5e0) AS BIGINT) AS pieces_per_100c_ppm
+         |FROM a ORDER BY lang""".stripMargin
+    },
   )
 }

@@ -298,6 +298,7 @@ object SparkEntry {
     "q253_feed_ingest" -> ((s, d) => PipelinesExt.feedIngest(s, d)),
     "q254_unicode_normalize" -> ((s, d) => PipelinesExt.unicodeNormalizeGate(s, d)),
     "q255_alias_clusters" -> ((s, d) => PipelinesExt.aliasClusterGate(s, d)),
+    "q256_tokenizer_fertility" -> ((s, d) => PipelinesExt.tokenizerFertility(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
