@@ -359,6 +359,84 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
           col("n_chars").cast("double") + 0.5).cast("long"))
       .orderBy("lang")
   }
+
+  /** WAT metadata-sidecar generation as a hash gate (native
+    * `to_json` over the harvest structs — the Common-Crawl WAT
+    * format: one JSON envelope per response record carrying the
+    * header metadata and the HTML-level harvest, so link-graph and
+    * metadata consumers never re-parse the raw HTML). The envelope is
+    * built as ONE nested struct column (WARC header metadata +
+    * Head/Title + Links) and serialized by Catalyst's to_json —
+    * field order is schema order and the output is compact, so the
+    * oracle can restate the exact JSON text from the generator
+    * arithmetic. Pages with zero links must serialize `"Links":[]`,
+    * not drop the field.
+    */
+  def watMetadata(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val g = pmod(i, lit(7)).cast("string")
+    val linksPart = when(pmod(i, lit(4)) === 3, lit(""))
+      .otherwise(concat(
+        lit("<a href=\"/a"), g, lit("\">A</a><a href=\"http://x"), g,
+        lit(".org/b\">B</a>")))
+    val html = concat(lit("<html><head><title>T "), g,
+      lit("</title></head><body>"), linksPart, lit("</body></html>"))
+    val uri = concat(lit("http://w"), g, lit(".com/p/"), i.cast("string"))
+    val env = struct(
+      struct(
+        struct(col("target_uri").as("WARC-Target-URI"),
+          lit("response").as("WARC-Type")).as("WARC-Header-Metadata"),
+        struct(struct(struct(
+          struct(graft.ext.Html.extractTitle(col("html")).as("Title"))
+            .as("Head"),
+          transform(graft.ext.Html.extractLinks(col("html")),
+            u => struct(u.as("url"))).as("Links"))
+          .as("HTML-Metadata")).as("HTTP-Response-Metadata"))
+          .as("Payload-Metadata")).as("Envelope"))
+    t(s, d, "documents")
+      .select(col("doc_id"), uri.as("target_uri"), html.as("html"))
+      .select(col("doc_id"), col("target_uri"),
+        to_json(env).as("wat_json"))
+      .orderBy("doc_id")
+  }
+
+  /** Change-rate recrawl prioritization as a hash gate (the crawl-
+    * scheduling literature's core signal: estimate per-host change
+    * frequency from digest history, recrawl volatile hosts first).
+    * Reuses the q252 two-snapshot capture fixture: a URL changed iff
+    * its two captures carry DIFFERENT payload digests (mirror docs
+    * and every-third stable docs did not), rolled up per host to a
+    * quantized change rate and a dense recrawl rank (rate desc, host
+    * asc for determinism). Digest comparison, not text comparison —
+    * the scheduler runs on the CDX index alone, never refetching
+    * bodies.
+    */
+  def recrawlPriority(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = col("doc_id")
+    val url = concat(lit("http://rv"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), i.cast("string"))
+    val payload = when(pmod(i, lit(10)) === 1, lit("mirror page body"))
+      .when(pmod(i, lit(3)) === 0,
+        concat(lit("stable content "), i.cast("string")))
+      .otherwise(concat(lit("content "), i.cast("string"),
+        lit(" crawl "), col("crawl").cast("string")))
+    val captures = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("crawl"))
+      .select(col("doc_id"), url.as("url"), payload.as("payload"))
+    val perUrl = captures
+      .groupBy(col("url"),
+        graft.ext.Urls.hostOf(col("url")).as("host"))
+      .agg((countDistinct(md5(col("payload"))) > 1).cast("long").as("changed"))
+    perUrl.groupBy("host")
+      .agg(count(lit(1)).as("n_urls"), sum("changed").as("n_changed"))
+      .withColumn("change_ppm",
+        floor(col("n_changed").cast("double") * 1e6 /
+          col("n_urls").cast("double") + 0.5).cast("long"))
+      .withColumn("recrawl_rank", rank().over(
+        Window.orderBy(col("change_ppm").desc, col("host"))).cast("long"))
+      .orderBy("host")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -549,5 +627,47 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
          |    + 0.5e0) AS BIGINT) AS pieces_per_100c_ppm
          |FROM a ORDER BY lang""".stripMargin
     },
+
+    // q257: the exact compact JSON restated by concatenation —
+    // to_json emits schema-ordered fields, no whitespace; the
+    // link-less branch keeps "Links":[].
+    "q257_wat_metadata" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS g,
+        |    doc_id % 4 = 3 AS nolinks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'http://w' || g || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |    AS target_uri,
+        |  '{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"http://w'
+        |    || g || '.com/p/' || CAST(doc_id AS VARCHAR)
+        |    || '","WARC-Type":"response"},"Payload-Metadata":'
+        |    || '{"HTTP-Response-Metadata":{"HTML-Metadata":{"Head":{"Title":"T '
+        |    || g || '"},"Links":'
+        |    || CASE WHEN nolinks THEN '[]'
+        |       ELSE '[{"url":"/a' || g || '"},{"url":"http://x' || g
+        |         || '.org/b"}]' END
+        |    || '}}}}}' AS wat_json
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q258: change arithmetic restated — a URL changed unless it is a
+    // mirror doc (d%10=1) or a stable doc (d%3=0); host rollup,
+    // ppm-quantized rate, rank by (rate desc, host).
+    "q258_recrawl_priority" ->
+      """WITH b AS (SELECT doc_id, doc_id % 10 AS h,
+        |    NOT (doc_id % 10 = 1 OR doc_id % 3 = 0) AS changed
+        |  FROM documents),
+        |a AS (SELECT 'rv' || CAST(h AS VARCHAR) || '.com' AS host,
+        |    count(*) AS n_urls,
+        |    sum(CASE WHEN changed THEN 1 ELSE 0 END) AS n_changed
+        |  FROM b GROUP BY h),
+        |p AS (SELECT host, CAST(n_urls AS BIGINT) AS n_urls,
+        |    CAST(n_changed AS BIGINT) AS n_changed,
+        |    CAST(floor(CAST(n_changed AS DOUBLE) * 1000000e0
+        |      / CAST(n_urls AS DOUBLE) + 0.5e0) AS BIGINT) AS change_ppm
+        |  FROM a)
+        |SELECT host, n_urls, n_changed, change_ppm,
+        |  CAST(rank() OVER (ORDER BY change_ppm DESC, host) AS BIGINT)
+        |    AS recrawl_rank
+        |FROM p ORDER BY host""".stripMargin,
   )
 }

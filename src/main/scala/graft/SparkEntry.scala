@@ -299,6 +299,8 @@ object SparkEntry {
     "q254_unicode_normalize" -> ((s, d) => PipelinesExt.unicodeNormalizeGate(s, d)),
     "q255_alias_clusters" -> ((s, d) => PipelinesExt.aliasClusterGate(s, d)),
     "q256_tokenizer_fertility" -> ((s, d) => PipelinesExt.tokenizerFertility(s, d)),
+    "q257_wat_metadata" -> ((s, d) => PipelinesExt.watMetadata(s, d)),
+    "q258_recrawl_priority" -> ((s, d) => PipelinesExt.recrawlPriority(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
