@@ -124,7 +124,7 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
     t(s, d, "documents")
       .select(col("doc_id"), html.as("html"), header.as("xrobots"))
       .withColumn("dirs", graft.ext.Html.robotsDirectives(
-        graft.ext.Html.extractMetaContent(col("html"), "robots"),
+        graft.ext.Html.extractRobotsMetaAll(col("html")),
         col("xrobots")))
       .withColumn("anchors", graft.ext.Html.extractAnchors(col("html")))
       .withColumn("kept", when(col("dirs.nofollow"),

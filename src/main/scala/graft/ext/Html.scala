@@ -356,6 +356,27 @@ object Html {
     })
   }
 
+  /** ALL `content` values of `<meta name="robots">` tags, comma-joined
+    * — real pages carry several (a CMS emits one, a plugin another)
+    * and the UNION of their directives applies, so first-tag-wins
+    * ([[extractMetaContent]]'s contract, right for description/og)
+    * would silently drop restrictions here. NULL when no tag matches;
+    * feed the result to [[robotsDirectives]], whose comma-list parse
+    * makes the join order-irrelevant.
+    */
+  def extractRobotsMetaAll(html: Column): Column = {
+    def values(pat: String): Column =
+      transform(regexp_extract_all(html, lit(pat), lit(1)),
+        v => substring(v, lit(2), length(v) - 2))
+    val keyed = values(
+      "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*?content\\s*=\\s*(\"[^\"]*\"|'[^']*')")
+    val contentFirst = values(
+      "(?is)<meta\\b[^>]*content\\s*=\\s*(\"[^\"]*\"|'[^']*')[^>]*name\\s*=\\s*[\"']?robots[\"']?")
+    val all = concat(keyed, contentFirst)
+    when(size(all) === 0, lit(null).cast("string"))
+      .otherwise(array_join(all, ","))
+  }
+
   /** TOKEN membership in an HTML space-separated token-list attribute
     * (`rel`, `class`): `rel="ugc nofollow"` has the token, the
     * hypothetical `rel="nofollowish"` does NOT — a substring contains()

@@ -633,6 +633,10 @@ object Urls {
   def aliasClusters(pages: DataFrame, urlCol: String,
       aliasCols: Seq[String]): DataFrame = {
     require(aliasCols.nonEmpty, "Urls.aliasClusters: need at least one alias column")
+    val internal = Seq("component", "cluster_rep", "cluster_size")
+    val clash = pages.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Urls.aliasClusters: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
     val edges = aliasCols.map(a =>
         pages.filter(col(a).isNotNull && col(a) =!= col(urlCol))
           .select(col(urlCol).as("src"), col(a).as("dst")))

@@ -395,6 +395,11 @@ object Warc {
       payloadCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val internal = Seq("payload_digest", "record_type", "refers_to_url",
+      "refers_to_ts", "_rn")
+    val clash = captures.columns.filter(internal.contains)
+    require(clash.isEmpty, s"Warc.revisitRecords: input already has " +
+      s"column(s) ${clash.mkString(", ")} — rename them first")
     val w = Window.partitionBy(col("payload_digest"))
       .orderBy(col(tsCol), col(urlCol))
     captures.withColumn("payload_digest", md5(col(payloadCol)))

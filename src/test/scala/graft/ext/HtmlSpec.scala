@@ -221,6 +221,24 @@ class HtmlSpec extends SparkSpec {
     assert(dirs("noindexing", null) === ((false, false)))
   }
 
+  test("extractRobotsMetaAll unions every robots meta tag, both attr orders") {
+    import spark.implicits._
+    val html = "<meta name=\"robots\" content=\"index\">" +
+      "<meta content='noindex' name=robots>" +
+      "<meta name=\"description\" content=\"not robots\">"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractRobotsMetaAll(col("h"))).as[String].head()
+    assert(got === "index,noindex")
+    // the union through robotsDirectives: the second tag's noindex wins
+    val d = Seq(html).toDF("h").select(
+      Html.robotsDirectives(Html.extractRobotsMetaAll(col("h")),
+        lit(null).cast("string")).getField("noindex")).as[Boolean].head()
+    assert(d)
+    val none = Seq("<p>no meta</p>").toDF("h")
+      .select(Html.extractRobotsMetaAll(col("h"))).collect().head
+    assert(none.isNullAt(0))
+  }
+
   test("relHasToken matches rel TOKENS, never substrings; anchors carry rel") {
     import spark.implicits._
     val html = "<a rel=\"ugc nofollow\" href=\"/b\">B</a>" +
