@@ -268,6 +268,29 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_records"),
           sum(col("content_length")).as("total_bytes"))
     }
+    // Tier — UT1-style blocklist suffix-chain match (r16b, q251): each
+    // host expands to its ≤4 label suffixes (one narrow generate, no
+    // LIKE scan, no per-entry regex) into a hash join against a
+    // 3k-entry two-category list where half the parent domains match;
+    // wall should track the corpus linearly and the list side stays
+    // broadcast-eligible at any corpus scale (its size is list-bound,
+    // not corpus-bound).
+    def tierBlocklist(s: Int): DataFrame = {
+      val hosts = docs(s).select(col("doc_id"),
+        concat(lit("w"), pmod(col("doc_id"), lit(100000)).cast("string"),
+          lit(".site"), pmod(col("doc_id"), lit(1000)).cast("string"),
+          lit(".com")).as("host"))
+      val bl = spark.range(3000).select(
+        concat(lit("site"), (pmod(col("id"), lit(1500)) + 250).cast("string"),
+          lit(".com")).as("domain"),
+        concat(lit("cat"), pmod(col("id"), lit(7)).cast("string"))
+          .as("category"))
+      graft.ext.Urls.matchBlocklist(hosts, "doc_id", "host", bl,
+          "domain", "category")
+        .groupBy(col("blocked"))
+        .agg(count(lit(1)).as("n_hosts"),
+          sum(size(col("categories"))).as("n_category_hits"))
+    }
     // Tier C — GlobalIndex dense rank over a total order (the q108
     // curriculum shape): range exchange + per-partition numbering.
     def tierGlobalIndex(s: Int): DataFrame = {
@@ -522,7 +545,8 @@ object ScaleCheck {
       ("image_band16_join", tierBandJoin(16)),
       ("image_band32_join", tierBandJoin(32)),
       ("crawl_extract_stack", tierCrawlStack),
-      ("warc_write_read", tierWarcRoundTrip))
+      ("warc_write_read", tierWarcRoundTrip),
+      ("url_blocklist_match", tierBlocklist))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers
@@ -763,6 +787,13 @@ object ScaleCheck {
     md.append("  through the streaming member-exact reader; both legs are narrow\n")
     md.append("  byte passes around the single re-shard, so wall should track\n")
     md.append("  payload bytes and shuffle bytes should grow exactly with input;\n")
+    md.append("  url_blocklist_match (r16b, q251) — Urls.matchBlocklist's\n")
+    md.append("  label-suffix chain (each host explodes to ≤4 suffix keys — never\n")
+    md.append("  a LIKE prefix join, never a per-entry regex scan) hash-joined\n")
+    md.append("  against a 3k-entry two-category list with ~half the parent\n")
+    md.append("  domains matching; the list side is list-bound, not corpus-bound,\n")
+    md.append("  so it stays broadcast-eligible at every corpus scale and wall\n")
+    md.append("  should track the corpus linearly;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")
