@@ -442,6 +442,157 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         Window.orderBy(col("change_ppm").desc, col("host"))).cast("long"))
       .orderBy("host")
   }
+
+  /** Meta-refresh redirect harvest as a hash gate
+    * ([[graft.ext.Html.extractMetaRefresh]], the third redirect
+    * channel beside HTTP 3xx and rel=canonical): branches cover the
+    * immediate redirect (`0; url=/new`), a quoted uppercase-URL
+    * target with a real delay, a pure self-reload (delay only, url
+    * NULL), no tag at all, the content-before-http-equiv attribute
+    * order, and a malformed delay with a live target (delay NULL,
+    * url kept). The target then resolves + canonicalizes against the
+    * page URL through the STAGED pipeline (q216/q237 discipline).
+    */
+  def metaRefreshRedirects(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(6))
+    val g = pmod(i, lit(5)).cast("string")
+    val meta = when(k === 0,
+        lit("<meta http-equiv=\"refresh\" content=\"0; url=/new0\">"))
+      .when(k === 1, concat(
+        lit("<meta http-equiv=\"refresh\" content=\"5;URL='http://next"), g,
+        lit(".com/p'\">")))
+      .when(k === 2, lit("<meta http-equiv=\"refresh\" content=\"30\">"))
+      .when(k === 3, lit(""))
+      .when(k === 4,
+        lit("<meta content=\"0;url=page.html\" http-equiv=refresh>"))
+      .otherwise(lit("<meta http-equiv=\"refresh\" content=\"soon; url=/x\">"))
+    val html = concat(lit("<html><head>"), meta,
+      lit("</head><body>b</body></html>"))
+    val pageUrl = concat(lit("http://mr"), g, lit(".com/dir/page"))
+    val r = graft.ext.Html.extractMetaRefresh(col("html"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"), pageUrl.as("page_url"))
+      .withColumn("delay", r.getField("delay"))
+      .withColumn("refresh_url", r.getField("url"))
+      .withColumn("resolved", graft.ext.Urls.resolveUrl(col("page_url"),
+        col("refresh_url")))
+      .select(col("doc_id"), col("delay"), col("refresh_url"),
+        graft.ext.Urls.canonicalizeUrl(col("resolved")).as("target_url"))
+      .orderBy("doc_id")
+  }
+
+  /** Base-href-aware link resolution as a hash gate
+    * ([[graft.ext.Html.extractBaseHref]] + the two-stage resolve): a
+    * `<base href>` retargets EVERY relative link on the page, and the
+    * base itself may be relative (resolves against the page URL
+    * first — the HTML-spec composition). Branches: no base
+    * (page-relative), an absolute base on another host, a RELATIVE
+    * base (`sub/`), and a base that absolute links must ignore. Each
+    * page carries a root-relative and a document-relative link so
+    * both resolution shapes hit every branch.
+    */
+  def baseHrefLinks(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val j = pmod(i, lit(4))
+    val g = pmod(i, lit(5)).cast("string")
+    val base = when(j === 1, concat(lit("<base href=\"http://cdn"), g,
+        lit(".org/assets/\">")))
+      .when(j === 2, lit("<base href=\"sub/\">"))
+      .when(j === 3, lit("<base href=\"http://ignored.com/\">"))
+      .otherwise(lit(""))
+    val secondHref = when(j === 3, lit("http://abs.com/x"))
+      .otherwise(lit("a.html"))
+    val html = concat(lit("<html><head>"), base,
+      lit("</head><body><a href=\"/r0\">R</a><a href=\""), secondHref,
+      lit("\">A</a></body></html>"))
+    val pageUrl = concat(lit("http://b"), g, lit(".com/dir/page.html"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"), pageUrl.as("page_url"))
+      .withColumn("base_href", graft.ext.Html.extractBaseHref(col("html")))
+      // the base may be relative: resolve it against the page FIRST
+      .withColumn("eff_base", coalesce(
+        graft.ext.Urls.resolveUrl(col("page_url"), col("base_href")),
+        col("page_url")))
+      .select(col("doc_id"), col("eff_base"),
+        posexplode(graft.ext.Html.extractLinks(col("html"))))
+      .withColumn("resolved",
+        graft.ext.Urls.resolveUrl(col("eff_base"), col("col")))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col").as("href"), col("resolved").as("resolved_url"))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** Sitemap metadata entries as a hash gate
+    * ([[graft.ext.Html.extractSitemapEntries]]): the sitemaps.org
+    * extension fields (`lastmod`/`changefreq`/`priority`) are the
+    * publisher's OWN recrawl hints and q258's change-rate ranking
+    * composes with them. Three `<url>` blocks per doc cover: full
+    * metadata, metadata-free loc-only, and a malformed priority
+    * (`high` → NULL via try_cast) with entity-escaped loc. The
+    * `due_soon` column pins the scheduling composition: daily/weekly
+    * changefreq OR a stale lastmod.
+    */
+  def sitemapEntryMetadata(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val g = pmod(i, lit(9)).cast("string")
+    val m = (pmod(i, lit(9)) + 1).cast("string")
+    val xml = concat(
+      lit("<urlset><url><loc>http://sm"), g, lit(".com/a</loc><lastmod>2024-0"),
+      m, lit("-15</lastmod><changefreq>daily</changefreq>"),
+      lit("<priority>0.8</priority></url>"),
+      lit("<url><loc>http://sm"), g, lit(".com/b</loc></url>"),
+      lit("<url><loc>http://sm"), g,
+      lit(".com/c?x=1&amp;y=2</loc><lastmod>2023-12-01</lastmod>"),
+      lit("<changefreq>monthly</changefreq><priority>high</priority></url>"),
+      lit("</urlset>"))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        posexplode(graft.ext.Html.extractSitemapEntries(xml)))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.loc").as("loc"), col("col.lastmod").as("lastmod"),
+        col("col.changefreq").as("changefreq"),
+        col("col.priority").as("priority"))
+      .withColumn("due_soon",
+        coalesce(col("changefreq").isin("daily", "weekly"), lit(false)) ||
+          coalesce(col("lastmod") < "2024-01-01", lit(false)))
+      .orderBy("doc_id", "idx")
+  }
+
+  /** hreflang language-variant harvest as a hash gate
+    * ([[graft.ext.Html.extractHreflangAlternates]]): the multilingual
+    * variant map — translations group together WITHOUT being dups.
+    * Fixtures plant an en + fr + x-default triple, a stylesheet link
+    * (not rel=alternate — never harvested), and a rel=alternate FEED
+    * link with no hreflang (filtered: it is the q253 channel, not a
+    * language variant); one branch uppercases the hreflang value
+    * (case-folds) and one carries no alternates at all.
+    */
+  def hreflangVariants(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(3))
+    val g = pmod(i, lit(5)).cast("string")
+    val alts = concat(
+      lit("<link rel=\"stylesheet\" href=\"/style.css\">"),
+      lit("<link rel=\"alternate\" type=\"application/rss+xml\" href=\"/feed\">"),
+      lit("<link rel=\"alternate\" hreflang=\"en\" href=\"http://hl"), g,
+      lit(".com/en/p\">"),
+      when(k === 1, concat(
+        lit("<link rel=\"alternate\" hreflang=\"FR\" href=\"http://hl"), g,
+        lit(".com/fr/p\">"))).otherwise(lit("")),
+      lit("<link hreflang=\"x-default\" rel=alternate href='http://hl"), g,
+      lit(".com/p'>"))
+    val html = concat(lit("<html><head>"),
+      when(k === 2, lit("")).otherwise(alts),
+      lit("</head><body>b</body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        posexplode_outer(graft.ext.Html.extractHreflangAlternates(col("html"))))
+      .select(col("doc_id"), col("pos").cast("long").as("idx"),
+        col("col.lang").as("lang"), col("col.href").as("href"))
+      .orderBy("doc_id", "idx")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -674,5 +825,101 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  CAST(rank() OVER (ORDER BY change_ppm DESC, host) AS BIGINT)
         |    AS recrawl_rank
         |FROM p ORDER BY host""".stripMargin,
+
+    // q259: refresh arithmetic restated — k=0/4 immediate, k=1 quoted
+    // uppercase URL with delay 5, k=2 reload-only (url NULL), k=3 no
+    // tag, k=5 malformed delay with live target.
+    "q259_meta_refresh" ->
+      """WITH b AS (SELECT doc_id, doc_id % 6 AS k,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN k IN (0, 4) THEN 0 WHEN k = 1 THEN 5
+        |       WHEN k = 2 THEN 30 END AS BIGINT) AS delay,
+        |  CASE WHEN k = 0 THEN '/new0'
+        |       WHEN k = 1 THEN 'http://next' || g || '.com/p'
+        |       WHEN k = 4 THEN 'page.html'
+        |       WHEN k = 5 THEN '/x' END AS refresh_url,
+        |  CASE WHEN k = 0 THEN 'http://mr' || g || '.com/new0'
+        |       WHEN k = 1 THEN 'http://next' || g || '.com/p'
+        |       WHEN k = 4 THEN 'http://mr' || g || '.com/dir/page.html'
+        |       WHEN k = 5 THEN 'http://mr' || g || '.com/x'
+        |  END AS target_url
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q260: two-stage resolution restated — the base (absolute,
+    // relative, or absent) retargets the relative links; absolute
+    // links ignore it.
+    "q260_base_href_links" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS j,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, j, g, 0 AS idx, '/r0' AS href,
+        |    CASE WHEN j = 0 OR j = 2 THEN 'http://b' || g || '.com/r0'
+        |         WHEN j = 1 THEN 'http://cdn' || g || '.org/r0'
+        |         ELSE 'http://ignored.com/r0' END AS resolved_url
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, j, g, 1 AS idx,
+        |    CASE WHEN j = 3 THEN 'http://abs.com/x' ELSE 'a.html' END AS href,
+        |    CASE WHEN j = 0 THEN 'http://b' || g || '.com/dir/a.html'
+        |         WHEN j = 1 THEN 'http://cdn' || g || '.org/assets/a.html'
+        |         WHEN j = 2 THEN 'http://b' || g || '.com/dir/sub/a.html'
+        |         ELSE 'http://abs.com/x' END AS resolved_url
+        |  FROM b)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, href, resolved_url
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
+
+    // q261: sitemap metadata restated — full-metadata, loc-only, and
+    // malformed-priority (NULL) blocks; due_soon = daily/weekly OR
+    // stale lastmod.
+    "q261_sitemap_metadata" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 9 AS VARCHAR) AS g,
+        |    CAST(doc_id % 9 + 1 AS VARCHAR) AS m
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, 0 AS idx, 'http://sm' || g || '.com/a' AS loc,
+        |    '2024-0' || m || '-15' AS lastmod, 'daily' AS changefreq,
+        |    CAST(0.8e0 AS DOUBLE) AS priority, true AS due_soon
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'http://sm' || g || '.com/b', NULL, NULL, NULL,
+        |    false
+        |  FROM b
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'http://sm' || g || '.com/c?x=1&y=2',
+        |    '2023-12-01', 'monthly', NULL, true
+        |  FROM b)
+        |SELECT doc_id, CAST(idx AS BIGINT) AS idx, loc, lastmod, changefreq,
+        |  priority, due_soon
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
+
+    // q262: the variant map restated — en/x-default (k=0), en/fr/
+    // x-default with case-folded FR (k=1), alternate-free page (k=2,
+    // one NULL row from the outer explode); the feed link (no
+    // hreflang) and the stylesheet never appear.
+    "q262_hreflang_variants" ->
+      """WITH b AS (SELECT doc_id, doc_id % 3 AS k,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, CAST(NULL AS BIGINT) AS idx,
+        |    CAST(NULL AS VARCHAR) AS lang, CAST(NULL AS VARCHAR) AS href
+        |  FROM b WHERE k = 2
+        |  UNION ALL
+        |  SELECT doc_id, 0, 'en', 'http://hl' || g || '.com/en/p'
+        |  FROM b WHERE k IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    CASE WHEN k = 1 THEN 'fr' ELSE 'x-default' END,
+        |    CASE WHEN k = 1 THEN 'http://hl' || g || '.com/fr/p'
+        |         ELSE 'http://hl' || g || '.com/p' END
+        |  FROM b WHERE k IN (0, 1)
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'x-default', 'http://hl' || g || '.com/p'
+        |  FROM b WHERE k = 1)
+        |SELECT doc_id, idx, lang, href
+        |FROM e ORDER BY doc_id, idx""".stripMargin,
   )
 }

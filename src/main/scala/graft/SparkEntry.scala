@@ -301,6 +301,10 @@ object SparkEntry {
     "q256_tokenizer_fertility" -> ((s, d) => PipelinesExt.tokenizerFertility(s, d)),
     "q257_wat_metadata" -> ((s, d) => PipelinesExt.watMetadata(s, d)),
     "q258_recrawl_priority" -> ((s, d) => PipelinesExt.recrawlPriority(s, d)),
+    "q259_meta_refresh" -> ((s, d) => PipelinesExt.metaRefreshRedirects(s, d)),
+    "q260_base_href_links" -> ((s, d) => PipelinesExt.baseHrefLinks(s, d)),
+    "q261_sitemap_metadata" -> ((s, d) => PipelinesExt.sitemapEntryMetadata(s, d)),
+    "q262_hreflang_variants" -> ((s, d) => PipelinesExt.hreflangVariants(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -257,6 +257,123 @@ object Html {
       regexp_extract_all(xml, lit("(?is)<loc>\\s*(.*?)\\s*</loc>"), lit(1)),
       decodeEntities(_))
 
+  /** Meta-refresh redirect target, NULL when absent — the THIRD
+    * redirect channel beside HTTP 3xx and rel=canonical: legacy pages
+    * ship `<meta http-equiv="refresh" content="5; url=/new">` and a
+    * crawler that ignores it keeps indexing the husk. The content
+    * value is `seconds[; url=TARGET]`; the url part is optional (a
+    * pure self-reload carries none → NULL), the `url=` key is
+    * case-insensitive with optional whitespace, and the target may be
+    * bare or quoted. Delay semantics are the caller's policy (most
+    * crawlers honor only small delays); the delay is exposed as the
+    * struct's `delay` so that policy stays outside the parser.
+    * Emits `struct<delay, url>`.
+    */
+  def extractMetaRefresh(html: Column): Column = {
+    val content = extractMetaHttpEquiv(html, "refresh")
+    val delayRaw = regexp_extract(content, "^\\s*(\\d+)", 1)
+    val urlRaw = regexp_extract(content,
+      "(?i)[;,]\\s*url\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s\"']+)", 1)
+    val url = when(urlRaw.startsWith("\"") || urlRaw.startsWith("'"),
+      substring(urlRaw, lit(2), length(urlRaw) - 2)).otherwise(urlRaw)
+    struct(
+      when(delayRaw === "" || content.isNull, lit(null).cast("long"))
+        .otherwise(delayRaw.try_cast(org.apache.spark.sql.types.LongType))
+        .as("delay"),
+      when(url === "" || content.isNull, lit(null).cast("string"))
+        .otherwise(url).as("url"))
+  }
+
+  /** `content` of the first `<meta http-equiv=key>` tag — the
+    * [[extractMetaContent]] contract (both attribute orders, three
+    * quoting forms, entity-decoded) keyed on `http-equiv` instead of
+    * `name`/`property`.
+    */
+  def extractMetaHttpEquiv(html: Column, key: String): Column = {
+    val k = java.util.regex.Pattern.quote(key)
+    val keyed = regexp_extract(html,
+      "(?is)<meta\\b[^>]*http-equiv\\s*=\\s*[\"']?" + k +
+        "[\"']?[^>]*?content\\s*=\\s*(\"[^\"]*\"|'[^']*')", 1)
+    val contentFirst = regexp_extract(html,
+      "(?is)<meta\\b[^>]*content\\s*=\\s*(\"[^\"]*\"|'[^']*')" +
+        "[^>]*http-equiv\\s*=\\s*[\"']?" + k + "[\"']?", 1)
+    val raw = when(keyed =!= "", keyed).otherwise(contentFirst)
+    when(raw === "", lit(null).cast("string"))
+      .otherwise(trim(regexp_replace(decodeEntities(
+        substring(raw, lit(2), length(raw) - 2)), "\\s+", " ")))
+  }
+
+  /** `href` of the first `<base>` element, NULL when absent — the
+    * document-wide resolution base every relative link on the page
+    * resolves against INSTEAD of the page URL (HTML spec: the first
+    * base element wins, later ones are ignored). A link harvest that
+    * skips this resolves every relative href on a base-carrying page
+    * to the wrong host or path. The base href may itself be relative
+    * — resolve it against the page URL first, then resolve links
+    * against the result ([[Urls.resolveUrl]] composes).
+    */
+  def extractBaseHref(html: Column): Column = {
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+    val raw = regexp_extract(html,
+      "(?is)<base\\b[^>]*href\\s*=\\s*" + v, 1)
+    val unq = when(raw.startsWith("\"") || raw.startsWith("'"),
+      substring(raw, lit(2), length(raw) - 2)).otherwise(raw)
+    when(raw === "", lit(null).cast("string")).otherwise(unq)
+  }
+
+  /** hreflang alternates — `array<struct<lang, href>>` from
+    * `<link rel="alternate" hreflang=… href=…>` elements in document
+    * order: the page's own map of its language variants (the
+    * multilingual-corpus signal that groups translations WITHOUT
+    * treating them as duplicates — variants carry different text and
+    * must all survive dedup; `x-default` names the language-neutral
+    * chooser). Both attribute orders of hreflang/href are matched
+    * within a rel=alternate link tag; hrefs stay raw as written
+    * (resolution is [[Urls.resolveUrl]]'s job).
+    */
+  def extractHreflangAlternates(html: Column): Column = {
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+    def unq(c: Column): Column =
+      when(c.startsWith("\"") || c.startsWith("'"),
+        substring(c, lit(2), length(c) - 2)).otherwise(c)
+    val tags = regexp_extract_all(html,
+      lit("(?is)<link\\b[^>]*rel\\s*=\\s*[\"']?alternate[\"']?[^>]*>"), lit(0))
+    val entries = transform(tags, tag => {
+      val lang = unq(regexp_extract(tag,
+        "(?is)hreflang\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1))
+      val href = unq(regexp_extract(tag,
+        "(?is)href\\s*=\\s*(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)", 1))
+      struct(lower(lang).as("lang"), href.as("href"))
+    })
+    filter(entries, e => e.getField("lang") =!= "" && e.getField("href") =!= "")
+  }
+
+  /** Sitemap url entries WITH their metadata —
+    * `array<struct<loc, lastmod, changefreq, priority>>` — the
+    * sitemaps.org extension fields [[extractSitemapLocs]] drops:
+    * `lastmod`/`changefreq`/`priority` are the publisher's own
+    * recrawl-scheduling hints and feed the change-rate ranking
+    * directly. Scoped per `<url>` block (a sitemapindex's `<sitemap>`
+    * blocks carry no priority and simply yield NULLs for the missing
+    * fields); absent fields are NULL, `priority` parses to double or
+    * NULL when malformed.
+    */
+  def extractSitemapEntries(xml: Column): Column = {
+    val blocks = regexp_extract_all(xml,
+      lit("(?is)<url>(.*?)</url>"), lit(1))
+    transform(blocks, b => {
+      def field(tag: String): Column = {
+        val r = regexp_extract(b, s"(?is)<$tag>\\s*(.*?)\\s*</$tag>", 1)
+        when(r === "", lit(null).cast("string")).otherwise(decodeEntities(r))
+      }
+      // try_cast, not cast: ANSI mode throws on a malformed priority
+      struct(field("loc").as("loc"), field("lastmod").as("lastmod"),
+        field("changefreq").as("changefreq"),
+        field("priority").try_cast(org.apache.spark.sql.types.DoubleType)
+          .as("priority"))
+    })
+  }
+
   /** Feed entries — `array<struct<url, title>>` — from EITHER feed
     * dialect the web actually ships: RSS 2.0 (`<item>` with a
     * text-form `<link>URL</link>`) and Atom (`<entry>` with an

@@ -411,8 +411,16 @@ object Urls {
         .when(s === "..",
           slice(acc, lit(1), greatest(size(acc) - 1, lit(0))))
         .otherwise(concat(acc, array(s))))
+    // RFC 3986 §5.2.4 PRESERVES a trailing slash (and "/." / "/.."
+    // endings leave one): "http://h/assets/" must not collapse to
+    // "/assets" — a directory base that loses its slash re-anchors
+    // every child resolution one level up (r16b fresh-eyes find via
+    // the <base href> two-stage composition)
+    val wantsSlash = mergedPath.endsWith("/") ||
+      mergedPath.endsWith("/.") || mergedPath.endsWith("/..")
     val cleanPath = when(size(stack) > 0,
-      concat(lit("/"), array_join(stack, "/"))).otherwise(lit(""))
+      concat(lit("/"), array_join(stack, "/"),
+        when(wantsSlash, lit("/")).otherwise(lit("")))).otherwise(lit(""))
     // §5.3: a fragment-only/empty href inherits the BASE's query
     // (the link points back at the same resource); any href with its
     // own path or query replaces it
@@ -422,9 +430,14 @@ object Urls {
     val outQ = when(hp === "" && q === "", bQuery).otherwise(q)
     // a malformed (non-absolute) base cannot anchor a resolution —
     // NULL is the quarantine signal (the Http.statusOf discipline),
-    // never a garbage URL into the frontier
+    // never a garbage URL into the frontier. A NULL href is NULL too:
+    // without the guard the NULL merged path would fall out of the
+    // when-chain as cleanPath="" and the expression would fabricate
+    // scheme://host — a link to the site root nobody wrote (r16b
+    // fresh-eyes find via the meta-refresh reload-only branch).
     val baseOk = base.rlike("^[A-Za-z][A-Za-z0-9+.\\-]*://")
-    when(baseOk, concat(root, cleanPath, outQ)).otherwise(lit(null).cast("string"))
+    when(baseOk && href.isNotNull, concat(root, cleanPath, outQ))
+      .otherwise(lit(null).cast("string"))
   }
 
   /** Path component of a canonical absolute URL (query and fragment

@@ -271,6 +271,62 @@ class HtmlSpec extends SparkSpec {
     assert(entries(atom) === Seq(("/keep", "E")))
   }
 
+  test("extractMetaRefresh: delay/url forms, quoted targets, malformed delay") {
+    import spark.implicits._
+    def parse(html: String): (Option[Long], Option[String]) = {
+      val r = Html.extractMetaRefresh(col("h"))
+      val row = Seq(html).toDF("h")
+        .select(r.getField("delay"), r.getField("url")).head()
+      (if (row.isNullAt(0)) None else Some(row.getLong(0)),
+        Option(row.getString(1)))
+    }
+    assert(parse("<meta http-equiv=\"refresh\" content=\"0; url=/n\">") ===
+      ((Some(0L), Some("/n"))))
+    assert(parse("<meta http-equiv=refresh content=\"5;URL='http://x/y'\">") ===
+      ((Some(5L), Some("http://x/y"))))
+    // pure reload: delay only
+    assert(parse("<meta http-equiv=\"refresh\" content=\"30\">") ===
+      ((Some(30L), None)))
+    // malformed delay keeps the live target
+    assert(parse("<meta http-equiv=\"refresh\" content=\"soon; url=/x\">") ===
+      ((None, Some("/x"))))
+    assert(parse("<p>none</p>") === ((None, None)))
+  }
+
+  test("extractBaseHref: first base wins; extractHreflangAlternates scopes to rel=alternate") {
+    import spark.implicits._
+    val base = Seq("<base target=\"_b\" href=\"/one/\"><base href=\"/two/\">")
+      .toDF("h").select(Html.extractBaseHref(col("h"))).as[String].head()
+    assert(base === "/one/")
+    val html = "<link rel=\"stylesheet\" href=\"/s.css\">" +
+      "<link rel=\"alternate\" href=\"/feed\">" +
+      "<link rel=\"alternate\" hreflang=\"EN\" href=\"/en\">" +
+      "<link hreflang=\"x-default\" rel=alternate href='/p'>"
+    val got = Seq(html).toDF("h")
+      .select(explode(Html.extractHreflangAlternates(col("h"))).as("a"))
+      .select("a.lang", "a.href")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // stylesheet never matches; alternate without hreflang filtered;
+    // lang case-folds; both attribute orders accepted
+    assert(got === Seq(("en", "/en"), ("x-default", "/p")))
+  }
+
+  test("extractSitemapEntries: per-url metadata, NULL absents, try_cast priority") {
+    import spark.implicits._
+    val xml = "<urlset><url><loc>http://a/</loc><lastmod>2024-01-01</lastmod>" +
+      "<changefreq>daily</changefreq><priority>0.8</priority></url>" +
+      "<url><loc>http://b/?x=1&amp;y=2</loc><priority>high</priority></url></urlset>"
+    val got = Seq(xml).toDF("x")
+      .select(explode(Html.extractSitemapEntries(col("x"))).as("e"))
+      .select("e.loc", "e.lastmod", "e.changefreq", "e.priority")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+      .toSeq
+    assert(got === Seq(
+      ("http://a/", Some("2024-01-01"), Some("daily"), Some(0.8)),
+      ("http://b/?x=1&y=2", None, None, None)))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still

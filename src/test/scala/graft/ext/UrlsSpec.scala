@@ -267,14 +267,27 @@ class UrlsSpec extends SparkSpec {
     assert(res("http://b.com/", "../../x") === "http://b.com/x")
     // protocol-relative href takes the BASE's scheme
     assert(res("https://b.com/p", "//cdn.com/y") === "https://cdn.com/y")
-    // trailing-dot-segment: directory self-reference resolves to the dir
-    assert(res("http://b.com/a/b/c.html", ".") === "http://b.com/a/b")
+    // trailing-dot-segment: directory self-reference resolves to the
+    // dir WITH its slash (RFC 3986 §5.2.4 — r16b fix: the old
+    // slash-dropping form re-anchored child resolutions one level up)
+    assert(res("http://b.com/a/b/c.html", ".") === "http://b.com/a/b/")
+    // trailing slash survives resolution — a directory base must stay
+    // a directory through a resolve→resolve composition (<base href>)
+    assert(res("http://b.com/p", "http://cdn.org/assets/")
+      === "http://cdn.org/assets/")
+    assert(res("http://b.com/dir/page.html", "sub/")
+      === "http://b.com/dir/sub/")
     // a malformed (non-absolute) base quarantines to NULL, never a
     // garbage URL into the frontier
     import spark.implicits._
     val nullRes = Seq(("not-a-url", "x/y")).toDF("b", "h")
       .select(Urls.resolveUrl(col("b"), col("h"))).head()
     assert(nullRes.isNullAt(0))
+    // a NULL href is NULL output — without the guard the expression
+    // fabricated scheme://host (a root link nobody wrote)
+    val nullHref = Seq(("http://b.com/p", null.asInstanceOf[String]))
+      .toDF("b", "h").select(Urls.resolveUrl(col("b"), col("h"))).head()
+    assert(nullHref.isNullAt(0))
   }
 
   test("path-embedded :// never displaces the authority (first-split pin)") {
