@@ -593,6 +593,71 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         col("col.lang").as("lang"), col("col.href").as("href"))
       .orderBy("doc_id", "idx")
   }
+
+  /** Discovery-channel unification capstone as a hash gate: ONE
+    * canonical frontier from all five channels this round's wave
+    * implements, each harvested by its REAL extractor in one plan —
+    * anchors ([[graft.ext.Html.extractLinks]]), meta-refresh targets
+    * ([[graft.ext.Html.extractMetaRefresh]], even docs only), hreflang
+    * alternates, sitemap locs, and feed entries. The same target
+    * arriving through different channels must collapse to one
+    * frontier row with the channel set and reference count — /a
+    * arrives via link AND sitemap, /b via link (with a tracking param
+    * canonicalization must strip) AND feed, /c via refresh only from
+    * even docs, /d via hreflang. Resolution and canonicalization run
+    * STAGED (q216/q237 discipline); the rollup is one hash exchange
+    * on the canonical url.
+    */
+  def frontierUnify(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val g = pmod(i, lit(10)).cast("string")
+    val pageUrl = concat(lit("http://f"), g, lit(".com/index.html"))
+    // decorrelated from g (pmod(i,2) would make odd families
+    // refresh-free): even BLOCKS of ten carry the refresh tag
+    val even = pmod(floor(i / 10), lit(2)) === 0
+    val html = concat(lit("<html><head>"),
+      when(even, lit("<meta http-equiv=\"refresh\" content=\"0; url=/c\">"))
+        .otherwise(lit("")),
+      lit("<link rel=\"alternate\" hreflang=\"fr\" href=\"/d\">"),
+      lit("</head><body><a href=\"/a\">A</a>"),
+      lit("<a href=\"/b?utm_x=1\">B</a></body></html>"))
+    val sitemap = concat(lit("<urlset><url><loc>http://f"), g,
+      lit(".com/a</loc></url></urlset>"))
+    val feed = concat(
+      lit("<rss><channel><item><title>t</title><link>http://f"), g,
+      lit(".com/b</link></item></channel></rss>"))
+    val base = t(s, d, "documents").select(col("doc_id"),
+      pageUrl.as("page_url"), html.as("html"), sitemap.as("sm"),
+      feed.as("feed"))
+    val H = graft.ext.Html
+    val linkRows = base.select(col("page_url"), lit("link").as("channel"),
+      explode(H.extractLinks(col("html"))).as("raw"))
+    val refreshRows = base.select(col("page_url"),
+        lit("refresh").as("channel"),
+        H.extractMetaRefresh(col("html")).getField("url").as("raw"))
+      .filter(col("raw").isNotNull)
+    val hreflangRows = base.select(col("page_url"),
+        lit("hreflang").as("channel"),
+        explode(H.extractHreflangAlternates(col("html"))).as("a"))
+      .select(col("page_url"), col("channel"), col("a.href").as("raw"))
+    val sitemapRows = base.select(col("page_url"),
+      lit("sitemap").as("channel"),
+      explode(H.extractSitemapLocs(col("sm"))).as("raw"))
+    val feedRows = base.select(col("page_url"), lit("feed").as("channel"),
+        explode(H.extractFeedEntries(col("feed"))).as("e"))
+      .select(col("page_url"), col("channel"), col("e.url").as("raw"))
+    Seq(linkRows, refreshRows, hreflangRows, sitemapRows, feedRows)
+      .reduce(_ unionByName _)
+      .withColumn("resolved",
+        graft.ext.Urls.resolveUrl(col("page_url"), col("raw")))
+      .withColumn("url", graft.ext.Urls.canonicalizeUrl(col("resolved")))
+      .groupBy("url")
+      .agg(count(lit(1)).cast("long").as("n_refs"),
+        array_join(sort_array(collect_set(col("channel"))), ",")
+          .as("channels"))
+      .select(col("url"), col("channels"), col("n_refs"))
+      .orderBy("url")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -921,5 +986,31 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  FROM b WHERE k = 1)
         |SELECT doc_id, idx, lang, href
         |FROM e ORDER BY doc_id, idx""".stripMargin,
+
+    // q263: the unified frontier restated from channel arithmetic —
+    // per residue family g: /a = link+sitemap (2 refs/doc), /b =
+    // feed+link (the utm param dies in canonicalization), /c =
+    // refresh from EVEN docs only, /d = hreflang.
+    "q263_frontier_unify" ->
+      """WITH d AS (SELECT doc_id, doc_id % 10 AS g,
+        |    (doc_id // 10) % 2 = 0 AS even
+        |  FROM documents),
+        |c AS (SELECT g, count(*) AS ng,
+        |    sum(CASE WHEN even THEN 1 ELSE 0 END) AS ne
+        |  FROM d GROUP BY g),
+        |e AS (
+        |  SELECT 'http://f' || CAST(g AS VARCHAR) || '.com/a' AS url,
+        |    'link,sitemap' AS channels, 2 * ng AS n_refs FROM c
+        |  UNION ALL
+        |  SELECT 'http://f' || CAST(g AS VARCHAR) || '.com/b',
+        |    'feed,link', 2 * ng FROM c
+        |  UNION ALL
+        |  SELECT 'http://f' || CAST(g AS VARCHAR) || '.com/c',
+        |    'refresh', ne FROM c
+        |  UNION ALL
+        |  SELECT 'http://f' || CAST(g AS VARCHAR) || '.com/d',
+        |    'hreflang', ng FROM c)
+        |SELECT url, channels, CAST(n_refs AS BIGINT) AS n_refs
+        |FROM e ORDER BY url""".stripMargin,
   )
 }

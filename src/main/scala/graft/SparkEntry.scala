@@ -305,6 +305,7 @@ object SparkEntry {
     "q260_base_href_links" -> ((s, d) => PipelinesExt.baseHrefLinks(s, d)),
     "q261_sitemap_metadata" -> ((s, d) => PipelinesExt.sitemapEntryMetadata(s, d)),
     "q262_hreflang_variants" -> ((s, d) => PipelinesExt.hreflangVariants(s, d)),
+    "q263_frontier_unify" -> ((s, d) => PipelinesExt.frontierUnify(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
