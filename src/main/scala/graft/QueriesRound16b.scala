@@ -658,6 +658,33 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
       .select(col("url"), col("channels"), col("n_refs"))
       .orderBy("url")
   }
+
+  /** CROSS-document line dedup as a hash gate
+    * ([[graft.ext.TextAnalysis.dedupLinesGlobal]], the C4/CCNet
+    * corpus-global rule): every doc wraps its natural text in shared
+    * chrome — a header repeated by every fourth doc, a footer by
+    * every third, a blank structural line, and one guaranteed-unique
+    * line. The FIRST corpus occurrence of each chrome line survives,
+    * every later one dies across document boundaries (what q240's
+    * in-doc scrub cannot see), blank lines always survive, and the
+    * natural text's own cross-doc duplicates (the fixture's planted
+    * near-dup docs) dedup too — the oracle replays the full
+    * window-arithmetic in SQL rather than restating, so the natural
+    * duplication is covered exactly.
+    */
+  def lineDedupGlobal(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val t2 = concat_ws("\n",
+      concat(lit("Shared Header "), pmod(i, lit(4)).cast("string")),
+      col("text"),
+      lit(""),
+      concat(lit("Shared Footer "), pmod(i, lit(3)).cast("string")),
+      concat(lit("unique line "), i.cast("string")))
+    graft.ext.TextAnalysis.dedupLinesGlobal(
+        t(s, d, "documents").select(col("doc_id"), t2.as("t2")),
+        "doc_id", "t2")
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -1012,5 +1039,35 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |    'hreflang', ng FROM c)
         |SELECT url, channels, CAST(n_refs AS BIGINT) AS n_refs
         |FROM e ORDER BY url""".stripMargin,
+
+    // q264: the same first-occurrence window replayed in SQL — the
+    // dedupable key is the trimmed line, exempt (blank) rows get a
+    // unique key, first (doc_id, pos) wins globally.
+    "q264_line_dedup_global" ->
+      """WITH f AS (SELECT doc_id,
+        |    'Shared Header ' || CAST(doc_id % 4 AS VARCHAR) || chr(10) ||
+        |    text || chr(10) || chr(10) ||
+        |    'Shared Footer ' || CAST(doc_id % 3 AS VARCHAR) || chr(10) ||
+        |    'unique line ' || CAST(doc_id AS VARCHAR) AS t2
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |    unnest(generate_series(1, len(ls))) AS pos,
+        |    unnest(ls) AS line
+        |  FROM (SELECT doc_id, string_split(t2, chr(10)) AS ls FROM f)),
+        |r AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (
+        |      PARTITION BY CASE WHEN length(trim(line)) >= 1
+        |          THEN 'd:' || trim(line)
+        |          ELSE 'u:' || CAST(doc_id AS VARCHAR) || ':'
+        |            || CAST(pos AS VARCHAR) END
+        |      ORDER BY doc_id, pos) AS rn
+        |  FROM l)
+        |SELECT doc_id,
+        |  coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10)
+        |    ORDER BY pos), '') AS text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

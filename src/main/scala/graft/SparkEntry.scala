@@ -306,6 +306,7 @@ object SparkEntry {
     "q261_sitemap_metadata" -> ((s, d) => PipelinesExt.sitemapEntryMetadata(s, d)),
     "q262_hreflang_variants" -> ((s, d) => PipelinesExt.hreflangVariants(s, d)),
     "q263_frontier_unify" -> ((s, d) => PipelinesExt.frontierUnify(s, d)),
+    "q264_line_dedup_global" -> ((s, d) => PipelinesExt.lineDedupGlobal(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -215,6 +215,55 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
       a.getField("removed").as("n_removed")))
   }
 
+  /** CROSS-document line dedup — the C4/CCNet global counterpart of
+    * [[dropRepeatedLines]] (which is in-doc only): each distinct
+    * non-blank line keeps exactly its FIRST corpus occurrence (by
+    * (id, position) — deterministic, order-free) and every later
+    * occurrence across ALL documents is removed. This is the operator
+    * that kills corpus-wide boilerplate — cookie banners, nav bars,
+    * license footers — which in-doc scrubbing cannot see and document-
+    * level dedup wrongly spares (the docs differ; only their chrome
+    * repeats). Line identity is the TRIMMED exact line; blank lines
+    * are structural and always survive; `minChars` exempts short
+    * lines (a corpus-global dedup of the line "Home" is policy, not a
+    * default).
+    *
+    * Plan: posexplode lines → ONE window over the line key (blank /
+    * exempt lines get a per-row key, so they never share a
+    * partition) → one groupBy(id) rebuild with an in-row sort. Two
+    * hash exchanges total; a line shared by millions of docs is
+    * window-partition skew on one key, never a join blow-up.
+    *
+    * Emits (idCol, text, n_lines, n_removed).
+    */
+  def dedupLinesGlobal(docs: DataFrame, idCol: String, textCol: String,
+      minChars: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minChars >= 1,
+      s"dedupLinesGlobal: minChars must be >= 1, got $minChars (0 would " +
+        "pool every blank line into one window partition)")
+    val lines = docs.select(col(idCol),
+      posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+        .as(Seq("_pos", "_line")))
+    val key = trim(col("_line"))
+    val dedupable = length(key) >= minChars
+    // exempt rows get a UNIQUE key: rn is trivially 1 and they always
+    // survive, without ever pooling into a shared partition
+    val partKey = when(dedupable, concat(lit("d:"), key))
+      .otherwise(concat_ws(":", lit("u"), col(idCol), col("_pos")))
+    val w = Window.partitionBy(partKey).orderBy(col(idCol), col("_pos"))
+    lines
+      .withColumn("_keep", row_number().over(w) === 1)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("_keep"),
+            struct(col("_pos"), col("_line"))))),
+          s => s.getField("_line"))).as("text"),
+        count(lit(1)).cast("long").as("n_lines"),
+        sum(when(!col("_keep"), 1L).otherwise(0L)).as("n_removed"))
+  }
+
   /** Gopher word-level stopwords (Rae et al. 2021 §A1.1's "must
     * contain 2 of" list) — distinct from the language-ID lists above:
     * these gate QUALITY, not language.

@@ -613,6 +613,28 @@ class TextAnalysisSpec extends SparkSpec {
       .select("r.text", "r.n_removed").head()
     assert((nul.getString(0), nul.getInt(1)) === (("", 0)))
   }
+
+  test("dedupLinesGlobal: first corpus occurrence wins ACROSS docs, blanks survive") {
+    val docs = Seq(
+      (1L, "banner\nbody one\n\ntail"),
+      (2L, "banner\nbody two\n\ntail"),
+      (3L, " banner \nbody three")).toDF("id", "text")
+    val got = TextAnalysis.dedupLinesGlobal(docs, "id", "text")
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    // doc 1 keeps everything (first occurrences); doc 2 loses banner
+    // AND tail but keeps its blank; doc 3's whitespace-padded banner
+    // dedupes by TRIMMED identity (the padded form dies)
+    assert(got === Seq(
+      (1L, "banner\nbody one\n\ntail", 4L, 0L),
+      (2L, "body two\n", 4L, 2L),
+      (3L, "body three", 2L, 1L)))
+    // minChars 0 is a named error (would pool every blank line)
+    val e = intercept[IllegalArgumentException](
+      TextAnalysis.dedupLinesGlobal(docs, "id", "text", minChars = 0))
+    assert(e.getMessage.contains("minChars"))
+  }
 }
 
 class PerceptronSpec extends SparkSpec {
