@@ -291,6 +291,26 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_hosts"),
           sum(size(col("categories"))).as("n_category_hits"))
     }
+    // Tier — corpus-global line dedup (r16b, q264): one window over
+    // the trimmed-line key + one per-doc rebuild. The fixture is the
+    // WORST skew case on purpose: one banner line shared by EVERY doc
+    // (the whole corpus lands in a single window partition for that
+    // key — AQE cannot split a window the way it splits a join, the
+    // stream_agg_hot_user honesty note), a 1000-key footer family,
+    // and per-replica-salted body lines. Prices what corpus-wide
+    // boilerplate actually costs the operator as the corpus grows.
+    def tierLineDedup(s: Int): DataFrame = {
+      val chrome = docs(s).select(col("doc_id"),
+        concat_ws("\n", lit("graftchrome shared banner"),
+          col("text"),
+          concat(lit("graftchrome footer "),
+            pmod(col("doc_id"), lit(1000)).cast("string")),
+          concat(lit("unique "), col("doc_id").cast("string"))).as("t2"))
+      graft.ext.TextAnalysis.dedupLinesGlobal(chrome, "doc_id", "t2")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_removed")).as("n_removed"),
+          sum(length(col("text"))).as("out_chars"))
+    }
     // Tier C — GlobalIndex dense rank over a total order (the q108
     // curriculum shape): range exchange + per-partition numbering.
     def tierGlobalIndex(s: Int): DataFrame = {
@@ -546,7 +566,8 @@ object ScaleCheck {
       ("image_band32_join", tierBandJoin(32)),
       ("crawl_extract_stack", tierCrawlStack),
       ("warc_write_read", tierWarcRoundTrip),
-      ("url_blocklist_match", tierBlocklist))
+      ("url_blocklist_match", tierBlocklist),
+      ("line_dedup_global", tierLineDedup))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers
@@ -787,6 +808,12 @@ object ScaleCheck {
     md.append("  through the streaming member-exact reader; both legs are narrow\n")
     md.append("  byte passes around the single re-shard, so wall should track\n")
     md.append("  payload bytes and shuffle bytes should grow exactly with input;\n")
+    md.append("  line_dedup_global (r16b, q264) — TextAnalysis.dedupLinesGlobal\n")
+    md.append("  under the WORST skew shape: one banner line shared by every doc\n")
+    md.append("  (the full corpus in ONE window partition for that key — AQE\n")
+    md.append("  cannot split a window, the stream_agg_hot_user honesty note), a\n")
+    md.append("  1000-key footer family, salted unique bodies; the measured hot-\n")
+    md.append("  key price of corpus-wide boilerplate as the corpus grows;\n")
     md.append("  url_blocklist_match (r16b, q251) — Urls.matchBlocklist's\n")
     md.append("  label-suffix chain (each host explodes to ≤4 suffix keys — never\n")
     md.append("  a LIKE prefix join, never a per-entry regex scan) hash-joined\n")
