@@ -685,11 +685,93 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         "doc_id", "t2")
       .orderBy("doc_id")
   }
+
+  /** STREAMING revisit labeling as a hash gate
+    * ([[graft.streaming.StreamingFeatures.labelRevisits]],
+    * flatMapGroupsWithState keyed on the payload digest): the exact
+    * q252 fixture flows through the stateful path — first capture per
+    * digest becomes the stored response, every later one a revisit
+    * stub — and the gate verifies against the SAME oracle SQL as the
+    * batch operator (stream ≡ batch, the q200/q204 discipline).
+    */
+  def streamRevisits(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val i = col("doc_id")
+    val url = concat(lit("http://rv"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), i.cast("string"))
+    val payload = when(pmod(i, lit(10)) === 1, lit("mirror page body"))
+      .when(pmod(i, lit(3)) === 0,
+        concat(lit("stable content "), i.cast("string")))
+      .otherwise(concat(lit("content "), i.cast("string"),
+        lit(" crawl "), col("crawl").cast("string")))
+    val captures = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("crawl"))
+      .select(md5(payload).as("digest"), url.as("url"),
+        (col("crawl") * 100000 + i).as("ts"), col("doc_id"), col("crawl"))
+    val dir = "/tmp/graft_q265_caps_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
+    captures.coalesce(1).write.mode("overwrite").parquet(dir)
+    val stream = s.readStream.schema(captures.schema).parquet(dir)
+      .as[graft.streaming.StreamingFeatures.CaptureIn]
+    val labeled = graft.streaming.StreamingFeatures.labelRevisits(stream)
+    val qname = "graft_stream_revisit_" +
+      PipelinesTextSim.streamGateRuns.incrementAndGet()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-q265-ck-")
+      .toString
+    val query = PipelinesTextSim.withStreamStatePartitions(s) {
+      labeled.writeStream.format("memory").queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+    query.awaitTermination()
+    val out = s.table(qname)
+      .select(col("doc_id"), col("crawl"), col("url"),
+        col("ts").as("capture_ts"), col("payload_digest"),
+        col("record_type"), col("refers_to_url"), col("refers_to_ts"))
+      .orderBy("doc_id", "crawl")
+      .localCheckpoint(true)
+    s.catalog.dropTempView(qname)
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(ckpt))
+    PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
+    out
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
 private[graft] trait OraclesRound16b { this: OracleSnippets =>
+
+  // ONE revisit ground truth for the batch (q252) and streaming
+  // (q265) paths — the stream ≡ batch discipline: two plans, one
+  // oracle, so the stateful path can never drift semantically.
+  private val revisitOracleSql =
+    """WITH caps AS (
+      |  SELECT doc_id, c.crawl,
+      |    'http://rv' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
+      |      || CAST(doc_id AS VARCHAR) AS url,
+      |    c.crawl * 100000 + doc_id AS capture_ts,
+      |    CASE WHEN doc_id % 10 = 1 THEN 'mirror page body'
+      |         WHEN doc_id % 3 = 0
+      |           THEN 'stable content ' || CAST(doc_id AS VARCHAR)
+      |         ELSE 'content ' || CAST(doc_id AS VARCHAR) || ' crawl '
+      |           || CAST(c.crawl AS VARCHAR) END AS payload
+      |  FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS crawl) c),
+      |d AS (SELECT *, md5(payload) AS payload_digest,
+      |    row_number() OVER w AS rn,
+      |    first_value(url) OVER w AS fu,
+      |    first_value(capture_ts) OVER w AS ft
+      |  FROM caps
+      |  WINDOW w AS (PARTITION BY md5(payload)
+      |    ORDER BY capture_ts, url))
+      |SELECT doc_id, CAST(crawl AS INT) AS crawl, url, capture_ts,
+      |  payload_digest,
+      |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
+      |  CASE WHEN rn > 1 THEN fu END AS refers_to_url,
+      |  CASE WHEN rn > 1 THEN ft END AS refers_to_ts
+      |FROM d ORDER BY doc_id, crawl""".stripMargin
+
   protected def sqlRound16b: Map[String, String] = Map(
+    "q265_stream_revisits" -> revisitOracleSql,
     // q249: expected JSON-LD fields restated per branch from the
     // generator arithmetic — k=3 has no block (has_ld false), k=4 is
     // malformed (has_ld true, fields NULL), k=2 takes the FIRST
@@ -755,32 +837,9 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |FROM b ORDER BY doc_id""".stripMargin,
 
     // q252: the same md5 + first-capture window replayed in SQL —
-    // digest partitions, (ts, url) orders, row 1 is the response.
-    "q252_revisit_dedup" ->
-      """WITH caps AS (
-        |  SELECT doc_id, c.crawl,
-        |    'http://rv' || CAST(doc_id % 10 AS VARCHAR) || '.com/p/'
-        |      || CAST(doc_id AS VARCHAR) AS url,
-        |    c.crawl * 100000 + doc_id AS capture_ts,
-        |    CASE WHEN doc_id % 10 = 1 THEN 'mirror page body'
-        |         WHEN doc_id % 3 = 0
-        |           THEN 'stable content ' || CAST(doc_id AS VARCHAR)
-        |         ELSE 'content ' || CAST(doc_id AS VARCHAR) || ' crawl '
-        |           || CAST(c.crawl AS VARCHAR) END AS payload
-        |  FROM documents CROSS JOIN (SELECT unnest([1, 2]) AS crawl) c),
-        |d AS (SELECT *, md5(payload) AS payload_digest,
-        |    row_number() OVER w AS rn,
-        |    first_value(url) OVER w AS fu,
-        |    first_value(capture_ts) OVER w AS ft
-        |  FROM caps
-        |  WINDOW w AS (PARTITION BY md5(payload)
-        |    ORDER BY capture_ts, url))
-        |SELECT doc_id, CAST(crawl AS INT) AS crawl, url, capture_ts,
-        |  payload_digest,
-        |  CASE WHEN rn = 1 THEN 'response' ELSE 'revisit' END AS record_type,
-        |  CASE WHEN rn > 1 THEN fu END AS refers_to_url,
-        |  CASE WHEN rn > 1 THEN ft END AS refers_to_ts
-        |FROM d ORDER BY doc_id, crawl""".stripMargin,
+    // digest partitions, (ts, url) orders, row 1 is the response
+    // (shared with the q265 streaming gate, see revisitOracleSql).
+    "q252_revisit_dedup" -> revisitOracleSql,
 
     // q253: expected entries restated per branch — RSS docs yield
     // items a1/a2 (channel link skipped), Atom docs yield e1/e2/e3

@@ -307,6 +307,7 @@ object SparkEntry {
     "q262_hreflang_variants" -> ((s, d) => PipelinesExt.hreflangVariants(s, d)),
     "q263_frontier_unify" -> ((s, d) => PipelinesExt.frontierUnify(s, d)),
     "q264_line_dedup_global" -> ((s, d) => PipelinesExt.lineDedupGlobal(s, d)),
+    "q265_stream_revisits" -> ((s, d) => PipelinesExt.streamRevisits(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -585,6 +585,56 @@ object StreamingFeatures {
       .withWatermark(tsCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("fingerprint")
 
+  /** Input/output/state rows for [[labelRevisits]] — a fixed typed
+    * contract (the `flatMapGroupsWithState` path needs encoders, and
+    * a pinned schema keeps the stream and the batch
+    * [[graft.ext.Warc.revisitRecords]] comparable field-for-field).
+    */
+  final case class CaptureIn(digest: String, url: String, ts: Long,
+      doc_id: Long, crawl: Int)
+  final case class RevisitOut(doc_id: Long, crawl: Int, url: String,
+      ts: Long, payload_digest: String, record_type: String,
+      refers_to_url: Option[String], refers_to_ts: Option[Long])
+  final case class FirstCapture(url: String, ts: Long)
+
+  /** Streaming revisit labeling — the stateful analog of
+    * [[graft.ext.Warc.revisitRecords]]: per payload digest the state
+    * remembers the FIRST capture ever seen (url, ts); that capture is
+    * the stored `response` and every later one — same batch or any
+    * later batch — emits as a `revisit` stub pointing at it. Within a
+    * micro-batch rows sort by (ts, url) so batch ≡ stream on ordered
+    * replays (the q252 oracle gates both). Per-key state is ONE
+    * (url, ts) pair per distinct payload — at archive scale that is
+    * the dedup index itself, the thing a revisit-writing crawler must
+    * keep anyway; pair with a state-store TTL in deployments that
+    * bound the dedup horizon.
+    */
+  def labelRevisits(captures: org.apache.spark.sql.Dataset[CaptureIn])
+      : org.apache.spark.sql.Dataset[RevisitOut] = {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spark = captures.sparkSession
+    import spark.implicits._
+    captures.groupByKey(_.digest)
+      .flatMapGroupsWithState[FirstCapture, RevisitOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (digest, rows, state) =>
+          val sorted = rows.toSeq.sortBy(r => (r.ts, r.url))
+          val hadState = state.exists
+          val first = state.getOption.getOrElse {
+            val h = sorted.head
+            FirstCapture(h.url, h.ts)
+          }
+          if (!hadState) state.update(first)
+          sorted.iterator.zipWithIndex.map { case (r, idx) =>
+            val isResponse = !hadState && idx == 0
+            RevisitOut(r.doc_id, r.crawl, r.url, r.ts, digest,
+              if (isResponse) "response" else "revisit",
+              if (isResponse) None else Some(first.url),
+              if (isResponse) None else Some(first.ts))
+          }
+      }
+  }
+
   /** Guarded streaming refresh — the expectations-with-quarantine
     * ingest pattern: each micro-batch splits on the row-local checks,
     * merges the CLEAN rows into `tableName`, and appends the violating
