@@ -736,6 +736,121 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
     PipelinesRound12.deleteRecursively(java.nio.file.Paths.get(dir))
     out
   }
+
+  /** Crawl snapshot diff as a hash gate — the churn report every
+    * recurring crawl publishes: full outer join of two snapshots on
+    * the canonical URL classifies every URL as `added` (new crawl
+    * only), `removed` (old only), `changed` (both, digest moved), or
+    * `unchanged`, then rolls the four counts up per host. Fixture
+    * arithmetic: every fifth URL exists only in crawl 2 (added),
+    * every seventh only in crawl 1 (removed; decorrelated residues so
+    * both classes stay non-empty), the q252 stable/mirror docs are
+    * unchanged, the rest changed. One shuffle for the join, one for
+    * the rollup.
+    */
+  def crawlSnapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val url = concat(lit("http://sd"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), i.cast("string"))
+    def digest(crawl: Int) =
+      md5(when(pmod(i, lit(3)) === 0, concat(lit("stable "), i.cast("string")))
+        .otherwise(concat(lit("body "), i.cast("string"), lit(s" c$crawl"))))
+    val docs = t(s, d, "documents")
+    // new-only docs (i%5=2) are absent from the OLD snapshot;
+    // old-only docs (i%7=1) are absent from the NEW one; a doc in
+    // both classes is absent from both (and from the diff)
+    val old = docs.filter(pmod(i, lit(5)) =!= 2)
+      .select(url.as("url"), digest(1).as("old_digest"))
+    val newer = docs.filter(pmod(i, lit(7)) =!= 1)
+      .select(url.as("url"), digest(2).as("new_digest"))
+    val status = when(col("old_digest").isNull, lit("added"))
+      .when(col("new_digest").isNull, lit("removed"))
+      .when(col("old_digest") === col("new_digest"), lit("unchanged"))
+      .otherwise(lit("changed"))
+    old.join(newer, Seq("url"), "full_outer")
+      .withColumn("status", status)
+      .withColumn("host", graft.ext.Urls.hostOf(col("url")))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("status") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("status") === "removed", 1L).otherwise(0L))
+          .as("n_removed"),
+        sum(when(col("status") === "changed", 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(when(col("status") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"))
+      .orderBy("host")
+  }
+
+  /** URL template mining as a hash gate
+    * ([[graft.ext.Urls.pathTemplate]]): paths per doc cover the
+    * numeric-id segment (`/product/<id>/view`), a MIXED segment whose
+    * digit run masks in place (`u<id>` → `u{n}`), a 32-hex digest
+    * segment (`{hex}` — the hex rule must fire before the digit rule
+    * shreds it), and a static path that must survive untouched; the
+    * rollup groups (host, template) — the crawl-budget view.
+    */
+  def urlTemplateMining(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val j = pmod(i, lit(4))
+    val host = concat(lit("tm"), pmod(i, lit(5)).cast("string"), lit(".com"))
+    val path = when(j === 0, concat(lit("/product/"), i.cast("string"),
+        lit("/view")))
+      .when(j === 1, concat(lit("/user/u"), pmod(i, lit(50)).cast("string"),
+        lit("/profile")))
+      .when(j === 2, concat(lit("/doc/"), md5(i.cast("string")), lit("/raw")))
+      .otherwise(lit("/static/css/main.css"))
+    t(s, d, "documents")
+      .select(host.as("host"),
+        graft.ext.Urls.pathTemplate(path).as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+      .orderBy("host", "template")
+  }
+
+  /** Robots fetch-outcome policy as a hash gate
+    * ([[graft.ext.RobotsTxt.accessPolicy]], RFC 9309 §2.3.1): per doc
+    * a raw robots.txt HTTP response with status 200 (a real body
+    * disallowing /priv), 404, 500, 503, or 301 — parsed with the
+    * production [[graft.ext.Http.statusOf]] + a garbage-status branch
+    * (NULL status = the network-error analog). The decisions for a
+    * /priv and a /pub URL pin the policy: 200 applies the parsed
+    * rules, 404 allows ALL (a missing robots.txt is not a lock), 5xx
+    * and unparseable disallow ALL, 3xx defers to redirect resolution
+    * (NULL decisions).
+    */
+  def robotsFetchPolicy(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(6))
+    val payload = when(k === 0, lit("HTTP/1.1 200 OK\r\n\r\n" +
+        "User-agent: *\nDisallow: /priv\n"))
+      .when(k === 1, lit("HTTP/1.1 404 Not Found\r\n\r\ngone"))
+      .when(k === 2, lit("HTTP/1.1 500 Internal Server Error\r\n\r\noops"))
+      .when(k === 3, lit("HTTP/1.1 503 Service Unavailable\r\n\r\nbusy"))
+      .when(k === 4,
+        lit("HTTP/1.1 301 Moved Permanently\r\nLocation: /r.txt\r\n\r\n"))
+      .otherwise(lit("garbage not http"))
+    val base = t(s, d, "documents")
+      .select(col("doc_id"), payload.as("p"))
+      .withColumn("status", graft.ext.Http.statusOf(col("p")))
+      .withColumn("policy", graft.ext.RobotsTxt.accessPolicy(col("status")))
+      .withColumn("rules", graft.ext.RobotsTxt.parsePolicy(
+        coalesce(graft.ext.Http.bodyOf(col("p")), lit("")))
+        .getField("rules"))
+    def decide(path: String) = {
+      val denied = exists(col("rules"), r =>
+        r.getField("allow") === 0 &&
+          lit(path).startsWith(r.getField("prefix")))
+      when(col("policy") === "apply_rules", !denied)
+        .when(col("policy") === "allow_all", lit(true))
+        .when(col("policy") === "disallow_all", lit(false))
+        .otherwise(lit(null).cast("boolean"))
+    }
+    base.select(col("doc_id"), col("status"), col("policy"),
+        decide("/priv/x").as("allowed_priv"),
+        decide("/pub").as("allowed_pub"))
+      .orderBy("doc_id")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -772,6 +887,67 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
 
   protected def sqlRound16b: Map[String, String] = Map(
     "q265_stream_revisits" -> revisitOracleSql,
+
+    // q266: diff arithmetic restated — new-only (i%5=2) → added,
+    // old-only (i%7=1) → removed, in-both-classes → absent, stable
+    // (i%3=0) → unchanged, rest → changed; host rollup.
+    "q266_crawl_snapshot_diff" ->
+      """WITH b AS (SELECT doc_id, doc_id % 10 AS h,
+        |    doc_id % 5 = 2 AS only_new, doc_id % 7 = 1 AS only_old,
+        |    doc_id % 3 = 0 AS stable
+        |  FROM documents),
+        |c AS (SELECT doc_id, h,
+        |    CASE WHEN only_new AND only_old THEN NULL
+        |         WHEN only_new THEN 'added'
+        |         WHEN only_old THEN 'removed'
+        |         WHEN stable THEN 'unchanged'
+        |         ELSE 'changed' END AS status
+        |  FROM b)
+        |SELECT 'sd' || CAST(h AS VARCHAR) || '.com' AS host,
+        |  CAST(count(status) AS BIGINT) AS n_urls,
+        |  CAST(sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_changed,
+        |  CAST(sum(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_unchanged
+        |FROM c WHERE status IS NOT NULL
+        |GROUP BY h ORDER BY host""".stripMargin,
+
+    // q267: expected templates restated per branch — the hex branch
+    // masks whole (never digit-shredded), the static path survives.
+    "q267_url_templates" ->
+      """WITH b AS (SELECT doc_id, doc_id % 5 AS h, doc_id % 4 AS j
+        |  FROM documents),
+        |t AS (SELECT h,
+        |    CASE j WHEN 0 THEN '/product/{n}/view'
+        |           WHEN 1 THEN '/user/u{n}/profile'
+        |           WHEN 2 THEN '/doc/{hex}/raw'
+        |           ELSE '/static/css/main.css' END AS template
+        |  FROM b)
+        |SELECT 'tm' || CAST(h AS VARCHAR) || '.com' AS host, template,
+        |  CAST(count(*) AS BIGINT) AS n_urls
+        |FROM t GROUP BY host, template ORDER BY host, template""".stripMargin,
+
+    // q268: policy arithmetic restated — 200 applies rules (/priv
+    // denied, /pub allowed), 404 allow-all, 5xx disallow-all, 301
+    // defers (NULLs), garbage status = NULL = disallow-all.
+    "q268_robots_fetch_policy" ->
+      """WITH b AS (SELECT doc_id, doc_id % 6 AS k FROM documents)
+        |SELECT doc_id,
+        |  CAST(CASE k WHEN 0 THEN 200 WHEN 1 THEN 404 WHEN 2 THEN 500
+        |       WHEN 3 THEN 503 WHEN 4 THEN 301 END AS INT) AS status,
+        |  CASE WHEN k = 0 THEN 'apply_rules'
+        |       WHEN k = 1 THEN 'allow_all'
+        |       WHEN k IN (2, 3, 5) THEN 'disallow_all'
+        |       ELSE 'follow_redirect' END AS policy,
+        |  CASE WHEN k = 0 THEN false WHEN k = 1 THEN true
+        |       WHEN k IN (2, 3, 5) THEN false END AS allowed_priv,
+        |  CASE WHEN k = 0 THEN true WHEN k = 1 THEN true
+        |       WHEN k IN (2, 3, 5) THEN false END AS allowed_pub
+        |FROM b ORDER BY doc_id""".stripMargin,
     // q249: expected JSON-LD fields restated per branch from the
     // generator arithmetic — k=3 has no block (has_ld false), k=4 is
     // malformed (has_ld true, fields NULL), k=2 takes the FIRST

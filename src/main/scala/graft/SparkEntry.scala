@@ -308,6 +308,9 @@ object SparkEntry {
     "q263_frontier_unify" -> ((s, d) => PipelinesExt.frontierUnify(s, d)),
     "q264_line_dedup_global" -> ((s, d) => PipelinesExt.lineDedupGlobal(s, d)),
     "q265_stream_revisits" -> ((s, d) => PipelinesExt.streamRevisits(s, d)),
+    "q266_crawl_snapshot_diff" -> ((s, d) => PipelinesExt.crawlSnapshotDiff(s, d)),
+    "q267_url_templates" -> ((s, d) => PipelinesExt.urlTemplateMining(s, d)),
+    "q268_robots_fetch_policy" -> ((s, d) => PipelinesExt.robotsFetchPolicy(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -232,4 +232,22 @@ object RobotsTxt {
     })
     filter(vals, v => v.isNotNull && v =!= "")
   }
+
+  /** RFC 9309 §2.3.1 fetch-outcome policy — what a crawler may do
+    * when the robots.txt FETCH itself resolves, before any rule is
+    * read: 2xx parses and applies rules; 4xx means "unreachable" and
+    * the whole host MAY be crawled (allow-all — a missing robots.txt
+    * is not a lock); 5xx (and an unparseable/absent status — the
+    * network-error analog) means the crawler MUST assume complete
+    * disallow; 3xx follows the redirect (resolution is
+    * [[graft.ext.Urls.followRedirects]]' job). Getting 4xx vs 5xx
+    * BACKWARD either locks crawlers out of every robots-less site or
+    * crawls through an outage — this tiny branch is
+    * production-critical, hence named and gated.
+    */
+  def accessPolicy(status: Column): Column =
+    when(status.isNull || status >= 500, lit("disallow_all"))
+      .when(status >= 400, lit("allow_all"))
+      .when(status >= 300, lit("follow_redirect"))
+      .otherwise(lit("apply_rules"))
 }

@@ -620,6 +620,24 @@ object Urls {
       .filter(col("domain_rank") <= cap)
   }
 
+  /** URL path template — the pattern-mining fold that groups
+    * `/product/1234/view` and `/product/987/view` under ONE key
+    * (`/product/{n}/view`): crawl planners budget by template (a
+    * million product pages are one crawl decision, not a million),
+    * and template cardinality is the classic infinite-URL-space trap
+    * detector (calendar pages, session ids). Per path segment: a
+    * long (≥16) pure-hex segment masks to `{hex}` (content digests,
+    * UUID-ish ids — checked FIRST, else the digit rule would shred
+    * it), then every digit RUN masks to `{n}` (`u123` → `u{n}`).
+    * Query strings are not path structure — strip upstream
+    * ([[pathOf]] keeps them; template callers usually split). Pure
+    * codegen string expression.
+    */
+  def pathTemplate(path: Column): Column =
+    concat_ws("/", transform(split(path, "/"), s =>
+      when(s.rlike("^[0-9a-fA-F]{16,}$"), lit("{hex}"))
+        .otherwise(regexp_replace(s, "[0-9]+", "{n}"))))
+
   /** URL alias clustering — the dedup step that unifies every
     * alias CHANNEL at once: HTTP redirects (q238's edges), the page's
     * own `rel=canonical` vote (q236's harvest), and any other

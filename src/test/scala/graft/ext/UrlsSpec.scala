@@ -469,6 +469,16 @@ class UrlsSpec extends SparkSpec {
     assert(e.getMessage.contains("cap must be positive"))
   }
 
+  test("pathTemplate: hex rule fires before digit-run shredding; static survives") {
+    import spark.implicits._
+    val got = Seq("/product/1234/view", "/user/u7/profile",
+      "/doc/0123456789abcdef0123456789abcdef/raw", "/static/css/main.css",
+      "/a1b2/x")
+      .toDF("p").select(Urls.pathTemplate(col("p"))).as[String].collect().toSeq
+    assert(got === Seq("/product/{n}/view", "/user/u{n}/profile",
+      "/doc/{hex}/raw", "/static/css/main.css", "/a{n}b{n}/x"))
+  }
+
   test("matchBlocklist: label-suffix match, subtree inherit, never substring") {
     import spark.implicits._
     val urls = Seq((1L, "sub.bad.net"), (2L, "notbad.net"), (3L, "bad.net"),
