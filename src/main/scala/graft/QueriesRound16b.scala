@@ -851,6 +851,89 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
         decide("/pub").as("allowed_pub"))
       .orderBy("doc_id")
   }
+
+  /** Crawl-trap detection as a hash gate (the q267 composition a
+    * frontier scheduler actually runs): a template holding most of a
+    * host's URLs AND carrying a variable segment is the
+    * infinite-URL-space signature (calendars, session ids, faceted
+    * search). Rule pinned here: share ≥ 60% of the host's URLs and
+    * the template contains `{n}`. Host branches: a pure calendar trap
+    * (share 1.0, flagged), a half-parameterized host (share 0.5 —
+    * UNDER the bar, not flagged: parameterized ≠ trap), a static-only
+    * host (share 1.0 but no `{n}` — never flagged), and a mixed host.
+    * Shares quantize to integer percent before hashing.
+    */
+  def crawlTrapDetection(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = col("doc_id")
+    val h = pmod(i, lit(4))
+    val host = concat(lit("trap"), h.cast("string"), lit(".com"))
+    // the within-host splitter is floor(i/4)%2, NOT i%2 — h = i%4
+    // fixes i's parity, so an i%2 split would be constant per host
+    val alt = pmod(floor(i / 4), lit(2)) === 1
+    val path = when(h === 0, concat(lit("/cal/"), i.cast("string"), lit("/"),
+        pmod(i, lit(7)).cast("string")))
+      .when(h === 1, when(alt,
+          concat(lit("/p/"), i.cast("string"))).otherwise(lit("/about")))
+      .when(h === 2, lit("/static/a.css"))
+      .otherwise(when(alt,
+        concat(lit("/item/"), i.cast("string"))).otherwise(lit("/faq")))
+    t(s, d, "documents")
+      .select(host.as("host"),
+        graft.ext.Urls.pathTemplate(path).as("template"))
+      .groupBy("host", "template")
+      .agg(count(lit(1)).as("n_urls"))
+      .withColumn("host_total",
+        sum(col("n_urls")).over(Window.partitionBy(col("host"))))
+      .withColumn("share_pct",
+        floor(col("n_urls").cast("double") * 100.0 /
+          col("host_total").cast("double") + 0.5).cast("long"))
+      .withColumn("trap",
+        col("share_pct") >= 60 && col("template").contains("{n}"))
+      .select(col("host"), col("template"), col("n_urls"),
+        col("host_total").cast("long").as("host_total"), col("share_pct"),
+        col("trap"))
+      .orderBy("host", "template")
+  }
+
+  /** hreflang reciprocity audit as a hash gate (the validation search
+    * engines actually run on q262's harvest: a variant link only
+    * counts when the TARGET page links back — unreciprocated pairs
+    * are ignored or flagged). Page pairs per doc-id block: the even
+    * page declares its odd sibling; every third block's odd page
+    * OMITS the backlink (violation), the rest reciprocate. The check
+    * is one left-anti self-join of the edge set against its own
+    * reverse on the (src, dst) key — equi join, no pairwise scan.
+    */
+  def hreflangReciprocity(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val f = floor(i / 2).cast("long")
+    val isEven = pmod(i, lit(2)) === 0
+    val self = concat(lit("http://hr"), f.cast("string"),
+      when(isEven, lit(".com/en")).otherwise(lit(".com/fr")))
+    val sibling = concat(lit("http://hr"), f.cast("string"),
+      when(isEven, lit(".com/fr")).otherwise(lit(".com/en")))
+    val omitBack = !isEven && pmod(f, lit(3)) === 0
+    val html = concat(lit("<html><head>"),
+      when(omitBack, lit(""))
+        .otherwise(concat(
+          lit("<link rel=\"alternate\" hreflang=\""),
+          when(isEven, lit("fr")).otherwise(lit("en")),
+          lit("\" href=\""), sibling, lit("\">"))),
+      lit("</head><body>b</body></html>"))
+    val edges = t(s, d, "documents")
+      .select(self.as("src"), html.as("html"))
+      .select(col("src"),
+        explode(graft.ext.Html.extractHreflangAlternates(col("html")))
+          .as("a"))
+      .select(col("src"), col("a.lang").as("lang"), col("a.href").as("dst"))
+    val reverse = edges.select(col("dst").as("src"), col("src").as("dst"),
+      lit(1).as("_rev"))
+    edges.join(reverse, Seq("src", "dst"), "left_outer")
+      .select(col("src"), col("dst"), col("lang"),
+        col("_rev").isNotNull.as("reciprocal"))
+      .orderBy("src")
+  }
 }
 
 /** DuckDB oracle SQL for the [[PipelinesRound16b]] queries. */
@@ -1304,5 +1387,47 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_removed
         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q269: trap arithmetic replayed data-driven — counts from the
+    // same residue classes, share quantized, the ≥60% + '{n}' rule.
+    "q269_crawl_traps" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS h,
+        |    (doc_id // 4) % 2 = 1 AS alt
+        |  FROM documents),
+        |t AS (SELECT h,
+        |    CASE WHEN h = 0 THEN '/cal/{n}/{n}'
+        |         WHEN h = 1 AND alt THEN '/p/{n}'
+        |         WHEN h = 1 THEN '/about'
+        |         WHEN h = 2 THEN '/static/a.css'
+        |         WHEN alt THEN '/item/{n}'
+        |         ELSE '/faq' END AS template
+        |  FROM b),
+        |g AS (SELECT h, template, count(*) AS n FROM t GROUP BY h, template),
+        |w AS (SELECT h, template, n, sum(n) OVER (PARTITION BY h) AS tot
+        |  FROM g)
+        |SELECT 'trap' || CAST(h AS VARCHAR) || '.com' AS host, template,
+        |  CAST(n AS BIGINT) AS n_urls, CAST(tot AS BIGINT) AS host_total,
+        |  CAST(floor(CAST(n AS DOUBLE) * 100.0e0 / CAST(tot AS DOUBLE)
+        |    + 0.5e0) AS BIGINT) AS share_pct,
+        |  floor(CAST(n AS DOUBLE) * 100.0e0 / CAST(tot AS DOUBLE) + 0.5e0)
+        |    >= 60 AND template LIKE '%{n}%' AS trap
+        |FROM w ORDER BY host, template""".stripMargin,
+
+    // q270: reciprocity restated — even pages always declare their
+    // sibling (reciprocal unless the f%3=0 odd page omitted the
+    // backlink); surviving odd-page edges are always reciprocal.
+    "q270_hreflang_reciprocity" ->
+      """WITH b AS (SELECT doc_id, doc_id // 2 AS f, doc_id % 2 = 0 AS ev
+        |  FROM documents),
+        |e AS (
+        |  SELECT 'http://hr' || CAST(f AS VARCHAR) || '.com/en' AS src,
+        |    'http://hr' || CAST(f AS VARCHAR) || '.com/fr' AS dst,
+        |    'fr' AS lang, f % 3 <> 0 AS reciprocal
+        |  FROM b WHERE ev
+        |  UNION ALL
+        |  SELECT 'http://hr' || CAST(f AS VARCHAR) || '.com/fr',
+        |    'http://hr' || CAST(f AS VARCHAR) || '.com/en', 'en', true
+        |  FROM b WHERE NOT ev AND f % 3 <> 0)
+        |SELECT src, dst, lang, reciprocal FROM e ORDER BY src""".stripMargin,
   )
 }

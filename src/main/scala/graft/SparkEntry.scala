@@ -311,6 +311,8 @@ object SparkEntry {
     "q266_crawl_snapshot_diff" -> ((s, d) => PipelinesExt.crawlSnapshotDiff(s, d)),
     "q267_url_templates" -> ((s, d) => PipelinesExt.urlTemplateMining(s, d)),
     "q268_robots_fetch_policy" -> ((s, d) => PipelinesExt.robotsFetchPolicy(s, d)),
+    "q269_crawl_traps" -> ((s, d) => PipelinesExt.crawlTrapDetection(s, d)),
+    "q270_hreflang_reciprocity" -> ((s, d) => PipelinesExt.hreflangReciprocity(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
