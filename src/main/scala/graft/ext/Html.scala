@@ -107,13 +107,17 @@ object Html {
     * entity-decoded — JSON-LD script bodies are raw data, not HTML
     * text (the HTML5 script-element parsing model), so decoding would
     * corrupt legitimate `&amp;` sequences inside string values.
-    * Parsing stays [[parseJsonLdEntity]]'s job.
+    * Parsing stays [[parseJsonLdEntity]]'s job. The `type` attribute
+    * NAME is anchored on a preceding delimiter so `data-type=` or a
+    * `src="x?type=…"` query string never counts as the attribute (a
+    * false hit would both return a non-JSON body and shadow a real
+    * ld+json block later in the page).
     */
   def extractJsonLd(html: Column): Column = {
     // regex trim, not trim(): Spark's trim strips only the space
     // character, and script bodies are routinely newline-padded
     val raw = regexp_replace(regexp_extract(html,
-      "(?is)<script\\b[^>]*type\\s*=\\s*[\"']?application/ld\\+json[\"']?" +
+      "(?is)<script\\b[^>]*?[\\s\"']type\\s*=\\s*[\"']?application/ld\\+json[\"']?" +
         "[^>]*>(.*?)</script\\s*>", 1), "(?s)^\\s+|\\s+$", "")
     when(raw === "", lit(null).cast("string")).otherwise(raw)
   }
@@ -125,8 +129,10 @@ object Html {
     * offers.price, offers.priceCurrency). JSON-LD blocks legally hold
     * either ONE entity object or an ARRAY of them — an array parses
     * to its FIRST entity (the page's primary entity by publisher
-    * convention); malformed JSON parses to NULL (quarantine, never a
-    * crash — the [[Http]] decode discipline). Unknown fields flow
+    * convention); an EMPTY array (`[]`, which real sites emit) and
+    * malformed JSON both parse to NULL (quarantine, never a crash —
+    * the [[Http]] decode discipline; an unguarded `element_at(_, 1)`
+    * would throw on `[]` under ANSI mode). Unknown fields flow
     * past the schema untouched; absent fields are NULL.
     */
   def parseJsonLdEntity(raw: Column): Column = {
@@ -142,8 +148,11 @@ object Html {
         StructField("priceCurrency", StringType))))))
     // regex probe, not ltrim().startsWith: Spark's ltrim strips only
     // spaces and a newline-led array would misroute to the object arm
+    val arr = from_json(raw, ArrayType(entity))
     when(regexp_extract(raw, "(?s)^\\s*\\[", 0) =!= "",
-      element_at(from_json(raw, ArrayType(entity)), 1))
+      // size >= 1 guard: element_at on an empty array throws under
+      // ANSI; size(NULL) is NULL so malformed arrays quarantine too
+      when(size(arr) >= 1, element_at(arr, 1)))
       .otherwise(from_json(raw, entity))
   }
 
@@ -479,16 +488,22 @@ object Html {
     * ([[extractMetaContent]]'s contract, right for description/og)
     * would silently drop restrictions here. NULL when no tag matches;
     * feed the result to [[robotsDirectives]], whose comma-list parse
-    * makes the join order-irrelevant.
+    * makes the join order-irrelevant. The content VALUE matches all
+    * three HTML quoting forms (the href/rel extractors' discipline) —
+    * an unquoted `<meta name=robots content=noindex>` is a declared
+    * indexing restriction and dropping it is the exact failure this
+    * function exists to prevent.
     */
   def extractRobotsMetaAll(html: Column): Column = {
+    val v = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
     def values(pat: String): Column =
-      transform(regexp_extract_all(html, lit(pat), lit(1)),
-        v => substring(v, lit(2), length(v) - 2))
+      transform(regexp_extract_all(html, lit(pat), lit(1)), c =>
+        when(c.startsWith("\"") || c.startsWith("'"),
+          substring(c, lit(2), length(c) - 2)).otherwise(c))
     val keyed = values(
-      "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*?content\\s*=\\s*(\"[^\"]*\"|'[^']*')")
+      "(?is)<meta\\b[^>]*name\\s*=\\s*[\"']?robots[\"']?[^>]*?content\\s*=\\s*" + v)
     val contentFirst = values(
-      "(?is)<meta\\b[^>]*content\\s*=\\s*(\"[^\"]*\"|'[^']*')[^>]*name\\s*=\\s*[\"']?robots[\"']?")
+      "(?is)<meta\\b[^>]*content\\s*=\\s*" + v + "[^>]*name\\s*=\\s*[\"']?robots[\"']?")
     val all = concat(keyed, contentFirst)
     when(size(all) === 0, lit(null).cast("string"))
       .otherwise(array_join(all, ","))

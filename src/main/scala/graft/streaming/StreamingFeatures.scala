@@ -603,11 +603,18 @@ object StreamingFeatures {
     * the stored `response` and every later one — same batch or any
     * later batch — emits as a `revisit` stub pointing at it. Within a
     * micro-batch rows sort by (ts, url) so batch ≡ stream on ordered
-    * replays (the q252 oracle gates both). Per-key state is ONE
-    * (url, ts) pair per distinct payload — at archive scale that is
-    * the dedup index itself, the thing a revisit-writing crawler must
-    * keep anyway; pair with a state-store TTL in deployments that
-    * bound the dedup horizon.
+    * replays (the q252 oracle gates both; StreamingRevisitSpec pins
+    * the multi-batch ordered replay). OUT-OF-ORDER replays (an
+    * earlier-ts capture arriving in a LATER micro-batch) are
+    * Append-mode-bounded: the already-emitted response cannot be
+    * retracted, so the late row emits as a revisit against the stored
+    * original, but state rolls DOWN to the earliest (ts, url) so every
+    * SUBSEQUENT stub points where batch `revisitRecords` points — the
+    * divergence is confined to rows emitted before the late arrival.
+    * Per-key state is ONE (url, ts) pair per distinct payload — at
+    * archive scale that is the dedup index itself, the thing a
+    * revisit-writing crawler must keep anyway; pair with a state-store
+    * TTL in deployments that bound the dedup horizon.
     */
   def labelRevisits(captures: org.apache.spark.sql.Dataset[CaptureIn])
       : org.apache.spark.sql.Dataset[RevisitOut] = {
@@ -619,12 +626,22 @@ object StreamingFeatures {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (digest, rows, state) =>
           val sorted = rows.toSeq.sortBy(r => (r.ts, r.url))
-          val hadState = state.exists
-          val first = state.getOption.getOrElse {
+          val batchFirst = {
             val h = sorted.head
             FirstCapture(h.url, h.ts)
           }
-          if (!hadState) state.update(first)
+          val hadState = state.exists
+          val first = state.getOption.getOrElse(batchFirst)
+          // roll state DOWN to the earliest capture ever seen: a late
+          // batch carrying a smaller ts updates the anchor so future
+          // stubs match batch revisitRecords (this batch's stubs still
+          // point at the stored original — Append cannot retract)
+          val earliest =
+            if (batchFirst.ts < first.ts ||
+              (batchFirst.ts == first.ts && batchFirst.url < first.url))
+              batchFirst
+            else first
+          if (!hadState || earliest != first) state.update(earliest)
           sorted.iterator.zipWithIndex.map { case (r, idx) =>
             val isResponse = !hadState && idx == 0
             RevisitOut(r.doc_id, r.crawl, r.url, r.ts, digest,

@@ -182,6 +182,22 @@ class HtmlSpec extends SparkSpec {
     assert(absent.isNullAt(0))
   }
 
+  test("extractJsonLd: data-type / src-query 'type=' never counts as the attribute") {
+    import spark.implicits._
+    // a false hit on data-type would return JS and SHADOW the real
+    // ld+json block later in the page
+    val html = "<script data-type=\"application/ld+json\">var js = 1;</script>" +
+      "<script src=\"/x?type=application/ld+json\"></script>" +
+      "<script type=\"application/ld+json\">{\"@type\":\"Product\"}</script>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractJsonLd(col("h"))).as[String].head()
+    assert(got === "{\"@type\":\"Product\"}")
+    val onlyFakes = Seq("<script data-type=\"application/ld+json\">var js;" +
+      "</script>").toDF("h")
+      .select(Html.extractJsonLd(col("h"))).collect().head
+    assert(onlyFakes.isNullAt(0))
+  }
+
   test("parseJsonLdEntity: single object, entity array takes FIRST, malformed is NULL") {
     import spark.implicits._
     def fields(raw: String): (String, String, String) = {
@@ -202,6 +218,10 @@ class HtmlSpec extends SparkSpec {
     // malformed JSON quarantines to NULL fields, never throws
     assert(fields("{\"@type\":\"Article\",\"headline\":\"trunc") ===
       ((null, null, null)))
+    // EMPTY entity array ('[]', which real sites emit) quarantines to
+    // NULL — an unguarded element_at(_, 1) throws under ANSI mode
+    assert(fields("[]") === ((null, null, null)))
+    assert(fields(" \n[ ]") === ((null, null, null)))
   }
 
   test("robotsDirectives unions meta and header; 'none' means both; case-folds") {
@@ -237,6 +257,12 @@ class HtmlSpec extends SparkSpec {
     val none = Seq("<p>no meta</p>").toDF("h")
       .select(Html.extractRobotsMetaAll(col("h"))).collect().head
     assert(none.isNullAt(0))
+    // UNQUOTED content value — a declared restriction that the
+    // quoted-only patterns silently dropped; both attribute orders
+    val unq = Seq("<meta name=robots content=noindex>" +
+      "<meta content=nofollow name=robots>").toDF("h")
+      .select(Html.extractRobotsMetaAll(col("h"))).as[String].head()
+    assert(unq === "noindex,nofollow")
   }
 
   test("relHasToken matches rel TOKENS, never substrings; anchors carry rel") {
