@@ -313,6 +313,7 @@ object SparkEntry {
     "q268_robots_fetch_policy" -> ((s, d) => PipelinesExt.robotsFetchPolicy(s, d)),
     "q269_crawl_traps" -> ((s, d) => PipelinesExt.crawlTrapDetection(s, d)),
     "q270_hreflang_reciprocity" -> ((s, d) => PipelinesExt.hreflangReciprocity(s, d)),
+    "q271_entity_decode" -> ((s, d) => PipelinesExt.entityDecode(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

