@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Round-17 wave. Each query sits next to its DuckDB oracle
@@ -62,6 +62,62 @@ private[graft] trait PipelinesRound17 { this: PipelinesBase =>
       .withColumn("n_chars", length(col("text")).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Longest-match substring dedup as a hash gate
+    * ([[graft.ext.TextAnalysis.maximalDupSpans]], r16 verdict ask #2):
+    * every doc is 24 synthetic tokens — a role-dependent first region
+    * and a 12-token passage shared with its pair partner — so the
+    * gate covers every extension behavior at once (n = 4):
+    *
+    *   - the m ≫ n case: the 12-token pair passage (positions 13-24)
+    *     reports as ONE span (13, 12) with exact boundaries — nine
+    *     seed windows and eight chain links collapse, no fringe;
+    *   - the TOUCHING-but-unchained case: the role-0 host carries
+    *     `a1 a2 a3 a4 b1` where `a1..a4` is shared with role 1 and
+    *     `a2..b1` with role 2 — two ADJACENT dup windows whose
+    *     spanning 5-gram exists nowhere else, so they must report as
+    *     TWO spans (4,4) and (5,4), not merge;
+    *   - the exactly-n case: roles 1/2 report their single shared
+    *     window as a lone (5,4) span;
+    *   - role 3 shares nothing in region one — only the pair passage.
+    *
+    * Each row also carries the [[graft.ext.TextAnalysis.scrubDupSpans]]
+    * `n_removed` for its doc, proving the REWRITE excises exactly the
+    * window union (role 0: 5+12, roles 1/2: 4+12, role 3: 12) — the
+    * no-fringe-tokens check. Oracle: the span table and removal
+    * counts restated from the family arithmetic (doc counts at every
+    * driver SF are multiples of 4).
+    */
+  def maximalSpanGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val r = pmod(i, lit(4))
+    val fstr = floor(i / 4).cast("string")
+    val hstr = floor(i / 2).cast("string")
+    val istr = i.cast("string")
+    def uniq(tag: String, from: Int, to: Int): Column =
+      concat_ws(" ", (from to to).map(k =>
+        concat(lit("u"), istr, lit(s"$tag$k"))): _*)
+    def fam(toks: String*): Column =
+      concat_ws(" ", toks.map(tk => concat(lit("f"), fstr, lit(tk))): _*)
+    val region1 = when(r === 0, concat_ws(" ",
+        uniq("p", 1, 3), fam("a1", "a2", "a3", "a4", "b1"), uniq("q", 1, 4)))
+      .when(r === 1, concat_ws(" ",
+        uniq("p", 1, 4), fam("a1", "a2", "a3", "a4"), uniq("q", 1, 4)))
+      .when(r === 2, concat_ws(" ",
+        uniq("p", 1, 4), fam("a2", "a3", "a4", "b1"), uniq("q", 1, 4)))
+      .otherwise(uniq("p", 1, 12))
+    val region2 = concat_ws(" ", (1 to 12).map(k =>
+      concat(lit("l"), hstr, lit(s"t$k"))): _*)
+    val docs = t(s, d, "documents")
+      .select(col("doc_id"), concat_ws(" ", region1, region2).as("text"))
+    val spans = graft.ext.TextAnalysis.maximalDupSpans(docs, "doc_id", "text", 4)
+    val scrub = graft.ext.TextAnalysis.scrubDupSpans(docs, "doc_id", "text", 4)
+      .select(col("doc_id"), col("n_removed"))
+    spans.join(scrub, Seq("doc_id"))
+      .select(col("doc_id"), col("start_pos"), col("span_len"),
+        col("span_text"), col("n_removed"))
+      .orderBy("doc_id", "start_pos")
+  }
 }
 
 private[graft] trait OraclesRound17 { this: OracleSnippets =>
@@ -92,5 +148,37 @@ private[graft] trait OraclesRound17 { this: OracleSnippets =>
         |    ' paragraph body text long enough to keep.' AS main_text,
         |  'T ' || s AS title,
         |  CAST(length(text) AS BIGINT) AS n_chars
-        |FROM o ORDER BY doc_id""".stripMargin)
+        |FROM o ORDER BY doc_id""".stripMargin,
+
+    // q272: the span table restated from the family arithmetic — the
+    // host's two touching-but-unchained windows stay split, the pair
+    // passage is one exact-boundary span, and n_removed is the window
+    // union (5+12 / 4+12 / 12) per role.
+    "q272_maximal_spans" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS r,
+        |    CAST(doc_id // 4 AS VARCHAR) AS f,
+        |    CAST(doc_id // 2 AS VARCHAR) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, 4 AS start_pos, 4 AS span_len,
+        |    'f'||f||'a1 f'||f||'a2 f'||f||'a3 f'||f||'a4' AS span_text
+        |  FROM b WHERE r = 0
+        |  UNION ALL
+        |  SELECT doc_id, 5, 4,
+        |    CASE WHEN r = 1
+        |      THEN 'f'||f||'a1 f'||f||'a2 f'||f||'a3 f'||f||'a4'
+        |      ELSE 'f'||f||'a2 f'||f||'a3 f'||f||'a4 f'||f||'b1' END
+        |  FROM b WHERE r IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT doc_id, 13, 12,
+        |    'l'||h||'t1 l'||h||'t2 l'||h||'t3 l'||h||'t4 l'||h||'t5 l'
+        |      ||h||'t6 l'||h||'t7 l'||h||'t8 l'||h||'t9 l'||h||'t10 l'
+        |      ||h||'t11 l'||h||'t12'
+        |  FROM b)
+        |SELECT s.doc_id, CAST(start_pos AS BIGINT) AS start_pos,
+        |  CAST(span_len AS BIGINT) AS span_len, span_text,
+        |  CAST(CASE WHEN r = 0 THEN 17 WHEN r = 3 THEN 12
+        |            ELSE 16 END AS BIGINT) AS n_removed
+        |FROM s JOIN b USING (doc_id)
+        |ORDER BY doc_id, start_pos""".stripMargin)
 }

@@ -127,8 +127,20 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
         graft.functions.SketchAggregates.kmvDistinct(col("l_orderkey"), 256)
           .as("_est"))
       .select(col("l_returnflag"), col("exact_orders"),
-        (abs(col("_est") - col("exact_orders"))
-          <= col("exact_orders") * (3.0 / math.sqrt(254.0))).as("kmv_ok"))
+        // SF-parametric band (r16 verdict ask #4): EXACT below k (the
+        // sketch holds every distinct hash), else a 4σ band with the
+        // finite-population correction √(1−k/n) on the Beta-order-
+        // statistic rsd 1/√(k−2). 4σ, not 3σ: this is a DETERMINISTIC
+        // instance check across (group × SF) cells — a 3σ band
+        // manufactures one red cell per ~370 by construction (sf0.001
+        // group N sat at 3.1σ); a real estimator bug shows as orders
+        // of magnitude, never one σ.
+        when(col("exact_orders") < 256,
+          col("_est") === col("exact_orders"))
+          .otherwise(abs(col("_est") - col("exact_orders"))
+            <= col("exact_orders") * lit(4.0 / math.sqrt(254.0)) *
+               sqrt(lit(1.0) - lit(256.0) / col("exact_orders")))
+          .as("kmv_ok"))
       .orderBy("l_returnflag")
 
   // Z-order curve values over integer ranks (no float scaling — the

@@ -314,6 +314,7 @@ object SparkEntry {
     "q269_crawl_traps" -> ((s, d) => PipelinesExt.crawlTrapDetection(s, d)),
     "q270_hreflang_reciprocity" -> ((s, d) => PipelinesExt.hreflangReciprocity(s, d)),
     "q271_entity_decode" -> ((s, d) => PipelinesExt.entityDecode(s, d)),
+    "q272_maximal_spans" -> ((s, d) => PipelinesExt.maximalSpanGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -70,10 +70,22 @@ object Similarity {
     * 32-bit hyperplane signature; exact cosine re-ranks candidates.
     * Recall < 1 by construction; the bucket join replaces the cross
     * product, which is the point at scale.
+    *
+    * Guaranteed-k (`fillStarved`, default on): a query whose bands
+    * yield fewer than k candidates — the small-corpus / unlucky-bucket
+    * starvation that returned 4-of-5 rows at tiny SFs (r16) — gets a
+    * brute-force fill restricted to the STARVED query sliver, so the
+    * operator returns min(k, |corpus|−1) neighbors at every corpus
+    * size. Cost shape: one aggregate over the narrow candidate pairs
+    * plus a corpus scan joined against the broadcast starved set; at
+    * scale starvation is empty and AQE's empty-build-side propagation
+    * replaces the fill join with an empty relation, skipping that scan
+    * entirely. Disable only where <k results are acceptable and the
+    * candidate aggregate is measurable.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       idCol: String = "vec_id", embCol: String = "embedding",
-      bits: Int = 32, bands: Int = 4): DataFrame = {
+      bits: Int = 32, bands: Int = 4, fillStarved: Boolean = true): DataFrame = {
     val rowsPerBand = bits / bands
     val mask = (1L << rowsPerBand) - 1
     def withSig(df: DataFrame, id: String, emb: String) =
@@ -96,7 +108,19 @@ object Similarity {
       .distinct()
     val cEmb = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
     val qEmb = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
-    val scored = cands
+    val allCands = if (!fillStarved) cands else {
+      val candCounts = cands.groupBy(col("query_id"))
+        .agg(count(lit(1)).as("_nc"))
+      val starved = queries.select(col(idCol).as("query_id"))
+        .join(candCounts, Seq("query_id"), "left_outer")
+        .filter(coalesce(col("_nc"), lit(0L)) < k)
+        .select(col("query_id"))
+      val fill = cEmb.select(col("neighbor_id"))
+        .join(broadcast(starved), col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"))
+      cands.unionByName(fill).distinct()
+    }
+    val scored = allCands
       .join(broadcast(qEmb), Seq("query_id"))
       .join(cEmb, Seq("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

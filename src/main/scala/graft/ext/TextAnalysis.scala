@@ -596,6 +596,77 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     rebuildWithoutSpans(toks, hits, idCol, n)
   }
 
+  /** Maximal repeated spans — the longest-match extension of
+    * [[dupSpanCounts]] (r16 verdict ask #2): instead of reporting
+    * fixed-n windows, report each maximal cross-doc-duplicated
+    * passage as ONE span with exact token boundaries, the
+    * suffix-array output shape of Lee et al. 2022 reconstructed from
+    * n-gram seeds. (The [[scrubDupSpans]] REWRITE is already exact —
+    * a token sits in a duplicated substring of length ≥ n iff some
+    * duplicated n-window covers it, so the union-of-windows excises a
+    * 50-token shared passage in full; what fixed-n cannot produce is
+    * the span-level REPORT this emits.)
+    *
+    * Semantics: seed = positions whose n-gram is duplicated across
+    * ≥ 2 docs; two adjacent seeds p, p+1 CHAIN iff the (n+1)-gram at
+    * p is itself cross-doc duplicated (adjacent-span agreement — some
+    * other doc carries both windows adjacently, so the longer overlap
+    * is really shared); maximal runs of chained seeds report as
+    * (start_pos, span_len, span_text). A genuinely shared m-token
+    * passage (m ≥ n) has every inner (n+1)-gram shared too, so it
+    * reports as exactly ONE span of length m with no fringe tokens;
+    * two dup windows that merely TOUCH (each shared with a different
+    * partner, the 5-gram across them unique) split into two spans —
+    * the false merge a bare union-of-positions run-length pass would
+    * make. Chains are per-length-(n+1) evidence: a passage whose
+    * every (n+1) window is shared with SOME doc but which no single
+    * doc carries whole still reports as one span (the transitive
+    * over-extension inherent to gram seeding; exact per-pair maximal
+    * matches need the full suffix array this stands in for).
+    *
+    * Plan: the [[dupSpanCounts]] shape twice (n and n+1 gram-key
+    * shuffles, no all-pairs join), one left equi-join of seeds to
+    * chain evidence on (doc, pos), then a PER-DOC window (lag + run
+    * counter) — partitioned by doc id, so the sort is doc-local and
+    * bounded by doc length, never corpus-global. Span text rebuilds
+    * by slicing the cached token frame.
+    */
+  def maximalDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"maximalDupSpans: need n >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = cachedTokenFrame(docs, idCol, textCol)
+    def dupPositions(m: Int): DataFrame = {
+      val occ = positionalSpans(toks, idCol, m)
+      val spanDocs = occ.select(col("_g"), col(idCol)).distinct()
+        .groupBy(col("_g")).agg(count(lit(1)).as("_nd"))
+      occ.join(spanDocs.filter(col("_nd") >= 2).select(col("_g")), Seq("_g"))
+        .select(col(idCol), col("_pos"))
+    }
+    val seeds = dupPositions(n)
+    // chain evidence: (n+1)-gram at pos duplicated ⇒ seeds at pos and
+    // pos+1 belong to one shared passage
+    val links = dupPositions(n + 1).withColumn("_hasLink", lit(true))
+    val s2 = seeds.join(links, Seq(idCol, "_pos"), "left_outer")
+      .withColumn("_hasLink", coalesce(col("_hasLink"), lit(false)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val prevPos = lag(col("_pos"), 1).over(w)
+    val prevLink = lag(col("_hasLink"), 1).over(w)
+    val newRun = when(prevPos.isNull || col("_pos") =!= prevPos + 1 ||
+      !coalesce(prevLink, lit(false)), 1).otherwise(0)
+    val runs = s2.withColumn("_nr", newRun)
+      .withColumn("_run", sum(col("_nr")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(idCol), col("_run"))
+      .agg(min(col("_pos")).as("start_pos"),
+        (max(col("_pos")) - min(col("_pos")) + n).as("span_len"))
+    runs.join(toks, Seq(idCol))
+      .select(col(idCol), col("start_pos").cast("long").as("start_pos"),
+        col("span_len").cast("long").as("span_len"),
+        concat_ws(" ",
+          slice(col("_t"), col("start_pos"), col("span_len"))).as("span_text"))
+  }
+
   /** Benchmark-decontamination REWRITE — the surgical counterpart of
     * the [[contaminationHits]]/[[contaminationHitsNgram]] PROFILES:
     * remove every token covered by an n-token span that appears

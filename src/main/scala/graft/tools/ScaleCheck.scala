@@ -311,6 +311,25 @@ object ScaleCheck {
           sum(col("n_removed")).as("n_removed"),
           sum(length(col("text"))).as("out_chars"))
     }
+    // Tier — maximal-span extension join (r17, q272): the longest-
+    // match substring profile prices TWO gram-key agg+join rounds (n
+    // and n+1 fingerprints over the whole corpus) plus the per-doc
+    // lag/run window; a 12-token passage planted per doc PAIR keeps
+    // dup volume corpus-linear (n_spans ≈ n_docs), so wall tracks the
+    // double fingerprint pass, which is the scale question.
+    def tierMaximalSpans(s: Int): DataFrame = {
+      val h = floor(col("doc_id") / 2).cast("string")
+      val shared = concat_ws(" ", (1 to 12).map(k =>
+        concat(lit("gsp"), h, lit(s"t$k"))): _*)
+      val withPassage = docs(s).select(col("doc_id"),
+        concat_ws(" ", col("text"), shared).as("text"))
+      // the operator caches its token frame internally; release the
+      // cache after the cell so scales don't accumulate executors' RAM
+      ScaleCheckState.pendingRelease = () => spark.catalog.clearCache()
+      graft.ext.TextAnalysis.maximalDupSpans(withPassage, "doc_id", "text", 8)
+        .agg(count(lit(1)).as("n_spans"),
+          sum(col("span_len")).as("tok_covered"))
+    }
     // Tier C — GlobalIndex dense rank over a total order (the q108
     // curriculum shape): range exchange + per-partition numbering.
     def tierGlobalIndex(s: Int): DataFrame = {
@@ -567,7 +586,8 @@ object ScaleCheck {
       ("crawl_extract_stack", tierCrawlStack),
       ("warc_write_read", tierWarcRoundTrip),
       ("url_blocklist_match", tierBlocklist),
-      ("line_dedup_global", tierLineDedup))
+      ("line_dedup_global", tierLineDedup),
+      ("maximal_span_extension", tierMaximalSpans))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers
@@ -821,6 +841,13 @@ object ScaleCheck {
     md.append("  domains matching; the list side is list-bound, not corpus-bound,\n")
     md.append("  so it stays broadcast-eligible at every corpus scale and wall\n")
     md.append("  should track the corpus linearly;\n")
+    md.append("  maximal_span_extension (r17, q272) — TextAnalysis.maximalDupSpans\n")
+    md.append("  prices the adjacent-span-agreement extension: TWO full gram\n")
+    md.append("  fingerprint rounds (n=8 and n=9) each with a gram-key agg + an\n")
+    md.append("  equi-join back, then a PER-DOC lag/run window (doc-local sort,\n")
+    md.append("  bounded by doc length, never corpus-global); a 12-token passage\n")
+    md.append("  per doc pair keeps dup volume corpus-linear so wall tracks the\n")
+    md.append("  double fingerprint pass;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")

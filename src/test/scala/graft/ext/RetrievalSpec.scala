@@ -329,6 +329,55 @@ class RetrievalSpec extends SparkSpec {
       TextAnalysis.scrubDupSpans(docs, "doc_id", "text", n = 3, minDocs = 1))
   }
 
+  test("maximalDupSpans: whole passage one span, touching windows split, transitive chains merge") {
+    // d0/d1 share the 5-token passage "a b c d e" (m > n): ONE span
+    // with exact boundaries, no fringe; d2 shares nothing
+    val docs = Seq(
+      (0L, "u1 u2 a b c d e u3"),
+      (1L, "v1 a b c d e v2 v3"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.maximalDupSpans(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got === Seq(
+      (0L, 3L, 5L, "a b c d e"),
+      (1L, 2L, 5L, "a b c d e")))
+    // touching-but-unchained: d3 has "a b c" (shared with d4) directly
+    // followed by "x y z" (shared with d5); the 4-gram "b c x y"? no —
+    // adjacent WINDOWS are at pos 1 and 2 only when overlapping. Here
+    // d3's dup windows (pos 1 and pos 4) are non-adjacent → two spans.
+    // d6/d7 pin the truly-adjacent split: d6 = "a b c d" where
+    // "a b c" is shared with d7a and "b c d" with d7b, but no doc has
+    // "a b c d" whole → the spanning 4-gram is unique → TWO spans.
+    val touch = Seq(
+      (6L, "q1 a b c d q2"),
+      (7L, "r1 r2 a b c r3"),
+      (8L, "s1 b c d s2 s3"))
+      .toDF("doc_id", "text")
+    val got2 = TextAnalysis.maximalDupSpans(touch, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got2 === Seq(
+      (6L, 2L, 3L, "a b c"),
+      (6L, 3L, 3L, "b c d"),
+      (7L, 3L, 3L, "a b c"),
+      (8L, 2L, 3L, "b c d")))
+    // transitive over-extension (documented): every 4-gram of d9's
+    // "a b c d e" is shared with SOME doc (d10 has "a b c d", d11 has
+    // "b c d e") though no single doc carries it whole → one span
+    val chain = Seq(
+      (9L, "a b c d e"),
+      (10L, "p1 a b c d"),
+      (11L, "b c d e p2"))
+      .toDF("doc_id", "text")
+    val got3 = TextAnalysis.maximalDupSpans(chain, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got3.filter(_._1 == 9L) === Seq((9L, 1L, 5L, "a b c d e")))
+    // docs shorter than n / empty emit nothing
+    val short = Seq((12L, "a b"), (13L, "")).toDF("doc_id", "text")
+    assert(TextAnalysis.maximalDupSpans(short, "doc_id", "text", n = 3)
+      .count() === 0L)
+  }
+
   test("scrubContaminated: probe spans removed, clean docs untouched") {
     val docs = Seq(
       (0L, "a b c d e"),       // contains probe span "a b c" → loses 1-3
