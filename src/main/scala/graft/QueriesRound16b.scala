@@ -159,7 +159,9 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
     val i = col("doc_id")
     val g = pmod(i, lit(5)).cast("string")
     val j = pmod(i, lit(4))
-    val host = when(j === 0, concat(lit("ads.track"), g, lit(".com")))
+    // j=0 hosts arrive in FQDN form (trailing root-dot) — the operator
+    // must normalize and still match track{g}.com (r17, ADVICE close)
+    val host = when(j === 0, concat(lit("ads.track"), g, lit(".com.")))
       .when(j === 1, concat(lit("good"), g, lit(".org")))
       .when(j === 2, concat(lit("sub.bad"), g, lit(".net")))
       .otherwise(concat(lit("notbad"), g, lit(".net")))
@@ -1082,7 +1084,7 @@ private[graft] trait OraclesRound16b { this: OracleSnippets =>
         |    CAST(doc_id % 5 AS VARCHAR) AS gs
         |  FROM documents)
         |SELECT doc_id,
-        |  CASE WHEN j = 0 THEN 'ads.track' || gs || '.com'
+        |  CASE WHEN j = 0 THEN 'ads.track' || gs || '.com.'
         |       WHEN j = 1 THEN 'good' || gs || '.org'
         |       WHEN j = 2 THEN 'sub.bad' || gs || '.net'
         |       ELSE 'notbad' || gs || '.net' END AS host,

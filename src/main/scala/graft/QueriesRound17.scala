@@ -118,6 +118,122 @@ private[graft] trait PipelinesRound17 { this: PipelinesBase =>
         col("span_text"), col("n_removed"))
       .orderBy("doc_id", "start_pos")
   }
+
+  /** The q252 two-snapshot capture stream (shared fixture arithmetic:
+    * mirror docs and every-third docs are STABLE, the rest change per
+    * crawl), reduced to per-URL change flags by digest comparison.
+    */
+  private def changeHistory(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val url = concat(lit("http://rv"), pmod(i, lit(10)).cast("string"),
+      lit(".com/p/"), i.cast("string"))
+    val payload = when(pmod(i, lit(10)) === 1, lit("mirror page body"))
+      .when(pmod(i, lit(3)) === 0,
+        concat(lit("stable content "), i.cast("string")))
+      .otherwise(concat(lit("content "), i.cast("string"),
+        lit(" crawl "), col("crawl").cast("string")))
+    t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(2))).as("crawl"))
+      .select(col("doc_id"), url.as("url"), payload.as("payload"))
+      .groupBy(col("doc_id"), col("url"))
+      .agg((countDistinct(md5(col("payload"))) > 1).as("changed"))
+  }
+
+  /** Per-URL recrawl ordering as a hash gate
+    * ([[graft.ext.Recrawl.rankByChangeRate]], r16 verdict ask #5):
+    * the q258 host rollup ranks ~10 hosts through one window — fine
+    * there, a ceiling at per-URL cardinality. This gate ranks EVERY
+    * URL of the q252 change history by (change_ppm desc, url) through
+    * the GlobalIndex gear (range exchange + per-partition offset
+    * numbering — no single-partition window anywhere in the plan),
+    * and the oracle pins the identical total order with DuckDB's
+    * row_number, which at gate scale is exactly the rank (unique sort
+    * pairs).
+    */
+  def recrawlOrderGate(s: SparkSession, d: String): DataFrame = {
+    val perUrl = changeHistory(s, d)
+      .select(col("url"), col("changed").cast("long").as("changed"))
+      .withColumn("change_ppm", (col("changed") * 1000000L).cast("long"))
+    // release handle dropped deliberately: the gate materializes once
+    // (the q108 curriculumSchedule precedent)
+    val (ranked, _) = graft.ext.Recrawl.rankByChangeRate(
+      perUrl, "url", "change_ppm")
+    ranked.select(col("url"), col("changed"), col("change_ppm"),
+        col("recrawl_rank"))
+      .orderBy("url")
+  }
+
+  /** Conditional-GET decision composition as a hash gate
+    * ([[graft.ext.Recrawl.conditionalFetchDecision]], r16 verdict ask
+    * #6): the three crawl-stack signals joined per frontier URL —
+    *
+    *   - CHANGE HISTORY: the q252/q258 digest comparison (mirror and
+    *     every-third docs stable, the rest volatile);
+    *   - STORED VALIDATORS: each URL's latest stored response parsed
+    *     with the production [[graft.ext.Http.headerOf]] — branches
+    *     carry an ETag, a Last-Modified, both, or neither;
+    *   - FETCH POLICY: one robots.txt RESPONSE per host (status 200
+    *     with a /p disallow, 200 with an irrelevant disallow, 404,
+    *     500, 301, 200 empty) through the q268
+    *     [[graft.ext.RobotsTxt.accessPolicy]] path, broadcast-joined
+    *     back on host.
+    *
+    * Decision table pinned: robots-denied AND robots-unresolved (the
+    * 301 host — fail-closed) → skip; volatile → fetch; stable with a
+    * validator → conditional; stable without → fetch. Oracle restates
+    * the table from the branch arithmetic.
+    */
+  def conditionalFetchGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val v = pmod(i, lit(4))
+    val lm = "Last-Modified: Tue, 02 Jan 2024 03:04:05 GMT"
+    val stored = when(v === 0, concat(
+        lit("HTTP/1.1 200 OK\r\nETag: \"e"), istr, lit("\"\r\n\r\nbody")))
+      .when(v === 1, lit(s"HTTP/1.1 200 OK\r\n$lm\r\n\r\nbody"))
+      .when(v === 2, concat(lit("HTTP/1.1 200 OK\r\nETag: W/\"w"), istr,
+        lit(s"\"\r\n$lm\r\n\r\nbody")))
+      .otherwise(lit("HTTP/1.1 200 OK\r\n\r\nbody"))
+    val withVal = changeHistory(s, d)
+      .withColumn("host", graft.ext.Urls.hostOf(col("url")))
+      .withColumn("_stored", stored)
+      .withColumn("has_validators",
+        graft.ext.Http.headerOf(col("_stored"), "ETag") =!= "" ||
+          graft.ext.Http.headerOf(col("_stored"), "Last-Modified") =!= "")
+    val hg = col("_hg")
+    val robotsPayload = when(hg === 0,
+        lit("HTTP/1.1 200 OK\r\n\r\nUser-agent: *\nDisallow: /p\n"))
+      .when(hg === 2, lit("HTTP/1.1 404 Not Found\r\n\r\ngone"))
+      .when(hg === 3, lit("HTTP/1.1 500 Internal Server Error\r\n\r\noops"))
+      .when(hg === 4,
+        lit("HTTP/1.1 301 Moved Permanently\r\nLocation: /r.txt\r\n\r\n"))
+      .otherwise(
+        lit("HTTP/1.1 200 OK\r\n\r\nUser-agent: *\nDisallow: /private\n"))
+    val robots = t(s, d, "documents")
+      .select(pmod(col("doc_id"), lit(10)).as("_hg")).distinct()
+      .select(concat(lit("rv"), hg.cast("string"), lit(".com")).as("host"),
+        robotsPayload.as("_rp"))
+      .withColumn("_status", graft.ext.Http.statusOf(col("_rp")))
+      .withColumn("_policy", graft.ext.RobotsTxt.accessPolicy(col("_status")))
+      .withColumn("_rules", graft.ext.RobotsTxt.parsePolicy(
+        coalesce(graft.ext.Http.bodyOf(col("_rp")), lit("")))
+        .getField("rules"))
+    val joined = withVal.join(broadcast(robots), Seq("host"))
+    val path = concat(lit("/p/"), col("doc_id").cast("string"))
+    val denied = exists(col("_rules"), r =>
+      r.getField("allow") === 0 && path.startsWith(r.getField("prefix")))
+    val allowed = when(col("_policy") === "apply_rules", !denied)
+      .when(col("_policy") === "allow_all", lit(true))
+      .when(col("_policy") === "disallow_all", lit(false))
+      .otherwise(lit(null).cast("boolean"))
+    joined
+      .withColumn("allowed", allowed)
+      .withColumn("decision", graft.ext.Recrawl.conditionalFetchDecision(
+        col("allowed"), col("changed"), col("has_validators")))
+      .select(col("doc_id"), col("url"), col("changed"),
+        col("has_validators"), col("allowed"), col("decision"))
+      .orderBy("doc_id")
+  }
 }
 
 private[graft] trait OraclesRound17 { this: OracleSnippets =>
@@ -180,5 +296,42 @@ private[graft] trait OraclesRound17 { this: OracleSnippets =>
         |  CAST(CASE WHEN r = 0 THEN 17 WHEN r = 3 THEN 12
         |            ELSE 16 END AS BIGINT) AS n_removed
         |FROM s JOIN b USING (doc_id)
-        |ORDER BY doc_id, start_pos""".stripMargin)
+        |ORDER BY doc_id, start_pos""".stripMargin,
+
+    // q273: the per-URL total order restated — unique (ppm, url) sort
+    // pairs make row_number ≡ rank ≡ the GlobalIndex offset + 1.
+    "q273_recrawl_order" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    doc_id % 10 AS g, doc_id % 3 AS m3
+        |  FROM documents),
+        |u AS (SELECT
+        |    'http://rv' || CAST(g AS VARCHAR) || '.com/p/' || s AS url,
+        |    CAST(CASE WHEN g = 1 OR m3 = 0 THEN 0 ELSE 1 END AS BIGINT)
+        |      AS changed
+        |  FROM b)
+        |SELECT url, changed,
+        |  CAST(changed * 1000000 AS BIGINT) AS change_ppm,
+        |  CAST(row_number() OVER (ORDER BY changed * 1000000 DESC, url)
+        |    AS BIGINT) AS recrawl_rank
+        |FROM u ORDER BY url""".stripMargin,
+
+    // q274: the decision table restated from the branch arithmetic —
+    // robots-denied/unresolved hosts skip, volatile URLs fetch, stable
+    // URLs revalidate iff a validator was stored.
+    "q274_conditional_fetch" ->
+      """WITH b AS (SELECT doc_id, doc_id % 10 AS g, doc_id % 4 AS v,
+        |    doc_id % 3 AS m3, CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'http://rv' || CAST(g AS VARCHAR) || '.com/p/' || s AS url,
+        |  NOT (g = 1 OR m3 = 0) AS changed,
+        |  v IN (0, 1, 2) AS has_validators,
+        |  CASE WHEN g IN (0, 3) THEN FALSE
+        |       WHEN g = 4 THEN NULL
+        |       ELSE TRUE END AS allowed,
+        |  CASE WHEN g IN (0, 3, 4) THEN 'skip'
+        |       WHEN NOT (g = 1 OR m3 = 0) THEN 'fetch'
+        |       WHEN v IN (0, 1, 2) THEN 'conditional'
+        |       ELSE 'fetch' END AS decision
+        |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -315,6 +315,8 @@ object SparkEntry {
     "q270_hreflang_reciprocity" -> ((s, d) => PipelinesExt.hreflangReciprocity(s, d)),
     "q271_entity_decode" -> ((s, d) => PipelinesExt.entityDecode(s, d)),
     "q272_maximal_spans" -> ((s, d) => PipelinesExt.maximalSpanGate(s, d)),
+    "q273_recrawl_order" -> ((s, d) => PipelinesExt.recrawlOrderGate(s, d)),
+    "q274_conditional_fetch" -> ((s, d) => PipelinesExt.conditionalFetchGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

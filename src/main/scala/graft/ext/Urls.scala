@@ -694,7 +694,13 @@ object Urls {
     * the list is small (UT1's ~4M-domain adult list is ~60 MB — still
     * broadcastable on real executors) and shuffles cleanly when it is
     * not. Blocklist domains are matched case-insensitively; hosts are
-    * expected pre-canonicalized ([[hostOf]] lowercases).
+    * expected pre-canonicalized ([[hostOf]] lowercases). BOTH sides
+    * additionally normalize the FQDN form in here (r16 ADVICE): a
+    * trailing root-dot (`example.com.` is the same authority as
+    * `example.com`) strips, empty labels from doubled dots collapse,
+    * and empty suffix keys never join — an operator contract, not a
+    * caller convention, so no ingest path can leak a trailing-dot
+    * host past a blocklist entry.
     *
     * Emits every input row + `categories` (sorted distinct matched
     * categories, empty when clean) + `blocked`.
@@ -704,13 +710,17 @@ object Urls {
       maxLabels: Int = 8): DataFrame = {
     require(maxLabels >= 1,
       s"Urls.matchBlocklist: maxLabels must be positive, got $maxLabels")
-    val labels = split(lower(col(hostCol)), "\\.")
-    val suffixes = transform(
+    // FQDN normalization on BOTH sides: strip leading/trailing dots,
+    // collapse empty labels ("example.com." and "a..com" fold)
+    def normFqdn(c: Column): Column =
+      regexp_replace(regexp_replace(lower(c), "\\.{2,}", "."), "^\\.|\\.$", "")
+    val labels = split(normFqdn(col(hostCol)), "\\.")
+    val suffixes = filter(transform(
       sequence(lit(1), least(size(labels), lit(maxLabels))),
-      n => concat_ws(".", slice(labels, -n, n)))
+      n => concat_ws(".", slice(labels, -n, n))), s => s =!= "")
     val chain = df.select(col(idCol),
         explode(suffixes).as("_sfx"))
-    val bl = blocklist.select(lower(col(domainCol)).as("_sfx"),
+    val bl = blocklist.select(normFqdn(col(domainCol)).as("_sfx"),
       col(categoryCol).as("_cat"))
     val hits = chain.join(bl, Seq("_sfx"))
       .groupBy(col(idCol))

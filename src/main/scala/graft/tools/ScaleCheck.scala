@@ -330,6 +330,22 @@ object ScaleCheck {
         .agg(count(lit(1)).as("n_spans"),
           sum(col("span_len")).as("tok_covered"))
     }
+    // Tier — per-URL recrawl ranking (r17, q273): the Recrawl gear
+    // (GlobalIndex range exchange + per-partition offset numbering)
+    // ranking EVERY url by (change_ppm desc, url); the single-stage
+    // Window control at the top scale (below, untimed loop) prices
+    // exactly what the gear avoids — one unsplittable sort partition.
+    def recrawlRankFrame(s: Int): DataFrame = docs(s).select(
+      concat(lit("http://h"), pmod(col("doc_id"), lit(1000L)).cast("string"),
+        lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+      pmod(xxhash64(col("doc_id")), lit(1000000L)).as("change_ppm"))
+    def tierRecrawlRank(s: Int): DataFrame = {
+      val (ranked, release) = graft.ext.Recrawl.rankByChangeRate(
+        recrawlRankFrame(s), "url", "change_ppm")
+      // timeOnce drains this AFTER the noop materialization
+      ScaleCheckState.pendingRelease = release
+      ranked
+    }
     // Tier C — GlobalIndex dense rank over a total order (the q108
     // curriculum shape): range exchange + per-partition numbering.
     def tierGlobalIndex(s: Int): DataFrame = {
@@ -587,7 +603,8 @@ object ScaleCheck {
       ("warc_write_read", tierWarcRoundTrip),
       ("url_blocklist_match", tierBlocklist),
       ("line_dedup_global", tierLineDedup),
-      ("maximal_span_extension", tierMaximalSpans))
+      ("maximal_span_extension", tierMaximalSpans),
+      ("per_url_recrawl_rank", tierRecrawlRank))
     val tiers = tierFilter match {
       case Some(f) => allTiers.filter(t => f(t._1))
       case None    => allTiers
@@ -665,6 +682,22 @@ object ScaleCheck {
       }
       skewNotes += f"$tname ${s}× control with skew-join disabled: $wOff%.2f s (min-of-2)"
       println(f"[scale] $tname ${s}%2dx skewjoin_off_wall=$wOff%8.2fs (control)")
+    }
+    // single-stage window control for the per-URL recrawl rank (r17):
+    // the q258 host-rollup shape applied at URL cardinality — ONE
+    // unsplittable sort partition for the whole frame; the delta vs
+    // the gear cell is what "scales past a single-stage window" buys
+    if (tiers.exists(_._1 == "per_url_recrawl_rank") && activeScales.nonEmpty) {
+      val s = activeScales.max
+      def windowed(): DataFrame = {
+        import org.apache.spark.sql.expressions.Window
+        recrawlRankFrame(s).withColumn("recrawl_rank",
+          row_number().over(
+            Window.orderBy(col("change_ppm").desc, col("url"))).cast("long"))
+      }
+      val (wWin, _, _) = bestOf2(windowed())
+      skewNotes += f"per_url_recrawl_rank ${s}× single-stage window control: $wWin%.2f s (min-of-2, one sort partition)"
+      println(f"[scale] per_url_recrawl_rank ${s}%2dx window_control_wall=$wWin%8.2fs (control)")
     }
     val ivfRecalls: Seq[(Int, Double)] =
       if (tiers.exists(_._1 == "ivf_serving_probe"))
@@ -848,6 +881,11 @@ object ScaleCheck {
     md.append("  bounded by doc length, never corpus-global); a 12-token passage\n")
     md.append("  per doc pair keeps dup volume corpus-linear so wall tracks the\n")
     md.append("  double fingerprint pass;\n")
+    md.append("  per_url_recrawl_rank (r17, q273) — Recrawl.rankByChangeRate:\n")
+    md.append("  the GlobalIndex gear (range exchange + per-partition offset\n")
+    md.append("  numbering) ranking every URL by (change_ppm desc, url); the\n")
+    md.append("  skew-notes line prices the single-stage Window control at the\n")
+    md.append("  top scale — the one-sort-partition shape the gear replaces;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")

@@ -502,4 +502,21 @@ class UrlsSpec extends SparkSpec {
       .filter(col("blocked")).count()
     assert(tld === 0L)
   }
+
+  test("matchBlocklist: FQDN trailing dot and empty labels normalize on BOTH sides") {
+    import spark.implicits._
+    // trailing root-dot hosts, doubled dots, and a dot-only host must
+    // fold before the suffix chain; list entries normalize identically
+    val urls = Seq((1L, "sub.bad.net."), (2L, "bad..net"), (3L, "."),
+      (4L, "clean.org."), (5L, "good.net")).toDF("id", "host")
+    val bl = Seq(("bad.net.", "adult"), ("good.net", "x"))
+      .toDF("domain", "category")
+    val got = Urls.matchBlocklist(urls, "id", "host", bl, "domain", "category")
+      .select(col("id"), concat_ws(",", col("categories")), col("blocked"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    assert(got === Set(
+      (1L, "adult", true), (2L, "adult", true), (3L, "", false),
+      (4L, "", false), (5L, "x", true)))
+  }
 }
