@@ -81,6 +81,20 @@ object Bench {
     // exactly the pass-1 work profile (caches start empty, then warm in
     // the same sorted order).
     Pipelines.invalidateStoreCaches()
+    // Drop every plan-keyed cache entry too (r16 verdict ask #3 — the
+    // q26 variance family): operators that cache an intermediate
+    // "deliberately never unpersisted" (minhash signatures, gram sets,
+    // token frames) register in the CacheManager keyed by CANONICAL
+    // PLAN, so pass 2's identical plan silently reuses pass 1's blocks
+    // — a WARM profile (0.5 MB shuffle) vs pass 1's COLD one (3.9 MB).
+    // min-of-2 then reports whichever profile won the wall race that
+    // day, and same-code sweeps flip bytes/CPU between the two. With
+    // the cache cleared, both passes do identical cold work and the
+    // reported columns are a pure function of the plan again.
+    // (localCheckpoints — the ANN ground-truth memos — are RDD blocks,
+    // not CacheManager entries; invalidateStoreCaches drops their
+    // driver-side handles so pass 2 rebuilds them like pass 1 did.)
+    spark.catalog.clearCache()
     val results = firstPass.map { case (name, fn, s1) =>
       val s2 = time(fn)
       // an OK sample always beats a failed one — when pass 1 threw and

@@ -859,7 +859,12 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
     * host's URLs AND carrying a variable segment is the
     * infinite-URL-space signature (calendars, session ids, faceted
     * search). Rule pinned here: share ≥ 60% of the host's URLs and
-    * the template contains `{n}`. Host branches: a pure calendar trap
+    * the template contains `{n}`. `trap` means BUDGET-CAP this
+    * template, not drop it: legitimate deep pagination (/page/{n}
+    * dominating a blog host) flags too, and capping it is exactly
+    * what crawl schedulers do with unbounded-looking URL spaces
+    * (r17 fresh-eyes — intended, not a false positive).
+    * Host branches: a pure calendar trap
     * (share 1.0, flagged), a half-parameterized host (share 0.5 —
     * UNDER the bar, not flagged: parameterized ≠ trap), a static-only
     * host (share 1.0 but no `{n}` — never flagged), and a mixed host.

@@ -144,8 +144,13 @@ object Html {
     * convention); an EMPTY array (`[]`, which real sites emit) and
     * malformed JSON both parse to NULL (quarantine, never a crash —
     * the [[Http]] decode discipline; an unguarded `element_at(_, 1)`
-    * would throw on `[]` under ANSI mode). Unknown fields flow
-    * past the schema untouched; absent fields are NULL.
+    * would throw on `[]` under ANSI mode). An ARRAY-VALUED `@type`
+    * (`"@type": ["Article", "NewsArticle"]` — legal and common) folds
+    * to its FIRST type name, the same publisher-primary convention:
+    * the permissive parser would otherwise stringify it to raw JSON
+    * (`["Article",…]`) that no `@type = 'Article'` consumer matches
+    * (r17 fresh-eyes). Unknown fields flow past the schema untouched;
+    * absent fields are NULL.
     */
   def parseJsonLdEntity(raw: Column): Column = {
     import org.apache.spark.sql.types._
@@ -161,11 +166,24 @@ object Html {
     // regex probe, not ltrim().startsWith: Spark's ltrim strips only
     // spaces and a newline-led array would misroute to the object arm
     val arr = from_json(raw, ArrayType(entity))
-    when(regexp_extract(raw, "(?s)^\\s*\\[", 0) =!= "",
+    val parsed = when(regexp_extract(raw, "(?s)^\\s*\\[", 0) =!= "",
       // size >= 1 guard: element_at on an empty array throws under
       // ANSI; size(NULL) is NULL so malformed arrays quarantine too
       when(size(arr) >= 1, element_at(arr, 1)))
       .otherwise(from_json(raw, entity))
+    // array-valued @type arrived as its raw JSON text — re-parse and
+    // take the first name (empty/malformed arrays quarantine to NULL)
+    val t = parsed.getField("@type")
+    val tArr = from_json(t, ArrayType(StringType))
+    val tNorm = when(regexp_extract(coalesce(t, lit("")), "^\\s*\\[", 0) =!= "",
+      when(size(tArr) >= 1, element_at(tArr, 1))).otherwise(t)
+    when(parsed.isNotNull, struct(
+      tNorm.as("@type"),
+      parsed.getField("headline").as("headline"),
+      parsed.getField("datePublished").as("datePublished"),
+      parsed.getField("author").as("author"),
+      parsed.getField("name").as("name"),
+      parsed.getField("offers").as("offers")))
   }
 
   /** `href` of the first `<link rel="canonical">`, NULL when absent —

@@ -222,6 +222,14 @@ class HtmlSpec extends SparkSpec {
     // NULL — an unguarded element_at(_, 1) throws under ANSI mode
     assert(fields("[]") === ((null, null, null)))
     assert(fields(" \n[ ]") === ((null, null, null)))
+    // ARRAY-VALUED @type folds to its first name (publisher-primary),
+    // never the raw JSON text the permissive parser would emit
+    assert(fields("{\"@type\":[\"Article\",\"NewsArticle\"],\"headline\":\"H\"}") ===
+      (("Article", "H", null)))
+    assert(fields("[{\"@type\":[\"Product\"],\"offers\":{\"price\":\"7\"}}]") ===
+      (("Product", null, "7")))
+    // an EMPTY @type array quarantines the field, keeps the rest
+    assert(fields("{\"@type\":[],\"headline\":\"K\"}") === ((null, "K", null)))
   }
 
   test("robotsDirectives unions meta and header; 'none' means both; case-folds") {
