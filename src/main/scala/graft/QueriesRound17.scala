@@ -234,6 +234,73 @@ private[graft] trait PipelinesRound17 { this: PipelinesBase =>
         col("has_validators"), col("allowed"), col("decision"))
       .orderBy("doc_id")
   }
+
+  /** HTML → Markdown conversion as a hash gate
+    * ([[graft.ext.Html.toMarkdown]]): per doc a real page whose
+    * structure must SURVIVE extraction — a heading at a
+    * doc_id-rotated level (#/##/###), a paragraph with bold/italic
+    * inline marks, a list whose second item carries emphasis INSIDE
+    * an anchor (the transform-order hazard: `[**link**](/p/i)`, never
+    * `**[link]**`), inline code, an `&nbsp;` that must decode then
+    * collapse, a title whose text flows through as plain prose, and a
+    * script body with markup inside a string (dies whole). Oracle:
+    * the expected Markdown restated with E'' newline escapes.
+    */
+  def htmlMarkdownGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(5)).cast("string")
+    val lvl = (pmod(i, lit(3)) + 1).cast("int")
+    val lvlStr = lvl.cast("string")
+    val html = concat(
+      lit("<html><head><title>T</title>" +
+        "<script>var x = '<b>no</b>';</script></head><body><h"), lvlStr,
+      lit(">Title &amp; g"), g, lit("</h"), lvlStr,
+      lit("><p>Intro <b>bold"), g,
+      lit("</b> and <em>soft</em> text.</p><ul><li>first "), istr,
+      lit("</li><li>see <a href=\"/p/"), istr,
+      lit("\"><strong>link</strong></a></li></ul><p>code <code>x="), istr,
+      lit("</code>&nbsp;done</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Diacritic-fold match keys as a hash gate
+    * ([[graft.ext.TextAnalysis.foldDiacritics]]): five name variants
+    * per family — precomposed `Café`, DECOMPOSED `Cafe`+U+0301 (the
+    * same rendered text, different bytes), all-caps precomposed,
+    * plain ASCII, and a `Mañana straße` control — where the first
+    * four must collapse onto ONE lower(fold(…)) match key (group of
+    * 4) and the control keeps its own key with ß SURVIVING the fold
+    * (folding ≠ transliteration). Oracle restates folded strings and
+    * group sizes from the branch arithmetic (doc counts at every
+    * driver SF divide by 5).
+    */
+  def diacriticFoldGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(5))
+    val fstr = floor(i / 5).cast("string")
+    val name = when(k === 0, concat(lit("Café Con Leche "), fstr))
+      .when(k === 1, concat(lit("Café con leche "), fstr))
+      .when(k === 2, concat(lit("CAFÉ CON LECHE "), fstr))
+      .when(k === 3, concat(lit("cafe con leche "), fstr))
+      .otherwise(concat(lit("Mañana straße "), fstr))
+    val folded = t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextAnalysis.foldDiacritics(name).as("folded"))
+      .withColumn("match_key", lower(col("folded")))
+    val groups = folded.groupBy(col("match_key"))
+      .agg(count(lit(1)).as("group_n"))
+    folded.join(groups, Seq("match_key"))
+      .select(col("doc_id"), col("folded"), col("match_key"),
+        col("group_n"))
+      .orderBy("doc_id")
+  }
 }
 
 private[graft] trait OraclesRound17 { this: OracleSnippets =>
@@ -333,5 +400,41 @@ private[graft] trait OraclesRound17 { this: OracleSnippets =>
         |       WHEN NOT (g = 1 OR m3 = 0) THEN 'fetch'
         |       WHEN v IN (0, 1, 2) THEN 'conditional'
         |       ELSE 'fetch' END AS decision
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q275: the expected Markdown restated with E'' escapes — title
+    // prose first, the #-run by level, inline marks inside the link.
+    "q275_html_markdown" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 3 + 1 AS INTEGER) AS lvl,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g, CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'T' || E'\n\n' || repeat('#', lvl) || ' Title & g' || g
+        |      || E'\n\n' || 'Intro **bold' || g || '** and *soft* text.'
+        |      || E'\n\n' || '- first ' || s || E'\n'
+        |      || '- see [**link**](/p/' || s || ')' || E'\n\n'
+        |      || 'code `x=' || s || '` done' AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q276: folded strings and group sizes restated — branches 0-3
+    // share one lower() key (group of 4), the control keeps its own
+    // key with ß surviving.
+    "q276_diacritic_fold" ->
+      """WITH b AS (SELECT doc_id, doc_id % 5 AS k,
+        |    CAST(doc_id // 5 AS VARCHAR) AS f
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN k = 0 THEN 'Cafe Con Leche ' || f
+        |       WHEN k = 1 THEN 'Cafe con leche ' || f
+        |       WHEN k = 2 THEN 'CAFE CON LECHE ' || f
+        |       WHEN k = 3 THEN 'cafe con leche ' || f
+        |       ELSE 'Manana straße ' || f END AS folded,
+        |  CASE WHEN k = 4 THEN 'manana straße ' || f
+        |       ELSE 'cafe con leche ' || f END AS match_key,
+        |  CAST(CASE WHEN k = 4 THEN 1 ELSE 4 END AS BIGINT) AS group_n
         |FROM b ORDER BY doc_id""".stripMargin)
 }

@@ -317,6 +317,8 @@ object SparkEntry {
     "q272_maximal_spans" -> ((s, d) => PipelinesExt.maximalSpanGate(s, d)),
     "q273_recrawl_order" -> ((s, d) => PipelinesExt.recrawlOrderGate(s, d)),
     "q274_conditional_fetch" -> ((s, d) => PipelinesExt.conditionalFetchGate(s, d)),
+    "q275_html_markdown" -> ((s, d) => PipelinesExt.htmlMarkdownGate(s, d)),
+    "q276_diacritic_fold" -> ((s, d) => PipelinesExt.diacriticFoldGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

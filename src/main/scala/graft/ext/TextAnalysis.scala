@@ -21,6 +21,22 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Diacritic folding for MATCH KEYS (r17): NFD-decompose (the
+    * [[graft.functions.VectorExpressions.UnicodeNormalize]] codegen
+    * gear), then strip combining marks — `café`/`cafe`,
+    * `Müller`/`Muller` collapse to one key. This is lossy by design
+    * and must stay OUT of stored text ([[fingerprint]] and q254's
+    * NFC fold preserve content); use it only where near-miss
+    * diacritic variants should match: dedup keys, entity aliasing,
+    * query normalization. Base letters without decompositions (ß, æ,
+    * ø) survive — character REPLACEMENT is transliteration, a
+    * different (locale-dependent) operator this deliberately is not.
+    */
+  def foldDiacritics(text: Column): Column =
+    regexp_replace(
+      graft.functions.VectorExpressions.unicodeNormalize(text, "NFD"),
+      "\\p{M}+", "")
+
   /** BPE-ish subword count estimate: words plus intra-word splits on
     * letter/digit and case boundaries — a cheap, deterministic proxy
     * for tokenizer-token counts when no vocabulary is available.

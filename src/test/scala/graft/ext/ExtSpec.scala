@@ -13,6 +13,17 @@ class TextAnalysisSpec extends SparkSpec {
     assert(df.collect().map(_.getInt(0)).toSeq == Seq(3, 1, 0, 0, 1))
   }
 
+  test("foldDiacritics: marks strip from any source form; base letters survive") {
+    // precomposed é, decomposed e+U+0301, ü, ñ all fold; ß/æ have no
+    // decomposition and survive (folding ≠ transliteration); ASCII
+    // passes through untouched
+    val df = Seq("café", "café", "Müller", "mañana", "straße æon",
+        "plain ascii").toDF("text")
+      .select(TextAnalysis.foldDiacritics(col("text")).as("f"))
+    assert(df.collect().map(_.getString(0)).toSeq ==
+      Seq("cafe", "cafe", "Muller", "manana", "straße æon", "plain ascii"))
+  }
+
   test("fingerprint: case/whitespace-insensitive, content-sensitive") {
     val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))

@@ -345,6 +345,31 @@ class HtmlSpec extends SparkSpec {
     assert(got === Seq(("en", "/en"), ("x-default", "/p")))
   }
 
+  test("toMarkdown: headings, emphasis, links, lists; transform order pinned") {
+    import spark.implicits._
+    val html = "<html><head><title>T</title>" +
+      "<script>var x = '<b>no</b>';</script></head><body>" +
+      "<h2>Title &amp; more</h2>" +
+      "<p>Intro <b>bold</b> and <em>soft</em> text.</p>" +
+      "<ul><li>first</li><li>see <a href=\"/p\"><strong>link</strong></a></li></ul>" +
+      "<p>code <code>x=1</code>&nbsp;done</p></body></html>"
+    val got = Seq(html).toDF("h")
+      .select(Html.toMarkdown(col("h"))).as[String].head()
+    assert(got ===
+      "T\n\n## Title & more\n\nIntro **bold** and *soft* text.\n\n" +
+        "- first\n- see [**link**](/p)\n\ncode `x=1` done")
+    // inline marks INSIDE anchor text rewrite before the anchor wraps;
+    // literal &lt;b&gt; in prose decodes AFTER tag handling and stays text
+    val lit2 = Seq("<p>a &lt;b&gt; c</p>").toDF("h")
+      .select(Html.toMarkdown(col("h"))).as[String].head()
+    assert(lit2 === "a <b> c")
+    // single-quoted and unquoted hrefs; h1 and h3 levels; br
+    val more = Seq("<h1>One</h1><h3>Three</h3>line1<br>line2 " +
+      "<a href='/q'>q</a> <a href=/r>r</a>").toDF("h")
+      .select(Html.toMarkdown(col("h"))).as[String].head()
+    assert(more === "# One\n\n### Three\n\nline1\nline2 [q](/q) [r](/r)")
+  }
+
   test("extractSitemapEntries: per-url metadata, NULL absents, try_cast priority") {
     import spark.implicits._
     val xml = "<urlset><url><loc>http://a/</loc><lastmod>2024-01-01</lastmod>" +
