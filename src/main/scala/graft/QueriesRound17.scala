@@ -301,6 +301,40 @@ private[graft] trait PipelinesRound17 { this: PipelinesBase =>
         col("group_n"))
       .orderBy("doc_id")
   }
+
+  /** HTML table harvest as a hash gate
+    * ([[graft.ext.Html.extractTables]]): each doc carries a spec
+    * table — a `<th>` header row plus two data rows with
+    * doc-id-dependent cells, one cell bold-wrapped and one
+    * entity-bearing — and every third doc a SECOND single-cell table
+    * (multi-table pages are the rule, not the edge). The grid
+    * explodes to (doc, table, row) rows with `|`-joined cells; the
+    * oracle restates the cells from the generator arithmetic,
+    * including the stripped `<b>` and the decoded `&amp;`.
+    */
+  def tableExtractGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(7)).cast("string")
+    val second = when(pmod(i, lit(3)) === 0,
+      concat(lit("<table><tr><td>extra "), g, lit("</td></tr></table>")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<html><body><p>prose</p><table class=\"spec\">" +
+        "<tr><th>Part</th><th>Qty &amp; Unit</th></tr>" +
+        "<tr><td><b>widget "), g, lit("</b></td><td> "), istr,
+      lit(" kg </td></tr><tr><td>bolt</td><td>"), g,
+      lit(" mm</td></tr></table>"), second, lit("</body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), graft.ext.Html.extractTables(html).as("tables"))
+      .select(col("doc_id"), posexplode(col("tables")).as(Seq("table_idx", "rows")))
+      .select(col("doc_id"), col("table_idx").cast("long").as("table_idx"),
+        posexplode(col("rows")).as(Seq("row_idx", "cells")))
+      .select(col("doc_id"), col("table_idx"),
+        col("row_idx").cast("long").as("row_idx"),
+        concat_ws("|", col("cells")).as("cells"))
+      .orderBy("doc_id", "table_idx", "row_idx")
+  }
 }
 
 private[graft] trait OraclesRound17 { this: OracleSnippets =>
@@ -436,5 +470,25 @@ private[graft] trait OraclesRound17 { this: OracleSnippets =>
         |  CASE WHEN k = 4 THEN 'manana straße ' || f
         |       ELSE 'cafe con leche ' || f END AS match_key,
         |  CAST(CASE WHEN k = 4 THEN 1 ELSE 4 END AS BIGINT) AS group_n
-        |FROM b ORDER BY doc_id""".stripMargin)
+        |FROM b ORDER BY doc_id""".stripMargin,
+
+    // q277: the grid restated row-by-row — the header row, the two
+    // data rows (bold stripped, entity decoded, padding collapsed),
+    // and the every-third-doc second table.
+    "q277_table_extract" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS g,
+        |    CAST(doc_id AS VARCHAR) AS s, doc_id % 3 = 0 AS extra
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS table_idx, 0 AS row_idx,
+        |    'Part|Qty & Unit' AS cells FROM b
+        |  UNION ALL
+        |  SELECT doc_id, 0, 1, 'widget ' || g || '|' || s || ' kg' FROM b
+        |  UNION ALL
+        |  SELECT doc_id, 0, 2, 'bolt|' || g || ' mm' FROM b
+        |  UNION ALL
+        |  SELECT doc_id, 1, 0, 'extra ' || g FROM b WHERE extra)
+        |SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+        |  CAST(row_idx AS BIGINT) AS row_idx, cells
+        |FROM r ORDER BY doc_id, table_idx, row_idx""".stripMargin)
 }

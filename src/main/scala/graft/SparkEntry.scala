@@ -319,6 +319,7 @@ object SparkEntry {
     "q274_conditional_fetch" -> ((s, d) => PipelinesExt.conditionalFetchGate(s, d)),
     "q275_html_markdown" -> ((s, d) => PipelinesExt.htmlMarkdownGate(s, d)),
     "q276_diacritic_fold" -> ((s, d) => PipelinesExt.diacriticFoldGate(s, d)),
+    "q277_table_extract" -> ((s, d) => PipelinesExt.tableExtractGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -337,6 +337,38 @@ object Html {
     trim(re(sp, "\\n{3,}", "\n\n"), " \n")
   }
 
+  /** HTML table harvest (r17): `array<array<array<string>>>` —
+    * tables → rows → cell texts, in document order. Tables are the
+    * densest structured data on the open web after JSON-LD
+    * (statistics, specs, schedules), and both table-QA corpora and
+    * structure-aware pretraining keep them as grids, which flat
+    * [[extractText]] destroys. Cells take `<td>` AND `<th>` (a header
+    * row is data with emphasis, not markup to drop); nested inline
+    * tags strip, entities decode single-pass, whitespace collapses —
+    * the per-cell contract is exactly [[extractText]]'s. Pragmatic
+    * regex reader (this file's lineage): colspan/rowspan attributes
+    * are ignored (cells land at their SOURCE positions — honest for
+    * harvest; grid reconstruction is a downstream choice), nested
+    * tables yield their cells to the OUTER table's row (the non-greedy
+    * `</table>` stops at the inner close — documented degradation,
+    * never a crash). Three nested HOF transforms over
+    * regexp_extract_all — per-row narrow, no UDF, no shuffle.
+    */
+  def extractTables(html: Column): Column = {
+    val tables = regexp_extract_all(html,
+      lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
+    transform(tables, tb => {
+      val rows = regexp_extract_all(tb,
+        lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1))
+      transform(rows, r => {
+        val cells = regexp_extract_all(r,
+          lit("(?is)<t[dh]\\b[^>]*>(.*?)</t[dh]\\s*>"), lit(1))
+        transform(cells, c =>
+          collapseWs(decodeEntities(regexp_replace(c, "<[^>]*>", " "))))
+      })
+    })
+  }
+
   /** All `<loc>` targets of a sitemap document (sitemaps.org XML —
     * `<urlset>` page entries and `<sitemapindex>` child sitemaps
     * alike), in document order, surrounding whitespace trimmed,

@@ -370,6 +370,24 @@ class HtmlSpec extends SparkSpec {
     assert(more === "# One\n\n### Three\n\nline1\nline2 [q](/q) [r](/r)")
   }
 
+  test("extractTables: th+td cells, inline tags strip, entities decode, no-table empty") {
+    import spark.implicits._
+    val html = "<p>before</p><table class=\"x\">" +
+      "<tr><th>Name</th><th>Qty &amp; Unit</th></tr>" +
+      "<tr><td><b>widget</b></td><td> 3 kg </td></tr></table>" +
+      "<table><tr><td>solo</td></tr></table>"
+    val got = Seq(html).toDF("h")
+      .select(Html.extractTables(col("h")).as("t"))
+      .as[Seq[Seq[Seq[String]]]].head()
+    assert(got === Seq(
+      Seq(Seq("Name", "Qty & Unit"), Seq("widget", "3 kg")),
+      Seq(Seq("solo"))))
+    val none = Seq("<p>no tables</p>").toDF("h")
+      .select(Html.extractTables(col("h")).as("t"))
+      .as[Seq[Seq[Seq[String]]]].head()
+    assert(none === Seq.empty)
+  }
+
   test("extractSitemapEntries: per-url metadata, NULL absents, try_cast priority") {
     import spark.implicits._
     val xml = "<urlset><url><loc>http://a/</loc><lastmod>2024-01-01</lastmod>" +
