@@ -134,12 +134,19 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
         // instance check across (group × SF) cells — a 3σ band
         // manufactures one red cell per ~370 by construction (sf0.001
         // group N sat at 3.1σ); a real estimator bug shows as orders
-        // of magnitude, never one σ.
+        // of magnitude, never one σ. The band is FLOORED at 2 (r17
+        // ADVICE): at exactly n = k = 256 the finite-population factor
+        // is 0 while the buffer has already switched to the (k−1)/t
+        // estimator (KmvBuffer estimates once heap.size == k), so a
+        // zero-width band would deterministically fail a group × SF
+        // cell landing on the dead spot.
         when(col("exact_orders") < 256,
           col("_est") === col("exact_orders"))
           .otherwise(abs(col("_est") - col("exact_orders"))
-            <= col("exact_orders") * lit(4.0 / math.sqrt(254.0)) *
-               sqrt(lit(1.0) - lit(256.0) / col("exact_orders")))
+            <= greatest(
+              col("exact_orders") * lit(4.0 / math.sqrt(254.0)) *
+                sqrt(lit(1.0) - lit(256.0) / col("exact_orders")),
+              lit(2.0)))
           .as("kmv_ok"))
       .orderBy("l_returnflag")
 

@@ -348,9 +348,13 @@ object Html {
     * the per-cell contract is exactly [[extractText]]'s. Pragmatic
     * regex reader (this file's lineage): colspan/rowspan attributes
     * are ignored (cells land at their SOURCE positions — honest for
-    * harvest; grid reconstruction is a downstream choice), nested
-    * tables yield their cells to the OUTER table's row (the non-greedy
-    * `</table>` stops at the inner close — documented degradation,
+    * harvest; [[extractTableGrids]] is the grid-reconstruction
+    * sibling), and NESTED tables truncate the outer table: the
+    * non-greedy match from the outer `<table>` stops at the INNER
+    * `</table>`, so the outer rows BEFORE the nested table survive
+    * (with the inner table's cells folded into the row the nesting
+    * started in) while outer rows AFTER the nested table fall outside
+    * every match and are DROPPED (r17 ADVICE — documented degradation,
     * never a crash). Three nested HOF transforms over
     * regexp_extract_all — per-row narrow, no UDF, no shuffle.
     */

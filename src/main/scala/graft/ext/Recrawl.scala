@@ -58,13 +58,21 @@ object Recrawl {
     *   - stable but validator-less: `fetch` (nothing to revalidate
     *     against).
     *
+    * NULL handling is symmetric on BOTH signal inputs (r17 ADVICE):
+    * NULL `allowed` fails closed to `skip` (fetching before the policy
+    * resolves is the irrecoverable choice), and NULL `changed` — a
+    * frontier URL with NO change history, the normal left-outer-join
+    * shape for never-fetched URLs — defaults to `fetch`: revalidating
+    * a page never observed would send If-None-Match against nothing
+    * and a 304 would leave the corpus permanently empty for that URL.
+    *
     * Pure column logic — rides the frontier scan, no shuffle of its
     * own; the inputs are the outputs of the q257/q258/q268 plans.
     */
   def conditionalFetchDecision(allowed: Column, changed: Column,
       hasValidators: Column): Column =
     when(!coalesce(allowed, lit(false)), lit("skip"))
-      .when(changed, lit("fetch"))
+      .when(coalesce(changed, lit(true)), lit("fetch"))
       .when(hasValidators, lit("conditional"))
       .otherwise(lit("fetch"))
 }

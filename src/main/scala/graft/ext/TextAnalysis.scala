@@ -23,19 +23,28 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
 
   /** Diacritic folding for MATCH KEYS (r17): NFD-decompose (the
     * [[graft.functions.VectorExpressions.UnicodeNormalize]] codegen
-    * gear), then strip combining marks — `café`/`cafe`,
-    * `Müller`/`Muller` collapse to one key. This is lossy by design
-    * and must stay OUT of stored text ([[fingerprint]] and q254's
-    * NFC fold preserve content); use it only where near-miss
+    * gear), strip combining marks whose BASE letter is Latin-script,
+    * then NFC-recompose — `café`/`cafe`, `Müller`/`Muller` collapse
+    * to one key. Latin-scoped on purpose (r17 ADVICE): a bare
+    * `\p{M}+` strip deletes semantically load-bearing marks in
+    * non-Latin scripts (Devanagari/Tamil vowel signs, Hebrew niqqud,
+    * Arabic harakat are all `\p{M}` — removing them over-collapses
+    * multilingual keys far beyond diacritic variants), so the strip
+    * applies only to mark runs following a `\p{IsLatin}` base and the
+    * closing NFC recomposes whatever survived. This is lossy by
+    * design and must stay OUT of stored text ([[fingerprint]] and
+    * q254's NFC fold preserve content); use it only where near-miss
     * diacritic variants should match: dedup keys, entity aliasing,
     * query normalization. Base letters without decompositions (ß, æ,
     * ø) survive — character REPLACEMENT is transliteration, a
     * different (locale-dependent) operator this deliberately is not.
     */
   def foldDiacritics(text: Column): Column =
-    regexp_replace(
-      graft.functions.VectorExpressions.unicodeNormalize(text, "NFD"),
-      "\\p{M}+", "")
+    graft.functions.VectorExpressions.unicodeNormalize(
+      regexp_replace(
+        graft.functions.VectorExpressions.unicodeNormalize(text, "NFD"),
+        "(?<=\\p{IsLatin})\\p{M}+", ""),
+      "NFC")
 
   /** BPE-ish subword count estimate: words plus intra-word splits on
     * letter/digit and case boundaries — a cheap, deterministic proxy

@@ -24,6 +24,27 @@ class TextAnalysisSpec extends SparkSpec {
       Seq("cafe", "cafe", "Muller", "manana", "straße æon", "plain ascii"))
   }
 
+  test("foldDiacritics: non-Latin combining marks are NOT diacritic noise") {
+    // r17 ADVICE: Hebrew niqqud (bet+sheva+dagesh), Arabic harakat
+    // (beh+fatha) and Devanagari vowel signs (ka+vowel-sign-i) are
+    // \p{M} but semantically load-bearing — the Latin-scoped strip
+    // must leave them intact (NFC-recomposed), while Latin marks in
+    // the SAME string still fold.
+    val hebrew = "בְּ"      // bet + sheva + dagesh
+    val arabic = "بَ"            // beh + fatha
+    val devanagari = "कि"        // ka + vowel sign i
+    val mixed = s"café $hebrew"       // Latin folds, Hebrew survives
+    val df = Seq(hebrew, arabic, devanagari, mixed).toDF("text")
+      .select(TextAnalysis.foldDiacritics(col("text")).as("f"))
+    val out = df.collect().map(_.getString(0)).toSeq
+    val nfc = (s: String) =>
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    assert(out(0) == nfc(hebrew), s"niqqud stripped: ${out(0)}")
+    assert(out(1) == nfc(arabic), s"harakat stripped: ${out(1)}")
+    assert(out(2) == nfc(devanagari), s"vowel sign stripped: ${out(2)}")
+    assert(out(3) == nfc(s"cafe $hebrew"), s"mixed wrong: ${out(3)}")
+  }
+
   test("fingerprint: case/whitespace-insensitive, content-sensitive") {
     val df = Seq("Hello  World", "hello world", "hello worlds").toDF("text")
       .select(TextAnalysis.fingerprint(col("text")).as("fp"))
