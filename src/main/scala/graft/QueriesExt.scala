@@ -143,7 +143,7 @@ object PipelinesExt extends PipelinesBase
   with PipelinesRound10 with PipelinesRound11 with PipelinesRound11b
   with PipelinesRound11c with PipelinesRound12 with PipelinesRound13
   with PipelinesRound14 with PipelinesRound15 with PipelinesRound16
-  with PipelinesRound16b with PipelinesRound17
+  with PipelinesRound16b with PipelinesRound17 with PipelinesRound18
 
 /** Shared DuckDB SQL snippets: ONE source of truth for semantics
   * multiple gates reuse (thresholds, token/gram definitions, the
@@ -561,7 +561,7 @@ object OraclesExt extends OracleSnippets
     with OraclesRound10 with OraclesRound11 with OraclesRound11b
     with OraclesRound11c with OraclesRound12 with OraclesRound13
     with OraclesRound14 with OraclesRound15 with OraclesRound16
-    with OraclesRound16b with OraclesRound17 {
+    with OraclesRound16b with OraclesRound17 with OraclesRound18 {
   // def, not val: the q44 entry interpolates the CSV fixture path that
   // csvIngest records when it runs — Verify dumps oracle SQL only after
   // running the queries, so building the map lazily picks it up.
@@ -570,5 +570,5 @@ object OraclesExt extends OracleSnippets
       sqlTpchDeep ++ sqlBehavior ++ sqlVectorSketch ++ sqlTextHygiene ++
       sqlRetrieval ++ sqlScaleOps ++ sqlRound10 ++ sqlRound11 ++ sqlRound11b ++
       sqlRound11c ++ sqlRound12 ++ sqlRound13 ++ sqlRound14 ++ sqlRound15 ++
-      sqlRound16 ++ sqlRound16b ++ sqlRound17
+      sqlRound16 ++ sqlRound16b ++ sqlRound17 ++ sqlRound18
 }

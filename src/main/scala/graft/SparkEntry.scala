@@ -320,6 +320,12 @@ object SparkEntry {
     "q275_html_markdown" -> ((s, d) => PipelinesExt.htmlMarkdownGate(s, d)),
     "q276_diacritic_fold" -> ((s, d) => PipelinesExt.diacriticFoldGate(s, d)),
     "q277_table_extract" -> ((s, d) => PipelinesExt.tableExtractGate(s, d)),
+    "q278_markdown_struct" -> ((s, d) => PipelinesExt.markdownStructGate(s, d)),
+    "q279_table_grid" -> ((s, d) => PipelinesExt.tableGridGate(s, d)),
+    "q280_legacy_entities" -> ((s, d) => PipelinesExt.legacyEntityGate(s, d)),
+    "q281_folded_fuzzy" -> ((s, d) => PipelinesExt.foldedFuzzyGate(s, d)),
+    "q282_folded_aliases" -> ((s, d) => PipelinesExt.foldedAliasGate(s, d)),
+    "q283_span_verify" -> ((s, d) => PipelinesExt.spanVerifyGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

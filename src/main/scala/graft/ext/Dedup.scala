@@ -292,12 +292,24 @@ object Dedup {
     *
     * The exact banded `levenshtein(·,·,maxDist)` runs on candidates
     * only. Length filtering (|Δlen| ≤ maxDist) rides every join.
+    *
+    * `foldKeys` (r18, the r17 verdict composition ask): match on
+    * case-folded, diacritic-folded KEYS
+    * ([[TextAnalysis.foldDiacritics]] + lower) instead of raw
+    * strings — `José`/`José`/`jose` collapse to ONE distinct
+    * key before blocking, so diacritic variants stop splitting into
+    * spurious near-miss pairs and the emitted `name_a`/`name_b` are
+    * the folded keys (callers keeping original surfaces join back on
+    * their own folded column). Default off: raw-surface matching is
+    * the q92 contract.
     */
   def editDistancePairs(df: DataFrame, textCol: String,
-      maxDist: Int = 2, q: Int = 2): DataFrame = {
+      maxDist: Int = 2, q: Int = 2, foldKeys: Boolean = false): DataFrame = {
     require(maxDist >= 0, s"editDistancePairs: maxDist must be >= 0, got $maxDist")
     require(q >= 1, s"editDistancePairs: q must be >= 1, got $q")
-    val names = balanced(df.select(col(textCol).as("name"))
+    val key = if (foldKeys) lower(TextAnalysis.foldDiacritics(col(textCol)))
+      else col(textCol)
+    val names = balanced(df.select(key.as("name"))
       .filter(col("name").isNotNull).distinct())
       .withColumn("len", length(col("name")))
     val minSafe = (maxDist + 1) * q

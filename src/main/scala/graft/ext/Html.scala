@@ -283,26 +283,137 @@ object Html {
     array_join(transform(kept, _.getField("text")), " ")
   }
 
-  /** Structure-PRESERVING extraction: HTML → Markdown (r17) — the
-    * trafilatura/markdownify lineage step modern LLM corpora run
-    * instead of flat [[extractText]]: headings, emphasis, links and
-    * list structure carry real signal (a model trained on flattened
-    * docs loses them), and Markdown is the de-facto pretraining
-    * serialization for it. Scope (documented, pinned by HtmlSpec):
-    * `h1..h6` → `#`-runs, `p`/`br` → paragraph/line breaks, `li` →
-    * `- ` bullets (`ul`/`ol` containers drop — ordered lists
-    * degrade to bullets, a documented simplification), `b`/`strong`
-    * → `**`, `i`/`em` → `*`, `code` → backticks, `a href` →
-    * `[text](href)` in all three quoting forms; `script`/`style`
-    * die with their bodies, every other tag drops, entities decode
-    * LAST ([[decodeEntities]]' single-pass semantics), spaces and
-    * tabs collapse per line, 3+ newlines fold to one blank line.
-    * Transform ORDER matters and is fixed: emphasis/code INSIDE
+  /** Replace every match of `pat` in `c` with a PER-MATCH rendering —
+    * the gear behind structure-aware Markdown pieces whose output
+    * needs per-match computation regex replacement strings cannot
+    * express (ordered-list NUMBERING, per-line blockquote prefixes,
+    * attribute extraction from a matched tag). One alternation pass
+    * chunks the input: a full `pat` match, else the maximal run
+    * containing no `startPat` occurrence (`startPat` is the cheap
+    * first-chars detector of `pat`, e.g. `<img\b` — it may NOT
+    * capture), else one char (a `startPat` position where the full
+    * `pat` fails — an unclosed tag — passes through char by char
+    * rather than being silently dropped by the scan). A transform
+    * then renders exactly the chunks the ANCHORED full pattern
+    * accepts; everything else passes through verbatim. Case
+    * (in)sensitivity: both patterns are compiled with `(?is)` here —
+    * write them flag-free, with NAMED groups only (`(?<g>…)` /
+    * `\k<g>`), since embedding shifts numbered groups.
+    *
+    * The input column is referenced exactly ONCE — load-bearing, not
+    * style: toMarkdown CHAINS these stages, and a k-reference helper
+    * re-evaluates the whole upstream expression k times per reference
+    * (interpreted HOFs have no subexpression reuse — the q239
+    * staging lesson), turning a 6-stage chain into k^6 recomputes of
+    * the full regex pipeline per row.
+    */
+  private def replaceEach(c: Column, pat: String, startPat: String,
+      render: Column => Column): Column = {
+    val chunks = regexp_extract_all(c,
+      lit(s"(?is)((?:$pat)|(?:(?!$startPat).)+|.)"), lit(1))
+    array_join(transform(chunks, ch =>
+      when(ch.rlike(s"(?is)^(?:$pat)$$"), render(ch)).otherwise(ch)), "")
+  }
+
+  /** List-structure markers used between [[toMarkdown]]'s passes:
+    * [[MarkItem]] tags a rendered list line, each [[MarkIndent]] in
+    * front of it is one two-space indent level added when an already-
+    * rendered inner list is re-wrapped by its parent. Both expand
+    * AFTER whitespace collapse (a literal two-space indent would die
+    * in the `[ \t]+` fold).
+    */
+  private val MarkIndent = "\u0001"
+  private val MarkItem = "\u0002"
+
+  /** One innermost-list render pass for [[toMarkdown]]: every
+    * `<ul>`/`<ol>` block containing NO nested list renders to
+    * marker-tagged Markdown lines — `- ` bullets or position-aware
+    * `1. 2. 3.` numbers — and marker lines already inside an item
+    * (a previously-rendered inner list) gain one indent level.
+    */
+  private def renderInnermostLists(c: Column): Column =
+    replaceEach(c,
+      "<(?<lt>ul|ol)\\b[^>]*>(?:(?!<[uo]l\\b).)*?</\\k<lt>\\s*>",
+      "<[uo]l\\b", b => {
+      val ordered = lower(regexp_extract(b, "(?is)^<(ul|ol)", 1)) === "ol"
+      val items = regexp_extract_all(b,
+        lit("(?is)<li\\b[^>]*>(.*?)</li\\s*>"), lit(1))
+      val lines = zip_with(items, sequence(lit(1), size(items)),
+        (t, pos) => concat(lit("\n" + MarkItem),
+          when(ordered, concat(pos.cast("string"), lit(". ")))
+            .otherwise(lit("- ")),
+          // surrounding whitespace is not item content (an already-
+          // rendered inner list leaves a trailing newline that would
+          // otherwise blank-line-split the outer list)
+          regexp_replace(regexp_replace(t, "(?s)^\\s+|\\s+$", ""),
+            MarkItem, MarkIndent + MarkItem)))
+      when(size(items) === 0, lit(" "))
+        .otherwise(concat(array_join(lines, ""), lit("\n")))
+    })
+
+  /** One innermost-blockquote render pass for [[toMarkdown]]: the
+    * quoted body (whose block structure — paragraph and list lines —
+    * is already rendered) gets `> ` prefixed on every line; newline
+    * RUNS inside the quote fold to single quoted line breaks
+    * (documented simplification: paragraph breaks inside a quote
+    * become line breaks).
+    */
+  private def renderInnermostBlockquotes(c: Column): Column =
+    replaceEach(c,
+      "<blockquote\\b[^>]*>(?:(?!<blockquote\\b).)*?</blockquote\\s*>",
+      "<blockquote\\b", m => {
+      val body = regexp_extract(m,
+        "(?is)^<blockquote\\b[^>]*>(.*)</blockquote\\s*>$", 1)
+      val trimmed = regexp_replace(body, "(?s)^\\s+|\\s+$", "")
+      when(trimmed === "", lit(" "))
+        .otherwise(concat(lit("\n\n> "),
+          regexp_replace(trimmed, "\\s*\\n\\s*", "\n> "), lit("\n\n")))
+    })
+
+  /** Structure-PRESERVING extraction: HTML → Markdown (r17, structure
+    * completed r18) — the trafilatura/markdownify lineage step modern
+    * LLM corpora run instead of flat [[extractText]]: headings,
+    * emphasis, links, images, quotes and list structure carry real
+    * signal (a model trained on flattened docs loses them), and
+    * Markdown is the de-facto pretraining serialization for it.
+    * Scope (documented, pinned by HtmlSpec):
+    *
+    *   - `h1..h6` → `#`-runs; `p`/`br` → paragraph/line breaks;
+    *   - `ul` → `- ` bullets, `ol` → POSITION-AWARE `1. 2. 3.`
+    *     numbering within the list scope (r17 verdict ask #1 — the
+    *     numbers ARE the signal on docs/tutorial pages), nested
+    *     lists indent two spaces PER LEVEL (innermost-first render
+    *     passes; nesting deeper than three levels flattens into the
+    *     third — documented cap). An `<li>` outside any list
+    *     container still renders as a `- ` bullet;
+    *   - `blockquote` → `> `-prefixed lines (paragraph breaks inside
+    *     a quote fold to quoted line breaks; quotes nested deeper
+    *     than two levels flatten);
+    *   - `b`/`strong` → `**`, `i`/`em` → `*`, `code` → backticks —
+    *     same-tag NESTING flattens (`<b>a <b>c</b> d</b>` →
+    *     `**a c** d`, the r17-documented regex-matcher degradation);
+    *   - `img` → `![alt](src)` (alt optional, attributes in either
+    *     order, all three quoting forms; src-less imgs drop), BEFORE
+    *     anchors so `<a href=u><img ...></a>` renders the Markdown
+    *     badge form `[![alt](x)](u)`;
+    *   - `a href` → `[text](href)` in all three quoting forms;
+    *   - `script`/`style` die with their bodies, every other tag
+    *     drops, entities decode LAST ([[decodeEntities]]' single-pass
+    *     semantics — note this also decodes inside rendered `code`
+    *     spans: a Markdown code span shows its characters literally,
+    *     so `<code>&lt;b&gt;</code>` → `` `<b>` `` is the faithful
+    *     rendering), spaces and tabs collapse per line, 3+ newlines
+    *     fold to one blank line.
+    *
+    * Transform ORDER matters and is fixed: emphasis/code/img INSIDE
     * anchor text must rewrite before the anchor wraps it
-    * (`<a><b>x</b></a>` → `[**x**](u)`), block structure after
-    * inline marks, entity decode after all tag handling (a literal
-    * `&lt;b&gt;` in prose must never become markup). Everything is
-    * chained regexp_replace — per-row narrow, no UDF, no shuffle; at
+    * (`<a><b>x</b></a>` → `[**x**](u)`), inner lists render before
+    * the lists containing them (indent levels accumulate through the
+    * [[MarkIndent]] markers, expanded after whitespace collapse),
+    * block structure after inline marks, entity decode after all tag
+    * handling (a literal `&lt;b&gt;` in prose must never become
+    * markup). Everything is chained regexp_replace plus the
+    * [[replaceEach]] stitch — per-row narrow, no UDF, no shuffle; at
     * 100 TB the conversion rides the scan like [[extractText]].
     */
   def toMarkdown(html: Column): Column = {
@@ -313,8 +424,19 @@ object Html {
     val strong = re(noScript, "(?is)<(b|strong)\\b[^>]*>(.*?)</\\1\\s*>", "**$2**")
     val em = re(strong, "(?is)<(i|em)\\b[^>]*>(.*?)</\\1\\s*>", "*$2*")
     val code = re(em, "(?is)<code\\b[^>]*>(.*?)</code\\s*>", "`$1`")
-    // anchors: three quoting forms, innermost text already rewritten
-    val a1 = re(code,
+    // images before anchors: a linked image must render [![alt](x)](u)
+    val attr = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
+    def unq(c: Column): Column =
+      when(c.startsWith("\"") || c.startsWith("'"),
+        substring(c, lit(2), length(c) - 2)).otherwise(c)
+    val img = replaceEach(code, "<img\\b[^>]*>", "<img\\b", tag => {
+      val src = unq(regexp_extract(tag, "(?is)\\bsrc\\s*=\\s*" + attr, 1))
+      val alt = unq(regexp_extract(tag, "(?is)\\balt\\s*=\\s*" + attr, 1))
+      when(src === "", lit(" "))
+        .otherwise(concat(lit("!["), alt, lit("]("), src, lit(")")))
+    })
+    // anchors: three quoting forms, innermost content already rewritten
+    val a1 = re(img,
       "(?is)<a\\b[^>]*href\\s*=\\s*\"([^\"]*)\"[^>]*>(.*?)</a\\s*>", "[$2]($1)")
     val a2 = re(a1,
       "(?is)<a\\b[^>]*href\\s*=\\s*'([^']*)'[^>]*>(.*?)</a\\s*>", "[$2]($1)")
@@ -326,15 +448,25 @@ object Html {
       re(c, s"(?is)<h$n\\b[^>]*>(.*?)</h$n\\s*>",
         "\n\n" + ("#" * n) + " $1\n\n")
     }
-    val items = re(heads, "(?is)<li\\b[^>]*>(.*?)</li\\s*>", "\n- $1")
+    // lists innermost-first: three passes cover three nesting levels
+    // (deeper flattens into the third); then orphan <li> outside any
+    // container keep their bullets
+    val lists = (1 to 3).foldLeft(heads)((c, _) => renderInnermostLists(c))
+    val items = re(lists, "(?is)<li\\b[^>]*>(.*?)</li\\s*>", "\n" + MarkItem + "- $1")
     val paras = re(re(items, "(?is)</?p\\b[^>]*>", "\n\n"),
       "(?is)<br\\b[^>]*/?>", "\n")
-    val rest = re(paras, "<[^>]*>", " ")
+    // blockquotes after paragraph/list structure (their lines must
+    // exist to be prefixed); two innermost passes = two quote levels
+    val quoted = (1 to 2).foldLeft(paras)((c, _) => renderInnermostBlockquotes(c))
+    val rest = re(quoted, "<[^>]*>", " ")
     val decoded = decodeEntities(rest)
     // per-line space collapse, then vertical fold: trailing/leading
-    // spaces die, 3+ newlines → one blank line
+    // spaces die, 3+ newlines → one blank line; list markers expand
+    // LAST (a literal indent would not survive the space collapse)
     val sp = re(re(decoded, "[ \\t\\u00A0]+", " "), " ?\\n ?", "\n")
-    trim(re(sp, "\\n{3,}", "\n\n"), " \n")
+    val folded = re(sp, "\\n{3,}", "\n\n")
+    val expanded = re(re(folded, MarkIndent, "  "), MarkItem, "")
+    trim(expanded, " \n")
   }
 
   /** HTML table harvest (r17): `array<array<array<string>>>` —
@@ -370,6 +502,122 @@ object Html {
         transform(cells, c =>
           collapseWs(decodeEntities(regexp_replace(c, "<[^>]*>", " "))))
       })
+    })
+  }
+
+  /** Table GRID reconstruction (r18) — `array<struct<grid:
+    * array<array<string>>, header: array<boolean>>>`: one rectangular
+    * cell grid per table, the shape table-QA corpora and structure-
+    * aware pretraining need where [[extractTables]]' source-position
+    * harvest is honest but ragged. Implements the HTML table layout
+    * algorithm's span handling, simplified:
+    *
+    *   - `colspan=k` duplicates the cell's text into k consecutive
+    *     columns (clamped to 1..64 — junk pages ship colspan=9999;
+    *     HTML5 dropped colspan=0, so 0 clamps to 1);
+    *   - `rowspan=m` re-occupies the same column for the next m−1
+    *     rows (cells in later source rows shift PAST occupied
+    *     columns, exactly the browser's slot-filling rule);
+    *     `rowspan=0` is the HTML "to the end of the table" form;
+    *   - ragged rows pad with empty strings to the table's maximum
+    *     width; `header` marks rows whose cells are ALL `<th>`.
+    *
+    * Per-cell text follows [[extractTables]]' contract (inline tags
+    * strip, entities decode, whitespace collapses). Same documented
+    * nested-table degradation as [[extractTables]] (the non-greedy
+    * outer match stops at the inner `</table>`; outer rows after a
+    * nested table drop). Everything is array HOFs — the row walk is
+    * one `aggregate` carrying (grid-so-far, pending-rowspans) — so
+    * the reconstruction stays a per-row narrow projection: no UDF,
+    * no shuffle, rides the scan at any corpus size.
+    */
+  def extractTableGrids(html: Column): Column = {
+    val tables = regexp_extract_all(html,
+      lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
+    transform(tables, tb => {
+      val rowBodies = regexp_extract_all(tb,
+        lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1))
+      // per source row: colspan-expanded cells (text + remaining
+      // rowspan) and the all-th header flag
+      val rows = transform(rowBodies, r => {
+        val elems = regexp_extract_all(r,
+          lit("(?is)<t[dh]\\b[^>]*>.*?</t[dh]\\s*>"), lit(0))
+        val cells = transform(elems, e => {
+          val text = collapseWs(decodeEntities(
+            regexp_replace(e, "<[^>]*>", " ")))
+          val csRaw = regexp_extract(e,
+            "(?is)^<t[dh]\\b[^>]*?\\bcolspan\\s*=\\s*[\"']?(\\d{1,4})", 1)
+          val rsRaw = regexp_extract(e,
+            "(?is)^<t[dh]\\b[^>]*?\\browspan\\s*=\\s*[\"']?(\\d{1,4})", 1)
+          val cs = least(greatest(coalesce(
+            csRaw.try_cast(org.apache.spark.sql.types.IntegerType), lit(1)),
+            lit(1)), lit(64))
+          val rsParsed = coalesce(
+            rsRaw.try_cast(org.apache.spark.sql.types.IntegerType), lit(1))
+          // rowspan=0 = "to end of table" (HTML5); 1<<20 outlives any
+          // real table and never overflows the per-row decrement
+          val rs = when(rsParsed === 0, lit(1 << 20))
+            .otherwise(least(greatest(rsParsed, lit(1)), lit(1 << 20)))
+          val th = lower(substring(e, lit(2), lit(2))) === "th"
+          struct(text.as("t"), cs.as("cs"), rs.as("rs"), th.as("th"))
+        })
+        val expanded = flatten(transform(cells, c =>
+          transform(sequence(lit(1), c.getField("cs")),
+            _ => struct(c.getField("t").as("t"), c.getField("rs").as("rs")))))
+        struct(expanded.as("cells"),
+          (size(cells) > 0 && forall(cells, _.getField("th"))).as("th"))
+      })
+      // the row walk: pending rowspans (remaining count + text per
+      // column) thread through an aggregate accumulator
+      val zero = struct(
+        array().cast("array<array<string>>").as("out"),
+        array().cast("array<boolean>").as("hdr"),
+        array().cast("array<int>").as("pn"),
+        array().cast("array<string>").as("pt"))
+      val walked = aggregate(rows, zero, (acc, row) => {
+        val src = row.getField("cells")
+        val pn = acc.getField("pn")
+        val pt = acc.getField("pt")
+        val pLen = size(pn)
+        val occ = transform(pn, p => when(p > 0, 1).otherwise(0))
+        val occTotal = aggregate(occ, lit(0), (a, x) => a + x)
+        val width = greatest(pLen, occTotal + size(src))
+        val slots = when(width > 0, sequence(lit(0), width - 1))
+          .otherwise(array().cast("array<int>"))
+        val placed = transform(slots, j => {
+          val pj = coalesce(when(j < pLen, element_at(pn, j + 1)), lit(0))
+          val ptj = coalesce(when(j < pLen, element_at(pt, j + 1)), lit(""))
+          // source cells fill the free slots left-to-right: this
+          // slot's source index = j − (occupied pending slots before j)
+          val occBefore = aggregate(slice(occ, lit(1), least(j, pLen)),
+            lit(0), (a, x) => a + x)
+          val si = j - occBefore
+          val srcCell = when(si < size(src), element_at(src, si + 1))
+          when(pj > 0,
+            struct(ptj.as("t"), (pj - 1).as("n"), ptj.as("p")))
+            .when(srcCell.isNotNull, struct(
+              srcCell.getField("t").as("t"),
+              (srcCell.getField("rs") - 1).as("n"),
+              srcCell.getField("t").as("p")))
+            .otherwise(struct(lit("").as("t"), lit(0).as("n"),
+              lit("").as("p")))
+        })
+        struct(
+          concat(acc.getField("out"),
+            array(transform(placed, _.getField("t")))).as("out"),
+          concat(acc.getField("hdr"), array(row.getField("th"))).as("hdr"),
+          transform(placed, _.getField("n")).as("pn"),
+          transform(placed, _.getField("p")).as("pt"))
+      })
+      // rectangularize: pad every row to the table's max width
+      val out = walked.getField("out")
+      val maxW = aggregate(out, lit(0), (m, r) => greatest(m, size(r)))
+      struct(
+        transform(out, r =>
+          when(size(r) < maxW,
+            concat(r, array_repeat(lit(""), maxW - size(r)))).otherwise(r))
+          .as("grid"),
+        walked.getField("hdr").as("header"))
     })
   }
 

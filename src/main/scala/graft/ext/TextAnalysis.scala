@@ -692,6 +692,58 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
           slice(col("_t"), col("start_pos"), col("span_len"))).as("span_text"))
   }
 
+  /** Bounded per-span VERIFICATION of [[maximalDupSpans]] output
+    * (r18, the r17 verdict measurement ask): gram seeding is
+    * transitive — a passage whose every (n+1)-window is shared with
+    * SOME doc, while no single doc carries the passage whole, still
+    * reports as ONE span (scaladoc above; the exact answer needs the
+    * suffix array the seeds stand in for). This checks the claim the
+    * span REPORT implies — "some other document contains this passage
+    * verbatim" — for a deterministic sample of `sampleK` spans
+    * (longest first: over-extension risk grows with chain length),
+    * and emits each sampled span + `witnessed`.
+    *
+    * Check: a witnessing doc must contain the span's first n-gram at
+    * some position p AND its tokens [p, p+span_len) must equal the
+    * span text — token-exact containment at a concrete position, so
+    * no false positives and O(occurrences of one gram) work per span,
+    * never a suffix array. Plan: TakeOrdered for the sample, one
+    * corpus positional-gram scan BROADCAST-joined against the ≤
+    * sampleK sampled grams (the corpus never shuffles), candidate
+    * slices checked on the cached token frame. MEASURED rates
+    * (TextAnalysisSpec): 0 over-extended on the q272 gate family
+    * (every reported span there is genuinely pair-shared) and 1/3 on
+    * the adversarial every-window-shared-no-whole-witness fixture the
+    * spec pins — the documented degradation, now quantified.
+    */
+  def verifyDupSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, spans: DataFrame, sampleK: Int = 1000): DataFrame = {
+    require(n >= 1, s"verifyDupSpans: need n >= 1, got $n")
+    require(sampleK >= 1, s"verifyDupSpans: need sampleK >= 1, got $sampleK")
+    val toks = cachedTokenFrame(docs, idCol, textCol)
+    val sample = spans
+      .orderBy(desc("span_len"), col(idCol), col("start_pos"))
+      .limit(sampleK)
+      .withColumn("_g", unhex(md5(concat_ws(" ",
+        slice(split(col("span_text"), " "), 1, n)))))
+    val probe = sample.select(col(idCol).as("_sid"),
+      col("start_pos").as("_spos"), col("span_len").as("_slen"),
+      col("span_text").as("_stext"), col("_g"))
+    val witnessed = positionalSpans(toks, idCol, n)
+      .join(broadcast(probe), Seq("_g"))
+      .filter(col(idCol) =!= col("_sid"))
+      .join(toks, Seq(idCol))
+      .filter(concat_ws(" ",
+        slice(col("_t"), col("_pos"), col("_slen"))) === col("_stext"))
+      .select(col("_sid").as(idCol), col("_spos").as("start_pos"))
+      .distinct()
+      .withColumn("_w", lit(true))
+    sample.drop("_g")
+      .join(witnessed, Seq(idCol, "start_pos"), "left_outer")
+      .withColumn("witnessed", coalesce(col("_w"), lit(false)))
+      .drop("_w")
+  }
+
   /** Benchmark-decontamination REWRITE — the surgical counterpart of
     * the [[contaminationHits]]/[[contaminationHitsNgram]] PROFILES:
     * remove every token covered by an n-token span that appears

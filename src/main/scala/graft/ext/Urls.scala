@@ -660,23 +660,37 @@ object Urls {
     * measured O(log n) fold) over the union of alias edge frames +
     * one membership join + one window count — no pairwise join
     * anywhere.
+    *
+    * `foldKeys` (r18, the r17 verdict composition ask): node identity
+    * becomes the case-folded, diacritic-folded key
+    * ([[TextAnalysis.foldDiacritics]] + lower) of each endpoint, so
+    * `/José`, its decomposed-byte twin and `/jose` are ONE node and
+    * alias edges declared against ANY variant connect them — without
+    * it a canonical vote written with different bytes than the fetch
+    * URL silently misses. Original `urlCol` values stay in the
+    * output; `cluster_rep` is the component-minimum FOLDED key.
+    * Default off: byte-exact identity is the q255 contract
+    * (pre-canonicalized URLs).
     */
   def aliasClusters(pages: DataFrame, urlCol: String,
-      aliasCols: Seq[String]): DataFrame = {
+      aliasCols: Seq[String], foldKeys: Boolean = false): DataFrame = {
     require(aliasCols.nonEmpty, "Urls.aliasClusters: need at least one alias column")
-    val internal = Seq("component", "cluster_rep", "cluster_size")
+    val internal = Seq("component", "cluster_rep", "cluster_size", "_graft_key")
     val clash = pages.columns.filter(internal.contains)
     require(clash.isEmpty, s"Urls.aliasClusters: input already has " +
       s"column(s) ${clash.mkString(", ")} — rename them first")
+    def key(c: Column): Column =
+      if (foldKeys) lower(TextAnalysis.foldDiacritics(c)) else c
     val edges = aliasCols.map(a =>
-        pages.filter(col(a).isNotNull && col(a) =!= col(urlCol))
-          .select(col(urlCol).as("src"), col(a).as("dst")))
+        pages.filter(col(a).isNotNull && key(col(a)) =!= key(col(urlCol)))
+          .select(key(col(urlCol)).as("src"), key(col(a)).as("dst")))
       .reduce(_ unionByName _)
     val comps = graft.ext.Components.connectedComponents(edges)
-      .withColumnRenamed("node", urlCol)
-    val labeled = pages.join(comps, Seq(urlCol), "left_outer")
-      .withColumn("cluster_rep", coalesce(col("component"), col(urlCol)))
-      .drop("component")
+      .withColumnRenamed("node", "_graft_key")
+    val labeled = pages.withColumn("_graft_key", key(col(urlCol)))
+      .join(comps, Seq("_graft_key"), "left_outer")
+      .withColumn("cluster_rep", coalesce(col("component"), col("_graft_key")))
+      .drop("component", "_graft_key")
     labeled.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy(col("cluster_rep"))))
   }

@@ -27,12 +27,20 @@ import org.apache.spark.unsafe.types.UTF8String
   *     TEXT `&lt;` and `&amp;amp;` is the text `&amp;` — the same
   *     observable results the old decode-`&amp;`-last regex ordering
   *     produced (HtmlSpec pins both).
-  *   - The terminating `;` is REQUIRED, for named and numeric forms
-  *     alike. WHATWG additionally decodes a legacy no-semicolon
-  *     subset; skipping that is the pragmatic-extractor strictness
-  *     choice: an unterminated reference degrades to literal text,
-  *     never to a wrong decode (`AT&T;` stays verbatim, `a=1&b=2`
-  *     URLs in prose pass untouched).
+  *   - The terminating `;` is REQUIRED for numeric forms and for the
+  *     general named set. The WHATWG LEGACY subset (the ~100 HTML4
+  *     Latin-1/markup names: `&copy`, `&nbsp`, `&amp`, `&lt`, … and
+  *     their historic uppercase forms `&AMP`/`&COPY`/`&GT`/`&LT`/
+  *     `&QUOT`/`&REG`) additionally decodes WITHOUT the semicolon
+  *     (r17 verdict ask #3 — real CMS output emits them), but ONLY
+  *     when the reference is not followed by an ASCII alphanumeric
+  *     or `=`. That guard is the spec's attribute-context exception
+  *     applied everywhere — deliberate extractor strictness, since
+  *     extracted text is full of URL remnants: `&ampx` stays
+  *     verbatim (spec-in-text would emit `&x`), `?a=1&not=2` keeps
+  *     its parameter. The degradation rule is unchanged: an
+  *     unterminated non-legacy reference stays literal text, never a
+  *     wrong decode (`AT&T;` verbatim, `a=1&b=2` untouched).
   *   - Numeric remapping per the WHATWG character-reference rules:
   *     0x00, surrogates (0xD800-0xDFFF) and anything above 0x10FFFF
   *     decode to U+FFFD; 0x80-0x9F decode through the windows-1252
@@ -96,6 +104,10 @@ object HtmlEntities {
     */
   private val Extras: Array[(String, Int)] = Array(
     ("quot", 34), ("amp", 38), ("apos", 39), ("lt", 60), ("gt", 62),
+    // HTML5 also defines the historic uppercase forms of the six
+    // markup/legal-mark names (with and without semicolon)
+    ("QUOT", 34), ("AMP", 38), ("LT", 60), ("GT", 62),
+    ("COPY", 169), ("REG", 174),
     ("OElig", 338), ("oelig", 339), ("Scaron", 352), ("scaron", 353),
     ("Yuml", 376), ("fnof", 402), ("circ", 710), ("tilde", 732),
     ("ensp", 8194), ("emsp", 8195), ("thinsp", 8201), ("zwnj", 8204),
@@ -161,6 +173,20 @@ object HtmlEntities {
     0x90, 0x2018, 0x2019, 0x201C, 0x201D, 0x2022, 0x2013, 0x2014,
     0x02DC, 0x2122, 0x0161, 0x203A, 0x0153, 0x9D, 0x017E, 0x0178)
 
+  /** The WHATWG legacy no-semicolon subset: exactly the HTML 4.01
+    * Latin-1 block plus the markup/legal-mark names in both historic
+    * cases — the spec's named-character-reference table entries that
+    * exist without a trailing `;`. Kept as a set over [[Named]] keys
+    * so the decode VALUE always comes from the one name table.
+    */
+  private val Legacy: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](256)
+    Latin1Names.foreach(s.add)
+    Seq("amp", "AMP", "lt", "LT", "gt", "GT", "quot", "QUOT",
+      "copy", "COPY", "reg", "REG").foreach(s.add)
+    s
+  }
+
   /** Longest name is `thetasym` (8); anything longer is not a
     * reference and the scan gives up without quadratic backtrack.
     */
@@ -206,11 +232,30 @@ object HtmlEntities {
         val c = s.charAt(j)
         (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || (c >= '0' && c <= '9')
       }) j += 1
-      if (j == nameStart || j >= n || s.charAt(j) != ';') return -1
-      val rep = Named.get(s.substring(nameStart, j))
-      if (rep == null) return -1
-      sb.append(rep)
-      j + 1
+      if (j == nameStart) return -1
+      if (j < n && s.charAt(j) == ';') {
+        val rep = Named.get(s.substring(nameStart, j))
+        if (rep == null) return -1
+        sb.append(rep)
+        j + 1
+      } else {
+        // no ';' — the legacy subset decodes bare, but only when the
+        // name run is MAXIMAL (a run cut short by the length cap is
+        // mid-identifier) and not followed by an alphanumeric or '='
+        // (the attribute-context exception applied everywhere: `&ampx`
+        // and `?a=1&not=2` stay verbatim)
+        if (j < n) {
+          val c = s.charAt(j)
+          val blocked = c == '=' ||
+            (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+            (c >= '0' && c <= '9')
+          if (blocked) return -1
+        }
+        val name = s.substring(nameStart, j)
+        if (!Legacy.contains(name)) return -1
+        sb.append(Named.get(name))
+        j
+      }
     }
   }
 

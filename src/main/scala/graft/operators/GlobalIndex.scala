@@ -97,4 +97,25 @@ object GlobalIndex {
     }(enc)
     (indexed, () => { sorted.unpersist(); () })
   }
+
+  /** As [[withGlobalIndex]], with the cache lifecycle CLOSED before
+    * returning (r17 verdict watch item #2): the indexed frame is
+    * materialized once into the block store (`localCheckpoint` — on a
+    * real cluster substitute a reliable `checkpoint()` or a
+    * write/read round-trip for executor-loss safety; the lifecycle
+    * contract is identical) and the range-sort cache released
+    * immediately, so a long-lived session issuing many ranked frames
+    * never accumulates cached sorts — the failure mode the dropped
+    * release handles of one-shot callers (q108, q273) are immune to
+    * but a resident service is not. The returned frame re-reads the
+    * materialized blocks; the sorted intermediate is gone
+    * (GlobalIndexSpec pins the block-store state).
+    */
+  def withGlobalIndexMaterialized(df: DataFrame, sortCols: Seq[Column],
+      outCol: String = "idx"): DataFrame = {
+    val (indexed, release) = withGlobalIndexManaged(df, sortCols, outCol)
+    val materialized = indexed.localCheckpoint(true)
+    release()
+    materialized
+  }
 }

@@ -370,6 +370,57 @@ class HtmlSpec extends SparkSpec {
     assert(more === "# One\n\n### Three\n\nline1\nline2 [q](/q) [r](/r)")
   }
 
+  test("toMarkdown: ol numbering, nested-list indent, blockquotes, images (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // ordered lists number position-aware within the list scope; a
+    // sibling ul keeps bullets and a second ol restarts at 1
+    assert(md("<ol><li>alpha</li><li>beta</li><li>gamma</li></ol>" +
+      "<ul><li>dot</li></ul><ol><li>re</li></ol>") ===
+      "1. alpha\n2. beta\n3. gamma\n\n- dot\n\n1. re")
+    // nested lists indent two spaces per level; the inner ol numbers
+    // independently of the outer ul
+    assert(md("<ul><li>a<ol><li>a1</li><li>a2</li></ol></li><li>b</li></ul>") ===
+      "- a\n  1. a1\n  2. a2\n- b")
+    // three levels of nesting — the documented indent cap
+    assert(md("<ul><li>x<ul><li>y<ul><li>z</li></ul></li></ul></li></ul>") ===
+      "- x\n  - y\n    - z")
+    // blockquote prefixes every line; paragraph breaks inside fold to
+    // quoted line breaks; two quote levels nest
+    assert(md("<p>pre</p><blockquote><p>one</p><p>two</p></blockquote><p>post</p>") ===
+      "pre\n\n> one\n> two\n\npost")
+    assert(md("<blockquote>outer<blockquote>inner</blockquote></blockquote>") ===
+      "> outer\n> > inner")
+    // a list inside a blockquote keeps its bullets, quoted
+    assert(md("<blockquote><ul><li>q1</li><li>q2</li></ul></blockquote>") ===
+      "> - q1\n> - q2")
+    // images render ![alt](src) in any attribute order/quoting; a
+    // linked image is the badge form; src-less imgs drop
+    assert(md("<p><img src=\"/a.png\" alt=\"pic\"></p>") === "![pic](/a.png)")
+    assert(md("<p><img alt='p2' src=/b.jpg /></p>") === "![p2](/b.jpg)")
+    assert(md("<p><a href=\"/u\"><img src=\"/x.png\" alt=\"badge\"></a></p>") ===
+      "[![badge](/x.png)](/u)")
+    assert(md("<p>an <img alt=\"lost\"> image</p>") === "an image")
+    // orphan <li> outside any list container still gets a bullet
+    assert(md("<li>stray</li>") === "- stray")
+  }
+
+  test("toMarkdown degradations pinned: same-tag nesting flattens; code decodes") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // same-tag nesting: the non-greedy match closes at the INNER tag
+    // (r17 ADVICE, documented) — `<b>a <b>c</b> d</b>` flattens
+    assert(md("<p><b>a <b>c</b> d</b></p>") === "**a c** d")
+    // entity decode applies inside code spans: Markdown code shows its
+    // characters literally, so the decoded form is the faithful one
+    assert(md("<p><code>&lt;b&gt;</code></p>") === "`<b>`")
+    // nesting deeper than three list levels flattens into the third
+    assert(md("<ul><li>1<ul><li>2<ul><li>3<ul><li>4</li></ul></li></ul></li></ul></li></ul>")
+      .linesIterator.size === 4)
+  }
+
   test("extractTables: th+td cells, inline tags strip, entities decode, no-table empty") {
     import spark.implicits._
     val html = "<p>before</p><table class=\"x\">" +
@@ -386,6 +437,43 @@ class HtmlSpec extends SparkSpec {
       .select(Html.extractTables(col("h")).as("t"))
       .as[Seq[Seq[Seq[String]]]].head()
     assert(none === Seq.empty)
+  }
+
+  test("extractTableGrids: colspan/rowspan expansion, ragged pad, header flags (r18)") {
+    import spark.implicits._
+    def grids(h: String): Seq[(Seq[Seq[String]], Seq[Boolean])] =
+      Seq(h).toDF("h").select(Html.extractTableGrids(col("h")).as("g"))
+        .as[Seq[(Seq[Seq[String]], Seq[Boolean])]].head()
+    // colspan duplicates across columns; rowspan re-occupies the column
+    // in the next row and the next row's cells shift past it; the short
+    // last row pads to the table width; th row flags as header
+    val html = "<table>" +
+      "<tr><th colspan=2>Spec</th><th>Unit</th></tr>" +
+      "<tr><td rowspan=\"2\">widget</td><td>3</td><td>kg</td></tr>" +
+      "<tr><td>4</td><td>kg</td></tr>" +
+      "<tr><td>loose</td></tr></table>"
+    val Seq((grid, hdr)) = grids(html)
+    assert(grid === Seq(
+      Seq("Spec", "Spec", "Unit"),
+      Seq("widget", "3", "kg"),
+      Seq("widget", "4", "kg"),
+      Seq("loose", "", "")))
+    assert(hdr === Seq(true, false, false, false))
+    // rowspan=0 spans to the end of the table (HTML5 form)
+    val Seq((g0, _)) = grids("<table>" +
+      "<tr><td rowspan=0>all</td><td>a</td></tr>" +
+      "<tr><td>b</td></tr><tr><td>c</td></tr></table>")
+    assert(g0 === Seq(Seq("all", "a"), Seq("all", "b"), Seq("all", "c")))
+    // junk colspan clamps (64 cap) instead of exploding the row
+    val Seq((gBig, _)) = grids(
+      "<table><tr><td colspan=9999>x</td></tr></table>")
+    assert(gBig.head.size === 64)
+    // mixed th/td row is NOT a header row; entities decode per cell
+    val Seq((gMix, hMix)) = grids("<table><tr><th>k</th>" +
+      "<td>v &amp; w</td></tr></table>")
+    assert(gMix === Seq(Seq("k", "v & w")) && hMix === Seq(false))
+    // no tables → empty; a cell-less row contributes an all-pad row
+    assert(grids("<p>none</p>") === Seq.empty)
   }
 
   test("extractSitemapEntries: per-url metadata, NULL absents, try_cast priority") {

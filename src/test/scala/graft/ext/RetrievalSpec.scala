@@ -378,6 +378,41 @@ class RetrievalSpec extends SparkSpec {
       .count() === 0L)
   }
 
+  test("verifyDupSpans: witnesses confirmed, transitive over-extension flagged + rate") {
+    // genuinely pair-shared passage: both reported spans carry a
+    // verbatim witness → witnessed=true, measured over-extension 0
+    val docs = Seq(
+      (0L, "u1 u2 a b c d e u3"),
+      (1L, "v1 a b c d e v2 v3"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.maximalDupSpans(docs, "doc_id", "text", n = 3)
+    val ver = TextAnalysis.verifyDupSpans(docs, "doc_id", "text", 3, spans)
+      .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(ver.map(_._5) === Seq(true, true))
+    // the adversarial shape (r17 verdict ask #5): every 4-gram of
+    // d9's "a b c d e" is shared with SOME doc, no doc carries it
+    // whole — the one-span report over-extends and verification
+    // catches it: d9's span has NO witness, d10/d11's spans do.
+    // Measured rate on this fixture: 1/3 over-extended.
+    val chain = Seq(
+      (9L, "a b c d e"),
+      (10L, "p1 a b c d"),
+      (11L, "b c d e p2"))
+      .toDF("doc_id", "text")
+    val chainSpans = TextAnalysis.maximalDupSpans(chain, "doc_id", "text", 3)
+    val got = TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3, chainSpans)
+      .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got === Seq(
+      (9L, 1L, 5L, "a b c d e", false),
+      (10L, 2L, 4L, "a b c d", true),
+      (11L, 1L, 4L, "b c d e", true)))
+    assert(got.count(!_._5) * 3 === got.size) // rate exactly 1/3
+    // sampleK bounds the verification (longest spans first)
+    assert(TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3,
+      chainSpans, sampleK = 1).count() === 1L)
+  }
+
   test("scrubContaminated: probe spans removed, clean docs untouched") {
     val docs = Seq(
       (0L, "a b c d e"),       // contains probe span "a b c" → loses 1-3

@@ -53,8 +53,7 @@ class HtmlEntitySpec extends SparkSpec {
   }
 
   test("strict semicolon + unknown names degrade to literal text") {
-    assert(dec("&eacute") === "&eacute")
-    assert(dec("&#233") === "&#233")
+    assert(dec("&#233") === "&#233") // numerics ALWAYS need the ';'
     assert(dec("&#;") === "&#;")
     assert(dec("&#x;") === "&#x;")
     assert(dec("&;") === "&;")
@@ -62,6 +61,29 @@ class HtmlEntitySpec extends SparkSpec {
       "AT&T; a=1&b=2 &foo; &averyveryverylongname;")
     assert(dec("trailing &") === "trailing &")
     assert(dec("&EACUTE;") === "&EACUTE;") // names are case-sensitive
+    assert(dec("&mdash end") === "&mdash end") // mdash is NOT legacy
+    assert(dec("&euro ok") === "&euro ok")     // euro is NOT legacy
+  }
+
+  test("WHATWG legacy subset decodes without ';' unless followed by alnum/=") {
+    // r17 verdict ask #3: the HTML4 Latin-1/markup names decode bare
+    assert(dec("&copy 2024") === "© 2024")
+    assert(dec("caf&eacute plain") === "café plain")
+    assert(dec("&eacute") === "é")          // end-of-string terminates
+    assert(dec("x &lt y &gt z") === "x < y > z")
+    assert(dec("&amp then") === "& then")
+    assert(dec("&COPY &REG &AMP.") === "© ® &.") // historic uppercase
+    assert(dec("a&nbsp b") === "a  b")
+    // the attribute-context exception, applied everywhere: a legacy
+    // name followed by an alphanumeric or '=' stays verbatim
+    assert(dec("&ampx") === "&ampx")
+    assert(dec("&lt3 hearts") === "&lt3 hearts")
+    assert(dec("?a=1&not=2&b=3") === "?a=1&not=2&b=3")
+    assert(dec("&copyright") === "&copyright") // run is 'copyright', not 'copy'
+    // single-pass semantics survive: the decoded '&' of a bare &amp
+    // is never re-scanned
+    assert(dec("&amp lt;") === "& lt;")
+    assert(dec("&amp;lt;") === "&lt;")
   }
 
   test("extractText folds decoded Unicode whitespace; zero-width survives") {

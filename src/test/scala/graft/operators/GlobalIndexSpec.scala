@@ -41,4 +41,30 @@ class GlobalIndexSpec extends SparkSpec {
     val df = spark.range(0, 10).filter(col("id") < 0).toDF("id")
     assert(GlobalIndex.withGlobalIndex(df, Seq(col("id"))).isEmpty)
   }
+
+  test("withGlobalIndexMaterialized releases the sort cache, result stays correct") {
+    // r17 watch item #2: the managed form leaks the cached sort when
+    // callers drop the release handle; the materialized form closes
+    // the lifecycle before returning. Pin: after the call the block
+    // store holds NO cached RDD beyond what existed before (the
+    // localCheckpoint blocks are checkpoint storage, not the cache),
+    // and the frame is still dense and correctly ordered.
+    spark.catalog.clearCache()
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    val df = spark.range(0, 300).select((col("id") * 11 % 300).as("k"))
+    val out = GlobalIndex.withGlobalIndexMaterialized(df, Seq(col("k")), "i")
+    // the range-sort persist is gone; only the checkpoint RDD remains
+    val leaked = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory) - cachedBefore
+    assert(leaked <= 1, s"sort cache leaked: $leaked persisted RDDs beyond baseline")
+    assert(out.filter(col("i") =!= col("k")).isEmpty)
+    // and repeated calls do not accumulate (the resident-service shape)
+    (1 to 3).foreach { _ =>
+      GlobalIndex.withGlobalIndexMaterialized(df, Seq(col("k")), "i").count()
+    }
+    val after = spark.sparkContext.getPersistentRDDs.values
+      .count(_.getStorageLevel.useMemory)
+    assert(after - cachedBefore <= 4,
+      s"persisted RDDs accumulate: before=$cachedBefore after=$after")
+  }
 }
