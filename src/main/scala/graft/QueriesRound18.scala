@@ -142,7 +142,15 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
   def foldedFuzzyGate(s: SparkSession, d: String): DataFrame = {
     val i = col("doc_id")
     val k = pmod(i, lit(4))
-    val fam = repeat(floor(i / 4).cast("string"), 3)
+    // family count CAPPED at 50 regardless of SF: every name in this
+    // fixture shares the long "jose nu…" substring, so its q-grams
+    // are corpus-hot and the candidate join is inherently
+    // Θ(#names²) — the honest shape for an all-near-identical corpus,
+    // but not a cost the GATE should scale with the SF (50 families =
+    // 100 distinct folded keys at every SF; fold semantics are fully
+    // exercised). Real name corpora are gram-diverse; q92 prices the
+    // operator on one.
+    val fam = repeat(pmod(floor(i / 4), lit(50)).cast("string"), 3)
     val name = when(k === 0, concat(lit("Jos\u00e9 N\u00fa\u00f1ez "), fam))
       .when(k === 1, concat(lit("Jose\u0301 Nu\u0301n\u0303ez "), fam))
       .when(k === 2, concat(lit("jose nunez "), fam))
@@ -183,6 +191,65 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
         Seq("redirect_to", "canonical_href"), foldKeys = true)
       .select(col("doc_id"), col("url"), col("cluster_rep"),
         col("cluster_size").cast("long").as("cluster_size"))
+      .orderBy("doc_id")
+  }
+
+  /** Fenced code blocks + thematic breaks as a hash gate
+    * ([[graft.ext.Html.toMarkdown]] pre/hr support, r18 — closing the
+    * "code FENCES are not emitted" scope line): each doc carries a
+    * `<pre><code>` block whose body must survive BYTE-EXACT through
+    * the whitespace collapse — an entity-escaped `&lt;` (decodes
+    * exactly once), a doc-id-dependent identifier, a double-space
+    * alignment run, a tab indent, and a BLANK line — plus an `<hr>`
+    * between prose paragraphs. Oracle: the fenced Markdown restated
+    * with E'' escapes (tab via chr(9)).
+    */
+  def markdownFenceGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val html = concat(
+      lit("<html><body><p>intro "), istr,
+      lit("</p><pre><code>if (a &lt; b"), istr,
+      lit(") {\n\tsum  +=  1;\n\n\treturn sum;\n}</code></pre>" +
+        "<hr><p>tail "), istr, lit("</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** GFM table rendering as a hash gate
+    * ([[graft.ext.Html.toMarkdown]] table support over
+    * [[graft.ext.Html.extractTableGrids]]' span-expanded rectangle,
+    * r18 — closing the "tables inside markdown drop to cell prose"
+    * scope line): each doc's page carries a spec table with a `<th>`
+    * header row (→ the `| --- |` separator line), a bold cell (inline
+    * passes run first, so the cell reads `**…**`), an entity cell
+    * (decodes ONCE, document-finally), a colspan=2 cell (duplicates
+    * across columns), and a pipe-bearing cell (escapes as `\|`) —
+    * between two prose paragraphs that must stay outside the table.
+    * Oracle: the expected Markdown restated with E'' escapes.
+    */
+  def markdownTableGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(7)).cast("string")
+    val html = concat(
+      lit("<html><body><p>spec "), istr,
+      lit("</p><table><tr><th>Part</th><th>Qty &amp; Unit</th></tr>" +
+        "<tr><td><b>widget "), g,
+      lit("</b></td><td>"), istr,
+      lit(" kg</td></tr><tr><td colspan=2>size a|b</td></tr></table>" +
+        "<p>done "), g, lit("</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
       .orderBy("doc_id")
   }
 
@@ -303,7 +370,7 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
     // diacritic variants collapse onto the canonical key.
     "q281_folded_fuzzy" ->
       """WITH f AS (SELECT DISTINCT
-        |    repeat(CAST(doc_id // 4 AS VARCHAR), 3) AS fam
+        |    repeat(CAST((doc_id // 4) % 50 AS VARCHAR), 3) AS fam
         |  FROM documents)
         |SELECT 'jose nunes ' || fam AS name_a,
         |  'jose nunez ' || fam AS name_b, CAST(1 AS INT) AS dist
@@ -326,6 +393,45 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
         |  'http://fam' || f || '.com/jose' AS cluster_rep,
         |  CAST(4 AS BIGINT) AS cluster_size
         |FROM b ORDER BY doc_id""".stripMargin),
+
+    // q284: the fenced Markdown restated — the pre body byte-exact
+    // (tab via chr(9), double spaces literal, blank line kept, &lt;
+    // decoded once), the hr as ---.
+    "q284_markdown_fences" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'intro ' || s || E'\n\n' || '```' || E'\n'
+        |      || 'if (a < b' || s || ') {' || E'\n'
+        |      || chr(9) || 'sum  +=  1;' || E'\n\n'
+        |      || chr(9) || 'return sum;' || E'\n' || '}' || E'\n'
+        |      || '```' || E'\n\n' || '---' || E'\n\n'
+        |      || 'tail ' || s AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q285: the GFM table restated — header + separator + data rows,
+    // bold cell kept inline, entity decoded once, colspan duplicated,
+    // pipe escaped.
+    "q285_markdown_tables" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 7 AS VARCHAR) AS g
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'spec ' || s || E'\n\n'
+        |      || '| Part | Qty & Unit |' || E'\n'
+        |      || '| --- | --- |' || E'\n'
+        |      || '| **widget ' || g || '** | ' || s || ' kg |' || E'\n'
+        |      || '| size a\|b | size a\|b |' || E'\n\n'
+        |      || 'done ' || g AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q283: the q272 span table with witnessed = TRUE — every span in
     // the family fixture has a verbatim witness doc.

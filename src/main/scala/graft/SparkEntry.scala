@@ -326,6 +326,8 @@ object SparkEntry {
     "q281_folded_fuzzy" -> ((s, d) => PipelinesExt.foldedFuzzyGate(s, d)),
     "q282_folded_aliases" -> ((s, d) => PipelinesExt.foldedAliasGate(s, d)),
     "q283_span_verify" -> ((s, d) => PipelinesExt.spanVerifyGate(s, d)),
+    "q284_markdown_fences" -> ((s, d) => PipelinesExt.markdownFenceGate(s, d)),
+    "q285_markdown_tables" -> ((s, d) => PipelinesExt.markdownTableGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -315,21 +315,93 @@ object Html {
       when(ch.rlike(s"(?is)^(?:$pat)$$"), render(ch)).otherwise(ch)), "")
   }
 
-  /** List-structure markers used between [[toMarkdown]]'s passes:
-    * [[MarkItem]] tags a rendered list line, each [[MarkIndent]] in
-    * front of it is one two-space indent level added when an already-
-    * rendered inner list is re-wrapped by its parent. Both expand
-    * AFTER whitespace collapse (a literal two-space indent would die
-    * in the `[ \t]+` fold).
+  /** Structure markers used between [[toMarkdown]]'s passes, all
+    * expanded AFTER the whitespace collapse (a literal two-space
+    * indent or preformatted run would die in the `[ \t]+` fold):
+    * [[MarkItem]] tags a rendered list line and each [[MarkIndent]]
+    * in front of it is one two-space indent level (added when an
+    * already-rendered inner list is re-wrapped by its parent);
+    * [[MarkSp]]/[[MarkNl]]/[[MarkTab]]/[[MarkLt]] protect the
+    * whitespace and literal `<` of a `<pre>` body from every later
+    * pass (tag strip, space collapse, newline fold).
     */
   private val MarkIndent = "\u0001"
   private val MarkItem = "\u0002"
+  private val MarkSp = "\u0003"
+  private val MarkNl = "\u0004"
+  private val MarkLt = "\u0005"
+  private val MarkTab = "\u0006"
+
+  /** One `<pre>` render pass for [[toMarkdown]]: the block becomes a
+    * fenced code region whose body keeps its EXACT whitespace —
+    * spaces/newlines/tabs swap to protection markers so the later
+    * per-line collapse and vertical fold cannot touch them, and a
+    * literal `<` protects too (an unescaped `<` in code would
+    * otherwise arm the generic tag strip to eat up to the next `>`
+    * anywhere downstream). Inner tags (the conventional `<code>`
+    * wrapper) strip WITHOUT inserting spaces; entities stay for the
+    * document-final single-pass decode (`&lt;div&gt;` in a code
+    * sample decodes exactly once). Surrounding body whitespace trims
+    * (browsers drop the newline after `<pre>`); nested `<pre>`
+    * degrades like every same-tag nesting here.
+    */
+  private def renderPreBlocks(c: Column): Column =
+    replaceEach(c, "<pre\\b[^>]*>(?:(?!<pre\\b).)*?</pre\\s*>",
+      "<pre\\b", m => {
+      val body = regexp_extract(m, "(?is)^<pre\\b[^>]*>(.*)</pre\\s*>$", 1)
+      val noTags = regexp_replace(body, "<[^>]*>", "")
+      val trimmed = regexp_replace(noTags, "(?s)^\\s+|\\s+$", "")
+      val protectd = regexp_replace(regexp_replace(regexp_replace(
+        regexp_replace(trimmed, " ", MarkSp), "\\n", MarkNl), "\\t", MarkTab),
+        "<", MarkLt)
+      when(trimmed === "", lit(" "))
+        .otherwise(concat(lit("\n\n```" + MarkNl), protectd,
+          lit(MarkNl + "```\n\n")))
+    })
+
+  /** One table render pass for [[toMarkdown]]: each `<table>` becomes
+    * a GitHub-flavored Markdown table over the SAME span-expanded
+    * rectangle [[extractTableGrids]] emits ([[gridOfTable]], cells
+    * undecoded — the document-final decode handles them once). A
+    * leading all-`<th>` row emits the `| --- |` separator GFM
+    * requires; header-less tables emit data rows only (markdownify's
+    * behavior). Cell pipes escape as `\|`. Inline marks inside cells
+    * survive because the inline passes run FIRST (the cell strip sees
+    * `**x**`, not `<b>x</b>`). Nested tables truncate the outer match
+    * (the extractTables degradation).
+    */
+  private def renderTables(c: Column): Column =
+    replaceEach(c, "<table\\b[^>]*>(?:(?!<table\\b).)*?</table\\s*>",
+      "<table\\b", m =>
+      // bind the grid fold, then the rendered lines — both referenced
+      // several times and interpreted HOFs re-evaluate per reference
+      bind(gridOfTable(m, decodeCells = false), g =>
+        bind(transform(g.getField("grid"), r =>
+          concat(lit("| "), array_join(transform(r, cell =>
+            regexp_replace(cell, "\\|", "\\\\|")), " | "), lit(" |"))),
+          lines => {
+          val headed = size(lines) > 0 &&
+            coalesce(element_at(g.getField("header"), 1), lit(false))
+          val sep = concat(lit("|"), array_join(transform(
+            element_at(g.getField("grid"), 1), _ => lit(" --- |")), ""))
+          val bodyLines = when(headed, concat(
+              slice(lines, lit(1), lit(1)), array(sep),
+              slice(lines, lit(2), greatest(size(lines) - 1, lit(0)))))
+            .otherwise(lines)
+          when(size(lines) === 0, lit(" "))
+            .otherwise(concat(lit("\n\n"), array_join(bodyLines, "\n"),
+              lit("\n\n")))
+        })))
 
   /** One innermost-list render pass for [[toMarkdown]]: every
     * `<ul>`/`<ol>` block containing NO nested list renders to
     * marker-tagged Markdown lines — `- ` bullets or position-aware
     * `1. 2. 3.` numbers — and marker lines already inside an item
-    * (a previously-rendered inner list) gain one indent level.
+    * (a previously-rendered inner list) gain one indent level. An
+    * item runs to its `</li>`, the NEXT `<li`, or the list close —
+    * HTML makes `</li>` optional and real soup omits it constantly
+    * (`<ul><li>a<li>b</ul>`); requiring the close tag would silently
+    * DROP close-less item text (r18 fresh-eyes).
     */
   private def renderInnermostLists(c: Column): Column =
     replaceEach(c,
@@ -337,7 +409,7 @@ object Html {
       "<[uo]l\\b", b => {
       val ordered = lower(regexp_extract(b, "(?is)^<(ul|ol)", 1)) === "ol"
       val items = regexp_extract_all(b,
-        lit("(?is)<li\\b[^>]*>(.*?)</li\\s*>"), lit(1))
+        lit("(?is)<li\\b[^>]*>((?:(?!<li\\b|</li\\s*>|</[uo]l\\b).)*)"), lit(1))
       val lines = zip_with(items, sequence(lit(1), size(items)),
         (t, pos) => concat(lit("\n" + MarkItem),
           when(ordered, concat(pos.cast("string"), lit(". ")))
@@ -397,6 +469,13 @@ object Html {
     *     anchors so `<a href=u><img ...></a>` renders the Markdown
     *     badge form `[![alt](x)](u)`;
     *   - `a href` → `[text](href)` in all three quoting forms;
+    *   - `pre` → FENCED code blocks whose bodies keep exact
+    *     whitespace and literal `<` (protection markers carry them
+    *     past every later pass — [[renderPreBlocks]]); `hr` → `---`;
+    *   - `table` → GitHub-flavored Markdown tables over the span-
+    *     expanded rectangle ([[renderTables]] / [[gridOfTable]]):
+    *     `| a | b |` rows, the `| --- |` separator after a leading
+    *     all-`<th>` row, cell pipes escaped;
     *   - `script`/`style` die with their bodies, every other tag
     *     drops, entities decode LAST ([[decodeEntities]]' single-pass
     *     semantics — note this also decodes inside rendered `code`
@@ -420,8 +499,11 @@ object Html {
     def re(c: Column, pat: String, rep: String): Column =
       regexp_replace(c, pat, rep)
     val noScript = re(html, "(?is)<(script|style)\\b[^>]*>.*?</\\1\\s*>", " ")
+    // pre blocks first: their bodies leave the tag stream entirely
+    // (protected fenced regions no later pass can touch)
+    val fenced = renderPreBlocks(noScript)
     // inline marks first (so anchor text keeps them)
-    val strong = re(noScript, "(?is)<(b|strong)\\b[^>]*>(.*?)</\\1\\s*>", "**$2**")
+    val strong = re(fenced, "(?is)<(b|strong)\\b[^>]*>(.*?)</\\1\\s*>", "**$2**")
     val em = re(strong, "(?is)<(i|em)\\b[^>]*>(.*?)</\\1\\s*>", "*$2*")
     val code = re(em, "(?is)<code\\b[^>]*>(.*?)</code\\s*>", "`$1`")
     // images before anchors: a linked image must render [![alt](x)](u)
@@ -443,8 +525,11 @@ object Html {
     val a3 = re(a2,
       "(?is)<a\\b[^>]*href\\s*=\\s*([^\\s>\"'][^\\s>]*)[^>]*>(.*?)</a\\s*>",
       "[$2]($1)")
+    // tables after inline marks/anchors (cells keep their markdown
+    // inline forms), before block structure
+    val tabled = renderTables(a3)
     // headings: one pass per level (regex cannot repeat '#' by count)
-    val heads = (1 to 6).foldLeft(a3) { (c, n) =>
+    val heads = (1 to 6).foldLeft(tabled) { (c, n) =>
       re(c, s"(?is)<h$n\\b[^>]*>(.*?)</h$n\\s*>",
         "\n\n" + ("#" * n) + " $1\n\n")
     }
@@ -453,7 +538,8 @@ object Html {
     // container keep their bullets
     val lists = (1 to 3).foldLeft(heads)((c, _) => renderInnermostLists(c))
     val items = re(lists, "(?is)<li\\b[^>]*>(.*?)</li\\s*>", "\n" + MarkItem + "- $1")
-    val paras = re(re(items, "(?is)</?p\\b[^>]*>", "\n\n"),
+    val ruled = re(items, "(?is)<hr\\b[^>]*/?>", "\n\n---\n\n")
+    val paras = re(re(ruled, "(?is)</?p\\b[^>]*>", "\n\n"),
       "(?is)<br\\b[^>]*/?>", "\n")
     // blockquotes after paragraph/list structure (their lines must
     // exist to be prefixed); two innermost passes = two quote levels
@@ -466,7 +552,10 @@ object Html {
     val sp = re(re(decoded, "[ \\t\\u00A0]+", " "), " ?\\n ?", "\n")
     val folded = re(sp, "\\n{3,}", "\n\n")
     val expanded = re(re(folded, MarkIndent, "  "), MarkItem, "")
-    trim(expanded, " \n")
+    // restore the protected pre-block bytes after every collapse
+    val restored = re(re(re(re(expanded,
+      MarkSp, " "), MarkNl, "\n"), MarkTab, "\t"), MarkLt, "<")
+    trim(restored, " \n")
   }
 
   /** HTML table harvest (r17): `array<array<array<string>>>` —
@@ -506,11 +595,11 @@ object Html {
   }
 
   /** Table GRID reconstruction (r18) — `array<struct<grid:
-    * array<array<string>>, header: array<boolean>>>`: one rectangular
-    * cell grid per table, the shape table-QA corpora and structure-
-    * aware pretraining need where [[extractTables]]' source-position
-    * harvest is honest but ragged. Implements the HTML table layout
-    * algorithm's span handling, simplified:
+    * array<array<string>>, header: array<boolean>, caption: string>>`:
+    * one rectangular cell grid per table, the shape table-QA corpora
+    * and structure-aware pretraining need where [[extractTables]]'
+    * source-position harvest is honest but ragged. Implements the
+    * HTML table layout algorithm's span handling, simplified:
     *
     *   - `colspan=k` duplicates the cell's text into k consecutive
     *     columns (clamped to 1..64 — junk pages ship colspan=9999;
@@ -520,7 +609,13 @@ object Html {
     *     columns, exactly the browser's slot-filling rule);
     *     `rowspan=0` is the HTML "to the end of the table" form;
     *   - ragged rows pad with empty strings to the table's maximum
-    *     width; `header` marks rows whose cells are ALL `<th>`.
+    *     width; `header` marks rows whose cells are ALL `<th>`;
+    *   - `caption` is the first `<caption>` element's text (empty
+    *     string when absent) — it names the table and never occupies
+    *     a grid cell. `<thead>`/`<tbody>`/`<tfoot>` wrappers are
+    *     transparent to the row scan; rows keep SOURCE order (a
+    *     tfoot written before tbody is not reordered to the bottom —
+    *     documented scope line).
     *
     * Per-cell text follows [[extractTables]]' contract (inline tags
     * strip, entities decode, whitespace collapses). Same documented
@@ -535,6 +630,38 @@ object Html {
     val tables = regexp_extract_all(html,
       lit("(?is)<table\\b[^>]*>(.*?)</table\\s*>"), lit(1))
     transform(tables, tb => {
+      val caption = collapseWs(decodeEntities(regexp_replace(regexp_extract(tb,
+        "(?is)<caption\\b[^>]*>(.*?)</caption\\s*>", 1), "<[^>]*>", " ")))
+      // bind: the fold (incl. the per-cell regex+decode parse) must
+      // run once, not once per output field
+      bind(gridOfTable(tb, decodeCells = true), grid =>
+        struct(grid.getField("grid").as("grid"),
+          grid.getField("header").as("header"),
+          caption.as("caption")))
+    })
+  }
+
+  /** LET-binding for HOF-heavy expressions: evaluates `x` ONCE and
+    * hands it to `f` as a bound lambda variable. Interpreted
+    * higher-order functions have no common-subexpression reuse, so an
+    * expression referenced k times evaluates k times — for the grid
+    * fold below that multiplied the per-cell regex+decode parse
+    * (measured 32 s → ~5 s on the q279 gate). The single-element
+    * array is never materialized per se; `transform` binds its one
+    * element and `element_at` unwraps.
+    */
+  private def bind(x: Column, f: Column => Column): Column =
+    element_at(transform(array(x), f), 1)
+
+  /** The span-expanding row walk behind [[extractTableGrids]] and
+    * [[toMarkdown]]'s table rendering, for ONE table body: returns
+    * `struct<grid: array<array<string>>, header: array<boolean>>`.
+    * `decodeCells = false` leaves character references in the cell
+    * text for a caller whose OWN pipeline decodes later (toMarkdown
+    * decodes the whole document once at the end — decoding here too
+    * would double-decode `&amp;lt;`).
+    */
+  private def gridOfTable(tb: Column, decodeCells: Boolean): Column = {
       val rowBodies = regexp_extract_all(tb,
         lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1))
       // per source row: colspan-expanded cells (text + remaining
@@ -542,13 +669,19 @@ object Html {
       val rows = transform(rowBodies, r => {
         val elems = regexp_extract_all(r,
           lit("(?is)<t[dh]\\b[^>]*>.*?</t[dh]\\s*>"), lit(0))
-        val cells = transform(elems, e => {
-          val text = collapseWs(decodeEntities(
-            regexp_replace(e, "<[^>]*>", " ")))
-          val csRaw = regexp_extract(e,
-            "(?is)^<t[dh]\\b[^>]*?\\bcolspan\\s*=\\s*[\"']?(\\d{1,4})", 1)
-          val rsRaw = regexp_extract(e,
-            "(?is)^<t[dh]\\b[^>]*?\\browspan\\s*=\\s*[\"']?(\\d{1,4})", 1)
+        val cellsExpr = transform(elems, e => {
+          val stripped = regexp_replace(e, "<[^>]*>", " ")
+          val text = collapseWs(
+            if (decodeCells) decodeEntities(stripped) else stripped)
+          // cheap contains-probe before the attribute regex: most
+          // cells carry no span attributes, and a false hit (the word
+          // in cell TEXT) just falls through to the anchored regex
+          val csRaw = when(!e.contains("colspan"), lit(""))
+            .otherwise(regexp_extract(e,
+              "(?is)^<t[dh]\\b[^>]*?\\bcolspan\\s*=\\s*[\"']?(\\d{1,4})", 1))
+          val rsRaw = when(!e.contains("rowspan"), lit(""))
+            .otherwise(regexp_extract(e,
+              "(?is)^<t[dh]\\b[^>]*?\\browspan\\s*=\\s*[\"']?(\\d{1,4})", 1))
           val cs = least(greatest(coalesce(
             csRaw.try_cast(org.apache.spark.sql.types.IntegerType), lit(1)),
             lit(1)), lit(64))
@@ -561,11 +694,15 @@ object Html {
           val th = lower(substring(e, lit(2), lit(2))) === "th"
           struct(text.as("t"), cs.as("cs"), rs.as("rs"), th.as("th"))
         })
-        val expanded = flatten(transform(cells, c =>
-          transform(sequence(lit(1), c.getField("cs")),
-            _ => struct(c.getField("t").as("t"), c.getField("rs").as("rs")))))
-        struct(expanded.as("cells"),
-          (size(cells) > 0 && forall(cells, _.getField("th"))).as("th"))
+        // bind: the per-cell parse (regex + decode + collapse) must
+        // run once, not once per reference
+        bind(cellsExpr, cells => {
+          val expanded = flatten(transform(cells, c =>
+            transform(sequence(lit(1), c.getField("cs")),
+              _ => struct(c.getField("t").as("t"), c.getField("rs").as("rs")))))
+          struct(expanded.as("cells"),
+            (size(cells) > 0 && forall(cells, _.getField("th"))).as("th"))
+        })
       })
       // the row walk: pending rowspans (remaining count + text per
       // column) thread through an aggregate accumulator
@@ -574,51 +711,62 @@ object Html {
         array().cast("array<boolean>").as("hdr"),
         array().cast("array<int>").as("pn"),
         array().cast("array<string>").as("pt"))
-      val walked = aggregate(rows, zero, (acc, row) => {
+      // the whole walk happens inside ONE aggregate whose FINISH
+      // lambda does the rectangularization: finish receives the
+      // accumulator as a BOUND variable, so referencing it for maxW
+      // and per-row padding costs array reads — an unbound `walked`
+      // expression referenced there would re-run the entire fold
+      // (including the per-cell regex+decode parse) once per
+      // reference per row (the replaceEach lesson; measured 180 s →
+      // 2 s on the q279 gate)
+      aggregate(rows, zero, (acc, row) => {
         val src = row.getField("cells")
         val pn = acc.getField("pn")
         val pt = acc.getField("pt")
         val pLen = size(pn)
-        val occ = transform(pn, p => when(p > 0, 1).otherwise(0))
-        val occTotal = aggregate(occ, lit(0), (a, x) => a + x)
-        val width = greatest(pLen, occTotal + size(src))
-        val slots = when(width > 0, sequence(lit(0), width - 1))
-          .otherwise(array().cast("array<int>"))
-        val placed = transform(slots, j => {
-          val pj = coalesce(when(j < pLen, element_at(pn, j + 1)), lit(0))
-          val ptj = coalesce(when(j < pLen, element_at(pt, j + 1)), lit(""))
-          // source cells fill the free slots left-to-right: this
-          // slot's source index = j − (occupied pending slots before j)
-          val occBefore = aggregate(slice(occ, lit(1), least(j, pLen)),
-            lit(0), (a, x) => a + x)
-          val si = j - occBefore
-          val srcCell = when(si < size(src), element_at(src, si + 1))
-          when(pj > 0,
-            struct(ptj.as("t"), (pj - 1).as("n"), ptj.as("p")))
-            .when(srcCell.isNotNull, struct(
-              srcCell.getField("t").as("t"),
-              (srcCell.getField("rs") - 1).as("n"),
-              srcCell.getField("t").as("p")))
-            .otherwise(struct(lit("").as("t"), lit(0).as("n"),
-              lit("").as("p")))
+        // bind occ and placed: each is referenced several times below
+        // and interpreted HOFs re-evaluate per reference
+        bind(transform(pn, p => when(p > 0, 1).otherwise(0)), occ => {
+          val occTotal = aggregate(occ, lit(0), (a, x) => a + x)
+          val width = greatest(pLen, occTotal + size(src))
+          val slots = when(width > 0, sequence(lit(0), width - 1))
+            .otherwise(array().cast("array<int>"))
+          val placedExpr = transform(slots, j => {
+            val pj = coalesce(when(j < pLen, element_at(pn, j + 1)), lit(0))
+            val ptj = coalesce(when(j < pLen, element_at(pt, j + 1)), lit(""))
+            // source cells fill the free slots left-to-right: this
+            // slot's source index = j − (occupied pending slots before j)
+            val occBefore = aggregate(slice(occ, lit(1), least(j, pLen)),
+              lit(0), (a, x) => a + x)
+            val si = j - occBefore
+            val srcCell = when(si < size(src), element_at(src, si + 1))
+            when(pj > 0,
+              struct(ptj.as("t"), (pj - 1).as("n"), ptj.as("p")))
+              .when(srcCell.isNotNull, struct(
+                srcCell.getField("t").as("t"),
+                (srcCell.getField("rs") - 1).as("n"),
+                srcCell.getField("t").as("p")))
+              .otherwise(struct(lit("").as("t"), lit(0).as("n"),
+                lit("").as("p")))
+          })
+          bind(placedExpr, placed => struct(
+            concat(acc.getField("out"),
+              array(transform(placed, _.getField("t")))).as("out"),
+            concat(acc.getField("hdr"), array(row.getField("th"))).as("hdr"),
+            transform(placed, _.getField("n")).as("pn"),
+            transform(placed, _.getField("p")).as("pt")))
         })
+      }, acc => {
+        // rectangularize: pad every row to the table's max width
+        val out = acc.getField("out")
+        val maxW = aggregate(out, lit(0), (m, r) => greatest(m, size(r)))
         struct(
-          concat(acc.getField("out"),
-            array(transform(placed, _.getField("t")))).as("out"),
-          concat(acc.getField("hdr"), array(row.getField("th"))).as("hdr"),
-          transform(placed, _.getField("n")).as("pn"),
-          transform(placed, _.getField("p")).as("pt"))
+          transform(out, r =>
+            when(size(r) < maxW,
+              concat(r, array_repeat(lit(""), maxW - size(r)))).otherwise(r))
+            .as("grid"),
+          acc.getField("hdr").as("header"))
       })
-      // rectangularize: pad every row to the table's max width
-      val out = walked.getField("out")
-      val maxW = aggregate(out, lit(0), (m, r) => greatest(m, size(r)))
-      struct(
-        transform(out, r =>
-          when(size(r) < maxW,
-            concat(r, array_repeat(lit(""), maxW - size(r)))).otherwise(r))
-          .as("grid"),
-        walked.getField("hdr").as("header"))
-    })
   }
 
   /** All `<loc>` targets of a sitemap document (sitemaps.org XML —

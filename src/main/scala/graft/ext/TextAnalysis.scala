@@ -721,11 +721,16 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     require(n >= 1, s"verifyDupSpans: need n >= 1, got $n")
     require(sampleK >= 1, s"verifyDupSpans: need sampleK >= 1, got $sampleK")
     val toks = cachedTokenFrame(docs, idCol, textCol)
+    // the sample feeds BOTH the broadcast probe and the output join —
+    // without the checkpoint the whole span pipeline upstream executes
+    // once per consumer (the annInvariantGate shared-consumer lesson);
+    // bounded at sampleK rows, so materialization is safe
     val sample = spans
       .orderBy(desc("span_len"), col(idCol), col("start_pos"))
       .limit(sampleK)
       .withColumn("_g", unhex(md5(concat_ws(" ",
         slice(split(col("span_text"), " "), 1, n)))))
+      .localCheckpoint(true)
     val probe = sample.select(col(idCol).as("_sid"),
       col("start_pos").as("_spos"), col("span_len").as("_slen"),
       col("span_text").as("_stext"), col("_g"))
