@@ -253,6 +253,165 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       .orderBy("doc_id")
   }
 
+  /** Definition-list rendering as a hash gate
+    * ([[graft.ext.Html.toMarkdown]] `<dl>` support, r18 — closing the
+    * "definition lists are not rendered" scope line): each doc's
+    * glossary carries a CLOSED `<dt>`/`<dd>` group with two
+    * consecutive definitions (each gets its own `: ` line), a
+    * CLOSE-LESS group (HTML makes `</dt>`/`</dd>` optional), an
+    * entity in the first term (decodes document-finally) and a bold
+    * mark in the second (inline passes run first), between two prose
+    * paragraphs. Oracle: the Markdown-Extra form restated.
+    */
+  def markdownDlGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(5)).cast("string")
+    val html = concat(
+      lit("<html><body><p>glossary "), istr,
+      lit("</p><dl><dt>Term &amp; g"), g,
+      lit("</dt><dd>meaning "), istr,
+      lit("</dd><dd>alt meaning</dd><dt>key <b>g"), g,
+      lit("</b><dd>value "), istr,
+      lit("</dl><p>end "), g, lit("</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** thead/tfoot row-group reordering as a hash gate
+    * ([[graft.ext.Html.extractTableGrids]] render-order support, r18 —
+    * closing the "rows keep source order" scope line): even docs
+    * carry the spec-legal STREAMING form — `<tfoot>` (the totals row)
+    * written FIRST, then `<thead>`, then `<tbody>` — whose grid must
+    * come out render-ordered (head, body, foot); odd docs carry
+    * CLOSE-LESS sections in document order (each ends at the next
+    * row-group open or the table end). Both shapes also exercise the
+    * all-`<th>` header flag landing on row 0 after the reorder.
+    * Oracle: the reordered grid restated row by row.
+    */
+  def tableSectionsGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(7)).cast("string")
+    val html = when(pmod(i, lit(2)) === 0, concat(
+        lit("<table><tfoot><tr><td>total "), istr,
+        lit("</td></tr></tfoot><thead><tr><th>Col "), g,
+        lit("</th></tr></thead><tbody><tr><td>a "), istr,
+        lit("</td></tr><tr><td>b "), g, lit("</td></tr></tbody></table>")))
+      .otherwise(concat(
+        lit("<table><thead><tr><th>Col "), g,
+        lit("</th></tr><tbody><tr><td>a "), istr,
+        lit("</td></tr><tr><td>b "), g,
+        lit("</td></tr><tfoot><tr><td>total "), istr,
+        lit("</td></tr></table>")))
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.Html.extractTableGrids(html).as("tables"))
+      .select(col("doc_id"),
+        posexplode(col("tables")).as(Seq("table_idx", "tb")))
+      .select(col("doc_id"), col("table_idx").cast("long").as("table_idx"),
+        posexplode(arrays_zip(col("tb.grid"), col("tb.header")))
+          .as(Seq("row_idx", "row")))
+      .select(col("doc_id"), col("table_idx"),
+        col("row_idx").cast("long").as("row_idx"),
+        col("row.header").as("is_header"),
+        concat_ws("|", col("row.grid")).as("cells"))
+      .orderBy("doc_id", "table_idx", "row_idx")
+  }
+
+  /** Fence info strings as a hash gate ([[graft.ext.Html.toMarkdown]]
+    * language-class harvest, r18 — closing the "fences carry no
+    * language tag" scope line): k=0 the highlight.js `language-python`
+    * convention on the inner `<code>`; k=1 the short `lang-sql` form
+    * on the `<pre>` itself, UPPERCASE in source (folds); k=2 a
+    * `clang-format` class that must NOT match (word boundary) — bare
+    * fence; k=3 class-less — bare fence. Bodies stay byte-exact
+    * through the collapse (the q284 contract). Oracle: the fenced
+    * Markdown restated per branch.
+    */
+  def fenceLangGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val k = pmod(i, lit(4))
+    val pre = when(k === 0, concat(
+        lit("<pre><code class=\"language-python\">print("), istr,
+        lit(")</code></pre>")))
+      .when(k === 1, concat(
+        lit("<pre class='lang-SQL'>SELECT "), istr, lit(";</pre>")))
+      .when(k === 2, concat(
+        lit("<pre class=\"clang-format\">fmt("), istr, lit(")</pre>")))
+      .otherwise(concat(lit("<pre>raw "), istr, lit("</pre>")))
+    val html = concat(lit("<html><body><p>snippet "), istr,
+      lit("</p>"), pre, lit("<p>after "), istr, lit("</p></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Markdown corpus conversion as a composition capstone
+    * (r18): the structure-PRESERVING sibling of q246's WET pipeline —
+    * what a modern pretraining corpus build (the trafilatura-lineage
+    * pipelines) emits instead of flat text. A RESPONSE archive
+    * (gzipped members, [[graft.ext.Warc.buildWarcColumn]]) parses
+    * through the production reader, each page renders to Markdown
+    * ([[graft.ext.Html.toMarkdown]] — heading, list, GFM table with
+    * separator, language-tagged fence all surviving), and the
+    * Markdown re-archives as `conversion` records that parse BACK
+    * byte-exactly — multibyte prose (`é`) crossing both archive hops.
+    * Oracle: type, URI, the expected Markdown, and its UTF-8 octet
+    * length restated per record.
+    */
+  def markdownCorpusGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val k = pmod(i, lit(7)).cast("string")
+    val html = concat(
+      lit("<html><body><h1>Guide "), k,
+      lit("</h1><ul><li>alpha "), i,
+      lit("</li><li>beta</li></ul><table><tr><th>K</th></tr><tr><td>v "),
+      col("j"),
+      lit("</td></tr></table><pre><code class=\"language-py\">x = "), i,
+      lit("</code></pre><p>prose text é "), i, lit("-"), col("j"),
+      lit(".</p></body></html>"))
+    val responses = t(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(2)))).as("j"))
+      .select(col("doc_id"), col("j"), lit("response").as("wt"),
+        concat(lit("http://md"), k, lit(".com/p/"), col("j")).as("uri"),
+        concat(lit("<urn:uuid:resp-"), i, lit("-"), col("j"), lit(">"))
+          .as("rid"),
+        encode(html, "UTF-8").as("payload"))
+    val responseArchive = graft.ext.Warc.buildWarcColumn(responses,
+      "doc_id", "j", "wt", "uri", "rid", "payload", gzipped = true)
+    val pages = graft.ext.Warc.parseWarcColumn(responseArchive,
+      "doc_id", "warc_blob", gzipped = true)
+    val mds = pages
+      .withColumn("page_html", decode(col("payload"), "UTF-8"))
+      .withColumn("md", graft.ext.Html.toMarkdown(col("page_html")))
+      .select(col("doc_id"), col("rec_idx"), lit("conversion").as("wt"),
+        col("target_uri").as("uri"),
+        concat(lit("<urn:uuid:md-"), col("doc_id"), lit("-"),
+          col("rec_idx"), lit(">")).as("rid"),
+        encode(col("md"), "UTF-8").as("payload"))
+    val mdArchive = graft.ext.Warc.buildWarcColumn(mds, "doc_id",
+      "rec_idx", "wt", "uri", "rid", "payload", gzipped = true)
+    graft.ext.Warc.parseWarcColumn(mdArchive, "doc_id", "warc_blob",
+        gzipped = true)
+      .select(col("doc_id"), col("rec_idx"), col("warc_type"),
+        col("target_uri"), col("content_length"),
+        decode(col("payload"), "UTF-8").as("md_text"))
+      .withColumn("n_lines",
+        size(split(col("md_text"), "\n", -1)).cast("long"))
+      .orderBy("doc_id", "rec_idx")
+  }
+
   /** Span-report verification as a hash gate
     * ([[graft.ext.TextAnalysis.verifyDupSpans]], r17 verdict ask #5):
     * the q272 family fixture's maximal spans re-checked against their
@@ -432,6 +591,88 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
         |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
         |    + 1 AS BIGINT) AS n_lines
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q286: the Markdown-Extra definition list restated — term lines,
+    // ': ' definition lines, blank line between term groups, entity
+    // decoded, bold kept inline.
+    "q286_markdown_dl" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'glossary ' || s || E'\n\n'
+        |      || 'Term & g' || g || E'\n'
+        |      || ': meaning ' || s || E'\n'
+        |      || ': alt meaning' || E'\n\n'
+        |      || 'key **g' || g || '**' || E'\n'
+        |      || ': value ' || s || E'\n\n'
+        |      || 'end ' || g AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q287: the render-ordered grid restated — head row (header flag),
+    // body rows, tfoot LAST; both source shapes (streaming tfoot-first
+    // and close-less in-order) produce the SAME rectangle.
+    "q287_table_sections" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 7 AS VARCHAR) AS g
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS row_idx, TRUE AS is_header,
+        |    'Col ' || g AS cells FROM b
+        |  UNION ALL SELECT doc_id, 1, FALSE, 'a ' || s FROM b
+        |  UNION ALL SELECT doc_id, 2, FALSE, 'b ' || g FROM b
+        |  UNION ALL SELECT doc_id, 3, FALSE, 'total ' || s FROM b)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS table_idx,
+        |  CAST(row_idx AS BIGINT) AS row_idx, is_header, cells
+        |FROM r ORDER BY doc_id, table_idx, row_idx""".stripMargin,
+
+    // q288: fence info strings per branch — language-python on the
+    // inner code, lang-SQL folded on the pre, clang-format NOT a
+    // match, class-less bare.
+    "q288_fence_lang" ->
+      """WITH b AS (SELECT doc_id, doc_id % 4 AS k,
+        |    CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'snippet ' || s || E'\n\n'
+        |      || CASE WHEN k = 0 THEN '```python' || E'\n' || 'print(' || s || ')'
+        |              WHEN k = 1 THEN '```sql' || E'\n' || 'SELECT ' || s || ';'
+        |              WHEN k = 2 THEN '```' || E'\n' || 'fmt(' || s || ')'
+        |              ELSE '```' || E'\n' || 'raw ' || s END
+        |      || E'\n' || '```' || E'\n\n' || 'after ' || s AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q289: the conversion records restated — expected Markdown per
+    // (doc, record), its UTF-8 octet length (é is 2 bytes) as
+    // content_length, the structure (heading, bullets, GFM table,
+    // tagged fence) surviving both archive hops.
+    "q289_markdown_corpus" ->
+      """WITH d AS (SELECT doc_id AS i, CAST(doc_id % 7 AS VARCHAR) AS k
+        |    FROM documents),
+        |js AS (SELECT 0 AS j UNION ALL SELECT 1),
+        |r AS (SELECT i, k, j,
+        |    '# Guide ' || k || E'\n\n'
+        |      || '- alpha ' || i || E'\n' || '- beta' || E'\n\n'
+        |      || '| K |' || E'\n' || '| --- |' || E'\n'
+        |      || '| v ' || j || ' |' || E'\n\n'
+        |      || '```py' || E'\n' || 'x = ' || i || E'\n' || '```' || E'\n\n'
+        |      || 'prose text é ' || i || '-' || j || '.' AS md
+        |  FROM d, js WHERE j <= i % 2)
+        |SELECT i AS doc_id, j AS rec_idx, 'conversion' AS warc_type,
+        |  'http://md' || k || '.com/p/' || j AS target_uri,
+        |  octet_length(encode(md)) AS content_length,
+        |  md AS md_text,
+        |  CAST(length(md) - length(replace(md, E'\n', '')) + 1 AS BIGINT)
+        |    AS n_lines
+        |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
 
     // q283: the q272 span table with witnessed = TRUE — every span in
     // the family fixture has a verbatim witness doc.

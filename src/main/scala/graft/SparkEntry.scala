@@ -328,6 +328,10 @@ object SparkEntry {
     "q283_span_verify" -> ((s, d) => PipelinesExt.spanVerifyGate(s, d)),
     "q284_markdown_fences" -> ((s, d) => PipelinesExt.markdownFenceGate(s, d)),
     "q285_markdown_tables" -> ((s, d) => PipelinesExt.markdownTableGate(s, d)),
+    "q286_markdown_dl" -> ((s, d) => PipelinesExt.markdownDlGate(s, d)),
+    "q287_table_sections" -> ((s, d) => PipelinesExt.tableSectionsGate(s, d)),
+    "q288_fence_lang" -> ((s, d) => PipelinesExt.fenceLangGate(s, d)),
+    "q289_markdown_corpus" -> ((s, d) => PipelinesExt.markdownCorpusGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

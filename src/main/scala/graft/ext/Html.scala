@@ -308,12 +308,17 @@ object Html {
     * the full regex pipeline per row.
     */
   private def replaceEach(c: Column, pat: String, startPat: String,
-      render: Column => Column): Column = {
-    val chunks = regexp_extract_all(c,
-      lit(s"(?is)((?:$pat)|(?:(?!$startPat).)+|.)"), lit(1))
-    array_join(transform(chunks, ch =>
-      when(ch.rlike(s"(?is)^(?:$pat)$$"), render(ch)).otherwise(ch)), "")
-  }
+      render: Column => Column): Column =
+    // early-exit probe (r18 perf): a pass whose start tag never occurs
+    // is identity — one rlike scan (first-match exit) instead of the
+    // full chunk extract + rebuild; `bind` pins the upstream chain to
+    // ONE evaluation across the probe and the taken branch
+    bind(c, cc => when(!cc.rlike(s"(?is)$startPat"), cc).otherwise {
+      val chunks = regexp_extract_all(cc,
+        lit(s"(?is)((?:$pat)|(?:(?!$startPat).)+|.)"), lit(1))
+      array_join(transform(chunks, ch =>
+        when(ch.rlike(s"(?is)^(?:$pat)$$"), render(ch)).otherwise(ch)), "")
+    })
 
   /** Structure markers used between [[toMarkdown]]'s passes, all
     * expanded AFTER the whitespace collapse (a literal two-space
@@ -343,11 +348,26 @@ object Html {
     * document-final single-pass decode (`&lt;div&gt;` in a code
     * sample decodes exactly once). Surrounding body whitespace trims
     * (browsers drop the newline after `<pre>`); nested `<pre>`
-    * degrades like every same-tag nesting here.
+    * degrades like every same-tag nesting here. The fence carries an
+    * info string when the block declares one (r18, closing the
+    * "fences carry no language tag" scope line): the first
+    * `language-x` / `lang-x` class token on the `<pre>` or its inner
+    * `<code>` — the highlight.js/Prism convention — lowercased, so
+    * `<pre><code class="language-python">` opens ```` ```python ````.
     */
   private def renderPreBlocks(c: Column): Column =
     replaceEach(c, "<pre\\b[^>]*>(?:(?!<pre\\b).)*?</pre\\s*>",
       "<pre\\b", m => {
+      // the filler after class= stays INSIDE the attribute value:
+      // quoted arms confine to the quote pair, the unquoted arm to
+      // one space-free token (`class=x id=lang-y` must not hit)
+      // probe case-folded to match the (?i) harvest — attribute NAMES
+      // are case-insensitive in HTML (CLASS="LANGUAGE-X" must not skip)
+      val lang = when(!lower(m).contains("lang"), lit(""))
+        .otherwise(lower(regexp_extract(m,
+          "(?is)<(?:pre|code)\\b[^>]*\\bclass\\s*=\\s*" +
+            "(?:\"[^\"]*|'[^']*|[^\\s>\"']*)" +
+            "\\blang(?:uage)?-([A-Za-z0-9_+#.-]+)", 1)))
       val body = regexp_extract(m, "(?is)^<pre\\b[^>]*>(.*)</pre\\s*>$", 1)
       val noTags = regexp_replace(body, "<[^>]*>", "")
       val trimmed = regexp_replace(noTags, "(?s)^\\s+|\\s+$", "")
@@ -355,7 +375,7 @@ object Html {
         regexp_replace(trimmed, " ", MarkSp), "\\n", MarkNl), "\\t", MarkTab),
         "<", MarkLt)
       when(trimmed === "", lit(" "))
-        .otherwise(concat(lit("\n\n```" + MarkNl), protectd,
+        .otherwise(concat(lit("\n\n```"), lang, lit(MarkNl), protectd,
           lit(MarkNl + "```\n\n")))
     })
 
@@ -423,6 +443,49 @@ object Html {
         .otherwise(concat(array_join(lines, ""), lit("\n")))
     })
 
+  /** One definition-list render pass for [[toMarkdown]] (r18, closing
+    * the "definition lists are not rendered" scope line): each
+    * `<dl>` renders in the Markdown-Extra / PHP-Markdown convention —
+    * the term on its own line, every `<dd>` as a `: `-prefixed line
+    * under it, a blank line between term groups:
+    *
+    * {{{
+    * term one
+    * : definition a
+    * : definition b
+    *
+    * term two
+    * : definition c
+    * }}}
+    *
+    * `</dt>`/`</dd>` are optional in HTML and real soup omits them
+    * (an item runs to the next `<dt`/`<dd` or the list close — the
+    * renderInnermostLists rule). Nested `<dl>` flattens like every
+    * same-tag nesting here; block elements inside a `<dd>` fold to
+    * its line (documented simplification).
+    */
+  private def renderDefinitionLists(c: Column): Column =
+    replaceEach(c, "<dl\\b[^>]*>(?:(?!<dl\\b).)*?</dl\\s*>",
+      "<dl\\b", b => {
+      val items = regexp_extract_all(b,
+        lit("(?is)<d[td]\\b[^>]*>(?:(?!<d[td]\\b|</d[td]\\s*>|</dl\\b).)*"),
+        lit(0))
+      val lines = transform(items, it => {
+        val term = lower(substring(it, lit(2), lit(2))) === "dt"
+        // paragraph/line-break tags inside a term or definition fold
+        // to its line (they would otherwise split the ': ' prefix
+        // from its text when the paragraph pass runs later)
+        val text = regexp_replace(regexp_replace(
+          regexp_extract(it, "(?is)^<d[td]\\b[^>]*>(.*)$", 1),
+          "(?is)</?(?:p|div)\\b[^>]*>|<br\\b[^>]*/?>", " "),
+          "(?s)^\\s+|\\s+$", "")
+        when(term, concat(lit("\n\n"), text))
+          .otherwise(concat(lit("\n: "), text))
+      })
+      when(size(items) === 0, lit(" "))
+        .otherwise(concat(array_join(lines, ""), lit("\n\n")))
+    })
+
   /** One innermost-blockquote render pass for [[toMarkdown]]: the
     * quoted body (whose block structure — paragraph and list lines —
     * is already rendered) gets `> ` prefixed on every line; newline
@@ -471,11 +534,16 @@ object Html {
     *   - `a href` → `[text](href)` in all three quoting forms;
     *   - `pre` → FENCED code blocks whose bodies keep exact
     *     whitespace and literal `<` (protection markers carry them
-    *     past every later pass — [[renderPreBlocks]]); `hr` → `---`;
+    *     past every later pass — [[renderPreBlocks]]), the fence
+    *     carrying the `language-x`/`lang-x` class as its info string
+    *     when declared; `hr` → `---`;
+    *   - `dl` → Markdown-Extra definition lists (term line + `: `
+    *     definition lines — [[renderDefinitionLists]]);
     *   - `table` → GitHub-flavored Markdown tables over the span-
     *     expanded rectangle ([[renderTables]] / [[gridOfTable]]):
     *     `| a | b |` rows, the `| --- |` separator after a leading
-    *     all-`<th>` row, cell pipes escaped;
+    *     all-`<th>` row, cell pipes escaped, thead/tfoot row groups
+    *     in render order;
     *   - `script`/`style` die with their bodies, every other tag
     *     drops, entities decode LAST ([[decodeEntities]]' single-pass
     *     semantics — note this also decodes inside rendered `code`
@@ -538,7 +606,10 @@ object Html {
     // container keep their bullets
     val lists = (1 to 3).foldLeft(heads)((c, _) => renderInnermostLists(c))
     val items = re(lists, "(?is)<li\\b[^>]*>(.*?)</li\\s*>", "\n" + MarkItem + "- $1")
-    val ruled = re(items, "(?is)<hr\\b[^>]*/?>", "\n\n---\n\n")
+    // definition lists after <li> handling (a <dd> may carry a
+    // rendered inner list's marker lines), before paragraph structure
+    val defined = renderDefinitionLists(items)
+    val ruled = re(defined, "(?is)<hr\\b[^>]*/?>", "\n\n---\n\n")
     val paras = re(re(ruled, "(?is)</?p\\b[^>]*>", "\n\n"),
       "(?is)<br\\b[^>]*/?>", "\n")
     // blockquotes after paragraph/list structure (their lines must
@@ -612,10 +683,16 @@ object Html {
     *     width; `header` marks rows whose cells are ALL `<th>`;
     *   - `caption` is the first `<caption>` element's text (empty
     *     string when absent) — it names the table and never occupies
-    *     a grid cell. `<thead>`/`<tbody>`/`<tfoot>` wrappers are
-    *     transparent to the row scan; rows keep SOURCE order (a
-    *     tfoot written before tbody is not reordered to the bottom —
-    *     documented scope line).
+    *     a grid cell. `<thead>`/`<tbody>`/`<tfoot>` row GROUPS are
+    *     reordered to the HTML table model's render order (r18,
+    *     closing the r17 scope line): every `<thead>` row first, then
+    *     rows outside any `<tfoot>`/`<thead>` wrapper (tbody or
+    *     loose), then every `<tfoot>` row LAST — a tfoot written
+    *     before the body (the spec-legal streaming form) lands at the
+    *     bottom where it renders. One documented simplification
+    *     remains: a `rowspan` pending at a group boundary keeps
+    *     filling into the NEXT group's rows (browsers clip spans at
+    *     their row group; real tfoot/thead cells rarely span);
     *
     * Per-cell text follows [[extractTables]]' contract (inline tags
     * strip, entities decode, whitespace collapses). Same documented
@@ -662,8 +739,25 @@ object Html {
     * would double-decode `&amp;lt;`).
     */
   private def gridOfTable(tb: Column, decodeCells: Boolean): Column = {
-      val rowBodies = regexp_extract_all(tb,
+      def rowsOf(sec: Column): Column = regexp_extract_all(sec,
         lit("(?is)<tr\\b[^>]*>(.*?)</tr\\s*>"), lit(1))
+      // a close-less section (the spec makes </thead>/</tfoot>
+      // optional) ends at the next row-group open or end-of-table
+      def secPat(tag: String): String =
+        s"(?is)<$tag\\b[^>]*>(.*?)(?:</$tag\\s*>|(?=<t(?:head|body|foot)\\b)|$$)"
+      def sectionRows(tag: String): Column = flatten(transform(
+        regexp_extract_all(tb, lit(secPat(tag)), lit(1)), sec => rowsOf(sec)))
+      // row groups reorder to render order: thead, body (tbody or
+      // loose rows), tfoot — the HTML table model. The cheap
+      // contains-probe skips the three-way restructuring for the
+      // overwhelmingly common section-free table.
+      val sectioned = lower(tb).contains("<thead") ||
+        lower(tb).contains("<tfoot")
+      val bodyOnly = regexp_replace(regexp_replace(tb,
+        secPat("thead"), " "), secPat("tfoot"), " ")
+      val rowBodies = when(!sectioned, rowsOf(tb))
+        .otherwise(concat(sectionRows("thead"), rowsOf(bodyOnly),
+          sectionRows("tfoot")))
       // per source row: colspan-expanded cells (text + remaining
       // rowspan) and the all-th header flag
       val rows = transform(rowBodies, r => {

@@ -699,9 +699,14 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     * reports as ONE span (scaladoc above; the exact answer needs the
     * suffix array the seeds stand in for). This checks the claim the
     * span REPORT implies — "some other document contains this passage
-    * verbatim" — for a deterministic sample of `sampleK` spans
-    * (longest first: over-extension risk grows with chain length),
-    * and emits each sampled span + `witnessed`.
+    * verbatim" — for a deterministic sample of `sampleK` spans, and
+    * emits each sampled span + `witnessed`. Two sampling orders
+    * (`sampleByHash`, r18 — the r17 ADVICE-note bias item): the
+    * default longest-first targets the WORST spans (over-extension
+    * risk grows with chain length), so its failure rate is an
+    * upper-bound-biased SCREEN; `sampleByHash = true` orders by a
+    * hash of (doc, start_pos) — an unbiased uniform sample whose
+    * failure rate estimates the corpus-wide over-extension RATE.
     *
     * Check: a witnessing doc must contain the span's first n-gram at
     * some position p AND its tokens [p, p+span_len) must equal the
@@ -717,7 +722,8 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     * spec pins — the documented degradation, now quantified.
     */
   def verifyDupSpans(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, spans: DataFrame, sampleK: Int = 1000): DataFrame = {
+      n: Int, spans: DataFrame, sampleK: Int = 1000,
+      sampleByHash: Boolean = false): DataFrame = {
     require(n >= 1, s"verifyDupSpans: need n >= 1, got $n")
     require(sampleK >= 1, s"verifyDupSpans: need sampleK >= 1, got $sampleK")
     val toks = cachedTokenFrame(docs, idCol, textCol)
@@ -725,8 +731,13 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     // without the checkpoint the whole span pipeline upstream executes
     // once per consumer (the annInvariantGate shared-consumer lesson);
     // bounded at sampleK rows, so materialization is safe
+    val sampleOrder =
+      if (sampleByHash)
+        Seq(md5(concat_ws(" ", col(idCol), col("start_pos"))),
+          col(idCol), col("start_pos"))
+      else Seq(desc("span_len"), col(idCol), col("start_pos"))
     val sample = spans
-      .orderBy(desc("span_len"), col(idCol), col("start_pos"))
+      .orderBy(sampleOrder: _*)
       .limit(sampleK)
       .withColumn("_g", unhex(md5(concat_ws(" ",
         slice(split(col("span_text"), " "), 1, n)))))

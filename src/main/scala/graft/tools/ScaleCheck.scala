@@ -248,6 +248,32 @@ object ScaleCheck {
           sum(col("text_len")).as("sum_text_len"),
           sum(col("title_len")).as("sum_title_len"))
     }
+    // Tier — structure-preserving Markdown render (r18): toMarkdown's
+    // FULL pass stack over a page carrying every structural feature —
+    // nested ol/ul, blockquote, a span-bearing sectioned table (the
+    // gridOfTable aggregate fold), a dl, a fenced language-tagged pre
+    // — wrapped around the doc's text payload. Everything is chained
+    // regexp_replace + replaceEach stitches + array HOF folds: one
+    // narrow per-row projection, ZERO shuffle; the tier prices the
+    // per-byte regex/HOF cost (the q279 180 s lesson made this stack's
+    // constant factor a measured quantity, not a hope) and its wall
+    // must track corpus bytes linearly.
+    def tierMarkdownRender(s: Int): DataFrame = {
+      val html = docs(s).select(col("doc_id"), concat(
+        lit("<html><body><h1>Doc</h1>" +
+          "<ul><li>alpha<ol><li>one</li><li>two</li></ol></li><li>beta</li></ul>" +
+          "<blockquote><p>quote a</p><p>quote b</p></blockquote>" +
+          "<table><tfoot><tr><td>sum</td><td>9</td><td>kg</td></tr></tfoot>" +
+          "<thead><tr><th colspan=2>Key</th><th>Unit</th></tr></thead>" +
+          "<tbody><tr><td rowspan=\"2\">w</td><td>1</td><td>kg</td></tr>" +
+          "<tr><td>2</td><td>kg</td></tr></tbody></table>" +
+          "<dl><dt>term</dt><dd>def one</dd><dd>def two</dd></dl>" +
+          "<pre><code class=\"language-python\">if (a &lt; b) {\n  x  = 1;\n}" +
+          "</code></pre><p>"),
+        col("text"), lit("</p></body></html>")).as("html"))
+      html.select(col("doc_id"),
+        length(graft.ext.Html.toMarkdown(col("html"))).as("md_len"))
+    }
     // Tier — WARC write→read round trip (r16): the container's output
     // side at archive shape — 64 records per blob (one shuffle groups
     // them), per-record gzip members on the write, streaming
@@ -600,6 +626,7 @@ object ScaleCheck {
       ("image_band16_join", tierBandJoin(16)),
       ("image_band32_join", tierBandJoin(32)),
       ("crawl_extract_stack", tierCrawlStack),
+      ("markdown_render", tierMarkdownRender),
       ("warc_write_read", tierWarcRoundTrip),
       ("url_blocklist_match", tierBlocklist),
       ("line_dedup_global", tierLineDedup),
@@ -885,7 +912,24 @@ object ScaleCheck {
     md.append("  the GlobalIndex gear (range exchange + per-partition offset\n")
     md.append("  numbering) ranking every URL by (change_ppm desc, url); the\n")
     md.append("  skew-notes line prices the single-stage Window control at the\n")
-    md.append("  top scale — the one-sort-partition shape the gear replaces;\n")
+    md.append("  top scale — the one-sort-partition shape the gear replaces.\n")
+    md.append("  Standing note (r18): this tier is OVERHEAD-BOUND through 256×\n")
+    md.append("  — per-URL rows are ~35 bytes, so even 1.28M URLs shuffle only\n")
+    md.append("  ~23 MB and every leg is dominated by fixed job cost (the range\n")
+    md.append("  exchange setup, the O(#partitions) count job, the offsets\n")
+    md.append("  broadcast); its wall column cannot price growth at these\n")
+    md.append("  scales and may read non-monotonic on any host — the honest\n")
+    md.append("  growth signal is the exactly-linear shuffle column plus the\n")
+    md.append("  single-stage-window control, whose gap is the one that widens\n")
+    md.append("  with scale (its sort partition is the whole corpus);\n")
+    md.append("  markdown_render (r18, q275/q278/q284–q288) — Html.toMarkdown's\n")
+    md.append("  full pass stack (nested lists, blockquote, the gridOfTable\n")
+    md.append("  span-fold over a SECTIONED table, dl, a language-tagged fence)\n")
+    md.append("  wrapped around each doc's text: chained regex + interpreted\n")
+    md.append("  array-HOF folds, one narrow projection, zero shuffle — the\n")
+    md.append("  tier pins the stack's per-byte constant factor (the q279\n")
+    md.append("  interpreted-HOF multi-reference trap made that factor a\n")
+    md.append("  measured quantity) and its wall must track corpus bytes;\n")
     md.append("  the bucketed J3 training-set join vs its unbucketed control (both\n")
     md.append("  forced sort-merge — broadcast off; the bucketed feature side is\n")
     md.append("  written once per scale, build seconds logged untimed, and every\n")

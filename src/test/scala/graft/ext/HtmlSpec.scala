@@ -541,6 +541,82 @@ class HtmlSpec extends SparkSpec {
       ("http://b/?x=1&y=2", None, None, None)))
   }
 
+  test("toMarkdown: definition lists render Markdown-Extra term/: lines (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // closed and close-less forms mix (the spec makes </dt>/</dd>
+    // optional); consecutive <dd> each get their own ': ' line
+    val html = "<p>intro</p><dl><dt>Term A</dt><dd>def one</dd>" +
+      "<dd>def two</dd><dt>Term <b>B</b><dd>def three</dl><p>tail</p>"
+    assert(md(html) ===
+      "intro\n\nTerm A\n: def one\n: def two\n\nTerm **B**\n: def three\n\ntail")
+    // dd-only and empty dl degrade without fabricating terms
+    assert(md("<dl><dd>orphan</dd></dl>") === ": orphan")
+    assert(md("<p>a</p><dl></dl><p>b</p>") === "a\n\nb")
+    // block p/br inside a definition fold to its line — a paragraph
+    // break would split the ': ' prefix from its text
+    assert(md("<dl><dt>t</dt><dd><p>one</p><p>two</p></dd></dl>") ===
+      "t\n: one two")
+  }
+
+  test("toMarkdown: fence info string from language-/lang- class (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // the highlight.js/Prism convention, on the inner <code>
+    assert(md("<pre><code class=\"language-python\">x = 1</code></pre>") ===
+      "```python\nx = 1\n```")
+    // the short lang- form, on the <pre> itself, case-folds
+    assert(md("<pre class='lang-JS'>f()</pre>") === "```js\nf()\n```")
+    // 'clang-format' must NOT match (word boundary before 'lang');
+    // class-less blocks keep the bare fence
+    assert(md("<pre class=\"clang-format\">y</pre>") === "```\ny\n```")
+    assert(md("<pre>z</pre>") === "```\nz\n```")
+    // the class-value scan must not escape the attribute: an UNQUOTED
+    // class followed by a lang-bearing OTHER attribute stays bare
+    assert(md("<pre class=x id=lang-y>w</pre>") === "```\nw\n```")
+    // multi-class value: the language token is found mid-list
+    assert(md("<pre><code class=\"hl language-go s\">g()</code></pre>") ===
+      "```go\ng()\n```")
+    // attribute names case-fold like the values: an all-caps CLASS
+    // must not skip the harvest (the contains-probe folds too)
+    assert(md("<pre><code CLASS=\"LANGUAGE-RUST\">r()</code></pre>") ===
+      "```rust\nr()\n```")
+  }
+
+  test("extractTableGrids: thead/tfoot row groups reorder to render order (r18)") {
+    import spark.implicits._
+    def grids(h: String): Seq[(Seq[Seq[String]], Seq[Boolean])] =
+      Seq(h).toDF("h").select(Html.extractTableGrids(col("h")).as("g"))
+        .as[Seq[(Seq[Seq[String]], Seq[Boolean], String)]].head()
+        .map(t => (t._1, t._2))
+    // the spec-legal streaming form: tfoot written FIRST renders last
+    val streaming = "<table><tfoot><tr><td>total</td></tr></tfoot>" +
+      "<thead><tr><th>h</th></tr></thead>" +
+      "<tbody><tr><td>a</td></tr></tbody></table>"
+    val Seq((g1, h1)) = grids(streaming)
+    assert(g1 === Seq(Seq("h"), Seq("a"), Seq("total")))
+    assert(h1 === Seq(true, false, false))
+    // close-less sections (</thead>/</tfoot> optional) end at the
+    // next row-group open or the table end
+    val closeless = "<table><thead><tr><th>h</th></tr>" +
+      "<tbody><tr><td>a</td></tr><tfoot><tr><td>t</td></tr></table>"
+    val Seq((g2, _)) = grids(closeless)
+    assert(g2 === Seq(Seq("h"), Seq("a"), Seq("t")))
+    // the source-position HARVEST keeps source order — its documented
+    // contract is where cells sit in the bytes, not render order
+    val harvest = Seq(streaming).toDF("h")
+      .select(Html.extractTables(col("h")).as("t"))
+      .as[Seq[Seq[Seq[String]]]].head()
+    assert(harvest === Seq(Seq(Seq("total"), Seq("h"), Seq("a"))))
+    // GFM rendering rides the reorder: the thead row reaches row 1 and
+    // emits the separator even when tfoot leads the source
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    assert(md(streaming) === "| h |\n| --- |\n| a |\n| total |")
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still

@@ -408,9 +408,25 @@ class RetrievalSpec extends SparkSpec {
       (10L, 2L, 4L, "a b c d", true),
       (11L, 1L, 4L, "b c d e", true)))
     assert(got.count(!_._5) * 3 === got.size) // rate exactly 1/3
-    // sampleK bounds the verification (longest spans first)
-    assert(TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3,
-      chainSpans, sampleK = 1).count() === 1L)
+    // sampleK bounds the verification (longest spans first): the
+    // default order targets the worst span — the over-extended one —
+    // so the k=1 screen is upper-bound-biased BY DESIGN
+    val screened = TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3,
+      chainSpans, sampleK = 1)
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(screened === Seq((9L, 1L, 5L, "a b c d e", false)))
+    // sampleByHash draws uniformly (hash of doc+start, not length):
+    // the k=1 sample is the hash-minimal span, NOT the longest — a
+    // different row here — and at full k the verdict set is identical
+    val hashed = TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3,
+      chainSpans, sampleK = 1, sampleByHash = true)
+      .as[(Long, Long, Long, String, Boolean)].collect().toSeq
+    assert(hashed.size === 1)
+    assert(hashed.head._1 === 10L)
+    val hashedAll = TextAnalysis.verifyDupSpans(chain, "doc_id", "text", 3,
+      chainSpans, sampleK = 100, sampleByHash = true)
+      .as[(Long, Long, Long, String, Boolean)].collect().sortBy(_._1).toSeq
+    assert(hashedAll === got)
   }
 
   test("scrubContaminated: probe spans removed, clean docs untouched") {
