@@ -455,6 +455,85 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
         col("span_text"), col("witnessed"))
       .orderBy("doc_id", "start_pos")
   }
+
+  /** Row-group rowspan CLIP as a hash gate
+    * ([[graft.ext.Html.extractTableGrids]], r18 second wave — closing
+    * the "a rowspan pending at a group boundary keeps filling"
+    * simplification): table 0 carries a tbody cell with `rowspan=9` —
+    * far past its two-row group — whose fill must STOP at the tbody
+    * end (the tfoot row lays out from column 0, un-shifted and
+    * un-filled; before the clip it arrived shifted right with the
+    * span text prefilled). Every second doc adds a `rowspan=0` table:
+    * the HTML "to the end of the row GROUP" form, filling the rest of
+    * its tbody and leaving the tfoot row to pad. Oracle: the clipped
+    * rectangles restated.
+    */
+  def rowgroupClipGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(7)).cast("string")
+    val second = when(pmod(i, lit(2)) === 0, concat(
+        lit("<table><tbody><tr><td rowspan=0>z "), g,
+        lit("</td><td>a</td></tr><tr><td>b "), istr,
+        lit("</td></tr></tbody><tfoot><tr><td>f</td></tr></tfoot></table>")))
+      .otherwise(lit(""))
+    val html = concat(
+      lit("<table><thead><tr><th>Item "), g,
+      lit("</th><th>Q</th></tr></thead><tbody><tr><td rowspan=9>grp "), istr,
+      lit("</td><td>a "), istr,
+      lit("</td></tr><tr><td>b</td></tr></tbody><tfoot><tr><td>tot "), istr,
+      lit("</td><td>"), g, lit("</td></tr></tfoot></table>"), second)
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        graft.ext.Html.extractTableGrids(html).as("tables"))
+      .select(col("doc_id"),
+        posexplode(col("tables")).as(Seq("table_idx", "tb")))
+      .select(col("doc_id"), col("table_idx").cast("long").as("table_idx"),
+        posexplode(arrays_zip(col("tb.grid"), col("tb.header")))
+          .as(Seq("row_idx", "row")))
+      .select(col("doc_id"), col("table_idx"),
+        col("row_idx").cast("long").as("row_idx"),
+        col("row.header").as("is_header"),
+        concat_ws("|", col("row.grid")).as("cells"))
+      .orderBy("doc_id", "table_idx", "row_idx")
+  }
+
+  /** Markdown inline extensions as a hash gate
+    * ([[graft.ext.Html.toMarkdown]], r18 second wave — the fresh-eyes
+    * closures): one page per doc exercising all four —
+    *
+    *   - `<del>`/`<s>` → GFM `~~` strikethrough;
+    *   - a `<caption>`-bearing table: the caption renders as a plain
+    *     paragraph above the rows (its text used to VANISH with the
+    *     tag strip), entity decoding document-final;
+    *   - a code span whose body carries a backtick → the CommonMark
+    *     longer-delimiter + space-padding form `` `` a ` b `` ``;
+    *   - a `<pre>` body containing a ``` run → the fence escalates to
+    *     four backticks (a body line opening with the fence string
+    *     would close it early).
+    *
+    * Oracle: the expected Markdown restated per block.
+    */
+  def markdownInlineGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(5)).cast("string")
+    val html = concat(
+      lit("<html><body><p>old <del>gone "), istr,
+      lit("</del> and <s>skip "), g,
+      lit("</s></p><table><caption>Spec &amp; g"), g,
+      lit("</caption><tr><th>h</th></tr><tr><td>v "), istr,
+      lit("</td></tr></table><p>use <code>a ` b"), istr,
+      lit("</code></p><pre>x\n```\ny "), g,
+      lit("</pre></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
 }
 
 private[graft] trait OraclesRound18 { this: OracleSnippets =>
@@ -673,6 +752,51 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
         |  CAST(length(md) - length(replace(md, E'\n', '')) + 1 AS BIGINT)
         |    AS n_lines
         |FROM r ORDER BY doc_id, rec_idx""".stripMargin,
+
+    // q290: the clipped rectangles restated — the tbody rowspan stops
+    // at its group end (tfoot un-shifted, un-filled), rowspan=0 fills
+    // to the group end only, the single-cell tfoot row pads.
+    "q290_rowgroup_clip" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 7 AS VARCHAR) AS g, doc_id % 2 = 0 AS extra
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS table_idx, 0 AS row_idx, TRUE AS is_header,
+        |    'Item ' || g || '|Q' AS cells FROM b
+        |  UNION ALL SELECT doc_id, 0, 1, FALSE, 'grp ' || s || '|a ' || s
+        |    FROM b
+        |  UNION ALL SELECT doc_id, 0, 2, FALSE, 'grp ' || s || '|b' FROM b
+        |  UNION ALL SELECT doc_id, 0, 3, FALSE, 'tot ' || s || '|' || g
+        |    FROM b
+        |  UNION ALL SELECT doc_id, 1, 0, FALSE, 'z ' || g || '|a' FROM b
+        |    WHERE extra
+        |  UNION ALL SELECT doc_id, 1, 1, FALSE, 'z ' || g || '|b ' || s
+        |    FROM b WHERE extra
+        |  UNION ALL SELECT doc_id, 1, 2, FALSE, 'f|' FROM b WHERE extra)
+        |SELECT doc_id, CAST(table_idx AS BIGINT) AS table_idx,
+        |  CAST(row_idx AS BIGINT) AS row_idx, is_header, cells
+        |FROM r ORDER BY doc_id, table_idx, row_idx""".stripMargin,
+
+    // q291: the expected Markdown restated per block — strikethrough,
+    // the caption paragraph, the padded code span, the escalated
+    // 4-backtick fence around a ``` body line.
+    "q291_markdown_inline" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    'old ~~gone ' || s || '~~ and ~~skip ' || g || '~~' || E'\n\n'
+        |      || 'Spec & g' || g || E'\n\n'
+        |      || '| h |' || E'\n' || '| --- |' || E'\n'
+        |      || '| v ' || s || ' |' || E'\n\n'
+        |      || 'use `` a ` b' || s || ' ``' || E'\n\n'
+        |      || '````' || E'\n' || 'x' || E'\n' || '```' || E'\n'
+        |      || 'y ' || g || E'\n' || '````' AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // q283: the q272 span table with witnessed = TRUE — every span in
     // the family fixture has a verbatim witness doc.

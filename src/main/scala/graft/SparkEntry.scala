@@ -332,6 +332,8 @@ object SparkEntry {
     "q287_table_sections" -> ((s, d) => PipelinesExt.tableSectionsGate(s, d)),
     "q288_fence_lang" -> ((s, d) => PipelinesExt.fenceLangGate(s, d)),
     "q289_markdown_corpus" -> ((s, d) => PipelinesExt.markdownCorpusGate(s, d)),
+    "q290_rowgroup_clip" -> ((s, d) => PipelinesExt.rowgroupClipGate(s, d)),
+    "q291_markdown_inline" -> ((s, d) => PipelinesExt.markdownInlineGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

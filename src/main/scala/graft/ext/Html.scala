@@ -370,13 +370,24 @@ object Html {
             "\\blang(?:uage)?-([A-Za-z0-9_+#.-]+)", 1)))
       val body = regexp_extract(m, "(?is)^<pre\\b[^>]*>(.*)</pre\\s*>$", 1)
       val noTags = regexp_replace(body, "<[^>]*>", "")
-      val trimmed = regexp_replace(noTags, "(?s)^\\s+|\\s+$", "")
-      val protectd = regexp_replace(regexp_replace(regexp_replace(
-        regexp_replace(trimmed, " ", MarkSp), "\\n", MarkNl), "\\t", MarkTab),
-        "<", MarkLt)
-      when(trimmed === "", lit(" "))
-        .otherwise(concat(lit("\n\n```"), lang, lit(MarkNl), protectd,
-          lit(MarkNl + "```\n\n")))
+      // bind: trimmed is referenced by the guard, the protection
+      // chain AND the fence-width scan below — unbound it would re-run
+      // the strip chain per reference
+      bind(regexp_replace(noTags, "(?s)^\\s+|\\s+$", ""), trimmed => {
+        val protectd = regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(trimmed, " ", MarkSp), "\\n", MarkNl), "\\t", MarkTab),
+          "<", MarkLt)
+        // CommonMark: a backtick fence must be LONGER than any backtick
+        // run in the body, or a body line opening with ``` closes the
+        // fence early — escalate to maxRun+1 (floor 3)
+        val maxRun = aggregate(
+          regexp_extract_all(trimmed, lit("(`+)"), lit(1)),
+          lit(0), (a, r) => greatest(a, length(r)))
+        val fence = repeat(lit("`"), greatest(maxRun + 1, lit(3)))
+        when(trimmed === "", lit(" "))
+          .otherwise(concat(lit("\n\n"), fence, lang, lit(MarkNl), protectd,
+            lit(MarkNl), fence, lit("\n\n")))
+      })
     })
 
   /** One table render pass for [[toMarkdown]]: each `<table>` becomes
@@ -408,9 +419,19 @@ object Html {
               slice(lines, lit(1), lit(1)), array(sep),
               slice(lines, lit(2), greatest(size(lines) - 1, lit(0)))))
             .otherwise(lines)
+          // the <caption> names the table — without this line its text
+          // vanished with the tag strip (r18 fresh-eyes). Plain
+          // paragraph above the rows (GFM has no caption syntax);
+          // inline marks inside it are already rendered, entities
+          // decode document-finally with everything else.
+          val cap = regexp_replace(regexp_replace(regexp_extract(m,
+            "(?is)<caption\\b[^>]*>(.*?)</caption\\s*>", 1),
+            "<[^>]*>", " "), "(?s)^\\s+|\\s+$", "")
+          val capBlock = when(cap === "", lit(""))
+            .otherwise(concat(cap, lit("\n\n")))
           when(size(lines) === 0, lit(" "))
-            .otherwise(concat(lit("\n\n"), array_join(bodyLines, "\n"),
-              lit("\n\n")))
+            .otherwise(concat(lit("\n\n"), capBlock,
+              array_join(bodyLines, "\n"), lit("\n\n")))
         })))
 
   /** One innermost-list render pass for [[toMarkdown]]: every
@@ -524,9 +545,12 @@ object Html {
     *   - `blockquote` → `> `-prefixed lines (paragraph breaks inside
     *     a quote fold to quoted line breaks; quotes nested deeper
     *     than two levels flatten);
-    *   - `b`/`strong` → `**`, `i`/`em` → `*`, `code` → backticks —
-    *     same-tag NESTING flattens (`<b>a <b>c</b> d</b>` →
-    *     `**a c** d`, the r17-documented regex-matcher degradation);
+    *   - `b`/`strong` → `**`, `i`/`em` → `*`, `del`/`s`/`strike` →
+    *     `~~` (GFM strikethrough, r18), `code` → backticks (a body
+    *     carrying backticks takes the CommonMark longer-delimiter +
+    *     space-padding form, r18) — same-tag NESTING flattens
+    *     (`<b>a <b>c</b> d</b>` → `**a c** d`, the r17-documented
+    *     regex-matcher degradation);
     *   - `img` → `![alt](src)` (alt optional, attributes in either
     *     order, all three quoting forms; src-less imgs drop), BEFORE
     *     anchors so `<a href=u><img ...></a>` renders the Markdown
@@ -536,14 +560,16 @@ object Html {
     *     whitespace and literal `<` (protection markers carry them
     *     past every later pass — [[renderPreBlocks]]), the fence
     *     carrying the `language-x`/`lang-x` class as its info string
-    *     when declared; `hr` → `---`;
+    *     when declared and ESCALATING past any backtick run in the
+    *     body (CommonMark close-early rule, r18); `hr` → `---`;
     *   - `dl` → Markdown-Extra definition lists (term line + `: `
     *     definition lines — [[renderDefinitionLists]]);
     *   - `table` → GitHub-flavored Markdown tables over the span-
     *     expanded rectangle ([[renderTables]] / [[gridOfTable]]):
     *     `| a | b |` rows, the `| --- |` separator after a leading
     *     all-`<th>` row, cell pipes escaped, thead/tfoot row groups
-    *     in render order;
+    *     in render order, the `<caption>` text as a plain paragraph
+    *     above the rows (r18 — it vanished with the tag strip before);
     *   - `script`/`style` die with their bodies, every other tag
     *     drops, entities decode LAST ([[decodeEntities]]' single-pass
     *     semantics — note this also decodes inside rendered `code`
@@ -573,7 +599,23 @@ object Html {
     // inline marks first (so anchor text keeps them)
     val strong = re(fenced, "(?is)<(b|strong)\\b[^>]*>(.*?)</\\1\\s*>", "**$2**")
     val em = re(strong, "(?is)<(i|em)\\b[^>]*>(.*?)</\\1\\s*>", "*$2*")
-    val code = re(em, "(?is)<code\\b[^>]*>(.*?)</code\\s*>", "`$1`")
+    val struck = re(em,
+      "(?is)<(del|s|strike)\\b[^>]*>(.*?)</\\1\\s*>", "~~$2~~")
+    // code spans whose body carries backticks take the CommonMark
+    // longer-delimiter + space-padding form (`` `x` ``); the bare
+    // single-backtick wrap would end the span at the body's first
+    // backtick. replaceEach's probe keeps the no-<code> common case
+    // one rlike scan.
+    val code = replaceEach(struck,
+      "<code\\b[^>]*>(?:(?!<code\\b).)*?</code\\s*>", "<code\\b", m =>
+      bind(regexp_extract(m, "(?is)^<code\\b[^>]*>(.*)</code\\s*>$", 1), b => {
+        val maxRun = aggregate(
+          regexp_extract_all(b, lit("(`+)"), lit(1)),
+          lit(0), (a, r) => greatest(a, length(r)))
+        when(maxRun === 0, concat(lit("`"), b, lit("`")))
+          .otherwise(bind(repeat(lit("`"), maxRun + 1), dl =>
+            concat(dl, lit(" "), b, lit(" "), dl)))
+      }))
     // images before anchors: a linked image must render [![alt](x)](u)
     val attr = "(\"[^\"]*\"|'[^']*'|[^\\s>\"'][^\\s>]*)"
     def unq(c: Column): Column =
@@ -677,8 +719,11 @@ object Html {
     *     HTML5 dropped colspan=0, so 0 clamps to 1);
     *   - `rowspan=m` re-occupies the same column for the next m−1
     *     rows (cells in later source rows shift PAST occupied
-    *     columns, exactly the browser's slot-filling rule);
-    *     `rowspan=0` is the HTML "to the end of the table" form;
+    *     columns, exactly the browser's slot-filling rule); a span
+    *     CLIPS at its row-group boundary (r18 — the browser model
+    *     scopes spans to their group, so a tbody span never bleeds
+    *     into tfoot); `rowspan=0` is the HTML "to the end of the row
+    *     group" form (for a section-free table, the table);
     *   - ragged rows pad with empty strings to the table's maximum
     *     width; `header` marks rows whose cells are ALL `<th>`;
     *   - `caption` is the first `<caption>` element's text (empty
@@ -689,10 +734,9 @@ object Html {
     *     rows outside any `<tfoot>`/`<thead>` wrapper (tbody or
     *     loose), then every `<tfoot>` row LAST — a tfoot written
     *     before the body (the spec-legal streaming form) lands at the
-    *     bottom where it renders. One documented simplification
-    *     remains: a `rowspan` pending at a group boundary keeps
-    *     filling into the NEXT group's rows (browsers clip spans at
-    *     their row group; real tfoot/thead cells rarely span);
+    *     bottom where it renders, and a `rowspan` pending at a group
+    *     boundary CLIPS there (r18 — the browser model scopes spans
+    *     to their row group);
     *
     * Per-cell text follows [[extractTables]]' contract (inline tags
     * strip, entities decode, whitespace collapses). Same documented
@@ -750,17 +794,24 @@ object Html {
       // row groups reorder to render order: thead, body (tbody or
       // loose rows), tfoot — the HTML table model. The cheap
       // contains-probe skips the three-way restructuring for the
-      // overwhelmingly common section-free table.
+      // overwhelmingly common section-free table. Each row carries its
+      // group id (0 = thead, 1 = body, 2 = tfoot) so the fold below
+      // can CLIP pending rowspans at a group boundary — the browser
+      // table model scopes a span to its row group.
       val sectioned = lower(tb).contains("<thead") ||
         lower(tb).contains("<tfoot")
       val bodyOnly = regexp_replace(regexp_replace(tb,
         secPat("thead"), " "), secPat("tfoot"), " ")
-      val rowBodies = when(!sectioned, rowsOf(tb))
-        .otherwise(concat(sectionRows("thead"), rowsOf(bodyOnly),
-          sectionRows("tfoot")))
+      def grouped(rs: Column, grp: Int): Column =
+        transform(rs, r => struct(r.as("b"), lit(grp).as("g")))
+      val rowBodies = when(!sectioned, grouped(rowsOf(tb), 1))
+        .otherwise(concat(grouped(sectionRows("thead"), 0),
+          grouped(rowsOf(bodyOnly), 1),
+          grouped(sectionRows("tfoot"), 2)))
       // per source row: colspan-expanded cells (text + remaining
       // rowspan) and the all-th header flag
-      val rows = transform(rowBodies, r => {
+      val rows = transform(rowBodies, rb => {
+        val r = rb.getField("b")
         val elems = regexp_extract_all(r,
           lit("(?is)<t[dh]\\b[^>]*>.*?</t[dh]\\s*>"), lit(0))
         val cellsExpr = transform(elems, e => {
@@ -795,7 +846,8 @@ object Html {
             transform(sequence(lit(1), c.getField("cs")),
               _ => struct(c.getField("t").as("t"), c.getField("rs").as("rs")))))
           struct(expanded.as("cells"),
-            (size(cells) > 0 && forall(cells, _.getField("th"))).as("th"))
+            (size(cells) > 0 && forall(cells, _.getField("th"))).as("th"),
+            rb.getField("g").as("g"))
         })
       })
       // the row walk: pending rowspans (remaining count + text per
@@ -804,7 +856,8 @@ object Html {
         array().cast("array<array<string>>").as("out"),
         array().cast("array<boolean>").as("hdr"),
         array().cast("array<int>").as("pn"),
-        array().cast("array<string>").as("pt"))
+        array().cast("array<string>").as("pt"),
+        lit(-1).as("pg"))
       // the whole walk happens inside ONE aggregate whose FINISH
       // lambda does the rectangularization: finish receives the
       // accumulator as a BOUND variable, so referencing it for maxW
@@ -815,8 +868,17 @@ object Html {
       // 2 s on the q279 gate)
       aggregate(rows, zero, (acc, row) => {
         val src = row.getField("cells")
-        val pn = acc.getField("pn")
-        val pt = acc.getField("pt")
+        // rowspan CLIP at group boundaries (r18): a span pends only
+        // within its own row group — on a group change the pending
+        // arrays reset, so a tbody span never bleeds into tfoot and
+        // rowspan=0 ("to the end of the row group", HTML spec) ends
+        // exactly where the group does. The very first row sees
+        // pg = -1 ≠ g with pending already empty — a no-op.
+        val sameGrp = acc.getField("pg") === row.getField("g")
+        val pn = when(sameGrp, acc.getField("pn"))
+          .otherwise(array().cast("array<int>"))
+        val pt = when(sameGrp, acc.getField("pt"))
+          .otherwise(array().cast("array<string>"))
         val pLen = size(pn)
         // bind occ and placed: each is referenced several times below
         // and interpreted HOFs re-evaluate per reference
@@ -848,7 +910,8 @@ object Html {
               array(transform(placed, _.getField("t")))).as("out"),
             concat(acc.getField("hdr"), array(row.getField("th"))).as("hdr"),
             transform(placed, _.getField("n")).as("pn"),
-            transform(placed, _.getField("p")).as("pt")))
+            transform(placed, _.getField("p")).as("pt"),
+            row.getField("g").as("pg")))
         })
       }, acc => {
         // rectangularize: pad every row to the table's max width

@@ -617,6 +617,62 @@ class HtmlSpec extends SparkSpec {
     assert(md(streaming) === "| h |\n| --- |\n| a |\n| total |")
   }
 
+  test("toMarkdown: strikethrough, code-span padding, fence escalation, captions (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // GFM strikethrough, all three tag spellings
+    assert(md("<p>a <del>b</del> <s>c</s> <strike>d</strike></p>") ===
+      "a ~~b~~ ~~c~~ ~~d~~")
+    // a code-span body carrying a backtick takes the CommonMark
+    // longer-delimiter + space-padding form; backtick-free bodies keep
+    // the bare single-backtick wrap
+    assert(md("<p>run <code>a ` b</code> now</p>") === "run `` a ` b `` now")
+    assert(md("<p>run <code>ls</code> now</p>") === "run `ls` now")
+    // double-backtick body escalates to a triple delimiter
+    assert(md("<p><code>x `` y</code></p>") === "``` x `` y ```")
+    // a fenced body containing a ``` run escalates the fence to 4
+    // backticks (CommonMark: a body line opening with the fence string
+    // would close it early); fence-safe bodies keep ```
+    assert(md("<pre>code\n```\nmore</pre>") === "````\ncode\n```\nmore\n````")
+    // the <caption> renders as a plain paragraph above the rows (its
+    // text used to vanish with the tag strip); caption-less tables are
+    // unchanged
+    assert(md("<table><caption>Spec &amp; caps</caption>" +
+      "<tr><th>h</th></tr><tr><td>a</td></tr></table>") ===
+      "Spec & caps\n\n| h |\n| --- |\n| a |")
+    assert(md("<table><tr><td>a</td></tr></table>") === "| a |")
+  }
+
+  test("extractTableGrids: rowspan clips at its row-group boundary (r18)") {
+    import spark.implicits._
+    def grids(h: String): Seq[(Seq[Seq[String]], Seq[Boolean])] =
+      Seq(h).toDF("h").select(Html.extractTableGrids(col("h")).as("g"))
+        .as[Seq[(Seq[Seq[String]], Seq[Boolean], String)]].head()
+        .map(t => (t._1, t._2))
+    // a tbody span larger than its group CLIPS at the group end: the
+    // tfoot row lays out from column 0, un-shifted and un-filled
+    val overSpan = "<table><thead><tr><th>h1</th><th>h2</th></tr></thead>" +
+      "<tbody><tr><td rowspan=9>span</td><td>a</td></tr>" +
+      "<tr><td>b</td></tr></tbody>" +
+      "<tfoot><tr><td>f1</td><td>f2</td></tr></tfoot></table>"
+    val Seq((g1, _)) = grids(overSpan)
+    assert(g1 === Seq(Seq("h1", "h2"), Seq("span", "a"), Seq("span", "b"),
+      Seq("f1", "f2")))
+    // rowspan=0 is "to the end of the ROW GROUP" (HTML spec): it fills
+    // the rest of its tbody and stops there
+    val zeroSpan = "<table><tbody><tr><td rowspan=0>z</td><td>a</td></tr>" +
+      "<tr><td>b</td></tr></tbody>" +
+      "<tfoot><tr><td>f</td></tr></tfoot></table>"
+    val Seq((g2, _)) = grids(zeroSpan)
+    assert(g2 === Seq(Seq("z", "a"), Seq("z", "b"), Seq("f", "")))
+    // section-free tables are one group: spans fill as before
+    val plain = "<table><tr><td rowspan=2>s</td><td>a</td></tr>" +
+      "<tr><td>b</td></tr></table>"
+    val Seq((g3, _)) = grids(plain)
+    assert(g3 === Seq(Seq("s", "a"), Seq("s", "b")))
+  }
+
   test("extractMainText splits on block tags whose attributes span newlines") {
     import spark.implicits._
     // real tag soup line-wraps inside tags: <div\nclass=...> must still
