@@ -534,6 +534,73 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
         size(split(col("markdown"), "\n", -1)).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** `<ol start>` numbering as a hash gate ([[graft.ext.Html
+    * .toMarkdown]], r18 third wave): the interrupted-list page shape —
+    * a first `<ol>` (1. 2.), prose, then `<ol start="3">` RESUMING at
+    * 3. 4. (docs/tutorial pages split numbered steps around prose
+    * constantly; before this the second list restarted at 1 and the
+    * numbering signal lied). A nested `<ol start=5>` inside a `<ul>`
+    * item numbers 5. 6. through the indent passes, and a
+    * `data-start=9` decoy list stays 1. (whitespace-preceded
+    * attribute rule). Oracle: the resumed numbering restated.
+    */
+  def olStartGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(5)).cast("string")
+    val html = concat(
+      lit("<html><body><ol><li>step one "), istr,
+      lit("</li><li>step two</li></ol><p>note "), g,
+      lit("</p><ol start=\"3\"><li>step three "), istr,
+      lit("</li><li>step four</li></ol>" +
+        "<ul><li>outer<ol start=5><li>inner "), g,
+      lit("</li><li>last</li></ol></li></ul>" +
+        "<ol data-start=9><li>decoy "), istr,
+      lit("</li></ol></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** Main-content Markdown as a hash gate
+    * ([[graft.ext.Html.toMainMarkdown]], r18 third wave): the full
+    * page shape — `<head>` with an SEO title (whose text LEAKS
+    * through a tag-only strip), nav links, a site-banner `<header>`,
+    * the real content (heading, prose, ordered list, GFM table), an
+    * `<aside>` promo, a `<form>`, a `<footer>` — reduced to the main
+    * content's Markdown only. The chrome text (title, menu, banner,
+    * promo, copyright) must appear NOWHERE in any output row at any
+    * SF. Oracle: the main-content Markdown restated.
+    */
+  def mainMarkdownGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val g = pmod(i, lit(5)).cast("string")
+    val html = concat(
+      lit("<html><head><title>SEO "), istr,
+      lit(" | Site</title><meta name=d content=x></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a href=\"/p/"), istr,
+      lit("\">More</a></nav><header><h1>Banner "), g,
+      lit("</h1></header><h1>Guide "), g,
+      lit("</h1><p>Intro "), istr,
+      lit(".</p><ol><li>one "), istr,
+      lit("</li><li>two</li></ol><table><tr><th>K</th></tr><tr><td>v "), g,
+      lit("</td></tr></table><aside>Promo "), istr,
+      lit("</aside><form><input name=q><button>Go</button></form>" +
+        "<footer>&copy; 2024 Site</footer></body></html>"))
+    t(s, d, "documents")
+      .select(col("doc_id"), html.as("html"))
+      .select(col("doc_id"),
+        graft.ext.Html.toMainMarkdown(col("html")).as("markdown"))
+      .withColumn("n_lines",
+        size(split(col("markdown"), "\n", -1)).cast("long"))
+      .orderBy("doc_id")
+  }
 }
 
 private[graft] trait OraclesRound18 { this: OracleSnippets =>
@@ -792,6 +859,45 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
         |      || 'use `` a ` b' || s || ' ``' || E'\n\n'
         |      || '````' || E'\n' || 'x' || E'\n' || '```' || E'\n'
         |      || 'y ' || g || E'\n' || '````' AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q292: the resumed numbering restated — 1. 2. / 3. 4. around the
+    // prose break, the nested start=5 list indented, the data-start
+    // decoy back at 1.
+    "q292_ol_start" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    '1. step one ' || s || E'\n' || '2. step two' || E'\n\n'
+        |      || 'note ' || g || E'\n\n'
+        |      || '3. step three ' || s || E'\n' || '4. step four' || E'\n\n'
+        |      || '- outer' || E'\n'
+        |      || '  5. inner ' || g || E'\n' || '  6. last' || E'\n\n'
+        |      || '1. decoy ' || s AS markdown
+        |  FROM b)
+        |SELECT doc_id, markdown,
+        |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
+        |    + 1 AS BIGINT) AS n_lines
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q293: the main-content Markdown restated — heading, prose,
+    // numbered list, GFM table; every chrome string (SEO title, menu,
+    // banner, promo, copyright) absent.
+    "q293_main_markdown" ->
+      """WITH b AS (SELECT doc_id, CAST(doc_id AS VARCHAR) AS s,
+        |    CAST(doc_id % 5 AS VARCHAR) AS g
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    '# Guide ' || g || E'\n\n'
+        |      || 'Intro ' || s || '.' || E'\n\n'
+        |      || '1. one ' || s || E'\n' || '2. two' || E'\n\n'
+        |      || '| K |' || E'\n' || '| --- |' || E'\n'
+        |      || '| v ' || g || ' |' AS markdown
         |  FROM b)
         |SELECT doc_id, markdown,
         |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))

@@ -334,6 +334,8 @@ object SparkEntry {
     "q289_markdown_corpus" -> ((s, d) => PipelinesExt.markdownCorpusGate(s, d)),
     "q290_rowgroup_clip" -> ((s, d) => PipelinesExt.rowgroupClipGate(s, d)),
     "q291_markdown_inline" -> ((s, d) => PipelinesExt.markdownInlineGate(s, d)),
+    "q292_ol_start" -> ((s, d) => PipelinesExt.olStartGate(s, d)),
+    "q293_main_markdown" -> ((s, d) => PipelinesExt.mainMarkdownGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql

@@ -449,11 +449,18 @@ object Html {
       "<(?<lt>ul|ol)\\b[^>]*>(?:(?!<[uo]l\\b).)*?</\\k<lt>\\s*>",
       "<[uo]l\\b", b => {
       val ordered = lower(regexp_extract(b, "(?is)^<(ul|ol)", 1)) === "ol"
+      // <ol start="k"> numbering begins at k (r18 third wave — docs
+      // resume interrupted lists with it constantly). The attribute
+      // must be whitespace-preceded INSIDE the open tag (`data-start`
+      // and a 'start' in item text never match); missing/garbage → 1.
+      val startAt = coalesce(regexp_extract(b,
+        "(?is)^<ol\\b[^>]*?\\sstart\\s*=\\s*[\"']?(\\d{1,9})", 1)
+        .try_cast(org.apache.spark.sql.types.IntegerType), lit(1))
       val items = regexp_extract_all(b,
         lit("(?is)<li\\b[^>]*>((?:(?!<li\\b|</li\\s*>|</[uo]l\\b).)*)"), lit(1))
       val lines = zip_with(items, sequence(lit(1), size(items)),
         (t, pos) => concat(lit("\n" + MarkItem),
-          when(ordered, concat(pos.cast("string"), lit(". ")))
+          when(ordered, concat((pos + startAt - 1).cast("string"), lit(". ")))
             .otherwise(lit("- ")),
           // surrounding whitespace is not item content (an already-
           // rendered inner list leaves a trailing newline that would
@@ -537,11 +544,13 @@ object Html {
     *   - `h1..h6` → `#`-runs; `p`/`br` → paragraph/line breaks;
     *   - `ul` → `- ` bullets, `ol` → POSITION-AWARE `1. 2. 3.`
     *     numbering within the list scope (r17 verdict ask #1 — the
-    *     numbers ARE the signal on docs/tutorial pages), nested
-    *     lists indent two spaces PER LEVEL (innermost-first render
-    *     passes; nesting deeper than three levels flattens into the
-    *     third — documented cap). An `<li>` outside any list
-    *     container still renders as a `- ` bullet;
+    *     numbers ARE the signal on docs/tutorial pages), honoring
+    *     `start="k"` (r18 — interrupted lists resume with it; the
+    *     `type` attribute's letter/roman forms render as numbers,
+    *     documented), nested lists indent two spaces PER LEVEL
+    *     (innermost-first render passes; nesting deeper than three
+    *     levels flattens into the third — documented cap). An `<li>`
+    *     outside any list container still renders as a `- ` bullet;
     *   - `blockquote` → `> `-prefixed lines (paragraph breaks inside
     *     a quote fold to quoted line breaks; quotes nested deeper
     *     than two levels flatten);
@@ -670,6 +679,39 @@ object Html {
       MarkSp, " "), MarkNl, "\n"), MarkTab, "\t"), MarkLt, "<")
     trim(restored, " \n")
   }
+
+  /** Page-CHROME strip (r18 third wave): removes the elements whose
+    * bodies are navigation/boilerplate, WITH those bodies —
+    * `<head>` (its `<title>`/`<meta>` text would otherwise leak
+    * through a tag-only strip as prose), `<nav>`, `<header>`,
+    * `<footer>`, `<aside>`, `<form>`, `<noscript>` — the HTML5
+    * semantic-sectioning heuristic readability-lineage extractors
+    * apply before serialization. Deliberately TAG-driven, never
+    * class/id-driven: `class="nav"` heuristics false-positive on real
+    * prose containers, while the semantic tags state their role.
+    * Same-tag nesting strips only the INNER block (the tempered match
+    * cannot cross the nested open — this file's documented regex
+    * degradation); the outer block's own text degrades to prose
+    * rather than vanishing;
+    * a close-less block keeps its content (never silently eats to
+    * end-of-document). Complements [[extractMainText]]'s DENSITY
+    * filter: this keeps structure for [[toMainMarkdown]], that one
+    * scores flat text blocks.
+    */
+  def stripChrome(html: Column): Column =
+    regexp_replace(html,
+      "(?is)<(head|nav|header|footer|aside|form|noscript)\\b[^>]*>" +
+        "(?:(?!<\\1\\b).)*?</\\1\\s*>", " ")
+
+  /** Main-content Markdown (r18 third wave): [[stripChrome]] then
+    * [[toMarkdown]] — the trafilatura-shaped output modern corpus
+    * builds actually store: the page's MAIN content with its
+    * structure (headings, lists, tables, fences) kept, the
+    * nav/footer/sidebar chrome gone. The composition stays one
+    * narrow per-row projection; at 100 TB it rides the scan exactly
+    * like its two halves.
+    */
+  def toMainMarkdown(html: Column): Column = toMarkdown(stripChrome(html))
 
   /** HTML table harvest (r17): `array<array<array<string>>>` —
     * tables → rows → cell texts, in document order. Tables are the

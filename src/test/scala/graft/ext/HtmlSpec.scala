@@ -644,6 +644,23 @@ class HtmlSpec extends SparkSpec {
     assert(md("<table><tr><td>a</td></tr></table>") === "| a |")
   }
 
+  test("toMarkdown: <ol start> resumes numbering; data-start never matches (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMarkdown(col("h"))).as[String].head()
+    // both quoting forms; numbering continues from start
+    assert(md("<ol start=\"4\"><li>a</li><li>b</li></ol>") === "4. a\n5. b")
+    assert(md("<ol class=x start=10><li>p</li><li>q</li></ol>") ===
+      "10. p\n11. q")
+    // data-start is NOT the start attribute (whitespace-preceded rule);
+    // garbage values fall back to 1
+    assert(md("<ol data-start=7><li>a</li><li>b</li></ol>") === "1. a\n2. b")
+    assert(md("<ol start=x><li>a</li></ol>") === "1. a")
+    // an inner ol's own start is honored through the nesting passes
+    assert(md("<ul><li>o<ol start=3><li>i</li><li>j</li></ol></li></ul>") ===
+      "- o\n  3. i\n  4. j")
+  }
+
   test("extractTableGrids: rowspan clips at its row-group boundary (r18)") {
     import spark.implicits._
     def grids(h: String): Seq[(Seq[Seq[String]], Seq[Boolean])] =
@@ -671,6 +688,36 @@ class HtmlSpec extends SparkSpec {
       "<tr><td>b</td></tr></table>"
     val Seq((g3, _)) = grids(plain)
     assert(g3 === Seq(Seq("s", "a"), Seq("s", "b")))
+  }
+
+  test("toMainMarkdown strips chrome with bodies; title never leaks (r18)") {
+    import spark.implicits._
+    def md(h: String): String =
+      Seq(h).toDF("h").select(Html.toMainMarkdown(col("h"))).as[String].head()
+    val page = "<html><head><title>SEO Title | Site</title>" +
+      "<meta name=d content=x></head><body>" +
+      "<nav><a href=\"/\">Home</a> <a href=\"/x\">X</a></nav>" +
+      "<header><h1>Site banner</h1></header>" +
+      "<h1>Real heading</h1><p>Real prose with <b>marks</b>.</p>" +
+      "<ul><li>kept a</li><li>kept b</li></ul>" +
+      "<aside>Promo box</aside>" +
+      "<form><input name=q><button>Go</button></form>" +
+      "<footer>© 2024 Site</footer></body></html>"
+    assert(md(page) ===
+      "# Real heading\n\nReal prose with **marks**.\n\n- kept a\n- kept b")
+    // plain toMarkdown (no chrome strip) LEAKS the title text — the
+    // two operators are deliberately different contracts
+    val plain = Seq(page).toDF("h")
+      .select(Html.toMarkdown(col("h"))).as[String].head()
+    assert(plain.contains("SEO Title"))
+    // nested same tags: only the INNER block strips (the tempered
+    // match cannot cross the nested open); the outer block's own text
+    // degrades to prose rather than vanishing — documented
+    assert(md("<body><header>a<header>b</header>c</header><p>x</p></body>")
+      === "a c\n\nx")
+    // a close-less chrome block keeps its content — never eats to EOF
+    assert(md("<body><nav>menu<p>prose tail</p></body>") ===
+      "menu\n\nprose tail")
   }
 
   test("extractMainText splits on block tags whose attributes span newlines") {
