@@ -601,6 +601,41 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
         size(split(col("markdown"), "\n", -1)).cast("long"))
       .orderBy("doc_id")
   }
+
+  /** Compression-ratio quality signal as a banded invariant gate
+    * ([[graft.functions.CompressionExpressions]], r18 third wave —
+    * the FineWeb/DataTrove-lineage "gzip ratio" filter): three text
+    * classes per doc family — pure repetition (boilerplate shape),
+    * half-repetition half-hex (mixed page), pure md5-hex chains
+    * (encoded-blob shape). DEFLATE bytes are deterministic for a
+    * given zlib but not contractual across versions, so the gate
+    * bands the per-mille ratio (measured centers ≈40 / ≈215 / ≈560,
+    * bands ≤120 / (120,400] / >400 — wide margins) and hashes the
+    * CLASS VERDICT plus the exact byte length; the oracle restates
+    * both from the fixture arithmetic, never from engine output.
+    */
+  def compressRatioGate(s: SparkSession, d: String): DataFrame = {
+    val i = col("doc_id")
+    val istr = i.cast("string")
+    val k = pmod(i, lit(3))
+    val base = "corpus quality signal "
+    def md5chain(n: Int) = concat((0 until n).map(j =>
+      md5(concat(istr, lit(('a' + j).toChar.toString)))): _*)
+    val text = when(k === 0, concat(lit(base * 40), istr))
+      .when(k === 1, concat(lit(base * 20), md5chain(4), istr))
+      .otherwise(concat(md5chain(16), istr))
+    t(s, d, "documents")
+      .select(col("doc_id"), k.as("k"), text.as("text"))
+      .select(col("doc_id"), col("k"),
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        graft.functions.CompressionExpressions
+          .deflateRatioMilli(col("text")).as("r"))
+      .select(col("doc_id"), col("k"), col("n_bytes"),
+        when(col("k") === 0, col("r") <= 120)
+          .when(col("k") === 1, col("r") > 120 && col("r") <= 400)
+          .otherwise(col("r") > 400).as("in_band"))
+      .orderBy("doc_id")
+  }
 }
 
 private[graft] trait OraclesRound18 { this: OracleSnippets =>
@@ -903,6 +938,19 @@ private[graft] trait OraclesRound18 { this: OracleSnippets =>
         |  CAST(length(markdown) - length(replace(markdown, E'\n', ''))
         |    + 1 AS BIGINT) AS n_lines
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // q294: class, byte length (ASCII fixtures: octet = char length;
+    // md5 hex is 32 chars per link), and the band verdict TRUE.
+    "q294_compress_ratio" ->
+      """WITH b AS (SELECT doc_id, doc_id % 3 AS k,
+        |    CAST(doc_id AS VARCHAR) AS s
+        |  FROM documents)
+        |SELECT doc_id, k,
+        |  CAST(CASE WHEN k = 0 THEN 880 + length(s)
+        |            WHEN k = 1 THEN 568 + length(s)
+        |            ELSE 512 + length(s) END AS BIGINT) AS n_bytes,
+        |  TRUE AS in_band
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     // q283: the q272 span table with witnessed = TRUE — every span in
     // the family fixture has a verbatim witness doc.

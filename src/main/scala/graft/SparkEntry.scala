@@ -336,6 +336,7 @@ object SparkEntry {
     "q291_markdown_inline" -> ((s, d) => PipelinesExt.markdownInlineGate(s, d)),
     "q292_ol_start" -> ((s, d) => PipelinesExt.olStartGate(s, d)),
     "q293_main_markdown" -> ((s, d) => PipelinesExt.mainMarkdownGate(s, d)),
+    "q294_compress_ratio" -> ((s, d) => PipelinesExt.compressRatioGate(s, d)),
   )
 
   def oracleSql: Map[String, String] = Oracles.sql ++ OraclesExt.sql
