@@ -26,6 +26,16 @@ private[graft] trait PipelinesBase {
 
   protected def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
 
+  /** [[t]] + the opt-in scan spread ([[Tables.loadSpread]]): for gates
+    * whose scan-stage per-row compute is the bottleneck (measured
+    * wall ≈ cpu on a multi-core session — the serial family). Light
+    * gates stay on [[t]]: the spread's per-task fixed costs (task
+    * deserialization of the plan subtree, agg-map setup, JIT-cold
+    * codegen) outweigh sub-second per-row work.
+    */
+  protected def tSpread(s: SparkSession, d: String, name: String) =
+    Tables.loadSpread(s, d, name)
+
   private val pitStores =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), graft.fs.FeatureStore]()
   protected def fsTempStoreFor(s: SparkSession, d: String): graft.fs.FeatureStore =

@@ -64,7 +64,7 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
     */
   def bpeSegmentDocs(s: SparkSession, d: String): DataFrame = {
     val segs = TextAnalysis.bpeSegment(
-      t(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
+      tSpread(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
     segs.select(col("doc_id"),
       size(TextAnalysis.bpePieces(col("bpe_segments"))).cast("long").as("n_pieces"),
       concat_ws(" | ", col("bpe_segments")).as("seg_text"))

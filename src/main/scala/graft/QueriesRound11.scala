@@ -121,7 +121,7 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
     * label filter) and the vote count.
     */
   def labelNoiseAudit(s: SparkSession, d: String): DataFrame =
-    Retrieval.knnLabelNoise(t(s, d, "embeddings"), "embedding", "vec_id",
+    Retrieval.knnLabelNoise(tSpread(s, d, "embeddings"), "embedding", "vec_id",
       "label", queryIds = (0L until 20L), k = 5, dims = 64)
       .orderBy("vec_id")
 

@@ -85,7 +85,7 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
     * the resizer (lossless) — no codec noise anywhere.
     */
   def imageResizeDedup(s: SparkSession, d: String): DataFrame = {
-    val media = resizeImageMedia(t(s, d, "documents").select(col("doc_id")))
+    val media = resizeImageMedia(tSpread(s, d, "documents").select(col("doc_id")))
     val resized = graft.ext.Multimodal.resizeImages(media, 18, 16)
     val hashes = graft.ext.ImageHash.imageDHash(resized)
     // eager=true: materialize and unpersist the (id, dhash) snapshot
@@ -645,7 +645,7 @@ private[graft] trait PipelinesRound15 { this: PipelinesBase =>
     */
   def crawlFull(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val blobs = t(s, d, "documents").select(col("doc_id")).as[Long]
+    val blobs = tSpread(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
         it.map { i =>
           val k0 = (i % 9).toInt

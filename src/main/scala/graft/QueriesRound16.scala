@@ -717,7 +717,7 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
   def warcCdxAccess(s: SparkSession, d: String): DataFrame = {
     val i = col("doc_id")
     val k = pmod(i, lit(7)).cast("string")
-    val recs = t(s, d, "documents")
+    val recs = tSpread(s, d, "documents")
       .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(3)))).as("j"))
       .select(col("doc_id"), col("j"), lit("response").as("warc_type"),
         concat(lit("http://cdx"), k, lit(".com/p/"), col("j"))
@@ -859,7 +859,7 @@ private[graft] trait PipelinesRound16 { this: PipelinesBase =>
         "</div><p>Documents about topic "), k,
       lit(" continue with ample prose to clear the floor easily é "),
       i, lit("-"), col("j"), lit(".</p></body></html>"))
-    val responses = t(s, d, "documents")
+    val responses = tSpread(s, d, "documents")
       .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(2)))).as("j"))
       .select(col("doc_id"), col("j"), lit("response").as("wt"),
         concat(lit("http://wet"), k, lit(".com/p/"), col("j")).as("uri"),

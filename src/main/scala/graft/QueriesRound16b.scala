@@ -350,7 +350,7 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
   def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
     val T = graft.ext.TextAnalysis
     val toks = T.tokens(lower(col("text")))
-    T.bpeSegment(t(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
+    T.bpeSegment(tSpread(s, d, "documents"), "text", Round10Fixtures.bpeMerges)
       .select(col("lang"),
         size(toks).cast("long").as("w"),
         size(T.bpePieces(col("bpe_segments"))).cast("long").as("p"),
@@ -509,7 +509,7 @@ private[graft] trait PipelinesRound16b { this: PipelinesBase =>
       lit("</head><body><a href=\"/r0\">R</a><a href=\""), secondHref,
       lit("\">A</a></body></html>"))
     val pageUrl = concat(lit("http://b"), g, lit(".com/dir/page.html"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"), pageUrl.as("page_url"))
       .withColumn("base_href", graft.ext.Html.extractBaseHref(col("html")))
       // the base may be relative: resolve it against the page FIRST

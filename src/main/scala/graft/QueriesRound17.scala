@@ -261,7 +261,7 @@ private[graft] trait PipelinesRound17 { this: PipelinesBase =>
       lit("</li><li>see <a href=\"/p/"), istr,
       lit("\"><strong>link</strong></a></li></ul><p>code <code>x="), istr,
       lit("</code>&nbsp;done</p></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMarkdown(col("html")).as("markdown"))

@@ -46,7 +46,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("\"><img src=\"/img/"), istr,
       lit(".png\" alt=\"badge "), istr,
       lit("\"></a> done</p></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMarkdown(col("html")).as("markdown"))
@@ -244,7 +244,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</b></td><td>"), istr,
       lit(" kg</td></tr><tr><td colspan=2>size a|b</td></tr></table>" +
         "<p>done "), g, lit("</p></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMarkdown(col("html")).as("markdown"))
@@ -309,7 +309,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
         lit("</td></tr><tr><td>b "), g,
         lit("</td></tr><tfoot><tr><td>total "), istr,
         lit("</td></tr></table>")))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"),
         graft.ext.Html.extractTableGrids(html).as("tables"))
       .select(col("doc_id"),
@@ -381,7 +381,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</td></tr></table><pre><code class=\"language-py\">x = "), i,
       lit("</code></pre><p>prose text é "), i, lit("-"), col("j"),
       lit(".</p></body></html>"))
-    val responses = t(s, d, "documents")
+    val responses = tSpread(s, d, "documents")
       .select(col("doc_id"), explode(sequence(lit(0), pmod(i, lit(2)))).as("j"))
       .select(col("doc_id"), col("j"), lit("response").as("wt"),
         concat(lit("http://md"), k, lit(".com/p/"), col("j")).as("uri"),
@@ -483,7 +483,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</td><td>a "), istr,
       lit("</td></tr><tr><td>b</td></tr></tbody><tfoot><tr><td>tot "), istr,
       lit("</td><td>"), g, lit("</td></tr></tfoot></table>"), second)
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"),
         graft.ext.Html.extractTableGrids(html).as("tables"))
       .select(col("doc_id"),
@@ -526,7 +526,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</td></tr></table><p>use <code>a ` b"), istr,
       lit("</code></p><pre>x\n```\ny "), g,
       lit("</pre></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMarkdown(col("html")).as("markdown"))
@@ -558,7 +558,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</li><li>last</li></ol></li></ul>" +
         "<ol data-start=9><li>decoy "), istr,
       lit("</li></ol></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMarkdown(col("html")).as("markdown"))
@@ -593,7 +593,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</td></tr></table><aside>Promo "), istr,
       lit("</aside><form><input name=q><button>Go</button></form>" +
         "<footer>&copy; 2024 Site</footer></body></html>"))
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"), html.as("html"))
       .select(col("doc_id"),
         graft.ext.Html.toMainMarkdown(col("html")).as("markdown"))

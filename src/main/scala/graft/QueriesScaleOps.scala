@@ -100,7 +100,7 @@ private[graft] trait PipelinesScaleOps { this: PipelinesBase =>
   // logit sums in the scan projection — the zero-shuffle quality-
   // classifier serving shape.
   def classifierScore(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.hashedLinearScore(t(s, d, "documents"), "doc_id", "text")
+    TextAnalysis.hashedLinearScore(tSpread(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   // Nearest as-of join: each purchase snaps to the temporally CLOSEST

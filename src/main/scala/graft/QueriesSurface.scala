@@ -220,8 +220,12 @@ private[graft] trait PipelinesSurface { this: PipelinesBase =>
   def videoFrameSample(s: SparkSession, d: String): DataFrame = {
     import graft.ext.Multimodal
     import s.implicits._
-    val media = t(s, d, "documents").select(col("doc_id")).as[Long]
+    val media = tSpread(s, d, "documents").select(col("doc_id")).as[Long]
       .mapPartitions { it =>
+        // memory-cache ImageIO streams before the first encode: the
+        // default temp-FILE cache serializes parallel tasks on the
+        // temp dir (see graft.ext.Multimodal's object note)
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { id =>
           val n = (id % 5 + 1).toInt
           val frames = (0 until n).map { i =>

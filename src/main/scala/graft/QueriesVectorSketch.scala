@@ -120,7 +120,7 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
   // bound: rsd ≈ 1/sqrt(k−2) at k=256, bound 3·rsd ≈ 18.8 %. The
   // exact/merge contracts remain spec-tested (SketchSpec).
   def kmvDistinctCounts(s: SparkSession, d: String): DataFrame =
-    t(s, d, "lineitem")
+    tSpread(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_orderkey")).as("exact_orders"),

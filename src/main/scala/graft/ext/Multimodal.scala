@@ -23,6 +23,18 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every ImageIO.write(...,
+  // OutputStream) with a TEMP FILE (FileCacheImageOutputStream):
+  // per-frame JPEG/PNG encodes then create+delete a file each, and
+  // under task parallelism the threads contend on the temp directory
+  // (measured this round: q186's fixture encode went 6.9 → 237 CPU-s
+  // when its single scan task was spread across 32). Memory caching
+  // is byte-identical output (the cache is a buffering mechanism, not
+  // part of the codec) and drops the filesystem from the hot path
+  // entirely. JVM-global, idempotent; executors hit it on first use
+  // of this object.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical multimodal schema: opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
