@@ -52,7 +52,7 @@ private[graft] trait PipelinesBase {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), Seq[Long]]()
   protected def corpusPerceptronWeights(s: SparkSession, d: String): Seq[Long] =
     perceptronWeightsMemo.computeIfAbsent((s, d), _ =>
-      graft.ext.Perceptron.batchPerceptronHashed(t(s, d, "documents"),
+      graft.ext.Perceptron.batchPerceptronHashed(tSpread(s, d, "documents"),
         "doc_id", "text", positive = col("lang") === "en", iterations = 3)
         .orderBy("pos").collect().map(_.getLong(1)).toSeq)
 

@@ -41,7 +41,7 @@ private[graft] trait PipelinesRetrieval { this: PipelinesBase with PipelinesCura
   // Span-level exact-dup profile: distinct 8-token spans per doc that
   // also appear verbatim in another doc (Lee et al. 2022 shape).
   def dupSpans(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.dupSpanCounts(t(s, d, "documents"), "doc_id", "text", n = 8)
+    TextAnalysis.dupSpanCounts(tSpread(s, d, "documents"), "doc_id", "text", n = 8)
       .orderBy("doc_id")
 
   // Corpus-fit unigram-LM familiarity score (linear-domain perplexity
@@ -114,7 +114,7 @@ private[graft] trait PipelinesRetrieval { this: PipelinesBase with PipelinesCura
   // per-doc hits are independent of other docs, so this is the cheap
   // equivalent of screening the full corpus.
   def curationPipeline(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tSpread(s, d, "documents")
     val deduped = Dedup.exactDedup(docs, "text", "doc_id")
     val quality = deduped
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))

@@ -275,7 +275,7 @@ private[graft] trait PipelinesRound10 { this: PipelinesBase =>
     * periodically, score the corpus as a pure projection.
     */
   def perceptronScore(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tSpread(s, d, "documents")
     // train-once-serve-many: the memoized q143 weights (Bench drops
     // the memo between passes), so this gate measures SERVING
     val w = corpusPerceptronWeights(s, d)

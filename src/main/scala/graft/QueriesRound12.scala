@@ -50,7 +50,7 @@ private[graft] trait PipelinesRound12 { this: PipelinesBase =>
     * GlobalIndex two-pass rank) breaks the hash.
     */
   def classifierReliability(s: SparkSession, d: String): DataFrame = {
-    val docs = t(s, d, "documents")
+    val docs = tSpread(s, d, "documents")
     val labeled = docs.filter(col("doc_id") % 5 === 0)
     val w = Perceptron.batchPerceptronHashed(labeled, "doc_id", "text",
       positive = col("lang") === "en", iterations = 3)

@@ -47,7 +47,7 @@ private[graft] trait PipelinesScaleOps { this: PipelinesBase =>
   // toward the English slice of the corpus (Xie et al. 2023 shape,
   // linear-domain quantized — §5.3: ln is not oracle-portable).
   def dsirScores(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.hashedImportanceScores(t(s, d, "documents"), "doc_id",
+    TextAnalysis.hashedImportanceScores(tSpread(s, d, "documents"), "doc_id",
       "text", col("lang") === "en")
       .orderBy("doc_id")
 
@@ -55,7 +55,7 @@ private[graft] trait PipelinesScaleOps { this: PipelinesBase =>
   // unigram backoff) — the next perplexity-proxy tier above q117's
   // unigram score.
   def bigramLm(s: SparkSession, d: String): DataFrame =
-    TextAnalysis.bigramLmScores(t(s, d, "documents"), "doc_id", "text")
+    TextAnalysis.bigramLmScores(tSpread(s, d, "documents"), "doc_id", "text")
       .orderBy("doc_id")
 
   // Integer-quantized PageRank over the near-dup similarity graph (the

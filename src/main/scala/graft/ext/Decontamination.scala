@@ -77,10 +77,10 @@ object Decontamination {
       s"maxProbeCos: probe set exceeds maxProbes=$maxProbes — the broadcast " +
         "path is for eval-suite-sized probe sets; route corpus-scale probe " +
         "frames through retainBelowIvf against a materialized IVF index")
-    val p = probes.select(col(idCol).as("_pid"),
-      Similarity.asDouble(col(embCol)).as("_pe"))
-    val base = corpus.select(col(idCol),
-      Similarity.asDouble(col(embCol)).as("_e"))
+    // float32-native cosines (see DotProduct): half the broadcast and
+    // per-pair row bytes, bit-identical results (r18)
+    val p = probes.select(col(idCol).as("_pid"), col(embCol).as("_pe"))
+    val base = corpus.select(col(idCol), col(embCol).as("_e"))
     val cond = if (excludeSelf) col(idCol) =!= col("_pid") else lit(true)
     base.join(broadcast(p), cond, "left_outer")
       .groupBy(col(idCol))

@@ -31,6 +31,14 @@ object Dedup {
     */
   private[ext] def balanced(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // Fan-out target max(4, p/4), not p (r18 optimization, same
+    // measurement as Tables.loadSpread): every task carries a fixed
+    // cost roughly proportional to its serialized plan subtree (task
+    // deserialization, agg-map setup, JIT-cold codegen), so a p-way
+    // fan-out of a small frame pays p fixed costs for per-row work
+    // that a quarter of the tasks amortize just as well; the divisor
+    // also scales the fan-out down for low-core sessions.
+    val target = math.max(4, p / 4)
     val maxPartitionBytes = df.sparkSession.sessionState.conf.filesMaxPartitionBytes
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     // compare in BigInt: stats can be Long.MaxValue (unknown-size
@@ -41,7 +49,7 @@ object Dedup {
     // Stats imply a narrow input; confirm against the width the plan
     // would execute with, so a frame that is already wide despite small
     // stats (many files, an upstream shuffle) is never coalesced down.
-    else if (plannedWidth(df, p) < p) df.repartition(p)
+    else if (plannedWidth(df, target) < target) df.repartition(target)
     else df
   }
 
@@ -185,8 +193,16 @@ object Dedup {
       .filter(col("sig").isNotNull).cache()
     withSig.count() // eager: lazy cache would race among the 4 readers,
                     // each recomputing the signature pipeline
+    // pinned width on the band key (r18, the SetSimJoin.pinnedWidth
+    // measurement): AQE's 1 MB parallelism-first floor coalesced the
+    // narrow candidate self-join of a small corpus to one task; the
+    // pinned repartition replaces the join's own exchange
+    // (REPARTITION_BY_NUM is coalesce-exempt) and BOTH sides reuse it.
+    val pinParts = math.max(4,
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt / 4)
     val exploded = withSig.select(col("id"),
       explode(bandKeys(col("sig"), bands, rows)).as("bk"))
+      .repartition(pinParts, col("bk"))
     val cands = exploded.select(col("id").as("id_a"), col("bk"))
       .join(exploded.select(col("id").as("id_b"), col("bk")), Seq("bk"))
       .filter(col("id_a") < col("id_b"))

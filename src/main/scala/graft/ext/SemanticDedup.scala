@@ -59,9 +59,15 @@ object SemanticDedup {
       idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0,
       s"retainClustered: threshold must be in (0,1), got $threshold")
+    // float32-native within-cell pair join (see DotProduct): half the
+    // cell-join bytes, bit-identical cosines. Only the centroid FIT
+    // sample (<= maxFitPoints rows collected to the driver) still
+    // casts — Lloyd's iterations run on double arrays.
     val c = Dedup.balanced(vectors)
-      .select(col(idCol).as("id"), Similarity.asDouble(col(embCol)).as("emb"))
-    val cents = Similarity.fitCentroids(c, "emb", nlist, maxFitPoints)
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
+    val cents = Similarity.fitCentroids(
+      c.select(col("id"), Similarity.asDouble(col("emb")).as("emb")),
+      "emb", nlist, maxFitPoints)
     val assigned = c
       .withColumn("cell", Similarity.cellExpr(col("emb"), cents))
       .withColumn("nrm", Similarity.norm(col("emb")))

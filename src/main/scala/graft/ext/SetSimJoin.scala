@@ -24,6 +24,27 @@ import org.apache.spark.sql.functions._
   */
 object SetSimJoin {
 
+  /** Width for the PINNED mid-pipeline exchanges below (r18): AQE's
+    * parallelism-first coalescing floors post-shuffle partitions at
+    * `minPartitionSize` (1 MB), so the token-stream window and the
+    * candidate join of a small corpus collapsed to ONE task each —
+    * q189 profiled two 2.5–2.9 s single-task stages carrying all the
+    * explode/join/verify compute. A `repartition(n, key)` on the key
+    * the downstream operator already requires REPLACES the implicit
+    * exchange (same distribution, no extra shuffle) and is
+    * AQE-coalesce-exempt (REPARTITION_BY_NUM), pinning the stage
+    * width. Quarter of the configured shuffle width, floored at 4:
+    * enough fan-out for the CPU-dense per-row work, few enough tasks
+    * that per-task fixed costs stay small; scales with the session
+    * conf rather than any local constant.
+    */
+  private def pinnedWidth(df: DataFrame): Int = {
+    val conf = df.sparkSession.conf
+    conf.getOption("spark.graft.setsim.parts").map(_.toInt).getOrElse {
+      math.max(4, conf.get("spark.sql.shuffle.partitions").toInt / 4)
+    }
+  }
+
   /** Distinct lowercase whitespace tokens (the corpus-wide token-set
     * view of a document; empty/NULL text → empty set).
     */
@@ -38,7 +59,13 @@ object SetSimJoin {
     */
   private def tokenFrame(docs: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val toks = docs
+    // balanced BEFORE tokenizing (r18 optimization): a single-file
+    // corpus caches as ONE partition here, and since every downstream
+    // stage reads this cache, the tokenize pass AND the explode/join
+    // stages over it all ran on one core (q189 profiled 2.5-2.9 s per
+    // serial stage at sf0.1). The fan-out is the cache's partitioning,
+    // so it pays once and every consumer inherits it.
+    val toks = Dedup.balanced(docs)
       .select(col(idCol).as("_id"), tokenSet(col(textCol)).as("_toks"))
       .filter(col("_toks").isNotNull && size(col("_toks")) > 0)
       .withColumn("_sz", size(col("_toks")))
@@ -101,6 +128,9 @@ object SetSimJoin {
     val prefixes = toks
       .select(col("_id"), col("_sz"), explode(col("_toks")).as("_token"))
       .join(tokenDf, Seq("_token"))
+      // pinned width on the window's own key — replaces the implicit
+      // exchange, see pinnedWidth
+      .repartition(pinnedWidth(toks), col("_id"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <=
         col("_sz") - ceil(lit(minJaccard) * col("_sz") - lit(1e-9)) + 1)
@@ -111,9 +141,14 @@ object SetSimJoin {
       // narrow (token, id, sz) prefix stream, ~(1−t) of the token
       // volume
       .localCheckpoint(true)
-    val cands = prefixes
+    // pinned width on the join key for the candidate self-join and on
+    // the pair ids for the verification joins (see pinnedWidth): both
+    // sides of each equi join inherit the pinned distribution, so no
+    // exchange is added — only un-coalesced
+    val pc = prefixes.repartition(pinnedWidth(toks), col("_token"))
+    val cands = pc
       .select(col("_token"), col("_id").as("id_a"), col("_sz").as("_sza"))
-      .join(prefixes.select(col("_token"), col("_id").as("id_b"),
+      .join(pc.select(col("_token"), col("_id").as("id_b"),
         col("_sz").as("_szb")), Seq("_token"))
       .filter(col("id_a") < col("id_b") &&
         col("_szb").cast("double") >= lit(minJaccard) * col("_sza") - lit(1e-9) &&
@@ -122,8 +157,10 @@ object SetSimJoin {
     val inter = size(array_intersect(col("_ta"), col("_tb")))
     val jacc = inter.cast("double") / (col("_na") + col("_nb") - inter)
     cands
+      .repartition(pinnedWidth(toks), col("id_a"))
       .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta"),
         col("_sz").as("_na")), Seq("id_a"))
+      .repartition(pinnedWidth(toks), col("id_b"))
       .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb"),
         col("_sz").as("_nb")), Seq("id_b"))
       .filter(jacc >= minJaccard)
@@ -164,17 +201,24 @@ object SetSimJoin {
     val tokenDf = toks.select(explode(col("_toks")).as("_token"))
       .groupBy(col("_token")).agg(count(lit(1)).as("_tdf"))
     val w = Window.partitionBy(col("_id")).orderBy(col("_tdf"), col("_token"))
+    // pinned widths (see pinnedWidth): window keyed by _id, candidate
+    // join keyed by _token, verification joins by the pair ids — each
+    // repartition replaces the implicit exchange the next operator
+    // would have inserted, un-coalesced
     val prefixes = toks
       .select(col("_id"), col("_sz"), explode(col("_toks")).as("_token"))
       .join(tokenDf, Seq("_token"))
+      .repartition(pinnedWidth(toks), col("_id"))
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") <=
         col("_sz") - ceil(lit(minContainment) * col("_sz") - lit(1e-9)) + 1)
       .select(col("_token"), col("_id"), col("_sz"))
     val allToks = toks.select(explode(col("_toks")).as("_token"),
       col("_id").as("id_b"), col("_sz").as("_szb"))
+      .repartition(pinnedWidth(toks), col("_token"))
     val cands = prefixes
       .select(col("_token"), col("_id").as("id_a"), col("_sz").as("_sza"))
+      .repartition(pinnedWidth(toks), col("_token"))
       .join(allToks, Seq("_token"))
       .filter(col("id_a") =!= col("id_b") &&
         col("_szb").cast("double") >=
@@ -183,8 +227,10 @@ object SetSimJoin {
     val inter = size(array_intersect(col("_ta"), col("_tb")))
     val cont = inter.cast("double") / col("_na")
     cands
+      .repartition(pinnedWidth(toks), col("id_a"))
       .join(toks.select(col("_id").as("id_a"), col("_toks").as("_ta"),
         col("_sz").as("_na")), Seq("id_a"))
+      .repartition(pinnedWidth(toks), col("id_b"))
       .join(toks.select(col("_id").as("id_b"), col("_toks").as("_tb")),
         Seq("id_b"))
       .filter(cont >= minContainment)

@@ -46,10 +46,12 @@ object Similarity {
     // Precompute each side's norm once (O(n·d)) so the pairwise loop is
     // a single dot product (O(pairs·d)), not three. Fan the corpus out
     // first: a single-file parquet corpus otherwise scores on one core.
+    // float32-native scoring (see DotProduct): half the broadcast/scan
+    // bytes, no Cast allocation, bit-identical cosines (r18)
     val c = Dedup.balanced(corpus)
-      .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
+      .select(col(idCol).as("neighbor_id"), col(embCol).as("c_emb"))
       .withColumn("c_norm", norm(col("c_emb")))
-    val q = queries.select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
+    val q = queries.select(col(idCol).as("query_id"), col(embCol).as("q_emb"))
       .withColumn("q_norm", norm(col("q_emb")))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -440,8 +442,11 @@ object Similarity {
     require(tiles > 0, s"cosineAllPairsTiled: tiles must be > 0, got $tiles")
     val spark = vectors.sparkSession
     import spark.implicits._
+    // no asDouble: graft_dot reads float32 arrays natively (exact
+    // widening — see DotProduct), so the pair join moves half the
+    // embedding bytes and skips a Cast allocation per row (r18)
     val v = Dedup.balanced(vectors)
-      .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
       .withColumn("tile", pmod(xxhash64(col("id")), lit(tiles)).cast("int"))
     val tilePairs = (for { a <- 0 until tiles; b <- a until tiles } yield (a, b))
@@ -551,8 +556,11 @@ object Similarity {
       maxSignatureBits: Int = 512, missProb: Double = 1e-5): DataFrame = {
     val (rowsPerBand, bands) = lshBandParams(threshold, maxSignatureBits, missProb)
     val cands = lshCandidatePairs(vectors, dim, rowsPerBand, bands, idCol, embCol)
+    // no asDouble: graft_dot reads float32 arrays natively (exact
+    // widening — see DotProduct), so the pair join moves half the
+    // embedding bytes and skips a Cast allocation per row (r18)
     val v = Dedup.balanced(vectors)
-      .select(col(idCol).as("id"), asDouble(col(embCol)).as("emb"))
+      .select(col(idCol).as("id"), col(embCol).as("emb"))
       .withColumn("nrm", norm(col("emb")))
     // re-attach embeddings by id: no broadcast hint — the vector table
     // scales with the corpus; AQE broadcasts while it fits

@@ -814,7 +814,11 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     */
   private def cachedTokenFrame(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val projected = docs.select(col(idCol),
+    // balanced BEFORE tokenizing (r18, the SetSimJoin.tokenFrame
+    // measurement): a single-file corpus caches as ONE partition and
+    // every span/scrub consumer inherits that serial width; the
+    // fan-out is the cache's partitioning, paid once.
+    val projected = Dedup.balanced(docs).select(col(idCol),
       coalesce(tokens(col(textCol)), array().cast("array<string>")).as("_t"))
     docs.sparkSession.conf
         .get("spark.graft.tokenFrame.storage", "memory") match {

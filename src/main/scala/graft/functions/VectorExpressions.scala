@@ -20,19 +20,39 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object VectorExpressions {
 
-  /** dot(a, b) over array<double> — whole-stage-codegen'd tight loop. */
+  /** dot(a, b) over array<double> OR array<float> (each side
+    * independently) — whole-stage-codegen'd tight loop. Float elements
+    * are widened to double BEFORE the multiply, which is EXACT (every
+    * float is representable as a double), so `dot(f, g)` is
+    * bit-identical to `dot(cast(f as array<double>), cast(g))` — the
+    * r18 optimization that lets pair joins shuffle float32 embeddings
+    * at half the row width with no Cast allocation and provably
+    * unchanged results.
+    */
   case class DotProduct(left: Expression, right: Expression)
       extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def prettyName: String = "graft_dot"
 
+    private def isFloat(e: Expression): Boolean = e.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+
     override def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
+      val lf = isFloat(left)
+      val rf = isFloat(right)
       val n = math.min(x.numElements(), y.numElements())
       var s = 0.0
       var i = 0
-      while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+      while (i < n) {
+        val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+        val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+        s += xv * yv
+        i += 1
+      }
       s
     }
 
@@ -41,11 +61,17 @@ object VectorExpressions {
         val i = ctx.freshName("i")
         val n = ctx.freshName("n")
         val s = ctx.freshName("s")
+        // the (double) casts keep the multiply in double even for two
+        // float sides — float*float would round in float first and
+        // break the cast-then-dot equivalence
+        def get(arr: String, e: Expression) =
+          if (isFloat(e)) s"((double) $arr.getFloat($i))"
+          else s"$arr.getDouble($i)"
         s"""
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $s = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
-           |  $s += $a.getDouble($i) * $b.getDouble($i);
+           |  $s += ${get(a, left)} * ${get(b, right)};
            |}
            |${ev.value} = $s;
          """.stripMargin
@@ -74,9 +100,17 @@ object VectorExpressions {
     * positional digit sum over substr(md5(x), i, 1); Spark's
     * xxhash64, by contrast, is not reproducible there (SURVEY §5.3).
     */
-  private[graft] def md5Hash52(bytes: Array[Byte]): Long =
-    java.lang.Long.parseLong(
-      org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes).substring(0, 13), 16)
+  private[graft] def md5Hash52(bytes: Array[Byte]): Long = {
+    // the first 13 hex chars are the first 52 bits of the digest,
+    // big-endian — assembled straight from the raw bytes (r18: the
+    // md5Hex + substring + parseLong form allocated two strings per
+    // gram in the portable-hash gates' hottest loop; a spec pins this
+    // equal to the hex-parse form on random inputs)
+    val d = org.apache.commons.codec.digest.DigestUtils.md5(bytes)
+    ((d(0) & 0xffL) << 44) | ((d(1) & 0xffL) << 36) | ((d(2) & 0xffL) << 28) |
+      ((d(3) & 0xffL) << 20) | ((d(4) & 0xffL) << 12) | ((d(5) & 0xffL) << 4) |
+      ((d(6) & 0xf0L) >>> 4)
+  }
 
   /** MinHash signature over an array<string> of shingles: one pass per
     * row computing all `numHashes` minima — O(shingles × hashes) tight

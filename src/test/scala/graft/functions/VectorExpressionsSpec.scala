@@ -115,6 +115,40 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(e.getMessage.contains("unknown form"))
   }
 
+  test("md5Hash52: byte-assembled value equals the 13-hex-char parse") {
+    // r18 optimization pin: the hot path assembles the 52-bit value
+    // straight from the raw digest; this is the definition the DuckDB
+    // oracles replay digit-by-digit, so the two forms must stay equal
+    val rnd = new scala.util.Random(7)
+    (0 until 500).foreach { i =>
+      val bytes = new Array[Byte](rnd.nextInt(40) + 1)
+      rnd.nextBytes(bytes)
+      val viaHex = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(bytes).substring(0, 13), 16)
+      assert(VectorExpressions.md5Hash52(bytes) === viaHex, s"case $i")
+    }
+  }
+
+  test("graft_dot: float32 inputs are bit-identical to cast-then-dot") {
+    // r18 optimization pin: float->double widening is exact, so the
+    // float-native loop must reproduce the array<double> path bit for
+    // bit (pair joins rely on this to shuffle float32 embeddings)
+    val f = Seq((1L,
+      Array.tabulate(64)(i => (math.sin(i + 1) * 1e3).toFloat),
+      Array.tabulate(64)(i => (math.cos(i * 3 + 2) / 7).toFloat)))
+      .toDF("id", "a", "b")
+    val r = f.select(
+      VectorExpressions.dot(col("a"), col("b")).as("ff"),
+      VectorExpressions.dot(col("a").cast("array<double>"),
+        col("b").cast("array<double>")).as("dd"),
+      VectorExpressions.dot(col("a"), col("b").cast("array<double>")).as("fd"))
+      .head()
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ===
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+    assert(java.lang.Double.doubleToRawLongBits(r.getDouble(2)) ===
+      java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+  }
+
   test("unicodeNormalize: interpreted eval matches codegen") {
     // force the interpreted path with codegen disabled and compare
     val dec = Seq((1L, "é Ｄx")).toDF("id", "t")
