@@ -79,7 +79,7 @@ private[graft] trait PipelinesRound18 { this: PipelinesBase =>
       lit("</td><td>"), g,
       lit(" kg</td><td>a&amp;b</td></tr><tr><td>4</td><td>c</td></tr>" +
         "<tr><td>tail "), g, lit("</td></tr></table>"), second)
-    t(s, d, "documents")
+    tSpread(s, d, "documents")
       .select(col("doc_id"),
         graft.ext.Html.extractTableGrids(html).as("tables"))
       .select(col("doc_id"),
