@@ -21,6 +21,16 @@ object Bench {
       // OPTIMIZATION_r18.md).
       .config("spark.sql.codegen.cache.maxEntries",
         sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "4096"))
+      // r19: dynamic partition pruning searches every join for a
+      // partitioned-scan side it could filter — this engine's tables
+      // are UNPARTITIONED parquet files (TESTDATA.md layout), so the
+      // rule can never fire (PlanPhases: 0 effective invocations
+      // board-wide) yet costs real optimizer time on join-dense plans
+      // (q227: 0.56–0.71 s per planning pass, measured). Off by
+      // default for this layout; flip the env for a deployment whose
+      // tables ARE hive-partitioned.
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_DPP", "false"))
     // Optional extra confs for LOCAL A/B experiments only
     // ("k=v;k2=v2"): the driver never sets this env, so its bench
     // always runs the default session shape above.

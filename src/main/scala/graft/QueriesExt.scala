@@ -105,6 +105,11 @@ private[graft] trait PipelinesBase {
     // and the recall join — without the checkpoint the whole probe
     // pipeline (index scans, codebook scoring) executes twice per
     // action (the shared-consumer lesson)
+    // EAGER deliberately (r19 re-measured): the recall arm rides a
+    // broadcast build that races the per-query arm — a lazy mark lets
+    // both compute the unmaterialized probe pipeline concurrently
+    // (double compute, measured +0.9 CPU-s on q78); eager
+    // materializes once before either consumer starts
     val ann = annRaw.localCheckpoint(true)
     val perQ = ann.groupBy(col("query_id")).agg(
       count(lit(1)).as("n_neighbors"),

@@ -43,8 +43,14 @@ private[graft] trait PipelinesRound11 { this: PipelinesBase with PipelinesTextSi
       positive = col("lang") === "en", iterations = 3)
       .orderBy("pos").collect().map(_.getLong(1)).toSeq
     val deduped = Dedup.exactDedup(docs, "text", "doc_id")
+    // lazy checkpoint (r19, the shared-consumer discipline): scored
+    // feeds BOTH the median aggregate and the final filter — without
+    // the cut, the dedup window + per-token perceptron scoring run
+    // once per consumer; the median's broadcast build materializes the
+    // narrow (id, source, margin) blocks and the filter reuses them
     val scored = Perceptron.withHashedPerceptronScore(deduped, "text", w)
       .select(col("doc_id"), col("source"), col("margin_q"))
+      .localCheckpoint(false)
     val med = scored.agg(expr("percentile(margin_q, 0.5)").as("_med"))
     scored.crossJoin(broadcast(med))
       .filter(col("margin_q") > col("_med"))

@@ -73,8 +73,12 @@ private[graft] trait PipelinesRound11b { this: PipelinesBase with PipelinesTextS
   def thresholdSweep(s: SparkSession, d: String): DataFrame = {
     val docs = t(s, d, "documents")
     val w = corpusPerceptronWeights(s, d)
+    // lazy checkpoint (r19, the shared-consumer discipline): m feeds
+    // both the threshold percentiles and the confusion aggregation —
+    // one per-token scoring pass instead of two
     val m = Perceptron.withHashedPerceptronScore(docs, "text", w)
       .select((col("lang") === "en").as("_pos"), col("margin_q"))
+      .localCheckpoint(false)
     val th = m.agg(
       expr("percentile(margin_q, array(0.1, 0.3, 0.5, 0.7, 0.9))").as("_th"))
     val above = col("margin_q").cast("double") > col("_thr")

@@ -183,13 +183,19 @@ private[graft] trait PipelinesRound11c { this: PipelinesBase =>
     * verified path, the q07/q33 discipline applied to curation.
     */
   def ensembleCuration(s: SparkSession, d: String): DataFrame = {
+    // two lazy checkpoints (r19, the shared-consumer discipline): sig
+    // is consumed twice INSIDE ensembleQuantileScore (edge fit +
+    // scoring projection) and scored twice below (median + cut) — the
+    // quality-feature extraction otherwise evaluates four times
     val sig = t(s, d, "documents").select(
       col("doc_id") +:
         TextAnalysis.qualityFeatures(col("text")).map { case (n, c) => c.as(n) }: _*)
+      .localCheckpoint(false)
     val scored = graft.etl.Discretize.ensembleQuantileScore(sig,
         Seq("n_tokens", "avg_word_len", "punct_ratio", "stopword_ratio"),
         nBins = 10)
       .select(col("doc_id"), col("ensemble_q"))
+      .localCheckpoint(false)
     val med = scored.agg(expr("percentile(ensemble_q, 0.5d)").as("_m"))
     val kept = scored.crossJoin(broadcast(med))
       .filter(col("ensemble_q").cast("double") > col("_m"))

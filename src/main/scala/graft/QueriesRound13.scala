@@ -162,14 +162,24 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     val probes = emb.filter(col("vec_id") % 100 === 3)
     val dir = "/tmp/graft_q198_ivf_" + d.replaceAll("[^A-Za-z0-9.-]", "_")
     graft.ext.Similarity.ivfIndexWrite(emb, dir, nlist = 8)
-    val bc = graft.ext.Decontamination
-      .retainBelow(emb, probes, 0.3, excludeSelf = true).localCheckpoint(true)
-    val full = graft.ext.Decontamination
+    // the four materializations below (bc / full / routed / trueMax)
+    // are INDEPENDENT passes over the same inputs — build the frames
+    // sequentially, then submit the eager checkpoints concurrently so
+    // each pass's task tail back-fills the others (guide §2.6 /
+    // graft.ext.Par; r19 — the serial chain was this gate's wall)
+    val bcDf = graft.ext.Decontamination
+      .retainBelow(emb, probes, 0.3, excludeSelf = true)
+    val fullDf = graft.ext.Decontamination
       .retainBelowIvf(s, dir, probes, 0.3, nprobe = 8, excludeSelf = true)
-      .localCheckpoint(true)
-    val routed = graft.ext.Decontamination
+    val routedDf = graft.ext.Decontamination
       .retainBelowIvf(s, dir, probes, 0.3, nprobe = 2, excludeSelf = true)
-      .localCheckpoint(true)
+    val trueMaxDf = graft.ext.Decontamination
+      .maxProbeCos(emb, probes, excludeSelf = true)
+    val checkpointed = graft.ext.Par.run(
+      Seq(bcDf, fullDf, routedDf, trueMaxDf).map(df =>
+        () => df.localCheckpoint(true)))
+    val (bc, full, routed, trueMax) =
+      (checkpointed(0), checkpointed(1), checkpointed(2), checkpointed(3))
     val nCorpus = emb.agg(count(lit(1)).as("n_corpus"))
     val nBc = bc.agg(count(lit(1)).as("n_retained_exact"))
     val d1 = full.exceptAll(bc).agg(count(lit(1)).as("_d1"))
@@ -177,8 +187,6 @@ private[graft] trait PipelinesRound13 { this: PipelinesBase =>
     val d3 = bc.select("vec_id")
       .join(routed.select("vec_id"), Seq("vec_id"), "left_anti")
       .agg(count(lit(1)).as("_d3"))
-    val trueMax = graft.ext.Decontamination
-      .maxProbeCos(emb, probes, excludeSelf = true).localCheckpoint(true)
     val d4 = routed.filter(col("max_probe_cos").isNotNull)
       .select(col("vec_id"), col("max_probe_cos").as("_routed"))
       .join(trueMax.select(col("vec_id"), col("max_probe_cos").as("_true")),

@@ -34,15 +34,30 @@ private[graft] trait PipelinesVectorSketch { this: PipelinesBase =>
     val li = t(s, d, "lineitem")
     val keyNames = Seq("l_returnflag", "l_linestatus")
     val keys = keyNames.map(col)
-    // pass 1: exact distinct ground truth + the sketches themselves
-    val ap = li.groupBy(keys: _*).agg(
-      countDistinct(col("l_orderkey")).as("exact_orders"),
-      countDistinct(col("l_partkey")).as("exact_parts"),
+    // pass 1: exact distinct ground truth + the sketches themselves.
+    // The exact counts run as two-level aggregations (distinct pairs,
+    // then count — both whole-stage-codegen hash aggs with map-side
+    // partials) JOINED to the sketch agg, instead of two
+    // countDistinct columns in ONE agg: that form plans an Expand
+    // that triples every input row (one copy per distinct column +
+    // one for the plain aggregates) through the shuffle (r19, guide
+    // §2.3 — measured 15.7 → ~4 MB shuffle write, CPU −30%). Counts
+    // are identical: keys are non-null in lineitem, and the null
+    // guard keeps the distinct-pair count equal to countDistinct's
+    // null-skipping contract even if they weren't.
+    val sketches = li.groupBy(keys: _*).agg(
       count(lit(1)).as("_n"),
       approx_count_distinct(col("l_orderkey")).as("_ao"),
       approx_count_distinct(col("l_partkey")).as("_ap"),
       percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("_am"),
       percentile_approx(col("l_extendedprice"), lit(0.95), lit(10000)).as("_a95"))
+    def exactDistinct(c: String, out: String) =
+      li.filter(col(c).isNotNull)
+        .select((keys :+ col(c)): _*).distinct()
+        .groupBy(keys: _*).agg(count(lit(1)).as(out))
+    val ap = sketches
+      .join(exactDistinct("l_orderkey", "exact_orders"), keyNames)
+      .join(exactDistinct("l_partkey", "exact_parts"), keyNames)
     // ap is consumed by BOTH the rank pass and the final join, but
     // deliberately NOT checkpointed: the two consumers' aggregate
     // subtrees are identical, so ReuseExchange computes the shuffle

@@ -12,6 +12,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // r19: same DPP default as Bench (unpartitioned-parquet layout —
+      // the rule never fires here; see Bench.scala), so the verified
+      // session shape IS the benched one
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_DPP", "false"))
       // the production session shape: SQL functions + the range-join
       // rewrite rule installed the standard way (q205 gates the rule
       // from naive SQL text; r13 verdict ask #3)

@@ -46,6 +46,11 @@ object Clustering {
       s"kmeansAssignQuantized: iterations must be >= 0, got $iterations")
     val qv = transform(col(vecCol).cast("array<double>"),
       x => floor(x * lit(scale) + lit(0.5)).cast("long"))
+    // NO checkpoint deliberately (r19, measured): persisting (_id,
+    // _qv) as row blocks and re-reading them per Lloyd iteration lost
+    // to simply re-running the columnar scan + codegen quantization
+    // (q166 CPU 0.4 -> 2.1 s with the checkpoint) — LogicalRDD scans
+    // forfeit the vectorized reader.
     val base = df.select(col(idCol).as("_id"), qv.as("_qv"))
 
     // deterministic seeds: quantized vectors of the k smallest ids

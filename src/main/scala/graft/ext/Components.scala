@@ -46,13 +46,20 @@ object Components {
   def connectedComponents(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxRounds: Int = 50): DataFrame = {
     // canonical form: (u, v) with u > v, distinct, no self-loops
+    // LAZY checkpoint + count (r19, guide §1.2 "per-task work" applied
+    // to the driver): localCheckpoint(eager = true) runs its own
+    // materialization job and the count() that follows is a SECOND
+    // job; marking lazily and counting materializes the checkpoint
+    // inside the count's job — one driver round-trip per round instead
+    // of two, same blocks, same lineage cut (the Dataset is re-rooted
+    // at a LogicalRDD either way)
     var cur = edges
       .filter(col(srcCol).isNotNull && col(dstCol).isNotNull &&
         col(srcCol) =!= col(dstCol))
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     var converged = false
     var round = 0
@@ -60,7 +67,7 @@ object Components {
     // round's cur.count() — one job per round instead of two
     var curCount = cur.count()
     while (!converged && round < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val next = smallStar(largeStar(cur)).localCheckpoint(false)
       val nextCount = next.count()
       // fixpoint of two DISTINCT canonical sets: equal counts and an
       // empty one-sided difference imply set equality
@@ -147,7 +154,11 @@ object Components {
       .select(greatest(col(srcCol), col(dstCol)).as("u"),
         least(col(srcCol), col(dstCol)).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      // lazy (r19): the first consumer's job materializes the blocks
+      // and later consumers read them — same sharing, one less
+      // standalone driver job than eager (the connectedComponents
+      // count-fusion note)
+      .localCheckpoint(false)
     val touchedNodes = delta.select(col("u").as("node"))
       .unionAll(delta.select(col("v").as("node"))).distinct()
     val touchedComps = prior.join(touchedNodes, Seq("node"))
@@ -205,6 +216,13 @@ object Components {
       .localCheckpoint(true)
     val dir = und.unionAll(und.select(col("v").as("u"), col("u").as("v")))
       .distinct()
+      // EAGER deliberately (r19 re-measured): the rank seed's node
+      // side and its broadcast(nTotal) build consume `dir`
+      // CONCURRENTLY — a lazy mark lets both race the unmaterialized
+      // frame and the (expensive) upstream pair generator runs twice
+      // at once. The per-ITERATION rank frames below are safe lazy:
+      // each is consumed exactly once, serially, by the next
+      // iteration's contribs join.
       .localCheckpoint(true)
     val deg = dir.groupBy(col("u")).agg(count(lit(1)).as("deg"))
     val nodes = deg.select(col("u").as("node"))
@@ -228,6 +246,11 @@ object Components {
         .select(col("node"),
           (idiv(lit(15L) * lit(scale), lit(100L) * col("n"))
             + coalesce(col("_in"), lit(0L))).as("rq"))
+        // eager deliberately (r19 re-measured): a lazily-chained
+        // variant (mark every iteration, one count at the end) was
+        // paired-A/B'd at NOISE-level wall with a double-compute
+        // hazard when callers consume the final frame from concurrent
+        // subtrees — not worth the risk for zero measured win
         .localCheckpoint(true)
     }
     ranks
@@ -265,6 +288,9 @@ object Components {
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .distinct()
+      // eager deliberately (r19): deg/withDeg/oriented consume canon
+      // from concurrent subtree builds — a lazy mark would let them
+      // race the unmaterialized (possibly expensive) upstream
       .localCheckpoint(true)
     val deg = canon.select(col("a").as("n"))
       .unionAll(canon.select(col("b").as("n")))
@@ -308,7 +334,11 @@ object Components {
     sym.withColumn("m", m)
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
-      .distinct()
+    // NO trailing distinct (r19): the only consumer is smallStar,
+    // whose window min is duplicate-insensitive and whose OWN trailing
+    // distinct dedups the emissions — the exchange+aggregate here was
+    // a fourth shuffle per round buying nothing (ComponentsSpec pins
+    // the composition's fixpoints unchanged)
   }
 
   /** Small-star: every node connects its smaller neighbors (and itself)

@@ -449,7 +449,9 @@ object Dedup {
       idCol: String, iterations: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // consumed by BOTH the component rounds and the rank iterations
-    val p = pairs.select(col("src"), col("dst")).localCheckpoint(true)
+    // lazy (r19): the component rounds' first count materializes the
+    // blocks; the rank iterations reuse them — one standalone job less
+    val p = pairs.select(col("src"), col("dst")).localCheckpoint(false)
     val comp = Components.connectedComponents(p)
     val ranks = Components.pageRankQuantized(p, iterations = iterations)
     val w = Window.partitionBy(col("component"))

@@ -49,11 +49,14 @@ object Perceptron {
       .select(col("_id"),
         conv(substring(md5(col("_term")), 1, 2), 16, 10).cast("long").as("pos"))
       .groupBy(col("_id"), col("pos")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(true)
+      // lazy (r19): iteration 1's first job materializes the blocks;
+      // every later iteration reads them — same sharing, two fewer
+      // standalone checkpoint jobs
+      .localCheckpoint(false)
     val labels = docs
       .select(col(idCol).as("_id"),
         when(positive, 1L).otherwise(-1L).as("y"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
 
     val w = Array.fill(nBuckets + 1)(0L) // index nBuckets = bias
     for (_ <- 1 to iterations) {
@@ -64,18 +67,23 @@ object Perceptron {
         .groupBy(col("_id")).agg(sum(col("cnt") * col("wv")).as("dot"))
       // token-less docs have no feature rows: their margin is the bias
       // alone (left join + coalesce), and they still vote on the bias
+      // lazy checkpoint + ONE fused update aggregate (r19): the bias
+      // votes ride the same groupBy as the bucket updates under the
+      // sentinel pos = nBuckets (integer sums are order-independent,
+      // so the fused update equals the former two-job split exactly),
+      // and the checkpoint materializes inside that single collect —
+      // one driver job per iteration instead of three
       val mis = labels.join(dots, Seq("_id"), "left_outer")
         .select(col("_id"), col("y"),
           (coalesce(col("dot"), lit(0L)) + lit(w(nBuckets))).as("mar"))
         .filter(col("y") * col("mar") <= 0)
-        .localCheckpoint(true) // consumed by both update aggregates
+        .localCheckpoint(false) // consumed by both update arms below
       val upd = mis.join(feats, Seq("_id"))
-        .groupBy(col("pos")).agg(sum(col("y") * col("cnt")).as("up"))
+        .select(col("pos"), (col("y") * col("cnt")).as("_u"))
+        .unionAll(mis.select(lit(nBuckets.toLong).as("pos"), col("y").as("_u")))
+        .groupBy(col("pos")).agg(sum(col("_u")).as("up"))
         .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
-      val bias = Option(mis.agg(sum(col("y"))).collect().head.get(0))
-        .map(_.asInstanceOf[Long]).getOrElse(0L)
       upd.foreach { case (p, u) => w(p) += u }
-      w(nBuckets) += bias
     }
     import spark.implicits._
     w.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq

@@ -139,7 +139,9 @@ object SetSimJoin {
       // uncut lineage re-runs the df join + window once PER SIDE (the
       // triangleCounts/delta-CC lesson); the checkpointed frame is the
       // narrow (token, id, sz) prefix stream, ~(1−t) of the token
-      // volume
+      // volume. EAGER deliberately (r19 re-measured): the
+      // verification joins consume this via concurrent subtree builds
+      // that would race a lazy mark into double-computing the window.
       .localCheckpoint(true)
     // pinned width on the join key for the candidate self-join and on
     // the pair ids for the verification joins (see pinnedWidth): both

@@ -838,16 +838,17 @@ object TextAnalysis extends TextAnalysisLm with TextAnalysisBpe {
     */
   private def positionalSpans(toks: DataFrame, idCol: String,
       n: Int): DataFrame = {
-    val starts = when(size(col("_t")) >= n,
-      sequence(lit(1), size(col("_t")) - (n - 1)))
-      .otherwise(array().cast("array<int>"))
+    // fused expression (r19): one loop emits every window's 1-based
+    // position and RAW 16-byte digest — the former HOF chain
+    // (sequence → transform(struct(pos, unhex(md5(concat_ws(slice))))))
+    // evaluated interpreted per window with an md5→hex→unhex round
+    // trip; hex(g) is still exactly Spark's md5 of the gram string
+    // (VectorExpressionsSpec pins array-for-array equality), and the
+    // binary key keeps the halved exchange bytes — the
+    // NgramMd5Fingerprints representation argument
     toks.select(col(idCol),
-      explode(transform(starts, i =>
-        struct(i.as("pos"),
-          // binary digest key (not hex): `_g` only shuffles and joins,
-          // and the 16-byte form halves those exchanges — the
-          // NgramMd5Fingerprints representation argument
-          unhex(md5(concat_ws(" ", slice(col("_t"), i, lit(n))))).as("g")))).as("_o"))
+      explode(graft.functions.VectorExpressions
+        .positionalNgramMd5(col("_t"), n)).as("_o"))
       .select(col(idCol), col("_o.pos").as("_pos"), col("_o.g").as("_g"))
   }
 

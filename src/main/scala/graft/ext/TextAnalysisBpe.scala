@@ -119,7 +119,11 @@ private[ext] trait TextAnalysisBpe {
       .select(concat_ws("",
         transform(split(col("word"), ""), ch => concat(lit(SEP), ch, lit(SEP))))
         .as("repr"), col("wcnt"))
-      .localCheckpoint(true)
+      // lazy (r19): the first iteration's top-pair collect materializes
+      // the blocks in the same driver job — one round-trip per merge
+      // instead of two; the final iteration's unconsumed mark costs
+      // nothing. Lineage is cut identically (LogicalRDD either way).
+      .localCheckpoint(false)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var done = false
     while (!done && merges.length < numMerges) {
@@ -144,7 +148,7 @@ private[ext] trait TextAnalysisBpe {
         vocab = vocab
           .withColumn("repr",
             replace(col("repr"), lit(s"$SEP$l$SEP$SEP$r$SEP"), lit(s"$SEP$l$r$SEP")))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
     merges.toSeq

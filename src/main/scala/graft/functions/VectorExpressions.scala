@@ -596,6 +596,66 @@ object VectorExpressions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** POSITIONAL md5 fingerprints of word n-grams from a token array
+    * in one pass: array<struct<pos:int, g:binary>> with 1-based
+    * positions, one entry per window — the [[NgramMd5Fingerprints]]
+    * sibling for the span-dedup family (scrub / maximal spans /
+    * contamination rewrite), which needs WHERE each gram sits, not
+    * just the distinct set. Replaces the interpreted HOF chain
+    * sequence → transform(struct(pos, unhex(md5(concat_ws(slice)))))
+    * — per window: a slice allocation, a concat, an md5-to-HEX
+    * string, and an unhex BACK to bytes, every step an interpreted
+    * Expression.eval — with a single loop that feeds token bytes
+    * straight into a reused MessageDigest (no hex round-trip, no
+    * slice array, no concatenated string). hex(digest) equals
+    * Spark's `md5(concat_ws(" ", slice(...)))` on every window
+    * (same commons-codec digest definition; VectorExpressionsSpec
+    * pins array-for-array equality against the HOF chain), so every
+    * count- and span-valued oracle that replays md5 strings in
+    * DuckDB is unaffected.
+    */
+  case class PositionalNgramMd5(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(n >= 1, s"PositionalNgramMd5: need n >= 1, got $n")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("g", BinaryType, nullable = false))), containsNull = false)
+    override def prettyName: String = "graft_positional_ngram_md5"
+
+    override def nullSafeEval(v: Any): Any = {
+      val toks = v.asInstanceOf[ArrayData]
+      val windows = math.max(0, toks.numElements() - n + 1)
+      val md = PositionalNgramMd5.digests.get()
+      val out = new Array[Any](windows)
+      var i = 0
+      while (i < windows) {
+        md.reset()
+        var w = 0
+        while (w < n) {
+          if (w > 0) md.update(' '.toByte)
+          md.update(toks.getUTF8String(i + w).getBytes)
+          w += 1
+        }
+        out(i) = InternalRow(i + 1, md.digest())
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+  }
+
+  object PositionalNgramMd5 {
+    // one digest per thread, reset per window: expression instances are
+    // shared across concurrently-running tasks in local mode, and
+    // DigestUtils.md5 would allocate a fresh MessageDigest per window
+    private val digests = new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+  }
+
   /** Per-term occurrence counts of a CONSTANT term list over a token
     * array in ONE pass — the q73 fused-expression discipline applied to
     * the BM25 tf stage: k `filter(toks, x -> x = t)` HOF calls evaluate
@@ -704,6 +764,9 @@ object VectorExpressions {
 
   def ngramMd5Fingerprints(tokens: Column, n: Int, maxTokens: Int): Column =
     Bridge.column(NgramMd5Fingerprints(Bridge.expression(tokens), n, maxTokens))
+
+  def positionalNgramMd5(tokens: Column, n: Int): Column =
+    Bridge.column(PositionalNgramMd5(Bridge.expression(tokens), n))
 
   def termCounts(tokens: Column, terms: Seq[String]): Column =
     Bridge.column(TermCounts(Bridge.expression(tokens), terms))

@@ -5,8 +5,8 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
 /** Dumps `.explain("formatted")` for named queries to
-  * `plans/r18/<query>_<suffix>.txt` — the optimization round's plan
-  * evidence files. Usage:
+  * `plans/<round>/<query>_<suffix>.txt` (round from SPARK_GRAFT_PLANS_DIR,
+  * default r19) — the optimization round's plan evidence files. Usage:
   *
   *   sbt "runMain graft.tools.PlanDump before q81_semdedup_clustered,q66_cosine_lsh"
   *
@@ -30,7 +30,8 @@ object PlanDump {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = Paths.get("plans", "r18")
+    val dir = Paths.get("plans",
+      sys.env.getOrElse("SPARK_GRAFT_PLANS_DIR", "r19"))
     Files.createDirectories(dir)
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,

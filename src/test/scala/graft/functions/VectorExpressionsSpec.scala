@@ -166,4 +166,29 @@ class VectorExpressionsSpec extends SparkSpec {
     finally conf.set("spark.sql.codegen.factoryMode", prev)
     assert(withCodegen === (("é Ｄx", "é Dx")))
   }
+
+  test("positionalNgramMd5: fused positions+digests equal the HOF chain") {
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "\u00e9l\u00e8ve", "x", "longer-token",
+      "\u6771\u4eac", "z9")
+    val docs = (0 until 60).map { i =>
+      // lengths 0..11 straddle every n: size < n must emit NO windows
+      (i.toLong, Array.fill(rnd.nextInt(12))(words(rnd.nextInt(words.size))))
+    }.toDF("id", "_t")
+    for (n <- Seq(1, 3, 5)) {
+      val fused = docs.select(col("id"),
+        VectorExpressions.positionalNgramMd5(col("_t"), n).as("o"))
+      val starts = when(size(col("_t")) >= n,
+        sequence(lit(1), size(col("_t")) - (n - 1)))
+        .otherwise(array().cast("array<int>"))
+      val hof = docs.select(col("id"),
+        transform(starts, i => struct(i.as("pos"),
+          unhex(md5(concat_ws(" ", slice(col("_t"), i, lit(n))))).as("g"))).as("o"))
+      val f = fused.collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getInt(0), x.getAs[Array[Byte]](1).toSeq))).toMap
+      val h = hof.collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(x => (x.getInt(0), x.getAs[Array[Byte]](1).toSeq))).toMap
+      assert(f == h, s"n=$n")
+    }
+  }
 }
