@@ -363,7 +363,17 @@ private[graft] object PipelinesTextSim {
       start: => A): A = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // conf-parameterized + retuned r19 (was 8 since r17): state-store
+      // instances per stateful operator scale with this, and each one
+      // pays load/update/commit per micro-batch regardless of its row
+      // share. Paired 8-vs-4 StreamProbe A/B at sf0.1: the state-machine
+      // gates dropped 0.4–0.95 s each (q204 5.16→4.21, q195 3.02→2.39,
+      // q199 3.18→2.73, q197 3.94→3.53) while the CPU-heavy gates
+      // (q184/q200–q202/q265) stayed flat; 2 showed no further gain.
+      // A production deployment sizes this to its state volume via the
+      // conf — the default suits gate-fixture state.
+      s.conf.set("spark.sql.shuffle.partitions",
+        s.conf.get("spark.graft.stream.stateParts", "4"))
       start
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
